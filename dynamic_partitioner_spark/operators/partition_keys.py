@@ -1,0 +1,54 @@
+"""Partition-key normalization — the reference's S4 operator.
+
+Reference semantics (``FieldValueDynamicPartitioner.java:18-33`` and the
+three per-format ``getPartitionKey`` impls,
+``AvroDynamicPartitionedDatasetSink.java:115-131``,
+``ParquetDynamicPartitionedDatasetSink.java:120-137``,
+``ORCDynamicPartitionedDatasetSink.java:190-207``):
+
+  * each configured field value becomes ``String.valueOf(value).trim()``
+  * a value containing ``/`` is rejected (it would split the directory)
+  * keys are ordered exactly as configured
+
+Spark-first translation: one ``select`` that rewrites each partition
+column as ``trim(cast(col as string))`` with an inline JVM-side
+``raise_error`` guard for ``/`` and NULL — no Python UDF, no extra pass
+over the data; Catalyst folds the guard into the same projection that
+feeds the writer, so the validation is free at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_key_column(name: str) -> Column:
+    """``trim(cast(c as string))`` with inline rejection of '/' and NULL."""
+    s = F.trim(F.col(name).cast("string"))
+    return (
+        F.when(F.col(name).isNull(),
+               F.raise_error(F.lit(
+                   f"Partition field '{name}' must not be null")))
+        .when(s.contains("/"),
+              F.raise_error(F.concat(
+                  F.lit(f"Invalid value for partition field '{name}': "),
+                  s, F.lit(" (must not contain '/')"))))
+        .otherwise(s)
+        .alias(name)
+    )
+
+
+def normalize_partition_keys(df: DataFrame, field_names: list[str]) -> DataFrame:
+    """Rewrite every partition column to its normalized string form.
+
+    Non-partition columns pass through untouched (the reference copies
+    payload fields by name — ``StructuredToAvroTransformer.java:66-78``).
+    """
+    missing = [f for f in field_names if f not in df.columns]
+    if missing:
+        raise ValueError(f"partition fields not in input: {missing}")
+    keyset = set(field_names)
+    cols = [normalized_key_column(c) if c in keyset else F.col(c)
+            for c in df.columns]
+    return df.select(*cols)

@@ -1,0 +1,137 @@
+"""Dynamic-partitioned sink — the reference's core capability (S1–S7).
+
+Reference behavior being re-expressed (all file:line cites vs
+``/root/reference/``):
+
+  * one output directory per distinct partition-key tuple, Hive layout
+    (``AvroDynamicPartitionedDatasetSink.java:51-131``) →
+    ``df.write.partitionBy(*fields)``; Spark's ``FileFormatWriter``
+    opens per-key writers inside each task, which IS the reference's
+    CDAP ``DynamicPartitioner`` machinery, built in.
+  * ``CREATE`` vs ``CREATE_OR_APPEND`` partition write options
+    (``AvroDynamicPartitionedDatasetSink.java:70-73``): append maps to
+    ``mode("append")``; CREATE = fail-if-partition-exists needs a
+    pre-write existence check (below).
+  * stage tagging ``_CDAPStageName`` (``Constants.java:9-10``,
+    ``Schemas.java:24-30``): opt-in constant column, off by default.
+
+Scale posture (the part the reference could not do):
+
+  * ``REBALANCE(keys)`` hint before the write — AQE-planned shuffle that
+    co-locates each key into one task (→ one file per key instead of
+    one-per-task-per-key) while SPLITTING skewed keys across tasks, so a
+    hot key neither explodes small files nor bottlenecks one task.
+  * ``maxRecordsPerFile`` caps file size for giant partitions.
+  * The CREATE existence check lists partition directories through the
+    Hadoop FileSystem API (works on HDFS/S3/local alike) and only scans
+    the input for distinct keys when the target already has partitions —
+    the common empty-target case costs one metadata call.
+"""
+
+from __future__ import annotations
+
+import urllib.parse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..spec import SinkSpec
+from .partition_keys import normalize_partition_keys
+
+#: reference Constants.java:9-10 — injected stage-tag field name.  We use a
+#: neutral name; the semantic (constant routing column) is identical.
+STAGE_FIELD = "_stage"
+
+
+class PartitionExistsError(RuntimeError):
+    """CREATE-mode write would touch an already-existing partition."""
+
+
+def list_existing_partitions(spark: SparkSession, base_path: str,
+                             field_names: list[str]) -> set[tuple[str, ...]]:
+    """Hive-layout partition discovery via the Hadoop FS API.
+
+    Returns the set of existing key tuples under ``base_path``.  Pure
+    metadata listing — no data read; one RPC per directory level.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(base_path)
+    fs = jpath.getFileSystem(hconf)
+    if not fs.exists(jpath):
+        return set()
+
+    found: set[tuple[str, ...]] = set()
+
+    def walk(path, depth: int, prefix: tuple[str, ...]) -> None:
+        if depth == len(field_names):
+            found.add(prefix)
+            return
+        want = field_names[depth] + "="
+        for status in fs.listStatus(path):
+            if not status.isDirectory():
+                continue
+            name = status.getPath().getName()
+            if name.startswith(want):
+                value = urllib.parse.unquote(name[len(want):])
+                walk(status.getPath(), depth + 1, prefix + (value,))
+
+    walk(jpath, 0, ())
+    return found
+
+
+def write_partitioned(df: DataFrame, spec: SinkSpec, path: str | None = None) -> str:
+    """Validate, normalize keys, and write ``df`` Hive-partitioned.
+
+    Returns the output path.  Raises :class:`~..spec.SpecError` on bad
+    config and :class:`PartitionExistsError` in CREATE mode when an
+    incoming key already exists (reference ``PartitionAlreadyExistsException``
+    semantics via the CREATE write option).
+    """
+    spec.validate(df.schema)
+    out = path or spec.base_path or spec.name
+    spark = df.sparkSession
+
+    ndf = normalize_partition_keys(df, spec.field_names)
+    if spec.stage_name is not None:
+        ndf = ndf.withColumn(STAGE_FIELD, F.lit(spec.stage_name))
+
+    if not spec.mode_is_append:
+        existing = list_existing_partitions(spark, out, spec.field_names)
+        if existing:
+            incoming = {
+                tuple(str(r[f]) for f in spec.field_names)
+                for r in ndf.select(*spec.field_names).distinct().collect()
+            }
+            clash = incoming & existing
+            if clash:
+                raise PartitionExistsError(
+                    f"partitions already exist under {out}: {sorted(clash)[:5]}"
+                    f"{'...' if len(clash) > 5 else ''}")
+
+    if spec.cluster_by_key:
+        try:
+            ndf = ndf.hint("rebalance", *spec.field_names)
+        except Exception:
+            ndf = ndf.repartition(*[F.col(c) for c in spec.field_names])
+
+    writer = (ndf.write.mode("append")
+              .option("maxRecordsPerFile", str(spec.max_records_per_file))
+              .partitionBy(*spec.field_names)
+              .format(spec.fmt))
+    for k, v in spec.writer_options().items():
+        writer = writer.option(k, v)
+    writer.save(out)
+    return out
+
+
+def spark_avro_available(spark: SparkSession) -> bool:
+    """The spark-avro connector is a separate artifact; probe the actual
+    data-source registry (a bare ``Class.forName`` through py4j resolves
+    lazily and can lie)."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsc.sc().conf())
+        return True
+    except Exception:
+        return False

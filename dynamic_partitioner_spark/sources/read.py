@@ -1,0 +1,52 @@
+"""Read-back of partitioned datasets (reference §2.2).
+
+The reference configures Hive/Explore input formats so written datasets
+are scannable (``FileSetUtil.java:76-85,115-119,156-158``).  Spark's
+partition discovery is the native equivalent: ``spark.read.<fmt>(path)``
+reconstructs partition columns from directory names, prunes partitions
+on filter, and pushes predicates/projections into the columnar scan.
+
+One semantic pin: the reference types every partition dimension STRING
+(``PartitionedFileSetSinkConfig.java:146``), so we disable Spark's
+partition-column type re-inference for the read.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..spec import SinkSpec
+
+_INFER = "spark.sql.sources.partitionColumnTypeInference.enabled"
+
+
+@contextmanager
+def _no_partition_type_inference(spark: SparkSession):
+    old = spark.conf.get(_INFER, "true")
+    spark.conf.set(_INFER, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(_INFER, old)
+
+
+def read_partitioned(spark: SparkSession, path: str,
+                     fmt: str = "parquet") -> DataFrame:
+    """Load a Hive-partitioned dataset; partition columns stay STRING."""
+    with _no_partition_type_inference(spark):
+        return spark.read.format(fmt).load(path)
+
+
+def read_table_view(spark: SparkSession, path: str, spec: SinkSpec) -> DataFrame:
+    """Full logical relation: payload + string partition columns."""
+    return read_partitioned(spark, path, spec.fmt)
+
+
+def read_payload(spark: SparkSession, path: str, spec: SinkSpec) -> DataFrame:
+    """Payload-only projection (reference table-schema semantics, §1.4:
+    the Hive table schema excludes partition columns —
+    ``PartitionedFileSetSinkConfig.java:101-108``)."""
+    df = read_partitioned(spark, path, spec.fmt)
+    return df.drop(*spec.field_names)
