@@ -1,38 +1,618 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 (the
+reference's dynamic-partitioned sink surface S1–S7 + read-back) and the
+north-star extensions (dedup / similarity / text analysis / multimodal /
+streaming).  ``oracle_sql()`` carries a DuckDB twin for every
+SQL-expressible key; sketch-based ops (MinHash LSH, sign-LSH ANN) and
+the Arrow-batched feature extractor are rows-only by nature and their
+correctness is pinned by pytest instead (tests/).
+
+Conventions shared by both sides so value-hashes match:
+  * every computed column is aliased identically in Spark and SQL
+  * timestamps are formatted to 'yyyy-MM-dd HH:mm:ss' strings
+  * float aggregates/similarities are rounded (2–4 dp)
+  * partition-key columns come back as STRING (reference semantics,
+    PartitionedFileSetSinkConfig.java:146)
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from dynamic_partitioner_spark import (
+    SinkSpec,
+    apply_engine_confs,
+    read_partitioned,
+    read_payload,
+    write_partitioned,
+)
+from dynamic_partitioner_spark.functions import text as TX
+from dynamic_partitioner_spark.functions.vectors import L2_NORM_SQL, l2_norm
+from dynamic_partitioner_spark.operators import dedup as DD
+from dynamic_partitioner_spark.operators.multimodal import (
+    extract_features,
+    to_binary_table,
+)
+from dynamic_partitioner_spark.operators.similarity import (
+    topk_ann_lsh,
+    topk_bruteforce,
+)
+from dynamic_partitioner_spark.streaming.write import (
+    run_stream_to_completion,
+    stream_from_files,
+    stream_write_partitioned,
+)
+
+SCRATCH = "/root/repo/.scratch"
+
+
+def _out(key: str) -> str:
+    path = f"{SCRATCH}/{key}"
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+#: lineitem projection used by the write/read-back keys — timestamps
+#: stringified, everything else passed through.
+_LI_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus"]
+_LI_SELECT_SQL = (", ".join(_LI_COLS)
+                  + f", strftime(l_shipdate, '{_TS_FMT_DUCK}') AS l_shipdate")
+
+
+def _li_stringified(df: DataFrame) -> DataFrame:
+    return df.select(*_LI_COLS,
+                     F.date_format("l_shipdate", _TS_FMT).alias("l_shipdate"))
+
+
+# =====================================================================
+# Reference surface S1–S7: dynamic-partitioned write + read-back
+# =====================================================================
+
+def q_pw_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: parquet sink, one partition field (string)."""
+    apply_engine_confs(spark)
+    df = _table(spark, sf_dir, "lineitem")
+    out = _out("pw_single")
+    write_partitioned(df, SinkSpec(name="li", field_names=["l_returnflag"]), out)
+    return _li_stringified(read_partitioned(spark, out))
+
+
+def q_pw_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: parquet sink, multi-field ordered key."""
+    apply_engine_confs(spark)
+    df = _table(spark, sf_dir, "lineitem")
+    out = _out("pw_multi")
+    write_partitioned(
+        df, SinkSpec(name="li", field_names=["l_returnflag", "l_linestatus"]), out)
+    return _li_stringified(read_partitioned(spark, out))
+
+
+def q_pw_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: ORC sink with codec + chunk/stripe/stride/index knobs."""
+    apply_engine_confs(spark)
+    df = _table(spark, sf_dir, "orders")
+    out = _out("pw_orc")
+    spec = SinkSpec(name="ord", field_names=["o_orderpriority"], fmt="orc",
+                    compression_codec="snappy", compression_chunk_size=262144,
+                    stripe_size=67108864, index_stride=10000, create_index=True)
+    write_partitioned(df, spec, out)
+    back = read_partitioned(spark, out, "orc")
+    return back.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                       F.date_format("o_orderdate", _TS_FMT).alias("o_orderdate"),
+                       "o_orderpriority")
+
+
+def q_key_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: String.valueOf(v).trim() key semantics — a padded string key
+    and a DOUBLE key partition via their trimmed string forms."""
+    apply_engine_confs(spark)
+    df = (_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+                  F.concat(F.lit("  "), F.col("l_returnflag"), F.lit(" "))
+                  .alias("rf_pad")))
+    out = _out("key_trim")
+    write_partitioned(
+        df, SinkSpec(name="kt", field_names=["rf_pad", "l_quantity"]), out)
+    return read_partitioned(spark, out).select(
+        "l_orderkey", "l_linenumber", "rf_pad", "l_quantity")
+
+
+def q_append_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: CREATE_OR_APPEND — two writes land in the same partitions."""
+    apply_engine_confs(spark)
+    df = _table(spark, sf_dir, "lineitem")
+    out = _out("append_mode")
+    first = df.where(F.col("l_linenumber") <= 3)
+    rest = df.where(F.col("l_linenumber") > 3)
+    write_partitioned(
+        first, SinkSpec(name="li", field_names=["l_returnflag"]), out)
+    write_partitioned(
+        rest, SinkSpec(name="li", field_names=["l_returnflag"],
+                       append_to_partition="CREATE_OR_APPEND"), out)
+    return _li_stringified(read_partitioned(spark, out))
+
+
+def q_payload_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.4 table-schema semantics: payload view excludes partition cols."""
+    apply_engine_confs(spark)
+    df = _table(spark, sf_dir, "lineitem")
+    out = _out("payload_projection")
+    spec = SinkSpec(name="li", field_names=["l_returnflag", "l_linestatus"])
+    write_partitioned(df, spec, out)
+    payload = read_payload(spark, out, spec)
+    keep = [c for c in _LI_COLS if c not in spec.field_names]
+    return payload.select(*keep,
+                          F.date_format("l_shipdate", _TS_FMT).alias("l_shipdate"))
+
+
+def q_stage_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: opt-in constant stage-tag column (reference _CDAPStageName)."""
+    apply_engine_confs(spark)
+    df = _table(spark, sf_dir, "orders")
+    out = _out("stage_tag")
+    write_partitioned(
+        df, SinkSpec(name="ord", field_names=["o_orderstatus"],
+                     stage_name="ingest"), out)
+    back = read_partitioned(spark, out)
+    return back.select("o_orderkey", "o_custkey", "o_totalprice",
+                       "o_orderpriority", "o_orderstatus", "_stage")
+
+
+def q_nonnull_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 validation predicates as a data-quality report: NULL and '/'
+    violations per partition-key candidate column."""
+    docs = _table(spark, sf_dir, "documents")
+    ev = _table(spark, sf_dir, "events")
+
+    def _report(df: DataFrame, col: str) -> DataFrame:
+        s = F.trim(F.col(col).cast("string"))
+        return df.agg(
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias("n_null"),
+            F.sum(F.when(s.contains("/"), 1).otherwise(0)).alias("n_slash"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ).select(F.lit(col).alias("field"), "n_null", "n_slash", "n_rows")
+
+    return (_report(docs, "lang")
+            .unionByName(_report(docs, "source"))
+            .unionByName(_report(ev, "props")))
+
+
+# =====================================================================
+# Query layer (Spark SQL replaces the reference's Hive/Explore role)
+# =====================================================================
+
+def q_pruned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan + aggregation over written data: the filter
+    on the partition column prunes directories before any IO."""
+    apply_engine_confs(spark)
+    df = _table(spark, sf_dir, "lineitem")
+    out = _out("pruned_agg")
+    write_partitioned(df, SinkSpec(name="li", field_names=["l_returnflag"]), out)
+    back = read_partitioned(spark, out)
+    return (back.where(F.col("l_returnflag") == "A")
+            .groupBy("l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_rows")))
+
+
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with an explicit broadcast of the small dimension."""
+    cust = _table(spark, sf_dir, "customer")
+    orders = _table(spark, sf_dir, "orders")
+    li = _table(spark, sf_dir, "lineitem")
+    rev = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .join(F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+                 orders.o_custkey == cust.c_custkey)
+           .groupBy("o_orderkey")
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 2).alias("revenue"),
+                F.count(F.lit(1)).alias("n_items")))
+    return (rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+            .limit(10))
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking: top-3 events per user by value."""
+    ev = _table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(),
+                                              F.col("event_id"))
+    return (ev.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("user_id", "event_id", "event_type",
+                    F.round("value", 4).alias("value"), "rnk"))
+
+
+# =====================================================================
+# Dedup family (north-star extensions)
+# =====================================================================
+
+def _augmented_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ mutated copies of doc_id<50 (last two tokens dropped,
+    id offset +1000000) — guarantees near-dup pairs exist at every SF."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    toks = DD.tokens(F.col("text"))
+    mut_text = F.array_join(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1))), " ")
+    mut = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        mut_text.alias("text"), F.col("lang"))
+    return docs.unionByName(mut)
+
+
+_AUG_SQL = """
+SELECT doc_id, text, lang FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id,
+       array_to_string(list_slice(
+           string_split_regex(trim(lower(text)), '[ \t\n\r]+'),
+           1,
+           greatest(len(string_split_regex(trim(lower(text)), '[ \t\n\r]+')) - 2, 1)
+       ), ' ') AS text,
+       lang
+FROM documents WHERE doc_id < 50
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return DD.exact_dedup(docs, ["text"], "doc_id").select(
+        "text", "doc_id", "dup_count")
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (exact-Jaccard verified) — rows-only;
+    recall vs the exact baseline is pinned in tests."""
+    corpus = _augmented_corpus(spark, sf_dir)
+    return (DD.near_dup_minhash(corpus, "doc_id", "text", threshold=0.5)
+            .orderBy("id_a", "id_b"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs within lang blocks (SQL-checkable)."""
+    corpus = _augmented_corpus(spark, sf_dir)
+    return DD.ngram_jaccard_pairs(corpus, "doc_id", "text", "lang",
+                                  threshold=0.5, n=3)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (SQL-checkable bit-for-bit)."""
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.simhash(F.col("text")).alias("simhash"))
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _augmented_corpus(spark, sf_dir)
+    return DD.simhash_pairs(corpus, "doc_id", "text", "lang", max_hamming=2)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _table(spark, sf_dir, "embeddings")
+    return DD.embedding_near_dup(emb, "vec_id", "embedding", "label",
+                                 threshold=0.3)
+
+
+# =====================================================================
+# Similarity search
+# =====================================================================
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return topk_bruteforce(emb, queries, k=5)
+
+
+def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (multi-probe) — rows-only; recall vs the
+    brute-force baseline is pinned in tests."""
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return topk_ann_lsh(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+# =====================================================================
+# Text analysis
+# =====================================================================
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (docs.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+                 F.round(F.avg(TX.token_count(t)), 4).alias("avg_tokens"),
+                 F.round(F.avg(TX.bpe_token_count(t)), 4).alias("avg_bpe_tokens"),
+                 F.round(F.avg(TX.punct_ratio(t)), 4).alias("avg_punct_ratio")))
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_guess"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select("doc_id",
+                       TX.token_count(t).cast("long").alias("token_count"),
+                       TX.bpe_token_count(t).cast("long").alias("bpe_token_count"),
+                       TX.quality_score(t).alias("quality"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       TX.doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# =====================================================================
+# Multimodal / embeddings plumbing
+# =====================================================================
+
+def q_embedding_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array<float> column survives a partitioned write + read-back."""
+    apply_engine_confs(spark)
+    emb = _table(spark, sf_dir, "embeddings")
+    out = _out("embedding_roundtrip")
+    write_partitioned(emb, SinkSpec(name="emb", field_names=["label"]), out)
+    back = read_partitioned(spark, out)
+    return back.select("vec_id", "label",
+                       F.size("embedding").cast("long").alias("dim"),
+                       F.round(l2_norm(F.col("embedding")), 4).alias("l2_norm"))
+
+
+def q_mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload table plumbing: sizes JVM-side (octet_length)."""
+    docs = _table(spark, sf_dir, "documents")
+    bt = to_binary_table(docs)
+    return bt.select("doc_id",
+                     F.octet_length("payload").cast("long").alias("n_bytes"),
+                     F.col("meta.mime").alias("mime"),
+                     F.col("meta.orig_bytes").cast("long").alias("orig_bytes"))
+
+
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction — rows-only; the
+    deterministic byte-feature values are pinned in tests."""
+    docs = _table(spark, sf_dir, "documents")
+    return extract_features(to_binary_table(docs)).orderBy("doc_id")
+
+
+# =====================================================================
+# Streaming
+# =====================================================================
+
+def q_streaming_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming flavor of the sink: file source → availableNow
+    → partitionBy — identical layout/contents to the batch sink."""
+    apply_engine_confs(spark)
+    out = _out("streaming_write")
+    ckpt = _out("streaming_write_ckpt")
+    # the file-stream source needs a DIRECTORY of landing files; stage the
+    # input file into one (symlink — no data copy)
+    src = _out("streaming_write_src")
+    os.makedirs(src)
+    os.symlink(f"{sf_dir}/lineitem.parquet", f"{src}/lineitem.parquet")
+    sdf = stream_from_files(spark, src)
+    spec = SinkSpec(name="li_stream", field_names=["l_returnflag"],
+                    append_to_partition="CREATE_OR_APPEND")
+    query = stream_write_partitioned(sdf, spec, out, ckpt)
+    run_stream_to_completion(query)
+    return _li_stringified(read_partitioned(spark, out))
+
+
+# =====================================================================
+# Driver contract
+# =====================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: dynamic-partitioned write + read-back at sf0.001."""
+    return q_pw_single(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "partitioned_write_single": q_pw_single,
+        "partitioned_write_multi": q_pw_multi,
+        "partitioned_write_orc": q_pw_orc,
+        "partition_key_trim": q_key_trim,
+        "append_mode": q_append_mode,
+        "payload_projection": q_payload_projection,
+        "stage_tag": q_stage_tag,
+        "nonnull_validation": q_nonnull_validation,
+        "query_pruned_agg": q_pruned_agg,
+        "query_join_broadcast": q_join_broadcast,
+        "query_window_topk": q_window_topk,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_embedding": q_dedup_embedding,
+        "similarity_topk": q_similarity_topk,
+        "similarity_ann_lsh": q_similarity_ann,
+        "text_stats": q_text_stats,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "text_fingerprint": q_text_fingerprint,
+        "embedding_roundtrip": q_embedding_roundtrip,
+        "mm_binary_stats": q_mm_binary_stats,
+        "mm_features": q_mm_features,
+        "streaming_partitioned_write": q_streaming_write,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tok = TX.TOKEN_COUNT_SQL.format(c="text")
+    bpe = TX.BPE_TOKEN_COUNT_SQL.format(c="text")
+    punct = TX.PUNCT_RATIO_SQL.format(c="text")
+
+    li_full = f"SELECT {_LI_SELECT_SQL} FROM lineitem"
+
+    # 3-gram shingles + jaccard in DuckDB for the exact near-dup oracle
+    def _shingles(col: str) -> str:
+        toks = f"string_split_regex(trim(lower({col})), '[ \t\n\r]+')"
+        return (f"list_distinct(list_transform("
+                f"range(1, greatest(len({toks}) - 1, 1)), "
+                f"i -> array_to_string(list_slice({toks}, i, i + 2), ' ')))")
+
+    jacc = ("round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+            "len(list_distinct(list_concat(a.sh, b.sh))), 4)")
+
+    return {
+        "partitioned_write_single": li_full,
+        "partitioned_write_multi": li_full,
+        "partitioned_write_orc": (
+            "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+            f"strftime(o_orderdate, '{_TS_FMT_DUCK}') AS o_orderdate, "
+            "o_orderpriority FROM orders"),
+        "partition_key_trim": (
+            "SELECT l_orderkey, l_linenumber, "
+            "trim(concat('  ', l_returnflag, ' ')) AS rf_pad, "
+            "CAST(l_quantity AS VARCHAR) AS l_quantity FROM lineitem"),
+        "append_mode": li_full,
+        "payload_projection": (
+            "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "
+            "l_quantity, l_extendedprice, l_discount, l_tax, "
+            f"strftime(l_shipdate, '{_TS_FMT_DUCK}') AS l_shipdate FROM lineitem"),
+        "stage_tag": (
+            "SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority, "
+            "trim(CAST(o_orderstatus AS VARCHAR)) AS o_orderstatus, "
+            "'ingest' AS _stage FROM orders"),
+        "nonnull_validation": """
+            SELECT 'lang' AS field,
+                   CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   CAST(sum(CASE WHEN contains(trim(CAST(lang AS VARCHAR)), '/')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_slash,
+                   count(*) AS n_rows
+            FROM documents
+            UNION ALL
+            SELECT 'source',
+                   CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(sum(CASE WHEN contains(trim(CAST(source AS VARCHAR)), '/')
+                       THEN 1 ELSE 0 END) AS BIGINT), count(*)
+            FROM documents
+            UNION ALL
+            SELECT 'props',
+                   CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(sum(CASE WHEN contains(trim(CAST(props AS VARCHAR)), '/')
+                       THEN 1 ELSE 0 END) AS BIGINT), count(*)
+            FROM events
+        """,
+        "query_pruned_agg": """
+            SELECT l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE trim(CAST(l_returnflag AS VARCHAR)) = 'A'
+            GROUP BY l_linestatus
+        """,
+        "query_join_broadcast": """
+            SELECT o_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "query_window_topk": """
+            SELECT user_id, event_id, event_type, round(value, 4) AS value, rnk
+            FROM (SELECT user_id, event_id, event_type, value,
+                         row_number() OVER (PARTITION BY user_id
+                             ORDER BY value DESC, event_id) AS rnk
+                  FROM events)
+            WHERE rnk <= 3
+        """,
+        "dedup_exact": (
+            "SELECT text, min(doc_id) AS doc_id, count(*) AS dup_count "
+            "FROM documents GROUP BY text"),
+        "dedup_ngram_jaccard": f"""
+            WITH corpus AS ({_AUG_SQL}),
+            sh AS (SELECT doc_id, lang, {_shingles('text')} AS sh FROM corpus)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, {jacc} AS jaccard
+            FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE {jacc} >= 0.5
+        """,
+        "dedup_simhash": (
+            "SELECT doc_id, " + TX.simhash_sql("text")
+            + " AS simhash FROM documents"),
+        "dedup_simhash_pairs": f"""
+            WITH corpus AS ({_AUG_SQL}),
+            sh AS (SELECT doc_id, lang,
+                          {TX.simhash_sql('text')} AS sh FROM corpus)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+            FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 2
+        """,
+        "dedup_embedding": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4) AS cos_sim
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 4) >= 0.3
+        """,
+        "similarity_topk": """
+            SELECT query_id, neighbor_id, cos_sim, rank FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(q.embedding::DOUBLE[],
+                             c.embedding::DOUBLE[]), 4) AS cos_sim,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY round(list_cosine_similarity(
+                               q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4)
+                               DESC, c.vec_id) AS rank
+                FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+                WHERE q.vec_id < 10)
+            WHERE rank <= 5
+        """,
+        "text_stats": f"""
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(n_chars), 4) AS avg_chars,
+                   round(avg({tok}), 4) AS avg_tokens,
+                   round(avg({bpe}), 4) AS avg_bpe_tokens,
+                   round(avg({punct}), 4) AS avg_punct_ratio
+            FROM documents GROUP BY lang
+        """,
+        "text_lang_id": ("SELECT doc_id, " + TX.lang_id_sql("text")
+                         + " AS lang_guess FROM documents"),
+        "text_quality": (f"SELECT doc_id, {tok} AS token_count, "
+                         f"{bpe} AS bpe_token_count, "
+                         + TX.QUALITY_SCORE_SQL.format(c="text")
+                         + " AS quality FROM documents"),
+        "text_fingerprint": ("SELECT doc_id, "
+                             + TX.DOC_FINGERPRINT_SQL.format(c="text")
+                             + " AS fingerprint FROM documents"),
+        "embedding_roundtrip": (
+            "SELECT vec_id, trim(CAST(label AS VARCHAR)) AS label, "
+            "len(embedding) AS dim, round("
+            + L2_NORM_SQL.format(a="embedding") + ", 4) AS l2_norm "
+            "FROM embeddings"),
+        "mm_binary_stats": (
+            "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes, "
+            "'text/plain' AS mime, "
+            "octet_length(CAST(text AS BLOB)) AS orig_bytes FROM documents"),
+        "streaming_partitioned_write": li_full,
+    }

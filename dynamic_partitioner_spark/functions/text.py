@@ -1,0 +1,191 @@
+"""Text-analysis functions for the documents table (north-star extension
+surface, SURVEY.md §2.9 — beyond the reference, which has no scalar
+functions except to-string/trim, ``AvroDynamicPartitionedDatasetSink.java:120``).
+
+Every function here is a **JVM-side Column expression** (no Python UDFs —
+whole-stage codegen keeps the hot path vectorized at 100 TB) and ships
+with a DuckDB-SQL twin (``*_SQL``) used by the driver's oracle so the
+two definitions sit side-by-side for review.  Regex character classes
+are written explicitly (``[A-Za-z0-9]`` not ``\\w``) so Java and RE2
+semantics agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- tokens
+
+#: BPE-ish token regex: letter runs, digit runs, single non-space symbols.
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace token count."""
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, "[ \\t\\n\\r]+"))).alias("token_count")
+
+
+TOKEN_COUNT_SQL = ("CASE WHEN length(trim({c})) = 0 THEN 0 "
+                   "ELSE len(string_split_regex(trim({c}), '[ \\t\\n\\r]+')) END")
+
+
+def bpe_token_count(c: Column) -> Column:
+    """Sub-word-ish token count via TOKEN_RE (letters/digits/symbols)."""
+    return F.regexp_count(c, F.lit(TOKEN_RE))
+
+
+BPE_TOKEN_COUNT_SQL = (
+    "len(regexp_extract_all({c}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]'))")
+
+
+# ---------------------------------------------------------------- quality
+
+_PUNCT_RE = "[^A-Za-z0-9 \\t\\n\\r]"
+#: tiny stopword list for the quality heuristic (shared with lang-id)
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+_STOP_RE = "(^| )(" + "|".join(_STOPWORDS) + ")( |$)"
+
+
+def punct_ratio(c: Column) -> Column:
+    return (F.regexp_count(c, F.lit(_PUNCT_RE)) /
+            F.greatest(F.length(c), F.lit(1))).cast("double")
+
+
+PUNCT_RATIO_SQL = ("CAST(len(regexp_extract_all({c}, '[^A-Za-z0-9 \\t\\n\\r]'))"
+                   " AS DOUBLE) / greatest(length({c}), 1)")
+
+
+def stopword_count(c: Column) -> Column:
+    # non-overlapping matches of bracketed stopwords; identical regex in
+    # the SQL twin — both engines count non-overlapping occurrences.
+    return F.regexp_count(F.lower(c), F.lit(_STOP_RE))
+
+
+STOPWORD_COUNT_SQL = ("len(regexp_extract_all(lower({c}), '" + _STOP_RE + "'))")
+
+
+def quality_score(c: Column) -> Column:
+    """Deterministic quality heuristic in [0,1]: rewards mid-length docs,
+    some stopwords (real prose), low symbol noise.  All-double math;
+    rounding is floor(x*1e4+0.5)/1e4 rather than round() because Spark
+    rounds HALF_UP and DuckDB half-even — floor on identical IEEE
+    doubles is bit-reproducible across both engines."""
+    ntok = token_count(c).cast("double")
+    length_term = F.least(ntok / F.lit(64.0), F.lit(1.0))
+    stop_term = F.least(stopword_count(c).cast("double") * 4 /
+                        F.greatest(ntok, F.lit(1.0)), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(c) * 4, F.lit(1.0))
+    raw = 0.4 * length_term + 0.3 * stop_term + 0.3 * punct_term
+    return F.floor(raw * 10000 + F.lit(0.5)) / 10000
+
+
+QUALITY_SCORE_SQL = (
+    "floor((0.4 * least(CAST(" + TOKEN_COUNT_SQL + " AS DOUBLE) / 64.0, 1.0) "
+    "+ 0.3 * least(CAST(" + STOPWORD_COUNT_SQL + " AS DOUBLE) * 4 "
+    "/ greatest(CAST(" + TOKEN_COUNT_SQL + " AS DOUBLE), 1.0), 1.0) "
+    "+ 0.3 * (1.0 - least((" + PUNCT_RATIO_SQL + ") * 4, 1.0))) * 10000 + 0.5) "
+    "/ 10000")
+
+
+# ---------------------------------------------------------------- lang id
+
+#: marker words per language; CJK presence short-circuits to zh.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "was"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "los", "que", "es"],
+    "fr": ["le", "les", "des", "et", "est"],
+}
+_CJK_RE = "[\\x{4e00}-\\x{9fff}]"
+
+
+def _marker_count(c: Column, lang: str) -> Column:
+    pat = "(^| )(" + "|".join(_LANG_MARKERS[lang]) + ")( |$)"
+    return F.regexp_count(F.lower(c), F.lit(pat))
+
+
+def lang_id(c: Column) -> Column:
+    """Heuristic language ID: CJK chars → zh, else argmax of marker-word
+    hits with fixed tiebreak order en>de>es>fr, 'und' (undetermined)
+    when nothing matches."""
+    en, de = _marker_count(c, "en"), _marker_count(c, "de")
+    es, fr = _marker_count(c, "es"), _marker_count(c, "fr")
+    return (F.when(F.regexp_count(c, F.lit(_CJK_RE)) > 0, F.lit("zh"))
+            .when((en + de + es + fr) == 0, F.lit("und"))
+            .when((en >= de) & (en >= es) & (en >= fr), F.lit("en"))
+            .when((de >= es) & (de >= fr), F.lit("de"))
+            .when(es >= fr, F.lit("es"))
+            .otherwise(F.lit("fr")))
+
+
+def _marker_count_sql(c: str, lang: str) -> str:
+    pat = "(^| )(" + "|".join(_LANG_MARKERS[lang]) + ")( |$)"
+    return f"len(regexp_extract_all(lower({c}), '{pat}'))"
+
+
+def lang_id_sql(c: str) -> str:
+    en, de = _marker_count_sql(c, "en"), _marker_count_sql(c, "de")
+    es, fr = _marker_count_sql(c, "es"), _marker_count_sql(c, "fr")
+    return (f"CASE WHEN len(regexp_extract_all({c}, '{_CJK_RE}')) > 0 THEN 'zh' "
+            f"WHEN ({en} + {de} + {es} + {fr}) = 0 THEN 'und' "
+            f"WHEN {en} >= {de} AND {en} >= {es} AND {en} >= {fr} THEN 'en' "
+            f"WHEN {de} >= {es} AND {de} >= {fr} THEN 'de' "
+            f"WHEN {es} >= {fr} THEN 'es' ELSE 'fr' END")
+
+
+# ----------------------------------------------------------- fingerprint
+
+def doc_fingerprint(c: Column) -> Column:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text.
+    (The rolling/shingle variant lives in operators/dedup.py where it
+    feeds MinHash.)"""
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), "[ \\t\\n\\r]+", " "))
+
+
+DOC_FINGERPRINT_SQL = ("md5(regexp_replace(lower(trim({c})), "
+                       "'[ \\t\\n\\r]+', ' ', 'g'))")
+
+
+# ---------------------------------------------------------------- simhash
+
+SIMHASH_BITS = 32
+
+
+def simhash(c: Column) -> Column:
+    """32-bit SimHash over whitespace tokens.
+
+    Per token, the 32 hex nibbles of md5(token) vote: high bit of
+    nibble *j* set → +1 on bit *j*, else −1; document bit *j* is 1 when
+    the vote sum is positive.  Pure Column expressions (aggregate over
+    the token array), no shuffle, no UDF — and nibble-level md5 votes
+    are reproducible verbatim in the DuckDB oracle twin.
+    """
+    toks = F.split(F.trim(F.lower(c)), "[ \\t\\n\\r]+")
+    hexes = F.transform(toks, lambda t: F.substring(F.md5(t), 1, SIMHASH_BITS))
+
+    def _vote(j: int):
+        # closure factory: pyspark counts lambda params to pick the HOF
+        # arity, so a `j=j` default would turn this into a 3-arg lambda
+        return lambda acc, h: acc + F.when(
+            F.substring(h, j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+            F.lit(1)).otherwise(F.lit(-1))
+
+    total = F.lit(0)
+    for j in range(SIMHASH_BITS):
+        vote = F.aggregate(hexes, F.lit(0), _vote(j))
+        total = total + F.when(vote > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+    return total.cast("bigint")
+
+
+def simhash_sql(c: str) -> str:
+    tok_list = f"string_split_regex(trim(lower({c})), '[ \\t\\n\\r]+')"
+    bits = []
+    for j in range(SIMHASH_BITS):
+        vote = (f"list_sum(list_transform({tok_list}, t -> CASE WHEN "
+                f"substr(md5(t), {j + 1}, 1) IN ('8','9','a','b','c','d','e','f') "
+                f"THEN 1 ELSE -1 END))")
+        bits.append(f"CASE WHEN {vote} > 0 THEN {2 ** j} ELSE 0 END")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"

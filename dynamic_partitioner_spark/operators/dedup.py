@@ -1,0 +1,195 @@
+"""Deduplication operators for large-scale training-data pipelines
+(north-star extension surface; the reference itself has no dedup — its
+only grouping is the physical per-key writer fan-out, SURVEY.md §2.4).
+
+Five families, all shuffle-aware:
+
+* **exact**      — hash-aggregate on the dedup key (map-side combine).
+* **minhash**    — shingle → k-permutation MinHash signature → banded
+                   LSH bucketing → candidate pairs → exact-Jaccard verify.
+                   Everything up to the band join is a narrow map; the
+                   only shuffle is on (band_idx, band_hash), the same
+                   shape Spark ML's MinHashLSH uses.
+* **simhash**    — 16-bit SimHash + hamming-distance pairing inside
+                   blocking groups (bit_count(xor) is JVM-side).
+* **ngram-jaccard** — exact pairwise Jaccard inside a blocking key;
+                   quadratic per block, the *oracle-checkable* baseline
+                   the sketches approximate.
+* **embedding**  — cosine near-dup inside a blocking key.
+
+All hash functions are deterministic (xxhash64 with literal seeds, md5)
+so every run — and the driver's re-run — produces identical output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+from ..functions.text import simhash
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep-lowest-id representative per duplicate group + group size.
+    One hash-aggregate shuffle on the key; deterministic (unlike
+    ``dropDuplicates``, which keeps an arbitrary row)."""
+    return (df.groupBy(*key_cols)
+            .agg(F.min(id_col).alias(id_col),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+def distinct_rows(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    return df.select(*(cols or df.columns)).distinct()
+
+
+# ---------------------------------------------------------------- minhash
+
+def tokens(c: Column) -> Column:
+    return F.split(F.trim(F.lower(c)), "[ \\t\\n\\r]+")
+
+
+def shingles(c: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles (space-joined) of a text column."""
+    toks = tokens(c)
+    count = F.size(toks) - F.lit(n - 1)
+    # sequence(1, 0) DESCENDS in Spark, so guard the short-text case
+    # with an explicit empty array instead of relying on the bound.
+    return F.when(count < 1, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, n), " "))))
+
+
+def _seeded_hash(seed: int):
+    # closure factory: a `seed=seed` lambda default would make pyspark
+    # pass the ARRAY INDEX as the second arg, silently replacing the seed
+    return lambda s: F.xxhash64(F.lit(seed), s)
+
+
+def minhash_signature(shingle_col: Column, k: int = 32) -> Column:
+    """k-permutation MinHash: sig[i] = min over shingles of
+    xxhash64(seed=i, shingle).  Literal seeds → fully deterministic."""
+    return F.array(*[
+        F.array_min(F.transform(shingle_col, _seeded_hash(i)))
+        for i in range(k)
+    ])
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, id_col: str, sig_col: str = "sig",
+                        bands: int = 8, rows_per_band: int = 4) -> DataFrame:
+    """Banded LSH: docs sharing any band hash become a candidate pair.
+
+    The band explode is narrow; the self-join shuffles on
+    (band_idx, band_hash) — at 100 TB this is the dominant (and only)
+    shuffle, keyed well because band hashes are uniform xxhash64 values.
+    Degenerate hot buckets (e.g. empty docs) are capped by distinct-ing
+    pairs after the join.
+    """
+    band_entries = F.array(*[
+        F.struct(F.lit(j).alias("band_idx"),
+                 F.xxhash64(F.slice(F.col(sig_col), j * rows_per_band + 1,
+                                    rows_per_band)).alias("band_hash"))
+        for j in range(bands)
+    ])
+    exploded = (sig_df.select(F.col(id_col), F.explode(band_entries).alias("b"))
+                .select(id_col, "b.band_idx", "b.band_hash"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (a.join(b, ["band_idx", "band_hash"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two (distinct-element) arrays, in DOUBLE."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def near_dup_minhash(df: DataFrame, id_col: str, text_col: str,
+                     threshold: float = 0.8, n: int = 3, k: int = 32,
+                     bands: int = 8, rows_per_band: int = 4) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
+
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold.  LSH keeps
+    the candidate set near-linear; the final verify join only touches
+    candidate ids, so the shingle arrays are re-joined — not carried
+    through the band shuffle (they'd bloat the shuffle at scale).
+    """
+    base = df.select(F.col(id_col).alias("_id"),
+                     shingles(F.col(text_col), n).alias("sh"))
+    sigs = base.select("_id", minhash_signature(F.col("sh"), k).alias("sig"))
+    cand = lsh_candidate_pairs(sigs, "_id", "sig", bands, rows_per_band)
+    sh_a = base.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (cand.join(sh_a, "id_a").join(sh_b, "id_b")
+            .select("id_a", "id_b",
+                    F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4)
+                    .alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+# ----------------------------------------------------- exact ngram jaccard
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        block_col: str, threshold: float = 0.4,
+                        n: int = 3) -> DataFrame:
+    """Exact pairwise Jaccard inside a blocking key (the oracle-checkable
+    baseline).  Quadratic per block — use blocks that bound group size;
+    at 100 TB prefer :func:`near_dup_minhash` and keep this for audits."""
+    base = df.select(F.col(block_col).alias("_blk"),
+                     F.col(id_col).alias("_id"),
+                     shingles(F.col(text_col), n).alias("sh"))
+    a, b = base.alias("a"), base.alias("b")
+    return (a.join(b, "_blk")
+            .where(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b"),
+                    F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 4)
+                    .alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  block_col: str, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: hamming(simhash32) <= max_hamming inside a
+    blocking key.  ``bit_count(xor)`` stays in codegen."""
+    base = df.select(F.col(block_col).alias("_blk"),
+                     F.col(id_col).alias("_id"),
+                     simhash(F.col(text_col)).alias("sh"))
+    a, b = base.alias("a"), base.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (a.join(b, "_blk")
+            .where(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b"),
+                    ham.cast("int").alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))
+
+
+# ------------------------------------------------------------- embeddings
+
+def embedding_near_dup(df: DataFrame, id_col: str, vec_col: str,
+                       block_col: str, threshold: float = 0.95) -> DataFrame:
+    """Cosine near-duplicate pairs inside a blocking key (e.g. a cluster
+    or LSH bucket assignment).  Blocking bounds the quadratic term; the
+    cosine itself is codegen'd array math."""
+    base = df.select(F.col(block_col).alias("_blk"),
+                     F.col(id_col).alias("_id"),
+                     F.col(vec_col).alias("v"))
+    a, b = base.alias("a"), base.alias("b")
+    return (a.join(b, "_blk")
+            .where(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b"),
+                    F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
+                    .alias("cos_sim"))
+            .where(F.col("cos_sim") >= threshold))

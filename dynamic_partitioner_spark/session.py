@@ -29,6 +29,9 @@ _ENGINE_CONFS: dict[str, str] = {
     "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.parquet.filterPushdown": "true",
+    # Read TIMESTAMP(NANOS) parquet columns as long (Spark has no native
+    # nanos type); queries that need them as timestamps convert explicitly.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -1,0 +1,71 @@
+"""Structured-Streaming flavor of the dynamic-partitioned sink.
+
+The reference is batch-only (``BatchSink`` throughout; SURVEY.md §1.1),
+but its core semantic — route each record to a Hive partition derived
+from its field values — is exactly what ``writeStream.partitionBy``
+does per micro-batch.  This module provides that streaming path with
+the same key normalization / validation as the batch sink, so a user
+can point the engine at a continuously-landing directory and get the
+same layout the batch sink produces.
+
+Late/dirty data posture: key normalization raises on NULL or '/' inside
+the micro-batch (fail-fast like the batch path); watermark-windowed
+aggregation before the sink is ordinary Spark and composes with this.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.partition_keys import normalize_partition_keys
+from ..operators.partitioned_write import STAGE_FIELD
+from ..spec import SinkSpec
+
+
+def stream_from_files(spark: SparkSession, src_path: str,
+                      fmt: str = "parquet",
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over a (growing) directory.  Schema comes from
+    a one-off batch peek — streaming file sources require one."""
+    schema = spark.read.format(fmt).load(src_path).schema
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(src_path)
+
+
+def stream_write_partitioned(sdf: DataFrame, spec: SinkSpec, path: str,
+                             checkpoint: str,
+                             available_now: bool = True) -> StreamingQuery:
+    """``writeStream.partitionBy`` with the engine's key normalization.
+
+    ``available_now=True`` drains everything currently in the source and
+    stops — the batch-parity mode the tests and driver use; pass False
+    for a continuously-running query.
+    """
+    spec.validate(sdf.schema)
+    ndf = normalize_partition_keys(sdf, spec.field_names)
+    if spec.stage_name is not None:
+        ndf = ndf.withColumn(STAGE_FIELD, F.lit(spec.stage_name))
+    writer = (ndf.writeStream.format(spec.fmt)
+              .option("checkpointLocation", checkpoint)
+              .option("maxRecordsPerFile", str(spec.max_records_per_file))
+              .partitionBy(*spec.field_names)
+              .outputMode("append"))
+    for k, v in spec.writer_options().items():
+        writer = writer.option(k, v)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(path)
+
+
+def run_stream_to_completion(query: StreamingQuery,
+                             timeout_sec: int = 300) -> None:
+    """Block until an availableNow stream drains (driver/test helper)."""
+    query.awaitTermination(timeout_sec)
+    if query.isActive:
+        query.stop()
+    if query.exception() is not None:
+        raise query.exception()  # surface executor-side failures

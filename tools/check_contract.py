@@ -1,0 +1,114 @@
+"""Local replica of the driver's correctness gate: run every
+``__spark_entry__.queries()`` entry at the given SF and compare against
+``oracle_sql()`` via DuckDB — row count, schema (column names sorted),
+and order-insensitive values.
+
+Usage: python tools/check_contract.py [sf_dir] [key ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        k = df[c].dtype.kind
+        if k in "iu":
+            df[c] = df[c].astype("int64")
+        elif k == "f":
+            df[c] = df[c].astype("float64")
+        elif k == "O":
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(key: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_df) != len(duck_df):
+        problems.append(f"rowcount spark={len(spark_df)} duck={len(duck_df)}")
+    s_cols, d_cols = sorted(spark_df.columns), sorted(duck_df.columns)
+    if s_cols != d_cols:
+        problems.append(f"columns spark={s_cols} duck={d_cols}")
+        return problems
+    s, d = normalize(spark_df), normalize(duck_df)
+    if len(s) == len(d):
+        for c in s.columns:
+            if s[c].dtype.kind == "f":
+                bad = ~(np.isclose(s[c], d[c], rtol=0, atol=1e-9)
+                        | (s[c].isna() & d[c].isna()))
+            else:
+                bad = s[c] != d[c]
+            if bad.any():
+                i = bad.idxmax()
+                problems.append(
+                    f"values differ in '{c}' ({int(bad.sum())} rows), e.g. "
+                    f"row {i}: spark={s[c][i]!r} duck={d[c][i]!r}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from dynamic_partitioner_spark import get_spark
+
+    spark = get_spark("check-contract")
+    con = duck_con(sf_dir)
+    qs, oracles = E.queries(), E.oracle_sql()
+
+    n_fail = 0
+    for key, fn in qs.items():
+        if only and key not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:
+            print(f"FAIL {key}: spark raised {type(exc).__name__}: {exc}")
+            n_fail += 1
+            continue
+        if key not in oracles:
+            print(f"ok   {key}: rows-only, {len(sdf)} rows "
+                  f"({time.time() - t0:.1f}s)")
+            continue
+        try:
+            ddf = con.sql(oracles[key]).df()
+        except Exception as exc:
+            print(f"FAIL {key}: duckdb raised {type(exc).__name__}: {exc}")
+            n_fail += 1
+            continue
+        problems = compare(key, sdf, ddf)
+        if problems:
+            n_fail += 1
+            print(f"FAIL {key} ({time.time() - t0:.1f}s)")
+            for p in problems:
+                print(f"     {p}")
+        else:
+            print(f"ok   {key}: {len(sdf)} rows match ({time.time() - t0:.1f}s)")
+    print(f"\n{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
