@@ -71,28 +71,41 @@ def sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
 
 def topk_ann_lsh(emb: DataFrame, queries: DataFrame, id_col: str = "vec_id",
                  vec_col: str = "embedding", k: int = 5, n_planes: int = 6,
-                 dim: int = 64, seed: int = 42,
+                 n_tables: int = 4, dim: int = 64, seed: int = 42,
                  probe_hamming1: bool = True) -> DataFrame:
-    """Approximate top-k: candidates share the query's sign-LSH bucket
-    (optionally ± any single flipped plane — multi-probe raises recall
-    without re-hashing).  Same output schema as :func:`topk_bruteforce`.
+    """Approximate top-k: L independent sign-LSH tables (standard
+    recall amplification — a pair colliding in ANY table becomes a
+    candidate), each multi-probed at hamming distance 1 from the
+    query's bucket.  The corpus is hashed in one narrow pass (all table
+    buckets in one projection); the join key is (table, bucket), so the
+    corpus shuffles once regardless of L.  Same output schema as
+    :func:`topk_bruteforce`.
     """
-    planes = _hyperplanes(dim, n_planes, seed)
-    c = emb.select(F.col(id_col).alias("neighbor_id"),
-                   F.col(vec_col).alias("cv"),
-                   sign_bucket(F.col(vec_col), planes).alias("bucket"))
-    qb = queries.select(F.col(id_col).alias("query_id"),
-                        F.col(vec_col).alias("qv"),
-                        sign_bucket(F.col(vec_col), planes).alias("qbucket"))
+    def bucket_entries(vec: Column) -> Column:
+        return F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     sign_bucket(vec, _hyperplanes(dim, n_planes, seed + t))
+                     .alias("bucket"))
+            for t in range(n_tables)
+        ])
+
+    c = (emb.select(F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).alias("cv"),
+                    F.explode(bucket_entries(F.col(vec_col))).alias("b"))
+         .select("neighbor_id", "cv", "b.tbl", "b.bucket"))
+    qb = (queries.select(F.col(id_col).alias("query_id"),
+                         F.col(vec_col).alias("qv"),
+                         F.explode(bucket_entries(F.col(vec_col))).alias("b"))
+          .select("query_id", "qv", "b.tbl", F.col("b.bucket").alias("qbucket")))
     if probe_hamming1:
         probes = F.array(F.col("qbucket"),
                          *[F.col("qbucket").bitwiseXOR(F.lit(2 ** j))
                            for j in range(n_planes)])
-        qb = qb.select("query_id", "qv",
+        qb = qb.select("query_id", "qv", "tbl",
                        F.explode(probes).alias("bucket"))
     else:
         qb = qb.withColumnRenamed("qbucket", "bucket")
-    scored = (c.join(F.broadcast(qb), "bucket")
+    scored = (c.join(F.broadcast(qb), ["tbl", "bucket"])
               .where(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
                       F.round(cosine(F.col("qv"), F.col("cv")), 4)

@@ -1,0 +1,84 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dynamic_partitioner_spark.operators import dedup as DD
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),   # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat", "en"),   # near dup of 1
+        (4, "completely different words entirely unrelated text here", "en"),
+        (5, "der schnelle braune fuchs springt ueber den faulen hund", "de"),
+        (6, "der schnelle braune fuchs springt ueber den faulen hund extra", "de"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = {r.text: (r.doc_id, r.dup_count)
+           for r in DD.exact_dedup(_docs(spark), ["text"], "doc_id").collect()}
+    assert out["the quick brown fox jumps over the lazy dog"] == (1, 2)
+    assert len(out) == 5
+
+
+def test_shingles_and_jaccard(spark):
+    df = spark.range(1).select(
+        DD.shingles(F.lit("a b c d"), 3).alias("sh"),
+        DD.shingles(F.lit("x"), 3).alias("short"))
+    row = df.collect()[0]
+    assert row.sh == ["a b c", "b c d"]
+    assert row.short == []          # shorter than n → empty, not garbage
+
+
+def test_minhash_finds_exact_and_near_dups(spark):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in DD.near_dup_minhash(_docs(spark), "doc_id", "text",
+                                          threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0          # exact dup always at jaccard 1
+    assert (1, 3) in pairs or (2, 3) in pairs   # near dup caught
+    assert (5, 6) in pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_minhash_recall_vs_exact_baseline(spark):
+    exact = {(r.id_a, r.id_b)
+             for r in DD.ngram_jaccard_pairs(_docs(spark), "doc_id", "text",
+                                             "lang", threshold=0.6).collect()}
+    lsh = {(r.id_a, r.id_b)
+           for r in DD.near_dup_minhash(_docs(spark), "doc_id", "text",
+                                        threshold=0.6).collect()}
+    assert exact, "baseline must find pairs"
+    assert len(lsh & exact) / len(exact) >= 0.99   # high-sim pairs: near-total recall
+
+
+def test_simhash_identical_docs_same_hash(spark):
+    hashes = (_docs(spark)
+              .select("doc_id", DD.simhash(F.col("text")).alias("h"))
+              .collect())
+    by_id = {r.doc_id: r.h for r in hashes}
+    assert by_id[1] == by_id[2]
+    assert 0 <= by_id[1] < 2 ** 32
+
+
+def test_simhash_pairs_blocked_by_lang(spark):
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in DD.simhash_pairs(_docs(spark), "doc_id", "text", "lang",
+                                       max_hamming=8).collect()}
+    assert pairs[(1, 2)] == 0
+    # cross-lang pairs never appear regardless of hash proximity
+    assert all(not (a == 1 and b == 5) for a, b in pairs)
+
+
+def test_embedding_near_dup(spark):
+    rows = [(1, [1.0, 0.0], "a"), (2, [0.999, 0.01], "a"),
+            (3, [0.0, 1.0], "a"), (4, [1.0, 0.0], "b")]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>, label string")
+    pairs = {(r.id_a, r.id_b): r.cos_sim
+             for r in DD.embedding_near_dup(df, "vec_id", "v", "label",
+                                            threshold=0.95).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert (1, 3) not in pairs           # orthogonal
+    assert (1, 4) not in pairs           # different block

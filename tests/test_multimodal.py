@@ -1,0 +1,55 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynamic_partitioner_spark.operators.multimodal import (
+    decode_media,
+    extract_features,
+    frame_sample,
+    to_binary_table,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def test_binary_table_schema(spark):
+    bt = to_binary_table(spark.read.parquet(DOCS))
+    assert dict(bt.dtypes)["payload"] == "binary"
+    row = bt.where(F.col("doc_id") == 0).collect()[0]
+    assert row.meta.mime == "text/plain"
+    assert len(row.payload) == row.meta.orig_bytes
+
+
+def test_extract_features_deterministic(spark):
+    bt = to_binary_table(spark.read.parquet(DOCS).limit(50))
+    a = sorted(map(tuple, extract_features(bt).collect()))
+    b = sorted(map(tuple, extract_features(bt).collect()))
+    assert a == b
+    doc_id, n_bytes, feats = a[0]
+    assert n_bytes > 0
+    assert len(feats) == 10                       # 8 hist bins + mean + std
+    assert abs(sum(feats[:8]) - 1.0) < 1e-6       # histogram normalized
+
+
+def test_extract_features_matches_python(spark):
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    row = extract_features(to_binary_table(df)).collect()[0]
+    assert row.n_bytes == 3
+    # 'a','b','c' = 97,98,99 → all in bin 3 (97>>5)
+    assert row.features[3] == 1.0
+    assert row.features[8] == pytest.approx(98 / 255.0, abs=1e-6)
+
+
+def test_frame_sample_shapes(spark):
+    df = spark.createDataFrame([(1, "x" * 5000)], "doc_id long, text string")
+    frames = frame_sample(to_binary_table(df), every_n=1024, frame_bytes=16).collect()
+    assert len(frames) == 4          # floor(5000/1024) frames
+    assert all(len(f.frame) == 16 for f in frames)
+    assert [f.frame_idx for f in frames] == [0, 1, 2, 3]
+
+
+def test_decode_media_is_explicit_stub(spark):
+    bt = to_binary_table(spark.read.parquet(DOCS).limit(1))
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_media(bt, mode="image")

@@ -1,0 +1,137 @@
+"""End-to-end sink tests — mirrors the reference's golden-layout e2e
+suite (``DynamicPartitionedFilesetSinkTest``, SURVEY.md §5) on the F1
+purchase fixture, plus key-normalization and mode semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynamic_partitioner_spark import (
+    PartitionExistsError,
+    SinkSpec,
+    list_existing_partitions,
+    read_partitioned,
+    read_payload,
+    write_partitioned,
+)
+
+
+def _partition_dirs(path: str, prefix: str) -> list[str]:
+    return sorted(d for d in os.listdir(path) if d.startswith(prefix))
+
+
+def test_golden_three_partitions(spark, purchase_df, tmp_out):
+    # reference golden: 6 records, 3 distinct purchase_date → 3 partitions
+    write_partitioned(purchase_df,
+                      SinkSpec(name="p", field_names=["purchase_date"]), tmp_out)
+    dirs = _partition_dirs(tmp_out, "purchase_date=")
+    assert dirs == ["purchase_date=2009-01-01", "purchase_date=2009-01-02",
+                    "purchase_date=2009-01-03"]
+    back = read_partitioned(spark, tmp_out)
+    counts = {r["purchase_date"]: r["n"] for r in
+              back.groupBy("purchase_date").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"2009-01-01": 3, "2009-01-02": 1, "2009-01-03": 2}
+    # full contents round-trip
+    got = sorted((r.id, r.first_name, r.purchase_date) for r in back.collect())
+    want = sorted((r.id, r.first_name, r.purchase_date)
+                  for r in purchase_df.collect())
+    assert got == want
+
+
+def test_partition_values_trimmed(spark, tmp_out):
+    df = spark.createDataFrame([(1, "  us-east "), (2, "us-west")],
+                               "id long, region string")
+    write_partitioned(df, SinkSpec(name="t", field_names=["region"]), tmp_out)
+    assert _partition_dirs(tmp_out, "region=") == ["region=us-east", "region=us-west"]
+
+
+def test_double_key_stringified(spark, sales_df, tmp_out):
+    # reference docs partition on a DOUBLE: 1024.0 → directory "1024.0"
+    write_partitioned(sales_df, SinkSpec(name="s", field_names=["price"]), tmp_out)
+    assert _partition_dirs(tmp_out, "price=") == ["price=1024.0", "price=3.5"]
+    back = read_partitioned(spark, tmp_out)
+    assert dict(back.dtypes)["price"] == "string"
+
+
+def test_slash_in_key_rejected(spark, tmp_out):
+    df = spark.createDataFrame([(1, "a/b")], "id long, k string")
+    with pytest.raises(Exception, match="must not contain"):
+        write_partitioned(df, SinkSpec(name="t", field_names=["k"]), tmp_out)
+
+
+def test_null_key_rejected(spark, tmp_out):
+    df = spark.createDataFrame([(1, None)], "id long, k string")
+    with pytest.raises(Exception, match="must not be null"):
+        write_partitioned(df, SinkSpec(name="t", field_names=["k"]), tmp_out)
+
+
+def test_create_mode_fails_on_existing_partition(spark, purchase_df, tmp_out):
+    spec = SinkSpec(name="p", field_names=["purchase_date"])
+    write_partitioned(purchase_df, spec, tmp_out)
+    with pytest.raises(PartitionExistsError):
+        write_partitioned(purchase_df, spec, tmp_out)
+
+
+def test_create_mode_allows_disjoint_partitions(spark, purchase_df, tmp_out):
+    spec = SinkSpec(name="p", field_names=["purchase_date"])
+    write_partitioned(purchase_df.where(F.col("purchase_date") == "2009-01-01"),
+                      spec, tmp_out)
+    # disjoint key set → CREATE succeeds even though the dataset exists
+    write_partitioned(purchase_df.where(F.col("purchase_date") == "2009-01-02"),
+                      spec, tmp_out)
+    assert len(_partition_dirs(tmp_out, "purchase_date=")) == 2
+
+
+def test_append_mode_accumulates(spark, purchase_df, tmp_out):
+    spec_a = SinkSpec(name="p", field_names=["purchase_date"],
+                      append_to_partition="CREATE_OR_APPEND")
+    write_partitioned(purchase_df, spec_a, tmp_out)
+    write_partitioned(purchase_df, spec_a, tmp_out)
+    assert read_partitioned(spark, tmp_out).count() == 12
+
+
+def test_list_existing_partitions_multilevel(spark, sales_df, tmp_out):
+    spec = SinkSpec(name="s", field_names=["price", "buyer"])
+    write_partitioned(sales_df, spec, tmp_out)
+    keys = list_existing_partitions(spark, tmp_out, ["price", "buyer"])
+    assert keys == {("1024.0", "alice"), ("3.5", "bob"), ("1024.0", "carol")}
+
+
+def test_stage_tag_column(spark, purchase_df, tmp_out):
+    write_partitioned(purchase_df,
+                      SinkSpec(name="p", field_names=["purchase_date"],
+                               stage_name="sink-1"), tmp_out)
+    back = read_partitioned(spark, tmp_out)
+    assert back.select("_stage").distinct().collect()[0][0] == "sink-1"
+
+
+def test_payload_projection_excludes_partition_cols(spark, purchase_df, tmp_out):
+    spec = SinkSpec(name="p", field_names=["purchase_date"])
+    write_partitioned(purchase_df, spec, tmp_out)
+    payload = read_payload(spark, tmp_out, spec)
+    assert sorted(payload.columns) == ["first_name", "id"]
+    # physical data files do NOT contain the partition column (Spark
+    # encodes it in the directory name — §1.4 table-schema semantics)
+    table = read_partitioned(spark, tmp_out)
+    assert "purchase_date" in table.columns
+
+
+def test_orc_roundtrip_with_knobs(spark, purchase_df, tmp_out):
+    spec = SinkSpec(name="p", field_names=["purchase_date"], fmt="orc",
+                    compression_codec="zlib", compression_chunk_size=262144,
+                    stripe_size=67108864, index_stride=10000, create_index=True)
+    write_partitioned(purchase_df, spec, tmp_out)
+    back = read_partitioned(spark, tmp_out, "orc")
+    assert back.count() == 6
+    assert len(_partition_dirs(tmp_out, "purchase_date=")) == 3
+
+
+def test_multi_key_directory_nesting(spark, sales_df, tmp_out):
+    write_partitioned(sales_df,
+                      SinkSpec(name="s", field_names=["price", "buyer"]), tmp_out)
+    assert os.path.isdir(f"{tmp_out}/price=1024.0/buyer=alice")
+    assert os.path.isdir(f"{tmp_out}/price=3.5/buyer=bob")

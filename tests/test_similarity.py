@@ -1,0 +1,47 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dynamic_partitioner_spark.operators.similarity import (
+    topk_ann_lsh,
+    topk_bruteforce,
+)
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def test_bruteforce_topk_known_vectors(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") == 0)
+    got = topk_bruteforce(df, q, k=3).orderBy("rank").collect()
+    assert [r.neighbor_id for r in got] == [1, 2, 3]
+    assert got[0].cos_sim > 0.99
+    assert got[2].cos_sim == -1.0
+
+
+def test_bruteforce_excludes_self(spark):
+    df = spark.read.parquet(EMB)
+    q = df.where(F.col("vec_id") < 3)
+    got = topk_bruteforce(df, q, k=5)
+    assert got.where(F.col("query_id") == F.col("neighbor_id")).count() == 0
+    assert got.count() == 15    # 3 queries × k
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    df = spark.read.parquet(EMB)
+    q = df.where(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in topk_bruteforce(df, q, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in topk_ann_lsh(df, q, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"multi-probe sign-LSH recall too low: {recall}"
+
+
+def test_ann_deterministic(spark):
+    df = spark.read.parquet(EMB)
+    q = df.where(F.col("vec_id") < 5)
+    a = sorted(map(tuple, topk_ann_lsh(df, q, k=5).collect()))
+    b = sorted(map(tuple, topk_ann_lsh(df, q, k=5).collect()))
+    assert a == b

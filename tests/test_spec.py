@@ -1,0 +1,109 @@
+"""Config/validation unit tests — mirrors the reference's
+``DynamicPartitionFileSetSinkConfigTest`` cases (SURVEY.md §5, FIXTURES.md F2).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from dynamic_partitioner_spark import CODECS, SinkSpec, SpecError
+
+SALES = T.StructType([
+    T.StructField("product", T.StringType(), True),
+    T.StructField("buyer", T.StringType(), True),
+    T.StructField("price", T.DoubleType(), True),
+])
+#: declared schema with a non-nullable contract on the partition fields
+SALES_DECLARED = T.StructType([
+    T.StructField("product", T.StringType(), False),
+    T.StructField("buyer", T.StringType(), False),
+    T.StructField("price", T.DoubleType(), False),
+])
+
+
+def test_single_partition_field_ok():
+    SinkSpec(name="s", field_names=["price"], schema=SALES_DECLARED).validate(SALES)
+
+
+def test_multi_partition_field_ok():
+    # reference: multi `price,buyer` (ConfigTest :52-68)
+    SinkSpec(name="s", field_names=["price", "buyer"],
+             schema=SALES_DECLARED).validate(SALES)
+
+
+def test_nonexistent_partition_field_fails():
+    # reference: misspelled `prooduct` must throw (ConfigTest :70-109)
+    with pytest.raises(SpecError, match="must exist"):
+        SinkSpec(name="s", field_names=["prooduct"]).validate(SALES)
+
+
+def test_nullable_partition_field_fails():
+    # reference: nullable `buyer` must throw (ConfigTest :111-144)
+    declared = T.StructType([
+        T.StructField("product", T.StringType(), False),
+        T.StructField("buyer", T.StringType(), True),
+        T.StructField("price", T.DoubleType(), False),
+    ])
+    with pytest.raises(SpecError, match="non-nullable"):
+        SinkSpec(name="s", field_names=["buyer"], schema=declared).validate(SALES)
+
+
+def test_no_partition_fields_fails():
+    with pytest.raises(SpecError, match="at least one"):
+        SinkSpec(name="s", field_names=[]).validate(SALES)
+
+
+def test_orc_knobs_required_when_codec_set():
+    # reference: codec requires chunk/stripe/stride/index (ConfigTest :146-177)
+    spec = SinkSpec(name="s", field_names=["price"], fmt="orc",
+                    compression_codec="snappy")
+    with pytest.raises(SpecError, match="required"):
+        spec.validate(SALES)
+
+
+def test_orc_index_stride_minimum():
+    # reference: indexStride >= 1000 (ORCDynamicPartitionedDatasetSink.java:176-181)
+    spec = SinkSpec(name="s", field_names=["price"], fmt="orc",
+                    compression_codec="snappy", compression_chunk_size=262144,
+                    stripe_size=67108864, index_stride=999, create_index=True)
+    with pytest.raises(SpecError, match=">= 1000"):
+        spec.validate(SALES)
+
+
+def test_unknown_codec_fails():
+    with pytest.raises(SpecError, match="not supported"):
+        SinkSpec(name="s", field_names=["price"],
+                 compression_codec="brotli9000").validate(SALES)
+
+
+def test_codec_maps_match_reference_surface():
+    # FileSetUtil.java:224-246 (avro), :262-286 (parquet); zstd is our ext
+    assert {"snappy", "deflate"} <= set(CODECS["avro"])
+    assert {"snappy", "gzip", "lzo"} <= set(CODECS["parquet"])
+    assert {"snappy", "zlib"} <= set(CODECS["orc"])
+
+
+def test_orc_writer_options_fixed_mapping():
+    # the reference wrote stripeSize into orc.compress.size and indexStride
+    # into orc.create.index (bugs, SURVEY.md §4) — ours maps each correctly
+    spec = SinkSpec(name="s", field_names=["price"], fmt="orc",
+                    compression_codec="snappy", compression_chunk_size=262144,
+                    stripe_size=67108864, index_stride=10000, create_index=True)
+    opts = spec.writer_options()
+    assert opts["orc.compress"] == "SNAPPY"
+    assert opts["orc.compress.size"] == "262144"
+    assert opts["orc.stripe.size"] == "67108864"
+    assert opts["orc.row.index.stride"] == "10000"
+    assert opts["orc.create.index"] == "true"
+
+
+def test_append_mode_semantics():
+    # AvroDynamicPartitionedDatasetSink.java:70-73: null or "No" → CREATE
+    assert not SinkSpec(name="s", field_names=["x"]).mode_is_append
+    assert not SinkSpec(name="s", field_names=["x"],
+                        append_to_partition="No").mode_is_append
+    assert SinkSpec(name="s", field_names=["x"],
+                    append_to_partition="Yes").mode_is_append
+    assert SinkSpec(name="s", field_names=["x"],
+                    append_to_partition="CREATE_OR_APPEND").mode_is_append

@@ -1,0 +1,61 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dynamic_partitioner_spark.functions import text as TX
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0].v
+
+
+def test_token_count(spark):
+    assert _one(spark, TX.token_count(F.lit("a b  c\td"))) == 4
+    assert _one(spark, TX.token_count(F.lit("  hello  "))) == 1
+    assert _one(spark, TX.token_count(F.lit(""))) == 0
+
+
+def test_bpe_token_count(spark):
+    # "don't stop123" → don | ' | t | stop | 123 = 5
+    assert _one(spark, TX.bpe_token_count(F.lit("don't stop123"))) == 5
+    assert _one(spark, TX.bpe_token_count(F.lit("hello"))) == 1
+
+
+def test_punct_ratio_bounds(spark):
+    assert _one(spark, TX.punct_ratio(F.lit("abcd"))) == 0.0
+    assert _one(spark, TX.punct_ratio(F.lit("!!!!"))) == 1.0
+
+
+def test_lang_id_markers(spark):
+    assert _one(spark, TX.lang_id(F.lit("the cat and the dog of war"))) == "en"
+    assert _one(spark, TX.lang_id(F.lit("der hund und die katze ist"))) == "de"
+    assert _one(spark, TX.lang_id(F.lit("el gato que la casa"))) == "es"
+    assert _one(spark, TX.lang_id(F.lit("le chat et les maisons"))) == "fr"
+    assert _one(spark, TX.lang_id(F.lit("你好世界"))) == "zh"
+    assert _one(spark, TX.lang_id(F.lit("zzz qqq"))) == "und"
+
+
+def test_quality_score_range(spark):
+    lo = _one(spark, TX.quality_score(F.lit("x")))
+    hi = _one(spark, TX.quality_score(F.lit(
+        "the quick brown fox jumps over the lazy dog and runs off to the "
+        "woods in a hurry with all of the other animals on a sunny day " * 2)))
+    assert 0.0 <= lo < hi <= 1.0
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    a = _one(spark, TX.doc_fingerprint(F.lit("Hello   World")))
+    b = _one(spark, TX.doc_fingerprint(F.lit("  hello world ")))
+    c = _one(spark, TX.doc_fingerprint(F.lit("hello worlds")))
+    assert a == b != c
+
+
+def test_simhash_similar_texts_close(spark):
+    df = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",),
+         ("the quick brown fox jumps over the lazy cat",),
+         ("entirely different content with other words",)], "t string")
+    h = [r.h for r in df.select(TX.simhash(F.col("t")).alias("h")).collect()]
+    ham_near = bin(h[0] ^ h[1]).count("1")
+    ham_far = bin(h[0] ^ h[2]).count("1")
+    assert ham_near < ham_far
