@@ -22,7 +22,9 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide: a zero-norm vector yields NULL (filtered by any
+    # threshold predicate) instead of DIVIDE_BY_ZERO under ANSI mode.
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 L2_NORM_SQL = "sqrt(list_sum(list_transform({a}::DOUBLE[], x -> x * x)))"

