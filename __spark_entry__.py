@@ -117,6 +117,34 @@ def q_pw_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "o_orderpriority")
 
 
+def q_pw_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: Avro sink.  With the spark-avro connector absent (this
+    environment), ``write_partitioned`` transparently falls back to the
+    pure-Python Avro object-container codec (formats/avro_py.py) — same
+    Hive layout, per-key writer fan-out, deflate blocks — and read-back
+    decodes executor-side via binaryFile + mapInPandas."""
+    apply_engine_confs(spark)
+    from pyspark.sql import types as T
+    from dynamic_partitioner_spark.formats import read_avro_partitioned
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        spark_avro_available)
+
+    df = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority",
+        "o_orderstatus")
+    out = _out("pw_avro")
+    spec = SinkSpec(name="ord_avro", field_names=["o_orderstatus"], fmt="avro")
+    write_partitioned(df, spec, out)
+    if spark_avro_available(spark):
+        back = read_partitioned(spark, out, "avro")
+    else:
+        payload = T.StructType(
+            [f for f in df.schema.fields if f.name != "o_orderstatus"])
+        back = read_avro_partitioned(spark, out, ["o_orderstatus"], payload)
+    return back.select("o_orderkey", "o_custkey", "o_totalprice",
+                       "o_orderpriority", "o_orderstatus")
+
+
 def q_key_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4: String.valueOf(v).trim() key semantics — a padded string key
     and a DOUBLE key partition via their trimmed string forms."""
@@ -431,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_write_single": q_pw_single,
         "partitioned_write_multi": q_pw_multi,
         "partitioned_write_orc": q_pw_orc,
+        "partitioned_write_avro": q_pw_avro,
         "partition_key_trim": q_key_trim,
         "append_mode": q_append_mode,
         "payload_projection": q_payload_projection,
@@ -482,6 +511,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
             f"strftime(o_orderdate, '{_TS_FMT_DUCK}') AS o_orderdate, "
             "o_orderpriority FROM orders"),
+        "partitioned_write_avro": (
+            "SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority, "
+            "trim(CAST(o_orderstatus AS VARCHAR)) AS o_orderstatus "
+            "FROM orders"),
         "partition_key_trim": (
             "SELECT l_orderkey, l_linenumber, "
             "trim(concat('  ', l_returnflag, ' ')) AS rf_pad, "

@@ -1,0 +1,408 @@
+"""Pure-Python Avro object-container codec + distributed partitioned
+Avro write/read.
+
+Why this exists: the reference ships an Avro dynamic-partitioned sink
+(`AvroDynamicPartitionedDatasetSink.java:53-134`), but this environment
+has no ``spark-avro`` connector jar and no Python avro package.  The
+Avro 1.x object-container format is a small public spec
+(https://avro.apache.org/docs/1.11.1/specification/), and the
+reference's observable schema surface is *flat records of six
+primitives* (SURVEY.md §1.3: boolean/int/long/float/double/string from
+the widget JSON), so a compact codec covers the full parity surface —
+plus ``bytes`` and nullable unions because they're nearly free.
+
+On a deployment that has the ``spark-avro`` jar, prefer
+``df.write.format("avro")`` — ``write_partitioned`` does exactly that
+when :func:`~..operators.partitioned_write.spark_avro_available` is
+true.  This module is the fallback path, and it keeps all heavy work
+executor-side:
+
+  * **write**: one ``applyInPandas`` group per partition-key tuple —
+    the same per-key writer fan-out the reference's CDAP
+    ``DynamicPartitioner`` does (SURVEY.md §3 E3) — each group encodes
+    its rows to one container file under ``k=v/`` Hive layout.
+  * **read**: Spark's ``binaryFile`` source lists + reads files in
+    parallel; ``mapInPandas`` decodes blocks; partition-key columns are
+    parsed from the file path exactly like Spark's own partition
+    discovery.
+
+Determinism: file names derive from the key tuple, and the 16-byte sync
+marker is md5(relative path), so re-running a write yields byte-identical
+output — required for the driver's hash-based correctness gate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import os
+import struct
+import zlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAGIC = b"Obj\x01"
+
+# --------------------------------------------------------------- schema
+
+_SPARK_TO_AVRO = {
+    T.BooleanType(): "boolean",
+    T.IntegerType(): "int",
+    T.ShortType(): "int",
+    T.ByteType(): "int",
+    T.LongType(): "long",
+    T.FloatType(): "float",
+    T.DoubleType(): "double",
+    T.StringType(): "string",
+    T.BinaryType(): "bytes",
+}
+
+_AVRO_TO_SPARK = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "bytes": T.BinaryType(),
+}
+
+
+def avro_schema_json(schema: T.StructType, name: str = "topLevelRecord") -> str:
+    """Spark StructType → Avro record schema JSON (flat primitives;
+    nullable fields become ``["null", T]`` unions, null-first like the
+    reference's CDAP nullable-union convention)."""
+    fields = []
+    for f in schema.fields:
+        if f.dataType not in _SPARK_TO_AVRO:
+            raise ValueError(
+                f"avro_py supports flat primitive schemas; field "
+                f"'{f.name}' has unsupported type {f.dataType.simpleString()}")
+        at: object = _SPARK_TO_AVRO[f.dataType]
+        if f.nullable:
+            at = ["null", at]
+        fields.append({"name": f.name, "type": at})
+    return json.dumps({"type": "record", "name": name, "fields": fields})
+
+
+def spark_schema_from_avro(avro_json: str) -> T.StructType:
+    rec = json.loads(avro_json)
+    out = []
+    for f in rec["fields"]:
+        at = f["type"]
+        nullable = False
+        if isinstance(at, list):          # union — only ["null", prim]
+            nonnull = [t for t in at if t != "null"]
+            if len(nonnull) != 1 or not isinstance(nonnull[0], str):
+                raise ValueError(f"unsupported union {at!r}")
+            at, nullable = nonnull[0], True
+        out.append(T.StructField(f["name"], _AVRO_TO_SPARK[at], nullable))
+    return T.StructType(out)
+
+
+# ----------------------------------------------------- binary primitives
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _write_long(buf: io.BytesIO, n: int) -> None:
+    z = _zigzag(n)
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            buf.write(bytes([b | 0x80]))
+        else:
+            buf.write(bytes([b]))
+            return
+
+
+def _read_long(mv: memoryview, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = mv[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+_F = struct.Struct("<f")
+_D = struct.Struct("<d")
+
+
+def _make_encoders(schema: T.StructType):
+    """One closure per field: (BytesIO, value) -> None."""
+    encs = []
+    for f in schema.fields:
+        t = f.dataType
+
+        def enc(buf, v, t=t):
+            if t == T.StringType():
+                raw = v.encode("utf-8")
+                _write_long(buf, len(raw))
+                buf.write(raw)
+            elif t == T.LongType():
+                _write_long(buf, int(v))
+            elif t in (T.IntegerType(), T.ShortType(), T.ByteType()):
+                _write_long(buf, int(v))
+            elif t == T.DoubleType():
+                buf.write(_D.pack(float(v)))
+            elif t == T.FloatType():
+                buf.write(_F.pack(float(v)))
+            elif t == T.BooleanType():
+                buf.write(b"\x01" if v else b"\x00")
+            elif t == T.BinaryType():
+                raw = bytes(v)
+                _write_long(buf, len(raw))
+                buf.write(raw)
+            else:  # pragma: no cover — schema pre-validated
+                raise ValueError(str(t))
+
+        if f.nullable:
+            def nenc(buf, v, enc=enc):
+                if v is None:
+                    buf.write(b"\x00")        # union branch 0 = null
+                else:
+                    buf.write(b"\x02")        # branch 1, zigzag(1)
+                    enc(buf, v)
+            encs.append(nenc)
+        else:
+            encs.append(enc)
+    return encs
+
+
+def _make_decoders(schema: T.StructType):
+    decs = []
+    for f in schema.fields:
+        t = f.dataType
+
+        def dec(mv, pos, t=t):
+            if t == T.StringType():
+                n, pos = _read_long(mv, pos)
+                return str(mv[pos:pos + n], "utf-8"), pos + n
+            if t == T.LongType() or t == T.IntegerType():
+                return _read_long(mv, pos)
+            if t == T.DoubleType():
+                return _D.unpack_from(mv, pos)[0], pos + 8
+            if t == T.FloatType():
+                return _F.unpack_from(mv, pos)[0], pos + 4
+            if t == T.BooleanType():
+                return mv[pos] == 1, pos + 1
+            if t == T.BinaryType():
+                n, pos = _read_long(mv, pos)
+                return bytes(mv[pos:pos + n]), pos + n
+            raise ValueError(str(t))  # pragma: no cover
+
+        if f.nullable:
+            def ndec(mv, pos, dec=dec):
+                branch, pos = _read_long(mv, pos)
+                if branch == 0:
+                    return None, pos
+                return dec(mv, pos)
+            decs.append(ndec)
+        else:
+            decs.append(dec)
+    return decs
+
+
+# ------------------------------------------------------- container files
+
+def encode_container(rows: Iterator[tuple], schema: T.StructType,
+                     sync: bytes, codec: str = "deflate",
+                     block_rows: int = 4096) -> bytes:
+    """Rows (tuples in schema field order) → Avro object-container bytes."""
+    encs = _make_encoders(schema)
+    ncols = len(encs)
+    out = io.BytesIO()
+    out.write(MAGIC)
+    meta = {"avro.schema": avro_schema_json(schema).encode(),
+            "avro.codec": codec.encode()}
+    _write_long(out, len(meta))
+    for k, v in meta.items():
+        kb = k.encode()
+        _write_long(out, len(kb))
+        out.write(kb)
+        _write_long(out, len(v))
+        out.write(v)
+    _write_long(out, 0)                     # end of metadata map
+    out.write(sync)
+
+    block = io.BytesIO()
+    count = 0
+
+    def flush():
+        nonlocal count
+        if not count:
+            return
+        data = block.getvalue()
+        if codec == "deflate":
+            data = zlib.compress(data)[2:-4]   # raw deflate per spec
+        _write_long(out, count)
+        _write_long(out, len(data))
+        out.write(data)
+        out.write(sync)
+        block.seek(0)
+        block.truncate()
+        count = 0
+
+    for row in rows:
+        for i in range(ncols):
+            encs[i](block, row[i])
+        count += 1
+        if count >= block_rows:
+            flush()
+    flush()
+    return out.getvalue()
+
+
+def decode_container(data: bytes) -> tuple[T.StructType, list[tuple]]:
+    """Avro object-container bytes → (schema, rows as tuples)."""
+    mv = memoryview(data)
+    if bytes(mv[:4]) != MAGIC:
+        raise ValueError("not an Avro object container file")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n, pos = _read_long(mv, pos)
+        if n == 0:
+            break
+        if n < 0:                          # negative count → size follows
+            n = -n
+            _, pos = _read_long(mv, pos)
+        for _ in range(n):
+            kl, pos = _read_long(mv, pos)
+            k = str(mv[pos:pos + kl], "utf-8")
+            pos += kl
+            vl, pos = _read_long(mv, pos)
+            meta[k] = bytes(mv[pos:pos + vl])
+            pos += vl
+    schema = spark_schema_from_avro(meta["avro.schema"].decode())
+    codec = meta.get("avro.codec", b"null").decode()
+    pos += 16                              # sync marker
+    decs = _make_decoders(schema)
+    ncols = len(decs)
+    rows: list[tuple] = []
+    total = len(mv)
+    while pos < total:
+        count, pos = _read_long(mv, pos)
+        size, pos = _read_long(mv, pos)
+        blk = mv[pos:pos + size]
+        pos += size + 16                   # block + sync
+        if codec == "deflate":
+            blk = memoryview(zlib.decompress(blk, wbits=-15))
+        elif codec != "null":
+            raise ValueError(f"unsupported avro codec {codec!r}")
+        bpos = 0
+        for _ in range(count):
+            vals = [None] * ncols
+            for i in range(ncols):
+                vals[i], bpos = decs[i](blk, bpos)
+            rows.append(tuple(vals))
+    return schema, rows
+
+
+# ---------------------------------------------------- distributed write
+
+def _hive_dir(field_names: list[str], key: tuple) -> str:
+    from urllib.parse import quote
+    return "/".join(f"{f}={quote(str(v), safe='')}"
+                    for f, v in zip(field_names, key))
+
+
+def write_avro_partitioned(df: DataFrame, field_names: list[str],
+                           path: str, codec: str = "deflate") -> str:
+    """Hive-partitioned Avro write without the spark-avro jar.
+
+    One ``applyInPandas`` group per distinct key tuple → one container
+    file per partition directory (the reference's one-writer-per-key
+    fan-out).  The group shuffle is the same hash-on-keys exchange
+    ``partitionBy`` would plan.  Skew caveat: one giant key lands in one
+    task — acceptable for the fallback path; the spark-avro fast path
+    handles skew via REBALANCE in ``write_partitioned``.
+    """
+    import pandas as pd
+
+    if codec not in ("null", "deflate"):
+        raise ValueError(
+            f"pure-Python avro writer supports codecs null/deflate, not "
+            f"{codec!r}; install the spark-avro connector for {codec}")
+    payload_schema = T.StructType(
+        [f for f in df.schema.fields if f.name not in field_names])
+    avro_schema_json(payload_schema)       # validate types up front
+    cols = [f.name for f in payload_schema.fields]
+
+    def write_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import glob as _glob
+        rel = _hive_dir(field_names, key)
+        target = os.path.join(path, rel)
+        os.makedirs(target, exist_ok=True)
+        sync = hashlib.md5(rel.encode()).digest()
+        pdf = pdf.sort_values(cols).reset_index(drop=True)
+        recs = (tuple(None if pd.isna(v) else v for v in row)
+                for row in pdf[cols].itertuples(index=False, name=None))
+        blob = encode_container(recs, payload_schema, sync, codec)
+        # suffix = existing file count, so appends add a new file
+        # (fresh writes stay deterministic at -0); concurrent writers to
+        # the SAME partition can still race — the spark-avro fast path
+        # with Spark's commit protocol is the answer there
+        seq = len(_glob.glob(os.path.join(target, "part-*.avro")))
+        fname = (f"part-{hashlib.md5(rel.encode()).hexdigest()[:16]}"
+                 f"-{seq}.avro")
+        with open(os.path.join(target, fname), "wb") as fh:
+            fh.write(blob)
+        return pd.DataFrame({"partition": [rel], "rows": [len(pdf)]})
+
+    os.makedirs(path, exist_ok=True)       # empty input → valid empty dataset
+    out_schema = "partition string, rows long"
+    stats = (df.repartition(*[F.col(c) for c in field_names])
+             .groupBy(*field_names)
+             .applyInPandas(write_group, out_schema))
+    stats.count()                          # materialize = run the write
+    return path
+
+
+# ----------------------------------------------------- distributed read
+
+def read_avro_partitioned(spark: SparkSession, path: str,
+                          field_names: list[str],
+                          payload_schema: T.StructType) -> DataFrame:
+    """Read back a :func:`write_avro_partitioned` tree.
+
+    ``binaryFile`` lists and reads container files executor-side;
+    ``mapInPandas`` decodes; partition columns come from the file path
+    (string-typed, matching both the reference's string partition
+    dimensions and Spark's own discovery-with-inference-off)."""
+    import pandas as pd
+
+    full = T.StructType(
+        list(payload_schema.fields)
+        + [T.StructField(f, T.StringType(), False) for f in field_names])
+    names = [f.name for f in payload_schema.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from urllib.parse import unquote
+        for pdf in batches:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                _, rows = decode_container(bytes(content))
+                out = pd.DataFrame(rows, columns=names)
+                for f in field_names:
+                    marker = f"/{f}="
+                    seg = fpath.split(marker, 1)[1].split("/", 1)[0]
+                    out[f] = unquote(seg)
+                yield out
+
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.avro")
+             .option("recursiveFileLookup", "true")
+             .load(path)
+             .select("path", "content"))
+    return files.mapInPandas(decode, full)

@@ -109,6 +109,16 @@ def write_partitioned(df: DataFrame, spec: SinkSpec, path: str | None = None) ->
                     f"partitions already exist under {out}: {sorted(clash)[:5]}"
                     f"{'...' if len(clash) > 5 else ''}")
 
+    if spec.fmt == "avro" and not spark_avro_available(spark):
+        # no spark-avro connector jar in this deployment — use the
+        # pure-Python container codec (same Hive layout + per-key writer
+        # fan-out; see formats/avro_py.py)
+        from ..formats import write_avro_partitioned
+        codec = (spec.compression_codec or "deflate").lower()
+        return write_avro_partitioned(
+            ndf, spec.field_names, out,
+            codec="null" if codec == "none" else codec)
+
     if spec.cluster_by_key:
         try:
             ndf = ndf.hint("rebalance", *spec.field_names)

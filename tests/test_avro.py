@@ -1,0 +1,93 @@
+"""Pure-Python Avro codec + partitioned Avro sink fallback (S2,
+reference AvroDynamicPartitionedDatasetSink.java:53-134).
+
+Hypothesis round-trips the binary codec over the six reference
+primitives + bytes + nullables (SURVEY.md §1.3); the e2e test pins the
+golden 3-partition layout from the reference's own sink test
+(DynamicPartitionedFilesetSinkTest.java:133-162).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from dynamic_partitioner_spark.formats import (decode_container,
+                                               encode_container,
+                                               read_avro_partitioned)
+from dynamic_partitioner_spark.operators.partitioned_write import (
+    write_partitioned)
+from dynamic_partitioner_spark.spec import SinkSpec
+
+SCHEMA = T.StructType([
+    T.StructField("s", T.StringType(), True),
+    T.StructField("l", T.LongType(), False),
+    T.StructField("i", T.IntegerType(), True),
+    T.StructField("d", T.DoubleType(), False),
+    T.StructField("b", T.BooleanType(), False),
+    T.StructField("y", T.BinaryType(), True),
+])
+
+row_st = st.tuples(
+    st.one_of(st.none(), st.text(max_size=50)),
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.one_of(st.none(), st.integers(min_value=-(2**31), max_value=2**31 - 1)),
+    st.floats(allow_nan=False),
+    st.booleans(),
+    st.one_of(st.none(), st.binary(max_size=30)),
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(row_st, max_size=50))
+def test_codec_roundtrip(rows):
+    blob = encode_container(iter(rows), SCHEMA, b"\x07" * 16, "deflate")
+    schema, back = decode_container(blob)
+    assert back == rows
+    assert [(f.name, f.dataType, f.nullable) for f in schema.fields] == \
+           [(f.name, f.dataType, f.nullable) for f in SCHEMA.fields]
+
+
+def test_codec_null_codec_and_block_split():
+    rows = [("x" * 100, i, i, float(i), True, b"z") for i in range(10)]
+    blob = encode_container(iter(rows), SCHEMA, b"\x01" * 16, "null",
+                            block_rows=3)  # forces 4 blocks
+    _, back = decode_container(blob)
+    assert back == rows
+
+
+def test_codec_rejects_nested_types():
+    bad = T.StructType([T.StructField("a", T.ArrayType(T.LongType()), True)])
+    with pytest.raises(ValueError, match="unsupported type"):
+        encode_container(iter([]), bad, b"\x00" * 16)
+
+
+def test_avro_sink_golden_layout(spark, purchase_df, tmp_out):
+    """Reference golden test: 6 purchases, 3 distinct dates → exactly 3
+    partition dirs, full contents round-trip."""
+    spec = SinkSpec(name="p", field_names=["purchase_date"], fmt="avro")
+    write_partitioned(purchase_df, spec, tmp_out)
+
+    dirs = sorted(os.path.basename(p) for p in
+                  glob.glob(os.path.join(tmp_out, "purchase_date=*")))
+    assert dirs == ["purchase_date=2009-01-01", "purchase_date=2009-01-02",
+                    "purchase_date=2009-01-03"]
+
+    payload = T.StructType([T.StructField("id", T.LongType(), True),
+                            T.StructField("first_name", T.StringType(), True)])
+    back = read_avro_partitioned(spark, tmp_out, ["purchase_date"], payload)
+    got = {(r.id, r.first_name, r.purchase_date) for r in back.collect()}
+    want = {tuple(r) for r in purchase_df.collect()}
+    assert got == want
+
+
+def test_avro_sink_rejects_unsupported_codec(spark, purchase_df, tmp_out):
+    spec = SinkSpec(name="p", field_names=["purchase_date"], fmt="avro",
+                    compression_codec="snappy")
+    with pytest.raises(ValueError, match="null/deflate"):
+        write_partitioned(purchase_df, spec, tmp_out)
