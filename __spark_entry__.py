@@ -445,6 +445,44 @@ def q_streaming_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _li_stringified(read_partitioned(spark, out))
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via the built-in session_window agg
+    (30-minute gap over the events stream, per user)."""
+    from dynamic_partitioner_spark.streaming.stateful import sessionize
+    events = _table(spark, sf_dir, "events")
+    return sessionize(events, "user_id", "ts", "value", "30 minutes")
+
+
+def q_streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate, run through an actual
+    Structured-Streaming query (file source → complete-mode memory sink,
+    availableNow drain) — result equals the batch GROUP BY."""
+    from dynamic_partitioner_spark.streaming.stateful import (
+        streaming_tumbling_agg)
+    apply_engine_confs(spark)
+    src = _out("stream_agg_src")
+    os.makedirs(src)
+    os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    spark.catalog.dropTempView("stream_agg_sink")
+    return streaming_tumbling_agg(spark, src, "stream_agg_sink", "1 hour")
+
+
+def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState per-user running stats across real
+    micro-batches (one file per trigger); final snapshot equals the
+    batch per-user count/sum."""
+    from dynamic_partitioner_spark.streaming.stateful import (
+        run_stateful_user_stats)
+    apply_engine_confs(spark)
+    src = _out("stream_state_src")
+    # stage the events into multiple files so the stream genuinely
+    # crosses micro-batch boundaries (state must survive between them)
+    (_table(spark, sf_dir, "events").repartition(3)
+     .write.mode("overwrite").parquet(src))
+    spark.catalog.dropTempView("stream_state_sink")
+    return run_stateful_user_stats(spark, src, "stream_state_sink")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -484,6 +522,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_binary_stats": q_mm_binary_stats,
         "mm_features": q_mm_features,
         "streaming_partitioned_write": q_streaming_write,
+        "event_sessionize": q_sessionize,
+        "streaming_windowed_agg": q_streaming_windowed_agg,
+        "streaming_stateful_counts": q_streaming_stateful,
     }
 
 
@@ -648,4 +689,37 @@ def oracle_sql() -> dict[str, str]:
             "'text/plain' AS mime, "
             "octet_length(CAST(text AS BLOB)) AS orig_bytes FROM documents"),
         "streaming_partitioned_write": li_full,
+        "event_sessionize": """
+            WITH e AS (
+                SELECT user_id, ts, value,
+                       -- session_window merges an event landing exactly at
+                       -- the previous window's end (gap <= merges), so a
+                       -- new session needs a STRICTLY greater gap
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sess
+                FROM e
+            )
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM s GROUP BY user_id, sess
+        """,
+        "streaming_windowed_agg": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS window_start,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "streaming_stateful_counts": (
+            "SELECT user_id, count(*) AS n_events, "
+            "round(sum(value), 2) AS total_value "
+            "FROM events GROUP BY user_id"),
     }

@@ -21,8 +21,12 @@ BENCH_KEYS = [
     "partitioned_write_single",
     "partitioned_write_multi",
     "partitioned_write_orc",
+    "partitioned_write_avro",
     "append_mode",
     "streaming_partitioned_write",
+    "streaming_windowed_agg",
+    "streaming_stateful_counts",
+    "event_sessionize",
     "query_pruned_agg",
     "query_join_broadcast",
     "query_window_topk",

@@ -1,0 +1,158 @@
+"""Sessionization + windowed / stateful streaming aggregation.
+
+The reference is batch-only (SURVEY.md §2.9 — no streaming anywhere in
+its 13 source files); these are north-star extensions built on the
+native Structured Streaming operators the brief mandates:
+
+* :func:`sessionize` — gap-based sessions via the built-in
+  ``session_window`` aggregation.  Works identically over a batch
+  DataFrame and a watermarked stream (one shuffle on the grouping key;
+  state store handles the merge in streaming mode).
+* :func:`streaming_tumbling_agg` — file-source stream → tumbling-window
+  aggregate → in-memory sink, ``complete`` output mode, drained with
+  ``availableNow`` so a bounded directory yields a deterministic,
+  batch-equal result.
+* :func:`stateful_user_stats` — ``applyInPandasWithState``: per-user
+  running (count, sum) state maintained across micro-batches, emitting
+  an updated snapshot per batch.  The custom-stateful-operator shape
+  (Arrow-batched, update mode, explicit GroupState) that covers what
+  ``session_window`` can't express.
+
+Timestamps: the testdata parquet stores TIMESTAMP(NANOS) which Spark
+reads as LONG nanos (see session.py ``nanosAsLong``); ``_event_ts``
+truncates to microseconds exactly like DuckDB's TIMESTAMP, so oracle
+comparisons are exact.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _event_ts(col) -> Any:
+    """LONG nanos → TIMESTAMP at microsecond precision (truncating,
+    matching DuckDB's read of the same parquet)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_micros((c / F.lit(1000)).cast("long"))
+
+
+def sessionize(df: DataFrame, key_col: str = "user_id", ts_col: str = "ts",
+               value_col: str = "value", gap: str = "30 minutes") -> DataFrame:
+    """Gap-based sessions per key (built-in ``session_window``).
+
+    A new session starts when the gap since the previous event is >= the
+    configured gap (session_window's window end is exclusive).  Returns
+    one row per (key, session): start, event count, value sum.
+
+    Scale: one hash-shuffle on the grouping key — the same exchange any
+    per-key agg needs; session merging is O(events per key) inside each
+    task.  In streaming mode the identical expression runs with a
+    watermark and per-key state instead (same semantics, late data
+    dropped past the watermark).
+    """
+    ts = _event_ts(ts_col).alias("_ets")
+    return (df.select(F.col(key_col), ts, F.col(value_col))
+            .groupBy(F.session_window(F.col("_ets"), gap).alias("sw"),
+                     F.col(key_col))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(value_col), 2).alias("total_value"),
+                 F.date_format(F.min("_ets"), _TS_FMT).alias("session_start"))
+            .select(key_col, "session_start", "n_events", "total_value"))
+
+
+def streaming_tumbling_agg(spark: SparkSession, src_path: str,
+                           sink_table: str, window: str = "1 hour",
+                           ts_col: str = "ts",
+                           type_col: str = "event_type",
+                           value_col: str = "value",
+                           timeout_sec: int = 300) -> DataFrame:
+    """Tumbling-window aggregate over a file-source stream.
+
+    ``complete`` output mode + ``availableNow`` drain: every window is
+    (re)emitted once the bounded source is exhausted, so the result
+    equals the batch GROUP BY — the determinism the correctness gate
+    needs.  An unbounded production stream would instead use ``append``
+    + ``withWatermark`` (late rows beyond the delay dropped) — same
+    aggregation expression, different trigger/sink wiring.
+    """
+    from .write import run_stream_to_completion, stream_from_files
+
+    sdf = stream_from_files(spark, src_path)
+    agg = (sdf.select(_event_ts(ts_col).alias("_ets"),
+                      F.col(type_col), F.col(value_col))
+           .groupBy(F.window("_ets", window).alias("w"), F.col(type_col))
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum(value_col), 2).alias("total_value"))
+           .select(F.date_format("w.start", _TS_FMT).alias("window_start"),
+                   type_col, "n_events", "total_value"))
+    q = (agg.writeStream.format("memory").queryName(sink_table)
+         .outputMode("complete").trigger(availableNow=True).start())
+    run_stream_to_completion(q, timeout_sec)
+    return spark.table(sink_table)
+
+
+STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType()),
+                             T.StructField("total", T.DoubleType())])
+
+STATS_SCHEMA = T.StructType([T.StructField("user_id", T.LongType()),
+                             T.StructField("n_events", T.LongType()),
+                             T.StructField("total_value", T.DoubleType())])
+
+
+def stateful_user_stats(sdf: DataFrame, key_col: str = "user_id",
+                        value_col: str = "value") -> DataFrame:
+    """Per-key running (count, sum) via ``applyInPandasWithState``.
+
+    Emits one updated snapshot row per key per micro-batch that touches
+    the key; state persists across batches in the state store.  Counts
+    are monotonically increasing, so ``max(n_events) per key`` over all
+    emitted snapshots equals the batch ``count(*)`` — which is how the
+    driver oracle checks this operator end-to-end through real
+    micro-batch boundaries.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key: tuple, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [round(total, 2)]})
+
+    return (sdf.groupBy(key_col)
+            .applyInPandasWithState(update, STATS_SCHEMA, STATE_SCHEMA,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
+def run_stateful_user_stats(spark: SparkSession, src_path: str,
+                            sink_table: str, n_batches_hint: int = 3,
+                            timeout_sec: int = 300) -> DataFrame:
+    """Drive :func:`stateful_user_stats` through real micro-batches:
+    one file per trigger, update-mode memory sink, then reduce the
+    emitted snapshots to the final per-key state (max of the monotone
+    count, and the matching total)."""
+    from .write import run_stream_to_completion, stream_from_files
+
+    sdf = stream_from_files(spark, src_path, max_files_per_trigger=1)
+    out = stateful_user_stats(sdf)
+    q = (out.writeStream.format("memory").queryName(sink_table)
+         .outputMode("update").trigger(availableNow=True).start())
+    run_stream_to_completion(q, timeout_sec)
+    snaps = spark.table(sink_table)
+    # the snapshot with the highest count IS the final state (counts are
+    # monotone; max over the struct carries the matching total along,
+    # unlike max over each column independently, which would be wrong
+    # for negative values)
+    final = (snaps.groupBy("user_id")
+             .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
+             .select("user_id", "s.n_events", "s.total_value"))
+    return final

@@ -51,3 +51,71 @@ def test_streaming_incremental_second_batch(spark, purchase_df, tmp_out):
     sdf2 = stream_from_files(spark, src)
     run_stream_to_completion(stream_write_partitioned(sdf2, spec, out, ckpt))
     assert read_partitioned(spark, out).count() == 9
+
+
+# ---------------------------------------------------------------- stateful
+
+def _event_rows(spark):
+    """Events with known session structure for user 1: gaps of 10 min /
+    exactly 30 min / 29:59 around a 30-minute session gap."""
+    base = 1_700_000_000_000_000_000          # ns epoch
+    MIN = 60 * 1_000_000_000
+    rows = [
+        (1, base + 0 * MIN, 1.0),
+        (1, base + 10 * MIN, 2.0),      # +10:00     -> same session
+        (1, base + 40 * MIN, 4.0),      # +30:00     -> same (gap == 30 merges)
+        (1, base + 70 * MIN + 1000, 8.0),  # +30:00.000001 -> NEW session
+        (2, base + 0 * MIN, 16.0),
+    ]
+    return spark.createDataFrame(rows, "user_id long, ts long, value double")
+
+
+def test_sessionize_gap_boundaries(spark):
+    from dynamic_partitioner_spark.streaming.stateful import sessionize
+
+    out = sessionize(_event_rows(spark), "user_id", "ts", "value",
+                     "30 minutes")
+    got = {(r.user_id, r.n_events, r.total_value) for r in out.collect()}
+    # user 1: [1.0, 2.0, 4.0] (30:00 gap merges) then [8.0]; user 2: [16.0]
+    assert got == {(1, 3, 7.0), (1, 1, 8.0), (2, 1, 16.0)}
+
+
+def test_streaming_tumbling_agg_matches_batch(spark, tmp_out):
+    import os
+    from pyspark.sql import functions as F
+    from dynamic_partitioner_spark.streaming.stateful import (
+        _event_ts, streaming_tumbling_agg)
+
+    df = _event_rows(spark).withColumn("event_type", F.lit("click"))
+    src = f"{tmp_out}/src"
+    df.write.parquet(src)
+    spark.catalog.dropTempView("t_tumble_sink")
+    got = streaming_tumbling_agg(spark, src, "t_tumble_sink", "1 hour")
+
+    batch = (df.select(_event_ts("ts").alias("e"), "value")
+             .groupBy(F.date_format(F.date_trunc("hour", "e"),
+                                    "yyyy-MM-dd HH:mm:ss").alias("window_start"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.sum("value"), 2).alias("tv")))
+    want = {(r.window_start, r.n, r.tv) for r in batch.collect()}
+    have = {(r.window_start, r.n_events, r.total_value) for r in got.collect()}
+    # streaming result additionally splits by event_type; roll it up
+    rolled = {}
+    for r in got.collect():
+        k = r.window_start
+        n, tv = rolled.get(k, (0, 0.0))
+        rolled[k] = (n + r.n_events, round(tv + r.total_value, 2))
+    assert {(k, *v) for k, v in rolled.items()} == want
+
+
+def test_stateful_user_stats_across_batches(spark, tmp_out):
+    from dynamic_partitioner_spark.streaming.stateful import (
+        run_stateful_user_stats)
+
+    df = _event_rows(spark)
+    src = f"{tmp_out}/src"
+    df.repartition(3).write.parquet(src)       # several files => several batches
+    spark.catalog.dropTempView("t_state_sink")
+    final = run_stateful_user_stats(spark, src, "t_state_sink")
+    got = {(r.user_id, r.n_events, r.total_value) for r in final.collect()}
+    assert got == {(1, 4, 15.0), (2, 1, 16.0)}
