@@ -354,6 +354,15 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ann_lsh(emb, queries, k=5).orderBy("query_id", "rank")
 
 
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (deterministic k-means lists, nprobe probing) — rows-only;
+    recall vs brute force is pinned in tests."""
+    from dynamic_partitioner_spark.operators.similarity import topk_ann_ivf
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return topk_ann_ivf(emb, queries, k=5).orderBy("query_id", "rank")
+
+
 # =====================================================================
 # Text analysis
 # =====================================================================
@@ -514,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_similarity_ann,
+        "similarity_ann_ivf": q_similarity_ivf,
         "text_stats": q_text_stats,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,

@@ -34,6 +34,7 @@ BENCH_KEYS = [
     "dedup_minhash",
     "similarity_topk",
     "similarity_ann_lsh",
+    "similarity_ann_ivf",
     "text_stats",
     "text_quality",
     "dedup_embedding",

@@ -17,6 +17,7 @@ Two strategies:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -58,7 +59,8 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """LSH bucket id: sign bit per hyperplane, packed into an int."""
+    """LSH bucket id: sign bit per hyperplane, packed into an int.
+    Pure-Column form (used by tests as the vectorized path's oracle)."""
     bucket = F.lit(0)
     for j, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
@@ -67,6 +69,29 @@ def sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
                         F.lit(0.0), lambda acc, v: acc + v)
         bucket = bucket + F.when(d > 0, F.lit(2 ** j)).otherwise(F.lit(0))
     return bucket
+
+
+def _all_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int):
+    """Arrow-batched bucket computation for ALL tables at once: one
+    numpy matmul (batch×dim @ dim×(tables·planes)) per Arrow batch,
+    then sign-bit packing per table.  Replaces tables×planes separate
+    ``F.aggregate`` lambdas — those build an O(tables·planes·dim)
+    expression tree that dominates planning/codegen time and evaluates
+    interpreted per row; the matmul path is O(1) plan size and BLAS at
+    runtime, which is the shape that survives 100 TB."""
+    planes = np.vstack([_hyperplanes(dim, n_planes, seed + t)
+                        for t in range(n_tables)])          # (T·P, dim)
+    weights = (2 ** np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        mat = np.asarray(v.tolist(), dtype=np.float64)      # (B, dim)
+        signs = (mat @ planes.T) > 0                        # (B, T·P)
+        per_table = signs.reshape(len(mat), -1, n_planes)   # (B, T, P)
+        ids = per_table @ weights                           # (B, T)
+        return pd.Series(list(ids))
+
+    return buckets
 
 
 def topk_ann_lsh(emb: DataFrame, queries: DataFrame, id_col: str = "vec_id",
@@ -81,22 +106,20 @@ def topk_ann_lsh(emb: DataFrame, queries: DataFrame, id_col: str = "vec_id",
     corpus shuffles once regardless of L.  Same output schema as
     :func:`topk_bruteforce`.
     """
-    def bucket_entries(vec: Column) -> Column:
-        return F.array(*[
-            F.struct(F.lit(t).alias("tbl"),
-                     sign_bucket(vec, _hyperplanes(dim, n_planes, seed + t))
-                     .alias("bucket"))
-            for t in range(n_tables)
-        ])
+    budf = _all_buckets_udf(dim, n_planes, n_tables, seed)
 
-    c = (emb.select(F.col(id_col).alias("neighbor_id"),
-                    F.col(vec_col).alias("cv"),
-                    F.explode(bucket_entries(F.col(vec_col))).alias("b"))
-         .select("neighbor_id", "cv", "b.tbl", "b.bucket"))
-    qb = (queries.select(F.col(id_col).alias("query_id"),
-                         F.col(vec_col).alias("qv"),
-                         F.explode(bucket_entries(F.col(vec_col))).alias("b"))
-          .select("query_id", "qv", "b.tbl", F.col("b.bucket").alias("qbucket")))
+    def with_buckets(df: DataFrame, idc: str, vecc: str) -> DataFrame:
+        # posexplode(array of per-table buckets) → (tbl, bucket) rows
+        return (df.select(F.col(idc), F.col(vecc),
+                          F.posexplode(budf(F.col(vecc))).alias("tbl", "bucket")))
+
+    c = (with_buckets(emb.select(F.col(id_col).alias("neighbor_id"),
+                                 F.col(vec_col).alias("cv")),
+                      "neighbor_id", "cv"))
+    qb = (with_buckets(queries.select(F.col(id_col).alias("query_id"),
+                                      F.col(vec_col).alias("qv")),
+                       "query_id", "qv")
+          .withColumnRenamed("bucket", "qbucket"))
     if probe_hamming1:
         probes = F.array(F.col("qbucket"),
                          *[F.col("qbucket").bitwiseXOR(F.lit(2 ** j))
@@ -106,6 +129,84 @@ def topk_ann_lsh(emb: DataFrame, queries: DataFrame, id_col: str = "vec_id",
     else:
         qb = qb.withColumnRenamed("qbucket", "bucket")
     scored = (c.join(F.broadcast(qb), ["tbl", "bucket"])
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(cosine(F.col("qv"), F.col("cv")), 4)
+                      .alias("cos_sim"))
+              .distinct())
+    ranked = scored.withColumn("rank",
+                               F.row_number().over(_rank_window("query_id")))
+    return ranked.where(F.col("rank") <= k)
+
+
+# ------------------------------------------------------------------- IVF
+
+def train_centroids(emb: DataFrame, vec_col: str = "embedding",
+                    id_col: str = "vec_id", n_lists: int = 16,
+                    sample_size: int = 2048, iters: int = 5) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: Lloyd's k-means on a bounded,
+    id-ordered sample.
+
+    The sample is capped at ``sample_size`` rows regardless of corpus
+    size (the one deliberate driver-side collect in the engine — k-means
+    training on a fixed sample is the standard IVF recipe; assignment,
+    the O(corpus) part, stays distributed).  Init = first ``n_lists``
+    sample points, so identical data → identical centroids → identical
+    query results, which the driver's re-run check requires.
+    """
+    sample = np.asarray(
+        [r[1] for r in emb.select(id_col, vec_col).orderBy(id_col)
+         .limit(sample_size).collect()], dtype=np.float64)
+    cents = sample[:n_lists].copy()
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for c in range(n_lists):
+            pts = sample[assign == c]
+            if len(pts):
+                cents[c] = pts.mean(0)
+    return cents.round(6)
+
+
+def _nearest_lists_udf(cents: np.ndarray, nprobe: int):
+    """(vector) → array of the nprobe nearest list ids (L2)."""
+    @F.pandas_udf("array<long>")
+    def nearest(v: pd.Series) -> pd.Series:
+        mat = np.asarray(v.tolist(), dtype=np.float64)
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+        d2 = -2.0 * (mat @ cents.T) + (cents ** 2).sum(1)[None, :]
+        order = np.argsort(d2, axis=1)[:, :nprobe]
+        return pd.Series(list(order.astype(np.int64)))
+
+    return nearest
+
+
+def topk_ann_ivf(emb: DataFrame, queries: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding", k: int = 5, n_lists: int = 16,
+                 nprobe: int = 4, centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF-style ANN: corpus vectors are assigned to their nearest
+    centroid list (one Arrow-batched matmul pass); each query scans only
+    its ``nprobe`` nearest lists.
+
+    Scale path: at 100 TB the assignment runs once and the corpus is
+    **written partitioned by ``list_id``** (this engine's own
+    partitioned sink), so a query's nprobe lists become partition-pruned
+    scans — the join below then touches nprobe/n_lists of the data.
+    Same output schema as :func:`topk_bruteforce`; recall grows with
+    ``nprobe`` (= exact when nprobe == n_lists).
+    """
+    if centroids is None:
+        centroids = train_centroids(emb, vec_col, id_col, n_lists)
+    assign1 = _nearest_lists_udf(centroids, 1)
+    probe = _nearest_lists_udf(centroids, nprobe)
+
+    c = emb.select(F.col(id_col).alias("neighbor_id"),
+                   F.col(vec_col).alias("cv"),
+                   assign1(F.col(vec_col))[0].alias("list_id"))
+    qb = (queries.select(F.col(id_col).alias("query_id"),
+                         F.col(vec_col).alias("qv"),
+                         F.explode(probe(F.col(vec_col))).alias("list_id")))
+    scored = (c.join(F.broadcast(qb), "list_id")
               .where(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
                       F.round(cosine(F.col("qv"), F.col("cv")), 4)

@@ -45,3 +45,54 @@ def test_ann_deterministic(spark):
     a = sorted(map(tuple, topk_ann_lsh(df, q, k=5).collect()))
     b = sorted(map(tuple, topk_ann_lsh(df, q, k=5).collect()))
     assert a == b
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    from dynamic_partitioner_spark.operators.similarity import topk_ann_ivf
+    df = spark.read.parquet(EMB)
+    q = df.where(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in topk_bruteforce(df, q, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in topk_ann_ivf(df, q, k=5, n_lists=16, nprobe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF nprobe=4/16 recall too low: {recall}"
+
+
+def test_ivf_full_probe_is_exact(spark):
+    """nprobe == n_lists scans everything -> identical to brute force."""
+    from dynamic_partitioner_spark.operators.similarity import topk_ann_ivf
+    df = spark.read.parquet(EMB)
+    q = df.where(F.col("vec_id") < 5)
+    exact = sorted((r.query_id, r.neighbor_id, r.cos_sim)
+                   for r in topk_bruteforce(df, q, k=5).collect())
+    full = sorted((r.query_id, r.neighbor_id, r.cos_sim)
+                  for r in topk_ann_ivf(df, q, k=5, n_lists=8,
+                                        nprobe=8).collect())
+    assert full == exact
+
+
+def test_ivf_deterministic(spark):
+    from dynamic_partitioner_spark.operators.similarity import topk_ann_ivf
+    df = spark.read.parquet(EMB)
+    q = df.where(F.col("vec_id") < 5)
+    a = sorted(map(tuple, topk_ann_ivf(df, q, k=5).collect()))
+    b = sorted(map(tuple, topk_ann_ivf(df, q, k=5).collect()))
+    assert a == b
+
+
+def test_vectorized_buckets_match_column_form(spark):
+    """The Arrow matmul bucket path must equal the pure-Column oracle."""
+    from dynamic_partitioner_spark.operators.similarity import (
+        _all_buckets_udf, _hyperplanes, sign_bucket)
+    df = spark.read.parquet(EMB).limit(50)
+    budf = _all_buckets_udf(dim=64, n_planes=6, n_tables=4, seed=42)
+    fast = df.select("vec_id", budf(F.col("embedding")).alias("bk"))
+    slow = df.select(
+        "vec_id",
+        F.array(*[sign_bucket(F.col("embedding"),
+                              _hyperplanes(64, 6, 42 + t)).cast("long")
+                  for t in range(4)]).alias("bk"))
+    f = {r.vec_id: list(r.bk) for r in fast.collect()}
+    s = {r.vec_id: list(r.bk) for r in slow.collect()}
+    assert f == s
