@@ -424,6 +424,54 @@ def q_mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("meta.orig_bytes").cast("long").alias("orig_bytes"))
 
 
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stand-in over binary payloads: fixed 16-byte
+    windows every 1024 bytes, JVM-side substring — the explode shape a
+    video frame sampler produces."""
+    from dynamic_partitioner_spark.operators.multimodal import frame_sample
+    docs = _table(spark, sf_dir, "documents")
+    frames = frame_sample(to_binary_table(docs), every_n=1024, frame_bytes=16)
+    return frames.select("doc_id",
+                         F.col("frame_idx").cast("long").alias("frame_idx"),
+                         F.hex(F.col("frame")).alias("frame_hex"))
+
+
+def q_catalog_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog registration parity (reference Explore tables): write
+    partitioned, register as an external table, query it through Spark
+    SQL with a partition-pruned filter."""
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        register_table)
+    apply_engine_confs(spark)
+    df = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    out = _out("catalog_table")
+    spec = SinkSpec(name="orders_by_priority", field_names=["o_orderpriority"])
+    write_partitioned(df, spec, out)
+    register_table(spark, spec, out)
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM `orders_by_priority`
+        WHERE o_orderpriority = '1-URGENT'
+    """)
+
+
+def q_partition_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: write with a tiny per-file row cap (the
+    many-files failure mode), compact to right-sized files, read back —
+    contents identical, file count bounded (pinned in tests)."""
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        compact_partitions)
+    apply_engine_confs(spark)
+    df = _table(spark, sf_dir, "lineitem")
+    out = _out("partition_compact")
+    spec = SinkSpec(name="li_small", field_names=["l_returnflag"],
+                    max_records_per_file=2000, cluster_by_key=False)
+    write_partitioned(df, spec, out)
+    compact_partitions(spark, out, "parquet")
+    return _li_stringified(read_partitioned(spark, out))
+
+
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction — rows-only; the
     deterministic byte-feature values are pinned in tests."""
@@ -531,6 +579,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_roundtrip": q_embedding_roundtrip,
         "mm_binary_stats": q_mm_binary_stats,
         "mm_features": q_mm_features,
+        "mm_frame_sample": q_mm_frame_sample,
+        "catalog_table": q_catalog_table,
+        "partition_compact": q_partition_compact,
         "streaming_partitioned_write": q_streaming_write,
         "event_sessionize": q_sessionize,
         "streaming_windowed_agg": q_streaming_windowed_agg,
@@ -699,6 +750,27 @@ def oracle_sql() -> dict[str, str]:
             "'text/plain' AS mime, "
             "octet_length(CAST(text AS BLOB)) AS orig_bytes FROM documents"),
         "streaming_partitioned_write": li_full,
+        "mm_frame_sample": """
+            WITH d AS (
+                SELECT doc_id, text,
+                       greatest(CAST(floor(octet_length(encode(text)) / 1024)
+                                     AS BIGINT), 1) AS nf
+                FROM documents
+            )
+            -- text is pure ASCII in the testdata (checked octet_length ==
+            -- length at every SF), so VARCHAR slicing equals byte slicing
+            SELECT doc_id, u.i - 1 AS frame_idx,
+                   hex(encode(substring(text, CAST((u.i - 1) * 1024 + 1
+                                                   AS BIGINT), 16)))
+                       AS frame_hex
+            FROM d, LATERAL unnest(range(1, nf + 1)) AS u(i)
+        """,
+        "catalog_table": (
+            "SELECT o_orderkey, o_custkey, o_totalprice, "
+            "trim(CAST(o_orderpriority AS VARCHAR)) AS o_orderpriority "
+            "FROM orders WHERE trim(CAST(o_orderpriority AS VARCHAR)) "
+            "= '1-URGENT'"),
+        "partition_compact": li_full,
         "event_sessionize": """
             WITH e AS (
                 SELECT user_id, ts, value,

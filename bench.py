@@ -40,6 +40,8 @@ BENCH_KEYS = [
     "dedup_embedding",
     "embedding_roundtrip",
     "mm_features",
+    "catalog_table",
+    "partition_compact",
 ]
 
 

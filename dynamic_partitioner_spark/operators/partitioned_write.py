@@ -35,6 +35,7 @@ import urllib.parse
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.read import read_partitioned
 from ..spec import SinkSpec
 from .partition_keys import normalize_partition_keys
 
@@ -133,6 +134,109 @@ def write_partitioned(df: DataFrame, spec: SinkSpec, path: str | None = None) ->
         writer = writer.option(k, v)
     writer.save(out)
     return out
+
+
+def register_table(spark: SparkSession, spec: SinkSpec, path: str,
+                   table_name: str | None = None) -> str:
+    """Register a written dataset as an external catalog table.
+
+    Reference parity: each sink registers its fileset as an external Hive
+    table for Explore (``FileSetUtil.java:78,117,163``
+    ``setEnableExploreOnCreate(true)`` + Hive schema from
+    ``PartitionedFileSetSinkConfig.java:109-116``).  Spark equivalent:
+    an external table over the path + ``recoverPartitions`` so the
+    metastore learns the Hive-layout directories; partition columns are
+    typed STRING (reference semantics).  Idempotent — re-registering
+    refreshes partitions.
+    """
+    name = table_name or spec.name
+    payload = [f for f in read_partitioned(spark, path, spec.fmt).schema.fields
+               if f.name not in spec.field_names]
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in payload)
+    parts = ", ".join(f"`{c}` string" for c in spec.field_names)
+    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    spark.sql(f"CREATE TABLE `{name}` ({cols}) USING {spec.fmt} "
+              f"PARTITIONED BY ({parts}) LOCATION '{path}'")
+    spark.catalog.recoverPartitions(name)
+    return name
+
+
+def compact_partitions(spark: SparkSession, path: str, fmt: str = "parquet",
+                       target_rows_per_file: int = 5_000_000) -> int:
+    """Rewrite a partitioned dataset with right-sized files per partition.
+
+    The small-files problem is THE operational failure mode of dynamic
+    partitioning at 100 TB (every task writing every key → files ×
+    tasks×keys).  This op re-reads the tree, REBALANCEs on the partition
+    keys (AQE sizes the shuffle output, splitting skewed keys), and
+    rewrites with ``partitionOverwriteMode=dynamic`` so only partitions
+    present in the input are replaced — safe to run over a live dataset
+    directory-by-directory.  Returns the number of partition columns
+    detected.
+    """
+    df = read_partitioned(spark, path, fmt)
+    part_cols = [f.name for f in df.schema.fields
+                 if f.dataType.simpleString() == "string"
+                 and f.name in _discover_partition_cols(spark, path)]
+    if not part_cols:
+        raise ValueError(f"no Hive partition columns discovered under {path}")
+    tmp = path.rstrip("/") + "._compact_tmp"
+    ndf = df.hint("rebalance", *part_cols)
+    (ndf.write.mode("overwrite")
+     .option("maxRecordsPerFile", str(target_rows_per_file))
+     .partitionBy(*part_cols).format(fmt).save(tmp))
+    # atomic-ish swap via the Hadoop FS API (rename is atomic on HDFS;
+    # best-effort locally)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    old, new = jvm.org.apache.hadoop.fs.Path(path), jvm.org.apache.hadoop.fs.Path(tmp)
+    trash = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "._compact_old")
+    fs.rename(old, trash)
+    fs.rename(new, old)
+    fs.delete(trash, True)
+    # invalidate cached file listings over this path.  refreshByPath
+    # covers path-based plans, but catalog tables cache their file index
+    # under the table identifier and only REFRESH TABLE drops it — so
+    # find any table registered at this location and refresh it too
+    # (without this a registered table fails with FILE_NOT_EXIST after
+    # the swap).
+    spark.catalog.refreshByPath(path)
+    norm = path.rstrip("/")
+    for tbl in spark.catalog.listTables():
+        if tbl.tableType == "TEMPORARY":
+            continue
+        loc = _table_location(spark, tbl.name)
+        if loc is not None and loc.rstrip("/").endswith(norm):
+            spark.sql(f"REFRESH TABLE `{tbl.name}`")
+    return len(part_cols)
+
+
+def _table_location(spark: SparkSession, name: str) -> str | None:
+    try:
+        for row in spark.sql(f"DESCRIBE TABLE EXTENDED `{name}`").collect():
+            if row.col_name == "Location":
+                return row.data_type
+    except Exception:
+        pass
+    return None
+
+
+def _discover_partition_cols(spark: SparkSession, path: str) -> set[str]:
+    """Names of Hive-layout partition directories directly under path."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    names: set[str] = set()
+    stack = [jpath]
+    while stack:
+        p = stack.pop()
+        for status in fs.listStatus(p):
+            if status.isDirectory() and "=" in status.getPath().getName():
+                names.add(status.getPath().getName().split("=", 1)[0])
+                stack.append(status.getPath())
+    return names
 
 
 def spark_avro_available(spark: SparkSession) -> bool:

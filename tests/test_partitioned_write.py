@@ -135,3 +135,66 @@ def test_multi_key_directory_nesting(spark, sales_df, tmp_out):
                       SinkSpec(name="s", field_names=["price", "buyer"]), tmp_out)
     assert os.path.isdir(f"{tmp_out}/price=1024.0/buyer=alice")
     assert os.path.isdir(f"{tmp_out}/price=3.5/buyer=bob")
+
+
+# --------------------------------------------------- catalog + compaction
+
+def test_register_table_and_prune(spark, purchase_df, tmp_out):
+    """Catalog registration: SQL over the external table works and a
+    partition-key filter becomes a pruned scan (reference Explore-table
+    parity)."""
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        register_table)
+    spec = SinkSpec(name="purchases_cat", field_names=["purchase_date"])
+    write_partitioned(purchase_df, spec, tmp_out)
+    register_table(spark, spec, tmp_out)
+
+    got = spark.sql("SELECT id, first_name, purchase_date FROM "
+                    "`purchases_cat` WHERE purchase_date = '2009-01-01'")
+    assert {r.id for r in got.collect()} == {2, 3, 6}
+
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()
+    # re-register is idempotent
+    register_table(spark, spec, tmp_out)
+    assert spark.sql("SELECT count(*) c FROM `purchases_cat`").first().c == 6
+
+
+def _count_files(root, suffix=".parquet"):
+    import os
+    return sum(1 for d, _, fs in os.walk(root) for f in fs
+               if f.endswith(suffix))
+
+
+def test_compact_partitions_reduces_files(spark, tmp_out):
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        compact_partitions)
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("k"))
+    spec = SinkSpec(name="cmp", field_names=["k"], max_records_per_file=100,
+                    cluster_by_key=False)
+    write_partitioned(df, spec, tmp_out)
+    before = _count_files(tmp_out)
+    assert before >= 20                      # tiny cap forced many files
+
+    n_cols = compact_partitions(spark, tmp_out, "parquet",
+                                target_rows_per_file=1_000_000)
+    after = _count_files(tmp_out)
+    assert n_cols == 1
+    assert after <= 4                        # ~one file per partition
+    back = read_partitioned(spark, tmp_out)
+    assert back.count() == 4000
+    assert back.select(F.sum("id")).first()[0] == sum(range(4000))
+
+
+def test_compact_partitions_rejects_flat_dir(spark, tmp_out):
+    import pytest
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        compact_partitions)
+    spark.range(10).write.parquet(tmp_out)   # no Hive layout
+    with pytest.raises(ValueError, match="no Hive partition columns"):
+        compact_partitions(spark, tmp_out)
