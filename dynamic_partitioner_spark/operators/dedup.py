@@ -74,30 +74,56 @@ def shingles(c: Column, n: int = 3) -> Column:
     return F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
 
 
-def _seeded_hash(seed: int):
-    # closure factory: a `seed=seed` lambda default would make pyspark
-    # pass the ARRAY INDEX as the second arg, silently replacing the seed
-    return lambda s: F.xxhash64(F.lit(seed), s)
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _affine_params(k: int, seed: int = 0x5EED) -> list[tuple[int, int]]:
+    """k deterministic (a, b) pairs for the universal hash family
+    h_i(x) = (a_i·x + b_i) mod p, a_i ∈ [1, p), b_i ∈ [0, p)."""
+    import random
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
+            for _ in range(k)]
 
 
 def minhash_signature(shingle_col: Column, k: int = 32) -> Column:
-    """k-permutation MinHash: sig[i] = min over shingles of
-    xxhash64(seed=i, shingle).  Literal seeds → fully deterministic."""
+    """k-permutation MinHash via one base hash + k affine permutations:
+    base(s) = xxhash64(s) mod p (p = 2³¹−1), sig[i] = min over shingles
+    of (aᵢ·base + bᵢ) mod p.
+
+    One O(strlen) hash per shingle instead of k (the standard universal-
+    hash MinHash construction); the k permutations are mult-adds over
+    the cached base array.  All operands stay below 2⁶² so ANSI-mode
+    bigint overflow can't fire.  Literal (aᵢ, bᵢ) → fully deterministic.
+    """
+    def _affine(a: int, b: int):
+        # closure factory: default-arg lambdas would add parameters that
+        # pyspark's higher-order-function arity inspection miscounts
+        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE_P))
+
+    bases = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s),
+                                                      F.lit(_MERSENNE_P)))
     return F.array(*[
-        F.array_min(F.transform(shingle_col, _seeded_hash(i)))
-        for i in range(k)
+        F.array_min(F.transform(bases, _affine(a, b)))
+        for a, b in _affine_params(k)
     ])
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str, sig_col: str = "sig",
-                        bands: int = 8, rows_per_band: int = 4) -> DataFrame:
+                        bands: int = 8, rows_per_band: int = 4,
+                        max_bucket_size: int | None = 10_000) -> DataFrame:
     """Banded LSH: docs sharing any band hash become a candidate pair.
 
     The band explode is narrow; the self-join shuffles on
     (band_idx, band_hash) — at 100 TB this is the dominant (and only)
     shuffle, keyed well because band hashes are uniform xxhash64 values.
-    Degenerate hot buckets (e.g. empty docs) are capped by distinct-ing
-    pairs after the join.
+
+    ``max_bucket_size`` guards the quadratic term: a degenerate bucket
+    (every empty doc shares one band hash) of size m yields m²/2 pairs —
+    one 10⁷-doc hot bucket is 5·10¹³ pairs, a job-killer.  Buckets above
+    the cap are dropped via a broadcast anti-join on the (tiny) hot-
+    bucket list; members of a dropped bucket still pair through their
+    other bands.  Pass None to disable (exhaustive audits).
     """
     band_entries = F.array(*[
         F.struct(F.lit(j).alias("band_idx"),
@@ -107,6 +133,13 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str, sig_col: str = "sig",
     ])
     exploded = (sig_df.select(F.col(id_col), F.explode(band_entries).alias("b"))
                 .select(id_col, "b.band_idx", "b.band_hash"))
+    if max_bucket_size is not None:
+        hot = (exploded.groupBy("band_idx", "band_hash")
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .where(F.col("_n") > max_bucket_size)
+               .select("band_idx", "band_hash"))
+        exploded = exploded.join(F.broadcast(hot),
+                                 ["band_idx", "band_hash"], "left_anti")
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (a.join(b, ["band_idx", "band_hash"])

@@ -82,3 +82,30 @@ def test_embedding_near_dup(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
     assert (1, 3) not in pairs           # orthogonal
     assert (1, 4) not in pairs           # different block
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """A degenerate bucket (many identical empty-ish docs) is dropped
+    when over the cap; distinct docs still pair via their other bands."""
+    from dynamic_partitioner_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signature, shingles)
+    from pyspark.sql import functions as F
+
+    # 30 empty docs (identical signature -> one hot bucket per band)
+    # + 2 real near-dup docs
+    rows = [(i, "") for i in range(30)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta"),
+             (101, "alpha beta gamma delta epsilon zeta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = df.select("doc_id",
+                     minhash_signature(shingles(F.col("text"), 3), 16)
+                     .alias("sig"))
+    uncapped = lsh_candidate_pairs(sigs, "doc_id", "sig", bands=4,
+                                   rows_per_band=4, max_bucket_size=None)
+    capped = lsh_candidate_pairs(sigs, "doc_id", "sig", bands=4,
+                                 rows_per_band=4, max_bucket_size=10)
+    # uncapped: 30*29/2 empty-doc pairs + the real pair
+    assert uncapped.count() == 30 * 29 // 2 + 1
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got               # real pair survives
+    assert all(a >= 100 for a, _ in got)   # hot-bucket pairs dropped
