@@ -175,6 +175,37 @@ def q_append_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _li_stringified(read_partitioned(spark, out))
 
 
+def q_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 extension: dynamic partition overwrite.  Full write, then an
+    overwrite carrying ONLY the 'R' partition — other partitions must
+    survive untouched, so the read-back equals the full table (a static
+    overwrite would have dropped them)."""
+    apply_engine_confs(spark)
+    df = _li_stringified(_table(spark, sf_dir, "lineitem"))
+    out = _out("overwrite_dynamic")
+    write_partitioned(
+        df, SinkSpec(name="li", field_names=["l_returnflag"]), out)
+    subset = df.where(F.col("l_returnflag") == "R")
+    write_partitioned(
+        subset, SinkSpec(name="li", field_names=["l_returnflag"],
+                         overwrite_partitions=True), out)
+    return read_partitioned(spark, out).select(*_LI_COLS, "l_shipdate")
+
+
+def q_text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-50 word trigrams: explode shingles → count →
+    rank.  The canonical shuffle-then-topk shape (partial agg map-side,
+    one exchange on the ngram)."""
+    docs = _table(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(DD.shingles(F.col("text"), 3)).alias("ngram"))
+    counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("ngram"))
+    return (counts.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 50)
+            .select("ngram", "n", "rnk"))
+
+
 def q_payload_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§1.4 table-schema semantics: payload view excludes partition cols."""
     apply_engine_confs(spark)
@@ -557,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_write_avro": q_pw_avro,
         "partition_key_trim": q_key_trim,
         "append_mode": q_append_mode,
+        "overwrite_dynamic": q_overwrite_dynamic,
         "payload_projection": q_payload_projection,
         "stage_tag": q_stage_tag,
         "nonnull_validation": q_nonnull_validation,
@@ -574,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_ivf": q_similarity_ivf,
         "text_stats": q_text_stats,
         "text_lang_id": q_text_lang_id,
+        "text_top_ngrams": q_text_top_ngrams,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
         "embedding_roundtrip": q_embedding_roundtrip,
@@ -622,6 +655,7 @@ def oracle_sql() -> dict[str, str]:
             "trim(concat('  ', l_returnflag, ' ')) AS rf_pad, "
             "CAST(l_quantity AS VARCHAR) AS l_quantity FROM lineitem"),
         "append_mode": li_full,
+        "overwrite_dynamic": li_full,
         "payload_projection": (
             "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "
             "l_quantity, l_extendedprice, l_discount, l_tax, "
@@ -771,6 +805,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders WHERE trim(CAST(o_orderpriority AS VARCHAR)) "
             "= '1-URGENT'"),
         "partition_compact": li_full,
+        "text_top_ngrams": f"""
+            WITH g AS (
+                SELECT unnest({_shingles('text')}) AS ngram FROM documents
+            ), c AS (
+                SELECT ngram, count(*) AS n FROM g GROUP BY ngram
+            )
+            SELECT ngram, n,
+                   row_number() OVER (ORDER BY n DESC, ngram) AS rnk
+            FROM c QUALIFY rnk <= 50
+        """,
         "event_sessionize": """
             WITH e AS (
                 SELECT user_id, ts, value,

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.read import read_partitioned
-from ..spec import SinkSpec
+from ..spec import SinkSpec, SpecError
 from .partition_keys import normalize_partition_keys
 
 #: reference Constants.java:9-10 — injected stage-tag field name.  We use a
@@ -97,7 +97,7 @@ def write_partitioned(df: DataFrame, spec: SinkSpec, path: str | None = None) ->
     if spec.stage_name is not None:
         ndf = ndf.withColumn(STAGE_FIELD, F.lit(spec.stage_name))
 
-    if not spec.mode_is_append:
+    if not spec.mode_is_append and not spec.overwrite_partitions:
         existing = list_existing_partitions(spark, out, spec.field_names)
         if existing:
             incoming = {
@@ -114,6 +114,10 @@ def write_partitioned(df: DataFrame, spec: SinkSpec, path: str | None = None) ->
         # no spark-avro connector jar in this deployment — use the
         # pure-Python container codec (same Hive layout + per-key writer
         # fan-out; see formats/avro_py.py)
+        if spec.overwrite_partitions:
+            raise SpecError(
+                "overwrite_partitions requires the spark-avro connector "
+                "(the pure-Python avro fallback only supports CREATE/APPEND)")
         from ..formats import write_avro_partitioned
         codec = (spec.compression_codec or "deflate").lower()
         return write_avro_partitioned(
@@ -126,7 +130,12 @@ def write_partitioned(df: DataFrame, spec: SinkSpec, path: str | None = None) ->
         except Exception:
             ndf = ndf.repartition(*[F.col(c) for c in spec.field_names])
 
-    writer = (ndf.write.mode("append")
+    mode = "overwrite" if spec.overwrite_partitions else "append"
+    if spec.overwrite_partitions:
+        # ensure only incoming partitions are replaced even if the
+        # session default was changed (engine conf sets dynamic already)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    writer = (ndf.write.mode(mode)
               .option("maxRecordsPerFile", str(spec.max_records_per_file))
               .partitionBy(*spec.field_names)
               .format(spec.fmt))

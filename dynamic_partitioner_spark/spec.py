@@ -64,6 +64,11 @@ class SinkSpec:
     base_path: str | None = None               # defaults to name
     compression_codec: str | None = None
     append_to_partition: str | None = None     # None/"No" → CREATE, else APPEND
+    #: dynamic partition overwrite: replace ONLY the partitions present in
+    #: the incoming data, leave all others untouched (Spark
+    #: partitionOverwriteMode=dynamic — the modern third write mode the
+    #: reference's CREATE/CREATE_OR_APPEND pair lacks)
+    overwrite_partitions: bool = False
     stage_name: str | None = None              # opt-in _stage tag column (S7)
     # ORC-only knobs (ORCDynamicPartitionedDatasetSink.java:59-72)
     compression_chunk_size: int | None = None

@@ -198,3 +198,29 @@ def test_compact_partitions_rejects_flat_dir(spark, tmp_out):
     spark.range(10).write.parquet(tmp_out)   # no Hive layout
     with pytest.raises(ValueError, match="no Hive partition columns"):
         compact_partitions(spark, tmp_out)
+
+
+def test_overwrite_dynamic_replaces_only_touched_partition(spark, purchase_df,
+                                                           tmp_out):
+    from dynamic_partitioner_spark.spec import SpecError
+    import pytest
+    spec = SinkSpec(name="p", field_names=["purchase_date"])
+    write_partitioned(purchase_df, spec, tmp_out)
+
+    # overwrite 2009-01-01 (3 rows) with a single replacement row
+    repl = spark.createDataFrame([(99, "Zed", "2009-01-01")],
+                                 "id long, first_name string, purchase_date string")
+    write_partitioned(repl, SinkSpec(name="p", field_names=["purchase_date"],
+                                     overwrite_partitions=True), tmp_out)
+    back = read_partitioned(spark, tmp_out)
+    assert back.count() == 4                       # 6 - 3 + 1
+    jan1 = back.where(F.col("purchase_date") == "2009-01-01").collect()
+    assert [(r.id, r.first_name) for r in jan1] == [(99, "Zed")]
+    # untouched partitions intact
+    assert back.where(F.col("purchase_date") == "2009-01-03").count() == 2
+
+    # avro fallback rejects overwrite loudly
+    with pytest.raises(SpecError, match="spark-avro"):
+        write_partitioned(repl, SinkSpec(name="p", field_names=["purchase_date"],
+                                         fmt="avro", overwrite_partitions=True),
+                          f"{tmp_out}_avro")
