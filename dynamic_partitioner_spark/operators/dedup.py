@@ -133,6 +133,11 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str, sig_col: str = "sig",
     ])
     exploded = (sig_df.select(F.col(id_col), F.explode(band_entries).alias("b"))
                 .select(id_col, "b.band_idx", "b.band_hash"))
+    # read 2× (self-join sides) + 1× for the hot-bucket count — persist
+    # so the signature computation upstream runs once, not three times
+    # (3 longs per band entry; tiny next to the shingle arrays)
+    from pyspark.storagelevel import StorageLevel
+    exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
     if max_bucket_size is not None:
         hot = (exploded.groupBy("band_idx", "band_hash")
                .agg(F.count(F.lit(1)).alias("_n"))
