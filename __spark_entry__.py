@@ -298,6 +298,60 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("value", 4).alias("value"), "rnk"))
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON metadata extraction from the events props column —
+    JVM-side get_json_object, no Python."""
+    events = _table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_mod"))
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, Spark-first: for each error event, the user's most
+    recent click at-or-before it.  NOT a range join — one shuffle on
+    user_id and a running window max, the shape that scales (a join+agg
+    formulation re-shuffles and explodes on skewed users)."""
+    events = _table(spark, sf_dir, "events")
+    evs = (events.where(F.col("event_type").isin("click", "error"))
+           .select("event_id", "user_id", "event_type", "ts"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))).over(w)
+    return (evs.withColumn("last_click_ns", last_click)
+            .where(F.col("event_type") == "error")
+            # integer `div`, not float `/`: double division loses ~256 ns
+            # of precision on 19-digit nano timestamps
+            .select("event_id", "user_id",
+                    F.expr("ts div 1000").alias("ts_us"),
+                    F.expr("last_click_ns div 1000").alias("last_click_us")))
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate over lineitem (subtotals + grand total)."""
+    li = _table(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+            .select(F.coalesce(F.col("l_returnflag"), F.lit("ALL"))
+                    .alias("l_returnflag"),
+                    F.coalesce(F.col("l_linestatus"), F.lit("ALL"))
+                    .alias("l_linestatus"),
+                    "n_rows", "sum_qty"))
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per event type (linear interpolation, matching
+    DuckDB quantile_cont)."""
+    events = _table(spark, sf_dir, "events")
+    return (events.groupBy("event_type")
+            .agg(F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+                 F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+                 F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99")))
+
+
 # =====================================================================
 # Dedup family (north-star extensions)
 # =====================================================================
@@ -595,6 +649,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_pruned_agg": q_pruned_agg,
         "query_join_broadcast": q_join_broadcast,
         "query_window_topk": q_window_topk,
+        "query_rollup": q_rollup,
+        "query_percentiles": q_percentiles,
+        "events_json_extract": q_json_extract,
+        "events_asof_join": q_asof_join,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -784,6 +842,47 @@ def oracle_sql() -> dict[str, str]:
             "'text/plain' AS mime, "
             "octet_length(CAST(text AS BLOB)) AS orig_bytes FROM documents"),
         "streaming_partitioned_write": li_full,
+        "query_rollup": """
+            SELECT coalesce(trim(CAST(l_returnflag AS VARCHAR)), 'ALL')
+                       AS l_returnflag,
+                   coalesce(trim(CAST(l_linestatus AS VARCHAR)), 'ALL')
+                       AS l_linestatus,
+                   count(*) AS n_rows,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (trim(CAST(l_returnflag AS VARCHAR)),
+                             trim(CAST(l_linestatus AS VARCHAR)))
+        """,
+        "query_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(quantile_cont(value, 0.99), 4) AS p99
+            FROM events GROUP BY event_type
+        """,
+        "events_json_extract": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+                       AS k_mod
+            FROM events
+        """,
+        "events_asof_join": """
+            WITH evs AS (
+                SELECT event_id, user_id, event_type, ts
+                FROM events WHERE event_type IN ('click', 'error')
+            ), run AS (
+                SELECT *,
+                       max(CASE WHEN event_type = 'click' THEN ts END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS last_click
+                FROM evs
+            )
+            SELECT event_id, user_id,
+                   epoch_us(ts) AS ts_us,
+                   epoch_us(last_click) AS last_click_us
+            FROM run WHERE event_type = 'error'
+        """,
         "mm_frame_sample": """
             WITH d AS (
                 SELECT doc_id, text,

@@ -30,6 +30,10 @@ BENCH_KEYS = [
     "query_pruned_agg",
     "query_join_broadcast",
     "query_window_topk",
+    "query_rollup",
+    "query_percentiles",
+    "events_json_extract",
+    "events_asof_join",
     "dedup_exact",
     "dedup_minhash",
     "similarity_topk",

@@ -35,11 +35,11 @@ from pyspark.sql import types as T
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
-def _event_ts(col) -> Any:
-    """LONG nanos → TIMESTAMP at microsecond precision (truncating,
-    matching DuckDB's read of the same parquet)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.timestamp_micros((c / F.lit(1000)).cast("long"))
+def _event_ts(col_name: str) -> Any:
+    """LONG nanos column → TIMESTAMP at microsecond precision
+    (truncating, matching DuckDB's read of the same parquet).  Integer
+    ``div`` — float division loses ~256 ns on 19-digit nano values."""
+    return F.expr(f"timestamp_micros(`{col_name}` div 1000)")
 
 
 def sessionize(df: DataFrame, key_col: str = "user_id", ts_col: str = "ts",
