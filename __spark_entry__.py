@@ -421,6 +421,33 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  threshold=0.3)
 
 
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-free embedding near-dup (sign-LSH blocks + cosine verify)
+    — rows-only; recall vs the exact pair set is pinned in tests.
+    Plane/table counts are tuned to the threshold: 0.3 cosine is a 72°
+    angle, so fewer planes (wider buckets) and more tables (recall
+    amplification) than the high-similarity dedup default."""
+    emb = _table(spark, sf_dir, "embeddings")
+    return (DD.embedding_near_dup_lsh(emb, "vec_id", "embedding",
+                                      threshold=0.3, n_planes=4, n_tables=8)
+            .orderBy("id_a", "id_b"))
+
+
+def q_corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data pipeline stage: language + length +
+    quality gates, then per-language survivor stats — the canonical
+    pre-training corpus filter, one scan + one agg shuffle."""
+    docs = _table(spark, sf_dir, "documents")
+    t = F.col("text")
+    kept = docs.where((TX.token_count(t) >= 5)
+                      & (TX.punct_ratio(t) < 0.2)
+                      & (F.col("n_chars") >= 20))
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.round(F.avg(TX.quality_score(t)), 4).alias("avg_quality"),
+                 F.round(F.avg(TX.token_count(t)), 4).alias("avg_tokens")))
+
+
 # =====================================================================
 # Similarity search
 # =====================================================================
@@ -659,6 +686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "corpus_quality_filter": q_corpus_quality_filter,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_similarity_ann,
         "similarity_ann_ivf": q_similarity_ivf,
@@ -913,6 +942,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, n,
                    row_number() OVER (ORDER BY n DESC, ngram) AS rnk
             FROM c QUALIFY rnk <= 50
+        """,
+        "corpus_quality_filter": f"""
+            WITH kept AS (
+                SELECT * FROM documents
+                WHERE ({TX.TOKEN_COUNT_SQL.format(c='text')}) >= 5
+                  AND ({TX.PUNCT_RATIO_SQL.format(c='text')}) < 0.2
+                  AND n_chars >= 20
+            )
+            SELECT lang, count(*) AS n_kept,
+                   round(avg({TX.QUALITY_SCORE_SQL.format(c='text')}), 4)
+                       AS avg_quality,
+                   round(avg({TX.TOKEN_COUNT_SQL.format(c='text')}), 4)
+                       AS avg_tokens
+            FROM kept GROUP BY lang
         """,
         "event_sessionize": """
             WITH e AS (

@@ -42,6 +42,8 @@ BENCH_KEYS = [
     "text_stats",
     "text_quality",
     "dedup_embedding",
+    "dedup_embedding_lsh",
+    "corpus_quality_filter",
     "embedding_roundtrip",
     "mm_features",
     "catalog_table",

@@ -235,6 +235,36 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
 
 # ------------------------------------------------------------- embeddings
 
+def embedding_near_dup_lsh(df: DataFrame, id_col: str, vec_col: str,
+                           threshold: float = 0.9, dim: int = 64,
+                           n_planes: int = 8, n_tables: int = 4,
+                           seed: int = 42) -> DataFrame:
+    """Label-free embedding near-dup: sign-LSH buckets ARE the blocking
+    key (no pre-existing cluster/label column needed — the realistic
+    100 TB case).  Candidates pair inside (table, bucket); cosine
+    verifies.  Vectors near a hyperplane can land in different buckets
+    in one table — n_tables independent tables amplify recall exactly
+    like the MinHash bands.  One shuffle on (tbl, bucket) per corpus.
+    """
+    from .similarity import _all_buckets_udf
+
+    budf = _all_buckets_udf(dim, n_planes, n_tables, seed)
+    base = (df.select(F.col(id_col).alias("_id"),
+                      F.col(vec_col).alias("v"),
+                      l2_norm(F.col(vec_col)).alias("nrm"),
+                      F.posexplode(budf(F.col(vec_col))).alias("tbl", "bucket")))
+    a, b = base.alias("a"), base.alias("b")
+    cos = F.try_divide(dot(F.col("a.v"), F.col("b.v")),
+                       F.col("a.nrm") * F.col("b.nrm"))
+    return (a.join(b, ["tbl", "bucket"])
+            .where(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b"),
+                    F.round(cos, 4).alias("cos_sim"))
+            .where(F.col("cos_sim") >= threshold)
+            .distinct())
+
+
 def embedding_near_dup(df: DataFrame, id_col: str, vec_col: str,
                        block_col: str, threshold: float = 0.95) -> DataFrame:
     """Cosine near-duplicate pairs inside a blocking key (e.g. a cluster

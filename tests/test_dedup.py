@@ -109,3 +109,29 @@ def test_lsh_hot_bucket_cap(spark):
     got = {(r.id_a, r.id_b) for r in capped.collect()}
     assert (100, 101) in got               # real pair survives
     assert all(a >= 100 for a, _ in got)   # hot-bucket pairs dropped
+
+
+def test_embedding_near_dup_lsh_recall(spark):
+    """Label-free LSH near-dup: every returned pair is a true pair
+    (cosine verified) and recall vs the exact cross-join baseline is
+    adequate at the tuned operating point."""
+    from dynamic_partitioner_spark.operators.dedup import (
+        embedding_near_dup_lsh)
+    from dynamic_partitioner_spark.functions.vectors import cosine
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a, b = emb.alias("a"), emb.alias("b")
+    exact = {(r.i, r.j) for r in
+             (a.crossJoin(b).where(F.col("a.vec_id") < F.col("b.vec_id"))
+              .select(F.col("a.vec_id").alias("i"), F.col("b.vec_id").alias("j"),
+                      F.round(cosine(F.col("a.embedding"), F.col("b.embedding")),
+                              4).alias("c"))
+              .where(F.col("c") >= 0.3)).collect()}
+    got = {(r.id_a, r.id_b) for r in
+           embedding_near_dup_lsh(emb, "vec_id", "embedding", threshold=0.3,
+                                  n_planes=4, n_tables=8).collect()}
+    assert got <= exact                        # no false positives
+    if exact:
+        recall = len(got) / len(exact)
+        assert recall >= 0.3, f"recall too low: {recall}"
