@@ -298,6 +298,28 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("value", 4).alias("value"), "rnk"))
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join: lineitem and orders bucketed on the join key →
+    SortMergeJoin with no exchange on either side (shuffle happens once
+    at bucketing time, amortized over every later join)."""
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        write_bucketed)
+    apply_engine_confs(spark)
+    write_bucketed(_table(spark, sf_dir, "lineitem")
+                   .select("l_orderkey", "l_extendedprice", "l_discount"),
+                   "li_bkt", ["l_orderkey"], n_buckets=8)
+    write_bucketed(_table(spark, sf_dir, "orders")
+                   .select("o_orderkey", "o_orderpriority"),
+                   "ord_bkt", ["o_orderkey"], n_buckets=8)
+    return spark.sql("""
+        SELECT o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM li_bkt JOIN ord_bkt ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """)
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON metadata extraction from the events props column —
     JVM-side get_json_object, no Python."""
@@ -680,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_percentiles": q_percentiles,
         "events_json_extract": q_json_extract,
         "events_asof_join": q_asof_join,
+        "query_bucketed_join": q_bucketed_join,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -881,6 +904,13 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP (trim(CAST(l_returnflag AS VARCHAR)),
                              trim(CAST(l_linestatus AS VARCHAR)))
+        """,
+        "query_bucketed_join": """
+            SELECT trim(CAST(o_orderpriority AS VARCHAR)) AS o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
         """,
         "query_percentiles": """
             SELECT event_type,

@@ -170,6 +170,38 @@ def register_table(spark: SparkSession, spec: SinkSpec, path: str,
     return name
 
 
+def write_bucketed(df, table_name: str, bucket_cols: list[str],
+                   n_buckets: int = 32, fmt: str = "parquet") -> str:
+    """Write a bucketed + sorted catalog table (hash-bucketed by
+    ``bucket_cols``).
+
+    The 100 TB co-located-join primitive: two tables bucketed the same
+    way join with ZERO exchange — each task reads matching bucket files
+    from both sides (the plan audit shows SortMergeJoin with no Exchange
+    beneath it).  Worth the one-time bucketing cost for any fact table
+    joined repeatedly on the same key.  Bucket count sizes the
+    parallelism of every later bucket-local join/scan; pick roughly
+    (table size / executor-comfortable partition size).
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
+    # with a non-persistent (in-memory) metastore, a previous process's
+    # managed-table directory survives while the catalog entry doesn't —
+    # saveAsTable then fails with LOCATION_ALREADY_EXISTS; clear it
+    warehouse = spark.conf.get("spark.sql.warehouse.dir",
+                               "spark-warehouse")
+    jvm = spark._jvm
+    loc = jvm.org.apache.hadoop.fs.Path(warehouse + "/" + table_name)
+    fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
+    (df.write.mode("overwrite").format(fmt)
+     .bucketBy(n_buckets, *bucket_cols)
+     .sortBy(*bucket_cols)
+     .saveAsTable(table_name))
+    return table_name
+
+
 def compact_partitions(spark: SparkSession, path: str, fmt: str = "parquet",
                        target_rows_per_file: int = 5_000_000) -> int:
     """Rewrite a partitioned dataset with right-sized files per partition.

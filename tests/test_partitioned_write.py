@@ -224,3 +224,40 @@ def test_overwrite_dynamic_replaces_only_touched_partition(spark, purchase_df,
         write_partitioned(repl, SinkSpec(name="p", field_names=["purchase_date"],
                                          fmt="avro", overwrite_partitions=True),
                           f"{tmp_out}_avro")
+
+
+def test_bucketed_join_no_shuffle(spark):
+    """Two tables bucketed on the join key: with broadcast disabled
+    (both sides 'big'), the join runs as SortMergeJoin with NO exchange
+    on either input — the shuffle was paid once at bucketing time."""
+    import contextlib
+    import io
+    import re
+
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        write_bucketed)
+
+    left = spark.range(0, 10000).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 10000).selectExpr("id AS k", "id * 3 AS b")
+    write_bucketed(left, "t_bkt_l", ["k"], n_buckets=4)
+    write_bucketed(right, "t_bkt_r", ["k"], n_buckets=4)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.sql("SELECT sum(a + b) s FROM t_bkt_l JOIN t_bkt_r USING (k)")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        # only the final single-row aggregate exchanges; the join inputs
+        # read bucket files directly
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+        assert j.first().s == sum(2 * i + 3 * i for i in range(10000))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # re-run write_bucketed in the same warehouse: stale dir handled
+    write_bucketed(left, "t_bkt_l", ["k"], n_buckets=4)
+    assert spark.table("t_bkt_l").count() == 10000
