@@ -298,6 +298,34 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("value", 4).alias("value"), "rnk"))
 
 
+def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source round-trip: write nation as CSV with header, read it
+    back with an explicit schema (never inference at scale — one extra
+    full pass).  Embedded commas/quotes survive quoting; newlines need
+    multiLine on read.  Known CSV limitation (probed): empty string and
+    NULL collapse to NULL on read-back regardless of emptyValue — use
+    parquet when that distinction matters."""
+    apply_engine_confs(spark)
+    df = _table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    out = _out("source_csv")
+    df.write.option("header", "true").csv(out)
+    back = (spark.read.option("header", "true")
+            .schema("n_nationkey long, n_name string, n_regionkey long")
+            .csv(out))
+    return back
+
+
+def q_source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source round-trip with explicit schema (region table)."""
+    apply_engine_confs(spark)
+    df = _table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    out = _out("source_jsonl")
+    df.write.json(out)
+    back = (spark.read.schema("r_regionkey long, r_name string").json(out))
+    return back
+
+
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located join: lineitem and orders bucketed on the join key →
     SortMergeJoin with no exchange on either side (shuffle happens once
@@ -703,6 +731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": q_json_extract,
         "events_asof_join": q_asof_join,
         "query_bucketed_join": q_bucketed_join,
+        "source_csv_roundtrip": q_source_csv,
+        "source_jsonl_roundtrip": q_source_jsonl,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -905,6 +935,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP (trim(CAST(l_returnflag AS VARCHAR)),
                              trim(CAST(l_linestatus AS VARCHAR)))
         """,
+        "source_csv_roundtrip": (
+            "SELECT n_nationkey, trim(CAST(n_name AS VARCHAR)) AS n_name, "
+            "n_regionkey FROM nation"),
+        "source_jsonl_roundtrip": (
+            "SELECT r_regionkey, trim(CAST(r_name AS VARCHAR)) AS r_name "
+            "FROM region"),
         "query_bucketed_join": """
             SELECT trim(CAST(o_orderpriority AS VARCHAR)) AS o_orderpriority,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
