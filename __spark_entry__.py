@@ -702,6 +702,33 @@ def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stateful_user_stats(spark, src, "stream_state_sink")
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup across micro-batches: the source holds TWO
+    copies of every event (written as separate files → separate
+    triggers); state-store dedup on event_id must drop the second copy
+    even though it arrives in a later batch."""
+    from dynamic_partitioner_spark.streaming.stateful import (
+        run_streaming_dedup)
+    apply_engine_confs(spark)
+    src = _out("stream_dedup_src")
+    ev = _table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ev.repartition(2).write.parquet(src)
+    ev.repartition(2).write.mode("append").parquet(src)   # duplicate copy
+    spark.catalog.dropTempView("stream_dedup_sink")
+    out = run_streaming_dedup(spark, src, "stream_dedup_sink", ["event_id"])
+    return out.select("event_id", "user_id", F.round("value", 2).alias("value"))
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates: users and distinct value-buckets per event
+    type (two distinct aggs in one pass — Spark expands then merges)."""
+    events = _table(spark, sf_dir, "events")
+    return (events.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.countDistinct(F.floor(F.col("value"))).alias("n_buckets"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -759,6 +786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessionize": q_sessionize,
         "streaming_windowed_agg": q_streaming_windowed_agg,
         "streaming_stateful_counts": q_streaming_stateful,
+        "streaming_dedup": q_streaming_dedup,
+        "query_distinct_agg": q_distinct_agg,
     }
 
 
@@ -1056,4 +1085,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, count(*) AS n_events, "
             "round(sum(value), 2) AS total_value "
             "FROM events GROUP BY user_id"),
+        "streaming_dedup": (
+            "SELECT event_id, user_id, round(value, 2) AS value "
+            "FROM events"),
+        "query_distinct_agg": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_users,
+                   count(DISTINCT CAST(floor(value) AS BIGINT)) AS n_buckets,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
     }

@@ -35,6 +35,7 @@ BENCH_KEYS = [
     "events_json_extract",
     "events_asof_join",
     "dedup_exact",
+    "query_distinct_agg",
     "dedup_minhash",
     "similarity_topk",
     "similarity_ann_lsh",

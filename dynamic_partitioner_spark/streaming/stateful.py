@@ -97,6 +97,24 @@ def streaming_tumbling_agg(spark: SparkSession, src_path: str,
     return spark.table(sink_table)
 
 
+def run_streaming_dedup(spark: SparkSession, src_path: str, sink_table: str,
+                        key_cols: list[str], timeout_sec: int = 300) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicates`` on a stream keeps a
+    state-store entry per seen key, so duplicates are dropped ACROSS
+    micro-batches — the ingest-time dedup a training-data pipeline runs
+    on a continuously-landing corpus (in production, add
+    ``withWatermark`` so state for old keys expires; unbounded here
+    because the drained source is finite)."""
+    from .write import run_stream_to_completion, stream_from_files
+
+    sdf = stream_from_files(spark, src_path, max_files_per_trigger=1)
+    deduped = sdf.dropDuplicates(key_cols)
+    q = (deduped.writeStream.format("memory").queryName(sink_table)
+         .outputMode("append").trigger(availableNow=True).start())
+    run_stream_to_completion(q, timeout_sec)
+    return spark.table(sink_table)
+
+
 STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType()),
                              T.StructField("total", T.DoubleType())])
 

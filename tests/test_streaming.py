@@ -119,3 +119,18 @@ def test_stateful_user_stats_across_batches(spark, tmp_out):
     final = run_stateful_user_stats(spark, src, "t_state_sink")
     got = {(r.user_id, r.n_events, r.total_value) for r in final.collect()}
     assert got == {(1, 4, 15.0), (2, 1, 16.0)}
+
+
+def test_streaming_dedup_across_batches(spark, tmp_out):
+    """A duplicate arriving in a LATER micro-batch is dropped by the
+    state-store dedup (batch-local dedup would keep it)."""
+    from dynamic_partitioner_spark.streaming.stateful import (
+        run_streaming_dedup)
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    src = f"{tmp_out}/src"
+    df.coalesce(1).write.parquet(src)                       # batch 1
+    df.coalesce(1).write.mode("append").parquet(src)        # batch 2 = dups
+    spark.catalog.dropTempView("t_sdedup")
+    out = run_streaming_dedup(spark, src, "t_sdedup", ["id"])
+    assert sorted((r.id, r.v) for r in out.collect()) == \
+        [(1, "a"), (2, "b"), (3, "c")]
