@@ -36,7 +36,7 @@ from dynamic_partitioner_spark.functions import text as TX
 from dynamic_partitioner_spark.functions.vectors import L2_NORM_SQL, l2_norm
 from dynamic_partitioner_spark.operators import dedup as DD
 from dynamic_partitioner_spark.operators.multimodal import (
-    extract_features,
+    feature_rows,
     to_binary_table,
 )
 from dynamic_partitioner_spark.operators.similarity import (
@@ -635,10 +635,12 @@ def q_partition_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas feature extraction — rows-only; the
-    deterministic byte-feature values are pinned in tests."""
+    """Arrow-batched mapInPandas feature extraction, exploded to one row
+    per (doc, feature) — scalar columns the driver canonicalizer can
+    hash, and SQL-checkable: the DuckDB twin rebuilds the byte histogram
+    + moments from ascii() over the (pure-ASCII, verified) text."""
     docs = _table(spark, sf_dir, "documents")
-    return extract_features(to_binary_table(docs)).orderBy("doc_id")
+    return feature_rows(to_binary_table(docs))
 
 
 # =====================================================================
@@ -1006,6 +1008,48 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(ts) AS ts_us,
                    epoch_us(last_click) AS last_click_us
             FROM run WHERE event_type = 'error'
+        """,
+        "mm_features": """
+            -- byte-level feature twin: text is pure ASCII at every SF
+            -- (checked octet_length(encode(text)) == length(text)), so
+            -- byte i == ascii(char i).  Moments come from exact integer
+            -- sums, mirroring the extractor's op order bit-for-bit;
+            -- rounding is floor(x*1e6+0.5)/1e6 on both sides.
+            WITH d AS (
+                SELECT doc_id, text,
+                       CAST(length(text) AS BIGINT) AS n_bytes
+                FROM documents
+            ), bytes AS (
+                SELECT doc_id,
+                       ascii(substring(text, CAST(u.i AS BIGINT), 1)) AS b
+                FROM d, LATERAL unnest(range(1, n_bytes + 1)) AS u(i)
+            ), moments AS (
+                SELECT doc_id,
+                       CAST(sum(b) AS DOUBLE) AS s,
+                       CAST(sum(b * b) AS DOUBLE) AS ss,
+                       CAST(count(*) AS DOUBLE) AS n
+                FROM bytes GROUP BY doc_id
+            ), hist AS (
+                SELECT doc_id, b // 32 AS bin, CAST(count(*) AS DOUBLE) AS cnt
+                FROM bytes GROUP BY doc_id, bin
+            ), feats AS (
+                SELECT d.doc_id, d.n_bytes, CAST(g.i AS BIGINT) AS feat_idx,
+                       coalesce(h.cnt, 0.0) / m.n AS raw
+                FROM d
+                CROSS JOIN unnest(range(0, 8)) AS g(i)
+                JOIN moments m ON m.doc_id = d.doc_id
+                LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.bin = g.i
+                UNION ALL
+                SELECT d.doc_id, d.n_bytes, 8, m.s / m.n / 255.0
+                FROM d JOIN moments m ON m.doc_id = d.doc_id
+                UNION ALL
+                SELECT d.doc_id, d.n_bytes, 9,
+                       sqrt(greatest((m.ss - m.s * m.s / m.n) / m.n, 0.0)) / 255.0
+                FROM d JOIN moments m ON m.doc_id = d.doc_id
+            )
+            SELECT doc_id, n_bytes, feat_idx,
+                   floor(raw * 1000000 + 0.5) / 1000000 AS feat_value
+            FROM feats
         """,
         "mm_frame_sample": """
             WITH d AS (

@@ -17,6 +17,7 @@ real cluster; nothing else changes.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -55,15 +56,28 @@ def decode_media(df: DataFrame, mode: str) -> DataFrame:
         "deterministic byte-level path, or plug a PIL/av decoder here.")
 
 
+def _r6(x: float) -> float:
+    # floor(x*1e6+0.5)/1e6, NOT round(): Python rounds half-even, DuckDB
+    # half-away — floor on identical IEEE doubles is bit-reproducible
+    # across both engines (same trick as functions/text.quality_score)
+    return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+
 def _byte_features(payload: bytes) -> tuple[int, list[float]]:
     arr = np.frombuffer(payload, dtype=np.uint8)
     n = int(arr.size)
     if n == 0:
         return 0, [0.0] * (N_BINS + 2)
-    hist = np.bincount(arr >> 5, minlength=N_BINS).astype("float64") / n
-    mean = float(arr.mean()) / 255.0
-    std = float(arr.std()) / 255.0
-    return n, [round(float(x), 6) for x in (*hist, mean, std)]
+    # moments from exact integer sums (< 2^53) so the double math below
+    # is the *same sequence of IEEE ops* the DuckDB oracle runs — any
+    # accumulation-order difference (numpy pairwise vs SQL streaming)
+    # would break bit-equality at the 6th decimal
+    a = arr.astype(np.int64)
+    s, ss, nf = float(int(a.sum())), float(int((a * a).sum())), float(n)
+    hist = np.bincount(arr >> 5, minlength=N_BINS).astype("float64") / nf
+    mean = s / nf / 255.0
+    std = math.sqrt(max((ss - s * s / nf) / nf, 0.0)) / 255.0
+    return n, [_r6(float(x)) for x in (*hist, mean, std)]
 
 
 def extract_features(binary_df: DataFrame) -> DataFrame:
@@ -83,6 +97,24 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
             })
 
     return binary_df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def feature_rows(binary_df: DataFrame) -> DataFrame:
+    """:func:`extract_features` in long form: one (doc_id, n_bytes,
+    feat_idx, feat_value) row per feature element.
+
+    The exploded shape is what a feature store / SQL consumer wants
+    (arrays are opaque to most engines' sort/hash machinery — the
+    driver's own canonicalizer can't hash ``array<double>``), and the
+    explode is a narrow JVM-side op over the already-batched extractor
+    output.
+    """
+    f = extract_features(binary_df)
+    return f.select("doc_id", F.col("n_bytes").cast("long").alias("n_bytes"),
+                    F.posexplode("features").alias("feat_idx", "feat_value")) \
+            .select("doc_id", "n_bytes",
+                    F.col("feat_idx").cast("long").alias("feat_idx"),
+                    "feat_value")
 
 
 def frame_sample(binary_df: DataFrame, every_n: int = 1024,

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 from dynamic_partitioner_spark.operators.multimodal import (
     decode_media,
     extract_features,
+    feature_rows,
     frame_sample,
     to_binary_table,
 )
@@ -39,6 +40,24 @@ def test_extract_features_matches_python(spark):
     # 'a','b','c' = 97,98,99 → all in bin 3 (97>>5)
     assert row.features[3] == 1.0
     assert row.features[8] == pytest.approx(98 / 255.0, abs=1e-6)
+
+
+def test_feature_rows_long_form(spark):
+    """Exploded form: 10 scalar rows per doc, values equal to the array
+    form element-wise (and every column hashable — driver-canonicalizer
+    requirement)."""
+    df = spark.createDataFrame([(1, "abc"), (2, "abab")],
+                               "doc_id long, text string")
+    rows = feature_rows(to_binary_table(df)).collect()
+    assert len(rows) == 20
+    assert dict((f.name, f.dataType.simpleString())
+                for f in feature_rows(to_binary_table(df)).schema.fields) == {
+        "doc_id": "bigint", "n_bytes": "bigint",
+        "feat_idx": "bigint", "feat_value": "double"}
+    arr = {r.doc_id: r.features
+           for r in extract_features(to_binary_table(df)).collect()}
+    for r in rows:
+        assert r.feat_value == arr[r.doc_id][r.feat_idx]
 
 
 def test_frame_sample_shapes(spark):
