@@ -474,12 +474,15 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-free embedding near-dup (sign-LSH blocks + cosine verify)
     — rows-only; recall vs the exact pair set is pinned in tests.
-    Plane/table counts are tuned to the threshold: 0.3 cosine is a 72°
-    angle, so fewer planes (wider buckets) and more tables (recall
-    amplification) than the high-similarity dedup default."""
+    ``n_planes=None`` sizes the bucket count from the corpus (buckets ≈
+    n/target) so the per-bucket quadratic stays bounded as SF grows;
+    n_tables=8 amplifies recall for the low (0.3-cosine ≈ 72°)
+    threshold.  Degenerate buckets are dropped by the default
+    max_bucket_size guard."""
     emb = _table(spark, sf_dir, "embeddings")
     return (DD.embedding_near_dup_lsh(emb, "vec_id", "embedding",
-                                      threshold=0.3, n_planes=4, n_tables=8)
+                                      threshold=0.3, n_planes=None,
+                                      n_tables=8)
             .orderBy("id_a", "id_b"))
 
 

@@ -237,39 +237,72 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def embedding_near_dup_lsh(df: DataFrame, id_col: str, vec_col: str,
                            threshold: float = 0.9, dim: int = 64,
-                           n_planes: int = 8, n_tables: int = 4,
-                           seed: int = 42) -> DataFrame:
+                           n_planes: int | None = None, n_tables: int = 4,
+                           seed: int = 42,
+                           max_bucket_size: int | None = 10_000,
+                           target_bucket_size: int = 128) -> DataFrame:
     """Label-free embedding near-dup: sign-LSH buckets ARE the blocking
     key (no pre-existing cluster/label column needed — the realistic
-    100 TB case).  Candidates pair inside (table, bucket); cosine
-    verifies.  Vectors near a hyperplane can land in different buckets
-    in one table — n_tables independent tables amplify recall exactly
-    like the MinHash bands.  One shuffle on (tbl, bucket) per corpus.
+    100 TB case).  Vectors near a hyperplane can land in different
+    buckets in one table — n_tables independent tables amplify recall
+    exactly like the MinHash bands.
+
+    Scale shape (mirrors :func:`lsh_candidate_pairs` + re-join verify):
+
+    * ``n_planes=None`` derives the bucket count from the corpus size
+      (buckets ≈ n / target_bucket_size, clamped to [2, 16] planes), so
+      the per-bucket quadratic term stays ~n·target/2 per table instead
+      of n²/2^planes with a FIXED plane count — the latter degenerates
+      to all-pairs as the corpus grows past 2^planes·target.
+    * ``max_bucket_size`` drops degenerate buckets (e.g. a zero-vector
+      pile-up: every zero vector lands in bucket 0 of every table) via
+      a broadcast anti-join on the tiny hot-bucket list, same guard as
+      the MinHash band path.  Pass None to disable.
+    * the bucket self-join carries only (id, tbl, bucket) — 3 longs —
+      and candidate pairs are ``distinct``-ed BEFORE the cosine verify,
+      so a pair colliding in several tables shuffles thin and pays the
+      Arrow-batched cosine once, not n_tables times.
     """
-    from .similarity import _all_buckets_udf
+    import math as _math
 
     from pyspark.storagelevel import StorageLevel
 
     from ..functions.vectors import cosine_batched
+    from .similarity import _all_buckets_udf
+
+    if n_planes is None:
+        n = df.count()
+        n_planes = min(16, max(2, _math.ceil(
+            _math.log2(max(n / target_bucket_size, 2.0)))))
 
     budf = _all_buckets_udf(dim, n_planes, n_tables, seed)
-    base = (df.select(F.col(id_col).alias("_id"),
-                      F.col(vec_col).alias("v"),
-                      F.posexplode(budf(F.col(vec_col))).alias("tbl", "bucket"))
-            # both self-join sides read this — persist so the Arrow
-            # bucket UDF runs once per corpus, not twice
+    base = (df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("v"))
+            # read by the bucket pass + both sides of the verify join
             .persist(StorageLevel.MEMORY_AND_DISK))
-    a, b = base.alias("a"), base.alias("b")
+    buckets = (base.select("_id",
+                           F.posexplode(budf(F.col("v"))).alias("tbl", "bucket"))
+               # both self-join sides + the hot-bucket count read this —
+               # persist so the Arrow bucket UDF runs once per corpus
+               .persist(StorageLevel.MEMORY_AND_DISK))
+    if max_bucket_size is not None:
+        hot = (buckets.groupBy("tbl", "bucket")
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .where(F.col("_n") > max_bucket_size)
+               .select("tbl", "bucket"))
+        buckets = buckets.join(F.broadcast(hot), ["tbl", "bucket"], "left_anti")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (a.join(b, ["tbl", "bucket"])
+            .where(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .distinct())
+    va = base.select(F.col("_id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("_id").alias("id_b"), F.col("v").alias("vb"))
     # batched numpy verify: the Column aggregate/zip_with form is
     # interpreted (no codegen) and measured ~5× slower on the pair set
-    cos = cosine_batched(F.col("a.v"), F.col("b.v"))
-    return (a.join(b, ["tbl", "bucket"])
-            .where(F.col("a._id") < F.col("b._id"))
-            .select(F.col("a._id").alias("id_a"),
-                    F.col("b._id").alias("id_b"),
-                    F.round(cos, 4).alias("cos_sim"))
-            .where(F.col("cos_sim") >= threshold)
-            .distinct())
+    cos = cosine_batched(F.col("va"), F.col("vb"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .select("id_a", "id_b", F.round(cos, 4).alias("cos_sim"))
+            .where(F.col("cos_sim") >= threshold))
 
 
 def embedding_near_dup(df: DataFrame, id_col: str, vec_col: str,

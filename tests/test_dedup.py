@@ -111,6 +111,48 @@ def test_lsh_hot_bucket_cap(spark):
     assert all(a >= 100 for a, _ in got)   # hot-bucket pairs dropped
 
 
+def test_embedding_lsh_hot_bucket_cap(spark):
+    """Degenerate bucket: 30 identical vectors share one bucket in every
+    table (30·29/2 quadratic pairs).  Over the cap that bucket is
+    dropped — the pile-up's pairs vanish — while a real near-identical
+    pair in another bucket still verifies."""
+    from dynamic_partitioner_spark.operators.dedup import (
+        embedding_near_dup_lsh)
+
+    dim = 8
+    pile = [0.0] * 7 + [1.0]
+    rows = [(i, pile) for i in range(30)]
+    rows += [(100, [1.0, 0.5, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+             (101, [1.0, 0.49, 0.0, 0.0, 0.0, 0.0, 0.0, 0.01])]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    def pairs(cap):
+        return {(r.id_a, r.id_b) for r in
+                embedding_near_dup_lsh(df, "vec_id", "v", threshold=0.9,
+                                       dim=dim, n_planes=3, n_tables=2,
+                                       max_bucket_size=cap).collect()}
+
+    uncapped = pairs(None)
+    assert len(uncapped) == 30 * 29 // 2 + 1     # pile quadratic + real pair
+    capped = pairs(10)
+    assert (100, 101) in capped                  # real pair survives
+    assert all(a >= 100 for a, _ in capped)      # pile pairs dropped
+
+
+def test_embedding_lsh_auto_planes(spark):
+    """n_planes=None derives the bucket count from the corpus size."""
+    from dynamic_partitioner_spark.operators.dedup import (
+        embedding_near_dup_lsh)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = embedding_near_dup_lsh(emb, "vec_id", "embedding", threshold=0.3,
+                                 n_planes=None, n_tables=8)
+    # runs end-to-end, returns verified pairs only
+    rows = out.collect()
+    assert all(r.cos_sim >= 0.3 for r in rows)
+    assert all(r.id_a < r.id_b for r in rows)
+
+
 def test_embedding_near_dup_lsh_recall(spark):
     """Label-free LSH near-dup: every returned pair is a true pair
     (cosine verified) and recall vs the exact cross-join baseline is
