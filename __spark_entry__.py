@@ -455,9 +455,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document (SQL-checkable bit-for-bit)."""
+    """32-bit SimHash per document (SQL-checkable bit-for-bit; the
+    Arrow-batched form is integer-exact so it hash-matches the DuckDB
+    nibble-vote twin just like the Column spec form)."""
     docs = _table(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.simhash(F.col("text")).alias("simhash"))
+    return docs.select("doc_id",
+                       TX.simhash_batched(F.col("text")).alias("simhash"))
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

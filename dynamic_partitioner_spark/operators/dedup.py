@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import dot, l2_norm
-from ..functions.text import simhash
+from ..functions.text import simhash_batched
 
 # ------------------------------------------------------------------ exact
 
@@ -219,10 +219,12 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                   block_col: str, max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup pairs: hamming(simhash32) <= max_hamming inside a
-    blocking key.  ``bit_count(xor)`` stays in codegen."""
+    blocking key.  Signatures come from the Arrow-batched simhash (bit-
+    identical to the Column spec form); ``bit_count(xor)`` pairing stays
+    in codegen."""
     base = df.select(F.col(block_col).alias("_blk"),
                      F.col(id_col).alias("_id"),
-                     simhash(F.col(text_col)).alias("sh"))
+                     simhash_batched(F.col(text_col)).alias("sh"))
     a, b = base.alias("a"), base.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (a.join(b, "_blk")

@@ -56,7 +56,7 @@ def test_minhash_recall_vs_exact_baseline(spark):
 
 def test_simhash_identical_docs_same_hash(spark):
     hashes = (_docs(spark)
-              .select("doc_id", DD.simhash(F.col("text")).alias("h"))
+              .select("doc_id", DD.simhash_batched(F.col("text")).alias("h"))
               .collect())
     by_id = {r.doc_id: r.h for r in hashes}
     assert by_id[1] == by_id[2]

@@ -59,3 +59,21 @@ def test_simhash_similar_texts_close(spark):
     ham_near = bin(h[0] ^ h[1]).count("1")
     ham_far = bin(h[0] ^ h[2]).count("1")
     assert ham_near < ham_far
+
+
+def test_simhash_batched_bit_identical(spark):
+    """The Arrow-batched simhash must equal the Column spec form on every
+    input, including empty/whitespace/NULL documents (the hot path is
+    only allowed to be a faster implementation, never a different one)."""
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .limit(100).select("doc_id", "text"))
+    edge = spark.createDataFrame(
+        [(100001, ""), (100002, "   "), (100003, None), (100004, "a\tb\nc")],
+        "doc_id long, text string")
+    both = docs.unionByName(edge).select(
+        "doc_id",
+        TX.simhash(F.col("text")).alias("col_form"),
+        TX.simhash_batched(F.col("text")).alias("batched"))
+    assert both.where(
+        F.col("col_form") != F.col("batched")).count() == 0
+    assert both.where(F.col("batched").isNull()).count() == 0
