@@ -55,11 +55,15 @@ class SinkSpec:
     name: str                                  # dataset / table name
     field_names: list[str]                     # partition fields, ordered
     fmt: str = "parquet"                       # parquet | avro | orc
-    #: optional declared schema (DDL string or StructType), mirroring the
-    #: reference's user-supplied JSON schema (PartitionedFileSetSinkConfig
-    #: .java:55-57).  The non-nullable partition-field rule is checked
-    #: against THIS schema when given — files read from parquet are always
-    #: nullable in Spark, so the declared schema carries the contract.
+    #: optional declared schema: StructType, DDL string, or an **Avro
+    #: record-schema JSON string** — the exact input format the reference
+    #: takes (PartitionedFileSetSinkConfig.java:55-57 declares it; :82-88
+    #: parses it with Schema.parseJson), so existing CDAP pipeline configs
+    #: can be fed in unchanged.  The non-nullable partition-field rule is
+    #: checked against THIS schema when given — files read from parquet
+    #: are always nullable in Spark, so the declared schema carries the
+    #: contract (an Avro ["null", T] union field counts as nullable,
+    #: matching Schema.isNullable in getPartitioning, :140-144).
     schema: T.StructType | str | None = None
     base_path: str | None = None               # defaults to name
     compression_codec: str | None = None
@@ -91,7 +95,19 @@ class SinkSpec:
             return None
         if isinstance(self.schema, T.StructType):
             return self.schema
-        return T.StructType.fromDDL(self.schema)
+        s = self.schema.strip()
+        if s.startswith("{"):
+            # Avro record-schema JSON (the reference's native format)
+            from .formats.avro_py import spark_schema_from_avro
+            try:
+                return spark_schema_from_avro(s)
+            except Exception as e:
+                # reference wording, PartitionedFileSetSinkConfig.java:85-87
+                raise SpecError(f"Unable to parse schema: {e}") from e
+        try:
+            return T.StructType.fromDDL(s)
+        except Exception as e:
+            raise SpecError(f"Unable to parse schema: {e}") from e
 
     def validate(self, input_schema: T.StructType) -> None:
         if not self.field_names:

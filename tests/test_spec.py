@@ -107,3 +107,53 @@ def test_append_mode_semantics():
                     append_to_partition="Yes").mode_is_append
     assert SinkSpec(name="s", field_names=["x"],
                     append_to_partition="CREATE_OR_APPEND").mode_is_append
+
+
+AVRO_SALES = """{
+  "type": "record", "name": "sales", "fields": [
+    {"name": "product", "type": "string"},
+    {"name": "buyer", "type": "string"},
+    {"name": "price", "type": "double"}
+  ]
+}"""
+
+
+def test_avro_json_declared_schema_ok():
+    """The reference's native schema input format (Avro record JSON,
+    PartitionedFileSetSinkConfig.java:82-88) is accepted directly."""
+    spec = SinkSpec(name="s", field_names=["product"], schema=AVRO_SALES)
+    declared = spec.declared_schema()
+    assert [f.name for f in declared.fields] == ["product", "buyer", "price"]
+    assert declared["price"].dataType == T.DoubleType()
+    assert not declared["product"].nullable
+    spec.validate(SALES)
+
+
+def test_avro_json_nullable_union_partition_field_fails():
+    """["null", T] union partition field == nullable == rejected,
+    matching Schema.isNullable in getPartitioning (:140-144)."""
+    schema = ('{"type": "record", "name": "s", "fields": ['
+              '{"name": "product", "type": ["null", "string"]},'
+              '{"name": "price", "type": "double"}]}')
+    spec = SinkSpec(name="s", field_names=["product"], schema=schema)
+    assert spec.declared_schema()["product"].nullable
+    with pytest.raises(SpecError, match="non-nullable"):
+        spec.validate(SALES)
+
+
+def test_avro_json_payload_nullable_union_ok():
+    """Nullable unions are fine on non-partition payload fields."""
+    schema = ('{"type": "record", "name": "s", "fields": ['
+              '{"name": "product", "type": "string"},'
+              '{"name": "price", "type": ["null", "double"]}]}')
+    SinkSpec(name="s", field_names=["product"], schema=schema).validate(SALES)
+
+
+def test_bad_schema_string_fails():
+    # reference wording: "Unable to parse schema" (:85-87)
+    with pytest.raises(SpecError, match="Unable to parse schema"):
+        SinkSpec(name="s", field_names=["product"],
+                 schema='{"type": "record", "oops": true}').declared_schema()
+    with pytest.raises(SpecError, match="Unable to parse schema"):
+        SinkSpec(name="s", field_names=["product"],
+                 schema="not ( a ddl").declared_schema()
