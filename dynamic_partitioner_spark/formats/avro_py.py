@@ -319,7 +319,8 @@ def _hive_dir(field_names: list[str], key: tuple) -> str:
 
 
 def write_avro_partitioned(df: DataFrame, field_names: list[str],
-                           path: str, codec: str = "deflate") -> str:
+                           path: str, codec: str = "deflate",
+                           overwrite_partitions: bool = False) -> str:
     """Hive-partitioned Avro write without the spark-avro jar.
 
     One ``applyInPandas`` group per distinct key tuple → one container
@@ -328,6 +329,15 @@ def write_avro_partitioned(df: DataFrame, field_names: list[str],
     ``partitionBy`` would plan.  Skew caveat: one giant key lands in one
     task — acceptable for the fallback path; the spark-avro fast path
     handles skew via REBALANCE in ``write_partitioned``.
+
+    ``overwrite_partitions`` gives the fallback the same dynamic-
+    overwrite semantics as the parquet/orc path: partition dirs present
+    in the incoming data are moved aside (``._overwrite_old``), the
+    write runs, then the old dirs are deleted; a failed write restores
+    them.  The distinct-keys collect is bounded by the partition count
+    (same documented pattern as the CREATE existence check).  The
+    fallback writer requires a POSIX-visible output path on all
+    executors (it already writes through the local file API).
     """
     import pandas as pd
 
@@ -339,6 +349,20 @@ def write_avro_partitioned(df: DataFrame, field_names: list[str],
         [f for f in df.schema.fields if f.name not in field_names])
     avro_schema_json(payload_schema)       # validate types up front
     cols = [f.name for f in payload_schema.fields]
+
+    moved: list[tuple[str, str]] = []
+    if overwrite_partitions:
+        import shutil
+        keys = [tuple(str(r[f]) for f in field_names)
+                for r in df.select(*field_names).distinct().collect()]
+        for key in keys:
+            target = os.path.join(path, _hive_dir(field_names, key))
+            if os.path.isdir(target):
+                old = target.rstrip("/") + "._overwrite_old"
+                if os.path.isdir(old):       # leftover from a crashed run
+                    shutil.rmtree(old)
+                os.rename(target, old)
+                moved.append((target, old))
 
     def write_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         import glob as _glob
@@ -366,7 +390,20 @@ def write_avro_partitioned(df: DataFrame, field_names: list[str],
     stats = (df.repartition(*[F.col(c) for c in field_names])
              .groupBy(*field_names)
              .applyInPandas(write_group, out_schema))
-    stats.count()                          # materialize = run the write
+    try:
+        stats.count()                      # materialize = run the write
+    except Exception:
+        if moved:                          # failed overwrite: restore
+            import shutil
+            for target, old in moved:
+                shutil.rmtree(target, ignore_errors=True)
+                if os.path.isdir(old):
+                    os.rename(old, target)
+        raise
+    if moved:
+        import shutil
+        for _, old in moved:
+            shutil.rmtree(old, ignore_errors=True)
     return path
 
 

@@ -113,16 +113,13 @@ def write_partitioned(df: DataFrame, spec: SinkSpec, path: str | None = None) ->
     if spec.fmt == "avro" and not spark_avro_available(spark):
         # no spark-avro connector jar in this deployment — use the
         # pure-Python container codec (same Hive layout + per-key writer
-        # fan-out; see formats/avro_py.py)
-        if spec.overwrite_partitions:
-            raise SpecError(
-                "overwrite_partitions requires the spark-avro connector "
-                "(the pure-Python avro fallback only supports CREATE/APPEND)")
+        # fan-out + dynamic overwrite; see formats/avro_py.py)
         from ..formats import write_avro_partitioned
         codec = (spec.compression_codec or "deflate").lower()
         return write_avro_partitioned(
             ndf, spec.field_names, out,
-            codec="null" if codec == "none" else codec)
+            codec="null" if codec == "none" else codec,
+            overwrite_partitions=spec.overwrite_partitions)
 
     if spec.cluster_by_key:
         try:
@@ -280,13 +277,22 @@ def _discover_partition_cols(spark: SparkSession, path: str) -> set[str]:
     return names
 
 
-def spark_avro_available(spark: SparkSession) -> bool:
-    """The spark-avro connector is a separate artifact; probe the actual
-    data-source registry (a bare ``Class.forName`` through py4j resolves
-    lazily and can lie)."""
+def datasource_available(spark: SparkSession, provider: str) -> bool:
+    """Probe Spark's data-source registry for ``provider`` (a bare
+    ``Class.forName`` through py4j resolves lazily and can lie).
+
+    ``lookupDataSource`` takes (String, SQLConf) — passing the Scala
+    ``SQLConf.get()`` is load-bearing: the (String, SparkConf) call does
+    not exist and py4j would throw on *every* probe, silently disabling
+    the fast path even with the connector installed."""
     try:
         spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
-            "avro", spark._jsc.sc().conf())
+            provider, spark._jvm.org.apache.spark.sql.internal.SQLConf.get())
         return True
     except Exception:
         return False
+
+
+def spark_avro_available(spark: SparkSession) -> bool:
+    """True when the spark-avro connector jar is on the classpath."""
+    return datasource_available(spark, "avro")
