@@ -211,27 +211,56 @@ def compact_partitions(spark: SparkSession, path: str, fmt: str = "parquet",
     present in the input are replaced — safe to run over a live dataset
     directory-by-directory.  Returns the number of partition columns
     detected.
+
+    Swap discipline: the rewrite lands in ``<path>._compact_tmp``, the
+    live tree moves to ``<path>._compact_old``, tmp moves to live, old
+    is deleted.  Each ``FileSystem.rename`` returns **false** (not an
+    exception) on most failures, so every return value is checked; a
+    pre-existing tmp/old dir (crashed prior run) fails fast instead of
+    silently no-op-renaming onto it.  **Crash recovery**: if the live
+    path is missing, ``._compact_old`` still holds the full pre-compact
+    data — rename it back; if the live path exists, any leftover
+    ``._compact_tmp`` / ``._compact_old`` is safe to delete (rename is
+    atomic on HDFS-like stores; on object stores prefer a per-partition
+    overwrite via :func:`write_partitioned` with
+    ``overwrite_partitions=True`` instead of directory renames).
     """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jp = jvm.org.apache.hadoop.fs.Path
+    fs = jp(path).getFileSystem(hconf)
+    tmp_path = path.rstrip("/") + "._compact_tmp"
+    old_path = path.rstrip("/") + "._compact_old"
+    for leftover in (tmp_path, old_path):
+        if fs.exists(jp(leftover)):
+            raise RuntimeError(
+                f"{leftover} already exists — a previous compaction "
+                f"crashed mid-swap.  If {path} is missing, rename "
+                f"{old_path} back to it; otherwise delete the leftover "
+                "and re-run.")
     df = read_partitioned(spark, path, fmt)
     part_cols = [f.name for f in df.schema.fields
                  if f.dataType.simpleString() == "string"
                  and f.name in _discover_partition_cols(spark, path)]
     if not part_cols:
         raise ValueError(f"no Hive partition columns discovered under {path}")
-    tmp = path.rstrip("/") + "._compact_tmp"
     ndf = df.hint("rebalance", *part_cols)
     (ndf.write.mode("overwrite")
      .option("maxRecordsPerFile", str(target_rows_per_file))
-     .partitionBy(*part_cols).format(fmt).save(tmp))
-    # atomic-ish swap via the Hadoop FS API (rename is atomic on HDFS;
-    # best-effort locally)
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
-    old, new = jvm.org.apache.hadoop.fs.Path(path), jvm.org.apache.hadoop.fs.Path(tmp)
-    trash = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "._compact_old")
-    fs.rename(old, trash)
-    fs.rename(new, old)
+     .partitionBy(*part_cols).format(fmt).save(tmp_path))
+    old, new, trash = jp(path), jp(tmp_path), jp(old_path)
+    if not fs.rename(old, trash):
+        raise RuntimeError(
+            f"compaction swap failed: rename {path} -> {old_path} "
+            f"returned false; rewritten data is intact at {tmp_path}")
+    if not fs.rename(new, old):
+        # put the live tree back before failing — never leave the live
+        # path empty when the pre-compact data still exists
+        restored = fs.rename(trash, old)
+        raise RuntimeError(
+            f"compaction swap failed: rename {tmp_path} -> {path} "
+            f"returned false; original data "
+            f"{'restored to ' + path if restored else 'left at ' + old_path}")
     fs.delete(trash, True)
     # invalidate cached file listings over this path.  refreshByPath
     # covers path-based plans, but catalog tables cache their file index

@@ -202,8 +202,6 @@ def test_compact_partitions_rejects_flat_dir(spark, tmp_out):
 
 def test_overwrite_dynamic_replaces_only_touched_partition(spark, purchase_df,
                                                            tmp_out):
-    from dynamic_partitioner_spark.spec import SpecError
-    import pytest
     spec = SinkSpec(name="p", field_names=["purchase_date"])
     write_partitioned(purchase_df, spec, tmp_out)
 
@@ -218,12 +216,7 @@ def test_overwrite_dynamic_replaces_only_touched_partition(spark, purchase_df,
     assert [(r.id, r.first_name) for r in jan1] == [(99, "Zed")]
     # untouched partitions intact
     assert back.where(F.col("purchase_date") == "2009-01-03").count() == 2
-
-    # avro fallback rejects overwrite loudly
-    with pytest.raises(SpecError, match="spark-avro"):
-        write_partitioned(repl, SinkSpec(name="p", field_names=["purchase_date"],
-                                         fmt="avro", overwrite_partitions=True),
-                          f"{tmp_out}_avro")
+    # (the avro fallback's dynamic overwrite is covered in test_avro.py)
 
 
 def test_bucketed_join_no_shuffle(spark):
@@ -261,3 +254,24 @@ def test_bucketed_join_no_shuffle(spark):
     # re-run write_bucketed in the same warehouse: stale dir handled
     write_bucketed(left, "t_bkt_l", ["k"], n_buckets=4)
     assert spark.table("t_bkt_l").count() == 10000
+
+
+def test_compact_partitions_fails_fast_on_crash_leftovers(spark, tmp_out):
+    """A leftover ._compact_old/._compact_tmp dir from a crashed run must
+    abort BEFORE any rename — FileSystem.rename returns false (no throw)
+    when the destination exists, which would otherwise silently no-op the
+    swap and then delete the trash path."""
+    import os
+
+    import pytest
+
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        compact_partitions, write_partitioned)
+
+    df = spark.range(100).selectExpr("id", "CAST(id % 3 AS STRING) AS k")
+    write_partitioned(df, SinkSpec(name="t", field_names=["k"]), tmp_out)
+    os.makedirs(tmp_out.rstrip("/") + "._compact_old", exist_ok=True)
+    with pytest.raises(RuntimeError, match="crashed mid-swap"):
+        compact_partitions(spark, tmp_out, "parquet")
+    # dataset untouched
+    assert spark.read.parquet(tmp_out).count() == 100
