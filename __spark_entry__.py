@@ -33,7 +33,11 @@ from dynamic_partitioner_spark import (
     write_partitioned,
 )
 from dynamic_partitioner_spark.functions import text as TX
-from dynamic_partitioner_spark.functions.vectors import L2_NORM_SQL, l2_norm
+from dynamic_partitioner_spark.functions.vectors import (
+    L2_NORM_SQL,
+    l2_norm,
+    round4,
+)
 from dynamic_partitioner_spark.operators import dedup as DD
 from dynamic_partitioner_spark.operators.multimodal import (
     feature_rows,
@@ -579,7 +583,7 @@ def q_embedding_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = read_partitioned(spark, out)
     return back.select("vec_id", "label",
                        F.size("embedding").cast("long").alias("dim"),
-                       F.round(l2_norm(F.col("embedding")), 4).alias("l2_norm"))
+                       round4(l2_norm(F.col("embedding"))).alias("l2_norm"))
 
 
 def q_mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -813,8 +817,12 @@ def oracle_sql() -> dict[str, str]:
                 f"range(1, greatest(len({toks}) - 1, 1)), "
                 f"i -> array_to_string(list_slice({toks}, i, i + 2), ' ')))")
 
-    jacc = ("round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
-            "len(list_distinct(list_concat(a.sh, b.sh))), 4)")
+    # floor-round, not round(): Spark HALF_UP vs DuckDB double-round
+    # differ on exact midpoints, and jaccard (ratio of small ints) hits
+    # 5th-decimal midpoints for real — same formula both engines
+    jacc = ("floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+            "len(list_distinct(list_concat(a.sh, b.sh)))) * 10000 + 0.5) "
+            "/ 10000")
 
     return {
         "partitioned_write_single": li_full,
@@ -914,22 +922,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_embedding": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                                b.embedding::DOUBLE[]), 4) AS cos_sim
+                   floor(list_cosine_similarity(a.embedding::DOUBLE[],
+                         b.embedding::DOUBLE[]) * 10000 + 0.5) / 10000 AS cos_sim
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                               b.embedding::DOUBLE[]), 4) >= 0.3
+            WHERE floor(list_cosine_similarity(a.embedding::DOUBLE[],
+                        b.embedding::DOUBLE[]) * 10000 + 0.5) / 10000 >= 0.3
         """,
         "similarity_topk": """
             SELECT query_id, neighbor_id, cos_sim, rank FROM (
                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                       round(list_cosine_similarity(q.embedding::DOUBLE[],
-                             c.embedding::DOUBLE[]), 4) AS cos_sim,
+                       floor(list_cosine_similarity(q.embedding::DOUBLE[],
+                             c.embedding::DOUBLE[]) * 10000 + 0.5) / 10000
+                           AS cos_sim,
                        row_number() OVER (PARTITION BY q.vec_id
-                           ORDER BY round(list_cosine_similarity(
-                               q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4)
-                               DESC, c.vec_id) AS rank
+                           ORDER BY floor(list_cosine_similarity(
+                               q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                               * 10000 + 0.5) / 10000 DESC, c.vec_id) AS rank
                 FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
                 WHERE q.vec_id < 10)
             WHERE rank <= 5
@@ -953,8 +962,9 @@ def oracle_sql() -> dict[str, str]:
                              + " AS fingerprint FROM documents"),
         "embedding_roundtrip": (
             "SELECT vec_id, trim(CAST(label AS VARCHAR)) AS label, "
-            "len(embedding) AS dim, round("
-            + L2_NORM_SQL.format(a="embedding") + ", 4) AS l2_norm "
+            "len(embedding) AS dim, floor(("
+            + L2_NORM_SQL.format(a="embedding")
+            + ") * 10000 + 0.5) / 10000 AS l2_norm "
             "FROM embeddings"),
         "mm_binary_stats": (
             "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes, "

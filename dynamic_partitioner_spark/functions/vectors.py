@@ -12,6 +12,19 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def round4(c: Column) -> Column:
+    """floor(x·1e4 + 0.5)/1e4 — NOT ``F.round``: Spark rounds HALF_UP
+    (BigDecimal) while DuckDB rounds doubles half-away with float
+    scaling, and ratios of small integers (jaccard = |∩|/|∪|) land on
+    exact 5th-decimal midpoints often enough to cause data-dependent
+    hash mismatches.  floor on identical IEEE doubles is bit-identical
+    in both engines; pair with :data:`ROUND4_SQL`."""
+    return F.floor(c * 10000 + F.lit(0.5)) / 10000
+
+
+ROUND4_SQL = "floor(({x}) * 10000 + 0.5) / 10000"
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),

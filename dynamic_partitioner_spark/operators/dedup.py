@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import dot, l2_norm
+from ..functions.vectors import dot, l2_norm, round4
 from ..functions.text import simhash_batched
 
 # ------------------------------------------------------------------ exact
@@ -188,7 +188,7 @@ def near_dup_minhash(df: DataFrame, id_col: str, text_col: str,
     sh_b = base.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (cand.join(sh_a, "id_a").join(sh_b, "id_b")
             .select("id_a", "id_b",
-                    F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4)
+                    round4(jaccard(F.col("sh_a"), F.col("sh_b")))
                     .alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
 
@@ -209,7 +209,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             .where(F.col("a._id") < F.col("b._id"))
             .select(F.col("a._id").alias("id_a"),
                     F.col("b._id").alias("id_b"),
-                    F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 4)
+                    round4(jaccard(F.col("a.sh"), F.col("b.sh")))
                     .alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
 
@@ -303,7 +303,7 @@ def embedding_near_dup_lsh(df: DataFrame, id_col: str, vec_col: str,
     # interpreted (no codegen) and measured ~5× slower on the pair set
     cos = cosine_batched(F.col("va"), F.col("vb"))
     return (cand.join(va, "id_a").join(vb, "id_b")
-            .select("id_a", "id_b", F.round(cos, 4).alias("cos_sim"))
+            .select("id_a", "id_b", round4(cos).alias("cos_sim"))
             .where(F.col("cos_sim") >= threshold))
 
 
@@ -324,5 +324,5 @@ def embedding_near_dup(df: DataFrame, id_col: str, vec_col: str,
             .where(F.col("a._id") < F.col("b._id"))
             .select(F.col("a._id").alias("id_a"),
                     F.col("b._id").alias("id_b"),
-                    F.round(cos, 4).alias("cos_sim"))
+                    round4(cos).alias("cos_sim"))
             .where(F.col("cos_sim") >= threshold))

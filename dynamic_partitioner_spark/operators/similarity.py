@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, round4
 
 
 def _rank_window(qcol: str) -> Window:
@@ -44,7 +44,7 @@ def topk_bruteforce(emb: DataFrame, queries: DataFrame, id_col: str = "vec_id",
     scored = (c.crossJoin(q)
               .where(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
-                      F.round(cosine(F.col("qv"), F.col("cv")), 4)
+                      round4(cosine(F.col("qv"), F.col("cv")))
                       .alias("cos_sim")))
     ranked = scored.withColumn("rank",
                                F.row_number().over(_rank_window("query_id")))
@@ -131,7 +131,7 @@ def topk_ann_lsh(emb: DataFrame, queries: DataFrame, id_col: str = "vec_id",
     scored = (c.join(F.broadcast(qb), ["tbl", "bucket"])
               .where(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
-                      F.round(cosine(F.col("qv"), F.col("cv")), 4)
+                      round4(cosine(F.col("qv"), F.col("cv")))
                       .alias("cos_sim"))
               .distinct())
     ranked = scored.withColumn("rank",
@@ -209,7 +209,7 @@ def topk_ann_ivf(emb: DataFrame, queries: DataFrame, id_col: str = "vec_id",
     scored = (c.join(F.broadcast(qb), "list_id")
               .where(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
-                      F.round(cosine(F.col("qv"), F.col("cv")), 4)
+                      round4(cosine(F.col("qv"), F.col("cv")))
                       .alias("cos_sim"))
               .distinct())
     ranked = scored.withColumn("rank",

@@ -46,9 +46,11 @@ def sessionize(df: DataFrame, key_col: str = "user_id", ts_col: str = "ts",
                value_col: str = "value", gap: str = "30 minutes") -> DataFrame:
     """Gap-based sessions per key (built-in ``session_window``).
 
-    A new session starts when the gap since the previous event is >= the
-    configured gap (session_window's window end is exclusive).  Returns
-    one row per (key, session): start, event count, value sum.
+    An event landing exactly at the previous window's end MERGES into
+    that session — a new session requires a STRICTLY greater gap than
+    the configured one (observed ``session_window`` behavior, pinned by
+    the ``event_sessionize`` oracle's ``> INTERVAL`` predicate).
+    Returns one row per (key, session): start, event count, value sum.
 
     Scale: one hash-shuffle on the grouping key — the same exchange any
     per-key agg needs; session merging is O(events per key) inside each
