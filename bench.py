@@ -2,10 +2,10 @@
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
 
-Query selection: the write path (the reference's core), the analytical
-read path over the written data, and the scale-relevant extension ops.
-Exact quadratic audit ops (ngram/simhash pairs) are excluded — the
-sketch variants are the at-scale path and are benchmarked instead.
+Query selection: every driver key in ``__spark_entry__.queries()`` —
+round-over-round regressions stay visible for the full surface,
+including the exact quadratic audit ops (ngram/simhash pairs), whose
+cost relative to their sketch variants is itself worth tracking.
 """
 
 from __future__ import annotations
@@ -16,40 +16,6 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-BENCH_KEYS = [
-    "partitioned_write_single",
-    "partitioned_write_multi",
-    "partitioned_write_orc",
-    "partitioned_write_avro",
-    "append_mode",
-    "streaming_partitioned_write",
-    "streaming_windowed_agg",
-    "streaming_stateful_counts",
-    "event_sessionize",
-    "query_pruned_agg",
-    "query_join_broadcast",
-    "query_window_topk",
-    "query_rollup",
-    "query_percentiles",
-    "events_json_extract",
-    "events_asof_join",
-    "dedup_exact",
-    "query_distinct_agg",
-    "dedup_minhash",
-    "similarity_topk",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "text_stats",
-    "text_quality",
-    "dedup_embedding",
-    "dedup_embedding_lsh",
-    "corpus_quality_filter",
-    "embedding_roundtrip",
-    "mm_features",
-    "catalog_table",
-    "partition_compact",
-]
 
 
 def main() -> None:
@@ -66,7 +32,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
-    for key in BENCH_KEYS:
+    for key in qs:
         t0 = time.time()
         n = qs[key](spark, sf_dir).count()
         dt = round(time.time() - t0, 3)
