@@ -275,3 +275,45 @@ def test_compact_partitions_fails_fast_on_crash_leftovers(spark, tmp_out):
         compact_partitions(spark, tmp_out, "parquet")
     # dataset untouched
     assert spark.read.parquet(tmp_out).count() == 100
+
+
+def test_skewed_write_splits_hot_key_across_tasks(spark, tmp_out):
+    """95%-hot key distribution: the REBALANCE(keys) hint must (a) split
+    the hot partition across MULTIPLE tasks (no single-task bottleneck —
+    pinned via distinct part-file split ids) while (b) small keys stay
+    at ~1 file each (no per-task file spray).  The AQE advisory size is
+    lowered so skew-splitting triggers at test scale; at real scale the
+    64 MB default does the same to multi-GB hot keys."""
+    import glob
+    import os
+
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        write_partitioned)
+
+    advisory = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try:
+        df = spark.range(100_000).selectExpr(
+            "id",
+            "CASE WHEN id % 100 < 95 THEN 'hot' "
+            "ELSE concat('c', CAST(id % 5 AS STRING)) END AS k")
+        spec = SinkSpec(name="skew", field_names=["k"],
+                        max_records_per_file=10_000)
+        write_partitioned(df, spec, tmp_out)
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                       advisory)
+
+    hot = glob.glob(os.path.join(tmp_out, "k=hot", "*.parquet"))
+    # part-SPLIT-uuid[-cN].parquet → SPLIT identifies the writing task
+    hot_tasks = {os.path.basename(f).split("-")[1] for f in hot}
+    assert len(hot_tasks) >= 2, f"hot key written by a single task: {hot}"
+    for f in hot:
+        assert spark.read.parquet(f).count() <= 10_000   # file cap holds
+    for small in ("c0", "c1", "c2", "c3", "c4"):
+        files = glob.glob(os.path.join(tmp_out, f"k={small}", "*.parquet"))
+        # a small key may share a (split) shuffle bucket with the hot
+        # key, so allow a few files — the pin is no one-file-per-task
+        # spray (32 tasks × 5 keys without the rebalance)
+        assert 1 <= len(files) <= 8, (small, files)
+    assert spark.read.parquet(tmp_out).count() == 100_000
