@@ -23,6 +23,8 @@ so every run — and the driver's re-run — produces identical output.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -109,6 +111,44 @@ def minhash_signature(shingle_col: Column, k: int = 32) -> Column:
     ])
 
 
+def shingle_bases(shingle_col: Column) -> Column:
+    """xxhash64 of each shingle mod p — the ONE string-hash pass, kept
+    JVM-side (hashing strings in Python would dominate)."""
+    return F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s),
+                                                     F.lit(_MERSENNE_P)))
+
+
+def minhash_signature_batched(bases_col: Column, k: int = 32) -> Column:
+    """Arrow-batched k-permutation MinHash over a pre-hashed base array
+    (:func:`shingle_bases`), numerically identical to
+    :func:`minhash_signature`: the k affine mod-min reductions run as
+    one (k × shingles) int64 numpy pass per row instead of k
+    interpreted ``transform``/``array_min`` expression passes (Spark
+    evaluates higher-order functions outside codegen — same pattern as
+    the batched SimHash).  Empty shingle arrays yield [NULL]*k, exactly
+    like ``array_min`` over an empty array, so empty-document bucket
+    behavior (and the hot-bucket cap that relies on it) is unchanged."""
+    params = _affine_params(k)
+    A = np.array([p[0] for p in params], dtype=np.int64)[:, None]
+    B = np.array([p[1] for p in params], dtype=np.int64)[:, None]
+    empty = [None] * k
+
+    @F.pandas_udf("array<long>")
+    def _sig(bases: pd.Series) -> pd.Series:
+        out = []
+        for b in bases:
+            arr = np.asarray(b, dtype=np.int64)
+            if arr.size == 0:
+                out.append(empty)
+            else:
+                # a·base + b < 2^62 — no int64 overflow (a, base < 2^31)
+                out.append(((A * arr[None, :] + B) % _MERSENNE_P)
+                           .min(axis=1).tolist())
+        return pd.Series(out)
+
+    return _sig(bases_col)
+
+
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str, sig_col: str = "sig",
                         bands: int = 8, rows_per_band: int = 4,
                         max_bucket_size: int | None = 10_000) -> DataFrame:
@@ -182,7 +222,8 @@ def near_dup_minhash(df: DataFrame, id_col: str, text_col: str,
     if persist:
         from pyspark.storagelevel import StorageLevel
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = base.select("_id", minhash_signature(F.col("sh"), k).alias("sig"))
+    sigs = base.select("_id", minhash_signature_batched(
+        shingle_bases(F.col("sh")), k).alias("sig"))
     cand = lsh_candidate_pairs(sigs, "_id", "sig", bands, rows_per_band)
     sh_a = base.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = base.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))

@@ -177,3 +177,25 @@ def test_embedding_near_dup_lsh_recall(spark):
     if exact:
         recall = len(got) / len(exact)
         assert recall >= 0.3, f"recall too low: {recall}"
+
+
+def test_minhash_batched_bit_identical(spark):
+    """The Arrow-batched signature must equal the Column spec form on
+    every row, including empty-shingle docs ([NULL]*k both ways)."""
+    from dynamic_partitioner_spark.operators.dedup import (
+        minhash_signature, minhash_signature_batched, shingle_bases,
+        shingles)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .limit(100).select("doc_id", "text"))
+    edge = spark.createDataFrame([(100001, ""), (100002, "one two")],
+                                 "doc_id long, text string")
+    sh = docs.unionByName(edge).select(
+        "doc_id", shingles(F.col("text"), 3).alias("sh"))
+    both = sh.select(
+        "doc_id",
+        minhash_signature(F.col("sh"), 16).alias("col_form"),
+        minhash_signature_batched(shingle_bases(F.col("sh")), 16)
+        .alias("batched"))
+    rows = both.collect()
+    assert rows and all(r.col_form == r.batched for r in rows)
