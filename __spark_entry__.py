@@ -509,6 +509,35 @@ def q_corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Deterministic sampling
+# =====================================================================
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash sample on doc_id — pure filter, no
+    shuffle, stable across runs/engines (md5-based unit draw)."""
+    from dynamic_partitioner_spark.operators.sampling import hash_sample
+    docs = _table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.1).select("doc_id", "lang", "source")
+
+
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key-stable train/val/test assignment (0.8/0.1/0.1) — a doc
+    never migrates between splits as the corpus grows."""
+    from dynamic_partitioner_spark.operators.sampling import split_assign
+    docs = _table(spark, sf_dir, "documents")
+    return split_assign(docs, "doc_id").select("doc_id", "split")
+
+
+def q_sample_cap_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source balancing: at most 20 docs per lang, chosen by key hash
+    (WindowGroupLimit prunes map-side before the group shuffle)."""
+    from dynamic_partitioner_spark.operators.sampling import cap_per_group
+    docs = _table(spark, sf_dir, "documents")
+    return (cap_per_group(docs, "lang", "doc_id", 20)
+            .select("doc_id", "lang"))
+
+
+# =====================================================================
 # Similarity search
 # =====================================================================
 
@@ -772,6 +801,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_bucketed_join": q_bucketed_join,
         "source_csv_roundtrip": q_source_csv,
         "source_jsonl_roundtrip": q_source_jsonl,
+        "sample_hash": q_sample_hash,
+        "sample_split": q_sample_split,
+        "sample_cap_group": q_sample_cap_group,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -804,6 +836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from dynamic_partitioner_spark.operators import sampling as SMP
+
     tok = TX.TOKEN_COUNT_SQL.format(c="text")
     bpe = TX.BPE_TOKEN_COUNT_SQL.format(c="text")
     punct = TX.PUNCT_RATIO_SQL.format(c="text")
@@ -898,6 +932,14 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WHERE rnk <= 3
         """,
+        "sample_hash": (
+            "SELECT doc_id, lang, source FROM documents WHERE "
+            + SMP.hash_unit_sql("doc_id") + " < 0.1"),
+        "sample_split": (
+            "SELECT doc_id, " + SMP.split_assign_sql("doc_id")
+            + " AS split FROM documents"),
+        "sample_cap_group": SMP.cap_per_group_sql(
+            "doc_id, lang", "lang", "doc_id", 20),
         "dedup_exact": (
             "SELECT text, min(doc_id) AS doc_id, count(*) AS dup_count "
             "FROM documents GROUP BY text"),

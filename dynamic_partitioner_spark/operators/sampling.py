@@ -1,0 +1,126 @@
+"""Deterministic sampling for training-data pipelines (north-star
+extension surface — the reference has no sampling; SURVEY.md §2.9).
+
+Everything here is **hash-based, not RNG-based**: the decision for a row
+depends only on (salt, key), so
+
+* re-runs — and the driver's oracle re-run — produce identical samples,
+* samples are *stable under data growth* (a doc keeps its split
+  assignment when the corpus doubles — the property that matters for
+  train/val/test hygiene; ``df.sample()`` re-draws on every change),
+* no coordination: every executor evaluates the same pure expression,
+  zero shuffles for ``hash_sample``/``split_assign``.
+
+The hash unit is the first 15 hex chars (60 bits) of
+``md5(salt || key)`` scaled to [0, 1) — md5 is the one hash both Spark
+and DuckDB expose, and 60 bits stays inside BIGINT in both engines
+(Spark ``conv(_, 16, 10)``, DuckDB ``CAST('0x' || _ AS BIGINT)``), so
+every sampling op ships with an exact SQL oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 2^60 — denominator for the 60-bit hash → [0, 1) unit interval
+_DENOM = float(1 << 60)
+
+
+def hash_unit(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform [0, 1) draw per key.
+
+    Use integer or string keys: the key is stringified (``CAST(k AS
+    VARCHAR)`` in the twin) and float formatting differs across engines.
+    """
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15), 16, 10)
+    return h.cast("bigint") / F.lit(_DENOM)
+
+
+def hash_unit_sql(key: str, salt: str = "") -> str:
+    """DuckDB twin of :func:`hash_unit` — identical 60-bit value and
+    identical int64→double rounding, so comparisons agree exactly."""
+    return (f"(CAST(concat('0x', substr(md5(concat('{salt}', "
+            f"CAST({key} AS VARCHAR))), 1, 15)) AS BIGINT) "
+            f"/ 1152921504606846976.0)")
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float,
+                salt: str = "") -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash.
+
+    Scale shape: a pure filter — predicate-pushdown-friendly, no
+    shuffle, no RNG state, trivially repartition-stable.  Different
+    ``salt`` values give independent samples of the same corpus.
+    """
+    return df.where(hash_unit(F.col(key_col), salt) < fraction)
+
+
+def split_assign(df: DataFrame, key_col: str,
+                 weights: dict[str, float] | None = None,
+                 salt: str = "split") -> DataFrame:
+    """Add a ``split`` column assigning each key to one named split.
+
+    ``weights`` maps split name → fraction (must sum to ~1; default the
+    classic 0.8/0.1/0.1 train/val/test).  Assignment is by cumulative
+    thresholds over the key hash, so it is per-key stable: a document
+    never migrates between splits when other data changes — the
+    train/test-leak guarantee ``randomSplit`` cannot give.
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    u = hash_unit(F.col(key_col), salt)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        expr = (F.when(u < acc, F.lit(name)) if expr is None
+                else expr.when(u < acc, F.lit(name)))
+    last = F.lit(names[-1])
+    return df.withColumn("split", last if expr is None
+                         else expr.otherwise(last))
+
+
+def split_assign_sql(key: str, weights: dict[str, float] | None = None,
+                     salt: str = "split") -> str:
+    """DuckDB CASE twin of :func:`split_assign`'s ``split`` column."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    u = hash_unit_sql(key, salt)
+    parts = []
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        parts.append(f"WHEN {u} < {acc!r} THEN '{name}'")
+    return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
+
+
+def cap_per_group(df: DataFrame, group_col: str, key_col: str,
+                  n: int, salt: str = "cap") -> DataFrame:
+    """Keep at most ``n`` rows per group, chosen deterministically by
+    key hash (e.g. "at most N documents per domain" — the standard
+    source-balancing step before corpus mixing).
+
+    One hash shuffle on the group key; the ``row_number() <= n`` filter
+    is rank-limit-pushed by Spark (``WindowGroupLimit``), so each
+    map task pre-prunes to its local top-n before the exchange — a hot
+    group ships n rows per mapper, not its full membership.
+    """
+    u = hash_unit(F.col(key_col), salt)
+    w = Window.partitionBy(group_col).orderBy(u.asc(), F.col(key_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= n)
+            .drop("_rn"))
+
+
+def cap_per_group_sql(table_cols: str, group: str, key: str, n: int,
+                      salt: str = "cap", from_table: str = "documents") -> str:
+    """DuckDB QUALIFY twin of :func:`cap_per_group`."""
+    u = hash_unit_sql(key, salt)
+    return (f"SELECT {table_cols} FROM {from_table} "
+            f"QUALIFY row_number() OVER (PARTITION BY {group} "
+            f"ORDER BY {u} ASC, {key}) <= {n}")

@@ -1,0 +1,85 @@
+"""Deterministic sampling ops: the properties that matter are
+re-run determinism, stability under corpus growth (no train/test
+leakage), and the rank-limit pushdown on the per-group cap."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from dynamic_partitioner_spark.operators.sampling import (
+    cap_per_group,
+    hash_sample,
+    hash_unit,
+    split_assign,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def test_hash_sample_deterministic_and_near_fraction(spark):
+    docs = spark.read.parquet(DOCS)
+    a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.2).collect()}
+    b = {r.doc_id for r in hash_sample(docs, "doc_id", 0.2).collect()}
+    assert a == b
+    n = docs.count()
+    assert 0.1 * n < len(a) < 0.3 * n          # ~20%, loose bound
+    # different salts give (near-)independent samples
+    c = {r.doc_id for r in hash_sample(docs, "doc_id", 0.2, salt="x").collect()}
+    assert c != a
+
+
+def test_hash_sample_is_growth_stable(spark):
+    """A row's membership depends only on its key: sampling a superset
+    keeps exactly the previous members (the property df.sample lacks)."""
+    docs = spark.read.parquet(DOCS)
+    half = docs.where(F.col("doc_id") < 250)
+    small = {r.doc_id for r in hash_sample(half, "doc_id", 0.2).collect()}
+    full = {r.doc_id for r in hash_sample(docs, "doc_id", 0.2).collect()}
+    assert small == {d for d in full if d < 250}
+
+
+def test_split_assign_partitions_everything_stably(spark):
+    docs = spark.read.parquet(DOCS)
+    out = split_assign(docs, "doc_id")
+    counts = dict(out.groupBy("split").count().collect())
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()
+    assert counts["train"] > counts.get("val", 0)
+    # same key → same split on a disjoint re-read
+    again = dict(split_assign(docs.select("doc_id"), "doc_id")
+                 .select("doc_id", "split").collect())
+    for r in out.select("doc_id", "split").collect():
+        assert again[r.doc_id] == r.split
+
+
+def test_cap_per_group_caps_and_is_deterministic(spark):
+    docs = spark.read.parquet(DOCS)
+    capped = cap_per_group(docs, "lang", "doc_id", 5)
+    sizes = dict(capped.groupBy("lang").count().collect())
+    orig = dict(docs.groupBy("lang").count().collect())
+    for lang, n in sizes.items():
+        assert n == min(5, orig[lang])
+    a = sorted(r.doc_id for r in capped.collect())
+    b = sorted(r.doc_id for r in cap_per_group(docs, "lang", "doc_id", 5)
+               .collect())
+    assert a == b
+
+
+def test_cap_per_group_plans_rank_pushdown(spark):
+    """The n<=N filter must plan as WindowGroupLimit so hot groups are
+    pruned map-side before the exchange."""
+    docs = spark.read.parquet(DOCS)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cap_per_group(docs, "lang", "doc_id", 5).explain("formatted")
+    assert "WindowGroupLimit" in buf.getvalue()
+
+
+def test_hash_unit_range(spark):
+    docs = spark.read.parquet(DOCS)
+    stats = docs.select(hash_unit(F.col("doc_id")).alias("u")).agg(
+        F.min("u").alias("lo"), F.max("u").alias("hi")).collect()[0]
+    assert 0.0 <= stats.lo and stats.hi < 1.0
