@@ -537,6 +537,21 @@ def q_sample_cap_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang"))
 
 
+#: mixture spec shared by the Spark key and its oracle
+_MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+_MIX_TOTAL = 60
+
+
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixture: ~60 rows at the requested source
+    proportions regardless of corpus size (rates derive from live
+    per-source counts; membership is a pure hash function)."""
+    from dynamic_partitioner_spark.operators.sampling import mix_by_weights
+    docs = _table(spark, sf_dir, "documents")
+    return (mix_by_weights(docs, "source", "doc_id", _MIX_WEIGHTS, _MIX_TOTAL)
+            .select("doc_id", "source", "lang"))
+
+
 # =====================================================================
 # Similarity search
 # =====================================================================
@@ -804,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": q_sample_hash,
         "sample_split": q_sample_split,
         "sample_cap_group": q_sample_cap_group,
+        "sample_mixture": q_sample_mixture,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -940,6 +956,9 @@ def oracle_sql() -> dict[str, str]:
             + " AS split FROM documents"),
         "sample_cap_group": SMP.cap_per_group_sql(
             "doc_id, lang", "lang", "doc_id", 20),
+        "sample_mixture": SMP.mix_by_weights_sql(
+            "doc_id, source, lang", "source", "doc_id",
+            _MIX_WEIGHTS, _MIX_TOTAL),
         "dedup_exact": (
             "SELECT text, min(doc_id) AS doc_id, count(*) AS dup_count "
             "FROM documents GROUP BY text"),

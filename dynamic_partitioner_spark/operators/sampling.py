@@ -124,3 +124,59 @@ def cap_per_group_sql(table_cols: str, group: str, key: str, n: int,
     return (f"SELECT {table_cols} FROM {from_table} "
             f"QUALIFY row_number() OVER (PARTITION BY {group} "
             f"ORDER BY {u} ASC, {key}) <= {n}")
+
+
+def mix_by_weights(df: DataFrame, source_col: str, key_col: str,
+                   weights: dict[str, float], total_rows: int,
+                   salt: str = "mix") -> DataFrame:
+    """Deterministic weighted corpus mixture: sample each source at
+    ``rate_s = min(1, weight_s·total_rows / n_s)`` so the output is a
+    ~``total_rows``-row mixture with the requested source proportions,
+    **independent of how large each source corpus is** — the dataset-
+    mixing step of every pre-training pipeline (e.g. re-weighting web
+    vs. books vs. code), reproducible because membership is a pure
+    function of (salt, key).
+
+    Sources not named in ``weights`` are dropped.  A source too small
+    for its quota is taken whole (rate caps at 1 — hash sampling cannot
+    upsample; repeat/epoch logic belongs downstream).  The per-source
+    counts are one bounded driver-side aggregate (|sources| rows); the
+    mixture itself is a pure filter, no extra shuffle.
+    """
+    counts = {r[0]: r[1]
+              for r in df.groupBy(source_col).count().collect()}
+    rate: Column | None = None
+    for s, w in weights.items():
+        n = counts.get(s)
+        if not n:
+            continue
+        # same op order as the SQL twin: w * total / n, then cap
+        r = min(1.0, float(w) * float(total_rows) / float(n))
+        rate = (F.when(F.col(source_col) == s, F.lit(r)) if rate is None
+                else rate.when(F.col(source_col) == s, F.lit(r)))
+    if rate is None:
+        raise ValueError("no weighted source present in the data")
+    return df.where(hash_unit(F.col(key_col), salt) < rate.otherwise(F.lit(0.0)))
+
+
+def mix_by_weights_sql(table_cols: str, source: str, key: str,
+                       weights: dict[str, float], total_rows: int,
+                       salt: str = "mix",
+                       from_table: str = "documents") -> str:
+    """DuckDB twin of :func:`mix_by_weights` — recomputes the per-source
+    counts in a CTE and applies the identical rate formula, so the two
+    engines agree bit-for-bit on every membership decision."""
+    u = hash_unit_sql(key, salt)
+    w_case = ("CASE " + " ".join(
+        f"WHEN {source} = '{s}' THEN {w!r}" for s, w in weights.items())
+        + " ELSE NULL END")
+    in_list = ", ".join(f"'{s}'" for s in weights)
+    # the IN filter is load-bearing: DuckDB's least() IGNORES NULLs
+    # (least(1.0, NULL) = 1.0), so an unweighted source would otherwise
+    # pass at rate 1 instead of being dropped
+    return (
+        f"WITH _n AS (SELECT {source}, count(*) AS n FROM {from_table} "
+        f"GROUP BY {source}) "
+        f"SELECT {table_cols} FROM {from_table} t JOIN _n USING ({source}) "
+        f"WHERE {source} IN ({in_list}) "
+        f"AND {u} < least(1.0, ({w_case}) * {float(total_rows)!r} / n)")

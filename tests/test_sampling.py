@@ -83,3 +83,30 @@ def test_hash_unit_range(spark):
     stats = docs.select(hash_unit(F.col("doc_id")).alias("u")).agg(
         F.min("u").alias("lo"), F.max("u").alias("hi")).collect()[0]
     assert 0.0 <= stats.lo and stats.hi < 1.0
+
+
+def test_mix_by_weights_proportions_and_determinism(spark):
+    from dynamic_partitioner_spark.operators.sampling import mix_by_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    weights = {"src0": 0.5, "src1": 0.5}
+    out = mix_by_weights(docs, "source", "doc_id", weights, 20)
+    counts = dict(out.groupBy("source").count().collect())
+    assert set(counts) <= {"src0", "src1"}       # unweighted sources dropped
+    for s, n in counts.items():
+        assert 2 <= n <= 18                      # ~10 each, loose hash bound
+    again = sorted(r.doc_id for r in
+                   mix_by_weights(docs, "source", "doc_id", weights, 20)
+                   .collect())
+    assert again == sorted(r.doc_id for r in out.collect())
+
+
+def test_mix_by_weights_small_source_taken_whole(spark):
+    from dynamic_partitioner_spark.operators.sampling import mix_by_weights
+
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(100)] + [(1000, "tiny"), (1001, "tiny")],
+        "doc_id long, source string")
+    out = mix_by_weights(df, "source", "doc_id", {"big": 0.5, "tiny": 0.5}, 40)
+    counts = dict(out.groupBy("source").count().collect())
+    assert counts["tiny"] == 2                   # rate caps at 1, no upsample
