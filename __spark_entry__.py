@@ -608,6 +608,20 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                        TX.quality_score(t).alias("quality"))
 
 
+def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style corpus-filter signals per document — all JVM
+    Column expressions, one scan, no shuffle."""
+    docs = _table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        round4(TX.mean_word_length(t)).alias("mean_word_len"),
+        round4(TX.symbol_word_ratio(t)).alias("symbol_word_ratio"),
+        round4(TX.uppercase_ratio(t)).alias("upper_ratio"),
+        round4(TX.digit_ratio(t)).alias("digit_ratio"),
+        round4(TX.word_repetition_ratio(t)).alias("word_rep_ratio"))
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents")
     return docs.select("doc_id",
@@ -836,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_ngrams": q_text_top_ngrams,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
+        "text_signals": q_text_signals,
         "embedding_roundtrip": q_embedding_roundtrip,
         "mm_binary_stats": q_mm_binary_stats,
         "mm_features": q_mm_features,
@@ -1021,6 +1036,19 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": ("SELECT doc_id, "
                              + TX.DOC_FINGERPRINT_SQL.format(c="text")
                              + " AS fingerprint FROM documents"),
+        "text_signals": (
+            "SELECT doc_id, "
+            + ", ".join(
+                f"floor(({sql.format(c='text')}) * 10000 + 0.5) / 10000"
+                f" AS {alias}"
+                for sql, alias in [
+                    (TX.MEAN_WORD_LENGTH_SQL, "mean_word_len"),
+                    (TX.SYMBOL_WORD_RATIO_SQL, "symbol_word_ratio"),
+                    (TX.UPPERCASE_RATIO_SQL, "upper_ratio"),
+                    (TX.DIGIT_RATIO_SQL, "digit_ratio"),
+                    (TX.WORD_REPETITION_RATIO_SQL, "word_rep_ratio"),
+                ])
+            + " FROM documents"),
         "embedding_roundtrip": (
             "SELECT vec_id, trim(CAST(label AS VARCHAR)) AS label, "
             "len(embedding) AS dim, floor(("

@@ -95,6 +95,74 @@ QUALITY_SCORE_SQL = (
     "/ 10000")
 
 
+# ------------------------------------------------- C4/Gopher-style signals
+#
+# Heuristic corpus-filter signals in the C4 / Gopher tradition (mean
+# word length, symbol-to-word ratio, case/digit ratios, repeated-word
+# fraction).  Only constructs RE2 also supports are used (no
+# backreferences — DuckDB's regex engine lacks them), so every signal
+# has an exact SQL twin.
+
+_NONSPACE = "[ \\t\\n\\r]+"
+
+
+def mean_word_length(c: Column) -> Column:
+    """Average characters per whitespace token (Gopher gates docs with
+    mean word length outside [3, 10])."""
+    nonspace = F.length(F.regexp_replace(c, _NONSPACE, ""))
+    return (nonspace.cast("double")
+            / F.greatest(token_count(c), F.lit(1)).cast("double"))
+
+
+MEAN_WORD_LENGTH_SQL = (
+    "CAST(length(regexp_replace({c}, '[ \\t\\n\\r]+', '', 'g')) AS DOUBLE)"
+    " / greatest(" + TOKEN_COUNT_SQL + ", 1)")
+
+
+def symbol_word_ratio(c: Column) -> Column:
+    """Symbols per word (Gopher: high #/… density marks boilerplate)."""
+    return (F.regexp_count(c, F.lit(_PUNCT_RE)).cast("double")
+            / F.greatest(token_count(c), F.lit(1)).cast("double"))
+
+
+SYMBOL_WORD_RATIO_SQL = (
+    "CAST(len(regexp_extract_all({c}, '[^A-Za-z0-9 \\t\\n\\r]')) AS DOUBLE)"
+    " / greatest(" + TOKEN_COUNT_SQL + ", 1)")
+
+
+def uppercase_ratio(c: Column) -> Column:
+    return (F.regexp_count(c, F.lit("[A-Z]")).cast("double")
+            / F.greatest(F.length(c), F.lit(1)))
+
+
+UPPERCASE_RATIO_SQL = ("CAST(len(regexp_extract_all({c}, '[A-Z]')) AS DOUBLE)"
+                       " / greatest(length({c}), 1)")
+
+
+def digit_ratio(c: Column) -> Column:
+    return (F.regexp_count(c, F.lit("[0-9]")).cast("double")
+            / F.greatest(F.length(c), F.lit(1)))
+
+
+DIGIT_RATIO_SQL = ("CAST(len(regexp_extract_all({c}, '[0-9]')) AS DOUBLE)"
+                   " / greatest(length({c}), 1)")
+
+
+def word_repetition_ratio(c: Column) -> Column:
+    """Fraction of tokens that repeat an earlier token (1 − distinct/
+    total) — the cheap duplicate-content signal (Gopher's repeated-
+    n-gram family, at n=1)."""
+    toks = F.split(F.trim(F.lower(c)), _NONSPACE)
+    return (F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)))
+
+
+WORD_REPETITION_RATIO_SQL = (
+    "1.0 - CAST(len(list_distinct(string_split_regex(trim(lower({c})), "
+    "'[ \\t\\n\\r]+'))) AS DOUBLE) / greatest(len(string_split_regex("
+    "trim(lower({c})), '[ \\t\\n\\r]+')), 1)")
+
+
 # ---------------------------------------------------------------- lang id
 
 #: marker words per language; CJK presence short-circuits to zh.

@@ -77,3 +77,17 @@ def test_simhash_batched_bit_identical(spark):
     assert both.where(
         F.col("col_form") != F.col("batched")).count() == 0
     assert both.where(F.col("batched").isNull()).count() == 0
+
+
+def test_quality_signals_edges(spark):
+    """C4/Gopher signal edge cases: empty text, all-caps, digits,
+    repeated words."""
+    mwl = _one(spark, TX.mean_word_length(F.lit("ab cdef")))
+    assert mwl == 3.0                              # (2+4)/2
+    assert _one(spark, TX.mean_word_length(F.lit(""))) == 0.0
+    assert _one(spark, TX.symbol_word_ratio(F.lit("a! b?"))) == 1.0
+    assert _one(spark, TX.uppercase_ratio(F.lit("ABcd"))) == 0.5
+    assert _one(spark, TX.digit_ratio(F.lit("a1b2"))) == 0.5
+    rep = _one(spark, TX.word_repetition_ratio(F.lit("a a a b")))
+    assert abs(rep - 0.5) < 1e-12                  # 4 tokens, 2 distinct
+    assert _one(spark, TX.word_repetition_ratio(F.lit("x y z"))) == 0.0
