@@ -789,6 +789,32 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", F.round("value", 2).alias("value"))
 
 
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivoted aggregate (returnflag × linestatus quantity matrix) with
+    explicit pivot values — no extra pass to discover columns, and the
+    plan is a single hash aggregate, same as the CASE-expression form
+    the oracle uses."""
+    li = _table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .pivot("l_linestatus", ["F", "O"])
+            .agg(F.round(F.sum("l_quantity"), 2))
+            .withColumnRenamed("F", "qty_f")
+            .withColumnRenamed("O", "qty_o"))
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct users per event type next to the exact
+    count — rows-only (Spark's HLL++ and DuckDB's HLL give different
+    estimates by construction); the relative-error bound is pinned in
+    pytest.  At 100 TB the sketch is the point: approx_count_distinct
+    is a fixed-size mergeable state per group vs. the exact count's
+    per-key dedup shuffle."""
+    events = _table(spark, sf_dir, "events")
+    return (events.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+                 F.countDistinct("user_id").alias("exact_users")))
+
+
 def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregates: users and distinct value-buckets per event
     type (two distinct aggs in one pass — Spark expands then merges)."""
@@ -863,6 +889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_counts": q_streaming_stateful,
         "streaming_dedup": q_streaming_dedup,
         "query_distinct_agg": q_distinct_agg,
+        "query_pivot": q_pivot,
+        "query_approx_distinct": q_approx_distinct,
     }
 
 
@@ -1244,4 +1272,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM events GROUP BY event_type
         """,
+        "query_pivot": """
+            SELECT trim(CAST(l_returnflag AS VARCHAR)) AS l_returnflag,
+                   round(sum(CASE WHEN l_linestatus = 'F'
+                             THEN l_quantity END), 2) AS qty_f,
+                   round(sum(CASE WHEN l_linestatus = 'O'
+                             THEN l_quantity END), 2) AS qty_o
+            FROM lineitem GROUP BY 1
+        """,
+        # query_approx_distinct: rows-only by design — two HLL
+        # implementations (Spark HLL++, DuckDB HLL) estimate differently;
+        # the error bound vs exact is pinned in tests/test_queries.py
     }
