@@ -383,6 +383,41 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("last_click_ns div 1000").alias("last_click_us")))
 
 
+_HOUR_US = 3_600_000_000
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join without a nested-loop plan: events falling inside
+    derived 'busy windows' (busiest hours, offset +30min so windows
+    straddle bin boundaries), via bin-explode + equi-join."""
+    from dynamic_partitioner_spark.operators.relational import (
+        range_join_binned)
+    events = _table(spark, sf_dir, "events")
+    ev = events.select(F.expr("ts div 1000").alias("us"), "value")
+    hrs = (ev.groupBy(F.expr(f"us div {_HOUR_US}").alias("h"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    avg = hrs.agg(F.avg("n").alias("a"))
+    busy = (hrs.crossJoin(F.broadcast(avg))
+            .where(F.col("n") > 1.1 * F.col("a")).select("h"))
+    win = busy.select(
+        (F.col("h") * _HOUR_US + 1_800_000_000).alias("ws"),
+        (F.col("h") * _HOUR_US + 5_400_000_000).alias("we"))
+    rj = range_join_binned(ev, win, "us", "ws", "we", _HOUR_US)
+    return (rj.groupBy(F.col("ws").alias("win_start_us"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value")))
+
+
+def q_rollup_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: minute/hour/day grains in
+    one scan; written partitioned by grain, a day query partition-prunes
+    to 1/3 of the rollup."""
+    from dynamic_partitioner_spark.operators.relational import (
+        rollup_time_grains)
+    events = _table(spark, sf_dir, "events")
+    return rollup_time_grains(events, F.expr("ts div 1000"), "value")
+
+
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregate over lineitem (subtotals + grand total)."""
     li = _table(spark, sf_dir, "lineitem")
@@ -853,6 +888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_percentiles": q_percentiles,
         "events_json_extract": q_json_extract,
         "events_asof_join": q_asof_join,
+        "events_range_join": q_range_join,
+        "query_rollup_grains": q_rollup_grains,
         "query_bucketed_join": q_bucketed_join,
         "source_csv_roundtrip": q_source_csv,
         "source_jsonl_roundtrip": q_source_jsonl,
@@ -1141,6 +1178,33 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(ts) AS ts_us,
                    epoch_us(last_click) AS last_click_us
             FROM run WHERE event_type = 'error'
+        """,
+        "events_range_join": """
+            WITH ev AS (SELECT epoch_us(ts) AS us, value FROM events),
+            hrs AS (SELECT us // 3600000000 AS h, count(*) AS n
+                    FROM ev GROUP BY 1),
+            busy AS (SELECT h FROM hrs
+                     WHERE n > 1.1 * (SELECT avg(n) FROM hrs)),
+            win AS (SELECT h * 3600000000 + 1800000000 AS ws,
+                           h * 3600000000 + 5400000000 AS we FROM busy)
+            SELECT ws AS win_start_us, count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM ev JOIN win ON us >= ws AND us < we
+            GROUP BY ws
+        """,
+        "query_rollup_grains": """
+            SELECT 'minute' AS grain,
+                   (epoch_us(ts) // 60000000) * 60000000 AS bucket_start_us,
+                   count(*) AS n_events, round(sum(value), 2) AS total_value
+            FROM events GROUP BY 2
+            UNION ALL
+            SELECT 'hour', (epoch_us(ts) // 3600000000) * 3600000000,
+                   count(*), round(sum(value), 2)
+            FROM events GROUP BY 2
+            UNION ALL
+            SELECT 'day', (epoch_us(ts) // 86400000000) * 86400000000,
+                   count(*), round(sum(value), 2)
+            FROM events GROUP BY 2
         """,
         "mm_features": """
             -- byte-level feature twin: text is pure ASCII at every SF

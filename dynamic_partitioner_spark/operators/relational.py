@@ -1,0 +1,79 @@
+"""Relational operators Spark lacks as built-ins, re-expressed as
+compositions of shuffle-friendly primitives (north-star extension
+surface — the reference has no query layer at all, SURVEY.md §2.4-2.7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join_binned(left: DataFrame, right: DataFrame, left_point: str,
+                      start_col: str, end_col: str,
+                      bin_width: int) -> DataFrame:
+    """Interval join ``left.point ∈ [right.start, right.end)`` without a
+    nested-loop plan.
+
+    Spark plans a raw non-equi join as BroadcastNestedLoopJoin — O(n·m)
+    and driver-bound when the interval side outgrows the broadcast
+    threshold.  The standard scalable re-expression: quantize time into
+    fixed-width bins, explode each interval into the bins it overlaps,
+    equi-join on the bin, then apply the exact range predicate.
+
+    * each left row lands in exactly ONE bin → no duplicate matches, no
+      post-join dedup;
+    * an interval of length L explodes into ⌈L/bin_width⌉+1 bins — pick
+      ``bin_width`` ≈ the typical interval length so the explode factor
+      is ~2;
+    * the join is a plain equi-join on ``_bin``: Catalyst broadcasts a
+      small interval side or sort-merge-joins two big sides — both
+      shapes scale, neither is BNL.
+
+    ``left_point``, ``start_col``, ``end_col`` must be integral (e.g.
+    epoch micros).  Columns from both sides survive.
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    lbin = F.expr(f"`{left_point}` div {bin_width}").alias("_bin")
+    l = left.select("*", lbin)
+    bins = F.sequence(F.expr(f"`{start_col}` div {bin_width}"),
+                      F.expr(f"`{end_col}` div {bin_width}"))
+    r = right.select("*", F.explode(bins).alias("_bin"))
+    return (l.join(r, "_bin")
+            .where((F.col(left_point) >= F.col(start_col))
+                   & (F.col(left_point) < F.col(end_col)))
+            .drop("_bin"))
+
+
+def rollup_time_grains(df: DataFrame, ts_us: Column, value_col: str,
+                       grains: dict[str, int] | None = None) -> DataFrame:
+    """Hypertable-style continuous aggregate: the same measure rolled up
+    at several time grains in ONE scan (union of per-grain hash aggs —
+    each partially aggregates map-side, so the scan cost is paid once
+    and each grain shuffles only its own group cardinality).
+
+    Returns (grain, bucket_start_us, n_events, total_value).  Write the
+    result partitioned by ``grain`` with this engine's own sink and a
+    dashboard's day query becomes a partition-pruned scan of the day
+    grain only.
+
+    ``grains`` maps name → width in microseconds (default minute/hour/
+    day).  Deterministic: buckets are integer division of epoch micros.
+    """
+    grains = grains or {"minute": 60_000_000, "hour": 3_600_000_000,
+                        "day": 86_400_000_000}
+    base = df.select(ts_us.alias("_us"), F.col(value_col).alias("_v"))
+    parts = []
+    for name, width in grains.items():
+        parts.append(
+            base.groupBy((F.expr(f"_us div {width}") * width)
+                         .alias("bucket_start_us"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("_v"), 2).alias("total_value"))
+            .select(F.lit(name).alias("grain"), "bucket_start_us",
+                    "n_events", "total_value"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

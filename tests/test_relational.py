@@ -1,0 +1,75 @@
+"""Binned range join + multi-grain rollup."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from dynamic_partitioner_spark.operators.relational import (
+    range_join_binned,
+    rollup_time_grains,
+)
+
+
+def _fixtures(spark):
+    pts = spark.createDataFrame(
+        [(i, i * 10) for i in range(100)], "pid long, t long")
+    ivs = spark.createDataFrame(
+        [(1, 25, 95), (2, 95, 105), (3, 900, 2000), (4, 380, 381)],
+        "wid long, s long, e long")
+    return pts, ivs
+
+
+def test_range_join_matches_naive(spark):
+    pts, ivs = _fixtures(spark)
+    got = {(r.pid, r.wid) for r in
+           range_join_binned(pts, ivs, "t", "s", "e", 64).collect()}
+    naive = {(r.pid, r.wid) for r in
+             pts.crossJoin(ivs)
+             .where((F.col("t") >= F.col("s")) & (F.col("t") < F.col("e")))
+             .collect()}
+    assert got == naive and naive            # same matches, non-empty
+    # boundary semantics: start inclusive, end exclusive
+    assert (90, 3) in got                    # t=900 == interval start
+    assert (20, 3) not in got                # t=200 < start
+    assert (38, 4) in got and (39, 4) not in got   # width-1 interval [380,381)
+
+
+def test_range_join_no_duplicate_matches(spark):
+    """An interval spanning many bins must still match each point once."""
+    pts, _ = _fixtures(spark)
+    wide = spark.createDataFrame([(1, 0, 1000)], "wid long, s long, e long")
+    out = range_join_binned(pts, wide, "t", "s", "e", 16)
+    assert out.count() == out.select("pid", "wid").distinct().count() == 100
+
+
+def test_range_join_avoids_nested_loop(spark):
+    """The whole point: the plan is an equi-join on the bin, never
+    BroadcastNestedLoopJoin."""
+    pts, ivs = _fixtures(spark)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        range_join_binned(pts, ivs, "t", "s", "e", 64).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_rollup_grains_are_consistent(spark):
+    """Every grain sums to the same totals; coarser grains have fewer
+    buckets; bucket starts are aligned to their width."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = rollup_time_grains(ev, F.expr("ts div 1000"), "value").cache()
+    tot = {r.grain: (r.n, r.buckets) for r in
+           out.groupBy("grain").agg(F.sum("n_events").alias("n"),
+                                    F.count(F.lit(1)).alias("buckets"))
+           .collect()}
+    n_events = ev.count()
+    for grain, (n, _) in tot.items():
+        assert n == n_events, grain
+    assert tot["minute"][1] >= tot["hour"][1] >= tot["day"][1]
+    bad = out.where((F.col("grain") == "hour")
+                    & (F.col("bucket_start_us") % 3_600_000_000 != 0))
+    assert bad.count() == 0
