@@ -657,6 +657,24 @@ def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(TX.word_repetition_ratio(t)).alias("word_rep_ratio"))
 
 
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning + PII-ish redaction over a corpus with deterministically
+    injected URLs/emails (every 5th doc — the raw testdata has none, so
+    the injection makes the oracle non-trivial): count, redact,
+    whitespace-normalize."""
+    docs = _table(spark, sf_dir, "documents")
+    inject = F.concat(
+        F.col("text"), F.lit(" see https://ex"),
+        F.col("doc_id").cast("string"), F.lit(".org contact user"),
+        F.col("doc_id").cast("string"), F.lit("@mail.com"))
+    aug = F.when(F.col("doc_id") % 5 == 0, inject).otherwise(F.col("text"))
+    return docs.select(
+        "doc_id",
+        TX.url_count(aug).cast("long").alias("n_urls"),
+        TX.email_count(aug).cast("long").alias("n_emails"),
+        TX.normalize_ws(TX.redact(aug)).alias("clean_text"))
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents")
     return docs.select("doc_id",
@@ -914,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
         "text_signals": q_text_signals,
+        "text_clean": q_text_clean,
         "embedding_roundtrip": q_embedding_roundtrip,
         "mm_binary_stats": q_mm_binary_stats,
         "mm_features": q_mm_features,
@@ -1101,6 +1120,16 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": ("SELECT doc_id, "
                              + TX.DOC_FINGERPRINT_SQL.format(c="text")
                              + " AS fingerprint FROM documents"),
+        "text_clean": (
+            "WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN "
+            "concat(text, ' see https://ex', CAST(doc_id AS VARCHAR), "
+            "'.org contact user', CAST(doc_id AS VARCHAR), '@mail.com') "
+            "ELSE text END AS t FROM documents) "
+            "SELECT doc_id, "
+            + TX.URL_COUNT_SQL.format(c="t") + " AS n_urls, "
+            + TX.EMAIL_COUNT_SQL.format(c="t") + " AS n_emails, "
+            + TX.NORMALIZE_WS_SQL.format(c=TX.REDACT_SQL.format(c="t"))
+            + " AS clean_text FROM aug"),
         "text_signals": (
             "SELECT doc_id, "
             + ", ".join(

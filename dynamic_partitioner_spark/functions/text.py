@@ -209,6 +209,59 @@ def lang_id_sql(c: str) -> str:
             f"WHEN {es} >= {fr} THEN 'es' ELSE 'fr' END")
 
 
+# ------------------------------------------------------ cleaning / PII-ish
+#
+# Standard web-corpus cleaning: whitespace/control normalization and
+# URL/email detection+redaction (the C4 recipe runs exactly these before
+# dedup).  RE2-safe patterns only, so each has an exact DuckDB twin.
+
+_CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+_URL_RE = "https?://[^ \\t\\n\\r]+"
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+
+def normalize_ws(c: Column) -> Column:
+    """Strip control chars, collapse whitespace runs to single spaces,
+    trim — the canonical pre-dedup text normalization."""
+    no_ctrl = F.regexp_replace(c, _CTRL_RE, "")
+    return F.trim(F.regexp_replace(no_ctrl, "[ \\t\\n\\r]+", " "))
+
+
+NORMALIZE_WS_SQL = (
+    "trim(regexp_replace(regexp_replace({c}, "
+    "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'), "
+    "'[ \\t\\n\\r]+', ' ', 'g'))")
+
+
+def url_count(c: Column) -> Column:
+    return F.regexp_count(c, F.lit(_URL_RE))
+
+
+URL_COUNT_SQL = "len(regexp_extract_all({c}, 'https?://[^ \\t\\n\\r]+'))"
+
+
+def email_count(c: Column) -> Column:
+    return F.regexp_count(c, F.lit(_EMAIL_RE))
+
+
+EMAIL_COUNT_SQL = ("len(regexp_extract_all({c}, "
+                   "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))")
+
+
+def redact(c: Column) -> Column:
+    """Replace URLs with <URL> then emails with <EMAIL> (URL first —
+    a URL can contain an @ userinfo part; an email never contains
+    ``://``)."""
+    no_url = F.regexp_replace(c, _URL_RE, "<URL>")
+    return F.regexp_replace(no_url, _EMAIL_RE, "<EMAIL>")
+
+
+REDACT_SQL = (
+    "regexp_replace(regexp_replace({c}, 'https?://[^ \\t\\n\\r]+', "
+    "'<URL>', 'g'), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', "
+    "'<EMAIL>', 'g')")
+
+
 # ----------------------------------------------------------- fingerprint
 
 def doc_fingerprint(c: Column) -> Column:

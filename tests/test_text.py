@@ -91,3 +91,17 @@ def test_quality_signals_edges(spark):
     rep = _one(spark, TX.word_repetition_ratio(F.lit("a a a b")))
     assert abs(rep - 0.5) < 1e-12                  # 4 tokens, 2 distinct
     assert _one(spark, TX.word_repetition_ratio(F.lit("x y z"))) == 0.0
+
+
+def test_cleaning_and_redaction(spark):
+    assert _one(spark, TX.normalize_ws(
+        F.lit("  a\t\tb \x01\x02 c\n"))) == "a b c"
+    raw = F.lit("mail bob.smith+x@corp.example.org or https://a.example.com/p?q=1 end")
+    assert _one(spark, TX.url_count(raw)) == 1
+    assert _one(spark, TX.email_count(raw)) == 1
+    red = _one(spark, TX.redact(raw))
+    assert red == "mail <EMAIL> or <URL> end"
+    # URL with userinfo @ is redacted as a URL, not chewed by the email rule
+    u = _one(spark, TX.redact(F.lit("x https://user@host.example.com/a y")))
+    assert u == "x <URL> y"
+    assert _one(spark, TX.redact(F.lit("no pii here"))) == "no pii here"
