@@ -675,6 +675,19 @@ def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.normalize_ws(TX.redact(aug)).alias("clean_text"))
 
 
+def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (256-token bins, 8 shards) — rows
+    only (next-fit with reset is iterative, not SQL-expressible); the
+    no-bin-over-budget / every-doc-once invariants are pinned in
+    tests/test_packing.py."""
+    from dynamic_partitioner_spark.operators.packing import pack_sequences
+    docs = _table(spark, sf_dir, "documents")
+    with_tok = docs.select(
+        "doc_id", TX.token_count(F.col("text")).alias("n_tok"))
+    return pack_sequences(with_tok, "doc_id", "n_tok", budget=256,
+                          n_shards=8)
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents")
     return docs.select("doc_id",
@@ -933,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_signals": q_text_signals,
         "text_clean": q_text_clean,
+        "text_pack": q_text_pack,
         "embedding_roundtrip": q_embedding_roundtrip,
         "mm_binary_stats": q_mm_binary_stats,
         "mm_features": q_mm_features,

@@ -1,0 +1,58 @@
+"""Token-budget sequence packing (north-star extension surface).
+
+Training pipelines pack documents into fixed-token-budget sequences to
+avoid padding waste.  Packing is inherently sequential, so the Spark
+shape is: **shard deterministically, pack within each shard** — one
+``applyInPandas`` group per shard, each running a linear next-fit pass
+over its documents.  Shards are independent ⇒ the packing parallelizes
+to the shard count while staying byte-reproducible (shard assignment is
+a pure hash of the doc id; within-shard order is sorted doc id).
+
+Packing quality: next-fit over hash-ordered docs wastes at most one
+document's worth of slack per bin versus first-fit-decreasing, but
+needs no global sort and no cross-shard coordination — the right trade
+at 100 TB, where a global FFD would serialize on a full sort and a
+single packer.  Not SQL-expressible (running sum with reset is
+iterative), so the driver key is rows-only with the invariants pinned
+in pytest.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PACK_SCHEMA = ("shard long, seq_idx long, doc_id long, n_tokens long")
+
+
+def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
+                   budget: int, n_shards: int = 64) -> DataFrame:
+    """Assign each doc to a (shard, seq_idx) bin with ≤ ``budget``
+    total tokens per bin (a doc longer than the budget gets a bin of
+    its own).  Returns (shard, seq_idx, doc_id, n_tokens); every input
+    doc appears exactly once.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        pdf = pdf.sort_values("_id").reset_index(drop=True)
+        seqs = []
+        seq, acc = 0, 0
+        for tok in pdf["_tok"]:
+            tok = int(tok)
+            if acc > 0 and acc + tok > budget:
+                seq += 1
+                acc = 0
+            seqs.append(seq)
+            acc += tok
+        return pd.DataFrame({"shard": shard, "seq_idx": seqs,
+                             "doc_id": pdf["_id"], "n_tokens": pdf["_tok"]})
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(tokens_col).cast("long").alias("_tok"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("_shard"))
+    return base.groupBy("_shard").applyInPandas(pack, PACK_SCHEMA)

@@ -1,0 +1,55 @@
+"""Sequence-packing invariants: budget respected, every doc packed
+exactly once, deterministic, shards balanced-ish."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dynamic_partitioner_spark.operators.packing import pack_sequences
+
+
+def _docs(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from dynamic_partitioner_spark.functions.text import token_count
+    return docs.select("doc_id", token_count(F.col("text")).alias("n_tok"))
+
+
+def test_pack_respects_budget_and_covers_all(spark):
+    base = _docs(spark)
+    out = pack_sequences(base, "doc_id", "n_tok", budget=256, n_shards=8)
+    out.cache()
+    # every doc exactly once
+    assert out.count() == base.count()
+    assert out.select("doc_id").distinct().count() == base.count()
+    # no multi-doc bin exceeds the budget; singleton bins may (oversize doc)
+    bins = (out.groupBy("shard", "seq_idx")
+            .agg(F.sum("n_tokens").alias("tot"),
+                 F.count(F.lit(1)).alias("n")))
+    over = bins.where((F.col("tot") > 256) & (F.col("n") > 1))
+    assert over.count() == 0
+    # packing is non-trivial: fewer bins than docs
+    assert bins.count() < base.count()
+
+
+def test_pack_oversize_doc_gets_own_bin(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (2, 999), (3, 100), (4, 100)], "doc_id long, t long")
+    out = pack_sequences(df, "doc_id", "t", budget=256, n_shards=1).collect()
+    by_doc = {r.doc_id: (r.shard, r.seq_idx) for r in out}
+    big_bin = by_doc[2]
+    assert sum(1 for r in out if (r.shard, r.seq_idx) == big_bin) == 1
+
+
+def test_pack_deterministic(spark):
+    base = _docs(spark)
+    a = sorted(map(tuple, pack_sequences(base, "doc_id", "n_tok", 256, 8)
+                   .collect()))
+    b = sorted(map(tuple, pack_sequences(base, "doc_id", "n_tok", 256, 8)
+                   .collect()))
+    assert a == b
+
+
+def test_pack_rejects_bad_budget(spark):
+    import pytest
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(_docs(spark), "doc_id", "n_tok", 0)
