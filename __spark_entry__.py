@@ -881,6 +881,35 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("user_id").alias("exact_users")))
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact-to-dim join: events (hot user keys) against the
+    per-user dim, spread over 8 salted partitions per key — result
+    identical to the plain join (the oracle runs the plain join)."""
+    from dynamic_partitioner_spark.operators.relational import salted_join
+    events = _table(spark, sf_dir, "events")
+    fact = events.select("event_id", "user_id",
+                         F.round("value", 2).alias("value"))
+    dim = (events.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n_user_events")))
+    return salted_join(fact, dim, "user_id", "event_id", n_salts=8)
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregate (1-hour windows every 15 minutes — each
+    event lands in 4 windows) via the built-in window() generator; the
+    same expression runs unchanged over a watermarked stream."""
+    from dynamic_partitioner_spark.streaming.stateful import _event_ts
+    events = _table(spark, sf_dir, "events")
+    return (events
+            .select(_event_ts("ts").alias("ets"), "event_type", "value")
+            .groupBy(F.window("ets", "1 hour", "15 minutes").alias("w"),
+                     "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.date_format("w.start", _TS_FMT).alias("win_start"),
+                    "event_type", "n_events", "total_value"))
+
+
 def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregates: users and distinct value-buckets per event
     type (two distinct aggs in one pass — Spark expands then merges)."""
@@ -958,6 +987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_agg": q_streaming_windowed_agg,
         "streaming_stateful_counts": q_streaming_stateful,
         "streaming_dedup": q_streaming_dedup,
+        "query_sliding_window": q_sliding_window,
+        "query_salted_join": q_salted_join,
         "query_distinct_agg": q_distinct_agg,
         "query_pivot": q_pivot,
         "query_approx_distinct": q_approx_distinct,
@@ -1372,6 +1403,27 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": (
             "SELECT event_id, user_id, round(value, 2) AS value "
             "FROM events"),
+        "query_salted_join": """
+            WITH dim AS (SELECT user_id, count(*) AS n_user_events
+                         FROM events GROUP BY user_id)
+            SELECT event_id, e.user_id, round(value, 2) AS value,
+                   n_user_events
+            FROM events e JOIN dim USING (user_id)
+        """,
+        "query_sliding_window": """
+            -- hopping windows: event at t belongs to the 4 windows
+            -- starting at floor(t/15min)*15min - k*15min, k=0..3
+            WITH e AS (SELECT epoch_us(ts) AS us, event_type, value
+                       FROM events),
+            x AS (SELECT make_timestamp((us // 900000000 - u.k) * 900000000)
+                             AS ws,
+                         event_type, value
+                  FROM e, LATERAL unnest(range(0, 4)) AS u(k))
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM x GROUP BY 1, 2
+        """,
         "query_distinct_agg": """
             SELECT event_type,
                    count(DISTINCT user_id) AS n_users,

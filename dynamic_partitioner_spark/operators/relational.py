@@ -46,6 +46,35 @@ def range_join_binned(left: DataFrame, right: DataFrame, left_point: str,
             .drop("_bin"))
 
 
+def salted_join(left: DataFrame, right: DataFrame, key: str,
+                salt_src: str, n_salts: int = 16,
+                how: str = "inner") -> DataFrame:
+    """Skew-mitigating equi-join: a hot key's left rows are spread over
+    ``n_salts`` shuffle partitions instead of one.
+
+    Left rows get a deterministic salt (``xxhash64(salt_src) mod n``,
+    ``salt_src`` any left column — an id gives uniform spread); the
+    right side is replicated once per salt via a ``sequence`` explode.
+    The join key becomes (key, salt), so a key whose left side is 10⁸
+    rows becomes ``n_salts`` balanced tasks rather than one straggler.
+    Each left row matches exactly the right replica carrying its own
+    salt → result multiplicity is identical to the plain join (pinned
+    in tests), with no dedup pass.
+
+    Cost model: right shuffle volume × n_salts — use for big-left ×
+    modest-right skew; AQE's skew-join split covers sort-merge cases,
+    but salting also works for aggregate-after-join pipelines and when
+    the skew is known up front.  Deterministic: no ``rand()``.
+    """
+    if n_salts <= 0:
+        raise ValueError("n_salts must be positive")
+    l = left.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_src)),
+                                        F.lit(n_salts)))
+    r = right.withColumn("_salt", F.explode(
+        F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>")))
+    return l.join(r, [key, "_salt"], how).drop("_salt")
+
+
 def rollup_time_grains(df: DataFrame, ts_us: Column, value_col: str,
                        grains: dict[str, int] | None = None) -> DataFrame:
     """Hypertable-style continuous aggregate: the same measure rolled up

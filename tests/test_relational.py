@@ -73,3 +73,28 @@ def test_rollup_grains_are_consistent(spark):
     bad = out.where((F.col("grain") == "hour")
                     & (F.col("bucket_start_us") % 3_600_000_000 != 0))
     assert bad.count() == 0
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Same rows, same multiplicities as the unsalted join — including
+    duplicate keys on BOTH sides."""
+    from dynamic_partitioner_spark.operators.relational import salted_join
+
+    left = spark.createDataFrame(
+        [(i, "hot" if i % 3 else f"k{i}") for i in range(60)],
+        "lid long, k string")
+    right = spark.createDataFrame(
+        [("hot", 1), ("hot", 2), ("k3", 3), ("k6", 4), ("absent", 5)],
+        "k string, rv long")
+    plain = sorted(map(tuple, left.join(right, "k").select(
+        "k", "lid", "rv").collect()))
+    salted = sorted(map(tuple, salted_join(left, right, "k", "lid", 4)
+                        .select("k", "lid", "rv").collect()))
+    assert salted == plain and plain
+    # left/outer rows with no match survive a left join identically
+    plain_l = sorted(map(tuple, left.join(right, "k", "left").select(
+        "k", "lid", "rv").collect()))
+    salted_l = sorted(map(tuple, salted_join(left, right, "k", "lid", 4,
+                                             how="left")
+                          .select("k", "lid", "rv").collect()))
+    assert salted_l == plain_l
