@@ -614,6 +614,22 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ann_ivf(emb, queries, k=5).orderBy("query_id", "rank")
 
 
+def q_similarity_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF through the engine's own partitioned sink: corpus written
+    partitioned by list_id, query scans only the nprobe probed lists
+    (PartitionFilters pinned in tests) — rows-only; equality with the
+    in-memory IVF path is pinned in tests."""
+    from dynamic_partitioner_spark.operators.similarity import (
+        build_ivf_index, topk_ivf_pruned)
+    apply_engine_confs(spark)
+    emb = _table(spark, sf_dir, "embeddings")
+    out = _out("ivf_index")
+    cents = build_ivf_index(emb, out)
+    queries = emb.where(F.col("vec_id") < 10)
+    return (topk_ivf_pruned(spark, out, cents, queries, k=5)
+            .orderBy("query_id", "rank"))
+
+
 # =====================================================================
 # Text analysis
 # =====================================================================
@@ -968,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_similarity_ann,
         "similarity_ann_ivf": q_similarity_ivf,
+        "similarity_ivf_pruned": q_similarity_ivf_pruned,
         "text_stats": q_text_stats,
         "text_lang_id": q_text_lang_id,
         "text_top_ngrams": q_text_top_ngrams,

@@ -181,6 +181,65 @@ def _nearest_lists_udf(cents: np.ndarray, nprobe: int):
     return nearest
 
 
+def build_ivf_index(emb: DataFrame, path: str, id_col: str = "vec_id",
+                    vec_col: str = "embedding", n_lists: int = 16,
+                    name: str = "ivf_index") -> np.ndarray:
+    """Materialize the IVF layout with the engine's own sink: assign
+    each vector to its nearest centroid list (one Arrow matmul pass) and
+    write the corpus **partitioned by list_id** — the 100 TB shape where
+    a query's nprobe lists become partition-PRUNED scans instead of a
+    full-corpus read.  Returns the centroids (persist them next to the
+    index in real use)."""
+    from ..spec import SinkSpec
+    from .partitioned_write import write_partitioned
+
+    cents = train_centroids(emb, vec_col, id_col, n_lists)
+    assign1 = _nearest_lists_udf(cents, 1)
+    indexed = emb.select(
+        F.col(id_col), F.col(vec_col),
+        assign1(F.col(vec_col))[0].cast("string").alias("list_id"))
+    write_partitioned(indexed,
+                      SinkSpec(name=name, field_names=["list_id"],
+                               overwrite_partitions=True), path)
+    return cents
+
+
+def topk_ivf_pruned(spark, index_path: str, centroids: np.ndarray,
+                    queries: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding", k: int = 5,
+                    nprobe: int = 4) -> DataFrame:
+    """Query a :func:`build_ivf_index` layout: the union of all queries'
+    nprobe lists becomes an ``isin`` filter on the partition column, so
+    the scan touches only those directories (``PartitionFilters`` in the
+    plan — pinned by a test).  The probe-list collect is bounded by
+    |queries|·nprobe ints (queries are small by construction, they are
+    broadcast anyway).  Same output schema as :func:`topk_bruteforce`;
+    identical results to :func:`topk_ann_ivf` at equal centroids/nprobe.
+    """
+    from ..sources.read import read_partitioned
+
+    probe = _nearest_lists_udf(centroids, nprobe)
+    qb = (queries.select(F.col(id_col).alias("query_id"),
+                         F.col(vec_col).alias("qv"),
+                         F.explode(probe(F.col(vec_col))).alias("list_id"))
+          .withColumn("list_id", F.col("list_id").cast("string")))
+    wanted = sorted({r.list_id for r in qb.select("list_id").distinct()
+                     .collect()})
+    corpus = (read_partitioned(spark, index_path)
+              .where(F.col("list_id").isin(wanted))
+              .select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv"), "list_id"))
+    scored = (corpus.join(F.broadcast(qb), "list_id")
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      round4(cosine(F.col("qv"), F.col("cv")))
+                      .alias("cos_sim"))
+              .distinct())
+    ranked = scored.withColumn("rank",
+                               F.row_number().over(_rank_window("query_id")))
+    return ranked.where(F.col("rank") <= k)
+
+
 def topk_ann_ivf(emb: DataFrame, queries: DataFrame, id_col: str = "vec_id",
                  vec_col: str = "embedding", k: int = 5, n_lists: int = 16,
                  nprobe: int = 4, centroids: np.ndarray | None = None) -> DataFrame:

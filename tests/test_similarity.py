@@ -96,3 +96,31 @@ def test_vectorized_buckets_match_column_form(spark):
     f = {r.vec_id: list(r.bk) for r in fast.collect()}
     s = {r.vec_id: list(r.bk) for r in slow.collect()}
     assert f == s
+
+
+def test_ivf_pruned_equals_in_memory_ivf(spark, tmp_out):
+    """The partition-pruned index path returns exactly the in-memory IVF
+    results at equal centroids/nprobe, and the scan carries
+    PartitionFilters (only the probed lists are read)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from dynamic_partitioner_spark.operators.similarity import (
+        build_ivf_index, topk_ann_ivf, topk_ivf_pruned, train_centroids)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+
+    cents = build_ivf_index(emb, tmp_out)
+    pruned = topk_ivf_pruned(spark, tmp_out, cents, queries, k=5)
+    mem = topk_ann_ivf(emb, queries, k=5,
+                       centroids=train_centroids(emb))
+    assert sorted(map(tuple, pruned.collect())) == \
+           sorted(map(tuple, mem.collect()))
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()
