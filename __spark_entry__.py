@@ -528,6 +528,26 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline, end to end in one lazy plan:
+    normalize+redact → quality gate → exact dedup on the cleaned text →
+    stable split assignment → per-split stats.  One scan, one dedup
+    shuffle, one agg shuffle."""
+    from dynamic_partitioner_spark.operators.sampling import split_assign
+    docs = _table(spark, sf_dir, "documents")
+    clean = docs.select(
+        "doc_id", TX.normalize_ws(TX.redact(F.col("text"))).alias("ct"))
+    kept = clean.where((TX.token_count(F.col("ct")) >= 5)
+                       & (TX.punct_ratio(F.col("ct")) < 0.2))
+    deduped = (kept.groupBy("ct")
+               .agg(F.min("doc_id").alias("doc_id")))
+    split = split_assign(deduped, "doc_id")
+    return (split.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(TX.token_count(F.col("ct")).cast("long"))
+                 .alias("total_tokens")))
+
+
 def q_corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-data pipeline stage: language + length +
     quality gates, then per-language survivor stats — the canonical
@@ -981,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "corpus_quality_filter": q_corpus_quality_filter,
+        "corpus_pipeline": q_corpus_pipeline,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_similarity_ann,
         "similarity_ann_ivf": q_similarity_ivf,
@@ -1370,6 +1391,20 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY n DESC, ngram) AS rnk
             FROM c QUALIFY rnk <= 50
         """,
+        "corpus_pipeline": (
+            "WITH clean AS (SELECT doc_id, "
+            + TX.NORMALIZE_WS_SQL.format(c=TX.REDACT_SQL.format(c="text"))
+            + " AS ct FROM documents), "
+            "kept AS (SELECT * FROM clean WHERE ("
+            + TX.TOKEN_COUNT_SQL.format(c="ct") + ") >= 5 AND ("
+            + TX.PUNCT_RATIO_SQL.format(c="ct") + ") < 0.2), "
+            "dedup AS (SELECT ct, min(doc_id) AS doc_id FROM kept "
+            "GROUP BY ct), "
+            "split AS (SELECT ct, doc_id, " + SMP.split_assign_sql("doc_id")
+            + " AS split FROM dedup) "
+            "SELECT split, count(*) AS n_docs, "
+            "CAST(sum(" + TX.TOKEN_COUNT_SQL.format(c="ct")
+            + ") AS BIGINT) AS total_tokens FROM split GROUP BY split"),
         "corpus_quality_filter": f"""
             WITH kept AS (
                 SELECT * FROM documents
