@@ -99,6 +99,42 @@ def streaming_tumbling_agg(spark: SparkSession, src_path: str,
     return spark.table(sink_table)
 
 
+def streaming_windowed_agg_append(spark: SparkSession, src_path: str,
+                                  sink_table: str, window: str = "1 hour",
+                                  watermark: str = "30 minutes",
+                                  ts_col: str = "ts",
+                                  key_col: str = "user_id",
+                                  value_col: str = "value",
+                                  timeout_sec: int = 300) -> DataFrame:
+    """The PRODUCTION windowed-agg wiring: ``withWatermark`` + append
+    output mode.  A window emits exactly once — when the watermark
+    (max observed event time − delay) passes its end — and rows arriving
+    later than the watermark are DROPPED, which bounds state for an
+    unbounded stream (complete mode re-emits everything forever and its
+    state never expires).
+
+    With ``maxFilesPerTrigger=1`` the watermark advances between files,
+    so a bounded directory exercises real late-data semantics: an event
+    older than (max seen − delay) landing in a later file never reaches
+    its (already closed) window — pinned in tests.
+    """
+    from .write import run_stream_to_completion, stream_from_files
+
+    sdf = stream_from_files(spark, src_path, max_files_per_trigger=1)
+    agg = (sdf.select(_event_ts(ts_col).alias("_ets"),
+                      F.col(key_col), F.col(value_col))
+           .withWatermark("_ets", watermark)
+           .groupBy(F.window("_ets", window).alias("w"), F.col(key_col))
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum(value_col), 2).alias("total_value"))
+           .select(F.date_format("w.start", _TS_FMT).alias("window_start"),
+                   key_col, "n_events", "total_value"))
+    q = (agg.writeStream.format("memory").queryName(sink_table)
+         .outputMode("append").trigger(availableNow=True).start())
+    run_stream_to_completion(q, timeout_sec)
+    return spark.table(sink_table)
+
+
 def run_streaming_dedup(spark: SparkSession, src_path: str, sink_table: str,
                         key_cols: list[str], timeout_sec: int = 300) -> DataFrame:
     """Streaming exact dedup: ``dropDuplicates`` on a stream keeps a

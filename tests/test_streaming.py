@@ -134,3 +134,45 @@ def test_streaming_dedup_across_batches(spark, tmp_out):
     out = run_streaming_dedup(spark, src, "t_sdedup", ["id"])
     assert sorted((r.id, r.v) for r in out.collect()) == \
         [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_append_mode_watermark_drops_late_rows(spark, tmp_out):
+    """Production wiring (withWatermark + append): an event arriving
+    after its window was closed and emitted never reaches it, and the
+    window is never re-emitted.  Spark ≥3.4 filters late records with
+    the PREVIOUS batch's watermark (eviction uses the current one —
+    SPARK-40925 two-watermark design), so the window must close a full
+    batch before the late row arrives: file order is (hours 0-2),
+    (hour 3 → closes+emits hour 0), (late hour-0 row → dropped)."""
+    import os
+    import time
+
+    from dynamic_partitioner_spark.streaming.stateful import (
+        streaming_windowed_agg_append)
+
+    H = 3_600_000_000_000                      # 1h in nanos (testdata unit)
+    M = 60_000_000_000
+    schema = "ts long, user_id long, value double"
+    src = os.path.join(tmp_out, "src")
+    f1 = [(0 * H + 10 * M, 1, 1.0),            # hour-0 window, on time
+          (1 * H + 10 * M, 1, 1.0),
+          (2 * H + 10 * M, 1, 1.0)]            # watermark → 01:40 after b0
+    f2 = [(3 * H + 10 * M, 1, 1.0)]            # b1 evicts+emits hour 0
+    f3 = [(0 * H + 20 * M, 1, 5.0)]            # b2: LATE (filter wm 01:40)
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(src)
+    for chunk in (f2, f3):
+        time.sleep(1.1)                        # distinct mtimes → file order
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append").parquet(src)
+
+    out = streaming_windowed_agg_append(spark, src, "wm_sink",
+                                        window="1 hour",
+                                        watermark="30 minutes")
+    rows = [(r.window_start, r.n_events, r.total_value)
+            for r in out.collect()]
+    # the late 5.0-value row reached NO window, and hour 0 was emitted
+    # exactly once, without it
+    assert rows.count(("1970-01-01 00:00:00", 1, 1.0)) == 1
+    assert all(not (w == "1970-01-01 00:00:00" and tv != 1.0)
+               for w, _, tv in rows)
+    assert ("1970-01-01 01:00:00", 1, 1.0) in rows
