@@ -33,10 +33,20 @@ def _no_partition_type_inference(spark: SparkSession):
 
 
 def read_partitioned(spark: SparkSession, path: str,
-                     fmt: str = "parquet") -> DataFrame:
-    """Load a Hive-partitioned dataset; partition columns stay STRING."""
+                     fmt: str = "parquet",
+                     merge_schema: bool = False) -> DataFrame:
+    """Load a Hive-partitioned dataset; partition columns stay STRING.
+
+    ``merge_schema=True`` unions the schemas of all files (parquet/ORC
+    schema evolution: appends that added columns read back with NULLs
+    for the old files).  Off by default — schema merging reads every
+    file's footer up front, a metadata cost worth paying only on
+    evolved datasets."""
     with _no_partition_type_inference(spark):
-        return spark.read.format(fmt).load(path)
+        reader = spark.read.format(fmt)
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.load(path)
 
 
 def read_table_view(spark: SparkSession, path: str, spec: SinkSpec) -> DataFrame:

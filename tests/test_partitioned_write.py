@@ -317,3 +317,21 @@ def test_skewed_write_splits_hot_key_across_tasks(spark, tmp_out):
         # spray (32 tasks × 5 keys without the rebalance)
         assert 1 <= len(files) <= 8, (small, files)
     assert spark.read.parquet(tmp_out).count() == 100_000
+
+
+def test_schema_evolution_append_new_column(spark, tmp_out):
+    """Appending batches that gained a column reads back whole with
+    merge_schema=True: old rows carry NULL for the new column, and the
+    default (no merge) path still works for the unevolved view."""
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, k string")
+    write_partitioned(v1, SinkSpec(name="t", field_names=["k"]), tmp_out)
+    v2 = spark.createDataFrame([(3, "c", 9.5)],
+                               "id long, k string, score double")
+    write_partitioned(
+        v2, SinkSpec(name="t", field_names=["k"],
+                     append_to_partition="CREATE_OR_APPEND"), tmp_out)
+
+    merged = read_partitioned(spark, tmp_out, merge_schema=True)
+    assert "score" in merged.columns
+    got = {r.id: r.score for r in merged.collect()}
+    assert got == {1: None, 2: None, 3: 9.5}

@@ -110,3 +110,33 @@ def test_mix_by_weights_small_source_taken_whole(spark):
     out = mix_by_weights(df, "source", "doc_id", {"big": 0.5, "tiny": 0.5}, 40)
     counts = dict(out.groupBy("source").count().collect())
     assert counts["tiny"] == 2                   # rate caps at 1, no upsample
+
+
+def test_hash_unit_cross_engine_property(spark):
+    """Property check: the Spark hash_unit and its DuckDB twin agree
+    bit-for-bit on arbitrary integer and string keys (the whole
+    portable-sampling contract rests on this)."""
+    import duckdb
+
+    from dynamic_partitioner_spark.operators.sampling import hash_unit_sql
+
+    keys = [0, 1, -7, 2**31, 2**62, 999999999999]
+    strs = ["", "a", "doc-123", "Ümlaut", "x" * 100]
+
+    sdf = spark.createDataFrame([(k,) for k in keys], "k long")
+    got_i = {r.k: r.u for r in sdf.select(
+        "k", hash_unit(F.col("k")).alias("u")).collect()}
+    con = duckdb.connect()
+    for k in keys:
+        want = con.execute(
+            f"SELECT {hash_unit_sql(str(k))}").fetchone()[0]
+        assert got_i[k] == want, k
+
+    sdf2 = spark.createDataFrame([(s,) for s in strs], "k string")
+    got_s = {r.k: r.u for r in sdf2.select(
+        "k", hash_unit(F.col("k")).alias("u")).collect()}
+    for s in strs:
+        want = con.execute(
+            "SELECT " + hash_unit_sql("?::VARCHAR").replace(
+                "CAST(?::VARCHAR AS VARCHAR)", "?"), [s]).fetchone()[0]
+        assert got_s[s] == want, s
