@@ -238,7 +238,8 @@ def near_dup_minhash(df: DataFrame, id_col: str, text_col: str,
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         block_col: str, threshold: float = 0.4,
-                        n: int = 3) -> DataFrame:
+                        n: int = 3,
+                        max_shingle_df: int | None = None) -> DataFrame:
     """Exact pairwise Jaccard inside a blocking key (the oracle-checkable
     baseline), via an **inverted shingle index**: explode (block,
     shingle, id), self-join on the shingle, count co-occurrences per
@@ -249,10 +250,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     materializes pairs that actually overlap).
 
     Scale caveat: a shingle shared by m docs in a block contributes
-    m²/2 join rows — corpus-frequent shingles are the hot keys.  This
-    op is the audit baseline; at 100 TB prefer :func:`near_dup_minhash`
-    (banded + capped), or pre-filter stop-shingles by document
-    frequency before calling."""
+    m²/2 join rows — corpus-frequent shingles are the hot keys.
+    ``max_shingle_df`` is the standard mitigation: drop shingles shared
+    by more than that many docs in a block (a broadcast anti-join on
+    the tiny stop-shingle list, same guard shape as the LSH hot-bucket
+    caps).  This makes the result an UNDER-approximation — stop-shingle
+    overlap no longer counts toward the intersection, while |A| and |B|
+    still do — so jaccard values can only shrink: no false positives
+    enter, borderline pairs may drop.  Leave None (exact) for audits;
+    at 100 TB prefer :func:`near_dup_minhash` (banded + capped)."""
     if threshold <= 0:
         raise ValueError(
             "threshold must be > 0: zero-overlap pairs are pruned by "
@@ -262,6 +268,12 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                      shingles(F.col(text_col), n).alias("sh"))
     ex = base.select("_blk", "_id", F.size("sh").alias("sz"),
                      F.explode("sh").alias("s"))
+    if max_shingle_df is not None:
+        hot = (ex.groupBy("_blk", "s")
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .where(F.col("_n") > max_shingle_df)
+               .select("_blk", "s"))
+        ex = ex.join(F.broadcast(hot), ["_blk", "s"], "left_anti")
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (a.join(b, ["_blk", "s"])
              .where(F.col("a._id") < F.col("b._id"))

@@ -199,3 +199,27 @@ def test_minhash_batched_bit_identical(spark):
         .alias("batched"))
     rows = both.collect()
     assert rows and all(r.col_form == r.batched for r in rows)
+
+
+def test_ngram_jaccard_shingle_df_cap(spark):
+    """max_shingle_df drops corpus-frequent shingles: results are an
+    under-approximation (subset of exact pairs, jaccard never inflated)
+    and a stop-shingle pile-up no longer drives the join quadratic."""
+    common = "the common boiler plate header text"
+    rows = [(i, f"{common} unique{i} filler{i} words{i}", "en")
+            for i in range(20)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta", "en"),
+             (101, "alpha beta gamma delta epsilon zeta", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    exact = {(r.id_a, r.id_b): r.jaccard for r in
+             DD.ngram_jaccard_pairs(df, "doc_id", "text", "lang",
+                                    threshold=0.1).collect()}
+    capped = {(r.id_a, r.id_b): r.jaccard for r in
+              DD.ngram_jaccard_pairs(df, "doc_id", "text", "lang",
+                                     threshold=0.1,
+                                     max_shingle_df=5).collect()}
+    assert set(capped) <= set(exact)               # under-approximation
+    assert all(capped[p] <= exact[p] for p in capped)
+    assert capped[(100, 101)] == 1.0               # rare-shingle pair intact
+    # boilerplate-only pairs vanish once their shingles are capped away
+    assert any(p not in capped for p in exact if p != (100, 101))
