@@ -110,16 +110,30 @@ def _zigzag(n: int) -> int:
     return (n << 1) ^ (n >> 63)
 
 
-def _write_long(buf: io.BytesIO, n: int) -> None:
+def _varint(n: int) -> bytes:
+    """zigzag varint as one bytes object (single buffer write — a
+    per-7-bit ``BytesIO.write`` measured ~3× slower on the hot path)."""
     z = _zigzag(n)
+    if z < 0x80:
+        return _VARINT1[z]
+    out = []
     while True:
         b = z & 0x7F
         z >>= 7
         if z:
-            buf.write(bytes([b | 0x80]))
+            out.append(b | 0x80)
         else:
-            buf.write(bytes([b]))
-            return
+            out.append(b)
+            return bytes(out)
+
+
+#: interned single-byte varints (zigzag values 0..127 cover longs
+#: -64..63 and every small length prefix)
+_VARINT1 = [bytes([i]) for i in range(0x80)]
+
+
+def _write_long(buf: io.BytesIO, n: int) -> None:
+    buf.write(_varint(n))
 
 
 def _read_long(mv: memoryview, pos: int) -> tuple[int, int]:
@@ -140,32 +154,41 @@ _D = struct.Struct("<d")
 
 
 def _make_encoders(schema: T.StructType):
-    """One closure per field: (BytesIO, value) -> None."""
+    """One closure per field: (BytesIO, value) -> None.
+
+    Type dispatch happens HERE, once per schema — not per value.  The
+    per-call if-chain over DataType singletons was the second hot spot
+    of the pure-Python write path (after per-byte varint writes)."""
     encs = []
     for f in schema.fields:
         t = f.dataType
-
-        def enc(buf, v, t=t):
-            if t == T.StringType():
+        if t == T.StringType():
+            def enc(buf, v):
                 raw = v.encode("utf-8")
-                _write_long(buf, len(raw))
+                buf.write(_varint(len(raw)))
                 buf.write(raw)
-            elif t == T.LongType():
-                _write_long(buf, int(v))
-            elif t in (T.IntegerType(), T.ShortType(), T.ByteType()):
-                _write_long(buf, int(v))
-            elif t == T.DoubleType():
-                buf.write(_D.pack(float(v)))
-            elif t == T.FloatType():
-                buf.write(_F.pack(float(v)))
-            elif t == T.BooleanType():
+        elif t in (T.LongType(), T.IntegerType(), T.ShortType(),
+                   T.ByteType()):
+            def enc(buf, v):
+                buf.write(_varint(int(v)))
+        elif t == T.DoubleType():
+            def enc(buf, v, _p=_D.pack):
+                buf.write(_p(float(v)))
+        elif t == T.FloatType():
+            def enc(buf, v, _p=_F.pack):
+                buf.write(_p(float(v)))
+        elif t == T.BooleanType():
+            def enc(buf, v):
                 buf.write(b"\x01" if v else b"\x00")
-            elif t == T.BinaryType():
+        elif t == T.BinaryType():
+            def enc(buf, v):
                 raw = bytes(v)
-                _write_long(buf, len(raw))
+                buf.write(_varint(len(raw)))
                 buf.write(raw)
-            else:  # pragma: no cover — schema pre-validated
-                raise ValueError(str(t))
+        else:
+            raise ValueError(
+                f"avro_py supports flat primitive schemas; field "
+                f"'{f.name}' has unsupported type {t.simpleString()}")
 
         if f.nullable:
             def nenc(buf, v, enc=enc):
@@ -181,26 +204,31 @@ def _make_encoders(schema: T.StructType):
 
 
 def _make_decoders(schema: T.StructType):
+    """Build-time type dispatch, mirroring :func:`_make_encoders`."""
     decs = []
     for f in schema.fields:
         t = f.dataType
-
-        def dec(mv, pos, t=t):
-            if t == T.StringType():
+        if t == T.StringType():
+            def dec(mv, pos):
                 n, pos = _read_long(mv, pos)
                 return str(mv[pos:pos + n], "utf-8"), pos + n
-            if t == T.LongType() or t == T.IntegerType():
-                return _read_long(mv, pos)
-            if t == T.DoubleType():
-                return _D.unpack_from(mv, pos)[0], pos + 8
-            if t == T.FloatType():
-                return _F.unpack_from(mv, pos)[0], pos + 4
-            if t == T.BooleanType():
+        elif t == T.LongType() or t == T.IntegerType():
+            dec = _read_long
+        elif t == T.DoubleType():
+            def dec(mv, pos, _u=_D.unpack_from):
+                return _u(mv, pos)[0], pos + 8
+        elif t == T.FloatType():
+            def dec(mv, pos, _u=_F.unpack_from):
+                return _u(mv, pos)[0], pos + 4
+        elif t == T.BooleanType():
+            def dec(mv, pos):
                 return mv[pos] == 1, pos + 1
-            if t == T.BinaryType():
+        elif t == T.BinaryType():
+            def dec(mv, pos):
                 n, pos = _read_long(mv, pos)
                 return bytes(mv[pos:pos + n]), pos + n
-            raise ValueError(str(t))  # pragma: no cover
+        else:  # pragma: no cover — schema pre-validated
+            raise ValueError(str(t))
 
         if f.nullable:
             def ndec(mv, pos, dec=dec):
@@ -371,8 +399,11 @@ def write_avro_partitioned(df: DataFrame, field_names: list[str],
         os.makedirs(target, exist_ok=True)
         sync = hashlib.md5(rel.encode()).digest()
         pdf = pdf.sort_values(cols).reset_index(drop=True)
-        recs = (tuple(None if pd.isna(v) else v for v in row)
-                for row in pdf[cols].itertuples(index=False, name=None))
+        # NaN→None in one vectorized pass (a per-value pd.isna inside the
+        # row loop measured as a top cost of the encode path)
+        vals = pdf[cols].astype(object)
+        recs = vals.where(pd.notna(vals), None).itertuples(
+            index=False, name=None)
         blob = encode_container(recs, payload_schema, sync, codec)
         # suffix = existing file count, so appends add a new file
         # (fresh writes stay deterministic at -0); concurrent writers to
