@@ -136,20 +136,23 @@ def streaming_windowed_agg_append(spark: SparkSession, src_path: str,
 
 
 def run_streaming_dedup(spark: SparkSession, src_path: str, sink_table: str,
-                        key_cols: list[str], timeout_sec: int = 300) -> DataFrame:
+                        key_cols: list[str], timeout_sec: int = 300,
+                        state_partitions: int | None = 8) -> DataFrame:
     """Streaming exact dedup: ``dropDuplicates`` on a stream keeps a
     state-store entry per seen key, so duplicates are dropped ACROSS
     micro-batches — the ingest-time dedup a training-data pipeline runs
     on a continuously-landing corpus (in production, add
     ``withWatermark`` so state for old keys expires; unbounded here
     because the drained source is finite)."""
-    from .write import run_stream_to_completion, stream_from_files
+    from .write import (run_stream_to_completion, shuffle_partitions,
+                        stream_from_files)
 
-    sdf = stream_from_files(spark, src_path, max_files_per_trigger=1)
-    deduped = sdf.dropDuplicates(key_cols)
-    q = (deduped.writeStream.format("memory").queryName(sink_table)
-         .outputMode("append").trigger(availableNow=True).start())
-    run_stream_to_completion(q, timeout_sec)
+    with shuffle_partitions(spark, state_partitions):
+        sdf = stream_from_files(spark, src_path, max_files_per_trigger=1)
+        deduped = sdf.dropDuplicates(key_cols)
+        q = (deduped.writeStream.format("memory").queryName(sink_table)
+             .outputMode("append").trigger(availableNow=True).start())
+        run_stream_to_completion(q, timeout_sec)
     return spark.table(sink_table)
 
 
@@ -191,18 +194,21 @@ def stateful_user_stats(sdf: DataFrame, key_col: str = "user_id",
 
 def run_stateful_user_stats(spark: SparkSession, src_path: str,
                             sink_table: str, n_batches_hint: int = 3,
-                            timeout_sec: int = 300) -> DataFrame:
+                            timeout_sec: int = 300,
+                            state_partitions: int | None = 8) -> DataFrame:
     """Drive :func:`stateful_user_stats` through real micro-batches:
     one file per trigger, update-mode memory sink, then reduce the
     emitted snapshots to the final per-key state (max of the monotone
     count, and the matching total)."""
-    from .write import run_stream_to_completion, stream_from_files
+    from .write import (run_stream_to_completion, shuffle_partitions,
+                        stream_from_files)
 
-    sdf = stream_from_files(spark, src_path, max_files_per_trigger=1)
-    out = stateful_user_stats(sdf)
-    q = (out.writeStream.format("memory").queryName(sink_table)
-         .outputMode("update").trigger(availableNow=True).start())
-    run_stream_to_completion(q, timeout_sec)
+    with shuffle_partitions(spark, state_partitions):
+        sdf = stream_from_files(spark, src_path, max_files_per_trigger=1)
+        out = stateful_user_stats(sdf)
+        q = (out.writeStream.format("memory").queryName(sink_table)
+             .outputMode("update").trigger(availableNow=True).start())
+        run_stream_to_completion(q, timeout_sec)
     snaps = spark.table(sink_table)
     # the snapshot with the highest count IS the final state (counts are
     # monotone; max over the struct carries the matching total along,

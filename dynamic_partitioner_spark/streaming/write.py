@@ -15,9 +15,32 @@ aggregation before the sink is ordinary Spark and composes with this.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+
+@contextmanager
+def shuffle_partitions(spark: SparkSession, n: int | None):
+    """Temporarily set ``spark.sql.shuffle.partitions`` — for a
+    STREAMING query this is the state-store partition count, fixed at
+    first start and persisted in the checkpoint.  Size it to the key
+    cardinality/executor count, not the session's batch default: each
+    state partition costs a store instance + a Python worker round per
+    micro-batch, so 32 partitions for a small keyspace measured ~2×
+    slower than 8 on the stateful keys.  ``None`` = leave as-is."""
+    if n is None:
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 from ..operators.partition_keys import normalize_partition_keys
 from ..operators.partitioned_write import STAGE_FIELD
