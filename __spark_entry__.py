@@ -724,6 +724,15 @@ def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                           n_shards=8)
 
 
+def q_text_hashed_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorizer, sparse form (SQL-checkable: the slot
+    hash is the portable md5/60-bit construction).  The dense form
+    feeds the embedding/ANN operators — pinned in tests."""
+    from dynamic_partitioner_spark.operators.vectorize import hashed_counts
+    docs = _table(spark, sf_dir, "documents")
+    return hashed_counts(docs, "doc_id", "text", dim=64)
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents")
     return docs.select("doc_id",
@@ -1014,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_signals": q_text_signals,
         "text_clean": q_text_clean,
         "text_pack": q_text_pack,
+        "text_hashed_vector": q_text_hashed_vector,
         "embedding_roundtrip": q_embedding_roundtrip,
         "mm_binary_stats": q_mm_binary_stats,
         "mm_features": q_mm_features,
@@ -1035,6 +1045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from dynamic_partitioner_spark.operators import sampling as SMP
+    from dynamic_partitioner_spark.operators.vectorize import (
+        hashed_counts_sql)
 
     tok = TX.TOKEN_COUNT_SQL.format(c="text")
     bpe = TX.BPE_TOKEN_COUNT_SQL.format(c="text")
@@ -1203,6 +1215,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": ("SELECT doc_id, "
                              + TX.DOC_FINGERPRINT_SQL.format(c="text")
                              + " AS fingerprint FROM documents"),
+        "text_hashed_vector": hashed_counts_sql("doc_id", "text", 64),
         "text_clean": (
             "WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN "
             "concat(text, ' see https://ex', CAST(doc_id AS VARCHAR), "

@@ -1,0 +1,53 @@
+"""Feature-hashing vectorizer: dense/sparse agreement and the
+text → vector → embedding-operator bridge."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dynamic_partitioner_spark.operators.vectorize import (
+    hashed_counts,
+    hashed_vector,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def test_dense_matches_sparse(spark):
+    docs = spark.read.parquet(DOCS).limit(50)
+    dim = 32
+    sparse = {(r.doc_id, r.slot): r.cnt
+              for r in hashed_counts(docs, "doc_id", "text", dim).collect()}
+    for r in hashed_vector(docs, "doc_id", "text", dim).collect():
+        assert len(r.vec) == dim
+        for slot, v in enumerate(r.vec):
+            assert v == float(sparse.get((r.doc_id, slot), 0)), (r.doc_id, slot)
+
+
+def test_vector_norm_positive_and_deterministic(spark):
+    docs = spark.read.parquet(DOCS).limit(20)
+    a = {r.doc_id: r.vec for r in
+         hashed_vector(docs, "doc_id", "text").collect()}
+    b = {r.doc_id: r.vec for r in
+         hashed_vector(docs, "doc_id", "text").collect()}
+    assert a == b
+    assert all(sum(v) > 0 for v in a.values())
+
+
+def test_text_to_vector_to_near_dup_pipeline(spark):
+    """The bridge: vectorize text with the hashing trick, then run the
+    EMBEDDING near-dup operator on the result — identical docs hit
+    cosine 1.0, unrelated docs don't pair."""
+    from dynamic_partitioner_spark.operators.dedup import embedding_near_dup
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "entirely different words about unrelated topics here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vec = hashed_vector(df, "doc_id", "text", dim=32) \
+        .withColumn("blk", F.lit("all"))
+    pairs = {(r.id_a, r.id_b): r.cos_sim
+             for r in embedding_near_dup(vec, "doc_id", "vec", "blk",
+                                         threshold=0.9).collect()}
+    assert pairs.get((1, 2)) == 1.0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
