@@ -507,6 +507,17 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_pairs(corpus, "doc_id", "text", "lang", max_hamming=2)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → duplicate clusters (connected components, min-id
+    representative).  Spark runs distributed label propagation; the
+    oracle computes the same components with a DuckDB recursive-CTE
+    transitive closure — two independent formulations."""
+    corpus = _augmented_corpus(spark, sf_dir)
+    pairs = DD.ngram_jaccard_pairs(corpus, "doc_id", "text", "lang",
+                                   threshold=0.5, n=3)
+    return DD.dedup_clusters(pairs)
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _table(spark, sf_dir, "embeddings")
     return DD.embedding_near_dup(emb, "vec_id", "embedding", "label",
@@ -1007,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "corpus_quality_filter": q_corpus_quality_filter,
@@ -1162,6 +1174,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, {jacc} AS jaccard
             FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
             WHERE {jacc} >= 0.5
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE corpus AS ({_AUG_SQL}),
+            sh AS (SELECT doc_id, lang, {_shingles('text')} AS sh FROM corpus),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+                WHERE {jacc} >= 0.5
+            ),
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach(u, v) AS (
+                SELECT DISTINCT u, u FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            )
+            SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
         """,
         "dedup_simhash": (
             "SELECT doc_id, " + TX.simhash_sql("text")

@@ -312,6 +312,53 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
             .where(F.col("hamming") <= max_hamming))
 
 
+# ----------------------------------------------------- cluster resolution
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
+                   id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Near-dup pairs → duplicate CLUSTERS: connected components with
+    the min doc id as the cluster representative — the step that turns
+    any pair-producing dedup op (MinHash, SimHash, embedding, n-gram)
+    into a keep-one-per-group decision.
+
+    Distributed min-label propagation: every node starts labeled with
+    itself; each round takes the min of its own and its neighbors'
+    labels (join + hash-agg = 2 shuffles per round) until a round
+    changes nothing.  Rounds needed = graph diameter; duplicate
+    clusters are near-cliques (diameter ~2-3), so this converges in a
+    handful of rounds — for long-chain graphs switch to the
+    large-star/small-star contraction.  ``localCheckpoint`` cuts the
+    iterative lineage (at cluster scale, point ``spark.sparkContext.
+    setCheckpointDir`` at durable storage and use ``checkpoint``).
+
+    Returns (doc_id, cluster_id) for every doc appearing in a pair;
+    unpaired docs are their own implicit singleton clusters.
+    """
+    edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+             .unionByName(pairs.select(F.col(id_b).alias("u"),
+                                       F.col(id_a).alias("v")))
+             # materialize once: every iteration joins against edges, and
+             # without this each round would recompute the (possibly
+             # expensive) upstream pair pipeline
+             .localCheckpoint(eager=True))
+    labels = (edges.select("u").distinct()
+              .select(F.col("u").alias("node"), F.col("u").alias("label")))
+    for _ in range(max_iter):
+        neigh = (edges.join(labels, edges.v == labels.node)
+                 .select(F.col("u").alias("node"), "label"))
+        new_labels = (labels.unionByName(neigh)
+                      .groupBy("node").agg(F.min("label").alias("label")))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (labels.alias("o")
+                   .join(new_labels.alias("n"), "node")
+                   .where(F.col("o.label") != F.col("n.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
 # ------------------------------------------------------------- embeddings
 
 def embedding_near_dup_lsh(df: DataFrame, id_col: str, vec_col: str,

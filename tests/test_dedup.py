@@ -223,3 +223,14 @@ def test_ngram_jaccard_shingle_df_cap(spark):
     assert capped[(100, 101)] == 1.0               # rare-shingle pair intact
     # boilerplate-only pairs vanish once their shingles are capped away
     assert any(p not in capped for p in exact if p != (100, 101))
+
+
+def test_dedup_clusters_connected_components(spark):
+    """Chain a-b, b-c plus an isolated pair d-e: one 3-cluster with min
+    representative, one 2-cluster; transitivity crosses the chain even
+    though (a, c) was never a pair."""
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (40, 50)], "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id
+           for r in DD.dedup_clusters(pairs).collect()}
+    assert got == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
