@@ -507,6 +507,19 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_pairs(corpus, "doc_id", "text", "lang", max_hamming=2)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup: docs with doc_id < 250 are 'history' (their
+    fingerprints persisted); the full corpus arrives as the new batch —
+    only genuinely new, intra-batch-unique docs survive."""
+    docs = _table(spark, sf_dir, "documents")
+    history = (docs.where(F.col("doc_id") < 250)
+               .select(TX.doc_fingerprint(F.col("text"))
+                       .alias("fingerprint")))
+    out = DD.incremental_dedup(docs, history,
+                               TX.doc_fingerprint(F.col("text")), "doc_id")
+    return out.select("doc_id", "lang", "source")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → duplicate clusters (connected components, min-id
     representative).  Spark runs distributed label propagation; the
@@ -1018,6 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_clusters": q_dedup_clusters,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -1175,6 +1189,14 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
             WHERE {jacc} >= 0.5
         """,
+        "dedup_incremental": (
+            "WITH fp AS (SELECT doc_id, lang, source, "
+            + TX.DOC_FINGERPRINT_SQL.format(c="text") + " AS f "
+            "FROM documents), "
+            "hist AS (SELECT DISTINCT f FROM fp WHERE doc_id < 250) "
+            "SELECT doc_id, lang, source FROM fp "
+            "WHERE f NOT IN (SELECT f FROM hist) "
+            "QUALIFY doc_id = min(doc_id) OVER (PARTITION BY f)"),
         "dedup_clusters": f"""
             WITH RECURSIVE corpus AS ({_AUG_SQL}),
             sh AS (SELECT doc_id, lang, {_shingles('text')} AS sh FROM corpus),

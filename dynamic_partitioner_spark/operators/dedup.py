@@ -312,6 +312,30 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
             .where(F.col("hamming") <= max_hamming))
 
 
+def incremental_dedup(new_df: DataFrame, seen_df: DataFrame,
+                      key: Column, id_col: str,
+                      seen_key_col: str = "fingerprint") -> DataFrame:
+    """Ingest-time dedup of a NEW batch against the historical corpus:
+    drop rows whose dedup key already exists in ``seen_df`` (the
+    persisted fingerprint table), then drop intra-batch duplicates
+    (keep-lowest-id).
+
+    The production loop: fingerprints of every accepted batch are
+    appended to the fingerprint table via the partitioned sink, so
+    ``seen_df`` stays a compact (fingerprint)-only relation — the
+    anti-join shuffles fingerprints, never documents, and at 100 TB the
+    fingerprint table is the thing you bucket
+    (:func:`~.partitioned_write.write_bucketed`) so repeated ingests
+    join with zero exchange on the history side.
+    """
+    keyed = new_df.withColumn("_fp", key)
+    fresh = keyed.join(
+        seen_df.select(F.col(seen_key_col).alias("_fp")).distinct(),
+        "_fp", "left_anti")
+    w_min = fresh.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return (fresh.join(w_min, ["_fp", id_col]).drop("_fp"))
+
+
 # ----------------------------------------------------- cluster resolution
 
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",

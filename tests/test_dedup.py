@@ -234,3 +234,20 @@ def test_dedup_clusters_connected_components(spark):
     got = {r.doc_id: r.cluster_id
            for r in DD.dedup_clusters(pairs).collect()}
     assert got == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
+
+
+def test_incremental_dedup_history_and_batch(spark):
+    """History rows excluded, intra-batch dup keeps the lowest id,
+    genuinely new rows pass."""
+    from pyspark.sql import functions as F
+
+    from dynamic_partitioner_spark.functions.text import doc_fingerprint
+
+    new = spark.createDataFrame(
+        [(1, "seen before"), (2, "fresh one"), (3, "fresh one"),
+         (4, "another new")], "doc_id long, text string")
+    hist = spark.createDataFrame([("seen before",)], "t string").select(
+        doc_fingerprint(F.col("t")).alias("fingerprint"))
+    out = DD.incremental_dedup(new, hist,
+                               doc_fingerprint(F.col("text")), "doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == [2, 4]
