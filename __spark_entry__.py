@@ -950,6 +950,26 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("user_id").alias("exact_users")))
 
 
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile (rows/nulls/exact distincts/min/max)
+    in one scan.  String/long columns only — double min/max stringify
+    differently across engines."""
+    from dynamic_partitioner_spark.operators.relational import (
+        profile_columns)
+    li = _table(spark, sf_dir, "lineitem")
+    return profile_columns(li, ["l_returnflag", "l_orderkey",
+                                "l_linenumber"])
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: users reaching each step
+    strictly after their first completion of the previous one."""
+    from dynamic_partitioner_spark.operators.relational import funnel
+    events = _table(spark, sf_dir, "events")
+    return funnel(events, "user_id", "ts", "event_type",
+                  ["view", "click", "purchase"])
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted fact-to-dim join: events (hot user keys) against the
     per-user dim, spread over 8 salted partitions per key — result
@@ -1063,6 +1083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "query_sliding_window": q_sliding_window,
         "query_salted_join": q_salted_join,
+        "query_profile": q_profile,
+        "events_funnel": q_funnel,
         "query_distinct_agg": q_distinct_agg,
         "query_pivot": q_pivot,
         "query_approx_distinct": q_approx_distinct,
@@ -1521,6 +1543,47 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": (
             "SELECT event_id, user_id, round(value, 2) AS value "
             "FROM events"),
+        "query_profile": """
+            SELECT 'l_returnflag' AS column, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0
+                       END) AS BIGINT) AS n_nulls,
+                   count(DISTINCT l_returnflag) AS n_distinct,
+                   trim(CAST(min(l_returnflag) AS VARCHAR)) AS min_value,
+                   trim(CAST(max(l_returnflag) AS VARCHAR)) AS max_value
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_orderkey', count(*),
+                   CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0
+                       END) AS BIGINT),
+                   count(DISTINCT l_orderkey),
+                   CAST(min(l_orderkey) AS VARCHAR),
+                   CAST(max(l_orderkey) AS VARCHAR)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_linenumber', count(*),
+                   CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0
+                       END) AS BIGINT),
+                   count(DISTINCT l_linenumber),
+                   CAST(min(l_linenumber) AS VARCHAR),
+                   CAST(max(l_linenumber) AS VARCHAR)
+            FROM lineitem
+        """,
+        "events_funnel": """
+            WITH s1 AS (SELECT user_id, min(ts) AS ft FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS ft FROM events e
+                   JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s1.ft
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS ft FROM events e
+                   JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.ft
+                   GROUP BY e.user_id)
+            SELECT 1 AS step_idx, 'view' AS step, count(*) AS n_users
+            FROM s1
+            UNION ALL SELECT 2, 'click', count(*) FROM s2
+            UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+        """,
         "query_salted_join": """
             WITH dim AS (SELECT user_id, count(*) AS n_user_events
                          FROM events GROUP BY user_id)

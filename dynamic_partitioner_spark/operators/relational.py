@@ -46,6 +46,70 @@ def range_join_binned(left: DataFrame, right: DataFrame, left_point: str,
             .drop("_bin"))
 
 
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ANALYZE-style column profile: rows, nulls, exact distincts,
+    min/max (stringified for a uniform schema) per column — one pass
+    over the data (a single aggregate computes every column's stats;
+    the distincts expand internally but still one scan)."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    parts = []
+    for c in cols:
+        parts.append(wide.select(
+            F.lit(c).alias("column"), "n_rows",
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def funnel(df: DataFrame, user_col: str, ts_col: str, type_col: str,
+           steps: list[str]) -> DataFrame:
+    """Ordered-funnel analysis: per step, how many users reached it IN
+    ORDER (each step strictly after the previous one's first
+    completion).  The classic product-analytics query.
+
+    Shape: one aggregate per step over the (already keyed) per-user
+    relation — step k joins the per-user first-completion time of step
+    k-1 and takes ``min(ts) where ts > prev`` — k small (funnels are
+    3-5 steps), each pass a hash-agg on user_id, re-using the same
+    partitioning.  Deterministic, SQL-expressible (oracle twin).
+    """
+    ev = df.select(F.col(user_col).alias("u"), F.col(ts_col).alias("t"),
+                   F.col(type_col).alias("k"))
+    reached = None  # per-user first time the previous step completed
+    counts = []
+    for i, step in enumerate(steps):
+        cur = ev.where(F.col("k") == step)
+        if reached is None:
+            firsts = cur.groupBy("u").agg(F.min("t").alias("ft"))
+        else:
+            firsts = (cur.join(reached, "u")
+                      .where(F.col("t") > F.col("ft"))
+                      .groupBy("u").agg(F.min("t").alias("ft")))
+        reached = firsts
+        counts.append(
+            firsts.agg(F.count(F.lit(1)).alias("n_users"))
+            .select(F.lit(i + 1).alias("step_idx"),
+                    F.lit(step).alias("step"), "n_users"))
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 def salted_join(left: DataFrame, right: DataFrame, key: str,
                 salt_src: str, n_salts: int = 16,
                 how: str = "inner") -> DataFrame:

@@ -98,3 +98,35 @@ def test_salted_join_equals_plain_join(spark):
                                              how="left")
                           .select("k", "lid", "rv").collect()))
     assert salted_l == plain_l
+
+
+def test_funnel_strict_ordering(spark):
+    """A user who purchased BEFORE clicking does not complete the
+    funnel; in-order users do."""
+    from dynamic_partitioner_spark.operators.relational import funnel
+
+    rows = [  # (user, ts, type)
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),  # complete
+        (2, 10, "view"), (2, 30, "click"),                       # no buy
+        (3, 10, "purchase"), (3, 20, "view"), (3, 30, "click"),  # buy early
+        (4, 10, "click"), (4, 20, "purchase"),                   # never viewed
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, et string")
+    got = {r.step: r.n_users
+           for r in funnel(df, "user_id", "ts", "et",
+                           ["view", "click", "purchase"]).collect()}
+    assert got == {"view": 3, "click": 3, "purchase": 1}
+
+
+def test_profile_columns_values(spark):
+    from dynamic_partitioner_spark.operators.relational import (
+        profile_columns)
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (3, "a")], "k long, s string")
+    prof = {r.column: r for r in profile_columns(df, ["k", "s"]).collect()}
+    assert prof["k"].n_rows == 4 and prof["k"].n_nulls == 0
+    assert prof["k"].n_distinct == 3
+    assert (prof["k"].min_value, prof["k"].max_value) == ("1", "3")
+    assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
+    assert (prof["s"].min_value, prof["s"].max_value) == ("a", "b")
