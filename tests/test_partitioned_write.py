@@ -335,3 +335,39 @@ def test_schema_evolution_append_new_column(spark, tmp_out):
     assert "score" in merged.columns
     got = {r.id: r.score for r in merged.collect()}
     assert got == {1: None, 2: None, 3: 9.5}
+
+
+def test_cross_format_parity(spark, purchase_df, tmp_out):
+    """The same frame written via parquet, ORC, and the Avro fallback
+    reads back with identical contents and identical partition layout —
+    format choice must never change WHAT is stored."""
+    from pyspark.sql import types as T
+
+    from dynamic_partitioner_spark.formats import read_avro_partitioned
+
+    import shutil
+
+    want = {tuple(r) for r in purchase_df.collect()}
+    dirs_want = None
+    for fmt in ("parquet", "orc", "avro"):
+        out = f"{tmp_out}_{fmt}"
+        shutil.rmtree(out, ignore_errors=True)
+        write_partitioned(purchase_df,
+                          SinkSpec(name="p", field_names=["purchase_date"],
+                                   fmt=fmt), out)
+        dirs = _partition_dirs(out, "purchase_date=")
+        dirs_want = dirs_want or dirs
+        assert dirs == dirs_want, fmt
+        if fmt == "avro":
+            payload = T.StructType([
+                T.StructField("id", T.LongType(), True),
+                T.StructField("first_name", T.StringType(), True)])
+            back = read_avro_partitioned(spark, out, ["purchase_date"],
+                                         payload)
+            got = {(r.id, r.first_name, r.purchase_date)
+                   for r in back.collect()}
+        else:
+            back = read_partitioned(spark, out, fmt)
+            got = {(r.id, r.first_name, r.purchase_date)
+                   for r in back.collect()}
+        assert got == want, fmt

@@ -176,3 +176,44 @@ def test_append_mode_watermark_drops_late_rows(spark, tmp_out):
     assert all(not (w == "1970-01-01 00:00:00" and tv != 1.0)
                for w, _, tv in rows)
     assert ("1970-01-01 01:00:00", 1, 1.0) in rows
+
+
+def test_streaming_sessionize_equals_batch(spark, tmp_out):
+    """session_window through a real watermarked stream (complete mode,
+    availableNow drain) equals the batch sessionize over the same data —
+    the operator is genuinely stream/batch dual."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dynamic_partitioner_spark.streaming.stateful import (
+        _event_ts, sessionize)
+    from dynamic_partitioner_spark.streaming.write import (
+        run_stream_to_completion, shuffle_partitions, stream_from_files)
+
+    src = os.path.join(tmp_out, "src")
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .select("ts", "user_id", "value"))
+    ev.coalesce(2).write.parquet(src)
+
+    batch = {(r.user_id, r.session_start): (r.n_events, r.total_value)
+             for r in sessionize(ev, "user_id", "ts", "value",
+                                 "30 minutes").collect()}
+
+    with shuffle_partitions(spark, 8):
+        sdf = stream_from_files(spark, src)
+        agg = (sdf.select(F.col("user_id"), _event_ts("ts").alias("_ets"),
+                          F.col("value"))
+               .withWatermark("_ets", "0 seconds")
+               .groupBy(F.session_window(F.col("_ets"), "30 minutes")
+                        .alias("sw"), F.col("user_id"))
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.round(F.sum("value"), 2).alias("total_value"),
+                    F.date_format(F.min("_ets"), "yyyy-MM-dd HH:mm:ss")
+                    .alias("session_start")))
+        q = (agg.writeStream.format("memory").queryName("sess_stream_sink")
+             .outputMode("complete").trigger(availableNow=True).start())
+        run_stream_to_completion(q)
+    streamed = {(r.user_id, r.session_start): (r.n_events, r.total_value)
+                for r in spark.table("sess_stream_sink").collect()}
+    assert streamed == batch and batch
