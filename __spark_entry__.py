@@ -196,6 +196,27 @@ def q_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_partitioned(spark, out).select(*_LI_COLS, "l_shipdate")
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE without a table format: updated keys replace in place, and
+    only the partitions present in the updates are rewritten (dynamic
+    overwrite under the hood).  Every 100th order doubles its total."""
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        merge_upsert)
+    apply_engine_confs(spark)
+    df = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority",
+        "o_orderstatus")
+    out = _out("merge_upsert")
+    spec = SinkSpec(name="ord_merge", field_names=["o_orderstatus"])
+    write_partitioned(df, spec, out)
+    updates = (df.where(F.col("o_orderkey") % 100 == 0)
+               .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    merge_upsert(spark, out, updates, spec, ["o_orderkey"])
+    return read_partitioned(spark, out).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority",
+        "o_orderstatus")
+
+
 def q_text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-50 word trigrams: explode shingles → count →
     rank.  The canonical shuffle-then-topk shape (partial agg map-side,
@@ -1076,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": q_mm_frame_sample,
         "catalog_table": q_catalog_table,
         "partition_compact": q_partition_compact,
+        "merge_upsert": q_merge_upsert,
         "streaming_partitioned_write": q_streaming_write,
         "event_sessionize": q_sessionize,
         "streaming_windowed_agg": q_streaming_windowed_agg,
@@ -1469,6 +1491,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders WHERE trim(CAST(o_orderpriority AS VARCHAR)) "
             "= '1-URGENT'"),
         "partition_compact": li_full,
+        "merge_upsert": """
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 2
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderpriority,
+                   trim(CAST(o_orderstatus AS VARCHAR)) AS o_orderstatus
+            FROM orders
+        """,
         "text_top_ngrams": f"""
             WITH g AS (
                 SELECT unnest({_shingles('text')}) AS ngram FROM documents

@@ -199,6 +199,51 @@ def write_bucketed(df, table_name: str, bucket_cols: list[str],
     return table_name
 
 
+def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
+                 spec: SinkSpec, key_cols: list[str]) -> str:
+    """Upsert into a partitioned dataset without a table format:
+    rows in ``updates`` replace existing rows with the same ``key_cols``
+    tuple; new keys append.  Only the partitions PRESENT IN THE UPDATES
+    are rewritten (everything else is untouched bytes), via the dynamic
+    partition overwrite the engine already has — the Spark-first answer
+    to MERGE for append-mostly datasets when Delta/Iceberg isn't in
+    play.
+
+    Shape: one partition-pruned read of the affected partitions (the
+    ``isin`` filter on the partition columns prunes directories before
+    IO), an anti-join on the business key (updates side is typically
+    small → broadcast), then a dynamic-overwrite write of those
+    partitions only.  Cost scales with the touched partitions, not the
+    dataset.
+
+    Caveats: like every file-level writer here, single-writer; and an
+    update must carry its partition columns — moving a row BETWEEN
+    partitions updates the target partition but leaves the old copy in
+    the source partition (delete-from-old-partition needs a table
+    format's delete vectors; document or pre-delete explicitly).
+    """
+    spec.validate(updates.schema)
+    ndf = normalize_partition_keys(updates, spec.field_names)
+    touched = [tuple(str(r[f]) for f in spec.field_names)
+               for r in ndf.select(*spec.field_names).distinct().collect()]
+    existing = list_existing_partitions(spark, path, spec.field_names)
+    affected = [t for t in touched if t in existing]
+    merged = ndf
+    if affected:
+        current = read_partitioned(spark, path, spec.fmt)
+        if len(spec.field_names) == 1:
+            flt = F.col(spec.field_names[0]).isin([t[0] for t in affected])
+        else:
+            flt = F.concat_ws("\x00", *spec.field_names).isin(
+                ["\x00".join(t) for t in affected])
+        keep = (current.where(flt)
+                .join(F.broadcast(ndf.select(*key_cols).distinct()),
+                      key_cols, "left_anti"))
+        merged = keep.select(*ndf.columns).unionByName(ndf)
+    up_spec = SinkSpec(**{**spec.__dict__, "overwrite_partitions": True})
+    return write_partitioned(merged, up_spec, path)
+
+
 def compact_partitions(spark: SparkSession, path: str, fmt: str = "parquet",
                        target_rows_per_file: int = 5_000_000) -> int:
     """Rewrite a partitioned dataset with right-sized files per partition.

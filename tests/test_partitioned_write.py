@@ -371,3 +371,34 @@ def test_cross_format_parity(spark, purchase_df, tmp_out):
             got = {(r.id, r.first_name, r.purchase_date)
                    for r in back.collect()}
         assert got == want, fmt
+
+
+def test_merge_upsert_touches_only_affected_partitions(spark, purchase_df,
+                                                       tmp_out):
+    """Update one 2009-01-01 row + insert a brand-new key: the
+    2009-01-03 partition's files are byte-untouched, the updated key is
+    replaced (not duplicated), the new key appears."""
+    import glob
+
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        merge_upsert)
+
+    spec = SinkSpec(name="p", field_names=["purchase_date"])
+    write_partitioned(purchase_df, spec, tmp_out)
+    before = {f: os.path.getmtime(f) for f in
+              glob.glob(f"{tmp_out}/purchase_date=2009-01-03/*.parquet")}
+
+    updates = spark.createDataFrame(
+        [(2, "Robert", "2009-01-01"),      # existing key, new name
+         (99, "Newbie", "2009-01-02")],    # brand-new key
+        purchase_df.schema)
+    merge_upsert(spark, tmp_out, updates, spec, ["id"])
+
+    back = read_partitioned(spark, tmp_out)
+    assert back.count() == 7                       # 6 originals + 1 new
+    by_id = {r.id: (r.first_name, r.purchase_date) for r in back.collect()}
+    assert by_id[2] == ("Robert", "2009-01-01")    # replaced in place
+    assert by_id[99] == ("Newbie", "2009-01-02")
+    after = {f: os.path.getmtime(f) for f in
+             glob.glob(f"{tmp_out}/purchase_date=2009-01-03/*.parquet")}
+    assert after == before                         # untouched bytes
