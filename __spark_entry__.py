@@ -1030,6 +1030,61 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_events")))
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply-changes: latest-wins upsert + delete materialization.
+    The change log is synthesized deterministically from lineitem (key =
+    l_orderkey, sequence = l_linenumber, every 11th part marks a
+    delete); the winner per key is the max-sequence change, dropped if
+    it is a delete."""
+    from dynamic_partitioner_spark.operators.relational import cdc_latest
+    li = _table(spark, sf_dir, "lineitem")
+    # l_linenumber alone is not unique per order in the synthetic data;
+    # compose a unique monotone sequence (cdc_latest requires one) from
+    # (linenumber, partkey, suppkey) — unique at every SF
+    seq = (F.col("l_linenumber") * F.lit(10**11)
+           + F.col("l_partkey") * F.lit(10**5)
+           + F.col("l_suppkey")).alias("seq")
+    changes = li.select(
+        "l_orderkey", "l_linenumber", seq,
+        F.when(F.col("l_partkey") % 11 == 0, "D").otherwise("U").alias("op"),
+        "l_quantity", "l_extendedprice")
+    return cdc_latest(changes, ["l_orderkey"], "seq").drop("seq")
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any 4-token
+    shingle with the benchmark slice (every 50th doc).  Benchmark
+    shingles broadcast; corpus never shuffles its shingles."""
+    docs = _table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    return DD.decontaminate(corpus, bench, "doc_id", "text", n=4)
+
+
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token-window chunking (32-token chunks, 8-token
+    overlap) — pure codegen explode, no shuffle."""
+    from dynamic_partitioner_spark.operators.packing import chunk_documents
+    docs = _table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text",
+                           chunk_tokens=32, overlap=8)
+
+
+def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join (view → same-user clicks within 2
+    hours) through real micro-batches; equals the batch join because the
+    test watermark exceeds the data's time span."""
+    from dynamic_partitioner_spark.streaming.stateful import (
+        run_streaming_join)
+    apply_engine_confs(spark)
+    src = _out("stream_join_src")
+    (_table(spark, sf_dir, "events").repartition(3)
+     .write.mode("overwrite").parquet(src))
+    spark.catalog.dropTempView("stream_join_sink")
+    return run_streaming_join(spark, src, "stream_join_sink",
+                              join_window="2 hours")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1110,6 +1165,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_distinct_agg": q_distinct_agg,
         "query_pivot": q_pivot,
         "query_approx_distinct": q_approx_distinct,
+        "cdc_apply": q_cdc_apply,
+        "dedup_decontaminate": q_decontaminate,
+        "text_chunk": q_text_chunk,
+        "streaming_join": q_streaming_join,
     }
 
 
@@ -1123,6 +1182,15 @@ def oracle_sql() -> dict[str, str]:
     punct = TX.PUNCT_RATIO_SQL.format(c="text")
 
     li_full = f"SELECT {_LI_SELECT_SQL} FROM lineitem"
+
+    # n-gram shingles in DuckDB, matching dedup.shingles(c, n): start
+    # positions 1..len-n+1, distinct, empty for texts shorter than n
+    def _shingles_n(col: str, n: int) -> str:
+        toks = f"string_split_regex(trim(lower({col})), '[ \t\n\r]+')"
+        return (f"list_distinct(list_transform("
+                f"range(1, greatest(len({toks}) - {n - 2}, 1)), "
+                f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), "
+                f"' ')))")
 
     # 3-gram shingles + jaccard in DuckDB for the exact near-dup oracle
     def _shingles(col: str) -> str:
@@ -1649,6 +1717,57 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN l_linestatus = 'O'
                              THEN l_quantity END), 2) AS qty_o
             FROM lineitem GROUP BY 1
+        """,
+        "cdc_apply": """
+            WITH ch AS (
+                SELECT l_orderkey, l_linenumber,
+                       l_linenumber * 100000000000 + l_partkey * 100000
+                           + l_suppkey AS seq,
+                       CASE WHEN l_partkey % 11 = 0 THEN 'D' ELSE 'U' END
+                           AS op,
+                       l_quantity, l_extendedprice
+                FROM lineitem),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY l_orderkey
+                      ORDER BY seq DESC) AS rn
+                  FROM ch)
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM r WHERE rn = 1 AND op <> 'D'
+        """,
+        "dedup_decontaminate": f"""
+            WITH bench AS (
+                SELECT DISTINCT unnest({_shingles_n('text', 4)}) AS g
+                FROM documents WHERE doc_id % 50 = 0),
+            cg AS (
+                SELECT doc_id, unnest({_shingles_n('text', 4)}) AS g
+                FROM documents WHERE doc_id % 50 <> 0)
+            SELECT doc_id, count(*) AS n_hits
+            FROM cg JOIN bench USING (g) GROUP BY doc_id
+        """,
+        "text_chunk": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '[ \t\n\r]+')
+                           AS toks
+                FROM documents),
+            s AS (SELECT doc_id, toks,
+                         unnest(range(0, greatest(len(toks), 1), 24))
+                             AS start
+                  FROM t)
+            SELECT doc_id, CAST(start / 24 AS BIGINT) AS chunk_idx,
+                   array_to_string(list_slice(toks, start + 1, start + 32),
+                                   ' ') AS chunk_text,
+                   least(32, len(toks) - start) AS n_tokens
+            FROM s
+        """,
+        "streaming_join": f"""
+            SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+                   strftime(v.ts, '{_TS_FMT_DUCK}') AS view_ts,
+                   strftime(c.ts, '{_TS_FMT_DUCK}') AS click_ts
+            FROM events v JOIN events c
+              ON v.user_id = c.user_id
+             AND v.event_type = 'view' AND c.event_type = 'click'
+             AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
         """,
         # query_approx_distinct: rows-only by design — two HLL
         # implementations (Spark HLL++, DuckDB HLL) estimate differently;

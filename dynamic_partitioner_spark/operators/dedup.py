@@ -291,6 +291,38 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             .where(F.col("jaccard") >= threshold))
 
 
+def decontaminate(corpus: DataFrame, benchmark: DataFrame, id_col: str,
+                  text_col: str, bench_text_col: str | None = None,
+                  n: int = 5) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing at least one
+    n-token shingle with an evaluation/benchmark set (the standard
+    n-gram-overlap contamination check used before training-data
+    release; n of 5-13 in practice — higher n → fewer false positives).
+
+    Returns ``(id_col, n_hits)`` — contaminated docs and how many
+    DISTINCT shingles they share with the benchmark (shingles are
+    per-doc distinct by construction).
+
+    Scale shape: benchmark sets are small (thousands of questions), so
+    the distinct benchmark-shingle relation is explicitly broadcast —
+    the corpus side is a map-only explode + broadcast-hash semi-match,
+    and the only shuffle is the final hash-agg on doc id.  A 100 TB
+    corpus streams through without ever shuffling its shingles.
+    """
+    bench_col = bench_text_col or text_col
+    bench_grams = (benchmark
+                   .select(F.explode(shingles(F.col(bench_col), n))
+                           .alias("_g"))
+                   .distinct())
+    corpus_grams = corpus.select(F.col(id_col),
+                                 F.explode(shingles(F.col(text_col), n))
+                                 .alias("_g"))
+    return (corpus_grams
+            .join(F.broadcast(bench_grams), "_g")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+
+
 # ---------------------------------------------------------------- simhash
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,

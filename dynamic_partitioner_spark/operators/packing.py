@@ -26,6 +26,43 @@ from pyspark.sql import functions as F
 PACK_SCHEMA = ("shard long, seq_idx long, doc_id long, n_tokens long")
 
 
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    chunk_tokens: int = 64, overlap: int = 16) -> DataFrame:
+    """Split documents into overlapping fixed-token-window chunks — the
+    standard pre-tokenization step for context-window-bounded training
+    and for RAG indexing.
+
+    Each doc yields chunks starting at token offsets 0, stride, 2·stride
+    … (< n_tokens) where ``stride = chunk_tokens - overlap``; the last
+    chunk may be short.  Returns
+    ``(id_col, chunk_idx, chunk_text, n_tokens)``.
+
+    Pure Column plan: one ``split`` + ``sequence``/``posexplode`` —
+    stays in codegen, no Python, no shuffle at all (chunking is
+    per-row; downstream writes repartition as needed).  Explode factor
+    ≈ n_tokens/stride per doc, linear in input size.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.lower(F.col(text_col))), "[ \\t\\n\\r]+")
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("_toks") - 1, F.lit(0)), F.lit(stride))
+    return (base
+            .select(id_col, "_toks",
+                    F.posexplode(starts).alias("chunk_idx", "_start"))
+            .select(F.col(id_col), F.col("chunk_idx").cast("long"),
+                    F.array_join(
+                        F.slice("_toks", F.col("_start") + 1, chunk_tokens),
+                        " ").alias("chunk_text"),
+                    F.least(F.lit(chunk_tokens),
+                            F.size("_toks") - F.col("_start"))
+                    .cast("long").alias("n_tokens")))
+
+
 def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
                    budget: int, n_shards: int = 64) -> DataFrame:
     """Assign each doc to a (shard, seq_idx) bin with ≤ ``budget``

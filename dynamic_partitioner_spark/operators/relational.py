@@ -5,7 +5,7 @@ surface — the reference has no query layer at all, SURVEY.md §2.4-2.7).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -137,6 +137,37 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
     r = right.withColumn("_salt", F.explode(
         F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>")))
     return l.join(r, [key, "_salt"], how).drop("_salt")
+
+
+def cdc_latest(changes: DataFrame, key_cols: list[str], seq_col: str,
+               op_col: str = "op", delete_op: str = "D") -> DataFrame:
+    """Materialize a CDC change stream into its final table state:
+    latest-wins per key by monotone sequence; a delete as the latest
+    change drops the key entirely.
+
+    The classic "apply changes" operator (Debezium/Delta `APPLY CHANGES
+    INTO` semantics, upsert + delete): rank each key's changes by
+    ``seq_col`` descending, keep rank 1, then filter out keys whose
+    winning change is a delete.  One shuffle on the key (window
+    partitioning); no join, no driver state.  At 100 TB of change log
+    this is the shape you want — the window's sort is per-key and the
+    rank-1 filter is pushed into the shuffle as a `WindowGroupLimit`
+    (top-1 per key), so executors never materialize full per-key
+    change history.
+
+    ``seq_col`` must be unique within a key (a log offset / LSN);
+    ties would make the winner nondeterministic, so callers with
+    coarse sequence numbers should compose a (seq, tiebreak) struct
+    column first.  ``op_col`` is dropped from the output; every other
+    column of the winning change row survives.
+    """
+    w = (Window.partitionBy(*key_cols)
+         .orderBy(F.col(seq_col).desc()))
+    return (changes
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .where(F.col(op_col) != delete_op)
+            .drop("_rn", op_col))
 
 
 def rollup_time_grains(df: DataFrame, ts_us: Column, value_col: str,

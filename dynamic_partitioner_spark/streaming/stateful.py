@@ -156,6 +156,59 @@ def run_streaming_dedup(spark: SparkSession, src_path: str, sink_table: str,
     return spark.table(sink_table)
 
 
+def run_streaming_join(spark: SparkSession, src_path: str, sink_table: str,
+                       join_window: str = "2 hours",
+                       watermark: str = "90 days",
+                       timeout_sec: int = 300,
+                       state_partitions: int | None = 8) -> DataFrame:
+    """Watermarked stream-stream INNER join: each ``view`` event joined
+    to the same user's ``click`` events within ``join_window`` after it.
+
+    The canonical attribution join, streaming-native: both sides carry a
+    watermark and the join condition time-bounds click_ts relative to
+    view_ts, which is exactly what Structured Streaming needs to know
+    when a buffered view row can never match again and its state can be
+    evicted.  One shuffle per side on user_id into the join's state
+    store; matches emit incrementally as either side arrives.
+
+    Bounded-drain determinism: with ``maxFilesPerTrigger=1`` rows meet
+    across real micro-batch boundaries (a view in batch 1 joins clicks
+    from batch 3 out of the state store).  The default watermark here is
+    deliberately wider than the test data's full time span so no row is
+    ever late → the drained result equals the batch join verbatim (the
+    oracle).  Production tightens the watermark to the real disorder
+    bound, trading completeness on very-late data for bounded state.
+    """
+    from .write import (run_stream_to_completion, shuffle_partitions,
+                        stream_from_files)
+
+    with shuffle_partitions(spark, state_partitions):
+        sdf = stream_from_files(spark, src_path, max_files_per_trigger=1)
+        views = (sdf.where(F.col("event_type") == "view")
+                 .select(F.col("user_id"),
+                         F.col("event_id").alias("view_id"),
+                         _event_ts("ts").alias("view_ts"))
+                 .withWatermark("view_ts", watermark))
+        clicks = (sdf.where(F.col("event_type") == "click")
+                  .select(F.col("user_id").alias("c_user_id"),
+                          F.col("event_id").alias("click_id"),
+                          _event_ts("ts").alias("click_ts"))
+                  .withWatermark("click_ts", watermark))
+        joined = (views.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("click_ts") >= F.col("view_ts"))
+            & (F.col("click_ts") <=
+               F.col("view_ts") + F.expr(f"INTERVAL {join_window}")))
+            .select("user_id", "view_id", "click_id",
+                    F.date_format("view_ts", _TS_FMT).alias("view_ts"),
+                    F.date_format("click_ts", _TS_FMT).alias("click_ts")))
+        q = (joined.writeStream.format("memory").queryName(sink_table)
+             .outputMode("append").trigger(availableNow=True).start())
+        run_stream_to_completion(q, timeout_sec)
+    return spark.table(sink_table)
+
+
 STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType()),
                              T.StructField("total", T.DoubleType())])
 

@@ -251,3 +251,34 @@ def test_incremental_dedup_history_and_batch(spark):
     out = DD.incremental_dedup(new, hist,
                                doc_fingerprint(F.col("text")), "doc_id")
     assert sorted(r.doc_id for r in out.collect()) == [2, 4]
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    """Docs sharing an n-gram with the benchmark are flagged with the
+    distinct-shared-shingle count; clean docs don't appear."""
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different words here nothing shared at all"),
+         (3, "quick brown fox jumps elsewhere entirely now")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox jumps question")],
+        "bid long, text string")
+    got = {(r.doc_id, r.n_hits)
+           for r in DD.decontaminate(corpus, bench, "doc_id", "text",
+                                     bench_text_col="text", n=4).collect()}
+    # shared 4-grams with bench: "quick brown fox jumps" in docs 1 and 3
+    assert got == {(1, 1), (3, 1)}
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    import contextlib
+    import io
+
+    corpus = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "a b c d")], "bid long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        DD.decontaminate(corpus, bench, "doc_id", "text",
+                         n=4).explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()

@@ -53,3 +53,44 @@ def test_pack_rejects_bad_budget(spark):
     import pytest
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(_docs(spark), "doc_id", "n_tok", 0)
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from dynamic_partitioner_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))   # 10 tokens
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4,
+                        overlap=2).collect(),
+        key=lambda r: r.chunk_idx)
+    # stride 2 -> starts 0,2,4,6,8
+    assert [r.chunk_idx for r in rows] == [0, 1, 2, 3, 4]
+    assert rows[0].chunk_text == "w0 w1 w2 w3"
+    assert rows[1].chunk_text == "w2 w3 w4 w5"
+    assert rows[-1].chunk_text == "w8 w9"          # short tail chunk
+    assert [r.n_tokens for r in rows] == [4, 4, 4, 4, 2]
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    from dynamic_partitioner_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "only three tokens")],
+                               "doc_id long, text string")
+    rows = chunk_documents(df, "doc_id", "text", chunk_tokens=64,
+                           overlap=16).collect()
+    assert len(rows) == 1
+    assert rows[0].chunk_text == "only three tokens"
+    assert rows[0].n_tokens == 3
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    import pytest
+
+    from dynamic_partitioner_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)

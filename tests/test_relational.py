@@ -130,3 +130,45 @@ def test_profile_columns_values(spark):
     assert (prof["k"].min_value, prof["k"].max_value) == ("1", "3")
     assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
     assert (prof["s"].min_value, prof["s"].max_value) == ("a", "b")
+
+
+def test_cdc_latest_upsert_and_delete(spark):
+    from dynamic_partitioner_spark.operators.relational import cdc_latest
+
+    # key 1: two upserts -> latest value wins
+    # key 2: upsert then delete -> key disappears
+    # key 3: delete then upsert -> key survives with the upsert value
+    # key 4: single delete -> never appears
+    ch = spark.createDataFrame(
+        [(1, 1, "U", 10.0), (1, 2, "U", 20.0),
+         (2, 1, "U", 30.0), (2, 2, "D", 0.0),
+         (3, 1, "D", 0.0), (3, 2, "U", 40.0),
+         (4, 1, "D", 0.0)],
+        "k long, seq long, op string, v double")
+    got = {(r.k, r.seq, r.v)
+           for r in cdc_latest(ch, ["k"], "seq").collect()}
+    assert got == {(1, 2, 20.0), (3, 2, 40.0)}
+
+
+def test_cdc_latest_drops_op_column(spark):
+    from dynamic_partitioner_spark.operators.relational import cdc_latest
+
+    ch = spark.createDataFrame([(1, 1, "U", "x")],
+                               "k long, seq long, op string, payload string")
+    out = cdc_latest(ch, ["k"], "seq")
+    assert out.columns == ["k", "seq", "payload"]
+
+
+def test_cdc_latest_plans_window_group_limit(spark):
+    """The rank-1 filter must push into the shuffle as WindowGroupLimit
+    so executors never sort full per-key change history."""
+    import contextlib
+    import io
+
+    from dynamic_partitioner_spark.operators.relational import cdc_latest
+
+    ch = spark.createDataFrame([(1, 1, "U")], "k long, seq long, op string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cdc_latest(ch, ["k"], "seq").explain("formatted")
+    assert "WindowGroupLimit" in buf.getvalue()

@@ -217,3 +217,29 @@ def test_streaming_sessionize_equals_batch(spark, tmp_out):
     streamed = {(r.user_id, r.session_start): (r.n_events, r.total_value)
                 for r in spark.table("sess_stream_sink").collect()}
     assert streamed == batch and batch
+
+
+def test_streaming_join_across_batches(spark, tmp_out):
+    """A view in one micro-batch joins a click arriving in a LATER
+    micro-batch out of the join state store; result equals the batch
+    join (watermark wider than the data span, nothing dropped)."""
+    from dynamic_partitioner_spark.streaming.stateful import (
+        run_streaming_join)
+
+    base = 1_700_000_000_000_000_000          # ns epoch
+    MIN = 60 * 1_000_000_000
+    views = [(10, base + 0 * MIN, 1, "view", 0.0, "{}"),
+             (11, base + 5 * MIN, 2, "view", 0.0, "{}")]
+    clicks = [(20, base + 30 * MIN, 1, "click", 0.0, "{}"),       # joins 10
+              (21, base + 200 * MIN, 1, "click", 0.0, "{}"),      # > 2h: no
+              (22, base + 6 * MIN, 2, "click", 0.0, "{}")]        # joins 11
+    schema = ("event_id long, ts long, user_id long, event_type string, "
+              "value double, props string")
+    src = f"{tmp_out}/src"
+    spark.createDataFrame(views, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(clicks, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.catalog.dropTempView("t_sjoin")
+    out = run_streaming_join(spark, src, "t_sjoin", join_window="2 hours")
+    got = {(r.user_id, r.view_id, r.click_id) for r in out.collect()}
+    assert got == {(1, 10, 20), (2, 11, 22)}
