@@ -1085,6 +1085,54 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                               join_window="2 hours")
 
 
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence predicates as semi/anti joins: customers with vs.
+    without an URGENT order.  Both plan as one broadcast/shuffled hash
+    join probing only the key column — no row duplication, no dedup
+    pass (the relational way to write EXISTS / NOT EXISTS)."""
+    cust = _table(spark, sf_dir, "customer")
+    urgent = (_table(spark, sf_dir, "orders")
+              .where(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_custkey").alias("c_custkey")))
+    semi = (cust.join(urgent, "c_custkey", "left_semi")
+            .select(F.lit("has_urgent").alias("kind"),
+                    "c_custkey", "c_name"))
+    anti = (cust.join(urgent, "c_custkey", "left_anti")
+            .select(F.lit("no_urgent").alias("kind"),
+                    "c_custkey", "c_name"))
+    return semi.unionByName(anti)
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate: quantity totals at every grouping granularity
+    (flag × status, each alone, grand total) in ONE pass — Spark
+    expands grouping sets map-side, so the scan is paid once."""
+    li = _table(spark, sf_dir, "lineitem")
+    # the grouped cols have no data NULLs, so coalesce('ALL')
+    # unambiguously marks the rolled-up rows — same expression both
+    # engines
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL"))
+                    .alias("l_returnflag"),
+                    F.coalesce("l_linestatus", F.lit("ALL"))
+                    .alias("l_linestatus"),
+                    "n_items", "sum_qty"))
+
+
+def q_sorted_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally-ordered parquet export (range partition + local sort,
+    one shuffle, no single-task sort); read-back must be value-equal to
+    the source.  File-level ordering/disjointness is pinned in pytest."""
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        write_sorted)
+    li = _li_stringified(_table(spark, sf_dir, "lineitem"))
+    path = _out("sorted_export")
+    write_sorted(li, path, "l_extendedprice", n_files=16)
+    return spark.read.parquet(path)
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1169,6 +1217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_decontaminate": q_decontaminate,
         "text_chunk": q_text_chunk,
         "streaming_join": q_streaming_join,
+        "query_semi_anti": q_semi_anti,
+        "query_cube": q_cube,
+        "sorted_export": q_sorted_export,
     }
 
 
@@ -1769,6 +1820,28 @@ def oracle_sql() -> dict[str, str]:
              AND v.event_type = 'view' AND c.event_type = 'click'
              AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
         """,
+        "query_semi_anti": """
+            SELECT 'has_urgent' AS kind, c_custkey, c_name
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+            UNION ALL
+            SELECT 'no_urgent', c_custkey, c_name
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+        """,
+        "query_cube": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   count(*) AS n_items,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "sorted_export": li_full,
         # query_approx_distinct: rows-only by design — two HLL
         # implementations (Spark HLL++, DuckDB HLL) estimate differently;
         # the error bound vs exact is pinned in tests/test_queries.py

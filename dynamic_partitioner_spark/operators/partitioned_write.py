@@ -324,6 +324,28 @@ def compact_partitions(spark: SparkSession, path: str, fmt: str = "parquet",
     return len(part_cols)
 
 
+def write_sorted(df: DataFrame, path: str, sort_col: str,
+                 n_files: int = 32, fmt: str = "parquet") -> str:
+    """Globally-ordered export: range-partition on ``sort_col`` into
+    ``n_files`` shards, sort within each shard, write one file per
+    shard.  File k's values all precede file k+1's (disjoint ranges) and
+    each file is internally sorted — so a downstream sequential reader
+    (training-data loader, merge step) sees a total order without any
+    single process ever holding the full sort.
+
+    This is the scalable global sort: ``repartitionByRange`` samples the
+    key distribution to pick balanced boundaries (skew-resistant), then
+    each shard sorts locally — one shuffle, no driver materialization,
+    versus ``coalesce(1).orderBy`` which serializes everything through
+    one task.  Parquet min/max row-group stats on the sorted column also
+    make point/range scans of the export partition-prunable.
+    """
+    (df.repartitionByRange(n_files, F.col(sort_col))
+     .sortWithinPartitions(sort_col)
+     .write.mode("overwrite").format(fmt).save(path))
+    return path
+
+
 def _table_location(spark: SparkSession, name: str) -> str | None:
     try:
         for row in spark.sql(f"DESCRIBE TABLE EXTENDED `{name}`").collect():

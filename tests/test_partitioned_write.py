@@ -402,3 +402,35 @@ def test_merge_upsert_touches_only_affected_partitions(spark, purchase_df,
     after = {f: os.path.getmtime(f) for f in
              glob.glob(f"{tmp_out}/purchase_date=2009-01-03/*.parquet")}
     assert after == before                         # untouched bytes
+
+
+def test_write_sorted_disjoint_ranges_and_local_order(spark, tmp_out):
+    """Range-partitioned sorted export: every output file is internally
+    sorted and file ranges don't overlap — a sequential reader over the
+    files in range order sees a total order."""
+    from pyspark.sql import functions as F
+
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        write_sorted)
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 2654435761 % 100_000).alias("v"))
+    write_sorted(df, tmp_out, "v", n_files=8)
+
+    back = spark.read.parquet(tmp_out).select(
+        "v", F.input_file_name().alias("f"))
+    stats = (back.groupBy("f")
+             .agg(F.min("v").alias("lo"), F.max("v").alias("hi"),
+                  F.count(F.lit(1)).alias("n"))
+             .collect())
+    assert sum(r.n for r in stats) == 10_000
+    spans = sorted((r.lo, r.hi) for r in stats)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2          # disjoint (boundary values may touch)
+
+    # within-file sortedness: no row may precede a smaller neighbor
+    import pandas as pd
+    pdf = back.toPandas()
+    for _, grp in pdf.groupby("f"):
+        vals = grp["v"].tolist()
+        assert vals == sorted(vals)
