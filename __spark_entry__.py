@@ -1133,6 +1133,38 @@ def q_sorted_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC ingest: a change-log stream foreachBatch-merged
+    into the partitioned sink with seq-aware latest-wins (merge_cdc) —
+    the final table is identical however the changes split across
+    micro-batches, because a stale change loses to the stored row's
+    higher sequence.  Partition = key-derived bucket, so a key never
+    crosses partitions (merge_cdc's documented caveat)."""
+    from dynamic_partitioner_spark.streaming.write import (
+        run_streaming_upsert)
+    apply_engine_confs(spark)
+    li = _table(spark, sf_dir, "lineitem")
+    seq = (F.col("l_linenumber") * F.lit(10**11)
+           + F.col("l_partkey") * F.lit(10**5)
+           + F.col("l_suppkey")).alias("seq")
+    changes = li.select(
+        "l_orderkey", seq,
+        F.when(F.col("l_partkey") % 11 == 0, "D").otherwise("U").alias("op"),
+        "l_quantity", "l_extendedprice",
+        (F.col("l_orderkey") % 5).alias("bucket"))
+    src = _out("stream_upsert_src")
+    changes.repartition(3).write.parquet(src)
+    dest = _out("stream_upsert_dest")
+    ckpt = _out("stream_upsert_ckpt")
+    spec = SinkSpec(name="cdc_upsert", field_names=["bucket"])
+    run_streaming_upsert(spark, src, dest, ckpt, spec,
+                         ["l_orderkey"], "seq")
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        read_cdc_table)
+    return read_cdc_table(spark, dest).select(
+        "l_orderkey", "seq", "l_quantity", "l_extendedprice", "bucket")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1220,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_semi_anti": q_semi_anti,
         "query_cube": q_cube,
         "sorted_export": q_sorted_export,
+        "streaming_upsert": q_streaming_upsert,
     }
 
 
@@ -1842,6 +1875,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "sorted_export": li_full,
+        "streaming_upsert": """
+            WITH ch AS (
+                SELECT l_orderkey,
+                       l_linenumber * 100000000000 + l_partkey * 100000
+                           + l_suppkey AS seq,
+                       CASE WHEN l_partkey % 11 = 0 THEN 'D' ELSE 'U' END
+                           AS op,
+                       l_quantity, l_extendedprice,
+                       CAST(l_orderkey % 5 AS VARCHAR) AS bucket
+                FROM lineitem),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY l_orderkey
+                      ORDER BY seq DESC) AS rn
+                  FROM ch)
+            SELECT l_orderkey, seq, l_quantity, l_extendedprice, bucket
+            FROM r WHERE rn = 1 AND op <> 'D'
+        """,
         # query_approx_distinct: rows-only by design — two HLL
         # implementations (Spark HLL++, DuckDB HLL) estimate differently;
         # the error bound vs exact is pinned in tests/test_queries.py

@@ -200,7 +200,8 @@ def write_bucketed(df, table_name: str, bucket_cols: list[str],
 
 
 def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
-                 spec: SinkSpec, key_cols: list[str]) -> str:
+                 spec: SinkSpec, key_cols: list[str],
+                 deletes: DataFrame | None = None) -> str:
     """Upsert into a partitioned dataset without a table format:
     rows in ``updates`` replace existing rows with the same ``key_cols``
     tuple; new keys append.  Only the partitions PRESENT IN THE UPDATES
@@ -216,6 +217,14 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
     partitions only.  Cost scales with the touched partitions, not the
     dataset.
 
+    ``deletes`` (optional) removes keys without replacement: a frame
+    carrying ``key_cols`` plus the partition columns (so the affected
+    directories are known without scanning the dataset).  A partition
+    left EMPTY by deletes is removed outright — dynamic overwrite alone
+    can't express "this partition now has zero rows" (it only rewrites
+    partitions present in the written data), so the empty directory is
+    dropped through the Hadoop FileSystem API.
+
     Caveats: like every file-level writer here, single-writer; and an
     update must carry its partition columns — moving a row BETWEEN
     partitions updates the target partition but leaves the old copy in
@@ -224,8 +233,14 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
     """
     spec.validate(updates.schema)
     ndf = normalize_partition_keys(updates, spec.field_names)
+    del_ndf = (normalize_partition_keys(
+        deletes.select(*key_cols, *spec.field_names), spec.field_names)
+        if deletes is not None else None)
+    touch_src = ndf.select(*spec.field_names)
+    if del_ndf is not None:
+        touch_src = touch_src.union(del_ndf.select(*spec.field_names))
     touched = [tuple(str(r[f]) for f in spec.field_names)
-               for r in ndf.select(*spec.field_names).distinct().collect()]
+               for r in touch_src.distinct().collect()]
     existing = list_existing_partitions(spark, path, spec.field_names)
     affected = [t for t in touched if t in existing]
     merged = ndf
@@ -236,12 +251,112 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
         else:
             flt = F.concat_ws("\x00", *spec.field_names).isin(
                 ["\x00".join(t) for t in affected])
+        drop_keys = ndf.select(*key_cols)
+        if del_ndf is not None:
+            drop_keys = drop_keys.union(del_ndf.select(*key_cols))
         keep = (current.where(flt)
-                .join(F.broadcast(ndf.select(*key_cols).distinct()),
+                .join(F.broadcast(drop_keys.distinct()),
                       key_cols, "left_anti"))
         merged = keep.select(*ndf.columns).unionByName(ndf)
+    return _overwrite_and_prune(spark, path, spec, merged, affected)
+
+
+def _overwrite_and_prune(spark: SparkSession, path: str, spec: SinkSpec,
+                         merged: DataFrame,
+                         affected: list[tuple[str, ...]]) -> str:
+    """Dynamic-overwrite ``merged`` into ``path``, then drop any
+    ``affected`` partition whose rows all disappeared — dynamic
+    overwrite only rewrites partitions PRESENT in the written data, so
+    an emptied partition's old files would otherwise survive.  The
+    remaining-partition collect is bounded by |affected|."""
     up_spec = SinkSpec(**{**spec.__dict__, "overwrite_partitions": True})
-    return write_partitioned(merged, up_spec, path)
+    # collect BEFORE the write: `merged` reads the very files the
+    # overwrite is about to delete, so re-executing it afterwards would
+    # hit FILE_NOT_EXIST on the dropped partitions
+    remaining = ({tuple(str(r[f]) for f in spec.field_names)
+                  for r in merged.select(*spec.field_names)
+                  .distinct().collect()}
+                 if affected else set())
+    out = write_partitioned(merged, up_spec, path)
+    if affected:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for t in affected:
+            if t in remaining:
+                continue
+            rel = "/".join(f"{f}={urllib.parse.quote(v, safe='')}"
+                           for f, v in zip(spec.field_names, t))
+            jp = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
+            fs = jp.getFileSystem(hconf)
+            if fs.exists(jp) and not fs.delete(jp, True):
+                raise IOError(f"failed to delete emptied partition {rel}")
+    return out
+
+
+def merge_cdc(spark: SparkSession, path: str, changes: DataFrame,
+              spec: SinkSpec, key_cols: list[str], seq_col: str,
+              op_col: str = "op", delete_op: str = "D") -> str:
+    """Sequence-aware CDC merge into a partitioned dataset: apply a raw
+    change batch (op + monotone sequence + payload) so that the HIGHEST
+    sequence per key wins — whether it arrives in this batch or already
+    sits in the dataset — and a winning delete removes the key.
+
+    Unlike :func:`merge_upsert` (unconditional replace), this is
+    ORDER-INDEPENDENT across batches: a stale change (lower seq than
+    the stored row) loses the competition and is a no-op, so re-applied
+    or out-of-order batches converge to the same table.  The stored
+    table therefore keeps ``seq_col`` as a regular column, and delete
+    winners are stored as TOMBSTONE rows (``op_col`` retained, value
+    ``delete_op``) rather than physically removed — otherwise a stale
+    change arriving AFTER the delete would find no stored row to lose
+    against and resurrect the key (the classic CDC tombstone problem;
+    Kafka log compaction and table-format MERGE keep delete markers for
+    exactly this reason).  Read the live view with
+    :func:`read_cdc_table`; drop tombstones with a compaction pass once
+    the stream is known complete past their sequence.
+
+    Per batch: reduce the batch to its per-key winner, read ONLY the
+    partitions those winners touch (partition-pruned), re-run the
+    winner competition over current ∪ batch, rewrite just those
+    partitions (emptied ones dropped).  Cost scales with touched
+    partitions, not dataset size.  A key changing partitions leaves its
+    old copy in the old partition — same caveat as merge_upsert.
+    """
+    from .relational import cdc_latest
+
+    winners = cdc_latest(changes, key_cols, seq_col, op_col, delete_op,
+                         keep_deletes=True)
+    wn = normalize_partition_keys(winners, spec.field_names)
+    touched = [tuple(str(r[f]) for f in spec.field_names)
+               for r in wn.select(*spec.field_names).distinct().collect()]
+    existing = list_existing_partitions(spark, path, spec.field_names)
+    affected = [t for t in touched if t in existing]
+    combined = wn
+    if affected:
+        current = read_partitioned(spark, path, spec.fmt)
+        if len(spec.field_names) == 1:
+            flt = F.col(spec.field_names[0]).isin([t[0] for t in affected])
+        else:
+            flt = F.concat_ws("\x00", *spec.field_names).isin(
+                ["\x00".join(t) for t in affected])
+        # current already carries op (tombstones included) — it competes
+        # on equal footing with the batch winners
+        combined = (current.where(flt)
+                    .select(*wn.columns)
+                    .unionByName(wn))
+    merged = cdc_latest(combined, key_cols, seq_col, op_col, delete_op,
+                        keep_deletes=True)
+    spec.validate(merged.schema)
+    return _overwrite_and_prune(spark, path, spec, merged, affected)
+
+
+def read_cdc_table(spark: SparkSession, path: str, fmt: str = "parquet",
+                   op_col: str = "op", delete_op: str = "D") -> DataFrame:
+    """Live view of a :func:`merge_cdc` dataset: tombstone rows filtered
+    out, the op column dropped."""
+    return (read_partitioned(spark, path, fmt)
+            .where(F.col(op_col) != delete_op)
+            .drop(op_col))
 
 
 def compact_partitions(spark: SparkSession, path: str, fmt: str = "parquet",

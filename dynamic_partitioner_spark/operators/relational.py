@@ -140,7 +140,8 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
 
 
 def cdc_latest(changes: DataFrame, key_cols: list[str], seq_col: str,
-               op_col: str = "op", delete_op: str = "D") -> DataFrame:
+               op_col: str = "op", delete_op: str = "D",
+               keep_deletes: bool = False) -> DataFrame:
     """Materialize a CDC change stream into its final table state:
     latest-wins per key by monotone sequence; a delete as the latest
     change drops the key entirely.
@@ -160,14 +161,21 @@ def cdc_latest(changes: DataFrame, key_cols: list[str], seq_col: str,
     coarse sequence numbers should compose a (seq, tiebreak) struct
     column first.  ``op_col`` is dropped from the output; every other
     column of the winning change row survives.
+
+    ``keep_deletes=True`` returns every key's winning change WITH the
+    op column retained (delete winners included) — the shape a merge
+    writer needs to split upserts from delete keys (see
+    ``streaming.write.run_streaming_upsert``).
     """
     w = (Window.partitionBy(*key_cols)
          .orderBy(F.col(seq_col).desc()))
-    return (changes
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .where(F.col(op_col) != delete_op)
-            .drop("_rn", op_col))
+    winners = (changes
+               .withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") == 1)
+               .drop("_rn"))
+    if keep_deletes:
+        return winners
+    return winners.where(F.col(op_col) != delete_op).drop(op_col)
 
 
 def rollup_time_grains(df: DataFrame, ts_us: Column, value_col: str,

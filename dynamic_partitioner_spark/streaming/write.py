@@ -84,6 +84,40 @@ def stream_write_partitioned(sdf: DataFrame, spec: SinkSpec, path: str,
     return writer.start(path)
 
 
+def run_streaming_upsert(spark: SparkSession, src_path: str, dest_path: str,
+                         checkpoint: str, spec: SinkSpec,
+                         key_cols: list[str], seq_col: str,
+                         op_col: str = "op", delete_op: str = "D",
+                         timeout_sec: int = 300,
+                         max_files_per_trigger: int | None = 1) -> None:
+    """Streaming CDC ingest: a change-log file stream applied to the
+    partitioned dataset one micro-batch at a time via ``foreachBatch`` +
+    :func:`~..operators.partitioned_write.merge_cdc`.
+
+    ``foreachBatch`` is the Spark-idiomatic bridge from a stream to a
+    batch-only writer: batches arrive serially with a batch id, and the
+    seq-aware merge makes the pipeline converge to latest-wins-by-
+    sequence regardless of how changes are split or ordered across
+    micro-batches (a stale change loses to the stored row's higher
+    sequence).  That same property makes a replayed batch — foreachBatch
+    is at-least-once after crash recovery — a no-op rather than a
+    corruption.
+    """
+    from ..operators.partitioned_write import merge_cdc
+
+    sdf = stream_from_files(spark, src_path,
+                            max_files_per_trigger=max_files_per_trigger)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merge_cdc(batch_df.sparkSession, dest_path, batch_df, spec,
+                  key_cols, seq_col, op_col, delete_op)
+
+    q = (sdf.writeStream.foreachBatch(apply_batch)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    run_stream_to_completion(q, timeout_sec)
+
+
 def run_stream_to_completion(query: StreamingQuery,
                              timeout_sec: int = 300) -> None:
     """Block until an availableNow stream drains (driver/test helper)."""

@@ -434,3 +434,61 @@ def test_write_sorted_disjoint_ranges_and_local_order(spark, tmp_out):
     for _, grp in pdf.groupby("f"):
         vals = grp["v"].tolist()
         assert vals == sorted(vals)
+
+
+def test_merge_upsert_deletes_and_prunes_emptied_partition(spark, tmp_out):
+    """Delete keys are removed without replacement; a partition whose
+    every row is deleted disappears from disk entirely (dynamic
+    overwrite alone can't express an emptied partition)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dynamic_partitioner_spark import (SinkSpec, read_partitioned,
+                                           write_partitioned)
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        merge_upsert)
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)],
+        "k long, p string, v double")
+    spec = SinkSpec(name="m", field_names=["p"])
+    write_partitioned(df, spec, tmp_out)
+
+    ups = spark.createDataFrame([(1, "a", 10.0)], "k long, p string, v double")
+    dels = spark.createDataFrame([(3, "b")], "k long, p string")
+    merge_upsert(spark, tmp_out, ups, spec, ["k"], deletes=dels)
+
+    got = {(r.k, r.p, r.v) for r in read_partitioned(spark, tmp_out).collect()}
+    assert got == {(1, "a", 10.0), (2, "a", 2.0)}
+    assert not os.path.exists(f"{tmp_out}/p=b")
+
+
+def test_merge_cdc_stale_change_is_noop_and_delete_tombstones(spark, tmp_out):
+    """Seq-aware merge: a lower-seq change arriving AFTER the stored row
+    (or after a delete) loses the competition — including the classic
+    resurrection case, which tombstone retention prevents."""
+    from dynamic_partitioner_spark import SinkSpec
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        merge_cdc, read_cdc_table)
+
+    spec = SinkSpec(name="cdc", field_names=["p"])
+    sch = "k long, seq long, op string, p string, v double"
+
+    b1 = spark.createDataFrame(
+        [(1, 5, "U", "a", 1.0), (2, 9, "D", "a", 0.0)], sch)
+    merge_cdc(spark, tmp_out, b1, spec, ["k"], "seq")
+    # batch 2 arrives out of order: stale update for deleted key 2 and
+    # stale update for key 1
+    b2 = spark.createDataFrame(
+        [(2, 3, "U", "a", 99.0), (1, 2, "U", "a", 42.0)], sch)
+    merge_cdc(spark, tmp_out, b2, spec, ["k"], "seq")
+
+    got = {(r.k, r.seq, r.v) for r in read_cdc_table(spark, tmp_out).collect()}
+    assert got == {(1, 5, 1.0)}          # key 2 stays deleted, v stays 1.0
+
+    # a genuinely newer change still wins
+    b3 = spark.createDataFrame([(1, 7, "U", "a", 8.0)], sch)
+    merge_cdc(spark, tmp_out, b3, spec, ["k"], "seq")
+    got = {(r.k, r.seq, r.v) for r in read_cdc_table(spark, tmp_out).collect()}
+    assert got == {(1, 7, 8.0)}
