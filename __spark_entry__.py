@@ -1165,6 +1165,28 @@ def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "seq", "l_quantity", "l_extendedprice", "bucket")
 
 
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fitted vocabulary (document frequency ≥ 2, ids by df-desc rank):
+    one corpus agg; the rank window runs on the vocab-sized relation."""
+    from dynamic_partitioner_spark.operators.vectorize import build_vocab
+    docs = _table(spark, sf_dir, "documents")
+    return build_vocab(docs, "text", min_df=2)
+
+
+def q_text_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id encoding against the fitted vocabulary (broadcast
+    lookup, OOV → -1), exploded to (doc_id, pos, token_id) rows so the
+    harness hashes scalars — the array form is pinned in pytest."""
+    from dynamic_partitioner_spark.operators.vectorize import (
+        build_vocab, encode_tokens)
+    docs = _table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "text", min_df=2)
+    enc = encode_tokens(docs, "doc_id", "text", vocab)
+    return enc.select(
+        "doc_id", F.posexplode("token_ids").alias("pos", "token_id")
+    ).select("doc_id", F.col("pos").cast("long"), "token_id")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1253,6 +1275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_cube": q_cube,
         "sorted_export": q_sorted_export,
         "streaming_upsert": q_streaming_upsert,
+        "text_vocab": q_text_vocab,
+        "text_token_ids": q_text_token_ids,
     }
 
 
@@ -1891,6 +1915,48 @@ def oracle_sql() -> dict[str, str]:
                   FROM ch)
             SELECT l_orderkey, seq, l_quantity, l_extendedprice, bucket
             FROM r WHERE rn = 1 AND op <> 'D'
+        """,
+        "text_vocab": """
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(list_distinct(string_split_regex(
+                           trim(lower(text)), '[ \t\n\r]+'))) AS token
+                FROM documents),
+            d AS (SELECT token, count(*) AS df FROM t
+                  WHERE length(token) > 0
+                  GROUP BY token HAVING count(*) >= 2)
+            SELECT token, df,
+                   row_number() OVER (ORDER BY df DESC, token) - 1
+                       AS token_id
+            FROM d
+        """,
+        "text_token_ids": """
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(list_distinct(string_split_regex(
+                           trim(lower(text)), '[ \t\n\r]+'))) AS token
+                FROM documents),
+            d AS (SELECT token, count(*) AS df FROM t
+                  WHERE length(token) > 0
+                  GROUP BY token HAVING count(*) >= 2),
+            v AS (SELECT token,
+                         row_number() OVER (ORDER BY df DESC, token) - 1
+                             AS token_id
+                  FROM d),
+            tk AS (SELECT doc_id,
+                          string_split_regex(trim(lower(text)),
+                                             '[ \t\n\r]+') AS toks
+                   FROM documents),
+            e0 AS (SELECT doc_id, toks,
+                          unnest(generate_series(1, len(toks))) AS i
+                   FROM tk),
+            e AS (SELECT doc_id, i, toks[i] AS token
+                  FROM e0 WHERE length(toks[i]) > 0)
+            SELECT e.doc_id,
+                   row_number() OVER (PARTITION BY e.doc_id ORDER BY e.i)
+                       - 1 AS pos,
+                   coalesce(v.token_id, -1) AS token_id
+            FROM e LEFT JOIN v USING (token)
         """,
         # query_approx_distinct: rows-only by design — two HLL
         # implementations (Spark HLL++, DuckDB HLL) estimate differently;

@@ -49,6 +49,69 @@ def hashed_counts_sql(key: str, text: str, dim: int,
             f"FROM tok WHERE length(t) > 0 GROUP BY 1, 2")
 
 
+def build_vocab(df: DataFrame, text_col: str, min_df: int = 1,
+                max_size: int | None = None) -> DataFrame:
+    """Fitted vocabulary: ``(token, df, token_id)`` with ids assigned by
+    descending document frequency (ties broken lexically, so the
+    mapping is deterministic across runs/engines).
+
+    ``df`` counts DOCUMENTS containing the token (per-doc distinct),
+    the conventional CountVectorizer semantics.  One explode + one
+    hash-agg over the corpus; the id-assigning ``row_number`` runs on
+    the AGGREGATED token relation — vocabulary-sized (≤ a few million
+    rows after ``min_df``), not corpus-sized, so the single-partition
+    window is a bounded post-processing step, not a corpus bottleneck.
+    For web-scale type counts prefer :func:`hashed_counts`, which needs
+    no fitted state at all.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), "[ \\t\\n\\r]+")
+    per_doc = df.select(F.explode(F.array_distinct(toks)).alias("token"))
+    dfreq = (per_doc.where(F.length("token") > 0)
+             .groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+             .where(F.col("df") >= min_df))
+    w = Window.orderBy(F.col("df").desc(), F.col("token"))
+    vocab = dfreq.select("token", "df",
+                         (F.row_number().over(w) - 1).cast("long")
+                         .alias("token_id"))
+    if max_size is not None:
+        vocab = vocab.where(F.col("token_id") < max_size)
+    return vocab
+
+
+def encode_tokens(df: DataFrame, id_col: str, text_col: str,
+                  vocab: DataFrame, unk_id: int = -1) -> DataFrame:
+    """Encode each document as its token-id sequence against a fitted
+    vocabulary: ``(id, token_ids array<long>, n_tokens, n_oov)``.
+    Out-of-vocabulary tokens map to ``unk_id``.
+
+    Shape: posexplode (order-preserving) → broadcast join against the
+    vocabulary (vocab is small by construction; the corpus side never
+    shuffles for the lookup) → one hash-agg per doc re-assembling the
+    sequence with ``array_sort`` on the carried position.  This is the
+    bridge from raw text to the integer world a tokenizer-trainer or
+    packing step (:func:`~.packing.pack_sequences`) consumes.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), "[ \\t\\n\\r]+")
+    ex = (df.select(F.col(id_col), F.posexplode(toks)
+                    .alias("pos", "token"))
+          .where(F.length("token") > 0))
+    joined = (ex.join(F.broadcast(vocab.select("token", "token_id")),
+                      "token", "left")
+              .select(id_col, "pos",
+                      F.coalesce("token_id", F.lit(unk_id))
+                      .alias("tid")))
+    seq = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+        lambda s: s["tid"])
+    return (joined.groupBy(id_col)
+            .agg(seq.alias("token_ids"),
+                 F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(F.when(F.col("tid") == unk_id, 1).otherwise(0))
+                 .cast("long").alias("n_oov")))
+
+
 def hashed_vector(df: DataFrame, id_col: str, text_col: str,
                   dim: int = 64) -> DataFrame:
     """Dense form: (id, vec array<double> of length ``dim``) — the

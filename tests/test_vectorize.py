@@ -51,3 +51,41 @@ def test_text_to_vector_to_near_dup_pipeline(spark):
                                          threshold=0.9).collect()}
     assert pairs.get((1, 2)) == 1.0
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_build_vocab_ids_by_df_rank(spark):
+    from dynamic_partitioner_spark.operators.vectorize import build_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "banana")],
+        "doc_id long, text string")
+    got = {(r.token, r.df, r.token_id)
+           for r in build_vocab(docs, "text").collect()}
+    # banana in 3 docs -> id 0; apple/cherry 1 doc each -> lexical tie-break
+    assert got == {("banana", 3, 0), ("apple", 1, 1), ("cherry", 1, 2)}
+
+
+def test_build_vocab_min_df_and_max_size(spark):
+    from dynamic_partitioner_spark.operators.vectorize import build_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a c"), (3, "a b")], "doc_id long, text string")
+    assert {r.token for r in
+            build_vocab(docs, "text", min_df=2).collect()} == {"a", "b"}
+    assert {r.token for r in
+            build_vocab(docs, "text", max_size=1).collect()} == {"a"}
+
+
+def test_encode_tokens_order_and_oov(spark):
+    from dynamic_partitioner_spark.operators.vectorize import (
+        build_vocab, encode_tokens)
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a z")], "doc_id long, text string")
+    vocab = build_vocab(docs, "text", min_df=2)      # only 'a' survives
+    rows = {r.doc_id: r for r in
+            encode_tokens(docs, "doc_id", "text", vocab).collect()}
+    assert rows[1].token_ids == [0, -1, 0]           # order preserved
+    assert (rows[1].n_tokens, rows[1].n_oov) == (3, 1)
+    assert rows[2].token_ids == [0, -1]
+    assert (rows[2].n_tokens, rows[2].n_oov) == (2, 1)
