@@ -1187,6 +1187,27 @@ def q_text_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("pos").cast("long"), "token_id")
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling: each language keeps its own
+    fraction via a CASE-inlined rate + the portable md5 unit draw —
+    a pure pushdown-friendly filter, no shuffle, no RNG state."""
+    from dynamic_partitioner_spark.operators import sampling as SMP
+    docs = _table(spark, sf_dir, "documents")
+    fr = {"en": 0.3, "de": 0.8, "fr": 0.8}
+    return (SMP.stratified_sample(docs, "lang", "doc_id", fr,
+                                  default_fraction=0.5)
+            .select("doc_id", "lang", "source"))
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide chunk-level exact dedup (32-token non-overlapping
+    windows, min-(doc,pos) representative) — boilerplate spans shared
+    ACROSS documents collapse to one copy."""
+    from dynamic_partitioner_spark.operators.packing import dedup_chunks
+    docs = _table(spark, sf_dir, "documents")
+    return dedup_chunks(docs, "doc_id", "text", chunk_tokens=32)
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1277,6 +1298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_upsert": q_streaming_upsert,
         "text_vocab": q_text_vocab,
         "text_token_ids": q_text_token_ids,
+        "sample_stratified": q_sample_stratified,
+        "text_chunk_dedup": q_chunk_dedup,
     }
 
 
@@ -1957,6 +1980,28 @@ def oracle_sql() -> dict[str, str]:
                        - 1 AS pos,
                    coalesce(v.token_id, -1) AS token_id
             FROM e LEFT JOIN v USING (token)
+        """,
+        "sample_stratified": SMP.stratified_sample_sql(
+            "doc_id, lang, source", "lang", "doc_id",
+            {"en": 0.3, "de": 0.8, "fr": 0.8}, default_fraction=0.5),
+        "text_chunk_dedup": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '[ \t\n\r]+')
+                           AS toks
+                FROM documents),
+            s AS (SELECT doc_id, toks,
+                         unnest(range(0, greatest(len(toks), 1), 32))
+                             AS start
+                  FROM t),
+            ch AS (SELECT doc_id, CAST(start / 32 AS BIGINT) AS chunk_idx,
+                          array_to_string(
+                              list_slice(toks, start + 1, start + 32),
+                              ' ') AS chunk_text
+                   FROM s)
+            SELECT doc_id, chunk_idx, chunk_text FROM ch
+            QUALIFY row_number() OVER (PARTITION BY chunk_text
+                                       ORDER BY doc_id, chunk_idx) = 1
         """,
         # query_approx_distinct: rows-only by design — two HLL
         # implementations (Spark HLL++, DuckDB HLL) estimate differently;

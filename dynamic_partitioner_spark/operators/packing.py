@@ -93,3 +93,25 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
         F.col(tokens_col).cast("long").alias("_tok"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("_shard"))
     return base.groupBy("_shard").applyInPandas(pack, PACK_SCHEMA)
+
+
+def dedup_chunks(df: DataFrame, id_col: str, text_col: str,
+                 chunk_tokens: int = 64) -> DataFrame:
+    """Corpus-wide chunk-level exact dedup: split every document into
+    non-overlapping ``chunk_tokens`` windows and keep ONE copy of each
+    distinct chunk text — the (doc, position)-lexicographic first.
+    Catches boilerplate repeated across documents (headers, footers,
+    license blocks) that document-level dedup can't see.
+
+    One codegen explode + one hash-agg shuffle keyed on the chunk text;
+    ``min(struct(doc, pos))`` picks the representative inside the same
+    aggregate, so there is no second pass and no window sort.  At
+    corpus scale, hash the chunk text first (`xxhash64`) if chunk
+    strings are long enough to dominate shuffle volume.
+    """
+    ch = chunk_documents(df, id_col, text_col, chunk_tokens, overlap=0)
+    rep = F.min(F.struct(id_col, "chunk_idx")).alias("s")
+    return (ch.groupBy("chunk_text").agg(rep)
+            .select(F.col(f"s.{id_col}").alias(id_col),
+                    F.col("s.chunk_idx").alias("chunk_idx"),
+                    "chunk_text"))

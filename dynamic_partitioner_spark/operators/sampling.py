@@ -126,6 +126,42 @@ def cap_per_group_sql(table_cols: str, group: str, key: str, n: int,
             f"ORDER BY {u} ASC, {key}) <= {n}")
 
 
+def stratified_sample(df: DataFrame, stratum_col: str, key_col: str,
+                      fractions: dict[str, float],
+                      default_fraction: float = 0.0,
+                      salt: str = "strat") -> DataFrame:
+    """Per-stratum hash sampling: each stratum keeps its own fraction
+    (e.g. downsample boilerplate-heavy sources harder than curated
+    ones).  Strata absent from ``fractions`` keep ``default_fraction``.
+
+    Same scale shape as :func:`hash_sample`: a pure filter against a
+    tiny inlined CASE lookup — no shuffle, no RNG state, no join; the
+    fraction map lives in the plan, not in a table.  Deterministic in
+    (key, salt), so re-runs and retries keep identical rows.
+    """
+    frac = F.lit(float(default_fraction))
+    for stratum, f in sorted(fractions.items()):
+        frac = F.when(F.col(stratum_col) == stratum,
+                      F.lit(float(f))).otherwise(frac)
+    return df.where(hash_unit(F.col(key_col), salt) < frac)
+
+
+def stratified_sample_sql(table_cols: str, stratum: str, key: str,
+                          fractions: dict[str, float],
+                          default_fraction: float = 0.0,
+                          salt: str = "strat",
+                          from_table: str = "documents") -> str:
+    """DuckDB twin of :func:`stratified_sample` (identical hash draw
+    and CASE lookup)."""
+    u = hash_unit_sql(key, salt)
+    case = "CASE"
+    for s, f in sorted(fractions.items()):
+        case += f" WHEN {stratum} = '{s}' THEN {float(f)!r}"
+    case += f" ELSE {float(default_fraction)!r} END"
+    return (f"SELECT {table_cols} FROM {from_table} "
+            f"WHERE ({u}) < ({case})")
+
+
 def mix_by_weights(df: DataFrame, source_col: str, key_col: str,
                    weights: dict[str, float], total_rows: int,
                    salt: str = "mix") -> DataFrame:

@@ -94,3 +94,21 @@ def test_chunk_documents_rejects_bad_params(spark):
         chunk_documents(df, "doc_id", "text", chunk_tokens=0)
     with pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_dedup_chunks_collapses_shared_boilerplate(spark):
+    from dynamic_partitioner_spark.operators.packing import dedup_chunks
+
+    header = " ".join(f"h{i}" for i in range(4))       # shared 4-token block
+    df = spark.createDataFrame(
+        [(1, header + " unique one text here"),
+         (2, header + " other body entirely different")],
+        "doc_id long, text string")
+    out = dedup_chunks(df, "doc_id", "text", chunk_tokens=4)
+    rows = {(r.doc_id, r.chunk_idx, r.chunk_text) for r in out.collect()}
+    # the shared header chunk survives once, attributed to doc 1 / pos 0
+    assert (1, 0, header) in rows
+    assert not any(r[0] == 2 and r[1] == 0 for r in rows)
+    # each doc's unique tail chunk survives
+    assert any(r[0] == 1 and r[1] == 1 for r in rows)
+    assert any(r[0] == 2 and r[1] == 1 for r in rows)

@@ -140,3 +140,38 @@ def test_hash_unit_cross_engine_property(spark):
             "SELECT " + hash_unit_sql("?::VARCHAR").replace(
                 "CAST(?::VARCHAR AS VARCHAR)", "?"), [s]).fetchone()[0]
         assert got_s[s] == want, s
+
+
+def test_stratified_sample_per_stratum_rates(spark):
+    from dynamic_partitioner_spark.operators.sampling import (
+        stratified_sample)
+
+    n = 4000
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(n)],
+        "id long, s string")
+    out = stratified_sample(df, "s", "id", {"a": 0.9, "b": 0.1})
+    rates = {r.s: r.n for r in
+             out.groupBy("s").count().withColumnRenamed("count", "n")
+             .collect()}
+    assert abs(rates["a"] / (n / 2) - 0.9) < 0.05
+    assert abs(rates.get("b", 0) / (n / 2) - 0.1) < 0.05
+
+
+def test_stratified_sample_default_fraction_zero_drops_unknown(spark):
+    from dynamic_partitioner_spark.operators.sampling import (
+        stratified_sample)
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string")
+    assert stratified_sample(df, "s", "id", {"x": 1.0}).count() == 1
+
+
+def test_stratified_sample_deterministic(spark):
+    from dynamic_partitioner_spark.operators.sampling import (
+        stratified_sample)
+
+    df = spark.createDataFrame([(i, "a") for i in range(500)],
+                               "id long, s string")
+    a = {r.id for r in stratified_sample(df, "s", "id", {"a": 0.4}).collect()}
+    b = {r.id for r in stratified_sample(df, "s", "id", {"a": 0.4}).collect()}
+    assert a == b
