@@ -35,6 +35,7 @@ from dynamic_partitioner_spark import (
 from dynamic_partitioner_spark.functions import text as TX
 from dynamic_partitioner_spark.functions.vectors import (
     L2_NORM_SQL,
+    ROUND4_SQL,
     l2_norm,
     round4,
 )
@@ -1208,6 +1209,31 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_chunks(docs, "doc_id", "text", chunk_tokens=32)
 
 
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap statistics: per-user ``lag`` window over event
+    time, then one hash-agg per event type.  One shuffle on user_id for
+    the window (the same partitioning any per-user op needs), one for
+    the final agg."""
+    from pyspark.sql import Window as W
+    events = _table(spark, sf_dir, "events")
+    ts_us = F.expr("ts div 1000")         # LONG nanos -> micros
+    w = W.partitionBy("user_id").orderBy(ts_us.asc(), F.col("event_id"))
+    gap_us = (ts_us - F.lag(ts_us).over(w)).cast("long")
+    gapped = events.select("event_type", gap_us.alias("gap_us")).where(
+        F.col("gap_us").isNotNull())
+    # integer-sum moments: the BIGINT sum is order-independent and
+    # exact, so the derived double matches DuckDB bit-for-bit
+    agg = (gapped.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_gaps"),
+                F.sum("gap_us").alias("_sum_us"),
+                F.max("gap_us").alias("_max_us")))
+    return agg.select(
+        "event_type", "n_gaps",
+        round4(F.col("_sum_us") / (F.col("n_gaps") * F.lit(1_000_000.0)))
+        .alias("avg_gap_s"),
+        round4(F.col("_max_us") / F.lit(1_000_000.0)).alias("max_gap_s"))
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1288,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_distinct_agg": q_distinct_agg,
         "query_pivot": q_pivot,
         "query_approx_distinct": q_approx_distinct,
+        "query_event_gaps": q_event_gaps,
         "cdc_apply": q_cdc_apply,
         "dedup_decontaminate": q_decontaminate,
         "text_chunk": q_text_chunk,
@@ -2002,6 +2029,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, chunk_idx, chunk_text FROM ch
             QUALIFY row_number() OVER (PARTITION BY chunk_text
                                        ORDER BY doc_id, chunk_idx) = 1
+        """,
+        "query_event_gaps": f"""
+            WITH g AS (
+                SELECT event_type,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS gap_us
+                FROM events),
+            a AS (SELECT event_type, count(*) AS n_gaps,
+                         sum(gap_us) AS s, max(gap_us) AS m
+                  FROM g WHERE gap_us IS NOT NULL GROUP BY event_type)
+            SELECT event_type, n_gaps,
+                   {ROUND4_SQL.format(x='CAST(s AS DOUBLE) / (n_gaps * 1000000.0)')}
+                       AS avg_gap_s,
+                   {ROUND4_SQL.format(x='CAST(m AS DOUBLE) / 1000000.0')}
+                       AS max_gap_s
+            FROM a
         """,
         # query_approx_distinct: rows-only by design — two HLL
         # implementations (Spark HLL++, DuckDB HLL) estimate differently;
