@@ -1234,6 +1234,23 @@ def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(F.col("_max_us") / F.lit(1_000_000.0)).alias("max_gap_s"))
 
 
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles per event type next to the exact ones —
+    rows-only by design (Spark's KLL-style percentile_approx and any
+    oracle's t-digest disagree within their error bounds); the
+    approx-vs-exact gap is pinned in pytest.  At 100 TB the sketch is
+    the point: fixed-size mergeable state per group vs. the exact
+    percentile's full sort."""
+    events = _table(spark, sf_dir, "events")
+    approx = F.percentile_approx("value", F.array(
+        F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10_000).alias("ap")
+    return (events.groupBy("event_type").agg(approx)
+            .select("event_type",
+                    F.round(F.col("ap")[0], 2).alias("p50_approx"),
+                    F.round(F.col("ap")[1], 2).alias("p95_approx"),
+                    F.round(F.col("ap")[2], 2).alias("p99_approx")))
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1327,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_ids": q_text_token_ids,
         "sample_stratified": q_sample_stratified,
         "text_chunk_dedup": q_chunk_dedup,
+        "query_approx_percentiles": q_approx_percentiles,
     }
 
 

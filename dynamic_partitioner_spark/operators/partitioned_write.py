@@ -359,6 +359,38 @@ def read_cdc_table(spark: SparkSession, path: str, fmt: str = "parquet",
             .drop(op_col))
 
 
+def compact_tombstones(spark: SparkSession, path: str, spec: SinkSpec,
+                       below_seq: int, seq_col: str,
+                       op_col: str = "op", delete_op: str = "D") -> str:
+    """Retention pass for a :func:`merge_cdc` dataset: physically drop
+    tombstones whose sequence is ``< below_seq`` — the caller's promise
+    that no change with a lower sequence can still arrive (a Kafka
+    consumer's committed offset, a CDC slot's confirmed LSN).  Keeping a
+    tombstone past that horizon buys nothing; dropping it earlier
+    reopens the resurrection hole, so the horizon is an explicit
+    argument rather than a default.
+
+    Rewrites only partitions that actually hold expirable tombstones
+    (partition-pruned scan of tombstone rows → dynamic overwrite of
+    just those partitions, emptied ones removed) — cost scales with
+    tombstone spread, not table size.
+    """
+    current = read_partitioned(spark, path, spec.fmt)
+    expirable = (F.col(op_col) == delete_op) & (F.col(seq_col) < below_seq)
+    holds = [tuple(str(r[f]) for f in spec.field_names)
+             for r in current.where(expirable)
+             .select(*spec.field_names).distinct().collect()]
+    if not holds:
+        return path
+    if len(spec.field_names) == 1:
+        flt = F.col(spec.field_names[0]).isin([t[0] for t in holds])
+    else:
+        flt = F.concat_ws("\x00", *spec.field_names).isin(
+            ["\x00".join(t) for t in holds])
+    merged = current.where(flt).where(~expirable)
+    return _overwrite_and_prune(spark, path, spec, merged, holds)
+
+
 def compact_partitions(spark: SparkSession, path: str, fmt: str = "parquet",
                        target_rows_per_file: int = 5_000_000) -> int:
     """Rewrite a partitioned dataset with right-sized files per partition.

@@ -492,3 +492,36 @@ def test_merge_cdc_stale_change_is_noop_and_delete_tombstones(spark, tmp_out):
     merge_cdc(spark, tmp_out, b3, spec, ["k"], "seq")
     got = {(r.k, r.seq, r.v) for r in read_cdc_table(spark, tmp_out).collect()}
     assert got == {(1, 7, 8.0)}
+
+
+def test_compact_tombstones_respects_horizon(spark, tmp_out):
+    """Tombstones below the sequence horizon are physically dropped
+    (their partition rewritten, emptied partitions removed); tombstones
+    at/above the horizon survive."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dynamic_partitioner_spark import SinkSpec, read_partitioned
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        compact_tombstones, merge_cdc)
+
+    spec = SinkSpec(name="cdcc", field_names=["p"])
+    sch = "k long, seq long, op string, p string, v double"
+    batch = spark.createDataFrame(
+        [(1, 4, "U", "a", 1.0), (2, 5, "D", "a", 0.0),
+         (3, 6, "D", "b", 0.0), (4, 9, "D", "c", 0.0)], sch)
+    merge_cdc(spark, tmp_out, batch, spec, ["k"], "seq")
+
+    compact_tombstones(spark, tmp_out, spec, below_seq=7, seq_col="seq")
+    raw = read_partitioned(spark, tmp_out)
+    got = {(r.k, r.op) for r in raw.collect()}
+    # seq-5 and seq-6 tombstones expired; live row and seq-9 tombstone stay
+    assert got == {(1, "U"), (4, "D")}
+    # partition b held only the expired tombstone -> directory removed
+    assert not os.path.exists(f"{tmp_out}/p=b")
+
+    # idempotent: nothing expirable left below the horizon
+    compact_tombstones(spark, tmp_out, spec, below_seq=7, seq_col="seq")
+    assert {(r.k, r.op) for r in read_partitioned(spark, tmp_out)
+            .collect()} == {(1, "U"), (4, "D")}

@@ -27,3 +27,31 @@ def test_pivot_matches_unpivoted_sums(spark):
     for rf, (f_qty, o_qty) in piv.items():
         assert f_qty == flat.get((rf, "F"))
         assert o_qty == flat.get((rf, "O"))
+
+
+def test_approx_percentiles_rank_error_bound(spark):
+    """percentile_approx's guarantee is RANK-space: the returned value's
+    true rank must lie within ~accuracy⁻¹ of the requested quantile
+    (value-space gaps can be large in sparse tails, so that is the
+    wrong thing to pin)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    approx = {r.event_type: (r.p50_approx, r.p95_approx, r.p99_approx)
+              for r in E.q_approx_percentiles(spark, sf).collect()}
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    by_type = {}
+    for r in events.select("event_type", "value").collect():
+        by_type.setdefault(r.event_type, []).append(r.value)
+    assert approx.keys() == by_type.keys()
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        for q, a in zip((0.5, 0.95, 0.99), approx[et]):
+            # rank of the approx value (rounding to 2dp shifts the
+            # value by <0.005 — count with that slack)
+            rank = sum(1 for v in vals if v <= a + 0.005) / n
+            assert abs(rank - q) <= 0.02 + 1.0 / n, (et, q, a, rank)
