@@ -1251,6 +1251,23 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("ap")[2], 2).alias("p99_approx")))
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: full-outer key join + null-safe change
+    classification.  Old = orders minus every 97th key; new = orders
+    with every 50th key's total doubled, minus every 89th key — so the
+    diff exercises added, removed, and changed rows."""
+    from dynamic_partitioner_spark.operators.relational import (
+        snapshot_diff)
+    orders = _table(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 97 != 0)
+    new = (orders.where(F.col("o_orderkey") % 89 != 0)
+           .withColumn("o_totalprice",
+                       F.when(F.col("o_orderkey") % 50 == 0,
+                              F.col("o_totalprice") * 2)
+                       .otherwise(F.col("o_totalprice"))))
+    return snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"])
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1345,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "text_chunk_dedup": q_chunk_dedup,
         "query_approx_percentiles": q_approx_percentiles,
+        "query_snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -2064,6 +2082,30 @@ def oracle_sql() -> dict[str, str]:
                    {ROUND4_SQL.format(x='CAST(m AS DOUBLE) / 1000000.0')}
                        AS max_gap_s
             FROM a
+        """,
+        "query_snapshot_diff": """
+            WITH old AS (
+                SELECT o_orderkey, o_totalprice FROM orders
+                WHERE o_orderkey % 97 <> 0),
+            new AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 50 = 0
+                            THEN o_totalprice * 2
+                            ELSE o_totalprice END AS o_totalprice
+                FROM orders WHERE o_orderkey % 89 <> 0)
+            SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                   CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                        WHEN n.o_orderkey IS NULL THEN 'removed'
+                        WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                            THEN 'changed' END AS change,
+                   o.o_totalprice AS o_totalprice_old,
+                   n.o_totalprice AS o_totalprice_new
+            FROM old o FULL OUTER JOIN new n
+              ON o.o_orderkey = n.o_orderkey
+            WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                       WHEN n.o_orderkey IS NULL THEN 'removed'
+                       WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                           THEN 'changed' END IS NOT NULL
         """,
         # query_approx_distinct: rows-only by design — two HLL
         # implementations (Spark HLL++, DuckDB HLL) estimate differently;

@@ -178,6 +178,46 @@ def cdc_latest(changes: DataFrame, key_cols: list[str], seq_col: str,
     return winners.where(F.col(op_col) != delete_op).drop(op_col)
 
 
+def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
+                  compare_cols: list[str]) -> DataFrame:
+    """Diff two snapshots of the same keyed table: one row per key that
+    was ``added``, ``removed``, or ``changed`` (any ``compare_cols``
+    value differs) — the audit/reconciliation primitive behind "what
+    did this pipeline run change?".
+
+    One full-outer hash join on the key; the change classification is a
+    null-pattern CASE over the joined row, and unchanged keys are
+    filtered before anything else happens downstream — so the output
+    is change-sized, not table-sized.  NULL-safe comparison (``<=>``)
+    keeps a NULL→value transition classified as a change rather than
+    silently equal.
+
+    Returns ``key_cols + [change]`` with per-column old/new pairs for
+    the compared columns (``<col>_old`` / ``<col>_new``).
+    """
+    # explicit presence markers: a compare column may be legitimately
+    # NULL in a present row, so data columns can't signal side-presence
+    o = old.select(*key_cols, F.lit(1).alias("_o_present"),
+                   *[F.col(c).alias(f"_o_{c}") for c in compare_cols])
+    n = new.select(*key_cols, F.lit(1).alias("_n_present"),
+                   *[F.col(c).alias(f"_n_{c}") for c in compare_cols])
+    j = o.join(n, key_cols, "full_outer")
+    in_old = F.col("_o_present").isNotNull()
+    in_new = F.col("_n_present").isNotNull()
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        same = eq if same is None else (same & eq)
+    change = (F.when(~in_old, F.lit("added"))
+              .when(~in_new, F.lit("removed"))
+              .when(~same, F.lit("changed")))
+    out_cols = [*key_cols, change.alias("change")]
+    for c in compare_cols:
+        out_cols += [F.col(f"_o_{c}").alias(f"{c}_old"),
+                     F.col(f"_n_{c}").alias(f"{c}_new")]
+    return j.select(*out_cols).where(F.col("change").isNotNull())
+
+
 def rollup_time_grains(df: DataFrame, ts_us: Column, value_col: str,
                        grains: dict[str, int] | None = None) -> DataFrame:
     """Hypertable-style continuous aggregate: the same measure rolled up

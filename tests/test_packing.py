@@ -112,3 +112,35 @@ def test_dedup_chunks_collapses_shared_boilerplate(spark):
     # each doc's unique tail chunk survives
     assert any(r[0] == 1 and r[1] == 1 for r in rows)
     assert any(r[0] == 2 and r[1] == 1 for r in rows)
+
+
+def test_chunk_documents_property_nonoverlap_reconstructs(spark):
+    """Property: with overlap=0, concatenating a doc's chunks in
+    chunk_idx order reproduces its exact token sequence, and every
+    chunk except possibly the last is full."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dynamic_partitioner_spark.operators.packing import chunk_documents
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(st.integers(1, 30), min_size=1, max_size=6),
+           st.integers(1, 9))
+    def prop(doc_lens, chunk_tokens):
+        rows = [(i, " ".join(f"t{i}x{j}" for j in range(n)))
+                for i, n in enumerate(doc_lens)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = chunk_documents(df, "doc_id", "text",
+                              chunk_tokens=chunk_tokens, overlap=0)
+        by_doc = {}
+        for r in out.collect():
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for (i, n) in enumerate(doc_lens):
+            chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+            toks = " ".join(c.chunk_text for c in chunks).split(" ")
+            assert toks == rows[i][1].split(" ")
+            for c in chunks[:-1]:
+                assert c.n_tokens == chunk_tokens
+            assert chunks[-1].n_tokens == n - chunk_tokens * (len(chunks) - 1)
+
+    prop()

@@ -172,3 +172,59 @@ def test_cdc_latest_plans_window_group_limit(spark):
     with contextlib.redirect_stdout(buf):
         cdc_latest(ch, ["k"], "seq").explain("formatted")
     assert "WindowGroupLimit" in buf.getvalue()
+
+
+def test_snapshot_diff_classifies_all_change_kinds(spark):
+    from dynamic_partitioner_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (4, 40.0)],
+        "k long, v double")
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 99.0), (3, 30.0), (5, 50.0)],
+        "k long, v double")
+    got = {(r.k, r.change, r.v_old, r.v_new)
+           for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert got == {
+        (2, "changed", 20.0, 99.0),
+        (3, "changed", None, 30.0),      # NULL -> value IS a change
+        (4, "removed", 40.0, None),
+        (5, "added", None, 50.0),
+    }                                     # key 1 unchanged -> absent
+
+
+def test_snapshot_diff_null_in_present_row_not_misclassified(spark):
+    """A present row whose compare column is NULL on both sides is
+    unchanged — presence markers, not data columns, decide add/remove."""
+    from dynamic_partitioner_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "k long, v double")
+    new = spark.createDataFrame([(1, None)], "k long, v double")
+    assert snapshot_diff(old, new, ["k"], ["v"]).count() == 0
+
+
+def test_cdc_latest_property_winner_is_max_seq(spark):
+    """Property: for random change logs, cdc_latest returns exactly the
+    max-seq non-delete winners of each key."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dynamic_partitioner_spark.operators.relational import cdc_latest
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(
+        st.tuples(st.integers(0, 5),          # key
+                  st.booleans()),             # is_delete
+        min_size=1, max_size=30))
+    def prop(changes):
+        rows = [(k, seq, "D" if d else "U", float(seq))
+                for seq, (k, d) in enumerate(changes)]
+        df = spark.createDataFrame(rows, "k long, seq long, op string, v double")
+        got = {(r.k, r.seq) for r in cdc_latest(df, ["k"], "seq").collect()}
+        want = {}
+        for k, seq, op, _ in rows:
+            want[k] = (seq, op)
+        expect = {(k, seq) for k, (seq, op) in want.items() if op != "D"}
+        assert got == expect
+
+    prop()
