@@ -1268,6 +1268,24 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"])
 
 
+def q_source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width text round-trip: nation rendered as padded 35-byte
+    records (format_string), read back with byte-offset colspecs — the
+    legacy-feed format Spark has no built-in reader for."""
+    from dynamic_partitioner_spark.sources.read import read_fixed_width
+    apply_engine_confs(spark)
+    df = _table(spark, sf_dir, "nation")
+    out = _out("source_fixed_width")
+    (df.select(F.format_string("%-5d%-25s%-5d",
+                               "n_nationkey", "n_name", "n_regionkey")
+       .alias("value"))
+     .write.text(out))
+    return read_fixed_width(spark, out, [
+        ("n_nationkey", 1, 5, "long"),
+        ("n_name", 6, 25, "string"),
+        ("n_regionkey", 31, 5, "long")])
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1363,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk_dedup": q_chunk_dedup,
         "query_approx_percentiles": q_approx_percentiles,
         "query_snapshot_diff": q_snapshot_diff,
+        "source_fixed_width_roundtrip": q_source_fixed_width,
     }
 
 
@@ -1626,6 +1645,10 @@ def oracle_sql() -> dict[str, str]:
         "source_jsonl_roundtrip": (
             "SELECT r_regionkey, trim(CAST(r_name AS VARCHAR)) AS r_name "
             "FROM region"),
+        "source_fixed_width_roundtrip": (
+            "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, "
+            "trim(CAST(n_name AS VARCHAR)) AS n_name, "
+            "CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation"),
         "query_bucketed_join": """
             SELECT trim(CAST(o_orderpriority AS VARCHAR)) AS o_orderpriority,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

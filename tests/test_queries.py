@@ -55,3 +55,17 @@ def test_approx_percentiles_rank_error_bound(spark):
             # value by <0.005 — count with that slack)
             rank = sum(1 for v in vals if v <= a + 0.005) / n
             assert abs(rank - q) <= 0.02 + 1.0 / n, (et, q, a, rank)
+
+
+def test_read_fixed_width_offsets_types_and_padding(spark, tmp_out):
+    from dynamic_partitioner_spark.sources.read import read_fixed_width
+
+    lines = ["1    alpha     42   ",
+             "230  beta      7    "]
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    df.coalesce(1).write.text(tmp_out)
+    got = {(r.id, r.name, r.n) for r in read_fixed_width(
+        spark, tmp_out,
+        [("id", 1, 5, "long"), ("name", 6, 10, "string"),
+         ("n", 16, 5, "long")]).collect()}
+    assert got == {(1, "alpha", 42), (230, "beta", 7)}
