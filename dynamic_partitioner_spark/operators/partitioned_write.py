@@ -233,9 +233,12 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
     """
     spec.validate(updates.schema)
     ndf = normalize_partition_keys(updates, spec.field_names)
-    del_ndf = (normalize_partition_keys(
-        deletes.select(*key_cols, *spec.field_names), spec.field_names)
-        if deletes is not None else None)
+    # a partition column may legitimately be part of the business key —
+    # dedupe so the projection stays valid
+    del_cols = list(dict.fromkeys([*key_cols, *spec.field_names]))
+    del_ndf = (normalize_partition_keys(deletes.select(*del_cols),
+                                        spec.field_names)
+               if deletes is not None else None)
     touch_src = ndf.select(*spec.field_names)
     if del_ndf is not None:
         touch_src = touch_src.union(del_ndf.select(*spec.field_names))

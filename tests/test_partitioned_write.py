@@ -525,3 +525,22 @@ def test_compact_tombstones_respects_horizon(spark, tmp_out):
     compact_tombstones(spark, tmp_out, spec, below_seq=7, seq_col="seq")
     assert {(r.k, r.op) for r in read_partitioned(spark, tmp_out)
             .collect()} == {(1, "U"), (4, "D")}
+
+
+def test_merge_upsert_partition_col_in_business_key(spark, tmp_out):
+    """A delete whose key includes the partition column must not break
+    the deletes projection (duplicate column selection)."""
+    from dynamic_partitioner_spark import (SinkSpec, read_partitioned,
+                                           write_partitioned)
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        merge_upsert)
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k long, p string, v double")
+    spec = SinkSpec(name="mk", field_names=["p"])
+    write_partitioned(df, spec, tmp_out)
+    dels = spark.createDataFrame([("a", 1)], "p string, k long")
+    ups = spark.createDataFrame([], "k long, p string, v double")
+    merge_upsert(spark, tmp_out, ups, spec, ["p", "k"], deletes=dels)
+    got = {(r.k, r.p, r.v) for r in read_partitioned(spark, tmp_out).collect()}
+    assert got == {(2, "b", 2.0)}
