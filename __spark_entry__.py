@@ -1286,6 +1286,104 @@ def q_source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("n_regionkey", 31, 5, "long")])
 
 
+def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source round-trip (built-in since Spark 4, no external jar):
+    nation written row-per-element, read back with an explicit schema —
+    schema inference over XML costs a full extra pass at scale, same
+    rule as CSV/JSON."""
+    apply_engine_confs(spark)
+    df = _table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    out = _out("source_xml")
+    (df.write.format("xml")
+     .option("rootTag", "nations").option("rowTag", "nation").save(out))
+    return (spark.read.format("xml").option("rowTag", "nation")
+            .schema("n_nationkey long, n_name string, n_regionkey long")
+            .load(out))
+
+
+def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-asset ingestion via the binaryFile source — the multimodal
+    on-ramp (images/audio land as opaque bytes + path metadata, feeding
+    ``operators/multimodal``).  The fixture renders each document as
+    its own file (partitioned text write; one-dir-per-doc is fixture
+    shape only — real corpora batch many assets per directory), then
+    the read side is what's under test: a distributed whole-file scan
+    producing (path, length, content) with no driver involvement.
+    Content hashes JVM-side (md5 over bytes); the text writer appends
+    one newline per row, which the oracle accounts for."""
+    apply_engine_confs(spark)
+    docs = _table(spark, sf_dir, "documents")
+    out = _out("source_binaryfile")
+    (docs.select(F.col("text").alias("value"), "doc_id")
+     .write.partitionBy("doc_id").text(out))
+    back = (spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.txt")
+            .option("recursiveFileLookup", "true").load(out))
+    return back.select(
+        F.regexp_extract("path", r"doc_id=(\d+)", 1).cast("long")
+        .alias("doc_id"),
+        F.md5("content").alias("content_md5"),
+        F.col("length").alias("n_bytes"))
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct set operators: customers ordering at BOTH urgency
+    extremes (INTERSECT) and urgent-only customers (EXCEPT) — hash-
+    aggregate plans, not joins the optimizer must reverse-engineer."""
+    orders = _table(spark, sf_dir, "orders")
+    urgent = (orders.where(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey"))
+    low = (orders.where(F.col("o_orderpriority") == "5-LOW")
+           .select("o_custkey"))
+    both = urgent.intersect(low).select(
+        F.lit("both_extremes").alias("set_op"), "o_custkey")
+    only = urgent.subtract(low).select(
+        F.lit("urgent_only").alias("set_op"), "o_custkey")
+    return both.unionByName(only)
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of lineitem price (11 bins + overflow
+    sentinels) with a per-bin quantity rollup — one hash aggregate,
+    shuffle cardinality = bin count."""
+    from dynamic_partitioner_spark.operators.relational import (
+        histogram_fixed)
+    li = _table(spark, sf_dir, "lineitem")
+    return histogram_fixed(li, "l_extendedprice", 0.0, 110_000.0, 11,
+                           agg_col="l_quantity")
+
+
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-flow transition matrix: per-user ordered sequences →
+    (from, to) counts and row-normalized probabilities."""
+    from dynamic_partitioner_spark.operators.relational import (
+        transition_matrix)
+    events = _table(spark, sf_dir, "events")
+    ev = events.select("user_id", "event_id", "event_type",
+                       F.expr("ts div 1000").alias("ts_us"))
+    return transition_matrix(ev, "user_id", ["ts_us", "event_id"],
+                             "event_type")
+
+
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 record linkage over customer names via
+    deletion-neighborhood blocking (complete recall, no O(n²) pass);
+    the oracle runs the brute-force quadratic join."""
+    from dynamic_partitioner_spark.operators.linkage import fuzzy_pairs
+    cust = _table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=1)
+            .select("id_a", "id_b", F.col("dist").cast("long").alias("dist")))
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF term weights (tf ≥ 2): one corpus explode,
+    then vocabulary-bounded aggregates + broadcast df join."""
+    from dynamic_partitioner_spark.operators.vectorize import tfidf_terms
+    docs = _table(spark, sf_dir, "documents")
+    return tfidf_terms(docs, "doc_id", "text", min_tf=2)
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1382,6 +1480,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_approx_percentiles": q_approx_percentiles,
         "query_snapshot_diff": q_snapshot_diff,
         "source_fixed_width_roundtrip": q_source_fixed_width,
+        "source_xml_roundtrip": q_source_xml,
+        "source_binaryfile": q_source_binaryfile,
+        "query_set_ops": q_set_ops,
+        "query_histogram": q_histogram,
+        "events_transitions": q_transitions,
+        "dedup_fuzzy": q_dedup_fuzzy,
+        "text_tfidf": q_text_tfidf,
     }
 
 
@@ -2129,6 +2234,89 @@ def oracle_sql() -> dict[str, str]:
                        WHEN n.o_orderkey IS NULL THEN 'removed'
                        WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
                            THEN 'changed' END IS NOT NULL
+        """,
+        "source_xml_roundtrip": (
+            "SELECT n_nationkey, n_name, n_regionkey FROM nation"),
+        # binaryFile fixture writes text + one trailing newline per row,
+        # so the file is strlen(text)+1 bytes and md5 covers the newline
+        "source_binaryfile": """
+            SELECT doc_id, md5(text || chr(10)) AS content_md5,
+                   strlen(text) + 1 AS n_bytes
+            FROM documents
+        """,
+        "query_set_ops": """
+            WITH urgent AS (SELECT o_custkey FROM orders
+                            WHERE o_orderpriority = '1-URGENT'),
+            low AS (SELECT o_custkey FROM orders
+                    WHERE o_orderpriority = '5-LOW')
+            SELECT 'both_extremes' AS set_op, o_custkey
+            FROM (SELECT o_custkey FROM urgent
+                  INTERSECT SELECT o_custkey FROM low)
+            UNION ALL
+            SELECT 'urgent_only' AS set_op, o_custkey
+            FROM (SELECT o_custkey FROM urgent
+                  EXCEPT SELECT o_custkey FROM low)
+        """,
+        # identical IEEE double expression both engines (DuckDB has no
+        # width_bucket): floor((v - lo) * n / (hi - lo)) + 1, clamped
+        "query_histogram": """
+            WITH b AS (
+                SELECT CASE WHEN l_extendedprice < 0.0 THEN 0
+                            WHEN l_extendedprice >= 110000.0 THEN 12
+                            ELSE CAST(floor((CAST(l_extendedprice AS DOUBLE)
+                                             - 0.0) * 11 / 110000.0)
+                                      AS BIGINT) + 1 END AS bucket,
+                       l_quantity
+                FROM lineitem)
+            SELECT bucket, 0.0 + (bucket - 1) * 10000.0 AS bucket_lo,
+                   count(*) AS n_rows,
+                   round(sum(l_quantity), 2) AS sum_l_quantity
+            FROM b GROUP BY bucket
+        """,
+        "events_transitions": f"""
+            WITH seq AS (
+                SELECT event_type AS from_state,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS to_state
+                FROM events),
+            c AS (SELECT from_state, to_state,
+                         count(*) AS n_transitions
+                  FROM seq WHERE to_state IS NOT NULL
+                  GROUP BY from_state, to_state)
+            SELECT from_state, to_state, n_transitions,
+                   {ROUND4_SQL.format(
+                       x='CAST(n_transitions AS DOUBLE) / '
+                         'sum(n_transitions) OVER (PARTITION BY from_state)')}
+                       AS p
+            FROM c
+        """,
+        # the oracle runs the O(n²) brute-force join the operator exists
+        # to avoid — fine at sf0.01 (1500² pairs), the whole point at 100 TB
+        "dedup_fuzzy": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   levenshtein(a.c_name, b.c_name) AS dist
+            FROM customer a, customer b
+            WHERE a.c_custkey < b.c_custkey
+              AND levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "text_tfidf": f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)),
+                                                 '[ \\t\\n\\r]+')) AS term
+                FROM documents),
+            pairs AS (SELECT doc_id, term, count(*) AS tf
+                      FROM tok WHERE length(term) > 0
+                      GROUP BY doc_id, term),
+            dfreq AS (SELECT term, count(*) AS df FROM pairs GROUP BY term),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT p.doc_id, p.term, p.tf, d.df,
+                   {ROUND4_SQL.format(
+                       x='p.tf * ln(1.0 + CAST(n_docs AS DOUBLE) / d.df)')}
+                       AS tfidf
+            FROM pairs p JOIN dfreq d USING (term), n
+            WHERE p.tf >= 2
         """,
         # query_approx_distinct: rows-only by design — two HLL
         # implementations (Spark HLL++, DuckDB HLL) estimate differently;

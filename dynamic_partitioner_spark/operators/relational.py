@@ -218,6 +218,73 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
     return j.select(*out_cols).where(F.col("change").isNotNull())
 
 
+def transition_matrix(df: DataFrame, key_col: str, order_cols: list[str],
+                      state_col: str) -> DataFrame:
+    """Markov transition counts over per-key ordered event sequences:
+    for each observed ``(from_state, to_state)`` step, the count and
+    the row-normalized transition probability — the sequence-mining
+    primitive behind next-event prediction and session-flow analysis.
+
+    One shuffle on ``key_col`` (window ``lead``), then a hash aggregate
+    on the tiny (from, to) state grid; the probability denominator is a
+    window over that grid, which is states² rows — negligible at any
+    scale.  ``order_cols`` must make the per-key ordering total (pass a
+    tiebreaker like the event id alongside the timestamp), otherwise
+    ``lead`` is nondeterministic.
+
+    Probability uses floor-rounding (``vectors.round4``) so the ratio
+    of small integers hashes identically in the DuckDB oracle.
+    """
+    from ..functions.vectors import round4
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    steps = (df
+             .withColumn("_next", F.lead(state_col).over(w))
+             .where(F.col("_next").isNotNull()))
+    counts = (steps.groupBy(F.col(state_col).alias("from_state"),
+                            F.col("_next").alias("to_state"))
+              .agg(F.count(F.lit(1)).alias("n_transitions")))
+    total = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state", "to_state", "n_transitions",
+        round4(F.col("n_transitions")
+               / F.sum("n_transitions").over(total)).alias("p"))
+
+
+def histogram_fixed(df: DataFrame, value_col: str, lo: float, hi: float,
+                    n_bins: int, agg_col: str | None = None) -> DataFrame:
+    """Fixed-width histogram as a single hash aggregate: bucket 1..n
+    for in-range values, 0 for underflow, n+1 for overflow
+    (``width_bucket`` semantics, spelled as explicit floor arithmetic
+    so the same IEEE expression runs in any engine — DuckDB has no
+    ``width_bucket``).
+
+    Emits per-bucket ``(bucket, bucket_lo, n_rows[, sum_<agg_col>])``.
+    Empty buckets are absent (the aggregate never sees them); callers
+    needing dense output can right-join a ``sequence`` spine.  One
+    scan, map-side partial aggregation, shuffle cardinality = n_bins —
+    the canonical distributive aggregate.
+    """
+    if n_bins <= 0 or hi <= lo:
+        raise ValueError("need n_bins > 0 and hi > lo")
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.lit(float(lo))) * n_bins
+                  / F.lit(float(hi) - float(lo))) + 1
+    bucket = (F.when(v < lo, F.lit(0))
+              .when(v >= hi, F.lit(n_bins + 1))
+              .otherwise(raw)).alias("bucket")
+    width = (float(hi) - float(lo)) / n_bins
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if agg_col is not None:
+        aggs.append(F.round(F.sum(agg_col), 2).alias(f"sum_{agg_col}"))
+    out_cols = ["bucket",
+                (F.lit(float(lo)) + (F.col("bucket") - 1) * width)
+                .alias("bucket_lo"),
+                "n_rows"]
+    if agg_col is not None:
+        out_cols.append(f"sum_{agg_col}")
+    return df.groupBy(bucket).agg(*aggs).select(*out_cols)
+
+
 def rollup_time_grains(df: DataFrame, ts_us: Column, value_col: str,
                        grains: dict[str, int] | None = None) -> DataFrame:
     """Hypertable-style continuous aggregate: the same measure rolled up

@@ -112,6 +112,43 @@ def encode_tokens(df: DataFrame, id_col: str, text_col: str,
                  .cast("long").alias("n_oov")))
 
 
+def tfidf_terms(df: DataFrame, id_col: str, text_col: str,
+                min_tf: int = 2) -> DataFrame:
+    """Per-document TF-IDF term weights: ``(id, term, tf, df,
+    tfidf)`` with ``tfidf = tf · ln(1 + N/df)`` — the classic relevance
+    weighting, as three hash aggregates over one explode.
+
+    Shape: explode tokens once → per-(doc, term) count (tf) → per-term
+    document frequency from the SAME aggregated relation (no second
+    corpus pass — df re-aggregates the (doc, term) pairs, which are
+    already term-deduped per doc) → broadcast the term-level df back
+    onto the pairs.  The corpus is scanned once; every later step runs
+    on aggregated, vocabulary-bounded relations.  N (corpus size) is a
+    one-row aggregate broadcast into the projection.
+
+    ``min_tf`` drops hapax pairs before the df join, thinning the
+    broadcast's probe side.  The score is floor-rounded
+    (``vectors.round4``) so DuckDB hashes match bit-for-bit: both
+    engines compute ``ln`` on the identical double ``1 + N/df``.
+    """
+    from ..functions.vectors import round4
+    toks = F.split(F.trim(F.lower(F.col(text_col))), "[ \\t\\n\\r]+")
+    pairs = (df.select(F.col(id_col).alias("_id"),
+                       F.explode(toks).alias("term"))
+             .where(F.length("term") > 0)
+             .groupBy("_id", "term")
+             .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    return (pairs.where(F.col("tf") >= min_tf)
+            .join(F.broadcast(dfreq), "term")
+            .crossJoin(F.broadcast(n_docs))
+            .select(F.col("_id").alias(id_col), "term", "tf", "df",
+                    round4(F.col("tf")
+                           * F.log(F.lit(1.0) + F.col("_n") / F.col("df")))
+                    .alias("tfidf")))
+
+
 def hashed_vector(df: DataFrame, id_col: str, text_col: str,
                   dim: int = 64) -> DataFrame:
     """Dense form: (id, vec array<double> of length ``dim``) — the

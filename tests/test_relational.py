@@ -228,3 +228,76 @@ def test_cdc_latest_property_winner_is_max_seq(spark):
         assert got == expect
 
     prop()
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    from dynamic_partitioner_spark.operators.relational import (
+        transition_matrix)
+    # u1: A -> B -> A ; u2: A -> B  ==> (A,B)x2, (B,A)x1
+    ev = spark.createDataFrame(
+        [(1, 10, 1, "A"), (1, 20, 2, "B"), (1, 30, 3, "A"),
+         (2, 10, 4, "A"), (2, 20, 5, "B")],
+        "u long, t long, eid long, s string")
+    got = {(r.from_state, r.to_state): (r.n_transitions, r.p) for r in
+           transition_matrix(ev, "u", ["t", "eid"], "s").collect()}
+    assert got == {("A", "B"): (2, 1.0), ("B", "A"): (1, 1.0)}
+
+
+def test_transition_matrix_tiebreak_is_deterministic(spark):
+    from dynamic_partitioner_spark.operators.relational import (
+        transition_matrix)
+    # equal timestamps: ordering falls to the second order column
+    ev = spark.createDataFrame(
+        [(1, 10, 2, "B"), (1, 10, 1, "A"), (1, 10, 3, "C")],
+        "u long, t long, eid long, s string")
+    got = {(r.from_state, r.to_state) for r in
+           transition_matrix(ev, "u", ["t", "eid"], "s").collect()}
+    assert got == {("A", "B"), ("B", "C")}
+
+
+def test_transition_matrix_probs_sum_to_one_per_row(spark):
+    from dynamic_partitioner_spark.operators.relational import (
+        transition_matrix)
+    import random
+    rng = random.Random(3)
+    rows = []
+    eid = 0
+    for u in range(20):
+        for t in range(rng.randint(2, 12)):
+            eid += 1
+            rows.append((u, t, eid, rng.choice("XYZ")))
+    ev = spark.createDataFrame(rows, "u long, t long, eid long, s string")
+    out = transition_matrix(ev, "u", ["t", "eid"], "s").collect()
+    by_from = {}
+    for r in out:
+        by_from.setdefault(r.from_state, 0.0)
+        by_from[r.from_state] += r.p
+    for s, total in by_from.items():
+        assert abs(total - 1.0) < 2e-4          # round4 per cell
+
+
+def test_histogram_fixed_buckets_and_sentinels(spark):
+    from dynamic_partitioner_spark.operators.relational import (
+        histogram_fixed)
+    df = spark.createDataFrame(
+        [(-5.0, 1.0), (0.0, 2.0), (9.99, 3.0), (10.0, 4.0), (25.0, 5.0),
+         (100.0, 6.0), (140.0, 7.0)], "v double, q double")
+    got = {r.bucket: (r.bucket_lo, r.n_rows, r.sum_q) for r in
+           histogram_fixed(df, "v", 0.0, 100.0, 10, agg_col="q").collect()}
+    assert got[0][1] == 1                     # underflow sentinel
+    assert got[1] == (0.0, 2, 5.0)            # 0.0 and 9.99
+    assert got[2] == (10.0, 1, 4.0)           # boundary lands in bucket 2
+    assert got[3] == (20.0, 1, 5.0)
+    assert got[11][1] == 2                    # hi is exclusive: 100 overflows
+    assert 5 not in got                       # empty bins absent
+
+
+def test_histogram_fixed_validates_args(spark):
+    import pytest
+    from dynamic_partitioner_spark.operators.relational import (
+        histogram_fixed)
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        histogram_fixed(df, "v", 0.0, 0.0, 10)
+    with pytest.raises(ValueError):
+        histogram_fixed(df, "v", 0.0, 1.0, 0)

@@ -89,3 +89,21 @@ def test_encode_tokens_order_and_oov(spark):
     assert (rows[1].n_tokens, rows[1].n_oov) == (3, 1)
     assert rows[2].token_ids == [0, -1]
     assert (rows[2].n_tokens, rows[2].n_oov) == (2, 1)
+
+
+def test_tfidf_terms_math_and_min_tf(spark):
+    import math
+    from dynamic_partitioner_spark.operators.vectorize import tfidf_terms
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "apple cherry cherry"),
+         (3, "banana banana banana")], "doc_id long, text string")
+    out = {(r.doc_id, r.term): r for r in
+           tfidf_terms(docs, "doc_id", "text", min_tf=2).collect()}
+    # hapax pairs dropped: (1, banana), (2, apple) have tf=1
+    assert set(out) == {(1, "apple"), (2, "cherry"), (3, "banana")}
+    r = out[(1, "apple")]
+    assert (r.tf, r.df) == (2, 2)             # df counts docs, not tokens
+    expected = math.floor(2 * math.log(1.0 + 3 / 2) * 10000 + 0.5) / 10000
+    assert r.tfidf == expected
+    assert out[(3, "banana")].df == 2         # banana in docs 1 and 3
