@@ -1376,6 +1376,30 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b", F.col("dist").cast("long").alias("dist")))
 
 
+#: z-order quantization bounds for lineitem (cover sf0.1; larger SFs
+#: clamp into the edge buckets — widen for bigger runs)
+_ZSPECS = [("l_partkey", 0.0, 20000.0), ("l_suppkey", 0.0, 1000.0)]
+
+
+def q_sorted_export_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column clustered export: Morton-interleave (partkey,
+    suppkey), range-partition + sort on the z-value, 8 files — every
+    file covers a small rectangle of BOTH key ranges, so parquet
+    min/max stats prune scans filtered on either column (pinned in
+    tests/test_partitioned_write.py).  Returned z-values are
+    hash-checked against the identical DuckDB bit arithmetic."""
+    from dynamic_partitioner_spark.functions.zorder import zorder_value
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        write_zordered)
+    apply_engine_confs(spark)
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    out = _out("sorted_export_zorder")
+    write_zordered(li, out, _ZSPECS, bits=8, n_files=8)
+    back = spark.read.parquet(out)
+    return back.withColumn("z", zorder_value(_ZSPECS, 8))
+
+
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document TF-IDF term weights (tf ≥ 2): one corpus explode,
     then vocabulary-bounded aggregates + broadcast df join."""
@@ -1487,7 +1511,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": q_transitions,
         "dedup_fuzzy": q_dedup_fuzzy,
         "text_tfidf": q_text_tfidf,
+        "sorted_export_zorder": q_sorted_export_zorder,
     }
+
+
+def _zorder_oracle() -> str:
+    from dynamic_partitioner_spark.functions.zorder import zorder_sql
+    return ("SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+            f"{zorder_sql(_ZSPECS, 8)} AS z FROM lineitem")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2318,6 +2349,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p JOIN dfreq d USING (term), n
             WHERE p.tf >= 2
         """,
+        "sorted_export_zorder": _zorder_oracle(),
         # query_approx_distinct: rows-only by design — two HLL
         # implementations (Spark HLL++, DuckDB HLL) estimate differently;
         # the error bound vs exact is pinned in tests/test_queries.py

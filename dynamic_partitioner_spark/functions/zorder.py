@@ -1,0 +1,78 @@
+"""Z-order (Morton) interleaving for multi-column data clustering.
+
+A single-column sorted export (``write_sorted``) gives perfect pruning
+on ONE column and none on the others.  Interleaving the bits of several
+quantized columns into one Morton value and range-partitioning on THAT
+clusters the data so every file covers a small hyper-rectangle of the
+combined key space — parquet min/max stats then prune scans filtered on
+ANY of the participating columns (the idea behind Delta/Iceberg
+``OPTIMIZE ZORDER BY``; public algorithm, implemented here as pure
+Column arithmetic — shifts, masks, adds — inside whole-stage codegen).
+
+Quantization is linear over a caller-declared ``[lo, hi)`` per column
+(the sampling-free variant: bounds are usually known — ids, dates,
+bounded measures).  Out-of-range values clamp to the edge buckets, so
+the z-value is total and deterministic; the identical IEEE expression
+is emitted for DuckDB by :func:`zorder_sql`, making exports
+hash-checkable cross-engine.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: (column, lo, hi) — quantization bounds, lo inclusive, hi exclusive.
+ColSpec = tuple[str, float, float]
+
+
+def _check(cols: list[ColSpec], bits: int) -> None:
+    if not cols:
+        raise ValueError("need at least one column")
+    if bits <= 0 or bits * len(cols) > 63:
+        raise ValueError("bits per column must be positive and the "
+                         "interleaved width must fit a signed 64-bit int")
+    for _, lo, hi in cols:
+        if hi <= lo:
+            raise ValueError("each column needs hi > lo")
+
+
+def _quantize(col: str, lo: float, hi: float, n: int) -> Column:
+    # same floor arithmetic as relational.histogram_fixed — identical
+    # IEEE doubles in any engine, no width_bucket dependency
+    v = F.col(col).cast("double")
+    raw = F.floor((v - F.lit(float(lo))) * n
+                  / F.lit(float(hi) - float(lo))).cast("long")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n - 1))
+
+
+def zorder_value(cols: list[ColSpec], bits: int = 8) -> Column:
+    """Morton value interleaving ``bits`` bits of each quantized column
+    — column j's bit i lands at output position ``i·k + j`` (k = number
+    of columns).  Pure codegen: one floor per column, then shift/mask/
+    add terms; no UDF, no shuffle."""
+    _check(cols, bits)
+    k = len(cols)
+    terms: list[Column] = []
+    for j, (c, lo, hi) in enumerate(cols):
+        q = _quantize(c, lo, hi, 1 << bits)
+        for i in range(bits):
+            terms.append(F.shiftleft(
+                F.shiftright(q, i).bitwiseAND(F.lit(1)), i * k + j))
+    return reduce(lambda a, b: a + b, terms)
+
+
+def zorder_sql(cols: list[ColSpec], bits: int = 8) -> str:
+    """DuckDB twin of :func:`zorder_value` — identical quantization and
+    bit placement, so z-values hash-match bit-for-bit."""
+    _check(cols, bits)
+    k, n = len(cols), 1 << bits
+    terms = []
+    for j, (c, lo, hi) in enumerate(cols):
+        q = (f"least(greatest(CAST(floor((CAST({c} AS DOUBLE) - {float(lo)})"
+             f" * {n} / {float(hi) - float(lo)}) AS BIGINT), 0), {n - 1})")
+        for i in range(bits):
+            terms.append(f"((({q} >> {i}) & 1) << {i * k + j})")
+    return " + ".join(terms)

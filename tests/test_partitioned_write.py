@@ -544,3 +544,87 @@ def test_merge_upsert_partition_col_in_business_key(spark, tmp_out):
     merge_upsert(spark, tmp_out, ups, spec, ["p", "k"], deletes=dels)
     got = {(r.k, r.p, r.v) for r in read_partitioned(spark, tmp_out).collect()}
     assert got == {(2, "b", 2.0)}
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from dynamic_partitioner_spark.functions.zorder import zorder_value
+
+    # bits=2, two cols quantized over [0,4): q == the raw value; the
+    # Morton code of (x, y) places x's bit i at 2i, y's at 2i+1
+    df = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)],
+        "x long, y long")
+    got = {(r.x, r.y): r.z for r in df.withColumn(
+        "z", zorder_value([("x", 0.0, 4.0), ("y", 0.0, 4.0)],
+                          bits=2)).collect()}
+    def morton(x, y):
+        return sum((((x >> i) & 1) << (2 * i))
+                   + (((y >> i) & 1) << (2 * i + 1)) for i in range(2))
+    assert got == {(x, y): morton(x, y)
+                   for x in range(4) for y in range(4)}
+    # out-of-range clamps rather than corrupting bits
+    edge = spark.createDataFrame([(-5, 99)], "x long, y long").withColumn(
+        "z", zorder_value([("x", 0.0, 4.0), ("y", 0.0, 4.0)], bits=2))
+    assert edge.collect()[0].z == morton(0, 3)
+
+
+def test_zorder_validates_specs(spark):
+    import pytest
+    from dynamic_partitioner_spark.functions.zorder import zorder_value
+    with pytest.raises(ValueError):
+        zorder_value([], bits=8)
+    with pytest.raises(ValueError):
+        zorder_value([("x", 0.0, 1.0)], bits=64)
+    with pytest.raises(ValueError):
+        zorder_value([("x", 1.0, 1.0)], bits=4)
+
+
+def test_zorder_sql_matches_column_form(spark):
+    import duckdb
+    from dynamic_partitioner_spark.functions.zorder import (
+        zorder_sql, zorder_value)
+
+    specs = [("x", 0.0, 1000.0), ("y", 0.0, 37.0)]
+    rows = [(i * 13 % 1000, (i * 7) % 37) for i in range(200)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = sorted((r.x, r.y, r.z) for r in
+                 df.withColumn("z", zorder_value(specs, 8)).collect())
+    import pandas as pd
+    pdf = pd.DataFrame(rows, columns=["x", "y"])
+    want = sorted(map(tuple, duckdb.sql(
+        f"SELECT x, y, {zorder_sql(specs, 8)} AS z FROM pdf")
+        .fetchall()))
+    assert got == want
+
+
+def test_write_zordered_clusters_both_columns(spark, tmp_out):
+    """Each z-ordered file must cover a small rectangle of BOTH key
+    ranges; a single-column sorted export leaves the second column's
+    per-file range at ~100%."""
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        write_sorted, write_zordered)
+
+    # the full 64x64 grid: within any fixed `a`, `b` covers the whole
+    # range — so a single-column sort cannot cluster `b` at all
+    df = spark.createDataFrame(
+        [(i % 64, i // 64) for i in range(1 << 12)],
+        "a long, b long")
+    zp = f"{tmp_out}/z"
+    sp = f"{tmp_out}/s"
+    write_zordered(df, zp, [("a", 0.0, 64.0), ("b", 0.0, 64.0)],
+                   bits=6, n_files=16)
+    write_sorted(df, sp, "a", n_files=16)
+
+    def per_file_spans(path, col):
+        import pyspark.sql.functions as F
+        byf = (spark.read.parquet(path)
+               .groupBy(F.input_file_name().alias("f"))
+               .agg((F.max(col) - F.min(col)).alias("span")))
+        return [r.span for r in byf.collect()]
+
+    # z-order: 16 files over a 64x64 grid -> each file spans ~1/4 of
+    # each dimension; allow slack for range-boundary sampling
+    assert max(per_file_spans(zp, "a")) <= 40
+    assert max(per_file_spans(zp, "b")) <= 40
+    # plain sort: second column is unclustered (full span in most files)
+    assert max(per_file_spans(sp, "b")) >= 60
