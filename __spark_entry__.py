@@ -1310,18 +1310,26 @@ def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape only — real corpora batch many assets per directory), then
     the read side is what's under test: a distributed whole-file scan
     producing (path, length, content) with no driver involvement.
-    Content hashes JVM-side (md5 over bytes); the text writer appends
-    one newline per row, which the oracle accounts for."""
+    Content hashes JVM-side (md5 over bytes).  The fixture writer is a
+    flat one-file-per-asset ``foreachPartition`` (executors write in
+    parallel, no per-directory commit machinery — the shape an upstream
+    asset store produces; a partitionBy-per-doc layout costs one commit
+    per document and does not scale)."""
     apply_engine_confs(spark)
     docs = _table(spark, sf_dir, "documents")
     out = _out("source_binaryfile")
-    (docs.select(F.col("text").alias("value"), "doc_id")
-     .write.partitionBy("doc_id").text(out))
+    os.makedirs(out, exist_ok=True)
+
+    def _dump(rows):
+        for r in rows:
+            with open(f"{out}/{r.doc_id}.txt", "wb") as f:
+                f.write(r.text.encode("utf-8"))
+
+    docs.select("doc_id", "text").foreachPartition(_dump)
     back = (spark.read.format("binaryFile")
-            .option("pathGlobFilter", "*.txt")
-            .option("recursiveFileLookup", "true").load(out))
+            .option("pathGlobFilter", "*.txt").load(out))
     return back.select(
-        F.regexp_extract("path", r"doc_id=(\d+)", 1).cast("long")
+        F.regexp_extract("path", r"(\d+)\.txt$", 1).cast("long")
         .alias("doc_id"),
         F.md5("content").alias("content_md5"),
         F.col("length").alias("n_bytes"))
@@ -2268,11 +2276,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "source_xml_roundtrip": (
             "SELECT n_nationkey, n_name, n_regionkey FROM nation"),
-        # binaryFile fixture writes text + one trailing newline per row,
-        # so the file is strlen(text)+1 bytes and md5 covers the newline
+        # fixture writes raw UTF-8 bytes, one file per doc
         "source_binaryfile": """
-            SELECT doc_id, md5(text || chr(10)) AS content_md5,
-                   strlen(text) + 1 AS n_bytes
+            SELECT doc_id, md5(text) AS content_md5,
+                   strlen(text) AS n_bytes
             FROM documents
         """,
         "query_set_ops": """
