@@ -1384,6 +1384,74 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b", F.col("dist").cast("long").alias("dist")))
 
 
+_DAY_US = 86_400_000_000
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-activity day,
+    distinct active users per (cohort, day offset)."""
+    from dynamic_partitioner_spark.operators.relational import (
+        cohort_retention)
+    events = _table(spark, sf_dir, "events")
+    return cohort_retention(events, "user_id",
+                            F.expr(f"ts div 1000 div {_DAY_US}"))
+
+
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring: fit an add-one-smoothed bigram
+    LM on the corpus itself, score each doc's average bigram log-prob.
+    Integer micro-nat quantization keeps the per-doc sum exact and
+    order-free, so the DuckDB twin hashes identically."""
+    from dynamic_partitioner_spark.operators.lm import bigram_lm_score
+    docs = _table(spark, sf_dir, "documents")
+    return bigram_lm_score(docs, "doc_id", "text")
+
+
+def q_events_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill: every event row carries the user's most recent
+    purchase value (NULL until the first purchase) — one shared window
+    shuffle on user_id."""
+    from dynamic_partitioner_spark.operators.relational import forward_fill
+    events = _table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_id", "user_id", "event_type",
+        F.expr("ts div 1000").alias("ts_us"),
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .alias("last_purchase_value"))
+    filled = forward_fill(ev, "user_id", ["ts_us", "event_id"],
+                          ["last_purchase_value"])
+    return filled.select(
+        "event_id", "user_id", "event_type",
+        round4(F.col("last_purchase_value")).alias("last_purchase_value"))
+
+
+def q_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity suppression (k=8) over customer quasi-identifiers
+    (nation, market segment): under-populated tuples redact to '*'."""
+    from dynamic_partitioner_spark.operators.privacy import k_anonymize
+    cust = _table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("string").alias("nation"),
+        F.col("c_mktsegment").alias("segment"))
+    return k_anonymize(cust, ["nation", "segment"], k=8)
+
+
+def q_mm_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payloads + metadata struct survive the engine's own
+    dynamic-partitioned sink (partitioned by lang): write, rediscover,
+    hash the bytes JVM-side."""
+    apply_engine_confs(spark)
+    docs = _table(spark, sf_dir, "documents")
+    bt = to_binary_table(docs).join(docs.select("doc_id", "lang"),
+                                    "doc_id")
+    out = _out("mm_binary_roundtrip")
+    write_partitioned(bt, SinkSpec(name="media", field_names=["lang"]), out)
+    back = read_partitioned(spark, out)
+    return back.select(
+        "doc_id", F.md5("payload").alias("payload_md5"),
+        F.col("meta.orig_bytes").cast("long").alias("orig_bytes"), "lang")
+
+
 #: z-order quantization bounds for lineitem (cover sf0.1; larger SFs
 #: clamp into the edge buckets — widen for bigger runs)
 _ZSPECS = [("l_partkey", 0.0, 20000.0), ("l_suppkey", 0.0, 1000.0)]
@@ -1520,6 +1588,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fuzzy": q_dedup_fuzzy,
         "text_tfidf": q_text_tfidf,
         "sorted_export_zorder": q_sorted_export_zorder,
+        "events_retention": q_retention,
+        "text_lm_score": q_text_lm_score,
+        "events_ffill": q_events_ffill,
+        "privacy_k_anon": q_k_anonymize,
+        "mm_binary_roundtrip": q_mm_binary_roundtrip,
     }
 
 
@@ -2357,6 +2430,75 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.tf >= 2
         """,
         "sorted_export_zorder": _zorder_oracle(),
+        "events_retention": f"""
+            WITH act AS (SELECT DISTINCT user_id AS u,
+                                epoch_us(ts) // {_DAY_US} AS d
+                         FROM events),
+            coh AS (SELECT u, min(d) AS cohort FROM act GROUP BY u)
+            SELECT cohort AS cohort_day, d - cohort AS day_offset,
+                   count(*) AS n_users
+            FROM act JOIN coh USING (u)
+            GROUP BY cohort, d - cohort
+        """,
+        "text_lm_score": f"""
+            WITH t AS (SELECT doc_id,
+                              string_split_regex(trim(lower(text)),
+                                                 '[ \\t\\n\\r]+') AS toks
+                       FROM documents),
+            bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+                   FROM (SELECT doc_id, toks,
+                                unnest(range(1, greatest(len(toks), 1)))
+                                    AS i
+                         FROM t)),
+            bgc AS (SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY w1, w2),
+            ctx AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_ctx
+                    FROM bgc GROUP BY w1),
+            v AS (SELECT count(DISTINCT tok) AS v
+                  FROM (SELECT unnest(toks) AS tok FROM t)
+                  WHERE length(tok) > 0),
+            model AS (SELECT w1, w2,
+                             CAST(floor(ln((c_bg + 1.0) / (c_ctx + v))
+                                        * 1000000.0) AS BIGINT) AS lp
+                      FROM bgc JOIN ctx USING (w1), v)
+            SELECT doc_id, count(*) AS n_bigrams,
+                   {ROUND4_SQL.format(
+                       x='CAST(sum(lp) AS DOUBLE) / '
+                         '(count(*) * 1000000.0)')} AS lm_score
+            FROM bg JOIN model USING (w1, w2)
+            GROUP BY doc_id
+        """,
+        "events_ffill": f"""
+            SELECT event_id, user_id, event_type,
+                   {ROUND4_SQL.format(
+                       x="last_value(CASE WHEN event_type = 'purchase' "
+                         "THEN value END IGNORE NULLS) OVER ("
+                         "PARTITION BY user_id "
+                         "ORDER BY epoch_us(ts), event_id "
+                         "ROWS BETWEEN UNBOUNDED PRECEDING AND "
+                         "CURRENT ROW)")} AS last_purchase_value
+            FROM events
+        """,
+        "privacy_k_anon": """
+            WITH base AS (SELECT c_custkey,
+                                 CAST(c_nationkey AS VARCHAR) AS nation,
+                                 c_mktsegment AS segment
+                          FROM customer),
+            g AS (SELECT *, count(*) OVER (PARTITION BY nation, segment)
+                         AS group_size
+                  FROM base)
+            SELECT c_custkey,
+                   CASE WHEN group_size < 8 THEN '*' ELSE nation END
+                       AS nation,
+                   CASE WHEN group_size < 8 THEN '*' ELSE segment END
+                       AS segment,
+                   group_size
+            FROM g
+        """,
+        "mm_binary_roundtrip": """
+            SELECT doc_id, md5(text) AS payload_md5,
+                   strlen(text) AS orig_bytes, lang
+            FROM documents
+        """,
         # query_approx_distinct: rows-only by design — two HLL
         # implementations (Spark HLL++, DuckDB HLL) estimate differently;
         # the error bound vs exact is pinned in tests/test_queries.py

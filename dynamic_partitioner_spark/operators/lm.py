@@ -1,0 +1,83 @@
+"""Corpus bigram language model + perplexity-style document scoring.
+
+The classic data-quality signal an LLM training pipeline computes at
+scale: fit an n-gram LM on the corpus itself, score every document's
+average token log-likelihood, and gate the tail (boilerplate and
+gibberish both score far from the body of the distribution).  Public
+technique (add-one-smoothed bigram LM — Jurafsky & Martin ch. 3);
+re-expressed here as pure DataFrame aggregates and joins.
+
+Determinism across engines: a per-document SUM of ``ln`` doubles is
+accumulation-order-dependent, so each bigram's log-probability is first
+quantized to integer micro-nats (``floor(ln(p)·1e6)``) — BIGINT sums
+are exact and order-free, and the final division back to a double is a
+single identical IEEE op in Spark and DuckDB (same trick as the
+integer-sum moments in ``multimodal._byte_features``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str):
+    return F.split(F.trim(F.lower(F.col(text_col))), "[ \\t\\n\\r]+")
+
+
+def doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) with multiplicity — ``zip_with`` over the token
+    array against itself shifted by one (empty for docs with < 2
+    tokens), one explode, no shuffle."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    pairs = F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+                       lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    return (df.select(F.col(id_col).alias("_id"),
+                      F.explode(pairs).alias("bg"))
+            .select("_id", F.col("bg.w1").alias("w1"),
+                    F.col("bg.w2").alias("w2")))
+
+
+def bigram_lm_score(df: DataFrame, id_col: str,
+                    text_col: str) -> DataFrame:
+    """Score every document by its average add-one-smoothed bigram log
+    probability under the corpus's own bigram LM:
+    ``P(w2|w1) = (C(w1,w2) + 1) / (C(w1,·) + V)``.
+
+    Returns ``(id, n_bigrams, lm_score)`` — higher (less negative) is
+    more "typical" text; documents with fewer than two tokens have no
+    bigrams and are absent (gate them on length first).
+
+    Shape: ONE bigram explode feeds everything — the bigram-count and
+    context-count relations re-aggregate it (vocabulary-sized after the
+    hash aggs), then the doc bigrams join the model on the bigram key
+    (the one corpus-sized shuffle; Catalyst broadcasts the model side
+    when it fits).  V (distinct token count) and the per-bigram
+    quantized log-prob are described in the module docstring.
+    """
+    bgs = doc_bigrams(df, id_col, text_col).cache()
+    bg_counts = bgs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c_bg"))
+    ctx_counts = bg_counts.groupBy("w1").agg(
+        F.sum("c_bg").alias("c_ctx"))
+    vocab = (df.select(F.explode(_tokens(text_col)).alias("t"))
+             .where(F.length("t") > 0)
+             .agg(F.countDistinct("t").alias("v")))
+    model = (bg_counts.join(ctx_counts, "w1")
+             .crossJoin(F.broadcast(vocab)))
+    # integer micro-nats: floor(ln((c_bg+1)/(c_ctx+V)) * 1e6) — the sum
+    # below is then exact BIGINT arithmetic, order-independent
+    lp = F.floor(F.log((F.col("c_bg") + F.lit(1.0))
+                       / (F.col("c_ctx") + F.col("v")))
+                 * F.lit(1_000_000.0)).cast("long")
+    scored = bgs.join(model.select("w1", "w2", lp.alias("lp_micro")),
+                      ["w1", "w2"])
+    from ..functions.vectors import round4
+    return (scored.groupBy(F.col("_id").alias(id_col))
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum("lp_micro").alias("_s"))
+            .select(id_col, "n_bigrams",
+                    round4(F.col("_s")
+                           / (F.col("n_bigrams") * F.lit(1_000_000.0)))
+                    .alias("lm_score")))

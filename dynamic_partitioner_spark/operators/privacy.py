@@ -1,0 +1,38 @@
+"""K-anonymity suppression over quasi-identifier columns.
+
+Governance primitive for shipping analytics extracts: any combination
+of quasi-identifier values shared by fewer than ``k`` rows is
+suppressed (replaced by a redaction marker), so no released row's
+quasi-identifier tuple isolates fewer than ``k`` individuals.  Public
+technique (Sweeney, k-anonymity); suppression-only — generalization
+hierarchies are a caller-side mapping applied before this operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def k_anonymize(df: DataFrame, quasi_cols: list[str], k: int,
+                redacted: str = "*") -> DataFrame:
+    """Suppress quasi-identifier tuples occurring fewer than ``k``
+    times; adds ``group_size`` (the pre-suppression tuple count, a
+    useful audit column — it never goes below ``k`` except on redacted
+    rows).
+
+    One window count over the quasi-identifier key — a single shuffle,
+    no join; the redaction itself is a codegen CASE per column.  Quasi
+    columns must be strings (redaction substitutes a marker string);
+    cast or bucket numeric quasi-identifiers first, which is also what
+    a generalization hierarchy does.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = Window.partitionBy(*quasi_cols)
+    out = df.withColumn("group_size", F.count(F.lit(1)).over(w))
+    small = F.col("group_size") < k
+    for c in quasi_cols:
+        out = out.withColumn(
+            c, F.when(small, F.lit(redacted)).otherwise(F.col(c)))
+    return out

@@ -285,6 +285,49 @@ def histogram_fixed(df: DataFrame, value_col: str, lo: float, hi: float,
     return df.groupBy(bucket).agg(*aggs).select(*out_cols)
 
 
+def cohort_retention(df: DataFrame, user_col: str, day: Column) -> DataFrame:
+    """Cohort retention: users grouped by their first-activity day, then
+    for each (cohort_day, day_offset) the count of cohort members still
+    active — the standard product-retention triangle.
+
+    Shape: distinct (user, day) first (collapses event volume to
+    activity days), per-user min-day hash agg, one equi-join back on
+    user (both sides already partitioned by user from their aggs), then
+    a small hash agg on the (cohort, offset) grid.  No window over raw
+    events, no driver state; the only relation that isn't user- or
+    grid-sized is the initial distinct, which is the unavoidable scan.
+
+    ``day`` is an integral Column (e.g. epoch days derived from the
+    event timestamp).
+    """
+    activity = (df.select(F.col(user_col).alias("_u"), day.alias("_d"))
+                .distinct())
+    cohorts = activity.groupBy("_u").agg(F.min("_d").alias("_cohort"))
+    return (activity.join(cohorts, "_u")
+            .groupBy(F.col("_cohort").alias("cohort_day"),
+                     (F.col("_d") - F.col("_cohort")).alias("day_offset"))
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+def forward_fill(df: DataFrame, key_col: str, order_cols: list[str],
+                 cols: list[str]) -> DataFrame:
+    """Per-key forward fill: each NULL in ``cols`` takes the most recent
+    non-NULL value in the ``order_cols`` ordering — the gap-repair
+    primitive for sensor feeds and slowly-changing attributes.
+
+    One shuffle on ``key_col`` shared by every filled column (a single
+    window frame, ``last ... ignorenulls`` over unbounded-preceding).
+    ``order_cols`` must be a total order within a key or the fill is
+    nondeterministic.
+    """
+    w = (Window.partitionBy(key_col).orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
 def rollup_time_grains(df: DataFrame, ts_us: Column, value_col: str,
                        grains: dict[str, int] | None = None) -> DataFrame:
     """Hypertable-style continuous aggregate: the same measure rolled up

@@ -301,3 +301,44 @@ def test_histogram_fixed_validates_args(spark):
         histogram_fixed(df, "v", 0.0, 0.0, 10)
     with pytest.raises(ValueError):
         histogram_fixed(df, "v", 0.0, 1.0, 0)
+
+
+def test_cohort_retention_triangle(spark):
+    from dynamic_partitioner_spark.operators.relational import (
+        cohort_retention)
+    import pyspark.sql.functions as F
+    # u1 first day 0, active 0,1,3 (two events day 0 collapse)
+    # u2 first day 1, active 1
+    ev = spark.createDataFrame(
+        [(1, 0), (1, 0), (1, 1), (1, 3), (2, 1)], "u long, d long")
+    got = {(r.cohort_day, r.day_offset): r.n_users for r in
+           cohort_retention(ev, "u", F.col("d")).collect()}
+    assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1, (1, 0): 1}
+
+
+def test_forward_fill_per_key(spark):
+    from dynamic_partitioner_spark.operators.relational import forward_fill
+    df = spark.createDataFrame(
+        [(1, 1, None), (1, 2, 10.0), (1, 3, None), (1, 4, 20.0),
+         (1, 5, None), (2, 1, None)],
+        "k long, t long, v double")
+    got = {(r.k, r.t): r.v for r in
+           forward_fill(df, "k", ["t"], ["v"]).collect()}
+    assert got == {(1, 1): None, (1, 2): 10.0, (1, 3): 10.0,
+                   (1, 4): 20.0, (1, 5): 20.0, (2, 1): None}
+
+
+def test_k_anonymize_suppresses_small_groups(spark):
+    import pytest
+    from dynamic_partitioner_spark.operators.privacy import k_anonymize
+    rows = ([(i, "US", "A") for i in range(5)]
+            + [(10, "FR", "A"), (11, "FR", "B")])
+    df = spark.createDataFrame(rows, "id long, nation string, seg string")
+    got = {r.id: (r.nation, r.seg, r.group_size) for r in
+           k_anonymize(df, ["nation", "seg"], k=3).collect()}
+    for i in range(5):
+        assert got[i] == ("US", "A", 5)           # big group survives
+    assert got[10] == ("*", "*", 1)               # singleton redacted
+    assert got[11] == ("*", "*", 1)
+    with pytest.raises(ValueError):
+        k_anonymize(df, ["nation"], k=0)
