@@ -1384,6 +1384,47 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b", F.col("dist").cast("long").alias("dist")))
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — a set combination ((rf, ls), (ls), ())
+    no ROLLUP/CUBE chain expresses — still one expand + one hash
+    aggregate; grouping_id disambiguates NULL-as-ALL from real NULLs."""
+    _table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               grouping_id(l_returnflag, l_linestatus) AS gid,
+               count(*) AS n_rows,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_linestatus), ())
+    """)
+
+
+_HOUR_RANGE_US = 3_600_000_000
+
+
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based rolling aggregate: per event, the user's trailing-1h
+    event count and value sum via a RANGE window frame (value-based
+    bounds — a rows frame cannot express 'last hour').  Values are
+    quantized to integer cents before summing so the frame sum is exact
+    BIGINT arithmetic, order-free, and bit-identical in the oracle."""
+    events = _table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"))
+    w = (Window.partitionBy("user_id").orderBy("ts_us")
+         .rangeBetween(-_HOUR_RANGE_US, Window.currentRow))
+    return (ev.select(
+        "event_id", "user_id", "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum("cents").over(w).alias("_c"))
+        .select("event_id", "user_id", "ts_us", "n_1h",
+                (F.col("_c") / 100.0).alias("sum_value_1h")))
+
+
 _DAY_US = 86_400_000_000
 
 
@@ -1593,6 +1634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ffill": q_events_ffill,
         "privacy_k_anon": q_k_anonymize,
         "mm_binary_roundtrip": q_mm_binary_roundtrip,
+        "query_grouping_sets": q_grouping_sets,
+        "events_rolling_1h": q_events_rolling,
     }
 
 
@@ -2498,6 +2541,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS payload_md5,
                    strlen(text) AS orig_bytes, lang
             FROM documents
+        """,
+        "query_grouping_sets": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   grouping(l_returnflag, l_linestatus) AS gid,
+                   count(*) AS n_rows,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_linestatus), ())
+        """,
+        "events_rolling_1h": f"""
+            WITH ev AS (
+                SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events)
+            SELECT event_id, user_id, ts_us,
+                   count(*) OVER w AS n_1h,
+                   (CAST(sum(cents) OVER w AS BIGINT) / 100.0)
+                       AS sum_value_1h
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                         RANGE BETWEEN {_HOUR_RANGE_US} PRECEDING
+                         AND CURRENT ROW)
         """,
         # query_approx_distinct: rows-only by design — two HLL
         # implementations (Spark HLL++, DuckDB HLL) estimate differently;

@@ -32,6 +32,11 @@ _ENGINE_CONFS: dict[str, str] = {
     # Read TIMESTAMP(NANOS) parquet columns as long (Spark has no native
     # nanos type); queries that need them as timestamps convert explicitly.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Runtime bloom-filter injection: when one join side is selective,
+    # the optimizer builds a bloom filter from it and pushes the filter
+    # into the other side's scan — at 100 TB this prunes shuffle input
+    # for fact-to-filtered-dim joins without any operator-level change.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 
