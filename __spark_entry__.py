@@ -40,6 +40,8 @@ from dynamic_partitioner_spark.functions.vectors import (
     round4,
 )
 from dynamic_partitioner_spark.operators import dedup as DD
+from dynamic_partitioner_spark.operators.repetition import (
+    repetition_signals_sql as _repetition_sql)
 from dynamic_partitioner_spark.operators.multimodal import (
     feature_rows,
     to_binary_table,
@@ -737,6 +739,17 @@ def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(TX.uppercase_ratio(t)).alias("upper_ratio"),
         round4(TX.digit_ratio(t)).alias("digit_ratio"),
         round4(TX.word_repetition_ratio(t)).alias("word_rep_ratio"))
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repeated-n-gram signals (arXiv 2112.11446 §A1.1): top-2/3-
+    gram character coverage + duplicated-5-gram occurrence fraction.
+    One explode pass over all three gram sizes, two aggregate shuffles,
+    all JVM Column expressions."""
+    from dynamic_partitioner_spark.operators.repetition import (
+        repetition_signals)
+    docs = _table(spark, sf_dir, "documents")
+    return repetition_signals(docs, "doc_id", "text")
 
 
 def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1583,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
         "text_signals": q_text_signals,
+        "text_repetition": q_text_repetition,
         "text_clean": q_text_clean,
         "text_pack": q_text_pack,
         "text_hashed_vector": q_text_hashed_vector,
@@ -1877,6 +1891,8 @@ def oracle_sql() -> dict[str, str]:
                     (TX.WORD_REPETITION_RATIO_SQL, "word_rep_ratio"),
                 ])
             + " FROM documents"),
+        "text_repetition": _repetition_sql(
+            "documents", "doc_id", "text"),
         "embedding_roundtrip": (
             "SELECT vec_id, trim(CAST(label AS VARCHAR)) AS label, "
             "len(embedding) AS dim, floor(("

@@ -53,8 +53,9 @@ def tokens(c: Column) -> Column:
     return F.split(F.trim(F.lower(c)), "[ \\t\\n\\r]+")
 
 
-def shingles(c: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles (space-joined) of a text column.
+def ngrams_all(c: Column, n: int = 3) -> Column:
+    """All n-word grams (space-joined, order-preserving, duplicates
+    kept) of a text column.
 
     Built as a chain of ``zip_with`` against offset slices of the token
     array — each lambda touches only its elements, so the whole thing
@@ -73,7 +74,13 @@ def shingles(c: Column, n: int = 3) -> Column:
             acc, nxt,
             lambda a, b: F.when(a.isNull() | b.isNull(), F.lit(None))
             .otherwise(F.concat_ws(" ", a, b)))
-    return F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
+    return F.filter(acc, lambda x: x.isNotNull())
+
+
+def shingles(c: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles (space-joined) of a text column; see
+    :func:`ngrams_all` for the O(tokens) construction."""
+    return F.array_distinct(ngrams_all(c, n))
 
 
 _MERSENNE_P = (1 << 31) - 1

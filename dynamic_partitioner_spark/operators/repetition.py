@@ -1,0 +1,129 @@
+"""Gopher-style n-gram repetition signals per document.
+
+The reference has no equivalent (it is a partitioned-sink plugin suite,
+SURVEY.md §2); this extends the corpus-quality family (SURVEY §2.9) with
+the repeated-n-gram measures from Rae et al., *Scaling Language Models:
+Methods, Analysis & Insights from Training Gopher* (arXiv 2112.11446,
+appendix A1.1), the standard pre-training repetition filter alongside
+the C4 heuristics already in :mod:`..functions.text`:
+
+* ``top_{2,3}gram_char_frac`` — fraction of document characters covered
+  by occurrences of the single most frequent word 2-/3-gram (characters
+  counted on the normalized space-joined gram, denominator is the raw
+  text length; ties broken toward the lexicographically largest gram so
+  both engines agree).
+* ``dup_5gram_frac`` — fraction of word-5-gram *occurrences* whose gram
+  appears more than once in the document.  (Gopher counts covered
+  characters with an overlap mask; the occurrence fraction is the same
+  signal without the sequential mask, which keeps the operator a pure
+  two-level aggregate and the DuckDB oracle exact.)
+
+Scale shape: one scan exploding all three gram sizes in a single pass
+(tagged ``(n, gram)`` structs), a partial-aggregated shuffle on
+``(doc_id, n, gram)``, a second doc-sized shuffle to per-document
+signals, and a final left join back to the id list so gram-less
+documents (< 2 tokens) surface with zeroed signals instead of
+disappearing.  Everything is JVM Column expressions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import ROUND4_SQL, round4
+from .dedup import ngrams_all
+
+TOP_NS = (2, 3)
+DUP_N = 5
+
+
+def repetition_signals(df: DataFrame, id_col: str,
+                       text_col: str) -> DataFrame:
+    """Per-document repetition signals ``(id, top_2gram_char_frac,
+    top_3gram_char_frac, dup_5gram_frac)``."""
+    text = F.col(text_col)
+    tagged = F.concat(*[
+        F.transform(ngrams_all(text, n),
+                    lambda g, n=n: F.struct(F.lit(n).alias("n"),
+                                            g.alias("gram")))
+        for n in (*TOP_NS, DUP_N)])
+    ex = df.select(F.col(id_col).alias("_id"),
+                   F.length(text).alias("n_chars"),
+                   F.explode(tagged).alias("g"))
+    counts = (ex.groupBy("_id", "n_chars",
+                         F.col("g.n").alias("n"),
+                         F.col("g.gram").alias("gram"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+
+    def _top(n: int) -> Column:
+        # max over (cnt, gram) structs = argmax by count, ties toward
+        # the larger gram — the same comparison DuckDB's struct max does
+        return F.max(F.when(F.col("n") == n,
+                            F.struct(F.col("cnt").alias("cnt"),
+                                     F.col("gram").alias("gram"))))
+
+    per = counts.groupBy("_id", "n_chars").agg(
+        _top(2).alias("t2"), _top(3).alias("t3"),
+        F.sum(F.when((F.col("n") == DUP_N) & (F.col("cnt") > 1),
+                     F.col("cnt"))).alias("d5"),
+        F.sum(F.when(F.col("n") == DUP_N, F.col("cnt"))).alias("n5"))
+
+    def _char_frac(t: Column) -> Column:
+        covered = (t.getField("cnt")
+                   * F.length(t.getField("gram"))).cast("double")
+        return round4(F.try_divide(covered, F.col("n_chars")))
+
+    sig = per.select(
+        "_id",
+        _char_frac(F.col("t2")).alias("top_2gram_char_frac"),
+        _char_frac(F.col("t3")).alias("top_3gram_char_frac"),
+        round4(F.try_divide(F.col("d5").cast("double"), F.col("n5")))
+        .alias("dup_5gram_frac"))
+    ids = df.select(F.col(id_col).alias("_id"))
+    return (ids.join(sig, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    *[F.coalesce(c, F.lit(0.0)).alias(c)
+                      for c in ("top_2gram_char_frac",
+                                "top_3gram_char_frac",
+                                "dup_5gram_frac")]))
+
+
+def repetition_signals_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`repetition_signals` (driver oracle)."""
+    toks = (f"string_split_regex(trim(lower({text_col})), "
+            "'[ \\t\\n\\r]+')")
+
+    def _grams(n: int) -> str:
+        return (f"SELECT {id_col}, n_chars, {n} AS n, "
+                f"array_to_string(list_slice(t, i, i + {n - 1}), ' ') "
+                "AS gram "
+                f"FROM (SELECT {id_col}, len({text_col}) AS n_chars, "
+                f"{toks} AS t, "
+                f"unnest(range(1, greatest(len({toks}) - {n - 2}, 1))) "
+                f"AS i FROM {table})")
+
+    grams = " UNION ALL ".join(_grams(n) for n in (*TOP_NS, DUP_N))
+    struct = "{'cnt': cnt, 'gram': gram}"
+    t2 = ROUND4_SQL.format(
+        x="CAST(t2.cnt * len(t2.gram) AS DOUBLE) / per.n_chars")
+    t3 = ROUND4_SQL.format(
+        x="CAST(t3.cnt * len(t3.gram) AS DOUBLE) / per.n_chars")
+    d5 = ROUND4_SQL.format(x="CAST(d5 AS DOUBLE) / n5")
+    return f"""
+        WITH g AS ({grams}),
+        c AS (SELECT {id_col}, n_chars, n, gram, count(*) AS cnt
+              FROM g GROUP BY ALL),
+        per AS (SELECT {id_col}, n_chars,
+                       max(CASE WHEN n = 2 THEN {struct} END) AS t2,
+                       max(CASE WHEN n = 3 THEN {struct} END) AS t3,
+                       sum(CASE WHEN n = {DUP_N} AND cnt > 1
+                                THEN cnt END) AS d5,
+                       sum(CASE WHEN n = {DUP_N} THEN cnt END) AS n5
+                FROM c GROUP BY {id_col}, n_chars)
+        SELECT d.{id_col},
+               coalesce({t2}, 0.0) AS top_2gram_char_frac,
+               coalesce({t3}, 0.0) AS top_3gram_char_frac,
+               coalesce({d5}, 0.0) AS dup_5gram_frac
+        FROM {table} d LEFT JOIN per USING ({id_col})
+    """
