@@ -41,11 +41,21 @@ def main() -> None:
         print(f"# {key}: {n} rows in {dt}s", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Full per-key timings go to a side file; the printed line keeps only
+    # the most expensive keys so it stays within the driver's tail buffer
+    # (the r02 line with all 101 keys overflowed it and failed to parse).
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        json.dump({"sf": float(sf), "total_sec": round(total, 3),
+                   "n_queries": len(timings), "queries": timings}, f,
+                  indent=1, sort_keys=True)
+    top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:30])
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": timings,
+        "n_queries": len(timings),
+        "queries": {k: timings[k] for k in timings if k in top},
         "sf": float(sf),
     }))
 

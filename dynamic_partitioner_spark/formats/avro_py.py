@@ -341,9 +341,11 @@ def decode_container(data: bytes) -> tuple[T.StructType, list[tuple]]:
 # ---------------------------------------------------- distributed write
 
 def _hive_dir(field_names: list[str], key: tuple) -> str:
-    from urllib.parse import quote
-    return "/".join(f"{f}={quote(str(v), safe='')}"
-                    for f, v in zip(field_names, key))
+    # Same Hive escapePathName spelling as the spark-avro fast path, so
+    # a partition written by either writer reads back as ONE logical
+    # partition (urllib quote produced %20-style variants — ADVICE r2)
+    from ..functions.paths import hive_partition_path
+    return hive_partition_path(field_names, key)
 
 
 def write_avro_partitioned(df: DataFrame, field_names: list[str],
@@ -457,7 +459,8 @@ def read_avro_partitioned(spark: SparkSession, path: str,
     names = [f.name for f in payload_schema.fields]
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from urllib.parse import unquote
+        from dynamic_partitioner_spark.functions.paths import (
+            unescape_path_name)
         for pdf in batches:
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 _, rows = decode_container(bytes(content))
@@ -465,7 +468,7 @@ def read_avro_partitioned(spark: SparkSession, path: str,
                 for f in field_names:
                     marker = f"/{f}="
                     seg = fpath.split(marker, 1)[1].split("/", 1)[0]
-                    out[f] = unquote(seg)
+                    out[f] = unescape_path_name(seg)
                 yield out
 
     files = (spark.read.format("binaryFile")

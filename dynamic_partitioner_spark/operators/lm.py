@@ -39,8 +39,8 @@ def doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                     F.col("bg.w2").alias("w2")))
 
 
-def bigram_lm_score(df: DataFrame, id_col: str,
-                    text_col: str) -> DataFrame:
+def bigram_lm_score(df: DataFrame, id_col: str, text_col: str,
+                    eager: bool = True) -> DataFrame:
     """Score every document by its average add-one-smoothed bigram log
     probability under the corpus's own bigram LM:
     ``P(w2|w1) = (C(w1,w2) + 1) / (C(w1,·) + V)``.
@@ -55,6 +55,14 @@ def bigram_lm_score(df: DataFrame, id_col: str,
     (the one corpus-sized shuffle; Catalyst broadcasts the model side
     when it fits).  V (distinct token count) and the per-bigram
     quantized log-prob are described in the module docstring.
+
+    The exploded bigram relation is cached while the model and the
+    scores are built from it.  With ``eager=True`` (default) the small
+    per-document result is materialized via ``localCheckpoint`` and the
+    cache is released before returning — a long-lived session does not
+    accumulate executor storage across calls (ADVICE r2).  Pass
+    ``eager=False`` to keep the plan lazy; the caller then owns
+    releasing the cache (``spark.catalog.clearCache()`` or unpersist).
     """
     bgs = doc_bigrams(df, id_col, text_col).cache()
     bg_counts = bgs.groupBy("w1", "w2").agg(
@@ -74,10 +82,16 @@ def bigram_lm_score(df: DataFrame, id_col: str,
     scored = bgs.join(model.select("w1", "w2", lp.alias("lp_micro")),
                       ["w1", "w2"])
     from ..functions.vectors import round4
-    return (scored.groupBy(F.col("_id").alias(id_col))
-            .agg(F.count(F.lit(1)).alias("n_bigrams"),
-                 F.sum("lp_micro").alias("_s"))
-            .select(id_col, "n_bigrams",
-                    round4(F.col("_s")
-                           / (F.col("n_bigrams") * F.lit(1_000_000.0)))
-                    .alias("lm_score")))
+    out = (scored.groupBy(F.col("_id").alias(id_col))
+           .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                F.sum("lp_micro").alias("_s"))
+           .select(id_col, "n_bigrams",
+                   round4(F.col("_s")
+                          / (F.col("n_bigrams") * F.lit(1_000_000.0)))
+                   .alias("lm_score")))
+    if eager:
+        # one row per document — small; lineage truncation lets the
+        # bigram cache go away immediately
+        out = out.localCheckpoint(eager=True)
+        bgs.unpersist()
+    return out

@@ -30,11 +30,10 @@ Scale posture (the part the reference could not do):
 
 from __future__ import annotations
 
-import urllib.parse
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.paths import hive_partition_path, unescape_path_name
 from ..sources.read import read_partitioned
 from ..spec import SinkSpec, SpecError
 from .partition_keys import normalize_partition_keys
@@ -74,7 +73,7 @@ def list_existing_partitions(spark: SparkSession, base_path: str,
                 continue
             name = status.getPath().getName()
             if name.startswith(want):
-                value = urllib.parse.unquote(name[len(want):])
+                value = unescape_path_name(name[len(want):])
                 walk(status.getPath(), depth + 1, prefix + (value,))
 
     walk(jpath, 0, ())
@@ -280,19 +279,34 @@ def _overwrite_and_prune(spark: SparkSession, path: str, spec: SinkSpec,
                   for r in merged.select(*spec.field_names)
                   .distinct().collect()}
                  if affected else set())
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    # Directory names must use the writer's own Hive escapePathName
+    # spelling (space, '+', ',', '(' etc. stay literal) — a percent-
+    # encoded spelling here silently missed such partitions (ADVICE r2).
+    # Snapshot which emptied partitions exist BEFORE the overwrite so a
+    # post-write miss is a hard error (spelling drift), not a skip.
+    emptied = [t for t in affected if t not in remaining]
+    existed: dict[tuple[str, ...], bool] = {}
+    for t in emptied:
+        rel = hive_partition_path(spec.field_names, t)
+        jp = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
+        fs = jp.getFileSystem(hconf)
+        existed[t] = fs.exists(jp)
     out = write_partitioned(merged, up_spec, path)
-    if affected:
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()
-        for t in affected:
-            if t in remaining:
-                continue
-            rel = "/".join(f"{f}={urllib.parse.quote(v, safe='')}"
-                           for f, v in zip(spec.field_names, t))
-            jp = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
-            fs = jp.getFileSystem(hconf)
-            if fs.exists(jp) and not fs.delete(jp, True):
-                raise IOError(f"failed to delete emptied partition {rel}")
+    for t in emptied:
+        if not existed[t]:  # e.g. a tombstone for a key never written
+            continue
+        rel = hive_partition_path(spec.field_names, t)
+        jp = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
+        fs = jp.getFileSystem(hconf)
+        if not fs.exists(jp):
+            raise IOError(
+                f"emptied partition {rel} existed before the overwrite "
+                "but cannot be located after it — partition-name "
+                "escaping drifted from the writer's")
+        if not fs.delete(jp, True):
+            raise IOError(f"failed to delete emptied partition {rel}")
     return out
 
 

@@ -129,9 +129,20 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
     modest-right skew; AQE's skew-join split covers sort-merge cases,
     but salting also works for aggregate-after-join pipelines and when
     the skew is known up front.  Deterministic: no ``rand()``.
+
+    Only left-preserving join types are accepted: with ``right``/
+    ``full``, an unmatched right row exists once per salt replica and
+    would surface ``n_salts`` times (ADVICE r2).
     """
     if n_salts <= 0:
         raise ValueError("n_salts must be positive")
+    if how.lower().replace("_", "") not in (
+            "inner", "left", "leftouter", "leftsemi", "leftanti",
+            "semi", "anti"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated "
+            "right side would emit unmatched right rows once per salt "
+            "(use a plain join or AQE skew handling for right/full)")
     l = left.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_src)),
                                         F.lit(n_salts)))
     r = right.withColumn("_salt", F.explode(

@@ -43,11 +43,15 @@ def repetition_signals(df: DataFrame, id_col: str,
     """Per-document repetition signals ``(id, top_2gram_char_frac,
     top_3gram_char_frac, dup_5gram_frac)``."""
     text = F.col(text_col)
-    tagged = F.concat(*[
-        F.transform(ngrams_all(text, n),
-                    lambda g, n=n: F.struct(F.lit(n).alias("n"),
-                                            g.alias("gram")))
-        for n in (*TOP_NS, DUP_N)])
+
+    def _tag(n: int):
+        # single-parameter lambda: a two-parameter `lambda g, n=n` would
+        # be picked up by transform() as its (element, index) binary
+        # form, tagging grams with their array position instead of n
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    tagged = F.concat(*[F.transform(ngrams_all(text, n), _tag(n))
+                        for n in (*TOP_NS, DUP_N)])
     ex = df.select(F.col(id_col).alias("_id"),
                    F.length(text).alias("n_chars"),
                    F.explode(tagged).alias("g"))

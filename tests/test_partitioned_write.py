@@ -628,3 +628,60 @@ def test_write_zordered_clusters_both_columns(spark, tmp_out):
     assert max(per_file_spans(zp, "b")) <= 40
     # plain sort: second column is unclustered (full span in most files)
     assert max(per_file_spans(sp, "b")) >= 60
+
+
+def test_escape_path_name_matches_native_writer(spark, tmp_out):
+    """Partition values with Hive-literal specials (space, '+', ',',
+    '(', '!') must compose the exact directory names Spark's own
+    writer produces — a percent-encoded spelling would make hand-built
+    paths (prune deletes, existence checks) miss them."""
+    import os
+
+    from dynamic_partitioner_spark.functions.paths import (
+        escape_path_name, hive_partition_path, unescape_path_name)
+
+    values = ["new york", "a+b,(c)!", "x:y=z", "100%", "t\tv"]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)],
+                               "k long, p string")
+    df.write.partitionBy("p").parquet(tmp_out, mode="overwrite")
+    on_disk = {d for d in os.listdir(tmp_out) if d.startswith("p=")}
+    composed = {f"p={escape_path_name(v)}" for v in values}
+    assert composed == on_disk
+    for v in values:
+        assert unescape_path_name(escape_path_name(v)) == v
+        assert hive_partition_path(["p"], (v,)) == f"p={escape_path_name(v)}"
+
+
+def test_escape_path_name_matches_jvm_rule(spark):
+    """Bit-for-bit parity with ExternalCatalogUtils.escapePathName over
+    the full ASCII range plus multibyte text."""
+    from dynamic_partitioner_spark.functions.paths import escape_path_name
+
+    ecu = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    for s in [chr(c) for c in range(1, 128)] + ["déjà 中文", "%41", "a b/c"]:
+        assert escape_path_name(s) == ecu.escapePathName(s), repr(s)
+
+
+def test_merge_upsert_prunes_partition_with_hive_literal_chars(spark, tmp_out):
+    """Emptying a partition whose value contains writer-literal specials
+    (space, comma, parens) must still remove its directory — this is the
+    spelling-mismatch case the urllib-quote path silently skipped."""
+    import os
+
+    from dynamic_partitioner_spark import SinkSpec, read_partitioned, write_partitioned
+    from dynamic_partitioner_spark.operators.partitioned_write import merge_upsert
+
+    df = spark.createDataFrame(
+        [(1, "new york", 1.0), (2, "sao paulo (br)", 2.0)],
+        "k long, p string, v double")
+    spec = SinkSpec(name="m", field_names=["p"])
+    write_partitioned(df, spec, tmp_out)
+    assert os.path.exists(f"{tmp_out}/p=new york")
+
+    dels = spark.createDataFrame([(1, "new york")], "k long, p string")
+    ups = spark.createDataFrame([], "k long, p string, v double")
+    merge_upsert(spark, tmp_out, ups, spec, ["k"], deletes=dels)
+
+    assert not os.path.exists(f"{tmp_out}/p=new york")
+    got = {(r.k, r.p, r.v) for r in read_partitioned(spark, tmp_out).collect()}
+    assert got == {(2, "sao paulo (br)", 2.0)}

@@ -342,3 +342,20 @@ def test_k_anonymize_suppresses_small_groups(spark):
     assert got[11] == ("*", "*", 1)
     with pytest.raises(ValueError):
         k_anonymize(df, ["nation"], k=0)
+
+
+def test_salted_join_rejects_right_preserving_types(spark):
+    """right/full would emit unmatched right rows once per salt replica;
+    the operator refuses rather than silently multiplying them."""
+    import pytest
+
+    from dynamic_partitioner_spark.operators.relational import salted_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, lid long")
+    right = spark.createDataFrame([(1, "x"), (2, "y")], "k long, r string")
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(left, right, "k", "lid", 4, how=how)
+    # left-preserving types stay accepted
+    assert salted_join(left, right, "k", "lid", 4, "left_semi").count() == 1
+    assert salted_join(left, right, "k", "lid", 4, "left_anti").count() == 0
