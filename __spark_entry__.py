@@ -69,6 +69,12 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Event-time access is schema-adaptive (LONG nanos vs TIMESTAMP parquet
+# encodings) — single authority in functions/eventtime.py.
+from dynamic_partitioner_spark.functions.eventtime import (  # noqa: E402
+    event_time_ts, event_time_us)
+
+
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 
@@ -393,18 +399,15 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation re-shuffles and explodes on skewed users)."""
     events = _table(spark, sf_dir, "events")
     evs = (events.where(F.col("event_type").isin("click", "error"))
-           .select("event_id", "user_id", "event_type", "ts"))
-    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+           .select("event_id", "user_id", "event_type",
+                   event_time_us(events).alias("ts_us")))
+    w = (Window.partitionBy("user_id").orderBy("ts_us", "event_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     last_click = F.max(
-        F.when(F.col("event_type") == "click", F.col("ts"))).over(w)
-    return (evs.withColumn("last_click_ns", last_click)
+        F.when(F.col("event_type") == "click", F.col("ts_us"))).over(w)
+    return (evs.withColumn("last_click_us", last_click)
             .where(F.col("event_type") == "error")
-            # integer `div`, not float `/`: double division loses ~256 ns
-            # of precision on 19-digit nano timestamps
-            .select("event_id", "user_id",
-                    F.expr("ts div 1000").alias("ts_us"),
-                    F.expr("last_click_ns div 1000").alias("last_click_us")))
+            .select("event_id", "user_id", "ts_us", "last_click_us"))
 
 
 _HOUR_US = 3_600_000_000
@@ -417,7 +420,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynamic_partitioner_spark.operators.relational import (
         range_join_binned)
     events = _table(spark, sf_dir, "events")
-    ev = events.select(F.expr("ts div 1000").alias("us"), "value")
+    ev = events.select(event_time_us(events).alias("us"), "value")
     hrs = (ev.groupBy(F.expr(f"us div {_HOUR_US}").alias("h"))
            .agg(F.count(F.lit(1)).alias("n")))
     avg = hrs.agg(F.avg("n").alias("a"))
@@ -439,7 +442,7 @@ def q_rollup_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynamic_partitioner_spark.operators.relational import (
         rollup_time_grains)
     events = _table(spark, sf_dir, "events")
-    return rollup_time_grains(events, F.expr("ts div 1000"), "value")
+    return rollup_time_grains(events, event_time_us(events), "value")
 
 
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1022,10 +1025,9 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping-window aggregate (1-hour windows every 15 minutes — each
     event lands in 4 windows) via the built-in window() generator; the
     same expression runs unchanged over a watermarked stream."""
-    from dynamic_partitioner_spark.streaming.stateful import _event_ts
     events = _table(spark, sf_dir, "events")
     return (events
-            .select(_event_ts("ts").alias("ets"), "event_type", "value")
+            .select(event_time_ts(events).alias("ets"), "event_type", "value")
             .groupBy(F.window("ets", "1 hour", "15 minutes").alias("w"),
                      "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
@@ -1229,7 +1231,7 @@ def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final agg."""
     from pyspark.sql import Window as W
     events = _table(spark, sf_dir, "events")
-    ts_us = F.expr("ts div 1000")         # LONG nanos -> micros
+    ts_us = event_time_us(events)
     w = W.partitionBy("user_id").orderBy(ts_us.asc(), F.col("event_id"))
     gap_us = (ts_us - F.lag(ts_us).over(w)).cast("long")
     gapped = events.select("event_type", gap_us.alias("gap_us")).where(
@@ -1382,7 +1384,7 @@ def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         transition_matrix)
     events = _table(spark, sf_dir, "events")
     ev = events.select("user_id", "event_id", "event_type",
-                       F.expr("ts div 1000").alias("ts_us"))
+                       event_time_us(events).alias("ts_us"))
     return transition_matrix(ev, "user_id", ["ts_us", "event_id"],
                              "event_type")
 
@@ -1425,7 +1427,7 @@ def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT arithmetic, order-free, and bit-identical in the oracle."""
     events = _table(spark, sf_dir, "events")
     ev = events.select(
-        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us"),
+        "event_id", "user_id", event_time_us(events).alias("ts_us"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
         .alias("cents"))
     w = (Window.partitionBy("user_id").orderBy("ts_us")
@@ -1447,8 +1449,9 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynamic_partitioner_spark.operators.relational import (
         cohort_retention)
     events = _table(spark, sf_dir, "events")
-    return cohort_retention(events, "user_id",
-                            F.expr(f"ts div 1000 div {_DAY_US}"))
+    ev = events.select("user_id", event_time_us(events).alias("ts_us"))
+    return cohort_retention(ev, "user_id",
+                            F.expr(f"ts_us div {_DAY_US}"))
 
 
 def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1469,7 +1472,7 @@ def q_events_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _table(spark, sf_dir, "events")
     ev = events.select(
         "event_id", "user_id", "event_type",
-        F.expr("ts div 1000").alias("ts_us"),
+        event_time_us(events).alias("ts_us"),
         F.when(F.col("event_type") == "purchase", F.col("value"))
         .alias("last_purchase_value"))
     filled = forward_fill(ev, "user_id", ["ts_us", "event_id"],

@@ -1,0 +1,58 @@
+"""Schema-adaptive event-time accessors.
+
+The engine's event tables carry a ``ts`` column whose physical parquet
+encoding has two variants in the wild:
+
+- ``TIMESTAMP(NANOS)`` — Spark has no nanosecond type, so with
+  ``spark.sql.legacy.parquet.nanosAsLong`` (set in session.py) the
+  column reads as LONG nanoseconds.
+- ``TIMESTAMP(MICROS)`` (annotated, no timezone) — reads natively as
+  ``TIMESTAMP_NTZ``.
+
+Every operator that does event-time arithmetic goes through these two
+helpers instead of assuming one encoding.  Both are exact: integer
+``div`` for the nanos path (float division loses ~256 ns on 19-digit
+values) and ``unix_micros`` for the timestamp path.  With the session
+timezone pinned to UTC (session.py), an NTZ wall-clock reading equals
+the UTC instant, so ``event_time_us`` matches DuckDB's ``epoch_us(ts)``
+on the same parquet bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _ts_type(df: DataFrame, col: str) -> T.DataType:
+    return df.schema[col].dataType
+
+
+def event_time_us(df: DataFrame, col: str = "ts") -> Column:
+    """Event-time column → LONG epoch microseconds (exact, truncating)."""
+    dt = _ts_type(df, col)
+    if isinstance(dt, (T.LongType, T.IntegerType)):
+        return F.expr(f"`{col}` div 1000")
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_micros(F.col(col).cast("timestamp"))
+    raise TypeError(
+        f"column {col!r} has unsupported event-time type {dt.simpleString()}"
+        " (expected long nanos or timestamp)")
+
+
+def event_time_ts(df: DataFrame, col: str = "ts") -> Column:
+    """Event-time column → TIMESTAMP at microsecond precision.
+
+    The streaming operators (watermarks, ``session_window``, tumbling /
+    sliding ``window``) want a real timestamp; this is the counterpart
+    of :func:`event_time_us` for those paths.
+    """
+    dt = _ts_type(df, col)
+    if isinstance(dt, (T.LongType, T.IntegerType)):
+        return F.expr(f"timestamp_micros(`{col}` div 1000)")
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return F.col(col).cast("timestamp")
+    raise TypeError(
+        f"column {col!r} has unsupported event-time type {dt.simpleString()}"
+        " (expected long nanos or timestamp)")

@@ -18,10 +18,11 @@ native Structured Streaming operators the brief mandates:
   (Arrow-batched, update mode, explicit GroupState) that covers what
   ``session_window`` can't express.
 
-Timestamps: the testdata parquet stores TIMESTAMP(NANOS) which Spark
-reads as LONG nanos (see session.py ``nanosAsLong``); ``_event_ts``
-truncates to microseconds exactly like DuckDB's TIMESTAMP, so oracle
-comparisons are exact.
+Timestamps: event tables may store TIMESTAMP(NANOS) (read as LONG
+nanos, see session.py ``nanosAsLong``) or TIMESTAMP(MICROS) (read as
+TIMESTAMP_NTZ); ``functions.eventtime.event_time_ts`` adapts to either
+encoding and truncates to microseconds exactly like DuckDB's TIMESTAMP,
+so oracle comparisons are exact.
 """
 
 from __future__ import annotations
@@ -32,14 +33,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.eventtime import event_time_ts
+
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
-def _event_ts(col_name: str) -> Any:
-    """LONG nanos column → TIMESTAMP at microsecond precision
-    (truncating, matching DuckDB's read of the same parquet).  Integer
-    ``div`` — float division loses ~256 ns on 19-digit nano values."""
-    return F.expr(f"timestamp_micros(`{col_name}` div 1000)")
+def _event_ts(df: DataFrame, col_name: str) -> Any:
+    """Event-time column → TIMESTAMP at microsecond precision,
+    schema-adaptive (LONG nanos or native timestamp) — see
+    ``functions.eventtime``."""
+    return event_time_ts(df, col_name)
 
 
 def sessionize(df: DataFrame, key_col: str = "user_id", ts_col: str = "ts",
@@ -58,7 +61,7 @@ def sessionize(df: DataFrame, key_col: str = "user_id", ts_col: str = "ts",
     watermark and per-key state instead (same semantics, late data
     dropped past the watermark).
     """
-    ts = _event_ts(ts_col).alias("_ets")
+    ts = _event_ts(df, ts_col).alias("_ets")
     return (df.select(F.col(key_col), ts, F.col(value_col))
             .groupBy(F.session_window(F.col("_ets"), gap).alias("sw"),
                      F.col(key_col))
@@ -86,7 +89,7 @@ def streaming_tumbling_agg(spark: SparkSession, src_path: str,
     from .write import run_stream_to_completion, stream_from_files
 
     sdf = stream_from_files(spark, src_path)
-    agg = (sdf.select(_event_ts(ts_col).alias("_ets"),
+    agg = (sdf.select(_event_ts(sdf, ts_col).alias("_ets"),
                       F.col(type_col), F.col(value_col))
            .groupBy(F.window("_ets", window).alias("w"), F.col(type_col))
            .agg(F.count(F.lit(1)).alias("n_events"),
@@ -121,7 +124,7 @@ def streaming_windowed_agg_append(spark: SparkSession, src_path: str,
     from .write import run_stream_to_completion, stream_from_files
 
     sdf = stream_from_files(spark, src_path, max_files_per_trigger=1)
-    agg = (sdf.select(_event_ts(ts_col).alias("_ets"),
+    agg = (sdf.select(_event_ts(sdf, ts_col).alias("_ets"),
                       F.col(key_col), F.col(value_col))
            .withWatermark("_ets", watermark)
            .groupBy(F.window("_ets", window).alias("w"), F.col(key_col))
@@ -187,12 +190,12 @@ def run_streaming_join(spark: SparkSession, src_path: str, sink_table: str,
         views = (sdf.where(F.col("event_type") == "view")
                  .select(F.col("user_id"),
                          F.col("event_id").alias("view_id"),
-                         _event_ts("ts").alias("view_ts"))
+                         _event_ts(sdf, "ts").alias("view_ts"))
                  .withWatermark("view_ts", watermark))
         clicks = (sdf.where(F.col("event_type") == "click")
                   .select(F.col("user_id").alias("c_user_id"),
                           F.col("event_id").alias("click_id"),
-                          _event_ts("ts").alias("click_ts"))
+                          _event_ts(sdf, "ts").alias("click_ts"))
                   .withWatermark("click_ts", watermark))
         joined = (views.join(
             clicks,
