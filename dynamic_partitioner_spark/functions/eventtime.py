@@ -11,11 +11,13 @@ encoding has two variants in the wild:
 
 Every operator that does event-time arithmetic goes through these two
 helpers instead of assuming one encoding.  Both are exact: integer
-``div`` for the nanos path (float division loses ~256 ns on 19-digit
-values) and ``unix_micros`` for the timestamp path.  With the session
-timezone pinned to UTC (session.py), an NTZ wall-clock reading equals
-the UTC instant, so ``event_time_us`` matches DuckDB's ``epoch_us(ts)``
-on the same parquet bit-for-bit.
+floor-division for the nanos path (float division loses ~256 ns on
+19-digit values; plain ``div`` truncates toward zero, which would
+diverge from DuckDB's ``epoch_us`` floor on pre-1970 negative nanos)
+and ``unix_micros`` for the timestamp path.  With the session timezone
+pinned to UTC (session.py), an NTZ wall-clock reading equals the UTC
+instant, so ``event_time_us`` matches DuckDB's ``epoch_us(ts)`` on the
+same parquet bit-for-bit — for any sign of timestamp.
 """
 
 from __future__ import annotations
@@ -29,11 +31,23 @@ def _ts_type(df: DataFrame, col: str) -> T.DataType:
     return df.schema[col].dataType
 
 
+def _floor_div_nanos_to_us(col: str) -> str:
+    """SQL expr: LONG nanos → LONG micros with FLOOR semantics.
+
+    ``div`` truncates toward zero; subtracting the canonical
+    (always-non-negative) remainder first makes it a floor division, so
+    negative (pre-1970) nanos round down exactly like DuckDB's
+    ``epoch_us``.  Pure long arithmetic — stays inside codegen.
+    """
+    rem = f"(((`{col}` % 1000) + 1000) % 1000)"
+    return f"(`{col}` - {rem}) div 1000"
+
+
 def event_time_us(df: DataFrame, col: str = "ts") -> Column:
     """Event-time column → LONG epoch microseconds (exact, truncating)."""
     dt = _ts_type(df, col)
     if isinstance(dt, (T.LongType, T.IntegerType)):
-        return F.expr(f"`{col}` div 1000")
+        return F.expr(_floor_div_nanos_to_us(col))
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         return F.unix_micros(F.col(col).cast("timestamp"))
     raise TypeError(
@@ -50,7 +64,7 @@ def event_time_ts(df: DataFrame, col: str = "ts") -> Column:
     """
     dt = _ts_type(df, col)
     if isinstance(dt, (T.LongType, T.IntegerType)):
-        return F.expr(f"timestamp_micros(`{col}` div 1000)")
+        return F.expr(f"timestamp_micros({_floor_div_nanos_to_us(col)})")
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         return F.col(col).cast("timestamp")
     raise TypeError(

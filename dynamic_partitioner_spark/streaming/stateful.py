@@ -38,11 +38,9 @@ from ..functions.eventtime import event_time_ts
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
-def _event_ts(df: DataFrame, col_name: str) -> Any:
-    """Event-time column → TIMESTAMP at microsecond precision,
-    schema-adaptive (LONG nanos or native timestamp) — see
-    ``functions.eventtime``."""
-    return event_time_ts(df, col_name)
+# Back-compat alias: event-time column → TIMESTAMP at microsecond
+# precision, schema-adaptive (LONG nanos or native timestamp).
+_event_ts = event_time_ts
 
 
 def sessionize(df: DataFrame, key_col: str = "user_id", ts_col: str = "ts",

@@ -7,6 +7,7 @@ import io
 
 from pyspark.sql import functions as F
 
+from dynamic_partitioner_spark.functions.eventtime import event_time_us
 from dynamic_partitioner_spark.operators.relational import (
     range_join_binned,
     rollup_time_grains,
@@ -61,7 +62,7 @@ def test_rollup_grains_are_consistent(spark):
     """Every grain sums to the same totals; coarser grains have fewer
     buckets; bucket starts are aligned to their width."""
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    out = rollup_time_grains(ev, F.expr("ts div 1000"), "value").cache()
+    out = rollup_time_grains(ev, event_time_us(ev, "ts"), "value").cache()
     tot = {r.grain: (r.n, r.buckets) for r in
            out.groupBy("grain").agg(F.sum("n_events").alias("n"),
                                     F.count(F.lit(1)).alias("buckets"))

@@ -92,7 +92,7 @@ def test_streaming_tumbling_agg_matches_batch(spark, tmp_out):
     spark.catalog.dropTempView("t_tumble_sink")
     got = streaming_tumbling_agg(spark, src, "t_tumble_sink", "1 hour")
 
-    batch = (df.select(_event_ts("ts").alias("e"), "value")
+    batch = (df.select(_event_ts(df, "ts").alias("e"), "value")
              .groupBy(F.date_format(F.date_trunc("hour", "e"),
                                     "yyyy-MM-dd HH:mm:ss").alias("window_start"))
              .agg(F.count(F.lit(1)).alias("n"),
@@ -202,7 +202,7 @@ def test_streaming_sessionize_equals_batch(spark, tmp_out):
 
     with shuffle_partitions(spark, 8):
         sdf = stream_from_files(spark, src)
-        agg = (sdf.select(F.col("user_id"), _event_ts("ts").alias("_ets"),
+        agg = (sdf.select(F.col("user_id"), _event_ts(sdf, "ts").alias("_ets"),
                           F.col("value"))
                .withWatermark("_ets", "0 seconds")
                .groupBy(F.session_window(F.col("_ets"), "30 minutes")
