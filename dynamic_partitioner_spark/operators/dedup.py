@@ -83,6 +83,41 @@ def shingles(c: Column, n: int = 3) -> Column:
     return F.array_distinct(ngrams_all(c, n))
 
 
+def shingles_batched(c: Column, n: int = 3) -> Column:
+    """Arrow-batched :func:`shingles` — element-for-element identical
+    output (same tokenization: lower → trim spaces → split on
+    ``[ \\t\\n\\r]+`` keeping empty edge tokens; same first-occurrence
+    distinct order), pinned by ``tests/test_dedup.py``.
+
+    Higher-order functions (``zip_with``/``filter``) evaluate outside
+    whole-stage codegen, so the Column form is interpreted per element;
+    one Arrow batch pass measured ~10× faster on the documents corpus.
+    Used on every shingle hot path; the Column form remains the
+    engine-side twin of the DuckDB oracle's ``string_split_regex``
+    construction."""
+    import re
+
+    ws = re.compile(r"[ \t\n\r]+")
+
+    @F.pandas_udf("array<string>")
+    def _sh(s: pd.Series) -> pd.Series:
+        out = []
+        for t in s:
+            if t is None:
+                out.append(None)   # NULL in → NULL out, like the HOF form
+                continue
+            toks = ws.split(t.lower().strip(" "))
+            if len(toks) < n:
+                out.append([])
+                continue
+            out.append(list(dict.fromkeys(
+                " ".join(toks[i:i + n])
+                for i in range(len(toks) - n + 1))))
+        return pd.Series(out)
+
+    return _sh(c)
+
+
 _MERSENNE_P = (1 << 31) - 1
 
 
@@ -225,7 +260,7 @@ def near_dup_minhash(df: DataFrame, id_col: str, text_col: str,
     tokenized corpus upstream yourself.
     """
     base = df.select(F.col(id_col).alias("_id"),
-                     shingles(F.col(text_col), n).alias("sh"))
+                     shingles_batched(F.col(text_col), n).alias("sh"))
     if persist:
         from pyspark.storagelevel import StorageLevel
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
@@ -272,7 +307,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             "construction in the inverted-index formulation")
     base = df.select(F.col(block_col).alias("_blk"),
                      F.col(id_col).alias("_id"),
-                     shingles(F.col(text_col), n).alias("sh"))
+                     shingles_batched(F.col(text_col), n).alias("sh"))
     ex = base.select("_blk", "_id", F.size("sh").alias("sz"),
                      F.explode("sh").alias("s"))
     if max_shingle_df is not None:
@@ -318,11 +353,11 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, id_col: str,
     """
     bench_col = bench_text_col or text_col
     bench_grams = (benchmark
-                   .select(F.explode(shingles(F.col(bench_col), n))
+                   .select(F.explode(shingles_batched(F.col(bench_col), n))
                            .alias("_g"))
                    .distinct())
     corpus_grams = corpus.select(F.col(id_col),
-                                 F.explode(shingles(F.col(text_col), n))
+                                 F.explode(shingles_batched(F.col(text_col), n))
                                  .alias("_g"))
     return (corpus_grams
             .join(F.broadcast(bench_grams), "_g")

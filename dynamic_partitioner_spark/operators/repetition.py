@@ -18,15 +18,23 @@ the C4 heuristics already in :mod:`..functions.text`:
   signal without the sequential mask, which keeps the operator a pure
   two-level aggregate and the DuckDB oracle exact.)
 
-Scale shape: one scan exploding all three gram sizes in a single pass
-(tagged ``(n, gram)`` structs), a partial-aggregated shuffle on
-``(doc_id, n, gram)``, a second doc-sized shuffle to per-document
-signals, and a final left join back to the id list so gram-less
-documents (< 2 tokens) surface with zeroed signals instead of
-disappearing.  Everything is JVM Column expressions — no Python UDFs.
+Scale shape: the signals are strictly per-document, so the default
+path (:func:`repetition_signals`) is a single zero-shuffle scan with
+one Arrow-batched ``pandas_udf`` computing all three signals per text —
+embarrassingly parallel, no exploded-gram shuffle at all.  The pure
+Column-expression form (:func:`repetition_signals_exprs` — explode the
+tagged grams, two aggregate shuffles, left join back) is kept as the
+engine-side twin of the DuckDB oracle and pinned bit-identical to the
+Arrow path by ``tests/test_text.py``; the HOF-heavy gram construction
+it uses is interpreted (outside codegen), which measured ~4× slower
+than the Arrow pass on the same corpus.
 """
 
 from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -41,7 +49,69 @@ DUP_N = 5
 def repetition_signals(df: DataFrame, id_col: str,
                        text_col: str) -> DataFrame:
     """Per-document repetition signals ``(id, top_2gram_char_frac,
-    top_3gram_char_frac, dup_5gram_frac)``."""
+    top_3gram_char_frac, dup_5gram_frac)``.
+
+    Arrow-batched map-only pass; bit-identical to
+    :func:`repetition_signals_exprs` (tokenization mirrors
+    ``dedup.tokens``: lower → trim spaces → split on ``[ \\t\\n\\r]+``
+    keeping empty edge tokens; ties toward the lexicographically
+    largest gram — Python tuple ``max`` compares count then code-point
+    string order, which equals Spark's binary struct comparison because
+    UTF-8 byte order preserves code-point order; rounding is the
+    cross-engine ``floor(x*1e4+0.5)/1e4``).
+    """
+    import re
+
+    import numpy as np
+
+    ws = re.compile(r"[ \t\n\r]+")
+
+    def _round4(x: float) -> float:
+        return float(np.floor(x * 10000.0 + 0.5) / 10000.0)
+
+    def _one(text: str) -> tuple[float, float, float]:
+        if text is None:
+            return (0.0, 0.0, 0.0)
+        n_chars = len(text)
+        toks = ws.split(text.lower().strip(" "))
+        out = []
+        for n in TOP_NS:
+            if len(toks) < n or n_chars == 0:
+                out.append(0.0)
+                continue
+            counts = Counter(
+                " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1))
+            cnt, gram = max((c, g) for g, c in counts.items())
+            out.append(_round4(cnt * len(gram) / n_chars))
+        if len(toks) < DUP_N:
+            out.append(0.0)
+        else:
+            counts = Counter(
+                tuple(toks[i:i + DUP_N])
+                for i in range(len(toks) - DUP_N + 1))
+            total = sum(counts.values())
+            dup = sum(c for c in counts.values() if c > 1)
+            out.append(_round4(dup / total) if total else 0.0)
+        return tuple(out)
+
+    @F.pandas_udf("top2 double, top3 double, dup5 double")
+    def _signals(s: pd.Series) -> pd.DataFrame:
+        rows = [_one(t) for t in s]
+        return pd.DataFrame(rows, columns=["top2", "top3", "dup5"])
+
+    sig = _signals(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        sig.getField("top2").alias("top_2gram_char_frac"),
+        sig.getField("top3").alias("top_3gram_char_frac"),
+        sig.getField("dup5").alias("dup_5gram_frac"))
+
+
+def repetition_signals_exprs(df: DataFrame, id_col: str,
+                             text_col: str) -> DataFrame:
+    """Pure Column-expression twin of :func:`repetition_signals`
+    (exploded grams + two aggregate shuffles); slower, kept for oracle
+    parity."""
     text = F.col(text_col)
 
     def _tag(n: int):

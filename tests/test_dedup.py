@@ -282,3 +282,25 @@ def test_decontaminate_broadcasts_benchmark(spark):
         DD.decontaminate(corpus, bench, "doc_id", "text",
                          n=4).explain("formatted")
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_shingles_batched_matches_column_form(spark):
+    """Arrow shingles are element-for-element identical to the HOF
+    Column form (same tokenization, same first-occurrence order)."""
+    from pyspark.sql import functions as F
+
+    from dynamic_partitioner_spark.operators.dedup import (
+        shingles, shingles_batched)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    edge = spark.createDataFrame(
+        [(9001, ""), (9002, " "), (9003, "\t"), (9004, "a b"),
+         (9005, "a b c a b c a b c"), (9006, None)],
+        "doc_id long, text string")
+    both = docs.select("doc_id", "text").unionByName(edge)
+    diff = both.select(
+        shingles(F.col("text"), 3).alias("col_form"),
+        shingles_batched(F.col("text"), 3).alias("arrow"))
+    assert diff.where(F.col("col_form") != F.col("arrow")).count() == 0
+    assert diff.where(F.col("col_form").isNull()
+                      != F.col("arrow").isNull()).count() == 0

@@ -105,3 +105,24 @@ def test_cleaning_and_redaction(spark):
     u = _one(spark, TX.redact(F.lit("x https://user@host.example.com/a y")))
     assert u == "x <URL> y"
     assert _one(spark, TX.redact(F.lit("no pii here"))) == "no pii here"
+
+
+def test_repetition_arrow_matches_exprs(spark):
+    """The Arrow map-only repetition path is bit-identical to the
+    Column-expression twin (which the DuckDB oracle mirrors) — incl.
+    tie-breaks, short docs, and whitespace edge cases."""
+    from dynamic_partitioner_spark.operators.repetition import (
+        repetition_signals, repetition_signals_exprs)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    edge = spark.createDataFrame(
+        [(9001, ""), (9002, " "), (9003, "\t"), (9004, "one"),
+         (9005, "a b a b a b a b"), (9006, "x y z x y z x y z x y"),
+         (9007, "Tt Tt tt TT tt")],
+        "doc_id long, text string")
+    both = docs.select("doc_id", "text").unionByName(edge)
+    a = {tuple(r) for r in
+         repetition_signals(both, "doc_id", "text").collect()}
+    b = {tuple(r) for r in
+         repetition_signals_exprs(both, "doc_id", "text").collect()}
+    assert a == b and len(a) > 500
