@@ -26,9 +26,13 @@ def main() -> None:
     spark = get_spark("bench")
     qs = E.queries()
 
-    # warm the JVM/codegen once on the smallest SF so the measured runs
-    # are engine time, not first-query setup
+    # warm the JVM/codegen AND the Arrow python workers once on the
+    # smallest SF so the measured runs are engine time, not
+    # first-query setup (python worker fork + pickle costs ~0.5s and
+    # would otherwise be charged to whichever pandas-UDF key runs
+    # first)
     qs["query_pruned_agg"](spark, "/root/testdata/sf0.001").count()
+    qs["text_repetition"](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     total = 0.0

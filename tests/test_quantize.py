@@ -1,0 +1,62 @@
+"""Int8 quantization + quantized grammian (operators/quantize.py)."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dynamic_partitioner_spark.operators.quantize import (
+    int8_grammian,
+    quantize_embeddings,
+)
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_quantize_known_values(spark):
+    df = _vecs(spark, [(1, [1.27, -1.27, 0.635])])
+    r = quantize_embeddings(df, "vec_id", "embedding").collect()[0]
+    assert r.scale == 0.01
+    # q = [127, -127, 64]  (floor(63.5 + 0.5) = 64 — half-up)
+    assert r.qsum == 64
+    assert r.qnorm2 == 127 * 127 * 2 + 64 * 64
+    assert abs(r.max_abs_err - 0.005) < 1e-9
+
+
+def test_quantize_zero_vector(spark):
+    df = _vecs(spark, [(1, [0.0, 0.0]), (2, [0.5, -0.5])])
+    got = {r.vec_id: r for r in
+           quantize_embeddings(df, "vec_id", "embedding").collect()}
+    assert got[1].scale == 0.0 and got[1].qsum == 0
+    assert got[1].qnorm2 == 0 and got[1].max_abs_err == 0.0
+    assert got[2].qnorm2 == 127 * 127 * 2
+
+
+def test_grammian_known_values(spark):
+    df = _vecs(spark, [(1, [1.0, 1.0]), (2, [1.0, -1.0])])
+    g = {(r.i, r.j): r.g for r in
+         int8_grammian(df, "embedding", 2).collect()}
+    assert g == {(0, 0): 2 * 127 * 127, (0, 1): 0, (1, 1): 2 * 127 * 127}
+
+
+def test_grammian_diagonal_equals_qnorm2(spark):
+    """Trace of the grammian == Σ qnorm2 over the corpus — ties the two
+    operators' quantizers together on real data."""
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .limit(100))
+    trace = (int8_grammian(emb, "embedding", 64)
+             .where(F.col("i") == F.col("j"))
+             .agg(F.sum("g")).collect()[0][0])
+    qn = (quantize_embeddings(emb, "vec_id", "embedding")
+          .agg(F.sum("qnorm2")).collect()[0][0])
+    assert trace == qn > 0
+
+
+def test_grammian_rejects_wrong_dim(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    df = _vecs(spark, [(1, [1.0, 2.0, 3.0])])
+    with pytest.raises((Py4JJavaError, PythonException)):
+        int8_grammian(df, "embedding", 2).collect()
