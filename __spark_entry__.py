@@ -235,11 +235,14 @@ def q_text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     one exchange on the ngram)."""
     docs = _table(spark, sf_dir, "documents")
     grams = docs.select(
-        F.explode(DD.shingles(F.col("text"), 3)).alias("ngram"))
+        F.explode(DD.shingles_batched(F.col("text"), 3)).alias("ngram"))
     counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n"))
+    # orderBy+limit plans TakeOrderedAndProject (distributed per-
+    # partition top-k, no single-partition window over the full
+    # vocabulary); the rank window then runs over ≤50 rows
+    top = counts.orderBy(F.col("n").desc(), F.col("ngram")).limit(50)
     w = Window.orderBy(F.col("n").desc(), F.col("ngram"))
-    return (counts.withColumn("rnk", F.row_number().over(w))
-            .where(F.col("rnk") <= 50)
+    return (top.withColumn("rnk", F.row_number().over(w))
             .select("ngram", "n", "rnk"))
 
 
@@ -1576,10 +1579,48 @@ def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.select(F.explode(DD.ngrams_all(F.col("text"), 2))
                         .alias("pair"))
     counts = grams.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    # TakeOrderedAndProject top-k, then rank the ≤100 survivors (see
+    # q_text_top_ngrams)
+    top = counts.orderBy(F.col("n").desc(), F.col("pair")).limit(100)
     w = Window.orderBy(F.col("n").desc(), F.col("pair"))
-    return (counts.withColumn("rnk", F.row_number().over(w))
-            .where(F.col("rnk") <= 100)
+    return (top.withColumn("rnk", F.row_number().over(w))
             .select("pair", "n", "rnk"))
+
+
+def q_similarity_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k over int8-quantized vectors (integer dot products +
+    per-vector rescale) — the int8-GEMM ANN scoring path with a
+    value-exact oracle: BIGINT dots are order-independent, and the
+    float rescale multiplies identical doubles in a fixed order."""
+    from dynamic_partitioner_spark.operators.quantize import int8_topk
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return int8_topk(emb, queries, k=5)
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment pairs (|A∩B| / min|A|,|B|) — catches
+    sub-document duplication (quotes, boilerplate, truncated
+    re-crawls) that jaccard dilutes; the augmented corpus's mutants
+    are near-subsets of their originals, so real pairs exist at every
+    SF."""
+    corpus = _augmented_corpus(spark, sf_dir)
+    return DD.containment_pairs(corpus, "doc_id", "text", "lang",
+                                threshold=0.9, n=3)
+
+
+def q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity suppression (l=3) over customer quasi-identifiers
+    with the account-balance band as the sensitive attribute:
+    QI groups homogeneous in the sensitive value redact to '*' even
+    when k-anonymous."""
+    from dynamic_partitioner_spark.operators.privacy import l_diversify
+    cust = _table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("string").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"))
+    return l_diversify(cust, ["nation", "segment"], "bal_band", l=3)
 
 
 def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1619,7 +1660,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # back, outside the checked window.
 _PRIORITY_R04 = [
     "embedding_quantize", "embedding_grammian", "text_bpe_pairs",
-    "events_anomaly",
+    "events_anomaly", "similarity_int8_topk", "dedup_containment",
+    "privacy_l_diversity",
     "partitioned_write_single", "partitioned_write_multi",
     "partitioned_write_orc", "partitioned_write_avro",
     "partition_key_trim", "append_mode", "overwrite_dynamic",
@@ -1754,6 +1796,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_grammian": q_embedding_grammian,
         "text_bpe_pairs": q_text_bpe_pairs,
         "events_anomaly": q_events_anomaly,
+        "similarity_int8_topk": q_similarity_int8,
+        "dedup_containment": q_dedup_containment,
+        "privacy_l_diversity": q_privacy_l_diversity,
     }
 
 
@@ -1796,6 +1841,8 @@ def oracle_sql() -> dict[str, str]:
     jacc = ("floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
             "len(list_distinct(list_concat(a.sh, b.sh)))) * 10000 + 0.5) "
             "/ 10000")
+    cont = ("floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+            "least(len(a.sh), len(b.sh))) * 10000 + 0.5) / 10000")
 
     return {
         "partitioned_write_single": li_full,
@@ -2769,6 +2816,72 @@ def oracle_sql() -> dict[str, str]:
                    {ROUND4_SQL.format(x='(e.value - m) / sd')} AS z
             FROM events e JOIN s USING (user_id)
             WHERE sd > 0 AND abs((e.value - m) / sd) > 2
+        """,
+        "similarity_int8_topk": f"""
+            WITH base AS (
+                SELECT vec_id, embedding,
+                       list_max(list_transform(embedding,
+                                               x -> abs(x))) AS maxabs
+                FROM embeddings),
+            s AS (SELECT vec_id, embedding,
+                         CASE WHEN maxabs = 0 THEN NULL
+                              ELSE CAST(maxabs AS DOUBLE)
+                                   / CAST(127 AS DOUBLE) END AS scale
+                  FROM base),
+            el AS (SELECT vec_id, coalesce(scale, 0.0) AS scl, i,
+                          CASE WHEN scale IS NULL THEN 0
+                               ELSE CAST(floor(
+                                   CAST(embedding[i] AS DOUBLE) / scale
+                                   + 0.5) AS BIGINT)
+                          END AS qv
+                   FROM s,
+                        LATERAL unnest(range(1, len(embedding) + 1))
+                            AS u(i)),
+            d AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                         CAST(sum(q.qv * c.qv) AS BIGINT) AS score_int,
+                         any_value(c.scl) AS cs, any_value(q.scl) AS qs
+                  FROM el q JOIN el c
+                    ON q.i = c.i AND c.vec_id != q.vec_id
+                  WHERE q.vec_id < 10
+                  GROUP BY q.vec_id, c.vec_id),
+            r AS (SELECT query_id, neighbor_id, score_int,
+                         CAST(score_int AS DOUBLE) * cs * qs AS raw,
+                         row_number() OVER (
+                             PARTITION BY query_id
+                             ORDER BY CAST(score_int AS DOUBLE) * cs * qs
+                                      DESC, neighbor_id) AS rank
+                  FROM d)
+            SELECT query_id, neighbor_id, score_int,
+                   {_ROUND8_SQL.format(x='raw')} AS score, rank
+            FROM r WHERE rank <= 5
+        """,
+        "dedup_containment": f"""
+            WITH corpus AS ({_AUG_SQL}),
+            sh AS (SELECT doc_id, lang, {_shingles('text')} AS sh
+                   FROM corpus)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(a.sh) AS sz_a, len(b.sh) AS sz_b, {cont} AS containment
+            FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE {cont} >= 0.9
+        """,
+        "privacy_l_diversity": """
+            WITH cust AS (
+                SELECT c_custkey,
+                       CAST(c_nationkey AS VARCHAR) AS nation,
+                       trim(CAST(c_mktsegment AS VARCHAR)) AS segment,
+                       CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+                FROM customer),
+            s AS (SELECT nation, segment,
+                         count(DISTINCT bal_band) AS sens_diversity
+                  FROM cust GROUP BY nation, segment)
+            SELECT c_custkey,
+                   CASE WHEN sens_diversity < 3 THEN '*' ELSE c.nation
+                       END AS nation,
+                   CASE WHEN sens_diversity < 3 THEN '*' ELSE c.segment
+                       END AS segment,
+                   bal_band,
+                   CAST(sens_diversity AS BIGINT) AS sens_diversity
+            FROM cust c JOIN s USING (nation, segment)
         """,
         # query_approx_distinct: rows-only by design — two HLL
         # implementations (Spark HLL++, DuckDB HLL) estimate differently;

@@ -333,6 +333,55 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             .where(F.col("jaccard") >= threshold))
 
 
+def containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                      block_col: str, threshold: float = 0.8,
+                      n: int = 3,
+                      max_shingle_df: int | None = None) -> DataFrame:
+    """Shingle-containment pairs inside a blocking key:
+    ``containment = |A∩B| / min(|A|, |B|)`` — near 1.0 when one
+    document's shingle set is (almost) a SUBSET of the other's.
+
+    Jaccard misses sub-document duplication: a paragraph pasted into a
+    10× longer page scores ``|A|/|B| ≈ 0.1`` jaccard but ~1.0
+    containment.  This is the standard screen for quote/boilerplate
+    inclusion and truncated re-crawls in training corpora (the min
+    makes it symmetric; use the smaller side's coverage).
+
+    Same inverted-shingle-index shape (and the same exactness and
+    ``max_shingle_df`` under-approximation caveats) as
+    :func:`ngram_jaccard_pairs`.  Returns
+    ``(id_a, id_b, sz_a, sz_b, containment)``.
+    """
+    if threshold <= 0:
+        raise ValueError(
+            "threshold must be > 0: zero-overlap pairs are pruned by "
+            "construction in the inverted-index formulation")
+    base = df.select(F.col(block_col).alias("_blk"),
+                     F.col(id_col).alias("_id"),
+                     shingles_batched(F.col(text_col), n).alias("sh"))
+    ex = base.select("_blk", "_id", F.size("sh").alias("sz"),
+                     F.explode("sh").alias("s"))
+    if max_shingle_df is not None:
+        hot = (ex.groupBy("_blk", "s")
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .where(F.col("_n") > max_shingle_df)
+               .select("_blk", "s"))
+        ex = ex.join(F.broadcast(hot), ["_blk", "s"], "left_anti")
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (a.join(b, ["_blk", "s"])
+             .where(F.col("a._id") < F.col("b._id"))
+             .groupBy(F.col("a._id").alias("id_a"),
+                      F.col("b._id").alias("id_b"),
+                      F.col("a.sz").alias("sz_a"),
+                      F.col("b.sz").alias("sz_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    denom = F.least(F.col("sz_a"), F.col("sz_b")).cast("double")
+    return (pairs.select("id_a", "id_b", "sz_a", "sz_b",
+                         round4(F.col("inter").cast("double") / denom)
+                         .alias("containment"))
+            .where(F.col("containment") >= threshold))
+
+
 def decontaminate(corpus: DataFrame, benchmark: DataFrame, id_col: str,
                   text_col: str, bench_text_col: str | None = None,
                   n: int = 5) -> DataFrame:

@@ -36,3 +36,40 @@ def k_anonymize(df: DataFrame, quasi_cols: list[str], k: int,
         out = out.withColumn(
             c, F.when(small, F.lit(redacted)).otherwise(F.col(c)))
     return out
+
+
+def l_diversify(df: DataFrame, quasi_cols: list[str], sensitive_col: str,
+                l: int, redacted: str = "*") -> DataFrame:
+    """l-diversity suppression: redact quasi-identifier tuples whose
+    group contains fewer than ``l`` DISTINCT sensitive values.
+
+    k-anonymity alone leaks when a large group is homogeneous in the
+    sensitive attribute (everyone in the group shares the secret);
+    l-diversity (Machanavajjhala et al., 2007) additionally requires
+    in-group sensitive diversity.  Suppression-only, like
+    :func:`k_anonymize`.
+
+    Shape: one count-distinct aggregate on the quasi-identifier key,
+    broadcast-joined back (group count ≤ distinct QI tuples — small
+    relative to the table); redaction is a codegen CASE.  Adds
+    ``sens_diversity`` (pre-suppression distinct count, audit column).
+    """
+    if l < 1:
+        raise ValueError("l must be >= 1")
+    stats = (df.groupBy(*quasi_cols)
+             .agg(F.countDistinct(sensitive_col).alias("sens_diversity")))
+    # null-safe equality so NULL quasi-identifier values join back to
+    # their own group exactly as groupBy grouped them
+    stats_a = stats.select(
+        *[F.col(c).alias(f"_qi_{c}") for c in quasi_cols],
+        "sens_diversity")
+    cond = None
+    for c in quasi_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"_qi_{c}"))
+        cond = eq if cond is None else cond & eq
+    out = df.join(F.broadcast(stats_a), cond)
+    small = F.col("sens_diversity") < l
+    for c in quasi_cols:
+        out = out.withColumn(
+            c, F.when(small, F.lit(redacted)).otherwise(F.col(c)))
+    return out.select(*df.columns, "sens_diversity")

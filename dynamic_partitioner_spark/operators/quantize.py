@@ -31,7 +31,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 ROUND8_SQL = "floor(({x}) * 100000000 + 0.5) / 100000000"
@@ -116,3 +116,71 @@ def int8_grammian(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
 
     partials = df.select(vec_col).mapInPandas(_partials, out_schema)
     return (partials.groupBy("i", "j").agg(F.sum("g").alias("g")))
+
+
+def _quantize_np(X: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(scale, Q) for a float64 row-matrix — the same deterministic
+    ``floor(x/(max|x|/127) + 0.5)`` as :func:`quantize_embeddings`."""
+    maxabs = np.max(np.abs(X), axis=1, keepdims=True)
+    scale = maxabs / 127.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Q = np.floor(X / scale + 0.5)
+    Q[np.repeat(maxabs == 0, X.shape[1], axis=1)] = 0.0
+    return scale[:, 0], Q.astype(np.int64)
+
+
+def int8_topk(emb: DataFrame, queries: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding", k: int = 5) -> DataFrame:
+    """Exact top-k over int8-quantized vectors: integer dot products
+    (the int8-GEMM ANN scoring path) rescaled by the two per-vector
+    scales.  Returns (query_id, neighbor_id, score_int, score, rank);
+    self-matches excluded, ties broken by neighbor id.
+
+    ``score_int = q_a·q_b`` is exact BIGINT; ``score = score_int ·
+    scale_a · scale_b`` multiplies three identical-valued doubles
+    left-to-right in both engines, so even the float rescale is
+    bit-reproducible and the driver oracle matches on values, not just
+    ranks.
+
+    Scale shape: queries are collected (bounded — the query set is
+    small by construction, same contract as ``topk_bruteforce``) and
+    closed over; the corpus side is ONE Arrow ``mapInPandas`` scan
+    computing an (batch × n_queries) int64 matmul — zero corpus
+    shuffle; only the (corpus × n_queries) scored rows shuffle into
+    the per-query rank window.
+    """
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        raise ValueError("queries must be non-empty")
+    qids = [int(r[0]) for r in qrows]
+    qscale, Qq = _quantize_np(np.asarray([r[1] for r in qrows],
+                                         dtype=np.float64))
+    nq = len(qids)
+    out_schema = ("query_id long, neighbor_id long, score_int long, "
+                  "_raw double")
+
+    def _score(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            xscale, Xq = _quantize_np(X)
+            D = Xq @ Qq.T                               # int64, exact
+            raw = D * xscale[:, None] * qscale[None, :]
+            yield pd.DataFrame({
+                "query_id": np.repeat(np.asarray(qids, dtype=np.int64)
+                                      [None, :], len(ids), axis=0).ravel(),
+                "neighbor_id": np.repeat(ids, nq),
+                "score_int": D.ravel(),
+                "_raw": raw.ravel(),
+            })
+
+    scored = (emb.select(id_col, vec_col).mapInPandas(_score, out_schema)
+              .where(F.col("neighbor_id") != F.col("query_id")))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("_raw").desc(), F.col("neighbor_id")))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "score_int",
+                    _round8(F.col("_raw")).alias("score"), "rank"))

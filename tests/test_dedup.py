@@ -304,3 +304,22 @@ def test_shingles_batched_matches_column_form(spark):
     assert diff.where(F.col("col_form") != F.col("arrow")).count() == 0
     assert diff.where(F.col("col_form").isNull()
                       != F.col("arrow").isNull()).count() == 0
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc pasted inside a long one: containment 1.0 while
+    jaccard stays below any realistic threshold."""
+    from dynamic_partitioner_spark.operators.dedup import (
+        containment_pairs, ngram_jaccard_pairs)
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, short, "en"), (2, short + " " + filler, "en")],
+        "doc_id long, text string, lang string")
+    cont = containment_pairs(df, "doc_id", "text", "lang",
+                             threshold=0.9, n=3).collect()
+    assert len(cont) == 1 and cont[0].containment == 1.0
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", "lang",
+                              threshold=0.5, n=3).collect()
+    assert jac == []

@@ -60,3 +60,33 @@ def test_grammian_rejects_wrong_dim(spark):
     df = _vecs(spark, [(1, [1.0, 2.0, 3.0])])
     with pytest.raises((Py4JJavaError, PythonException)):
         int8_grammian(df, "embedding", 2).collect()
+
+
+def test_int8_topk_agrees_with_float_cosine_ordering(spark):
+    """Int8 top-1 neighbor matches the float cosine top-1 for most
+    queries (quantization noise may flip near-ties further down)."""
+    from dynamic_partitioner_spark.operators.quantize import int8_topk
+    from dynamic_partitioner_spark.operators.similarity import (
+        topk_bruteforce)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    got = {(r.query_id, r.neighbor_id) for r in
+           int8_topk(emb, queries, k=1).collect()}
+    want = {(r.query_id, r.neighbor_id) for r in
+            topk_bruteforce(emb, queries, k=1).collect()}
+    assert len(got & want) >= 8        # >= 80% top-1 agreement
+
+
+def test_int8_topk_excludes_self_and_ranks(spark):
+    from dynamic_partitioner_spark.operators.quantize import int8_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3)
+    rows = int8_topk(emb, queries, k=5).collect()
+    assert all(r.neighbor_id != r.query_id for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == [1, 2, 3, 4, 5]

@@ -157,3 +157,25 @@ def test_bad_schema_string_fails():
     with pytest.raises(SpecError, match="Unable to parse schema"):
         SinkSpec(name="s", field_names=["product"],
                  schema="not ( a ddl").declared_schema()
+
+
+def test_l_diversity_redacts_homogeneous_groups(spark):
+    """Groups with < l distinct sensitive values redact even when
+    large (the k-anonymity blind spot); NULL QI values group
+    null-safely."""
+    from pyspark.sql import functions as F
+
+    from dynamic_partitioner_spark.operators.privacy import l_diversify
+
+    rows = ([(i, "US", "A", 1) for i in range(5)]          # homogeneous
+            + [(10 + i, "US", "B", i % 3) for i in range(6)]  # diverse
+            + [(20 + i, None, "C", i) for i in range(2)])     # NULL QI
+    df = spark.createDataFrame(
+        rows, "id long, nation string, segment string, sens long")
+    out = {r.id: r for r in
+           l_diversify(df, ["nation", "segment"], "sens", l=2).collect()}
+    assert out[0].nation == "*" and out[0].segment == "*"
+    assert out[0].sens_diversity == 1
+    assert out[10].nation == "US" and out[10].sens_diversity == 3
+    assert out[20].sens_diversity == 2 and out[20].nation is None
+    assert len(out) == 13
