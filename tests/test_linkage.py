@@ -68,3 +68,18 @@ def test_fuzzy_pairs_rejects_larger_radius(spark):
     df = spark.createDataFrame([(1, "x")], "id long, s string")
     with pytest.raises(ValueError):
         fuzzy_pairs(df, "id", "s", max_dist=2)
+
+
+def test_deletion_keys_batched_matches_column_form(spark):
+    from pyspark.sql import functions as F
+
+    from dynamic_partitioner_spark.operators.linkage import (
+        deletion_keys, deletion_keys_batched)
+
+    df = spark.createDataFrame(
+        [("abc",), ("",), ("a",), ("héllo",), (None,)], "s string")
+    both = df.select(deletion_keys("s").alias("col_form"),
+                     deletion_keys_batched("s").alias("arrow"))
+    assert both.where(F.col("col_form") != F.col("arrow")).count() == 0
+    assert both.where(F.col("col_form").isNull()
+                      != F.col("arrow").isNull()).count() == 0
