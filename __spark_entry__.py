@@ -1623,6 +1623,18 @@ def q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversify(cust, ["nation", "segment"], "bal_band", l=3)
 
 
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (α=½) source resampling — √n-proportional takes with
+    an exact-integer normalization (⌊√n⌋ weights) so both engines make
+    identical membership decisions; flattens the source-size head the
+    way multilingual pre-training mixtures do."""
+    from dynamic_partitioner_spark.operators.sampling import (
+        temperature_mixture)
+    docs = _table(spark, sf_dir, "documents")
+    out = temperature_mixture(docs, "source", "doc_id", total_rows=300)
+    return out.select("doc_id", "lang", "source")
+
+
 def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user z-score outliers (|z| > 2 vs the user's own mean/std) —
     the per-entity anomaly screen over an event stream.  Group-stats
@@ -1661,7 +1673,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY_R04 = [
     "embedding_quantize", "embedding_grammian", "text_bpe_pairs",
     "events_anomaly", "similarity_int8_topk", "dedup_containment",
-    "privacy_l_diversity",
+    "privacy_l_diversity", "sample_temperature",
     "partitioned_write_single", "partitioned_write_multi",
     "partitioned_write_orc", "partitioned_write_avro",
     "partition_key_trim", "append_mode", "overwrite_dynamic",
@@ -1799,6 +1811,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_int8_topk": q_similarity_int8,
         "dedup_containment": q_dedup_containment,
         "privacy_l_diversity": q_privacy_l_diversity,
+        "sample_temperature": q_sample_temperature,
     }
 
 
@@ -1929,6 +1942,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_mixture": SMP.mix_by_weights_sql(
             "doc_id, source, lang", "source", "doc_id",
             _MIX_WEIGHTS, _MIX_TOTAL),
+        "sample_temperature": SMP.temperature_mixture_sql(
+            "doc_id, lang, source", "source", "doc_id", 300),
         "dedup_exact": (
             "SELECT text, min(doc_id) AS doc_id, count(*) AS dup_count "
             "FROM documents GROUP BY text"),

@@ -216,3 +216,57 @@ def mix_by_weights_sql(table_cols: str, source: str, key: str,
         f"SELECT {table_cols} FROM {from_table} t JOIN _n USING ({source}) "
         f"WHERE {source} IN ({in_list}) "
         f"AND {u} < least(1.0, ({w_case}) * {float(total_rows)!r} / n)")
+
+
+def temperature_mixture(df: DataFrame, source_col: str, key_col: str,
+                        total_rows: int,
+                        salt: str = "temp") -> DataFrame:
+    """Temperature-scaled source resampling at α = ½ (the standard
+    multilingual/UniMax-style rebalancing: expected take from source s
+    ∝ √n_s, flattening the head without equalizing), deterministic and
+    oracle-exact.
+
+    Weights use the INTEGER-quantized √n — ``floor(sqrt(n))`` with
+    IEEE sqrt, bit-identical in Python and DuckDB — so the cross-source
+    normalization ``S = Σ_s ⌊√n_s⌋`` is an exact integer sum
+    (order-free, unlike a float Σ√n whose value depends on summation
+    order).  Each source's keep rate is then ONE double division of two
+    exact BIGINT products, ``min(1, (total·w_s) / (S·n_s))``, identical
+    in both engines; membership is the md5 unit draw.  Same
+    bounded-collect shape as :func:`mix_by_weights` (|sources| rows);
+    the sample itself is a pure filter.  Rates cap at 1 — hash
+    sampling cannot upsample; epoch/repeat logic belongs downstream.
+    """
+    import math
+
+    counts = {r[0]: int(r[1])
+              for r in df.groupBy(source_col).count().collect()}
+    if not counts:
+        raise ValueError("empty input: no sources to sample")
+    w = {s: int(math.floor(math.sqrt(float(n)))) for s, n in counts.items()}
+    S = sum(w.values())
+    rate: Column | None = None
+    for s, n in counts.items():
+        r = min(1.0, (total_rows * w[s]) / (S * n))
+        rate = (F.when(F.col(source_col) == s, F.lit(r)) if rate is None
+                else rate.when(F.col(source_col) == s, F.lit(r)))
+    return df.where(hash_unit(F.col(key_col), salt)
+                    < rate.otherwise(F.lit(0.0)))
+
+
+def temperature_mixture_sql(table_cols: str, source: str, key: str,
+                            total_rows: int, salt: str = "temp",
+                            from_table: str = "documents") -> str:
+    """DuckDB twin of :func:`temperature_mixture` — recomputes counts,
+    integer-√ weights, and the exact-integer normalization in SQL."""
+    u = hash_unit_sql(key, salt)
+    return (
+        f"WITH _n AS (SELECT {source}, count(*) AS n FROM {from_table} "
+        f"GROUP BY {source}), "
+        f"_w AS (SELECT {source}, n, "
+        f"CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM _n), "
+        f"_s AS (SELECT sum(w) AS s_tot FROM _w) "
+        f"SELECT {table_cols} FROM {from_table} t "
+        f"JOIN _w USING ({source}) CROSS JOIN _s "
+        f"WHERE {u} < least(1.0, "
+        f"CAST({int(total_rows)} * w AS DOUBLE) / CAST(s_tot * n AS DOUBLE))")

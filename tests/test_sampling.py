@@ -175,3 +175,26 @@ def test_stratified_sample_deterministic(spark):
     a = {r.id for r in stratified_sample(df, "s", "id", {"a": 0.4}).collect()}
     b = {r.id for r in stratified_sample(df, "s", "id", {"a": 0.4}).collect()}
     assert a == b
+
+
+def test_temperature_mixture_flattens_and_is_deterministic(spark):
+    """α=½ resampling: a 100× bigger source is taken at a much lower
+    RATE (√-flattening) but still contributes more rows; membership is
+    a pure function of (salt, key)."""
+    from dynamic_partitioner_spark.operators.sampling import (
+        temperature_mixture)
+
+    rows = ([(i, "big") for i in range(4000)]
+            + [(10_000 + i, "small") for i in range(40)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mixture(df, "source", "doc_id", total_rows=400)
+    got = out.groupBy("source").count().collect()
+    by_src = {r.source: r["count"] for r in got}
+    # rates: w_big=63, w_small=6, S=69 -> big ~ 400*63/(69*4000)=9.1%,
+    # small ~ 400*6/(69*40)=87%
+    assert by_src["small"] >= 25                 # high take-rate
+    assert by_src["big"] > by_src["small"]       # but head still larger
+    assert by_src["big"] < 4000 * 0.2            # flattened well below 100x
+    again = temperature_mixture(df, "source", "doc_id", total_rows=400)
+    assert {r.doc_id for r in out.collect()} == \
+        {r.doc_id for r in again.collect()}
