@@ -1665,7 +1665,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # ``queries()`` entries per round (r02 and r03 each covered exactly 50
 # keys; every oracle-bearing key has now been hash-checked green in
 # r02 or r03).  Rotate each round so the keys LONGEST-unchecked come
-# first: this round the four NEW keys lead (never checked), followed
+# first: this round the eight NEW keys lead (never checked), followed
 # by the r02 window (not re-checked since r02), i.e. everything
 # outside the r03 window.  The two approx-sketch keys are rows-only
 # (no oracle by design) and carry no hash signal, so they sit at the

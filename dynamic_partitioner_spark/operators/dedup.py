@@ -471,12 +471,15 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
     Distributed min-label propagation: every node starts labeled with
     itself; each round takes the min of its own and its neighbors'
     labels (join + hash-agg = 2 shuffles per round) until a round
-    changes nothing.  Rounds needed = graph diameter; duplicate
-    clusters are near-cliques (diameter ~2-3), so this converges in a
-    handful of rounds — for long-chain graphs switch to the
-    large-star/small-star contraction.  ``localCheckpoint`` cuts the
-    iterative lineage (at cluster scale, point ``spark.sparkContext.
-    setCheckpointDir`` at durable storage and use ``checkpoint``).
+    changes nothing.  The node's previous label rides through the same
+    aggregate, so convergence detection is a filter-count over the
+    just-checkpointed round output — no extra join per round.  Rounds
+    needed = graph diameter; duplicate clusters are near-cliques
+    (diameter ~2-3), so this converges in a handful of rounds — for
+    long-chain graphs switch to the large-star/small-star contraction.
+    ``localCheckpoint`` cuts the iterative lineage (at cluster scale,
+    point ``spark.sparkContext.setCheckpointDir`` at durable storage
+    and use ``checkpoint``).
 
     Returns (doc_id, cluster_id) for every doc appearing in a pair;
     unpaired docs are their own implicit singleton clusters.
@@ -492,14 +495,22 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
               .select(F.col("u").alias("node"), F.col("u").alias("label")))
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges.v == labels.node)
-                 .select(F.col("u").alias("node"), "label"))
-        new_labels = (labels.unionByName(neigh)
-                      .groupBy("node").agg(F.min("label").alias("label")))
+                 .select(F.col("u").alias("node"), "label",
+                         F.lit(False).alias("_own")))
+        own = labels.select("node", "label", F.lit(True).alias("_own"))
+        # carry the node's previous label through the same aggregate
+        # (every node has exactly one _own row), so convergence
+        # detection below is a scan of the checkpointed result — no
+        # extra join per round
+        new_labels = (own.unionByName(neigh)
+                      .groupBy("node")
+                      .agg(F.min("label").alias("label"),
+                           F.max(F.when(F.col("_own"), F.col("label")))
+                           .alias("_old")))
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (labels.alias("o")
-                   .join(new_labels.alias("n"), "node")
-                   .where(F.col("o.label") != F.col("n.label")).count())
-        labels = new_labels
+        changed = new_labels.where(
+            F.col("label") != F.col("_old")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"),
