@@ -16,6 +16,9 @@ embedding corpus actually needs).
   corpus.  Integer products accumulated as BIGINT are exact and
   order-independent — unlike a float grammian, the distributed sum is
   reproducible and oracle-checkable regardless of partitioning.
+* :func:`int8_topk` — exact top-k neighbor scoring over the quantized
+  vectors (integer dots + per-vector rescale), the int8-GEMM ANN path
+  with value-exact cross-engine results.
 
 Scale shape (grammian): one Arrow ``mapInPandas`` pass emits a d×d
 partial matrix per batch (numpy int64 ``Qᵀ·Q`` — the map-side combine),

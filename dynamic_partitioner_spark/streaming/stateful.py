@@ -210,6 +210,105 @@ def run_streaming_join(spark: SparkSession, src_path: str, sink_table: str,
     return spark.table(sink_table)
 
 
+TOPK_SNAP_SCHEMA = ("user_id long, v1 double, e1 long, v2 double, "
+                    "e2 long, v3 double, e3 long")
+
+
+def running_topk_state(sdf: DataFrame, key_col: str = "user_id",
+                       value_col: str = "value",
+                       id_col: str = "event_id") -> DataFrame:
+    """Per-key running top-3 values via ``transformWithStateInPandas``
+    (Spark 4's typed-state stateful API — ``ValueState`` in the state
+    store, vs the untyped single-blob ``applyInPandasWithState`` in
+    :func:`stateful_user_stats`; both shapes are first-class here).
+
+    Keeps the 3 best ``(value, id)`` pairs per key under (value DESC,
+    id DESC), updated across micro-batches, emitting a snapshot row per
+    touched key per batch.  The kept triple is MONOTONE in the
+    lexicographic struct order ``(v1, e1, v2, e2, v3, e3)`` — more data
+    only improves it — so the final state is ``max(struct(...))`` over
+    all emitted snapshots (same reduction trick as
+    :func:`stateful_user_stats`).
+
+    ENVIRONMENT GATE: ``transformWithStateInPandas`` speaks protobuf to
+    its state server and requires the RocksDB state-store provider
+    (:func:`run_running_topk` sets it).  The ``google.protobuf``
+    package is absent from this container, so the operator cannot
+    execute here — ``tests/test_streaming.py`` skips via
+    ``importorskip`` and there is deliberately no driver key (it would
+    fail in the driver's identical env).  The equivalent capability IS
+    covered end-to-end by the ``applyInPandasWithState`` operators
+    above; this one exists so a protobuf-equipped deployment gets the
+    typed-state API form too.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class TopK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._top = handle.getValueState(
+                "top3", "v1 double, e1 long, v2 double, e2 long, "
+                        "v3 double, e3 long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = self._top.get()
+            best: list[tuple[float, int]] = []
+            if cur is not None:
+                best = [(cur[2 * i], cur[2 * i + 1]) for i in range(3)
+                        if cur[2 * i] is not None]
+            for pdf in rows:
+                best.extend(zip(pdf[value_col].astype(float),
+                                pdf[id_col].astype(int)))
+            best.sort(key=lambda t: (-t[0], -t[1]))
+            best = best[:3]
+            flat: list = []
+            for i in range(3):
+                if i < len(best):
+                    flat.extend([float(best[i][0]), int(best[i][1])])
+                else:
+                    flat.extend([None, None])
+            self._top.update(tuple(flat))
+            yield pd.DataFrame({"user_id": [key[0]],
+                                "v1": [flat[0]], "e1": [flat[1]],
+                                "v2": [flat[2]], "e2": [flat[3]],
+                                "v3": [flat[4]], "e3": [flat[5]]})
+
+        def close(self) -> None:
+            pass
+
+    return (sdf.groupBy(key_col)
+            .transformWithStateInPandas(TopK(), TOPK_SNAP_SCHEMA,
+                                        "Update", "None"))
+
+
+def run_running_topk(spark: SparkSession, src_path: str, sink_table: str,
+                     timeout_sec: int = 300,
+                     state_partitions: int | None = 8) -> DataFrame:
+    """Drive :func:`running_topk_state` through real micro-batches (one
+    file per trigger) and reduce the snapshots to the final per-key
+    top-3 via the monotone ``max(struct(...))``.  Requires
+    ``google.protobuf`` (see the operator's environment gate)."""
+    from .write import (run_stream_to_completion, shuffle_partitions,
+                        stream_from_files)
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    with shuffle_partitions(spark, state_partitions):
+        sdf = stream_from_files(spark, src_path, max_files_per_trigger=1)
+        out = running_topk_state(sdf)
+        q = (out.writeStream.format("memory").queryName(sink_table)
+             .outputMode("update").trigger(availableNow=True).start())
+        run_stream_to_completion(q, timeout_sec)
+    snaps = spark.table(sink_table)
+    return (snaps.groupBy("user_id")
+            .agg(F.max(F.struct("v1", "e1", "v2", "e2", "v3", "e3"))
+                 .alias("s"))
+            .select("user_id", "s.v1", "s.e1", "s.v2", "s.e2",
+                    "s.v3", "s.e3"))
+
+
 STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType()),
                              T.StructField("total", T.DoubleType())])
 

@@ -243,3 +243,36 @@ def test_streaming_join_across_batches(spark, tmp_out):
     out = run_streaming_join(spark, src, "t_sjoin", join_window="2 hours")
     got = {(r.user_id, r.view_id, r.click_id) for r in out.collect()}
     assert got == {(1, 10, 20), (2, 11, 22)}
+
+
+def test_running_topk_transform_with_state(spark, tmp_out):
+    """Spark 4 typed-state API (transformWithStateInPandas): per-user
+    running top-3 across micro-batches equals the batch window top-3.
+    Skipped where google.protobuf is unavailable (the TWS state server
+    speaks protobuf)."""
+    import pytest
+    pytest.importorskip("google.protobuf")
+
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dynamic_partitioner_spark.streaming.stateful import (
+        run_running_topk)
+
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .select("event_id", "user_id", "value"))
+    src = os.path.join(tmp_out, "src")
+    ev.repartition(3).write.parquet(src)
+    spark.catalog.dropTempView("tws_topk_sink")
+    out = run_running_topk(spark, src, "tws_topk_sink")
+
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(),
+                                              F.col("event_id").desc())
+    batch = (ev.withColumn("rnk", F.row_number().over(w))
+             .where("rnk <= 3").groupBy("user_id")
+             .pivot("rnk", [1, 2, 3]).agg(F.first("value")))
+    got = {(r.user_id, r.v1, r.v2, r.v3) for r in out.collect()}
+    want = {(r.user_id, r["1"], r["2"], r["3"]) for r in batch.collect()}
+    assert got == want and got
