@@ -1576,7 +1576,7 @@ def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-shingle ngram key).  Partial-agg explode → one exchange →
     rank."""
     docs = _table(spark, sf_dir, "documents")
-    grams = docs.select(F.explode(DD.ngrams_all(F.col("text"), 2))
+    grams = docs.select(F.explode(DD.ngrams_all_batched(F.col("text"), 2))
                         .alias("pair"))
     counts = grams.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
     # TakeOrderedAndProject top-k, then rank the ≤100 survivors (see

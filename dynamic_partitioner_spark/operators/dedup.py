@@ -83,6 +83,33 @@ def shingles(c: Column, n: int = 3) -> Column:
     return F.array_distinct(ngrams_all(c, n))
 
 
+def ngrams_all_batched(c: Column, n: int = 3) -> Column:
+    """Arrow-batched :func:`ngrams_all` (duplicates kept, order
+    preserved) — element-for-element identical, pinned by
+    ``tests/test_dedup.py``; same interpreted-HOF rationale as
+    :func:`shingles_batched`."""
+    import re
+
+    ws = re.compile(r"[ \t\n\r]+")
+
+    @F.pandas_udf("array<string>")
+    def _ng(s: pd.Series) -> pd.Series:
+        out = []
+        for t in s:
+            if t is None:
+                out.append(None)
+                continue
+            toks = ws.split(t.lower().strip(" "))
+            if len(toks) < n:
+                out.append([])
+                continue
+            out.append([" ".join(toks[i:i + n])
+                        for i in range(len(toks) - n + 1)])
+        return pd.Series(out)
+
+    return _ng(c)
+
+
 def shingles_batched(c: Column, n: int = 3) -> Column:
     """Arrow-batched :func:`shingles` — element-for-element identical
     output (same tokenization: lower → trim spaces → split on

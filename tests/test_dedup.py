@@ -323,3 +323,23 @@ def test_containment_catches_subset_jaccard_misses(spark):
     jac = ngram_jaccard_pairs(df, "doc_id", "text", "lang",
                               threshold=0.5, n=3).collect()
     assert jac == []
+
+
+def test_ngrams_all_batched_matches_column_form(spark):
+    from pyspark.sql import functions as F
+
+    from dynamic_partitioner_spark.operators.dedup import (
+        ngrams_all, ngrams_all_batched)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    edge = spark.createDataFrame(
+        [(9001, ""), (9002, "a b"), (9003, "a b a b"), (9004, None)],
+        "doc_id long, text string")
+    both = docs.select("doc_id", "text").unionByName(edge)
+    for n in (2, 3):
+        diff = both.select(
+            ngrams_all(F.col("text"), n).alias("col_form"),
+            ngrams_all_batched(F.col("text"), n).alias("arrow"))
+        assert diff.where(F.col("col_form") != F.col("arrow")).count() == 0
+        assert diff.where(F.col("col_form").isNull()
+                          != F.col("arrow").isNull()).count() == 0
