@@ -1623,6 +1623,15 @@ def q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversify(cust, ["nation", "segment"], "bal_band", l=3)
 
 
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character entropy (nats) — gibberish/binary-noise
+    screen; per-char terms quantized to integer micro-nats so the doc
+    sum is exact and aggregation-order-free."""
+    from dynamic_partitioner_spark.operators.repetition import char_entropy
+    docs = _table(spark, sf_dir, "documents")
+    return char_entropy(docs, "doc_id", "text")
+
+
 def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature (α=½) source resampling — √n-proportional takes with
     an exact-integer normalization (⌊√n⌋ weights) so both engines make
@@ -1673,7 +1682,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY_R04 = [
     "embedding_quantize", "embedding_grammian", "text_bpe_pairs",
     "events_anomaly", "similarity_int8_topk", "dedup_containment",
-    "privacy_l_diversity", "sample_temperature",
+    "privacy_l_diversity", "sample_temperature", "text_entropy",
     "partitioned_write_single", "partitioned_write_multi",
     "partitioned_write_orc", "partitioned_write_avro",
     "partition_key_trim", "append_mode", "overwrite_dynamic",
@@ -1812,6 +1821,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "privacy_l_diversity": q_privacy_l_diversity,
         "sample_temperature": q_sample_temperature,
+        "text_entropy": q_text_entropy,
     }
 
 
@@ -1944,6 +1954,24 @@ def oracle_sql() -> dict[str, str]:
             _MIX_WEIGHTS, _MIX_TOTAL),
         "sample_temperature": SMP.temperature_mixture_sql(
             "doc_id, lang, source", "source", "doc_id", 300),
+        "text_entropy": f"""
+            WITH ex AS (SELECT doc_id, len(text) AS n,
+                               unnest(string_split(text, '')) AS ch
+                        FROM documents),
+            c AS (SELECT doc_id, n, ch, count(*) AS c FROM ex
+                  WHERE len(ch) > 0 GROUP BY ALL),
+            t AS (SELECT doc_id,
+                         CAST(floor((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                              * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                              * 1000000.0) AS BIGINT) AS tm
+                  FROM c),
+            s AS (SELECT doc_id, sum(tm) AS s FROM t GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce({ROUND4_SQL.format(
+                       x='-(CAST(s AS DOUBLE)) / 1000000.0')}, 0.0)
+                       AS char_entropy_nats
+            FROM documents d LEFT JOIN s USING (doc_id)
+        """,
         "dedup_exact": (
             "SELECT text, min(doc_id) AS doc_id, count(*) AS dup_count "
             "FROM documents GROUP BY text"),

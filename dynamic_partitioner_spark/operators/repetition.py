@@ -201,3 +201,38 @@ def repetition_signals_sql(table: str, id_col: str, text_col: str) -> str:
                coalesce({d5}, 0.0) AS dup_5gram_frac
         FROM {table} d LEFT JOIN per USING ({id_col})
     """
+
+
+def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats) — the
+    standard gibberish/binary-noise screen next to the C4/Gopher
+    signals (natural text sits ~2.5-3.5 nats; base64/random bytes
+    higher, single-char spam near 0).
+
+    Exactness: each character's term ``p·ln(p)`` is quantized to an
+    integer micro-nat (``floor(x·1e6)``, the :mod:`..operators.lm`
+    trick), so the per-document sum is an exact BIGINT — aggregation-
+    order-free and engine-exact.  ``split(text, '')`` yields identical
+    character arrays in Spark and DuckDB (verified incl. the
+    empty-string edge, which both engines split to one empty token —
+    filtered, so empty docs surface with entropy 0 via the left join).
+
+    Shape: one explode + two hash aggregates (char grain → doc grain)
+    + a join back to the id list; all JVM expressions.
+    """
+    t = F.col(text_col)
+    ex = (df.select(F.col(id_col).alias("_id"),
+                    F.length(t).alias("_n"),
+                    F.explode(F.split(t, "")).alias("_ch"))
+          .where(F.length("_ch") > 0))
+    counts = (ex.groupBy("_id", "_n", "_ch")
+              .agg(F.count(F.lit(1)).alias("_c")))
+    p = F.col("_c").cast("double") / F.col("_n").cast("double")
+    term = F.floor(p * F.log(p) * F.lit(1_000_000.0)).cast("long")
+    per = (counts.select("_id", term.alias("_t"))
+           .groupBy("_id").agg(F.sum("_t").alias("_s")))
+    ent = round4(-(F.col("_s").cast("double")) / 1_000_000.0)
+    ids = df.select(F.col(id_col).alias("_id"))
+    return (ids.join(per, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce(ent, F.lit(0.0)).alias("char_entropy_nats")))

@@ -126,3 +126,19 @@ def test_repetition_arrow_matches_exprs(spark):
     b = {tuple(r) for r in
          repetition_signals_exprs(both, "doc_id", "text").collect()}
     assert a == b and len(a) > 500
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from dynamic_partitioner_spark.operators.repetition import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, ""), (4, "abcd")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.char_entropy_nats for r in
+           char_entropy(df, "doc_id", "text").collect()}
+    assert got[1] == 0.0 and got[3] == 0.0
+    assert abs(got[2] - round(math.log(2), 4)) < 2e-4     # ln 2
+    assert abs(got[4] - round(math.log(4), 4)) < 2e-4     # ln 4
+    assert len(got) == 4
