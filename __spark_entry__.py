@@ -1623,6 +1623,14 @@ def q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversify(cust, ["nation", "segment"], "bal_band", l=3)
 
 
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS, SIGMOD 2003): per-window minimum
+    of md5-hashed word 4-grams — any ≥7-token match between documents
+    shares a fingerprint; the selected set is ~1/4 of the gram count."""
+    docs = _table(spark, sf_dir, "documents")
+    return DD.winnow_fingerprints(docs, "doc_id", "text", k=4, w=4)
+
+
 def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document character entropy (nats) — gibberish/binary-noise
     screen; per-char terms quantized to integer micro-nats so the doc
@@ -1683,6 +1691,7 @@ _PRIORITY_R04 = [
     "embedding_quantize", "embedding_grammian", "text_bpe_pairs",
     "events_anomaly", "similarity_int8_topk", "dedup_containment",
     "privacy_l_diversity", "sample_temperature", "text_entropy",
+    "text_winnow",
     "partitioned_write_single", "partitioned_write_multi",
     "partitioned_write_orc", "partitioned_write_avro",
     "partition_key_trim", "append_mode", "overwrite_dynamic",
@@ -1822,6 +1831,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "privacy_l_diversity": q_privacy_l_diversity,
         "sample_temperature": q_sample_temperature,
         "text_entropy": q_text_entropy,
+        "text_winnow": q_text_winnow,
     }
 
 
@@ -1954,6 +1964,32 @@ def oracle_sql() -> dict[str, str]:
             _MIX_WEIGHTS, _MIX_TOTAL),
         "sample_temperature": SMP.temperature_mixture_sql(
             "doc_id, lang, source", "source", "doc_id", 300),
+        "text_winnow": """
+            WITH t AS (SELECT doc_id,
+                              string_split_regex(trim(lower(text)),
+                                                 '[ \\t\\n\\r]+') AS toks
+                       FROM documents),
+            g AS (SELECT doc_id, i AS pos,
+                         array_to_string(list_slice(toks, i, i + 3), ' ')
+                             AS gram
+                  FROM (SELECT doc_id, toks,
+                               unnest(range(1, greatest(len(toks) - 2, 1)))
+                                   AS i
+                        FROM t)),
+            h AS (SELECT doc_id, pos,
+                         CAST(concat('0x', substr(md5(gram), 1, 15))
+                              AS BIGINT) AS hv
+                  FROM g),
+            wmin AS (SELECT doc_id,
+                            min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                                AS minh,
+                            count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                                AS wn
+                     FROM h)
+            SELECT DISTINCT doc_id, minh AS fp FROM wmin WHERE wn = 4
+        """,
         "text_entropy": f"""
             WITH ex AS (SELECT doc_id, len(text) AS n,
                                unnest(string_split(text, '')) AS ch

@@ -635,3 +635,44 @@ def embedding_near_dup(df: DataFrame, id_col: str, vec_col: str,
                     F.col("b._id").alias("id_b"),
                     round4(cos).alias("cos_sim"))
             .where(F.col("cos_sim") >= threshold))
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 4, w: int = 4) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    the MOSS algorithm): hash every word ``k``-gram, slide a window of
+    ``w`` consecutive gram hashes, keep each window's minimum — the
+    guarantee is that any match of ``w + k - 1`` tokens or longer
+    shares at least one selected fingerprint, so partial overlap
+    (quotes, template reuse, plagiarised spans) is detectable from a
+    set ~``1/w`` the size of the full gram set.
+
+    Returns DISTINCT ``(id, fp)`` rows.  The gram hash is the portable
+    md5-60-bit integer (``sampling.hash_unit``'s construction), so the
+    DuckDB oracle computes identical fingerprints.  Docs with fewer
+    than ``k + w - 1`` tokens yield no complete window and are absent —
+    in both engines.
+
+    Shape: one explode (gram grain), a per-document ordered window
+    min (the same single shuffle any per-doc op needs), then a
+    distinct on the ~n/w selected hashes.  All JVM expressions inside
+    codegen — the gram construction reuses the Arrow-batched path.
+    """
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(ngrams_all_batched(F.col(text_col), k))
+        .alias("_pos", "_g"))
+    h = F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10) \
+         .cast("bigint")
+    win = (Window.partitionBy("_id").orderBy("_pos")
+           .rowsBetween(Window.currentRow, w - 1))
+    scored = ex.select(
+        "_id", "_pos",
+        F.min(h).over(win).alias("_minh"),
+        F.count(F.lit(1)).over(win).alias("_wn"))
+    return (scored.where(F.col("_wn") == w)
+            .select(F.col("_id").alias(id_col),
+                    F.col("_minh").alias("fp"))
+            .distinct())

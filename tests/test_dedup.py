@@ -343,3 +343,25 @@ def test_ngrams_all_batched_matches_column_form(spark):
         assert diff.where(F.col("col_form") != F.col("arrow")).count() == 0
         assert diff.where(F.col("col_form").isNull()
                           != F.col("arrow").isNull()).count() == 0
+
+
+def test_winnow_guarantee_shared_span_shares_fingerprint(spark):
+    """Winnowing guarantee: two docs sharing a run of >= w + k - 1
+    tokens (7 here) share at least one fingerprint; disjoint docs
+    share none."""
+    from dynamic_partitioner_spark.operators.dedup import (
+        winnow_fingerprints)
+
+    span = "the quick brown fox jumps over lazily"          # 7 tokens
+    df = spark.createDataFrame(
+        [(1, "intro words here " + span + " trailing bits"),
+         (2, span + " completely different ending text"),
+         (3, "zero overlap with anything else at all here")],
+        "doc_id long, text string")
+    fps = winnow_fingerprints(df, "doc_id", "text", k=4, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2]                 # shared span detected
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
