@@ -1623,6 +1623,16 @@ def q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversify(cust, ["nation", "segment"], "bal_band", l=3)
 
 
+def q_privacy_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-noised per-nation customer counts (ε=1, seeded noise —
+    reproducible release shape; see the operator's honesty note about
+    rotating the salt for real DP)."""
+    from dynamic_partitioner_spark.operators.privacy import dp_noisy_counts
+    cust = _table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("string").alias("nation"))
+    return dp_noisy_counts(cust, ["nation"], epsilon=1.0)
+
+
 def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (MOSS, SIGMOD 2003): per-window minimum
     of md5-hashed word 4-grams — any ≥7-token match between documents
@@ -1691,7 +1701,7 @@ _PRIORITY_R04 = [
     "embedding_quantize", "embedding_grammian", "text_bpe_pairs",
     "events_anomaly", "similarity_int8_topk", "dedup_containment",
     "privacy_l_diversity", "sample_temperature", "text_entropy",
-    "text_winnow",
+    "text_winnow", "privacy_dp_count",
     "partitioned_write_single", "partitioned_write_multi",
     "partitioned_write_orc", "partitioned_write_avro",
     "partition_key_trim", "append_mode", "overwrite_dynamic",
@@ -1832,7 +1842,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature": q_sample_temperature,
         "text_entropy": q_text_entropy,
         "text_winnow": q_text_winnow,
+        "privacy_dp_count": q_privacy_dp_count,
     }
+
+
+def _dp_oracle() -> str:
+    from dynamic_partitioner_spark.operators.privacy import (
+        dp_noisy_counts_sql)
+    return dp_noisy_counts_sql(
+        ["nation"], 1.0,
+        from_table="(SELECT CAST(c_nationkey AS VARCHAR) AS nation "
+                   "FROM customer)")
 
 
 def _zorder_oracle() -> str:
@@ -1964,6 +1984,7 @@ def oracle_sql() -> dict[str, str]:
             _MIX_WEIGHTS, _MIX_TOTAL),
         "sample_temperature": SMP.temperature_mixture_sql(
             "doc_id, lang, source", "source", "doc_id", 300),
+        "privacy_dp_count": _dp_oracle(),
         "text_winnow": """
             WITH t AS (SELECT doc_id,
                               string_split_regex(trim(lower(text)),

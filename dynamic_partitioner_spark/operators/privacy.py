@@ -73,3 +73,60 @@ def l_diversify(df: DataFrame, quasi_cols: list[str], sensitive_col: str,
         out = out.withColumn(
             c, F.when(small, F.lit(redacted)).otherwise(F.col(c)))
     return out.select(*df.columns, "sens_diversity")
+
+
+def dp_noisy_counts(df: DataFrame, group_cols: list[str], epsilon: float,
+                    salt: str = "dp") -> DataFrame:
+    """Laplace-mechanism noisy group counts (ε-DP shape, sensitivity 1)
+    with SEEDED noise: ``u`` is the md5 unit draw on the group key, and
+    ``noise = -(1/ε)·sign(u−½)·ln(1−2|u−½|)`` is the inverse-CDF
+    Laplace sample — deterministic, so the released table is
+    reproducible and the DuckDB oracle matches exactly.
+
+    HONESTY NOTE: seeded noise is NOT differential privacy in the
+    formal sense — an adversary who knows the salt can subtract the
+    noise.  This operator provides the release *shape* (noisy counts,
+    post-processing-safe rounding) for reproducible pipelines; a real
+    release must draw fresh randomness per publication (rotate ``salt``
+    from a secret source) and account the privacy budget.
+
+    One hash-aggregate on the group key; the noise is a codegen
+    expression over the aggregated (tiny) relation.
+    """
+    from ..functions.vectors import round4
+    from .sampling import hash_unit
+
+    if epsilon <= 0:
+        raise ValueError("epsilon must be > 0")
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string")
+                                for c in group_cols])
+    u = hash_unit(key, salt)
+    centered = u - F.lit(0.5)
+    mag = F.lit(1.0) - F.lit(2.0) * F.abs(centered)
+    noise = (F.lit(-1.0 / epsilon) * F.signum(centered) * F.log(mag))
+    out = (df.groupBy(*group_cols)
+           .agg(F.count(F.lit(1)).alias("true_count")))
+    return out.select(
+        *group_cols, "true_count",
+        round4(F.col("true_count") + noise).alias("noisy_count"))
+
+
+def dp_noisy_counts_sql(group_cols: list[str], epsilon: float,
+                        salt: str = "dp",
+                        from_table: str = "customer") -> str:
+    """DuckDB twin of :func:`dp_noisy_counts`."""
+    from ..functions.vectors import ROUND4_SQL
+    from .sampling import hash_unit_sql
+
+    cols = ", ".join(group_cols)
+    key = ("concat_ws(chr(31), " +
+           ", ".join(f"CAST({c} AS VARCHAR)" for c in group_cols) + ")")
+    u = hash_unit_sql(key, salt)
+    return (
+        f"WITH g AS (SELECT {cols}, count(*) AS true_count "
+        f"FROM {from_table} GROUP BY {cols}) "
+        f"SELECT {cols}, true_count, "
+        + ROUND4_SQL.format(
+            x=f"true_count + ({-1.0 / epsilon!r}) * sign(({u}) - 0.5) "
+              f"* ln(1.0 - 2.0 * abs(({u}) - 0.5))")
+        + " AS noisy_count FROM g")

@@ -179,3 +179,26 @@ def test_l_diversity_redacts_homogeneous_groups(spark):
     assert out[10].nation == "US" and out[10].sens_diversity == 3
     assert out[20].sens_diversity == 2 and out[20].nation is None
     assert len(out) == 13
+
+
+def test_dp_noisy_counts_distribution_and_determinism(spark):
+    """Seeded Laplace noise: deterministic across runs, mean |noise|
+    near 1/eps, and epsilon scales the magnitude down."""
+    from pyspark.sql import functions as F
+
+    from dynamic_partitioner_spark.operators.privacy import dp_noisy_counts
+
+    df = spark.createDataFrame([(i, f"g{i % 40}") for i in range(4000)],
+                               "id long, g string")
+    a = dp_noisy_counts(df, ["g"], epsilon=1.0)
+    b = dp_noisy_counts(df, ["g"], epsilon=1.0)
+    ra = {(r.g, r.true_count, r.noisy_count) for r in a.collect()}
+    assert ra == {(r.g, r.true_count, r.noisy_count) for r in b.collect()}
+    noise = a.select(F.abs(F.col("noisy_count")
+                           - F.col("true_count")).alias("n")).collect()
+    mean_abs = sum(r.n for r in noise) / len(noise)
+    assert 0.3 < mean_abs < 3.0                    # Laplace b=1 scale
+    tight = dp_noisy_counts(df, ["g"], epsilon=10.0)
+    tn = tight.select(F.abs(F.col("noisy_count")
+                            - F.col("true_count")).alias("n")).collect()
+    assert (sum(r.n for r in tn) / len(tn)) < mean_abs
