@@ -71,13 +71,16 @@ def build_vocab(df: DataFrame, text_col: str, min_df: int = 1,
     dfreq = (per_doc.where(F.length("token") > 0)
              .groupBy("token").agg(F.count(F.lit(1)).alias("df"))
              .where(F.col("df") >= min_df))
-    w = Window.orderBy(F.col("df").desc(), F.col("token"))
-    vocab = dfreq.select("token", "df",
-                         (F.row_number().over(w) - 1).cast("long")
-                         .alias("token_id"))
     if max_size is not None:
-        vocab = vocab.where(F.col("token_id") < max_size)
-    return vocab
+        # distributed top-k (TakeOrderedAndProject) BEFORE the rank
+        # window, so the single-partition id assignment only ever sees
+        # max_size rows regardless of corpus vocabulary size
+        dfreq = dfreq.orderBy(F.col("df").desc(), F.col("token")) \
+                     .limit(max_size)
+    w = Window.orderBy(F.col("df").desc(), F.col("token"))
+    return dfreq.select("token", "df",
+                        (F.row_number().over(w) - 1).cast("long")
+                        .alias("token_id"))
 
 
 def encode_tokens(df: DataFrame, id_col: str, text_col: str,
