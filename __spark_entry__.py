@@ -1623,6 +1623,17 @@ def q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversify(cust, ["nation", "segment"], "bal_band", l=3)
 
 
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-64-sample byte thumbnail per payload (nearest-neighbor
+    resampling in the byte domain — the resize plumbing with a
+    deterministic stand-in where the codec libs would plug in; see
+    multimodal.resize_media)."""
+    from dynamic_partitioner_spark.operators.multimodal import (
+        resize_media, to_binary_table)
+    docs = _table(spark, sf_dir, "documents")
+    return resize_media(to_binary_table(docs))
+
+
 def q_privacy_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Laplace-noised per-nation customer counts (ε=1, seeded noise —
     reproducible release shape; see the operator's honesty note about
@@ -1701,7 +1712,7 @@ _PRIORITY_R04 = [
     "embedding_quantize", "embedding_grammian", "text_bpe_pairs",
     "events_anomaly", "similarity_int8_topk", "dedup_containment",
     "privacy_l_diversity", "sample_temperature", "text_entropy",
-    "text_winnow", "privacy_dp_count",
+    "text_winnow", "privacy_dp_count", "mm_resize",
     "partitioned_write_single", "partitioned_write_multi",
     "partitioned_write_orc", "partitioned_write_avro",
     "partition_key_trim", "append_mode", "overwrite_dynamic",
@@ -1843,6 +1854,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_entropy": q_text_entropy,
         "text_winnow": q_text_winnow,
         "privacy_dp_count": q_privacy_dp_count,
+        "mm_resize": q_mm_resize,
     }
 
 
@@ -1985,6 +1997,19 @@ def oracle_sql() -> dict[str, str]:
         "sample_temperature": SMP.temperature_mixture_sql(
             "doc_id, lang, source", "source", "doc_id", 300),
         "privacy_dp_count": _dp_oracle(),
+        "mm_resize": """
+            WITH ex AS (SELECT doc_id, strlen(text) AS n_bytes, text,
+                               unnest(range(0, 64)) AS k
+                        FROM documents),
+            s AS (SELECT doc_id, n_bytes, k,
+                         hex(substring(text,
+                             CAST(1 + floor(k * n_bytes / 64.0) AS INT),
+                             1)) AS h
+                  FROM ex)
+            SELECT doc_id, n_bytes,
+                   md5(string_agg(h, '' ORDER BY k)) AS resized_md5
+            FROM s GROUP BY doc_id, n_bytes
+        """,
         "text_winnow": """
             WITH t AS (SELECT doc_id,
                               string_split_regex(trim(lower(text)),

@@ -129,3 +129,46 @@ def frame_sample(binary_df: DataFrame, every_n: int = 1024,
                     F.substring(F.col("payload"),
                                 F.col("frame_idx") * every_n + 1,
                                 frame_bytes).alias("frame")))
+
+
+RESIZE_TARGET = 64
+
+
+def resize_media(binary_df: DataFrame,
+                 target: int = RESIZE_TARGET) -> DataFrame:
+    """Fixed-size byte "thumbnail" of every payload: sample byte
+    ``1 + ⌊k·n/target⌋`` for ``k = 0..target−1`` — the nearest-neighbor
+    resampling rule, applied in the byte domain.
+
+    A real image/audio resize needs the codec libraries this container
+    lacks (see :func:`decode_media`); the deliverable here is the
+    Spark-side plumbing — schema, per-payload deterministic sampling,
+    distribution — with a byte-domain stand-in for pixel resampling
+    that is exactly checkable cross-engine.  Payloads shorter than
+    ``target`` upsample by index repetition (nearest-neighbor again),
+    so the output length is always ``target``.
+
+    Returns ``(doc_id, n_bytes, resized_md5)`` where ``resized_md5``
+    is the md5 of the hex-encoded sampled bytes (hex-string form keeps
+    the oracle comparison text-typed).  One explode to (doc, k) grain
+    + one ordered re-assembly aggregate; all JVM expressions.
+    """
+    ex = binary_df.select(
+        "doc_id",
+        F.col("meta.orig_bytes").alias("n_bytes"),
+        F.col("payload"),
+        F.explode(F.sequence(F.lit(0), F.lit(target - 1))).alias("k"))
+    pos = (F.lit(1) + F.floor(F.col("k") * F.col("n_bytes")
+                              / F.lit(float(target)))).cast("int")
+    # bind the computed position via a projection so the SQL substring
+    # (whose pos argument must be an expression in scope) can use it
+    sampled = (ex.withColumn("_p", pos)
+               .select("doc_id", "n_bytes", "k",
+                       F.hex(F.expr("substring(payload, _p, 1)"))
+                       .alias("h")))
+    return (sampled.groupBy("doc_id", "n_bytes")
+            .agg(F.md5(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "h"))),
+                    lambda s: s.getField("h")), ""))
+                .alias("resized_md5")))

@@ -72,3 +72,23 @@ def test_decode_media_is_explicit_stub(spark):
     bt = to_binary_table(spark.read.parquet(DOCS).limit(1))
     with pytest.raises(NotImplementedError, match="codec"):
         decode_media(bt, mode="image")
+
+
+def test_resize_media_shapes_and_determinism(spark):
+    """Byte thumbnail: short payloads upsample by repetition, empty
+    payloads hash consistently, output is 1 row per doc."""
+    from dynamic_partitioner_spark.operators.multimodal import (
+        resize_media, to_binary_table)
+
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, "x" * 500)], "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           resize_media(to_binary_table(docs)).collect()}
+    assert len(out) == 3
+    assert out[1].n_bytes == 2 and out[3].n_bytes == 500
+    again = {r.doc_id: r.resized_md5 for r in
+             resize_media(to_binary_table(docs)).collect()}
+    assert {k: v.resized_md5 for k, v in out.items()} == again
+    # empty payload → md5 of empty string, same as hashing no bytes
+    import hashlib
+    assert out[2].resized_md5 == hashlib.md5(b"").hexdigest()
