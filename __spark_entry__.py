@@ -1623,6 +1623,20 @@ def q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversify(cust, ["nation", "segment"], "bal_band", l=3)
 
 
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history: the synthetic per-order change
+    feed becomes validity intervals (valid_from/valid_to/is_current)
+    via one lead window per key."""
+    from dynamic_partitioner_spark.operators.relational import scd2_build
+    li = _table(spark, sf_dir, "lineitem")
+    seq = (F.col("l_linenumber") * F.lit(10**11)
+           + F.col("l_partkey") * F.lit(10**5)
+           + F.col("l_suppkey")).alias("seq")
+    changes = li.select("l_orderkey", seq,
+                        F.round("l_quantity", 2).alias("quantity"))
+    return scd2_build(changes, ["l_orderkey"], "seq", ["quantity"])
+
+
 def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-64-sample byte thumbnail per payload (nearest-neighbor
     resampling in the byte domain — the resize plumbing with a
@@ -1712,7 +1726,7 @@ _PRIORITY_R04 = [
     "embedding_quantize", "embedding_grammian", "text_bpe_pairs",
     "events_anomaly", "similarity_int8_topk", "dedup_containment",
     "privacy_l_diversity", "sample_temperature", "text_entropy",
-    "text_winnow", "privacy_dp_count", "mm_resize",
+    "text_winnow", "privacy_dp_count", "mm_resize", "query_scd2",
     "partitioned_write_single", "partitioned_write_multi",
     "partitioned_write_orc", "partitioned_write_avro",
     "partition_key_trim", "append_mode", "overwrite_dynamic",
@@ -1855,6 +1869,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow": q_text_winnow,
         "privacy_dp_count": q_privacy_dp_count,
         "mm_resize": q_mm_resize,
+        "query_scd2": q_scd2,
     }
 
 
@@ -1997,6 +2012,21 @@ def oracle_sql() -> dict[str, str]:
         "sample_temperature": SMP.temperature_mixture_sql(
             "doc_id, lang, source", "source", "doc_id", 300),
         "privacy_dp_count": _dp_oracle(),
+        "query_scd2": """
+            WITH ch AS (SELECT l_orderkey,
+                               l_linenumber * 100000000000
+                                   + l_partkey * 100000
+                                   + l_suppkey AS seq,
+                               round(l_quantity, 2) AS quantity
+                        FROM lineitem)
+            SELECT l_orderkey,
+                   seq AS valid_from,
+                   lead(seq) OVER w AS valid_to,
+                   (lead(seq) OVER w IS NULL) AS is_current,
+                   quantity
+            FROM ch
+            WINDOW w AS (PARTITION BY l_orderkey ORDER BY seq)
+        """,
         "mm_resize": """
             WITH ex AS (SELECT doc_id, strlen(text) AS n_bytes, text,
                                unnest(range(0, 64)) AS k

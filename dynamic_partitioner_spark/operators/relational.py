@@ -370,3 +370,27 @@ def rollup_time_grains(df: DataFrame, ts_us: Column, value_col: str,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def scd2_build(changes: DataFrame, key_cols: list[str], seq_col: str,
+               attr_cols: list[str]) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn a versioned change feed
+    into validity intervals — each change row becomes a dimension
+    version valid from its own sequence until the key's next change
+    (``valid_to`` NULL + ``is_current`` on the latest).
+
+    The standard warehouse dimension-history build.  One ``lead``
+    window per key (the single shuffle any per-key op needs); interval
+    columns are pure codegen.  The sequence must be unique per key —
+    same contract as ``cdc_latest``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col))
+    nxt = F.lead(seq_col).over(w)
+    return changes.select(
+        *key_cols,
+        F.col(seq_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        (nxt.isNull()).alias("is_current"),
+        *attr_cols)

@@ -360,3 +360,19 @@ def test_salted_join_rejects_right_preserving_types(spark):
     # left-preserving types stay accepted
     assert salted_join(left, right, "k", "lid", 4, "left_semi").count() == 1
     assert salted_join(left, right, "k", "lid", 4, "left_anti").count() == 0
+
+
+def test_scd2_intervals_chain_and_single_current(spark):
+    """Per key: intervals chain (valid_to == next valid_from), exactly
+    one current version, count preserved."""
+    from dynamic_partitioner_spark.operators.relational import scd2_build
+
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 30, "c"), (2, 5, "x")],
+        "k long, seq long, v string")
+    rows = sorted(scd2_build(df, ["k"], "seq", ["v"]).collect(),
+                  key=lambda r: (r.k, r.valid_from))
+    assert [(r.k, r.valid_from, r.valid_to, r.is_current, r.v)
+            for r in rows] == [
+        (1, 10, 20, False, "a"), (1, 20, 30, False, "b"),
+        (1, 30, None, True, "c"), (2, 5, None, True, "x")]
