@@ -1623,6 +1623,16 @@ def q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversify(cust, ["nation", "segment"], "bal_band", l=3)
 
 
+def q_events_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly grid between first and last event with
+    zero-filled empty buckets — calendar densification for window
+    math / charting over sparse activity."""
+    from dynamic_partitioner_spark.operators.relational import (
+        densify_time_buckets)
+    ev = _table(spark, sf_dir, "events")
+    return densify_time_buckets(ev, "user_id", event_time_us(ev))
+
+
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 dimension history: the synthetic per-order change
     feed becomes validity intervals (valid_from/valid_to/is_current)
@@ -1727,6 +1737,7 @@ _PRIORITY_R04 = [
     "events_anomaly", "similarity_int8_topk", "dedup_containment",
     "privacy_l_diversity", "sample_temperature", "text_entropy",
     "text_winnow", "privacy_dp_count", "mm_resize", "query_scd2",
+    "events_densify",
     "partitioned_write_single", "partitioned_write_multi",
     "partitioned_write_orc", "partitioned_write_avro",
     "partition_key_trim", "append_mode", "overwrite_dynamic",
@@ -1870,6 +1881,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "privacy_dp_count": q_privacy_dp_count,
         "mm_resize": q_mm_resize,
         "query_scd2": q_scd2,
+        "events_densify": q_events_densify,
     }
 
 
@@ -2012,6 +2024,19 @@ def oracle_sql() -> dict[str, str]:
         "sample_temperature": SMP.temperature_mixture_sql(
             "doc_id, lang, source", "source", "doc_id", 300),
         "privacy_dp_count": _dp_oracle(),
+        "events_densify": """
+            WITH e AS (SELECT user_id,
+                              epoch_us(ts) // 3600000000 AS b
+                       FROM events),
+            c AS (SELECT user_id, b, count(*) AS n FROM e
+                  GROUP BY user_id, b),
+            s AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM c
+                  GROUP BY user_id),
+            g AS (SELECT user_id, unnest(range(lo, hi + 1)) AS b FROM s)
+            SELECT g.user_id, g.b AS bucket_idx,
+                   coalesce(n, 0) AS n_events
+            FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.b = c.b
+        """,
         "query_scd2": """
             WITH ch AS (SELECT l_orderkey,
                                l_linenumber * 100000000000

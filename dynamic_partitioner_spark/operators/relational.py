@@ -394,3 +394,30 @@ def scd2_build(changes: DataFrame, key_cols: list[str], seq_col: str,
         nxt.alias("valid_to"),
         (nxt.isNull()).alias("is_current"),
         *attr_cols)
+
+
+def densify_time_buckets(df: DataFrame, key_col: str, us: Column,
+                         bucket_us: int = 3_600_000_000) -> DataFrame:
+    """Calendar densification (gap fill): one row per ``bucket_us``-wide
+    time bucket between each key's first and last event, with the
+    actual event count — ZERO-filled buckets included, so downstream
+    window math (moving averages, gap detection, charting) sees a
+    complete grid instead of silently skipping empty periods.
+
+    Shape: per-key aggregate → ``sequence`` explode of the bucket range
+    (bounded by each key's own span) → broadcast-friendly left join of
+    the actual per-bucket counts.  Integer bucket arithmetic (``div``)
+    so both engines compute identical buckets.  Returns
+    ``(key, bucket_idx, n_events)``.
+    """
+    base = df.select(F.col(key_col).alias("_k"), us.alias("_us"))
+    bk = base.select("_k", F.expr(f"_us div {bucket_us}").alias("_b"))
+    counts = bk.groupBy("_k", "_b").agg(F.count(F.lit(1)).alias("_n"))
+    spans = counts.groupBy("_k").agg(F.min("_b").alias("_lo"),
+                                     F.max("_b").alias("_hi"))
+    grid = spans.select(
+        "_k", F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_b"))
+    return (grid.join(counts, ["_k", "_b"], "left")
+            .select(F.col("_k").alias(key_col),
+                    F.col("_b").alias("bucket_idx"),
+                    F.coalesce(F.col("_n"), F.lit(0)).alias("n_events")))

@@ -376,3 +376,18 @@ def test_scd2_intervals_chain_and_single_current(spark):
             for r in rows] == [
         (1, 10, 20, False, "a"), (1, 20, 30, False, "b"),
         (1, 30, None, True, "c"), (2, 5, None, True, "x")]
+
+
+def test_densify_fills_gaps_with_zeros(spark):
+    from pyspark.sql import functions as F
+
+    from dynamic_partitioner_spark.operators.relational import (
+        densify_time_buckets)
+
+    H = 3_600_000_000
+    rows = [(1, 0 * H + 5), (1, 0 * H + 10), (1, 3 * H + 1),  # gap 1,2
+            (2, 7 * H)]
+    df = spark.createDataFrame(rows, "k long, us long")
+    out = {(r.k, r.bucket_idx): r.n_events for r in
+           densify_time_buckets(df, "k", F.col("us")).collect()}
+    assert out == {(1, 0): 2, (1, 1): 0, (1, 2): 0, (1, 3): 1, (2, 7): 1}
