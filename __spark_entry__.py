@@ -1623,6 +1623,25 @@ def q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversify(cust, ["nation", "segment"], "bal_band", l=3)
 
 
+def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record merge per duplicate cluster: newest non-null value
+    per attribute (MDM survivorship).  Clusters and per-attribute nulls
+    are synthesized deterministically from customer so stale records
+    must donate fields the newer ones left blank."""
+    from dynamic_partitioner_spark.operators.linkage import survivorship
+    cust = _table(spark, sf_dir, "customer")
+    recs = cust.select(
+        (F.col("c_custkey") % 500).alias("cluster_id"),
+        F.col("c_custkey").alias("seq"),
+        F.when(F.col("c_custkey") % 3 != 0, F.col("c_name")).alias("name"),
+        F.when(F.col("c_custkey") % 5 != 0,
+               F.round("c_acctbal", 2)).alias("acctbal"),
+        F.when(F.col("c_custkey") % 7 != 0,
+               F.col("c_mktsegment")).alias("segment"))
+    return survivorship(recs, "cluster_id", "seq",
+                        ["name", "acctbal", "segment"])
+
+
 def q_events_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user hourly grid between first and last event with
     zero-filled empty buckets — calendar densification for window
@@ -1737,7 +1756,7 @@ _PRIORITY_R04 = [
     "events_anomaly", "similarity_int8_topk", "dedup_containment",
     "privacy_l_diversity", "sample_temperature", "text_entropy",
     "text_winnow", "privacy_dp_count", "mm_resize", "query_scd2",
-    "events_densify",
+    "events_densify", "dedup_survivorship",
     "partitioned_write_single", "partitioned_write_multi",
     "partitioned_write_orc", "partitioned_write_avro",
     "partition_key_trim", "append_mode", "overwrite_dynamic",
@@ -1882,6 +1901,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_resize": q_mm_resize,
         "query_scd2": q_scd2,
         "events_densify": q_events_densify,
+        "dedup_survivorship": q_dedup_survivorship,
     }
 
 
@@ -2024,6 +2044,29 @@ def oracle_sql() -> dict[str, str]:
         "sample_temperature": SMP.temperature_mixture_sql(
             "doc_id, lang, source", "source", "doc_id", 300),
         "privacy_dp_count": _dp_oracle(),
+        "dedup_survivorship": """
+            WITH recs AS (
+                SELECT c_custkey % 500 AS cluster_id,
+                       c_custkey AS seq,
+                       CASE WHEN c_custkey % 3 != 0
+                            THEN trim(CAST(c_name AS VARCHAR)) END AS name,
+                       CASE WHEN c_custkey % 5 != 0
+                            THEN round(c_acctbal, 2) END AS acctbal,
+                       CASE WHEN c_custkey % 7 != 0
+                            THEN trim(CAST(c_mktsegment AS VARCHAR))
+                       END AS segment
+                FROM customer)
+            SELECT cluster_id,
+                   count(*) AS n_members,
+                   max(seq) AS latest_seq,
+                   arg_max(name, seq) FILTER (WHERE name IS NOT NULL)
+                       AS name,
+                   arg_max(acctbal, seq) FILTER (WHERE acctbal IS NOT NULL)
+                       AS acctbal,
+                   arg_max(segment, seq) FILTER (WHERE segment IS NOT NULL)
+                       AS segment
+            FROM recs GROUP BY cluster_id
+        """,
         "events_densify": """
             WITH e AS (SELECT user_id,
                               epoch_us(ts) // 3600000000 AS b

@@ -97,3 +97,29 @@ def fuzzy_pairs(df: DataFrame, id_col: str, s_col: str,
             .where(F.col("dist") <= max_dist)
             .select("id_a", "id_b", "s_a", "s_b", "dist")
             .distinct())
+
+
+def survivorship(df: DataFrame, cluster_col: str, seq_col: str,
+                 attr_cols: list[str]) -> DataFrame:
+    """Golden-record merge: one surviving row per duplicate cluster,
+    each attribute taken from the NEWEST (highest ``seq_col``) record
+    where that attribute is non-null — the standard MDM survivorship
+    rule, applied column-independently (a stale record can still
+    donate a field the newer ones left blank).
+
+    One hash-aggregate on the cluster id: per attribute,
+    ``max(struct(seq, attr))`` over non-null rows carries the winning
+    value along with its sequence (deterministic: seq ties break by
+    the attribute value via the struct comparison).  Composes with
+    :func:`fuzzy_pairs` → ``dedup.dedup_clusters`` to close the
+    pairs → clusters → golden-record pipeline.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_members"),
+            F.max(seq_col).alias("latest_seq")]
+    for c in attr_cols:
+        aggs.append(
+            F.max(F.when(F.col(c).isNotNull(),
+                         F.struct(F.col(seq_col).alias("s"),
+                                  F.col(c).alias("v"))))
+            .getField("v").alias(c))
+    return df.groupBy(cluster_col).agg(*aggs)

@@ -83,3 +83,21 @@ def test_deletion_keys_batched_matches_column_form(spark):
     assert both.where(F.col("col_form") != F.col("arrow")).count() == 0
     assert both.where(F.col("col_form").isNull()
                       != F.col("arrow").isNull()).count() == 0
+
+
+def test_survivorship_takes_newest_non_null_per_column(spark):
+    from dynamic_partitioner_spark.operators.linkage import survivorship
+
+    rows = [
+        (1, 10, "old-name", 5.0),       # oldest: has everything
+        (1, 20, None, 7.0),             # newer: name missing
+        (1, 30, "new-name", None),      # newest: balance missing
+        (2, 1, None, None),             # cluster with all-null attrs
+    ]
+    df = spark.createDataFrame(rows, "cid long, seq long, name string, bal double")
+    got = {r.cid: r for r in
+           survivorship(df, "cid", "seq", ["name", "bal"]).collect()}
+    assert got[1].name == "new-name"          # newest non-null name
+    assert got[1].bal == 7.0                  # donated by the seq-20 row
+    assert got[1].n_members == 3 and got[1].latest_seq == 30
+    assert got[2].name is None and got[2].bal is None
