@@ -1,0 +1,94 @@
+"""Scale sweep: time representative driver keys at sf0.001 / 0.01 / 0.1
+in ONE warm session and report the 0.01→0.1 scaling exponent
+(log10(t_0.1 / t_0.01), i.e. slope on a log-log plot — 1.0 is linear,
+2.0 quadratic, ~0 means fixed overhead dominates at these sizes).
+
+Writes SCALING.md.  Usage: python tools/scale_sweep.py [key ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SWEEP_KEYS = [
+    # scans / aggregates / joins
+    "query_pruned_agg", "query_join_broadcast", "query_window_topk",
+    "query_rollup_grains", "events_rolling_1h", "events_densify",
+    "query_scd2",
+    # text / corpus
+    "text_repetition", "text_entropy", "text_winnow", "text_bpe_pairs",
+    "text_tfidf", "text_token_ids", "corpus_pipeline",
+    # dedup / similarity
+    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
+    "dedup_containment", "dedup_fuzzy", "dedup_embedding_lsh",
+    "similarity_topk", "similarity_int8_topk", "embedding_grammian",
+    # sinks
+    "partitioned_write_single", "sorted_export", "merge_upsert",
+]
+
+SFS = ["0.001", "0.01", "0.1"]
+
+
+def main() -> None:
+    import __spark_entry__ as E
+    from dynamic_partitioner_spark import get_spark
+
+    spark = get_spark("scale-sweep")
+    qs = E.queries()
+    keys = sys.argv[1:] or [k for k in SWEEP_KEYS if k in qs]
+
+    # warm JVM + Arrow workers
+    qs["query_pruned_agg"](spark, "/root/testdata/sf0.001").count()
+    qs["text_repetition"](spark, "/root/testdata/sf0.001").count()
+
+    rows = []
+    for key in keys:
+        times, counts = {}, {}
+        for sf in SFS:
+            t0 = time.time()
+            counts[sf] = qs[key](spark, f"/root/testdata/sf{sf}").count()
+            times[sf] = time.time() - t0
+        slope = (math.log10(max(times["0.1"], 1e-3)
+                            / max(times["0.01"], 1e-3)))
+        rows.append((key, times, counts, slope))
+        print(f"# {key}: " + "  ".join(
+            f"sf{sf}={times[sf]:.2f}s" for sf in SFS)
+            + f"  slope={slope:+.2f}", file=sys.stderr)
+
+    lines = [
+        "# Scale sweep — measured runtime vs scale factor",
+        "",
+        "One warm `local[32]` session; per-key wall time at three SFs and",
+        "the 0.01→0.1 log-log slope (data grows 10×: slope 1.0 = linear",
+        "scaling, 0.0 = fixed overhead dominates, 2.0 = quadratic — only",
+        "acceptable for the deliberately-quadratic audit baselines).",
+        "Regenerate: `python tools/scale_sweep.py`.",
+        "",
+        "| key | sf0.001 | sf0.01 | sf0.1 | rows@0.1 | slope |",
+        "|---|---|---|---|---|---|",
+    ]
+    for key, times, counts, slope in sorted(rows, key=lambda r: -r[3]):
+        lines.append(
+            f"| {key} | {times['0.001']:.2f}s | {times['0.01']:.2f}s "
+            f"| {times['0.1']:.2f}s | {counts['0.1']} | {slope:+.2f} |")
+    lines += [
+        "",
+        "Reading: slopes well under 1.0 mean the operator is still",
+        "overhead-bound at sf0.1 — per-query fixed cost (job setup,",
+        "shuffle rounds) exceeds data cost, so a 10× data step grows",
+        "wall time by far less than 10×.  Slopes near 1.0 are at the",
+        "data-bound regime already; anything approaching 2.0 that is",
+        "NOT a documented quadratic audit baseline would be a red flag.",
+        "",
+    ]
+    with open("/root/repo/SCALING.md", "w") as f:
+        f.write("\n".join(lines))
+    print("SCALING.md written")
+
+
+if __name__ == "__main__":
+    main()
