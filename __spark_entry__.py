@@ -416,6 +416,34 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "user_id", "ts_us", "last_click_us"))
 
 
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (either direction, ties toward the earlier
+    neighbor): for each error event, the user's closest click in time.
+    Same one-shuffle union-window shape as the backward as-of — a
+    running max over preceding clicks plus a running min over following
+    clicks, then a codegen CASE picks the closer; never a range join."""
+    events = _table(spark, sf_dir, "events")
+    evs = (events.where(F.col("event_type").isin("click", "error"))
+           .select("event_id", "user_id", "event_type",
+                   event_time_us(events).alias("ts_us")))
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts_us"))
+    wb = (Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    back = F.max(click_ts).over(wb)
+    fwd = F.min(click_ts).over(wf)
+    t = F.col("ts_us")
+    nearest = (F.when(back.isNull(), fwd)
+               .when(fwd.isNull(), back)
+               .when(t - back <= fwd - t, back)
+               .otherwise(fwd))
+    return (evs.withColumn("nearest_click_us", nearest)
+            .where(F.col("event_type") == "error")
+            .select("event_id", "user_id", "ts_us", "nearest_click_us",
+                    F.abs(F.col("nearest_click_us") - t).alias("delta_us")))
+
+
 _HOUR_US = 3_600_000_000
 
 
@@ -1756,7 +1784,7 @@ _PRIORITY_R04 = [
     "events_anomaly", "similarity_int8_topk", "dedup_containment",
     "privacy_l_diversity", "sample_temperature", "text_entropy",
     "text_winnow", "privacy_dp_count", "mm_resize", "query_scd2",
-    "events_densify", "dedup_survivorship",
+    "events_densify", "dedup_survivorship", "events_asof_nearest",
     "partitioned_write_single", "partitioned_write_multi",
     "partitioned_write_orc", "partitioned_write_avro",
     "partition_key_trim", "append_mode", "overwrite_dynamic",
@@ -1902,6 +1930,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_scd2": q_scd2,
         "events_densify": q_events_densify,
         "dedup_survivorship": q_dedup_survivorship,
+        "events_asof_nearest": q_asof_nearest,
     }
 
 
@@ -2044,6 +2073,32 @@ def oracle_sql() -> dict[str, str]:
         "sample_temperature": SMP.temperature_mixture_sql(
             "doc_id, lang, source", "source", "doc_id", 300),
         "privacy_dp_count": _dp_oracle(),
+        "events_asof_nearest": """
+            WITH evs AS (
+                SELECT event_id, user_id, event_type, epoch_us(ts) AS t
+                FROM events WHERE event_type IN ('click', 'error')
+            ), run AS (
+                SELECT *,
+                       max(CASE WHEN event_type = 'click' THEN t END)
+                           OVER (PARTITION BY user_id ORDER BY t, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS back,
+                       min(CASE WHEN event_type = 'click' THEN t END)
+                           OVER (PARTITION BY user_id ORDER BY t, event_id
+                                 ROWS BETWEEN CURRENT ROW
+                                 AND UNBOUNDED FOLLOWING) AS fwd
+                FROM evs
+            )
+            SELECT event_id, user_id, t AS ts_us,
+                   CASE WHEN back IS NULL THEN fwd
+                        WHEN fwd IS NULL THEN back
+                        WHEN t - back <= fwd - t THEN back
+                        ELSE fwd END AS nearest_click_us,
+                   abs((CASE WHEN back IS NULL THEN fwd
+                             WHEN fwd IS NULL THEN back
+                             WHEN t - back <= fwd - t THEN back
+                             ELSE fwd END) - t) AS delta_us
+            FROM run WHERE event_type = 'error'
+        """,
         "dedup_survivorship": """
             WITH recs AS (
                 SELECT c_custkey % 500 AS cluster_id,
