@@ -447,6 +447,20 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HOUR_US = 3_600_000_000
 
 
+def q_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per tumbling hour per event type — the
+    expand-based distinct aggregate over a time bucket (one shuffle;
+    at stream scale swap in approx_count_distinct, the
+    query_approx_distinct key)."""
+    events = _table(spark, sf_dir, "events")
+    hr = F.expr(f"_us div {_HOUR_US}")
+    ev = events.select(event_time_us(events).alias("_us"), "event_type",
+                       "user_id").withColumn("hour_idx", hr)
+    return (ev.groupBy("hour_idx", "event_type")
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join without a nested-loop plan: events falling inside
     derived 'busy windows' (busiest hours, offset +30min so windows
@@ -1785,6 +1799,7 @@ _PRIORITY_R04 = [
     "privacy_l_diversity", "sample_temperature", "text_entropy",
     "text_winnow", "privacy_dp_count", "mm_resize", "query_scd2",
     "events_densify", "dedup_survivorship", "events_asof_nearest",
+    "query_windowed_distinct",
     "partitioned_write_single", "partitioned_write_multi",
     "partitioned_write_orc", "partitioned_write_avro",
     "partition_key_trim", "append_mode", "overwrite_dynamic",
@@ -1931,6 +1946,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_densify": q_events_densify,
         "dedup_survivorship": q_dedup_survivorship,
         "events_asof_nearest": q_asof_nearest,
+        "query_windowed_distinct": q_windowed_distinct,
     }
 
 
@@ -2073,6 +2089,13 @@ def oracle_sql() -> dict[str, str]:
         "sample_temperature": SMP.temperature_mixture_sql(
             "doc_id, lang, source", "source", "doc_id", 300),
         "privacy_dp_count": _dp_oracle(),
+        "query_windowed_distinct": """
+            SELECT epoch_us(ts) // 3600000000 AS hour_idx,
+                   event_type,
+                   count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
         "events_asof_nearest": """
             WITH evs AS (
                 SELECT event_id, user_id, event_type, epoch_us(ts) AS t
