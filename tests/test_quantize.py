@@ -90,3 +90,29 @@ def test_int8_topk_excludes_self_and_ranks(spark):
         by_q.setdefault(r.query_id, []).append(r.rank)
     for ranks in by_q.values():
         assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
+def test_quantize_column_matches_numpy_on_adversarial_vectors(spark):
+    """Property check: the Column-expression quantizer and the numpy
+    quantizer (used by grammian/top-k) agree exactly on adversarial
+    inputs — ties at the rounding boundary, tiny magnitudes, mixed
+    signs, constant vectors."""
+    import numpy as np
+
+    from dynamic_partitioner_spark.operators.quantize import _quantize_np
+
+    rng = np.random.RandomState(7)
+    vecs = [rng.randn(8).astype(np.float32) * 10.0 ** rng.randint(-6, 3)
+            for _ in range(50)]
+    vecs += [np.zeros(8, dtype=np.float32),
+             np.full(8, 1e-30, dtype=np.float32),
+             np.array([1, -1, 0.5, -0.5, 0.25, -0.25, 0.125, 0],
+                      dtype=np.float32)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    got = {r.vec_id: (r.qsum, r.qnorm2) for r in
+           quantize_embeddings(df, "vec_id", "embedding").collect()}
+    for i, v in enumerate(vecs):
+        _, Q = _quantize_np(np.asarray([v], dtype=np.float64))
+        assert got[i] == (int(Q.sum()), int((Q * Q).sum())), i
