@@ -1203,7 +1203,13 @@ def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final table is identical however the changes split across
     micro-batches, because a stale change loses to the stored row's
     higher sequence.  Partition = key-derived bucket, so a key never
-    crosses partitions (merge_cdc's documented caveat)."""
+    crosses partitions (merge_cdc's documented caveat).
+
+    Two triggers (the minimal cross-batch split): each micro-batch
+    merge rewrites every touched partition, so the key's cost scales
+    with batch count × table size; the richer multi-batch properties
+    (stale-change no-op, delete tombstones, replay convergence across
+    THREE merges) are pinned in tests/test_partitioned_write.py."""
     from dynamic_partitioner_spark.streaming.write import (
         run_streaming_upsert)
     apply_engine_confs(spark)
@@ -1217,7 +1223,7 @@ def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity", "l_extendedprice",
         (F.col("l_orderkey") % 5).alias("bucket"))
     src = _out("stream_upsert_src")
-    changes.repartition(3).write.parquet(src)
+    changes.repartition(2).write.parquet(src)
     dest = _out("stream_upsert_dest")
     ckpt = _out("stream_upsert_ckpt")
     spec = SinkSpec(name="cdc_upsert", field_names=["bucket"])
