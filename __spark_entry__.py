@@ -1743,6 +1743,30 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.winnow_fingerprints(docs, "doc_id", "text", k=4, w=4)
 
 
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL dedup via canonicalization: deterministically messy URLs
+    (mixed-case scheme/host, default ports, tracking params, fragments)
+    collapse to one canonical form per logical resource; groups count
+    the aliases.  The canonicalizer is a codegen regexp_replace chain
+    with an RE2-identical DuckDB twin."""
+    docs = _table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    raw = F.concat(
+        F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("HTTPS://")),
+        F.lit("Ex"), s(d % 50), F.lit(".ORG"),
+        F.when(d % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/path"), s(d % 4), F.lit("/"),
+        F.when(d % 2 == 0, F.concat(F.lit("?utm_source=x&item="),
+                                    s(d % 5)))
+        .otherwise(F.concat(F.lit("?item="), s(d % 5))),
+        F.when(d % 7 == 0, F.lit("#frag")).otherwise(F.lit("")))
+    urls = docs.select("doc_id", TX.canonicalize_url(raw).alias("url"))
+    return (urls.groupBy("url")
+            .agg(F.count(F.lit(1)).alias("n_aliases"),
+                 F.min("doc_id").alias("first_doc")))
+
+
 def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document character entropy (nats) — gibberish/binary-noise
     screen; per-char terms quantized to integer micro-nats so the doc
@@ -1805,7 +1829,7 @@ _PRIORITY_R04 = [
     "privacy_l_diversity", "sample_temperature", "text_entropy",
     "text_winnow", "privacy_dp_count", "mm_resize", "query_scd2",
     "events_densify", "dedup_survivorship", "events_asof_nearest",
-    "query_windowed_distinct",
+    "query_windowed_distinct", "dedup_url",
     "partitioned_write_single", "partitioned_write_multi",
     "partitioned_write_orc", "partitioned_write_avro",
     "partition_key_trim", "append_mode", "overwrite_dynamic",
@@ -1953,6 +1977,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivorship": q_dedup_survivorship,
         "events_asof_nearest": q_asof_nearest,
         "query_windowed_distinct": q_windowed_distinct,
+        "dedup_url": q_dedup_url,
     }
 
 
@@ -2095,6 +2120,30 @@ def oracle_sql() -> dict[str, str]:
         "sample_temperature": SMP.temperature_mixture_sql(
             "doc_id, lang, source", "source", "doc_id", 300),
         "privacy_dp_count": _dp_oracle(),
+        "dedup_url": f"""
+            WITH raw AS (
+                SELECT doc_id,
+                       concat(
+                           CASE WHEN doc_id % 2 = 0 THEN 'https://'
+                                ELSE 'HTTPS://' END,
+                           'Ex', CAST(doc_id % 50 AS VARCHAR), '.ORG',
+                           CASE WHEN doc_id % 3 = 0 THEN ':443'
+                                ELSE '' END,
+                           '/path', CAST(doc_id % 4 AS VARCHAR), '/',
+                           CASE WHEN doc_id % 2 = 0
+                                THEN concat('?utm_source=x&item=',
+                                            CAST(doc_id % 5 AS VARCHAR))
+                                ELSE concat('?item=',
+                                            CAST(doc_id % 5 AS VARCHAR))
+                           END,
+                           CASE WHEN doc_id % 7 = 0 THEN '#frag'
+                                ELSE '' END) AS u
+                FROM documents)
+            SELECT {TX.CANON_URL_SQL.format(c='u')} AS url,
+                   count(*) AS n_aliases,
+                   min(doc_id) AS first_doc
+            FROM raw GROUP BY 1
+        """,
         "query_windowed_distinct": """
             SELECT epoch_us(ts) // 3600000000 AS hour_idx,
                    event_type,

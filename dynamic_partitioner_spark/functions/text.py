@@ -351,3 +351,56 @@ def simhash_sql(c: str) -> str:
                 f"THEN 1 ELSE -1 END))")
         bits.append(f"CASE WHEN {vote} > 0 THEN {2 ** j} ELSE 0 END")
     return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+# ------------------------------------------------------------ URL canon
+
+_TRACKING_RE = r"[?&](utm_[a-z0-9]*|fbclid|gclid|msclkid|ref)=[^&#]*"
+
+
+def canonicalize_url(c: Column) -> Column:
+    """Canonical form of a URL for dedup/aggregation:
+
+    1. scheme + host lowercased (path/query case preserved),
+    2. default ports ``:80``/``:443`` dropped,
+    3. fragment (``#...``) dropped,
+    4. tracking params (``utm_*``, ``fbclid``, ``gclid``, ``msclkid``,
+       ``ref``) dropped, with the query separator repaired (first
+       surviving ``&`` promoted to ``?``, dangling ``?`` removed),
+    5. trailing ``/`` dropped.
+
+    Pure ``regexp_replace`` chain — codegen, RE2-safe (no lookaround,
+    so the DuckDB twin :data:`CANON_URL_SQL` applies the identical
+    patterns; only the replacement syntax differs, ``$1`` vs ``\\1``).
+    """
+    u = F.concat(
+        F.lower(F.regexp_extract(c, r"^((?i)https?://[^/?#]*)", 1)),
+        F.regexp_replace(c, r"^(?i)https?://[^/?#]*", ""))
+    u = F.regexp_replace(
+        u, r"^(https?://[^/?#:]*):(80|443)([/?#].*)?$", r"$1$3")
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(u, _TRACKING_RE, "")
+    u = F.regexp_replace(u, r"^([^?]*)&", r"$1?")
+    u = F.regexp_replace(u, r"\?$", "")
+    u = F.regexp_replace(u, r"([^/])/$", r"$1")
+    return u
+
+
+def _canon_url_sql(c: str) -> str:
+    """DuckDB twin of :func:`canonicalize_url` (same patterns, same
+    order; RE2 replacement syntax)."""
+    u = (f"concat(lower(regexp_extract({c}, '^((?i)https?://[^/?#]*)', 1)), "
+         f"regexp_replace({c}, '^(?i)https?://[^/?#]*', ''))")
+    u = (f"regexp_replace({u}, "
+         f"'^(https?://[^/?#:]*):(80|443)([/?#].*)?$', '\\1\\3')")
+    u = f"regexp_replace({u}, '#.*$', '')"
+    u = (f"regexp_replace({u}, "
+         f"'[?&](utm_[a-z0-9]*|fbclid|gclid|msclkid|ref)=[^&#]*', "
+         f"'', 'g')")
+    u = f"regexp_replace({u}, '^([^?]*)&', '\\1?')"
+    u = f"regexp_replace({u}, '\\?$', '')"
+    u = f"regexp_replace({u}, '([^/])/$', '\\1')"
+    return u
+
+
+CANON_URL_SQL = _canon_url_sql("{c}")

@@ -142,3 +142,22 @@ def test_char_entropy_known_values(spark):
     assert abs(got[2] - round(math.log(2), 4)) < 2e-4     # ln 2
     assert abs(got[4] - round(math.log(4), 4)) < 2e-4     # ln 4
     assert len(got) == 4
+
+
+def test_canonicalize_url_cases(spark):
+    from dynamic_partitioner_spark.functions.text import canonicalize_url
+
+    cases = {
+        # the /A/ slash precedes '?' (not end-of-string) so it stays
+        "HTTPS://Example.COM:443/A/?utm_source=x&q=1#f":
+            "https://example.com/A/?q=1",
+        "http://Host.org:80/": "http://host.org",
+        "http://host.org:8080/keep": "http://host.org:8080/keep",
+        "https://a.b/p?utm_a=1&utm_b=2": "https://a.b/p",
+        "https://a.b/p?q=2&ref=zz": "https://a.b/p?q=2",
+        "not a url at all": "not a url at all",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "u string")
+    got = [r.c for r in
+           df.select(canonicalize_url(F.col("u")).alias("c")).collect()]
+    assert got == list(cases.values())
