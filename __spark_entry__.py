@@ -1743,6 +1743,34 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.winnow_fingerprints(docs, "doc_id", "text", k=4, w=4)
 
 
+_MAGIC_BY_MOD = [  # doc_id % 6 → injected magic prefix (hex) + truth
+    ("89504E470D0A1A0A", "image/png"),
+    ("255044462D", "application/pdf"),
+    ("FFD8FFE0", "image/jpeg"),
+    ("1F8B08", "application/gzip"),
+    ("504B0304", "application/zip"),
+    ("", "text/plain"),
+]
+
+
+def q_mm_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte MIME detection: payloads get a deterministic magic
+    prefix by doc_id%6 (PNG/PDF/JPEG/GZIP/ZIP/none); the sniffer must
+    classify every one.  The oracle is the INDEPENDENT ground truth
+    (the injection rule), so any sniffing mistake hash-mismatches."""
+    from dynamic_partitioner_spark.operators.multimodal import sniff_mime
+    docs = _table(spark, sf_dir, "documents")
+    prefix = None
+    for i, (hx, _) in enumerate(_MAGIC_BY_MOD):
+        p = F.unhex(F.lit(hx)) if hx else F.unhex(F.lit(""))
+        cond = F.col("doc_id") % 6 == i
+        prefix = F.when(cond, p) if prefix is None else prefix.when(cond, p)
+    binary_df = docs.select(
+        "doc_id",
+        F.concat(prefix, F.encode(F.col("text"), "utf-8")).alias("payload"))
+    return sniff_mime(binary_df)
+
+
 def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL dedup via canonicalization: deterministically messy URLs
     (mixed-case scheme/host, default ports, tracking params, fragments)
@@ -1829,7 +1857,7 @@ _PRIORITY_R04 = [
     "privacy_l_diversity", "sample_temperature", "text_entropy",
     "text_winnow", "privacy_dp_count", "mm_resize", "query_scd2",
     "events_densify", "dedup_survivorship", "events_asof_nearest",
-    "query_windowed_distinct", "dedup_url",
+    "query_windowed_distinct", "dedup_url", "mm_mime_sniff",
     "partitioned_write_single", "partitioned_write_multi",
     "partitioned_write_orc", "partitioned_write_avro",
     "partition_key_trim", "append_mode", "overwrite_dynamic",
@@ -1978,6 +2006,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_nearest": q_asof_nearest,
         "query_windowed_distinct": q_windowed_distinct,
         "dedup_url": q_dedup_url,
+        "mm_mime_sniff": q_mm_mime_sniff,
     }
 
 
@@ -2120,6 +2149,21 @@ def oracle_sql() -> dict[str, str]:
         "sample_temperature": SMP.temperature_mixture_sql(
             "doc_id, lang, source", "source", "doc_id", 300),
         "privacy_dp_count": _dp_oracle(),
+        "mm_mime_sniff": """
+            SELECT doc_id,
+                   CASE doc_id % 6
+                       WHEN 0 THEN 'image/png'
+                       WHEN 1 THEN 'application/pdf'
+                       WHEN 2 THEN 'image/jpeg'
+                       WHEN 3 THEN 'application/gzip'
+                       WHEN 4 THEN 'application/zip'
+                       ELSE 'text/plain' END AS mime,
+                   strlen(text) + (CASE doc_id % 6
+                       WHEN 0 THEN 8 WHEN 1 THEN 5 WHEN 2 THEN 4
+                       WHEN 3 THEN 3 WHEN 4 THEN 4 ELSE 0 END)
+                       AS n_bytes
+            FROM documents
+        """,
         "dedup_url": f"""
             WITH raw AS (
                 SELECT doc_id,

@@ -172,3 +172,33 @@ def resize_media(binary_df: DataFrame,
                     F.array_sort(F.collect_list(F.struct("k", "h"))),
                     lambda s: s.getField("h")), ""))
                 .alias("resized_md5")))
+
+
+#: magic-byte hex prefixes → mime (checked in order; longest first
+#: where prefixes could overlap)
+MAGIC_MIME = [
+    ("89504E470D0A1A0A", "image/png"),
+    ("255044462D", "application/pdf"),      # %PDF-
+    ("FFD8FF", "image/jpeg"),
+    ("504B0304", "application/zip"),
+    ("1F8B", "application/gzip"),
+]
+
+
+def sniff_mime(binary_df: DataFrame) -> DataFrame:
+    """Magic-byte MIME detection over binary payloads — the ingest-time
+    classification step that routes raw assets to the right decoder
+    (the honest part of the decode pipeline that needs no codec libs).
+    Compares the hex of the first 8 payload bytes against the standard
+    magic numbers, falling back to ``text/plain``.  One codegen CASE
+    per row, zero shuffles.  Returns ``(doc_id, mime, n_bytes)``.
+    """
+    h = F.hex(F.expr("substring(payload, 1, 8)"))
+    mime = None
+    for prefix, m in MAGIC_MIME:
+        cond = h.startswith(prefix)
+        mime = F.when(cond, m) if mime is None else mime.when(cond, m)
+    return binary_df.select(
+        "doc_id",
+        mime.otherwise("text/plain").alias("mime"),
+        F.octet_length("payload").cast("long").alias("n_bytes"))

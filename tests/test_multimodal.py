@@ -92,3 +92,25 @@ def test_resize_media_shapes_and_determinism(spark):
     # empty payload → md5 of empty string, same as hashing no bytes
     import hashlib
     assert out[2].resized_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_sniff_mime_magic_bytes(spark):
+    from pyspark.sql import functions as F
+
+    from dynamic_partitioner_spark.operators.multimodal import sniff_mime
+
+    rows = [
+        (1, bytes.fromhex("89504E470D0A1A0A") + b"rest", "image/png"),
+        (2, b"%PDF-1.7 x", "application/pdf"),
+        (3, bytes.fromhex("FFD8FFE1") + b"exif", "image/jpeg"),
+        (4, bytes.fromhex("1F8B08") + b"z", "application/gzip"),
+        (5, b"PK\x03\x04zipzip", "application/zip"),
+        (6, b"just plain text", "text/plain"),
+        (7, b"", "text/plain"),
+        # PK alone (not PK\x03\x04) must NOT classify as zip
+        (8, b"PKX not a zip", "text/plain"),
+    ]
+    df = spark.createDataFrame([(i, p) for i, p, _ in rows],
+                               "doc_id long, payload binary")
+    got = {r.doc_id: r.mime for r in sniff_mime(df).collect()}
+    assert got == {i: m for i, _, m in rows}
