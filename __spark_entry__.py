@@ -516,6 +516,28 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99")))
 
 
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile discretization (feature binning): exact quartile cut
+    points per event type, broadcast back, each event assigned its
+    bucket — the standard numeric-feature preprocessing step.  Cut
+    points are the same interpolated percentiles both engines compute
+    (the query_percentiles parity), so bucket edges agree exactly."""
+    events = _table(spark, sf_dir, "events")
+    cuts = (events.groupBy("event_type")
+            .agg(F.expr("percentile(value, 0.25)").alias("_q1"),
+                 F.expr("percentile(value, 0.5)").alias("_q2"),
+                 F.expr("percentile(value, 0.75)").alias("_q3")))
+    ev = events.join(F.broadcast(cuts), "event_type")
+    v = F.col("value")
+    bucket = (F.when(v <= F.col("_q1"), 0)
+              .when(v <= F.col("_q2"), 1)
+              .when(v <= F.col("_q3"), 2)
+              .otherwise(3))
+    return (ev.select("event_type", bucket.alias("bucket"))
+            .groupBy("event_type", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_events")))
+
+
 # =====================================================================
 # Dedup family (north-star extensions)
 # =====================================================================
@@ -1858,6 +1880,7 @@ _PRIORITY_R04 = [
     "text_winnow", "privacy_dp_count", "mm_resize", "query_scd2",
     "events_densify", "dedup_survivorship", "events_asof_nearest",
     "query_windowed_distinct", "dedup_url", "mm_mime_sniff",
+    "query_quantile_bins",
     "partitioned_write_single", "partitioned_write_multi",
     "partitioned_write_orc", "partitioned_write_avro",
     "partition_key_trim", "append_mode", "overwrite_dynamic",
@@ -2007,6 +2030,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_windowed_distinct": q_windowed_distinct,
         "dedup_url": q_dedup_url,
         "mm_mime_sniff": q_mm_mime_sniff,
+        "query_quantile_bins": q_quantile_bins,
     }
 
 
@@ -2149,6 +2173,22 @@ def oracle_sql() -> dict[str, str]:
         "sample_temperature": SMP.temperature_mixture_sql(
             "doc_id, lang, source", "source", "doc_id", 300),
         "privacy_dp_count": _dp_oracle(),
+        "query_quantile_bins": """
+            WITH cuts AS (
+                SELECT event_type,
+                       quantile_cont(value, 0.25) AS q1,
+                       quantile_cont(value, 0.5) AS q2,
+                       quantile_cont(value, 0.75) AS q3
+                FROM events GROUP BY event_type)
+            SELECT e.event_type,
+                   CASE WHEN value <= q1 THEN 0
+                        WHEN value <= q2 THEN 1
+                        WHEN value <= q3 THEN 2
+                        ELSE 3 END AS bucket,
+                   count(*) AS n_events
+            FROM events e JOIN cuts USING (event_type)
+            GROUP BY 1, 2
+        """,
         "mm_mime_sniff": """
             SELECT doc_id,
                    CASE doc_id % 6
