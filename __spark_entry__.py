@@ -516,6 +516,21 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99")))
 
 
+def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ-style ANN: product-quantized codes (8 bytes/vector, 32×
+    compression) score an ADC shortlist, then only the shortlist reads
+    float vectors for the exact rerank — rows-only (quantized candidate
+    selection is data-dependent); recall ≥ 0.9 vs the exact scorer is
+    pinned in tests/test_quantize.py."""
+    from dynamic_partitioner_spark.operators.quantize import (
+        pq_topk_rerank, train_pq_codebooks)
+    emb = _table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, m=8, ksub=256, iters=8)
+    queries = emb.where(F.col("vec_id") < 10)
+    return (pq_topk_rerank(emb, queries, books, k=5, shortlist=4)
+            .orderBy("query_id", "rank"))
+
+
 def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile discretization (feature binning): exact quartile cut
     points per event type, broadcast back, each event assigned its
@@ -1880,7 +1895,7 @@ _PRIORITY_R04 = [
     "text_winnow", "privacy_dp_count", "mm_resize", "query_scd2",
     "events_densify", "dedup_survivorship", "events_asof_nearest",
     "query_windowed_distinct", "dedup_url", "mm_mime_sniff",
-    "query_quantile_bins",
+    "query_quantile_bins", "similarity_pq_rerank",
     "partitioned_write_single", "partitioned_write_multi",
     "partitioned_write_orc", "partitioned_write_avro",
     "partition_key_trim", "append_mode", "overwrite_dynamic",
@@ -2031,6 +2046,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_url": q_dedup_url,
         "mm_mime_sniff": q_mm_mime_sniff,
         "query_quantile_bins": q_quantile_bins,
+        "similarity_pq_rerank": q_similarity_pq,
     }
 
 

@@ -187,3 +187,157 @@ def int8_topk(emb: DataFrame, queries: DataFrame, id_col: str = "vec_id",
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "score_int",
                     _round8(F.col("_raw")).alias("score"), "rank"))
+
+
+# ----------------------------------------------------------------- PQ
+
+def train_pq_codebooks(emb: DataFrame, vec_col: str = "embedding",
+                       id_col: str = "vec_id", dim: int = 64,
+                       m: int = 8, ksub: int = 16,
+                       sample_size: int = 2048,
+                       iters: int = 5) -> np.ndarray:
+    """Deterministic product-quantization codebooks (Jégou et al.,
+    *Product Quantization for Nearest Neighbor Search*, TPAMI 2011):
+    the vector splits into ``m`` subvectors of ``dim/m`` dims, each
+    subspace gets its own ``ksub``-centroid Lloyd's k-means codebook.
+
+    Same bounded-collect training recipe as the IVF coarse quantizer
+    (``similarity.train_centroids``): id-ordered capped sample,
+    first-k init, fixed iterations → identical data gives identical
+    codebooks, which the driver's re-run check requires.  Returns
+    ``(m, ksub, dim/m)`` float64.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    sample = np.asarray(
+        [r[1] for r in emb.select(id_col, vec_col).orderBy(id_col)
+         .limit(sample_size).collect()], dtype=np.float64)
+    books = np.zeros((m, ksub, dsub))
+    for j in range(m):
+        sub = sample[:, j * dsub:(j + 1) * dsub]
+        cents = sub[:ksub].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(ksub):
+                pts = sub[assign == c]
+                if len(pts):
+                    cents[c] = pts.mean(0)
+        books[j] = cents
+    return books.round(6)
+
+
+def pq_encode(emb: DataFrame, books: np.ndarray, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode every vector as its ``m`` nearest-centroid codes — 8
+    bytes instead of 256 for a 64-dim float32 vector (32× compression,
+    the storage format FAISS-style IVF-PQ indexes shuffle and store).
+    One Arrow map pass, codes via per-subspace argmin; zero shuffles.
+    Returns ``(id, codes array<int>)``.
+    """
+    m, ksub, dsub = books.shape
+    B = books.copy()
+
+    @F.pandas_udf("array<int>")
+    def _enc(v: pd.Series) -> pd.Series:
+        X = np.asarray(v.tolist(), dtype=np.float64)
+        out = np.zeros((len(X), m), dtype=np.int32)
+        for j in range(m):
+            sub = X[:, j * dsub:(j + 1) * dsub]
+            d2 = (-2.0 * (sub @ B[j].T)
+                  + (B[j] ** 2).sum(1)[None, :])
+            out[:, j] = d2.argmin(1)
+        return pd.Series(list(out))
+
+    return emb.select(F.col(id_col), _enc(F.col(vec_col)).alias("codes"))
+
+
+def pq_topk(emb: DataFrame, queries: DataFrame, books: np.ndarray,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            k: int = 5) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query
+    precomputes an ``(m × ksub)`` table of exact subvector dot products
+    against the codebooks; a corpus row's approximate dot product is
+    then ``m`` table lookups over its codes — no float vector ever
+    read at scan time.
+
+    Approximate by construction (codes quantize the corpus); recall vs
+    the exact scorer is pinned in tests, the standard ANN contract
+    (rows-only driver key).  One Arrow pass over the encoded corpus;
+    per-query rank window on the scored rows.
+    """
+    m, ksub, dsub = books.shape
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        raise ValueError("queries must be non-empty")
+    qids = np.asarray([int(r[0]) for r in qrows], dtype=np.int64)
+    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    # lut[q, j, c] = dot(query_sub_j, codebook[j][c])
+    lut = np.einsum("qjd,jcd->qjc",
+                    Q.reshape(len(Q), m, dsub), books)
+    nq = len(qids)
+    codes_df = pq_encode(emb, books, id_col, vec_col)
+
+    @F.pandas_udf("array<double>")
+    def _scores(codes: pd.Series) -> pd.Series:
+        C = np.asarray(codes.tolist(), dtype=np.int64)      # (n, m)
+        # gather per query: scores[n, q] = Σ_j lut[q, j, C[n, j]]
+        s = lut[np.arange(nq)[None, :, None],
+                np.arange(m)[None, None, :],
+                C[:, None, :]].sum(-1)                      # (n, nq)
+        return pd.Series(list(s))
+
+    scored = codes_df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(_scores(F.col("codes"))).alias("_qi", "score"))
+    qmap = F.array(*[F.lit(int(q)) for q in qids])
+    scored = (scored.withColumn("query_id",
+                                F.element_at(qmap, F.col("_qi") + 1))
+              .where(F.col("neighbor_id") != F.col("query_id")))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("score").desc(), F.col("neighbor_id")))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    _round8(F.col("score")).alias("score"), "rank"))
+
+
+def pq_topk_rerank(emb: DataFrame, queries: DataFrame, books: np.ndarray,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   k: int = 5, shortlist: int = 4) -> DataFrame:
+    """PQ shortlist → exact rerank (the production IVF-PQ shape): ADC
+    scores select ``shortlist·k`` candidates per query from the
+    compressed codes, then ONLY those rows read their float vectors for
+    an exact dot-product rerank to the final top-k.  At 100 TB the scan
+    touches 8-byte codes, not 256-byte vectors; the exact pass touches
+    ``shortlist·k`` rows per query.
+
+    Recall vs the exact scorer is pinned in tests (rows-only contract,
+    like the other ANN keys).
+    """
+    cand = (pq_topk(emb, queries, books, id_col, vec_col,
+                    k=shortlist * k)
+            .select("query_id", "neighbor_id"))
+    qrows = queries.select(id_col, vec_col).collect()
+    qmap = {int(r[0]): np.asarray(r[1], dtype=np.float64) for r in qrows}
+
+    vecs = emb.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("_v"))
+    joined = cand.join(vecs, "neighbor_id")
+
+    @F.pandas_udf("double")
+    def _exact(qid: pd.Series, v: pd.Series) -> pd.Series:
+        X = np.asarray(v.tolist(), dtype=np.float64)
+        Qm = np.asarray([qmap[int(q)] for q in qid])
+        return pd.Series((X * Qm).sum(1))
+
+    scored = joined.select(
+        "query_id", "neighbor_id",
+        _exact(F.col("query_id"), F.col("_v")).alias("_raw"))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("_raw").desc(), F.col("neighbor_id")))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    _round8(F.col("_raw")).alias("score"), "rank"))

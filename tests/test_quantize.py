@@ -116,3 +116,48 @@ def test_quantize_column_matches_numpy_on_adversarial_vectors(spark):
     for i, v in enumerate(vecs):
         _, Q = _quantize_np(np.asarray([v], dtype=np.float64))
         assert got[i] == (int(Q.sum()), int((Q * Q).sum())), i
+
+
+def test_pq_rerank_recall_and_determinism(spark):
+    """PQ-ADC shortlist + exact rerank reaches >= 0.9 recall@10 vs the
+    exact dot-product ranking; codebooks/codes are deterministic."""
+    import numpy as np
+
+    from dynamic_partitioner_spark.operators.quantize import (
+        pq_topk_rerank, train_pq_codebooks)
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    books = train_pq_codebooks(emb, m=8, ksub=256, iters=8)
+    books2 = train_pq_codebooks(emb, m=8, ksub=256, iters=8)
+    assert (books == books2).all()
+
+    data = {r[0]: np.array(r[1]) for r in
+            emb.select("vec_id", "embedding").collect()}
+    ids = sorted(data)
+    M = np.array([data[i] for i in ids])
+    idarr = np.array(ids)
+    queries = emb.where(F.col("vec_id") < 10)
+    rows = pq_topk_rerank(emb, queries, books, k=10,
+                          shortlist=4).collect()
+    hits = tot = 0
+    for q in range(10):
+        dots = M @ data[q]
+        mask = idarr != q
+        top = set(idarr[mask][np.argsort(-dots[mask])[:10]])
+        got = {r.neighbor_id for r in rows if r.query_id == q}
+        hits += len(got & top)
+        tot += 10
+    assert hits / tot >= 0.9
+
+
+def test_pq_encode_shapes(spark):
+    from dynamic_partitioner_spark.operators.quantize import (
+        pq_encode, train_pq_codebooks)
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .limit(50))
+    books = train_pq_codebooks(emb, m=8, ksub=16, sample_size=50)
+    rows = pq_encode(emb, books).collect()
+    assert len(rows) == 50
+    assert all(len(r.codes) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r.codes)
