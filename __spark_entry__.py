@@ -516,6 +516,20 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99")))
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — wide per-nation aggregates to long (metric, value)
+    rows via the built-in ``unpivot`` (plans as a single Expand, the
+    inverse of the pivot key's shape)."""
+    cust = _table(spark, sf_dir, "customer")
+    r2 = lambda c: F.floor(c * 100 + F.lit(0.5)) / 100  # noqa: E731
+    wide = (cust.groupBy(F.col("c_nationkey").cast("long").alias("nation"))
+            .agg(r2(F.sum("c_acctbal")).alias("total_bal"),
+                 r2(F.avg("c_acctbal")).alias("avg_bal"),
+                 F.count(F.lit(1)).cast("double").alias("n_customers")))
+    return wide.unpivot("nation", ["total_bal", "avg_bal", "n_customers"],
+                        "metric", "value")
+
+
 def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ-style ANN: product-quantized codes (8 bytes/vector, 32×
     compression) score an ADC shortlist, then only the shortlist reads
@@ -1895,7 +1909,7 @@ _PRIORITY_R04 = [
     "text_winnow", "privacy_dp_count", "mm_resize", "query_scd2",
     "events_densify", "dedup_survivorship", "events_asof_nearest",
     "query_windowed_distinct", "dedup_url", "mm_mime_sniff",
-    "query_quantile_bins", "similarity_pq_rerank",
+    "query_quantile_bins", "similarity_pq_rerank", "query_unpivot",
     "partitioned_write_single", "partitioned_write_multi",
     "partitioned_write_orc", "partitioned_write_avro",
     "partition_key_trim", "append_mode", "overwrite_dynamic",
@@ -2047,6 +2061,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_mime_sniff": q_mm_mime_sniff,
         "query_quantile_bins": q_quantile_bins,
         "similarity_pq_rerank": q_similarity_pq,
+        "query_unpivot": q_unpivot,
     }
 
 
@@ -2189,6 +2204,20 @@ def oracle_sql() -> dict[str, str]:
         "sample_temperature": SMP.temperature_mixture_sql(
             "doc_id, lang, source", "source", "doc_id", 300),
         "privacy_dp_count": _dp_oracle(),
+        "query_unpivot": """
+            WITH wide AS (
+                SELECT CAST(c_nationkey AS BIGINT) AS nation,
+                       floor(sum(c_acctbal) * 100 + 0.5) / 100
+                           AS total_bal,
+                       floor(avg(c_acctbal) * 100 + 0.5) / 100
+                           AS avg_bal,
+                       CAST(count(*) AS DOUBLE) AS n_customers
+                FROM customer GROUP BY 1)
+            SELECT nation, metric, value
+            FROM wide
+            UNPIVOT (value FOR metric
+                     IN (total_bal, avg_bal, n_customers))
+        """,
         "query_quantile_bins": """
             WITH cuts AS (
                 SELECT event_type,
