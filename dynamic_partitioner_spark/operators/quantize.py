@@ -218,12 +218,20 @@ def train_pq_codebooks(emb: DataFrame, vec_col: str = "embedding",
         sub = sample[:, j * dsub:(j + 1) * dsub]
         cents = sub[:ksub].copy()
         for _ in range(iters):
-            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            # ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖²; ‖x‖² is constant per row so
+            # the argmin needs only the matmul form (same trick as the
+            # IVF assignment UDF)
+            d2 = (-2.0 * (sub @ cents.T)
+                  + (cents ** 2).sum(1)[None, :])
             assign = d2.argmin(1)
-            for c in range(ksub):
-                pts = sub[assign == c]
-                if len(pts):
-                    cents[c] = pts.mean(0)
+            # vectorized Lloyd update (np.add.at is deterministic, so
+            # identical data still gives identical codebooks)
+            sums = np.zeros((ksub, dsub))
+            counts = np.zeros(ksub)
+            np.add.at(sums, assign, sub)
+            np.add.at(counts, assign, 1)
+            nz = counts > 0
+            cents[nz] = sums[nz] / counts[nz][:, None]
         books[j] = cents
     return books.round(6)
 
