@@ -1,0 +1,51 @@
+"""Structural guards on the driver contract (__spark_entry__)."""
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+
+def _entry():
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__spark_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    sys.modules["entry_mod"] = m
+    spec.loader.exec_module(m)
+    return m
+
+
+def test_every_oracle_has_a_query_and_priorities_resolve():
+    m = _entry()
+    q, o = m.queries(), m.oracle_sql()
+    assert set(o) <= set(q), sorted(set(o) - set(q))
+    assert set(m._PRIORITY_R04) <= set(q), \
+        sorted(set(m._PRIORITY_R04) - set(q))
+    # the rows-only set is exactly the documented sketch/iterative ops
+    rows_only = set(q) - set(o)
+    assert rows_only == {
+        "dedup_embedding_lsh", "dedup_minhash", "query_approx_distinct",
+        "query_approx_percentiles", "similarity_ann_ivf",
+        "similarity_ann_lsh", "similarity_ivf_pruned", "text_pack",
+        "similarity_pq_rerank",
+    }, sorted(rows_only)
+    # priority rotation covers every NEW key first (never hash-checked)
+    assert len(q) >= 123
+
+
+def test_oracle_sql_is_syntactically_valid_duckdb():
+    """Every oracle parses in DuckDB against empty views — catches
+    typos before the driver does.  (EXPLAIN, not execution.)"""
+    import duckdb
+
+    m = _entry()
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')")
+    for key, sql in m.oracle_sql().items():
+        try:
+            con.execute("EXPLAIN " + sql)
+        except Exception as e:          # pragma: no cover
+            raise AssertionError(f"oracle {key} failed to parse: {e}")
