@@ -397,7 +397,8 @@ def scd2_build(changes: DataFrame, key_cols: list[str], seq_col: str,
 
 
 def densify_time_buckets(df: DataFrame, key_col: str, us: Column,
-                         bucket_us: int = 3_600_000_000) -> DataFrame:
+                         bucket_us: int = 3_600_000_000,
+                         max_buckets: int = 1_000_000) -> DataFrame:
     """Calendar densification (gap fill): one row per ``bucket_us``-wide
     time bucket between each key's first and last event, with the
     actual event count — ZERO-filled buckets included, so downstream
@@ -409,14 +410,29 @@ def densify_time_buckets(df: DataFrame, key_col: str, us: Column,
     the actual per-bucket counts.  Integer bucket arithmetic (``div``)
     so both engines compute identical buckets.  Returns
     ``(key, bucket_idx, n_events)``.
+
+    ``max_buckets`` fails the job LOUDLY (``assert_true``, evaluated
+    executor-side with no extra action) if any single key's span would
+    densify to more than that many buckets — one key with a corrupt
+    epoch-0 timestamp would otherwise try to materialize a
+    half-century of hourly rows.
     """
     base = df.select(F.col(key_col).alias("_k"), us.alias("_us"))
     bk = base.select("_k", F.expr(f"_us div {bucket_us}").alias("_b"))
     counts = bk.groupBy("_k", "_b").agg(F.count(F.lit(1)).alias("_n"))
     spans = counts.groupBy("_k").agg(F.min("_b").alias("_lo"),
                                      F.max("_b").alias("_hi"))
+    span_ok = F.assert_true(
+        F.col("_hi") - F.col("_lo") < F.lit(int(max_buckets)),
+        F.concat(F.lit("densify span over max_buckets for key "),
+                 F.col("_k").cast("string")))
+    # assert_true returns NULL on success; coalescing _lo over it keeps
+    # the check in the plan — a dropped side column would be pruned,
+    # and an equal-branch CASE would be simplified away
+    lo_checked = F.coalesce(span_ok.cast("long"), F.col("_lo"))
     grid = spans.select(
-        "_k", F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_b"))
+        "_k",
+        F.explode(F.sequence(lo_checked, F.col("_hi"))).alias("_b"))
     return (grid.join(counts, ["_k", "_b"], "left")
             .select(F.col("_k").alias(key_col),
                     F.col("_b").alias("bucket_idx"),

@@ -391,3 +391,22 @@ def test_densify_fills_gaps_with_zeros(spark):
     out = {(r.k, r.bucket_idx): r.n_events for r in
            densify_time_buckets(df, "k", F.col("us")).collect()}
     assert out == {(1, 0): 2, (1, 1): 0, (1, 2): 0, (1, 3): 1, (2, 7): 1}
+
+
+def test_densify_guards_pathological_spans(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from dynamic_partitioner_spark.operators.relational import (
+        densify_time_buckets)
+
+    H = 3_600_000_000
+    df = spark.createDataFrame([(1, 0), (1, 100 * H)], "k long, us long")
+    with pytest.raises(Exception) as ei:
+        densify_time_buckets(df, "k", F.col("us"),
+                             max_buckets=10).collect()
+    assert "max_buckets" in str(ei.value)
+    # within the limit it works
+    ok = densify_time_buckets(df, "k", F.col("us"), max_buckets=1000)
+    assert ok.count() == 101
