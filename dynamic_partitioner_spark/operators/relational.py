@@ -11,7 +11,8 @@ from pyspark.sql import functions as F
 
 def range_join_binned(left: DataFrame, right: DataFrame, left_point: str,
                       start_col: str, end_col: str,
-                      bin_width: int) -> DataFrame:
+                      bin_width: int,
+                      max_bins_per_interval: int = 1_000_000) -> DataFrame:
     """Interval join ``left.point ∈ [right.start, right.end)`` without a
     nested-loop plan.
 
@@ -37,8 +38,16 @@ def range_join_binned(left: DataFrame, right: DataFrame, left_point: str,
         raise ValueError("bin_width must be positive")
     lbin = F.expr(f"`{left_point}` div {bin_width}").alias("_bin")
     l = left.select("*", lbin)
-    bins = F.sequence(F.expr(f"`{start_col}` div {bin_width}"),
-                      F.expr(f"`{end_col}` div {bin_width}"))
+    sbin = F.expr(f"`{start_col}` div {bin_width}")
+    ebin = F.expr(f"`{end_col}` div {bin_width}")
+    # loud guard (same coalesce-over-assert_true trick as
+    # densify_time_buckets): one corrupt open-ended interval would
+    # otherwise explode into millions of bin rows
+    span_ok = F.assert_true(
+        ebin - sbin < F.lit(int(max_bins_per_interval)),
+        F.lit(f"interval wider than max_bins_per_interval"
+              f"={max_bins_per_interval} bins"))
+    bins = F.sequence(F.coalesce(span_ok.cast("long"), sbin), ebin)
     r = right.select("*", F.explode(bins).alias("_bin"))
     return (l.join(r, "_bin")
             .where((F.col(left_point) >= F.col(start_col))

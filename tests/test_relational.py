@@ -410,3 +410,14 @@ def test_densify_guards_pathological_spans(spark):
     # within the limit it works
     ok = densify_time_buckets(df, "k", F.col("us"), max_buckets=1000)
     assert ok.count() == 101
+
+
+def test_range_join_guards_huge_intervals(spark):
+    import pytest
+
+    pts = spark.createDataFrame([(1, 50)], "pid long, t long")
+    huge = spark.createDataFrame([(1, 0, 10**12)], "wid long, s long, e long")
+    with pytest.raises(Exception) as ei:
+        range_join_binned(pts, huge, "t", "s", "e", 64,
+                          max_bins_per_interval=100).collect()
+    assert "max_bins_per_interval" in str(ei.value)
