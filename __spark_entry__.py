@@ -4,9 +4,11 @@
 reference's dynamic-partitioned sink surface S1–S7 + read-back) and the
 north-star extensions (dedup / similarity / text analysis / multimodal /
 streaming).  ``oracle_sql()`` carries a DuckDB twin for every
-SQL-expressible key; sketch-based ops (MinHash LSH, sign-LSH ANN) and
-the Arrow-batched feature extractor are rows-only by nature and their
-correctness is pinned by pytest instead (tests/).
+SQL-expressible key; the sketch/approximate ops (MinHash LSH, sign-LSH
+ANN, IVF, PQ rerank, HLL / approx-percentile, iterative sequence
+packing) are rows-only by nature and their correctness (recall / error
+bounds / invariants) is pinned by pytest instead (tests/; the exact
+rows-only set is asserted in tests/test_entry_contract.py).
 
 Conventions shared by both sides so value-hashes match:
   * every computed column is aliased identically in Spark and SQL
