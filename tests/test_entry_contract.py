@@ -49,3 +49,12 @@ def test_oracle_sql_is_syntactically_valid_duckdb():
             con.execute("EXPLAIN " + sql)
         except Exception as e:          # pragma: no cover
             raise AssertionError(f"oracle {key} failed to parse: {e}")
+
+
+def test_entry_smoke(spark):
+    """The driver's t1 gate: entry(spark) runs and returns rows with a
+    stable schema."""
+    m = _entry()
+    out = m.entry(spark)
+    assert out.count() > 0
+    assert len(out.schema.fields) > 0

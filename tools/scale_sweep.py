@@ -28,6 +28,10 @@ SWEEP_KEYS = [
     "similarity_topk", "similarity_int8_topk", "embedding_grammian",
     # sinks
     "partitioned_write_single", "sorted_export", "merge_upsert",
+    # round-4 additions
+    "similarity_pq_rerank", "dedup_url", "mm_mime_sniff", "mm_resize",
+    "query_quantile_bins", "query_unpivot", "events_asof_nearest",
+    "dedup_survivorship", "query_windowed_distinct",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
