@@ -518,6 +518,17 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99")))
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: k-means clusters as the
+    blocking key, multi-probe assignment for boundary recall, exact
+    cosine verify within blocks — rows-only (cluster blocking is
+    data-dependent); recall vs the exact pair set and the
+    no-false-positives property are pinned in tests/test_dedup.py."""
+    emb = _table(spark, sf_dir, "embeddings")
+    return (DD.semantic_dedup(emb, "vec_id", "embedding", threshold=0.3)
+            .orderBy("id_a", "id_b"))
+
+
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT/melt — wide per-nation aggregates to long (metric, value)
     rows via the built-in ``unpivot`` (plans as a single Expand, the
@@ -1912,6 +1923,7 @@ _PRIORITY_R04 = [
     "events_densify", "dedup_survivorship", "events_asof_nearest",
     "query_windowed_distinct", "dedup_url", "mm_mime_sniff",
     "query_quantile_bins", "similarity_pq_rerank", "query_unpivot",
+    "dedup_semantic",
     "partitioned_write_single", "partitioned_write_multi",
     "partitioned_write_orc", "partitioned_write_avro",
     "partition_key_trim", "append_mode", "overwrite_dynamic",
@@ -2064,6 +2076,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_quantile_bins": q_quantile_bins,
         "similarity_pq_rerank": q_similarity_pq,
         "query_unpivot": q_unpivot,
+        "dedup_semantic": q_dedup_semantic,
     }
 
 

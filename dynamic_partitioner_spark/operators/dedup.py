@@ -676,3 +676,46 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
             .select(F.col("_id").alias(id_col),
                     F.col("_minh").alias("fp"))
             .distinct())
+
+
+def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
+                   threshold: float = 0.9, n_lists: int = 16,
+                   nprobe: int = 2,
+                   max_cluster_size: int | None = 10_000) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al., *SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication*, arXiv 2303.09540): k-means clusters are the
+    blocking key, cosine pairs are found WITHIN each cluster — the
+    label-free embedding dedup whose block count scales with the data
+    (vs the fixed 2^planes of sign-LSH).
+
+    ``nprobe > 1`` assigns each vector to its several nearest
+    centroids (multi-assignment), recovering near-dup pairs that
+    straddle a cluster boundary — the same recall lever as LSH's
+    multi-table amplification.  ``max_cluster_size`` drops degenerate
+    clusters (broadcast anti-join, same guard as the LSH hot-bucket
+    cap) so one catch-all centroid cannot reintroduce the quadratic.
+
+    Centroids come from ``similarity.train_centroids`` (bounded
+    id-ordered sample, deterministic); assignment is one Arrow matmul
+    pass; the pair join + cosine verify reuse
+    :func:`embedding_near_dup`'s one-shuffle blocked shape.  Pairs that
+    share several probed clusters are deduped keeping the max cosine.
+    """
+    from .similarity import _nearest_lists_udf, train_centroids
+
+    cents = train_centroids(df, vec_col, id_col, n_lists=n_lists)
+    assign = _nearest_lists_udf(cents, nprobe)
+    blocked = df.select(
+        F.col(id_col), F.col(vec_col),
+        F.explode(assign(F.col(vec_col))).alias("_cluster"))
+    if max_cluster_size is not None:
+        hot = (blocked.groupBy("_cluster")
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .where(F.col("_n") > max_cluster_size)
+               .select("_cluster"))
+        blocked = blocked.join(F.broadcast(hot), "_cluster", "left_anti")
+    pairs = embedding_near_dup(blocked, id_col, vec_col, "_cluster",
+                               threshold)
+    return (pairs.groupBy("id_a", "id_b")
+            .agg(F.max("cos_sim").alias("cos_sim")))

@@ -365,3 +365,25 @@ def test_winnow_guarantee_shared_span_shares_fingerprint(spark):
     assert by_doc[1] & by_doc[2]                 # shared span detected
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
+
+
+def test_semantic_dedup_recall_vs_exact(spark):
+    """Cluster-blocked semantic pairs recover most exact cosine pairs
+    (multi-probe covers boundary stragglers), with zero false
+    positives (every emitted pair passes the exact verify)."""
+    from pyspark.sql import functions as F
+
+    from dynamic_partitioner_spark.operators.dedup import (
+        embedding_near_dup, semantic_dedup)
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    got = {(r.id_a, r.id_b) for r in
+           semantic_dedup(emb, "vec_id", "embedding",
+                          threshold=0.3).collect()}
+    exact = {(r.id_a, r.id_b) for r in
+             embedding_near_dup(
+                 emb.withColumn("_one", F.lit(1)),
+                 "vec_id", "embedding", "_one",
+                 threshold=0.3).collect()}
+    assert got <= exact                       # no false positives
+    assert exact and len(got) / len(exact) >= 0.6   # blocking recall
