@@ -679,9 +679,12 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
 
 
 def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
-                   threshold: float = 0.9, n_lists: int = 16,
+                   threshold: float = 0.9, n_lists: int | None = None,
                    nprobe: int = 2,
-                   max_cluster_size: int | None = 10_000) -> DataFrame:
+                   max_cluster_size: int | None = 10_000,
+                   target_cluster_size: int = 256,
+                   dim: int = 64, sub_tables: int = 2,
+                   seed: int = 777) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al., *SemDeDup:
     Data-efficient learning at web-scale through semantic
     deduplication*, arXiv 2303.09540): k-means clusters are the
@@ -692,30 +695,88 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     ``nprobe > 1`` assigns each vector to its several nearest
     centroids (multi-assignment), recovering near-dup pairs that
     straddle a cluster boundary — the same recall lever as LSH's
-    multi-table amplification.  ``max_cluster_size`` drops degenerate
-    clusters (broadcast anti-join, same guard as the LSH hot-bucket
-    cap) so one catch-all centroid cannot reintroduce the quadratic.
+    multi-table amplification.
+
+    Scale shape — the two knobs that keep the per-block quadratic
+    bounded as the corpus grows (same pattern as
+    :func:`embedding_near_dup_lsh`'s auto-planes + bucket cap):
+
+    * ``n_lists=None`` derives the cluster count from the corpus size
+      (``≈ n / target_cluster_size``, clamped to [8, 4096]), so the
+      expected per-cluster quadratic stays ~n·target/2 instead of
+      n²/n_lists with a FIXED list count — the latter degenerates to
+      all-pairs as the corpus grows past n_lists·target.  The 4096
+      clamp bounds the driver-side Lloyd training (the sample scales
+      as 2·n_lists, ≤ 8192 rows); beyond that, train a two-level
+      (coarse × residual) quantizer — the standard IVF scaling step.
+    * clusters over ``max_cluster_size`` are SUBDIVIDED, not dropped:
+      their members get a secondary sign-LSH blocking key (planes
+      sized so ``2^planes ≥ max_hot / max_cluster_size``, over
+      ``sub_tables`` independent tables for boundary recall — near-dup
+      vectors agree on sign bits with high probability, so pairs stay
+      co-blocked while the pile splits).  Only sub-blocks STILL over
+      the cap after subdivision are dropped (broadcast anti-join) —
+      that residue is an undivisible pile of (near-)identical vectors,
+      which no pair-preserving split can shrink; collapse those with
+      an exact vector-fingerprint dedup upstream instead.
 
     Centroids come from ``similarity.train_centroids`` (bounded
     id-ordered sample, deterministic); assignment is one Arrow matmul
     pass; the pair join + cosine verify reuse
     :func:`embedding_near_dup`'s one-shuffle blocked shape.  Pairs that
-    share several probed clusters are deduped keeping the max cosine.
+    share several probed blocks are deduped keeping the max cosine.
     """
-    from .similarity import _nearest_lists_udf, train_centroids
+    import math as _math
 
-    cents = train_centroids(df, vec_col, id_col, n_lists=n_lists)
+    from .similarity import (_all_buckets_udf, _nearest_lists_udf,
+                             train_centroids)
+
+    if n_lists is None:
+        n = df.count()
+        # floor of 8: below that, nprobe-fold multi-assignment makes the
+        # blocking near-vacuous (every vector probes most clusters)
+        n_lists = min(4096, max(8, _math.ceil(n / target_cluster_size)))
+    cents = train_centroids(df, vec_col, id_col, n_lists=n_lists,
+                            sample_size=max(2048, 2 * n_lists))
     assign = _nearest_lists_udf(cents, nprobe)
     blocked = df.select(
         F.col(id_col), F.col(vec_col),
         F.explode(assign(F.col(vec_col))).alias("_cluster"))
+    hot_rows = []
     if max_cluster_size is not None:
-        hot = (blocked.groupBy("_cluster")
-               .agg(F.count(F.lit(1)).alias("_n"))
-               .where(F.col("_n") > max_cluster_size)
-               .select("_cluster"))
-        blocked = blocked.join(F.broadcast(hot), "_cluster", "left_anti")
-    pairs = embedding_near_dup(blocked, id_col, vec_col, "_cluster",
+        # one small agg over (cluster) — ≤ n_lists rows on the driver
+        hot_rows = (blocked.groupBy("_cluster")
+                    .agg(F.count(F.lit(1)).alias("_n"))
+                    .where(F.col("_n") > max_cluster_size)
+                    .collect())
+    if hot_rows:
+        max_hot = max(r["_n"] for r in hot_rows)
+        # +1 plane of margin: sign-LSH splits real data unevenly, so
+        # aim the EXPECTED sub-block size at cap/2, not exactly cap
+        n_sub = min(12, max(1, 1 + _math.ceil(
+            _math.log2(max_hot / max_cluster_size))))
+        budf = _all_buckets_udf(dim, n_sub, sub_tables, seed)
+        hot_ids = [int(r["_cluster"]) for r in hot_rows]
+        is_hot = F.col("_cluster").isin(hot_ids)
+        cold = blocked.where(~is_hot).select(
+            id_col, vec_col, F.col("_cluster").cast("string").alias("_blk"))
+        hot_b = (blocked.where(is_hot)
+                 .select(id_col, vec_col, "_cluster",
+                         F.posexplode(budf(F.col(vec_col)))
+                         .alias("_tbl", "_sub"))
+                 .select(id_col, vec_col,
+                         F.concat_ws("#", F.col("_cluster"), F.col("_tbl"),
+                                     F.col("_sub")).alias("_blk")))
+        blocked = cold.unionByName(hot_b)
+        still_hot = (blocked.groupBy("_blk")
+                     .agg(F.count(F.lit(1)).alias("_n"))
+                     .where(F.col("_n") > max_cluster_size)
+                     .select("_blk"))
+        blocked = blocked.join(F.broadcast(still_hot), "_blk", "left_anti")
+    else:
+        blocked = blocked.select(
+            id_col, vec_col, F.col("_cluster").cast("string").alias("_blk"))
+    pairs = embedding_near_dup(blocked, id_col, vec_col, "_blk",
                                threshold)
     return (pairs.groupBy("id_a", "id_b")
             .agg(F.max("cos_sim").alias("cos_sim")))

@@ -157,6 +157,9 @@ def train_centroids(emb: DataFrame, vec_col: str = "embedding",
     sample = np.asarray(
         [r[1] for r in emb.select(id_col, vec_col).orderBy(id_col)
          .limit(sample_size).collect()], dtype=np.float64)
+    # a corpus smaller than n_lists trains fewer (still valid) centroids
+    # instead of indexing past the sample
+    n_lists = min(n_lists, len(sample))
     cents = sample[:n_lists].copy()
     for _ in range(iters):
         d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)

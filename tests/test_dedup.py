@@ -387,3 +387,73 @@ def test_semantic_dedup_recall_vs_exact(spark):
                  threshold=0.3).collect()}
     assert got <= exact                       # no false positives
     assert exact and len(got) / len(exact) >= 0.6   # blocking recall
+
+
+def test_semantic_dedup_subdivides_hot_clusters(spark):
+    """Corpus grown past n_lists × max_cluster_size: over-cap clusters
+    are SUBDIVIDED (sign-LSH sub-blocks), not dropped — planted
+    near-dup pairs inside a hot cluster still come out, with zero
+    false positives."""
+    import numpy as np
+
+    from dynamic_partitioner_spark.operators.dedup import (
+        embedding_near_dup, semantic_dedup)
+
+    dim = 8
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(240):                       # diverse background
+        v = rng.randn(dim)
+        rows.append((i, (v / np.linalg.norm(v)).round(4).tolist()))
+    for j in range(10):                        # planted near-dup pairs
+        v = rng.randn(dim)
+        v /= np.linalg.norm(v)
+        w = v + rng.randn(dim) * 0.01
+        w /= np.linalg.norm(w)
+        rows.append((1000 + 2 * j, v.round(4).tolist()))
+        rows.append((1001 + 2 * j, w.round(4).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # n_lists=2 forces every cluster far over the cap of 40, so the
+    # subdivision path (not the drop guard) must carry the recall
+    got = {(r.id_a, r.id_b) for r in
+           semantic_dedup(df, "vec_id", "embedding", threshold=0.95,
+                          n_lists=2, nprobe=1, max_cluster_size=40,
+                          dim=dim).collect()}
+    exact = {(r.id_a, r.id_b) for r in
+             embedding_near_dup(
+                 df.withColumn("_one", F.lit(1)), "vec_id", "embedding",
+                 "_one", threshold=0.95).collect()}
+    planted = {(1000 + 2 * j, 1001 + 2 * j) for j in range(10)} & exact
+    assert got <= exact                        # no false positives
+    assert len(got & planted) / len(planted) >= 0.8
+
+
+def test_semantic_dedup_drops_only_undivisible_piles(spark):
+    """A pile of IDENTICAL vectors cannot be subdivided by any
+    pair-preserving split — those sub-blocks are dropped (the quadratic
+    guard), while a real pair outside the pile survives."""
+    import numpy as np
+
+    from dynamic_partitioner_spark.operators.dedup import semantic_dedup
+
+    dim = 8
+    pile = [0.0] * 7 + [1.0]
+    rows = [(i, pile) for i in range(120)]
+    rng = np.random.RandomState(11)
+    for i in range(200, 260):                  # diverse spread
+        v = rng.randn(dim)
+        rows.append((i, (v / np.linalg.norm(v)).round(4).tolist()))
+    v = rng.randn(dim)
+    v /= np.linalg.norm(v)
+    w = v + rng.randn(dim) * 0.005
+    w /= np.linalg.norm(w)
+    rows += [(900, v.round(4).tolist()), (901, w.round(4).tolist())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {(r.id_a, r.id_b) for r in
+           semantic_dedup(df, "vec_id", "embedding", threshold=0.95,
+                          n_lists=4, nprobe=2, max_cluster_size=30,
+                          dim=dim).collect()}
+    assert (900, 901) in got                   # real pair survives
+    assert not any(a < 120 and b < 120 for a, b in got)  # pile dropped
