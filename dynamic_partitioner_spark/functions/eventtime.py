@@ -17,7 +17,12 @@ diverge from DuckDB's ``epoch_us`` floor on pre-1970 negative nanos)
 and ``unix_micros`` for the timestamp path.  With the session timezone
 pinned to UTC (session.py), an NTZ wall-clock reading equals the UTC
 instant, so ``event_time_us`` matches DuckDB's ``epoch_us(ts)`` on the
-same parquet bit-for-bit — for any sign of timestamp.
+same parquet bit-for-bit for every µs-aligned value of either sign and
+every non-negative value.  The one known cross-engine residue: DuckDB's
+parquet reader (1.0.0) converts sub-µs PRE-1970 nanos to µs by
+truncation toward zero at read time (-999 ns → 0 µs) where this module
+floors (-999 ns → -1 µs, keeping time-bucketing monotone); the fence is
+pinned in tests/test_eventtime.py.
 """
 
 from __future__ import annotations

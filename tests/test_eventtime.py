@@ -20,6 +20,47 @@ def test_nanos_floor_division_matches_python_floor(spark):
     assert got == {n: n // 1000 for n in nanos}
 
 
+def test_pre1970_nanos_parquet_cross_engine_contract(spark, tmp_path):
+    """Pin the cross-engine event-time contract on a physical
+    TIMESTAMP(NANOS) parquet, including pre-1970 rows.
+
+    Spark (nanosAsLong + our floor div) and DuckDB agree exactly on
+    every µs-ALIGNED value of either sign and every non-negative
+    value.  The only divergence is sub-µs pre-1970 residue: DuckDB's
+    parquet reader converts ns→µs at READ time and (as of 1.0.0)
+    truncates that conversion toward zero (-999 ns → 0 µs), while we
+    keep floor semantics (-999 ns → -1 µs: the instant lies in the
+    µs bucket before zero, so bucketing stays monotone).  This test
+    is the loud fence the oracle relies on — if DuckDB later reads
+    NANOS natively (flooring), the tolerant assertion still holds."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    aligned = [-2_000_000_000, -1_000, 0, 1_000,
+               1_700_000_000_123_456_000]
+    subus = [-1, -999, -1001, -1_500_000_123]
+    path = str(tmp_path / "ns.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array(aligned + subus, type=pa.timestamp("ns"))}),
+        path, store_schema=False)
+    df = spark.read.parquet(path)
+    got_spark = {r.ts: r.us for r in
+                 df.select(F.col("ts"),
+                           event_time_us(df, "ts").alias("us")).collect()}
+    # read_parquet preserves file row order, so zip against the input
+    got_duck = {
+        n: r[0] for n, r in zip(
+            aligned + subus,
+            duckdb.sql(f"SELECT epoch_us(ts) FROM read_parquet('{path}')")
+            .fetchall())}
+    for n in aligned:                       # exact parity, any sign
+        assert got_spark[n] == got_duck[n] == n // 1000
+    for n in subus:                         # spark floors; duckdb may
+        assert got_spark[n] == n // 1000    # truncate (1.0.0 reader)
+        assert got_duck[n] in (n // 1000, int(n / 1000))
+
+
 def test_timestamp_path_is_unix_micros(spark):
     df = spark.createDataFrame(
         [("2024-01-02 03:04:05.123456",)], "s string"
