@@ -60,7 +60,8 @@ def deletion_keys_batched(c) -> "F.Column":
 
 
 def fuzzy_pairs(df: DataFrame, id_col: str, s_col: str,
-                max_dist: int = 1) -> DataFrame:
+                max_dist: int = 1,
+                max_key_df: int | None = None) -> DataFrame:
     """All pairs with ``levenshtein(a, b) <= max_dist`` (and ``id_a <
     id_b``), found via deletion-neighborhood blocking — never an O(n²)
     comparison.
@@ -79,6 +80,16 @@ def fuzzy_pairs(df: DataFrame, id_col: str, s_col: str,
     ~26% of candidates here), instead of shuffling every duplicate
     candidate first.  At scale this ordering moves the one wide
     shuffle behind the most selective filter in the pipeline.
+
+    ``max_key_df`` is the hot-key guard (same shape as the shingle
+    paths' ``max_shingle_df`` / LSH ``max_bucket_size``): a deletion
+    key shared by m rows — every 1-char name shares its empty-string
+    deletion, every 2-char code shares single characters — contributes
+    m²/2 join rows.  Keys above the cap are dropped via a broadcast
+    anti-join on the (tiny) hot-key list; a pair sharing ONLY dropped
+    keys is lost, so this trades bounded recall for a bounded join.
+    Leave None (exact, complete recall) for audits and the oracle; set
+    it at corpus scale.
     """
     if max_dist != 1:
         raise ValueError("fuzzy_pairs supports max_dist=1 only "
@@ -87,6 +98,12 @@ def fuzzy_pairs(df: DataFrame, id_col: str, s_col: str,
         F.col(id_col).alias("_id"), F.col(s_col).alias("_s"),
         F.explode(F.array_distinct(deletion_keys_batched(s_col)))
         .alias("_k"))
+    if max_key_df is not None:
+        hot = (keyed.groupBy("_k")
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .where(F.col("_n") > max_key_df)
+               .select("_k"))
+        keyed = keyed.join(F.broadcast(hot), "_k", "left_anti")
     a = keyed.select(F.col("_id").alias("id_a"), F.col("_s").alias("s_a"),
                      "_k")
     b = keyed.select(F.col("_id").alias("id_b"), F.col("_s").alias("s_b"),

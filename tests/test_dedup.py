@@ -170,13 +170,16 @@ def test_embedding_near_dup_lsh_recall(spark):
                       F.round(cosine(F.col("a.embedding"), F.col("b.embedding")),
                               4).alias("c"))
               .where(F.col("c") >= 0.3)).collect()}
+    # driver-key operating point: auto planes, 8 tables.  Measured
+    # recall is 0.97 at sf0.001 and sf0.01; pin measured-minus-margin
+    # so a real regression (not jitter) goes red.
     got = {(r.id_a, r.id_b) for r in
            embedding_near_dup_lsh(emb, "vec_id", "embedding", threshold=0.3,
-                                  n_planes=4, n_tables=8).collect()}
+                                  n_planes=None, n_tables=8).collect()}
     assert got <= exact                        # no false positives
-    if exact:
-        recall = len(got) / len(exact)
-        assert recall >= 0.3, f"recall too low: {recall}"
+    assert exact
+    recall = len(got) / len(exact)
+    assert recall >= 0.9, f"recall too low: {recall}"
 
 
 def test_minhash_batched_bit_identical(spark):

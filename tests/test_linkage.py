@@ -64,6 +64,23 @@ def test_fuzzy_pairs_emits_each_pair_once(spark):
     assert len(out) == 1 and (out[0].id_a, out[0].id_b) == (1, 2)
 
 
+def test_fuzzy_pairs_hot_key_guard(spark):
+    """max_key_df drops only over-shared deletion keys: a pile of
+    1-char ids all sharing the empty-string deletion key stops pairing
+    through it, while a long-string pair (cold keys) is untouched;
+    the exact default (None) keeps complete recall."""
+    rows = [(i, "a") for i in range(30)]           # all share key ""
+    rows += [(100, "warehouse"), (101, "warehous")]
+    df = spark.createDataFrame(rows, "id long, s string")
+    exact = {(r.id_a, r.id_b) for r in fuzzy_pairs(df, "id", "s").collect()}
+    assert (100, 101) in exact
+    assert len(exact) == 30 * 29 // 2 + 1
+    capped = {(r.id_a, r.id_b) for r in
+              fuzzy_pairs(df, "id", "s", max_key_df=10).collect()}
+    assert (100, 101) in capped                    # cold pair survives
+    assert all(a >= 100 for a, _ in capped)        # pile pairs gone
+
+
 def test_fuzzy_pairs_rejects_larger_radius(spark):
     df = spark.createDataFrame([(1, "x")], "id long, s string")
     with pytest.raises(ValueError):
