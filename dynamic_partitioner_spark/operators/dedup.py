@@ -305,6 +305,38 @@ def near_dup_minhash(df: DataFrame, id_col: str, text_col: str,
 
 # ----------------------------------------------------- exact ngram jaccard
 
+def _shingle_overlap_counts(df: DataFrame, id_col: str, text_col: str,
+                            block_col: str, n: int,
+                            max_shingle_df: int | None) -> DataFrame:
+    """Shared inverted-shingle-index body of :func:`ngram_jaccard_pairs`
+    and :func:`containment_pairs`: explode (block, shingle, id),
+    self-join on the shingle, count co-occurrences per pair.  Returns
+    the grouped pair relation ``(id_a, id_b, sz_a, sz_b, inter)`` with
+    ``inter = |A∩B| >= 1``; the callers differ only in the score they
+    derive from it.  ``max_shingle_df`` drops shingles shared by more
+    than that many docs in a block (broadcast anti-join on the tiny
+    stop-shingle list) — the hot-key guard for the m²/2 join term."""
+    base = df.select(F.col(block_col).alias("_blk"),
+                     F.col(id_col).alias("_id"),
+                     shingles_batched(F.col(text_col), n).alias("sh"))
+    ex = base.select("_blk", "_id", F.size("sh").alias("sz"),
+                     F.explode("sh").alias("s"))
+    if max_shingle_df is not None:
+        hot = (ex.groupBy("_blk", "s")
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .where(F.col("_n") > max_shingle_df)
+               .select("_blk", "s"))
+        ex = ex.join(F.broadcast(hot), ["_blk", "s"], "left_anti")
+    a, b = ex.alias("a"), ex.alias("b")
+    return (a.join(b, ["_blk", "s"])
+            .where(F.col("a._id") < F.col("b._id"))
+            .groupBy(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"),
+                     F.col("a.sz").alias("sz_a"),
+                     F.col("b.sz").alias("sz_b"))
+            .agg(F.count(F.lit(1)).alias("inter")))
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         block_col: str, threshold: float = 0.4,
                         n: int = 3,
@@ -332,25 +364,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         raise ValueError(
             "threshold must be > 0: zero-overlap pairs are pruned by "
             "construction in the inverted-index formulation")
-    base = df.select(F.col(block_col).alias("_blk"),
-                     F.col(id_col).alias("_id"),
-                     shingles_batched(F.col(text_col), n).alias("sh"))
-    ex = base.select("_blk", "_id", F.size("sh").alias("sz"),
-                     F.explode("sh").alias("s"))
-    if max_shingle_df is not None:
-        hot = (ex.groupBy("_blk", "s")
-               .agg(F.count(F.lit(1)).alias("_n"))
-               .where(F.col("_n") > max_shingle_df)
-               .select("_blk", "s"))
-        ex = ex.join(F.broadcast(hot), ["_blk", "s"], "left_anti")
-    a, b = ex.alias("a"), ex.alias("b")
-    pairs = (a.join(b, ["_blk", "s"])
-             .where(F.col("a._id") < F.col("b._id"))
-             .groupBy(F.col("a._id").alias("id_a"),
-                      F.col("b._id").alias("id_b"),
-                      F.col("a.sz").alias("sz_a"),
-                      F.col("b.sz").alias("sz_b"))
-             .agg(F.count(F.lit(1)).alias("inter")))
+    pairs = _shingle_overlap_counts(df, id_col, text_col, block_col, n,
+                                    max_shingle_df)
     # union >= inter >= 1 for every grouped pair, so the division is
     # ANSI-safe; small-int ratio → identical IEEE doubles in DuckDB
     union = (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
@@ -383,25 +398,8 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
         raise ValueError(
             "threshold must be > 0: zero-overlap pairs are pruned by "
             "construction in the inverted-index formulation")
-    base = df.select(F.col(block_col).alias("_blk"),
-                     F.col(id_col).alias("_id"),
-                     shingles_batched(F.col(text_col), n).alias("sh"))
-    ex = base.select("_blk", "_id", F.size("sh").alias("sz"),
-                     F.explode("sh").alias("s"))
-    if max_shingle_df is not None:
-        hot = (ex.groupBy("_blk", "s")
-               .agg(F.count(F.lit(1)).alias("_n"))
-               .where(F.col("_n") > max_shingle_df)
-               .select("_blk", "s"))
-        ex = ex.join(F.broadcast(hot), ["_blk", "s"], "left_anti")
-    a, b = ex.alias("a"), ex.alias("b")
-    pairs = (a.join(b, ["_blk", "s"])
-             .where(F.col("a._id") < F.col("b._id"))
-             .groupBy(F.col("a._id").alias("id_a"),
-                      F.col("b._id").alias("id_b"),
-                      F.col("a.sz").alias("sz_a"),
-                      F.col("b.sz").alias("sz_b"))
-             .agg(F.count(F.lit(1)).alias("inter")))
+    pairs = _shingle_overlap_counts(df, id_col, text_col, block_col, n,
+                                    max_shingle_df)
     denom = F.least(F.col("sz_a"), F.col("sz_b")).cast("double")
     return (pairs.select("id_a", "id_b", "sz_a", "sz_b",
                          round4(F.col("inter").cast("double") / denom)
