@@ -358,29 +358,38 @@ def simhash_sql(c: str) -> str:
 _TRACKING_RE = r"[?&](utm_[a-z0-9]*|fbclid|gclid|msclkid|ref)=[^&#]*"
 
 
+_TRACK = r"(utm_[a-z0-9]*|fbclid|gclid|msclkid|ref)"
+
+
 def canonicalize_url(c: Column) -> Column:
     """Canonical form of a URL for dedup/aggregation:
 
     1. scheme + host lowercased (path/query case preserved),
-    2. default ports ``:80``/``:443`` dropped,
+    2. the scheme's OWN default port dropped (``:80`` for http,
+       ``:443`` for https — ``https://h:80/`` is a distinct resource
+       and keeps its port),
     3. fragment (``#...``) dropped,
     4. tracking params (``utm_*``, ``fbclid``, ``gclid``, ``msclkid``,
-       ``ref``) dropped, with the query separator repaired (first
-       surviving ``&`` promoted to ``?``, dangling ``?`` removed),
-    5. trailing ``/`` dropped.
+       ``ref``) dropped without ever touching the ``?`` separator:
+       non-leading params strip with their ``&``; a leading param
+       followed by survivors promotes the next param behind ``?``; a
+       query that was ONLY tracking params disappears.  Ampersands in
+       the path (no query present) are never rewritten.
+    5. dangling ``?`` and trailing ``/`` dropped.
 
     Pure ``regexp_replace`` chain — codegen, RE2-safe (no lookaround,
-    so the DuckDB twin :data:`CANON_URL_SQL` applies the identical
-    patterns; only the replacement syntax differs, ``$1`` vs ``\\1``).
+    so the DuckDB twin applies the identical patterns; only the
+    replacement syntax differs, ``$1`` vs ``\\1``).
     """
     u = F.concat(
         F.lower(F.regexp_extract(c, r"^((?i)https?://[^/?#]*)", 1)),
         F.regexp_replace(c, r"^(?i)https?://[^/?#]*", ""))
-    u = F.regexp_replace(
-        u, r"^(https?://[^/?#:]*):(80|443)([/?#].*)?$", r"$1$3")
+    u = F.regexp_replace(u, r"^(http://[^/?#:]*):80([/?#].*)?$", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/?#:]*):443([/?#].*)?$", r"$1$2")
     u = F.regexp_replace(u, r"#.*$", "")
-    u = F.regexp_replace(u, _TRACKING_RE, "")
-    u = F.regexp_replace(u, r"^([^?]*)&", r"$1?")
+    u = F.regexp_replace(u, rf"&{_TRACK}=[^&#]*", "")
+    u = F.regexp_replace(u, rf"\?{_TRACK}=[^&#]*&", "?")
+    u = F.regexp_replace(u, rf"\?{_TRACK}=[^&#]*$", "")
     u = F.regexp_replace(u, r"\?$", "")
     u = F.regexp_replace(u, r"([^/])/$", r"$1")
     return u
@@ -391,13 +400,13 @@ def _canon_url_sql(c: str) -> str:
     order; RE2 replacement syntax)."""
     u = (f"concat(lower(regexp_extract({c}, '^((?i)https?://[^/?#]*)', 1)), "
          f"regexp_replace({c}, '^(?i)https?://[^/?#]*', ''))")
+    u = f"regexp_replace({u}, '^(http://[^/?#:]*):80([/?#].*)?$', '\\1\\2')"
     u = (f"regexp_replace({u}, "
-         f"'^(https?://[^/?#:]*):(80|443)([/?#].*)?$', '\\1\\3')")
+         f"'^(https://[^/?#:]*):443([/?#].*)?$', '\\1\\2')")
     u = f"regexp_replace({u}, '#.*$', '')"
-    u = (f"regexp_replace({u}, "
-         f"'[?&](utm_[a-z0-9]*|fbclid|gclid|msclkid|ref)=[^&#]*', "
-         f"'', 'g')")
-    u = f"regexp_replace({u}, '^([^?]*)&', '\\1?')"
+    u = f"regexp_replace({u}, '&{_TRACK}=[^&#]*', '', 'g')"
+    u = f"regexp_replace({u}, '\\?{_TRACK}=[^&#]*&', '?')"
+    u = f"regexp_replace({u}, '\\?{_TRACK}=[^&#]*$', '')"
     u = f"regexp_replace({u}, '\\?$', '')"
     u = f"regexp_replace({u}, '([^/])/$', '\\1')"
     return u

@@ -98,8 +98,13 @@ def dp_noisy_counts(df: DataFrame, group_cols: list[str], epsilon: float,
 
     if epsilon <= 0:
         raise ValueError("epsilon must be > 0")
-    key = F.concat_ws("\x1f", *[F.col(c).cast("string")
-                                for c in group_cols])
+    # concat_ws SKIPS nulls, which would collapse distinct groups that
+    # differ only in which column is NULL onto one seed — encode NULL
+    # explicitly (chr(30) sentinel can't collide with cast output that
+    # shares a prefix, since chr(31) separates fields)
+    key = F.concat_ws("\x1f", *[
+        F.coalesce(F.col(c).cast("string"), F.lit("\x1eNULL"))
+        for c in group_cols])
     u = hash_unit(key, salt)
     centered = u - F.lit(0.5)
     mag = F.lit(1.0) - F.lit(2.0) * F.abs(centered)
@@ -120,7 +125,8 @@ def dp_noisy_counts_sql(group_cols: list[str], epsilon: float,
 
     cols = ", ".join(group_cols)
     key = ("concat_ws(chr(31), " +
-           ", ".join(f"CAST({c} AS VARCHAR)" for c in group_cols) + ")")
+           ", ".join(f"coalesce(CAST({c} AS VARCHAR), chr(30) || 'NULL')"
+                     for c in group_cols) + ")")
     u = hash_unit_sql(key, salt)
     return (
         f"WITH g AS (SELECT {cols}, count(*) AS true_count "

@@ -213,6 +213,13 @@ def train_pq_codebooks(emb: DataFrame, vec_col: str = "embedding",
     sample = np.asarray(
         [r[1] for r in emb.select(id_col, vec_col).orderBy(id_col)
          .limit(sample_size).collect()], dtype=np.float64)
+    if sample.ndim != 2 or sample.shape[0] < ksub:
+        raise ValueError(
+            f"PQ training needs at least ksub={ksub} rows of "
+            f"{dim}-dim vectors; got "
+            f"{0 if sample.ndim != 2 else sample.shape[0]} usable rows "
+            f"(corpus smaller than ksub, or ragged/empty {vec_col!r}) — "
+            f"lower ksub or raise sample_size")
     books = np.zeros((m, ksub, dsub))
     for j in range(m):
         sub = sample[:, j * dsub:(j + 1) * dsub]

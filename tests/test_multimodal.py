@@ -114,3 +114,23 @@ def test_sniff_mime_magic_bytes(spark):
                                "doc_id long, payload binary")
     got = {r.doc_id: r.mime for r in sniff_mime(df).collect()}
     assert got == {i: m for i, _, m in rows}
+
+
+def test_documents_corpus_ascii_and_magic_free(spark):
+    """Fence for the mm_resize / mm_mime_sniff oracle assumptions: the
+    byte-indexed Spark side and the character-indexed DuckDB substring
+    oracle only agree while the documents text is pure ASCII, and the
+    mime ground truth only holds while no document text ITSELF starts
+    with a magic string.  If generated data ever violates either, this
+    fails loudly instead of a silent hash mismatch."""
+    for sf in ("0.001", "0.01"):
+        docs = spark.read.parquet(f"/root/testdata/sf{sf}/documents.parquet")
+        non_ascii = docs.where(
+            F.length(F.col("text"))
+            != F.length(F.encode(F.col("text"), "utf-8"))).count()
+        assert non_ascii == 0, f"sf{sf}: non-ASCII text rows: {non_ascii}"
+        magic = docs.where(
+            F.col("text").startswith("\x89PNG")
+            | F.col("text").startswith("%PDF-")
+            | F.col("text").startswith("PK\x03\x04")).count()
+        assert magic == 0, f"sf{sf}: magic-prefixed text rows: {magic}"

@@ -161,3 +161,19 @@ def test_pq_encode_shapes(spark):
     assert len(rows) == 50
     assert all(len(r.codes) == 8 for r in rows)
     assert all(0 <= c < 16 for r in rows for c in r.codes)
+
+
+def test_pq_training_rejects_undersized_corpus(spark):
+    """A corpus smaller than ksub raises a descriptive error instead of
+    an opaque numpy broadcast failure (q_similarity_pq uses ksub=256)."""
+    import pytest
+
+    from dynamic_partitioner_spark.operators.quantize import (
+        train_pq_codebooks)
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .limit(10))
+    with pytest.raises(ValueError, match="ksub"):
+        train_pq_codebooks(emb, m=8, ksub=256)
+    with pytest.raises(ValueError, match="ksub"):
+        train_pq_codebooks(emb.limit(0), m=8, ksub=16)

@@ -202,3 +202,28 @@ def test_dp_noisy_counts_distribution_and_determinism(spark):
     tn = tight.select(F.abs(F.col("noisy_count")
                             - F.col("true_count")).alias("n")).collect()
     assert (sum(r.n for r in tn) / len(tn)) < mean_abs
+
+
+def test_dp_noisy_counts_null_groups_get_distinct_noise(spark):
+    """Multi-column groups differing only in WHICH column is NULL must
+    seed different noise (concat_ws would silently skip the NULL and
+    collapse them), and the Spark form must match the DuckDB twin on
+    NULL-bearing groups."""
+    import duckdb
+
+    from dynamic_partitioner_spark.operators.privacy import (
+        dp_noisy_counts, dp_noisy_counts_sql)
+
+    rows = [("a", None)] * 5 + [(None, "a")] * 7 + [("a", "b")] * 3
+    df = spark.createDataFrame(rows, "x string, y string")
+    got = {(r.x, r.y): (r.true_count, r.noisy_count)
+           for r in dp_noisy_counts(df, ["x", "y"], epsilon=1.0).collect()}
+    assert len(got) == 3
+    na, an = got[("a", None)], got[(None, "a")]
+    assert na[1] - na[0] != an[1] - an[0]          # distinct noise draws
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x VARCHAR, y VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sql = dp_noisy_counts_sql(["x", "y"], epsilon=1.0, from_table="t")
+    duck = {(x, y): (tc, nc) for x, y, tc, nc in con.sql(sql).fetchall()}
+    assert duck == got

@@ -156,6 +156,14 @@ def test_canonicalize_url_cases(spark):
         "https://a.b/p?utm_a=1&utm_b=2": "https://a.b/p",
         "https://a.b/p?q=2&ref=zz": "https://a.b/p?q=2",
         "not a url at all": "not a url at all",
+        # port drop is tied to the scheme: :80 is NOT https' default
+        "https://host.org:80/x": "https://host.org:80/x",
+        "http://host.org:443/x": "http://host.org:443/x",
+        # '&' in a PATH (no query) is never rewritten to '?'
+        "http://h.io/a&b": "http://h.io/a&b",
+        "http://h.io/a&b?utm_x=1": "http://h.io/a&b",
+        # leading tracking param promotes the survivor behind '?'
+        "http://h.io/p?utm_a=1&x=2&utm_b=3&y=4": "http://h.io/p?x=2&y=4",
     }
     df = spark.createDataFrame([(u,) for u in cases], "u string")
     got = [r.c for r in
