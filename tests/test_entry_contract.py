@@ -18,8 +18,8 @@ def test_every_oracle_has_a_query_and_priorities_resolve():
     m = _entry()
     q, o = m.queries(), m.oracle_sql()
     assert set(o) <= set(q), sorted(set(o) - set(q))
-    assert set(m._PRIORITY_R04) <= set(q), \
-        sorted(set(m._PRIORITY_R04) - set(q))
+    assert set(m._PRIORITY_R05) <= set(q), \
+        sorted(set(m._PRIORITY_R05) - set(q))
     # the rows-only set is exactly the documented sketch/iterative ops
     rows_only = set(q) - set(o)
     assert rows_only == {

@@ -32,6 +32,11 @@ SWEEP_KEYS = [
     "similarity_pq_rerank", "dedup_url", "mm_mime_sniff", "mm_resize",
     "query_quantile_bins", "query_unpivot", "events_asof_nearest",
     "dedup_survivorship", "query_windowed_distinct",
+    # streaming (each drains real micro-batches to completion; slopes
+    # read against the per-trigger fixed cost, which dominates locally)
+    "streaming_partitioned_write", "streaming_windowed_agg",
+    "streaming_stateful_counts", "streaming_dedup", "streaming_join",
+    "streaming_upsert",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
