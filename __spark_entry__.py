@@ -1521,6 +1521,116 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b", F.col("dist").cast("long").alias("dist")))
 
 
+def q_dedup_fuzzy2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-≤2 linkage via the SymSpell 2-deletion neighborhood
+    (complete recall at lev ≤ 2 by the deletion-variant guarantee; key
+    volume is the honest 1+L+C(L,2) per string).  Input fixed to the
+    first 1000 customers so the deliberately denser d2 pair set stays
+    bench-bounded at every SF; the oracle runs the brute-force
+    quadratic."""
+    from dynamic_partitioner_spark.operators.linkage import fuzzy_pairs
+    cust = (_table(spark, sf_dir, "customer")
+            .where(F.col("c_custkey") < 1000)
+            .select("c_custkey", "c_name"))
+    return (fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=2)
+            .select("id_a", "id_b", F.col("dist").cast("long").alias("dist")))
+
+
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup APPLICATION: exact n-gram Jaccard pairs →
+    connected-component clusters → drop every non-min-id member —
+    returning the cleaned corpus itself (id + lang + kept text length),
+    the step users actually run after any pair screen.  The oracle
+    recomputes the same survivors with a recursive-CTE closure."""
+    corpus = _augmented_corpus(spark, sf_dir)
+    pairs = DD.ngram_jaccard_pairs(corpus, "doc_id", "text", "lang",
+                                   threshold=0.5, n=3)
+    kept = DD.apply_dedup(corpus, pairs, "doc_id")
+    return kept.select("doc_id", "lang",
+                       F.length("text").cast("long").alias("text_len"))
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-threshold frequent tokens WITHOUT shuffling the token
+    stream: per-partition Misra-Gries summaries (bounded counters,
+    mapInPandas) produce a guaranteed-complete candidate superset; only
+    broadcast-joined candidates are exactly recounted.  Final counts
+    are exact, so the plain GROUP BY / HAVING oracle matches."""
+    from dynamic_partitioner_spark.operators.frequency import heavy_hitters
+    docs = _table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                          "[ \\t\\n\\r]+")).alias("term"))
+    toks = toks.where(F.length("term") > 0)
+    return heavy_hitters(toks, "term", support=0.002)
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance: the stored per-priority
+    partial state (sum/count over the 90% 'history' slice) merges with
+    the partial aggregate of the 10% 'delta' slice — two map-side
+    partial aggs + one tiny merge, never a full recompute.  The oracle
+    IS the full recompute, so equality proves the merge algebra."""
+    orders = _table(spark, sf_dir, "orders")
+    # integer-cent quantization: BIGINT partial sums merge exactly and
+    # order-free, so the merged state equals the full recompute
+    # bit-for-bit in both engines (the events_rolling_1h trick)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.sum(cents).alias("_c"),
+            F.count(F.lit(1)).alias("_n"))
+
+    base = partial(orders.where(F.col("o_orderkey") % 10 != 0))
+    delta = partial(orders.where(F.col("o_orderkey") % 10 == 0))
+    return (base.unionByName(delta)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("_n").alias("n_orders"),
+                 (F.sum("_c").cast("double") / F.lit(100.0))
+                 .alias("total_price"),
+                 (F.sum("_c").cast("double") / F.lit(100.0)
+                  / F.sum("_n").cast("double")).alias("avg_price")))
+
+
+def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving parquet source: an early batch without
+    o_totalprice and a later batch with it land in one dataset;
+    ``mergeSchema`` read-back unions the file schemas, nulling the
+    missing column for old files (the additive-column contract a
+    long-lived 100 TB dataset needs — scans stay pruned because merge
+    happens on footers, not data)."""
+    apply_engine_confs(spark)
+    orders = _table(spark, sf_dir, "orders")
+    out = _out("schema_evolution")
+    (orders.where(F.col("o_orderkey") % 2 == 1)
+     .select("o_orderkey", "o_custkey")
+     .write.parquet(f"{out}/batch=1"))
+    (orders.where(F.col("o_orderkey") % 2 == 0)
+     .select("o_orderkey", "o_custkey", "o_totalprice")
+     .write.parquet(f"{out}/batch=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: deterministically injected phones / SSNs /
+    IPs / card numbers (every 3rd doc — raw testdata has none) are
+    counted on the raw text then replaced by ``<TAG>`` markers, all in
+    one codegen regexp chain with an RE2-identical DuckDB twin."""
+    docs = _table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    inject = F.concat(
+        F.col("text"),
+        F.lit(" call (555) 123-4"), F.lpad(d, 3, "0"),
+        F.lit(" ssn 123-45-6789 from 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+        F.lit(" card 4111 1111 1111 1111"))
+    aug = F.when(F.col("doc_id") % 3 == 0, inject).otherwise(F.col("text"))
+    return docs.select("doc_id", *TX.pii_counts(aug),
+                       TX.redact_pii(aug).alias("clean_text"))
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — a set combination ((rf, ls), (ls), ())
     no ROLLUP/CUBE chain expresses — still one expand + one hash
@@ -1917,15 +2027,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #          drawn in ANY round's sample (the only keys with zero driver
 #          rows; rows-only by design, but a rows-only entry is still
 #          evidence the key executes in the driver's env),
-#   3-9    the keys whose implementation CHANGED this round (URL
+#   3-8    the six NEW round-5 keys (never checked),
+#   9-15   the keys whose implementation CHANGED this round (URL
 #          canonicalization, DP NULL seeds, streaming-join drain
 #          shape, fuzzy-pairs guard, shingle-index refactor, semantic
 #          dedup auto-scaling) — re-verify behind the change,
-#   10-24  keys last hash-checked in r2,
-#   25-50  keys last hash-checked in r3 (oldest evidence first).
+#   16-30  keys last hash-checked in r2,
+#   31-50  keys last hash-checked in r3 (oldest evidence first).
 # Everything after 50 was hash-checked in r3/r4 and is unchanged.
 _PRIORITY_R05 = [
     "query_approx_distinct", "query_approx_percentiles",
+    "dedup_fuzzy2", "dedup_apply", "query_heavy_hitters",
+    "query_incremental_agg", "source_schema_evolution",
+    "text_pii_redact",
     "dedup_url", "privacy_dp_count", "streaming_join", "dedup_fuzzy",
     "dedup_ngram_jaccard", "dedup_containment", "dedup_semantic",
     "dedup_simhash", "dedup_simhash_pairs", "dedup_incremental",
@@ -2079,6 +2193,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_pq_rerank": q_similarity_pq,
         "query_unpivot": q_unpivot,
         "dedup_semantic": q_dedup_semantic,
+        "dedup_fuzzy2": q_dedup_fuzzy2,
+        "dedup_apply": q_dedup_apply,
+        "query_heavy_hitters": q_heavy_hitters,
+        "query_incremental_agg": q_incremental_agg,
+        "source_schema_evolution": q_source_schema_evolution,
+        "text_pii_redact": q_text_pii_redact,
     }
 
 
@@ -3122,6 +3242,81 @@ def oracle_sql() -> dict[str, str]:
             FROM customer a, customer b
             WHERE a.c_custkey < b.c_custkey
               AND levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "dedup_fuzzy2": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   levenshtein(a.c_name, b.c_name) AS dist
+            FROM customer a, customer b
+            WHERE a.c_custkey < b.c_custkey
+              AND a.c_custkey < 1000 AND b.c_custkey < 1000
+              AND levenshtein(a.c_name, b.c_name) <= 2
+        """,
+        "dedup_apply": f"""
+            WITH RECURSIVE corpus AS ({_AUG_SQL}),
+            sh AS (SELECT doc_id, lang, {_shingles('text')} AS sh FROM corpus),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+                WHERE {jacc} >= 0.5
+            ),
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach(u, v) AS (
+                SELECT DISTINCT u, u FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ),
+            labels AS (
+                SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+            )
+            SELECT c.doc_id, c.lang,
+                   CAST(length(c.text) AS BIGINT) AS text_len
+            FROM corpus c
+            WHERE c.doc_id NOT IN (
+                SELECT doc_id FROM labels WHERE doc_id != cluster_id)
+        """,
+        "query_heavy_hitters": """
+            WITH tok AS (
+                SELECT unnest(string_split_regex(trim(lower(text)),
+                                                 '[ \t\n\r]+')) AS term
+                FROM documents),
+            t AS (SELECT term FROM tok WHERE length(term) > 0),
+            n AS (SELECT count(*) AS total FROM t)
+            SELECT term, count(*) AS n FROM t, n GROUP BY term, total
+            HAVING count(*) >= 0.002 * total
+        """,
+        "query_incremental_agg": """
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS total_price,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE)
+                       AS avg_price
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "source_schema_evolution": """
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice
+                   END AS o_totalprice
+            FROM orders
+        """,
+        "text_pii_redact": f"""
+            WITH aug AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN
+                           text || ' call (555) 123-4'
+                                || lpad(CAST(doc_id AS VARCHAR), 3, '0')
+                                || ' ssn 123-45-6789 from 10.0.'
+                                || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                                || ' card 4111 1111 1111 1111'
+                       ELSE text END AS t
+                FROM documents)
+            SELECT doc_id, {', '.join(TX.pii_counts_sql('t'))},
+                   {TX.redact_pii_sql('t')} AS clean_text
+            FROM aug
         """,
         "text_tfidf": f"""
             WITH tok AS (

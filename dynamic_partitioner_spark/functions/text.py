@@ -413,3 +413,50 @@ def _canon_url_sql(c: str) -> str:
 
 
 CANON_URL_SQL = _canon_url_sql("{c}")
+
+
+# ------------------------------------------------------------ PII redact
+
+# (count-column, pattern, replacement) — ordered so no earlier
+# replacement can create or destroy a later match on the injected
+# formats; every pattern is RE2-safe (no lookaround) so the DuckDB twin
+# runs the IDENTICAL strings.  Formats covered are the canonical US-ish
+# shapes ((555) 123-4567 phones, 123-45-6789 SSNs, dotted-quad IPs,
+# 4-4-4-4 card numbers); real pipelines extend the table, the plumbing
+# (count → redact → both-engine parity) stays the same.
+PII_SPECS: list[tuple[str, str, str]] = [
+    ("n_cc", r"\b\d{4} \d{4} \d{4} \d{4}\b", "<CC>"),
+    ("n_phone", r"\(\d{3}\) \d{3}-\d{4}", "<PHONE>"),
+    ("n_ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("n_ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_counts(c: Column) -> list[Column]:
+    """One LONG count column per PII class (counted on the RAW text,
+    before any redaction, so classes can't shadow each other)."""
+    return [F.regexp_count(c, F.lit(pat)).cast("long").alias(name)
+            for name, pat, _ in PII_SPECS]
+
+
+def redact_pii(c: Column) -> Column:
+    """All PII classes replaced by their ``<TAG>`` markers, applied in
+    :data:`PII_SPECS` order — a codegen ``regexp_replace`` chain."""
+    u = c
+    for _, pat, tag in PII_SPECS:
+        u = F.regexp_replace(u, pat, tag)
+    return u
+
+
+def pii_counts_sql(c: str) -> list[str]:
+    """DuckDB twins of :func:`pii_counts` (same patterns verbatim)."""
+    return [f"CAST(length(regexp_extract_all({c}, '{pat}')) AS BIGINT) "
+            f"AS {name}" for name, pat, _ in PII_SPECS]
+
+
+def redact_pii_sql(c: str) -> str:
+    """DuckDB twin of :func:`redact_pii`."""
+    u = c
+    for _, pat, tag in PII_SPECS:
+        u = f"regexp_replace({u}, '{pat}', '{tag}', 'g')"
+    return u

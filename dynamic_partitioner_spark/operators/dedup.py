@@ -542,6 +542,24 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
                          F.col("label").alias("cluster_id"))
 
 
+def apply_dedup(corpus: DataFrame, pairs: DataFrame, id_col: str,
+                id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """APPLY a dedup decision end-to-end: near-dup ``pairs`` →
+    connected-component clusters (:func:`dedup_clusters`) → keep only
+    each cluster's min-id representative — the step that turns any
+    pair-producing screen into the actual cleaned corpus.
+
+    Non-representative members are removed via one broadcast-friendly
+    anti-join on the (pairs-sized, tiny next to the corpus) drop list;
+    docs never appearing in a pair pass through untouched.  Preserves
+    the corpus schema.
+    """
+    clusters = dedup_clusters(pairs, id_a, id_b)
+    drop = (clusters.where(F.col("doc_id") != F.col("cluster_id"))
+            .select(F.col("doc_id").alias(id_col)))
+    return corpus.join(drop, id_col, "left_anti")
+
+
 # ------------------------------------------------------------- embeddings
 
 def embedding_near_dup_lsh(df: DataFrame, id_col: str, vec_col: str,

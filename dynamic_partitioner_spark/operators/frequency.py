@@ -1,0 +1,81 @@
+"""Frequent-item (heavy-hitter) mining at corpus scale (north-star
+extension surface; the reference has no aggregation at all — SURVEY.md
+§2.5).
+
+The naive exact answer — ``groupBy(item).count()`` over every token —
+shuffles the FULL item stream on the item key; at 100 TB that is the
+largest shuffle a vocabulary-style job can produce.  The scalable
+two-pass shape used here:
+
+1. **Per-partition Misra-Gries summaries** (``mapInPandas``, bounded
+   ``m = ceil(1/support)`` counters per partition, merged batch-wise
+   with the standard mergeable-summaries rule): every item with global
+   frequency ≥ ``support·N`` is GUARANTEED to survive in at least one
+   partition's summary (if it were light in every partition it would be
+   light globally), so the union of summaries is a complete candidate
+   superset.  Output per partition: at most ``m`` candidate items —
+   the shuffle carries candidates, never the token stream.
+2. **Exact recount of candidates only**: broadcast the (tiny) distinct
+   candidate set, semi-join the token stream map-side, hash-aggregate
+   just the surviving tokens, filter ``count >= support·N``.
+
+The final counts are EXACT and independent of partitioning (the sketch
+only shapes the candidate superset), so the result is oracle-checkable
+against a plain GROUP BY / HAVING — accuracy is not traded, only
+shuffle volume.  Reference: Misra & Gries 1982; merge rule from
+Agarwal et al., *Mergeable Summaries*, PODS 2012.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_merge(counters: dict, batch: Counter, m: int) -> dict:
+    """Merge a batch's exact counts into a Misra-Gries summary of at
+    most ``m`` counters (combine, then subtract the (m+1)-th largest
+    count from all and drop non-positive — the mergeable-summaries
+    rule, which preserves the deficit bound count_est ≥ count_true −
+    n/(m+1))."""
+    for item, c in batch.items():
+        counters[item] = counters.get(item, 0) + c
+    if len(counters) > m:
+        cut = sorted(counters.values(), reverse=True)[m]
+        counters = {k: v - cut for k, v in counters.items() if v > cut}
+    return counters
+
+
+def heavy_hitters(items: DataFrame, item_col: str,
+                  support: float) -> DataFrame:
+    """Items with exact frequency ≥ ``support`` fraction of the total,
+    with their EXACT counts: ``(item_col, n)``.
+
+    ``items`` is the already-exploded item relation (one row per
+    occurrence, e.g. tokens).  ``support`` must be in (0, 1); the
+    per-partition summary holds ``ceil(1/support)`` counters.
+    """
+    import math
+
+    if not 0 < support < 1:
+        raise ValueError("support must be in (0, 1)")
+    m = math.ceil(1.0 / support)
+    total = items.count()
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            counters = _mg_merge(counters, Counter(pdf[item_col]), m)
+        yield pd.DataFrame({item_col: list(counters)})
+
+    cands = (items.select(item_col)
+             .mapInPandas(summarize, f"{item_col} string")
+             .distinct())
+    return (items.join(F.broadcast(cands), item_col, "left_semi")
+            .groupBy(item_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") >= F.lit(float(support)) * F.lit(total)))

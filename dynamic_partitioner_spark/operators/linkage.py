@@ -42,10 +42,16 @@ def deletion_keys(c) -> "F.Column":
     )
 
 
-def deletion_keys_batched(c) -> "F.Column":
+def deletion_keys_batched(c, max_dist: int = 1) -> "F.Column":
     """Arrow-batched :func:`deletion_keys` — element-for-element
-    identical (Python slicing and Spark ``substr`` both index code
-    points), pinned by ``tests/test_linkage.py``."""
+    identical at ``max_dist=1`` (Python slicing and Spark ``substr``
+    both index code points), pinned by ``tests/test_linkage.py``.
+
+    ``max_dist=2`` emits the full 2-deletion neighborhood (the string,
+    every single deletion, every double deletion — ``1 + L + C(L,2)``
+    distinct keys, sorted for determinism): the SymSpell guarantee
+    extends, so any two strings within Levenshtein distance 2 share at
+    least one key."""
     @F.pandas_udf("array<string>")
     def _dk(s: pd.Series) -> pd.Series:
         out = []
@@ -53,7 +59,14 @@ def deletion_keys_batched(c) -> "F.Column":
             if t is None:
                 out.append(None)
                 continue
-            out.append([t] + [t[:i] + t[i + 1:] for i in range(len(t))])
+            if max_dist == 1:
+                out.append([t] + [t[:i] + t[i + 1:] for i in range(len(t))])
+                continue
+            dels1 = {t[:i] + t[i + 1:] for i in range(len(t))}
+            keys = {t} | dels1
+            for u in dels1:
+                keys.update(u[:i] + u[i + 1:] for i in range(len(u)))
+            out.append(sorted(keys))
         return pd.Series(out)
 
     return _dk(F.col(c) if isinstance(c, str) else c)
@@ -66,11 +79,13 @@ def fuzzy_pairs(df: DataFrame, id_col: str, s_col: str,
     id_b``), found via deletion-neighborhood blocking — never an O(n²)
     comparison.
 
-    Only ``max_dist=1`` is supported: the single-deletion neighborhood
-    guarantees complete recall exactly for distance ≤ 1.  Larger radii
-    need the d-deletion expansion (|keys| = C(L,d)), which explodes key
-    volume; callers wanting d ≥ 2 should compose this with an n-gram
-    block (``dedup.jaccard_pairs``) instead.
+    ``max_dist`` of 1 or 2 (the SymSpell d-deletion expansion: two
+    strings within distance d always share a ≤d-deletion variant, so
+    recall stays complete).  d=2 emits ``1 + L + C(L,2)`` keys per
+    string instead of ``1 + L`` — an L/2× key-volume multiplier that
+    is the honest price of the larger radius; beyond d=2 the expansion
+    explodes combinatorially and an n-gram block
+    (``dedup.ngram_jaccard_pairs``) is the better screen.
 
     Returns ``(id_a, id_b, s_a, s_b, dist)``.  A candidate pair can
     share several deletion keys, so the result is deduped — but the
@@ -91,12 +106,12 @@ def fuzzy_pairs(df: DataFrame, id_col: str, s_col: str,
     Leave None (exact, complete recall) for audits and the oracle; set
     it at corpus scale.
     """
-    if max_dist != 1:
-        raise ValueError("fuzzy_pairs supports max_dist=1 only "
-                         "(single-deletion neighborhood)")
+    if max_dist not in (1, 2):
+        raise ValueError("fuzzy_pairs supports max_dist of 1 or 2 "
+                         "(deletion-neighborhood expansion)")
     keyed = df.select(
         F.col(id_col).alias("_id"), F.col(s_col).alias("_s"),
-        F.explode(F.array_distinct(deletion_keys_batched(s_col)))
+        F.explode(F.array_distinct(deletion_keys_batched(s_col, max_dist)))
         .alias("_k"))
     if max_key_df is not None:
         hot = (keyed.groupBy("_k")

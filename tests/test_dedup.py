@@ -460,3 +460,18 @@ def test_semantic_dedup_drops_only_undivisible_piles(spark):
                           dim=dim).collect()}
     assert (900, 901) in got                   # real pair survives
     assert not any(a < 120 and b < 120 for a, b in got)  # pile dropped
+
+
+def test_apply_dedup_keeps_min_id_per_cluster(spark):
+    """pairs → clusters → cleaned corpus: only min-id representatives
+    of paired groups survive; unpaired docs pass through untouched."""
+    from dynamic_partitioner_spark.operators.dedup import apply_dedup
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 7, 8, 9, 42)],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long")
+    kept = sorted(r.doc_id for r in
+                  apply_dedup(corpus, pairs, "doc_id").collect())
+    assert kept == [1, 7, 9, 42]

@@ -12,7 +12,8 @@ from pyspark.sql import functions as F
 from dynamic_partitioner_spark.operators.linkage import fuzzy_pairs
 
 
-def _brute(rows: list[tuple[int, str]]) -> set[tuple[int, int]]:
+def _brute(rows: list[tuple[int, str]],
+           max_dist: int = 1) -> set[tuple[int, int]]:
     def lev(a: str, b: str) -> int:
         prev = list(range(len(b) + 1))
         for i, ca in enumerate(a, 1):
@@ -23,7 +24,7 @@ def _brute(rows: list[tuple[int, str]]) -> set[tuple[int, int]]:
             prev = cur
         return prev[-1]
     return {(i, j) for (i, sa), (j, sb)
-            in itertools.combinations(rows, 2) if lev(sa, sb) <= 1}
+            in itertools.combinations(rows, 2) if lev(sa, sb) <= max_dist}
 
 
 def test_fuzzy_pairs_edit_kinds(spark):
@@ -81,10 +82,23 @@ def test_fuzzy_pairs_hot_key_guard(spark):
     assert all(a >= 100 for a, _ in capped)        # pile pairs gone
 
 
+def test_fuzzy_pairs_d2_complete_recall(spark):
+    # distance-2 radius over a dense 2-letter space: the 2-deletion
+    # neighborhood must find EVERY lev<=2 pair the brute force finds
+    rng = random.Random(13)
+    rows = [(i, "".join(rng.choice("ab") for _ in range(rng.randint(0, 5))))
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {(r.id_a, r.id_b): r.dist
+           for r in fuzzy_pairs(df, "id", "s", max_dist=2).collect()}
+    assert set(got) == _brute(rows, max_dist=2)
+    assert any(d == 2 for d in got.values())       # radius really used
+
+
 def test_fuzzy_pairs_rejects_larger_radius(spark):
     df = spark.createDataFrame([(1, "x")], "id long, s string")
     with pytest.raises(ValueError):
-        fuzzy_pairs(df, "id", "s", max_dist=2)
+        fuzzy_pairs(df, "id", "s", max_dist=3)
 
 
 def test_deletion_keys_batched_matches_column_form(spark):

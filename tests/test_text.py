@@ -169,3 +169,39 @@ def test_canonicalize_url_cases(spark):
     got = [r.c for r in
            df.select(canonicalize_url(F.col("u")).alias("c")).collect()]
     assert got == list(cases.values())
+
+
+def test_pii_redact_counts_and_parity(spark):
+    """Injected PII of every class is counted on the raw text and
+    replaced by its tag; the DuckDB twin produces byte-identical
+    output on the same rows."""
+    import duckdb
+
+    from dynamic_partitioner_spark.functions.text import (
+        pii_counts, pii_counts_sql, redact_pii, redact_pii_sql)
+
+    rows = [
+        (1, "call (555) 123-4567 or (555) 987-6543 now"),
+        (2, "ssn 123-45-6789 ip 10.0.0.7 card 4111 1111 1111 1111"),
+        (3, "no pii here, just 1234 and 12-34"),
+        (4, "edge 999.999.999.999 still dotted-quad shaped"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r.id: r for r in df.select(
+        "id", *pii_counts(F.col("t")),
+        redact_pii(F.col("t")).alias("clean")).collect()}
+    assert (got[1].n_phone, got[1].n_ssn) == (2, 0)
+    assert "(555)" not in got[1].clean and got[1].clean.count("<PHONE>") == 2
+    assert (got[2].n_ssn, got[2].n_ip, got[2].n_cc) == (1, 1, 1)
+    assert got[2].clean == "ssn <SSN> ip <IP> card <CC>"
+    assert got[3].clean == rows[2][1]            # untouched
+    assert got[4].n_ip == 1                      # shape-based, not valid-range
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sql = ("SELECT id, " + ", ".join(pii_counts_sql("t"))
+           + f", {redact_pii_sql('t')} AS clean FROM t")
+    duck = {r[0]: r for r in con.sql(sql).fetchall()}
+    for i, _ in rows:
+        s = got[i]
+        assert (s.n_cc, s.n_phone, s.n_ssn, s.n_ip, s.clean) == duck[i][1:]
