@@ -1525,12 +1525,12 @@ def q_dedup_fuzzy2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance-≤2 linkage via the SymSpell 2-deletion neighborhood
     (complete recall at lev ≤ 2 by the deletion-variant guarantee; key
     volume is the honest 1+L+C(L,2) per string).  Input fixed to the
-    first 1000 customers so the deliberately denser d2 pair set stays
+    first 500 customers so the deliberately denser d2 pair set stays
     bench-bounded at every SF; the oracle runs the brute-force
     quadratic."""
     from dynamic_partitioner_spark.operators.linkage import fuzzy_pairs
     cust = (_table(spark, sf_dir, "customer")
-            .where(F.col("c_custkey") < 1000)
+            .where(F.col("c_custkey") < 500)
             .select("c_custkey", "c_name"))
     return (fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=2)
             .select("id_a", "id_b", F.col("dist").cast("long").alias("dist")))
@@ -3248,7 +3248,7 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(a.c_name, b.c_name) AS dist
             FROM customer a, customer b
             WHERE a.c_custkey < b.c_custkey
-              AND a.c_custkey < 1000 AND b.c_custkey < 1000
+              AND a.c_custkey < 500 AND b.c_custkey < 500
               AND levenshtein(a.c_name, b.c_name) <= 2
         """,
         "dedup_apply": f"""

@@ -633,18 +633,37 @@ def embedding_near_dup_lsh(df: DataFrame, id_col: str, vec_col: str,
 
 
 def embedding_near_dup(df: DataFrame, id_col: str, vec_col: str,
-                       block_col: str, threshold: float = 0.95) -> DataFrame:
+                       block_col: str, threshold: float = 0.95,
+                       batched: bool = False) -> DataFrame:
     """Cosine near-duplicate pairs inside a blocking key (e.g. a cluster
     or LSH bucket assignment).  Blocking bounds the quadratic term; the
     L2 norm is computed once per ROW before the join (not per pair), so
-    each pair costs one dot product in codegen'd array math."""
-    base = df.select(F.col(block_col).alias("_blk"),
-                     F.col(id_col).alias("_id"),
-                     F.col(vec_col).alias("v"),
-                     l2_norm(F.col(vec_col)).alias("nrm"))
-    a, b = base.alias("a"), base.alias("b")
-    cos = F.try_divide(dot(F.col("a.v"), F.col("b.v")),
-                       F.col("a.nrm") * F.col("b.nrm"))
+    each pair costs one dot product.
+
+    ``batched=False`` (default) scores pairs with the Column
+    ``aggregate``/``zip_with`` expression — sequential-sum order, the
+    exact twin of the DuckDB oracle's ``list_cosine_similarity``, which
+    the hash-checked `dedup_embedding` key requires.  ``batched=True``
+    scores with the Arrow numpy pass (~5× faster; SIMD summation order
+    can differ from sequential in the last float bits) — the right
+    choice for rows-only callers like :func:`semantic_dedup` whose
+    verification is a threshold, not a value hash."""
+    from ..functions.vectors import cosine_batched
+
+    if batched:
+        base = df.select(F.col(block_col).alias("_blk"),
+                         F.col(id_col).alias("_id"),
+                         F.col(vec_col).alias("v"))
+        a, b = base.alias("a"), base.alias("b")
+        cos = cosine_batched(F.col("a.v"), F.col("b.v"))
+    else:
+        base = df.select(F.col(block_col).alias("_blk"),
+                         F.col(id_col).alias("_id"),
+                         F.col(vec_col).alias("v"),
+                         l2_norm(F.col(vec_col)).alias("nrm"))
+        a, b = base.alias("a"), base.alias("b")
+        cos = F.try_divide(dot(F.col("a.v"), F.col("b.v")),
+                           F.col("a.nrm") * F.col("b.nrm"))
     return (a.join(b, "_blk")
             .where(F.col("a._id") < F.col("b._id"))
             .select(F.col("a._id").alias("id_a"),
@@ -692,6 +711,52 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
             .select(F.col("_id").alias(id_col),
                     F.col("_minh").alias("fp"))
             .distinct())
+
+
+def _blocked_cosine_pairs_matmul(blocked: DataFrame, id_col: str,
+                                 vec_col: str, block_col: str,
+                                 threshold: float,
+                                 chunk: int = 1024) -> DataFrame:
+    """Within-block cosine pairs via one BLAS matmul per block
+    (``applyInPandas``): each block ships its vectors through Arrow
+    ONCE (n·dim floats) instead of duplicating both vectors onto every
+    candidate pair (n²·dim — the per-pair join shape moves ~n/2× more
+    data and evaluates interpreted).  Pairs are thresholded before
+    leaving Python, so only true near-dups hit the JVM.  Row-chunked
+    so a block at the ``max_cluster_size`` cap peaks at
+    ``chunk × n`` doubles, not ``n × n``.  Same rounding
+    (floor(x·1e4+0.5)/1e4) and (id_a < id_b) contract as
+    :func:`embedding_near_dup`."""
+    def pairs_of(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [],
+                                 "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"})
+        X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        nrm = np.sqrt((X * X).sum(1))
+        nrm[nrm == 0] = np.inf          # zero vectors match nothing
+        Xn = X / nrm[:, None]
+        out_a, out_b, out_s = [], [], []
+        for lo in range(0, len(ids), chunk):
+            hi = min(lo + chunk, len(ids))
+            S = Xn[lo:hi] @ Xn.T        # (chunk, n)
+            S = np.floor(S * 10000 + 0.5) / 10000
+            ii, jj = np.nonzero(S >= threshold)
+            keep = (ii + lo) < jj       # upper triangle, no self
+            li, gj = ii[keep], jj[keep]
+            out_a.append(np.minimum(ids[li + lo], ids[gj]))
+            out_b.append(np.maximum(ids[li + lo], ids[gj]))
+            out_s.append(S[li, gj])
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a).astype("int64"),
+            "id_b": np.concatenate(out_b).astype("int64"),
+            "cos_sim": np.concatenate(out_s)})
+
+    return (blocked.select(F.col(block_col), F.col(id_col).alias(id_col),
+                           F.col(vec_col))
+            .groupBy(block_col)
+            .applyInPandas(pairs_of, "id_a long, id_b long, cos_sim double"))
 
 
 def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
@@ -760,6 +825,10 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
         F.explode(assign(F.col(vec_col))).alias("_cluster"))
     hot_rows = []
     if max_cluster_size is not None:
+        # the cluster-size agg AND the pair pipeline both read the
+        # assignment — persist so the Arrow matmul runs once
+        from pyspark.storagelevel import StorageLevel
+        blocked = blocked.persist(StorageLevel.MEMORY_AND_DISK)
         # one small agg over (cluster) — ≤ n_lists rows on the driver
         hot_rows = (blocked.groupBy("_cluster")
                     .agg(F.count(F.lit(1)).alias("_n"))
@@ -792,7 +861,7 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     else:
         blocked = blocked.select(
             id_col, vec_col, F.col("_cluster").cast("string").alias("_blk"))
-    pairs = embedding_near_dup(blocked, id_col, vec_col, "_blk",
-                               threshold)
+    pairs = _blocked_cosine_pairs_matmul(blocked, id_col, vec_col,
+                                         "_blk", threshold)
     return (pairs.groupBy("id_a", "id_b")
             .agg(F.max("cos_sim").alias("cos_sim")))
