@@ -1133,6 +1133,77 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(fact, dim, "user_id", "event_id", n_salts=8)
 
 
+def q_salted_join_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-AWARE salted join: a deterministic hot key (10% of users
+    collapse onto key 0) is detected by the counting pass and salted;
+    cold keys take the plain join path, so the right side replicates
+    only for the hot slice.  Result equals the plain join (the
+    oracle)."""
+    from dynamic_partitioner_spark.operators.relational import (
+        salted_join_auto)
+    events = _table(spark, sf_dir, "events")
+    skew = (F.when(F.col("user_id") % 10 == 0, F.lit(0))
+            .otherwise(F.col("user_id"))).cast("long")
+    fact = events.select("event_id", skew.alias("skew_key"),
+                         F.round("value", 2).alias("value"))
+    dim = fact.groupBy("skew_key").agg(
+        F.count(F.lit(1)).alias("n_key_events"))
+    return salted_join_auto(fact, dim, "skew_key", "event_id",
+                            n_salts=8, hot_factor=5.0)
+
+
+def q_text_scrub_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicate-span scrubbing: cross-document duplicate
+    32-token chunks keep only their first (doc, pos) occurrence and
+    every document is reassembled from its surviving chunks — the
+    mutated near-dup copies in the augmented corpus lose their shared
+    spans while originals pass through intact."""
+    from dynamic_partitioner_spark.operators.packing import (
+        scrub_dup_chunks)
+    corpus = _augmented_corpus(spark, sf_dir)
+    return scrub_dup_chunks(corpus, "doc_id", "text", chunk_tokens=32)
+
+
+def q_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size-k deterministic sample (k smallest md5 unit draws) —
+    TakeOrderedAndProject merges per-partition top-k candidate sets, so
+    a fixed 200-row sample costs no global sort at any corpus size."""
+    from dynamic_partitioner_spark.operators.sampling import (
+        topk_hash_sample)
+    cust = _table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal")
+    return topk_hash_sample(cust, "c_custkey", k=200, salt="s5")
+
+
+_MIN_US = 60_000_000
+
+
+def q_events_delay_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing audit: with deterministic ±5-minute arrival
+    jitter (portable md5 draw — the raw feed is perfectly ordered),
+    measure how far each event's time lags the per-user high watermark
+    at its arrival, and histogram the disorder in minutes.  The p99
+    bucket of this table IS the watermark you'd configure."""
+    from dynamic_partitioner_spark.operators import sampling as SMP
+    events = _table(spark, sf_dir, "events")
+    ev = events.select("user_id", "event_id",
+                       event_time_us(events).alias("us"))
+    jitter = (F.floor(SMP.hash_unit(F.col("event_id"), "delay")
+                      * F.lit(600_000_000.0)).cast("long")
+              - F.lit(300_000_000))
+    ev = ev.withColumn("arr", F.col("us") + jitter)
+    w = (Window.partitionBy("user_id").orderBy("arr", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    disorder = F.greatest(
+        F.lit(0), F.coalesce(F.max("us").over(w), F.col("us"))
+        - F.col("us"))
+    return (ev.withColumn("_d", disorder)
+            .groupBy(F.floor(F.col("_d") / _MIN_US).cast("long")
+                     .alias("disorder_minutes"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.max("_d").alias("max_disorder_us")))
+
+
 def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping-window aggregate (1-hour windows every 15 minutes — each
     event lands in 4 windows) via the built-in window() generator; the
@@ -2027,19 +2098,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #          drawn in ANY round's sample (the only keys with zero driver
 #          rows; rows-only by design, but a rows-only entry is still
 #          evidence the key executes in the driver's env),
-#   3-8    the six NEW round-5 keys (never checked),
-#   9-15   the keys whose implementation CHANGED this round (URL
+#   3-12   the ten NEW round-5 keys (never checked),
+#   13-19  the keys whose implementation CHANGED this round (URL
 #          canonicalization, DP NULL seeds, streaming-join drain
 #          shape, fuzzy-pairs guard, shingle-index refactor, semantic
 #          dedup auto-scaling) — re-verify behind the change,
-#   16-30  keys last hash-checked in r2,
-#   31-50  keys last hash-checked in r3 (oldest evidence first).
+#   20-34  keys last hash-checked in r2,
+#   35-50  keys last hash-checked in r3 (oldest evidence first).
 # Everything after 50 was hash-checked in r3/r4 and is unchanged.
 _PRIORITY_R05 = [
     "query_approx_distinct", "query_approx_percentiles",
     "dedup_fuzzy2", "dedup_apply", "query_heavy_hitters",
     "query_incremental_agg", "source_schema_evolution",
-    "text_pii_redact",
+    "text_pii_redact", "query_salted_join_auto", "text_scrub_chunks",
+    "sample_topk", "events_delay_audit",
     "dedup_url", "privacy_dp_count", "streaming_join", "dedup_fuzzy",
     "dedup_ngram_jaccard", "dedup_containment", "dedup_semantic",
     "dedup_simhash", "dedup_simhash_pairs", "dedup_incremental",
@@ -2199,6 +2271,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_incremental_agg": q_incremental_agg,
         "source_schema_evolution": q_source_schema_evolution,
         "text_pii_redact": q_text_pii_redact,
+        "query_salted_join_auto": q_salted_join_auto,
+        "text_scrub_chunks": q_text_scrub_chunks,
+        "sample_topk": q_sample_topk,
+        "events_delay_audit": q_events_delay_audit,
     }
 
 
@@ -3302,6 +3378,66 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice
                    END AS o_totalprice
             FROM orders
+        """,
+        "query_salted_join_auto": """
+            WITH f AS (SELECT event_id,
+                              CASE WHEN user_id % 10 = 0 THEN 0
+                                   ELSE user_id END AS skew_key,
+                              round(value, 2) AS value
+                       FROM events),
+            d AS (SELECT skew_key, count(*) AS n_key_events
+                  FROM f GROUP BY skew_key)
+            SELECT f.skew_key, f.event_id, f.value, d.n_key_events
+            FROM f JOIN d USING (skew_key)
+        """,
+        "text_scrub_chunks": f"""
+            WITH corpus AS ({_AUG_SQL}),
+            t AS (SELECT doc_id,
+                         string_split_regex(trim(lower(text)), '[ \t\n\r]+')
+                             AS toks
+                  FROM corpus),
+            s AS (SELECT doc_id, toks,
+                         unnest(range(0, greatest(len(toks), 1), 32))
+                             AS start
+                  FROM t),
+            ch AS (SELECT doc_id, CAST(start / 32 AS BIGINT) AS chunk_idx,
+                          array_to_string(
+                              list_slice(toks, start + 1, start + 32),
+                              ' ') AS chunk_text
+                   FROM s),
+            kept AS (
+                SELECT doc_id, chunk_idx, chunk_text FROM ch
+                QUALIFY row_number() OVER (PARTITION BY chunk_text
+                                           ORDER BY doc_id, chunk_idx) = 1)
+            SELECT doc_id, count(*) AS n_kept_chunks,
+                   string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+                       AS clean_text
+            FROM kept GROUP BY doc_id
+        """,
+        "sample_topk": f"""
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            ORDER BY {{u}} LIMIT 200
+        """.format(u=SMP.hash_unit_sql("c_custkey", "s5")),
+        "events_delay_audit": f"""
+            WITH e AS (
+                SELECT user_id, event_id, epoch_us(ts) AS us,
+                       epoch_us(ts)
+                       + CAST(floor({SMP.hash_unit_sql("event_id", "delay")}
+                                    * 600000000.0) AS BIGINT)
+                       - 300000000 AS arr
+                FROM events),
+            d AS (
+                SELECT greatest(0, coalesce(
+                           max(us) OVER (PARTITION BY user_id
+                                         ORDER BY arr, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), us) - us) AS dis
+                FROM e)
+            SELECT CAST(floor(dis / 60000000) AS BIGINT)
+                       AS disorder_minutes,
+                   count(*) AS n_events,
+                   max(dis) AS max_disorder_us
+            FROM d GROUP BY 1
         """,
         "text_pii_redact": f"""
             WITH aug AS (

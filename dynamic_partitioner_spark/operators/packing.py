@@ -115,3 +115,34 @@ def dedup_chunks(df: DataFrame, id_col: str, text_col: str,
             .select(F.col(f"s.{id_col}").alias(id_col),
                     F.col("s.chunk_idx").alias("chunk_idx"),
                     "chunk_text"))
+
+
+def scrub_dup_chunks(df: DataFrame, id_col: str, text_col: str,
+                     chunk_tokens: int = 32) -> DataFrame:
+    """C4-style duplicate-span SCRUBBING: split each document into
+    non-overlapping ``chunk_tokens`` windows, keep only each distinct
+    chunk's first corpus occurrence (ordered by (doc, position)), and
+    reassemble every document from its surviving chunks — the step
+    that actually removes cross-document boilerplate from the text
+    instead of just reporting it (:func:`dedup_chunks`).
+
+    Returns ``(id, n_kept_chunks, clean_text)``; documents whose every
+    chunk was a later duplicate produce no row (they scrub to empty).
+    Shape: one explode + one window rank on the chunk text (the same
+    single wide shuffle any corpus-global dedup needs) + one per-doc
+    ordered reassembly agg.  Text is whitespace/case-normalized by the
+    chunker, as in :func:`chunk_documents`.
+    """
+    from pyspark.sql import Window
+
+    ch = chunk_documents(df, id_col, text_col, chunk_tokens, overlap=0)
+    w = Window.partitionBy("chunk_text").orderBy(id_col, "chunk_idx")
+    kept = (ch.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1))
+    order = F.array_sort(F.collect_list(
+        F.struct(F.col("chunk_idx"), F.col("chunk_text"))))
+    return (kept.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_kept_chunks"),
+                 F.array_join(
+                     F.transform(order, lambda s: s.getField("chunk_text")),
+                     " ").alias("clean_text")))

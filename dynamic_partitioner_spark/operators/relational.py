@@ -159,6 +159,41 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
     return l.join(r, [key, "_salt"], how).drop("_salt")
 
 
+def salted_join_auto(left: DataFrame, right: DataFrame, key: str,
+                     salt_src: str, n_salts: int = 16,
+                     how: str = "inner",
+                     hot_factor: float = 5.0) -> DataFrame:
+    """:func:`salted_join` with DETECTED hot keys: only keys whose left
+    count exceeds ``hot_factor ×`` the mean per-key count are salted;
+    everything else takes the plain join path.
+
+    Blanket salting replicates the whole right side ``n_salts``×; in
+    real corpora skew is a handful of keys (the null-ish id, the
+    crawler default, the test account), so the production shape is:
+    one counting pass over the left key column (cheap — map-side
+    partial agg of one column), broadcast the tiny hot-key list, split
+    both sides with semi/anti joins, salt ONLY the hot slice, union.
+    Right replication then costs |right∩hot| × n_salts rows instead of
+    |right| × n_salts.  Result is identical to the plain join (union
+    of disjoint key slices; pinned by the oracle).  Same
+    left-preserving ``how`` restriction as :func:`salted_join`.
+
+    At 100 TB: if the skew is known ahead (it usually is), persist the
+    hot-key list and skip the counting pass.
+    """
+    stats = left.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
+    mean = stats.agg(F.avg("_n").alias("_avg"))
+    hot = (stats.crossJoin(F.broadcast(mean))
+           .where(F.col("_n") > F.lit(float(hot_factor)) * F.col("_avg"))
+           .select(key))
+    l_hot = left.join(F.broadcast(hot), key, "left_semi")
+    l_cold = left.join(F.broadcast(hot), key, "left_anti")
+    r_hot = right.join(F.broadcast(hot), key, "left_semi")
+    cold = l_cold.join(right, key, how)
+    salted = salted_join(l_hot, r_hot, key, salt_src, n_salts, how)
+    return cold.unionByName(salted)
+
+
 def cdc_latest(changes: DataFrame, key_cols: list[str], seq_col: str,
                op_col: str = "op", delete_op: str = "D",
                keep_deletes: bool = False) -> DataFrame:

@@ -270,3 +270,23 @@ def temperature_mixture_sql(table_cols: str, source: str, key: str,
         f"JOIN _w USING ({source}) CROSS JOIN _s "
         f"WHERE {u} < least(1.0, "
         f"CAST({int(total_rows)} * w AS DOUBLE) / CAST(s_tot * n AS DOUBLE))")
+
+
+def topk_hash_sample(df: DataFrame, key_col: str, k: int,
+                     salt: str = "") -> DataFrame:
+    """EXACT-size deterministic sample: the ``k`` rows whose md5 unit
+    draw is smallest.  ``hash_sample`` gives an approximate fraction
+    (binomial scatter around n·p); this gives exactly ``k`` rows — the
+    "give me a 10k-row sample of the 100 TB table" contract.
+
+    Plans as TakeOrderedAndProject: each partition keeps its local
+    top-k, the driver merges P·k candidates — no global sort, no full
+    shuffle.  Deterministic for distinct keys (the 60-bit draw makes
+    hash ties practically impossible; a tie would make the boundary
+    row engine-dependent)."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    return (df.withColumn("_u", hash_unit(F.col(key_col), salt))
+            .orderBy("_u")
+            .limit(k)
+            .drop("_u"))

@@ -144,3 +144,22 @@ def test_chunk_documents_property_nonoverlap_reconstructs(spark):
             assert chunks[-1].n_tokens == n - chunk_tokens * (len(chunks) - 1)
 
     prop()
+
+
+def test_scrub_dup_chunks_removes_cross_doc_spans(spark):
+    """Later occurrences of a corpus-duplicate chunk are scrubbed; the
+    first keeps it; unique chunks survive; all-dup docs vanish."""
+    from dynamic_partitioner_spark.operators.packing import (
+        scrub_dup_chunks)
+
+    span = " ".join(f"w{i}" for i in range(4))       # one 4-token chunk
+    rows = [(1, span + " unique tail here now"),
+            (2, span + " other body of text x"),     # loses the span
+            (3, span)]                               # scrubs to nothing
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_kept_chunks, r.clean_text) for r in
+           scrub_dup_chunks(df, "doc_id", "text", chunk_tokens=4)
+           .collect()}
+    assert got[1] == (2, span + " unique tail here now")
+    assert got[2] == (2, "other body of text x")   # 5 tokens → 2 chunks
+    assert 3 not in got                              # fully scrubbed

@@ -421,3 +421,39 @@ def test_range_join_guards_huge_intervals(spark):
         range_join_binned(pts, huge, "t", "s", "e", 64,
                           max_bins_per_interval=100).collect()
     assert "max_bins_per_interval" in str(ei.value)
+
+
+def test_salted_join_auto_equals_plain_join(spark):
+    """Hot keys detected and salted, cold keys plain — union equals the
+    unsalted join exactly, and the hot key really takes the salted
+    path (its rows appear despite the split)."""
+    from pyspark.sql import functions as F
+
+    from dynamic_partitioner_spark.operators.relational import (
+        salted_join_auto)
+
+    rows = [(i, 0 if i % 4 == 0 else i % 50) for i in range(2000)]
+    left = spark.createDataFrame(rows, "row_id long, k long")
+    right = (left.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+             .select("k", "n"))
+    got = {(r.row_id, r.k, r.n) for r in
+           salted_join_auto(left, right, "k", "row_id", n_salts=4,
+                            hot_factor=3.0).collect()}
+    plain = {(r.row_id, r.k, r.n) for r in
+             left.join(right, "k").select("row_id", "k", "n").collect()}
+    assert got == plain
+    assert any(k == 0 for _, k, _n in got)      # hot slice present
+    assert len(got) == 2000
+
+
+def test_salted_join_auto_no_hot_keys_degenerates(spark):
+    from pyspark.sql import functions as F
+
+    from dynamic_partitioner_spark.operators.relational import (
+        salted_join_auto)
+
+    left = spark.createDataFrame([(i, i % 10) for i in range(100)],
+                                 "row_id long, k long")
+    right = left.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    out = salted_join_auto(left, right, "k", "row_id", hot_factor=50.0)
+    assert out.count() == 100                    # uniform → all cold path

@@ -198,3 +198,25 @@ def test_temperature_mixture_flattens_and_is_deterministic(spark):
     again = temperature_mixture(df, "source", "doc_id", total_rows=400)
     assert {r.doc_id for r in out.collect()} == \
         {r.doc_id for r in again.collect()}
+
+
+def test_topk_hash_sample_exact_k_and_nested(spark):
+    """Exactly k rows, deterministic, and nested: the top-100 sample is
+    a subset of the top-200 sample (ordering by the same draw)."""
+    import pytest
+
+    from dynamic_partitioner_spark.operators.sampling import (
+        topk_hash_sample)
+
+    cust = (spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+            .select("c_custkey"))
+    s100 = {r.c_custkey for r in
+            topk_hash_sample(cust, "c_custkey", 100).collect()}
+    s50 = {r.c_custkey for r in
+           topk_hash_sample(cust, "c_custkey", 50).collect()}
+    again = {r.c_custkey for r in
+             topk_hash_sample(cust, "c_custkey", 100).collect()}
+    assert len(s100) == 100 and len(s50) == 50
+    assert s50 < s100 and s100 == again
+    with pytest.raises(ValueError):
+        topk_hash_sample(cust, "c_custkey", 0)
