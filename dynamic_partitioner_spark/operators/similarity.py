@@ -171,6 +171,53 @@ def train_centroids(emb: DataFrame, vec_col: str = "embedding",
     return cents.round(6)
 
 
+_MICRO = 1_000_000
+
+
+def train_centroids_distributed(emb: DataFrame, vec_col: str = "embedding",
+                                id_col: str = "vec_id", n_lists: int = 16,
+                                iters: int = 5) -> np.ndarray:
+    """Full-corpus Lloyd's k-means — the 100 TB upgrade over the
+    bounded-sample :func:`train_centroids`.
+
+    Per iteration: assignment is one distributed Arrow matmul pass;
+    the centroid update aggregates per-(cluster, dim) partial sums
+    map-side, so the shuffle and the driver collect carry
+    ``n_lists × dim`` rows regardless of corpus size.  Component sums
+    are quantized to integer micro-units (``floor(x·1e6 + 0.5)`` per
+    element) so the BIGINT aggregation is exact and order-free —
+    identical data gives identical centroids under ANY partitioning,
+    which float sums cannot promise.  Init = first ``n_lists`` vectors
+    by id (deterministic); an emptied cluster keeps its previous
+    centroid.  Cost: ``iters`` full passes — train on the corpus when
+    the sample trainer's 2048 rows stop representing it, not before.
+    """
+    init = [r[1] for r in emb.select(id_col, vec_col).orderBy(id_col)
+            .limit(n_lists).collect()]
+    if not init:
+        raise ValueError("cannot train centroids on an empty corpus")
+    cents = np.asarray(init, dtype=np.float64)
+    micro = (F.floor(F.col("_x") * _MICRO + F.lit(0.5))).cast("bigint")
+    for _ in range(iters):
+        assign1 = _nearest_lists_udf(cents, 1)
+        parts = (emb.select(assign1(F.col(vec_col))[0].alias("_c"),
+                            F.posexplode(vec_col).alias("_d", "_x"))
+                 .groupBy("_c", "_d")
+                 .agg(F.sum(micro).alias("_s"),
+                      F.count(F.lit(1)).alias("_n"))
+                 .collect())
+        nxt = cents.copy()
+        counts = np.zeros(len(cents), dtype=np.int64)
+        sums = np.zeros_like(cents)
+        for r in parts:
+            sums[r["_c"], r["_d"]] = r["_s"] / _MICRO
+            counts[r["_c"]] = r["_n"]
+        nz = counts > 0
+        nxt[nz] = sums[nz] / counts[nz, None]
+        cents = nxt.round(6)
+    return cents
+
+
 def _nearest_lists_udf(cents: np.ndarray, nprobe: int):
     """(vector) → array of the nprobe nearest list ids (L2)."""
     @F.pandas_udf("array<long>")

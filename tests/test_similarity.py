@@ -124,3 +124,34 @@ def test_ivf_pruned_equals_in_memory_ivf(spark, tmp_out):
     with contextlib.redirect_stdout(buf):
         pruned.explain("formatted")
     assert "PartitionFilters" in buf.getvalue()
+
+
+def test_distributed_kmeans_deterministic_and_converges(spark):
+    """Full-corpus trainer: partition-independent (integer micro-unit
+    sums), deterministic across runs, and its final assignment inertia
+    beats the init's."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dynamic_partitioner_spark.operators.similarity import (
+        train_centroids_distributed)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = train_centroids_distributed(emb, n_lists=8, iters=4)
+    c2 = train_centroids_distributed(emb.repartition(7), n_lists=8,
+                                     iters=4)
+    assert np.array_equal(c1, c2)          # partitioning-independent
+
+    X = np.asarray([r.embedding for r in
+                    emb.select("vec_id", "embedding").orderBy("vec_id")
+                    .collect()], dtype=np.float64)
+    init = X[:8]
+
+    def inertia(C):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        return d2.min(1).sum()
+
+    assert inertia(c1) < inertia(init)     # Lloyd improved the init
+    with pytest.raises(ValueError):
+        train_centroids_distributed(emb.limit(0), n_lists=8)
