@@ -1027,6 +1027,21 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(events, "user_id", "ts", "value", "30 minutes")
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window through REAL micro-batches: sessions split across
+    the two source files merge in per-key session state (the claim the
+    batch key can't prove); the complete-mode drain equals batch
+    sessionization — same oracle as event_sessionize."""
+    from dynamic_partitioner_spark.streaming.stateful import (
+        streaming_sessionize)
+    apply_engine_confs(spark)
+    src = _out("stream_sess_src")
+    (_table(spark, sf_dir, "events").repartition(2)
+     .write.mode("overwrite").parquet(src))
+    spark.catalog.dropTempView("stream_sess_sink")
+    return streaming_sessionize(spark, src, "stream_sess_sink")
+
+
 def q_streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregate, run through an actual
     Structured-Streaming query (file source → complete-mode memory sink,
@@ -2098,7 +2113,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #          drawn in ANY round's sample (the only keys with zero driver
 #          rows; rows-only by design, but a rows-only entry is still
 #          evidence the key executes in the driver's env),
-#   3-12   the ten NEW round-5 keys (never checked),
+#   3-13   the eleven NEW round-5 keys (never checked),
 #   13-19  the keys whose implementation CHANGED this round (URL
 #          canonicalization, DP NULL seeds, streaming-join drain
 #          shape, fuzzy-pairs guard, shingle-index refactor, semantic
@@ -2111,7 +2126,7 @@ _PRIORITY_R05 = [
     "dedup_fuzzy2", "dedup_apply", "query_heavy_hitters",
     "query_incremental_agg", "source_schema_evolution",
     "text_pii_redact", "query_salted_join_auto", "text_scrub_chunks",
-    "sample_topk", "events_delay_audit",
+    "sample_topk", "events_delay_audit", "streaming_sessionize",
     "dedup_url", "privacy_dp_count", "streaming_join", "dedup_fuzzy",
     "dedup_ngram_jaccard", "dedup_containment", "dedup_semantic",
     "dedup_simhash", "dedup_simhash_pairs", "dedup_incremental",
@@ -2275,7 +2290,32 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scrub_chunks": q_text_scrub_chunks,
         "sample_topk": q_sample_topk,
         "events_delay_audit": q_events_delay_audit,
+        "streaming_sessionize": q_streaming_sessionize,
     }
+
+
+_SESSIONIZE_SQL = """
+    WITH e AS (
+        SELECT user_id, ts, value,
+               -- session_window merges an event landing exactly at
+               -- the previous window's end (gap <= merges), so a
+               -- new session needs a STRICTLY greater gap
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sess
+        FROM e
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM s GROUP BY user_id, sess
+"""
 
 
 def _dp_oracle() -> str:
@@ -2947,28 +2987,10 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_tokens
             FROM kept GROUP BY lang
         """,
-        "event_sessionize": """
-            WITH e AS (
-                SELECT user_id, ts, value,
-                       -- session_window merges an event landing exactly at
-                       -- the previous window's end (gap <= merges), so a
-                       -- new session needs a STRICTLY greater gap
-                       CASE WHEN lag(ts) OVER w IS NULL
-                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-                            THEN 1 ELSE 0 END AS new_s
-                FROM events
-                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-            ), s AS (
-                SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                           ROWS UNBOUNDED PRECEDING) AS sess
-                FROM e
-            )
-            SELECT user_id,
-                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-                   count(*) AS n_events,
-                   round(sum(value), 2) AS total_value
-            FROM s GROUP BY user_id, sess
-        """,
+        "event_sessionize": _SESSIONIZE_SQL,
+        # the streaming drain equals batch sessionization verbatim, so
+        # the two keys share one oracle
+        "streaming_sessionize": _SESSIONIZE_SQL,
         "streaming_windowed_agg": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
                        AS window_start,

@@ -69,6 +69,49 @@ def sessionize(df: DataFrame, key_col: str = "user_id", ts_col: str = "ts",
             .select(key_col, "session_start", "n_events", "total_value"))
 
 
+def streaming_sessionize(spark: SparkSession, src_path: str,
+                         sink_table: str, key_col: str = "user_id",
+                         ts_col: str = "ts", value_col: str = "value",
+                         gap: str = "30 minutes",
+                         timeout_sec: int = 300,
+                         state_partitions: int | None = 4) -> DataFrame:
+    """Gap-based sessionization over a REAL stream — the same
+    ``session_window`` expression as the batch :func:`sessionize`, fed
+    through file-source micro-batches with per-key session state:
+    partial sessions persist across triggers and MERGE when a later
+    batch delivers an event inside the gap (the property a batch
+    window can fake but only streaming state proves).
+
+    Complete-mode + ``availableNow`` drain: every (possibly merged)
+    session is re-emitted once the bounded source is exhausted, so the
+    drained table equals batch sessionization verbatim (the oracle).
+    An unbounded production stream uses ``append`` + ``withWatermark``
+    instead — sessions finalize (and become immutable) once the
+    watermark passes their close; same expression, different sink
+    wiring.
+    """
+    from .write import (run_stream_to_completion, shuffle_partitions,
+                        stream_from_files)
+
+    with shuffle_partitions(spark, state_partitions):
+        sdf = stream_from_files(spark, src_path, max_files_per_trigger=1)
+        agg = (sdf.select(F.col(key_col),
+                          _event_ts(sdf, ts_col).alias("_ets"),
+                          F.col(value_col))
+               .groupBy(F.session_window(F.col("_ets"), gap).alias("sw"),
+                        F.col(key_col))
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.round(F.sum(value_col), 2).alias("total_value"),
+                    F.date_format(F.min("_ets"), _TS_FMT)
+                    .alias("session_start"))
+               .select(key_col, "session_start", "n_events",
+                       "total_value"))
+        q = (agg.writeStream.format("memory").queryName(sink_table)
+             .outputMode("complete").trigger(availableNow=True).start())
+        run_stream_to_completion(q, timeout_sec)
+    return spark.table(sink_table)
+
+
 def streaming_tumbling_agg(spark: SparkSession, src_path: str,
                            sink_table: str, window: str = "1 hour",
                            ts_col: str = "ts",

@@ -276,3 +276,33 @@ def test_running_topk_transform_with_state(spark, tmp_out):
     got = {(r.user_id, r.v1, r.v2, r.v3) for r in out.collect()}
     want = {(r.user_id, r["1"], r["2"], r["3"]) for r in batch.collect()}
     assert got == want and got
+
+
+def test_streaming_sessionize_merges_across_batches(spark, tmp_path):
+    """A session split across two source files (two micro-batches)
+    merges into ONE session row via per-key session state — the
+    property batch sessionization cannot demonstrate."""
+    import datetime as dt
+
+    from dynamic_partitioner_spark.streaming.stateful import (
+        streaming_sessionize)
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, t0, 1.0), (2, t0, 5.0)],
+        "user_id long, ts timestamp_ntz, value double"
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(1, t0 + 10 * m, 2.0),        # inside user 1's 30-min gap
+         (2, t0 + 300 * m, 7.0)],      # far outside user 2's gap
+        "user_id long, ts timestamp_ntz, value double"
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.catalog.dropTempView("sess_merge_sink")
+    out = {(r.user_id, r.session_start): (r.n_events, r.total_value)
+           for r in streaming_sessionize(spark, src, "sess_merge_sink")
+           .collect()}
+    u1 = [(k, v) for k, v in out.items() if k[0] == 1]
+    assert len(u1) == 1 and u1[0][1] == (2, 3.0)   # merged session
+    assert len([k for k in out if k[0] == 2]) == 2  # stayed split
