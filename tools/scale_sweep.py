@@ -36,7 +36,12 @@ SWEEP_KEYS = [
     # read against the per-trigger fixed cost, which dominates locally)
     "streaming_partitioned_write", "streaming_windowed_agg",
     "streaming_stateful_counts", "streaming_dedup", "streaming_join",
-    "streaming_upsert",
+    "streaming_upsert", "streaming_sessionize",
+    # round-5 additions
+    "dedup_fuzzy2", "dedup_apply", "query_heavy_hitters",
+    "query_incremental_agg", "source_schema_evolution",
+    "text_pii_redact", "query_salted_join_auto", "text_scrub_chunks",
+    "sample_topk", "events_delay_audit", "dedup_semantic",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
