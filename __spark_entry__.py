@@ -1190,6 +1190,16 @@ def q_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_hash_sample(cust, "c_custkey", k=200, salt="s5")
 
 
+def q_sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-1 global shuffle of the customer table:
+    per-row epoch-salted draw → balanced shard → in-shard read
+    position.  A different epoch permutes differently (pinned in
+    pytest); identical reruns are bit-identical."""
+    from dynamic_partitioner_spark.operators.sampling import epoch_shuffle
+    cust = _table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return epoch_shuffle(cust, "c_custkey", n_shards=8, epoch=1)
+
+
 _MIN_US = 60_000_000
 
 
@@ -2113,7 +2123,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #          drawn in ANY round's sample (the only keys with zero driver
 #          rows; rows-only by design, but a rows-only entry is still
 #          evidence the key executes in the driver's env),
-#   3-13   the eleven NEW round-5 keys (never checked),
+#   3-14   the twelve NEW round-5 keys (never checked),
 #   13-19  the keys whose implementation CHANGED this round (URL
 #          canonicalization, DP NULL seeds, streaming-join drain
 #          shape, fuzzy-pairs guard, shingle-index refactor, semantic
@@ -2127,6 +2137,7 @@ _PRIORITY_R05 = [
     "query_incremental_agg", "source_schema_evolution",
     "text_pii_redact", "query_salted_join_auto", "text_scrub_chunks",
     "sample_topk", "events_delay_audit", "streaming_sessionize",
+    "sample_epoch_shuffle",
     "dedup_url", "privacy_dp_count", "streaming_join", "dedup_fuzzy",
     "dedup_ngram_jaccard", "dedup_containment", "dedup_semantic",
     "dedup_simhash", "dedup_simhash_pairs", "dedup_incremental",
@@ -2291,6 +2302,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_topk": q_sample_topk,
         "events_delay_audit": q_events_delay_audit,
         "streaming_sessionize": q_streaming_sessionize,
+        "sample_epoch_shuffle": q_sample_epoch_shuffle,
     }
 
 
@@ -3440,6 +3452,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name, c_acctbal FROM customer
             ORDER BY {{u}} LIMIT 200
         """.format(u=SMP.hash_unit_sql("c_custkey", "s5")),
+        "sample_epoch_shuffle": f"""
+            WITH d AS (
+                SELECT c_custkey, c_name,
+                       {SMP.hash_unit_sql("c_custkey", "epoch1")} AS u
+                FROM customer),
+            s AS (SELECT c_custkey, c_name, u,
+                         CAST(floor(u * 8) AS BIGINT) AS shard
+                  FROM d)
+            SELECT c_custkey, c_name, shard,
+                   CAST(row_number() OVER (PARTITION BY shard
+                                           ORDER BY u, c_custkey)
+                        AS BIGINT) AS pos
+            FROM s
+        """,
         "events_delay_audit": f"""
             WITH e AS (
                 SELECT user_id, event_id, epoch_us(ts) AS us,

@@ -290,3 +290,30 @@ def topk_hash_sample(df: DataFrame, key_col: str, k: int,
             .orderBy("_u")
             .limit(k)
             .drop("_u"))
+
+
+def epoch_shuffle(df: DataFrame, key_col: str, n_shards: int = 8,
+                  epoch: int = 0) -> DataFrame:
+    """Deterministic per-epoch global shuffle for training exports:
+    every row gets a fresh uniform draw salted by the epoch number,
+    a balanced-in-expectation shard ``floor(u·n_shards)``, and its
+    read position within the shard — so each epoch reads the corpus
+    in a different but perfectly reproducible order, with no state
+    carried between epochs (re-deriving the permutation is one map
+    pass plus the per-shard rank).
+
+    Scale shape: the only shuffle is the per-shard window sort; for a
+    file-layout export at 100 TB skip the rank column and
+    ``repartitionByRange(u).sortWithinPartitions(u)`` through the
+    partitioned sink instead — same ordering contract, no global sort.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    from pyspark.sql import Window
+
+    u = hash_unit(F.col(key_col), f"epoch{epoch}")
+    out = df.withColumn("_u", u).withColumn(
+        "shard", F.floor(F.col("_u") * n_shards).cast("long"))
+    w = Window.partitionBy("shard").orderBy("_u", key_col)
+    return (out.withColumn("pos", F.row_number().over(w).cast("long"))
+            .drop("_u"))

@@ -220,3 +220,26 @@ def test_topk_hash_sample_exact_k_and_nested(spark):
     assert s50 < s100 and s100 == again
     with pytest.raises(ValueError):
         topk_hash_sample(cust, "c_custkey", 0)
+
+
+def test_epoch_shuffle_balanced_deterministic_and_epoch_varies(spark):
+    from dynamic_partitioner_spark.operators.sampling import epoch_shuffle
+
+    cust = (spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+            .select("c_custkey"))
+    e1 = epoch_shuffle(cust, "c_custkey", n_shards=8, epoch=1)
+    rows = e1.collect()
+    assert len(rows) == cust.count()             # permutation, no loss
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(8))
+    for poss in by_shard.values():               # dense 1..n ranks
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert sizes[0] > 0.5 * sizes[-1]            # roughly balanced
+    again = {(r.c_custkey, r.shard, r.pos) for r in e1.collect()}
+    assert again == {(r.c_custkey, r.shard, r.pos) for r in rows}
+    e2 = {(r.c_custkey, r.shard, r.pos) for r in
+          epoch_shuffle(cust, "c_custkey", n_shards=8, epoch=2).collect()}
+    assert e2 != again                           # epochs permute anew
