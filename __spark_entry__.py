@@ -1200,6 +1200,74 @@ def q_sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_shuffle(cust, "c_custkey", n_shards=8, epoch=1)
 
 
+def q_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact money math: totals as DECIMAL(12,2) (not float) per order
+    priority — decimal sums are exact and order-free, so the engines
+    agree to the cent regardless of aggregation order (the double path
+    would drift in the last bits and need quantization tricks)."""
+    orders = _table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    # surface as DOUBLE only at the end: decimal(18,2) → double is
+    # exact below 2^53/100, so the cent-exact totals survive the cast
+    # identically in both engines (pandas/duckdb render decimals
+    # differently, doubles identically)
+    return (orders.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(dec).cast("decimal(18,2)").cast("double")
+                 .alias("total_price"),
+                 F.min(dec).cast("double").alias("min_price"),
+                 F.max(dec).cast("double").alias("max_price")))
+
+
+def q_privacy_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization with referential integrity: the same
+    salted-hash token replaces c_custkey in BOTH customer and orders,
+    so the tokenized tables still join — per-segment order counts and
+    distinct-token counts equal the cleartext join's.  (Salt is a
+    pipeline secret in real use; deterministic here for the oracle.)"""
+    tok = lambda c: F.md5(  # noqa: E731
+        F.concat(F.lit("pepper-r5:"), c.cast("string")))
+    cust = _table(spark, sf_dir, "customer").select(
+        tok(F.col("c_custkey")).alias("cust_token"), "c_mktsegment")
+    orders = _table(spark, sf_dir, "orders").select(
+        tok(F.col("o_custkey")).alias("cust_token"))
+    return (orders.join(cust, "cust_token")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.countDistinct("cust_token").alias("n_customers")))
+
+
+_DAY_US_HLL = 86_400_000_000
+
+
+def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted MERGEABLE distinct sketches (the incremental-distinct
+    pattern): one HLL sketch per day of user ids, then the month/total
+    estimate from `hll_union_agg` over the stored sketches — no rescan
+    of history.  Rows-only (sketch binaries have no DuckDB twin);
+    merged == direct == near-exact pinned in pytest, and the exact
+    per-day count rides alongside as the visible accuracy reference."""
+    events = _table(spark, sf_dir, "events")
+    ev = events.select(event_time_us(events).alias("_us"), "user_id")
+    day = ev.withColumn("day_idx",
+                        F.expr(f"_us div {_DAY_US_HLL}").cast("long"))
+    per_day = (day.groupBy("day_idx")
+               .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"),
+                    F.countDistinct("user_id").alias("exact_users")))
+    daily = per_day.select(
+        "day_idx",
+        F.expr("hll_sketch_estimate(sk)").cast("long").alias("est_users"),
+        "exact_users")
+    total = per_day.agg(
+        F.lit(-1).cast("long").alias("day_idx"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long")
+        .alias("est_users"),
+        F.sum(F.lit(0)).cast("long").alias("exact_users"))
+    exact_total = day.agg(F.countDistinct("user_id")).collect()[0][0]
+    total = total.withColumn("exact_users", F.lit(int(exact_total)))
+    return daily.unionByName(total)
+
+
 _MIN_US = 60_000_000
 
 
@@ -2123,7 +2191,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #          drawn in ANY round's sample (the only keys with zero driver
 #          rows; rows-only by design, but a rows-only entry is still
 #          evidence the key executes in the driver's env),
-#   3-14   the twelve NEW round-5 keys (never checked),
+#   3-17   the fifteen NEW round-5 keys (never checked),
 #   13-19  the keys whose implementation CHANGED this round (URL
 #          canonicalization, DP NULL seeds, streaming-join drain
 #          shape, fuzzy-pairs guard, shingle-index refactor, semantic
@@ -2137,7 +2205,8 @@ _PRIORITY_R05 = [
     "query_incremental_agg", "source_schema_evolution",
     "text_pii_redact", "query_salted_join_auto", "text_scrub_chunks",
     "sample_topk", "events_delay_audit", "streaming_sessionize",
-    "sample_epoch_shuffle",
+    "sample_epoch_shuffle", "query_decimal_agg",
+    "privacy_pseudonymize", "query_hll_mergeable",
     "dedup_url", "privacy_dp_count", "streaming_join", "dedup_fuzzy",
     "dedup_ngram_jaccard", "dedup_containment", "dedup_semantic",
     "dedup_simhash", "dedup_simhash_pairs", "dedup_incremental",
@@ -2303,6 +2372,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_delay_audit": q_events_delay_audit,
         "streaming_sessionize": q_streaming_sessionize,
         "sample_epoch_shuffle": q_sample_epoch_shuffle,
+        "query_decimal_agg": q_decimal_agg,
+        "privacy_pseudonymize": q_privacy_pseudonymize,
+        "query_hll_mergeable": q_hll_mergeable,
     }
 
 
@@ -3452,6 +3524,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name, c_acctbal FROM customer
             ORDER BY {{u}} LIMIT 200
         """.format(u=SMP.hash_unit_sql("c_custkey", "s5")),
+        "query_decimal_agg": """
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                             AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+                   CAST(min(CAST(o_totalprice AS DECIMAL(12,2)))
+                        AS DOUBLE) AS min_price,
+                   CAST(max(CAST(o_totalprice AS DECIMAL(12,2)))
+                        AS DOUBLE) AS max_price
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "privacy_pseudonymize": """
+            WITH c AS (SELECT md5(concat('pepper-r5:',
+                                         CAST(c_custkey AS VARCHAR)))
+                           AS cust_token, c_mktsegment
+                       FROM customer),
+            o AS (SELECT md5(concat('pepper-r5:',
+                                    CAST(o_custkey AS VARCHAR)))
+                      AS cust_token
+                  FROM orders)
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   count(DISTINCT cust_token) AS n_customers
+            FROM o JOIN c USING (cust_token)
+            GROUP BY c_mktsegment
+        """,
         "sample_epoch_shuffle": f"""
             WITH d AS (
                 SELECT c_custkey, c_name,

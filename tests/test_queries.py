@@ -69,3 +69,34 @@ def test_read_fixed_width_offsets_types_and_padding(spark, tmp_out):
         [("id", 1, 5, "long"), ("name", 6, 10, "string"),
          ("n", 16, 5, "long")]).collect()}
     assert got == {(1, "alpha", 42), (230, "beta", 7)}
+
+
+def test_hll_mergeable_sketches_union_equals_direct(spark):
+    """Merging stored per-day HLL sketches gives the SAME estimate as
+    sketching the whole stream directly (mergeable-summary property),
+    and estimates stay within HLL error of exact."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod_hll", "/root/repo/__spark_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    sys.modules["entry_mod_hll"] = m
+    spec.loader.exec_module(m)
+
+    from pyspark.sql import functions as F
+
+    rows = m.q_hll_mergeable(spark, "/root/testdata/sf0.01").collect()
+    daily = [r for r in rows if r.day_idx >= 0]
+    total = [r for r in rows if r.day_idx == -1]
+    assert len(total) == 1 and daily
+    for r in daily:                       # HLL default rel err ~1.6%
+        assert abs(r.est_users - r.exact_users) <= 0.05 * r.exact_users
+    t = total[0]
+    assert abs(t.est_users - t.exact_users) <= 0.05 * t.exact_users
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    direct = events.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))")
+        .cast("long").alias("e")).collect()[0].e
+    assert t.est_users == direct          # union of parts == whole
