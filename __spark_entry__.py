@@ -2192,12 +2192,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #          rows; rows-only by design, but a rows-only entry is still
 #          evidence the key executes in the driver's env),
 #   3-17   the fifteen NEW round-5 keys (never checked),
-#   13-19  the keys whose implementation CHANGED this round (URL
+#   18-24  the keys whose implementation CHANGED this round (URL
 #          canonicalization, DP NULL seeds, streaming-join drain
 #          shape, fuzzy-pairs guard, shingle-index refactor, semantic
 #          dedup auto-scaling) — re-verify behind the change,
-#   20-34  keys last hash-checked in r2,
-#   35-50  keys last hash-checked in r3 (oldest evidence first).
+#   25-39  keys last hash-checked in r2,
+#   40-50  keys last hash-checked in r3 (oldest evidence first).
 # Everything after 50 was hash-checked in r3/r4 and is unchanged.
 _PRIORITY_R05 = [
     "query_approx_distinct", "query_approx_percentiles",

@@ -355,9 +355,6 @@ def simhash_sql(c: str) -> str:
 
 # ------------------------------------------------------------ URL canon
 
-_TRACKING_RE = r"[?&](utm_[a-z0-9]*|fbclid|gclid|msclkid|ref)=[^&#]*"
-
-
 _TRACK = r"(utm_[a-z0-9]*|fbclid|gclid|msclkid|ref)"
 
 
@@ -405,7 +402,9 @@ def _canon_url_sql(c: str) -> str:
          f"'^(https://[^/?#:]*):443([/?#].*)?$', '\\1\\2')")
     u = f"regexp_replace({u}, '#.*$', '')"
     u = f"regexp_replace({u}, '&{_TRACK}=[^&#]*', '', 'g')"
-    u = f"regexp_replace({u}, '\\?{_TRACK}=[^&#]*&', '?')"
+    # 'g' matters: Spark's regexp_replace is always global, and a
+    # literal '?' inside a query value gives this rule a second match
+    u = f"regexp_replace({u}, '\\?{_TRACK}=[^&#]*&', '?', 'g')"
     u = f"regexp_replace({u}, '\\?{_TRACK}=[^&#]*$', '')"
     u = f"regexp_replace({u}, '\\?$', '')"
     u = f"regexp_replace({u}, '([^/])/$', '\\1')"

@@ -717,6 +717,7 @@ def _blocked_cosine_pairs_matmul(blocked: DataFrame, id_col: str,
                                  vec_col: str, block_col: str,
                                  threshold: float,
                                  chunk: int = 1024) -> DataFrame:
+    id_dt = blocked.schema[id_col].dataType.simpleString()
     """Within-block cosine pairs via one BLAS matmul per block
     (``applyInPandas``): each block ships its vectors through Arrow
     ONCE (n·dim floats) instead of duplicating both vectors onto every
@@ -728,11 +729,18 @@ def _blocked_cosine_pairs_matmul(blocked: DataFrame, id_col: str,
     (floor(x·1e4+0.5)/1e4) and (id_a < id_b) contract as
     :func:`embedding_near_dup`."""
     def pairs_of(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="object"),
+                              "id_b": pd.Series([], dtype="object"),
+                              "cos_sim": pd.Series([], dtype="float64")})
+        # NULL / ragged vectors score NULL cosine in the expression
+        # path and get threshold-filtered — drop them here for parity
+        vecs = pdf[vec_col]
+        dim = next((len(v) for v in vecs if v is not None), 0)
+        ok = vecs.map(lambda v: v is not None and len(v) == dim)
+        pdf = pdf[ok]
         ids = pdf[id_col].to_numpy()
         if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [],
-                                 "cos_sim": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"})
+            return empty
         X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
         nrm = np.sqrt((X * X).sum(1))
         nrm[nrm == 0] = np.inf          # zero vectors match nothing
@@ -745,18 +753,24 @@ def _blocked_cosine_pairs_matmul(blocked: DataFrame, id_col: str,
             ii, jj = np.nonzero(S >= threshold)
             keep = (ii + lo) < jj       # upper triangle, no self
             li, gj = ii[keep], jj[keep]
+            # np.minimum/maximum work elementwise on object id arrays
+            # too (strings, etc.), so the caller's id type survives
             out_a.append(np.minimum(ids[li + lo], ids[gj]))
             out_b.append(np.maximum(ids[li + lo], ids[gj]))
             out_s.append(S[li, gj])
+        if not out_a:
+            return empty
         return pd.DataFrame({
-            "id_a": np.concatenate(out_a).astype("int64"),
-            "id_b": np.concatenate(out_b).astype("int64"),
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
             "cos_sim": np.concatenate(out_s)})
 
     return (blocked.select(F.col(block_col), F.col(id_col).alias(id_col),
                            F.col(vec_col))
             .groupBy(block_col)
-            .applyInPandas(pairs_of, "id_a long, id_b long, cos_sim double"))
+            .applyInPandas(
+                pairs_of,
+                f"id_a {id_dt}, id_b {id_dt}, cos_sim double"))
 
 
 def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
@@ -764,7 +778,7 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
                    nprobe: int = 2,
                    max_cluster_size: int | None = 10_000,
                    target_cluster_size: int = 256,
-                   dim: int = 64, sub_tables: int = 2,
+                   dim: int | None = None, sub_tables: int = 2,
                    seed: int = 777) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al., *SemDeDup:
     Data-efficient learning at web-scale through semantic
@@ -812,6 +826,18 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     from .similarity import (_all_buckets_udf, _nearest_lists_udf,
                              train_centroids)
 
+    # NULL/ragged vectors would score NULL cosine and be filtered in
+    # the expression path — exclude them up front so the Arrow matmul
+    # stages see a rectangular corpus
+    first = (df.where(F.col(vec_col).isNotNull())
+             .select(F.size(F.col(vec_col)).alias("_d")).first())
+    if first is None:
+        id_dt = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"id_a {id_dt}, id_b {id_dt}, cos_sim double")
+    df = df.where(F.col(vec_col).isNotNull()
+                  & (F.size(F.col(vec_col)) == F.lit(first["_d"])))
+
     if n_lists is None:
         n = df.count()
         # floor of 8: below that, nprobe-fold multi-assignment makes the
@@ -840,7 +866,10 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
         # aim the EXPECTED sub-block size at cap/2, not exactly cap
         n_sub = min(12, max(1, 1 + _math.ceil(
             _math.log2(max_hot / max_cluster_size))))
-        budf = _all_buckets_udf(dim, n_sub, sub_tables, seed)
+        # dim=None derives the plane width from the trained centroids
+        # (any explicit value must match the data's vector width)
+        budf = _all_buckets_udf(dim if dim is not None else cents.shape[1],
+                                n_sub, sub_tables, seed)
         hot_ids = [int(r["_cluster"]) for r in hot_rows]
         is_hot = F.col("_cluster").isin(hot_ids)
         cold = blocked.where(~is_hot).select(

@@ -56,26 +56,41 @@ def heavy_hitters(items: DataFrame, item_col: str,
     with their EXACT counts: ``(item_col, n)``.
 
     ``items`` is the already-exploded item relation (one row per
-    occurrence, e.g. tokens).  ``support`` must be in (0, 1); the
-    per-partition summary holds ``ceil(1/support)`` counters.
+    occurrence, e.g. tokens) of any hashable column type.  ``support``
+    must be in (0, 1); the per-partition summary holds
+    ``ceil(1/support)`` counters.
+
+    Two passes over the item stream total: the summary pass also
+    carries each partition's row count (one NULL-item marker row per
+    partition), so N needs no separate counting job; the second pass
+    is the candidate recount.
     """
     import math
 
     if not 0 < support < 1:
         raise ValueError("support must be in (0, 1)")
     m = math.ceil(1.0 / support)
-    total = items.count()
+    item_dt = items.schema[item_col].dataType.simpleString()
+    # NULL items are ignored (NULL doubles as the per-partition count
+    # marker in the summary relation)
+    items = items.where(F.col(item_col).isNotNull())
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
+        n_part = 0
         for pdf in batches:
+            n_part += len(pdf)
             counters = _mg_merge(counters, Counter(pdf[item_col]), m)
-        yield pd.DataFrame({item_col: list(counters)})
+        yield pd.DataFrame({item_col: list(counters) + [None],
+                            "_pn": [0] * len(counters) + [n_part]})
 
-    cands = (items.select(item_col)
-             .mapInPandas(summarize, f"{item_col} string")
-             .distinct())
+    summaries = (items.select(item_col)
+                 .mapInPandas(summarize, f"{item_col} {item_dt}, _pn long")
+                 .persist())
+    total = summaries.agg(F.sum("_pn")).collect()[0][0] or 0
+    cands = (summaries.where(F.col(item_col).isNotNull())
+             .select(item_col).distinct())
     return (items.join(F.broadcast(cands), item_col, "left_semi")
             .groupBy(item_col)
             .agg(F.count(F.lit(1)).alias("n"))
-            .where(F.col("n") >= F.lit(float(support)) * F.lit(total)))
+            .where(F.col("n") >= F.lit(float(support)) * F.lit(int(total))))

@@ -154,11 +154,14 @@ def train_centroids(emb: DataFrame, vec_col: str = "embedding",
     sample points, so identical data → identical centroids → identical
     query results, which the driver's re-run check requires.
     """
-    sample = np.asarray(
-        [r[1] for r in emb.select(id_col, vec_col).orderBy(id_col)
-         .limit(sample_size).collect()], dtype=np.float64)
+    rows = [r[1] for r in emb.select(id_col, vec_col).orderBy(id_col)
+            .limit(sample_size).collect() if r[1] is not None]
+    vdim = len(rows[0]) if rows else 0
+    sample = np.asarray([v for v in rows if len(v) == vdim],
+                        dtype=np.float64)
     # a corpus smaller than n_lists trains fewer (still valid) centroids
-    # instead of indexing past the sample
+    # instead of indexing past the sample; NULL/ragged sample rows are
+    # skipped rather than fatal
     n_lists = min(n_lists, len(sample))
     cents = sample[:n_lists].copy()
     for _ in range(iters):

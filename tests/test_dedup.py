@@ -475,3 +475,45 @@ def test_apply_dedup_keeps_min_id_per_cluster(spark):
     kept = sorted(r.doc_id for r in
                   apply_dedup(corpus, pairs, "doc_id").collect())
     assert kept == [1, 7, 9, 42]
+
+
+def test_semantic_dedup_nonstandard_dim_and_null_vectors(spark):
+    """Review-finding fences: subdivision derives the plane width from
+    the data (no 64-dim assumption) and NULL/ragged vectors are
+    dropped, not fatal — matching the expression path's NULL-cosine
+    filtering."""
+    import numpy as np
+
+    from dynamic_partitioner_spark.operators.dedup import semantic_dedup
+
+    dim = 16                               # not the old hard-coded 64
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(120):
+        v = rng.randn(dim)
+        rows.append((i, (v / np.linalg.norm(v)).round(4).tolist()))
+    v = rng.randn(dim); v /= np.linalg.norm(v)
+    w = v + rng.randn(dim) * 0.005; w /= np.linalg.norm(w)
+    rows += [(900, v.round(4).tolist()), (901, w.round(4).tolist()),
+             (950, None), (951, [1.0, 0.0])]          # null + ragged
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.id_a, r.id_b) for r in
+           semantic_dedup(df, "vec_id", "embedding", threshold=0.95,
+                          n_lists=2, nprobe=1,
+                          max_cluster_size=30).collect()}
+    assert (900, 901) in got
+    assert not any(a in (950, 951) or b in (950, 951) for a, b in got)
+
+
+def test_blocked_matmul_preserves_string_ids(spark):
+    from dynamic_partitioner_spark.operators.dedup import (
+        _blocked_cosine_pairs_matmul)
+
+    df = spark.createDataFrame(
+        [("doc-a", [1.0, 0.0], 1), ("doc-b", [0.999, 0.01], 1),
+         ("doc-c", [0.0, 1.0], 1)],
+        "doc_id string, v array<double>, blk int")
+    got = {(r.id_a, r.id_b) for r in
+           _blocked_cosine_pairs_matmul(df, "doc_id", "v", "blk", 0.95)
+           .collect()}
+    assert got == {("doc-a", "doc-b")}

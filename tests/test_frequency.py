@@ -60,3 +60,18 @@ def test_mg_merge_deficit_bound():
         est = counters.get(term, 0)
         assert est >= c - bound
         assert est <= c                          # MG never overcounts
+
+
+def test_heavy_hitters_integer_items_and_null_tolerance(spark):
+    """Non-string item columns work (schema derived from the input) and
+    NULL items are ignored rather than conflated with the count
+    markers."""
+    from collections import Counter
+
+    rows = [(i % 7,) for i in range(700)] + [(None,)] * 50
+    df = (spark.createDataFrame(rows, "k int").repartition(8))
+    got = {(r.k, r.n) for r in heavy_hitters(df, "k", 0.1).collect()}
+    exact = {(k, c) for k, c in
+             Counter(k for k, in rows if k is not None).items()
+             if c >= 0.1 * 700}
+    assert got == exact and got

@@ -205,3 +205,22 @@ def test_pii_redact_counts_and_parity(spark):
     for i, _ in rows:
         s = got[i]
         assert (s.n_cc, s.n_phone, s.n_ssn, s.n_ip, s.clean) == duck[i][1:]
+
+
+def test_canonicalize_url_second_question_mark_parity(spark):
+    """A literal '?' inside a query value (RFC-legal, seen in crawl
+    data) gives the promote rule a second match — both engines must
+    apply it globally (review finding r5)."""
+    import duckdb
+
+    from dynamic_partitioner_spark.functions.text import (
+        _canon_url_sql, canonicalize_url)
+
+    urls = ["http://h/p?utm_a=1&x?utm_b=2&y",
+            "http://h/p?a=1&b?utm_c=3"]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    got = [r.c for r in
+           df.select(canonicalize_url(F.col("u")).alias("c")).collect()]
+    duck = [duckdb.sql("SELECT " + _canon_url_sql(f"'{u}'")).fetchone()[0]
+            for u in urls]
+    assert got == duck == ["http://h/p?x?y", "http://h/p?a=1&b"]
