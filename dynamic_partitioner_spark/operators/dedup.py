@@ -487,7 +487,8 @@ def incremental_dedup(new_df: DataFrame, seen_df: DataFrame,
 # ----------------------------------------------------- cluster resolution
 
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
-                   id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+                   id_b: str = "id_b", max_iter: int = 25,
+                   driver_threshold: int = 100_000) -> DataFrame:
     """Near-dup pairs → duplicate CLUSTERS: connected components with
     the min doc id as the cluster representative — the step that turns
     any pair-producing dedup op (MinHash, SimHash, embedding, n-gram)
@@ -508,7 +509,51 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
 
     Returns (doc_id, cluster_id) for every doc appearing in a pair;
     unpaired docs are their own implicit singleton clusters.
+
+    Pair graphs are pairs-sized, not corpus-sized — after a good
+    screen they are usually tiny even when the corpus is 100 TB.  When
+    the pair count is at most ``driver_threshold`` (probed with a
+    bounded ``limit(t+1).count()``, never a full count), components
+    are resolved with a driver-side union-find instead of paying
+    2 shuffles + a checkpoint per propagation round; the output is
+    identical (same components, same min-id labels — the clusters
+    oracle hash-checks both paths).  Pass 0 to force the distributed
+    loop.
     """
+    if driver_threshold:
+        # the probe, the collect (or the distributed loop's checkpoint)
+        # all read the possibly-expensive upstream pair pipeline —
+        # persist so it computes once
+        from pyspark.storagelevel import StorageLevel
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        probe = pairs.limit(driver_threshold + 1).count()
+        if probe <= driver_threshold:
+            id_dt = pairs.schema[id_a].dataType.simpleString()
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:       # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in pairs.select(id_a, id_b).collect():
+                u, v = row[0], row[1]
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    parent[ru] = rv
+            label: dict = {}
+            for node in parent:
+                r = find(node)
+                if r not in label or node < label[r]:
+                    label[r] = node
+            rows = [(node, label[find(node)]) for node in parent]
+            return pairs.sparkSession.createDataFrame(
+                rows, f"doc_id {id_dt}, cluster_id {id_dt}")
     edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
              .unionByName(pairs.select(F.col(id_b).alias("u"),
                                        F.col(id_a).alias("v")))

@@ -517,3 +517,17 @@ def test_blocked_matmul_preserves_string_ids(spark):
            _blocked_cosine_pairs_matmul(df, "doc_id", "v", "blk", 0.95)
            .collect()}
     assert got == {("doc-a", "doc-b")}
+
+
+def test_dedup_clusters_driver_and_distributed_paths_agree(spark):
+    from dynamic_partitioner_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (99, 100)],
+        "id_a long, id_b long")
+    fast = {(r.doc_id, r.cluster_id)
+            for r in dedup_clusters(pairs).collect()}
+    dist = {(r.doc_id, r.cluster_id)
+            for r in dedup_clusters(pairs, driver_threshold=0).collect()}
+    assert fast == dist
+    assert (3, 1) in fast and (12, 10) in fast and (100, 99) in fast

@@ -42,6 +42,8 @@ SWEEP_KEYS = [
     "query_incremental_agg", "source_schema_evolution",
     "text_pii_redact", "query_salted_join_auto", "text_scrub_chunks",
     "sample_topk", "events_delay_audit", "dedup_semantic",
+    "sample_epoch_shuffle", "query_decimal_agg", "privacy_pseudonymize",
+    "query_hll_mergeable",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
