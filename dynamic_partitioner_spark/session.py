@@ -58,6 +58,12 @@ def get_spark(app_name: str = "dynamic-partitioner-spark",
 
     builder = SparkSession.builder.appName(app_name).master(master)
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    # local-mode driver == executor: the 1g default heap gives a ~0.5g
+    # storage pool that evicts persisted relations mid-query and makes
+    # timings swing; size it to the machine (static conf — only applies
+    # when this factory creates the JVM, a cluster sets its own)
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     for k, v in _ENGINE_CONFS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
