@@ -1200,6 +1200,19 @@ def q_sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_shuffle(cust, "c_custkey", n_shards=8, epoch=1)
 
 
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding corpus to 8 components: exact
+    micro-quantized second moments reduced map-side (d²/2+d numbers
+    per partition, DECIMAL-exact at any scale), d×d eigh on the
+    driver, one map-only Arrow matmul projection.  Rows-only
+    (eigendecomposition has no SQL twin); variance/orthogonality/
+    partition-independence pinned in tests/test_quantize.py."""
+    from dynamic_partitioner_spark.operators.decompose import pca_project
+    emb = _table(spark, sf_dir, "embeddings")
+    return (pca_project(emb, "vec_id", "embedding", dim=64, k=8)
+            .orderBy("vec_id"))
+
+
 def q_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact money math: totals as DECIMAL(12,2) (not float) per order
     priority — decimal sums are exact and order-free, so the engines
@@ -2191,13 +2204,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #          drawn in ANY round's sample (the only keys with zero driver
 #          rows; rows-only by design, but a rows-only entry is still
 #          evidence the key executes in the driver's env),
-#   3-17   the fifteen NEW round-5 keys (never checked),
-#   18-24  the keys whose implementation CHANGED this round (URL
+#   3-18   the sixteen NEW round-5 keys (never checked),
+#   19-25  the keys whose implementation CHANGED this round (URL
 #          canonicalization, DP NULL seeds, streaming-join drain
 #          shape, fuzzy-pairs guard, shingle-index refactor, semantic
 #          dedup auto-scaling) — re-verify behind the change,
-#   25-39  keys last hash-checked in r2,
-#   40-50  keys last hash-checked in r3 (oldest evidence first).
+#   26-40  keys last hash-checked in r2,
+#   41-50  keys last hash-checked in r3 (oldest evidence first).
 # Everything after 50 was hash-checked in r3/r4 and is unchanged.
 _PRIORITY_R05 = [
     "query_approx_distinct", "query_approx_percentiles",
@@ -2206,7 +2219,7 @@ _PRIORITY_R05 = [
     "text_pii_redact", "query_salted_join_auto", "text_scrub_chunks",
     "sample_topk", "events_delay_audit", "streaming_sessionize",
     "sample_epoch_shuffle", "query_decimal_agg",
-    "privacy_pseudonymize", "query_hll_mergeable",
+    "privacy_pseudonymize", "query_hll_mergeable", "embedding_pca",
     "dedup_url", "privacy_dp_count", "streaming_join", "dedup_fuzzy",
     "dedup_ngram_jaccard", "dedup_containment", "dedup_semantic",
     "dedup_simhash", "dedup_simhash_pairs", "dedup_incremental",
@@ -2375,6 +2388,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_decimal_agg": q_decimal_agg,
         "privacy_pseudonymize": q_privacy_pseudonymize,
         "query_hll_mergeable": q_hll_mergeable,
+        "embedding_pca": q_embedding_pca,
     }
 
 

@@ -1,0 +1,133 @@
+"""PCA / whitening projection over an embedding column (north-star
+extension surface; the reference has no linear algebra — SURVEY.md
+§2.9).  The dimensionality-reduction step a training pipeline runs
+before clustering / dedup / retrieval at scale.
+
+Scale decomposition (the only one that works at 100 TB):
+
+1. **Map-side exact second moments.** Each partition quantizes its
+   vectors to integer micro-units (``floor(x·1e6 + 0.5)``, exact) and
+   accumulates a local int64 Gram matrix plus a component-sum vector —
+   one `mapInPandas` pass emitting ``d·(d+1)/2 + d`` numbers per
+   partition, regardless of row count.
+2. **Exact global reduce.** The tiny per-partition partials hash-sum
+   as DECIMAL(38,0) — exact and order-free at any corpus size (int64
+   would overflow past ~9·10⁶ rows at micro-unit scale; decimal sums
+   never do) — so identical data yields an identical covariance under
+   ANY partitioning.
+3. **Driver-side eigendecomposition.** The covariance is d×d (a few
+   KB); ``numpy.linalg.eigh`` on the driver, eigenvectors
+   sign-normalized (largest-|component| made positive) for full
+   determinism.
+4. **Map-only projection.** The corpus streams through one Arrow
+   matmul against the broadcast (d × k) basis; no shuffle.
+
+Whitening divides each projected component by √eigenvalue, giving the
+unit-covariance representation retrieval stacks (e.g. ZCA/PCA-whitened
+embeddings before product quantization, Jégou et al.) expect.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MICRO = 1_000_000
+
+
+def second_moments(emb: DataFrame, vec_col: str,
+                   dim: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Exact (Σ x xᵀ, Σ x, n) over micro-quantized vectors — the
+    sufficient statistics for mean/covariance, reduced as documented
+    in the module docstring.  Returns float64 arrays already scaled
+    back from micro-units.  NULL / ragged vectors fail loudly."""
+    iu, ju = np.triu_indices(dim)
+    out_schema = "i int, j int, g decimal(38,0)"
+
+    def _partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gram = np.zeros((dim, dim), dtype=np.int64)
+        sums = np.zeros(dim, dtype=np.int64)
+        n = 0
+        for pdf in it:
+            vecs = pdf[vec_col].tolist()
+            if not vecs:
+                continue
+            X = np.asarray(vecs, dtype=np.float64)
+            if X.ndim != 2 or X.shape[1] != dim:
+                raise ValueError(
+                    f"expected {dim}-dim vectors, got shape {X.shape}")
+            Q = np.floor(X * _MICRO + 0.5).astype(np.int64)
+            gram += Q.T @ Q
+            sums += Q.sum(0)
+            n += len(Q)
+        # encode the mean-sums as row d, the count as (d+1, d+1):
+        # one relation carries all three statistics
+        yield pd.DataFrame({
+            "i": np.concatenate([iu, np.full(dim, dim),
+                                 [dim + 1]]).astype("int32"),
+            "j": np.concatenate([ju, np.arange(dim),
+                                 [dim + 1]]).astype("int32"),
+            "g": [int(v) for v in gram[iu, ju]]
+                 + [int(v) for v in sums] + [n]})
+
+    rows = (emb.select(vec_col).mapInPandas(_partials, out_schema)
+            .groupBy("i", "j").agg(F.sum("g").alias("g"))
+            .collect())
+    gram = np.zeros((dim, dim))
+    mean_sums = np.zeros(dim)
+    n = 0
+    for r in rows:
+        i, j, g = r["i"], r["j"], float(r["g"])
+        if i == dim + 1:
+            n = int(g)
+        elif i == dim:
+            mean_sums[j] = g / _MICRO
+        else:
+            gram[i, j] = gram[j, i] = g / (_MICRO * _MICRO)
+    return gram, mean_sums, n
+
+
+def fit_pca(emb: DataFrame, vec_col: str, dim: int,
+            k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fit a k-component PCA basis: returns (mean, components (d×k),
+    eigenvalues (k,)) with eigenvalues descending and each component's
+    largest-|element| sign-normalized positive (deterministic up to
+    numerically degenerate eigenvalues)."""
+    if not 0 < k <= dim:
+        raise ValueError(f"k must be in (0, {dim}]")
+    gram, sums, n = second_moments(emb, vec_col, dim)
+    if n < 2:
+        raise ValueError("PCA needs at least 2 vectors")
+    mean = sums / n
+    cov = gram / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)        # ascending
+    order = np.argsort(vals)[::-1][:k]
+    vals, vecs = vals[order], vecs[:, order]
+    flip = np.sign(vecs[np.argmax(np.abs(vecs), axis=0),
+                        np.arange(vecs.shape[1])])
+    flip[flip == 0] = 1.0
+    return mean.round(9), (vecs * flip).round(9), np.maximum(vals, 0.0)
+
+
+def pca_project(emb: DataFrame, id_col: str, vec_col: str, dim: int,
+                k: int = 8, whiten: bool = False,
+                eps: float = 1e-9) -> DataFrame:
+    """Project every vector onto the fitted top-k principal components
+    (one map-only Arrow matmul; the d×k basis rides inside the UDF
+    closure).  ``whiten=True`` scales each component to unit variance.
+    Returns ``(id, components array<double>)``, rounded to 6 decimals.
+    """
+    mean, W, vals = fit_pca(emb, vec_col, dim, k)
+    scale = 1.0 / np.sqrt(vals + eps) if whiten else np.ones(k)
+
+    @F.pandas_udf("array<double>")
+    def _proj(v: pd.Series) -> pd.Series:
+        X = np.asarray(v.tolist(), dtype=np.float64)
+        P = ((X - mean) @ W) * scale
+        return pd.Series(list(P.round(6)))
+
+    return emb.select(F.col(id_col), _proj(F.col(vec_col)).alias("components"))

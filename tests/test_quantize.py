@@ -177,3 +177,39 @@ def test_pq_training_rejects_undersized_corpus(spark):
         train_pq_codebooks(emb, m=8, ksub=256)
     with pytest.raises(ValueError, match="ksub"):
         train_pq_codebooks(emb.limit(0), m=8, ksub=16)
+
+
+def test_pca_project_properties(spark):
+    """PCA over the corpus: projected components are uncorrelated with
+    descending variances equal to the eigenvalues; the fit is
+    partition-independent (decimal-exact reduce); whitening gives unit
+    variances."""
+    import numpy as np
+
+    from dynamic_partitioner_spark.operators.decompose import (
+        fit_pca, pca_project)
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    dim, k = 64, 6
+    mean, W, vals = fit_pca(emb, "embedding", dim, k)
+    m2, W2, v2 = fit_pca(emb.repartition(13), "embedding", dim, k)
+    assert np.array_equal(mean, m2) and np.array_equal(W, W2)
+
+    P = np.asarray([r.components for r in
+                    pca_project(emb, "vec_id", "embedding", dim, k)
+                    .collect()])
+    C = np.cov(P.T, bias=True)
+    assert np.all(np.diff(np.diag(C)) <= 1e-6)          # desc variance
+    np.testing.assert_allclose(np.diag(C), vals[:k], rtol=1e-3)
+    off = C - np.diag(np.diag(C))
+    assert np.abs(off).max() < 1e-3                     # uncorrelated
+
+    Pw = np.asarray([r.components for r in
+                     pca_project(emb, "vec_id", "embedding", dim, k,
+                                 whiten=True).collect()])
+    np.testing.assert_allclose(np.diag(np.cov(Pw.T, bias=True)),
+                               np.ones(k), rtol=5e-3)
+
+    import pytest
+    with pytest.raises(ValueError):
+        fit_pca(emb, "embedding", dim, 0)
