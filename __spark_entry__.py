@@ -1200,6 +1200,20 @@ def q_sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_shuffle(cust, "c_custkey", n_shards=8, epoch=1)
 
 
+def q_mm_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style export round-trip: documents pack into 8
+    deterministic tar shards, then the member catalog (name, size,
+    byte OFFSET inside the archive, payload md5) is parsed back out of
+    the actual tar bytes.  The oracle computes the exact same catalog
+    from the ustar spec arithmetic (512-byte headers, data rounded up
+    to 512) — a packing bug cannot hash-match."""
+    from dynamic_partitioner_spark.operators.multimodal import (
+        tar_members, tar_shards)
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return tar_members(tar_shards(docs, "doc_id", "payload", n_shards=8))
+
+
 def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection of the embedding corpus to 8 components: exact
     micro-quantized second moments reduced map-side (d²/2+d numbers
@@ -2204,13 +2218,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #          drawn in ANY round's sample (the only keys with zero driver
 #          rows; rows-only by design, but a rows-only entry is still
 #          evidence the key executes in the driver's env),
-#   3-18   the sixteen NEW round-5 keys (never checked),
-#   19-25  the keys whose implementation CHANGED this round (URL
+#   3-19   the seventeen NEW round-5 keys (never checked),
+#   20-26  the keys whose implementation CHANGED this round (URL
 #          canonicalization, DP NULL seeds, streaming-join drain
 #          shape, fuzzy-pairs guard, shingle-index refactor, semantic
 #          dedup auto-scaling) — re-verify behind the change,
-#   26-40  keys last hash-checked in r2,
-#   41-50  keys last hash-checked in r3 (oldest evidence first).
+#   27-41  keys last hash-checked in r2,
+#   42-50  keys last hash-checked in r3 (oldest evidence first).
 # Everything after 50 was hash-checked in r3/r4 and is unchanged.
 _PRIORITY_R05 = [
     "query_approx_distinct", "query_approx_percentiles",
@@ -2220,6 +2234,7 @@ _PRIORITY_R05 = [
     "sample_topk", "events_delay_audit", "streaming_sessionize",
     "sample_epoch_shuffle", "query_decimal_agg",
     "privacy_pseudonymize", "query_hll_mergeable", "embedding_pca",
+    "mm_tar_shards",
     "dedup_url", "privacy_dp_count", "streaming_join", "dedup_fuzzy",
     "dedup_ngram_jaccard", "dedup_containment", "dedup_semantic",
     "dedup_simhash", "dedup_simhash_pairs", "dedup_incremental",
@@ -2389,6 +2404,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "privacy_pseudonymize": q_privacy_pseudonymize,
         "query_hll_mergeable": q_hll_mergeable,
         "embedding_pca": q_embedding_pca,
+        "mm_tar_shards": q_mm_tar_shards,
     }
 
 
@@ -3538,6 +3554,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name, c_acctbal FROM customer
             ORDER BY {{u}} LIMIT 200
         """.format(u=SMP.hash_unit_sql("c_custkey", "s5")),
+        "mm_tar_shards": f"""
+            WITH d AS (
+                SELECT doc_id, text,
+                       CAST(floor({SMP.hash_unit_sql('doc_id')} * 8)
+                            AS BIGINT) AS shard
+                FROM documents),
+            m AS (
+                SELECT shard, doc_id,
+                       CAST(doc_id AS VARCHAR) || '.txt' AS name,
+                       CAST(octet_length(encode(text)) AS BIGINT) AS size,
+                       md5(text) AS payload_md5
+                FROM d),
+            o AS (
+                SELECT shard, name, size, payload_md5,
+                       512 + CAST(coalesce(sum(
+                           512 + 512 * CAST(ceil(size / 512.0) AS BIGINT))
+                           OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS BIGINT) AS data_offset
+                FROM m)
+            SELECT shard, name, size, data_offset, payload_md5 FROM o
+        """,
         "query_decimal_agg": """
             SELECT o_orderpriority, count(*) AS n_orders,
                    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))

@@ -202,3 +202,82 @@ def sniff_mime(binary_df: DataFrame) -> DataFrame:
         "doc_id",
         mime.otherwise("text/plain").alias("mime"),
         F.octet_length("payload").cast("long").alias("n_bytes"))
+
+
+def tar_shards(df: DataFrame, id_col: str, payload_col: str,
+               n_shards: int = 8, ext: str = "txt") -> DataFrame:
+    """WebDataset-style shard packing: rows hash to ``n_shards`` shards
+    (portable md5 draw) and each shard's members pack into ONE
+    in-memory ustar archive — the standard random-access training-data
+    container (one sequential read per shard, per-member offsets for
+    indexed access).
+
+    Deterministic bytes: members sorted by id, ``mtime=0``, fixed
+    mode/uid/gid, ustar format — identical input gives identical
+    archives.  Returns ``(shard, n_members, tar_bytes)``; at scale
+    each row lands as one ``.tar`` object via the binary sink.  The
+    tar layout is exactly computable (header 512 B + data rounded up
+    to 512 B per member), which is what :func:`tar_members` — and the
+    driver key's SQL oracle — verify offset-for-offset.
+    """
+    import io
+    import tarfile
+
+    from .sampling import hash_unit
+
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id")
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w",
+                          format=tarfile.USTAR_FORMAT) as tf:
+            for _id, payload in zip(pdf["_id"], pdf["_p"]):
+                data = bytes(payload)
+                ti = tarfile.TarInfo(name=f"{_id}.{ext}")
+                ti.size = len(data)
+                ti.mtime = 0
+                ti.mode = 0o644
+                ti.uid = ti.gid = 0
+                ti.uname = ti.gname = ""
+                tf.addfile(ti, io.BytesIO(data))
+        return pd.DataFrame({"shard": [int(key[0])],
+                             "n_members": [len(pdf)],
+                             "tar_bytes": [buf.getvalue()]})
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(payload_col).alias("_p"),
+        F.floor(hash_unit(F.col(id_col)) * n_shards).cast("long")
+        .alias("_shard"))
+    return base.groupBy("_shard").applyInPandas(
+        pack, "shard long, n_members long, tar_bytes binary")
+
+
+def tar_members(shards: DataFrame) -> DataFrame:
+    """Parse :func:`tar_shards` output back into the member catalog:
+    ``(shard, name, size, data_offset, payload_md5)`` with ``data_offset`` the
+    member's data start inside the archive — the index a random-access
+    loader seeks by.  One Arrow pass; the md5 re-hashes the extracted
+    payload, so a packing corruption cannot hash-match the source."""
+    import hashlib
+    import io
+    import tarfile
+
+    def unpack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"shard": [], "name": [], "size": [],
+                    "data_offset": [], "payload_md5": []}
+            for shard, blob in zip(pdf["shard"], pdf["tar_bytes"]):
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
+                    for m in tf.getmembers():
+                        rows["shard"].append(int(shard))
+                        rows["name"].append(m.name)
+                        rows["size"].append(m.size)
+                        rows["data_offset"].append(m.offset_data)
+                        rows["payload_md5"].append(hashlib.md5(
+                            tf.extractfile(m).read()).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return shards.mapInPandas(
+        unpack,
+        "shard long, name string, size long, data_offset long, "
+        "payload_md5 string")

@@ -134,3 +134,26 @@ def test_documents_corpus_ascii_and_magic_free(spark):
             | F.col("text").startswith("%PDF-")
             | F.col("text").startswith("PK\x03\x04")).count()
         assert magic == 0, f"sf{sf}: magic-prefixed text rows: {magic}"
+
+
+def test_tar_shards_roundtrip_and_determinism(spark):
+    """Pack → parse: every member comes back with its exact payload
+    (md5), empty payloads survive, and archives are byte-deterministic
+    across runs."""
+    import hashlib
+
+    from dynamic_partitioner_spark.operators.multimodal import (
+        tar_members, tar_shards)
+
+    rows = [(1, b"hello world"), (2, b""), (3, b"x" * 1000),
+            (4, b"\x00\xffbinary")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    shards = tar_shards(df, "doc_id", "payload", n_shards=2)
+    blobs1 = {r.shard: bytes(r.tar_bytes) for r in shards.collect()}
+    blobs2 = {r.shard: bytes(r.tar_bytes) for r in
+              tar_shards(df, "doc_id", "payload", n_shards=2).collect()}
+    assert blobs1 == blobs2                       # byte-deterministic
+    got = {r.name: (r.size, r.payload_md5)
+           for r in tar_members(shards).collect()}
+    for i, p in rows:
+        assert got[f"{i}.txt"] == (len(p), hashlib.md5(p).hexdigest())
