@@ -49,8 +49,12 @@ def second_moments(emb: DataFrame, vec_col: str,
     out_schema = "i int, j int, g decimal(38,0)"
 
     def _partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        gram = np.zeros((dim, dim), dtype=np.int64)
-        sums = np.zeros(dim, dtype=np.int64)
+        # object dtype = exact Python bigints: the per-partition
+        # accumulator cannot wrap no matter how many rows a partition
+        # holds; each bounded sub-chunk's int64 matmul is overflow-safe
+        # by construction before it folds in
+        gram = np.zeros((dim, dim), dtype=object)
+        sums = np.zeros(dim, dtype=object)
         n = 0
         for pdf in it:
             vecs = pdf[vec_col].tolist()
@@ -60,9 +64,17 @@ def second_moments(emb: DataFrame, vec_col: str,
             if X.ndim != 2 or X.shape[1] != dim:
                 raise ValueError(
                     f"expected {dim}-dim vectors, got shape {X.shape}")
+            if not np.isfinite(X).all():
+                raise ValueError(
+                    "NaN/inf component in embedding input — clean or "
+                    "filter before fitting PCA")
             Q = np.floor(X * _MICRO + 0.5).astype(np.int64)
-            gram += Q.T @ Q
-            sums += Q.sum(0)
+            qmax = int(np.abs(Q).max()) or 1
+            safe_rows = max(1, int(4e18 // (qmax * qmax)))
+            for lo in range(0, len(Q), safe_rows):
+                Qc = Q[lo:lo + safe_rows]
+                gram = gram + Qc.T @ Qc
+                sums = sums + Qc.sum(0)
             n += len(Q)
         # encode the mean-sums as row d, the count as (d+1, d+1):
         # one relation carries all three statistics

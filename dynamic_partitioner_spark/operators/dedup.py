@@ -520,15 +520,20 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
     oracle hash-checks both paths).  Pass 0 to force the distributed
     loop.
     """
-    if driver_threshold:
+    # a pair with a NULL member is meaningless — drop uniformly so both
+    # resolution paths see identical input
+    pairs = pairs.where(F.col(id_a).isNotNull() & F.col(id_b).isNotNull())
+    persisted = None
+    id_dt = pairs.schema[id_a].dataType.simpleString()
+    if driver_threshold and (
+            id_dt == pairs.schema[id_b].dataType.simpleString()):
         # the probe, the collect (or the distributed loop's checkpoint)
         # all read the possibly-expensive upstream pair pipeline —
         # persist so it computes once
         from pyspark.storagelevel import StorageLevel
-        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted = pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
         probe = pairs.limit(driver_threshold + 1).count()
         if probe <= driver_threshold:
-            id_dt = pairs.schema[id_a].dataType.simpleString()
             parent: dict = {}
 
             def find(x):
@@ -539,13 +544,16 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
                     parent[x], x = r, parent[x]
                 return r
 
-            for row in pairs.select(id_a, id_b).collect():
-                u, v = row[0], row[1]
-                parent.setdefault(u, u)
-                parent.setdefault(v, v)
-                ru, rv = find(u), find(v)
-                if ru != rv:
-                    parent[ru] = rv
+            try:
+                for row in pairs.select(id_a, id_b).collect():
+                    u, v = row[0], row[1]
+                    parent.setdefault(u, u)
+                    parent.setdefault(v, v)
+                    ru, rv = find(u), find(v)
+                    if ru != rv:
+                        parent[ru] = rv
+            finally:
+                persisted.unpersist()
             label: dict = {}
             for node in parent:
                 r = find(node)
@@ -561,6 +569,8 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
              # without this each round would recompute the (possibly
              # expensive) upstream pair pipeline
              .localCheckpoint(eager=True))
+    if persisted is not None:       # checkpoint holds the data now
+        persisted.unpersist()
     labels = (edges.select("u").distinct()
               .select(F.col("u").alias("node"), F.col("u").alias("label")))
     for _ in range(max_iter):

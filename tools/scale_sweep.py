@@ -43,7 +43,7 @@ SWEEP_KEYS = [
     "text_pii_redact", "query_salted_join_auto", "text_scrub_chunks",
     "sample_topk", "events_delay_audit", "dedup_semantic",
     "sample_epoch_shuffle", "query_decimal_agg", "privacy_pseudonymize",
-    "query_hll_mergeable",
+    "query_hll_mergeable", "embedding_pca", "mm_tar_shards",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
