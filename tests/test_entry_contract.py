@@ -59,3 +59,22 @@ def test_entry_smoke(spark):
     out = m.entry(spark)
     assert out.count() > 0
     assert len(out.schema.fields) > 0
+
+
+def test_tool_key_lists_are_unique_and_resolve():
+    """The audit/sweep key lists must be duplicate-free (an ADVICE-r4
+    regression class) and every entry must be a real driver key."""
+    import re
+
+    m = _entry()
+    valid = set(m.queries())
+    for path in ("/root/repo/tools/audit_plans.py",
+                 "/root/repo/tools/scale_sweep.py"):
+        src = open(path).read()
+        block = re.search(r"(?:AUDIT_KEYS|SWEEP_KEYS) = \[(.*?)\]",
+                          src, re.S).group(1)
+        keys = re.findall(r'"([^"]+)"', block)
+        dupes = {k for k in keys if keys.count(k) > 1}
+        assert not dupes, (path, dupes)
+        unknown = set(keys) - valid
+        assert not unknown, (path, unknown)
