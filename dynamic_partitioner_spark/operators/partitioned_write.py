@@ -121,23 +121,35 @@ def write_partitioned(df: DataFrame, spec: SinkSpec, path: str | None = None) ->
             overwrite_partitions=spec.overwrite_partitions)
 
     if spec.cluster_by_key:
-        try:
+        # Spark < 3.2 DROPS unknown hints with only a log warning (no
+        # exception), so a try/except can't detect missing REBALANCE
+        # support — gate on the version explicitly
+        major, minor = (int(x) for x in spark.version.split(".")[:2])
+        if (major, minor) >= (3, 2):
             ndf = ndf.hint("rebalance", *spec.field_names)
-        except Exception:
+        else:
             ndf = ndf.repartition(*[F.col(c) for c in spec.field_names])
 
     mode = "overwrite" if spec.overwrite_partitions else "append"
+    overwrite_conf = "spark.sql.sources.partitionOverwriteMode"
+    prev_mode = spark.conf.get(overwrite_conf, "static")
     if spec.overwrite_partitions:
         # ensure only incoming partitions are replaced even if the
-        # session default was changed (engine conf sets dynamic already)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    writer = (ndf.write.mode(mode)
-              .option("maxRecordsPerFile", str(spec.max_records_per_file))
-              .partitionBy(*spec.field_names)
-              .format(spec.fmt))
-    for k, v in spec.writer_options().items():
-        writer = writer.option(k, v)
-    writer.save(out)
+        # session default was changed (engine conf sets dynamic
+        # already); restored below — a session-wide flip would change
+        # the semantics of the USER's own later overwrite writes
+        spark.conf.set(overwrite_conf, "dynamic")
+    try:
+        writer = (ndf.write.mode(mode)
+                  .option("maxRecordsPerFile", str(spec.max_records_per_file))
+                  .partitionBy(*spec.field_names)
+                  .format(spec.fmt))
+        for k, v in spec.writer_options().items():
+            writer = writer.option(k, v)
+        writer.save(out)
+    finally:
+        if spec.overwrite_partitions:
+            spark.conf.set(overwrite_conf, prev_mode)
     return out
 
 
@@ -157,11 +169,16 @@ def register_table(spark: SparkSession, spec: SinkSpec, path: str,
     name = table_name or spec.name
     payload = [f for f in read_partitioned(spark, path, spec.fmt).schema.fields
                if f.name not in spec.field_names]
+    if not payload:
+        raise ValueError(
+            f"dataset at {path} has no payload columns beyond the "
+            f"partition fields {spec.field_names} — nothing to register")
     cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in payload)
     parts = ", ".join(f"`{c}` string" for c in spec.field_names)
+    loc = path.replace("'", "''")       # SQL string literal escaping
     spark.sql(f"DROP TABLE IF EXISTS `{name}`")
     spark.sql(f"CREATE TABLE `{name}` ({cols}) USING {spec.fmt} "
-              f"PARTITIONED BY ({parts}) LOCATION '{path}'")
+              f"PARTITIONED BY ({parts}) LOCATION '{loc}'")
     spark.catalog.recoverPartitions(name)
     return name
 
@@ -180,14 +197,21 @@ def write_bucketed(df, table_name: str, bucket_cols: list[str],
     (table size / executor-comfortable partition size).
     """
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
+    if "." in table_name:
+        db, tbl = table_name.split(".", 1)
+    else:
+        db, tbl = spark.catalog.currentDatabase(), table_name
+    quoted = f"`{db}`.`{tbl}`"
+    spark.sql(f"DROP TABLE IF EXISTS {quoted}")
     # with a non-persistent (in-memory) metastore, a previous process's
     # managed-table directory survives while the catalog entry doesn't —
-    # saveAsTable then fails with LOCATION_ALREADY_EXISTS; clear it
+    # saveAsTable then fails with LOCATION_ALREADY_EXISTS; clear it.
+    # The managed location is <warehouse>[/<db>.db]/<lowercased table>.
     warehouse = spark.conf.get("spark.sql.warehouse.dir",
                                "spark-warehouse")
+    sub = tbl.lower() if db == "default" else f"{db.lower()}.db/{tbl.lower()}"
     jvm = spark._jvm
-    loc = jvm.org.apache.hadoop.fs.Path(warehouse + "/" + table_name)
+    loc = jvm.org.apache.hadoop.fs.Path(warehouse + "/" + sub)
     fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(loc):
         fs.delete(loc, True)
@@ -272,9 +296,13 @@ def _overwrite_and_prune(spark: SparkSession, path: str, spec: SinkSpec,
     an emptied partition's old files would otherwise survive.  The
     remaining-partition collect is bounded by |affected|."""
     up_spec = SinkSpec(**{**spec.__dict__, "overwrite_partitions": True})
-    # collect BEFORE the write: `merged` reads the very files the
-    # overwrite is about to delete, so re-executing it afterwards would
-    # hit FILE_NOT_EXIST on the dropped partitions
+    # materialize once and CUT LINEAGE: the remaining-partition collect
+    # and the overwrite write both consume the merged DAG (pruned read
+    # + anti-join + union) — without this every merge pays that plan
+    # twice, and worse, the write's lineage would re-read the very
+    # files the overwrite is deleting (an eviction away from
+    # FILE_NOT_EXIST).  Checkpointed blocks fail loudly if lost.
+    merged = merged.localCheckpoint(eager=True)
     remaining = ({tuple(str(r[f]) for f in spec.field_names)
                   for r in merged.select(*spec.field_names)
                   .distinct().collect()}
@@ -370,9 +398,11 @@ def merge_cdc(spark: SparkSession, path: str, changes: DataFrame,
 def read_cdc_table(spark: SparkSession, path: str, fmt: str = "parquet",
                    op_col: str = "op", delete_op: str = "D") -> DataFrame:
     """Live view of a :func:`merge_cdc` dataset: tombstone rows filtered
-    out, the op column dropped."""
+    out, the op column dropped.  Null-safe: a row whose op is NULL (a
+    source that only stamps deletes) is live, not silently hidden by
+    three-valued ``!=``."""
     return (read_partitioned(spark, path, fmt)
-            .where(F.col(op_col) != delete_op)
+            .where(~F.col(op_col).eqNullSafe(delete_op))
             .drop(op_col))
 
 
@@ -393,7 +423,12 @@ def compact_tombstones(spark: SparkSession, path: str, spec: SinkSpec,
     tombstone spread, not table size.
     """
     current = read_partitioned(spark, path, spec.fmt)
-    expirable = (F.col(op_col) == delete_op) & (F.col(seq_col) < below_seq)
+    # null-safe on BOTH sides: a NULL op is not a tombstone, and a NULL
+    # sequence is never provably below the horizon — plain three-valued
+    # predicates would let `.where(~expirable)` silently DROP such live
+    # rows during the rewrite
+    expirable = (F.col(op_col).eqNullSafe(delete_op)
+                 & F.coalesce(F.col(seq_col) < below_seq, F.lit(False)))
     holds = [tuple(str(r[f]) for f in spec.field_names)
              for r in current.where(expirable)
              .select(*spec.field_names).distinct().collect()]
@@ -447,10 +482,14 @@ def compact_partitions(spark: SparkSession, path: str, fmt: str = "parquet",
                 f"crashed mid-swap.  If {path} is missing, rename "
                 f"{old_path} back to it; otherwise delete the leftover "
                 "and re-run.")
-    df = read_partitioned(spark, path, fmt)
+    # mergeSchema: a compaction must carry columns that only newer
+    # files have — reading one footer's schema and rewriting the whole
+    # tree would silently drop schema-evolved columns forever
+    df = read_partitioned(spark, path, fmt, merge_schema=True)
+    discovered = _discover_partition_cols(spark, path)
     part_cols = [f.name for f in df.schema.fields
                  if f.dataType.simpleString() == "string"
-                 and f.name in _discover_partition_cols(spark, path)]
+                 and f.name in discovered]
     if not part_cols:
         raise ValueError(f"no Hive partition columns discovered under {path}")
     ndf = df.hint("rebalance", *part_cols)
@@ -479,12 +518,19 @@ def compact_partitions(spark: SparkSession, path: str, fmt: str = "parquet",
     # the swap).
     spark.catalog.refreshByPath(path)
     norm = path.rstrip("/")
-    for tbl in spark.catalog.listTables():
-        if tbl.tableType == "TEMPORARY":
-            continue
-        loc = _table_location(spark, tbl.name)
-        if loc is not None and loc.rstrip("/").endswith(norm):
-            spark.sql(f"REFRESH TABLE `{tbl.name}`")
+    for db in spark.catalog.listDatabases():
+        for tbl in spark.catalog.listTables(db.name):
+            if tbl.tableType == "TEMPORARY":
+                continue
+            qual = f"`{db.name}`.`{tbl.name}`"
+            loc = _table_location(spark, f"{db.name}.{tbl.name}")
+            if loc is None:
+                continue
+            loc = loc.rstrip("/")
+            # suffix match must land on a path-component boundary
+            # (location may carry a scheme prefix, e.g. file:/...)
+            if loc == norm or loc.endswith("/" + norm.lstrip("/")):
+                spark.sql(f"REFRESH TABLE {qual}")
     return len(part_cols)
 
 
@@ -535,8 +581,9 @@ def write_zordered(df: DataFrame, path: str, cols, bits: int = 8,
 
 
 def _table_location(spark: SparkSession, name: str) -> str | None:
+    quoted = ".".join(f"`{p}`" for p in name.split("."))
     try:
-        for row in spark.sql(f"DESCRIBE TABLE EXTENDED `{name}`").collect():
+        for row in spark.sql(f"DESCRIBE TABLE EXTENDED {quoted}").collect():
             if row.col_name == "Location":
                 return row.data_type
     except Exception:

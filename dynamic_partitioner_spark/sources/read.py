@@ -41,12 +41,52 @@ def read_partitioned(spark: SparkSession, path: str,
     schema evolution: appends that added columns read back with NULLs
     for the old files).  Off by default — schema merging reads every
     file's footer up front, a metadata cost worth paying only on
-    evolved datasets."""
+    evolved datasets.
+
+    Avro without the spark-avro jar routes to the pure-Python container
+    reader (self-describing: partition fields from the directory
+    layout, payload schema from a container header), so datasets the
+    write-side fallback produced stay readable — and mergeable /
+    compactable — through the same entry point."""
+    if fmt == "avro":
+        from ..operators.partitioned_write import spark_avro_available
+        if not spark_avro_available(spark):
+            return _read_avro_fallback(spark, path)
     with _no_partition_type_inference(spark):
         reader = spark.read.format(fmt)
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
         return reader.load(path)
+
+
+def _read_avro_fallback(spark: SparkSession, path: str) -> DataFrame:
+    """Pure-Python Avro read-back for jar-less deployments: discover
+    the partition-field nesting order by walking one branch of the
+    Hive tree, take the payload schema from the first container file's
+    self-describing header, then decode distributed via
+    ``formats.avro_py.read_avro_partitioned``."""
+    from ..formats.avro_py import decode_container, read_avro_partitioned
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    order: list[str] = []
+    p = jpath
+    while True:
+        subs = [s for s in fs.listStatus(p)
+                if s.isDirectory() and "=" in s.getPath().getName()]
+        if not subs:
+            break
+        order.append(subs[0].getPath().getName().split("=", 1)[0])
+        p = subs[0].getPath()
+    one = (spark.read.format("binaryFile")
+           .option("recursiveFileLookup", "true")
+           .option("pathGlobFilter", "*.avro").load(path)
+           .select("content").limit(1).collect())
+    if not one:
+        raise FileNotFoundError(f"no .avro container files under {path}")
+    payload_schema, _ = decode_container(bytes(one[0].content))
+    return read_avro_partitioned(spark, path, order, payload_schema)
 
 
 def read_table_view(spark: SparkSession, path: str, spec: SinkSpec) -> DataFrame:

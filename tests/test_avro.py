@@ -135,3 +135,24 @@ def test_datasource_probe_mechanism(spark):
     # this container has no spark-avro jar; on a deployment that does,
     # write_partitioned switches to df.write.format("avro") automatically
     assert spark_avro_available(spark) is False
+
+
+def test_read_partitioned_falls_back_without_jar(spark, tmp_path):
+    """Datasets the write-side pure-Python fallback produced are
+    readable through the generic read_partitioned entry point (the
+    same one merge/compact/register use) — self-describing schema from
+    the container header, partition fields from the tree."""
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        write_partitioned)
+    from dynamic_partitioner_spark.sources.read import read_partitioned
+    from dynamic_partitioner_spark.spec import SinkSpec
+
+    out = str(tmp_path / "av")
+    df = spark.createDataFrame(
+        [(1, 2.5, "x"), (2, 3.5, "y"), (3, 4.5, "x")],
+        "id long, val double, k string")
+    write_partitioned(df, SinkSpec(name="t", field_names=["k"],
+                                   fmt="avro"), out)
+    back = read_partitioned(spark, out, "avro")
+    assert {(r.id, r.val, r.k) for r in back.collect()} == \
+        {(1, 2.5, "x"), (2, 3.5, "y"), (3, 4.5, "x")}

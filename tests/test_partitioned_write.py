@@ -685,3 +685,67 @@ def test_merge_upsert_prunes_partition_with_hive_literal_chars(spark, tmp_out):
     assert not os.path.exists(f"{tmp_out}/p=new york")
     got = {(r.k, r.p, r.v) for r in read_partitioned(spark, tmp_out).collect()}
     assert got == {(2, "sao paulo (br)", 2.0)}
+
+
+def test_compact_preserves_schema_evolved_columns(spark, tmp_path):
+    """Compacting a dataset whose later appends added a column must
+    keep that column (mergeSchema read) — not silently rewrite it
+    away."""
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        compact_partitions)
+    from dynamic_partitioner_spark.sources.read import read_partitioned
+
+    out = str(tmp_path / "evolved")
+    spark.createDataFrame([(1, "a")], "id long, k string") \
+        .write.partitionBy("k").parquet(out)
+    spark.createDataFrame([(2, "b", 9.5)],
+                          "id long, k string, extra double") \
+        .write.mode("append").partitionBy("k").parquet(out)
+    compact_partitions(spark, out)
+    back = read_partitioned(spark, out, merge_schema=True)
+    rows = {r.id: r for r in back.collect()}
+    assert "extra" in back.columns
+    assert rows[2].extra == 9.5 and rows[1].extra is None
+
+
+def test_cdc_null_op_rows_are_live_and_survive_compaction(spark, tmp_path):
+    """A source that only stamps deletes leaves op NULL on upserts —
+    those rows must be visible in the live view and must survive the
+    tombstone retention pass (three-valued-logic regression)."""
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        compact_tombstones, merge_cdc, read_cdc_table)
+    from dynamic_partitioner_spark.spec import SinkSpec
+
+    out = str(tmp_path / "cdc")
+    spec = SinkSpec(name="t", field_names=["p"])
+    changes = spark.createDataFrame(
+        [(1, "x", 10, None, "a"), (2, "x", 11, "D", "b"),
+         (3, "x", 1, None, "c")],
+        "k long, p string, seq long, op string, v string")
+    merge_cdc(spark, out, changes, spec, ["k"], "seq")
+    live = {r.k for r in read_cdc_table(spark, out).collect()}
+    assert live == {1, 3}                  # NULL-op rows are live
+    compact_tombstones(spark, out, spec, below_seq=100, seq_col="seq")
+    live2 = {r.k for r in read_cdc_table(spark, out).collect()}
+    assert live2 == {1, 3}                 # retention kept them
+    assert {r.k for r in read_cdc_table(spark, out).collect()
+            if r.k == 2} == set()          # expired tombstone gone
+
+
+def test_overwrite_mode_conf_is_restored(spark, tmp_path):
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        write_partitioned)
+    from dynamic_partitioner_spark.spec import SinkSpec
+
+    conf = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf)
+    spark.conf.set(conf, "static")
+    try:
+        df = spark.createDataFrame([(1, "a")], "id long, k string")
+        write_partitioned(
+            df, SinkSpec(name="t", field_names=["k"],
+                         overwrite_partitions=True),
+            str(tmp_path / "w"))
+        assert spark.conf.get(conf) == "static"   # restored, not leaked
+    finally:
+        spark.conf.set(conf, prev)
