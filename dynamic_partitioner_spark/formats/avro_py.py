@@ -375,10 +375,20 @@ def write_avro_partitioned(df: DataFrame, field_names: list[str],
         raise ValueError(
             f"pure-Python avro writer supports codecs null/deflate, not "
             f"{codec!r}; install the spark-avro connector for {codec}")
+    import uuid
+
     payload_schema = T.StructType(
         [f for f in df.schema.fields if f.name not in field_names])
     avro_schema_json(payload_schema)       # validate types up front
     cols = [f.name for f in payload_schema.fields]
+    # driver-generated once and captured by the closure: every task
+    # ATTEMPT for a partition writes the same deterministic file name,
+    # so a task retry / speculative attempt overwrites its own partial
+    # file instead of appending a duplicate; separate append jobs get
+    # fresh tokens and coexist
+    job_token = uuid.uuid4().hex[:12]
+    float_cols = [f.name for f in payload_schema.fields
+                  if isinstance(f.dataType, (T.DoubleType, T.FloatType))]
 
     moved: list[tuple[str, str]] = []
     if overwrite_partitions:
@@ -395,33 +405,34 @@ def write_avro_partitioned(df: DataFrame, field_names: list[str],
                 moved.append((target, old))
 
     def write_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        import glob as _glob
         rel = _hive_dir(field_names, key)
         target = os.path.join(path, rel)
         os.makedirs(target, exist_ok=True)
         sync = hashlib.md5(rel.encode()).digest()
         pdf = pdf.sort_values(cols).reset_index(drop=True)
-        # NaN→None in one vectorized pass (a per-value pd.isna inside the
-        # row loop measured as a top cost of the encode path)
+        # None only for TRUE nulls; float NaN is a legitimate double
+        # value and must survive (the spark-avro fast path writes NaN
+        # as NaN — blanket NaN→None diverged, and crashed non-nullable
+        # float fields outright).  Arrow hands float columns to pandas
+        # with nulls ALREADY collapsed to NaN, so the distinction rides
+        # in the Spark-side __null_ mask columns projected below.
         vals = pdf[cols].astype(object)
-        recs = vals.where(pd.notna(vals), None).itertuples(
-            index=False, name=None)
+        mask = pd.notna(vals)
+        for c in float_cols:
+            mask[c] = ~pdf[f"__null_{c}"].astype(bool)
+        recs = vals.where(mask, None).itertuples(index=False, name=None)
         blob = encode_container(recs, payload_schema, sync, codec)
-        # suffix = existing file count, so appends add a new file
-        # (fresh writes stay deterministic at -0); concurrent writers to
-        # the SAME partition can still race — the spark-avro fast path
-        # with Spark's commit protocol is the answer there
-        seq = len(_glob.glob(os.path.join(target, "part-*.avro")))
         fname = (f"part-{hashlib.md5(rel.encode()).hexdigest()[:16]}"
-                 f"-{seq}.avro")
+                 f"-{job_token}.avro")
         with open(os.path.join(target, fname), "wb") as fh:
             fh.write(blob)
         return pd.DataFrame({"partition": [rel], "rows": [len(pdf)]})
 
     os.makedirs(path, exist_ok=True)       # empty input → valid empty dataset
     out_schema = "partition string, rows long"
-    stats = (df.repartition(*[F.col(c) for c in field_names])
-             .groupBy(*field_names)
+    masked = df.select(
+        "*", *[F.col(c).isNull().alias(f"__null_{c}") for c in float_cols])
+    stats = (masked.groupBy(*field_names)
              .applyInPandas(write_group, out_schema))
     try:
         stats.count()                      # materialize = run the write
@@ -448,32 +459,47 @@ def read_avro_partitioned(spark: SparkSession, path: str,
     """Read back a :func:`write_avro_partitioned` tree.
 
     ``binaryFile`` lists and reads container files executor-side;
-    ``mapInPandas`` decodes; partition columns come from the file path
-    (string-typed, matching both the reference's string partition
-    dimensions and Spark's own discovery-with-inference-off)."""
-    import pandas as pd
+    ``mapInArrow`` decodes — Arrow batches built from Python lists keep
+    the None-vs-NaN distinction a pandas float column would collapse
+    (a pandas-path read turned stored NaN doubles into NULLs).  Columns
+    realign by the FILE's own schema names, so a field-order mismatch
+    with the caller's schema cannot silently transpose same-typed
+    columns.  Partition columns come from the file path (string-typed,
+    matching both the reference's string partition dimensions and
+    Spark's own discovery-with-inference-off)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
 
     full = T.StructType(
         list(payload_schema.fields)
         + [T.StructField(f, T.StringType(), False) for f in field_names])
-    names = [f.name for f in payload_schema.fields]
+    out_names = ([f.name for f in payload_schema.fields]
+                 + list(field_names))
+    arrow_types = [to_arrow_type(f.dataType) for f in payload_schema.fields]
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def decode(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
         from dynamic_partitioner_spark.functions.paths import (
             unescape_path_name)
-        for pdf in batches:
-            for fpath, content in zip(pdf["path"], pdf["content"]):
-                _, rows = decode_container(bytes(content))
-                out = pd.DataFrame(rows, columns=names)
+        for batch in batches:
+            paths = batch.column(0).to_pylist()
+            contents = batch.column(1).to_pylist()
+            for fpath, content in zip(paths, contents):
+                file_schema, rows = decode_container(bytes(content))
+                pos = {f.name: i for i, f in enumerate(file_schema.fields)}
+                arrays = [
+                    pa.array([r[pos[f.name]] for r in rows], type=at)
+                    for f, at in zip(payload_schema.fields, arrow_types)]
                 for f in field_names:
                     marker = f"/{f}="
                     seg = fpath.split(marker, 1)[1].split("/", 1)[0]
-                    out[f] = unescape_path_name(seg)
-                yield out
+                    arrays.append(pa.array(
+                        [unescape_path_name(seg)] * len(rows),
+                        type=pa.string()))
+                yield pa.RecordBatch.from_arrays(arrays, out_names)
 
     files = (spark.read.format("binaryFile")
              .option("pathGlobFilter", "*.avro")
              .option("recursiveFileLookup", "true")
              .load(path)
              .select("path", "content"))
-    return files.mapInPandas(decode, full)
+    return files.mapInArrow(decode, full)

@@ -27,7 +27,9 @@ so oracle comparisons are exact.
 
 from __future__ import annotations
 
-from typing import Any, Iterator
+from typing import Iterator
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -253,8 +255,13 @@ def run_streaming_join(spark: SparkSession, src_path: str, sink_table: str,
     return spark.table(sink_table)
 
 
-TOPK_SNAP_SCHEMA = ("user_id long, v1 double, e1 long, v2 double, "
-                    "e2 long, v3 double, e3 long")
+def _topk_snap_schema(key_col: str = "user_id") -> str:
+    return (f"{key_col} long, v1 double, e1 long, v2 double, "
+            "e2 long, v3 double, e3 long")
+
+
+# back-compat constant for the default key
+TOPK_SNAP_SCHEMA = _topk_snap_schema()
 
 
 def running_topk_state(sdf: DataFrame, key_col: str = "user_id",
@@ -311,7 +318,7 @@ def running_topk_state(sdf: DataFrame, key_col: str = "user_id",
                 else:
                     flat.extend([None, None])
             self._top.update(tuple(flat))
-            yield pd.DataFrame({"user_id": [key[0]],
+            yield pd.DataFrame({key_col: [key[0]],
                                 "v1": [flat[0]], "e1": [flat[1]],
                                 "v2": [flat[2]], "e2": [flat[3]],
                                 "v3": [flat[4]], "e3": [flat[5]]})
@@ -320,7 +327,7 @@ def running_topk_state(sdf: DataFrame, key_col: str = "user_id",
             pass
 
     return (sdf.groupBy(key_col)
-            .transformWithStateInPandas(TopK(), TOPK_SNAP_SCHEMA,
+            .transformWithStateInPandas(TopK(), _topk_snap_schema(key_col),
                                         "Update", "None"))
 
 
@@ -334,16 +341,26 @@ def run_running_topk(spark: SparkSession, src_path: str, sink_table: str,
     from .write import (run_stream_to_completion, shuffle_partitions,
                         stream_from_files)
 
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(
+        provider_conf,
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider")
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        provider_conf,
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider")
-    with shuffle_partitions(spark, state_partitions):
-        sdf = stream_from_files(spark, src_path, max_files_per_trigger=1)
-        out = running_topk_state(sdf)
-        q = (out.writeStream.format("memory").queryName(sink_table)
-             .outputMode("update").trigger(availableNow=True).start())
-        run_stream_to_completion(q, timeout_sec)
+    try:
+        with shuffle_partitions(spark, state_partitions):
+            sdf = stream_from_files(spark, src_path, max_files_per_trigger=1)
+            out = running_topk_state(sdf)
+            q = (out.writeStream.format("memory").queryName(sink_table)
+                 .outputMode("update").trigger(availableNow=True).start())
+            run_stream_to_completion(q, timeout_sec)
+    finally:
+        # a session-wide provider flip would break later queries whose
+        # checkpoints expect the default provider
+        spark.conf.set(provider_conf, prev_provider)
     snaps = spark.table(sink_table)
     return (snaps.groupBy("user_id")
             .agg(F.max(F.struct("v1", "e1", "v2", "e2", "v3", "e3"))
@@ -355,9 +372,14 @@ def run_running_topk(spark: SparkSession, src_path: str, sink_table: str,
 STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType()),
                              T.StructField("total", T.DoubleType())])
 
-STATS_SCHEMA = T.StructType([T.StructField("user_id", T.LongType()),
-                             T.StructField("n_events", T.LongType()),
-                             T.StructField("total_value", T.DoubleType())])
+def _stats_schema(key_col: str = "user_id") -> T.StructType:
+    return T.StructType([T.StructField(key_col, T.LongType()),
+                         T.StructField("n_events", T.LongType()),
+                         T.StructField("total_value", T.DoubleType())])
+
+
+# back-compat constant for the default key
+STATS_SCHEMA = _stats_schema()
 
 
 def stateful_user_stats(sdf: DataFrame, key_col: str = "user_id",
@@ -371,7 +393,6 @@ def stateful_user_stats(sdf: DataFrame, key_col: str = "user_id",
     driver oracle checks this operator end-to-end through real
     micro-batch boundaries.
     """
-    import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def update(key: tuple, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
@@ -380,11 +401,12 @@ def stateful_user_stats(sdf: DataFrame, key_col: str = "user_id",
             n += len(pdf)
             total += float(pdf[value_col].sum())
         state.update((n, total))
-        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [n],
                             "total_value": [round(total, 2)]})
 
     return (sdf.groupBy(key_col)
-            .applyInPandasWithState(update, STATS_SCHEMA, STATE_SCHEMA,
+            .applyInPandasWithState(update, _stats_schema(key_col),
+                                    STATE_SCHEMA,
                                     "update", GroupStateTimeout.NoTimeout))
 
 

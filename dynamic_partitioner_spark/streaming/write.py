@@ -120,9 +120,18 @@ def run_streaming_upsert(spark: SparkSession, src_path: str, dest_path: str,
 
 def run_stream_to_completion(query: StreamingQuery,
                              timeout_sec: int = 300) -> None:
-    """Block until an availableNow stream drains (driver/test helper)."""
-    query.awaitTermination(timeout_sec)
+    """Block until an availableNow stream drains (driver/test helper).
+
+    A timeout is an ERROR, not a silent partial result: the callers all
+    promise drained-equals-batch, and a half-drained memory sink would
+    return quietly wrong aggregates."""
+    finished = query.awaitTermination(timeout_sec)
     if query.isActive:
         query.stop()
     if query.exception() is not None:
         raise query.exception()  # surface executor-side failures
+    if not finished:
+        raise TimeoutError(
+            f"stream did not drain within {timeout_sec}s — the sink "
+            "holds a PARTIAL result; raise timeout_sec or reduce the "
+            "trigger count")

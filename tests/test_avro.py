@@ -156,3 +156,31 @@ def test_read_partitioned_falls_back_without_jar(spark, tmp_path):
     back = read_partitioned(spark, out, "avro")
     assert {(r.id, r.val, r.k) for r in back.collect()} == \
         {(1, 2.5, "x"), (2, 3.5, "y"), (3, 4.5, "x")}
+
+
+def test_fallback_preserves_nan_and_appends_coexist(spark, tmp_path):
+    """NaN is a legitimate double value: the fallback writes it as NaN
+    (matching spark-avro), not as null; and two separate append jobs
+    land distinct files whose rows coexist."""
+    import math
+
+    from dynamic_partitioner_spark.formats.avro_py import (
+        read_avro_partitioned, write_avro_partitioned)
+    from pyspark.sql import types as T
+
+    out = str(tmp_path / "nanav")
+    df = spark.createDataFrame(
+        [(1, float("nan"), "a"), (2, 2.5, "a"), (3, None, "a")],
+        "id long, val double, k string")
+    write_avro_partitioned(df, ["k"], out)
+    write_avro_partitioned(
+        spark.createDataFrame([(4, 4.5, "a")],
+                              "id long, val double, k string"),
+        ["k"], out)
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("val", T.DoubleType())])
+    back = {r.id: r.val for r in
+            read_avro_partitioned(spark, out, ["k"], schema).collect()}
+    assert len(back) == 4
+    assert math.isnan(back[1])               # NaN survived as NaN
+    assert back[3] is None and back[2] == 2.5 and back[4] == 4.5
