@@ -3418,9 +3418,10 @@ def oracle_sql() -> dict[str, str]:
             WITH b AS (
                 SELECT CASE WHEN l_extendedprice < 0.0 THEN 0
                             WHEN l_extendedprice >= 110000.0 THEN 12
-                            ELSE CAST(floor((CAST(l_extendedprice AS DOUBLE)
-                                             - 0.0) * 11 / 110000.0)
-                                      AS BIGINT) + 1 END AS bucket,
+                            ELSE least(CAST(floor(
+                                (CAST(l_extendedprice AS DOUBLE)
+                                 - 0.0) * 11 / 110000.0)
+                                AS BIGINT) + 1, 11) END AS bucket,
                        l_quantity
                 FROM lineitem)
             SELECT bucket, 0.0 + (bucket - 1) * 10000.0 AS bucket_lo,

@@ -43,9 +43,13 @@ def range_join_binned(left: DataFrame, right: DataFrame, left_point: str,
     # loud guard (same coalesce-over-assert_true trick as
     # densify_time_buckets): one corrupt open-ended interval would
     # otherwise explode into millions of bin rows
+    # both bounds: an INVERTED interval (end < start) would otherwise
+    # slip past the width check and F.sequence would generate a huge
+    # DESCENDING bin list (Spark defaults to step -1 when start > stop)
     span_ok = F.assert_true(
-        ebin - sbin < F.lit(int(max_bins_per_interval)),
-        F.lit(f"interval wider than max_bins_per_interval"
+        (ebin >= sbin)
+        & (ebin - sbin < F.lit(int(max_bins_per_interval))),
+        F.lit(f"interval inverted or wider than max_bins_per_interval"
               f"={max_bins_per_interval} bins"))
     bins = F.sequence(F.coalesce(span_ok.cast("long"), sbin), ebin)
     r = right.select("*", F.explode(bins).alias("_bin"))
@@ -60,6 +64,8 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     min/max (stringified for a uniform schema) per column — one pass
     over the data (a single aggregate computes every column's stats;
     the distincts expand internally but still one scan)."""
+    if not cols:
+        raise ValueError("profile_columns needs at least one column")
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs += [
@@ -96,6 +102,8 @@ def funnel(df: DataFrame, user_col: str, ts_col: str, type_col: str,
     3-5 steps), each pass a hash-agg on user_id, re-using the same
     partitioning.  Deterministic, SQL-expressible (oracle twin).
     """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
     ev = df.select(F.col(user_col).alias("u"), F.col(ts_col).alias("t"),
                    F.col(type_col).alias("k"))
     reached = None  # per-user first time the previous step completed
@@ -230,7 +238,10 @@ def cdc_latest(changes: DataFrame, key_cols: list[str], seq_col: str,
                .drop("_rn"))
     if keep_deletes:
         return winners
-    return winners.where(F.col(op_col) != delete_op).drop(op_col)
+    # null-safe: a winning change with NULL op is an upsert, not a
+    # silent delete (three-valued != would drop the key entirely)
+    return (winners.where(~F.col(op_col).eqNullSafe(delete_op))
+            .drop(op_col))
 
 
 def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
@@ -259,10 +270,11 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
     j = o.join(n, key_cols, "full_outer")
     in_old = F.col("_o_present").isNotNull()
     in_new = F.col("_n_present").isNotNull()
-    same = None
+    # empty compare_cols is a legitimate key-presence-only diff
+    # (added/removed, never changed) — not a crash
+    same = F.lit(True)
     for c in compare_cols:
-        eq = F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
-        same = eq if same is None else (same & eq)
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
     change = (F.when(~in_old, F.lit("added"))
               .when(~in_new, F.lit("removed"))
               .when(~same, F.lit("changed")))
@@ -324,9 +336,12 @@ def histogram_fixed(df: DataFrame, value_col: str, lo: float, hi: float,
     v = F.col(value_col).cast("double")
     raw = F.floor((v - F.lit(float(lo))) * n_bins
                   / F.lit(float(hi) - float(lo))) + 1
+    # least(): float rounding can push (v-lo)*n/(hi-lo) for v just
+    # below hi up to exactly n_bins — clamp so an in-range value never
+    # lands in the overflow bucket
     bucket = (F.when(v < lo, F.lit(0))
               .when(v >= hi, F.lit(n_bins + 1))
-              .otherwise(raw)).alias("bucket")
+              .otherwise(F.least(raw, F.lit(n_bins)))).alias("bucket")
     width = (float(hi) - float(lo)) / n_bins
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     if agg_col is not None:
@@ -428,8 +443,6 @@ def scd2_build(changes: DataFrame, key_cols: list[str], seq_col: str,
     columns are pure codegen.  The sequence must be unique per key —
     same contract as ``cdc_latest``.
     """
-    from pyspark.sql import Window
-
     w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col))
     nxt = F.lead(seq_col).over(w)
     return changes.select(

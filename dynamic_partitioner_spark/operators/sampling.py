@@ -41,8 +41,12 @@ def hash_unit(key: Column, salt: str = "") -> Column:
 def hash_unit_sql(key: str, salt: str = "") -> str:
     """DuckDB twin of :func:`hash_unit` — identical 60-bit value and
     identical int64→double rounding, so comparisons agree exactly."""
-    return (f"(CAST(concat('0x', substr(md5(concat('{salt}', "
-            f"CAST({key} AS VARCHAR))), 1, 15)) AS BIGINT) "
+    # || not concat(): DuckDB concat() IGNORES null arguments while
+    # Spark's concat null-propagates — the || operator propagates, so a
+    # NULL key draws NULL in both engines (and is dropped by every
+    # sampling filter identically)
+    return (f"(CAST('0x' || substr(md5('{salt}' || "
+            f"CAST({key} AS VARCHAR)), 1, 15) AS BIGINT) "
             f"/ 1152921504606846976.0)")
 
 
@@ -73,16 +77,16 @@ def split_assign(df: DataFrame, key_col: str,
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"split weights must sum to 1, got {total}")
     u = hash_unit(F.col(key_col), salt)
-    expr: Column | None = None
+    # NULL keys draw NULL and get split NULL — explicitly unassigned,
+    # never silently folded into the last-named split (which would
+    # contaminate e.g. "test" with every null-id row)
+    expr: Column = F.when(u.isNull(), F.lit(None).cast("string"))
     acc = 0.0
     names = list(weights)
     for name in names[:-1]:
         acc += weights[name]
-        expr = (F.when(u < acc, F.lit(name)) if expr is None
-                else expr.when(u < acc, F.lit(name)))
-    last = F.lit(names[-1])
-    return df.withColumn("split", last if expr is None
-                         else expr.otherwise(last))
+        expr = expr.when(u < acc, F.lit(name))
+    return df.withColumn("split", expr.otherwise(F.lit(names[-1])))
 
 
 def split_assign_sql(key: str, weights: dict[str, float] | None = None,
@@ -90,7 +94,7 @@ def split_assign_sql(key: str, weights: dict[str, float] | None = None,
     """DuckDB CASE twin of :func:`split_assign`'s ``split`` column."""
     weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
     u = hash_unit_sql(key, salt)
-    parts = []
+    parts = [f"WHEN ({u}) IS NULL THEN NULL"]
     acc = 0.0
     names = list(weights)
     for name in names[:-1]:
@@ -247,7 +251,11 @@ def temperature_mixture(df: DataFrame, source_col: str, key_col: str,
     S = sum(w.values())
     rate: Column | None = None
     for s, n in counts.items():
-        r = min(1.0, (total_rows * w[s]) / (S * n))
+        # float() each operand FIRST: Python's int/int is the
+        # correctly-rounded true ratio, which can differ in the last
+        # ulp from the SQL twin's double/double once a product passes
+        # 2^53 — double-ize both sides identically
+        r = min(1.0, float(total_rows * w[s]) / float(S * n))
         rate = (F.when(F.col(source_col) == s, F.lit(r)) if rate is None
                 else rate.when(F.col(source_col) == s, F.lit(r)))
     return df.where(hash_unit(F.col(key_col), salt)
@@ -286,7 +294,11 @@ def topk_hash_sample(df: DataFrame, key_col: str, k: int,
     row engine-dependent)."""
     if k <= 0:
         raise ValueError("k must be positive")
-    return (df.withColumn("_u", hash_unit(F.col(key_col), salt))
+    # NULL keys draw NULL, and Spark's ASC sort is NULLS FIRST — left
+    # unfiltered they would preferentially (and nondeterministically)
+    # fill the sample
+    return (df.where(F.col(key_col).isNotNull())
+            .withColumn("_u", hash_unit(F.col(key_col), salt))
             .orderBy("_u")
             .limit(k)
             .drop("_u"))
@@ -306,13 +318,16 @@ def epoch_shuffle(df: DataFrame, key_col: str, n_shards: int = 8,
     file-layout export at 100 TB skip the rank column and
     ``repartitionByRange(u).sortWithinPartitions(u)`` through the
     partitioned sink instead — same ordering contract, no global sort.
+
+    ``key_col`` is the permutation identity and must be UNIQUE per row
+    (duplicate keys share a draw, making their relative order
+    arbitrary); NULL keys are excluded (they would draw a NULL shard).
     """
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
-    from pyspark.sql import Window
-
     u = hash_unit(F.col(key_col), f"epoch{epoch}")
-    out = df.withColumn("_u", u).withColumn(
+    out = df.where(F.col(key_col).isNotNull()) \
+        .withColumn("_u", u).withColumn(
         "shard", F.floor(F.col("_u") * n_shards).cast("long"))
     w = Window.partitionBy("shard").orderBy("_u", key_col)
     return (out.withColumn("pos", F.row_number().over(w).cast("long"))

@@ -457,3 +457,36 @@ def test_salted_join_auto_no_hot_keys_degenerates(spark):
     right = left.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
     out = salted_join_auto(left, right, "k", "row_id", hot_factor=50.0)
     assert out.count() == 100                    # uniform → all cold path
+
+
+def test_range_join_rejects_inverted_interval(spark):
+    import pytest
+
+    from dynamic_partitioner_spark.operators.relational import (
+        range_join_binned)
+
+    left = spark.createDataFrame([(5,)], "p long")
+    bad = spark.createDataFrame([(10_000_000, 0)], "ws long, we long")
+    with pytest.raises(Exception, match="inverted|max_bins"):
+        range_join_binned(left, bad, "p", "ws", "we", 1000).collect()
+
+
+def test_snapshot_diff_key_presence_only(spark):
+    from dynamic_partitioner_spark.operators.relational import (
+        snapshot_diff)
+
+    old = spark.createDataFrame([(1,), (2,)], "k long")
+    new = spark.createDataFrame([(2,), (3,)], "k long")
+    got = {r.k: r.change for r in
+           snapshot_diff(old, new, ["k"], []).collect()}
+    assert got == {1: "removed", 3: "added"}
+
+
+def test_cdc_latest_null_op_winner_is_upsert(spark):
+    from dynamic_partitioner_spark.operators.relational import cdc_latest
+
+    ch = spark.createDataFrame(
+        [(1, 1, "D", "x"), (1, 2, None, "y"), (2, 1, "D", "z")],
+        "k long, seq long, op string, v string")
+    got = {r.k: r.v for r in cdc_latest(ch, ["k"], "seq").collect()}
+    assert got == {1: "y"}                # NULL-op winner kept as upsert

@@ -243,3 +243,44 @@ def test_epoch_shuffle_balanced_deterministic_and_epoch_varies(spark):
     e2 = {(r.c_custkey, r.shard, r.pos) for r in
           epoch_shuffle(cust, "c_custkey", n_shards=8, epoch=2).collect()}
     assert e2 != again                           # epochs permute anew
+
+
+def test_null_keys_are_handled_consistently(spark):
+    """NULL keys: dropped from hash samples / top-k / epoch shuffle,
+    split NULL (never the last-named split) in split_assign — and the
+    DuckDB draw twin null-propagates like Spark's (|| vs concat)."""
+    import duckdb
+
+    from dynamic_partitioner_spark.operators.sampling import (
+        epoch_shuffle, hash_sample, hash_unit_sql, split_assign,
+        topk_hash_sample)
+
+    df = spark.createDataFrame(
+        [(None,)] * 30 + [(i,) for i in range(20)], "k long")
+    assert all(r.k is not None for r in
+               hash_sample(df, "k", 0.9).collect())
+    top = topk_hash_sample(df, "k", 10).collect()
+    assert len(top) == 10 and all(r.k is not None for r in top)
+    sp = {r.k: r.split for r in split_assign(df, "k").collect()}
+    assert sp[None] is None                       # unassigned, loudly
+    assert all(v is not None for k, v in sp.items() if k is not None)
+    sh = epoch_shuffle(df, "k", n_shards=4).collect()
+    assert len(sh) == 20 and all(r.shard is not None for r in sh)
+    # twin parity: NULL key draws NULL in DuckDB too
+    assert duckdb.sql(
+        f"SELECT {hash_unit_sql('NULL')}").fetchone()[0] is None
+
+
+def test_split_assign_sql_twin_nulls(spark):
+    import duckdb
+
+    from dynamic_partitioner_spark.operators.sampling import (
+        split_assign_sql)
+
+    sql = split_assign_sql("k")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(None,), (1,), (2,)])
+    rows = con.sql(f"SELECT k, {sql} AS s FROM t").fetchall()
+    got = {k: s for k, s in rows}
+    assert got[None] is None and got[1] is not None
