@@ -27,14 +27,13 @@ TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
 
 
 def token_count(c: Column) -> Column:
-    """Whitespace token count."""
-    t = F.trim(c)
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
-        F.size(F.split(t, "[ \\t\\n\\r]+"))).alias("token_count")
+    """Whitespace token count — counted as NON-whitespace runs, so
+    leading/trailing tabs/newlines (which ``trim`` does not strip)
+    cannot create phantom empty tokens ('a\\n' is 1 token, not 2)."""
+    return F.regexp_count(c, F.lit("[^ \\t\\n\\r]+")).alias("token_count")
 
 
-TOKEN_COUNT_SQL = ("CASE WHEN length(trim({c})) = 0 THEN 0 "
-                   "ELSE len(string_split_regex(trim({c}), '[ \\t\\n\\r]+')) END")
+TOKEN_COUNT_SQL = "len(regexp_extract_all({c}, '[^ \\t\\n\\r]+'))"
 
 
 def bpe_token_count(c: Column) -> Column:
@@ -51,7 +50,7 @@ BPE_TOKEN_COUNT_SQL = (
 _PUNCT_RE = "[^A-Za-z0-9 \\t\\n\\r]"
 #: tiny stopword list for the quality heuristic (shared with lang-id)
 _STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
-_STOP_RE = "(^| )(" + "|".join(_STOPWORDS) + ")( |$)"
+_STOP_RE = " (" + "|".join(_STOPWORDS) + ") "
 
 
 def punct_ratio(c: Column) -> Column:
@@ -63,13 +62,27 @@ PUNCT_RATIO_SQL = ("CAST(len(regexp_extract_all({c}, '[^A-Za-z0-9 \\t\\n\\r]'))"
                    " AS DOUBLE) / greatest(length({c}), 1)")
 
 
+def _spaced(c: Column) -> Column:
+    # doubled separators + padding: every token gets its OWN leading
+    # and trailing space, so non-overlapping ' word ' matches count
+    # adjacent marker words correctly ('the a of' = 3, not 2 — the
+    # (^| )w( |$) form consumed the separator the next word needed)
+    return F.concat(F.lit(" "),
+                    F.regexp_replace(F.lower(c), "[ \\t\\n\\r]+", "  "),
+                    F.lit(" "))
+
+
+def _spaced_sql(c: str) -> str:
+    return (f"' ' || regexp_replace(lower({c}), "
+            f"'[ \t\n\r]+', '  ', 'g') || ' '")
+
+
 def stopword_count(c: Column) -> Column:
-    # non-overlapping matches of bracketed stopwords; identical regex in
-    # the SQL twin — both engines count non-overlapping occurrences.
-    return F.regexp_count(F.lower(c), F.lit(_STOP_RE))
+    return F.regexp_count(_spaced(c), F.lit(_STOP_RE))
 
 
-STOPWORD_COUNT_SQL = ("len(regexp_extract_all(lower({c}), '" + _STOP_RE + "'))")
+STOPWORD_COUNT_SQL = ("len(regexp_extract_all(" + _spaced_sql("{c}")
+                      + ", '" + _STOP_RE + "'))")
 
 
 def quality_score(c: Column) -> Column:
@@ -84,15 +97,19 @@ def quality_score(c: Column) -> Column:
                         F.greatest(ntok, F.lit(1.0)), F.lit(1.0))
     punct_term = F.lit(1.0) - F.least(punct_ratio(c) * 4, F.lit(1.0))
     raw = 0.4 * length_term + 0.3 * stop_term + 0.3 * punct_term
-    return F.floor(raw * 10000 + F.lit(0.5)) / 10000
+    # NULL text → NULL score (least() SKIPS null args, so the terms
+    # silently became their 1.0 caps and a NULL doc scored 0.7)
+    return F.when(c.isNull(), F.lit(None).cast("double")).otherwise(
+        F.floor(raw * 10000 + F.lit(0.5)) / 10000)
 
 
 QUALITY_SCORE_SQL = (
+    "CASE WHEN {c} IS NULL THEN NULL ELSE "
     "floor((0.4 * least(CAST(" + TOKEN_COUNT_SQL + " AS DOUBLE) / 64.0, 1.0) "
     "+ 0.3 * least(CAST(" + STOPWORD_COUNT_SQL + " AS DOUBLE) * 4 "
     "/ greatest(CAST(" + TOKEN_COUNT_SQL + " AS DOUBLE), 1.0), 1.0) "
     "+ 0.3 * (1.0 - least((" + PUNCT_RATIO_SQL + ") * 4, 1.0))) * 10000 + 0.5) "
-    "/ 10000")
+    "/ 10000 END")
 
 
 # ------------------------------------------------- C4/Gopher-style signals
@@ -103,13 +120,13 @@ QUALITY_SCORE_SQL = (
 # backreferences — DuckDB's regex engine lacks them), so every signal
 # has an exact SQL twin.
 
-_NONSPACE = "[ \\t\\n\\r]+"
+_WS_RUN = "[ \\t\\n\\r]+"
 
 
 def mean_word_length(c: Column) -> Column:
     """Average characters per whitespace token (Gopher gates docs with
     mean word length outside [3, 10])."""
-    nonspace = F.length(F.regexp_replace(c, _NONSPACE, ""))
+    nonspace = F.length(F.regexp_replace(c, _WS_RUN, ""))
     return (nonspace.cast("double")
             / F.greatest(token_count(c), F.lit(1)).cast("double"))
 
@@ -152,7 +169,7 @@ def word_repetition_ratio(c: Column) -> Column:
     """Fraction of tokens that repeat an earlier token (1 − distinct/
     total) — the cheap duplicate-content signal (Gopher's repeated-
     n-gram family, at n=1)."""
-    toks = F.split(F.trim(F.lower(c)), _NONSPACE)
+    toks = F.split(F.trim(F.lower(c)), _WS_RUN)
     return (F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double")
             / F.greatest(F.size(toks), F.lit(1)))
 
@@ -176,8 +193,8 @@ _CJK_RE = "[\\x{4e00}-\\x{9fff}]"
 
 
 def _marker_count(c: Column, lang: str) -> Column:
-    pat = "(^| )(" + "|".join(_LANG_MARKERS[lang]) + ")( |$)"
-    return F.regexp_count(F.lower(c), F.lit(pat))
+    pat = " (" + "|".join(_LANG_MARKERS[lang]) + ") "
+    return F.regexp_count(_spaced(c), F.lit(pat))
 
 
 def lang_id(c: Column) -> Column:
@@ -186,7 +203,10 @@ def lang_id(c: Column) -> Column:
     when nothing matches."""
     en, de = _marker_count(c, "en"), _marker_count(c, "de")
     es, fr = _marker_count(c, "es"), _marker_count(c, "fr")
-    return (F.when(F.regexp_count(c, F.lit(_CJK_RE)) > 0, F.lit("zh"))
+    # NULL text → NULL lang (every WHEN is three-valued-unknown for
+    # NULL counts, which used to fall through to the 'fr' ELSE)
+    return (F.when(c.isNull(), F.lit(None).cast("string"))
+            .when(F.regexp_count(c, F.lit(_CJK_RE)) > 0, F.lit("zh"))
             .when((en + de + es + fr) == 0, F.lit("und"))
             .when((en >= de) & (en >= es) & (en >= fr), F.lit("en"))
             .when((de >= es) & (de >= fr), F.lit("de"))
@@ -195,14 +215,15 @@ def lang_id(c: Column) -> Column:
 
 
 def _marker_count_sql(c: str, lang: str) -> str:
-    pat = "(^| )(" + "|".join(_LANG_MARKERS[lang]) + ")( |$)"
-    return f"len(regexp_extract_all(lower({c}), '{pat}'))"
+    pat = " (" + "|".join(_LANG_MARKERS[lang]) + ") "
+    return f"len(regexp_extract_all({_spaced_sql(c)}, '{pat}'))"
 
 
 def lang_id_sql(c: str) -> str:
     en, de = _marker_count_sql(c, "en"), _marker_count_sql(c, "de")
     es, fr = _marker_count_sql(c, "es"), _marker_count_sql(c, "fr")
-    return (f"CASE WHEN len(regexp_extract_all({c}, '{_CJK_RE}')) > 0 THEN 'zh' "
+    return (f"CASE WHEN {c} IS NULL THEN NULL "
+            f"WHEN len(regexp_extract_all({c}, '{_CJK_RE}')) > 0 THEN 'zh' "
             f"WHEN ({en} + {de} + {es} + {fr}) = 0 THEN 'und' "
             f"WHEN {en} >= {de} AND {en} >= {es} AND {en} >= {fr} THEN 'en' "
             f"WHEN {de} >= {es} AND {de} >= {fr} THEN 'de' "
@@ -216,7 +237,7 @@ def lang_id_sql(c: str) -> str:
 # dedup).  RE2-safe patterns only, so each has an exact DuckDB twin.
 
 _CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
-_URL_RE = "https?://[^ \\t\\n\\r]+"
+_URL_RE = "(?i)https?://[^ \\t\\n\\r]+"
 _EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
 
@@ -237,7 +258,7 @@ def url_count(c: Column) -> Column:
     return F.regexp_count(c, F.lit(_URL_RE))
 
 
-URL_COUNT_SQL = "len(regexp_extract_all({c}, 'https?://[^ \\t\\n\\r]+'))"
+URL_COUNT_SQL = "len(regexp_extract_all({c}, '(?i)https?://[^ \\t\\n\\r]+'))"
 
 
 def email_count(c: Column) -> Column:
@@ -257,7 +278,7 @@ def redact(c: Column) -> Column:
 
 
 REDACT_SQL = (
-    "regexp_replace(regexp_replace({c}, 'https?://[^ \\t\\n\\r]+', "
+    "regexp_replace(regexp_replace({c}, '(?i)https?://[^ \\t\\n\\r]+', "
     "'<URL>', 'g'), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', "
     "'<EMAIL>', 'g')")
 
@@ -327,7 +348,10 @@ def simhash_batched(c: Column) -> Column:
                 # document folds to 0 (every CASE falls to its ELSE 0)
                 out.append(0)
                 continue
-            toks = ws.split(text.strip().lower())
+            # strip(' ') not strip(): Spark/DuckDB trim() remove only
+            # 0x20 spaces, so a trailing \n must keep producing the
+            # same phantom empty token here as in the spec/oracle forms
+            toks = ws.split(text.lower().strip(" "))
             raw = b"".join(hashlib.md5(t.encode("utf-8")).digest()
                            for t in toks)
             digs = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 16)
@@ -395,7 +419,9 @@ def canonicalize_url(c: Column) -> Column:
 def _canon_url_sql(c: str) -> str:
     """DuckDB twin of :func:`canonicalize_url` (same patterns, same
     order; RE2 replacement syntax)."""
-    u = (f"concat(lower(regexp_extract({c}, '^((?i)https?://[^/?#]*)', 1)), "
+    # || not concat(): DuckDB concat() ignores NULL args (NULL url
+    # would canonicalize to ''), the || operator propagates like Spark
+    u = (f"(lower(regexp_extract({c}, '^((?i)https?://[^/?#]*)', 1)) || "
          f"regexp_replace({c}, '^(?i)https?://[^/?#]*', ''))")
     u = f"regexp_replace({u}, '^(http://[^/?#:]*):80([/?#].*)?$', '\\1\\2')"
     u = (f"regexp_replace({u}, "

@@ -65,3 +65,16 @@ def test_unterminated_macro_raises():
 
 def test_no_macros_passthrough():
     assert substitute("plain string") == "plain string"
+
+
+def test_double_backslash_escapes_the_backslash_not_the_macro():
+    """Reference parity (MacroParser.java:98,162-181): escaped tokens
+    have an ODD number of preceding backslashes, so a doubly-escaped
+    backslash leaves the macro LIVE; the final pass halves every
+    backslash run (replaceEscapedSyntax)."""
+    from dynamic_partitioner_spark.functions.macros import substitute
+
+    assert substitute(r"dir\\${name}", {"name": "x"}) == "dir\\x"
+    assert substitute(r"dir\\\${name}", {"name": "x"}) == "dir\\${name}"
+    assert substitute(r"a\b", {}) == "ab"          # run-halving unescape
+    assert substitute(r"a\\b", {}) == "a\\b"

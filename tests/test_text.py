@@ -224,3 +224,30 @@ def test_canonicalize_url_second_question_mark_parity(spark):
     duck = [duckdb.sql("SELECT " + _canon_url_sql(f"'{u}'")).fetchone()[0]
             for u in urls]
     assert got == duck == ["http://h/p?x?y", "http://h/p?a=1&b"]
+
+
+def test_simhash_batched_trailing_newline_parity(spark):
+    """trim() strips only 0x20 spaces — a trailing newline must produce
+    the same phantom-empty-token signature in the batched form as in
+    the Column/oracle forms (review finding: str.strip() diverged)."""
+    df = spark.createDataFrame(
+        [("hello\n",), ("\tlead",), ("mid dle\r",), ("ok",)], "t string")
+    both = df.select(TX.simhash(F.col("t")).alias("a"),
+                     TX.simhash_batched(F.col("t")).alias("b"))
+    assert both.where(F.col("a") != F.col("b")).count() == 0
+
+
+def test_text_null_and_whitespace_edges(spark):
+    """NULL text: NULL lang and NULL quality (never 'fr'/0.7); token
+    counts ignore phantom empty tokens; adjacent stopwords all count;
+    uppercase URL schemes are detected and redacted."""
+    row = spark.createDataFrame([(None,)], "t string").select(
+        TX.lang_id(F.col("t")).alias("lang"),
+        TX.quality_score(F.col("t")).alias("q")).collect()[0]
+    assert row.lang is None and row.q is None
+    assert _one(spark, TX.token_count(F.lit("a\n"))) == 1
+    assert _one(spark, TX.token_count(F.lit("\t"))) == 0
+    assert _one(spark, TX.stopword_count(F.lit("the a of"))) == 3
+    assert _one(spark, TX.url_count(F.lit("see HTTP://Ex.com/x now"))) == 1
+    assert _one(spark, TX.redact(
+        F.lit("see HTTP://Ex.com/x now"))) == "see <URL> now"
