@@ -3225,18 +3225,19 @@ def oracle_sql() -> dict[str, str]:
         "text_chunk": """
             WITH t AS (
                 SELECT doc_id,
-                       string_split_regex(trim(lower(text)), '[ \t\n\r]+')
-                           AS toks
+                       list_filter(string_split_regex(
+                           trim(lower(coalesce(text, ''))), '[ \t\n\r]+'),
+                           x -> length(x) > 0) AS toks
                 FROM documents),
             s AS (SELECT doc_id, toks,
-                         unnest(range(0, greatest(len(toks), 1), 24))
+                         unnest(range(0, greatest(len(toks) - 8, 1), 24))
                              AS start
                   FROM t)
             SELECT doc_id, CAST(start / 24 AS BIGINT) AS chunk_idx,
                    array_to_string(list_slice(toks, start + 1, start + 32),
                                    ' ') AS chunk_text,
                    least(32, len(toks) - start) AS n_tokens
-            FROM s
+            FROM s WHERE least(32, len(toks) - start) > 0
         """,
         "streaming_join": f"""
             SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
@@ -3334,8 +3335,9 @@ def oracle_sql() -> dict[str, str]:
         "text_chunk_dedup": """
             WITH t AS (
                 SELECT doc_id,
-                       string_split_regex(trim(lower(text)), '[ \t\n\r]+')
-                           AS toks
+                       list_filter(string_split_regex(
+                           trim(lower(coalesce(text, ''))), '[ \t\n\r]+'),
+                           x -> length(x) > 0) AS toks
                 FROM documents),
             s AS (SELECT doc_id, toks,
                          unnest(range(0, greatest(len(toks), 1), 32))
@@ -3345,7 +3347,7 @@ def oracle_sql() -> dict[str, str]:
                           array_to_string(
                               list_slice(toks, start + 1, start + 32),
                               ' ') AS chunk_text
-                   FROM s)
+                   FROM s WHERE least(32, len(toks) - start) > 0)
             SELECT doc_id, chunk_idx, chunk_text FROM ch
             QUALIFY row_number() OVER (PARTITION BY chunk_text
                                        ORDER BY doc_id, chunk_idx) = 1
@@ -3530,8 +3532,9 @@ def oracle_sql() -> dict[str, str]:
         "text_scrub_chunks": f"""
             WITH corpus AS ({_AUG_SQL}),
             t AS (SELECT doc_id,
-                         string_split_regex(trim(lower(text)), '[ \t\n\r]+')
-                             AS toks
+                         list_filter(string_split_regex(
+                             trim(lower(coalesce(text, ''))), '[ \t\n\r]+'),
+                             x -> length(x) > 0) AS toks
                   FROM corpus),
             s AS (SELECT doc_id, toks,
                          unnest(range(0, greatest(len(toks), 1), 32))
@@ -3541,7 +3544,7 @@ def oracle_sql() -> dict[str, str]:
                           array_to_string(
                               list_slice(toks, start + 1, start + 32),
                               ' ') AS chunk_text
-                   FROM s),
+                   FROM s WHERE least(32, len(toks) - start) > 0),
             kept AS (
                 SELECT doc_id, chunk_idx, chunk_text FROM ch
                 QUALIFY row_number() OVER (PARTITION BY chunk_text

@@ -68,6 +68,16 @@ def cosine_batched(a: Column, b: Column) -> Column:
     return F.when(F.isnan(raw), F.lit(None)).otherwise(raw)
 
 
-L2_NORM_SQL = "sqrt(list_sum(list_transform({a}::DOUBLE[], x -> x * x)))"
-#: DuckDB twin; cast to DOUBLE[] so accumulation precision matches Spark.
-COSINE_SQL = "list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[])"
+#: DuckDB twin; coalesce matters — list_sum([]) is NULL in DuckDB while
+#: Spark's aggregate over an empty array returns the 0.0 seed.
+L2_NORM_SQL = ("sqrt(coalesce(list_sum(list_transform({a}::DOUBLE[], "
+               "x -> x * x)), 0.0))")
+#: DuckDB twin of :func:`cosine`; the CASE matters — DuckDB's
+#: list_cosine_similarity returns -1.0 for a zero-norm vector where the
+#: Spark form's try_divide yields NULL.
+COSINE_SQL = ("(CASE WHEN coalesce(list_sum(list_transform({a}::DOUBLE[], "
+              "x -> x * x)), 0.0) = 0.0 OR "
+              "coalesce(list_sum(list_transform({b}::DOUBLE[], "
+              "x -> x * x)), 0.0) = 0.0 THEN NULL "
+              "ELSE list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[]) "
+              "END)")

@@ -33,8 +33,12 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
     and for RAG indexing.
 
     Each doc yields chunks starting at token offsets 0, stride, 2·stride
-    … (< n_tokens) where ``stride = chunk_tokens - overlap``; the last
-    chunk may be short.  Returns
+    … (``< n_tokens − overlap``, so a final start whose tokens are all
+    inside the previous chunk's overlap zone is never emitted — a
+    50-token doc at the 64/16 defaults is ONE chunk, not a full chunk
+    plus a contained 2-token echo) where ``stride = chunk_tokens −
+    overlap``; the last chunk may be short.  Empty tokens are filtered
+    (NULL/empty/whitespace-only documents yield no chunks).  Returns
     ``(id_col, chunk_idx, chunk_text, n_tokens)``.
 
     Pure Column plan: one ``split`` + ``sequence``/``posexplode`` —
@@ -47,10 +51,14 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("overlap must be in [0, chunk_tokens)")
     stride = chunk_tokens - overlap
-    toks = F.split(F.trim(F.lower(F.col(text_col))), "[ \\t\\n\\r]+")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+                "[ \\t\\n\\r]+"),
+        lambda x: F.length(x) > 0)
     base = df.select(F.col(id_col), toks.alias("_toks"))
     starts = F.sequence(
-        F.lit(0), F.greatest(F.size("_toks") - 1, F.lit(0)), F.lit(stride))
+        F.lit(0), F.greatest(F.size("_toks") - (overlap + 1), F.lit(0)),
+        F.lit(stride))
     return (base
             .select(id_col, "_toks",
                     F.posexplode(starts).alias("chunk_idx", "_start"))
@@ -60,7 +68,8 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
                         " ").alias("chunk_text"),
                     F.least(F.lit(chunk_tokens),
                             F.size("_toks") - F.col("_start"))
-                    .cast("long").alias("n_tokens")))
+                    .cast("long").alias("n_tokens"))
+            .where(F.col("n_tokens") > 0))
 
 
 def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
@@ -79,6 +88,13 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
         seqs = []
         seq, acc = 0, 0
         for tok in pdf["_tok"]:
+            # NULL token counts arrive as NaN (long-with-nulls →
+            # float64); both NaN and negatives would silently break the
+            # ≤ budget invariant — fail loudly at the boundary
+            if tok != tok or tok < 0:
+                raise ValueError(
+                    f"invalid token count {tok!r}: n_tokens must be a "
+                    "non-negative integer")
             tok = int(tok)
             if acc > 0 and acc + tok > budget:
                 seq += 1

@@ -53,7 +53,9 @@ def quantize_embeddings(df: DataFrame, id_col: str,
 
     ``scale``/``max_abs_err`` are rounded to 8 decimals with the
     cross-engine floor trick; ``qsum``/``qnorm2`` are exact BIGINTs.
-    A zero vector quantizes to all-zero with ``scale = 0``.
+    A zero vector quantizes to all-zero with ``scale = 0``.  A NULL or
+    EMPTY vector produces no output row (posexplode yields no element
+    rows) — repair upstream if every id must survive.
 
     One posexplode + one hash-aggregate back to vector grain — the
     element work is a handful of codegen'd arithmetic ops; at scale
@@ -220,6 +222,11 @@ def train_pq_codebooks(emb: DataFrame, vec_col: str = "embedding",
             f"{0 if sample.ndim != 2 else sample.shape[0]} usable rows "
             f"(corpus smaller than ksub, or ragged/empty {vec_col!r}) — "
             f"lower ksub or raise sample_size")
+    if sample.shape[1] != dim:
+        raise ValueError(
+            f"vectors are {sample.shape[1]}-dim but dim={dim} — training "
+            "on a prefix/short slice would silently misrank (pass the "
+            "real dimension)")
     books = np.zeros((m, ksub, dsub))
     for j in range(m):
         sub = sample[:, j * dsub:(j + 1) * dsub]
@@ -257,6 +264,10 @@ def pq_encode(emb: DataFrame, books: np.ndarray, id_col: str = "vec_id",
     @F.pandas_udf("array<int>")
     def _enc(v: pd.Series) -> pd.Series:
         X = np.asarray(v.tolist(), dtype=np.float64)
+        if X.ndim != 2 or X.shape[1] != m * dsub:
+            raise ValueError(
+                f"expected {m * dsub}-dim vectors, got shape {X.shape} "
+                "(corrupt input should fail loudly, not encode a prefix)")
         out = np.zeros((len(X), m), dtype=np.int32)
         for j in range(m):
             sub = X[:, j * dsub:(j + 1) * dsub]

@@ -87,7 +87,9 @@ def encode_tokens(df: DataFrame, id_col: str, text_col: str,
                   vocab: DataFrame, unk_id: int = -1) -> DataFrame:
     """Encode each document as its token-id sequence against a fitted
     vocabulary: ``(id, token_ids array<long>, n_tokens, n_oov)``.
-    Out-of-vocabulary tokens map to ``unk_id``.
+    Out-of-vocabulary tokens map to ``unk_id``.  A document with no
+    tokens (empty/whitespace-only/NULL text) produces no output row —
+    left-join against the source ids if every document must survive.
 
     Shape: posexplode (order-preserving) → broadcast join against the
     vocabulary (vocab is small by construction; the corpus side never
@@ -157,7 +159,9 @@ def hashed_vector(df: DataFrame, id_col: str, text_col: str,
     """Dense form: (id, vec array<double> of length ``dim``) — the
     shape the embedding operators (:mod:`..functions.vectors`,
     :mod:`.similarity`, :mod:`.dedup`) consume.  Built from the sparse
-    counts via map lookup over a fixed-length sequence, all JVM-side."""
+    counts via map lookup over a fixed-length sequence, all JVM-side.
+    Token-less documents produce no row (no zero vector) — same
+    survive-by-join caveat as :func:`encode_tokens`."""
     sparse = hashed_counts(df, id_col, text_col, dim)
     as_map = (sparse.groupBy(id_col)
               .agg(F.map_from_entries(

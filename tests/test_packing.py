@@ -64,12 +64,26 @@ def test_chunk_documents_windows_and_overlap(spark):
         chunk_documents(df, "doc_id", "text", chunk_tokens=4,
                         overlap=2).collect(),
         key=lambda r: r.chunk_idx)
-    # stride 2 -> starts 0,2,4,6,8
-    assert [r.chunk_idx for r in rows] == [0, 1, 2, 3, 4]
+    # stride 2 -> starts 0,2,4,6 (a start-8 chunk would be tokens 8-9,
+    # both already inside the start-6 chunk — contained echoes are
+    # never emitted)
+    assert [r.chunk_idx for r in rows] == [0, 1, 2, 3]
     assert rows[0].chunk_text == "w0 w1 w2 w3"
     assert rows[1].chunk_text == "w2 w3 w4 w5"
-    assert rows[-1].chunk_text == "w8 w9"          # short tail chunk
-    assert [r.n_tokens for r in rows] == [4, 4, 4, 4, 2]
+    assert rows[-1].chunk_text == "w6 w7 w8 w9"
+    assert [r.n_tokens for r in rows] == [4, 4, 4, 4]
+
+
+def test_chunk_documents_degenerate_docs(spark):
+    from dynamic_partitioner_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "\tpadded\n")],
+        "doc_id long, text string")
+    rows = chunk_documents(df, "doc_id", "text", chunk_tokens=4,
+                           overlap=2).collect()
+    assert {(r.doc_id, r.chunk_text, r.n_tokens) for r in rows} == {
+        (4, "padded", 1)}                    # empty/NULL docs: no chunks
 
 
 def test_chunk_documents_short_doc_single_chunk(spark):
