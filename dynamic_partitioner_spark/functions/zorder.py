@@ -41,11 +41,18 @@ def _check(cols: list[ColSpec], bits: int) -> None:
 
 def _quantize(col: str, lo: float, hi: float, n: int) -> Column:
     # same floor arithmetic as relational.histogram_fixed — identical
-    # IEEE doubles in any engine, no width_bucket dependency
-    v = F.col(col).cast("double")
+    # IEEE doubles in any engine, no width_bucket dependency.  Clamp in
+    # the DOUBLE domain BEFORE the bigint cast: a far-out-of-range (or
+    # NaN) value would otherwise overflow the cast — an ANSI/DuckDB
+    # exception — instead of clamping to the edge bucket as documented
+    # (DuckDB's least/greatest treat NaN as greatest; Spark's propagate
+    # it into the cast — nanvl routes NaN to +inf so BOTH engines clamp
+    # it to the top bucket).
+    v = F.nanvl(F.col(col).cast("double"), F.lit(float("inf")))
     raw = F.floor((v - F.lit(float(lo))) * n
-                  / F.lit(float(hi) - float(lo))).cast("long")
-    return F.least(F.greatest(raw, F.lit(0)), F.lit(n - 1))
+                  / F.lit(float(hi) - float(lo)))
+    return (F.least(F.greatest(raw, F.lit(0.0)), F.lit(float(n - 1)))
+            .cast("long"))
 
 
 def zorder_value(cols: list[ColSpec], bits: int = 8) -> Column:
@@ -71,8 +78,9 @@ def zorder_sql(cols: list[ColSpec], bits: int = 8) -> str:
     k, n = len(cols), 1 << bits
     terms = []
     for j, (c, lo, hi) in enumerate(cols):
-        q = (f"least(greatest(CAST(floor((CAST({c} AS DOUBLE) - {float(lo)})"
-             f" * {n} / {float(hi) - float(lo)}) AS BIGINT), 0), {n - 1})")
+        q = (f"CAST(least(greatest(floor((CAST({c} AS DOUBLE) - {float(lo)})"
+             f" * {n} / {float(hi) - float(lo)}), 0.0), {float(n - 1)})"
+             f" AS BIGINT)")
         for i in range(bits):
             terms.append(f"((({q} >> {i}) & 1) << {i * k + j})")
     return " + ".join(terms)

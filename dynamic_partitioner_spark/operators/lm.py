@@ -22,7 +22,11 @@ from pyspark.sql import functions as F
 
 
 def _tokens(text_col: str):
-    return F.split(F.trim(F.lower(F.col(text_col))), "[ \\t\\n\\r]+")
+    # the ONE canonical whitespace tokenization (dedup.tokens) — keep a
+    # single definition so a future tokenizer change can't silently
+    # diverge between the LM, dedup, and vectorizer paths
+    from .dedup import tokens
+    return tokens(F.col(text_col))
 
 
 def doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -63,8 +63,10 @@ def _r6(x: float) -> float:
     return math.floor(x * 1000000.0 + 0.5) / 1000000.0
 
 
-def _byte_features(payload: bytes) -> tuple[int, list[float]]:
-    arr = np.frombuffer(payload, dtype=np.uint8)
+def _byte_features(payload: bytes | None) -> tuple[int, list[float]]:
+    # NULL payload folds to the empty-payload feature row instead of
+    # killing the task (np.frombuffer(None) raises)
+    arr = np.frombuffer(payload or b"", dtype=np.uint8)
     n = int(arr.size)
     if n == 0:
         return 0, [0.0] * (N_BINS + 2)
@@ -91,7 +93,9 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
         for pdf in batches:
             feats = [_byte_features(p) for p in pdf["payload"]]
             yield pd.DataFrame({
-                "doc_id": pdf["doc_id"].astype("int64"),
+                # no astype: a NULL id must pass through as null, not
+                # raise IntCastingNaNError in the worker
+                "doc_id": pdf["doc_id"],
                 "n_bytes": [f[0] for f in feats],
                 "features": [f[1] for f in feats],
             })
@@ -150,28 +154,23 @@ def resize_media(binary_df: DataFrame,
 
     Returns ``(doc_id, n_bytes, resized_md5)`` where ``resized_md5``
     is the md5 of the hex-encoded sampled bytes (hex-string form keeps
-    the oracle comparison text-typed).  One explode to (doc, k) grain
-    + one ordered re-assembly aggregate; all JVM expressions.
+    the oracle comparison text-typed).  Entirely ROW-LOCAL: one
+    ``transform`` over a ``sequence`` per payload — no explode, no
+    re-assembly shuffle (the previous explode + collect_list shape
+    paid a corpus shuffle at (doc × target) grain for values every row
+    can compute by itself).  Positions derive from the payload's OWN
+    ``octet_length`` — not from metadata that may disagree with the
+    actual bytes once a real decoder is plugged in.
     """
-    ex = binary_df.select(
-        "doc_id",
-        F.col("meta.orig_bytes").alias("n_bytes"),
-        F.col("payload"),
-        F.explode(F.sequence(F.lit(0), F.lit(target - 1))).alias("k"))
-    pos = (F.lit(1) + F.floor(F.col("k") * F.col("n_bytes")
-                              / F.lit(float(target)))).cast("int")
-    # bind the computed position via a projection so the SQL substring
-    # (whose pos argument must be an expression in scope) can use it
-    sampled = (ex.withColumn("_p", pos)
-               .select("doc_id", "n_bytes", "k",
-                       F.hex(F.expr("substring(payload, _p, 1)"))
-                       .alias("h")))
-    return (sampled.groupBy("doc_id", "n_bytes")
-            .agg(F.md5(F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("k", "h"))),
-                    lambda s: s.getField("h")), ""))
-                .alias("resized_md5")))
+    n_bytes = F.octet_length("payload")
+    samples = F.transform(
+        F.sequence(F.lit(0), F.lit(target - 1)),
+        lambda k: F.hex(F.expr("payload").substr(
+            (F.lit(1) + F.floor(k * n_bytes / F.lit(float(target))))
+            .cast("int"), F.lit(1))))
+    return binary_df.select(
+        "doc_id", n_bytes.cast("long").alias("n_bytes"),
+        F.md5(F.array_join(samples, "")).alias("resized_md5"))
 
 
 #: magic-byte hex prefixes → mime (checked in order; longest first
@@ -243,11 +242,14 @@ def tar_shards(df: DataFrame, id_col: str, payload_col: str,
                              "n_members": [len(pdf)],
                              "tar_bytes": [buf.getvalue()]})
 
-    base = df.select(
+    # NULL ids have no member name (and hash to a NULL shard) — drop
+    # them; NULL payloads become empty members (header-only entries)
+    base = (df.where(F.col(id_col).isNotNull())
+            .select(
         F.col(id_col).alias("_id"),
-        F.col(payload_col).alias("_p"),
+        F.coalesce(F.col(payload_col), F.lit(b"")).alias("_p"),
         F.floor(hash_unit(F.col(id_col)) * n_shards).cast("long")
-        .alias("_shard"))
+        .alias("_shard")))
     return base.groupBy("_shard").applyInPandas(
         pack, "shard long, n_members long, tar_bytes binary")
 

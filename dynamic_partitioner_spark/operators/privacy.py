@@ -30,6 +30,10 @@ def k_anonymize(df: DataFrame, quasi_cols: list[str], k: int,
     if k < 1:
         raise ValueError("k must be >= 1")
     w = Window.partitionBy(*quasi_cols)
+    if "group_size" in df.columns:
+        raise ValueError(
+            "input already has a 'group_size' column — rename it; "
+            "k_anonymize adds its audit column under that name")
     out = df.withColumn("group_size", F.count(F.lit(1)).over(w))
     small = F.col("group_size") < k
     for c in quasi_cols:
@@ -50,12 +54,19 @@ def l_diversify(df: DataFrame, quasi_cols: list[str], sensitive_col: str,
     :func:`k_anonymize`.
 
     Shape: one count-distinct aggregate on the quasi-identifier key,
-    broadcast-joined back (group count ≤ distinct QI tuples — small
-    relative to the table); redaction is a codegen CASE.  Adds
-    ``sens_diversity`` (pre-suppression distinct count, audit column).
+    joined back (Catalyst broadcasts it while it is small; near-unique
+    QI tuples — exactly the regime suppression targets — make it
+    table-sized, where a forced broadcast would OOM, so the join
+    strategy is left to the optimizer); redaction is a codegen CASE.
+    Adds ``sens_diversity`` (pre-suppression distinct count, audit
+    column).
     """
     if l < 1:
         raise ValueError("l must be >= 1")
+    if "sens_diversity" in df.columns:
+        raise ValueError(
+            "input already has a 'sens_diversity' column — rename it; "
+            "l_diversify adds its audit column under that name")
     stats = (df.groupBy(*quasi_cols)
              .agg(F.countDistinct(sensitive_col).alias("sens_diversity")))
     # null-safe equality so NULL quasi-identifier values join back to
@@ -67,7 +78,7 @@ def l_diversify(df: DataFrame, quasi_cols: list[str], sensitive_col: str,
     for c in quasi_cols:
         eq = F.col(c).eqNullSafe(F.col(f"_qi_{c}"))
         cond = eq if cond is None else cond & eq
-    out = df.join(F.broadcast(stats_a), cond)
+    out = df.join(stats_a, cond)
     small = F.col("sens_diversity") < l
     for c in quasi_cols:
         out = out.withColumn(
@@ -98,6 +109,13 @@ def dp_noisy_counts(df: DataFrame, group_cols: list[str], epsilon: float,
 
     if epsilon <= 0:
         raise ValueError("epsilon must be > 0")
+    for c in group_cols:
+        if df.schema[c].dataType.simpleString() in ("double", "float"):
+            raise ValueError(
+                f"group column {c!r} is floating-point: Spark and DuckDB "
+                "format doubles differently when cast to string, so the "
+                "noise seed would diverge from the oracle — cast/round "
+                "to a string or integer key first")
     # concat_ws SKIPS nulls, which would collapse distinct groups that
     # differ only in which column is NULL onto one seed — encode NULL
     # explicitly (chr(30) sentinel can't collide with cast output that

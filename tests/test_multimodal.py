@@ -157,3 +157,20 @@ def test_tar_shards_roundtrip_and_determinism(spark):
            for r in tar_members(shards).collect()}
     for i, p in rows:
         assert got[f"{i}.txt"] == (len(p), hashlib.md5(p).hexdigest())
+
+
+def test_multimodal_null_payload_tolerance(spark):
+    """NULL payloads fold to the empty-payload path in feature
+    extraction and become header-only tar members; NULL ids are
+    dropped from shards (no member name)."""
+    from dynamic_partitioner_spark.operators.multimodal import (
+        extract_features, tar_members, tar_shards)
+
+    df = spark.createDataFrame(
+        [(1, None), (2, b"xy"), (None, b"zz")],
+        "doc_id long, payload binary")
+    feats = {r.doc_id: r.n_bytes for r in extract_features(df).collect()}
+    assert feats[1] == 0 and feats[2] == 2
+    members = {r.name: r.size for r in
+               tar_members(tar_shards(df, "doc_id", "payload")).collect()}
+    assert members == {"1.txt": 0, "2.txt": 2}     # null id dropped

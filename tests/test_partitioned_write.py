@@ -749,3 +749,23 @@ def test_overwrite_mode_conf_is_restored(spark, tmp_path):
         assert spark.conf.get(conf) == "static"   # restored, not leaked
     finally:
         spark.conf.set(conf, prev)
+
+
+def test_zorder_clamps_hostile_values_cross_engine(spark):
+    """Far-out-of-range and NaN inputs clamp to edge buckets in BOTH
+    engines instead of overflowing the bigint cast (ANSI/DuckDB would
+    raise) — the totality the module documents."""
+    import duckdb
+
+    from dynamic_partitioner_spark.functions.zorder import (
+        zorder_sql, zorder_value)
+
+    df = spark.createDataFrame(
+        [(1e19,), (-1e19,), (float("nan"),), (0.5,)], "x double")
+    got = [r.z for r in df.select(
+        zorder_value([("x", 0.0, 1.0)], bits=4).alias("z")).collect()]
+    duck = [r[0] for r in duckdb.sql(
+        "SELECT " + zorder_sql([("x", 0.0, 1.0)], bits=4) + " AS z "
+        "FROM (SELECT unnest([1e19, -1e19, CAST('nan' AS DOUBLE), 0.5])"
+        " AS x)").fetchall()]
+    assert got == duck == [15, 0, 15, 8]
