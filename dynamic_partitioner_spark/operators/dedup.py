@@ -206,6 +206,11 @@ def minhash_signature_batched(bases_col: Column, k: int = 32) -> Column:
     def _sig(bases: pd.Series) -> pd.Series:
         out = []
         for b in bases:
+            if b is None:
+                # NULL shingles → [NULL]*k, exactly like the Column
+                # twin (array_min over NULL); np.asarray(None) raises
+                out.append(empty)
+                continue
             arr = np.asarray(b, dtype=np.int64)
             if arr.size == 0:
                 out.append(empty)
@@ -282,10 +287,19 @@ def near_dup_minhash(df: DataFrame, id_col: str, text_col: str,
     through the band shuffle (they'd bloat the shuffle at scale).
 
     ``persist`` caches the shingle relation (read 3×: signature build +
-    both sides of the verify join) with MEMORY_AND_DISK.  At cluster
-    scale pass False to trade recomputation for memory, or persist the
-    tokenized corpus upstream yourself.
+    both sides of the verify join) with MEMORY_AND_DISK.  The cache is
+    left for LRU eviction (the returned frame is lazy, so eager
+    unpersist would defeat it); a driver looping many corpora should
+    ``spark.catalog.clearCache()`` between runs.  At cluster scale pass
+    False to trade recomputation for memory, or persist the tokenized
+    corpus upstream yourself.
     """
+    if bands * rows_per_band > k:
+        raise ValueError(
+            f"bands×rows_per_band = {bands * rows_per_band} exceeds the "
+            f"signature length k={k}: the trailing bands would hash "
+            "empty slices (shared by every doc) and silently contribute "
+            "zero recall — or an all-pairs join in uncapped audit mode")
     base = df.select(F.col(id_col).alias("_id"),
                      shingles_batched(F.col(text_col), n).alias("sh"))
     if persist:
@@ -476,12 +490,24 @@ def incremental_dedup(new_df: DataFrame, seen_df: DataFrame,
     (:func:`~.partitioned_write.write_bucketed`) so repeated ingests
     join with zero exchange on the history side.
     """
+    from pyspark.sql import Window
+
     keyed = new_df.withColumn("_fp", key)
-    fresh = keyed.join(
-        seen_df.select(F.col(seen_key_col).alias("_fp")).distinct(),
-        "_fp", "left_anti")
-    w_min = fresh.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-    return (fresh.join(w_min, ["_fp", id_col]).drop("_fp"))
+    # a NULL fingerprint (e.g. NULL text) identifies nothing — those
+    # rows pass through UNDEDUPED rather than silently vanishing in
+    # the null-unsafe joins below (ex-review finding)
+    null_fp = keyed.where(F.col("_fp").isNull()).drop("_fp")
+    fresh = (keyed.where(F.col("_fp").isNotNull())
+             .join(seen_df.select(F.col(seen_key_col).alias("_fp"))
+                   .distinct(),
+                   "_fp", "left_anti"))
+    # window rank, not a groupBy+self-join: one shuffle instead of two,
+    # and exact re-delivered duplicates (same fingerprint AND id) keep
+    # exactly one copy instead of both surviving an equality join
+    w = Window.partitionBy("_fp").orderBy(id_col)
+    kept = (fresh.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn", "_fp"))
+    return kept.unionByName(null_fp)
 
 
 # ----------------------------------------------------- cluster resolution
@@ -593,6 +619,12 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge within max_iter="
+            f"{max_iter} rounds ({changed} labels still changing) — "
+            "the pair graph has a longer chain than expected; raise "
+            "max_iter or switch to star contraction")
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 
@@ -792,6 +824,9 @@ def _blocked_cosine_pairs_matmul(blocked: DataFrame, id_col: str,
         vecs = pdf[vec_col]
         dim = next((len(v) for v in vecs if v is not None), 0)
         ok = vecs.map(lambda v: v is not None and len(v) == dim)
+        # NULL ids break the object-array min/max pairing — drop them
+        # like the expression twin's null-unsafe comparisons would
+        ok = ok & pdf[id_col].map(lambda x: x is not None)
         pdf = pdf[ok]
         ids = pdf[id_col].to_numpy()
         if len(ids) < 2:
@@ -808,6 +843,10 @@ def _blocked_cosine_pairs_matmul(blocked: DataFrame, id_col: str,
             ii, jj = np.nonzero(S >= threshold)
             keep = (ii + lo) < jj       # upper triangle, no self
             li, gj = ii[keep], jj[keep]
+            # duplicate id VALUES in one block would otherwise emit
+            # (x, x) self-pairs the a._id < b._id twin excludes
+            neq = ids[li + lo] != ids[gj]
+            li, gj = li[neq], gj[neq]
             # np.minimum/maximum work elementwise on object id arrays
             # too (strings, etc.), so the caller's id type survives
             out_a.append(np.minimum(ids[li + lo], ids[gj]))
@@ -884,8 +923,12 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     # NULL/ragged vectors would score NULL cosine and be filtered in
     # the expression path — exclude them up front so the Arrow matmul
     # stages see a rectangular corpus
+    # id-ORDERED probe: .first() on a distributed filter is
+    # partition-order dependent, which on a mixed-dimension corpus
+    # would make WHICH dimension survives vary run to run
     first = (df.where(F.col(vec_col).isNotNull())
-             .select(F.size(F.col(vec_col)).alias("_d")).first())
+             .select(F.col(id_col), F.size(F.col(vec_col)).alias("_d"))
+             .orderBy(id_col).first())
     if first is None:
         id_dt = df.schema[id_col].dataType.simpleString()
         return df.sparkSession.createDataFrame(

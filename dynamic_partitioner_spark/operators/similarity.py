@@ -85,11 +85,23 @@ def _all_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int):
 
     @F.pandas_udf("array<long>")
     def buckets(v: pd.Series) -> pd.Series:
-        mat = np.asarray(v.tolist(), dtype=np.float64)      # (B, dim)
-        signs = (mat @ planes.T) > 0                        # (B, T·P)
-        per_table = signs.reshape(len(mat), -1, n_planes)   # (B, T, P)
-        ids = per_table @ weights                           # (B, T)
-        return pd.Series(list(ids))
+        vals = v.tolist()
+        # NULL/ragged vectors bucket to NULL (posexplode then drops
+        # them) instead of collapsing the whole batch to an
+        # inhomogeneous-shape ValueError
+        ok = [x is not None and len(x) == dim for x in vals]
+        out: list = [None] * len(vals)
+        good = [x for x, k in zip(vals, ok) if k]
+        if good:
+            mat = np.asarray(good, dtype=np.float64)        # (B, dim)
+            signs = (mat @ planes.T) > 0                    # (B, T·P)
+            per_table = signs.reshape(len(mat), -1, n_planes)
+            ids = per_table @ weights                       # (B, T)
+            it = iter(ids)
+            for i, k in enumerate(ok):
+                if k:
+                    out[i] = next(it)
+        return pd.Series(out)
 
     return buckets
 
@@ -162,6 +174,10 @@ def train_centroids(emb: DataFrame, vec_col: str = "embedding",
     # a corpus smaller than n_lists trains fewer (still valid) centroids
     # instead of indexing past the sample; NULL/ragged sample rows are
     # skipped rather than fatal
+    if len(sample) == 0:
+        raise ValueError(
+            "cannot train centroids: no usable (non-NULL, uniform-"
+            "dimension) vectors in the sample")
     n_lists = min(n_lists, len(sample))
     cents = sample[:n_lists].copy()
     for _ in range(iters):
@@ -223,13 +239,26 @@ def train_centroids_distributed(emb: DataFrame, vec_col: str = "embedding",
 
 def _nearest_lists_udf(cents: np.ndarray, nprobe: int):
     """(vector) → array of the nprobe nearest list ids (L2)."""
+    dim = cents.shape[1]
+
     @F.pandas_udf("array<long>")
     def nearest(v: pd.Series) -> pd.Series:
-        mat = np.asarray(v.tolist(), dtype=np.float64)
-        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
-        d2 = -2.0 * (mat @ cents.T) + (cents ** 2).sum(1)[None, :]
-        order = np.argsort(d2, axis=1)[:, :nprobe]
-        return pd.Series(list(order.astype(np.int64)))
+        vals = v.tolist()
+        # NULL/ragged vectors assign to NULL (exploded away) rather
+        # than killing the batch
+        ok = [x is not None and len(x) == dim for x in vals]
+        out: list = [None] * len(vals)
+        good = [x for x, k in zip(vals, ok) if k]
+        if good:
+            mat = np.asarray(good, dtype=np.float64)
+            # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+            d2 = -2.0 * (mat @ cents.T) + (cents ** 2).sum(1)[None, :]
+            order = np.argsort(d2, axis=1)[:, :nprobe].astype(np.int64)
+            it = iter(order)
+            for i, k in enumerate(ok):
+                if k:
+                    out[i] = next(it)
+        return pd.Series(out)
 
     return nearest
 

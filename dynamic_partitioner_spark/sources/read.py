@@ -105,8 +105,12 @@ def read_payload(spark: SparkSession, path: str, spec: SinkSpec) -> DataFrame:
 def read_fixed_width(spark: SparkSession, path: str,
                      colspecs: list[tuple[str, int, int, str]]) -> DataFrame:
     """Fixed-width text source: ``colspecs`` is a list of
-    ``(name, start, length, type_ddl)`` with 1-based byte offsets —
-    the mainframe/legacy-feed format Spark has no built-in reader for.
+    ``(name, start, length, type_ddl)`` with 1-based CHARACTER offsets
+    (``substring`` slices code points; for the classic single-byte
+    ASCII/EBCDIC-converted feeds characters and bytes coincide — a
+    UTF-8 feed with multibyte characters needs byte-domain slicing over
+    a binary read instead) — the mainframe/legacy-feed format Spark has
+    no built-in reader for.
 
     One ``spark.read.text`` scan + a single projection of ``substring``
     slices (all codegen; casts run under ANSI so a malformed field

@@ -531,3 +531,55 @@ def test_dedup_clusters_driver_and_distributed_paths_agree(spark):
             for r in dedup_clusters(pairs, driver_threshold=0).collect()}
     assert fast == dist
     assert (3, 1) in fast and (12, 10) in fast and (100, 99) in fast
+
+
+def test_null_text_and_vectors_are_tolerated_corpus_wide(spark):
+    """A NULL document / NULL embedding degrades gracefully on every
+    sketch path (review findings): minhash signatures, LSH buckets and
+    IVF assignment skip the row instead of killing the job, and
+    incremental dedup passes NULL-key rows through undeduped."""
+    from dynamic_partitioner_spark.operators.dedup import (
+        embedding_near_dup_lsh, incremental_dedup, near_dup_minhash)
+    from dynamic_partitioner_spark.operators.similarity import (
+        topk_ann_ivf)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, None)],
+        "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in
+             near_dup_minhash(docs, "doc_id", "text",
+                              threshold=0.5).collect()}
+    assert pairs == {(1, 2)}
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, None), (4, [0.5])],
+        "vec_id long, embedding array<double>")
+    got = {(r.id_a, r.id_b) for r in
+           embedding_near_dup_lsh(emb, "vec_id", "embedding",
+                                  threshold=0.9, dim=2, n_planes=2,
+                                  n_tables=2).collect()}
+    assert got == {(1, 2)}
+    ann = topk_ann_ivf(emb.where("vec_id <= 2"), emb.where("vec_id = 1"),
+                       k=1, n_lists=2, nprobe=2)
+    assert {(r.query_id, r.neighbor_id) for r in ann.collect()} == {(1, 2)}
+
+    new = spark.createDataFrame(
+        [(10, "x"), (11, "x"), (12, None), (13, None)],
+        "doc_id long, text string")
+    seen = spark.createDataFrame([("zzz",)], "fingerprint string")
+    from pyspark.sql import functions as F
+    out = incremental_dedup(new, seen, F.md5("text"), "doc_id")
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [10, 12, 13]     # keyed dup dropped, NULLs pass through
+
+
+def test_minhash_band_width_validated(spark):
+    import pytest
+
+    from dynamic_partitioner_spark.operators.dedup import near_dup_minhash
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="signature length"):
+        near_dup_minhash(df, "doc_id", "text", k=16, bands=8,
+                         rows_per_band=4)
