@@ -2203,6 +2203,67 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Round-5b: sequence mining / downsampling / skew diagnostics / splits
+# =====================================================================
+
+def q_seq_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 per-user event-type trigrams (sequential-pattern mining —
+    the n-gram step past the bigram transition matrix)."""
+    from dynamic_partitioner_spark.operators.relational import seq_ngrams
+    events = _table(spark, sf_dir, "events")
+    ev = events.select("user_id", "event_id", "event_type",
+                       event_time_us(events).alias("ts_us"))
+    return seq_ngrams(ev, "user_id", ["ts_us", "event_id"],
+                      "event_type", n=3, top=25)
+
+
+def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user-hour OHLC downsample bars over the metric stream —
+    one shuffle serves both window passes and the final aggregate."""
+    from dynamic_partitioner_spark.operators.relational import ohlc_bars
+    events = _table(spark, sf_dir, "events")
+    ev = events.select("user_id", "event_id", "value",
+                       event_time_us(events).alias("ts_us"))
+    return ohlc_bars(ev.withColumn("hour_idx",
+                                   F.expr("ts_us div 3600000000")),
+                     "user_id", F.col("hour_idx"), "value",
+                     ["ts_us", "event_id"])
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics on events.user_id: top-20 heaviest
+    keys with ppm share and skew ratio — the measurement that decides
+    between a plain join, AQE skew handling, and salting."""
+    from dynamic_partitioner_spark.operators.relational import (
+        key_skew_profile)
+    events = _table(spark, sf_dir, "events")
+    return key_skew_profile(events, "user_id", top=20)
+
+
+def q_text_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 windowed token co-occurrence pairs (window=2) — the
+    word2vec/PMI prep primitive; pair generation stays inside the token
+    array (no positional self-join), so the only shuffle is the final
+    pair-count aggregate."""
+    from dynamic_partitioner_spark.operators.vectorize import (
+        cooccurrence_pairs)
+    docs = _table(spark, sf_dir, "documents")
+    return cooccurrence_pairs(docs, "text", window=2, top=100)
+
+
+def q_sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split: every event of a user lands in one split
+    (hash draw on user_id, not event_id) — per-split group/row counts
+    prove the assignment; zero shuffle for the assignment itself."""
+    from dynamic_partitioner_spark.operators.sampling import group_split
+    events = _table(spark, sf_dir, "events")
+    assigned = group_split(events, "user_id")
+    return (assigned.groupBy("split")
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+# =====================================================================
 # Driver contract
 # =====================================================================
 
@@ -2228,6 +2289,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # Everything after 50 was hash-checked in r3/r4 and is unchanged.
 _PRIORITY_R05 = [
     "query_approx_distinct", "query_approx_percentiles",
+    # round-5b additions — newest first, zero driver evidence yet
+    "events_seq_ngrams", "events_ohlc", "query_skew_profile",
+    "sample_group_split", "text_cooccur",
     "dedup_fuzzy2", "dedup_apply", "query_heavy_hitters",
     "query_incremental_agg", "source_schema_evolution",
     "text_pii_redact", "query_salted_join_auto", "text_scrub_chunks",
@@ -2405,6 +2469,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_hll_mergeable": q_hll_mergeable,
         "embedding_pca": q_embedding_pca,
         "mm_tar_shards": q_mm_tar_shards,
+        "events_seq_ngrams": q_seq_ngrams,
+        "events_ohlc": q_events_ohlc,
+        "query_skew_profile": q_skew_profile,
+        "sample_group_split": q_sample_group_split,
+        "text_cooccur": q_text_cooccur,
     }
 
 
@@ -3916,6 +3985,81 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sens_diversity AS BIGINT) AS sens_diversity
             FROM cust c JOIN s USING (nation, segment)
         """,
+        "events_seq_ngrams": """
+            WITH s AS (
+                SELECT event_type,
+                       lead(event_type, 1) OVER w AS t1,
+                       lead(event_type, 2) OVER w AS t2
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id)
+            ), g AS (
+                SELECT concat_ws('>', event_type, t1, t2) AS gram
+                FROM s WHERE t2 IS NOT NULL
+            ), c AS (SELECT gram, count(*) AS n_seq FROM g GROUP BY gram)
+            SELECT gram, n_seq,
+                   row_number() OVER (ORDER BY n_seq DESC, gram) AS rnk
+            FROM c QUALIFY rnk <= 25
+        """,
+        "events_ohlc": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) // 3600000000 AS bucket, value,
+                       row_number() OVER (
+                           PARTITION BY user_id, epoch_us(ts) // 3600000000
+                           ORDER BY epoch_us(ts), event_id) AS ra,
+                       row_number() OVER (
+                           PARTITION BY user_id, epoch_us(ts) // 3600000000
+                           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rd
+                FROM events)
+            SELECT user_id, bucket,
+                   max(CASE WHEN ra = 1 THEN value END) AS open,
+                   max(value) AS high, min(value) AS low,
+                   max(CASE WHEN rd = 1 THEN value END) AS close,
+                   count(*) AS n_events
+            FROM e GROUP BY user_id, bucket
+        """,
+        "query_skew_profile": f"""
+            WITH c AS (SELECT user_id AS key, count(*) AS n_rows
+                       FROM events GROUP BY user_id),
+            t AS (SELECT sum(n_rows) AS total, count(*) AS nkeys FROM c),
+            r AS (SELECT key, n_rows,
+                         row_number() OVER (ORDER BY n_rows DESC, key)
+                             AS rnk
+                  FROM c)
+            SELECT key, n_rows, rnk,
+                   CAST(floor(n_rows * 1000000.0 / total) AS BIGINT)
+                       AS share_ppm,
+                   {ROUND4_SQL.format(
+                       x='CAST(n_rows AS DOUBLE) * nkeys / total')}
+                       AS skew_ratio
+            FROM r, t WHERE rnk <= 20
+        """,
+        "text_cooccur": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(lower(text)),
+                                                      '[ \t\n\r]+'),
+                                   x -> len(x) > 0) AS toks
+                FROM documents),
+            p AS (SELECT toks, unnest(range(1, len(toks))) AS i
+                  FROM t WHERE len(toks) >= 2),
+            pg AS (SELECT toks, i,
+                          unnest(range(1, least(2, len(toks) - i) + 1)) AS g
+                   FROM p),
+            pr AS (SELECT least(toks[i], toks[i + g]) AS w1,
+                          greatest(toks[i], toks[i + g]) AS w2
+                   FROM pg),
+            c AS (SELECT w1, w2, count(*) AS n_cooc FROM pr GROUP BY w1, w2)
+            SELECT w1, w2, n_cooc,
+                   row_number() OVER (ORDER BY n_cooc DESC, w1, w2) AS rnk
+            FROM c QUALIFY rnk <= 100
+        """,
+        "sample_group_split": (
+            "WITH a AS (SELECT user_id, "
+            + SMP.split_assign_sql("user_id", salt="gsplit")
+            + " AS split FROM events) "
+            "SELECT split, count(DISTINCT user_id) AS n_users, "
+            "count(*) AS n_events FROM a GROUP BY split"),
         # query_approx_distinct: rows-only by design — two HLL
         # implementations (Spark HLL++, DuckDB HLL) estimate differently;
         # the error bound vs exact is pinned in tests/test_queries.py

@@ -494,3 +494,102 @@ def densify_time_buckets(df: DataFrame, key_col: str, us: Column,
             .select(F.col("_k").alias(key_col),
                     F.col("_b").alias("bucket_idx"),
                     F.coalesce(F.col("_n"), F.lit(0)).alias("n_events")))
+
+
+def seq_ngrams(df: DataFrame, key_col: str, order_cols: list[str],
+               state_col: str, n: int = 3, top: int = 25) -> DataFrame:
+    """Sequential-pattern mining over per-key ordered event streams:
+    the global top-``top`` length-``n`` state n-grams (consecutive
+    event-type runs), the step past :func:`transition_matrix`'s bigram
+    Markov view — the primitive behind funnel discovery and
+    next-sequence features.
+
+    One shuffle on ``key_col`` (a single window sort serves all the
+    ``lead`` offsets), then a hash aggregate on the tiny observed
+    n-gram grid; the top-``top`` cut is a ``row_number`` over that
+    already-aggregated grid (rows = distinct n-grams, not events), so
+    the second shuffle moves almost nothing.  ``order_cols`` must make
+    the per-key ordering total (ts + event id), otherwise ``lead`` is
+    nondeterministic.  Ties in the ranking break on the gram string so
+    both engines cut identically.
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    steps = [F.col(state_col)] + [F.lead(state_col, i).over(w)
+                                  for i in range(1, n)]
+    grams = (df
+             .withColumn("_gram", F.concat_ws(">", *steps))
+             .withColumn("_last", steps[-1])
+             .where(F.col("_last").isNotNull()))
+    counts = grams.groupBy(F.col("_gram").alias("gram")).agg(
+        F.count(F.lit(1)).alias("n_seq"))
+    rnk = Window.orderBy(F.desc("n_seq"), F.asc("gram"))
+    return (counts
+            .withColumn("rnk", F.row_number().over(rnk))
+            .where(F.col("rnk") <= top))
+
+
+def ohlc_bars(df: DataFrame, key_col: str, bucket: Column,
+              value_col: str, order_cols: list[str]) -> DataFrame:
+    """Time-series downsampling to OHLC bars: per ``(key, bucket)``,
+    the open (first value in bar order), high, low, close (last) and
+    event count — the resample primitive behind dashboarding and
+    feature extraction over metric streams.
+
+    Single shuffle on ``(key, bucket)``: both window passes (ascending
+    and descending ``row_number``) share the partitioning, so Catalyst
+    plans one exchange with two sorts, then the final hash aggregate
+    is partial-aggregated map-side over already-colocated rows.
+    ``order_cols`` must be a total order within the bar (ts + event
+    id) so open/close are deterministic in both engines.
+    """
+    base = df.select(F.col(key_col).alias("_k"), bucket.alias("_b"),
+                     F.col(value_col).alias("_v"), *order_cols)
+    wa = Window.partitionBy("_k", "_b").orderBy(*[F.asc(c) for c in order_cols])
+    wd = Window.partitionBy("_k", "_b").orderBy(*[F.desc(c) for c in order_cols])
+    marked = base.select(
+        "_k", "_b", "_v",
+        F.row_number().over(wa).alias("_ra"),
+        F.row_number().over(wd).alias("_rd"))
+    return (marked.groupBy("_k", "_b")
+            .agg(F.max(F.when(F.col("_ra") == 1, F.col("_v"))).alias("open"),
+                 F.max("_v").alias("high"),
+                 F.min("_v").alias("low"),
+                 F.max(F.when(F.col("_rd") == 1, F.col("_v"))).alias("close"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("_k").alias(key_col), F.col("_b").alias("bucket"),
+                    "open", "high", "low", "close", "n_events"))
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top: int = 20) -> DataFrame:
+    """Join-key skew diagnostics: the top-``top`` heaviest keys with
+    their row counts, parts-per-million share, and skew ratio
+    (key count ÷ mean per-key count) — the measurement step that
+    decides whether a join needs salting (`salted_join`), AQE skew
+    handling, or nothing.
+
+    Two aggregates: per-key counts (one shuffle on the key — the same
+    shuffle the join under diagnosis would do), then a broadcast of
+    the 2-row global stats (total rows / distinct keys) back across
+    the top keys.  The ranked cut happens BEFORE the broadcast join so
+    only ``top`` rows ever leave the aggregate.  Integer ppm and
+    floor-rounded ratio keep cross-engine hashes exact.
+    """
+    from ..functions.vectors import round4
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count(F.lit(1)).alias("_nkeys"))
+    rnk = Window.orderBy(F.desc("n_rows"), F.asc("key"))
+    topk = (counts.withColumn("rnk", F.row_number().over(rnk))
+            .where(F.col("rnk") <= top))
+    return (topk.crossJoin(F.broadcast(totals))
+            .select("key", "n_rows", "rnk",
+                    # floor (not cast) — DuckDB's double→BIGINT cast
+                    # rounds-to-nearest where Spark's truncates
+                    F.floor(F.col("n_rows") * F.lit(1_000_000)
+                            / F.col("_total")).alias("share_ppm"),
+                    round4(F.col("n_rows") * F.col("_nkeys")
+                           / F.col("_total")).alias("skew_ratio")))

@@ -332,3 +332,22 @@ def epoch_shuffle(df: DataFrame, key_col: str, n_shards: int = 8,
     w = Window.partitionBy("shard").orderBy("_u", key_col)
     return (out.withColumn("pos", F.row_number().over(w).cast("long"))
             .drop("_u"))
+
+
+def group_split(df: DataFrame, group_col: str,
+                weights: dict[str, float] | None = None,
+                salt: str = "gsplit") -> DataFrame:
+    """Leakage-safe train/val/test assignment at the GROUP level: every
+    row of a group (a user's events, a domain's documents, an author's
+    posts) lands in the SAME split, because the hash draw is on the
+    group key, not the row key.  Row-level splitting (``split_assign``
+    on the row id) silently leaks near-duplicate rows of one entity
+    across the train/test boundary — the classic contamination bug in
+    behavioral and per-author corpora.
+
+    Pure narrow projection: the split is a deterministic function of
+    the group column already on the row, so there is NO shuffle and no
+    group-table join — the leakage guarantee costs nothing at any
+    scale.
+    """
+    return split_assign(df, group_col, weights=weights, salt=salt)

@@ -15,7 +15,7 @@ sparse form is exactly SQL-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -171,3 +171,45 @@ def hashed_vector(df: DataFrame, id_col: str, text_col: str,
         lambda i: F.coalesce(F.col("m")[i.cast("bigint")], F.lit(0))
         .cast("double"))
     return as_map.select(id_col, dense.alias("vec"))
+
+
+def cooccurrence_pairs(df: DataFrame, text_col: str, window: int = 2,
+                       top: int = 100) -> DataFrame:
+    """Windowed token co-occurrence counts (the word2vec / PMI /
+    embedding-prep primitive): for every token pair within ``window``
+    positions of each other, the global count; unordered pairs are
+    canonicalized (lexicographic min first) and ranked, ties breaking
+    on the pair strings so both engines cut identically.
+
+    Pair generation happens entirely INSIDE the token array — for each
+    gap g ≤ ``window``, ``arrays_zip`` of the array against its
+    g-shifted ``slice`` — so there is no positional self-join and no
+    per-token window shuffle; every step is a whole-stage-codegen
+    builtin (a nested-lambda ``transform`` formulation benches ~5×
+    slower because Catalyst interprets the lambda per element).  The
+    only shuffle is the final pair-count hash aggregate, whose
+    cardinality is the distinct-pair grid, not the corpus; the explode
+    factor is exactly ``window`` pairs per token — linear in corpus
+    size, never quadratic.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), "[ \\t\\n\\r]+")
+    base = df.select(F.filter(toks, lambda t: F.length(t) > 0).alias("_t"))
+    n = F.size("_t")
+    slices = []
+    for g in range(1, window + 1):
+        zipped = F.arrays_zip(F.slice("_t", 1, n - g).alias("a"),
+                              F.slice("_t", g + 1, n - g).alias("b"))
+        slices.append(base.where(n >= g + 1)
+                      .select(F.explode(zipped).alias("_p")))
+    ex_all = slices[0]
+    for s in slices[1:]:
+        ex_all = ex_all.unionByName(s)
+    ex = ex_all.select(
+        F.least("_p.a", "_p.b").alias("w1"),
+        F.greatest("_p.a", "_p.b").alias("w2"))
+    counts = ex.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_cooc"))
+    rnk = Window.orderBy(F.desc("n_cooc"), F.asc("w1"), F.asc("w2"))
+    return (counts.withColumn("rnk", F.row_number().over(rnk))
+            .where(F.col("rnk") <= top))

@@ -490,3 +490,70 @@ def test_cdc_latest_null_op_winner_is_upsert(spark):
         "k long, seq long, op string, v string")
     got = {r.k: r.v for r in cdc_latest(ch, ["k"], "seq").collect()}
     assert got == {1: "y"}                # NULL-op winner kept as upsert
+
+
+# ---------------------------------------------------------------------
+# seq_ngrams / ohlc_bars / key_skew_profile / group_split (round 5b)
+# ---------------------------------------------------------------------
+
+def test_seq_ngrams_counts_and_ranks(spark):
+    from dynamic_partitioner_spark.operators.relational import seq_ngrams
+    rows = [(1, i, t) for i, t in enumerate(["a", "b", "c", "a", "b", "c"])]
+    rows += [(2, i, t) for i, t in enumerate(["a", "b", "c"])]
+    df = spark.createDataFrame(rows, "uid long, seq long, st string")
+    got = {(r.gram, r.n_seq, r.rnk) for r in
+           seq_ngrams(df, "uid", ["seq"], "st", n=3, top=10).collect()}
+    # user1: a>b>c, b>c>a, c>a>b, a>b>c ; user2: a>b>c
+    assert ("a>b>c", 3, 1) in got
+    assert {g for g, _, _ in got} == {"a>b>c", "b>c>a", "c>a>b"}
+
+
+def test_seq_ngrams_top_cut_ties_break_on_gram(spark):
+    from dynamic_partitioner_spark.operators.relational import seq_ngrams
+    rows = [(1, 0, "x"), (1, 1, "y"), (2, 0, "a"), (2, 1, "b")]
+    df = spark.createDataFrame(rows, "uid long, seq long, st string")
+    got = [(r.gram, r.rnk) for r in
+           seq_ngrams(df, "uid", ["seq"], "st", n=2, top=1).collect()]
+    assert got == [("a>b", 1)]  # tie on count=1 → lexicographic gram
+
+
+def test_ohlc_bars_deterministic_open_close(spark):
+    from dynamic_partitioner_spark.operators.relational import ohlc_bars
+    rows = [(1, 0, 10, 5.0), (1, 0, 11, 9.0), (1, 0, 12, 2.0),
+            (1, 1, 13, 7.0), (2, 0, 10, 4.0)]
+    df = spark.createDataFrame(rows, "uid long, b long, ts long, v double")
+    out = {(r.uid, r.bucket): r for r in
+           ohlc_bars(df, "uid", F.col("b"), "v", ["ts"]).collect()}
+    bar = out[(1, 0)]
+    assert (bar.open, bar.high, bar.low, bar.close, bar.n_events) == \
+        (5.0, 9.0, 2.0, 2.0, 3)
+    assert out[(2, 0)].open == out[(2, 0)].close == 4.0
+
+
+def test_key_skew_profile_flags_hot_key(spark):
+    from dynamic_partitioner_spark.operators.relational import (
+        key_skew_profile)
+    rows = [(99,)] * 90 + [(i,) for i in range(10)]
+    df = spark.createDataFrame(rows, "k long")
+    out = key_skew_profile(df, "k", top=3).collect()
+    assert [r.rnk for r in out] == [1, 2, 3]
+    hot = out[0]
+    assert hot.key == 99 and hot.n_rows == 90
+    assert hot.share_ppm == 900_000
+    # 90 rows * 11 keys / 100 rows = 9.9
+    assert abs(hot.skew_ratio - 9.9) < 1e-9
+    # ties among the 1-row keys break on key ascending
+    assert out[1].key == 0 and out[2].key == 1
+
+
+def test_group_split_never_splits_a_group(spark):
+    from dynamic_partitioner_spark.operators.sampling import group_split
+    rows = [(u, i) for u in range(50) for i in range(4)]
+    df = spark.createDataFrame(rows, "uid long, item long")
+    out = group_split(df, "uid")
+    spans = (out.groupBy("uid")
+             .agg(F.countDistinct("split").alias("n"))
+             .where(F.col("n") > 1).count())
+    assert spans == 0
+    assert set(r.split for r in out.select("split").distinct().collect()) \
+        <= {"train", "val", "test"}

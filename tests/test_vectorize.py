@@ -107,3 +107,22 @@ def test_tfidf_terms_math_and_min_tf(spark):
     expected = math.floor(2 * math.log(1.0 + 3 / 2) * 10000 + 0.5) / 10000
     assert r.tfidf == expected
     assert out[(3, "banana")].df == 2         # banana in docs 1 and 3
+
+
+def test_cooccurrence_pairs_window2_exact(spark):
+    from dynamic_partitioner_spark.operators.vectorize import (
+        cooccurrence_pairs)
+    df = spark.createDataFrame([("a b c",), ("b a",), ("x",), ("",)],
+                               "text string")
+    got = {(r.w1, r.w2): r.n_cooc for r in
+           cooccurrence_pairs(df, "text", window=2, top=10).collect()}
+    # doc1 pairs: (a,b) (b,c) gap1, (a,c) gap2; doc2: (a,b); doc3/4 none
+    assert got == {("a", "b"): 2, ("b", "c"): 1, ("a", "c"): 1}
+
+
+def test_cooccurrence_pairs_rank_ties_lexicographic(spark):
+    from dynamic_partitioner_spark.operators.vectorize import (
+        cooccurrence_pairs)
+    df = spark.createDataFrame([("z y",), ("c d",)], "text string")
+    rows = cooccurrence_pairs(df, "text", window=1, top=1).collect()
+    assert len(rows) == 1 and (rows[0].w1, rows[0].w2) == ("c", "d")
