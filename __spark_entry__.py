@@ -2240,6 +2240,54 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(events, "user_id", top=20)
 
 
+def q_text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training: the first 20 learned BPE merges (rank, pair,
+    merged symbol, winning pair count).  The corpus-scale part is one
+    word-frequency aggregate; the merge loop runs on the bounded vocab
+    table (Sennrich 2016).  Rows-only by design — iterative, not
+    SQL-expressible; merge-sequence correctness is pinned in
+    tests/test_bpe.py against a hand-checked fixture."""
+    from dynamic_partitioner_spark.operators.bpe import learn_bpe_merges
+    docs = _table(spark, sf_dir, "documents")
+    return learn_bpe_merges(docs, "text", n_merges=20)
+
+
+def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream: mergeable per-partition
+    sketches (cell-sum shuffle is depth×width, independent of corpus
+    size) + exact top-20 recount exposing the estimation error.
+    Rows-only by design — the estimate depends on the sketch geometry;
+    the overestimate-only bound n_true ≤ n_est ≤ n_true + eN/width is
+    pinned in tests/test_frequency.py."""
+    from dynamic_partitioner_spark.operators.frequency import cms_estimates
+    docs = _table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                          "[ \\t\\n\\r]+")).alias("term"))
+    toks = toks.where(F.length("term") > 0)
+    return cms_estimates(toks, "term", top=20)
+
+
+def q_ops_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-sizing policy made auditable: write lineitem partitioned by
+    returnflag with a 1000-row file cap after a strict hash repartition
+    (one task per key — REBALANCE would let AQE split a hot key and
+    make the file count nondeterministic), then audit files-per-
+    partition from the data itself.  The oracle can PREDICT the file
+    count exactly: ceil(rows/1000)."""
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        audit_partition_files)
+    apply_engine_confs(spark)
+    df = (_table(spark, sf_dir, "orders")
+          .repartition(F.col("o_orderpriority")))
+    out = _out("ops_file_audit")
+    spec = SinkSpec(name="ord_sized", field_names=["o_orderpriority"],
+                    max_records_per_file=1000, cluster_by_key=False)
+    write_partitioned(df, spec, out)
+    return (audit_partition_files(spark, out, ["o_orderpriority"])
+            .withColumnRenamed("o_orderpriority", "pk"))
+
+
 def q_text_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 windowed token co-occurrence pairs (window=2) — the
     word2vec/PMI prep primitive; pair generation stays inside the token
@@ -2291,7 +2339,8 @@ _PRIORITY_R05 = [
     "query_approx_distinct", "query_approx_percentiles",
     # round-5b additions — newest first, zero driver evidence yet
     "events_seq_ngrams", "events_ohlc", "query_skew_profile",
-    "sample_group_split", "text_cooccur",
+    "sample_group_split", "text_cooccur", "ops_file_audit",
+    "text_bpe_learn", "sketch_cms",
     "dedup_fuzzy2", "dedup_apply", "query_heavy_hitters",
     "query_incremental_agg", "source_schema_evolution",
     "text_pii_redact", "query_salted_join_auto", "text_scrub_chunks",
@@ -2474,6 +2523,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_skew_profile": q_skew_profile,
         "sample_group_split": q_sample_group_split,
         "text_cooccur": q_text_cooccur,
+        "ops_file_audit": q_ops_file_audit,
+        "text_bpe_learn": q_text_bpe_learn,
+        "sketch_cms": q_sketch_cms,
     }
 
 
@@ -4033,6 +4085,12 @@ def oracle_sql() -> dict[str, str]:
                        x='CAST(n_rows AS DOUBLE) * nkeys / total')}
                        AS skew_ratio
             FROM r, t WHERE rnk <= 20
+        """,
+        "ops_file_audit": """
+            SELECT trim(CAST(o_orderpriority AS VARCHAR)) AS pk,
+                   count(*) AS n_rows,
+                   CAST(ceil(count(*) / 1000.0) AS BIGINT) AS n_files
+            FROM orders GROUP BY o_orderpriority
         """,
         "text_cooccur": r"""
             WITH t AS (

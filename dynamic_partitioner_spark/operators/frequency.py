@@ -94,3 +94,74 @@ def heavy_hitters(items: DataFrame, item_col: str,
             .groupBy(item_col)
             .agg(F.count(F.lit(1)).alias("n"))
             .where(F.col("n") >= F.lit(float(support)) * F.lit(int(total))))
+
+
+def _cms_slot(term: str, row: int, width: int) -> int:
+    """Deterministic md5-based CMS column for ``term`` in hash row
+    ``row`` — portable across engines and runs (no PYTHONHASHSEED)."""
+    import hashlib
+
+    h = hashlib.md5(f"{row}:{term}".encode()).hexdigest()
+    return int(h[:15], 16) % width
+
+
+def cms_estimates(items: DataFrame, item_col: str, top: int = 20,
+                  width: int = 1024, depth: int = 4) -> DataFrame:
+    """Count-min sketch demo over an item stream: build per-partition
+    ``depth × width`` sketches (``mapInPandas``), merge them with ONE
+    cell-wise sum whose shuffle is ``depth·width`` rows per partition —
+    independent of corpus size — then report the exact top-``top``
+    items with both their true counts and their CMS point estimates
+    ``(rank, item, n_true, n_est)``.
+
+    The sketch is the mergeable, fixed-memory structure you keep when
+    the distinct-item grid itself is too large to aggregate exactly
+    (per-URL counters at 100 TB); the exact recount here exists to
+    EXPOSE the estimation error, which pytest pins to the standard
+    guarantee: ``n_true ≤ n_est ≤ n_true + e·N/width`` (Cormode &
+    Muthukrishnan 2005) — overestimate-only, bounded by the stream
+    mass.  md5 slot hashing keeps estimates deterministic.
+    """
+    import numpy as np
+
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    items = items.where(F.col(item_col).isNotNull())
+
+    def sketch(batches):
+        tab = np.zeros((depth, width), dtype=np.int64)
+        for pdf in batches:
+            for term, c in Counter(pdf[item_col].astype(str)).items():
+                for d in range(depth):
+                    tab[d, _cms_slot(term, d, width)] += c
+        d_idx, w_idx = np.nonzero(tab)
+        yield pd.DataFrame({"d": d_idx.astype("int64"),
+                            "w": w_idx.astype("int64"),
+                            "c": tab[d_idx, w_idx]})
+
+    cells = (items.select(F.col(item_col).cast("string").alias(item_col))
+             .mapInPandas(sketch, "d long, w long, c long")
+             .groupBy("d", "w").agg(F.sum("c").alias("c")))
+    # merged sketch is bounded (depth·width cells) by construction —
+    # the one deliberate driver-side collect
+    table = {(r.d, r.w): r.c for r in cells.collect()}
+
+    from pyspark.sql import Window
+    exact = (items.groupBy(F.col(item_col).cast("string").alias(item_col))
+             .agg(F.count(F.lit(1)).alias("n_true")))
+    rnk = Window.orderBy(F.desc("n_true"), F.asc(item_col))
+    topk = (exact.withColumn("rank", F.row_number().over(rnk))
+            .where(F.col("rank") <= top))
+
+    def estimate(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["n_est"] = [
+                min(table.get((d, _cms_slot(t, d, width)), 0)
+                    for d in range(depth))
+                for t in pdf[item_col]]
+            yield pdf
+
+    return (topk.mapInPandas(
+        estimate, f"{item_col} string, n_true long, rank long, n_est long")
+        .select("rank", F.col(item_col).alias("item"), "n_true", "n_est"))

@@ -627,3 +627,29 @@ def datasource_available(spark: SparkSession, provider: str) -> bool:
 def spark_avro_available(spark: SparkSession) -> bool:
     """True when the spark-avro connector jar is on the classpath."""
     return datasource_available(spark, "avro")
+
+
+def audit_partition_files(spark: SparkSession, path: str,
+                          partition_cols: list[str]) -> DataFrame:
+    """File-size governance audit over a partitioned dataset: per
+    partition key, the row count and the number of physical files —
+    the observability primitive behind small-file detection and
+    file-sizing policy enforcement (the dominant operational failure
+    mode of a 100 TB partitioned lake is not wrong data but wrong
+    file counts).
+
+    One scan + one hash aggregate: ``input_file_name()`` is evaluated
+    map-side per row and the distinct-file count rides the same
+    shuffle as the row count.  Column pruning still applies — only the
+    partition columns (free, from the directory layout) and the
+    virtual file name are read, so the scan touches no data pages on
+    parquet.
+    """
+    df = spark.read.parquet(path)
+    # project the virtual column first — Spark 4 (correctly) refuses
+    # nondeterministic expressions as direct aggregate arguments
+    named = df.select(*partition_cols, F.input_file_name().alias("_file"))
+    return (named.groupBy(*[F.col(c).cast("string").alias(c)
+                            for c in partition_cols])
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct("_file").alias("n_files")))

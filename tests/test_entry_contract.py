@@ -27,7 +27,7 @@ def test_every_oracle_has_a_query_and_priorities_resolve():
         "query_approx_percentiles", "similarity_ann_ivf",
         "similarity_ann_lsh", "similarity_ivf_pruned", "text_pack",
         "similarity_pq_rerank", "dedup_semantic", "query_hll_mergeable",
-        "embedding_pca",
+        "embedding_pca", "text_bpe_learn", "sketch_cms",
     }, sorted(rows_only)
     # priority rotation covers every NEW key first (never hash-checked)
     assert len(q) >= 124

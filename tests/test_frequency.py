@@ -75,3 +75,36 @@ def test_heavy_hitters_integer_items_and_null_tolerance(spark):
              Counter(k for k, in rows if k is not None).items()
              if c >= 0.1 * 700}
     assert got == exact and got
+
+
+def test_cms_estimates_overestimate_only_and_bounded(spark):
+    import math
+
+    from dynamic_partitioner_spark.operators.frequency import cms_estimates
+
+    rows = ([("hot",)] * 500
+            + [(f"mid{i}", ) for i in range(50) for _ in range(10)]
+            + [(f"tail{i}",) for i in range(400)])
+    df = spark.createDataFrame(rows, "term string").repartition(8)
+    out = cms_estimates(df, "term", top=10, width=256, depth=4).collect()
+    assert len(out) == 10
+    n_stream = len(rows)
+    bound = math.e * n_stream / 256
+    for r in out:
+        assert r.n_est >= r.n_true, (r.item, r.n_true, r.n_est)
+        assert r.n_est - r.n_true <= bound, (r.item, r.n_true, r.n_est)
+    top1 = next(r for r in out if r.rank == 1)
+    assert top1.item == "hot" and top1.n_true == 500
+
+
+def test_cms_estimates_deterministic_across_partitionings(spark):
+    from dynamic_partitioner_spark.operators.frequency import cms_estimates
+
+    rows = [(f"t{i % 20}",) for i in range(1000)]
+    a = spark.createDataFrame(rows, "term string").repartition(2)
+    b = spark.createDataFrame(rows, "term string").repartition(16)
+    ra = sorted((r.item, r.n_true, r.n_est)
+                for r in cms_estimates(a, "term", top=5).collect())
+    rb = sorted((r.item, r.n_true, r.n_est)
+                for r in cms_estimates(b, "term", top=5).collect())
+    assert ra == rb

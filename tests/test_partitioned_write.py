@@ -769,3 +769,23 @@ def test_zorder_clamps_hostile_values_cross_engine(spark):
         "FROM (SELECT unnest([1e19, -1e19, CAST('nan' AS DOUBLE), 0.5])"
         " AS x)").fetchall()]
     assert got == duck == [15, 0, 15, 8]
+
+
+def test_audit_partition_files_predicts_ceil(spark, tmp_path):
+    """File-sizing audit: with a strict hash repartition and a row cap,
+    files-per-partition is exactly ceil(rows/cap)."""
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        audit_partition_files, write_partitioned)
+    from dynamic_partitioner_spark.spec import SinkSpec
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 25 else "b") for i in range(35)], "id long, k string"
+    ).repartition(F.col("k"))
+    out = str(tmp_path / "sized")
+    write_partitioned(df, SinkSpec(name="t", field_names=["k"],
+                                   max_records_per_file=10,
+                                   cluster_by_key=False), out)
+    got = {r.k: (r.n_rows, r.n_files)
+           for r in audit_partition_files(spark, out, ["k"]).collect()}
+    assert got == {"a": (25, 3), "b": (10, 1)}
