@@ -2240,6 +2240,36 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(events, "user_id", top=20)
 
 
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi join: high-balance customers' keys build a
+    distributed Bloom filter applied map-side to the orders scan BEFORE
+    any exchange; survivors are exactly verified, so the result equals
+    the plain semi join (decimal-exact money sums)."""
+    from dynamic_partitioner_spark.operators.bloom import bloom_semi_join
+    cust = (_table(spark, sf_dir, "customer")
+            .where(F.col("c_acctbal") > 9000).select("c_custkey"))
+    orders = _table(spark, sf_dir, "orders")
+    hits = bloom_semi_join(orders, cust, "o_custkey", "c_custkey")
+    return (hits.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+                 .cast("double").alias("total_price")))
+
+
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag/rolling ML feature pass over the metric stream —
+    one exchange+sort serves every lag, the delta, and the trailing
+    3-row mean."""
+    from dynamic_partitioner_spark.operators.relational import lag_features
+    events = _table(spark, sf_dir, "events")
+    ev = events.select("user_id", "event_id", "value",
+                       event_time_us(events).alias("ts_us"))
+    return (lag_features(ev, "user_id", ["ts_us", "event_id"], "value",
+                         n_lags=2, roll=3)
+            .select("user_id", "event_id", "value",
+                    "lag_1", "lag_2", "delta", "roll_mean"))
+
+
 def q_text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer training: the first 20 learned BPE merges (rank, pair,
     merged symbol, winning pair count).  The corpus-scale part is one
@@ -2340,7 +2370,8 @@ _PRIORITY_R05 = [
     # round-5b additions — newest first, zero driver evidence yet
     "events_seq_ngrams", "events_ohlc", "query_skew_profile",
     "sample_group_split", "text_cooccur", "ops_file_audit",
-    "text_bpe_learn", "sketch_cms",
+    "text_bpe_learn", "sketch_cms", "query_bloom_join",
+    "query_lag_features",
     "dedup_fuzzy2", "dedup_apply", "query_heavy_hitters",
     "query_incremental_agg", "source_schema_evolution",
     "text_pii_redact", "query_salted_join_auto", "text_scrub_chunks",
@@ -2526,6 +2557,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_file_audit": q_ops_file_audit,
         "text_bpe_learn": q_text_bpe_learn,
         "sketch_cms": q_sketch_cms,
+        "query_bloom_join": q_bloom_join,
+        "query_lag_features": q_lag_features,
     }
 
 
@@ -4085,6 +4118,29 @@ def oracle_sql() -> dict[str, str]:
                        x='CAST(n_rows AS DOUBLE) * nkeys / total')}
                        AS skew_ratio
             FROM r, t WHERE rnk <= 20
+        """,
+        "query_bloom_join": """
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                        AS DOUBLE) AS total_price
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_acctbal > 9000)
+            GROUP BY o_orderpriority
+        """,
+        "query_lag_features": f"""
+            SELECT user_id, event_id, value,
+                   lag(value, 1) OVER w AS lag_1,
+                   lag(value, 2) OVER w AS lag_2,
+                   value - lag(value, 1) OVER w AS delta,
+                   {ROUND4_SQL.format(
+                       x='avg(value) OVER (PARTITION BY user_id '
+                         'ORDER BY epoch_us(ts), event_id '
+                         'ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)')}
+                       AS roll_mean
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id)
         """,
         "ops_file_audit": """
             SELECT trim(CAST(o_orderpriority AS VARCHAR)) AS pk,

@@ -593,3 +593,29 @@ def key_skew_profile(df: DataFrame, key_col: str, top: int = 20) -> DataFrame:
                             / F.col("_total")).alias("share_ppm"),
                     round4(F.col("n_rows") * F.col("_nkeys")
                            / F.col("_total")).alias("skew_ratio")))
+
+
+def lag_features(df: DataFrame, key_col: str, order_cols: list[str],
+                 value_col: str, n_lags: int = 2,
+                 roll: int = 3) -> DataFrame:
+    """Per-key lag/rolling feature extraction — the standard ML
+    feature-engineering pass over an ordered metric stream: previous
+    values (``lag_1..lag_n``), the step delta, and a trailing
+    ``roll``-row mean, all per key in event order.
+
+    ONE shuffle serves everything: every window shares the same
+    partitioning and ordering, so Catalyst plans a single exchange +
+    sort and evaluates all the frames in one Window node.
+    ``order_cols`` must be a total order (ts + id).  The rolling mean
+    floor-rounds (``round4``) so ratios of doubles hash identically in
+    the oracle.
+    """
+    from ..functions.vectors import round4
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    wr = w.rowsBetween(-(roll - 1), 0)
+    out = df
+    for i in range(1, n_lags + 1):
+        out = out.withColumn(f"lag_{i}", F.lag(value_col, i).over(w))
+    return (out
+            .withColumn("delta", F.col(value_col) - F.col("lag_1"))
+            .withColumn("roll_mean", round4(F.avg(value_col).over(wr))))

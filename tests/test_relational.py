@@ -557,3 +557,40 @@ def test_group_split_never_splits_a_group(spark):
     assert spans == 0
     assert set(r.split for r in out.select("split").distinct().collect()) \
         <= {"train", "val", "test"}
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    from dynamic_partitioner_spark.operators.bloom import bloom_semi_join
+    fact = spark.createDataFrame(
+        [(i, i % 100) for i in range(2000)] + [(9999, None)],
+        "id long, k long")
+    dim = spark.createDataFrame([(i,) for i in range(0, 100, 7)], "dk long")
+    got = {r.id for r in
+           bloom_semi_join(fact, dim, "k", "dk", n_bits=1 << 12).collect()}
+    want = {r.id for r in
+            fact.join(dim.withColumnRenamed("dk", "k").distinct(),
+                      "k", "left_semi").collect()}
+    assert got == want and len(got) > 0
+
+
+def test_bloom_build_sets_expected_bits(spark):
+    from dynamic_partitioner_spark.operators.bloom import (
+        _bit_positions, build_bloom)
+    dim = spark.createDataFrame([("a",), ("b",), (None,)], "k string")
+    bits = build_bloom(dim, "k", n_bits=1 << 10, n_hashes=3)
+    for key in ("a", "b"):
+        assert all(bits[p] for p in _bit_positions(key, 3, 1 << 10))
+    assert bits.sum() <= 6
+
+
+def test_lag_features_values(spark):
+    from dynamic_partitioner_spark.operators.relational import lag_features
+    rows = [(1, 1, 10.0), (1, 2, 12.0), (1, 3, 11.0), (2, 1, 5.0)]
+    df = spark.createDataFrame(rows, "uid long, seq long, v double")
+    out = {(r.uid, r.seq): r for r in
+           lag_features(df, "uid", ["seq"], "v",
+                        n_lags=2, roll=3).collect()}
+    r3 = out[(1, 3)]
+    assert (r3.lag_1, r3.lag_2, r3.delta) == (12.0, 10.0, -1.0)
+    assert abs(r3.roll_mean - 11.0) < 1e-9
+    assert out[(2, 1)].lag_1 is None and out[(2, 1)].delta is None
