@@ -2270,6 +2270,42 @@ def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "lag_1", "lag_2", "delta", "roll_mean"))
 
 
+def q_source_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-versioned table: three commits (append, append,
+    overwrite), then per-priority counts read AS OF each version —
+    time travel over plain parquet + a JSON commit log.  The oracle
+    recomputes each snapshot's membership from the same key split."""
+    from dynamic_partitioner_spark.operators.versioned import (
+        read_version, versioned_write)
+    orders = _table(spark, sf_dir, "orders")
+    out = _out("source_time_travel")
+    versioned_write(orders.where(F.col("o_orderkey") % 3 == 0), out)
+    versioned_write(orders.where(F.col("o_orderkey") % 3 == 1), out)
+    versioned_write(orders.where(F.col("o_orderkey") % 3 == 2), out,
+                    mode="overwrite")
+    parts = []
+    for v in (1, 2, 3):
+        parts.append(
+            read_version(spark, out, v)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .select(F.lit(v).alias("version"), "o_orderpriority",
+                    "n_orders"))
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch purchase attribution over click/view touches in
+    a 24 h lookback — both models from ONE per-user range-frame pass
+    (no self-join, no range join)."""
+    from dynamic_partitioner_spark.operators.relational import attribution
+    events = _table(spark, sf_dir, "events")
+    ev = events.select("user_id", "event_id", "event_type",
+                       event_time_us(events).alias("ts_us"))
+    return attribution(ev, "user_id", "ts_us", "event_id", "event_type",
+                       ["click", "view"], "purchase")
+
+
 def q_text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer training: the first 20 learned BPE merges (rank, pair,
     merged symbol, winning pair count).  The corpus-scale part is one
@@ -2371,7 +2407,7 @@ _PRIORITY_R05 = [
     "events_seq_ngrams", "events_ohlc", "query_skew_profile",
     "sample_group_split", "text_cooccur", "ops_file_audit",
     "text_bpe_learn", "sketch_cms", "query_bloom_join",
-    "query_lag_features",
+    "query_lag_features", "events_attribution", "source_time_travel",
     "dedup_fuzzy2", "dedup_apply", "query_heavy_hitters",
     "query_incremental_agg", "source_schema_evolution",
     "text_pii_redact", "query_salted_join_auto", "text_scrub_chunks",
@@ -2559,6 +2595,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms": q_sketch_cms,
         "query_bloom_join": q_bloom_join,
         "query_lag_features": q_lag_features,
+        "events_attribution": q_events_attribution,
+        "source_time_travel": q_source_time_travel,
     }
 
 
@@ -4118,6 +4156,48 @@ def oracle_sql() -> dict[str, str]:
                        x='CAST(n_rows AS DOUBLE) * nkeys / total')}
                        AS skew_ratio
             FROM r, t WHERE rnk <= 20
+        """,
+        "source_time_travel": """
+            WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+            v2 AS (SELECT * FROM orders WHERE o_orderkey % 3 <= 1),
+            v3 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 2)
+            SELECT 1 AS version, o_orderpriority, count(*) AS n_orders
+            FROM v1 GROUP BY o_orderpriority
+            UNION ALL
+            SELECT 2, o_orderpriority, count(*) FROM v2
+            GROUP BY o_orderpriority
+            UNION ALL
+            SELECT 3, o_orderpriority, count(*) FROM v3
+            GROUP BY o_orderpriority
+        """,
+        "events_attribution": """
+            WITH ev AS (
+                SELECT user_id AS u, epoch_us(ts) AS t, event_id AS id,
+                       event_type AS k
+                FROM events
+                WHERE event_type IN ('click', 'view', 'purchase')),
+            m AS (
+                SELECT u, t, id, k,
+                       min(CASE WHEN k IN ('click', 'view')
+                                THEN {'t': t, 'id': id, 'k': k} END)
+                           OVER w AS f,
+                       max(CASE WHEN k IN ('click', 'view')
+                                THEN {'t': t, 'id': id, 'k': k} END)
+                           OVER w AS l
+                FROM ev
+                WINDOW w AS (PARTITION BY u ORDER BY t
+                             RANGE BETWEEN 86400000000 PRECEDING
+                             AND CURRENT ROW)),
+            conv AS (SELECT * FROM m WHERE k = 'purchase')
+            SELECT 'first_touch' AS model,
+                   coalesce(f.k, 'none') AS channel,
+                   count(*) AS n_conversions
+            FROM conv GROUP BY coalesce(f.k, 'none')
+            UNION ALL
+            SELECT 'last_touch' AS model,
+                   coalesce(l.k, 'none') AS channel,
+                   count(*) AS n_conversions
+            FROM conv GROUP BY coalesce(l.k, 'none')
         """,
         "query_bloom_join": """
             SELECT o_orderpriority, count(*) AS n_orders,

@@ -619,3 +619,50 @@ def lag_features(df: DataFrame, key_col: str, order_cols: list[str],
     return (out
             .withColumn("delta", F.col(value_col) - F.col("lag_1"))
             .withColumn("roll_mean", round4(F.avg(value_col).over(wr))))
+
+
+def attribution(df: DataFrame, user_col: str, ts_us_col: str,
+                id_col: str, type_col: str, touch_types: list[str],
+                conversion_type: str,
+                lookback_us: int = 86_400_000_000) -> DataFrame:
+    """Marketing-style conversion attribution: for every conversion
+    event, the FIRST-touch and LAST-touch channel among the user's
+    touch events inside the lookback window, aggregated to
+    ``(model, channel, n_conversions)`` — channel ``none`` when no
+    touch preceded the conversion in time.
+
+    Single shuffle on the user key: touches and conversions ride ONE
+    per-user stream ordered by event time, and a RANGE frame
+    (``lookback_us`` preceding → current) computes both models at once
+    via conditional min/max over a ``(ts, id, type)`` struct —
+    lexicographic struct ordering makes first=min and last=max with
+    the id as a total tie-break, so no self-join, no range join, no
+    per-conversion scan.  The final aggregate runs on the tiny
+    (model × channel) grid.
+    """
+    ev = (df.where(F.col(type_col).isin(list(touch_types)
+                                        + [conversion_type]))
+          .select(F.col(user_col).alias("_u"),
+                  F.col(ts_us_col).alias("_ts"),
+                  F.col(id_col).alias("_id"),
+                  F.col(type_col).alias("_k")))
+    is_touch = F.col("_k").isin(list(touch_types))
+    w = (Window.partitionBy("_u").orderBy("_ts")
+         .rangeBetween(-int(lookback_us), 0))
+    marked = ev.select(
+        "*",
+        F.min(F.when(is_touch, F.struct("_ts", "_id", "_k")))
+        .over(w).alias("_first"),
+        F.max(F.when(is_touch, F.struct("_ts", "_id", "_k")))
+        .over(w).alias("_last"))
+    conv = marked.where(F.col("_k") == conversion_type)
+    out = []
+    for model, pick in (("first_touch", "_first"), ("last_touch", "_last")):
+        out.append(
+            conv.select(
+                F.lit(model).alias("model"),
+                F.coalesce(F.col(f"{pick}._k"), F.lit("none"))
+                .alias("channel"))
+            .groupBy("model", "channel")
+            .agg(F.count(F.lit(1)).alias("n_conversions")))
+    return out[0].unionByName(out[1])

@@ -1,0 +1,95 @@
+"""Minimal snapshot-versioned table: plain parquet data files plus a
+JSON commit log — the lakehouse time-travel primitive (Delta/Iceberg
+shape) reduced to its core, with none of either format's machinery.
+
+Layout::
+
+    <path>/_log/00000001.json   {"version": 1, "mode": "append"|"overwrite",
+                                 "dirs": ["batch-00000001"]}
+    <path>/batch-00000001/...   ordinary parquet files
+
+A read "as of version v" unions the batch directories of every commit
+after the last ``overwrite`` at-or-before ``v`` — so appends
+accumulate and an overwrite starts a new visible set, exactly Delta's
+snapshot semantics for the two write modes supported here.
+
+Scale posture: the log is metadata (bytes per commit, read once on the
+driver); the data path is untouched parquet, so partition pruning,
+pushdown and every other scan property still apply.  Single-writer
+assumption, documented: production systems make the log append atomic
+via rename/optimistic-concurrency (Delta PROTOCOL.md does exactly
+this); this operator targets reproducible pipeline reads ("train on
+the corpus exactly as it was at version 12"), not concurrent writers.
+
+No counterpart in the reference (its sink has CREATE/APPEND but no
+versions); public design, cited above.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, "_log")
+
+
+def _commits(path: str) -> list[dict]:
+    ld = _log_dir(path)
+    if not os.path.isdir(ld):
+        return []
+    out = []
+    for name in sorted(os.listdir(ld)):
+        if name.endswith(".json"):
+            with open(os.path.join(ld, name)) as fh:
+                out.append(json.load(fh))
+    return out
+
+
+def versioned_write(df: DataFrame, path: str,
+                    mode: str = "append") -> int:
+    """Commit ``df`` as the next table version; returns the version
+    number.  ``mode='append'`` adds to the visible set,
+    ``'overwrite'`` replaces it (earlier versions stay readable —
+    that is the point)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unsupported mode {mode!r}")
+    commits = _commits(path)
+    version = (commits[-1]["version"] + 1) if commits else 1
+    batch = f"batch-{version:08d}"
+    df.write.mode("error").parquet(os.path.join(path, batch))
+    os.makedirs(_log_dir(path), exist_ok=True)
+    commit = {"version": version, "mode": mode, "dirs": [batch]}
+    # write-then-rename so a torn write never looks like a commit
+    final = os.path.join(_log_dir(path), f"{version:08d}.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(commit, fh)
+    os.replace(tmp, final)
+    return version
+
+
+def read_version(spark: SparkSession, path: str,
+                 version: int | None = None) -> DataFrame:
+    """Read the table as of ``version`` (default: latest).  Raises on
+    an empty table or a version that never existed."""
+    commits = _commits(path)
+    if not commits:
+        raise FileNotFoundError(f"no commits under {path}")
+    latest = commits[-1]["version"]
+    if version is None:
+        version = latest
+    # versions are contiguous from 1 by construction (next = last + 1)
+    if not 1 <= version <= latest:
+        raise ValueError(f"version {version} does not exist under {path}"
+                         f" (latest is {latest})")
+    visible = [c for c in commits if c["version"] <= version]
+    dirs: list[str] = []
+    for c in visible:
+        if c["mode"] == "overwrite":
+            dirs = []
+        dirs.extend(c["dirs"])
+    return spark.read.parquet(*[os.path.join(path, d) for d in dirs])

@@ -594,3 +594,31 @@ def test_lag_features_values(spark):
     assert (r3.lag_1, r3.lag_2, r3.delta) == (12.0, 10.0, -1.0)
     assert abs(r3.roll_mean - 11.0) < 1e-9
     assert out[(2, 1)].lag_1 is None and out[(2, 1)].delta is None
+
+
+def test_attribution_first_last_and_none(spark):
+    from dynamic_partitioner_spark.operators.relational import attribution
+    # user 1: click@10, view@20, purchase@25 → first=click, last=view
+    # user 1: purchase@1000 (no touch within 100) → none
+    # user 2: view@5, purchase@6 → first=last=view
+    rows = [(1, 1, "click", 10), (1, 2, "view", 20), (1, 3, "purchase", 25),
+            (1, 4, "purchase", 1000), (2, 5, "view", 5),
+            (2, 6, "purchase", 6), (1, 7, "error", 24)]
+    df = spark.createDataFrame(rows, "u long, id long, k string, ts long")
+    got = {(r.model, r.channel): r.n_conversions for r in
+           attribution(df, "u", "ts", "id", "k", ["click", "view"],
+                       "purchase", lookback_us=100).collect()}
+    assert got == {("first_touch", "click"): 1, ("first_touch", "view"): 1,
+                   ("first_touch", "none"): 1, ("last_touch", "view"): 2,
+                   ("last_touch", "none"): 1}
+
+
+def test_attribution_tie_on_ts_breaks_on_id(spark):
+    from dynamic_partitioner_spark.operators.relational import attribution
+    rows = [(1, 1, "click", 10), (1, 2, "view", 10), (1, 3, "purchase", 11)]
+    df = spark.createDataFrame(rows, "u long, id long, k string, ts long")
+    got = {(r.model, r.channel) for r in
+           attribution(df, "u", "ts", "id", "k", ["click", "view"],
+                       "purchase", lookback_us=100).collect()}
+    # same ts: min struct → id 1 (click), max struct → id 2 (view)
+    assert got == {("first_touch", "click"), ("last_touch", "view")}

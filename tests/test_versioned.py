@@ -1,0 +1,50 @@
+"""Snapshot-versioned table (JSON commit log + plain parquet)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dynamic_partitioner_spark.operators.versioned import (
+    read_version,
+    versioned_write,
+)
+
+
+def _ids(df):
+    return {r.id for r in df.collect()}
+
+
+def test_append_accumulates_and_versions_stay_readable(spark, tmp_path):
+    p = str(tmp_path / "t")
+    a = spark.createDataFrame([(1,), (2,)], "id long")
+    b = spark.createDataFrame([(3,)], "id long")
+    assert versioned_write(a, p) == 1
+    assert versioned_write(b, p) == 2
+    assert _ids(read_version(spark, p, 1)) == {1, 2}
+    assert _ids(read_version(spark, p, 2)) == {1, 2, 3}
+    assert _ids(read_version(spark, p)) == {1, 2, 3}
+
+
+def test_overwrite_resets_visible_set_but_not_history(spark, tmp_path):
+    p = str(tmp_path / "t")
+    versioned_write(spark.createDataFrame([(1,)], "id long"), p)
+    versioned_write(spark.createDataFrame([(9,)], "id long"), p,
+                    mode="overwrite")
+    versioned_write(spark.createDataFrame([(10,)], "id long"), p)
+    assert _ids(read_version(spark, p, 1)) == {1}
+    assert _ids(read_version(spark, p, 2)) == {9}
+    assert _ids(read_version(spark, p, 3)) == {9, 10}
+
+
+def test_bad_versions_and_modes_raise(spark, tmp_path):
+    p = str(tmp_path / "t")
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, p)
+    versioned_write(spark.createDataFrame([(1,)], "id long"), p)
+    with pytest.raises(ValueError):
+        read_version(spark, p, 99)
+    with pytest.raises(ValueError):
+        read_version(spark, p, 0)
+    with pytest.raises(ValueError):
+        versioned_write(spark.createDataFrame([(1,)], "id long"), p,
+                        mode="error_if_exists")

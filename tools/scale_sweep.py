@@ -44,6 +44,12 @@ SWEEP_KEYS = [
     "sample_topk", "events_delay_audit", "dedup_semantic",
     "sample_epoch_shuffle", "query_decimal_agg", "privacy_pseudonymize",
     "query_hll_mergeable", "embedding_pca", "mm_tar_shards",
+    # round-5b additions
+    "events_seq_ngrams", "events_ohlc", "query_skew_profile",
+    "sample_group_split", "text_cooccur", "ops_file_audit",
+    "text_bpe_learn", "sketch_cms", "query_bloom_join",
+    "query_lag_features",
+    "events_attribution", "source_time_travel",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
