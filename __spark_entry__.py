@@ -2270,6 +2270,84 @@ def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "lag_1", "lag_2", "delta", "roll_mean"))
 
 
+#: SQL-interface keys — ONE dialect-neutral ANSI string each, executed
+#: verbatim by spark.sql AND by the DuckDB oracle (micro-unit integer
+#: sums keep every aggregate order-free and engine-exact).
+_TPCH_Q1_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_qty_c,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_base_c,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                               * 10000 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_disc_u,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                               * (1 + l_tax) * 10000 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_charge_u,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+_TPCH_Q5_SQL = """
+    SELECT n_name,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                               * 10000 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_u
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+"""
+
+
+def _run_sql(spark: SparkSession, sf_dir: str, sql: str,
+             tables: list[str]) -> DataFrame:
+    """Register the named tables as temp views and run raw SQL — the
+    engine's SQL interface (same text the DuckDB oracle executes)."""
+    for t in tables:
+        _table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(sql)
+
+
+def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary through the RAW SQL interface —
+    dialect-neutral text, identical in the oracle; Catalyst still
+    plans partial aggregation + a 6-group exchange."""
+    return _run_sql(spark, sf_dir, _TPCH_Q1_SQL, ["lineitem"])
+
+
+def q_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier volume (6-table join) through raw SQL —
+    Catalyst broadcast-plans the dimension tables and reorders the
+    joins; the oracle runs the same text."""
+    return _run_sql(spark, sf_dir, _TPCH_Q5_SQL,
+                    ["customer", "orders", "lineitem", "supplier",
+                     "nation", "region"])
+
+
+def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract check over orders: null / range /
+    uniqueness / referential rules in one pass (conditional-sum scan +
+    one hash agg + one broadcast anti-join), violation counts only."""
+    from dynamic_partitioner_spark.operators.expectations import (
+        check_expectations)
+    orders = _table(spark, sf_dir, "orders")
+    cust = _table(spark, sf_dir, "customer")
+    return check_expectations(orders, [
+        ("not_null", "o_custkey"),
+        ("range", "o_totalprice", 0.0, 600_000.0),
+        ("unique", "o_orderkey"),
+        ("fk", "o_custkey", cust, "c_custkey"),
+    ])
+
+
 def q_source_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-versioned table: three commits (append, append,
     overwrite), then per-priority counts read AS OF each version —
@@ -2408,6 +2486,7 @@ _PRIORITY_R05 = [
     "sample_group_split", "text_cooccur", "ops_file_audit",
     "text_bpe_learn", "sketch_cms", "query_bloom_join",
     "query_lag_features", "events_attribution", "source_time_travel",
+    "query_sql_tpch_q1", "query_sql_tpch_q5", "quality_expectations",
     "dedup_fuzzy2", "dedup_apply", "query_heavy_hitters",
     "query_incremental_agg", "source_schema_evolution",
     "text_pii_redact", "query_salted_join_auto", "text_scrub_chunks",
@@ -2597,6 +2676,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_lag_features": q_lag_features,
         "events_attribution": q_events_attribution,
         "source_time_travel": q_source_time_travel,
+        "query_sql_tpch_q1": q_sql_tpch_q1,
+        "query_sql_tpch_q5": q_sql_tpch_q5,
+        "quality_expectations": q_quality_expectations,
     }
 
 
@@ -4156,6 +4238,33 @@ def oracle_sql() -> dict[str, str]:
                        x='CAST(n_rows AS DOUBLE) * nkeys / total')}
                        AS skew_ratio
             FROM r, t WHERE rnk <= 20
+        """,
+        "query_sql_tpch_q1": _TPCH_Q1_SQL,
+        "query_sql_tpch_q5": _TPCH_Q5_SQL,
+        "quality_expectations": """
+            SELECT 1 AS rule_id, 'not_null' AS rule,
+                   'o_custkey' AS col_name,
+                   CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violations
+            FROM orders
+            UNION ALL
+            SELECT 2, 'range', 'o_totalprice',
+                   CAST(sum(CASE WHEN o_totalprice < 0
+                                   OR o_totalprice > 600000
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 3, 'unique', 'o_orderkey',
+                   CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+            FROM (SELECT o_orderkey, count(*) AS n FROM orders
+                  WHERE o_orderkey IS NOT NULL
+                  GROUP BY o_orderkey HAVING count(*) > 1)
+            UNION ALL
+            SELECT 4, 'fk', 'o_custkey', CAST(count(*) AS BIGINT)
+            FROM orders o
+            WHERE o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)
         """,
         "source_time_travel": """
             WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),

@@ -50,6 +50,7 @@ SWEEP_KEYS = [
     "text_bpe_learn", "sketch_cms", "query_bloom_join",
     "query_lag_features",
     "events_attribution", "source_time_travel",
+    "query_sql_tpch_q1", "query_sql_tpch_q5", "quality_expectations",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
