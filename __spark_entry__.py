@@ -2332,6 +2332,24 @@ def q_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "nation", "region"])
 
 
+#: hybrid-retrieval query: terms + the embedding of vec 0 as query vec
+_HYBRID_TERMS = ["merge", "window", "spark"]
+
+
+def q_similarity_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused with reciprocal-rank
+    fusion (RRF, Cormack & Clarke 2009) — the first-stage RAG/search
+    shape; both legs exact here, each swappable for its ANN twin at
+    scale (RRF only ever sees ranks)."""
+    from dynamic_partitioner_spark.operators.similarity import (
+        hybrid_rrf_topk)
+    docs = _table(spark, sf_dir, "documents")
+    emb = _table(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0)
+    return hybrid_rrf_topk(docs, "doc_id", "text", emb, "vec_id",
+                           "embedding", qv, _HYBRID_TERMS, k=20)
+
+
 def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-contract check over orders: null / range /
     uniqueness / referential rules in one pass (conditional-sum scan +
@@ -2487,6 +2505,7 @@ _PRIORITY_R05 = [
     "text_bpe_learn", "sketch_cms", "query_bloom_join",
     "query_lag_features", "events_attribution", "source_time_travel",
     "query_sql_tpch_q1", "query_sql_tpch_q5", "quality_expectations",
+    "similarity_hybrid_rrf",
     "dedup_fuzzy2", "dedup_apply", "query_heavy_hitters",
     "query_incremental_agg", "source_schema_evolution",
     "text_pii_redact", "query_salted_join_auto", "text_scrub_chunks",
@@ -2679,6 +2698,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_sql_tpch_q1": q_sql_tpch_q1,
         "query_sql_tpch_q5": q_sql_tpch_q5,
         "quality_expectations": q_quality_expectations,
+        "similarity_hybrid_rrf": q_similarity_hybrid,
     }
 
 
@@ -4238,6 +4258,41 @@ def oracle_sql() -> dict[str, str]:
                        x='CAST(n_rows AS DOUBLE) * nkeys / total')}
                        AS skew_ratio
             FROM r, t WHERE rnk <= 20
+        """,
+        "similarity_hybrid_rrf": r"""
+            WITH tf AS (
+                SELECT doc_id AS d, count(*) AS tf
+                FROM (SELECT doc_id,
+                             unnest(string_split_regex(trim(lower(text)),
+                                                       '[ \t\n\r]+')) AS t
+                      FROM documents)
+                WHERE t IN ('merge', 'window', 'spark')
+                GROUP BY doc_id),
+            lex AS (
+                SELECT d, row_number() OVER (ORDER BY tf DESC, d)
+                           AS rank_text
+                FROM tf QUALIFY rank_text <= 100),
+            qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+            sc AS (SELECT vec_id AS v,
+                          floor(list_cosine_similarity(
+                              embedding::DOUBLE[], q::DOUBLE[])
+                              * 10000 + 0.5) / 10000 AS cos
+                   FROM embeddings, qv),
+            vec AS (
+                SELECT v, row_number() OVER (ORDER BY cos DESC, v)
+                           AS rank_vec
+                FROM sc QUALIFY rank_vec <= 100),
+            f AS (
+                SELECT coalesce(d, v) AS doc_id, rank_text, rank_vec,
+                       coalesce(1.0 / (60 + rank_text), 0.0)
+                       + coalesce(1.0 / (60 + rank_vec), 0.0) AS rrf_raw
+                FROM lex FULL OUTER JOIN vec ON d = v)
+            SELECT row_number() OVER (ORDER BY rrf_raw DESC, doc_id)
+                       AS rank,
+                   doc_id,
+                   floor(rrf_raw * 10000 + 0.5) / 10000 AS rrf,
+                   rank_text, rank_vec
+            FROM f QUALIFY rank <= 20
         """,
         "query_sql_tpch_q1": _TPCH_Q1_SQL,
         "query_sql_tpch_q5": _TPCH_Q5_SQL,

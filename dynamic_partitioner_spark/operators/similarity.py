@@ -356,3 +356,60 @@ def topk_ann_ivf(emb: DataFrame, queries: DataFrame, id_col: str = "vec_id",
     ranked = scored.withColumn("rank",
                                F.row_number().over(_rank_window("query_id")))
     return ranked.where(F.col("rank") <= k)
+
+
+def hybrid_rrf_topk(docs: DataFrame, doc_id: str, text_col: str,
+                    emb: DataFrame, vec_id: str, vec_col: str,
+                    query_vec: DataFrame, terms: list[str],
+                    k: int = 20, shortlist: int = 100,
+                    c: int = 60) -> DataFrame:
+    """Hybrid (lexical + vector) retrieval with reciprocal-rank fusion:
+    rank documents by query-term frequency AND by cosine to the query
+    embedding, fuse the two shortlists with RRF
+    ``Σ 1/(c + rank)`` (Cormack & Clarke 2009), return the top ``k``
+    as ``(rank, doc_id, rrf, rank_text, rank_vec)`` — the standard
+    first-stage shape of a RAG / search stack.
+
+    Both ranking legs here are EXACT (tf aggregate; codegen cosine
+    scan against the broadcast query vector) and cut to ``shortlist``
+    before fusion — fusion itself touches ≤ 2·shortlist rows.  At
+    100 TB each leg hands its shortlist over instead: the lexical leg
+    from an inverted/term-pruned scan, the vector leg from
+    ``topk_ann_lsh``/``topk_ann_ivf`` — RRF only ever sees ranks, so
+    swapping a leg for its approximate twin changes nothing
+    structurally.  RRF scores are single-op double sums of exact
+    reciprocals → bit-identical cross-engine; rank ties break on id.
+    """
+    if k < 1 or shortlist < k:
+        raise ValueError("need 1 <= k <= shortlist")
+    toks = (docs.select(F.col(doc_id).alias("_d"),
+                        F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                          "[ \\t\\n\\r]+")).alias("_t")))
+    tf = (toks.where(F.col("_t").isin(terms))
+          .groupBy("_d").agg(F.count(F.lit(1)).alias("_tf")))
+    wt = Window.orderBy(F.desc("_tf"), F.asc("_d"))
+    lex = (tf.withColumn("rank_text", F.row_number().over(wt))
+           .where(F.col("rank_text") <= shortlist))
+
+    qv = query_vec.select(F.col(vec_col).alias("_qv"))
+    scored = (emb.crossJoin(F.broadcast(qv))
+              .select(F.col(vec_id).alias("_v"),
+                      round4(cosine(F.col(vec_col), F.col("_qv")))
+                      .alias("_cos")))
+    wv = Window.orderBy(F.desc("_cos"), F.asc("_v"))
+    vec = (scored.withColumn("rank_vec", F.row_number().over(wv))
+           .where(F.col("rank_vec") <= shortlist))
+
+    fused = (lex.join(vec, lex["_d"] == vec["_v"], "full_outer")
+             .select(F.coalesce(lex["_d"], vec["_v"]).alias(doc_id),
+                     "rank_text", "rank_vec"))
+    rrf = (F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rank_text")),
+                      F.lit(0.0))
+           + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rank_vec")),
+                        F.lit(0.0)))
+    wr = Window.orderBy(F.desc("_rrf"), F.asc(doc_id))
+    return (fused.withColumn("_rrf", rrf)
+            .withColumn("rank", F.row_number().over(wr))
+            .where(F.col("rank") <= k)
+            .select("rank", doc_id, round4(F.col("_rrf")).alias("rrf"),
+                    "rank_text", "rank_vec"))

@@ -155,3 +155,39 @@ def test_distributed_kmeans_deterministic_and_converges(spark):
     assert inertia(c1) < inertia(init)     # Lloyd improved the init
     with pytest.raises(ValueError):
         train_centroids_distributed(emb.limit(0), n_lists=8)
+
+
+def test_hybrid_rrf_fuses_both_legs(spark):
+    from dynamic_partitioner_spark.operators.similarity import (
+        hybrid_rrf_topk)
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha alpha"), (2, "gamma")],
+        "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 0.1])],
+        "vec_id long, embedding array<float>")
+    qv = emb.where("vec_id = 0")
+    out = {r.doc_id: r for r in
+           hybrid_rrf_topk(docs, "doc_id", "text", emb, "vec_id",
+                           "embedding", qv, ["alpha"], k=3).collect()}
+    # lexical leg: doc1 (tf 2) > doc0 (tf 1); doc2 absent
+    assert out[1].rank_text == 1 and out[0].rank_text == 2
+    assert out[2].rank_text is None
+    # vector leg: doc0 (cos 1) > doc2 > doc1
+    assert out[0].rank_vec == 1 and out[2].rank_vec == 2
+    # fusion: doc0 (2nd lex + 1st vec) beats doc1 (1st lex + 3rd vec)
+    assert out[0].rank == 1
+    assert abs(out[0].rrf - round(1 / 62 + 1 / 61, 4)) < 2e-4
+
+
+def test_hybrid_rrf_validates_k(spark):
+    import pytest
+
+    from dynamic_partitioner_spark.operators.similarity import (
+        hybrid_rrf_topk)
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    emb = spark.createDataFrame([(0, [1.0])],
+                                "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        hybrid_rrf_topk(docs, "doc_id", "text", emb, "vec_id",
+                        "embedding", emb, ["x"], k=50, shortlist=10)

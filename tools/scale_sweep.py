@@ -51,6 +51,7 @@ SWEEP_KEYS = [
     "query_lag_features",
     "events_attribution", "source_time_travel",
     "query_sql_tpch_q1", "query_sql_tpch_q5", "quality_expectations",
+    "similarity_hybrid_rrf",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
