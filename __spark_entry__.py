@@ -2332,6 +2332,37 @@ def q_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "nation", "region"])
 
 
+def q_events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-growth curve: per day, new users (first-seen) and the
+    cumulative total — cumulative DISTINCT reduced to a cumulative SUM
+    via the first-seen-day trick (two tiny hash aggs + one window over
+    the day grid, never a growing distinct state)."""
+    events = _table(spark, sf_dir, "events")
+    day = F.date_format(event_time_ts(events), "yyyy-MM-dd").alias("day")
+    first = (events.select(F.col("user_id"), day)
+             .where(F.col("user_id").isNotNull())
+             .groupBy("user_id").agg(F.min("day").alias("day")))
+    daily = first.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select("day", "n_new_users",
+                        F.sum("n_new_users").over(w).alias("cum_users"))
+
+
+def q_sample_balance_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsample of the labeled embedding corpus: every
+    label keeps exactly min-class-count rows by deterministic hash
+    draw; returns the per-label audit."""
+    from dynamic_partitioner_spark.operators.sampling import (
+        balance_classes)
+    emb = _table(spark, sf_dir, "embeddings")
+    kept = balance_classes(emb, "label", "vec_id")
+    return (kept.groupBy(F.col("label").cast("long").alias("label"))
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.min("vec_id").alias("min_vec_id"),
+                 F.max("vec_id").alias("max_vec_id")))
+
+
 #: hybrid-retrieval query: terms + the embedding of vec 0 as query vec
 _HYBRID_TERMS = ["merge", "window", "spark"]
 
@@ -2505,7 +2536,8 @@ _PRIORITY_R05 = [
     "text_bpe_learn", "sketch_cms", "query_bloom_join",
     "query_lag_features", "events_attribution", "source_time_travel",
     "query_sql_tpch_q1", "query_sql_tpch_q5", "quality_expectations",
-    "similarity_hybrid_rrf",
+    "similarity_hybrid_rrf", "events_cumulative_users",
+    "sample_balance_labels",
     "dedup_fuzzy2", "dedup_apply", "query_heavy_hitters",
     "query_incremental_agg", "source_schema_evolution",
     "text_pii_redact", "query_salted_join_auto", "text_scrub_chunks",
@@ -2699,6 +2731,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_sql_tpch_q5": q_sql_tpch_q5,
         "quality_expectations": q_quality_expectations,
         "similarity_hybrid_rrf": q_similarity_hybrid,
+        "events_cumulative_users": q_events_cumulative_users,
+        "sample_balance_labels": q_sample_balance_labels,
     }
 
 
@@ -4258,6 +4292,31 @@ def oracle_sql() -> dict[str, str]:
                        x='CAST(n_rows AS DOUBLE) * nkeys / total')}
                        AS skew_ratio
             FROM r, t WHERE rnk <= 20
+        """,
+        "events_cumulative_users": """
+            WITH f AS (SELECT user_id, min(strftime(ts, '%Y-%m-%d'))
+                           AS day
+                       FROM events WHERE user_id IS NOT NULL
+                       GROUP BY user_id),
+            d AS (SELECT day, count(*) AS n_new_users FROM f GROUP BY day)
+            SELECT day, n_new_users,
+                   CAST(sum(n_new_users) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_users
+            FROM d
+        """,
+        "sample_balance_labels": f"""
+            WITH c AS (SELECT label, count(*) AS n FROM embeddings
+                       WHERE label IS NOT NULL GROUP BY label),
+            t AS (SELECT min(n) AS target FROM c),
+            r AS (SELECT vec_id, label,
+                         row_number() OVER (PARTITION BY label
+                             ORDER BY {SMP.hash_unit_sql('vec_id', 'bal')},
+                                      vec_id) AS rn
+                  FROM embeddings WHERE label IS NOT NULL)
+            SELECT CAST(label AS BIGINT) AS label, count(*) AS n_kept,
+                   min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
+            FROM r, t WHERE rn <= target GROUP BY label
         """,
         "similarity_hybrid_rrf": r"""
             WITH tf AS (

@@ -351,3 +351,29 @@ def group_split(df: DataFrame, group_col: str,
     scale.
     """
     return split_assign(df, group_col, weights=weights, salt=salt)
+
+
+def balance_classes(df: DataFrame, label_col: str, key_col: str,
+                    salt: str = "bal") -> DataFrame:
+    """Class-balanced downsampling: every label keeps exactly
+    ``min(class count)`` rows, chosen by the deterministic md5 unit
+    draw (ties broken on the key) — the imbalanced-training fix that
+    never resamples differently on re-runs.
+
+    One shuffle on the label (the per-label rank window); the
+    per-class counts reduce to a single broadcast scalar (the min), so
+    no per-class driver state.  ``WindowGroupLimit`` cannot prune here
+    (the limit is data-dependent), so the rank runs over full classes —
+    at extreme imbalance pre-filter the majority class with
+    ``hash_sample`` first and let the exact rank finish the job.
+    """
+    counts = (df.where(F.col(label_col).isNotNull())
+              .groupBy(label_col).agg(F.count(F.lit(1)).alias("_n")))
+    target = counts.agg(F.min("_n").alias("_target"))
+    u = hash_unit(F.col(key_col), salt)
+    w = Window.partitionBy(label_col).orderBy(u.asc(), F.col(key_col).asc())
+    ranked = (df.where(F.col(label_col).isNotNull())
+              .withColumn("_rn", F.row_number().over(w)))
+    return (ranked.crossJoin(F.broadcast(target))
+            .where(F.col("_rn") <= F.col("_target"))
+            .drop("_rn", "_target"))

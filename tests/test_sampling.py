@@ -284,3 +284,21 @@ def test_split_assign_sql_twin_nulls(spark):
     rows = con.sql(f"SELECT k, {sql} AS s FROM t").fetchall()
     got = {k: s for k, s in rows}
     assert got[None] is None and got[1] is not None
+
+
+def test_balance_classes_exact_min_count_per_label(spark):
+    from pyspark.sql import functions as F
+
+    from dynamic_partitioner_spark.operators.sampling import balance_classes
+    rows = ([(i, "a") for i in range(50)] + [(100 + i, "b") for i in range(7)]
+            + [(200 + i, "c") for i in range(20)] + [(999, None)])
+    df = spark.createDataFrame(rows, "id long, label string")
+    kept = balance_classes(df, "label", "id")
+    counts = {r.label: r.n for r in
+              kept.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    assert counts == {"a": 7, "b": 7, "c": 7}
+    # deterministic across invocations
+    ids1 = sorted(r.id for r in kept.collect())
+    ids2 = sorted(r.id for r in balance_classes(df, "label", "id").collect())
+    assert ids1 == ids2

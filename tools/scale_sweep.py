@@ -52,6 +52,7 @@ SWEEP_KEYS = [
     "events_attribution", "source_time_travel",
     "query_sql_tpch_q1", "query_sql_tpch_q5", "quality_expectations",
     "similarity_hybrid_rrf",
+    "events_cumulative_users", "sample_balance_labels",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
