@@ -2248,7 +2248,10 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynamic_partitioner_spark.operators.bloom import bloom_semi_join
     cust = (_table(spark, sf_dir, "customer")
             .where(F.col("c_acctbal") > 9000).select("c_custkey"))
-    orders = _table(spark, sf_dir, "orders")
+    # project BEFORE the probe: column pruning cannot push through
+    # mapInPandas, so the fact must arrive pre-pruned
+    orders = _table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice")
     hits = bloom_semi_join(orders, cust, "o_custkey", "c_custkey")
     return (hits.groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n_orders"),
@@ -2304,6 +2307,22 @@ _TPCH_Q5_SQL = """
       AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY n_name
+"""
+
+
+_TPCH_Q3_SQL = """
+    SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                               * 10000 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_u
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue_u DESC, l_orderkey
+    LIMIT 10
 """
 
 
@@ -2379,6 +2398,15 @@ def q_similarity_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = emb.where(F.col("vec_id") == 0)
     return hybrid_rrf_topk(docs, "doc_id", "text", emb, "vec_id",
                            "embedding", qv, _HYBRID_TERMS, k=20)
+
+
+def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping-priority top-10 through raw SQL — the
+    LIMIT selection is deterministic (revenue ties break on the order
+    key), so TakeOrderedAndProject picks the same rows the oracle
+    does."""
+    return _run_sql(spark, sf_dir, _TPCH_Q3_SQL,
+                    ["customer", "orders", "lineitem"])
 
 
 def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2535,7 +2563,8 @@ _PRIORITY_R05 = [
     "sample_group_split", "text_cooccur", "ops_file_audit",
     "text_bpe_learn", "sketch_cms", "query_bloom_join",
     "query_lag_features", "events_attribution", "source_time_travel",
-    "query_sql_tpch_q1", "query_sql_tpch_q5", "quality_expectations",
+    "query_sql_tpch_q1", "query_sql_tpch_q3", "query_sql_tpch_q5",
+    "quality_expectations",
     "similarity_hybrid_rrf", "events_cumulative_users",
     "sample_balance_labels",
     "dedup_fuzzy2", "dedup_apply", "query_heavy_hitters",
@@ -2728,6 +2757,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": q_events_attribution,
         "source_time_travel": q_source_time_travel,
         "query_sql_tpch_q1": q_sql_tpch_q1,
+        "query_sql_tpch_q3": q_sql_tpch_q3,
         "query_sql_tpch_q5": q_sql_tpch_q5,
         "quality_expectations": q_quality_expectations,
         "similarity_hybrid_rrf": q_similarity_hybrid,
@@ -4354,6 +4384,7 @@ def oracle_sql() -> dict[str, str]:
             FROM f QUALIFY rank <= 20
         """,
         "query_sql_tpch_q1": _TPCH_Q1_SQL,
+        "query_sql_tpch_q3": _TPCH_Q3_SQL,
         "query_sql_tpch_q5": _TPCH_Q5_SQL,
         "quality_expectations": """
             SELECT 1 AS rule_id, 'not_null' AS rule,

@@ -53,6 +53,7 @@ SWEEP_KEYS = [
     "query_sql_tpch_q1", "query_sql_tpch_q5", "quality_expectations",
     "similarity_hybrid_rrf",
     "events_cumulative_users", "sample_balance_labels",
+    "query_sql_tpch_q3",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
