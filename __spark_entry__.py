@@ -2482,10 +2482,8 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests/test_frequency.py."""
     from dynamic_partitioner_spark.operators.frequency import cms_estimates
     docs = _table(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.explode(F.split(F.trim(F.lower(F.col("text"))),
-                          "[ \\t\\n\\r]+")).alias("term"))
-    toks = toks.where(F.length("term") > 0)
+    toks = (docs.select(F.explode(DD.tokens(F.col("text"))).alias("term"))
+            .where(F.length("term") > 0))
     return cms_estimates(toks, "term", top=20)
 
 
@@ -4312,8 +4310,8 @@ def oracle_sql() -> dict[str, str]:
                        FROM events GROUP BY user_id),
             t AS (SELECT sum(n_rows) AS total, count(*) AS nkeys FROM c),
             r AS (SELECT key, n_rows,
-                         row_number() OVER (ORDER BY n_rows DESC, key)
-                             AS rnk
+                         row_number() OVER (ORDER BY n_rows DESC,
+                                            key ASC NULLS LAST) AS rnk
                   FROM c)
             SELECT key, n_rows, rnk,
                    CAST(floor(n_rows * 1000000.0 / total) AS BIGINT)

@@ -27,8 +27,8 @@ def _word_counts(df: DataFrame, text_col: str, max_vocab: int) -> list:
     """Distributed word-frequency table, capped to the ``max_vocab``
     most frequent words (ties break on the word so the cap is
     deterministic).  The ONLY corpus-wide pass."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), "[ \\t\\n\\r]+")
-    counts = (df.select(F.explode(toks).alias("w"))
+    from .dedup import tokens
+    counts = (df.select(F.explode(tokens(F.col(text_col))).alias("w"))
               .where(F.length("w") > 0)
               .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
               .orderBy(F.desc("n"), F.asc("w"))

@@ -582,7 +582,11 @@ def key_skew_profile(df: DataFrame, key_col: str, top: int = 20) -> DataFrame:
     totals = counts.agg(
         F.sum("n_rows").alias("_total"),
         F.count(F.lit(1)).alias("_nkeys"))
-    rnk = Window.orderBy(F.desc("n_rows"), F.asc("key"))
+    # NULL keys stay IN the profile (a hot NULL join key is a classic
+    # skew source) but the tie-break must pin their position: Spark
+    # defaults ASC to NULLS FIRST while DuckDB defaults NULLS LAST, so
+    # an unpinned tie at the cut boundary would diverge cross-engine
+    rnk = Window.orderBy(F.desc("n_rows"), F.asc_nulls_last("key"))
     topk = (counts.withColumn("rnk", F.row_number().over(rnk))
             .where(F.col("rnk") <= top))
     return (topk.crossJoin(F.broadcast(totals))
@@ -656,13 +660,16 @@ def attribution(df: DataFrame, user_col: str, ts_us_col: str,
         F.max(F.when(is_touch, F.struct("_ts", "_id", "_k")))
         .over(w).alias("_last"))
     conv = marked.where(F.col("_k") == conversion_type)
-    out = []
-    for model, pick in (("first_touch", "_first"), ("last_touch", "_last")):
-        out.append(
-            conv.select(
-                F.lit(model).alias("model"),
-                F.coalesce(F.col(f"{pick}._k"), F.lit("none"))
-                .alias("channel"))
+    # ONE window evaluation feeding both models: explode each
+    # conversion into its two (model, channel) credits and aggregate
+    # once — a per-model union would re-run the sort+window per branch
+    credits = conv.select(F.explode(F.array(
+        F.struct(F.lit("first_touch").alias("model"),
+                 F.coalesce(F.col("_first._k"), F.lit("none"))
+                 .alias("channel")),
+        F.struct(F.lit("last_touch").alias("model"),
+                 F.coalesce(F.col("_last._k"), F.lit("none"))
+                 .alias("channel")))).alias("_c"))
+    return (credits.select("_c.model", "_c.channel")
             .groupBy("model", "channel")
             .agg(F.count(F.lit(1)).alias("n_conversions")))
-    return out[0].unionByName(out[1])

@@ -382,9 +382,9 @@ def hybrid_rrf_topk(docs: DataFrame, doc_id: str, text_col: str,
     """
     if k < 1 or shortlist < k:
         raise ValueError("need 1 <= k <= shortlist")
+    from .dedup import tokens
     toks = (docs.select(F.col(doc_id).alias("_d"),
-                        F.explode(F.split(F.trim(F.lower(F.col(text_col))),
-                                          "[ \\t\\n\\r]+")).alias("_t")))
+                        F.explode(tokens(F.col(text_col))).alias("_t")))
     tf = (toks.where(F.col("_t").isin(terms))
           .groupBy("_d").agg(F.count(F.lit(1)).alias("_tf")))
     wt = Window.orderBy(F.desc("_tf"), F.asc("_d"))

@@ -194,8 +194,9 @@ def cooccurrence_pairs(df: DataFrame, text_col: str, window: int = 2,
     """
     if window < 1:
         raise ValueError("window must be >= 1")
-    toks = F.split(F.trim(F.lower(F.col(text_col))), "[ \\t\\n\\r]+")
-    base = df.select(F.filter(toks, lambda t: F.length(t) > 0).alias("_t"))
+    from .dedup import tokens
+    base = df.select(F.filter(tokens(F.col(text_col)),
+                              lambda t: F.length(t) > 0).alias("_t"))
     n = F.size("_t")
     slices = []
     for g in range(1, window + 1):

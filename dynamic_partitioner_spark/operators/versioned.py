@@ -33,6 +33,21 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _check_local(path: str) -> None:
+    """The commit log uses driver-local ``os`` I/O, so the table path
+    must be a local filesystem path — a remote scheme (hdfs://,
+    s3a://) would silently split the data (written via Spark's Hadoop
+    FS) from the log (written to the driver's disk).  Fail loudly
+    instead; a Hadoop-FS log backend is the documented extension
+    point."""
+    if "://" in path:
+        raise ValueError(
+            f"versioned tables support local paths only (got {path!r}): "
+            "the JSON commit log is written with driver-local I/O, so a "
+            "remote data path would split table data and log across "
+            "filesystems")
+
+
 def _log_dir(path: str) -> str:
     return os.path.join(path, "_log")
 
@@ -57,10 +72,15 @@ def versioned_write(df: DataFrame, path: str,
     that is the point)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r}")
+    _check_local(path)
     commits = _commits(path)
     version = (commits[-1]["version"] + 1) if commits else 1
     batch = f"batch-{version:08d}"
-    df.write.mode("error").parquet(os.path.join(path, batch))
+    # overwrite, not error: a crash AFTER this write but BEFORE the log
+    # rename leaves an orphan batch dir that is invisible (no commit) —
+    # the retry must be able to reclaim it, or the version counter
+    # could never advance past the orphan
+    df.write.mode("overwrite").parquet(os.path.join(path, batch))
     os.makedirs(_log_dir(path), exist_ok=True)
     commit = {"version": version, "mode": mode, "dirs": [batch]}
     # write-then-rename so a torn write never looks like a commit
@@ -76,6 +96,7 @@ def read_version(spark: SparkSession, path: str,
                  version: int | None = None) -> DataFrame:
     """Read the table as of ``version`` (default: latest).  Raises on
     an empty table or a version that never existed."""
+    _check_local(path)
     commits = _commits(path)
     if not commits:
         raise FileNotFoundError(f"no commits under {path}")

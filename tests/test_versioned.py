@@ -48,3 +48,24 @@ def test_bad_versions_and_modes_raise(spark, tmp_path):
     with pytest.raises(ValueError):
         versioned_write(spark.createDataFrame([(1,)], "id long"), p,
                         mode="error_if_exists")
+
+
+def test_remote_paths_rejected_loudly(spark):
+    with pytest.raises(ValueError, match="local paths only"):
+        versioned_write(spark.createDataFrame([(1,)], "id long"),
+                        "s3a://bucket/t")
+    with pytest.raises(ValueError, match="local paths only"):
+        read_version(spark, "hdfs://nn/t")
+
+
+def test_orphan_batch_dir_is_reclaimed_after_crash(spark, tmp_path):
+    """A crash between the batch write and the log rename leaves an
+    uncommitted batch dir; the retry must reclaim it, not wedge."""
+    p = str(tmp_path / "t")
+    versioned_write(spark.createDataFrame([(1,)], "id long"), p)
+    # simulate the torn second commit: data written, log never published
+    spark.createDataFrame([(999,)], "id long") \
+        .write.parquet(f"{p}/batch-00000002")
+    v = versioned_write(spark.createDataFrame([(2,)], "id long"), p)
+    assert v == 2
+    assert _ids(read_version(spark, p)) == {1, 2}  # orphan row gone
