@@ -2382,6 +2382,17 @@ def q_sample_balance_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("vec_id").alias("max_vec_id")))
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid outlier screen (mislabeled-sample triage):
+    exact micro-unit integer centroids (order-free, engine-exact), one
+    broadcast join, codegen cosine, per-label bottom-5 cut."""
+    from dynamic_partitioner_spark.operators.decompose import (
+        label_centroid_outliers)
+    emb = _table(spark, sf_dir, "embeddings")
+    return label_centroid_outliers(emb, "vec_id", "embedding", "label",
+                                   bottom_k=5)
+
+
 #: hybrid-retrieval query: terms + the embedding of vec 0 as query vec
 _HYBRID_TERMS = ["merge", "window", "spark"]
 
@@ -2564,7 +2575,7 @@ _PRIORITY_R05 = [
     "query_sql_tpch_q1", "query_sql_tpch_q3", "query_sql_tpch_q5",
     "quality_expectations",
     "similarity_hybrid_rrf", "events_cumulative_users",
-    "sample_balance_labels",
+    "sample_balance_labels", "embedding_outliers",
     "dedup_fuzzy2", "dedup_apply", "query_heavy_hitters",
     "query_incremental_agg", "source_schema_evolution",
     "text_pii_redact", "query_salted_join_auto", "text_scrub_chunks",
@@ -2761,6 +2772,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_hybrid_rrf": q_similarity_hybrid,
         "events_cumulative_users": q_events_cumulative_users,
         "sample_balance_labels": q_sample_balance_labels,
+        "embedding_outliers": q_embedding_outliers,
     }
 
 
@@ -4320,6 +4332,33 @@ def oracle_sql() -> dict[str, str]:
                        x='CAST(n_rows AS DOUBLE) * nkeys / total')}
                        AS skew_ratio
             FROM r, t WHERE rnk <= 20
+        """,
+        "embedding_outliers": """
+            WITH base AS (SELECT vec_id, label, embedding
+                          FROM embeddings WHERE label IS NOT NULL),
+            ex AS (SELECT label, i - 1 AS dim, embedding[i] AS x
+                   FROM (SELECT label, embedding,
+                                unnest(range(1, len(embedding) + 1)) AS i
+                         FROM base)),
+            sums AS (SELECT label, dim,
+                            CAST(sum(CAST(floor(CAST(x AS DOUBLE)
+                                 * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                                AS s,
+                            count(*) AS n
+                     FROM ex GROUP BY label, dim),
+            cents AS (SELECT label,
+                             list(CAST(s AS DOUBLE) / 1000000 / n
+                                  ORDER BY dim) AS cent
+                      FROM sums GROUP BY label),
+            sc AS (SELECT b.vec_id, b.label,
+                          floor(list_cosine_similarity(
+                              b.embedding::DOUBLE[], c.cent)
+                              * 10000 + 0.5) / 10000 AS cos_centroid
+                   FROM base b JOIN cents c USING (label))
+            SELECT vec_id, label, cos_centroid,
+                   row_number() OVER (PARTITION BY label
+                       ORDER BY cos_centroid, vec_id) AS rnk
+            FROM sc QUALIFY rnk <= 5
         """,
         "events_cumulative_users": """
             WITH f AS (SELECT user_id, min(strftime(ts, '%Y-%m-%d'))

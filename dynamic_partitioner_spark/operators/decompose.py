@@ -33,7 +33,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _MICRO = 1_000_000
@@ -143,3 +143,50 @@ def pca_project(emb: DataFrame, id_col: str, vec_col: str, dim: int,
         return pd.Series(list(P.round(6)))
 
     return emb.select(F.col(id_col), _proj(F.col(vec_col)).alias("components"))
+
+
+def label_centroid_outliers(emb: DataFrame, id_col: str, vec_col: str,
+                            label_col: str, bottom_k: int = 5) -> DataFrame:
+    """Embedding-quality screen: per label, the ``bottom_k`` vectors
+    least cosine-similar to their OWN label centroid — the standard
+    mislabeled/contaminated-sample triage over a labeled embedding
+    corpus.
+
+    Centroids are exact and partition-independent: each dimension
+    explodes to an integer micro-unit (``floor(x·1e6 + 0.5)``), sums
+    per (label, dim) are BIGINT (order-free), and the centroid value is
+    one double division — so the DuckDB oracle reproduces centroids
+    bit-for-bit.  The per-(label, dim) grid is labels × dim rows
+    (tiny); centroid arrays broadcast back onto the corpus and the
+    cosine is the codegen fold, one map-side pass.  The ranked cut is
+    a per-label window over the corpus — WindowGroupLimit prunes
+    map-side to k rows per partition per label.
+    """
+    base = emb.select(F.col(id_col).alias("_id"),
+                      F.col(label_col).alias("_lbl"),
+                      F.col(vec_col).alias("_v")) \
+              .where(F.col("_lbl").isNotNull())
+    ex = base.select("_lbl", F.posexplode("_v").alias("dim", "x"))
+    sums = (ex.groupBy("_lbl", "dim")
+            .agg(F.sum(F.floor(F.col("x").cast("double") * 1e6
+                               + F.lit(0.5)).cast("long")).alias("s"),
+                 F.count(F.lit(1)).alias("n")))
+    cents = (sums
+             .withColumn("c", (F.col("s").cast("double") / 1e6)
+                         / F.col("n"))
+             .groupBy("_lbl")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                 lambda s: s["c"]).alias("_cent")))
+    from ..functions.vectors import cosine, round4
+    scored = (base.join(F.broadcast(cents), "_lbl")
+              .select("_id", "_lbl",
+                      round4(cosine(F.col("_v"), F.col("_cent")))
+                      .alias("cos_centroid")))
+    w = Window.partitionBy("_lbl").orderBy(F.asc("cos_centroid"),
+                                           F.asc("_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= bottom_k)
+            .select(F.col("_id").alias(id_col),
+                    F.col("_lbl").alias(label_col),
+                    "cos_centroid", "rnk"))

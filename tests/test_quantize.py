@@ -213,3 +213,19 @@ def test_pca_project_properties(spark):
     import pytest
     with pytest.raises(ValueError):
         fit_pca(emb, "embedding", dim, 0)
+
+
+def test_label_centroid_outliers_flags_the_planted_outlier(spark):
+    from dynamic_partitioner_spark.operators.decompose import (
+        label_centroid_outliers)
+    # label 0: three near-identical vectors + one opposite-direction
+    rows = [(0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0), (2, [1.0, 0.1], 0),
+            (3, [-1.0, 0.0], 0), (4, [0.0, 1.0], 1), (5, [0.1, 1.0], 1),
+            (6, None, None)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = label_centroid_outliers(emb, "vec_id", "embedding", "label",
+                                  bottom_k=1).collect()
+    worst = {r.label: r.vec_id for r in out}
+    assert worst[0] == 3          # the planted outlier
+    assert len(out) == 2          # one per label; NULL label dropped

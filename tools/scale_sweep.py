@@ -54,6 +54,7 @@ SWEEP_KEYS = [
     "similarity_hybrid_rrf",
     "events_cumulative_users", "sample_balance_labels",
     "query_sql_tpch_q3",
+    "embedding_outliers",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
