@@ -622,3 +622,30 @@ def test_attribution_tie_on_ts_breaks_on_id(spark):
                        "purchase", lookback_us=100).collect()}
     # same ts: min struct → id 1 (click), max struct → id 2 (view)
     assert got == {("first_touch", "click"), ("last_touch", "view")}
+
+
+def test_bloom_semi_join_property_equals_semi_join(spark):
+    """Property: bloom-pruned semi join == plain semi join for random
+    fact/dim key sets (false positives verified away, no false
+    negatives), across bloom sizes that force collisions."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dynamic_partitioner_spark.operators.bloom import bloom_semi_join
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(st.integers(0, 40), min_size=1, max_size=60),
+           st.lists(st.integers(0, 40), min_size=0, max_size=15),
+           st.sampled_from([64, 256]))
+    def prop(fact_keys, dim_keys, n_bits):
+        fact = spark.createDataFrame(
+            [(i, k) for i, k in enumerate(fact_keys)], "id long, k long")
+        dim = spark.createDataFrame([(k,) for k in dim_keys] or [(None,)],
+                                    "dk long")
+        got = {r.id for r in
+               bloom_semi_join(fact, dim, "k", "dk",
+                               n_bits=n_bits, n_hashes=3).collect()}
+        want = {i for i, k in enumerate(fact_keys) if k in set(dim_keys)}
+        assert got == want
+
+    prop()

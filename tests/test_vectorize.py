@@ -126,3 +126,37 @@ def test_cooccurrence_pairs_rank_ties_lexicographic(spark):
     df = spark.createDataFrame([("z y",), ("c d",)], "text string")
     rows = cooccurrence_pairs(df, "text", window=1, top=1).collect()
     assert len(rows) == 1 and (rows[0].w1, rows[0].w2) == ("c", "d")
+
+
+def test_cooccurrence_property_matches_bruteforce(spark):
+    """Property: for random small corpora, pair counts equal the
+    brute-force windowed enumeration."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dynamic_partitioner_spark.operators.vectorize import (
+        cooccurrence_pairs)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.lists(st.sampled_from("ab cd ef g".split()),
+                             min_size=0, max_size=6),
+                    min_size=1, max_size=5),
+           st.integers(1, 3))
+    def prop(docs, window):
+        rows = [(" ".join(toks),) for toks in docs]
+        df = spark.createDataFrame(rows, "text string")
+        got = {(r.w1, r.w2): r.n_cooc for r in
+               cooccurrence_pairs(df, "text", window=window,
+                                  top=1000).collect()}
+        want: Counter = Counter()
+        for toks in docs:
+            for i in range(len(toks)):
+                for g in range(1, window + 1):
+                    if i + g < len(toks):
+                        a, b = sorted((toks[i], toks[i + g]))
+                        want[(a, b)] += 1
+        assert got == dict(want)
+
+    prop()
