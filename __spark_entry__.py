@@ -2382,6 +2382,40 @@ def q_sample_balance_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("vec_id").alias("max_vec_id")))
 
 
+#: instrumentation contract shared by the Spark key and its oracle
+_ALLOWED_TRANSITIONS = [
+    ("signup", "view"), ("view", "click"), ("click", "purchase"),
+    ("view", "view"), ("click", "view"), ("purchase", "view"),
+    ("error", "view"), ("view", "error"),
+]
+
+
+def q_events_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-conformance audit: per-user transitions NOT in the
+    declared allowed set, with counts — one window shuffle + a
+    broadcast anti-join on the tiny transition grid."""
+    from dynamic_partitioner_spark.operators.relational import (
+        sequence_conformance)
+    events = _table(spark, sf_dir, "events")
+    ev = events.select("user_id", "event_id", "event_type",
+                       event_time_us(events).alias("ts_us"))
+    return sequence_conformance(ev, "user_id", ["ts_us", "event_id"],
+                                "event_type", _ALLOWED_TRANSITIONS)
+
+
+def q_mm_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary duplicate-group pre-screen: size + edge-md5 structural
+    fingerprint over payload bytes; groups >1 surface for the decode-
+    dependent perceptual verify (stubbed codec plug-point)."""
+    from dynamic_partitioner_spark.operators.multimodal import (
+        binary_dup_groups)
+    docs = _table(spark, sf_dir, "documents")
+    # head-edge screen: the synthetic corpus has shared prefixes but
+    # no byte-exact duplicates, so the strict fingerprint would return
+    # an (evidence-free) empty relation
+    return binary_dup_groups(to_binary_table(docs), strict=False)
+
+
 def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid outlier screen (mislabeled-sample triage):
     exact micro-unit integer centroids (order-free, engine-exact), one
@@ -2575,7 +2609,8 @@ _PRIORITY_R05 = [
     "query_sql_tpch_q1", "query_sql_tpch_q3", "query_sql_tpch_q5",
     "quality_expectations",
     "similarity_hybrid_rrf", "events_cumulative_users",
-    "sample_balance_labels", "embedding_outliers",
+    "sample_balance_labels", "embedding_outliers", "events_conformance",
+    "mm_dedup_binary",
     "dedup_fuzzy2", "dedup_apply", "query_heavy_hitters",
     "query_incremental_agg", "source_schema_evolution",
     "text_pii_redact", "query_salted_join_auto", "text_scrub_chunks",
@@ -2773,6 +2808,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cumulative_users": q_events_cumulative_users,
         "sample_balance_labels": q_sample_balance_labels,
         "embedding_outliers": q_embedding_outliers,
+        "events_conformance": q_events_conformance,
+        "mm_dedup_binary": q_mm_dedup_binary,
     }
 
 
@@ -4332,6 +4369,32 @@ def oracle_sql() -> dict[str, str]:
                        x='CAST(n_rows AS DOUBLE) * nkeys / total')}
                        AS skew_ratio
             FROM r, t WHERE rnk <= 20
+        """,
+        "events_conformance": ("""
+            WITH seq AS (
+                SELECT event_type AS f,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS t
+                FROM events),
+            c AS (SELECT f AS from_state, t AS to_state,
+                         count(*) AS n_violations
+                  FROM seq WHERE t IS NOT NULL GROUP BY f, t)
+            SELECT from_state, to_state, n_violations FROM c
+            WHERE (from_state, to_state) NOT IN ("""
+            + ", ".join(f"('{a}', '{b}')"
+                        for a, b in _ALLOWED_TRANSITIONS) + ")"),
+        "mm_dedup_binary": """
+            WITH b AS (SELECT doc_id, encode(text) AS payload
+                       FROM documents),
+            fp AS (SELECT doc_id, octet_length(payload) AS n_bytes,
+                          md5(substring(hex(payload), 1, 128)) AS head_md5
+                   FROM b)
+            SELECT head_md5, CAST(NULL AS VARCHAR) AS tail_md5,
+                   min(n_bytes) AS min_bytes, max(n_bytes) AS max_bytes,
+                   count(*) AS n_members, min(doc_id) AS rep_id
+            FROM fp GROUP BY head_md5
+            HAVING count(*) > 1
         """,
         "embedding_outliers": """
             WITH base AS (SELECT vec_id, label, embedding

@@ -283,3 +283,49 @@ def tar_members(shards: DataFrame) -> DataFrame:
         unpack,
         "shard long, name string, size long, data_offset long, "
         "payload_md5 string")
+
+
+def binary_dup_groups(df: DataFrame, id_col: str = "doc_id",
+                      payload_col: str = "payload",
+                      head_bytes: int = 64,
+                      strict: bool = True) -> DataFrame:
+    """Duplicate-group pre-screen over raw binary payloads — the cheap
+    first pass a media-dedup pipeline runs BEFORE any decode-dependent
+    perceptual hash (which plugs in at :func:`decode_media`).
+
+    ``strict=True`` groups by (size, head md5, tail md5): identical
+    payloads always collide (no false negatives for exact duplicates)
+    and false groups need agreement on size + both edges.
+    ``strict=False`` groups by the head edge alone — the wider
+    shared-prefix screen (same file re-encoded, same header + altered
+    tail) whose candidates the downstream byte-exact or perceptual
+    verify resolves.  Everything is codegen (hex / substring / md5 /
+    one hash aggregate); payload bytes never shuffle — only the
+    fingerprint and id do.
+    """
+    n_hex = head_bytes * 2
+    hexp = F.hex(F.col(payload_col))
+    fp = df.select(
+        F.col(id_col),
+        F.octet_length(payload_col).alias("n_bytes"),
+        F.md5(F.substring(hexp, 1, n_hex)).alias("head_md5"),
+        F.md5(F.expr(
+            f"substring(hex({payload_col}), "
+            f"greatest(length(hex({payload_col})) - {n_hex - 1}, 1), "
+            f"{n_hex})")).alias("tail_md5"))
+    if strict:
+        grouped = fp.groupBy("head_md5", "tail_md5",
+                             F.col("n_bytes").alias("min_bytes"))
+        out = grouped.agg(F.count(F.lit(1)).alias("n_members"),
+                          F.min(id_col).alias("rep_id"))
+        out = out.select("head_md5", "tail_md5", "min_bytes",
+                         F.col("min_bytes").alias("max_bytes"),
+                         "n_members", "rep_id")
+    else:
+        out = (fp.groupBy("head_md5")
+               .agg(F.lit(None).cast("string").alias("tail_md5"),
+                    F.min("n_bytes").alias("min_bytes"),
+                    F.max("n_bytes").alias("max_bytes"),
+                    F.count(F.lit(1)).alias("n_members"),
+                    F.min(id_col).alias("rep_id")))
+    return out.where(F.col("n_members") > 1)

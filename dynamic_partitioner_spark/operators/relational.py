@@ -673,3 +673,31 @@ def attribution(df: DataFrame, user_col: str, ts_us_col: str,
     return (credits.select("_c.model", "_c.channel")
             .groupBy("model", "channel")
             .agg(F.count(F.lit(1)).alias("n_conversions")))
+
+
+def sequence_conformance(df: DataFrame, key_col: str,
+                         order_cols: list[str], state_col: str,
+                         allowed: list[tuple[str, str]]) -> DataFrame:
+    """Process-conformance check: count the observed per-key state
+    transitions that are NOT in the ``allowed`` set — the validation
+    pass behind event-instrumentation QA and workflow auditing.
+
+    Same single window shuffle as :func:`transition_matrix`; the
+    allowed set is a literal broadcast anti-join against the tiny
+    aggregated (from, to) grid, so conformance costs nothing beyond
+    the transition count itself.
+    """
+    if not allowed:
+        raise ValueError("sequence_conformance needs a non-empty "
+                         "allowed set")
+    spark = df.sparkSession
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    steps = (df.withColumn("_next", F.lead(state_col).over(w))
+             .where(F.col("_next").isNotNull()))
+    counts = (steps.groupBy(F.col(state_col).alias("from_state"),
+                            F.col("_next").alias("to_state"))
+              .agg(F.count(F.lit(1)).alias("n_violations")))
+    ok = spark.createDataFrame(list(allowed),
+                               "from_state string, to_state string")
+    return counts.join(F.broadcast(ok), ["from_state", "to_state"],
+                       "left_anti")

@@ -174,3 +174,19 @@ def test_multimodal_null_payload_tolerance(spark):
     members = {r.name: r.size for r in
                tar_members(tar_shards(df, "doc_id", "payload")).collect()}
     assert members == {"1.txt": 0, "2.txt": 2}     # null id dropped
+
+
+def test_binary_dup_groups_strict_and_head_modes(spark):
+    from dynamic_partitioner_spark.operators.multimodal import (
+        binary_dup_groups)
+    rows = [(1, b"A" * 200), (2, b"A" * 200),            # exact dup pair
+            (3, b"A" * 100 + b"B" * 100),                # same head, diff tail
+            (4, b"zzz")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    strict = binary_dup_groups(df, head_bytes=16).collect()
+    assert len(strict) == 1
+    assert strict[0].n_members == 2 and strict[0].rep_id == 1
+    head = {r.rep_id: r.n_members for r in
+            binary_dup_groups(df, head_bytes=16, strict=False).collect()}
+    # head-only screen also pulls in doc 3 (shared 16-byte prefix)
+    assert head == {1: 3}

@@ -649,3 +649,18 @@ def test_bloom_semi_join_property_equals_semi_join(spark):
         assert got == want
 
     prop()
+
+
+def test_sequence_conformance_counts_disallowed_only(spark):
+    from dynamic_partitioner_spark.operators.relational import (
+        sequence_conformance)
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (2, 4, "a"), (2, 5, "c")]
+    df = spark.createDataFrame(rows, "u long, seq long, k string")
+    got = {(r.from_state, r.to_state): r.n_violations for r in
+           sequence_conformance(df, "u", ["seq"], "k",
+                                [("a", "b")]).collect()}
+    assert got == {("b", "c"): 1, ("a", "c"): 1}
+
+    import pytest
+    with pytest.raises(ValueError):
+        sequence_conformance(df, "u", ["seq"], "k", [])

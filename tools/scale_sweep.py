@@ -55,6 +55,7 @@ SWEEP_KEYS = [
     "events_cumulative_users", "sample_balance_labels",
     "query_sql_tpch_q3",
     "embedding_outliers",
+    "events_conformance", "mm_dedup_binary",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
