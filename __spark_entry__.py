@@ -2326,6 +2326,19 @@ _TPCH_Q3_SQL = """
 """
 
 
+_TPCH_Q6_SQL = """
+    SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount
+                               * 10000 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_u,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
 def _run_sql(spark: SparkSession, sf_dir: str, sql: str,
              tables: list[str]) -> DataFrame:
     """Register the named tables as temp views and run raw SQL — the
@@ -2452,6 +2465,12 @@ def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     does."""
     return _run_sql(spark, sf_dir, _TPCH_Q3_SQL,
                     ["customer", "orders", "lineitem"])
+
+
+def q_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecast-revenue filter-aggregate through raw SQL —
+    every predicate reaches the parquet scan as a pushed filter."""
+    return _run_sql(spark, sf_dir, _TPCH_Q6_SQL, ["lineitem"])
 
 
 def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2607,7 +2626,7 @@ _PRIORITY_R05 = [
     "text_bpe_learn", "sketch_cms", "query_bloom_join",
     "query_lag_features", "events_attribution", "source_time_travel",
     "query_sql_tpch_q1", "query_sql_tpch_q3", "query_sql_tpch_q5",
-    "quality_expectations",
+    "query_sql_tpch_q6", "quality_expectations",
     "similarity_hybrid_rrf", "events_cumulative_users",
     "sample_balance_labels", "embedding_outliers", "events_conformance",
     "mm_dedup_binary",
@@ -2803,6 +2822,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_sql_tpch_q1": q_sql_tpch_q1,
         "query_sql_tpch_q3": q_sql_tpch_q3,
         "query_sql_tpch_q5": q_sql_tpch_q5,
+        "query_sql_tpch_q6": q_sql_tpch_q6,
         "quality_expectations": q_quality_expectations,
         "similarity_hybrid_rrf": q_similarity_hybrid,
         "events_cumulative_users": q_events_cumulative_users,
@@ -4486,6 +4506,7 @@ def oracle_sql() -> dict[str, str]:
         "query_sql_tpch_q1": _TPCH_Q1_SQL,
         "query_sql_tpch_q3": _TPCH_Q3_SQL,
         "query_sql_tpch_q5": _TPCH_Q5_SQL,
+        "query_sql_tpch_q6": _TPCH_Q6_SQL,
         "quality_expectations": """
             SELECT 1 AS rule_id, 'not_null' AS rule,
                    'o_custkey' AS col_name,

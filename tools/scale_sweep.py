@@ -56,6 +56,7 @@ SWEEP_KEYS = [
     "query_sql_tpch_q3",
     "embedding_outliers",
     "events_conformance", "mm_dedup_binary",
+    "query_sql_tpch_q6",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
