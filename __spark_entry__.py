@@ -2395,6 +2395,28 @@ def q_sample_balance_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("vec_id").alias("max_vec_id")))
 
 
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 over the corpus for the fixed query-term bag —
+    the standard lexical retrieval scorer; per-term partials quantize
+    to integer micro-units before the per-doc sum so the score is
+    order-free and engine-exact."""
+    from dynamic_partitioner_spark.operators.vectorize import bm25_topk
+    docs = _table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "doc_id", "text", _HYBRID_TERMS, top=20)
+
+
+def q_sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap uncertainty over the event metric: 10
+    deterministic resampled means with effective sizes — each row
+    draws its own Poisson(1) weight, so no global with-replacement
+    pass exists at any scale."""
+    from dynamic_partitioner_spark.operators.sampling import (
+        poisson_bootstrap)
+    events = _table(spark, sf_dir, "events")
+    return poisson_bootstrap(events.select("event_id", "value"),
+                             "event_id", "value", n_replicates=10)
+
+
 #: instrumentation contract shared by the Spark key and its oracle
 _ALLOWED_TRANSITIONS = [
     ("signup", "view"), ("view", "click"), ("click", "purchase"),
@@ -2629,7 +2651,7 @@ _PRIORITY_R05 = [
     "query_sql_tpch_q6", "quality_expectations",
     "similarity_hybrid_rrf", "events_cumulative_users",
     "sample_balance_labels", "embedding_outliers", "events_conformance",
-    "mm_dedup_binary",
+    "mm_dedup_binary", "text_bm25", "sample_bootstrap",
     "dedup_fuzzy2", "dedup_apply", "query_heavy_hitters",
     "query_incremental_agg", "source_schema_evolution",
     "text_pii_redact", "query_salted_join_auto", "text_scrub_chunks",
@@ -2830,6 +2852,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "events_conformance": q_events_conformance,
         "mm_dedup_binary": q_mm_dedup_binary,
+        "text_bm25": q_text_bm25,
+        "sample_bootstrap": q_sample_bootstrap,
     }
 
 
@@ -4390,6 +4414,42 @@ def oracle_sql() -> dict[str, str]:
                        AS skew_ratio
             FROM r, t WHERE rnk <= 20
         """,
+        "text_bm25": r"""
+            WITH base AS (
+                SELECT doc_id AS d,
+                       list_filter(string_split_regex(trim(lower(text)),
+                                                      '[ \t\n\r]+'),
+                                   x -> len(x) > 0) AS t
+                FROM documents),
+            dl AS (SELECT d, len(t) AS dl FROM base),
+            stats AS (SELECT count(*) AS n_docs,
+                             CAST(sum(dl) AS BIGINT) AS total_len
+                      FROM dl),
+            tf AS (SELECT d, term, count(*) AS tf
+                   FROM (SELECT d, unnest(t) AS term FROM base)
+                   WHERE term IN ('merge', 'window', 'spark')
+                   GROUP BY d, term),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            sc AS (SELECT tf.d,
+                          CAST(floor(
+                              ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                              * (tf * (1.2 + 1.0))
+                              / (tf + 1.2 * (1.0 - 0.75
+                                  + 0.75 * dl
+                                    / (CAST(total_len AS DOUBLE)
+                                       / n_docs)))
+                              * 1000000 + 0.5) AS BIGINT) AS su
+                   FROM tf
+                   JOIN dfreq USING (term)
+                   JOIN dl USING (d), stats),
+            agg AS (SELECT d, CAST(sum(su) AS BIGINT) AS s
+                    FROM sc GROUP BY d)
+            SELECT row_number() OVER (ORDER BY s DESC, d) AS rank,
+                   d AS doc_id, CAST(s AS DOUBLE) / 1000000 AS bm25
+            FROM agg QUALIFY rank <= 20
+        """,
+        "sample_bootstrap": SMP.poisson_bootstrap_sql(
+            "event_id", "value", n_replicates=10),
         "events_conformance": ("""
             WITH seq AS (
                 SELECT event_type AS f,

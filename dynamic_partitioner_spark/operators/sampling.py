@@ -377,3 +377,81 @@ def balance_classes(df: DataFrame, label_col: str, key_col: str,
     return (ranked.crossJoin(F.broadcast(target))
             .where(F.col("_rn") <= F.col("_target"))
             .drop("_rn", "_target"))
+
+
+#: cumulative Poisson(1) pmf thresholds: P(X <= k) for k = 0..5 —
+#: fixed constants shared verbatim by the SQL twin
+_POISSON1_CDF = [0.3678794411714423, 0.7357588823428846,
+                 0.9196986029286058, 0.9810118431238462,
+                 0.9963401531726563, 0.9994058151824183]
+
+
+def poisson_bootstrap(df: DataFrame, key_col: str, value_col: str,
+                      n_replicates: int = 10,
+                      salt: str = "boot") -> DataFrame:
+    """Poisson bootstrap over a metric column: ``n_replicates``
+    resampled means with effective sample sizes — the resampling
+    scheme that works at any scale because each row draws its own
+    independent Poisson(1) weight (no global sample-with-replacement
+    pass; Chamandy et al., Google 2012, "Estimating uncertainty for
+    massive data streams").
+
+    Weights are deterministic: replicate ``b``'s weight for a row is
+    the Poisson(1) inverse-CDF of the md5 unit draw on
+    ``key#b`` — reproducible across runs, partitionings, and engines.
+    Values quantize to integer micro-units so each replicate's
+    weighted sum is exact in any order; only the final mean divides.
+    One ``n_replicates``-way explode + one hash aggregate.
+    """
+    if n_replicates < 1:
+        raise ValueError("n_replicates must be >= 1")
+    reps = df.select(
+        F.col(key_col).alias("_k"),
+        F.floor(F.col(value_col).cast("double") * 1e6 + F.lit(0.5))
+        .cast("long").alias("_v"),
+        F.explode(F.sequence(F.lit(1), F.lit(n_replicates)))
+        .alias("replicate"))
+    u = hash_unit(F.concat(F.col("_k").cast("string"), F.lit("#"),
+                           F.col("replicate").cast("string")), salt)
+    w: Column = F.lit(len(_POISSON1_CDF))
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    from ..functions.vectors import round4
+    return (reps.withColumn("_w", w)
+            .groupBy("replicate")
+            .agg(F.sum(F.col("_w") * F.col("_v")).alias("_ws"),
+                 F.sum("_w").alias("n_eff"))
+            .select("replicate", "n_eff",
+                    round4((F.col("_ws").cast("double") / 1e6)
+                           / F.col("n_eff")).alias("boot_mean")))
+
+
+def poisson_bootstrap_sql(key: str, value: str, n_replicates: int = 10,
+                          salt: str = "boot",
+                          from_table: str = "events") -> str:
+    """DuckDB twin of :func:`poisson_bootstrap` (identical thresholds,
+    identical md5 unit draw)."""
+    # hash_unit_sql would double-wrap the concatenated key in CAST(...
+    # AS VARCHAR); inline the draw with the key expression spliced in
+    u = (f"(CAST('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR) "
+         f"|| '#' || CAST(replicate AS VARCHAR)), 1, 15) AS BIGINT) "
+         f"/ 1152921504606846976.0)")
+    cases = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}"
+        for k, c in enumerate(_POISSON1_CDF))
+    return f"""
+        WITH reps AS (
+            SELECT {key},
+                   CAST(floor(CAST({value} AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT) AS v,
+                   unnest(range(1, {n_replicates} + 1)) AS replicate
+            FROM {from_table}),
+        wtd AS (SELECT replicate, v,
+                       CASE {cases} ELSE {len(_POISSON1_CDF)} END AS w
+                FROM reps)
+        SELECT replicate, CAST(sum(w) AS BIGINT) AS n_eff,
+               floor((CAST(sum(w * v) AS DOUBLE) / 1000000)
+                     / CAST(sum(w) AS BIGINT) * 10000 + 0.5) / 10000
+                   AS boot_mean
+        FROM wtd GROUP BY replicate
+    """

@@ -214,3 +214,52 @@ def cooccurrence_pairs(df: DataFrame, text_col: str, window: int = 2,
     rnk = Window.orderBy(F.desc("n_cooc"), F.asc("w1"), F.asc("w2"))
     return (counts.withColumn("rnk", F.row_number().over(rnk))
             .where(F.col("rnk") <= top))
+
+
+def bm25_topk(df: DataFrame, id_col: str, text_col: str,
+              terms: list[str], k1: float = 1.2, b: float = 0.75,
+              top: int = 20) -> DataFrame:
+    """Okapi BM25 ranking of documents against a bag of query terms —
+    the standard lexical retrieval scorer (Robertson & Zaragoza 2009),
+    and the drop-in upgrade for the tf leg of hybrid RRF retrieval.
+
+    Corpus statistics are one broadcastable aggregate (N docs, average
+    doc length); document frequencies come from the already-aggregated
+    (doc, term) tf relation, so the corpus is scanned once.  Per-term
+    partial scores are quantized to integer micro-units BEFORE the
+    per-doc sum — a float sum over the term set would be
+    order-dependent and break the cross-engine hash; integer sums are
+    exact in any order.  Ranking ties break on the doc id.
+    """
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    from .dedup import tokens
+    toks = F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+    base = df.select(F.col(id_col).alias("_d"), toks.alias("_t"))
+    dl = base.select("_d", F.size("_t").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("dl").alias("total_len"))
+    tf = (base.select("_d", F.explode("_t").alias("term"))
+          .where(F.col("term").isin(terms))
+          .groupBy("_d", "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .join(dl.withColumnRenamed("_d", "_d2"),
+                    F.col("_d") == F.col("_d2"))
+              .crossJoin(F.broadcast(stats)))
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    idf = F.log(F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    part = (idf * (F.col("tf") * (F.lit(k1) + 1.0))
+            / (F.col("tf") + F.lit(k1)
+               * (F.lit(1.0) - F.lit(b)
+                  + F.lit(b) * F.col("dl") / avgdl)))
+    per_term = scored.select(
+        "_d", F.floor(part * 1e6 + F.lit(0.5)).cast("long").alias("_su"))
+    agg = per_term.groupBy("_d").agg(F.sum("_su").alias("_s"))
+    rnk = Window.orderBy(F.desc("_s"), F.asc("_d"))
+    return (agg.withColumn("rank", F.row_number().over(rnk))
+            .where(F.col("rank") <= top)
+            .select("rank", F.col("_d").alias(id_col),
+                    (F.col("_s").cast("double") / 1e6).alias("bm25")))

@@ -302,3 +302,21 @@ def test_balance_classes_exact_min_count_per_label(spark):
     ids1 = sorted(r.id for r in kept.collect())
     ids2 = sorted(r.id for r in balance_classes(df, "label", "id").collect())
     assert ids1 == ids2
+
+
+def test_poisson_bootstrap_deterministic_and_reasonable(spark):
+    from dynamic_partitioner_spark.operators.sampling import (
+        poisson_bootstrap)
+    df = spark.createDataFrame([(i, 10.0) for i in range(500)],
+                               "id long, v double")
+    out = {r.replicate: (r.n_eff, r.boot_mean) for r in
+           poisson_bootstrap(df, "id", "v", n_replicates=5).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    for n_eff, mean in out.values():
+        # constant metric → every replicate's mean is exactly 10
+        assert mean == 10.0
+        # Poisson(1) total weight concentrates near n
+        assert 350 <= n_eff <= 650
+    again = {r.replicate: (r.n_eff, r.boot_mean) for r in
+             poisson_bootstrap(df, "id", "v", n_replicates=5).collect()}
+    assert out == again

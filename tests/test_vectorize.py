@@ -160,3 +160,31 @@ def test_cooccurrence_property_matches_bruteforce(spark):
         assert got == dict(want)
 
     prop()
+
+
+def test_bm25_ranks_exact_hand_computation(spark):
+    import math
+
+    from dynamic_partitioner_spark.operators.vectorize import bm25_topk
+    docs = spark.createDataFrame(
+        [(0, "x x y"), (1, "x z z"), (2, "z z z")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.bm25 for r in
+           bm25_topk(docs, "doc_id", "text", ["x"], top=10).collect()}
+    # df(x)=2, N=3, dl=3 for all, avgdl=3
+    idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    def score(tf):
+        return idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * 1.0))
+    assert set(out) == {0, 1}          # doc 2 has no 'x'
+    assert abs(out[0] - math.floor(score(2) * 1e6 + 0.5) / 1e6) < 1e-9
+    assert abs(out[1] - math.floor(score(1) * 1e6 + 0.5) / 1e9 * 1e3) < 1e-6
+    assert out[0] > out[1]
+
+
+def test_bm25_rejects_empty_terms(spark):
+    import pytest
+
+    from dynamic_partitioner_spark.operators.vectorize import bm25_topk
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_topk(docs, "doc_id", "text", [])

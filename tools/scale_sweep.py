@@ -57,6 +57,7 @@ SWEEP_KEYS = [
     "embedding_outliers",
     "events_conformance", "mm_dedup_binary",
     "query_sql_tpch_q6",
+    "text_bm25", "sample_bootstrap",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
