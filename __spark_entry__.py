@@ -4414,6 +4414,11 @@ def oracle_sql() -> dict[str, str]:
                        AS skew_ratio
             FROM r, t WHERE rnk <= 20
         """,
+        # every arithmetic site that mixes an integer column with a
+        # decimal literal is CAST to DOUBLE: DuckDB evaluates e.g.
+        # tf * (1.2 + 1.0) in exact DECIMAL arithmetic while Spark
+        # folds it in doubles — a 1-ulp divergence that can flip the
+        # micro-unit floor at a x.5 boundary
         "text_bm25": r"""
             WITH base AS (
                 SELECT doc_id AS d,
@@ -4421,33 +4426,33 @@ def oracle_sql() -> dict[str, str]:
                                                       '[ \t\n\r]+'),
                                    x -> len(x) > 0) AS t
                 FROM documents),
-            dl AS (SELECT d, len(t) AS dl FROM base),
             stats AS (SELECT count(*) AS n_docs,
-                             CAST(sum(dl) AS BIGINT) AS total_len
-                      FROM dl),
-            tf AS (SELECT d, term, count(*) AS tf
-                   FROM (SELECT d, unnest(t) AS term FROM base)
-                   WHERE term IN ('merge', 'window', 'spark')
-                   GROUP BY d, term),
+                             CAST(sum(len(t)) AS BIGINT) AS total_len
+                      FROM base),
+            tf AS (SELECT d, dl, term, count(*) AS tf
+                   FROM (SELECT d, len(t) AS dl, unnest(t) AS term
+                         FROM base)
+                   WHERE term IN ({terms})
+                   GROUP BY d, dl, term),
             dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
             sc AS (SELECT tf.d,
                           CAST(floor(
-                              ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-                              * (tf * (1.2 + 1.0))
+                              ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5)
+                                       / (CAST(df AS DOUBLE) + 0.5))
+                              * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
                               / (tf + 1.2 * (1.0 - 0.75
                                   + 0.75 * dl
                                     / (CAST(total_len AS DOUBLE)
                                        / n_docs)))
                               * 1000000 + 0.5) AS BIGINT) AS su
                    FROM tf
-                   JOIN dfreq USING (term)
-                   JOIN dl USING (d), stats),
+                   JOIN dfreq USING (term), stats),
             agg AS (SELECT d, CAST(sum(su) AS BIGINT) AS s
                     FROM sc GROUP BY d)
             SELECT row_number() OVER (ORDER BY s DESC, d) AS rank,
                    d AS doc_id, CAST(s AS DOUBLE) / 1000000 AS bm25
             FROM agg QUALIFY rank <= 20
-        """,
+        """.replace("{terms}", ", ".join(f"'{t}'" for t in _HYBRID_TERMS)),
         "sample_bootstrap": SMP.poisson_bootstrap_sql(
             "event_id", "value", n_replicates=10),
         "events_conformance": ("""

@@ -303,16 +303,21 @@ def binary_dup_groups(df: DataFrame, id_col: str = "doc_id",
     one hash aggregate); payload bytes never shuffle — only the
     fingerprint and id do.
     """
-    n_hex = head_bytes * 2
-    hexp = F.hex(F.col(payload_col))
+    # substring the BINARY first, hex the 64-byte edge — hexing the
+    # whole payload to slice 128 chars would cost O(payload) per edge
+    # on multi-MB media rows; hex is per-byte, so
+    # hex(substring(p, 1, n)) ≡ substring(hex(p), 1, 2n) byte-for-byte
+    # (the DuckDB twin keeps the hex-string form: no BLOB substring)
     fp = df.select(
         F.col(id_col),
         F.octet_length(payload_col).alias("n_bytes"),
-        F.md5(F.substring(hexp, 1, n_hex)).alias("head_md5"),
-        F.md5(F.expr(
-            f"substring(hex({payload_col}), "
-            f"greatest(length(hex({payload_col})) - {n_hex - 1}, 1), "
-            f"{n_hex})")).alias("tail_md5"))
+        F.md5(F.hex(F.expr(
+            f"substring({payload_col}, 1, {head_bytes})")))
+        .alias("head_md5"),
+        F.md5(F.hex(F.expr(
+            f"substring({payload_col}, "
+            f"greatest(octet_length({payload_col}) - {head_bytes - 1}, "
+            f"1), {head_bytes})"))).alias("tail_md5"))
     if strict:
         grouped = fp.groupBy("head_md5", "tail_md5",
                              F.col("n_bytes").alias("min_bytes"))

@@ -379,11 +379,16 @@ def balance_classes(df: DataFrame, label_col: str, key_col: str,
             .drop("_rn", "_target"))
 
 
-#: cumulative Poisson(1) pmf thresholds: P(X <= k) for k = 0..5 —
-#: fixed constants shared verbatim by the SQL twin
-_POISSON1_CDF = [0.3678794411714423, 0.7357588823428846,
-                 0.9196986029286058, 0.9810118431238462,
-                 0.9963401531726563, 0.9994058151824183]
+#: cumulative Poisson(1) pmf thresholds: P(X <= k) for k = 0..8 —
+#: fixed constants shared verbatim by the SQL twin.  The inverse-CDF
+#: truncates at weight 9 (the ELSE branch): P(X >= 9) ≈ 1.1e-6 of rows
+#: draw 9 instead of their true 9+ weight — a documented, deliberate
+#: cap (deeper tails change nothing at the 4-decimal output rounding).
+_POISSON1_CDF = [0.36787944117144233, 0.7357588823428847,
+                 0.9196986029286058, 0.9810118431238463,
+                 0.9963401531726563, 0.9994058151824183,
+                 0.999916758850712, 0.9999897508033253,
+                 0.999998874797402]
 
 
 def poisson_bootstrap(df: DataFrame, key_col: str, value_col: str,

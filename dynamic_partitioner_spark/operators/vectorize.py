@@ -223,29 +223,30 @@ def bm25_topk(df: DataFrame, id_col: str, text_col: str,
     the standard lexical retrieval scorer (Robertson & Zaragoza 2009),
     and the drop-in upgrade for the tf leg of hybrid RRF retrieval.
 
-    Corpus statistics are one broadcastable aggregate (N docs, average
-    doc length); document frequencies come from the already-aggregated
-    (doc, term) tf relation, so the corpus is scanned once.  Per-term
-    partial scores are quantized to integer micro-units BEFORE the
-    per-doc sum — a float sum over the term set would be
-    order-dependent and break the cross-engine hash; integer sums are
-    exact in any order.  Ranking ties break on the doc id.
+    Two corpus passes total: one aggregate for the global stats
+    (N docs, average doc length) and one tokenize+explode for the
+    (doc, term) tf relation — the doc length rides the explode as a
+    grouping column (it is functionally dependent on the doc id), so
+    no per-doc join ever happens; document frequencies re-aggregate
+    the tf relation.  Per-term partial scores are quantized to integer
+    micro-units BEFORE the per-doc sum — a float sum over the term set
+    would be order-dependent and break the cross-engine hash; integer
+    sums are exact in any order.  Ranking ties break on the doc id.
     """
     if not terms:
         raise ValueError("bm25_topk needs at least one query term")
     from .dedup import tokens
     toks = F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
     base = df.select(F.col(id_col).alias("_d"), toks.alias("_t"))
-    dl = base.select("_d", F.size("_t").alias("dl"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
-                   F.sum("dl").alias("total_len"))
-    tf = (base.select("_d", F.explode("_t").alias("term"))
+    stats = base.agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum(F.size("_t")).alias("total_len"))
+    tf = (base.select("_d", F.size("_t").alias("dl"),
+                      F.explode("_t").alias("term"))
           .where(F.col("term").isin(terms))
-          .groupBy("_d", "term").agg(F.count(F.lit(1)).alias("tf")))
+          .groupBy("_d", "dl", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (tf.join(F.broadcast(dfreq), "term")
-              .join(dl.withColumnRenamed("_d", "_d2"),
-                    F.col("_d") == F.col("_d2"))
               .crossJoin(F.broadcast(stats)))
     avgdl = F.col("total_len").cast("double") / F.col("n_docs")
     idf = F.log(F.lit(1.0)

@@ -177,7 +177,7 @@ def test_bm25_ranks_exact_hand_computation(spark):
         return idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * 1.0))
     assert set(out) == {0, 1}          # doc 2 has no 'x'
     assert abs(out[0] - math.floor(score(2) * 1e6 + 0.5) / 1e6) < 1e-9
-    assert abs(out[1] - math.floor(score(1) * 1e6 + 0.5) / 1e9 * 1e3) < 1e-6
+    assert abs(out[1] - math.floor(score(1) * 1e6 + 0.5) / 1e6) < 1e-9
     assert out[0] > out[1]
 
 
