@@ -2395,6 +2395,33 @@ def q_sample_balance_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("vec_id").alias("max_vec_id")))
 
 
+def q_events_seq_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral anomaly scoring: every user's mean transition
+    log-likelihood under the corpus's own add-one transition model —
+    integer micro-nat sums make the score order-free and
+    engine-exact."""
+    from dynamic_partitioner_spark.operators.lm import sequence_lm_score
+    events = _table(spark, sf_dir, "events")
+    ev = events.select("user_id", "event_id", "event_type",
+                       event_time_us(events).alias("ts_us"))
+    return sequence_lm_score(ev, "user_id", ["ts_us", "event_id"],
+                             "event_type")
+
+
+def q_events_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal burst detection per event type: hourly buckets whose
+    count exceeds 2x the trailing-24-bucket mean — the window runs on
+    the aggregated grid, never the event stream."""
+    from dynamic_partitioner_spark.operators.relational import (
+        burst_detection)
+    events = _table(spark, sf_dir, "events")
+    ev = events.select("event_type",
+                       event_time_us(events).alias("ts_us"))
+    return burst_detection(ev, "event_type",
+                           F.expr("ts_us div 3600000000"),
+                           min_count=2, factor=2.0, trailing=24)
+
+
 def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-20 over the corpus for the fixed query-term bag —
     the standard lexical retrieval scorer; per-term partials quantize
@@ -2652,6 +2679,7 @@ _PRIORITY_R05 = [
     "similarity_hybrid_rrf", "events_cumulative_users",
     "sample_balance_labels", "embedding_outliers", "events_conformance",
     "mm_dedup_binary", "text_bm25", "sample_bootstrap",
+    "events_seq_lm", "events_bursts",
     "dedup_fuzzy2", "dedup_apply", "query_heavy_hitters",
     "query_incremental_agg", "source_schema_evolution",
     "text_pii_redact", "query_salted_join_auto", "text_scrub_chunks",
@@ -2854,6 +2882,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_dedup_binary": q_mm_dedup_binary,
         "text_bm25": q_text_bm25,
         "sample_bootstrap": q_sample_bootstrap,
+        "events_seq_lm": q_events_seq_lm,
+        "events_bursts": q_events_bursts,
     }
 
 
@@ -4413,6 +4443,53 @@ def oracle_sql() -> dict[str, str]:
                        x='CAST(n_rows AS DOUBLE) * nkeys / total')}
                        AS skew_ratio
             FROM r, t WHERE rnk <= 20
+        """,
+        "events_seq_lm": f"""
+            WITH bg AS (
+                SELECT user_id AS k, event_type AS w1,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS w2
+                FROM events),
+            b2 AS (SELECT k, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+            bgc AS (SELECT w1, w2, count(*) AS c_bg FROM b2
+                    GROUP BY w1, w2),
+            ctx AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_ctx
+                    FROM bgc GROUP BY w1),
+            v AS (SELECT count(DISTINCT event_type) AS v FROM events
+                  WHERE event_type IS NOT NULL),
+            model AS (SELECT w1, w2,
+                             CAST(floor(ln((CAST(c_bg AS DOUBLE) + 1.0)
+                                  / CAST(c_ctx + v AS DOUBLE))
+                                  * 1000000.0) AS BIGINT) AS lp
+                      FROM bgc JOIN ctx USING (w1), v),
+            sc AS (SELECT k, count(*) AS n_steps,
+                          CAST(sum(lp) AS BIGINT) AS s
+                   FROM b2 JOIN model USING (w1, w2) GROUP BY k)
+            SELECT k AS user_id, n_steps,
+                   {ROUND4_SQL.format(
+                       x='s / (CAST(n_steps AS DOUBLE) * 1000000.0)')}
+                       AS seq_score
+            FROM sc
+        """,
+        "events_bursts": f"""
+            WITH c AS (SELECT event_type,
+                              epoch_us(ts) // 3600000000 AS bucket,
+                              count(*) AS n_events
+                       FROM events GROUP BY event_type, bucket),
+            m AS (SELECT event_type, bucket, n_events,
+                         CAST(sum(n_events) OVER w AS BIGINT) AS tsum,
+                         count(n_events) OVER w AS tc
+                  FROM c
+                  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                               ROWS BETWEEN 24 PRECEDING
+                               AND 1 PRECEDING))
+            SELECT event_type, bucket, n_events,
+                   {ROUND4_SQL.format(x='CAST(tsum AS DOUBLE) / tc')}
+                       AS trailing_mean
+            FROM m
+            WHERE tc > 0 AND n_events >= 2
+              AND n_events > 2.0 * (CAST(tsum AS DOUBLE) / tc)
         """,
         # every arithmetic site that mixes an integer column with a
         # decimal literal is CAST to DOUBLE: DuckDB evaluates e.g.

@@ -99,3 +99,48 @@ def bigram_lm_score(df: DataFrame, id_col: str, text_col: str,
         out = out.localCheckpoint(eager=True)
         bgs.unpersist()
     return out
+
+
+def sequence_lm_score(df: DataFrame, key_col: str, order_cols: list[str],
+                      state_col: str) -> DataFrame:
+    """Behavioral-sequence anomaly scoring: fit the corpus's own
+    add-one-smoothed state-transition model, then score every key by
+    its mean transition log-likelihood — the sequence twin of
+    :func:`bigram_lm_score` (bots and broken instrumentation both
+    produce transition streams the population model finds
+    improbable).
+
+    Returns ``(key, n_steps, seq_score)``; keys with fewer than two
+    events have no transitions and are absent.  One window shuffle
+    builds the per-key transition stream; the model re-aggregates it
+    (states² rows) and broadcasts back; per-key sums are exact integer
+    micro-nats (module docstring), so the score is order-free and
+    engine-exact.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    bg = (df.select(F.col(key_col).alias("_k"),
+                    F.col(state_col).alias("w1"),
+                    F.lead(state_col).over(w).alias("w2"))
+          .where(F.col("w2").isNotNull()))
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = bgc.groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
+    vocab = (df.select(F.col(state_col).alias("t"))
+             .where(F.col("t").isNotNull())
+             .agg(F.countDistinct("t").alias("v")))
+    lp = F.floor(F.log((F.col("c_bg") + F.lit(1.0))
+                       / (F.col("c_ctx") + F.col("v")))
+                 * F.lit(1_000_000.0)).cast("long")
+    model = (bgc.join(ctx, "w1").crossJoin(F.broadcast(vocab))
+             .select("w1", "w2", lp.alias("lp_micro")))
+    from ..functions.vectors import round4
+    return (bg.join(F.broadcast(model), ["w1", "w2"])
+            .groupBy(F.col("_k").alias(key_col))
+            .agg(F.count(F.lit(1)).alias("n_steps"),
+                 F.sum("lp_micro").alias("_s"))
+            .select(key_col, "n_steps",
+                    round4(F.col("_s")
+                           / (F.col("n_steps").cast("double")
+                              * F.lit(1_000_000.0)))
+                    .alias("seq_score")))

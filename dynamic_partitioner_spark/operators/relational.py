@@ -701,3 +701,40 @@ def sequence_conformance(df: DataFrame, key_col: str,
                                "from_state string, to_state string")
     return counts.join(F.broadcast(ok), ["from_state", "to_state"],
                        "left_anti")
+
+
+def burst_detection(df: DataFrame, type_col: str, bucket: Column,
+                    min_count: int = 10, factor: float = 2.0,
+                    trailing: int = 24) -> DataFrame:
+    """Temporal burst detection: per (type, time bucket), flag buckets
+    whose event count exceeds ``factor ×`` the trailing-``trailing``-
+    bucket mean (current bucket excluded) with at least ``min_count``
+    events — the monitoring primitive behind spike alerts and
+    trending-topic surfacing.
+
+    One hash aggregate to the (type, bucket) grid, then a rows-frame
+    window over that GRID (types × buckets rows, not events).  The
+    trailing mean is an exact-integer sum over the frame divided once,
+    so the flag predicate is engine-exact; buckets with no trailing
+    history (frame empty) are never flagged.
+    """
+    counts = (df.select(F.col(type_col).alias("_t"), bucket.alias("_b"))
+              .groupBy("_t", "_b")
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    w = (Window.partitionBy("_t").orderBy("_b")
+         .rowsBetween(-trailing, -1))
+    from ..functions.vectors import round4
+    trail_sum = F.sum("n_events").over(w)
+    trail_cnt = F.count("n_events").over(w)
+    marked = counts.select(
+        "_t", "_b", "n_events",
+        (trail_sum.cast("double") / trail_cnt).alias("_mean"),
+        trail_cnt.alias("_tc"))
+    return (marked
+            .where((F.col("_tc") > 0)
+                   & (F.col("n_events") >= F.lit(int(min_count)))
+                   & (F.col("n_events")
+                      > F.lit(float(factor)) * F.col("_mean")))
+            .select(F.col("_t").alias(type_col),
+                    F.col("_b").alias("bucket"), "n_events",
+                    round4(F.col("_mean")).alias("trailing_mean")))

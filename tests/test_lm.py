@@ -63,3 +63,21 @@ def test_bigram_lm_score_orders_typicality(spark):
     got = {r.doc_id: r.lm_score for r in
            bigram_lm_score(df, "doc_id", "text").collect()}
     assert got[100] > got[200]
+
+
+def test_sequence_lm_score_flags_rare_transitions(spark):
+    from dynamic_partitioner_spark.operators.lm import sequence_lm_score
+    # users 1..3 walk a>b>a>b...; user 9 walks a>z (rare transition)
+    rows = []
+    for u in (1, 2, 3):
+        for i, s in enumerate(["a", "b", "a", "b"]):
+            rows.append((u, i, s))
+    rows += [(9, 0, "a"), (9, 1, "z")]
+    df = spark.createDataFrame(rows, "u long, seq long, st string")
+    out = {r.u: r for r in
+           sequence_lm_score(df, "u", ["seq"], "st").collect()}
+    assert out[1].n_steps == 3 and out[9].n_steps == 1
+    # the common-pattern walkers all score identically and higher
+    # (less negative) than the rare-transition user
+    assert out[1].seq_score == out[2].seq_score == out[3].seq_score
+    assert out[9].seq_score < out[1].seq_score

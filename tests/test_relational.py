@@ -664,3 +664,20 @@ def test_sequence_conformance_counts_disallowed_only(spark):
     import pytest
     with pytest.raises(ValueError):
         sequence_conformance(df, "u", ["seq"], "k", [])
+
+
+def test_burst_detection_flags_spike_only(spark):
+    from dynamic_partitioner_spark.operators.relational import (
+        burst_detection)
+    rows = []
+    for b in range(10):
+        n = 20 if b == 9 else 2          # spike in the last bucket
+        rows += [("x", b)] * n
+    rows += [("y", 0)] * 3               # no trailing history → never flagged
+    df = spark.createDataFrame(rows, "t string, b long")
+    out = burst_detection(df, "t", F.col("b"), min_count=5,
+                          factor=2.0, trailing=24).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.t, r.bucket, r.n_events) == ("x", 9, 20)
+    assert abs(r.trailing_mean - 2.0) < 1e-9

@@ -58,6 +58,7 @@ SWEEP_KEYS = [
     "events_conformance", "mm_dedup_binary",
     "query_sql_tpch_q6",
     "text_bm25", "sample_bootstrap",
+    "events_seq_lm", "events_bursts",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
