@@ -2395,6 +2395,51 @@ def q_sample_balance_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("vec_id").alias("max_vec_id")))
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer→supplier purchase graph (orders ⋈
+    lineitem), top-20 nodes.  Rows-only by design — iterative float
+    ranks have no SQL twin; known-graph rankings, mass conservation
+    and determinism are pinned in tests/test_graph.py."""
+    from dynamic_partitioner_spark.operators.graph import pagerank
+    # graph bounded to the first 3000 customers (the dedup_fuzzy2
+    # precedent): the iterative key stays bench-bounded at every SF
+    # while the operator itself is unbounded
+    orders = (_table(spark, sf_dir, "orders")
+              .where(F.col("o_custkey") < 3000)
+              .select("o_orderkey", "o_custkey"))
+    li = _table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                  "l_suppkey")
+    edges = (orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+             .select(F.concat(F.lit("c"), F.col("o_custkey"))
+                     .alias("src"),
+                     F.concat(F.lit("s"), F.col("l_suppkey"))
+                     .alias("dst")))
+    ranks = pagerank(edges, "src", "dst", n_iter=4)
+    w = Window.orderBy(F.desc("r4"), F.asc("node"))
+    return (ranks.select("node", round4(F.col("rank")).alias("r4"))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 20)
+            .withColumnRenamed("r4", "rank4"))
+
+
+def q_geo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed proximity join (the 2-D binned range join):
+    deterministic synthetic micro-degree coordinates derived from the
+    keys, 3x3 cell-neighborhood equi-join, exact integer distance
+    verify — the oracle runs the true quadratic join."""
+    from dynamic_partitioner_spark.operators.geo import grid_distance_join
+    cust = _table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") * 7919 % 1800000 - 900000).alias("lat_u"),
+        (F.col("c_custkey") * 104729 % 3600000 - 1800000).alias("lon_u"))
+    supp = _table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_suppkey") * 7919 % 1800000 - 900000).alias("lat_u"),
+        (F.col("s_suppkey") * 104729 % 3600000 - 1800000).alias("lon_u"))
+    return grid_distance_join(cust, supp, "c_custkey", "s_suppkey",
+                              radius_u=50000)
+
+
 def q_events_seq_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral anomaly scoring: every user's mean transition
     log-likelihood under the corpus's own add-one transition model —
@@ -2679,7 +2724,8 @@ _PRIORITY_R05 = [
     "similarity_hybrid_rrf", "events_cumulative_users",
     "sample_balance_labels", "embedding_outliers", "events_conformance",
     "mm_dedup_binary", "text_bm25", "sample_bootstrap",
-    "events_seq_lm", "events_bursts",
+    "events_seq_lm", "events_bursts", "query_geo_join",
+    "graph_pagerank",
     "dedup_fuzzy2", "dedup_apply", "query_heavy_hitters",
     "query_incremental_agg", "source_schema_evolution",
     "text_pii_redact", "query_salted_join_auto", "text_scrub_chunks",
@@ -2884,6 +2930,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_bootstrap": q_sample_bootstrap,
         "events_seq_lm": q_events_seq_lm,
         "events_bursts": q_events_bursts,
+        "query_geo_join": q_geo_join,
+        "graph_pagerank": q_graph_pagerank,
     }
 
 
@@ -4443,6 +4491,23 @@ def oracle_sql() -> dict[str, str]:
                        x='CAST(n_rows AS DOUBLE) * nkeys / total')}
                        AS skew_ratio
             FROM r, t WHERE rnk <= 20
+        """,
+        "query_geo_join": """
+            WITH c AS (SELECT c_custkey,
+                              c_custkey * 7919 % 1800000 - 900000 AS la,
+                              c_custkey * 104729 % 3600000 - 1800000 AS lo
+                       FROM customer),
+            s AS (SELECT s_suppkey,
+                         s_suppkey * 7919 % 1800000 - 900000 AS la,
+                         s_suppkey * 104729 % 3600000 - 1800000 AS lo
+                  FROM supplier)
+            SELECT c_custkey, s_suppkey,
+                   (c.la - s.la) * (c.la - s.la)
+                   + (c.lo - s.lo) * (c.lo - s.lo) AS dist2
+            FROM c, s
+            WHERE (c.la - s.la) * (c.la - s.la)
+                  + (c.lo - s.lo) * (c.lo - s.lo)
+                  <= 2500000000
         """,
         "events_seq_lm": f"""
             WITH bg AS (

@@ -1,0 +1,65 @@
+"""Spatial (proximity) join via grid bucketing — the 2-D sibling of
+the binned range join: quantize coordinates into cells sized to the
+search radius, explode one side into its 3×3 cell neighborhood,
+equi-join on the cell id, then apply the exact distance predicate.
+Never a cross join; candidate volume is bounded by local density, the
+standard scalable shape (same decomposition every geospatial engine
+uses for distance joins).
+
+Distances here are exact-integer planar micro-degree arithmetic
+(``dist² = Δlat_µ² + Δlon_µ²`` on ``floor(deg·10⁴)`` ints), so the
+radius filter is bit-identical in any engine — the right contract for
+an oracle-checked demonstration of the join MECHANICS.  For true
+geodesic semantics swap the verify predicate for haversine and size
+cells by the worst-case metres-per-degree at the data's latitudes
+(documented plug point; haversine's libm sin/cos can differ by 1 ulp
+across engines, which is why it is not the oracle-checked default).
+
+No counterpart in the reference (a partitioned-sink plugin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def grid_distance_join(left: DataFrame, right: DataFrame,
+                       left_id: str, right_id: str,
+                       lat_col: str = "lat_u", lon_col: str = "lon_u",
+                       radius_u: int = 5000) -> DataFrame:
+    """All (left, right) pairs within ``radius_u`` micro-degree units
+    (integer planar distance), as ``(left_id, right_id, dist2)``.
+
+    ``lat_col``/``lon_col`` must be integral micro-degree columns on
+    BOTH inputs.  The left side maps each point to ONE cell of width
+    ``radius_u``; the right side explodes into its 3×3 neighborhood,
+    so every qualifying pair meets in exactly one cell — no post-join
+    dedup.  The equi-join on the cell id broadcast- or
+    sort-merge-plans like any other join; the exact integer predicate
+    runs in codegen after it.
+    """
+    if radius_u <= 0:
+        raise ValueError("radius_u must be positive")
+    r = int(radius_u)
+    lcell = left.select(
+        F.col(left_id), F.col(lat_col).alias("_lla"),
+        F.col(lon_col).alias("_llo"),
+        F.concat_ws(":", F.expr(f"`{lat_col}` div {r}"),
+                    F.expr(f"`{lon_col}` div {r}")).alias("_cell"))
+    # 3x3 neighborhood — dx/dy in {-1,0,1}
+    offs = F.expr("explode(array(-1, 0, 1))")
+    rr = (right.select(F.col(right_id), F.col(lat_col).alias("_rla"),
+                       F.col(lon_col).alias("_rlo"))
+          .withColumn("_dx", offs).withColumn("_dy", offs)
+          .withColumn("_cell", F.concat_ws(
+              ":",
+              F.expr(f"_rla div {r}") + F.col("_dx"),
+              F.expr(f"_rlo div {r}") + F.col("_dy"))))
+    d2 = ((F.col("_lla") - F.col("_rla")) * (F.col("_lla") - F.col("_rla"))
+          + (F.col("_llo") - F.col("_rlo"))
+          * (F.col("_llo") - F.col("_rlo")))
+    return (lcell.join(rr, "_cell")
+            .withColumn("dist2", d2)
+            .where(F.col("dist2") <= F.lit(r * r))
+            .select(left_id, right_id, "dist2"))

@@ -28,6 +28,7 @@ def test_every_oracle_has_a_query_and_priorities_resolve():
         "similarity_ann_lsh", "similarity_ivf_pruned", "text_pack",
         "similarity_pq_rerank", "dedup_semantic", "query_hll_mergeable",
         "embedding_pca", "text_bpe_learn", "sketch_cms",
+        "graph_pagerank",
     }, sorted(rows_only)
     # priority rotation covers every NEW key first (never hash-checked)
     assert len(q) >= 124

@@ -1,0 +1,45 @@
+"""PageRank — known-graph rankings and mass conservation."""
+
+from __future__ import annotations
+
+import pytest
+
+from dynamic_partitioner_spark.operators.graph import pagerank
+
+
+def test_star_graph_center_dominates(spark):
+    # pure sink star: hub collects everyone's mass, spokes get only
+    # teleport + the dangling hub's uniform redistribution (equal)
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub")],
+        "s string, d string")
+    out = {r.node: r.rank for r in
+           pagerank(edges, "s", "d", n_iter=10).collect()}
+    assert max(out, key=out.get) == "hub"
+    assert out["a"] == out["b"] == out["c"] < out["hub"]
+    assert abs(sum(out.values()) - 1.0) < 1e-6
+
+
+def test_dangling_mass_is_conserved(spark):
+    # b has no out-edges: its mass must be redistributed, not lost
+    edges = spark.createDataFrame([("a", "b")], "s string, d string")
+    out = {r.node: r.rank for r in
+           pagerank(edges, "s", "d", n_iter=12).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-6
+    assert out["b"] > out["a"]
+
+
+def test_deterministic_across_runs(spark):
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3) % 7) for i in range(30)], "s long, d long")
+    a = sorted((r.node, round(r.rank, 10)) for r in
+               pagerank(edges, "s", "d", n_iter=6).collect())
+    b = sorted((r.node, round(r.rank, 10)) for r in
+               pagerank(edges, "s", "d", n_iter=6).collect())
+    assert a == b
+
+
+def test_rejects_zero_iterations(spark):
+    edges = spark.createDataFrame([("a", "b")], "s string, d string")
+    with pytest.raises(ValueError):
+        pagerank(edges, "s", "d", n_iter=0)

@@ -59,6 +59,7 @@ SWEEP_KEYS = [
     "query_sql_tpch_q6",
     "text_bm25", "sample_bootstrap",
     "events_seq_lm", "events_bursts",
+    "query_geo_join", "graph_pagerank",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
