@@ -2701,16 +2701,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # ``queries()`` entries per round.  Rotate each round so the keys with
 # the LEAST driver evidence come first.  Round 5's window:
 #   1-2    the two approx-sketch keys — implemented since r3 but never
-#          drawn in ANY round's sample (the only keys with zero driver
-#          rows; rows-only by design, but a rows-only entry is still
-#          evidence the key executes in the driver's env),
-#   3-19   the seventeen NEW round-5 keys (never checked),
-#   20-26  the keys whose implementation CHANGED this round (URL
-#          canonicalization, DP NULL seeds, streaming-join drain
-#          shape, fuzzy-pairs guard, shingle-index refactor, semantic
-#          dedup auto-scaling) — re-verify behind the change,
-#   27-41  keys last hash-checked in r2,
-#   42-50  keys last hash-checked in r3 (oldest evidence first).
+#          drawn in ANY round's sample (rows-only by design, but a
+#          rows-only entry is still evidence the key executes in the
+#          driver's env),
+#   3-31   the NEW round-5b keys (sequence mining, OHLC, skew profile,
+#          group split, co-occurrence, file audit, BPE learn, CMS,
+#          bloom join, lag features, attribution, time travel, TPC-H
+#          SQL x4, expectations, hybrid RRF, cumulative users, label
+#          balance, centroid outliers, conformance, binary dedup,
+#          BM25, bootstrap, sequence LM, bursts, geo join, PageRank)
+#          — never driver-checked,
+#   then   the seventeen round-5a keys (checked locally, never by the
+#          driver), the keys whose implementation changed in r5, and
+#          the oldest-evidence r2/r3 keys.
 # Everything after 50 was hash-checked in r3/r4 and is unchanged.
 _PRIORITY_R05 = [
     "query_approx_distinct", "query_approx_percentiles",
