@@ -2217,6 +2217,14 @@ def q_seq_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "event_type", n=3, top=25)
 
 
+#: FLOOR-division hour bucket — `div` truncates toward zero while the
+#: DuckDB twin's `//` floors, so a pre-1970 timestamp would land in a
+#: different bucket (the VERDICT-r4 div-vs-floor hazard, fenced here
+#: at bucket granularity): (x - pmod(x, w)) is exactly divisible, so
+#: the truncating div IS the floor quotient for any sign.
+_HOUR_FDIV = "((ts_us - pmod(ts_us, 3600000000)) div 3600000000)"
+
+
 def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user-hour OHLC downsample bars over the metric stream —
     one shuffle serves both window passes and the final aggregate."""
@@ -2224,8 +2232,7 @@ def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _table(spark, sf_dir, "events")
     ev = events.select("user_id", "event_id", "value",
                        event_time_us(events).alias("ts_us"))
-    return ohlc_bars(ev.withColumn("hour_idx",
-                                   F.expr("ts_us div 3600000000")),
+    return ohlc_bars(ev.withColumn("hour_idx", F.expr(_HOUR_FDIV)),
                      "user_id", F.col("hour_idx"), "value",
                      ["ts_us", "event_id"])
 
@@ -2462,9 +2469,9 @@ def q_events_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _table(spark, sf_dir, "events")
     ev = events.select("event_type",
                        event_time_us(events).alias("ts_us"))
-    return burst_detection(ev, "event_type",
-                           F.expr("ts_us div 3600000000"),
-                           min_count=2, factor=2.0, trailing=24)
+    return burst_detection(ev, "event_type", F.expr(_HOUR_FDIV),
+                           min_count=2, factor=2.0, trailing=24,
+                           fill_gaps=True)
 
 
 def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4541,10 +4548,20 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
         """,
         "events_bursts": f"""
-            WITH c AS (SELECT event_type,
-                              epoch_us(ts) // 3600000000 AS bucket,
-                              count(*) AS n_events
-                       FROM events GROUP BY event_type, bucket),
+            WITH c0 AS (SELECT event_type,
+                               epoch_us(ts) // 3600000000 AS bucket,
+                               count(*) AS n_events
+                        FROM events GROUP BY event_type, bucket),
+            span AS (SELECT event_type, min(bucket) AS lo,
+                            max(bucket) AS hi
+                     FROM c0 GROUP BY event_type),
+            grid AS (SELECT event_type,
+                            unnest(range(lo, hi + 1)) AS bucket
+                     FROM span),
+            c AS (SELECT grid.event_type, grid.bucket,
+                         coalesce(n_events, 0) AS n_events
+                  FROM grid LEFT JOIN c0
+                       USING (event_type, bucket)),
             m AS (SELECT event_type, bucket, n_events,
                          CAST(sum(n_events) OVER w AS BIGINT) AS tsum,
                          count(n_events) OVER w AS tc

@@ -56,9 +56,12 @@ def grid_distance_join(left: DataFrame, right: DataFrame,
               ":",
               F.expr(f"_rla div {r}") + F.col("_dx"),
               F.expr(f"_rlo div {r}") + F.col("_dy"))))
-    d2 = ((F.col("_lla") - F.col("_rla")) * (F.col("_lla") - F.col("_rla"))
-          + (F.col("_llo") - F.col("_rlo"))
-          * (F.col("_llo") - F.col("_rlo")))
+    # diffs cast to long BEFORE squaring: int32 micro-degree inputs are
+    # valid (|deg·1e4| < 2^31) but candidate dist² reaches 8r² — past
+    # int32, which would throw under ANSI or wrap to a false positive
+    dla = F.col("_lla").cast("long") - F.col("_rla").cast("long")
+    dlo = F.col("_llo").cast("long") - F.col("_rlo").cast("long")
+    d2 = dla * dla + dlo * dlo
     return (lcell.join(rr, "_cell")
             .withColumn("dist2", d2)
             .where(F.col("dist2") <= F.lit(r * r))

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 def pagerank(edges: DataFrame, src_col: str, dst_col: str,
              n_iter: int = 8, damping: float = 0.85,
-             checkpoint_every: int = 3) -> DataFrame:
+             checkpoint_every: int = 1) -> DataFrame:
     """PageRank over the directed edge relation → ``(node, rank)`` for
     every node appearing as a source or destination.  Fixed
     ``n_iter`` power iterations, uniform teleport, dangling mass
@@ -74,8 +74,10 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
                           * (F.coalesce(F.col("c"), F.lit(0.0))
                              + F.col("_dm") / F.lit(float(n))))
                          .alias("rank")))
-        # truncate EVERY round: each materialization is then one
-        # iteration deep (checkpoint_every kept for API compat)
-        ranks = ranks.localCheckpoint(eager=True)
+        # default: truncate every round so each materialization is one
+        # iteration deep; raise checkpoint_every on small fast graphs
+        # to trade lineage depth for fewer eager jobs
+        if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     ew.unpersist()
     return ranks.select("node", "rank")

@@ -43,6 +43,21 @@ def doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                     F.col("bg.w2").alias("w2")))
 
 
+def add_one_micro_model(bg: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Add-one-smoothed bigram model ``(w1, w2, lp_micro)`` from a
+    ``(w1, w2)`` pair relation and a 1-row vocab-size aggregate ``v``
+    — the ONE quantized-model construction shared by the token-LM and
+    the event-sequence-LM paths (module docstring for the micro-nat
+    rationale)."""
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = bgc.groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
+    lp = F.floor(F.log((F.col("c_bg") + F.lit(1.0))
+                       / (F.col("c_ctx") + F.col("v")))
+                 * F.lit(1_000_000.0)).cast("long")
+    return (bgc.join(ctx, "w1").crossJoin(F.broadcast(vocab))
+            .select("w1", "w2", lp.alias("lp_micro")))
+
+
 def bigram_lm_score(df: DataFrame, id_col: str, text_col: str,
                     eager: bool = True) -> DataFrame:
     """Score every document by its average add-one-smoothed bigram log
@@ -69,22 +84,11 @@ def bigram_lm_score(df: DataFrame, id_col: str, text_col: str,
     releasing the cache (``spark.catalog.clearCache()`` or unpersist).
     """
     bgs = doc_bigrams(df, id_col, text_col).cache()
-    bg_counts = bgs.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c_bg"))
-    ctx_counts = bg_counts.groupBy("w1").agg(
-        F.sum("c_bg").alias("c_ctx"))
     vocab = (df.select(F.explode(_tokens(text_col)).alias("t"))
              .where(F.length("t") > 0)
              .agg(F.countDistinct("t").alias("v")))
-    model = (bg_counts.join(ctx_counts, "w1")
-             .crossJoin(F.broadcast(vocab)))
-    # integer micro-nats: floor(ln((c_bg+1)/(c_ctx+V)) * 1e6) — the sum
-    # below is then exact BIGINT arithmetic, order-independent
-    lp = F.floor(F.log((F.col("c_bg") + F.lit(1.0))
-                       / (F.col("c_ctx") + F.col("v")))
-                 * F.lit(1_000_000.0)).cast("long")
-    scored = bgs.join(model.select("w1", "w2", lp.alias("lp_micro")),
-                      ["w1", "w2"])
+    model = add_one_micro_model(bgs.select("w1", "w2"), vocab)
+    scored = bgs.join(model, ["w1", "w2"])
     from ..functions.vectors import round4
     out = (scored.groupBy(F.col("_id").alias(id_col))
            .agg(F.count(F.lit(1)).alias("n_bigrams"),
@@ -117,30 +121,29 @@ def sequence_lm_score(df: DataFrame, key_col: str, order_cols: list[str],
     micro-nats (module docstring), so the score is order-free and
     engine-exact.
     """
-    from pyspark.sql import Window
+    from .relational import state_transitions
 
-    w = Window.partitionBy(key_col).orderBy(*order_cols)
-    bg = (df.select(F.col(key_col).alias("_k"),
-                    F.col(state_col).alias("w1"),
-                    F.lead(state_col).over(w).alias("w2"))
-          .where(F.col("w2").isNotNull()))
-    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
-    ctx = bgc.groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
+    # the shared transition construction; cached — it feeds BOTH the
+    # model fit and the scoring join (the bigram path caches the same
+    # shared relation for the same reason)
+    bg = (state_transitions(df, key_col, order_cols, state_col)
+          .select("_k", F.col("from_state").alias("w1"),
+                  F.col("to_state").alias("w2"))
+          .cache())
     vocab = (df.select(F.col(state_col).alias("t"))
              .where(F.col("t").isNotNull())
              .agg(F.countDistinct("t").alias("v")))
-    lp = F.floor(F.log((F.col("c_bg") + F.lit(1.0))
-                       / (F.col("c_ctx") + F.col("v")))
-                 * F.lit(1_000_000.0)).cast("long")
-    model = (bgc.join(ctx, "w1").crossJoin(F.broadcast(vocab))
-             .select("w1", "w2", lp.alias("lp_micro")))
+    model = add_one_micro_model(bg.select("w1", "w2"), vocab)
     from ..functions.vectors import round4
-    return (bg.join(F.broadcast(model), ["w1", "w2"])
-            .groupBy(F.col("_k").alias(key_col))
-            .agg(F.count(F.lit(1)).alias("n_steps"),
-                 F.sum("lp_micro").alias("_s"))
-            .select(key_col, "n_steps",
-                    round4(F.col("_s")
-                           / (F.col("n_steps").cast("double")
-                              * F.lit(1_000_000.0)))
-                    .alias("seq_score")))
+    out = (bg.join(F.broadcast(model), ["w1", "w2"])
+           .groupBy(F.col("_k").alias(key_col))
+           .agg(F.count(F.lit(1)).alias("n_steps"),
+                F.sum("lp_micro").alias("_s"))
+           .select(key_col, "n_steps",
+                   round4(F.col("_s")
+                          / (F.col("n_steps").cast("double")
+                             * F.lit(1_000_000.0)))
+                   .alias("seq_score"))
+           .localCheckpoint(eager=True))
+    bg.unpersist()
+    return out

@@ -285,6 +285,22 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
     return j.select(*out_cols).where(F.col("change").isNotNull())
 
 
+def state_transitions(df: DataFrame, key_col: str,
+                      order_cols: list[str], state_col: str) -> DataFrame:
+    """The ONE per-key ordered transition-stream construction
+    ``(key, from_state, to_state)`` shared by
+    :func:`transition_matrix`, :func:`sequence_conformance` and
+    ``lm.sequence_lm_score`` — a single definition so transition
+    semantics (ordering totality, NULL-next filtering) cannot silently
+    diverge between consumers.  ``order_cols`` must be a total order
+    (ts + id), otherwise ``lead`` is nondeterministic."""
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    return (df.select(F.col(key_col).alias("_k"),
+                      F.col(state_col).alias("from_state"),
+                      F.lead(state_col).over(w).alias("to_state"))
+            .where(F.col("to_state").isNotNull()))
+
+
 def transition_matrix(df: DataFrame, key_col: str, order_cols: list[str],
                       state_col: str) -> DataFrame:
     """Markov transition counts over per-key ordered event sequences:
@@ -303,12 +319,8 @@ def transition_matrix(df: DataFrame, key_col: str, order_cols: list[str],
     of small integers hashes identically in the DuckDB oracle.
     """
     from ..functions.vectors import round4
-    w = Window.partitionBy(key_col).orderBy(*order_cols)
-    steps = (df
-             .withColumn("_next", F.lead(state_col).over(w))
-             .where(F.col("_next").isNotNull()))
-    counts = (steps.groupBy(F.col(state_col).alias("from_state"),
-                            F.col("_next").alias("to_state"))
+    steps = state_transitions(df, key_col, order_cols, state_col)
+    counts = (steps.groupBy("from_state", "to_state")
               .agg(F.count(F.lit(1)).alias("n_transitions")))
     total = Window.partitionBy("from_state")
     return counts.select(
@@ -691,11 +703,8 @@ def sequence_conformance(df: DataFrame, key_col: str,
         raise ValueError("sequence_conformance needs a non-empty "
                          "allowed set")
     spark = df.sparkSession
-    w = Window.partitionBy(key_col).orderBy(*order_cols)
-    steps = (df.withColumn("_next", F.lead(state_col).over(w))
-             .where(F.col("_next").isNotNull()))
-    counts = (steps.groupBy(F.col(state_col).alias("from_state"),
-                            F.col("_next").alias("to_state"))
+    steps = state_transitions(df, key_col, order_cols, state_col)
+    counts = (steps.groupBy("from_state", "to_state")
               .agg(F.count(F.lit(1)).alias("n_violations")))
     ok = spark.createDataFrame(list(allowed),
                                "from_state string, to_state string")
@@ -705,7 +714,8 @@ def sequence_conformance(df: DataFrame, key_col: str,
 
 def burst_detection(df: DataFrame, type_col: str, bucket: Column,
                     min_count: int = 10, factor: float = 2.0,
-                    trailing: int = 24) -> DataFrame:
+                    trailing: int = 24, fill_gaps: bool = False,
+                    max_buckets: int = 1_000_000) -> DataFrame:
     """Temporal burst detection: per (type, time bucket), flag buckets
     whose event count exceeds ``factor ×`` the trailing-``trailing``-
     bucket mean (current bucket excluded) with at least ``min_count``
@@ -717,10 +727,34 @@ def burst_detection(df: DataFrame, type_col: str, bucket: Column,
     trailing mean is an exact-integer sum over the frame divided once,
     so the flag predicate is engine-exact; buckets with no trailing
     history (frame empty) are never flagged.
+
+    By default the frame spans the last ``trailing`` OBSERVED buckets;
+    on sparse streams that reaches back across silent gaps and biases
+    the baseline high (a spike after total silence can hide behind
+    last week's busy buckets).  ``fill_gaps=True`` zero-fills each
+    type's bucket span first (the ``densify_time_buckets`` treatment,
+    inline), making the frame a true trailing time window;
+    ``max_buckets`` fails LOUDLY if one type's span would densify
+    wider than that (the corrupt-epoch guard).
     """
     counts = (df.select(F.col(type_col).alias("_t"), bucket.alias("_b"))
               .groupBy("_t", "_b")
               .agg(F.count(F.lit(1)).alias("n_events")))
+    if fill_gaps:
+        spans = counts.groupBy("_t").agg(F.min("_b").alias("_lo"),
+                                         F.max("_b").alias("_hi"))
+        span_ok = F.assert_true(
+            F.col("_hi") - F.col("_lo") < F.lit(int(max_buckets)),
+            F.concat(F.lit("burst span over max_buckets for type "),
+                     F.col("_t").cast("string")))
+        lo_checked = F.coalesce(span_ok.cast("long"), F.col("_lo"))
+        grid = spans.select(
+            "_t", F.explode(F.sequence(lo_checked, F.col("_hi")))
+            .alias("_b"))
+        counts = (grid.join(counts, ["_t", "_b"], "left")
+                  .select("_t", "_b",
+                          F.coalesce("n_events", F.lit(0))
+                          .alias("n_events")))
     w = (Window.partitionBy("_t").orderBy("_b")
          .rowsBetween(-trailing, -1))
     from ..functions.vectors import round4

@@ -681,3 +681,22 @@ def test_burst_detection_flags_spike_only(spark):
     r = out[0]
     assert (r.t, r.bucket, r.n_events) == ("x", 9, 20)
     assert abs(r.trailing_mean - 2.0) < 1e-9
+
+
+def test_burst_detection_fill_gaps_restores_true_baseline(spark):
+    """A spike after a silent gap must be flagged when gaps are
+    zero-filled, and can hide behind old busy buckets when not."""
+    from dynamic_partitioner_spark.operators.relational import (
+        burst_detection)
+    rows = []
+    for b in range(5):                    # busy prefix: 100 events each
+        rows += [("x", b)] * 100
+    rows += [("x", 40)] * 30              # spike after 35 silent buckets
+    df = spark.createDataFrame(rows, "t string, b long")
+    sparse = burst_detection(df, "t", F.col("b"), min_count=5,
+                             factor=2.0, trailing=24).collect()
+    assert all(r.bucket != 40 for r in sparse)   # hidden by old buckets
+    filled = burst_detection(df, "t", F.col("b"), min_count=5,
+                             factor=2.0, trailing=24,
+                             fill_gaps=True).collect()
+    assert any(r.bucket == 40 for r in filled)   # gap-true baseline ~0
