@@ -2590,6 +2590,25 @@ def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_streaming_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming data-contract monitor: orders drain through real
+    micro-batches (one file per trigger) with null/range/fk rules
+    checked per batch; cumulative counts equal the batch check."""
+    from dynamic_partitioner_spark.streaming.write import (
+        run_streaming_expectations)
+    apply_engine_confs(spark)
+    src = _out("stream_expect_src")
+    (_table(spark, sf_dir, "orders").repartition(3)
+     .write.mode("overwrite").parquet(src))
+    cust = _table(spark, sf_dir, "customer")
+    ckpt = _out("stream_expect_ckpt")
+    return run_streaming_expectations(spark, src, [
+        ("not_null", "o_custkey"),
+        ("range", "o_totalprice", 0.0, 600_000.0),
+        ("fk", "o_custkey", cust, "c_custkey"),
+    ], ckpt)
+
+
 def q_source_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-versioned table: three commits (append, append,
     overwrite), then per-priority counts read AS OF each version —
@@ -2735,7 +2754,7 @@ _PRIORITY_R05 = [
     "sample_balance_labels", "embedding_outliers", "events_conformance",
     "mm_dedup_binary", "text_bm25", "sample_bootstrap",
     "events_seq_lm", "events_bursts", "query_geo_join",
-    "graph_pagerank",
+    "graph_pagerank", "streaming_expectations",
     "dedup_fuzzy2", "dedup_apply", "query_heavy_hitters",
     "query_incremental_agg", "source_schema_evolution",
     "text_pii_redact", "query_salted_join_auto", "text_scrub_chunks",
@@ -2942,6 +2961,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bursts": q_events_bursts,
         "query_geo_join": q_geo_join,
         "graph_pagerank": q_graph_pagerank,
+        "streaming_expectations": q_streaming_expectations,
     }
 
 
@@ -4501,6 +4521,25 @@ def oracle_sql() -> dict[str, str]:
                        x='CAST(n_rows AS DOUBLE) * nkeys / total')}
                        AS skew_ratio
             FROM r, t WHERE rnk <= 20
+        """,
+        "streaming_expectations": """
+            SELECT 1 AS rule_id, 'not_null' AS rule,
+                   'o_custkey' AS col_name,
+                   CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violations
+            FROM orders
+            UNION ALL
+            SELECT 2, 'range', 'o_totalprice',
+                   CAST(sum(CASE WHEN o_totalprice < 0
+                                   OR o_totalprice > 600000
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 3, 'fk', 'o_custkey', CAST(count(*) AS BIGINT)
+            FROM orders o
+            WHERE o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)
         """,
         "query_geo_join": """
             WITH c AS (SELECT c_custkey,

@@ -135,3 +135,50 @@ def run_stream_to_completion(query: StreamingQuery,
             f"stream did not drain within {timeout_sec}s — the sink "
             "holds a PARTIAL result; raise timeout_sec or reduce the "
             "trigger count")
+
+
+def run_streaming_expectations(spark: SparkSession, src_path: str,
+                               rules: list[tuple],
+                               checkpoint: str,
+                               timeout_sec: int = 300,
+                               max_files_per_trigger: int | None = 1):
+    """Streaming data-contract monitoring: every micro-batch runs the
+    declarative expectation rules (``operators.expectations``) and the
+    violation counts accumulate — the quality gate a production ingest
+    keeps alongside the write, surfacing contract drift per trigger
+    instead of at the end of the day.
+
+    Only ADDITIVE rules are accepted (``not_null`` / ``range`` /
+    ``fk`` — per-batch counts sum to the global count); ``unique``
+    is rejected LOUDLY because a duplicate spanning two micro-batches
+    is invisible to per-batch checks (cross-batch uniqueness is what
+    the state-store dedup operator is for).  Returns the final
+    cumulative snapshot, equal to the batch check over the full
+    source.
+    """
+    from ..operators.expectations import check_expectations
+
+    bad = [r[0] for r in rules if r[0] not in ("not_null", "range", "fk")]
+    if bad:
+        raise ValueError(
+            f"non-additive rule kinds {bad!r}: per-batch counts only "
+            "sum to the global count for not_null/range/fk — use the "
+            "state-store streaming dedup for cross-batch uniqueness")
+    totals: dict = {}
+
+    def _fb(batch_df, _batch_id):
+        for r in check_expectations(batch_df, rules).collect():
+            k = (r.rule_id, r.rule, r.col_name)
+            totals[k] = totals.get(k, 0) + r.n_violations
+
+    q = (stream_from_files(spark, src_path,
+                           max_files_per_trigger=max_files_per_trigger)
+         .writeStream.foreachBatch(_fb)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    run_stream_to_completion(q, timeout_sec=timeout_sec)
+    rows = [(rid, rule, col, int(n))
+            for (rid, rule, col), n in sorted(totals.items())]
+    return spark.createDataFrame(
+        rows, "rule_id long, rule string, col_name string, "
+              "n_violations long")

@@ -306,3 +306,26 @@ def test_streaming_sessionize_merges_across_batches(spark, tmp_path):
     u1 = [(k, v) for k, v in out.items() if k[0] == 1]
     assert len(u1) == 1 and u1[0][1] == (2, 3.0)   # merged session
     assert len([k for k in out if k[0] == 2]) == 2  # stayed split
+
+
+def test_streaming_expectations_accumulates_and_rejects_unique(
+        spark, tmp_path):
+    from dynamic_partitioner_spark.streaming.write import (
+        run_streaming_expectations)
+    src = str(tmp_path / "src")
+    a = spark.createDataFrame([(1, 5.0), (None, 2.0)], "k long, v double")
+    b = spark.createDataFrame([(2, -1.0), (None, 3.0)], "k long, v double")
+    a.coalesce(1).write.parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+    out = {(r.rule, r.col_name): r.n_violations
+           for r in run_streaming_expectations(
+               spark, src,
+               [("not_null", "k"), ("range", "v", 0.0, 10.0)],
+               str(tmp_path / "ck")).collect()}
+    # counts accumulate across the two micro-batches
+    assert out == {("not_null", "k"): 2, ("range", "v"): 1}
+
+    import pytest
+    with pytest.raises(ValueError, match="non-additive"):
+        run_streaming_expectations(spark, src, [("unique", "k")],
+                                   str(tmp_path / "ck2"))

@@ -60,6 +60,7 @@ SWEEP_KEYS = [
     "text_bm25", "sample_bootstrap",
     "events_seq_lm", "events_bursts",
     "query_geo_join", "graph_pagerank",
+    "streaming_expectations",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
