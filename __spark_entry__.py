@@ -2584,7 +2584,7 @@ def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _table(spark, sf_dir, "customer")
     return check_expectations(orders, [
         ("not_null", "o_custkey"),
-        ("range", "o_totalprice", 0.0, 600_000.0),
+        ("range", "o_totalprice", 0.0, 450_000.0),
         ("unique", "o_orderkey"),
         ("fk", "o_custkey", cust, "c_custkey"),
     ])
@@ -2604,7 +2604,7 @@ def q_streaming_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _out("stream_expect_ckpt")
     return run_streaming_expectations(spark, src, [
         ("not_null", "o_custkey"),
-        ("range", "o_totalprice", 0.0, 600_000.0),
+        ("range", "o_totalprice", 0.0, 450_000.0),
         ("fk", "o_custkey", cust, "c_custkey"),
     ], ckpt)
 
@@ -4531,7 +4531,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 2, 'range', 'o_totalprice',
                    CAST(sum(CASE WHEN o_totalprice < 0
-                                   OR o_totalprice > 600000
+                                   OR o_totalprice > 450000
                                  THEN 1 ELSE 0 END) AS BIGINT)
             FROM orders
             UNION ALL
@@ -4782,7 +4782,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 2, 'range', 'o_totalprice',
                    CAST(sum(CASE WHEN o_totalprice < 0
-                                   OR o_totalprice > 600000
+                                   OR o_totalprice > 450000
                                  THEN 1 ELSE 0 END) AS BIGINT)
             FROM orders
             UNION ALL

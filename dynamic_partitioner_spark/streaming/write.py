@@ -156,6 +156,8 @@ def run_streaming_expectations(spark: SparkSession, src_path: str,
     cumulative snapshot, equal to the batch check over the full
     source.
     """
+    import os
+
     from ..operators.expectations import check_expectations
 
     bad = [r[0] for r in rules if r[0] not in ("not_null", "range", "fk")]
@@ -164,10 +166,35 @@ def run_streaming_expectations(spark: SparkSession, src_path: str,
             f"non-additive rule kinds {bad!r}: per-batch counts only "
             "sum to the global count for not_null/range/fk — use the "
             "state-store streaming dedup for cross-batch uniqueness")
+    # the accumulator lives in DRIVER memory while batch progress lives
+    # in the checkpoint: resuming an old checkpoint would skip the
+    # already-committed batches and silently under-count — fail fast
+    commits = os.path.join(checkpoint, "commits")
+    if os.path.isdir(commits) and any(
+            not n.startswith(".") for n in os.listdir(commits)):
+        raise ValueError(
+            f"checkpoint {checkpoint!r} already has committed batches: "
+            "resuming would skip them and return a PARTIAL cumulative "
+            "count — use a fresh checkpoint per monitoring run")
+    # resolve fk reference sides ONCE — check_expectations would
+    # otherwise re-scan + re-distinct + re-broadcast the reference
+    # table inside every micro-batch
+    from pyspark.sql import functions as SF
+    resolved, cached = [], []
+    for r in rules:
+        if r[0] == "fk":
+            _, col, ref_df, ref_col = r
+            refs = (ref_df.where(SF.col(ref_col).isNotNull())
+                    .select(ref_col).distinct().cache())
+            refs.count()
+            cached.append(refs)
+            resolved.append(("fk", col, refs, ref_col))
+        else:
+            resolved.append(r)
     totals: dict = {}
 
     def _fb(batch_df, _batch_id):
-        for r in check_expectations(batch_df, rules).collect():
+        for r in check_expectations(batch_df, resolved).collect():
             k = (r.rule_id, r.rule, r.col_name)
             totals[k] = totals.get(k, 0) + r.n_violations
 
@@ -176,7 +203,11 @@ def run_streaming_expectations(spark: SparkSession, src_path: str,
          .writeStream.foreachBatch(_fb)
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True).start())
-    run_stream_to_completion(q, timeout_sec=timeout_sec)
+    try:
+        run_stream_to_completion(q, timeout_sec=timeout_sec)
+    finally:
+        for refs in cached:
+            refs.unpersist()
     rows = [(rid, rule, col, int(n))
             for (rid, rule, col), n in sorted(totals.items())]
     return spark.createDataFrame(

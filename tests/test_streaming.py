@@ -329,3 +329,17 @@ def test_streaming_expectations_accumulates_and_rejects_unique(
     with pytest.raises(ValueError, match="non-additive"):
         run_streaming_expectations(spark, src, [("unique", "k")],
                                    str(tmp_path / "ck2"))
+
+
+def test_streaming_expectations_refuses_used_checkpoint(spark, tmp_path):
+    """A reused checkpoint would skip committed batches and silently
+    under-count — the monitor must fail fast instead."""
+    from dynamic_partitioner_spark.streaming.write import (
+        run_streaming_expectations)
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1,)], "k long").write.parquet(src)
+    ck = str(tmp_path / "ck")
+    run_streaming_expectations(spark, src, [("not_null", "k")], ck)
+    import pytest
+    with pytest.raises(ValueError, match="committed batches"):
+        run_streaming_expectations(spark, src, [("not_null", "k")], ck)
