@@ -1220,11 +1220,18 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     per partition, DECIMAL-exact at any scale), d×d eigh on the
     driver, one map-only Arrow matmul projection.  Rows-only
     (eigendecomposition has no SQL twin); variance/orthogonality/
-    partition-independence pinned in tests/test_quantize.py."""
+    partition-independence pinned in tests/test_quantize.py.
+
+    Driver contract: ``pca_project`` returns ``array<double>`` for
+    library users, but the driver's pandas canonicalizer cannot sort
+    array cells (r5 ERR) — so this key posexplodes the projection to
+    scalar ``(vec_id, component, value)`` rows."""
     from dynamic_partitioner_spark.operators.decompose import pca_project
     emb = _table(spark, sf_dir, "embeddings")
-    return (pca_project(emb, "vec_id", "embedding", dim=64, k=8)
-            .orderBy("vec_id"))
+    proj = pca_project(emb, "vec_id", "embedding", dim=64, k=8)
+    return (proj.select("vec_id",
+                        F.posexplode("components").alias("component", "value"))
+            .orderBy("vec_id", "component"))
 
 
 def q_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:

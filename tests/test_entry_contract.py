@@ -53,6 +53,31 @@ def test_oracle_sql_is_syntactically_valid_duckdb():
             raise AssertionError(f"oracle {key} failed to parse: {e}")
 
 
+def test_every_query_output_schema_is_atomic(spark):
+    """The driver canonicalizes every key's output (rows-only keys
+    included) with a pandas sort over raw cells — an ArrayType /
+    MapType / StructType top-level column arrives as an unhashable
+    numpy array and crashes it (r5's embedding_pca ERR).  Guard: every
+    ``queries()`` entry must build a DataFrame whose top-level columns
+    are all atomic.  Schema-only — the plan is built, not executed —
+    so even the eager-write keys only pay their write cost at sf0.001.
+    """
+    from pyspark.sql import types as T
+
+    m = _entry()
+    sf_dir = "/root/testdata/sf0.001"
+    bad = {}
+    for key, fn in m.queries().items():
+        df = fn(spark, sf_dir)
+        nonatomic = [f"{f.name}:{f.dataType.simpleString()}"
+                     for f in df.schema.fields
+                     if isinstance(f.dataType,
+                                   (T.ArrayType, T.MapType, T.StructType))]
+        if nonatomic:
+            bad[key] = nonatomic
+    assert not bad, bad
+
+
 def test_entry_smoke(spark):
     """The driver's t1 gate: entry(spark) runs and returns rows with a
     stable schema."""

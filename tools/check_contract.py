@@ -29,6 +29,12 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Mirror the DRIVER's canonicalization: numeric widening, then a
+    raw ``sort_values`` over every column.  Crucially, object columns
+    are NOT str-cast first — the driver sorts the raw cells, so an
+    unhashable cell (numpy array from an ArrayType column) raises
+    TypeError here exactly as it does driver-side (r5's embedding_pca
+    ERR was masked by a str-cast at this spot)."""
     df = df.reindex(sorted(df.columns), axis=1).copy()
     for c in df.columns:
         k = df[c].dtype.kind
@@ -36,8 +42,6 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("int64")
         elif k == "f":
             df[c] = df[c].astype("float64")
-        elif k == "O":
-            df[c] = df[c].astype(str)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
@@ -50,14 +54,18 @@ def compare(key: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str
     if s_cols != d_cols:
         problems.append(f"columns spark={s_cols} duck={d_cols}")
         return problems
-    s, d = normalize(spark_df), normalize(duck_df)
+    try:
+        s, d = normalize(spark_df), normalize(duck_df)
+    except TypeError as exc:
+        problems.append(f"driver canon would crash: {exc}")
+        return problems
     if len(s) == len(d):
         for c in s.columns:
             if s[c].dtype.kind == "f":
                 bad = ~(np.isclose(s[c], d[c], rtol=0, atol=1e-9)
                         | (s[c].isna() & d[c].isna()))
             else:
-                bad = s[c] != d[c]
+                bad = ~((s[c] == d[c]) | (s[c].isna() & d[c].isna()))
             if bad.any():
                 i = bad.idxmax()
                 problems.append(
@@ -89,6 +97,14 @@ def main() -> int:
             n_fail += 1
             continue
         if key not in oracles:
+            # the driver canonicalizes rows-only outputs too (r5's
+            # embedding_pca ERR was a rows-only key) — so must we
+            try:
+                normalize(sdf)
+            except TypeError as exc:
+                print(f"FAIL {key}: driver canon would crash: {exc}")
+                n_fail += 1
+                continue
             print(f"ok   {key}: rows-only, {len(sdf)} rows "
                   f"({time.time() - t0:.1f}s)")
             continue
