@@ -1103,16 +1103,24 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approximate distinct users per event type next to the exact
-    count — rows-only (Spark's HLL++ and DuckDB's HLL give different
-    estimates by construction); the relative-error bound is pinned in
-    pytest.  At 100 TB the sketch is the point: approx_count_distinct
-    is a fixed-size mergeable state per group vs. the exact count's
-    per-key dedup shuffle."""
+    """HLL approximate distinct users per event type, hash-checked
+    against the exact count: the estimate itself has no DuckDB twin
+    (Spark HLL++ vs DuckDB HLL estimate differently by construction),
+    so the sketch surfaces as ``approx_in_bound`` — Spark asserts
+    |approx − exact| ≤ 5%·exact row-side and the oracle asserts the
+    literal TRUE, making the driver hash FAIL if the sketch ever
+    drifts out of bound.  The exact column hash-checks as-is.  At
+    100 TB the sketch is the point: approx_count_distinct is a
+    fixed-size mergeable state per group vs. the exact count's
+    per-key dedup shuffle.  Numeric error pinned in
+    tests/test_queries.py."""
     events = _table(spark, sf_dir, "events")
     return (events.groupBy("event_type")
-            .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-                 F.countDistinct("user_id").alias("exact_users")))
+            .agg(F.approx_count_distinct("user_id", 0.02).alias("_approx"),
+                 F.countDistinct("user_id").alias("exact_users"))
+            .select("event_type", "exact_users",
+                    (F.abs(F.col("_approx") - F.col("exact_users"))
+                     <= 0.05 * F.col("exact_users")).alias("approx_in_bound")))
 
 
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1278,27 +1286,37 @@ def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted MERGEABLE distinct sketches (the incremental-distinct
     pattern): one HLL sketch per day of user ids, then the month/total
     estimate from `hll_union_agg` over the stored sketches — no rescan
-    of history.  Rows-only (sketch binaries have no DuckDB twin);
-    merged == direct == near-exact pinned in pytest, and the exact
-    per-day count rides alongside as the visible accuracy reference."""
+    of history.  The estimates themselves have no DuckDB twin, so each
+    surfaces as ``est_in_bound`` (Spark asserts |est − exact| ≤
+    5%·exact; the oracle asserts the literal TRUE — the driver hash
+    FAILS if any estimate drifts out of bound) next to the exact
+    per-day count, which hash-checks as-is.  merged == direct is
+    pinned in pytest."""
     events = _table(spark, sf_dir, "events")
     ev = events.select(event_time_us(events).alias("_us"), "user_id")
-    day = ev.withColumn("day_idx",
-                        F.expr(f"_us div {_DAY_US_HLL}").cast("long"))
+    # floor-division (pmod trick) so the bucket matches DuckDB's
+    # `//` even for pre-1970 microseconds
+    day = ev.withColumn(
+        "day_idx",
+        F.expr(f"(_us - pmod(_us, {_DAY_US_HLL})) div {_DAY_US_HLL}")
+        .cast("long"))
     per_day = (day.groupBy("day_idx")
                .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"),
                     F.countDistinct("user_id").alias("exact_users")))
-    daily = per_day.select(
+    in_bound = (F.abs(F.col("est_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users"))
+    daily = (per_day.select(
         "day_idx",
         F.expr("hll_sketch_estimate(sk)").cast("long").alias("est_users"),
         "exact_users")
-    total = per_day.agg(
+        .select("day_idx", "exact_users", in_bound.alias("est_in_bound")))
+    exact_total = day.agg(F.countDistinct("user_id")).collect()[0][0]
+    total = (per_day.agg(
         F.lit(-1).cast("long").alias("day_idx"),
         F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long")
-        .alias("est_users"),
-        F.sum(F.lit(0)).cast("long").alias("exact_users"))
-    exact_total = day.agg(F.countDistinct("user_id")).collect()[0][0]
-    total = total.withColumn("exact_users", F.lit(int(exact_total)))
+        .alias("est_users"))
+        .withColumn("exact_users", F.lit(int(exact_total)).cast("long"))
+        .select("day_idx", "exact_users", in_bound.alias("est_in_bound")))
     return daily.unionByName(total)
 
 
@@ -1570,20 +1588,58 @@ def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based percentiles per event type next to the exact ones —
-    rows-only by design (Spark's KLL-style percentile_approx and any
-    oracle's t-digest disagree within their error bounds); the
-    approx-vs-exact gap is pinned in pytest.  At 100 TB the sketch is
-    the point: fixed-size mergeable state per group vs. the exact
-    percentile's full sort."""
+    """Sketch percentiles per event type, hash-checked against exact
+    nearest-rank percentiles: the sketch values themselves have no
+    DuckDB twin (Spark's GK summary vs any oracle's t-digest disagree
+    within their error bounds), so each surfaces as a rank-space
+    boolean — Spark counts the approx value's true rank and asserts
+    it lies within 2% + 1/n of the requested quantile (the actual GK
+    guarantee); the oracle asserts the literal TRUE.  The exact
+    columns are nearest-rank (value at ``ceil(q·n)`` ascending) —
+    pure integer rank arithmetic + a selected raw data value, so both
+    engines agree bit-for-bit.  Numeric gap pinned in
+    tests/test_queries.py.  At 100 TB the sketch is the point:
+    fixed-size mergeable state per group vs. the exact percentile's
+    full sort."""
     events = _table(spark, sf_dir, "events")
-    approx = F.percentile_approx("value", F.array(
-        F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10_000).alias("ap")
-    return (events.groupBy("event_type").agg(approx)
-            .select("event_type",
-                    F.round(F.col("ap")[0], 2).alias("p50_approx"),
-                    F.round(F.col("ap")[1], 2).alias("p95_approx"),
-                    F.round(F.col("ap")[2], 2).alias("p99_approx")))
+    ev = events.select("event_type", "value")
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.select(
+        "event_type", "value", F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"))
+    # nearest-rank ceil(q·n) in pure integer math: (num·n + den − 1) div
+    # den — positive operands, so Spark's truncating `div` and DuckDB's
+    # flooring `//` agree
+    exact = (ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"),
+                     F.col("value"))).alias("p50_exact"),
+        F.max(F.when(F.col("rn") == F.expr("(19*n + 19) div 20"),
+                     F.col("value"))).alias("p95_exact"),
+        F.max(F.when(F.col("rn") == F.expr("(99*n + 99) div 100"),
+                     F.col("value"))).alias("p99_exact")))
+    approx = (ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.array(
+            F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10_000).alias("ap")))
+    # rank of each approx value = count(value <= a) / n, per type
+    a = approx.select("event_type",
+                      F.col("ap")[0].alias("a50"),
+                      F.col("ap")[1].alias("a95"),
+                      F.col("ap")[2].alias("a99"))
+    ranks = (ev.join(F.broadcast(a), "event_type")
+             .groupBy("event_type").agg(
+                 F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.col("value") <= F.col("a50"), 1)
+                       .otherwise(0)).alias("r50"),
+                 F.sum(F.when(F.col("value") <= F.col("a95"), 1)
+                       .otherwise(0)).alias("r95"),
+                 F.sum(F.when(F.col("value") <= F.col("a99"), 1)
+                       .otherwise(0)).alias("r99")))
+    tol = 0.02 + 1.0 / F.col("n")
+    in_bound = ((F.abs(F.col("r50") / F.col("n") - 0.5) <= tol)
+                & (F.abs(F.col("r95") / F.col("n") - 0.95) <= tol)
+                & (F.abs(F.col("r99") / F.col("n") - 0.99) <= tol))
+    flags = ranks.select("event_type", in_bound.alias("approx_in_bound"))
+    return exact.join(F.broadcast(flags), "event_type")
 
 
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2732,66 +2788,62 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate canonicalizes only the first ~50
 # ``queries()`` entries per round.  Rotate each round so the keys with
-# the LEAST driver evidence come first.  Round 5's window:
-#   1-2    the two approx-sketch keys — implemented since r3 but never
-#          drawn in ANY round's sample (rows-only by design, but a
-#          rows-only entry is still evidence the key executes in the
-#          driver's env),
-#   3-31   the NEW round-5b keys (sequence mining, OHLC, skew profile,
-#          group split, co-occurrence, file audit, BPE learn, CMS,
-#          bloom join, lag features, attribution, time travel, TPC-H
-#          SQL x4, expectations, hybrid RRF, cumulative users, label
-#          balance, centroid outliers, conformance, binary dedup,
-#          BM25, bootstrap, sequence LM, bursts, geo join, PageRank)
-#          — never driver-checked,
-#   then   the seventeen round-5a keys (checked locally, never by the
-#          driver), the keys whose implementation changed in r5, and
-#          the oldest-evidence r2/r3 keys.
-# Everything after 50 was hash-checked in r3/r4 and is unchanged.
-_PRIORITY_R05 = [
+# the LEAST driver evidence come first.  Round 6's window:
+#   first  embedding_pca (the one red r5 row — fixed this round:
+#          posexploded to scalar rows),
+#   then   the three approx keys that gained exact-column oracles in
+#          r6 (were rows-only; should now hash-pass on the exact
+#          columns),
+#   then   all 22 keys whose last driver evidence is round 2 —
+#          oldest evidence AND their modules (dedup/similarity/text/
+#          vectorize) changed most since (hot-bucket caps, NULL
+#          guards),
+#   then   24 round-3-evidence keys drawn from the most-changed
+#          modules since r3 (dedup 14 commits, relational 13,
+#          sampling 8, multimodal 6, text 5, stateful 4, privacy 4).
+# Positions 51+ lead with the remaining 26 round-3-evidence keys so
+# the next rotation finishes the stale set; r4/r5-checked keys last.
+_PRIORITY_R06 = [
+    "embedding_pca",
     "query_approx_distinct", "query_approx_percentiles",
-    # round-5b additions — newest first, zero driver evidence yet
-    "events_seq_ngrams", "events_ohlc", "query_skew_profile",
-    "sample_group_split", "text_cooccur", "ops_file_audit",
-    "text_bpe_learn", "sketch_cms", "query_bloom_join",
-    "query_lag_features", "events_attribution", "source_time_travel",
-    "query_sql_tpch_q1", "query_sql_tpch_q3", "query_sql_tpch_q5",
-    "query_sql_tpch_q6", "quality_expectations",
-    "similarity_hybrid_rrf", "events_cumulative_users",
-    "sample_balance_labels", "embedding_outliers", "events_conformance",
-    "mm_dedup_binary", "text_bm25", "sample_bootstrap",
-    "events_seq_lm", "events_bursts", "query_geo_join",
-    "graph_pagerank", "streaming_expectations",
-    "dedup_fuzzy2", "dedup_apply", "query_heavy_hitters",
-    "query_incremental_agg", "source_schema_evolution",
-    "text_pii_redact", "query_salted_join_auto", "text_scrub_chunks",
-    "sample_topk", "events_delay_audit", "streaming_sessionize",
-    "sample_epoch_shuffle", "query_decimal_agg",
-    "privacy_pseudonymize", "query_hll_mergeable", "embedding_pca",
-    "mm_tar_shards",
-    "dedup_url", "privacy_dp_count", "streaming_join", "dedup_fuzzy",
-    "dedup_ngram_jaccard", "dedup_containment", "dedup_semantic",
-    "dedup_simhash", "dedup_simhash_pairs", "dedup_incremental",
-    "dedup_clusters", "dedup_embedding", "corpus_quality_filter",
-    "corpus_pipeline", "similarity_topk", "text_stats",
-    "text_lang_id", "text_top_ngrams", "text_quality",
-    "text_fingerprint", "text_signals", "text_clean",
-    "text_repetition", "text_hashed_vector", "embedding_roundtrip",
-    "mm_binary_stats", "mm_features", "mm_frame_sample",
-    "catalog_table", "partition_compact", "merge_upsert",
-    "streaming_partitioned_write", "event_sessionize",
-    "streaming_windowed_agg", "streaming_stateful_counts",
-    "streaming_dedup", "query_sliding_window", "query_salted_join",
-    "query_profile", "events_funnel", "query_distinct_agg",
-    "query_pivot", "query_event_gaps", "cdc_apply",
-    "dedup_decontaminate", "text_chunk", "query_semi_anti",
-    "query_cube",
+    "query_hll_mergeable",
+    # --- round-2 evidence (all 22) ---
+    "dedup_minhash", "dedup_embedding_lsh", "similarity_ann_ivf",
+    "similarity_ann_lsh", "similarity_ivf_pruned", "similarity_topk",
+    "dedup_clusters", "dedup_embedding", "dedup_incremental",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
+    "corpus_pipeline", "corpus_quality_filter", "text_clean",
+    "text_fingerprint", "text_lang_id", "text_pack",
+    "text_quality", "text_signals", "text_stats", "text_top_ngrams",
+    # --- round-3 evidence, changed-module subset (24) ---
+    "dedup_fuzzy", "dedup_decontaminate",
+    "events_ffill", "events_funnel", "events_retention",
+    "events_rolling_1h", "events_transitions", "event_sessionize",
+    "sample_stratified", "privacy_k_anon",
+    "mm_binary_roundtrip", "mm_binary_stats", "mm_features",
+    "mm_frame_sample",
+    "text_chunk", "text_chunk_dedup", "text_hashed_vector",
+    "text_lm_score", "text_repetition", "text_tfidf",
+    "text_token_ids", "text_vocab",
+    "streaming_dedup", "streaming_stateful_counts",
+    # ---- fold: driver checks the 50 above ----
+    # remaining round-3-evidence keys (26)
+    "streaming_join", "streaming_partitioned_write",
+    "streaming_upsert", "streaming_windowed_agg",
+    "query_cube", "query_distinct_agg", "query_event_gaps",
+    "query_grouping_sets", "query_histogram", "query_pivot",
+    "query_profile", "query_salted_join", "query_semi_anti",
+    "query_set_ops", "query_sliding_window", "query_snapshot_diff",
+    "catalog_table", "cdc_apply", "embedding_roundtrip",
+    "merge_upsert", "partition_compact", "sorted_export",
+    "sorted_export_zorder", "source_binaryfile",
+    "source_fixed_width_roundtrip", "source_xml_roundtrip",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _all_queries()
-    out = {k: base[k] for k in _PRIORITY_R05}
+    out = {k: base[k] for k in _PRIORITY_R06}
     out.update((k, v) for k, v in base.items() if k not in out)
     return out
 
@@ -4902,7 +4954,46 @@ def oracle_sql() -> dict[str, str]:
             + " AS split FROM events) "
             "SELECT split, count(DISTINCT user_id) AS n_users, "
             "count(*) AS n_events FROM a GROUP BY split"),
-        # query_approx_distinct: rows-only by design — two HLL
-        # implementations (Spark HLL++, DuckDB HLL) estimate differently;
-        # the error bound vs exact is pinned in tests/test_queries.py
+        # The three sketch keys hash-check their EXACT columns; the
+        # sketch itself surfaces as a Spark-side accuracy boolean that
+        # the oracle asserts as literal TRUE — the driver hash fails
+        # if the estimate ever drifts out of bound.  Numeric error
+        # bounds stay pinned in tests/test_queries.py.
+        "query_approx_distinct": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS exact_users,
+                   TRUE AS approx_in_bound
+            FROM events GROUP BY event_type
+        """,
+        "query_approx_percentiles": """
+            WITH ranked AS (
+                SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM events)
+            SELECT event_type,
+                   max(CASE WHEN rn = (n + 1) // 2
+                       THEN value END) AS p50_exact,
+                   max(CASE WHEN rn = (19*n + 19) // 20
+                       THEN value END) AS p95_exact,
+                   max(CASE WHEN rn = (99*n + 99) // 100
+                       THEN value END) AS p99_exact,
+                   TRUE AS approx_in_bound
+            FROM ranked GROUP BY event_type
+        """,
+        "query_hll_mergeable": """
+            WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day_idx,
+                              user_id
+                       FROM events)
+            SELECT day_idx,
+                   count(DISTINCT user_id) AS exact_users,
+                   TRUE AS est_in_bound
+            FROM d GROUP BY day_idx
+            UNION ALL
+            SELECT CAST(-1 AS BIGINT),
+                   count(DISTINCT user_id),
+                   TRUE
+            FROM events
+        """,
     }

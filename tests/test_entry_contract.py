@@ -18,15 +18,16 @@ def test_every_oracle_has_a_query_and_priorities_resolve():
     m = _entry()
     q, o = m.queries(), m.oracle_sql()
     assert set(o) <= set(q), sorted(set(o) - set(q))
-    assert set(m._PRIORITY_R05) <= set(q), \
-        sorted(set(m._PRIORITY_R05) - set(q))
+    assert set(m._PRIORITY_R06) <= set(q), \
+        sorted(set(m._PRIORITY_R06) - set(q))
+    assert len(set(m._PRIORITY_R06)) == len(m._PRIORITY_R06), \
+        "duplicate keys in priority rotation"
     # the rows-only set is exactly the documented sketch/iterative ops
     rows_only = set(q) - set(o)
     assert rows_only == {
-        "dedup_embedding_lsh", "dedup_minhash", "query_approx_distinct",
-        "query_approx_percentiles", "similarity_ann_ivf",
+        "dedup_embedding_lsh", "dedup_minhash", "similarity_ann_ivf",
         "similarity_ann_lsh", "similarity_ivf_pruned", "text_pack",
-        "similarity_pq_rerank", "dedup_semantic", "query_hll_mergeable",
+        "similarity_pq_rerank", "dedup_semantic",
         "embedding_pca", "text_bpe_learn", "sketch_cms",
         "graph_pagerank",
     }, sorted(rows_only)

@@ -8,12 +8,23 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_approx_distinct_error_bound(spark):
-    """HLL estimate within 5% of exact per group (rsd=0.02 requested)."""
-    rows = E.q_approx_distinct(spark, SF).collect()
+    """HLL estimate within 5% of exact per group (rsd=0.02 requested) —
+    the numeric pin behind the driver key's approx_in_bound boolean."""
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    rows = (events.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", 0.02).alias("approx"),
+                 F.countDistinct("user_id").alias("exact"))).collect()
     assert rows
     for r in rows:
-        assert r.exact_users > 0
-        assert abs(r.approx_users - r.exact_users) / r.exact_users < 0.05
+        assert r.exact > 0
+        assert abs(r.approx - r.exact) / r.exact < 0.05
+    # and the driver key's booleans are all TRUE with exact counts
+    drv = E.q_approx_distinct(spark, SF).collect()
+    assert {r.event_type: r.exact_users for r in drv} == \
+        {r.event_type: r.exact for r in rows}
+    assert all(r.approx_in_bound for r in drv)
 
 
 def test_pivot_matches_unpivoted_sums(spark):
@@ -39,10 +50,15 @@ def test_approx_percentiles_rank_error_bound(spark):
 
     import __spark_entry__ as E
 
+    from pyspark.sql import functions as F
+
     sf = "/root/testdata/sf0.001"
-    approx = {r.event_type: (r.p50_approx, r.p95_approx, r.p99_approx)
-              for r in E.q_approx_percentiles(spark, sf).collect()}
     events = spark.read.parquet(f"{sf}/events.parquet")
+    approx = {r.event_type: r.ap for r in
+              events.groupBy("event_type").agg(
+                  F.percentile_approx("value", F.array(
+                      F.lit(0.5), F.lit(0.95), F.lit(0.99)),
+                      10_000).alias("ap")).collect()}
     by_type = {}
     for r in events.select("event_type", "value").collect():
         by_type.setdefault(r.event_type, []).append(r.value)
@@ -51,10 +67,18 @@ def test_approx_percentiles_rank_error_bound(spark):
         vals.sort()
         n = len(vals)
         for q, a in zip((0.5, 0.95, 0.99), approx[et]):
-            # rank of the approx value (rounding to 2dp shifts the
-            # value by <0.005 — count with that slack)
-            rank = sum(1 for v in vals if v <= a + 0.005) / n
+            rank = sum(1 for v in vals if v <= a) / n
             assert abs(rank - q) <= 0.02 + 1.0 / n, (et, q, a, rank)
+    # the driver key: exact nearest-rank values + all-TRUE booleans
+    drv = E.q_approx_percentiles(spark, sf).collect()
+    assert {r.event_type for r in drv} == by_type.keys()
+    for r in drv:
+        vals = sorted(by_type[r.event_type])
+        n = len(vals)
+        assert r.p50_exact == vals[(n + 1) // 2 - 1]
+        assert r.p95_exact == vals[(19 * n + 19) // 20 - 1]
+        assert r.p99_exact == vals[(99 * n + 99) // 100 - 1]
+        assert r.approx_in_bound
 
 
 def test_read_fixed_width_offsets_types_and_padding(spark, tmp_out):
@@ -90,13 +114,24 @@ def test_hll_mergeable_sketches_union_equals_direct(spark):
     daily = [r for r in rows if r.day_idx >= 0]
     total = [r for r in rows if r.day_idx == -1]
     assert len(total) == 1 and daily
-    for r in daily:                       # HLL default rel err ~1.6%
-        assert abs(r.est_users - r.exact_users) <= 0.05 * r.exact_users
-    t = total[0]
-    assert abs(t.est_users - t.exact_users) <= 0.05 * t.exact_users
+    # every estimate passed its 5% bound (HLL default rel err ~1.6%)
+    assert all(r.est_in_bound for r in rows)
 
+    # mergeable-summary property, re-derived numerically: union of
+    # per-day sketches == sketching the whole stream directly
     events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    from dynamic_partitioner_spark.functions.eventtime import event_time_us
+    ev = events.select(event_time_us(events).alias("_us"), "user_id")
+    day = ev.withColumn(
+        "day_idx",
+        F.expr("(_us - pmod(_us, 86400000000)) div 86400000000"))
+    merged = (day.groupBy("day_idx")
+              .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+              .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+                   .cast("long").alias("e")).collect()[0].e)
     direct = events.agg(
         F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))")
         .cast("long").alias("e")).collect()[0].e
-    assert t.est_users == direct          # union of parts == whole
+    assert merged == direct               # union of parts == whole
+    t = total[0]
+    assert abs(merged - t.exact_users) <= 0.05 * t.exact_users
