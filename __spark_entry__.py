@@ -2735,8 +2735,8 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ops_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-sizing policy made auditable: write lineitem partitioned by
-    returnflag with a 1000-row file cap after a strict hash repartition
+    """File-sizing policy made auditable: write orders partitioned by
+    o_orderpriority with a 1000-row file cap after a strict hash repartition
     (one task per key — REBALANCE would let AQE split a hot key and
     make the file count nondeterministic), then audit files-per-
     partition from the data itself.  The oracle can PREDICT the file
@@ -4057,6 +4057,7 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT from_state, to_state,
                          count(*) AS n_transitions
                   FROM seq WHERE to_state IS NOT NULL
+                    AND from_state IS NOT NULL
                   GROUP BY from_state, to_state)
             SELECT from_state, to_state, n_transitions,
                    {ROUND4_SQL.format(
@@ -4541,8 +4542,14 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id
                              ORDER BY epoch_us(ts), event_id)
             ), g AS (
-                SELECT concat_ws('>', event_type, t1, t2) AS gram
-                FROM s WHERE t2 IS NOT NULL
+                SELECT concat_ws('>',
+                           replace(replace(event_type, '\', '\\'),
+                                   '>', '\>'),
+                           replace(replace(t1, '\', '\\'), '>', '\>'),
+                           replace(replace(t2, '\', '\\'), '>', '\>'))
+                       AS gram
+                FROM s WHERE t2 IS NOT NULL AND t1 IS NOT NULL
+                  AND event_type IS NOT NULL
             ), c AS (SELECT gram, count(*) AS n_seq FROM g GROUP BY gram)
             SELECT gram, n_seq,
                    row_number() OVER (ORDER BY n_seq DESC, gram) AS rnk
@@ -4624,7 +4631,8 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY user_id
                            ORDER BY epoch_us(ts), event_id) AS w2
                 FROM events),
-            b2 AS (SELECT k, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+            b2 AS (SELECT k, w1, w2 FROM bg
+                   WHERE w2 IS NOT NULL AND w1 IS NOT NULL),
             bgc AS (SELECT w1, w2, count(*) AS c_bg FROM b2
                     GROUP BY w1, w2),
             ctx AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_ctx
@@ -4724,7 +4732,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM events),
             c AS (SELECT f AS from_state, t AS to_state,
                          count(*) AS n_violations
-                  FROM seq WHERE t IS NOT NULL GROUP BY f, t)
+                  FROM seq WHERE t IS NOT NULL AND f IS NOT NULL
+                  GROUP BY f, t)
             SELECT from_state, to_state, n_violations FROM c
             WHERE (from_state, to_state) NOT IN ("""
             + ", ".join(f"('{a}', '{b}')"

@@ -291,14 +291,22 @@ def state_transitions(df: DataFrame, key_col: str,
     ``(key, from_state, to_state)`` shared by
     :func:`transition_matrix`, :func:`sequence_conformance` and
     ``lm.sequence_lm_score`` — a single definition so transition
-    semantics (ordering totality, NULL-next filtering) cannot silently
+    semantics (ordering totality, NULL filtering) cannot silently
     diverge between consumers.  ``order_cols`` must be a total order
-    (ts + id), otherwise ``lead`` is nondeterministic."""
+    (ts + id), otherwise ``lead`` is nondeterministic.
+
+    BOTH endpoints must be non-NULL: a NULL mid-sequence state yields
+    no transition (its incoming and outgoing steps are both dropped).
+    Without the ``from_state`` filter, Spark's ``left_anti`` in
+    :func:`sequence_conformance` KEEPS NULL-from rows (NULL keys never
+    match) while a SQL ``NOT IN`` oracle evaluates NULL and DROPS them
+    — a latent cross-engine divergence (ADVICE r5)."""
     w = Window.partitionBy(key_col).orderBy(*order_cols)
     return (df.select(F.col(key_col).alias("_k"),
                       F.col(state_col).alias("from_state"),
                       F.lead(state_col).over(w).alias("to_state"))
-            .where(F.col("to_state").isNotNull()))
+            .where(F.col("to_state").isNotNull()
+                   & F.col("from_state").isNotNull()))
 
 
 def transition_matrix(df: DataFrame, key_col: str, order_cols: list[str],
@@ -524,16 +532,31 @@ def seq_ngrams(df: DataFrame, key_col: str, order_cols: list[str],
     the per-key ordering total (ts + event id), otherwise ``lead`` is
     nondeterministic.  Ties in the ranking break on the gram string so
     both engines cut identically.
+
+    Gram encoding is collision-proof (ADVICE r5): state values are
+    escaped (``\\`` → ``\\\\``, ``>`` → ``\\>``) before the ``>`` join,
+    so distinct sequences never collide even when a state contains the
+    delimiter; and a window containing ANY NULL state yields no gram
+    (previously only the last step was checked, so a NULL mid-step
+    silently counted an (n-1)-gram as an n-gram).
     """
     if n < 2:
         raise ValueError("n must be >= 2")
+
+    def _esc(c):
+        return F.replace(F.replace(c, F.lit("\\"), F.lit("\\\\")),
+                         F.lit(">"), F.lit("\\>"))
+
     w = Window.partitionBy(key_col).orderBy(*order_cols)
     steps = [F.col(state_col)] + [F.lead(state_col, i).over(w)
                                   for i in range(1, n)]
+    all_set = steps[0].isNotNull()
+    for s in steps[1:]:
+        all_set = all_set & s.isNotNull()
     grams = (df
-             .withColumn("_gram", F.concat_ws(">", *steps))
-             .withColumn("_last", steps[-1])
-             .where(F.col("_last").isNotNull()))
+             .withColumn("_gram", F.concat_ws(">", *[_esc(s) for s in steps]))
+             .withColumn("_ok", all_set)
+             .where(F.col("_ok")))
     counts = grams.groupBy(F.col("_gram").alias("gram")).agg(
         F.count(F.lit(1)).alias("n_seq"))
     rnk = Window.orderBy(F.desc("n_seq"), F.asc("gram"))

@@ -168,8 +168,19 @@ def run_streaming_expectations(spark: SparkSession, src_path: str,
             "state-store streaming dedup for cross-batch uniqueness")
     # the accumulator lives in DRIVER memory while batch progress lives
     # in the checkpoint: resuming an old checkpoint would skip the
-    # already-committed batches and silently under-count — fail fast
-    commits = os.path.join(checkpoint, "commits")
+    # already-committed batches and silently under-count — fail fast.
+    # The probe below is driver-local os I/O, so a remote checkpoint
+    # URI (hdfs://, s3a://) would silently BYPASS the guard and
+    # re-enable the exact under-count it exists to prevent (ADVICE
+    # r5) — reject non-local checkpoints loudly; a Hadoop-FS probe is
+    # the documented extension point
+    if "://" in checkpoint and not checkpoint.startswith("file://"):
+        raise ValueError(
+            f"streaming expectations support local checkpoints only "
+            f"(got {checkpoint!r}): the fresh-checkpoint guard probes "
+            "the commits dir with driver-local I/O and cannot see a "
+            "remote filesystem")
+    commits = os.path.join(checkpoint.removeprefix("file://"), "commits")
     if os.path.isdir(commits) and any(
             not n.startswith(".") for n in os.listdir(commits)):
         raise ValueError(

@@ -517,6 +517,46 @@ def test_seq_ngrams_top_cut_ties_break_on_gram(spark):
     assert got == [("a>b", 1)]  # tie on count=1 → lexicographic gram
 
 
+def test_seq_ngrams_delimiter_in_state_never_collides(spark):
+    """ADVICE r5: states containing '>' must not merge distinct
+    sequences — ('a>b', 'c') and ('a', 'b>c') encode differently."""
+    from dynamic_partitioner_spark.operators.relational import seq_ngrams
+    rows = [(1, 0, "a>b"), (1, 1, "c"), (2, 0, "a"), (2, 1, "b>c")]
+    df = spark.createDataFrame(rows, "uid long, seq long, st string")
+    got = {(r.gram, r.n_seq) for r in
+           seq_ngrams(df, "uid", ["seq"], "st", n=2, top=10).collect()}
+    assert len(got) == 2                  # NOT collapsed into one gram
+    assert {n for _, n in got} == {1}
+
+
+def test_seq_ngrams_null_mid_state_yields_no_gram(spark):
+    """ADVICE r5: a NULL state anywhere in the window drops the gram —
+    previously only the LAST step was checked, so a>NULL>c counted a
+    2-gram as a 3-gram."""
+    from dynamic_partitioner_spark.operators.relational import seq_ngrams
+    rows = [(1, 0, "a"), (1, 1, None), (1, 2, "c"), (1, 3, "d")]
+    df = spark.createDataFrame(rows, "uid long, seq long, st string")
+    got = {r.gram for r in
+           seq_ngrams(df, "uid", ["seq"], "st", n=3, top=10).collect()}
+    assert got == set()                   # every 3-window touches the NULL
+
+
+def test_state_transitions_drop_null_states_both_sides(spark):
+    """ADVICE r5: a NULL state mid-sequence yields no transition in
+    EITHER direction — pins the Spark/left_anti vs SQL/NOT IN
+    NULL-semantics divergence closed."""
+    from dynamic_partitioner_spark.operators.relational import (
+        sequence_conformance, state_transitions)
+    rows = [(1, 0, "a"), (1, 1, None), (1, 2, "b"), (1, 3, "c")]
+    df = spark.createDataFrame(rows, "uid long, seq long, st string")
+    steps = {(r.from_state, r.to_state)
+             for r in state_transitions(df, "uid", ["seq"], "st").collect()}
+    assert steps == {("b", "c")}
+    viols = {(r.from_state, r.to_state) for r in sequence_conformance(
+        df, "uid", ["seq"], "st", [("b", "c")]).collect()}
+    assert viols == set()                 # no NULL-keyed phantom rows
+
+
 def test_ohlc_bars_deterministic_open_close(spark):
     from dynamic_partitioner_spark.operators.relational import ohlc_bars
     rows = [(1, 0, 10, 5.0), (1, 0, 11, 9.0), (1, 0, 12, 2.0),

@@ -343,3 +343,25 @@ def test_streaming_expectations_refuses_used_checkpoint(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="committed batches"):
         run_streaming_expectations(spark, src, [("not_null", "k")], ck)
+
+
+def test_streaming_expectations_rejects_remote_checkpoint(spark, tmp_path):
+    """ADVICE r5: the fresh-checkpoint guard probes with driver-local
+    os I/O — a remote checkpoint URI would silently bypass it, so it
+    must be rejected loudly (file:// stays accepted)."""
+    from dynamic_partitioner_spark.streaming.write import (
+        run_streaming_expectations)
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1,)], "k long").write.parquet(src)
+    import pytest
+    with pytest.raises(ValueError, match="local checkpoints only"):
+        run_streaming_expectations(
+            spark, src, [("not_null", "k")], "s3a://bucket/ck")
+    # file:// scheme resolves to a local dir — guard still works
+    ck = str(tmp_path / "ck_file")
+    got = {r.rule: r.n_violations for r in run_streaming_expectations(
+        spark, src, [("not_null", "k")], "file://" + ck).collect()}
+    assert got == {"not_null": 0}
+    with pytest.raises(ValueError, match="committed batches"):
+        run_streaming_expectations(
+            spark, src, [("not_null", "k")], "file://" + ck)
