@@ -6,13 +6,14 @@ pipeline carries images/audio in parquet.  Feature extraction / decode /
 resize run as **Arrow-batched ``mapInPandas``** — one Python process per
 task, whole column batches, never per-row UDF round-trips.
 
-The container has no image/audio codec libraries, so the decode step is
-STUBBED: ``decode_media`` raises ``NotImplementedError`` for real media
-modes, and :func:`extract_features` computes a **deterministic
-byte-level feature** (normalized 8-bin byte histogram + moments) so the
-Spark-side plumbing — schema, batching, partitioning — is real and
-fully tested.  Swap ``_byte_features`` for a PIL/torchaudio call on a
-real cluster; nothing else changes.
+The container has no image/audio codec libraries, so decoding is a
+PLUGGABLE seam: ``decode_media`` dispatches to a per-mode codec
+registry (:func:`register_codec`) and raises ``NotImplementedError``
+when no codec is registered; :func:`extract_features` computes a
+**deterministic byte-level feature** (normalized 8-bin byte histogram
++ moments) so the Spark-side plumbing — schema, batching, partitioning
+— is real and fully tested.  On a real cluster, register a PIL/
+torchaudio codec; nothing else changes.
 """
 
 from __future__ import annotations
@@ -47,13 +48,64 @@ def to_binary_table(docs: DataFrame, id_col: str = "doc_id",
                  F.octet_length(F.col(text_col)).alias("orig_bytes")).alias("meta"))
 
 
-def decode_media(df: DataFrame, mode: str) -> DataFrame:
-    """Real decode hook.  Image/audio/video codecs are not available in
-    this environment — the plumbing around this stub is the deliverable."""
-    raise NotImplementedError(
-        f"decode_media(mode={mode!r}): media codec libraries are not "
-        "installed in this container; use extract_features() for the "
-        "deterministic byte-level path, or plug a PIL/av decoder here.")
+# ---------------------------------------------------------------------
+# Pluggable decode: a registry of per-mode codecs.  A codec is a plain
+# callable ``payload: bytes | None -> dict`` plus the DDL of the columns
+# it produces; ``decode_media`` runs it Arrow-batched (``mapInPandas``)
+# next to the passthrough doc_id — identical plumbing (schema, batch
+# shape, partitioning) whether the codec is a test fake or PIL/av on a
+# real cluster.  No codec registered → loud NotImplementedError, the
+# honest seam this container requires (no image/audio libs installed).
+# ---------------------------------------------------------------------
+
+_CODEC_REGISTRY: dict[str, tuple[str, object]] = {}
+
+
+def register_codec(mode: str, out_schema_ddl: str, fn) -> None:
+    """Register ``fn(payload: bytes | None) -> dict`` as the decoder
+    for ``mode``; ``out_schema_ddl`` declares the columns the dict
+    carries (e.g. ``"width int, height int, px_mean double"``).  The
+    callable must be picklable (module-level function) — it ships to
+    executors inside the mapInPandas closure."""
+    if not out_schema_ddl.strip():
+        raise ValueError("codec needs a non-empty output schema")
+    _CODEC_REGISTRY[mode] = (out_schema_ddl, fn)
+
+
+def unregister_codec(mode: str) -> None:
+    _CODEC_REGISTRY.pop(mode, None)
+
+
+def decode_media(df: DataFrame, mode: str,
+                 id_col: str = "doc_id",
+                 payload_col: str = "payload") -> DataFrame:
+    """Decode the binary payload column with the codec registered for
+    ``mode``: returns ``(id_col, <codec columns>)``, one row per input
+    row, Arrow-batched.  Raises ``NotImplementedError`` when no codec
+    is registered — image/audio/video libraries are not available in
+    this environment, so real modes stay an explicit plug point
+    (:func:`register_codec`)."""
+    reg = _CODEC_REGISTRY.get(mode)
+    if reg is None:
+        raise NotImplementedError(
+            f"decode_media(mode={mode!r}): no codec registered and media "
+            "codec libraries are not installed in this container; "
+            "register_codec() a PIL/av decoder, or use "
+            "extract_features() for the deterministic byte-level path.")
+    ddl, fn = reg
+    id_field = df.schema[id_col]
+    out_schema = f"{id_field.name} {id_field.dataType.simpleString()}, {ddl}"
+    cols = [f.split()[0] for f in ddl.split(",")]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [fn(p) for p in pdf[payload_col]]
+            out = {id_field.name: pdf[id_col]}
+            for c in cols:
+                out[c] = [d[c] for d in decoded]
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 
 
 def _r6(x: float) -> float:

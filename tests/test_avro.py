@@ -184,3 +184,75 @@ def test_fallback_preserves_nan_and_appends_coexist(spark, tmp_path):
     assert len(back) == 4
     assert math.isnan(back[1])               # NaN survived as NaN
     assert back[3] is None and back[2] == 2.5 and back[4] == 4.5
+
+
+def test_avro_dispatch_prefers_spark_avro_when_available(
+        spark, tmp_path, monkeypatch):
+    """The preferred ``format("avro")`` branch is dead code in this
+    container (no spark-avro jar) — pin its dispatch without executing
+    the write: with availability monkeypatched TRUE, write_partitioned
+    must route to the connector with the right mode, options, partition
+    columns and path; with FALSE, to the pure-Python fallback."""
+    from dynamic_partitioner_spark.operators import partitioned_write as PW
+
+    df = spark.createDataFrame([(1, 2.5, "x"), (2, 3.5, "y")],
+                               "id long, val double, k string")
+    spec = SinkSpec(name="avrodisp", field_names=["k"], fmt="avro",
+                    compression_codec="snappy",
+                    append_to_partition="Yes",       # skip CREATE listing
+                    max_records_per_file=777)
+    out = str(tmp_path / "avrodisp")
+
+    calls = {"options": {}}
+
+    class Recorder:
+        def mode(self, m):
+            calls["mode"] = m
+            return self
+
+        def option(self, k, v):
+            calls["options"][k] = v
+            return self
+
+        def partitionBy(self, *cols):
+            calls["partitionBy"] = cols
+            return self
+
+        def format(self, f):
+            calls["format"] = f
+            return self
+
+        def save(self, path):
+            calls["path"] = path
+
+    monkeypatch.setattr(PW, "spark_avro_available", lambda _s: True)
+    # patch the RUNTIME class (pyspark.sql.classic.dataframe.DataFrame
+    # under Spark 4 — the base pyspark.sql.DataFrame property is
+    # shadowed by the subclass)
+    monkeypatch.setattr(type(df), "write",
+                        property(lambda self: Recorder()))
+    got = PW.write_partitioned(df, spec, out)
+    assert got == out
+    assert calls["format"] == "avro"
+    assert calls["mode"] == "append"
+    assert calls["partitionBy"] == ("k",)
+    assert calls["path"] == out
+    assert calls["options"]["maxRecordsPerFile"] == "777"
+    assert calls["options"]["compression"] == "snappy"
+
+    # availability FALSE → the fallback codec path, with the same
+    # layout arguments (codec name normalized, overwrite flag through)
+    fb = {}
+
+    def fake_fallback(ndf, fields, path, codec, overwrite_partitions):
+        fb.update(fields=fields, path=path, codec=codec,
+                  overwrite=overwrite_partitions)
+        return path
+
+    monkeypatch.setattr(PW, "spark_avro_available", lambda _s: False)
+    import dynamic_partitioner_spark.formats as FMT
+    monkeypatch.setattr(FMT, "write_avro_partitioned", fake_fallback)
+    got2 = PW.write_partitioned(df, spec, out)
+    assert got2 == out
+    assert fb == {"fields": ["k"], "path": out, "codec": "snappy",
+                  "overwrite": False}

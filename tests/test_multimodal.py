@@ -74,6 +74,46 @@ def test_decode_media_is_explicit_stub(spark):
         decode_media(bt, mode="image")
 
 
+def test_decode_media_with_registered_codec(spark):
+    """The decode_media plug point exercised end-to-end: a registered
+    codec runs Arrow-batched over the payload column and its columns
+    come back typed — the exact composition a real PIL/av codec uses."""
+    from dynamic_partitioner_spark.operators.multimodal import (
+        register_codec, unregister_codec)
+
+    def _fake_image_codec(payload):
+        # deterministic stand-in for a real PIL decode: 'dimensions'
+        # from the byte length, 'pixel mean' from the byte mean —
+        # nested def so cloudpickle ships it by VALUE (the test module
+        # is not importable on executors; a real codec would live in an
+        # installed package and pickle by reference)
+        data = payload or b""
+        n = len(data)
+        return {"width": n % 64, "height": n // 64,
+                "px_mean": (sum(data) / n) if n else 0.0}
+    df = spark.createDataFrame([(1, "abc"), (2, ""), (3, None)],
+                               "doc_id long, text string")
+    bt = to_binary_table(df.where(F.col("text").isNotNull()))
+    register_codec("image", "width int, height int, px_mean double",
+                   _fake_image_codec)
+    try:
+        out = decode_media(bt, "image")
+        assert dict(out.dtypes) == {"doc_id": "bigint", "width": "int",
+                                    "height": "int", "px_mean": "double"}
+        got = {r.doc_id: (r.width, r.height, r.px_mean)
+               for r in out.collect()}
+        assert got[1] == (3, 0, pytest.approx(98.0))
+        assert got[2] == (0, 0, 0.0)
+        # composes with the byte-feature path on the same binary table
+        feats = {r.doc_id: r.n_bytes for r in extract_features(bt).collect()}
+        assert feats.keys() == got.keys()
+    finally:
+        unregister_codec("image")
+    # after unregistering, the honest stub is back
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_media(bt, mode="image")
+
+
 def test_resize_media_shapes_and_determinism(spark):
     """Byte thumbnail: short payloads upsample by repetition, empty
     payloads hash consistently, output is 1 row per doc."""
