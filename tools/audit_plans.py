@@ -5,7 +5,16 @@ the evidence that the engine's plans are the ones you'd want at 100 TB:
 filters reach the parquet scans, small sides broadcast, shuffles are
 keyed on the operator's natural key.
 
-Usage: python tools/audit_plans.py [sf_dir]
+``--check`` additionally ASSERTS join strategy per key and exits
+non-zero on drift: data joins must be BroadcastHashJoin /
+SortMergeJoin; CartesianProduct is never allowed; a
+BroadcastNestedLoopJoin is allowed only for the keys in
+``BNLJ_ALLOWED`` (each a documented scalar-stats broadcast or exact
+baseline whose broadcast side is row-bounded by construction), and
+only up to the recorded node count — so a join that silently degrades
+to a nested-loop fails the audit instead of shipping.
+
+Usage: python tools/audit_plans.py [sf_dir] [--check]
 """
 
 from __future__ import annotations
@@ -69,6 +78,32 @@ _KEEP = re.compile(
     r"BroadcastHashJoin|SortMergeJoin|BroadcastNestedLoopJoin|"
     r"^\s*\(\d+\) Exchange|AQEShuffleRead|Window|HashAggregate")
 
+#: keys allowed to carry BroadcastNestedLoopJoin nodes, with the max
+#: node count and WHY the broadcast side is row-bounded.  Everything
+#: else must plan its joins as BHJ/SMJ (equi-keyed) — a data×data
+#: nested loop is never acceptable.
+BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
+    "similarity_topk": (1, "documented exact baseline: the bounded "
+                           "QUERY SET broadcasts; corpus side streams"),
+    "similarity_hybrid_rrf": (1, "same exact-baseline query-set "
+                                 "broadcast as similarity_topk"),
+    "events_range_join": (1, "two TINY aggregates (busy-hour stats) "
+                             "join; the data join is a BHJ"),
+    "text_tfidf": (1, "1-row scalar doc-count broadcast"),
+    "text_bm25": (1, "1-row scalar avgdl broadcast"),
+    "query_skew_profile": (1, "1-row scalar totals broadcast"),
+    "sample_balance_labels": (1, "1-row scalar min-class-count "
+                                 "broadcast"),
+    "query_salted_join_auto": (3, "per-stage 1-row skew-stats "
+                                  "broadcasts around the salted BHJ"),
+}
+
+#: allowed-BNLJ keys whose bounded side is a scalar aggregate — their
+#: plan must show an ungrouped HashAggregate (`Keys: []`); the two
+#: exact-baseline keys broadcast a bounded query SET instead.
+_SCALAR_BNLJ = {k for k in BNLJ_ALLOWED
+                if k not in ("similarity_topk", "similarity_hybrid_rrf")}
+
 
 def summarize(plan: str) -> list[str]:
     out = []
@@ -79,20 +114,59 @@ def summarize(plan: str) -> list[str]:
     return out
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+def _node_ids(plan: str, node: str) -> set[str]:
+    """Distinct physical node ids for a node type — formatted explain
+    prints each node in the tree AND in the details section, so a raw
+    substring count double-counts."""
+    return set(re.findall(rf"\((\d+)\) {node}", plan))
+
+
+def check_plan(key: str, plan: str) -> list[str]:
+    """Join-strategy assertions for one key's formatted plan; returns
+    problem strings (empty = pass)."""
+    problems = []
+    if _node_ids(plan, "CartesianProduct"):
+        problems.append("CartesianProduct in plan — never allowed")
+    bnlj = _node_ids(plan, "BroadcastNestedLoopJoin")
+    max_allowed, _reason = BNLJ_ALLOWED.get(key, (0, ""))
+    if len(bnlj) > max_allowed:
+        problems.append(
+            f"{len(bnlj)} BroadcastNestedLoopJoin nodes (allowed "
+            f"{max_allowed}): a data join degraded to a nested loop?")
+    if bnlj and key in _SCALAR_BNLJ and "Keys: []" not in plan:
+        problems.append(
+            "BNLJ present but no scalar (ungrouped) aggregate in plan — "
+            "the broadcast side may no longer be the 1-row stats side")
+    return problems
+
+
+def formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if a != "--check"]
+    check = "--check" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     import __spark_entry__ as E
     from dynamic_partitioner_spark import get_spark
 
     spark = get_spark("plan-audit")
     qs = E.queries()
     sections = []
+    n_bad = 0
     for key in AUDIT_KEYS:
         df = qs[key](spark, sf_dir)
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain("formatted")
-        plan = buf.getvalue()
+        plan = formatted_plan(df)
+        if check:
+            problems = check_plan(key, plan)
+            if problems:
+                n_bad += 1
+                for p in problems:
+                    print(f"DRIFT {key}: {p}")
         n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
         n_bhj = plan.count("BroadcastHashJoin")
         n_smj = plan.count("SortMergeJoin")
@@ -108,10 +182,15 @@ def main() -> None:
             f"Generated by `tools/audit_plans.py` at {sf_dir}.  For each\n"
             "headline query: the scans (pushed/partition filters + pruned\n"
             "read schema), join strategies, and exchange count.  Re-run\n"
-            "after changing any operator's plan shape.\n\n"
+            "after changing any operator's plan shape.  `--check` asserts\n"
+            "join strategies (no CartesianProduct ever; BNLJ only for the\n"
+            "documented scalar-stats/exact-baseline keys).\n\n"
             + "\n".join(sections))
     print(f"PLANS.md written ({len(sections)} queries)")
+    if check:
+        print("PLAN CHECK: " + ("OK" if n_bad == 0 else f"{n_bad} keys drifted"))
+    return 1 if n_bad else 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
