@@ -2408,6 +2408,133 @@ _TPCH_Q6_SQL = """
       AND l_quantity < 24
 """
 
+# Q4 adapted: the testdata schema carries no l_commitdate/l_receiptdate,
+# so "late" is re-defined as shipped >30 days after the order date —
+# same shape (priority counts over an EXISTS semi-join), dialect-neutral
+_TPCH_Q4_SQL = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL '30' DAY)
+    GROUP BY o_orderpriority
+"""
+
+_TPCH_Q7_SQL = """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(vol_u) AS BIGINT) AS revenue_u
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 year(l_shipdate) AS l_year,
+                 CAST(floor(l_extendedprice * (1 - l_discount)
+                            * 10000 + 0.5) AS BIGINT) AS vol_u
+          FROM supplier, lineitem, orders, customer,
+               nation n1, nation n2
+          WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+            AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+            AND c_nationkey = n2.n_nationkey
+            AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+_TPCH_Q10_SQL = """
+    SELECT c_custkey, c_name,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                               * 10000 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_u,
+           c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue_u DESC, c_custkey
+    LIMIT 20
+"""
+
+_TPCH_Q13_SQL = """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+"""
+
+# Q14 adapted: p_type is a single word in the testdata, so the PROMO%
+# prefix match is an equality; the two exact integer-unit sums replace
+# the spec's float ratio (derivable, and hash-stable cross-engine)
+_TPCH_Q14_SQL = """
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN disc_u
+                         ELSE 0 END) AS BIGINT) AS promo_revenue_u,
+           CAST(sum(disc_u) AS BIGINT) AS total_revenue_u
+    FROM (SELECT p_type,
+                 CAST(floor(l_extendedprice * (1 - l_discount)
+                            * 10000 + 0.5) AS BIGINT) AS disc_u
+          FROM lineitem, part
+          WHERE l_partkey = p_partkey
+            AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00') x
+"""
+
+_TPCH_Q15_SQL = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 10000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_revenue_u
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue_u
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue_u = (SELECT max(total_revenue_u) FROM revenue)
+"""
+
+# Q17 adapted: the 0.2·avg(quantity) cut is rewritten in pure integer
+# arithmetic (qty < 0.2·sum/n  ⇔  5·qty_c·n < sum_c over centi-units)
+# so the boundary can never flip on a 1-ulp division difference
+_TPCH_Q17_SQL = """
+    SELECT CAST(sum(price_u) AS BIGINT) AS small_qty_revenue_u,
+           count(*) AS n_lines
+    FROM (SELECT l.l_partkey,
+                 CAST(floor(l.l_extendedprice * 100 + 0.5)
+                      AS BIGINT) AS price_u,
+                 CAST(floor(l.l_quantity * 100 + 0.5)
+                      AS BIGINT) AS qty_c
+          FROM lineitem l, part p
+          WHERE p.p_partkey = l.l_partkey
+            AND p.p_brand = 'Brand#1') x
+    JOIN (SELECT l_partkey,
+                 CAST(sum(CAST(floor(l_quantity * 100 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS sum_qty_c,
+                 count(*) AS n
+          FROM lineitem GROUP BY l_partkey) a
+      ON x.l_partkey = a.l_partkey
+    WHERE 5 * qty_c * n < sum_qty_c
+"""
+
+_TPCH_Q18_SQL = """
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date, o_totalprice,
+           CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_qty_c
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                   > 15000)
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+"""
+
 
 def _run_sql(spark: SparkSession, sf_dir: str, sql: str,
              tables: list[str]) -> DataFrame:
@@ -2637,6 +2764,71 @@ def q_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_sql(spark, sf_dir, _TPCH_Q6_SQL, ["lineitem"])
 
 
+def q_sql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking (adapted: 'late' = shipped >30
+    days after the order date; the testdata has no commit/receipt
+    dates).  The EXISTS plans as a broadcast/shuffled left-semi join —
+    never a per-row subquery."""
+    return _run_sql(spark, sf_dir, _TPCH_Q4_SQL, ["orders", "lineitem"])
+
+
+def q_sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping between two nations: 6-table join with
+    the nation dimension aliased twice; Catalyst broadcast-plans both
+    nation sides and pushes the ship-date window to the scan."""
+    return _run_sql(spark, sf_dir, _TPCH_Q7_SQL,
+                    ["supplier", "lineitem", "orders", "customer",
+                     "nation"])
+
+
+def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: top-20 customers by revenue
+    lost to returns in a quarter.  Revenue ties break on c_custkey so
+    TakeOrderedAndProject picks the same 20 rows the oracle does."""
+    return _run_sql(spark, sf_dir, _TPCH_Q10_SQL,
+                    ["customer", "orders", "lineitem", "nation"])
+
+
+def q_sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution: LEFT OUTER join so
+    zero-order customers land in the c_count=0 bucket, then a
+    histogram over the per-customer counts (two hash aggregates)."""
+    return _run_sql(spark, sf_dir, _TPCH_Q13_SQL,
+                    ["customer", "orders"])
+
+
+def q_sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion-revenue share for one ship month (adapted:
+    exact integer-unit sums instead of the spec's float ratio —
+    derivable and hash-stable)."""
+    return _run_sql(spark, sf_dir, _TPCH_Q14_SQL, ["lineitem", "part"])
+
+
+def q_sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: quarter revenue per supplier (exact
+    integer units), then the max-revenue supplier(s) via a scalar
+    subquery — equality on exact BIGINTs, so the winner set is
+    identical in both engines."""
+    return _run_sql(spark, sf_dir, _TPCH_Q15_SQL,
+                    ["lineitem", "supplier"])
+
+
+def q_sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue for one brand, with the
+    0.2·avg cut rewritten as an all-integer comparison (5·qty·n <
+    Σqty in centi-units) — a 1-ulp division difference can never flip
+    a row across the boundary."""
+    return _run_sql(spark, sf_dir, _TPCH_Q17_SQL, ["lineitem", "part"])
+
+
+def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: orders whose total quantity
+    exceeds the threshold via a grouped HAVING semi-join, then the
+    customer/order detail re-aggregated on top."""
+    return _run_sql(spark, sf_dir, _TPCH_Q18_SQL,
+                    ["customer", "orders", "lineitem"])
+
+
 def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-contract check over orders: null / range /
     uniqueness / referential rules in one pass (conditional-sum scan +
@@ -2807,6 +2999,10 @@ _PRIORITY_R06 = [
     "embedding_pca",
     "query_approx_distinct", "query_approx_percentiles",
     "query_hll_mergeable",
+    # --- NEW round-6 TPC-H keys: zero driver evidence yet ---
+    "query_sql_tpch_q4", "query_sql_tpch_q7", "query_sql_tpch_q10",
+    "query_sql_tpch_q13", "query_sql_tpch_q14", "query_sql_tpch_q15",
+    "query_sql_tpch_q17", "query_sql_tpch_q18",
     # --- round-2 evidence (all 22) ---
     "dedup_minhash", "dedup_embedding_lsh", "similarity_ann_ivf",
     "similarity_ann_lsh", "similarity_ivf_pruned", "similarity_topk",
@@ -2815,19 +3011,19 @@ _PRIORITY_R06 = [
     "corpus_pipeline", "corpus_quality_filter", "text_clean",
     "text_fingerprint", "text_lang_id", "text_pack",
     "text_quality", "text_signals", "text_stats", "text_top_ngrams",
-    # --- round-3 evidence, changed-module subset (24) ---
+    # --- round-3 evidence, changed-module subset (16) ---
     "dedup_fuzzy", "dedup_decontaminate",
     "events_ffill", "events_funnel", "events_retention",
     "events_rolling_1h", "events_transitions", "event_sessionize",
     "sample_stratified", "privacy_k_anon",
     "mm_binary_roundtrip", "mm_binary_stats", "mm_features",
     "mm_frame_sample",
+    "streaming_dedup", "streaming_stateful_counts",
+    # ---- fold: driver checks the 50 above ----
+    # remaining round-3-evidence keys (34)
     "text_chunk", "text_chunk_dedup", "text_hashed_vector",
     "text_lm_score", "text_repetition", "text_tfidf",
     "text_token_ids", "text_vocab",
-    "streaming_dedup", "streaming_stateful_counts",
-    # ---- fold: driver checks the 50 above ----
-    # remaining round-3-evidence keys (26)
     "streaming_join", "streaming_partitioned_write",
     "streaming_upsert", "streaming_windowed_agg",
     "query_cube", "query_distinct_agg", "query_event_gaps",
@@ -3007,6 +3203,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_sql_tpch_q3": q_sql_tpch_q3,
         "query_sql_tpch_q5": q_sql_tpch_q5,
         "query_sql_tpch_q6": q_sql_tpch_q6,
+        "query_sql_tpch_q4": q_sql_tpch_q4,
+        "query_sql_tpch_q7": q_sql_tpch_q7,
+        "query_sql_tpch_q10": q_sql_tpch_q10,
+        "query_sql_tpch_q13": q_sql_tpch_q13,
+        "query_sql_tpch_q14": q_sql_tpch_q14,
+        "query_sql_tpch_q15": q_sql_tpch_q15,
+        "query_sql_tpch_q17": q_sql_tpch_q17,
+        "query_sql_tpch_q18": q_sql_tpch_q18,
         "quality_expectations": q_quality_expectations,
         "similarity_hybrid_rrf": q_similarity_hybrid,
         "events_cumulative_users": q_events_cumulative_users,
@@ -4841,6 +5045,14 @@ def oracle_sql() -> dict[str, str]:
         "query_sql_tpch_q3": _TPCH_Q3_SQL,
         "query_sql_tpch_q5": _TPCH_Q5_SQL,
         "query_sql_tpch_q6": _TPCH_Q6_SQL,
+        "query_sql_tpch_q4": _TPCH_Q4_SQL,
+        "query_sql_tpch_q7": _TPCH_Q7_SQL,
+        "query_sql_tpch_q10": _TPCH_Q10_SQL,
+        "query_sql_tpch_q13": _TPCH_Q13_SQL,
+        "query_sql_tpch_q14": _TPCH_Q14_SQL,
+        "query_sql_tpch_q15": _TPCH_Q15_SQL,
+        "query_sql_tpch_q17": _TPCH_Q17_SQL,
+        "query_sql_tpch_q18": _TPCH_Q18_SQL,
         "quality_expectations": """
             SELECT 1 AS rule_id, 'not_null' AS rule,
                    'o_custkey' AS col_name,
