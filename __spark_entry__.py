@@ -2203,6 +2203,18 @@ def q_mm_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sniff_mime(binary_df)
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated 8-token spans (Lee et al. 2022 exact
+    substring dedup at token granularity): top-50 repeated spans by
+    occurrence count over the documents corpus — one narrow span
+    explode + one hash aggregate; the oracle rebuilds every span with
+    the identical whitespace tokenization."""
+    from dynamic_partitioner_spark.operators.dedup import duplicated_spans
+    docs = _table(spark, sf_dir, "documents")
+    return duplicated_spans(docs, "doc_id", "text", k=8, min_docs=2,
+                            top=50)
+
+
 def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL dedup via canonicalization: deterministically messy URLs
     (mixed-case scheme/host, default ports, tracking params, fragments)
@@ -2999,7 +3011,8 @@ _PRIORITY_R06 = [
     "embedding_pca",
     "query_approx_distinct", "query_approx_percentiles",
     "query_hll_mergeable",
-    # --- NEW round-6 TPC-H keys: zero driver evidence yet ---
+    # --- NEW round-6 keys: zero driver evidence yet ---
+    "dedup_spans",
     "query_sql_tpch_q4", "query_sql_tpch_q7", "query_sql_tpch_q10",
     "query_sql_tpch_q13", "query_sql_tpch_q14", "query_sql_tpch_q15",
     "query_sql_tpch_q17", "query_sql_tpch_q18",
@@ -3018,9 +3031,10 @@ _PRIORITY_R06 = [
     "sample_stratified", "privacy_k_anon",
     "mm_binary_roundtrip", "mm_binary_stats", "mm_features",
     "mm_frame_sample",
-    "streaming_dedup", "streaming_stateful_counts",
+    "streaming_dedup",
     # ---- fold: driver checks the 50 above ----
-    # remaining round-3-evidence keys (34)
+    # remaining round-3-evidence keys (35)
+    "streaming_stateful_counts",
     "text_chunk", "text_chunk_dedup", "text_hashed_vector",
     "text_lm_score", "text_repetition", "text_tfidf",
     "text_token_ids", "text_vocab",
@@ -3165,6 +3179,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_nearest": q_asof_nearest,
         "query_windowed_distinct": q_windowed_distinct,
         "dedup_url": q_dedup_url,
+        "dedup_spans": q_dedup_spans,
         "mm_mime_sniff": q_mm_mime_sniff,
         "query_quantile_bins": q_quantile_bins,
         "similarity_pq_rerank": q_similarity_pq,
@@ -3435,6 +3450,29 @@ def oracle_sql() -> dict[str, str]:
                        WHEN 3 THEN 3 WHEN 4 THEN 4 ELSE 0 END)
                        AS n_bytes
             FROM documents
+        """,
+        "dedup_spans": """
+            WITH t AS (SELECT doc_id,
+                              string_split_regex(trim(lower(text)),
+                                                 '[ \t\n\r]+') AS toks
+                       FROM documents),
+            f AS (SELECT doc_id, toks, len(toks) AS n FROM t
+                  WHERE len(toks) >= 8),
+            s0 AS (SELECT doc_id, toks,
+                          unnest(generate_series(1, n - 7)) AS i
+                   FROM f),
+            s AS (SELECT doc_id,
+                         array_to_string(toks[i:i+7], ' ') AS span
+                  FROM s0),
+            c AS (SELECT span, count(DISTINCT doc_id) AS n_docs,
+                         count(*) AS n_occurrences,
+                         min(doc_id) AS first_doc
+                  FROM s GROUP BY span
+                  HAVING count(DISTINCT doc_id) >= 2)
+            SELECT span, n_docs, n_occurrences, first_doc,
+                   row_number() OVER (ORDER BY n_occurrences DESC, span)
+                       AS rnk
+            FROM c QUALIFY rnk <= 50
         """,
         "dedup_url": f"""
             WITH raw AS (

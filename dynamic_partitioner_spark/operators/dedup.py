@@ -992,3 +992,51 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
                                          "_blk", threshold)
     return (pairs.groupBy("id_a", "id_b")
             .agg(F.max("cos_sim").alias("cos_sim")))
+
+
+# --------------------------------------------------- duplicated spans
+
+def duplicated_spans(docs: DataFrame, id_col: str, text_col: str,
+                     k: int = 8, min_docs: int = 2,
+                     top: int = 50) -> DataFrame:
+    """Cross-document duplicated k-token spans — the exact-substring
+    dedup signal of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"), reduced to token granularity: any
+    run of ``k`` whitespace tokens appearing in ``min_docs`` or more
+    distinct documents, ranked by total occurrence count (ties break
+    on the span string), top-``top``.
+
+    Tokenization is the engine's standard whitespace convention
+    (``trim(lower(text))`` split on ``[ \\t\\n\\r]+`` — identical to
+    ``build_vocab``), so a SQL oracle reproduces spans byte-for-byte.
+
+    Scale shape: one narrow map explodes each document into its
+    ``n_tokens − k + 1`` spans (JVM-side ``transform`` over a
+    ``sequence`` — no Python), then ONE hash aggregate on the span
+    string.  Partial aggregation collapses repeats map-side, so the
+    shuffle carries (distinct span, partial counts) — the same volume
+    profile as any token-frequency job; the rank window runs on the
+    already-filtered ≥ ``min_docs`` relation.  At 100 TB you would cut
+    the long unique-span tail before the shuffle with a bloom/count
+    pre-pass, but the aggregate itself is the linear-scan plan.
+    """
+    if k < 2:
+        raise ValueError("span length k must be >= 2")
+    toks = (docs.select(F.col(id_col).alias("_id"),
+                        F.split(F.trim(F.lower(F.col(text_col))),
+                                "[ \t\n\r]+").alias("_t"))
+            .where(F.size("_t") >= k))
+    spans = toks.select(
+        "_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("_t") - k + 1),
+            lambda i: F.concat_ws(" ", F.slice("_t", i, k)))).alias("span"))
+    agg = (spans.groupBy("span")
+           .agg(F.countDistinct("_id").alias("n_docs"),
+                F.count(F.lit(1)).alias("n_occurrences"),
+                F.min("_id").alias("first_doc"))
+           .where(F.col("n_docs") >= min_docs))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("span"))
+    return (agg.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= top))

@@ -583,3 +583,35 @@ def test_minhash_band_width_validated(spark):
     with pytest.raises(ValueError, match="signature length"):
         near_dup_minhash(df, "doc_id", "text", k=16, bands=8,
                          rows_per_band=4)
+
+
+def test_duplicated_spans_detects_planted_span_only(spark):
+    """A k-token run shared by two docs is found with the right counts;
+    sub-threshold overlaps (k-1 tokens) and single-doc repeats are not;
+    docs shorter than k never produce spans."""
+    from dynamic_partitioner_spark.operators.dedup import duplicated_spans
+
+    shared = "the quick brown fox jumps"              # k=5 planted span
+    rows = [
+        (1, f"alpha beta {shared} gamma"),
+        (2, f"{shared} delta epsilon"),
+        (3, "the quick brown fox sits zeta eta"),     # only 4 shared
+        (4, "tiny doc"),                              # < k tokens
+        (5, "solo solo solo solo solo solo solo"),    # 1-doc repeats
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.span: (r.n_docs, r.n_occurrences, r.first_doc, r.rnk)
+           for r in duplicated_spans(df, "doc_id", "text", k=5).collect()}
+    assert got == {shared: (2, 2, 1, 1)}
+
+    # case/whitespace normalization folds variants onto one span
+    df2 = spark.createDataFrame(
+        [(1, "The  Quick\tBrown fox JUMPS x"), (2, f"{shared} y")],
+        "doc_id long, text string")
+    got2 = {r.span for r in
+            duplicated_spans(df2, "doc_id", "text", k=5).collect()}
+    assert got2 == {shared}
+
+    import pytest
+    with pytest.raises(ValueError, match="k must be"):
+        duplicated_spans(df, "doc_id", "text", k=1)
