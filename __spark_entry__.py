@@ -1198,6 +1198,19 @@ def q_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_hash_sample(cust, "c_custkey", k=200, salt="s5")
 
 
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size weighted sample without replacement (Efraimidis-
+    Spirakis exponential race on md5 draws): 300 orders with odds
+    proportional to o_totalprice — TakeOrderedAndProject, no global
+    sort; race keys 1e-9-quantized so a 1-ulp ln() difference can't
+    flip the boundary row."""
+    from dynamic_partitioner_spark.operators.sampling import weighted_sample
+    orders = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    return weighted_sample(orders, "o_orderkey", "o_totalprice",
+                           k=300, salt="ws6")
+
+
 def q_sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch-1 global shuffle of the customer table:
     per-row epoch-salted draw → balanced shard → in-shard read
@@ -3012,7 +3025,7 @@ _PRIORITY_R06 = [
     "query_approx_distinct", "query_approx_percentiles",
     "query_hll_mergeable",
     # --- NEW round-6 keys: zero driver evidence yet ---
-    "dedup_spans",
+    "dedup_spans", "sample_weighted",
     "query_sql_tpch_q4", "query_sql_tpch_q7", "query_sql_tpch_q10",
     "query_sql_tpch_q13", "query_sql_tpch_q14", "query_sql_tpch_q15",
     "query_sql_tpch_q17", "query_sql_tpch_q18",
@@ -3031,10 +3044,9 @@ _PRIORITY_R06 = [
     "sample_stratified", "privacy_k_anon",
     "mm_binary_roundtrip", "mm_binary_stats", "mm_features",
     "mm_frame_sample",
-    "streaming_dedup",
     # ---- fold: driver checks the 50 above ----
-    # remaining round-3-evidence keys (35)
-    "streaming_stateful_counts",
+    # remaining round-3-evidence keys (36)
+    "streaming_dedup", "streaming_stateful_counts",
     "text_chunk", "text_chunk_dedup", "text_hashed_vector",
     "text_lm_score", "text_repetition", "text_tfidf",
     "text_token_ids", "text_vocab",
@@ -3194,6 +3206,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_salted_join_auto": q_salted_join_auto,
         "text_scrub_chunks": q_text_scrub_chunks,
         "sample_topk": q_sample_topk,
+        "sample_weighted": q_sample_weighted,
         "events_delay_audit": q_events_delay_audit,
         "streaming_sessionize": q_streaming_sessionize,
         "sample_epoch_shuffle": q_sample_epoch_shuffle,
@@ -4417,6 +4430,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name, c_acctbal FROM customer
             ORDER BY {{u}} LIMIT 200
         """.format(u=SMP.hash_unit_sql("c_custkey", "s5")),
+        "sample_weighted": SMP.weighted_sample_sql(
+            "o_orderkey, o_totalprice", "orders", "o_orderkey",
+            "o_totalprice", 300, "ws6"),
         "mm_tar_shards": f"""
             WITH d AS (
                 SELECT doc_id, text,

@@ -460,3 +460,57 @@ def poisson_bootstrap_sql(key: str, value: str, n_replicates: int = 10,
                    AS boot_mean
         FROM wtd GROUP BY replicate
     """
+
+
+def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
+                    k: int, salt: str = "") -> DataFrame:
+    """Exact-size weighted sample WITHOUT replacement (Efraimidis &
+    Spirakis A-ES, the exponential-race form): each row draws
+    ``u = hash_unit(key)`` and races with key ``-ln(u) / w``; the
+    ``k`` smallest race keys win, so inclusion odds are proportional
+    to weight — the corpus-reweighting primitive ("sample 10k docs
+    proportional to quality score") a training pipeline runs at the
+    very end.
+
+    Scale shape: one map-side expression per row, then
+    TakeOrderedAndProject (per-partition top-k, P·k driver merge) —
+    no global sort, no RNG state, repartition-stable.
+
+    Cross-engine determinism: ``u`` is the md5 60-bit unit draw (bit-
+    identical in the SQL twin) but ``ln`` is libm — two engines may
+    differ in the last ulp.  The race key is therefore quantized to
+    1e-9 (floor half-up) so a 1-ulp ``ln`` difference can't reorder
+    the boundary, and ties (1e-9-quantized keys colliding) break on
+    the key column.  NULL keys and non-positive weights are excluded
+    LOUDLY by filter — they would otherwise win with NULL/NaN race
+    keys in engine-dependent order.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    u = hash_unit(F.col(key_col), salt)
+    # u = 0 has probability 2^-60 but would make ln() blow up — clamp
+    # identically in both engines
+    u = F.greatest(u, F.lit(1e-18))
+    race = -F.log(u) / F.col(weight_col).cast("double")
+    q = F.floor(race * 1e9 + F.lit(0.5)) / 1e9
+    return (df.where(F.col(key_col).isNotNull()
+                     & (F.col(weight_col).cast("double") > 0))
+            .withColumn("race_key", q)
+            .orderBy("race_key", key_col)
+            .limit(k))
+
+
+def weighted_sample_sql(table_cols: str, table: str, key: str,
+                        weight: str, k: int, salt: str = "") -> str:
+    """DuckDB twin of :func:`weighted_sample` — same md5 draw, same
+    clamp, same 1e-9 quantization, same tie-break."""
+    u = f"greatest({hash_unit_sql(key, salt)}, 1e-18)"
+    return f"""
+        SELECT {table_cols},
+               floor(-ln({u}) / CAST({weight} AS DOUBLE) * 1e9 + 0.5)
+                   / 1e9 AS race_key
+        FROM {table}
+        WHERE {key} IS NOT NULL AND CAST({weight} AS DOUBLE) > 0
+        ORDER BY race_key, {key}
+        LIMIT {k}
+    """

@@ -320,3 +320,31 @@ def test_poisson_bootstrap_deterministic_and_reasonable(spark):
     again = {r.replicate: (r.n_eff, r.boot_mean) for r in
              poisson_bootstrap(df, "id", "v", n_replicates=5).collect()}
     assert out == again
+
+
+def test_weighted_sample_biases_by_weight_and_validates(spark):
+    """A-ES race: with half the keys at weight 100 and half at weight
+    1, a k=100 sample is dominated by heavy keys; exact size k; zero /
+    negative weights and NULL keys are excluded; k<=0 raises."""
+    import pytest
+
+    from dynamic_partitioner_spark.operators.sampling import (
+        weighted_sample)
+
+    rows = [(i, 100.0 if i % 2 == 0 else 1.0) for i in range(1000)]
+    rows += [(None, 100.0), (2000, 0.0), (2001, -5.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = weighted_sample(df, "id", "w", k=100, salt="t").collect()
+    assert len(got) == 100
+    ids = [r.id for r in got]
+    assert None not in ids and 2000 not in ids and 2001 not in ids
+    heavy = sum(1 for i in ids if i % 2 == 0)
+    # inclusion odds ∝ weight: heavy keys are 100x likelier — with a
+    # fixed md5 salt this is deterministic, pinned well above the
+    # ~50 an unweighted draw would give
+    assert heavy >= 80
+    # race keys are monotone in the output and deterministic on rerun
+    again = weighted_sample(df, "id", "w", k=100, salt="t").collect()
+    assert [r.id for r in again] == ids
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_sample(df, "id", "w", k=0)
