@@ -1056,6 +1056,60 @@ def q_streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_tumbling_agg(spark, src, "stream_agg_sink", "1 hour")
 
 
+def q_streaming_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark drop semantics, oracle-certified: nine hours of events
+    stream through the PRODUCTION append-mode windowed agg (1 h
+    windows, 30 min watermark, one file per micro-batch in forced
+    mtime order), with the hour-0 rows REPLAYED in the last file —
+    late by ≥6 h, far beyond the watermark, so Spark must drop every
+    copy.  The oracle aggregates the on-time rows only and keeps
+    windows whose end ≤ final watermark (max event time − delay):
+    if the engine accepted a late row (double-counted hour 0,
+    re-emitted a closed window) or emitted an unclosed tail window,
+    the row set cannot match.  Late/on-time separation is ≥5.5 h vs a
+    30 min delay, so the SPARK-40925 two-watermark subtlety (filter
+    uses the previous batch's watermark) never lands near a boundary
+    — the pinned pytest covers the boundary cases."""
+    import glob as _glob
+
+    from dynamic_partitioner_spark.streaming.stateful import (
+        streaming_windowed_agg_append)
+    apply_engine_confs(spark)
+    events = _table(spark, sf_dir, "events")
+    ev = events.select(
+        "ts", "user_id",
+        # pre-quantized cents as double: round(sum, 2) downstream is
+        # then exact-integer arithmetic in both engines
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("double")
+        .alias("value"),
+        event_time_us(events).alias("_us"))
+    m = ev.agg(F.min("_us")).collect()[0][0]
+    h0 = int(m) - int(m) % 3_600_000_000
+    ev = ev.withColumn("_h", F.expr(f"(_us - {h0}) div 3600000000"))
+    base = ev.where(F.col("_h").between(0, 8))
+    chunks = [
+        base.where(F.col("_h") < 3),
+        base.where(F.col("_h").between(3, 5)),
+        # last file: hours 6-8 PLUS the hour-0 replay (all late)
+        base.where((F.col("_h") >= 6) | (F.col("_h") < 1)),
+    ]
+    src = _out("stream_late_src")
+    os.makedirs(src)
+    for i, ch in enumerate(chunks):
+        tmp = f"{src}_tmp{i}"
+        (ch.select("ts", "user_id", "value")
+         .coalesce(1).write.mode("overwrite").parquet(tmp))
+        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{src}/{i:02d}.parquet"
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+        shutil.rmtree(tmp)
+    spark.catalog.dropTempView("stream_late_sink")
+    return streaming_windowed_agg_append(
+        spark, src, "stream_late_sink",
+        window="1 hour", watermark="30 minutes")
+
+
 def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState per-user running stats across real
     micro-batches (one file per trigger); final snapshot equals the
@@ -3025,7 +3079,7 @@ _PRIORITY_R06 = [
     "query_approx_distinct", "query_approx_percentiles",
     "query_hll_mergeable",
     # --- NEW round-6 keys: zero driver evidence yet ---
-    "dedup_spans", "sample_weighted",
+    "dedup_spans", "sample_weighted", "streaming_late_audit",
     "query_sql_tpch_q4", "query_sql_tpch_q7", "query_sql_tpch_q10",
     "query_sql_tpch_q13", "query_sql_tpch_q14", "query_sql_tpch_q15",
     "query_sql_tpch_q17", "query_sql_tpch_q18",
@@ -3043,9 +3097,9 @@ _PRIORITY_R06 = [
     "events_rolling_1h", "events_transitions", "event_sessionize",
     "sample_stratified", "privacy_k_anon",
     "mm_binary_roundtrip", "mm_binary_stats", "mm_features",
-    "mm_frame_sample",
     # ---- fold: driver checks the 50 above ----
-    # remaining round-3-evidence keys (36)
+    # remaining round-3-evidence keys (37)
+    "mm_frame_sample",
     "streaming_dedup", "streaming_stateful_counts",
     "text_chunk", "text_chunk_dedup", "text_hashed_vector",
     "text_lm_score", "text_repetition", "text_tfidf",
@@ -3133,6 +3187,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_partitioned_write": q_streaming_write,
         "event_sessionize": q_sessionize,
         "streaming_windowed_agg": q_streaming_windowed_agg,
+        "streaming_late_audit": q_streaming_late_audit,
         "streaming_stateful_counts": q_streaming_stateful,
         "streaming_dedup": q_streaming_dedup,
         "query_sliding_window": q_sliding_window,
@@ -3987,6 +4042,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, count(*) AS n_events, "
             "round(sum(value), 2) AS total_value "
             "FROM events GROUP BY user_id"),
+        # on-time rows only (the staged hour-0 replay must be DROPPED
+        # by the watermark), windows kept only when end <= final
+        # watermark (max event time - 30 min delay)
+        "streaming_late_audit": """
+            WITH ev AS (SELECT ts, user_id,
+                               CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                   AS v,
+                               epoch_us(ts) AS us
+                        FROM events),
+            m AS (SELECT min(us) - min(us) % 3600000000 AS h0 FROM ev),
+            b AS (SELECT ts, user_id, v, us,
+                         (us - h0) // 3600000000 AS h
+                  FROM ev, m
+                  WHERE (us - h0) // 3600000000 BETWEEN 0 AND 8),
+            wm AS (SELECT max(us) - 1800000000 AS w FROM b),
+            agg AS (SELECT date_trunc('hour', ts) AS ws, h, user_id,
+                           count(*) AS n_events, sum(v) AS vc
+                    FROM b GROUP BY 1, 2, 3)
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   user_id, n_events, CAST(vc AS DOUBLE) AS total_value
+            FROM agg, m, wm
+            WHERE h0 + (h + 1) * 3600000000 <= w
+        """,
         "streaming_dedup": (
             "SELECT event_id, user_id, round(value, 2) AS value "
             "FROM events"),

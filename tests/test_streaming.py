@@ -365,3 +365,27 @@ def test_streaming_expectations_rejects_remote_checkpoint(spark, tmp_path):
     with pytest.raises(ValueError, match="committed batches"):
         run_streaming_expectations(
             spark, src, [("not_null", "k")], "file://" + ck)
+
+
+def test_streaming_late_audit_drops_replay_and_holds_tail(spark):
+    """The driver key's certificate, asserted directly: per-window
+    rows are unique (a closed window never re-emits even though
+    hour-0 was replayed late), and the last staged hour never emits
+    (its window end is always past the final watermark)."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod_late", "/root/repo/__spark_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    sys.modules["entry_mod_late"] = m
+    spec.loader.exec_module(m)
+
+    rows = m.q_streaming_late_audit(spark, "/root/testdata/sf0.001") \
+            .collect()
+    assert rows
+    keys = [(r.window_start, r.user_id) for r in rows]
+    assert len(keys) == len(set(keys))          # no re-emitted window
+    hours = sorted({r.window_start for r in rows})
+    # the staged span is 9 hours; the tail window can never close
+    assert len(hours) <= 8
