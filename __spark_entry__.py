@@ -1083,8 +1083,11 @@ def q_streaming_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("double")
         .alias("value"),
         event_time_us(events).alias("_us"))
-    m = ev.agg(F.min("_us")).collect()[0][0]
-    h0 = int(m) - int(m) % 3_600_000_000
+    m = int(ev.agg(F.min("_us")).collect()[0][0])
+    # TRUNCATING remainder (sign follows dividend), matching the
+    # oracle's DuckDB `%` — Python's own `%` floors, which would shift
+    # h0 by an hour for a pre-1970 minimum (code-review r6)
+    h0 = m - (m % 3_600_000_000 if m >= 0 else -((-m) % 3_600_000_000))
     ev = ev.withColumn("_h", F.expr(f"(_us - {h0}) div 3600000000"))
     base = ev.where(F.col("_h").between(0, 8))
     chunks = [
@@ -1361,12 +1364,13 @@ def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in pytest."""
     events = _table(spark, sf_dir, "events")
     ev = events.select(event_time_us(events).alias("_us"), "user_id")
-    # floor-division (pmod trick) so the bucket matches DuckDB's
-    # `//` even for pre-1970 microseconds
+    # plain `div`: Spark's `div` and DuckDB's integer `//` BOTH
+    # truncate toward zero (verified: -7 // 2 = -3 in DuckDB 1.0), so
+    # truncating division is the parity-exact bucket for either sign
+    # of the microsecond clock — a pmod floor here would diverge from
+    # the oracle on pre-1970 events
     day = ev.withColumn(
-        "day_idx",
-        F.expr(f"(_us - pmod(_us, {_DAY_US_HLL})) div {_DAY_US_HLL}")
-        .cast("long"))
+        "day_idx", F.expr(f"_us div {_DAY_US_HLL}").cast("long"))
     per_day = (day.groupBy("day_idx")
                .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"),
                     F.countDistinct("user_id").alias("exact_users")))
@@ -2359,12 +2363,13 @@ def q_seq_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "event_type", n=3, top=25)
 
 
-#: FLOOR-division hour bucket — `div` truncates toward zero while the
-#: DuckDB twin's `//` floors, so a pre-1970 timestamp would land in a
-#: different bucket (the VERDICT-r4 div-vs-floor hazard, fenced here
-#: at bucket granularity): (x - pmod(x, w)) is exactly divisible, so
-#: the truncating div IS the floor quotient for any sign.
-_HOUR_FDIV = "((ts_us - pmod(ts_us, 3600000000)) div 3600000000)"
+#: Truncating-division hour bucket.  Spark's `div` and DuckDB's
+#: integer `//` BOTH truncate toward zero (verified: -7 // 2 = -3 in
+#: DuckDB 1.0 — `//` floors only for FLOAT operands), so the plain
+#: truncating quotient is the parity-exact bucket for any sign; the
+#: previous pmod-floor form was the one that diverged pre-1970
+#: (code-review r6).
+_HOUR_FDIV = "(ts_us div 3600000000)"
 
 
 def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:

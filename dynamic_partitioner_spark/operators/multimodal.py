@@ -69,6 +69,10 @@ def register_codec(mode: str, out_schema_ddl: str, fn) -> None:
     executors inside the mapInPandas closure."""
     if not out_schema_ddl.strip():
         raise ValueError("codec needs a non-empty output schema")
+    # validate NOW (not executor-side at run time) and let Spark's own
+    # DDL parser handle parameterized/nested types — a naive comma
+    # split would shred "struct<w:int,h:int>" / "decimal(10,2)"
+    T.StructType.fromDDL(out_schema_ddl)
     _CODEC_REGISTRY[mode] = (out_schema_ddl, fn)
 
 
@@ -95,7 +99,7 @@ def decode_media(df: DataFrame, mode: str,
     ddl, fn = reg
     id_field = df.schema[id_col]
     out_schema = f"{id_field.name} {id_field.dataType.simpleString()}, {ddl}"
-    cols = [f.split()[0] for f in ddl.split(",")]
+    cols = T.StructType.fromDDL(ddl).fieldNames()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -481,9 +481,11 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
     differ in the last ulp.  The race key is therefore quantized to
     1e-9 (floor half-up) so a 1-ulp ``ln`` difference can't reorder
     the boundary, and ties (1e-9-quantized keys colliding) break on
-    the key column.  NULL keys and non-positive weights are excluded
-    LOUDLY by filter — they would otherwise win with NULL/NaN race
-    keys in engine-dependent order.
+    the key column.  NULL keys and non-positive or NaN weights are
+    excluded by filter — NaN in particular passes ``> 0`` and then
+    races as ``floor(NaN)``, which Spark's cast makes 0 (always wins)
+    while DuckDB keeps NaN (always loses): one stray NaN quality
+    score would silently bias the Spark sample and break parity.
     """
     if k <= 0:
         raise ValueError("k must be positive")
@@ -491,10 +493,11 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
     # u = 0 has probability 2^-60 but would make ln() blow up — clamp
     # identically in both engines
     u = F.greatest(u, F.lit(1e-18))
-    race = -F.log(u) / F.col(weight_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    race = -F.log(u) / w
     q = F.floor(race * 1e9 + F.lit(0.5)) / 1e9
     return (df.where(F.col(key_col).isNotNull()
-                     & (F.col(weight_col).cast("double") > 0))
+                     & (w > 0) & ~F.isnan(w))
             .withColumn("race_key", q)
             .orderBy("race_key", key_col)
             .limit(k))
@@ -511,6 +514,7 @@ def weighted_sample_sql(table_cols: str, table: str, key: str,
                    / 1e9 AS race_key
         FROM {table}
         WHERE {key} IS NOT NULL AND CAST({weight} AS DOUBLE) > 0
+          AND NOT isnan(CAST({weight} AS DOUBLE))
         ORDER BY race_key, {key}
         LIMIT {k}
     """

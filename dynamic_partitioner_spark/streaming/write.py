@@ -157,6 +157,7 @@ def run_streaming_expectations(spark: SparkSession, src_path: str,
     source.
     """
     import os
+    import re
 
     from ..operators.expectations import check_expectations
 
@@ -173,14 +174,28 @@ def run_streaming_expectations(spark: SparkSession, src_path: str,
     # URI (hdfs://, s3a://) would silently BYPASS the guard and
     # re-enable the exact under-count it exists to prevent (ADVICE
     # r5) — reject non-local checkpoints loudly; a Hadoop-FS probe is
-    # the documented extension point
-    if "://" in checkpoint and not checkpoint.startswith("file://"):
+    # the documented extension point.  Hadoop's local URI forms are
+    # `file:/path`, `file:///path` and `file://<host>/path` — the
+    # first two resolve to /path, the last carries an authority the
+    # local probe can't honor, so it is rejected like a remote scheme
+    # (as is any other `scheme:` prefix, single- or double-slash).
+    local = checkpoint
+    if checkpoint.startswith("file:"):
+        local = checkpoint[len("file:"):]
+        if local.startswith("//"):
+            local = local[2:]
+        if not local.startswith("/"):
+            raise ValueError(
+                f"streaming expectations support local checkpoints only "
+                f"(got {checkpoint!r}): a file:// URI with an authority "
+                "cannot be probed with driver-local I/O")
+    elif re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", checkpoint):
         raise ValueError(
             f"streaming expectations support local checkpoints only "
             f"(got {checkpoint!r}): the fresh-checkpoint guard probes "
             "the commits dir with driver-local I/O and cannot see a "
             "remote filesystem")
-    commits = os.path.join(checkpoint.removeprefix("file://"), "commits")
+    commits = os.path.join(local, "commits")
     if os.path.isdir(commits) and any(
             not n.startswith(".") for n in os.listdir(commits)):
         raise ValueError(

@@ -230,3 +230,28 @@ def test_binary_dup_groups_strict_and_head_modes(spark):
             binary_dup_groups(df, head_bytes=16, strict=False).collect()}
     # head-only screen also pulls in doc 3 (shared 16-byte prefix)
     assert head == {1: 3}
+
+
+def test_codec_registry_handles_nested_types_and_bad_ddl(spark):
+    """code-review r6: parameterized/nested codec schemas must parse
+    with Spark's DDL parser (a comma split would shred them), and a
+    bad DDL fails at register time, not executor-side."""
+    from dynamic_partitioner_spark.operators.multimodal import (
+        register_codec, unregister_codec)
+
+    def codec(payload):
+        n = len(payload or b"")
+        return {"dims": {"w": n, "h": n + 1}, "scale": None}
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    bt = to_binary_table(df)
+    register_codec("nested", "dims struct<w:int,h:int>, scale decimal(10,2)",
+                   codec)
+    try:
+        row = decode_media(bt, "nested").collect()[0]
+        assert (row.dims.w, row.dims.h) == (3, 4)
+        assert row.scale is None
+    finally:
+        unregister_codec("nested")
+    with pytest.raises(Exception):
+        register_codec("broken", "width int, oops", codec)

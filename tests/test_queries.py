@@ -122,9 +122,7 @@ def test_hll_mergeable_sketches_union_equals_direct(spark):
     events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
     from dynamic_partitioner_spark.functions.eventtime import event_time_us
     ev = events.select(event_time_us(events).alias("_us"), "user_id")
-    day = ev.withColumn(
-        "day_idx",
-        F.expr("(_us - pmod(_us, 86400000000)) div 86400000000"))
+    day = ev.withColumn("day_idx", F.expr("_us div 86400000000"))
     merged = (day.groupBy("day_idx")
               .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
               .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))")

@@ -348,3 +348,28 @@ def test_weighted_sample_biases_by_weight_and_validates(spark):
     assert [r.id for r in again] == ids
     with pytest.raises(ValueError, match="k must be"):
         weighted_sample(df, "id", "w", k=0)
+
+
+def test_weighted_sample_excludes_nan_weights_both_engines(spark):
+    """code-review r6: a NaN weight passes `> 0` and then races as
+    floor(NaN) — 0 in Spark's cast (always wins), NaN in DuckDB
+    (always loses).  Both the operator and the SQL twin must exclude
+    it, keeping the sample sets identical."""
+    import duckdb
+
+    from dynamic_partitioner_spark.operators.sampling import (
+        weighted_sample, weighted_sample_sql)
+
+    rows = [(i, 1.0) for i in range(10)] + [(99, float("nan"))]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = [r.id for r in weighted_sample(df, "id", "w", k=5,
+                                         salt="t").collect()]
+    assert 99 not in got and len(got) == 5
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, 1.0)" for i in range(10))
+                + ", (99, CAST('nan' AS DOUBLE))) v(id, w)")
+    oracle = [int(r[0]) for r in con.execute(
+        weighted_sample_sql("id, w", "t", "id", "w", 5, "t")).fetchall()]
+    assert oracle == got

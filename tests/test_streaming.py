@@ -389,3 +389,27 @@ def test_streaming_late_audit_drops_replay_and_holds_tail(spark):
     hours = sorted({r.window_start for r in rows})
     # the staged span is 9 hours; the tail window can never close
     assert len(hours) <= 8
+
+
+def test_streaming_expectations_rejects_single_slash_and_authority_uris(
+        spark, tmp_path):
+    """code-review r6: Hadoop's canonical local form file:/path must
+    hit the guard's probe (not silently bypass it), and an authority
+    (file://host/path) is rejected like a remote scheme."""
+    import pytest
+
+    from dynamic_partitioner_spark.streaming.write import (
+        run_streaming_expectations)
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1,)], "k long").write.parquet(src)
+    ck = str(tmp_path / "ck_single")
+    got = {r.rule: r.n_violations for r in run_streaming_expectations(
+        spark, src, [("not_null", "k")], "file:" + ck).collect()}
+    assert got == {"not_null": 0}
+    # the guard sees the committed batches through the file:/ form
+    with pytest.raises(ValueError, match="committed batches"):
+        run_streaming_expectations(
+            spark, src, [("not_null", "k")], "file:" + ck)
+    with pytest.raises(ValueError, match="authority"):
+        run_streaming_expectations(
+            spark, src, [("not_null", "k")], "file://host/ck")
