@@ -485,6 +485,20 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("value"), 2).alias("total_value")))
 
 
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user recency-weighted value feature: half-life EWMA (alpha
+    = 1/2) over the last 20 events — engine-exact because the decay is
+    a left fold of exact IEEE halvings in frame order, no libm pow and
+    no approximation; the oracle runs the identical fold via
+    list_reduce."""
+    from dynamic_partitioner_spark.operators.relational import ewma_features
+    events = _table(spark, sf_dir, "events")
+    ev = events.select("user_id", "event_id", "value",
+                       event_time_us(events).alias("ts_us"))
+    return ewma_features(ev, "user_id", ["ts_us", "event_id"], "value",
+                         window_rows=20)
+
+
 def q_rollup_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate: minute/hour/day grains in
     one scan; written partitioned by grain, a day query partition-prunes
@@ -3085,6 +3099,7 @@ _PRIORITY_R06 = [
     "query_hll_mergeable",
     # --- NEW round-6 keys: zero driver evidence yet ---
     "dedup_spans", "sample_weighted", "streaming_late_audit",
+    "events_ewma",
     "query_sql_tpch_q4", "query_sql_tpch_q7", "query_sql_tpch_q10",
     "query_sql_tpch_q13", "query_sql_tpch_q14", "query_sql_tpch_q15",
     "query_sql_tpch_q17", "query_sql_tpch_q18",
@@ -3101,10 +3116,10 @@ _PRIORITY_R06 = [
     "events_ffill", "events_funnel", "events_retention",
     "events_rolling_1h", "events_transitions", "event_sessionize",
     "sample_stratified", "privacy_k_anon",
-    "mm_binary_roundtrip", "mm_binary_stats", "mm_features",
+    "mm_binary_roundtrip", "mm_binary_stats",
     # ---- fold: driver checks the 50 above ----
-    # remaining round-3-evidence keys (37)
-    "mm_frame_sample",
+    # remaining round-3-evidence keys (38)
+    "mm_features", "mm_frame_sample",
     "streaming_dedup", "streaming_stateful_counts",
     "text_chunk", "text_chunk_dedup", "text_hashed_vector",
     "text_lm_score", "text_repetition", "text_tfidf",
@@ -3277,6 +3292,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_tar_shards": q_mm_tar_shards,
         "events_seq_ngrams": q_seq_ngrams,
         "events_ohlc": q_events_ohlc,
+        "events_ewma": q_events_ewma,
         "query_skew_profile": q_skew_profile,
         "sample_group_split": q_sample_group_split,
         "text_cooccur": q_text_cooccur,
@@ -4895,6 +4911,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT gram, n_seq,
                    row_number() OVER (ORDER BY n_seq DESC, gram) AS rnk
             FROM c QUALIFY rnk <= 25
+        """,
+        # identical left fold both engines: Spark F.aggregate with zero
+        # 0.0 == DuckDB list_reduce over the 0.0-prepended frame list;
+        # every step is acc*0.5 + x*0.5 (exact IEEE halvings, defined
+        # fold order) so the doubles are bit-identical pre-round4
+        "events_ewma": f"""
+            WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                              CAST(value AS DOUBLE) AS v
+                       FROM events WHERE value IS NOT NULL),
+            w AS (SELECT user_id, event_id, ts_us,
+                         list(v) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id
+                                       ROWS BETWEEN 19 PRECEDING
+                                       AND CURRENT ROW) AS arr
+                  FROM e)
+            SELECT user_id, ts_us, event_id,
+                   {ROUND4_SQL.format(
+                       x="list_reduce(list_prepend(0.0, arr), "
+                         "(acc, x) -> acc * 0.5 + x * 0.5)")} AS ewma
+            FROM w
         """,
         "events_ohlc": """
             WITH e AS (

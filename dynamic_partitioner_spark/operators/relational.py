@@ -795,3 +795,38 @@ def burst_detection(df: DataFrame, type_col: str, bucket: Column,
             .select(F.col("_t").alias(type_col),
                     F.col("_b").alias("bucket"), "n_events",
                     round4(F.col("_mean")).alias("trailing_mean")))
+
+
+def ewma_features(df: DataFrame, key_col: str, order_cols: list[str],
+                  value_col: str, window_rows: int = 20) -> DataFrame:
+    """Per-key exponentially-weighted moving average (half-life decay,
+    alpha = 1/2) over the last ``window_rows`` events — the standard
+    recency-weighted feature a training pipeline derives from metric
+    streams.
+
+    Engine-exact by construction: the decay is a LEFT FOLD
+    ``acc' = acc·0.5 + x·0.5`` over the rows-frame values in frame
+    order.  Multiplying by 0.5 is an exponent shift (always exact in
+    IEEE), and both engines run the same add sequence in the same
+    order, so the result is bit-identical with no libm pow() and no
+    quantization tricks — the SQL twin is ``list_reduce`` over the
+    same frame with the same zero.  The truncated tail beyond the
+    frame carries weight 2^-window_rows (≈1e-6 at 20) IDENTICALLY on
+    both sides — it is part of the definition, not an approximation.
+
+    One shuffle on ``key_col``; the frame collect and fold are
+    JVM-side higher-order functions.  ``order_cols`` must be a total
+    order (ts + id), otherwise the frame contents are
+    nondeterministic.
+    """
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+    w = (Window.partitionBy(key_col).orderBy(*order_cols)
+         .rowsBetween(-(window_rows - 1), 0))
+    arr = F.collect_list(F.col(value_col).cast("double")).over(w)
+    fold = F.aggregate(arr, F.lit(0.0),
+                       lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5))
+    from ..functions.vectors import round4
+    return (df.where(F.col(value_col).isNotNull())
+            .select(F.col(key_col), *[F.col(c) for c in order_cols],
+                    round4(fold).alias("ewma")))

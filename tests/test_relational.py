@@ -740,3 +740,33 @@ def test_burst_detection_fill_gaps_restores_true_baseline(spark):
                              factor=2.0, trailing=24,
                              fill_gaps=True).collect()
     assert any(r.bucket == 40 for r in filled)   # gap-true baseline ~0
+
+
+def test_ewma_features_matches_recurrence_and_validates(spark):
+    """EWMA left fold equals the hand recurrence acc' = acc/2 + x/2
+    (seeded at 0) over the last-K frame; NULL values drop; K<1 raises."""
+    import pytest
+
+    from dynamic_partitioner_spark.operators.relational import ewma_features
+
+    rows = [(1, i, float(v)) for i, v in enumerate([8, 4, 2, 6])]
+    rows += [(2, 0, 10.0), (2, 1, None)]
+    df = spark.createDataFrame(rows, "uid long, seq long, v double")
+    got = {(r.uid, r.seq): r.ewma
+           for r in ewma_features(df, "uid", ["seq"], "v",
+                                  window_rows=3).collect()}
+
+    def fold(vals):
+        acc = 0.0
+        for x in vals:
+            acc = acc * 0.5 + x * 0.5
+        return int(acc * 10000 + 0.5) / 10000   # round4
+
+    assert got[(1, 0)] == fold([8])
+    assert got[(1, 1)] == fold([8, 4])
+    assert got[(1, 2)] == fold([8, 4, 2])
+    assert got[(1, 3)] == fold([4, 2, 6])       # frame = last 3 only
+    assert got[(2, 0)] == fold([10])
+    assert (2, 1) not in got                     # NULL value dropped
+    with pytest.raises(ValueError, match="window_rows"):
+        ewma_features(df, "uid", ["seq"], "v", window_rows=0)
