@@ -3044,6 +3044,35 @@ def q_ops_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("o_orderpriority", "pk"))
 
 
+def q_ops_metadata_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-FILE row-count distribution via Spark's hidden ``_metadata``
+    column (the storage-ops introspection surface): write customer
+    partitioned by market segment with a 100-row file cap (strict hash
+    repartition, one task per key), read back selecting
+    ``_metadata.file_path``, and rank each partition's files by row
+    count.  With one sequential writer per key the file sizes are
+    deterministic — every file holds exactly 100 rows except one
+    remainder — so the oracle PREDICTS the whole (partition, rank,
+    n_rows) relation from the data alone.  Equal-sized files are
+    interchangeable, so ranking by (n_rows desc) yields the same
+    relation regardless of physical file naming."""
+    apply_engine_confs(spark)
+    df = (_table(spark, sf_dir, "customer")
+          .repartition(F.col("c_mktsegment")))
+    out = _out("ops_meta_files")
+    spec = SinkSpec(name="cust_sized", field_names=["c_mktsegment"],
+                    max_records_per_file=100, cluster_by_key=False)
+    write_partitioned(df, spec, out)
+    back = spark.read.parquet(out).select(
+        F.col("c_mktsegment").cast("string").alias("pk"),
+        F.col("_metadata.file_path").alias("_file"))
+    per_file = back.groupBy("pk", "_file").agg(
+        F.count(F.lit(1)).alias("n_rows"))
+    w = Window.partitionBy("pk").orderBy(F.desc("n_rows"), F.asc("_file"))
+    return (per_file.withColumn("file_rank", F.row_number().over(w))
+            .select("pk", "file_rank", "n_rows"))
+
+
 def q_text_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 windowed token co-occurrence pairs (window=2) — the
     word2vec/PMI prep primitive; pair generation stays inside the token
@@ -3099,7 +3128,7 @@ _PRIORITY_R06 = [
     "query_hll_mergeable",
     # --- NEW round-6 keys: zero driver evidence yet ---
     "dedup_spans", "sample_weighted", "streaming_late_audit",
-    "events_ewma",
+    "events_ewma", "ops_metadata_files",
     "query_sql_tpch_q4", "query_sql_tpch_q7", "query_sql_tpch_q10",
     "query_sql_tpch_q13", "query_sql_tpch_q14", "query_sql_tpch_q15",
     "query_sql_tpch_q17", "query_sql_tpch_q18",
@@ -3116,10 +3145,10 @@ _PRIORITY_R06 = [
     "events_ffill", "events_funnel", "events_retention",
     "events_rolling_1h", "events_transitions", "event_sessionize",
     "sample_stratified", "privacy_k_anon",
-    "mm_binary_roundtrip", "mm_binary_stats",
+    "mm_binary_roundtrip",
     # ---- fold: driver checks the 50 above ----
-    # remaining round-3-evidence keys (38)
-    "mm_features", "mm_frame_sample",
+    # remaining round-3-evidence keys (39)
+    "mm_binary_stats", "mm_features", "mm_frame_sample",
     "streaming_dedup", "streaming_stateful_counts",
     "text_chunk", "text_chunk_dedup", "text_hashed_vector",
     "text_lm_score", "text_repetition", "text_tfidf",
@@ -3297,6 +3326,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_group_split": q_sample_group_split,
         "text_cooccur": q_text_cooccur,
         "ops_file_audit": q_ops_file_audit,
+        "ops_metadata_files": q_ops_metadata_files,
         "text_bpe_learn": q_text_bpe_learn,
         "sketch_cms": q_sketch_cms,
         "query_bloom_join": q_bloom_join,
@@ -5315,6 +5345,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id
                          ORDER BY epoch_us(ts), event_id)
+        """,
+        # one sequential writer per key + 100-row cap → files are
+        # exactly 100 rows plus one remainder, so the whole per-file
+        # relation is predictable from the data
+        "ops_metadata_files": """
+            WITH p AS (SELECT c_mktsegment AS pk, count(*) AS n
+                       FROM customer GROUP BY 1),
+            full_files AS (
+                SELECT pk, unnest(generate_series(
+                           1, CAST(n // 100 AS INT))) AS file_rank,
+                       CAST(100 AS BIGINT) AS n_rows
+                FROM p WHERE n >= 100),
+            remainder AS (
+                SELECT pk, CAST(n // 100 AS INT) + 1 AS file_rank,
+                       CAST(n % 100 AS BIGINT) AS n_rows
+                FROM p WHERE n % 100 <> 0)
+            SELECT pk, file_rank, n_rows FROM full_files
+            UNION ALL
+            SELECT pk, file_rank, n_rows FROM remainder
         """,
         "ops_file_audit": """
             SELECT trim(CAST(o_orderpriority AS VARCHAR)) AS pk,
