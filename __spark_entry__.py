@@ -485,6 +485,18 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("value"), 2).alias("total_value")))
 
 
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority by total price:
+    (group sum − own value)/(n − 1) on exact centi-unit integers, one
+    double division per row — the leakage-safe categorical feature
+    encoder, engine-exact by construction."""
+    from dynamic_partitioner_spark.operators.relational import (
+        target_encode_loo)
+    orders = _table(spark, sf_dir, "orders")
+    return target_encode_loo(orders, "o_orderpriority", "o_totalprice",
+                             "o_orderkey")
+
+
 def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user recency-weighted value feature: half-life EWMA (alpha
     = 1/2) over the last 20 events — engine-exact because the decay is
@@ -3128,7 +3140,7 @@ _PRIORITY_R06 = [
     "query_hll_mergeable",
     # --- NEW round-6 keys: zero driver evidence yet ---
     "dedup_spans", "sample_weighted", "streaming_late_audit",
-    "events_ewma", "ops_metadata_files",
+    "events_ewma", "ops_metadata_files", "query_target_encoding",
     "query_sql_tpch_q4", "query_sql_tpch_q7", "query_sql_tpch_q10",
     "query_sql_tpch_q13", "query_sql_tpch_q14", "query_sql_tpch_q15",
     "query_sql_tpch_q17", "query_sql_tpch_q18",
@@ -3145,10 +3157,10 @@ _PRIORITY_R06 = [
     "events_ffill", "events_funnel", "events_retention",
     "events_rolling_1h", "events_transitions", "event_sessionize",
     "sample_stratified", "privacy_k_anon",
-    "mm_binary_roundtrip",
     # ---- fold: driver checks the 50 above ----
-    # remaining round-3-evidence keys (39)
-    "mm_binary_stats", "mm_features", "mm_frame_sample",
+    # remaining round-3-evidence keys (40)
+    "mm_binary_roundtrip", "mm_binary_stats", "mm_features",
+    "mm_frame_sample",
     "streaming_dedup", "streaming_stateful_counts",
     "text_chunk", "text_chunk_dedup", "text_hashed_vector",
     "text_lm_score", "text_repetition", "text_tfidf",
@@ -3315,6 +3327,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": q_streaming_sessionize,
         "sample_epoch_shuffle": q_sample_epoch_shuffle,
         "query_decimal_agg": q_decimal_agg,
+        "query_target_encoding": q_target_encoding,
         "privacy_pseudonymize": q_privacy_pseudonymize,
         "query_hll_mergeable": q_hll_mergeable,
         "embedding_pca": q_embedding_pca,
@@ -4583,6 +4596,24 @@ def oracle_sql() -> dict[str, str]:
                                  AND 1 PRECEDING), 0) AS BIGINT) AS data_offset
                 FROM m)
             SELECT shard, name, size, data_offset, payload_md5 FROM o
+        """,
+        # exact centi-unit integers: the group sum is order-free, the
+        # encoder is one integer subtraction + one double division
+        "query_target_encoding": f"""
+            WITH b AS (SELECT o_orderkey, o_orderpriority,
+                              CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT) AS xc
+                       FROM orders),
+            s AS (SELECT o_orderpriority,
+                         CAST(sum(xc) AS BIGINT) AS sm,
+                         count(*) AS n
+                  FROM b GROUP BY o_orderpriority)
+            SELECT o_orderkey, o_orderpriority,
+                   CASE WHEN n > 1 THEN {ROUND4_SQL.format(
+                       x='(CAST(sm - xc AS DOUBLE) / 100.0)'
+                         ' / CAST(n - 1 AS DOUBLE)')}
+                   END AS target_loo
+            FROM b JOIN s USING (o_orderpriority)
         """,
         "query_decimal_agg": """
             SELECT o_orderpriority, count(*) AS n_orders,

@@ -830,3 +830,37 @@ def ewma_features(df: DataFrame, key_col: str, order_cols: list[str],
     return (df.where(F.col(value_col).isNotNull())
             .select(F.col(key_col), *[F.col(c) for c in order_cols],
                     round4(fold).alias("ewma")))
+
+
+def target_encode_loo(df: DataFrame, cat_col: str, target_col: str,
+                      id_col: str) -> DataFrame:
+    """Leave-one-out target encoding: each row's category feature is
+    the mean of the target over the OTHER rows of its category —
+    ``(Σ_group − x) / (n_group − 1)`` — the standard leakage-safe
+    categorical encoder for gradient-boosted / linear models.
+
+    Exactness: the target is quantized to integer centi-units first,
+    so the group sum is an order-free BIGINT and the encoder is one
+    exact integer subtraction and ONE double division per row —
+    bit-identical across engines (then round4 for the hash surface).
+    A singleton category has no "other rows": its encoding is NULL
+    (explicit, rather than a divide-by-zero or a global-mean fallback
+    the caller didn't ask for).
+
+    One hash aggregate on the category (map-side combine) + one
+    broadcast-or-shuffle join of the tiny category stats back onto
+    the rows — no window over the full data.
+    """
+    from ..functions.vectors import round4
+    xc = F.floor(F.col(target_col).cast("double") * 100 + F.lit(0.5)) \
+          .cast("long")
+    base = df.select(F.col(id_col), F.col(cat_col), xc.alias("_xc"))
+    stats = (base.groupBy(cat_col)
+             .agg(F.sum("_xc").alias("_sum"),
+                  F.count(F.lit(1)).alias("_n")))
+    loo = F.when(
+        F.col("_n") > 1,
+        round4(((F.col("_sum") - F.col("_xc")).cast("double") / 100.0)
+               / (F.col("_n") - 1).cast("double")))
+    return (base.join(F.broadcast(stats), cat_col)
+            .select(id_col, cat_col, loo.alias("target_loo")))

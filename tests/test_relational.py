@@ -770,3 +770,19 @@ def test_ewma_features_matches_recurrence_and_validates(spark):
     assert (2, 1) not in got                     # NULL value dropped
     with pytest.raises(ValueError, match="window_rows"):
         ewma_features(df, "uid", ["seq"], "v", window_rows=0)
+
+
+def test_target_encode_loo_values_and_singleton_null(spark):
+    """LOO encoding equals the hand-computed other-rows mean; a
+    singleton category encodes NULL (no leakage fallback)."""
+    from dynamic_partitioner_spark.operators.relational import (
+        target_encode_loo)
+
+    rows = [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0),
+            (4, "b", 7.5), (5, "b", 2.5), (6, "c", 99.0)]
+    df = spark.createDataFrame(rows, "id long, cat string, t double")
+    got = {r.id: r.target_loo
+           for r in target_encode_loo(df, "cat", "t", "id").collect()}
+    assert got[1] == 25.0 and got[2] == 20.0 and got[3] == 15.0
+    assert got[4] == 2.5 and got[5] == 7.5
+    assert got[6] is None                      # singleton → NULL
