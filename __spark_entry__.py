@@ -1964,6 +1964,27 @@ def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("o_orderkey", "o_custkey", "o_totalprice")
 
 
+def q_text_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus boilerplate removal: every document deterministically
+    wrapped in synthetic HTML (title/style/comment/script/entities —
+    raw testdata has no markup), then stripped by the codegen
+    regexp+replace chain; tag counts audited on the raw markup.  The
+    oracle wraps and strips with the identical pattern strings."""
+    docs = _table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), d,
+        F.lit("</title><style>body {color: #333}</style></head>"
+              "<body><!-- id "), d,
+        F.lit(" --><h1>Doc "), d, F.lit("</h1><p>"), F.col("text"),
+        F.lit('</p><script type="text/javascript">var id = '), d,
+        F.lit(';</script><div class="footer">Tom &amp; Jerry &lt;3 '
+              "&quot;quoted&quot;&nbsp;&#39;x&#39;</div></body></html>"))
+    return docs.select("doc_id",
+                       TX.html_tag_count(html).alias("n_tags"),
+                       TX.strip_html(html).alias("clean_text"))
+
+
 def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing pass: deterministically injected phones / SSNs /
     IPs / card numbers (every 3rd doc — raw testdata has none) are
@@ -3141,6 +3162,7 @@ _PRIORITY_R06 = [
     # --- NEW round-6 keys: zero driver evidence yet ---
     "dedup_spans", "sample_weighted", "streaming_late_audit",
     "events_ewma", "ops_metadata_files", "query_target_encoding",
+    "text_strip_html",
     "query_sql_tpch_q4", "query_sql_tpch_q7", "query_sql_tpch_q10",
     "query_sql_tpch_q13", "query_sql_tpch_q14", "query_sql_tpch_q15",
     "query_sql_tpch_q17", "query_sql_tpch_q18",
@@ -3319,6 +3341,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_incremental_agg": q_incremental_agg,
         "source_schema_evolution": q_source_schema_evolution,
         "text_pii_redact": q_text_pii_redact,
+        "text_strip_html": q_text_strip_html,
         "query_salted_join_auto": q_salted_join_auto,
         "text_scrub_chunks": q_text_scrub_chunks,
         "sample_topk": q_sample_topk,
@@ -4673,6 +4696,27 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    max(dis) AS max_disorder_us
             FROM d GROUP BY 1
+        """,
+        "text_strip_html": f"""
+            WITH h AS (
+                SELECT doc_id,
+                       '<html><head><title>Doc '
+                       || CAST(doc_id AS VARCHAR)
+                       || '</title><style>body {{color: #333}}</style>'
+                       || '</head><body><!-- id '
+                       || CAST(doc_id AS VARCHAR)
+                       || ' --><h1>Doc ' || CAST(doc_id AS VARCHAR)
+                       || '</h1><p>' || text
+                       || '</p><script type="text/javascript">var id = '
+                       || CAST(doc_id AS VARCHAR)
+                       || ';</script><div class="footer">Tom &amp; '
+                       || 'Jerry &lt;3 &quot;quoted&quot;&nbsp;'
+                       || '&#39;x&#39;</div></body></html>' AS html
+                FROM documents)
+            SELECT doc_id,
+                   {TX.HTML_TAG_COUNT_SQL.format(c='html')} AS n_tags,
+                   {TX.strip_html_sql('html')} AS clean_text
+            FROM h
         """,
         "text_pii_redact": f"""
             WITH aug AS (

@@ -485,3 +485,60 @@ def redact_pii_sql(c: str) -> str:
     for _, pat, tag in PII_SPECS:
         u = f"regexp_replace({u}, '{pat}', '{tag}', 'g')"
     return u
+
+
+# ------------------------------------------------------------ html strip
+
+#: boilerplate-removal chain, applied in order.  RE2-safe patterns only
+#: (non-greedy + inline (?is) flags work identically in Java regex and
+#: DuckDB's RE2), so the SQL twin runs the very same strings.
+HTML_BLOCK_RE = r"(?is)<(script|style)[^>]*>.*?</(script|style)>"
+HTML_COMMENT_RE = r"(?s)<!--.*?-->"
+HTML_TAG_RE = r"<[^>]+>"
+_WS_RE = r"[ \t\r\n]+"
+
+#: the handful of entities worth decoding without an HTML parser —
+#: applied AFTER tag removal so a decoded ``&lt;`` can never re-form a
+#: strippable tag (entity-smuggling would otherwise round-trip '<')
+HTML_ENTITIES = [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                 ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " ")]
+
+
+def strip_html(c: Column) -> Column:
+    """Markup boilerplate removal — the first pass of every web-corpus
+    pretraining pipeline: script/style blocks and comments die with
+    their content, remaining tags become spaces, the common entities
+    decode, whitespace collapses.  A codegen ``regexp_replace`` +
+    ``replace`` chain (no Python, no HTML parser — by design: at
+    100 TB the 95% case is this chain; documents that need a real DOM
+    walk are the job of a mapInPandas stage with an actual parser)."""
+    u = F.regexp_replace(c, HTML_BLOCK_RE, " ")
+    u = F.regexp_replace(u, HTML_COMMENT_RE, " ")
+    u = F.regexp_replace(u, HTML_TAG_RE, " ")
+    for ent, rep in HTML_ENTITIES:
+        u = F.replace(u, F.lit(ent), F.lit(rep))
+    u = F.regexp_replace(u, _WS_RE, " ")
+    return F.trim(u)
+
+
+def strip_html_sql(c: str) -> str:
+    """DuckDB twin of :func:`strip_html` (same patterns verbatim)."""
+    u = f"regexp_replace({c}, '{HTML_BLOCK_RE}', ' ', 'g')"
+    u = f"regexp_replace({u}, '{HTML_COMMENT_RE}', ' ', 'g')"
+    u = f"regexp_replace({u}, '{HTML_TAG_RE}', ' ', 'g')"
+    for ent, rep in HTML_ENTITIES:
+        lit = rep.replace("'", "''")
+        u = f"replace({u}, '{ent}', '{lit}')"
+    u = f"regexp_replace({u}, '{_WS_RE}', ' ', 'g')"
+    return f"trim({u})"
+
+
+def html_tag_count(c: Column) -> Column:
+    """Number of markup tags a strip pass would remove (comments and
+    block contents count once per tag)."""
+    return F.regexp_count(c, F.lit(HTML_TAG_RE))
+
+
+HTML_TAG_COUNT_SQL = (
+    "CAST(length(regexp_extract_all({c}, '" + HTML_TAG_RE
+    + "')) AS BIGINT)")

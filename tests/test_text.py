@@ -251,3 +251,22 @@ def test_text_null_and_whitespace_edges(spark):
     assert _one(spark, TX.url_count(F.lit("see HTTP://Ex.com/x now"))) == 1
     assert _one(spark, TX.redact(
         F.lit("see HTTP://Ex.com/x now"))) == "see <URL> now"
+
+
+def test_strip_html_removes_blocks_tags_entities(spark):
+    """Script/style blocks die WITH their content, comments vanish,
+    tags become spaces, entities decode AFTER tag removal (so &lt;div&gt;
+    cannot re-form a strippable tag), whitespace collapses."""
+    from dynamic_partitioner_spark.functions.text import (
+        html_tag_count, strip_html)
+
+    html = ('<html><body><script>var hidden = "SECRET";</script>'
+            '<STYLE>h1 {x}</STYLE><!-- note -->'
+            '<p>Hello   <b>world</b></p> &lt;div&gt; Tom &amp; Jerry'
+            '&nbsp;&#39;q&#39;</body></html>')
+    df = spark.createDataFrame([(1, html)], "id long, h string")
+    row = df.select(strip_html(F.col("h")).alias("c"),
+                    html_tag_count(F.col("h")).alias("n")).collect()[0]
+    assert row.c == "Hello world <div> Tom & Jerry 'q'"
+    assert "SECRET" not in row.c and "note" not in row.c
+    assert row.n >= 8
