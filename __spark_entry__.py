@@ -3178,9 +3178,10 @@ _PRIORITY_R06 = [
     "dedup_fuzzy", "dedup_decontaminate",
     "events_ffill", "events_funnel", "events_retention",
     "events_rolling_1h", "events_transitions", "event_sessionize",
-    "sample_stratified", "privacy_k_anon",
+    "sample_stratified",
     # ---- fold: driver checks the 50 above ----
-    # remaining round-3-evidence keys (40)
+    # remaining round-3-evidence keys (41)
+    "privacy_k_anon",
     "mm_binary_roundtrip", "mm_binary_stats", "mm_features",
     "mm_frame_sample",
     "streaming_dedup", "streaming_stateful_counts",
@@ -5425,7 +5426,8 @@ def oracle_sql() -> dict[str, str]:
         # exactly 100 rows plus one remainder, so the whole per-file
         # relation is predictable from the data
         "ops_metadata_files": """
-            WITH p AS (SELECT c_mktsegment AS pk, count(*) AS n
+            WITH p AS (SELECT trim(CAST(c_mktsegment AS VARCHAR)) AS pk,
+                              count(*) AS n
                        FROM customer GROUP BY 1),
             full_files AS (
                 SELECT pk, unnest(generate_series(

@@ -499,9 +499,13 @@ _WS_RE = r"[ \t\r\n]+"
 
 #: the handful of entities worth decoding without an HTML parser —
 #: applied AFTER tag removal so a decoded ``&lt;`` can never re-form a
-#: strippable tag (entity-smuggling would otherwise round-trip '<')
-HTML_ENTITIES = [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-                 ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " ")]
+#: strippable tag (entity-smuggling would otherwise round-trip '<').
+#: ``&amp;`` decodes LAST: running it first would double-decode
+#: double-escaped text ("&amp;lt;" must yield the literal "&lt;", not
+#: "<" — code-review r6)
+HTML_ENTITIES = [("&lt;", "<"), ("&gt;", ">"),
+                 ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "),
+                 ("&amp;", "&")]
 
 
 def strip_html(c: Column) -> Column:

@@ -847,9 +847,14 @@ def target_encode_loo(df: DataFrame, cat_col: str, target_col: str,
     (explicit, rather than a divide-by-zero or a global-mean fallback
     the caller didn't ask for).
 
-    One hash aggregate on the category (map-side combine) + one
-    broadcast-or-shuffle join of the tiny category stats back onto
-    the rows — no window over the full data.
+    One hash aggregate on the category (map-side combine) + one join
+    of the category stats back onto the rows — no window over the
+    full data.  The join is deliberately NOT hint-forced: a
+    low-cardinality encoder broadcasts under the optimizer's size
+    threshold anyway, while the canonical high-cardinality case
+    (user ids, zip codes — millions of stats rows) must be free to
+    shuffle instead of OOMing the driver on a forced broadcast
+    (code-review r6).
     """
     from ..functions.vectors import round4
     xc = F.floor(F.col(target_col).cast("double") * 100 + F.lit(0.5)) \
@@ -862,5 +867,5 @@ def target_encode_loo(df: DataFrame, cat_col: str, target_col: str,
         F.col("_n") > 1,
         round4(((F.col("_sum") - F.col("_xc")).cast("double") / 100.0)
                / (F.col("_n") - 1).cast("double")))
-    return (base.join(F.broadcast(stats), cat_col)
+    return (base.join(stats, cat_col)
             .select(id_col, cat_col, loo.alias("target_loo")))

@@ -270,3 +270,14 @@ def test_strip_html_removes_blocks_tags_entities(spark):
     assert row.c == "Hello world <div> Tom & Jerry 'q'"
     assert "SECRET" not in row.c and "note" not in row.c
     assert row.n >= 8
+
+
+def test_strip_html_double_escaped_entities_decode_once(spark):
+    """code-review r6: '&amp;lt;' must yield the literal '&lt;', not
+    '<' — the &amp; decode runs LAST in the chain."""
+    from dynamic_partitioner_spark.functions.text import strip_html
+
+    df = spark.createDataFrame(
+        [(1, "use &amp;lt;b&amp;gt; for bold")], "id long, h string")
+    row = df.select(strip_html(F.col("h")).alias("c")).collect()[0]
+    assert row.c == "use &lt;b&gt; for bold"
