@@ -2333,6 +2333,16 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                             top=50)
 
 
+def q_text_span_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document span-novelty (FineWeb-style contamination rate):
+    fraction of each document's 8-token spans appearing in no other
+    document — two hash aggregates over the span relation, no
+    pairwise comparison; oracle rebuilds the identical spans."""
+    from dynamic_partitioner_spark.operators.dedup import span_novelty
+    docs = _table(spark, sf_dir, "documents")
+    return span_novelty(docs, "doc_id", "text", k=8)
+
+
 def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL dedup via canonicalization: deterministically messy URLs
     (mixed-case scheme/host, default ports, tracking params, fragments)
@@ -3162,7 +3172,7 @@ _PRIORITY_R06 = [
     # --- NEW round-6 keys: zero driver evidence yet ---
     "dedup_spans", "sample_weighted", "streaming_late_audit",
     "events_ewma", "ops_metadata_files", "query_target_encoding",
-    "text_strip_html",
+    "text_strip_html", "text_span_novelty",
     "query_sql_tpch_q4", "query_sql_tpch_q7", "query_sql_tpch_q10",
     "query_sql_tpch_q13", "query_sql_tpch_q14", "query_sql_tpch_q15",
     "query_sql_tpch_q17", "query_sql_tpch_q18",
@@ -3178,10 +3188,9 @@ _PRIORITY_R06 = [
     "dedup_fuzzy", "dedup_decontaminate",
     "events_ffill", "events_funnel", "events_retention",
     "events_rolling_1h", "events_transitions", "event_sessionize",
-    "sample_stratified",
     # ---- fold: driver checks the 50 above ----
-    # remaining round-3-evidence keys (41)
-    "privacy_k_anon",
+    # remaining round-3-evidence keys (42)
+    "sample_stratified", "privacy_k_anon",
     "mm_binary_roundtrip", "mm_binary_stats", "mm_features",
     "mm_frame_sample",
     "streaming_dedup", "streaming_stateful_counts",
@@ -3331,6 +3340,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_windowed_distinct": q_windowed_distinct,
         "dedup_url": q_dedup_url,
         "dedup_spans": q_dedup_spans,
+        "text_span_novelty": q_text_span_novelty,
         "mm_mime_sniff": q_mm_mime_sniff,
         "query_quantile_bins": q_quantile_bins,
         "similarity_pq_rerank": q_similarity_pq,
@@ -3606,6 +3616,30 @@ def oracle_sql() -> dict[str, str]:
                        WHEN 3 THEN 3 WHEN 4 THEN 4 ELSE 0 END)
                        AS n_bytes
             FROM documents
+        """,
+        "text_span_novelty": """
+            WITH t AS (SELECT doc_id,
+                              string_split_regex(trim(lower(text)),
+                                                 '[ \t\n\r]+') AS toks
+                       FROM documents),
+            f AS (SELECT doc_id, toks, len(toks) AS n FROM t
+                  WHERE len(toks) >= 8),
+            s0 AS (SELECT doc_id, toks,
+                          unnest(generate_series(1, n - 7)) AS i
+                   FROM f),
+            s AS (SELECT doc_id,
+                         array_to_string(toks[i:i+7], ' ') AS span
+                  FROM s0),
+            g AS (SELECT span, count(DISTINCT doc_id) AS docs
+                  FROM s GROUP BY span)
+            SELECT doc_id, count(*) AS n_spans,
+                   CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_shared,
+                   floor((1 - CAST(sum(CASE WHEN docs >= 2 THEN 1
+                                       ELSE 0 END) AS DOUBLE)
+                          / count(*)) * 10000 + 0.5) / 10000 AS novelty
+            FROM s JOIN g USING (span)
+            GROUP BY doc_id
         """,
         "dedup_spans": """
             WITH t AS (SELECT doc_id,

@@ -1040,3 +1040,46 @@ def duplicated_spans(docs: DataFrame, id_col: str, text_col: str,
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("span"))
     return (agg.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= top))
+
+
+def span_novelty(docs: DataFrame, id_col: str, text_col: str,
+                 k: int = 8) -> DataFrame:
+    """Per-document span-novelty score — the FineWeb-style curation
+    metric behind "how much of this document is copied from elsewhere
+    in the corpus": the fraction of a document's k-token spans that
+    appear in at least one OTHER document.
+
+    Reuses :func:`duplicated_spans`' tokenization (whitespace
+    convention, JVM-side span explode).  Two hash aggregates: span →
+    distinct-doc count (map-side combined), then spans joined back to
+    their per-doc positions and reduced per document.  The join key is
+    the span string — same shuffle volume profile as the span
+    frequency job; no pairwise document comparison ever happens.
+
+    Returns ``(id, n_spans, n_shared, novelty)`` where ``novelty =
+    round4(1 − n_shared/n_spans)``; documents shorter than ``k``
+    tokens have no spans and are EXCLUDED (a 0/0 novelty is
+    undefined, not 1.0).
+    """
+    if k < 2:
+        raise ValueError("span length k must be >= 2")
+    toks = (docs.select(F.col(id_col).alias("_id"),
+                        F.split(F.trim(F.lower(F.col(text_col))),
+                                "[ \t\n\r]+").alias("_t"))
+            .where(F.size("_t") >= k))
+    spans = toks.select(
+        "_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("_t") - k + 1),
+            lambda i: F.concat_ws(" ", F.slice("_t", i, k)))).alias("span"))
+    sharing = (spans.groupBy("span")
+               .agg(F.countDistinct("_id").alias("_docs")))
+    from ..functions.vectors import round4
+    joined = spans.join(sharing, "span")
+    return (joined.groupBy("_id")
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.sum(F.when(F.col("_docs") >= 2, 1).otherwise(0))
+                 .alias("n_shared"))
+            .select(F.col("_id").alias(id_col), "n_spans", "n_shared",
+                    round4(1 - F.col("n_shared").cast("double")
+                           / F.col("n_spans")).alias("novelty")))

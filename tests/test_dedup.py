@@ -615,3 +615,26 @@ def test_duplicated_spans_detects_planted_span_only(spark):
     import pytest
     with pytest.raises(ValueError, match="k must be"):
         duplicated_spans(df, "doc_id", "text", k=1)
+
+
+def test_span_novelty_scores_copies_and_excludes_short_docs(spark):
+    """A doc fully copied from another scores novelty 0, an unrelated
+    doc scores 1, a part-copy lands in between with exact counts;
+    sub-k docs are excluded (0/0 is undefined, not 1.0)."""
+    from dynamic_partitioner_spark.operators.dedup import span_novelty
+
+    shared = "a b c d e f"                     # 6 tokens, k=3 → 4 spans
+    rows = [
+        (1, shared),                           # copied verbatim by 2
+        (2, shared),
+        (3, "p q r s t u"),                    # fully novel
+        (4, f"{shared} z"),                    # 5 spans, 4 shared
+        (5, "x y"),                            # < k tokens → excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_spans, r.n_shared, r.novelty)
+           for r in span_novelty(df, "doc_id", "text", k=3).collect()}
+    assert got[1] == (4, 4, 0.0) and got[2] == (4, 4, 0.0)
+    assert got[3] == (4, 0, 1.0)
+    assert got[4] == (5, 4, 0.2)
+    assert 5 not in got
