@@ -485,6 +485,16 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("value"), 2).alias("total_value")))
 
 
+def q_query_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type dispersion: nearest-rank median, MAD and the
+    3-MAD outlier count over event values — exact centi-unit integer
+    arithmetic end to end (selected medians, integer deviations,
+    integer outlier cut), so both engines agree bit-for-bit."""
+    from dynamic_partitioner_spark.operators.relational import robust_stats
+    events = _table(spark, sf_dir, "events")
+    return robust_stats(events, "event_type", "value", outlier_k=3)
+
+
 def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out target encoding of order priority by total price:
     (group sum − own value)/(n − 1) on exact centi-unit integers, one
@@ -3172,7 +3182,7 @@ _PRIORITY_R06 = [
     # --- NEW round-6 keys: zero driver evidence yet ---
     "dedup_spans", "sample_weighted", "streaming_late_audit",
     "events_ewma", "ops_metadata_files", "query_target_encoding",
-    "text_strip_html", "text_span_novelty",
+    "text_strip_html", "text_span_novelty", "query_mad",
     "query_sql_tpch_q4", "query_sql_tpch_q7", "query_sql_tpch_q10",
     "query_sql_tpch_q13", "query_sql_tpch_q14", "query_sql_tpch_q15",
     "query_sql_tpch_q17", "query_sql_tpch_q18",
@@ -3187,10 +3197,10 @@ _PRIORITY_R06 = [
     # --- round-3 evidence, changed-module subset (16) ---
     "dedup_fuzzy", "dedup_decontaminate",
     "events_ffill", "events_funnel", "events_retention",
-    "events_rolling_1h", "events_transitions", "event_sessionize",
+    "events_rolling_1h", "events_transitions",
     # ---- fold: driver checks the 50 above ----
-    # remaining round-3-evidence keys (42)
-    "sample_stratified", "privacy_k_anon",
+    # remaining round-3-evidence keys (43)
+    "event_sessionize", "sample_stratified", "privacy_k_anon",
     "mm_binary_roundtrip", "mm_binary_stats", "mm_features",
     "mm_frame_sample",
     "streaming_dedup", "streaming_stateful_counts",
@@ -3362,6 +3372,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_epoch_shuffle": q_sample_epoch_shuffle,
         "query_decimal_agg": q_decimal_agg,
         "query_target_encoding": q_target_encoding,
+        "query_mad": q_query_mad,
         "privacy_pseudonymize": q_privacy_pseudonymize,
         "query_hll_mergeable": q_hll_mergeable,
         "embedding_pca": q_embedding_pca,
@@ -4654,6 +4665,38 @@ def oracle_sql() -> dict[str, str]:
                                  AND 1 PRECEDING), 0) AS BIGINT) AS data_offset
                 FROM m)
             SELECT shard, name, size, data_offset, payload_md5 FROM o
+        """,
+        # nearest-rank medians on centi-units; deviations and the
+        # outlier cut are integer comparisons — no interpolation, no
+        # consistency-constant float multiply
+        "query_mad": """
+            WITH b AS (SELECT event_type AS g,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                  AS xc
+                       FROM events WHERE value IS NOT NULL),
+            r AS (SELECT g, xc,
+                         row_number() OVER (PARTITION BY g
+                                            ORDER BY xc) AS rn,
+                         count(*) OVER (PARTITION BY g) AS n
+                  FROM b),
+            med AS (SELECT g, xc AS med_c FROM r
+                    WHERE rn = (n + 1) // 2),
+            d AS (SELECT b.g, abs(b.xc - med.med_c) AS dev, med.med_c
+                  FROM b JOIN med USING (g)),
+            dr AS (SELECT g, dev,
+                          row_number() OVER (PARTITION BY g
+                                             ORDER BY dev) AS rn,
+                          count(*) OVER (PARTITION BY g) AS n
+                   FROM d),
+            mad AS (SELECT g, dev AS mad_c FROM dr
+                    WHERE rn = (n + 1) // 2)
+            SELECT d.g AS event_type, count(*) AS n_rows,
+                   CAST(max(d.med_c) AS DOUBLE) / 100 AS median,
+                   CAST(max(mad.mad_c) AS DOUBLE) / 100 AS mad,
+                   CAST(sum(CASE WHEN d.dev > 3 * mad.mad_c THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM d JOIN mad ON d.g = mad.g
+            GROUP BY d.g
         """,
         # exact centi-unit integers: the group sum is order-free, the
         # encoder is one integer subtraction + one double division

@@ -869,3 +869,56 @@ def target_encode_loo(df: DataFrame, cat_col: str, target_col: str,
                / (F.col("_n") - 1).cast("double")))
     return (base.join(stats, cat_col)
             .select(id_col, cat_col, loo.alias("target_loo")))
+
+
+def robust_stats(df: DataFrame, group_col: str, value_col: str,
+                 outlier_k: int = 3) -> DataFrame:
+    """Per-group robust dispersion: nearest-rank median, MAD (median
+    absolute deviation) and the count of points beyond ``outlier_k``
+    MADs — the outlier screen that, unlike mean/stddev z-scores, a
+    single corrupt value cannot drag.
+
+    Everything is exact integer arithmetic on centi-units: medians are
+    nearest-rank SELECTED values (never interpolated), deviations are
+    integer subtractions, and the outlier cut ``|x − med| > k·MAD`` is
+    an integer comparison — so both engines agree bit-for-bit with no
+    consistency-constant float multiply (scale MAD by 1.4826 yourself
+    if you need the σ-consistent estimator).
+
+    Two window passes share one shuffle on ``group_col`` (rank by
+    value, then rank by deviation under the same partitioning), and
+    the final reduce is a hash aggregate on the group.
+    """
+    if outlier_k < 1:
+        raise ValueError("outlier_k must be >= 1")
+    xc = F.floor(F.col(value_col).cast("double") * 100 + F.lit(0.5)) \
+          .cast("long")
+    base = (df.where(F.col(value_col).isNotNull())
+            .select(F.col(group_col).alias("_g"), xc.alias("_xc")))
+    w = Window.partitionBy("_g").orderBy("_xc")
+    ranked = base.select(
+        "_g", "_xc", F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("_g")).alias("_n"))
+    med = (ranked.where(F.col("_rn") == F.expr("(_n + 1) div 2"))
+           .select("_g", F.col("_xc").alias("_med")))
+    dev = (base.join(med, "_g")
+           .select("_g", "_xc",
+                   F.abs(F.col("_xc") - F.col("_med")).alias("_dev"),
+                   "_med"))
+    wd = Window.partitionBy("_g").orderBy("_dev")
+    dranked = dev.select(
+        "_g", "_dev", F.row_number().over(wd).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("_g")).alias("_n"))
+    mad = (dranked.where(F.col("_rn") == F.expr("(_n + 1) div 2"))
+           .select("_g", F.col("_dev").alias("_mad")))
+    flagged = (dev.join(mad, "_g")
+               .groupBy("_g")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(F.when(F.col("_dev")
+                                 > outlier_k * F.col("_mad"), 1)
+                          .otherwise(0)).alias("n_outliers")))
+    return (flagged.join(med, "_g").join(mad, "_g")
+            .select(F.col("_g").alias(group_col), "n_rows",
+                    (F.col("_med").cast("double") / 100).alias("median"),
+                    (F.col("_mad").cast("double") / 100).alias("mad"),
+                    "n_outliers"))

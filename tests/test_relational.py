@@ -786,3 +786,24 @@ def test_target_encode_loo_values_and_singleton_null(spark):
     assert got[1] == 25.0 and got[2] == 20.0 and got[3] == 15.0
     assert got[4] == 2.5 and got[5] == 7.5
     assert got[6] is None                      # singleton → NULL
+
+
+def test_robust_stats_median_mad_outliers(spark):
+    """Hand-computed nearest-rank median/MAD and the 3-MAD cut; a
+    single extreme value cannot drag the median (unlike the mean)."""
+    import pytest
+
+    from dynamic_partitioner_spark.operators.relational import robust_stats
+
+    vals = [1.0, 2.0, 3.0, 4.0, 1000.0]       # median 3, devs [2,1,0,1,997]
+    df = spark.createDataFrame([("a", v) for v in vals]
+                               + [("b", 7.0), ("b", None)],
+                               "g string, v double")
+    got = {r.g: r for r in robust_stats(df, "g", "v").collect()}
+    a = got["a"]
+    assert (a.n_rows, a.median, a.mad) == (5, 3.0, 1.0)
+    assert a.n_outliers == 1                   # only the 1000.0
+    b = got["b"]                               # singleton: MAD 0, no outliers
+    assert (b.n_rows, b.median, b.mad, b.n_outliers) == (1, 7.0, 0.0, 0)
+    with pytest.raises(ValueError, match="outlier_k"):
+        robust_stats(df, "g", "v", outlier_k=0)
