@@ -2285,6 +2285,16 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_media(to_binary_table(docs))
 
 
+def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness measurement over orders: per order-priority class,
+    the total-variation distance between its status distribution and
+    the global one — exact integer numerator Σ|c·n_g − g·n_c| with one
+    double division (then round4), identical in both engines."""
+    from dynamic_partitioner_spark.operators.privacy import t_closeness
+    orders = _table(spark, sf_dir, "orders")
+    return t_closeness(orders, ["o_orderpriority"], "o_orderstatus")
+
+
 def q_privacy_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Laplace-noised per-nation customer counts (ε=1, seeded noise —
     reproducible release shape; see the operator's honesty note about
@@ -3183,6 +3193,7 @@ _PRIORITY_R06 = [
     "dedup_spans", "sample_weighted", "streaming_late_audit",
     "events_ewma", "ops_metadata_files", "query_target_encoding",
     "text_strip_html", "text_span_novelty", "query_mad",
+    "privacy_t_closeness",
     "query_sql_tpch_q4", "query_sql_tpch_q7", "query_sql_tpch_q10",
     "query_sql_tpch_q13", "query_sql_tpch_q14", "query_sql_tpch_q15",
     "query_sql_tpch_q17", "query_sql_tpch_q18",
@@ -3197,10 +3208,11 @@ _PRIORITY_R06 = [
     # --- round-3 evidence, changed-module subset (16) ---
     "dedup_fuzzy", "dedup_decontaminate",
     "events_ffill", "events_funnel", "events_retention",
-    "events_rolling_1h", "events_transitions",
+    "events_rolling_1h",
     # ---- fold: driver checks the 50 above ----
-    # remaining round-3-evidence keys (43)
-    "event_sessionize", "sample_stratified", "privacy_k_anon",
+    # remaining round-3-evidence keys (44)
+    "events_transitions", "event_sessionize", "sample_stratified",
+    "privacy_k_anon",
     "mm_binary_roundtrip", "mm_binary_stats", "mm_features",
     "mm_frame_sample",
     "streaming_dedup", "streaming_stateful_counts",
@@ -3342,6 +3354,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_entropy": q_text_entropy,
         "text_winnow": q_text_winnow,
         "privacy_dp_count": q_privacy_dp_count,
+        "privacy_t_closeness": q_privacy_t_closeness,
         "mm_resize": q_mm_resize,
         "query_scd2": q_scd2,
         "events_densify": q_events_densify,
@@ -3583,6 +3596,31 @@ def oracle_sql() -> dict[str, str]:
         "sample_temperature": SMP.temperature_mixture_sql(
             "doc_id, lang, source", "source", "doc_id", 300),
         "privacy_dp_count": _dp_oracle(),
+        # exact integer TVD numerator over the full (class x domain)
+        # grid; absent cells contribute g_i*n_c
+        "privacy_t_closeness": f"""
+            WITH b AS (SELECT o_orderpriority AS q, o_orderstatus AS s
+                       FROM orders WHERE o_orderstatus IS NOT NULL),
+            n AS (SELECT count(*) AS ng FROM b),
+            cls AS (SELECT q, s, count(*) AS c FROM b GROUP BY q, s),
+            ct AS (SELECT q, CAST(sum(c) AS BIGINT) AS nc
+                   FROM cls GROUP BY q),
+            g AS (SELECT s, count(*) AS gc FROM b GROUP BY s),
+            grid AS (SELECT ct.q, ct.nc, g.s, g.gc,
+                            coalesce(cls.c, 0) AS c
+                     FROM ct CROSS JOIN g
+                     LEFT JOIN cls ON cls.q = ct.q AND cls.s = g.s),
+            num AS (SELECT q, nc,
+                           CAST(sum(abs(c * (SELECT ng FROM n)
+                                        - gc * nc)) AS BIGINT) AS nm
+                    FROM grid GROUP BY q, nc)
+            SELECT q AS o_orderpriority, nc AS n_class,
+                   {ROUND4_SQL.format(
+                       x='CAST(nm AS DOUBLE) / (2.0 * CAST(nc AS DOUBLE)'
+                         ' * CAST((SELECT ng FROM n) AS DOUBLE))')}
+                       AS tvd
+            FROM num
+        """,
         "query_unpivot": """
             WITH wide AS (
                 SELECT CAST(c_nationkey AS BIGINT) AS nation,

@@ -154,3 +154,60 @@ def dp_noisy_counts_sql(group_cols: list[str], epsilon: float,
             x=f"true_count + ({-1.0 / epsilon!r}) * sign(({u}) - 0.5) "
               f"* ln(1.0 - 2.0 * abs(({u}) - 0.5))")
         + " AS noisy_count FROM g")
+
+
+def t_closeness(df: DataFrame, quasi_cols: list[str],
+                sensitive_col: str) -> DataFrame:
+    """Per-equivalence-class t-closeness measurement (Li et al. 2007):
+    the total-variation distance between each class's sensitive-value
+    distribution and the global one — the release gate that catches
+    what k-anonymity and l-diversity miss (a class can be large and
+    diverse yet still skewed enough to leak).
+
+    Exact integer arithmetic: with class counts ``c_i`` (class size
+    ``n_c``) and global counts ``g_i`` (total ``n_g``),
+
+        TVD = Σ|c_i·n_g − g_i·n_c| / (2·n_c·n_g)
+
+    — the numerator is an order-free BIGINT sum over the sensitive
+    domain, and the single double division at the end is identical in
+    both engines (then round4).  Values absent from a class still
+    contribute ``g_i·n_c`` (the join keeps the full sensitive domain
+    per class), so a class missing a common value scores correctly.
+
+    Three hash aggregates on tiny relations (classes × domain); the
+    data is scanned once.  NULL sensitive values are excluded from
+    both distributions identically.
+    """
+    if not quasi_cols:
+        raise ValueError("t_closeness needs at least one quasi column")
+    from ..functions.vectors import round4
+    base = (df.where(F.col(sensitive_col).isNotNull())
+            .select(*[F.col(c) for c in quasi_cols],
+                    F.col(sensitive_col).alias("_s")))
+    cls = base.groupBy(*quasi_cols, "_s").agg(
+        F.count(F.lit(1)).alias("_c"))
+    _n_probe = base.count()
+    if _n_probe > 3_000_000_000:
+        # c_i·n_g needs c_i ≤ n_g < ~3.03e9 to stay inside BIGINT —
+        # past that, move the numerator to DECIMAL(38,0)
+        raise ValueError(
+            "t_closeness integer numerator overflows BIGINT past ~3e9 "
+            "rows; cast the counts to DECIMAL(38,0) for larger corpora")
+    cls_tot = cls.groupBy(*quasi_cols).agg(
+        F.sum("_c").alias("_nc"))
+    glob = base.groupBy("_s").agg(F.count(F.lit(1)).alias("_g"))
+    n_g = _n_probe
+    # full (class × sensitive-domain) grid, absent cells count 0
+    grid = (cls_tot.crossJoin(F.broadcast(glob))
+            .join(cls, [*quasi_cols, "_s"], "left")
+            .withColumn("_c", F.coalesce(F.col("_c"), F.lit(0))))
+    num = (grid.groupBy(*quasi_cols, "_nc")
+           .agg(F.sum(F.abs(F.col("_c") * F.lit(int(n_g))
+                            - F.col("_g") * F.col("_nc")))
+                .alias("_num")))
+    return num.select(
+        *quasi_cols, F.col("_nc").alias("n_class"),
+        round4(F.col("_num").cast("double")
+               / (2.0 * F.col("_nc").cast("double") * float(n_g)))
+        .alias("tvd"))

@@ -373,3 +373,25 @@ def test_weighted_sample_excludes_nan_weights_both_engines(spark):
     oracle = [int(r[0]) for r in con.execute(
         weighted_sample_sql("id, w", "t", "id", "w", 5, "t")).fetchall()]
     assert oracle == got
+
+
+def test_t_closeness_exact_tvd(spark):
+    """Hand-computed TVD: class 'a' = {x:2, y:2} vs global {x:3, y:5};
+    class 'b' = {x:1, y:3} — exact fractions, absent values counted."""
+    from dynamic_partitioner_spark.operators.privacy import t_closeness
+
+    rows = ([("a", "x")] * 2 + [("a", "y")] * 2
+            + [("b", "x")] + [("b", "y")] * 3 + [("b", None)])
+    df = spark.createDataFrame(rows, "q string, s string")
+    got = {r.q: (r.n_class, r.tvd)
+           for r in t_closeness(df, ["q"], "s").collect()}
+    # global: x=3, y=5, n=8.  a: |2/4-3/8| + |2/4-5/8| = 1/8+1/8 → /2 = 1/8
+    assert got["a"] == (4, 0.125)
+    # b: |1/4-3/8| + |3/4-5/8| = 1/8+1/8 → /2 = 1/8
+    assert got["b"] == (4, 0.125)
+    # a class missing a global value entirely still scores it
+    rows2 = [("a", "x"), ("a", "x"), ("b", "y"), ("b", "y")]
+    df2 = spark.createDataFrame(rows2, "q string, s string")
+    got2 = {r.q: r.tvd for r in t_closeness(df2, ["q"], "s").collect()}
+    # each class: |1-1/2| + |0-1/2| = 1 → /2 = 0.5
+    assert got2 == {"a": 0.5, "b": 0.5}

@@ -71,7 +71,7 @@ AUDIT_KEYS = [
     "query_sql_tpch_q13", "query_sql_tpch_q14", "query_sql_tpch_q15",
     "query_sql_tpch_q17", "query_sql_tpch_q18",
     "dedup_spans", "sample_weighted", "streaming_late_audit",
-    "events_ewma", "ops_metadata_files", "query_target_encoding", "text_strip_html", "text_span_novelty", "query_mad",
+    "events_ewma", "ops_metadata_files", "query_target_encoding", "text_strip_html", "text_span_novelty", "query_mad", "privacy_t_closeness",
     "text_bm25", "sample_bootstrap",
     "events_seq_lm", "events_bursts",
     "query_geo_join", "graph_pagerank",
