@@ -101,13 +101,22 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
                                  "broadcast"),
     "query_salted_join_auto": (3, "per-stage 1-row skew-stats "
                                   "broadcasts around the salted BHJ"),
+    "privacy_t_closeness": (1, "deliberate class x sensitive-domain "
+                               "grid: cross join of two TINY grouped "
+                               "aggregates (classes x domain values); "
+                               "the data joins are equi-joins"),
 }
+
+#: allowed-BNLJ keys whose bounded side is a GROUPED (not scalar)
+#: tiny aggregate — exempt from the Keys: [] check below
+_GROUPED_BNLJ = {"privacy_t_closeness"}
 
 #: allowed-BNLJ keys whose bounded side is a scalar aggregate — their
 #: plan must show an ungrouped HashAggregate (`Keys: []`); the two
 #: exact-baseline keys broadcast a bounded query SET instead.
 _SCALAR_BNLJ = {k for k in BNLJ_ALLOWED
-                if k not in ("similarity_topk", "similarity_hybrid_rrf")}
+                if k not in ("similarity_topk", "similarity_hybrid_rrf")
+                and k not in _GROUPED_BNLJ}
 
 
 def summarize(plan: str) -> list[str]:
