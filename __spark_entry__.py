@@ -3597,7 +3597,8 @@ def oracle_sql() -> dict[str, str]:
             "doc_id, lang, source", "source", "doc_id", 300),
         "privacy_dp_count": _dp_oracle(),
         # exact integer TVD numerator over the full (class x domain)
-        # grid; absent cells contribute g_i*n_c
+        # grid; absent cells contribute g_i*n_c; the class join is
+        # NULL-SAFE (IS NOT DISTINCT FROM) like the operator's
         "privacy_t_closeness": f"""
             WITH b AS (SELECT o_orderpriority AS q, o_orderstatus AS s
                        FROM orders WHERE o_orderstatus IS NOT NULL),
@@ -3609,7 +3610,8 @@ def oracle_sql() -> dict[str, str]:
             grid AS (SELECT ct.q, ct.nc, g.s, g.gc,
                             coalesce(cls.c, 0) AS c
                      FROM ct CROSS JOIN g
-                     LEFT JOIN cls ON cls.q = ct.q AND cls.s = g.s),
+                     LEFT JOIN cls ON cls.q IS NOT DISTINCT FROM ct.q
+                                  AND cls.s = g.s),
             num AS (SELECT q, nc,
                            CAST(sum(abs(c * (SELECT ng FROM n)
                                         - gc * nc)) AS BIGINT) AS nm
@@ -4707,6 +4709,8 @@ def oracle_sql() -> dict[str, str]:
         # nearest-rank medians on centi-units; deviations and the
         # outlier cut are integer comparisons — no interpolation, no
         # consistency-constant float multiply
+        # window-based like the operator (no group joins — an
+        # equi-join would drop a NULL group, windows keep it)
         "query_mad": """
             WITH b AS (SELECT event_type AS g,
                               CAST(floor(value * 100 + 0.5) AS BIGINT)
@@ -4717,24 +4721,26 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY xc) AS rn,
                          count(*) OVER (PARTITION BY g) AS n
                   FROM b),
-            med AS (SELECT g, xc AS med_c FROM r
-                    WHERE rn = (n + 1) // 2),
-            d AS (SELECT b.g, abs(b.xc - med.med_c) AS dev, med.med_c
-                  FROM b JOIN med USING (g)),
-            dr AS (SELECT g, dev,
+            m AS (SELECT g, xc,
+                         max(CASE WHEN rn = (n + 1) // 2 THEN xc END)
+                             OVER (PARTITION BY g) AS med_c
+                  FROM r),
+            d AS (SELECT g, med_c, abs(xc - med_c) AS dev FROM m),
+            dr AS (SELECT g, med_c, dev,
                           row_number() OVER (PARTITION BY g
                                              ORDER BY dev) AS rn,
                           count(*) OVER (PARTITION BY g) AS n
                    FROM d),
-            mad AS (SELECT g, dev AS mad_c FROM dr
-                    WHERE rn = (n + 1) // 2)
-            SELECT d.g AS event_type, count(*) AS n_rows,
-                   CAST(max(d.med_c) AS DOUBLE) / 100 AS median,
-                   CAST(max(mad.mad_c) AS DOUBLE) / 100 AS mad,
-                   CAST(sum(CASE WHEN d.dev > 3 * mad.mad_c THEN 1
+            dm AS (SELECT g, med_c, dev,
+                          max(CASE WHEN rn = (n + 1) // 2 THEN dev END)
+                              OVER (PARTITION BY g) AS mad_c
+                   FROM dr)
+            SELECT g AS event_type, count(*) AS n_rows,
+                   CAST(max(med_c) AS DOUBLE) / 100 AS median,
+                   CAST(max(mad_c) AS DOUBLE) / 100 AS mad,
+                   CAST(sum(CASE WHEN dev > 3 * mad_c THEN 1
                             ELSE 0 END) AS BIGINT) AS n_outliers
-            FROM d JOIN mad ON d.g = mad.g
-            GROUP BY d.g
+            FROM dm GROUP BY g
         """,
         # exact centi-unit integers: the group sum is order-free, the
         # encoder is one integer subtraction + one double division

@@ -996,6 +996,30 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
 
 # --------------------------------------------------- duplicated spans
 
+def _span_relation(docs: DataFrame, id_col: str, text_col: str,
+                   k: int) -> DataFrame:
+    """The ONE (_id, span) construction shared by
+    :func:`duplicated_spans` and :func:`span_novelty` — a single
+    definition so span tokenization (whitespace convention, slice
+    arithmetic) cannot silently diverge between the two operators'
+    SQL oracles (code-review r6).  NULL document ids are excluded:
+    ``countDistinct`` skips NULLs, so a NULL-id document would make
+    its copies score as novel while still emitting a spurious NULL
+    output row."""
+    if k < 2:
+        raise ValueError("span length k must be >= 2")
+    toks = (docs.where(F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias("_id"),
+                    F.split(F.trim(F.lower(F.col(text_col))),
+                            "[ \t\n\r]+").alias("_t"))
+            .where(F.size("_t") >= k))
+    return toks.select(
+        "_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("_t") - k + 1),
+            lambda i: F.concat_ws(" ", F.slice("_t", i, k)))).alias("span"))
+
+
 def duplicated_spans(docs: DataFrame, id_col: str, text_col: str,
                      k: int = 8, min_docs: int = 2,
                      top: int = 50) -> DataFrame:
@@ -1020,17 +1044,7 @@ def duplicated_spans(docs: DataFrame, id_col: str, text_col: str,
     the long unique-span tail before the shuffle with a bloom/count
     pre-pass, but the aggregate itself is the linear-scan plan.
     """
-    if k < 2:
-        raise ValueError("span length k must be >= 2")
-    toks = (docs.select(F.col(id_col).alias("_id"),
-                        F.split(F.trim(F.lower(F.col(text_col))),
-                                "[ \t\n\r]+").alias("_t"))
-            .where(F.size("_t") >= k))
-    spans = toks.select(
-        "_id",
-        F.explode(F.transform(
-            F.sequence(F.lit(1), F.size("_t") - k + 1),
-            lambda i: F.concat_ws(" ", F.slice("_t", i, k)))).alias("span"))
+    spans = _span_relation(docs, id_col, text_col, k)
     agg = (spans.groupBy("span")
            .agg(F.countDistinct("_id").alias("n_docs"),
                 F.count(F.lit(1)).alias("n_occurrences"),
@@ -1061,17 +1075,7 @@ def span_novelty(docs: DataFrame, id_col: str, text_col: str,
     tokens have no spans and are EXCLUDED (a 0/0 novelty is
     undefined, not 1.0).
     """
-    if k < 2:
-        raise ValueError("span length k must be >= 2")
-    toks = (docs.select(F.col(id_col).alias("_id"),
-                        F.split(F.trim(F.lower(F.col(text_col))),
-                                "[ \t\n\r]+").alias("_t"))
-            .where(F.size("_t") >= k))
-    spans = toks.select(
-        "_id",
-        F.explode(F.transform(
-            F.sequence(F.lit(1), F.size("_t") - k + 1),
-            lambda i: F.concat_ws(" ", F.slice("_t", i, k)))).alias("span"))
+    spans = _span_relation(docs, id_col, text_col, k)
     sharing = (spans.groupBy("span")
                .agg(F.countDistinct("_id").alias("_docs")))
     from ..functions.vectors import round4

@@ -175,9 +175,15 @@ def t_closeness(df: DataFrame, quasi_cols: list[str],
     contribute ``g_i·n_c`` (the join keeps the full sensitive domain
     per class), so a class missing a common value scores correctly.
 
-    Three hash aggregates on tiny relations (classes × domain); the
-    data is scanned once.  NULL sensitive values are excluded from
-    both distributions identically.
+    One scan feeds the class counts; the domain totals, global total
+    and grid are derived from THAT aggregate (tiny relations), so the
+    whole plan is lazy — no driver-side count at build time.  NULL
+    sensitive values are excluded from both distributions
+    identically; a NULL QUASI value is a legitimate class of its own
+    (the grid join is null-safe — a null-unsafe key would zero the
+    class's own counts and pin its tvd at 0.5, code-review r6).  The
+    BIGINT numerator bound (n_g < ~3e9) is asserted inside the plan;
+    move the counts to DECIMAL(38,0) for larger corpora.
     """
     if not quasi_cols:
         raise ValueError("t_closeness needs at least one quasi column")
@@ -187,27 +193,39 @@ def t_closeness(df: DataFrame, quasi_cols: list[str],
                     F.col(sensitive_col).alias("_s")))
     cls = base.groupBy(*quasi_cols, "_s").agg(
         F.count(F.lit(1)).alias("_c"))
-    _n_probe = base.count()
-    if _n_probe > 3_000_000_000:
-        # c_i·n_g needs c_i ≤ n_g < ~3.03e9 to stay inside BIGINT —
-        # past that, move the numerator to DECIMAL(38,0)
-        raise ValueError(
-            "t_closeness integer numerator overflows BIGINT past ~3e9 "
-            "rows; cast the counts to DECIMAL(38,0) for larger corpora")
     cls_tot = cls.groupBy(*quasi_cols).agg(
         F.sum("_c").alias("_nc"))
-    glob = base.groupBy("_s").agg(F.count(F.lit(1)).alias("_g"))
-    n_g = _n_probe
-    # full (class × sensitive-domain) grid, absent cells count 0
-    grid = (cls_tot.crossJoin(F.broadcast(glob))
-            .join(cls, [*quasi_cols, "_s"], "left")
-            .withColumn("_c", F.coalesce(F.col("_c"), F.lit(0))))
-    num = (grid.groupBy(*quasi_cols, "_nc")
-           .agg(F.sum(F.abs(F.col("_c") * F.lit(int(n_g))
+    glob = cls.groupBy("_s").agg(F.sum("_c").alias("_g"))
+    # 1-row global total with the overflow bound asserted in-plan
+    # (same coalesce-over-assert_true trick as range_join_binned)
+    ng_ok = F.assert_true(
+        F.col("_ng") <= F.lit(3_000_000_000),
+        F.lit("t_closeness integer numerator overflows BIGINT past "
+              "~3e9 rows; cast the counts to DECIMAL(38,0)"))
+    ng = (glob.agg(F.sum("_g").alias("_ng"))
+          .select(F.coalesce(ng_ok.cast("long"), F.col("_ng"))
+                  .alias("_ng")))
+    # full (class × sensitive-domain) grid, absent cells count 0;
+    # the class-count join is NULL-SAFE on the quasi key
+    g_side = (cls_tot.crossJoin(F.broadcast(glob))
+              .crossJoin(F.broadcast(ng)).alias("G"))
+    c_side = cls.alias("C")
+    cond = F.col("G._s") == F.col("C._s")
+    for c in quasi_cols:
+        cond = cond & F.col(f"G.{c}").eqNullSafe(F.col(f"C.{c}"))
+    grid = (g_side.join(c_side, cond, "left")
+            .select(*[F.col(f"G.{c}") for c in quasi_cols],
+                    F.col("G._nc").alias("_nc"),
+                    F.col("G._g").alias("_g"),
+                    F.col("G._ng").alias("_ng"),
+                    F.coalesce(F.col("C._c"), F.lit(0)).alias("_c")))
+    num = (grid.groupBy(*quasi_cols, "_nc", "_ng")
+           .agg(F.sum(F.abs(F.col("_c") * F.col("_ng")
                             - F.col("_g") * F.col("_nc")))
                 .alias("_num")))
     return num.select(
         *quasi_cols, F.col("_nc").alias("n_class"),
         round4(F.col("_num").cast("double")
-               / (2.0 * F.col("_nc").cast("double") * float(n_g)))
+               / (2.0 * F.col("_nc").cast("double")
+                  * F.col("_ng").cast("double")))
         .alias("tvd"))

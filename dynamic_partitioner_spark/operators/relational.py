@@ -886,8 +886,12 @@ def robust_stats(df: DataFrame, group_col: str, value_col: str,
     if you need the σ-consistent estimator).
 
     Two window passes share one shuffle on ``group_col`` (rank by
-    value, then rank by deviation under the same partitioning), and
-    the final reduce is a hash aggregate on the group.
+    value, then rank by deviation under the same partitioning; the
+    selected median/MAD spread back over their partition as window
+    aggregates, never a join), and the final reduce is a hash
+    aggregate on the group.  Join-free on purpose: an equi-join on
+    the group would silently DROP a NULL group (null-unsafe keys),
+    while window partitions and GROUP BY keep it — code-review r6.
     """
     if outlier_k < 1:
         raise ValueError("outlier_k must be >= 1")
@@ -895,29 +899,27 @@ def robust_stats(df: DataFrame, group_col: str, value_col: str,
           .cast("long")
     base = (df.where(F.col(value_col).isNotNull())
             .select(F.col(group_col).alias("_g"), xc.alias("_xc")))
-    w = Window.partitionBy("_g").orderBy("_xc")
+    wg = Window.partitionBy("_g")
     ranked = base.select(
-        "_g", "_xc", F.row_number().over(w).alias("_rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("_g")).alias("_n"))
-    med = (ranked.where(F.col("_rn") == F.expr("(_n + 1) div 2"))
-           .select("_g", F.col("_xc").alias("_med")))
-    dev = (base.join(med, "_g")
-           .select("_g", "_xc",
-                   F.abs(F.col("_xc") - F.col("_med")).alias("_dev"),
-                   "_med"))
-    wd = Window.partitionBy("_g").orderBy("_dev")
+        "_g", "_xc",
+        F.row_number().over(wg.orderBy("_xc")).alias("_rn"),
+        F.count(F.lit(1)).over(wg).alias("_n"))
+    med = F.max(F.when(F.col("_rn") == F.expr("(_n + 1) div 2"),
+                       F.col("_xc"))).over(wg)
+    dev = (ranked.select("_g", "_xc", med.alias("_med"))
+           .withColumn("_dev", F.abs(F.col("_xc") - F.col("_med"))))
     dranked = dev.select(
-        "_g", "_dev", F.row_number().over(wd).alias("_rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("_g")).alias("_n"))
-    mad = (dranked.where(F.col("_rn") == F.expr("(_n + 1) div 2"))
-           .select("_g", F.col("_dev").alias("_mad")))
-    flagged = (dev.join(mad, "_g")
-               .groupBy("_g")
-               .agg(F.count(F.lit(1)).alias("n_rows"),
-                    F.sum(F.when(F.col("_dev")
-                                 > outlier_k * F.col("_mad"), 1)
-                          .otherwise(0)).alias("n_outliers")))
-    return (flagged.join(med, "_g").join(mad, "_g")
+        "_g", "_med", "_dev",
+        F.row_number().over(wg.orderBy("_dev")).alias("_rn"),
+        F.count(F.lit(1)).over(wg).alias("_n"))
+    mad = F.max(F.when(F.col("_rn") == F.expr("(_n + 1) div 2"),
+                       F.col("_dev"))).over(wg)
+    return (dranked.withColumn("_mad", mad)
+            .groupBy("_g", "_med", "_mad")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.when(F.col("_dev")
+                              > outlier_k * F.col("_mad"), 1)
+                       .otherwise(0)).alias("n_outliers"))
             .select(F.col("_g").alias(group_col), "n_rows",
                     (F.col("_med").cast("double") / 100).alias("median"),
                     (F.col("_mad").cast("double") / 100).alias("mad"),

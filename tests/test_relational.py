@@ -807,3 +807,16 @@ def test_robust_stats_median_mad_outliers(spark):
     assert (b.n_rows, b.median, b.mad, b.n_outliers) == (1, 7.0, 0.0, 0)
     with pytest.raises(ValueError, match="outlier_k"):
         robust_stats(df, "g", "v", outlier_k=0)
+
+
+def test_robust_stats_keeps_null_group(spark):
+    """code-review r6: a NULL group survives (window partitions and
+    GROUP BY keep it; the old equi-join silently dropped it)."""
+    from dynamic_partitioner_spark.operators.relational import robust_stats
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 3.0), ("a", 5.0)], "g string, v double")
+    got = {r.g: (r.n_rows, r.median, r.mad)
+           for r in robust_stats(df, "g", "v").collect()}
+    assert got[None] == (2, 1.0, 0.0)
+    assert got["a"] == (1, 5.0, 0.0)

@@ -395,3 +395,17 @@ def test_t_closeness_exact_tvd(spark):
     got2 = {r.q: r.tvd for r in t_closeness(df2, ["q"], "s").collect()}
     # each class: |1-1/2| + |0-1/2| = 1 → /2 = 0.5
     assert got2 == {"a": 0.5, "b": 0.5}
+
+
+def test_t_closeness_null_quasi_class_scores_correctly(spark):
+    """code-review r6: a NULL quasi value is a legitimate class — the
+    null-safe grid join must use its real counts, not zero them (the
+    null-unsafe form pinned every NULL class at tvd 0.5)."""
+    from dynamic_partitioner_spark.operators.privacy import t_closeness
+
+    # NULL class distribution == global distribution → tvd 0
+    rows = ([(None, "x")] * 3 + [(None, "y")]
+            + [("a", "x")] * 3 + [("a", "y")])
+    df = spark.createDataFrame(rows, "q string, s string")
+    got = {r.q: r.tvd for r in t_closeness(df, ["q"], "s").collect()}
+    assert got == {None: 0.0, "a": 0.0}

@@ -101,10 +101,11 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
                                  "broadcast"),
     "query_salted_join_auto": (3, "per-stage 1-row skew-stats "
                                   "broadcasts around the salted BHJ"),
-    "privacy_t_closeness": (1, "deliberate class x sensitive-domain "
-                               "grid: cross join of two TINY grouped "
-                               "aggregates (classes x domain values); "
-                               "the data joins are equi-joins"),
+    "privacy_t_closeness": (2, "deliberate class x sensitive-domain "
+                               "grid: cross joins of TINY aggregates "
+                               "(domain values + the 1-row guarded "
+                               "global total); data joins are "
+                               "equi-joins"),
 }
 
 #: allowed-BNLJ keys whose bounded side is a GROUPED (not scalar)
