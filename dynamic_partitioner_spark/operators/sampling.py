@@ -518,3 +518,50 @@ def weighted_sample_sql(table_cols: str, table: str, key: str,
         ORDER BY race_key, {key}
         LIMIT {k}
     """
+
+
+def negative_pairs(df: DataFrame, id_col: str, k: int = 4,
+                   n_shards: int = 8, salt: str = "") -> DataFrame:
+    """Deterministic corpus-level negative sampling for contrastive
+    training: each id gets ``k`` pseudo-random partner ids, never
+    itself, reproducible across runs and repartitioning.
+
+    Scale shape: ids hash into ``n_shards`` shards and negatives are
+    drawn WITHIN the shard — the rank window partitions by shard, so
+    there is no global sort and every shard ranks in parallel (a
+    corpus-wide dense rank would serialize into one task).  Each
+    (id, j) draw picks an offset in [1, shard_size−1] from the md5
+    unit draw, walks the shard ring ``(rank−1+offset) mod size + 1``,
+    and equi-joins back on (shard, rank) — two shuffles on the shard
+    key.  Single-member shards have no valid partner and are excluded
+    (at any real corpus size a hash shard is never a singleton).
+
+    Cross-engine exact: the only float op is ``floor(u·(size−1))`` on
+    the md5 unit draw — one multiply both engines run identically.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    base = (df.where(F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias("_id"))
+            .distinct()
+            .withColumn("_shard", F.pmod(F.xxhash64(F.col("_id")),
+                                         F.lit(n_shards))))
+    w = Window.partitionBy("_shard").orderBy("_id")
+    ranked = base.select(
+        "_id", "_shard", F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("_shard")).alias("_n"))
+    drawn = (ranked.where(F.col("_n") > 1)
+             .select("_id", "_shard", "_rn", "_n",
+                     F.explode(F.sequence(F.lit(1), F.lit(k)))
+                     .alias("pair_idx")))
+    u = hash_unit(F.concat(F.col("_id").cast("string"), F.lit("#"),
+                           F.col("pair_idx").cast("string")), salt)
+    off = (F.floor(u * (F.col("_n") - 1)) + 1).cast("long")
+    drawn = drawn.withColumn(
+        "_neg_rn", (F.col("_rn") - 1 + off) % F.col("_n") + 1)
+    neg = ranked.select(F.col("_shard"), F.col("_rn").alias("_neg_rn"),
+                        F.col("_id").alias("neg_id"))
+    return (drawn.join(neg, ["_shard", "_neg_rn"])
+            .select(F.col("_id").alias(id_col), "pair_idx", "neg_id"))
