@@ -1709,7 +1709,10 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-size mergeable state per group vs. the exact percentile's
     full sort."""
     events = _table(spark, sf_dir, "events")
-    ev = events.select("event_type", "value")
+    # NULL guard: Spark ranks NULLS FIRST ascending, DuckDB NULLS LAST
+    # — one NULL value would shift every nearest-rank pick
+    ev = events.select("event_type", "value").where(
+        F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy("value")
     ranked = ev.select(
         "event_type", "value", F.row_number().over(w).alias("rn"),
@@ -5117,7 +5120,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sens_diversity AS BIGINT) AS sens_diversity
             FROM cust c JOIN s USING (nation, segment)
         """,
-        "events_seq_ngrams": """
+        # raw string: the SQL must literally read replace(x, '\', '\\')
+        # — in a non-raw literal Python would collapse the escapes to a
+        # replace(x, '', ...) no-op and the backslash armor would exist
+        # only on the Spark side (cross-engine parity pinned in
+        # tests/test_queries.py with a backslash-bearing state)
+        "events_seq_ngrams": r"""
             WITH s AS (
                 SELECT event_type,
                        lead(event_type, 1) OVER w AS t1,
@@ -5612,7 +5620,7 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY event_type
                                           ORDER BY value) AS rn,
                        count(*) OVER (PARTITION BY event_type) AS n
-                FROM events)
+                FROM events WHERE value IS NOT NULL)
             SELECT event_type,
                    max(CASE WHEN rn = (n + 1) // 2
                        THEN value END) AS p50_exact,

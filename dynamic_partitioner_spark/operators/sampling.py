@@ -479,9 +479,14 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
     Cross-engine determinism: ``u`` is the md5 60-bit unit draw (bit-
     identical in the SQL twin) but ``ln`` is libm — two engines may
     differ in the last ulp.  The race key is therefore quantized to
-    1e-9 (floor half-up) so a 1-ulp ``ln`` difference can't reorder
-    the boundary, and ties (1e-9-quantized keys colliding) break on
-    the key column.  NULL keys and non-positive or NaN weights are
+    1e-9 (floor half-up), which converts near-collisions into
+    deterministic ties (broken on the key column) whenever both
+    engines land in the same 1e-9 cell.  Residual risk: a race value
+    within ~1 ulp of a cell EDGE can still floor into different cells
+    and flip the boundary row of the sample — per-row probability
+    ~2e-7 (ulp/cell ratio at race≈1), so a corpus-scale run should
+    treat the last admitted row as engine-dependent; an exact-integer
+    variant would need a fixed-point ln, which libm does not offer.  NULL keys and non-positive or NaN weights are
     excluded by filter — NaN in particular passes ``> 0`` and then
     races as ``floor(NaN)``, which Spark's cast makes 0 (always wins)
     while DuckDB keeps NaN (always loses): one stray NaN quality

@@ -133,3 +133,46 @@ def test_hll_mergeable_sketches_union_equals_direct(spark):
     assert merged == direct               # union of parts == whole
     t = total[0]
     assert abs(merged - t.exact_users) <= 0.05 * t.exact_users
+
+
+def test_seq_ngrams_backslash_parity(spark, tmp_out):
+    """Cross-engine parity for events_seq_ngrams with backslash- and
+    '>'-bearing states (ADVICE r6): the oracle SQL's escape replace()
+    must survive Python string processing as a raw literal — a non-raw
+    string collapses replace(x, '\\', '\\\\') into a no-op and the two
+    engines diverge on any state containing a backslash."""
+    import datetime as dt
+
+    import duckdb
+    from pyspark.sql import functions as F  # noqa: F401
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # two users, each walking a sequence whose states contain the gram
+    # delimiter and backslashes: 'a\b', 'c>d', '\\', plain 'e'
+    for uid in (1, 2):
+        for step, state in enumerate(
+                ["a\\b", "c>d", "\\\\", "e", "a\\b", "c>d", "\\\\"]):
+            rows.append((eid, base + dt.timedelta(minutes=step),
+                         uid, state, 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.coalesce(1).write.parquet(f"{tmp_out}/events.parquet")
+
+    got = {(r.gram, r.n_seq)
+           for r in E.q_seq_ngrams(spark, tmp_out).collect()}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_out}/events.parquet/*.parquet')")
+    sql = E.oracle_sql()["events_seq_ngrams"]
+    want = {(g, n) for g, n, _ in con.execute(sql).fetchall()}
+    assert got == want
+    # the escaping is actually load-bearing: distinct sequences whose
+    # naive '>'-joins would collide stay distinct
+    grams = {g for g, _ in got}
+    assert any("\\\\" in g for g in grams)      # escaped backslash
+    assert any("\\>" in g for g in grams)       # escaped delimiter
