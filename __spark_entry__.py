@@ -2699,6 +2699,224 @@ _TPCH_Q18_SQL = """
     GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
 """
 
+# Q2 adapted: the testdata has no partsupp, so "minimum supply cost"
+# becomes "minimum account balance among suppliers who actually
+# shipped the part" (lineitem as the part↔supplier link) — the shape
+# (correlated MIN scalar subquery re-joined to the outer 5-table join)
+# is the spec's; DISTINCT collapses the lineitem multiplicity.  No
+# arithmetic touches s_acctbal, so raw doubles hash identically.
+_TPCH_Q2_SQL = """
+    SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+    FROM part, supplier, lineitem, nation, region
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND p_size <= 5 AND p_type = 'STANDARD'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND s_acctbal = (
+          SELECT min(s2.s_acctbal)
+          FROM supplier s2, lineitem l2, nation n2, region r2
+          WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+            AND s2.s_nationkey = n2.n_nationkey
+            AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+# Q8 adapted: the spec's float market-share ratio is returned as its
+# two exact integer-unit sums (nation volume / total volume per year)
+_TPCH_Q8_SQL = """
+    SELECT o_year,
+           CAST(sum(CASE WHEN nation = 'NATION_3' THEN vol_u
+                         ELSE 0 END) AS BIGINT) AS nation_volume_u,
+           CAST(sum(vol_u) AS BIGINT) AS total_volume_u
+    FROM (SELECT year(o_orderdate) AS o_year,
+                 CAST(floor(l_extendedprice * (1 - l_discount)
+                            * 10000 + 0.5) AS BIGINT) AS vol_u,
+                 n2.n_name AS nation
+          FROM part, supplier, lineitem, orders, customer,
+               nation n1, nation n2, region
+          WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+            AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+            AND c_nationkey = n1.n_nationkey
+            AND n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+            AND s_nationkey = n2.n_nationkey
+            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            AND p_type = 'ECONOMY') all_nations
+    GROUP BY o_year
+"""
+
+# Q9 adapted: no partsupp → supply cost proxied as p_retailprice·qty
+# at 10% margin rate; both terms are floor-quantized to integer units
+# BEFORE the subtraction so the profit sum is exact in both engines
+_TPCH_Q9_SQL = """
+    SELECT nation, o_year, CAST(sum(amount_u) AS BIGINT) AS sum_profit_u
+    FROM (SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                 CAST(floor(l_extendedprice * (1 - l_discount)
+                            * 10000 + 0.5) AS BIGINT)
+                 - CAST(floor(p_retailprice * l_quantity
+                              * 1000 + 0.5) AS BIGINT) AS amount_u
+          FROM part, supplier, lineitem, orders, nation
+          WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+            AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+            AND p_name LIKE '%red%') profit
+    GROUP BY nation, o_year
+"""
+
+# Q11 adapted: no partsupp → "stock value" is the revenue shipped per
+# part by one nation's suppliers; the fraction cut is the exact
+# integer cross-multiplication value_u·1000 > Σvalue_u (never a float
+# division at the boundary)
+_TPCH_Q11_SQL = """
+    WITH vals AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(floor(l_extendedprice * 10000 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS value_u
+        FROM lineitem, supplier, nation
+        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_name = 'NATION_7'
+        GROUP BY l_partkey)
+    SELECT l_partkey AS ps_partkey, value_u
+    FROM vals
+    WHERE value_u * 1000 >
+          (SELECT CAST(sum(value_u) AS BIGINT) FROM vals)
+    ORDER BY value_u DESC, ps_partkey
+"""
+
+# Q12 adapted: no l_shipmode/commitdate/receiptdate → "mode" becomes a
+# derived ship-speed class (≤7 days after order = FAST), "late" logic
+# folds into the class; priority CASE-sums are the spec's
+_TPCH_Q12_SQL = """
+    SELECT ship_speed,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT)
+               AS low_line_count
+    FROM (SELECT o_orderpriority,
+                 CASE WHEN l_shipdate <= o_orderdate + INTERVAL '7' DAY
+                      THEN 'FAST' ELSE 'SLOW' END AS ship_speed
+          FROM orders, lineitem
+          WHERE o_orderkey = l_orderkey
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00') x
+    GROUP BY ship_speed
+"""
+
+# Q16 adapted: "suppliers who can supply" = suppliers who shipped the
+# part (lineitem link); the spec's NOT IN complained-supplier exclusion
+# becomes NOT IN (negative account balance) — same anti-join shape
+_TPCH_Q16_SQL = """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part, lineitem
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 23)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 50
+"""
+
+# Q19 adapted: no p_container/l_shipmode → the three OR'd predicate
+# groups pair brand+size ranges with quantity bands; the join key
+# inside each disjunct is the spec's optimizer test (Catalyst must
+# extract the common p_partkey = l_partkey to plan a hash join)
+_TPCH_Q19_SQL = """
+    SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                               * 10000 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_u,
+           count(*) AS n_lines
+    FROM lineitem, part
+    WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
+           AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_partkey = l_partkey AND p_brand = 'Brand#23'
+           AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_partkey = l_partkey AND p_brand = 'Brand#25'
+           AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+# Q20 adapted: no partsupp availqty → a supplier has "excess share"
+# when their shipped centi-quantity of a red part exceeds 25% of that
+# part's total in the window (exact integer 4·qty > Σqty); DISTINCT
+# over the supplier join keeps the spec's IN-semi-join effect
+_TPCH_Q20_SQL = """
+    WITH shipped AS (
+        SELECT l_suppkey, l_partkey,
+               CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS qty_c
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey AND p_name LIKE 'red%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey),
+    tot AS (SELECT l_partkey, CAST(sum(qty_c) AS BIGINT) AS tot_c
+            FROM shipped GROUP BY l_partkey)
+    SELECT DISTINCT s_suppkey, s_name, n_name
+    FROM supplier, nation, shipped, tot
+    WHERE s_nationkey = n_nationkey AND s_suppkey = shipped.l_suppkey
+      AND shipped.l_partkey = tot.l_partkey
+      AND 4 * qty_c > tot_c
+    ORDER BY s_suppkey
+"""
+
+# Q21 adapted: no receipt/commit dates → "kept the order waiting" is
+# shipped >60 days after the order date AND strictly last among the
+# order's suppliers; the EXISTS / NOT EXISTS double self-join on
+# lineitem is the spec's
+_TPCH_Q21_SQL = """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL '60' DAY
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+"""
+
+# Q22 adapted: no c_phone → cntrycode is the nation key; "no orders in
+# 7 years" becomes no orders since 1999; the above-average balance cut
+# is the exact integer cross-multiplication bal_c·n > Σbal_c over
+# cents (spec compares against a float AVG — a boundary flip waiting
+# to happen across engines)
+_TPCH_Q22_SQL = """
+    WITH pos AS (SELECT c_custkey, c_nationkey,
+                        CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                            AS bal_c
+                 FROM customer
+                 WHERE c_acctbal > 0.0
+                   AND c_nationkey IN (3, 7, 11, 15, 19, 23, 24)),
+    avgref AS (SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c,
+                      count(*) AS n
+               FROM pos)
+    SELECT cntrycode, count(*) AS numcust,
+           CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+    FROM (SELECT CAST(c_nationkey AS BIGINT) AS cntrycode, bal_c
+          FROM pos, avgref
+          WHERE bal_c * n > sum_c
+            AND NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey
+                              AND o_orderdate >=
+                                  TIMESTAMP '1999-01-01 00:00:00')) x
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+"""
+
 
 def _run_sql(spark: SparkSession, sf_dir: str, sql: str,
              tables: list[str]) -> DataFrame:
@@ -2993,6 +3211,85 @@ def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ["customer", "orders", "lineitem"])
 
 
+def q_sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier (adapted: lineitem as the
+    part↔supplier link, min account balance as the cost — no partsupp
+    in the testdata): correlated MIN scalar subquery re-joined to a
+    5-table outer join, the optimizer's classic decorrelation test."""
+    return _run_sql(spark, sf_dir, _TPCH_Q2_SQL,
+                    ["part", "supplier", "lineitem", "nation", "region"])
+
+
+def q_sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: 8-table join with two nation
+    roles; the share ratio surfaces as its two exact integer-unit sums
+    (numerator / denominator per year) so both engines hash alike."""
+    return _run_sql(spark, sf_dir, _TPCH_Q8_SQL,
+                    ["part", "supplier", "lineitem", "orders",
+                     "customer", "nation", "region"])
+
+
+def q_sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit (supply cost proxied from
+    p_retailprice — no partsupp): LIKE-filtered 5-table join, profit
+    summed in pre-quantized integer units per nation × year."""
+    return _run_sql(spark, sf_dir, _TPCH_Q9_SQL,
+                    ["part", "supplier", "lineitem", "orders", "nation"])
+
+
+def q_sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock: grouped value per part for one
+    nation's suppliers, cut against a scalar-subquery fraction of the
+    global total via exact integer cross-multiplication."""
+    return _run_sql(spark, sf_dir, _TPCH_Q11_SQL,
+                    ["lineitem", "supplier", "nation"])
+
+
+def q_sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shipping-class priority counts (ship-speed class
+    derived from ship-vs-order-date lag — no l_shipmode): one
+    orders×lineitem join, CASE-sum pivot on priority."""
+    return _run_sql(spark, sf_dir, _TPCH_Q12_SQL, ["orders", "lineitem"])
+
+
+def q_sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 supplier counts per part descriptor: NOT IN anti-join
+    against the excluded-supplier set, then COUNT(DISTINCT) over the
+    brand/type/size grid."""
+    return _run_sql(spark, sf_dir, _TPCH_Q16_SQL,
+                    ["part", "lineitem", "supplier"])
+
+
+def q_sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 disjunctive-predicate revenue: three OR'd
+    brand/size/quantity groups each carrying the join key — Catalyst
+    must factor out p_partkey = l_partkey to avoid a cartesian."""
+    return _run_sql(spark, sf_dir, _TPCH_Q19_SQL, ["lineitem", "part"])
+
+
+def q_sql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 excess-share suppliers (shipped share >25% of the
+    part's windowed total, exact integer 4·qty > Σqty — no partsupp
+    availqty): two-level grouped CTE + distinct semi-join effect."""
+    return _run_sql(spark, sf_dir, _TPCH_Q20_SQL,
+                    ["lineitem", "part", "supplier", "nation"])
+
+
+def q_sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 waiting-order suppliers: EXISTS + NOT EXISTS double
+    self-join on lineitem (late = shipped >60 days after order,
+    strictly last among the order's suppliers)."""
+    return _run_sql(spark, sf_dir, _TPCH_Q21_SQL,
+                    ["supplier", "lineitem", "orders", "nation"])
+
+
+def q_sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity: above-average positive
+    balances (exact integer cross-mult against the 1-row avg frame)
+    anti-joined against recent orders, grouped by country code."""
+    return _run_sql(spark, sf_dir, _TPCH_Q22_SQL, ["customer", "orders"])
+
+
 def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-contract check over orders: null / range /
     uniqueness / referential rules in one pass (conditional-sum scan +
@@ -3173,47 +3470,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate canonicalizes only the first ~50
 # ``queries()`` entries per round.  Rotate each round so the keys with
-# the LEAST driver evidence come first.  Round 6's window:
-#   first  embedding_pca (the one red r5 row — fixed this round:
-#          posexploded to scalar rows),
-#   then   the three approx keys that gained exact-column oracles in
-#          r6 (were rows-only; should now hash-pass on the exact
-#          columns),
-#   then   all 22 keys whose last driver evidence is round 2 —
-#          oldest evidence AND their modules (dedup/similarity/text/
-#          vectorize) changed most since (hot-bucket caps, NULL
-#          guards),
-#   then   24 round-3-evidence keys drawn from the most-changed
-#          modules since r3 (dedup 14 commits, relational 13,
-#          sampling 8, multimodal 6, text 5, stateful 4, privacy 4).
-# Positions 51+ lead with the remaining 26 round-3-evidence keys so
-# the next rotation finishes the stale set; r4/r5-checked keys last.
-_PRIORITY_R06 = [
-    "embedding_pca",
-    "query_approx_distinct", "query_approx_percentiles",
-    "query_hll_mergeable",
-    # --- NEW round-6 keys: zero driver evidence yet ---
-    "dedup_spans", "sample_weighted", "streaming_late_audit",
-    "events_ewma", "ops_metadata_files", "query_target_encoding",
-    "text_strip_html", "text_span_novelty", "query_mad",
-    "privacy_t_closeness",
-    "query_sql_tpch_q4", "query_sql_tpch_q7", "query_sql_tpch_q10",
-    "query_sql_tpch_q13", "query_sql_tpch_q14", "query_sql_tpch_q15",
-    "query_sql_tpch_q17", "query_sql_tpch_q18",
-    # --- round-2 evidence (all 22) ---
-    "dedup_minhash", "dedup_embedding_lsh", "similarity_ann_ivf",
-    "similarity_ann_lsh", "similarity_ivf_pruned", "similarity_topk",
-    "dedup_clusters", "dedup_embedding", "dedup_incremental",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
-    "corpus_pipeline", "corpus_quality_filter", "text_clean",
-    "text_fingerprint", "text_lang_id", "text_pack",
-    "text_quality", "text_signals", "text_stats", "text_top_ngrams",
-    # --- round-3 evidence, changed-module subset (16) ---
-    "dedup_fuzzy", "dedup_decontaminate",
-    "events_ffill", "events_funnel", "events_retention",
-    "events_rolling_1h",
-    # ---- fold: driver checks the 50 above ----
-    # remaining round-3-evidence keys (44)
+# the LEAST driver evidence come first.  Round 7's window:
+#   first  the NEW round-7 keys (zero driver evidence),
+#   then   the two keys whose query/oracle text changed this round
+#          (query_approx_percentiles gained NULL guards,
+#          events_seq_ngrams's oracle became a raw string — the
+#          backslash escapes are live SQL for the first time),
+#   then   as many of the 44 remaining round-3-evidence keys as fit —
+#          the oldest driver evidence left anywhere.
+# Positions 51+ carry the round-3 overflow so the next rotation
+# finishes the stale set; r4/r5/r6-checked keys come last.
+_PRIORITY_R07 = [
+    # --- NEW round-7 keys: zero driver evidence yet ---
+    "query_sql_tpch_q2", "query_sql_tpch_q8", "query_sql_tpch_q9",
+    "query_sql_tpch_q11", "query_sql_tpch_q12", "query_sql_tpch_q16",
+    "query_sql_tpch_q19", "query_sql_tpch_q20", "query_sql_tpch_q21",
+    "query_sql_tpch_q22",
+    # --- changed query/oracle text this round ---
+    "query_approx_percentiles", "events_seq_ngrams",
+    # --- round-3 evidence (38 of the remaining 44) ---
     "events_transitions", "event_sessionize", "sample_stratified",
     "privacy_k_anon",
     "mm_binary_roundtrip", "mm_binary_stats", "mm_features",
@@ -3229,7 +3504,10 @@ _PRIORITY_R06 = [
     "query_profile", "query_salted_join", "query_semi_anti",
     "query_set_ops", "query_sliding_window", "query_snapshot_diff",
     "catalog_table", "cdc_apply", "embedding_roundtrip",
-    "merge_upsert", "partition_compact", "sorted_export",
+    "merge_upsert",
+    # ---- fold: driver checks the 50 above ----
+    # round-3-evidence overflow (6)
+    "partition_compact", "sorted_export",
     "sorted_export_zorder", "source_binaryfile",
     "source_fixed_width_roundtrip", "source_xml_roundtrip",
 ]
@@ -3237,7 +3515,7 @@ _PRIORITY_R06 = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _all_queries()
-    out = {k: base[k] for k in _PRIORITY_R06}
+    out = {k: base[k] for k in _PRIORITY_R07}
     out.update((k, v) for k, v in base.items() if k not in out)
     return out
 
@@ -3419,6 +3697,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_sql_tpch_q15": q_sql_tpch_q15,
         "query_sql_tpch_q17": q_sql_tpch_q17,
         "query_sql_tpch_q18": q_sql_tpch_q18,
+        "query_sql_tpch_q2": q_sql_tpch_q2,
+        "query_sql_tpch_q8": q_sql_tpch_q8,
+        "query_sql_tpch_q9": q_sql_tpch_q9,
+        "query_sql_tpch_q11": q_sql_tpch_q11,
+        "query_sql_tpch_q12": q_sql_tpch_q12,
+        "query_sql_tpch_q16": q_sql_tpch_q16,
+        "query_sql_tpch_q19": q_sql_tpch_q19,
+        "query_sql_tpch_q20": q_sql_tpch_q20,
+        "query_sql_tpch_q21": q_sql_tpch_q21,
+        "query_sql_tpch_q22": q_sql_tpch_q22,
         "quality_expectations": q_quality_expectations,
         "similarity_hybrid_rrf": q_similarity_hybrid,
         "events_cumulative_users": q_events_cumulative_users,
@@ -5461,6 +5749,16 @@ def oracle_sql() -> dict[str, str]:
         "query_sql_tpch_q15": _TPCH_Q15_SQL,
         "query_sql_tpch_q17": _TPCH_Q17_SQL,
         "query_sql_tpch_q18": _TPCH_Q18_SQL,
+        "query_sql_tpch_q2": _TPCH_Q2_SQL,
+        "query_sql_tpch_q8": _TPCH_Q8_SQL,
+        "query_sql_tpch_q9": _TPCH_Q9_SQL,
+        "query_sql_tpch_q11": _TPCH_Q11_SQL,
+        "query_sql_tpch_q12": _TPCH_Q12_SQL,
+        "query_sql_tpch_q16": _TPCH_Q16_SQL,
+        "query_sql_tpch_q19": _TPCH_Q19_SQL,
+        "query_sql_tpch_q20": _TPCH_Q20_SQL,
+        "query_sql_tpch_q21": _TPCH_Q21_SQL,
+        "query_sql_tpch_q22": _TPCH_Q22_SQL,
         "quality_expectations": """
             SELECT 1 AS rule_id, 'not_null' AS rule,
                    'o_custkey' AS col_name,

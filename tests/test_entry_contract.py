@@ -18,9 +18,9 @@ def test_every_oracle_has_a_query_and_priorities_resolve():
     m = _entry()
     q, o = m.queries(), m.oracle_sql()
     assert set(o) <= set(q), sorted(set(o) - set(q))
-    assert set(m._PRIORITY_R06) <= set(q), \
-        sorted(set(m._PRIORITY_R06) - set(q))
-    assert len(set(m._PRIORITY_R06)) == len(m._PRIORITY_R06), \
+    assert set(m._PRIORITY_R07) <= set(q), \
+        sorted(set(m._PRIORITY_R07) - set(q))
+    assert len(set(m._PRIORITY_R07)) == len(m._PRIORITY_R07), \
         "duplicate keys in priority rotation"
     # the rows-only set is exactly the documented sketch/iterative ops
     rows_only = set(q) - set(o)

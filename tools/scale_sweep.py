@@ -60,6 +60,10 @@ SWEEP_KEYS = [
     "query_sql_tpch_q4", "query_sql_tpch_q7", "query_sql_tpch_q10",
     "query_sql_tpch_q13", "query_sql_tpch_q14", "query_sql_tpch_q15",
     "query_sql_tpch_q17", "query_sql_tpch_q18",
+    "query_sql_tpch_q2", "query_sql_tpch_q8", "query_sql_tpch_q9",
+    "query_sql_tpch_q11", "query_sql_tpch_q12", "query_sql_tpch_q16",
+    "query_sql_tpch_q19", "query_sql_tpch_q20", "query_sql_tpch_q21",
+    "query_sql_tpch_q22",
     "dedup_spans", "sample_weighted", "streaming_late_audit",
     "events_ewma", "ops_metadata_files", "query_target_encoding", "text_strip_html", "text_span_novelty", "query_mad", "privacy_t_closeness",
     "text_bm25", "sample_bootstrap",
