@@ -3290,6 +3290,113 @@ def q_sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_sql(spark, sf_dir, _TPCH_Q22_SQL, ["customer", "orders"])
 
 
+# Recursive CTE (Spark 4 WITH RECURSIVE) — an org-style hierarchy walk:
+# parent(k) = floor(k/2) makes supplier 1 the root of a binary tree
+# over all suppliers; the walk accumulates depth and root, then
+# aggregates per level.  floor(k/2.0) not k/2: `/` is FLOAT division
+# on integers in BOTH engines, which silently restricts the walk to
+# exact-halving (power-of-2) chains.  Each recursion level is one
+# distributed self-join — depth is log2(max key), so the iteration
+# count is ~40 even at 100 TB key spaces.
+_RECURSIVE_SQL = """
+    WITH RECURSIVE chain(s_suppkey, root, depth) AS (
+        SELECT s_suppkey, s_suppkey, 0
+        FROM supplier WHERE s_suppkey = 1
+        UNION ALL
+        SELECT s.s_suppkey, c.root, c.depth + 1
+        FROM supplier s JOIN chain c
+          ON s.s_suppkey > 1
+         AND CAST(floor(s.s_suppkey / 2.0) AS BIGINT) = c.s_suppkey
+    )
+    SELECT depth, count(*) AS n_members,
+           CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+           CAST(min(s_suppkey) AS BIGINT) AS first_key,
+           CAST(max(s_suppkey) AS BIGINT) AS last_key
+    FROM chain GROUP BY depth ORDER BY depth
+"""
+
+
+def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE through the raw SQL interface (hierarchy /
+    transitive-closure queries — WITH RECURSIVE is new in Spark 4):
+    a binary-tree org walk over supplier keys, per-depth rollup; the
+    oracle runs the identical text."""
+    return _run_sql(spark, sf_dir, _RECURSIVE_SQL, ["supplier"])
+
+
+def q_events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a typed field out of the JSON
+    ``props`` column (``get_json_object`` — JVM-side, codegen'd; the
+    whole point is that schema-on-read JSON needs no Python and no
+    pre-parse pass) and aggregate it per event type in exact integers.
+    At 100 TB the alternative — a from_json struct materialization —
+    pays for every field; path extraction reads only the one asked
+    for."""
+    events = _table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (events.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count("k").alias("n_with_k"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k"),
+                 F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0))
+                 .alias("n_even_k")))
+
+
+def q_text_template_skeleton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-family detection over the corpus: group documents by
+    their format skeleton (letter runs→`a`, digit runs→`9`, collapsed
+    whitespace — functions/text.py:format_skeleton) and report the 20
+    largest families.  Boilerplate that exact- and MinHash-dedup both
+    miss (same template, different entities) collapses here; the
+    groupBy key is an 80-char string regardless of document size."""
+    docs = _table(spark, sf_dir, "documents")
+    sk = (docs.select(TX.format_skeleton(F.col("text")).alias("skeleton"),
+                      "doc_id", "lang")
+          .groupBy("skeleton")
+          .agg(F.count(F.lit(1)).alias("n_docs"),
+               F.countDistinct("lang").alias("n_langs"),
+               F.min("doc_id").alias("exemplar_doc")))
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("skeleton"))
+    return (sk.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 20))
+
+
+def q_corpus_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix recipe: apportion a 1M-token budget across
+    (lang, source) groups proportional to corpus mass via exact
+    largest-remainder integer arithmetic
+    (operators/sampling.py:allocate_budget) — Σ alloc == budget
+    exactly, no float shares."""
+    from dynamic_partitioner_spark.operators.sampling import (
+        allocate_budget)
+    docs = _table(spark, sf_dir, "documents")
+    return (allocate_budget(docs, ["lang", "source"], "n_chars",
+                            budget=1_000_000)
+            .orderBy("lang", "source"))
+
+
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM engagement segmentation: per-user recency / frequency /
+    monetary quintiles (operators/relational.py:rfm_scores) over exact
+    integer metrics; top-200 users by (r+f+m, user) so the driver
+    payload stays bounded."""
+    from dynamic_partitioner_spark.operators.relational import rfm_scores
+    events = _table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id", event_time_us(events).alias("ts_us"),
+        F.coalesce(F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+                   .cast("long"), F.lit(0)).alias("value_u"))
+    scored = rfm_scores(ev, "user_id", "ts_us", "value_u")
+    w = Window.orderBy(
+        (F.col("r_score") + F.col("f_score") + F.col("m_score")).desc(),
+        F.col("user_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 200))
+
+
 def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-contract check over orders: null / range /
     uniqueness / referential rules in one pass (conditional-sum scan +
@@ -3486,9 +3593,11 @@ _PRIORITY_R07 = [
     "query_sql_tpch_q11", "query_sql_tpch_q12", "query_sql_tpch_q16",
     "query_sql_tpch_q19", "query_sql_tpch_q20", "query_sql_tpch_q21",
     "query_sql_tpch_q22",
+    "query_sql_recursive", "events_props_extract",
+    "text_template_skeleton", "corpus_budget_alloc", "events_rfm",
     # --- changed query/oracle text this round ---
     "query_approx_percentiles", "events_seq_ngrams",
-    # --- round-3 evidence (38 of the remaining 44) ---
+    # --- round-3 evidence (33 of the remaining 44) ---
     "events_transitions", "event_sessionize", "sample_stratified",
     "privacy_k_anon",
     "mm_binary_roundtrip", "mm_binary_stats", "mm_features",
@@ -3502,11 +3611,12 @@ _PRIORITY_R07 = [
     "query_cube", "query_distinct_agg", "query_event_gaps",
     "query_grouping_sets", "query_histogram", "query_pivot",
     "query_profile", "query_salted_join", "query_semi_anti",
-    "query_set_ops", "query_sliding_window", "query_snapshot_diff",
+    "query_set_ops", "query_sliding_window",
+    # ---- fold: driver checks the 50 above ----
+    # round-3-evidence overflow (11)
+    "query_snapshot_diff",
     "catalog_table", "cdc_apply", "embedding_roundtrip",
     "merge_upsert",
-    # ---- fold: driver checks the 50 above ----
-    # round-3-evidence overflow (6)
     "partition_compact", "sorted_export",
     "sorted_export_zorder", "source_binaryfile",
     "source_fixed_width_roundtrip", "source_xml_roundtrip",
@@ -3707,6 +3817,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_sql_tpch_q20": q_sql_tpch_q20,
         "query_sql_tpch_q21": q_sql_tpch_q21,
         "query_sql_tpch_q22": q_sql_tpch_q22,
+        "query_sql_recursive": q_sql_recursive,
+        "events_props_extract": q_events_props_extract,
+        "text_template_skeleton": q_text_template_skeleton,
+        "corpus_budget_alloc": q_corpus_budget_alloc,
+        "events_rfm": q_events_rfm,
         "quality_expectations": q_quality_expectations,
         "similarity_hybrid_rrf": q_similarity_hybrid,
         "events_cumulative_users": q_events_cumulative_users,
@@ -3764,6 +3879,7 @@ def _zorder_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from dynamic_partitioner_spark.operators import relational as REL
     from dynamic_partitioner_spark.operators import sampling as SMP
     from dynamic_partitioner_spark.operators.vectorize import (
         hashed_counts_sql)
@@ -5759,6 +5875,51 @@ def oracle_sql() -> dict[str, str]:
         "query_sql_tpch_q20": _TPCH_Q20_SQL,
         "query_sql_tpch_q21": _TPCH_Q21_SQL,
         "query_sql_tpch_q22": _TPCH_Q22_SQL,
+        "query_sql_recursive": _RECURSIVE_SQL,
+        # json_extract_string = the bundled-json twin of Spark's
+        # get_json_object path extraction
+        "events_props_extract": """
+            WITH e AS (SELECT event_type,
+                              CAST(json_extract_string(props, '$.k')
+                                   AS BIGINT) AS k
+                       FROM events)
+            SELECT event_type, count(*) AS n_events,
+                   count(k) AS n_with_k,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   min(k) AS min_k, max(k) AS max_k,
+                   CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_even_k
+            FROM e GROUP BY event_type
+        """,
+        "text_template_skeleton": f"""
+            WITH s AS (
+                SELECT {TX.format_skeleton_sql('text')} AS skeleton,
+                       doc_id, lang
+                FROM documents),
+            g AS (SELECT skeleton, count(*) AS n_docs,
+                         count(DISTINCT lang) AS n_langs,
+                         min(doc_id) AS exemplar_doc
+                  FROM s GROUP BY skeleton)
+            SELECT skeleton, n_docs, n_langs, exemplar_doc,
+                   row_number() OVER (ORDER BY n_docs DESC, skeleton)
+                       AS rnk
+            FROM g QUALIFY rnk <= 20
+        """,
+        "corpus_budget_alloc": SMP.allocate_budget_sql(
+            ["lang", "source"], "n_chars", 1_000_000, "documents"),
+        "events_rfm": f"""
+            WITH ev AS (
+                SELECT user_id, epoch_us(ts) AS ts_us,
+                       coalesce(CAST(floor(value * 1000000 + 0.5)
+                                     AS BIGINT), 0) AS value_u
+                FROM events),
+            scored AS ({REL.rfm_scores_sql(
+                "user_id", "ts_us", "value_u", "ev")})
+            SELECT *, row_number() OVER
+                       (ORDER BY (r_score + f_score + m_score) DESC,
+                        user_id) AS rnk
+            FROM scored QUALIFY rnk <= 200
+        """,
         "quality_expectations": """
             SELECT 1 AS rule_id, 'not_null' AS rule,
                    'o_custkey' AS col_name,

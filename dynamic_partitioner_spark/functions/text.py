@@ -546,3 +546,39 @@ def html_tag_count(c: Column) -> Column:
 HTML_TAG_COUNT_SQL = (
     "CAST(length(regexp_extract_all({c}, '" + HTML_TAG_RE
     + "')) AS BIGINT)")
+
+
+# ------------------------------------------------------- format skeleton
+
+#: skeleton character budget — enough to separate templates, small
+#: enough that the groupBy key stays cheap to shuffle at corpus scale
+SKELETON_LEN = 80
+
+
+def format_skeleton(c: Column) -> Column:
+    """Structural fingerprint for template/boilerplate detection: the
+    text with letter runs collapsed to ``a``, digit runs to ``9`` and
+    whitespace runs to one space, truncated to :data:`SKELETON_LEN`
+    chars.  Near-identical boilerplate (cookie banners, listing pages,
+    auto-generated forum shells) collapses to ONE skeleton even when
+    names/numbers differ, so a groupBy on the skeleton surfaces
+    template families that no exact- or near-dup pass catches — the
+    complement to MinHash in a web-corpus curation stack.  Pure
+    codegen ``regexp_replace`` chain; the skeleton is a short string,
+    so the follow-up groupBy shuffles a bounded key regardless of
+    document size."""
+    u = F.lower(c)
+    u = F.regexp_replace(u, "[0-9]+", "9")
+    u = F.regexp_replace(u, "[a-z]+", "a")
+    u = F.regexp_replace(u, "[ \\t\\n\\r]+", " ")
+    return F.substring(F.trim(u), 1, SKELETON_LEN)
+
+
+def format_skeleton_sql(c: str) -> str:
+    """DuckDB twin of :func:`format_skeleton` (same patterns, same
+    truncation)."""
+    u = f"lower({c})"
+    u = f"regexp_replace({u}, '[0-9]+', '9', 'g')"
+    u = f"regexp_replace({u}, '[a-z]+', 'a', 'g')"
+    u = f"regexp_replace({u}, '[ \\t\\n\\r]+', ' ', 'g')"
+    return f"substr(trim({u}), 1, {SKELETON_LEN})"

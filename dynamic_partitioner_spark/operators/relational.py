@@ -924,3 +924,64 @@ def robust_stats(df: DataFrame, group_col: str, value_col: str,
                     (F.col("_med").cast("double") / 100).alias("median"),
                     (F.col("_mad").cast("double") / 100).alias("mad"),
                     "n_outliers"))
+
+
+def rfm_scores(df: DataFrame, key_col: str, ts_us_col: str,
+               value_col: str, n_tiles: int = 5) -> DataFrame:
+    """RFM (recency / frequency / monetary) quantile scoring per
+    entity — the classic engagement-segmentation operator, and the
+    shape every per-user quality-tier assignment takes (score users,
+    ntile them, act on the segment).
+
+    One hash aggregate computes the three per-key metrics (max event
+    time, event count, micro-unit value sum — all exact integers),
+    then three ``ntile`` windows over the KEY frame (one row per key,
+    not per event) assign 1..n_tiles scores.  Ordering is made total
+    with the key as tie-break, so tile boundaries are deterministic
+    and engine-independent; ``ntile``'s fill rule (first ``n mod t``
+    tiles take the extra row) is the same in Spark and DuckDB.
+    Recency orders ASCENDING on last-seen (tile 1 = coldest), so all
+    three scores read "higher = more engaged".
+
+    Scale: the windows are global over distinct keys — at 100 TB the
+    per-key frame is the small output of the aggregate, and a total
+    sort of keys is the price of exact global quantiles; for
+    approximate tiers at extreme key cardinality, bucket on
+    ``percentile_approx`` cuts instead (the sketch path, see
+    query_approx_percentiles).
+    """
+    m = (df.groupBy(key_col)
+         .agg(F.max(F.col(ts_us_col)).alias("last_us"),
+              F.count(F.lit(1)).alias("n_events"),
+              F.sum(F.col(value_col)).alias("value_u")))
+    k = F.col(key_col)
+    r_w = Window.orderBy(F.col("last_us").asc(), k)
+    f_w = Window.orderBy(F.col("n_events").asc(), k)
+    m_w = Window.orderBy(F.col("value_u").asc(), k)
+    return m.select(
+        key_col, "last_us", "n_events", "value_u",
+        F.ntile(n_tiles).over(r_w).alias("r_score"),
+        F.ntile(n_tiles).over(f_w).alias("f_score"),
+        F.ntile(n_tiles).over(m_w).alias("m_score"))
+
+
+def rfm_scores_sql(key: str, ts_us: str, value_u: str,
+                   from_table: str, n_tiles: int = 5) -> str:
+    """DuckDB twin of :func:`rfm_scores` (same total orderings, same
+    ntile fill rule)."""
+    return f"""
+        WITH m AS (
+            SELECT {key},
+                   max({ts_us}) AS last_us,
+                   count(*) AS n_events,
+                   CAST(sum({value_u}) AS BIGINT) AS value_u
+            FROM {from_table} GROUP BY {key})
+        SELECT {key}, last_us, n_events, value_u,
+               ntile({n_tiles}) OVER (ORDER BY last_us ASC, {key})
+                   AS r_score,
+               ntile({n_tiles}) OVER (ORDER BY n_events ASC, {key})
+                   AS f_score,
+               ntile({n_tiles}) OVER (ORDER BY value_u ASC, {key})
+                   AS m_score
+        FROM m
+    """

@@ -570,3 +570,79 @@ def negative_pairs(df: DataFrame, id_col: str, k: int = 4,
                         F.col("_id").alias("neg_id"))
     return (drawn.join(neg, ["_shard", "_neg_rn"])
             .select(F.col("_id").alias(id_col), "pair_idx", "neg_id"))
+
+
+def allocate_budget(df: DataFrame, group_cols: list[str],
+                    weight_col: str, budget: int) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer token
+    budget across corpus groups proportional to an integer weight —
+    the "mix 1M tokens across (lang, source) proportional to size"
+    step that turns corpus statistics into a training-data recipe.
+    Every group gets ``floor(budget·w/W)``; the leftover seats go to
+    the largest fractional remainders (``budget·w mod W``), ties
+    broken on the group key, so ``Σ alloc == budget`` EXACTLY and the
+    whole computation is integer arithmetic — bit-identical in any
+    engine, no float shares to drift.
+
+    Scale shape: one map-side-combined hash aggregate over the corpus
+    (the only pass that touches data), then window ranking over the
+    GROUP frame only — #groups rows (bounded: langs × sources), so the
+    single-partition window is a non-issue at any corpus size.
+
+    ``weight_col`` must be integral and non-negative; zero-weight
+    groups get zero base and rank last-by-remainder (they can still
+    win a remainder seat only after every positive remainder — with
+    remainder 0 they tie at the bottom and take seats only when
+    #groups exceeds the leftover, i.e. never ahead of real mass).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    g = (df.groupBy(*group_cols)
+         .agg(F.sum(F.col(weight_col).cast("long")).alias("w")))
+    # "tw" not "W": Spark resolves case-insensitively by default,
+    # so a joined frame with both "w" and "W" is ambiguous
+    tot = g.agg(F.sum("w").alias("tw"),
+                F.count(F.lit(1)).alias("n_groups"))
+    b = F.lit(int(budget))
+    j = g.join(F.broadcast(tot))
+    j = j.select(
+        *group_cols, "w",
+        F.expr(f"({int(budget)} * w) div tw").alias("base"),
+        F.expr(f"({int(budget)} * w) % tw").alias("rem"))
+    wnd = Window.orderBy(F.col("rem").desc(),
+                         *[F.col(c) for c in group_cols])
+    leftover = b - F.sum("base").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+    return (j.withColumn("_rk", F.row_number().over(wnd))
+            .withColumn("_leftover", leftover)
+            .select(*group_cols, "w",
+                    (F.col("base")
+                     + F.when(F.col("_rk") <= F.col("_leftover"), 1)
+                     .otherwise(0)).cast("long").alias("alloc")))
+
+
+def allocate_budget_sql(group_cols: list[str], weight: str, budget: int,
+                        from_table: str) -> str:
+    """DuckDB twin of :func:`allocate_budget` (same integer
+    apportionment, same tie-break)."""
+    gc = ", ".join(group_cols)
+    order = ", ".join(group_cols)
+    return f"""
+        WITH g AS (
+            SELECT {gc}, CAST(sum(CAST({weight} AS BIGINT)) AS BIGINT) AS w
+            FROM {from_table} GROUP BY {gc}),
+        t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM g),
+        j AS (SELECT {gc}, w,
+                     ({budget} * w) // tw AS base,
+                     ({budget} * w) % tw AS rem
+              FROM g, t),
+        r AS (SELECT *,
+                     row_number() OVER (ORDER BY rem DESC, {order}) AS rk,
+                     {budget} - sum(base) OVER () AS leftover
+              FROM j)
+        SELECT {gc}, w,
+               CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc
+        FROM r
+    """

@@ -820,3 +820,24 @@ def test_robust_stats_keeps_null_group(spark):
            for r in robust_stats(df, "g", "v").collect()}
     assert got[None] == (2, 1.0, 0.0)
     assert got["a"] == (1, 5.0, 0.0)
+
+
+def test_rfm_scores_tiling(spark):
+    """RFM quintiles: scores span 1..n, tile sizes differ by ≤1, and
+    a strictly larger metric never gets a smaller score."""
+    from dynamic_partitioner_spark.operators.relational import rfm_scores
+
+    rows = [(u, u * 1000 + e, u) for u in range(1, 24)
+            for e in range(u % 3 + 1)]
+    df = spark.createDataFrame(rows, "user_id long, ts_us long, value_u long")
+    out = rfm_scores(df, "user_id", "ts_us", "value_u", n_tiles=5).collect()
+    assert len(out) == 23
+    for col in ("r_score", "f_score", "m_score"):
+        vals = [r[col] for r in out]
+        assert set(vals) == {1, 2, 3, 4, 5}
+        from collections import Counter
+        sizes = Counter(vals).values()
+        assert max(sizes) - min(sizes) <= 1
+    by_val = sorted(out, key=lambda r: (r.value_u, r.user_id))
+    scores = [r.m_score for r in by_val]
+    assert scores == sorted(scores)           # monotone in the metric

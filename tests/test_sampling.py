@@ -409,3 +409,37 @@ def test_t_closeness_null_quasi_class_scores_correctly(spark):
     df = spark.createDataFrame(rows, "q string, s string")
     got = {r.q: r.tvd for r in t_closeness(df, ["q"], "s").collect()}
     assert got == {None: 0.0, "a": 0.0}
+
+
+def test_allocate_budget_exact_apportionment(spark):
+    """Largest-remainder allocation: Σalloc == budget exactly, base
+    floor respected, remainder seats go to the largest fractional
+    parts with key tie-break."""
+    from pyspark.sql import functions as F
+
+    from dynamic_partitioner_spark.operators.sampling import (
+        allocate_budget)
+
+    rows = [("a", 1, 10), ("a", 2, 20), ("b", 1, 25),
+            ("c", 1, 30), ("d", 1, 1)]
+    df = spark.createDataFrame(rows, "grp string, i int, w int")
+    out = allocate_budget(df, ["grp"], "w", budget=100).collect()
+    got = {r.grp: (r.w, r.alloc) for r in out}
+    # weights: a=30, b=25, c=30, d=1, W=86
+    assert got == {
+        # base floor(100*w/86): a 34, b 29, c 34, d 1 → Σ98, leftover 2
+        # remainders (100w mod 86): a 78, b 8, c 78, d 14 → a, c win
+        "a": (30, 35), "b": (25, 29), "c": (30, 35), "d": (1, 1)}
+    assert sum(a for _, a in got.values()) == 100
+
+    # zero-weight group exists but never outranks real mass
+    rows2 = rows + [("z", 1, 0)]
+    df2 = spark.createDataFrame(rows2, "grp string, i int, w int")
+    out2 = {r.grp: r.alloc
+            for r in allocate_budget(df2, ["grp"], "w", 100).collect()}
+    assert out2["z"] == 0
+    assert sum(out2.values()) == 100
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        allocate_budget(df, ["grp"], "w", 0)

@@ -281,3 +281,23 @@ def test_strip_html_double_escaped_entities_decode_once(spark):
         [(1, "use &amp;lt;b&amp;gt; for bold")], "id long, h string")
     row = df.select(strip_html(F.col("h")).alias("c")).collect()[0]
     assert row.c == "use &lt;b&gt; for bold"
+
+
+def test_format_skeleton_collapses_templates(spark):
+    """Template detection: docs differing only in entities/numbers
+    share a skeleton; structurally different docs do not."""
+    from pyspark.sql import functions as F
+
+    from dynamic_partitioner_spark.functions.text import (
+        SKELETON_LEN, format_skeleton)
+
+    rows = [("Order #123 for Alice: 45 items",),
+            ("Order #9876 for Bob: 7 items",),
+            ("totally different layout!",),
+            (",".join(["1"] * 200),)]
+    df = spark.createDataFrame(rows, "text string")
+    got = [r.s for r in
+           df.select(format_skeleton(F.col("text")).alias("s")).collect()]
+    assert got[0] == got[1] == "a #9 a a: 9 a"
+    assert got[2] != got[0]
+    assert len(got[3]) == SKELETON_LEN      # truncation bound holds

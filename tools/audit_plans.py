@@ -74,6 +74,8 @@ AUDIT_KEYS = [
     "query_sql_tpch_q11", "query_sql_tpch_q12", "query_sql_tpch_q16",
     "query_sql_tpch_q19", "query_sql_tpch_q20", "query_sql_tpch_q21",
     "query_sql_tpch_q22",
+    "query_sql_recursive", "events_props_extract",
+    "text_template_skeleton", "corpus_budget_alloc", "events_rfm",
     "dedup_spans", "sample_weighted", "streaming_late_audit",
     "events_ewma", "ops_metadata_files", "query_target_encoding", "text_strip_html", "text_span_novelty", "query_mad", "privacy_t_closeness",
     "text_bm25", "sample_bootstrap",
@@ -105,6 +107,9 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
                                  "broadcast"),
     "query_salted_join_auto": (3, "per-stage 1-row skew-stats "
                                   "broadcasts around the salted BHJ"),
+    "corpus_budget_alloc": (1, "1-row corpus-total (tw, n_groups) "
+                               "broadcast joined to the per-group "
+                               "frame; no data-side join exists"),
     "query_sql_tpch_q22": (1, "1-row avg-balance frame (sum_c, n) "
                               "broadcast to every customer row; the "
                               "order anti-join is a hash join"),

@@ -64,6 +64,8 @@ SWEEP_KEYS = [
     "query_sql_tpch_q11", "query_sql_tpch_q12", "query_sql_tpch_q16",
     "query_sql_tpch_q19", "query_sql_tpch_q20", "query_sql_tpch_q21",
     "query_sql_tpch_q22",
+    "query_sql_recursive", "events_props_extract",
+    "text_template_skeleton", "corpus_budget_alloc", "events_rfm",
     "dedup_spans", "sample_weighted", "streaming_late_audit",
     "events_ewma", "ops_metadata_files", "query_target_encoding", "text_strip_html", "text_span_novelty", "query_mad", "privacy_t_closeness",
     "text_bm25", "sample_bootstrap",
