@@ -3397,6 +3397,76 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rnk") <= 200))
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase graph (parts linked when
+    they share ≥2 orders — the support filter that drops noise edges
+    AND keeps the graph sparse as the corpus grows): degree-ordered
+    oriented join — the skew-safe exact algorithm
+    (operators/graph.py:triangle_stats) — plus the global clustering
+    coefficient; single-row output."""
+    from dynamic_partitioner_spark.operators.graph import triangle_stats
+    li = _table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                  "l_partkey")
+    l2 = li.select(F.col("l_orderkey"),
+                   F.col("l_partkey").alias("p2"))
+    pairs = (li.join(l2, "l_orderkey")
+             .where(F.col("l_partkey") < F.col("p2"))
+             .groupBy(F.col("l_partkey").alias("p1"), "p2")
+             .agg(F.count(F.lit(1)).alias("_support"))
+             .where(F.col("_support") >= 2)
+             .select("p1", "p2"))
+    return triangle_stats(pairs, "p1", "p2")
+
+
+#: target corpus mixture for the importance-weight key (per-mille,
+#: sums to 1000); 'ja' is deliberately absent from the corpus to
+#: exercise the unfillable-mass NULL-weight path
+_IMPORTANCE_TARGETS = {"en": 400, "de": 150, "es": 150, "fr": 150,
+                       "zh": 100, "ja": 50}
+
+
+def q_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-reweighting factors that reshape the corpus lang
+    mix into a target recipe (operators/sampling.py:
+    importance_weights) — exact integer per-mille targets, one
+    division per stratum; the 'ja' target has no corpus mass and
+    surfaces as NULL weight rather than silent renormalization."""
+    from dynamic_partitioner_spark.operators.sampling import (
+        importance_weights)
+    docs = _table(spark, sf_dir, "documents")
+    return importance_weights(docs, "lang", _IMPORTANCE_TARGETS)
+
+
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality audit: confusion matrix of the declared
+    ``lang`` column vs the n-gram heuristic prediction
+    (functions/text.py:lang_id), with each cell's share of its
+    declared-language row total — the drift detector a multilingual
+    corpus runs per ingest batch."""
+    docs = _table(spark, sf_dir, "documents")
+    cell = (docs.select("lang",
+                        TX.lang_id(F.col("text")).alias("predicted"))
+            .groupBy("lang", "predicted")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+    w = Window.partitionBy("lang")
+    return cell.select(
+        "lang", "predicted", "n_docs",
+        round4(F.col("n_docs") / F.sum("n_docs").over(w))
+        .alias("share_of_lang"))
+
+
+def q_privacy_dp_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noisy per-type value sums (Laplace release shape, contributions
+    clipped to [0, 50] so the sum's sensitivity is bounded —
+    operators/privacy.py:dp_noisy_sums); seeded noise keeps the
+    release reproducible and oracle-checkable."""
+    from dynamic_partitioner_spark.operators.privacy import dp_noisy_sums
+    events = _table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull())
+    return dp_noisy_sums(events, ["event_type"], "value",
+                         clip=50.0, epsilon=1.0)
+
+
 def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-contract check over orders: null / range /
     uniqueness / referential rules in one pass (conditional-sum scan +
@@ -3595,9 +3665,11 @@ _PRIORITY_R07 = [
     "query_sql_tpch_q22",
     "query_sql_recursive", "events_props_extract",
     "text_template_skeleton", "corpus_budget_alloc", "events_rfm",
+    "graph_triangles", "sample_importance", "text_langid_confusion",
+    "privacy_dp_sum",
     # --- changed query/oracle text this round ---
     "query_approx_percentiles", "events_seq_ngrams",
-    # --- round-3 evidence (33 of the remaining 44) ---
+    # --- round-3 evidence (29 of the remaining 44) ---
     "events_transitions", "event_sessionize", "sample_stratified",
     "privacy_k_anon",
     "mm_binary_roundtrip", "mm_binary_stats", "mm_features",
@@ -3610,10 +3682,11 @@ _PRIORITY_R07 = [
     "streaming_upsert", "streaming_windowed_agg",
     "query_cube", "query_distinct_agg", "query_event_gaps",
     "query_grouping_sets", "query_histogram", "query_pivot",
-    "query_profile", "query_salted_join", "query_semi_anti",
-    "query_set_ops", "query_sliding_window",
+    "query_profile",
     # ---- fold: driver checks the 50 above ----
-    # round-3-evidence overflow (11)
+    # round-3-evidence overflow (15)
+    "query_salted_join", "query_semi_anti",
+    "query_set_ops", "query_sliding_window",
     "query_snapshot_diff",
     "catalog_table", "cdc_apply", "embedding_roundtrip",
     "merge_upsert",
@@ -3822,6 +3895,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_template_skeleton": q_text_template_skeleton,
         "corpus_budget_alloc": q_corpus_budget_alloc,
         "events_rfm": q_events_rfm,
+        "graph_triangles": q_graph_triangles,
+        "sample_importance": q_sample_importance,
+        "text_langid_confusion": q_text_langid_confusion,
+        "privacy_dp_sum": q_privacy_dp_sum,
         "quality_expectations": q_quality_expectations,
         "similarity_hybrid_rrf": q_similarity_hybrid,
         "events_cumulative_users": q_events_cumulative_users,
@@ -3879,6 +3956,8 @@ def _zorder_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from dynamic_partitioner_spark.operators import graph as _GRAPH_MOD
+    from dynamic_partitioner_spark.operators import privacy as _PRIVACY_MOD
     from dynamic_partitioner_spark.operators import relational as REL
     from dynamic_partitioner_spark.operators import sampling as SMP
     from dynamic_partitioner_spark.operators.vectorize import (
@@ -5907,6 +5986,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corpus_budget_alloc": SMP.allocate_budget_sql(
             ["lang", "source"], "n_chars", 1_000_000, "documents"),
+        "graph_triangles": _GRAPH_MOD.triangle_stats_sql(
+            "p1", "p2",
+            "(SELECT l1.l_partkey AS p1, l2.l_partkey AS p2 "
+            "FROM lineitem l1 JOIN lineitem l2 "
+            "ON l1.l_orderkey = l2.l_orderkey "
+            "AND l1.l_partkey < l2.l_partkey "
+            "GROUP BY 1, 2 HAVING count(*) >= 2) pairs"),
+        "sample_importance": SMP.importance_weights_sql(
+            "lang", _IMPORTANCE_TARGETS, "documents"),
+        "text_langid_confusion": f"""
+            WITH cell AS (
+                SELECT lang, {TX.lang_id_sql('text')} AS predicted,
+                       count(*) AS n_docs
+                FROM documents GROUP BY 1, 2)
+            SELECT lang, predicted, n_docs,
+                   {ROUND4_SQL.format(
+                       x="n_docs / sum(n_docs) OVER (PARTITION BY lang)")}
+                   AS share_of_lang
+            FROM cell
+        """,
+        "privacy_dp_sum": _PRIVACY_MOD.dp_noisy_sums_sql(
+            ["event_type"], "value", 50.0, 1.0,
+            from_table="(SELECT * FROM events "
+                       "WHERE value IS NOT NULL) ev"),
         "events_rfm": f"""
             WITH ev AS (
                 SELECT user_id, epoch_us(ts) AS ts_us,

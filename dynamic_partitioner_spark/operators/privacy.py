@@ -229,3 +229,80 @@ def t_closeness(df: DataFrame, quasi_cols: list[str],
                / (2.0 * F.col("_nc").cast("double")
                   * F.col("_ng").cast("double")))
         .alias("tvd"))
+
+
+def dp_noisy_sums(df: DataFrame, group_cols: list[str], value_col: str,
+                  clip: float, epsilon: float,
+                  salt: str = "dpsum") -> DataFrame:
+    """Laplace-mechanism noisy group SUMS (ε-DP release shape,
+    sensitivity = ``clip``): each contribution is clipped to
+    ``[0, clip]`` — the bounded-contribution step that makes the sum's
+    sensitivity finite — then summed exactly in micro-units, and
+    seeded Laplace noise of scale ``clip/ε`` is added per group.
+
+    Same HONESTY NOTE as :func:`dp_noisy_counts`: the seeded noise
+    makes the release reproducible and oracle-checkable, not formally
+    private — rotate the salt from a secret source for a real release.
+    Clip + exact integer sum keeps the pre-noise value bit-identical
+    cross-engine; the noise is one codegen expression over the tiny
+    aggregated relation.
+    """
+    from ..functions.vectors import round4
+    from .sampling import hash_unit
+
+    if epsilon <= 0 or clip <= 0:
+        raise ValueError("epsilon and clip must be > 0")
+    for c in group_cols:
+        if df.schema[c].dataType.simpleString() in ("double", "float"):
+            raise ValueError(
+                f"group column {c!r} is floating-point — string-cast "
+                "formatting diverges across engines (see dp_noisy_counts)")
+    v = F.col(value_col).cast("double")
+    clipped = F.least(F.greatest(v, F.lit(0.0)), F.lit(float(clip)))
+    micro = F.floor(clipped * 1_000_000 + F.lit(0.5)).cast("long")
+    key = F.concat_ws("\x1f", *[
+        F.coalesce(F.col(c).cast("string"), F.lit("\x1eNULL"))
+        for c in group_cols])
+    agg = (df.withColumn("_m", micro)
+           .groupBy(*group_cols)
+           .agg(F.sum("_m").alias("_sum_micro"),
+                F.count(F.lit(1)).alias("n_rows")))
+    u = hash_unit(key, salt)
+    centered = u - F.lit(0.5)
+    mag = F.lit(1.0) - F.lit(2.0) * F.abs(centered)
+    noise = (F.lit(-float(clip) / epsilon) * F.signum(centered)
+             * F.log(mag))
+    # u is re-derived on the AGGREGATED relation (group cols survive
+    # the groupBy untouched), so the draw matches the oracle's
+    return agg.select(
+        *group_cols, "n_rows",
+        round4(F.col("_sum_micro") / 1e6).alias("true_sum"),
+        round4(F.col("_sum_micro") / 1e6 + noise).alias("noisy_sum"))
+
+
+def dp_noisy_sums_sql(group_cols: list[str], value: str, clip: float,
+                      epsilon: float, salt: str = "dpsum",
+                      from_table: str = "events") -> str:
+    """DuckDB twin of :func:`dp_noisy_sums`."""
+    from ..functions.vectors import ROUND4_SQL
+    from .sampling import hash_unit_sql
+
+    cols = ", ".join(group_cols)
+    key = ("concat_ws(chr(31), " +
+           ", ".join(f"coalesce(CAST({c} AS VARCHAR), chr(30) || 'NULL')"
+                     for c in group_cols) + ")")
+    u = hash_unit_sql(key, salt)
+    clipped = (f"least(greatest(CAST({value} AS DOUBLE), 0.0), "
+               f"{float(clip)!r})")
+    return (
+        f"WITH g AS (SELECT {cols}, "
+        f"CAST(sum(CAST(floor({clipped} * 1000000 + 0.5) AS BIGINT)) "
+        f"AS BIGINT) AS sum_micro, count(*) AS n_rows "
+        f"FROM {from_table} GROUP BY {cols}) "
+        f"SELECT {cols}, n_rows, "
+        + ROUND4_SQL.format(x="sum_micro / 1e6") + " AS true_sum, "
+        + ROUND4_SQL.format(
+            x=f"sum_micro / 1e6 + ({-float(clip) / epsilon!r}) "
+              f"* sign(({u}) - 0.5) "
+              f"* ln(1.0 - 2.0 * abs(({u}) - 0.5))")
+        + " AS noisy_sum FROM g")

@@ -646,3 +646,71 @@ def allocate_budget_sql(group_cols: list[str], weight: str, budget: int,
                     AS BIGINT) AS alloc
         FROM r
     """
+
+
+def importance_weights(df: DataFrame, stratum_col: str,
+                       targets_permille: dict[str, int]) -> DataFrame:
+    """Per-stratum importance reweighting factors: the multiplier that
+    reshapes the corpus distribution into a target mixture
+    (``weight_g = target_share_g / corpus_share_g``) — the sampling-
+    free alternative to :func:`mix_by_weights` when downstream
+    training consumes example weights instead of resampled data.
+
+    Targets are integer per-mille shares (must sum to 1000) so the
+    target side is exact; the weight is ONE double division of exact
+    BIGINTs (``t_g·W / (1000·w_g)``) rounded to 4 dp — deterministic
+    cross-engine.  Strata missing from ``targets_permille`` get weight
+    0 (excluded), strata in the target but absent from the corpus are
+    reported with NULL weight (unfillable mass — the caller must
+    re-normalize or source more data; silently renormalizing here
+    would hide a recipe violation).
+
+    One hash aggregate over the corpus; the output is one row per
+    stratum (bounded), broadcast-joinable back onto rows.
+    """
+    from ..functions.vectors import round4
+
+    total = sum(targets_permille.values())
+    if total != 1000:
+        raise ValueError(f"target shares must sum to 1000‰, got {total}")
+    g = (df.groupBy(stratum_col)
+         .agg(F.count(F.lit(1)).alias("n_rows")))
+    tgt = df.sparkSession.createDataFrame(
+        sorted(targets_permille.items()),
+        f"{stratum_col} string, t_pm long")
+    W = g.agg(F.sum("n_rows").alias("n_total"))
+    j = (g.join(tgt, stratum_col, "full_outer")
+         .join(F.broadcast(W))
+         .select(stratum_col,
+                 F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
+                 F.coalesce(F.col("t_pm"), F.lit(0)).alias("t_pm"),
+                 "n_total"))
+    w = F.when(F.col("n_rows") > 0,
+               round4((F.col("t_pm") * F.col("n_total"))
+                      / (F.lit(1000) * F.col("n_rows"))))
+    return j.select(stratum_col, "n_rows", "t_pm",
+                    w.alias("weight")).orderBy(stratum_col)
+
+
+def importance_weights_sql(stratum: str, targets_permille: dict[str, int],
+                           from_table: str) -> str:
+    """DuckDB twin of :func:`importance_weights` (same integer targets,
+    same single division, same round4)."""
+    vals = ", ".join(f"('{k}', {v})"
+                     for k, v in sorted(targets_permille.items()))
+    return f"""
+        WITH g AS (SELECT {stratum} AS s, count(*) AS n_rows
+                   FROM {from_table} GROUP BY {stratum}),
+        tgt(s, t_pm) AS (VALUES {vals}),
+        tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total FROM g),
+        j AS (SELECT coalesce(g.s, tgt.s) AS {stratum},
+                     coalesce(n_rows, 0) AS n_rows,
+                     coalesce(t_pm, 0) AS t_pm, n_total
+              FROM g FULL OUTER JOIN tgt ON g.s = tgt.s, tot)
+        SELECT {stratum}, n_rows, CAST(t_pm AS BIGINT) AS t_pm,
+               CASE WHEN n_rows > 0 THEN
+                   floor((t_pm * n_total)
+                         / (1000.0 * n_rows) * 10000 + 0.5) / 10000
+               END AS weight
+        FROM j
+    """

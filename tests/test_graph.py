@@ -43,3 +43,24 @@ def test_rejects_zero_iterations(spark):
     edges = spark.createDataFrame([("a", "b")], "s string, d string")
     with pytest.raises(ValueError):
         pagerank(edges, "s", "d", n_iter=0)
+
+
+def test_triangle_stats_known_graph(spark):
+    """Exact census on a hand-checked graph: K4 plus a pendant vertex
+    — 4 triangles, wedges Σ C(deg,2) = 3·C(3,2)+C(4,2) = 15."""
+    from dynamic_partitioner_spark.operators.graph import triangle_stats
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+             (2, 1),            # reverse duplicate — must dedup
+             (3, 3)]            # self-loop — must drop
+    df = spark.createDataFrame(edges, "a long, b long")
+    r = triangle_stats(df, "a", "b").collect()[0]
+    assert (r.n_vertices, r.n_edges, r.n_wedges, r.n_triangles) == \
+        (5, 7, 15, 4)
+    assert r.global_cc == 0.8            # 3·4/15
+
+    # triangle-free star: zero triangles, cc 0
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "a long, b long")
+    r2 = triangle_stats(star, "a", "b").collect()[0]
+    assert r2.n_triangles == 0 and r2.global_cc == 0.0

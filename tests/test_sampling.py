@@ -443,3 +443,25 @@ def test_allocate_budget_exact_apportionment(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         allocate_budget(df, ["grp"], "w", 0)
+
+
+def test_importance_weights_reshapes_mixture(spark):
+    """weight·corpus_share == target_share (to round4); absent-corpus
+    target strata get NULL weight, untargeted strata weight 0."""
+    import pytest as _pytest
+
+    from dynamic_partitioner_spark.operators.sampling import (
+        importance_weights)
+
+    rows = [("en",)] * 60 + [("de",)] * 30 + [("xx",)] * 10
+    df = spark.createDataFrame(rows, "lang string")
+    out = {r.lang: r for r in importance_weights(
+        df, "lang", {"en": 500, "de": 400, "ja": 100}).collect()}
+    assert out["en"].weight == round(0.5 / 0.6, 4)
+    assert out["de"].weight == round(0.4 / 0.3, 4)
+    assert out["xx"].weight == 0.0       # not in target → excluded
+    assert out["ja"].weight is None      # unfillable target mass
+    assert out["ja"].n_rows == 0
+
+    with _pytest.raises(ValueError):
+        importance_weights(df, "lang", {"en": 700})   # ≠ 1000‰

@@ -227,3 +227,29 @@ def test_dp_noisy_counts_null_groups_get_distinct_noise(spark):
     sql = dp_noisy_counts_sql(["x", "y"], epsilon=1.0, from_table="t")
     duck = {(x, y): (tc, nc) for x, y, tc, nc in con.sql(sql).fetchall()}
     assert duck == got
+
+
+def test_dp_noisy_sums_clipping_and_determinism(spark):
+    """Contributions clip to [0, clip] before the exact sum; seeded
+    noise is deterministic across runs and bounded in practice."""
+    import pytest as _pytest
+
+    from dynamic_partitioner_spark.operators.privacy import dp_noisy_sums
+
+    rows = [("a", 10.0), ("a", 100.0),     # 100 clips to 50
+            ("a", -5.0),                    # clips to 0
+            ("b", 25.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r for r in
+           dp_noisy_sums(df, ["g"], "v", clip=50.0, epsilon=1.0).collect()}
+    assert out["a"].true_sum == 60.0       # 10 + 50 + 0
+    assert out["b"].true_sum == 25.0
+    again = {r.g: r.noisy_sum for r in
+             dp_noisy_sums(df, ["g"], "v", clip=50.0,
+                           epsilon=1.0).collect()}
+    assert {g: r.noisy_sum for g, r in out.items()} == again
+    for r in out.values():                  # Laplace(50) tail sanity
+        assert abs(r.noisy_sum - r.true_sum) < 50.0 * 15
+
+    with _pytest.raises(ValueError):
+        dp_noisy_sums(df, ["g"], "v", clip=0.0, epsilon=1.0)

@@ -76,6 +76,8 @@ AUDIT_KEYS = [
     "query_sql_tpch_q22",
     "query_sql_recursive", "events_props_extract",
     "text_template_skeleton", "corpus_budget_alloc", "events_rfm",
+    "graph_triangles", "sample_importance",
+    "text_langid_confusion", "privacy_dp_sum",
     "dedup_spans", "sample_weighted", "streaming_late_audit",
     "events_ewma", "ops_metadata_files", "query_target_encoding", "text_strip_html", "text_span_novelty", "query_mad", "privacy_t_closeness",
     "text_bm25", "sample_bootstrap",
@@ -107,6 +109,12 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
                                  "broadcast"),
     "query_salted_join_auto": (3, "per-stage 1-row skew-stats "
                                   "broadcasts around the salted BHJ"),
+    "graph_triangles": (2, "assembly of the three 1-row census "
+                           "aggregates (vertex/wedge, edge, triangle "
+                           "counts) into the single output row; every "
+                           "data join is an equi-join"),
+    "sample_importance": (1, "1-row corpus-total broadcast onto the "
+                             "bounded stratum frame"),
     "corpus_budget_alloc": (1, "1-row corpus-total (tw, n_groups) "
                                "broadcast joined to the per-group "
                                "frame; no data-side join exists"),
