@@ -3353,8 +3353,11 @@ def q_text_template_skeleton(spark: SparkSession, sf_dir: str) -> DataFrame:
     miss (same template, different entities) collapses here; the
     groupBy key is an 80-char string regardless of document size."""
     docs = _table(spark, sf_dir, "documents")
-    sk = (docs.select(TX.format_skeleton(F.col("text")).alias("skeleton"),
-                      "doc_id", "lang")
+    # NULL-text guard: a NULL skeleton group at the rank-20 boundary
+    # would sort NULLS FIRST in Spark, NULLS LAST in the oracle
+    sk = (docs.where(F.col("text").isNotNull())
+          .select(TX.format_skeleton(F.col("text")).alias("skeleton"),
+                  "doc_id", "lang")
           .groupBy("skeleton")
           .agg(F.count(F.lit(1)).alias("n_docs"),
                F.countDistinct("lang").alias("n_langs"),
@@ -3461,8 +3464,7 @@ def q_privacy_dp_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/privacy.py:dp_noisy_sums); seeded noise keeps the
     release reproducible and oracle-checkable."""
     from dynamic_partitioner_spark.operators.privacy import dp_noisy_sums
-    events = _table(spark, sf_dir, "events").where(
-        F.col("value").isNotNull())
+    events = _table(spark, sf_dir, "events")
     return dp_noisy_sums(events, ["event_type"], "value",
                          clip=50.0, epsilon=1.0)
 
@@ -5974,7 +5976,7 @@ def oracle_sql() -> dict[str, str]:
             WITH s AS (
                 SELECT {TX.format_skeleton_sql('text')} AS skeleton,
                        doc_id, lang
-                FROM documents),
+                FROM documents WHERE text IS NOT NULL),
             g AS (SELECT skeleton, count(*) AS n_docs,
                          count(DISTINCT lang) AS n_langs,
                          min(doc_id) AS exemplar_doc
@@ -6007,9 +6009,7 @@ def oracle_sql() -> dict[str, str]:
             FROM cell
         """,
         "privacy_dp_sum": _PRIVACY_MOD.dp_noisy_sums_sql(
-            ["event_type"], "value", 50.0, 1.0,
-            from_table="(SELECT * FROM events "
-                       "WHERE value IS NOT NULL) ev"),
+            ["event_type"], "value", 50.0, 1.0, from_table="events"),
         "events_rfm": f"""
             WITH ev AS (
                 SELECT user_id, epoch_us(ts) AS ts_us,

@@ -116,6 +116,11 @@ def triangle_stats(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
                         F.greatest(a, b).alias("v"))
            .where(F.col("u") != F.col("v"))
            .distinct())
+    # the canonical edge set feeds THREE consumers (degrees, the
+    # oriented join, the closing-edge probe) — materialize it once or
+    # Spark re-derives the upstream edge construction (often an
+    # expensive self-join) per branch
+    und = und.localCheckpoint(eager=True)
     deg = (und.select(F.col("u").alias("node"))
            .unionAll(und.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
@@ -146,10 +151,15 @@ def triangle_stats(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
     nv = deg.agg(F.count(F.lit(1)).alias("n_vertices"),
                  F.sum(F.expr("(deg * (deg - 1)) div 2"))
                  .alias("n_wedges"))
+    # NULL coefficient when the graph has no wedges (every vertex
+    # degree ≤ 1): an unguarded division crashes under Spark's default
+    # ANSI mode while DuckDB returns NULL — guard both engines to NULL
     out = (nv.join(stats).join(n_tri)
            .select("n_vertices", "n_edges", "n_wedges", "n_triangles",
-                   round4(F.lit(3.0) * F.col("n_triangles")
-                          / F.col("n_wedges")).alias("global_cc")))
+                   F.when(F.col("n_wedges") > 0,
+                          round4(F.lit(3.0) * F.col("n_triangles")
+                                 / F.col("n_wedges")))
+                   .alias("global_cc")))
     return out
 
 
@@ -186,7 +196,9 @@ def triangle_stats_sql(a: str, b: str, edges_from: str) -> str:
                FROM deg),
         ne AS (SELECT count(*) AS n_edges FROM und)
         SELECT n_vertices, n_edges, n_wedges, n_triangles,
-               floor(3.0 * n_triangles / n_wedges * 10000 + 0.5) / 10000
-                   AS global_cc
+               CASE WHEN n_wedges > 0 THEN
+                   floor(3.0 * n_triangles / n_wedges * 10000 + 0.5)
+                   / 10000
+               END AS global_cc
         FROM nv, ne, tri
     """

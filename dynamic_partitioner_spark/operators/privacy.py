@@ -10,7 +10,7 @@ hierarchies are a caller-side mapping applied before this operator.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -86,6 +86,52 @@ def l_diversify(df: DataFrame, quasi_cols: list[str], sensitive_col: str,
     return out.select(*df.columns, "sens_diversity")
 
 
+def _require_non_float_groups(df: DataFrame, group_cols: list[str]) -> None:
+    """Reject floating-point group columns: Spark and DuckDB format
+    doubles differently when cast to string, so the noise seed would
+    diverge from the oracle — cast/round to a string or integer key
+    first."""
+    for c in group_cols:
+        if df.schema[c].dataType.simpleString() in ("double", "float"):
+            raise ValueError(
+                f"group column {c!r} is floating-point: cast to a "
+                "string or integer key first (string formatting of "
+                "doubles diverges across engines)")
+
+
+def _group_seed_key(group_cols: list[str]) -> Column:
+    """Deterministic per-group seed string.  concat_ws SKIPS nulls,
+    which would collapse distinct groups that differ only in which
+    column is NULL onto one seed — encode NULL explicitly (chr(30)
+    sentinel can't collide with cast output that shares a prefix,
+    since chr(31) separates fields)."""
+    return F.concat_ws("\x1f", *[
+        F.coalesce(F.col(c).cast("string"), F.lit("\x1eNULL"))
+        for c in group_cols])
+
+
+def _group_seed_key_sql(group_cols: list[str]) -> str:
+    """SQL twin of :func:`_group_seed_key`."""
+    return ("concat_ws(chr(31), " +
+            ", ".join(f"coalesce(CAST({c} AS VARCHAR), chr(30) || 'NULL')"
+                      for c in group_cols) + ")")
+
+
+def _laplace_noise(u: Column, scale: float) -> Column:
+    """Inverse-CDF Laplace sample of the given scale from a unit draw
+    — deterministic, so the release is reproducible and the oracle
+    matches exactly (see the HONESTY NOTE on the public functions)."""
+    centered = u - F.lit(0.5)
+    mag = F.lit(1.0) - F.lit(2.0) * F.abs(centered)
+    return F.lit(-float(scale)) * F.signum(centered) * F.log(mag)
+
+
+def _laplace_noise_sql(u: str, scale: float) -> str:
+    """SQL twin of :func:`_laplace_noise`."""
+    return (f"({-float(scale)!r}) * sign(({u}) - 0.5) "
+            f"* ln(1.0 - 2.0 * abs(({u}) - 0.5))")
+
+
 def dp_noisy_counts(df: DataFrame, group_cols: list[str], epsilon: float,
                     salt: str = "dp") -> DataFrame:
     """Laplace-mechanism noisy group counts (ε-DP shape, sensitivity 1)
@@ -109,24 +155,9 @@ def dp_noisy_counts(df: DataFrame, group_cols: list[str], epsilon: float,
 
     if epsilon <= 0:
         raise ValueError("epsilon must be > 0")
-    for c in group_cols:
-        if df.schema[c].dataType.simpleString() in ("double", "float"):
-            raise ValueError(
-                f"group column {c!r} is floating-point: Spark and DuckDB "
-                "format doubles differently when cast to string, so the "
-                "noise seed would diverge from the oracle — cast/round "
-                "to a string or integer key first")
-    # concat_ws SKIPS nulls, which would collapse distinct groups that
-    # differ only in which column is NULL onto one seed — encode NULL
-    # explicitly (chr(30) sentinel can't collide with cast output that
-    # shares a prefix, since chr(31) separates fields)
-    key = F.concat_ws("\x1f", *[
-        F.coalesce(F.col(c).cast("string"), F.lit("\x1eNULL"))
-        for c in group_cols])
-    u = hash_unit(key, salt)
-    centered = u - F.lit(0.5)
-    mag = F.lit(1.0) - F.lit(2.0) * F.abs(centered)
-    noise = (F.lit(-1.0 / epsilon) * F.signum(centered) * F.log(mag))
+    _require_non_float_groups(df, group_cols)
+    u = hash_unit(_group_seed_key(group_cols), salt)
+    noise = _laplace_noise(u, 1.0 / epsilon)
     out = (df.groupBy(*group_cols)
            .agg(F.count(F.lit(1)).alias("true_count")))
     return out.select(
@@ -142,17 +173,13 @@ def dp_noisy_counts_sql(group_cols: list[str], epsilon: float,
     from .sampling import hash_unit_sql
 
     cols = ", ".join(group_cols)
-    key = ("concat_ws(chr(31), " +
-           ", ".join(f"coalesce(CAST({c} AS VARCHAR), chr(30) || 'NULL')"
-                     for c in group_cols) + ")")
-    u = hash_unit_sql(key, salt)
+    u = hash_unit_sql(_group_seed_key_sql(group_cols), salt)
+    noise = _laplace_noise_sql(u, 1.0 / epsilon)
     return (
         f"WITH g AS (SELECT {cols}, count(*) AS true_count "
         f"FROM {from_table} GROUP BY {cols}) "
         f"SELECT {cols}, true_count, "
-        + ROUND4_SQL.format(
-            x=f"true_count + ({-1.0 / epsilon!r}) * sign(({u}) - 0.5) "
-              f"* ln(1.0 - 2.0 * abs(({u}) - 0.5))")
+        + ROUND4_SQL.format(x=f"true_count + {noise}")
         + " AS noisy_count FROM g")
 
 
@@ -252,26 +279,21 @@ def dp_noisy_sums(df: DataFrame, group_cols: list[str], value_col: str,
 
     if epsilon <= 0 or clip <= 0:
         raise ValueError("epsilon and clip must be > 0")
-    for c in group_cols:
-        if df.schema[c].dataType.simpleString() in ("double", "float"):
-            raise ValueError(
-                f"group column {c!r} is floating-point — string-cast "
-                "formatting diverges across engines (see dp_noisy_counts)")
+    _require_non_float_groups(df, group_cols)
     v = F.col(value_col).cast("double")
     clipped = F.least(F.greatest(v, F.lit(0.0)), F.lit(float(clip)))
     micro = F.floor(clipped * 1_000_000 + F.lit(0.5)).cast("long")
-    key = F.concat_ws("\x1f", *[
-        F.coalesce(F.col(c).cast("string"), F.lit("\x1eNULL"))
-        for c in group_cols])
-    agg = (df.withColumn("_m", micro)
+    # NULL contributions are EXCLUDED, not zero-counted: least/greatest
+    # skip NULLs in both engines, so an unfiltered NULL would clip to
+    # 0.0 yet still inflate n_rows — the released contributor count
+    # must mean "rows that actually contributed"
+    agg = (df.where(v.isNotNull())
+           .withColumn("_m", micro)
            .groupBy(*group_cols)
            .agg(F.sum("_m").alias("_sum_micro"),
                 F.count(F.lit(1)).alias("n_rows")))
-    u = hash_unit(key, salt)
-    centered = u - F.lit(0.5)
-    mag = F.lit(1.0) - F.lit(2.0) * F.abs(centered)
-    noise = (F.lit(-float(clip) / epsilon) * F.signum(centered)
-             * F.log(mag))
+    u = hash_unit(_group_seed_key(group_cols), salt)
+    noise = _laplace_noise(u, float(clip) / epsilon)
     # u is re-derived on the AGGREGATED relation (group cols survive
     # the groupBy untouched), so the draw matches the oracle's
     return agg.select(
@@ -288,21 +310,18 @@ def dp_noisy_sums_sql(group_cols: list[str], value: str, clip: float,
     from .sampling import hash_unit_sql
 
     cols = ", ".join(group_cols)
-    key = ("concat_ws(chr(31), " +
-           ", ".join(f"coalesce(CAST({c} AS VARCHAR), chr(30) || 'NULL')"
-                     for c in group_cols) + ")")
-    u = hash_unit_sql(key, salt)
+    u = hash_unit_sql(_group_seed_key_sql(group_cols), salt)
+    noise = _laplace_noise_sql(u, float(clip) / epsilon)
     clipped = (f"least(greatest(CAST({value} AS DOUBLE), 0.0), "
                f"{float(clip)!r})")
     return (
         f"WITH g AS (SELECT {cols}, "
         f"CAST(sum(CAST(floor({clipped} * 1000000 + 0.5) AS BIGINT)) "
         f"AS BIGINT) AS sum_micro, count(*) AS n_rows "
-        f"FROM {from_table} GROUP BY {cols}) "
+        f"FROM {from_table} "
+        f"WHERE CAST({value} AS DOUBLE) IS NOT NULL "
+        f"GROUP BY {cols}) "
         f"SELECT {cols}, n_rows, "
         + ROUND4_SQL.format(x="sum_micro / 1e6") + " AS true_sum, "
-        + ROUND4_SQL.format(
-            x=f"sum_micro / 1e6 + ({-float(clip) / epsilon!r}) "
-              f"* sign(({u}) - 0.5) "
-              f"* ln(1.0 - 2.0 * abs(({u}) - 0.5))")
+        + ROUND4_SQL.format(x=f"sum_micro / 1e6 + {noise}")
         + " AS noisy_sum FROM g")

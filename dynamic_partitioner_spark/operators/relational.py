@@ -950,10 +950,16 @@ def rfm_scores(df: DataFrame, key_col: str, ts_us_col: str,
     ``percentile_approx`` cuts instead (the sketch path, see
     query_approx_percentiles).
     """
-    m = (df.groupBy(key_col)
+    # NULL guards: a NULL event time cannot contribute recency (and a
+    # key with only NULL times would sort NULLS FIRST in Spark but
+    # NULLS LAST in DuckDB, shifting every tile boundary); a NULL
+    # value counts as zero mass rather than nulling the key's sum
+    m = (df.where(F.col(ts_us_col).isNotNull())
+         .groupBy(key_col)
          .agg(F.max(F.col(ts_us_col)).alias("last_us"),
               F.count(F.lit(1)).alias("n_events"),
-              F.sum(F.col(value_col)).alias("value_u")))
+              F.sum(F.coalesce(F.col(value_col), F.lit(0)))
+              .alias("value_u")))
     k = F.col(key_col)
     r_w = Window.orderBy(F.col("last_us").asc(), k)
     f_w = Window.orderBy(F.col("n_events").asc(), k)
@@ -974,8 +980,10 @@ def rfm_scores_sql(key: str, ts_us: str, value_u: str,
             SELECT {key},
                    max({ts_us}) AS last_us,
                    count(*) AS n_events,
-                   CAST(sum({value_u}) AS BIGINT) AS value_u
-            FROM {from_table} GROUP BY {key})
+                   CAST(sum(coalesce({value_u}, 0)) AS BIGINT) AS value_u
+            FROM {from_table}
+            WHERE {ts_us} IS NOT NULL
+            GROUP BY {key})
         SELECT {key}, last_us, n_events, value_u,
                ntile({n_tiles}) OVER (ORDER BY last_us ASC, {key})
                    AS r_score,

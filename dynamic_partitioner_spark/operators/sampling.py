@@ -594,6 +594,10 @@ def allocate_budget(df: DataFrame, group_cols: list[str],
     win a remainder seat only after every positive remainder — with
     remainder 0 they tie at the bottom and take seats only when
     #groups exceeds the leftover, i.e. never ahead of real mass).
+    Degenerate zero-total-mass input (every group weight 0) allocates
+    0 everywhere — the one case where Σ alloc ≠ budget, by design
+    (there is nothing to apportion over); the 128-bit product keeps
+    ``budget·w`` exact far past BIGINT (see the inline note).
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
@@ -601,19 +605,29 @@ def allocate_budget(df: DataFrame, group_cols: list[str],
          .agg(F.sum(F.col(weight_col).cast("long")).alias("w")))
     # "tw" not "W": Spark resolves case-insensitively by default,
     # so a joined frame with both "w" and "W" is ambiguous
-    tot = g.agg(F.sum("w").alias("tw"),
-                F.count(F.lit(1)).alias("n_groups"))
+    tot = g.agg(F.sum("w").alias("tw"))
     b = F.lit(int(budget))
     j = g.join(F.broadcast(tot))
+    # DECIMAL(38,0) product: budget·w overflows BIGINT once w exceeds
+    # ~9.2e18/budget (≈9 TB of chars at budget=1e6 — well inside the
+    # design scale); the 128-bit product with `div`/`%` is exact and
+    # bit-identical to the oracle's HUGEINT arithmetic.  tw = 0 (no
+    # mass anywhere) is the degenerate case: every alloc is 0 —
+    # documented, never a divide-by-zero (ANSI Spark raises on div 0).
+    bdec = f"CAST({int(budget)} AS DECIMAL(38,0))"
     j = j.select(
-        *group_cols, "w",
-        F.expr(f"({int(budget)} * w) div tw").alias("base"),
-        F.expr(f"({int(budget)} * w) % tw").alias("rem"))
+        *group_cols, "w", "tw",
+        F.expr(f"CASE WHEN tw > 0 THEN CAST(({bdec} * w) div tw "
+               f"AS BIGINT) ELSE 0 END").alias("base"),
+        F.expr(f"CASE WHEN tw > 0 THEN CAST(({bdec} * w) % tw "
+               f"AS BIGINT) ELSE 0 END").alias("rem"))
     wnd = Window.orderBy(F.col("rem").desc(),
                          *[F.col(c) for c in group_cols])
-    leftover = b - F.sum("base").over(
-        Window.rowsBetween(Window.unboundedPreceding,
-                           Window.unboundedFollowing))
+    leftover = F.when(
+        F.col("tw") > 0,
+        b - F.sum("base").over(
+            Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing))).otherwise(0)
     return (j.withColumn("_rk", F.row_number().over(wnd))
             .withColumn("_leftover", leftover)
             .select(*group_cols, "w",
@@ -634,12 +648,19 @@ def allocate_budget_sql(group_cols: list[str], weight: str, budget: int,
             FROM {from_table} GROUP BY {gc}),
         t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM g),
         j AS (SELECT {gc}, w,
-                     ({budget} * w) // tw AS base,
-                     ({budget} * w) % tw AS rem
+                     CASE WHEN tw > 0 THEN CAST(
+                         (CAST({budget} AS HUGEINT) * w) // tw
+                         AS BIGINT) ELSE 0 END AS base,
+                     CASE WHEN tw > 0 THEN CAST(
+                         (CAST({budget} AS HUGEINT) * w) % tw
+                         AS BIGINT) ELSE 0 END AS rem,
+                     tw
               FROM g, t),
         r AS (SELECT *,
                      row_number() OVER (ORDER BY rem DESC, {order}) AS rk,
-                     {budget} - sum(base) OVER () AS leftover
+                     CASE WHEN tw > 0
+                          THEN {budget} - sum(base) OVER ()
+                          ELSE 0 END AS leftover
               FROM j)
         SELECT {gc}, w,
                CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END

@@ -64,3 +64,15 @@ def test_triangle_stats_known_graph(spark):
         [(0, i) for i in range(1, 6)], "a long, b long")
     r2 = triangle_stats(star, "a", "b").collect()[0]
     assert r2.n_triangles == 0 and r2.global_cc == 0.0
+
+
+def test_triangle_stats_wedge_free_graph(spark):
+    """A perfect matching has no wedges: the coefficient is NULL (not
+    an ANSI divide-by-zero crash), matching the SQL twin."""
+    from dynamic_partitioner_spark.operators.graph import triangle_stats
+
+    df = spark.createDataFrame([(1, 2), (3, 4)], "a long, b long")
+    r = triangle_stats(df, "a", "b").collect()[0]
+    assert (r.n_vertices, r.n_edges, r.n_wedges, r.n_triangles) == \
+        (4, 2, 0, 0)
+    assert r.global_cc is None

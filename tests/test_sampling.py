@@ -465,3 +465,27 @@ def test_importance_weights_reshapes_mixture(spark):
 
     with _pytest.raises(ValueError):
         importance_weights(df, "lang", {"en": 700})   # ≠ 1000‰
+
+
+def test_allocate_budget_edge_cases(spark):
+    """Zero total mass allocates 0 everywhere (no ANSI divide-by-zero);
+    the 128-bit product survives weights that overflow budget·w in
+    BIGINT."""
+    from dynamic_partitioner_spark.operators.sampling import (
+        allocate_budget)
+
+    zero = spark.createDataFrame(
+        [("a", 0), ("b", 0)], "grp string, w long")
+    out = {r.grp: r.alloc
+           for r in allocate_budget(zero, ["grp"], "w", 100).collect()}
+    assert out == {"a": 0, "b": 0}
+
+    # w ≈ 2^62: budget·w overflows int64, must still be exact
+    big = spark.createDataFrame(
+        [("a", 4_611_686_018_427_387_904), ("b", 1)],
+        "grp string, w long")
+    out2 = {r.grp: r.alloc
+            for r in allocate_budget(big, ["grp"], "w",
+                                     1_000_000).collect()}
+    assert sum(out2.values()) == 1_000_000
+    assert out2["a"] == 1_000_000 and out2["b"] == 0
