@@ -3469,6 +3469,18 @@ def q_privacy_dp_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                          clip=50.0, epsilon=1.0)
 
 
+def q_embedding_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold calibration: pairwise-cosine histogram +
+    at-or-above sweep over a hash-capped quarter sample of the embedding
+    corpus (operators/similarity.py:cosine_threshold_sweep) — the
+    table you read before picking the semantic-dedup cutoff."""
+    from dynamic_partitioner_spark.operators.similarity import (
+        cosine_threshold_sweep)
+    emb = _table(spark, sf_dir, "embeddings")
+    return cosine_threshold_sweep(emb, "vec_id", "embedding",
+                                  fraction=0.25)
+
+
 def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-contract check over orders: null / range /
     uniqueness / referential rules in one pass (conditional-sum scan +
@@ -3668,10 +3680,10 @@ _PRIORITY_R07 = [
     "query_sql_recursive", "events_props_extract",
     "text_template_skeleton", "corpus_budget_alloc", "events_rfm",
     "graph_triangles", "sample_importance", "text_langid_confusion",
-    "privacy_dp_sum",
+    "privacy_dp_sum", "embedding_threshold_sweep",
     # --- changed query/oracle text this round ---
     "query_approx_percentiles", "events_seq_ngrams",
-    # --- round-3 evidence (29 of the remaining 44) ---
+    # --- round-3 evidence (28 of the remaining 44) ---
     "events_transitions", "event_sessionize", "sample_stratified",
     "privacy_k_anon",
     "mm_binary_roundtrip", "mm_binary_stats", "mm_features",
@@ -3684,10 +3696,9 @@ _PRIORITY_R07 = [
     "streaming_upsert", "streaming_windowed_agg",
     "query_cube", "query_distinct_agg", "query_event_gaps",
     "query_grouping_sets", "query_histogram", "query_pivot",
-    "query_profile",
     # ---- fold: driver checks the 50 above ----
-    # round-3-evidence overflow (15)
-    "query_salted_join", "query_semi_anti",
+    # round-3-evidence overflow (16)
+    "query_profile", "query_salted_join", "query_semi_anti",
     "query_set_ops", "query_sliding_window",
     "query_snapshot_diff",
     "catalog_table", "cdc_apply", "embedding_roundtrip",
@@ -3901,6 +3912,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_importance": q_sample_importance,
         "text_langid_confusion": q_text_langid_confusion,
         "privacy_dp_sum": q_privacy_dp_sum,
+        "embedding_threshold_sweep": q_embedding_threshold_sweep,
         "quality_expectations": q_quality_expectations,
         "similarity_hybrid_rrf": q_similarity_hybrid,
         "events_cumulative_users": q_events_cumulative_users,
@@ -3960,6 +3972,7 @@ def _zorder_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     from dynamic_partitioner_spark.operators import graph as _GRAPH_MOD
     from dynamic_partitioner_spark.operators import privacy as _PRIVACY_MOD
+    from dynamic_partitioner_spark.operators import similarity as _SIM_MOD
     from dynamic_partitioner_spark.operators import relational as REL
     from dynamic_partitioner_spark.operators import sampling as SMP
     from dynamic_partitioner_spark.operators.vectorize import (
@@ -6010,6 +6023,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "privacy_dp_sum": _PRIVACY_MOD.dp_noisy_sums_sql(
             ["event_type"], "value", 50.0, 1.0, from_table="events"),
+        "embedding_threshold_sweep": _SIM_MOD.cosine_threshold_sweep_sql(
+            "vec_id", "embedding", 0.25, "embeddings"),
         "events_rfm": f"""
             WITH ev AS (
                 SELECT user_id, epoch_us(ts) AS ts_us,

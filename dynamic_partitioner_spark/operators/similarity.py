@@ -413,3 +413,80 @@ def hybrid_rrf_topk(docs: DataFrame, doc_id: str, text_col: str,
             .where(F.col("rank") <= k)
             .select("rank", doc_id, round4(F.col("_rrf")).alias("rrf"),
                     "rank_text", "rank_vec"))
+
+
+def cosine_threshold_sweep(df: DataFrame, id_col: str, vec_col: str,
+                           fraction: float,
+                           salt: str = "sweep") -> DataFrame:
+    """Dedup-threshold calibration: the pairwise-cosine histogram over
+    a deterministic hash sample of the corpus — the evidence you read
+    before choosing the near-dup cutoff ("0.92 keeps 0.4% of pairs,
+    0.85 keeps 3%").  Output: one row per 0.05-wide similarity bucket
+    with the pair count and the cumulative count at-or-above the
+    bucket (the sweep).
+
+    Deliberately quadratic ON THE SAMPLE and nothing else: the sampled
+    side is hash-capped (``fraction`` — pick it so the sample is a few
+    thousand rows at your corpus size, e.g. k/N) and broadcast; the
+    corpus never self-joins.  Buckets come from the 1e-4-unit
+    integer cosine (``(c4 + 10000) div 500``) so the boundary can
+    never flip on a float multiply; zero-norm vectors are excluded
+    (cosine undefined).
+    """
+    from .sampling import hash_unit
+    from ..functions.vectors import l2_norm
+
+    if not 0 < fraction <= 1:
+        raise ValueError("fraction must be in (0, 1]")
+    s = (df.select(F.col(id_col).alias("vid"),
+                   F.col(vec_col).alias("vec"))
+         .where(hash_unit(F.col(id_col), salt) < fraction)
+         .where(l2_norm(F.col(vec_col)) > 0))
+    a = s.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"))
+    b = s.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    c4 = (F.floor(cosine(F.col("va"), F.col("vb")) * 10000 + F.lit(0.5))
+          .cast("long"))
+    bucketed = (pairs.select(c4.alias("c4"))
+                .select(F.expr("(c4 + 10000) div 500").alias("bucket")))
+    counts = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_pairs"))
+    w = (Window.orderBy(F.col("bucket").desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return counts.select(
+        "bucket",
+        round4(F.col("bucket") * 0.05 - 1.0).alias("cos_lo"),
+        "n_pairs",
+        F.sum("n_pairs").over(w).alias("n_pairs_ge"))
+
+
+def cosine_threshold_sweep_sql(id_col: str, vec_col: str,
+                               fraction: float, from_table: str,
+                               salt: str = "sweep") -> str:
+    """DuckDB twin of :func:`cosine_threshold_sweep` (same hash sample,
+    same integer bucket arithmetic)."""
+    from .sampling import hash_unit_sql
+    from ..functions.vectors import COSINE_SQL, L2_NORM_SQL
+
+    u = hash_unit_sql(id_col, salt)
+    l2 = L2_NORM_SQL.format(a=vec_col)
+    cos = COSINE_SQL.format(a="a.vec", b="b.vec")
+    return f"""
+        WITH s AS (
+            SELECT {id_col} AS vid, {vec_col} AS vec
+            FROM {from_table}
+            WHERE ({u}) < {float(fraction)!r} AND ({l2}) > 0),
+        c AS (SELECT CAST(floor(({cos}) * 10000 + 0.5) AS BIGINT) AS c4
+              FROM s a JOIN s b ON a.vid < b.vid),
+        g AS (SELECT (c4 + 10000) // 500 AS bucket,
+                     count(*) AS n_pairs
+              FROM c GROUP BY 1)
+        SELECT bucket,
+               floor((bucket * 0.05 - 1.0) * 10000 + 0.5) / 10000
+                   AS cos_lo,
+               n_pairs,
+               CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n_pairs_ge
+        FROM g
+    """

@@ -78,6 +78,7 @@ AUDIT_KEYS = [
     "text_template_skeleton", "corpus_budget_alloc", "events_rfm",
     "graph_triangles", "sample_importance",
     "text_langid_confusion", "privacy_dp_sum",
+    "embedding_threshold_sweep",
     "dedup_spans", "sample_weighted", "streaming_late_audit",
     "events_ewma", "ops_metadata_files", "query_target_encoding", "text_strip_html", "text_span_novelty", "query_mad", "privacy_t_closeness",
     "text_bm25", "sample_bootstrap",
@@ -100,6 +101,11 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
                            "QUERY SET broadcasts; corpus side streams"),
     "similarity_hybrid_rrf": (1, "same exact-baseline query-set "
                                  "broadcast as similarity_topk"),
+    "embedding_threshold_sweep": (1, "hash-capped calibration sample "
+                                     "broadcast; the sweep is "
+                                     "quadratic on the SAMPLE by "
+                                     "definition, never on the "
+                                     "corpus"),
     "events_range_join": (1, "two TINY aggregates (busy-hour stats) "
                              "join; the data join is a BHJ"),
     "text_tfidf": (1, "1-row scalar doc-count broadcast"),
@@ -133,10 +139,12 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
 _GROUPED_BNLJ = {"privacy_t_closeness"}
 
 #: allowed-BNLJ keys whose bounded side is a scalar aggregate — their
-#: plan must show an ungrouped HashAggregate (`Keys: []`); the two
-#: exact-baseline keys broadcast a bounded query SET instead.
+#: plan must show an ungrouped HashAggregate (`Keys: []`); the
+#: exact-baseline / calibration keys broadcast a bounded row SET
+#: (query set or hash-capped sample) instead.
 _SCALAR_BNLJ = {k for k in BNLJ_ALLOWED
-                if k not in ("similarity_topk", "similarity_hybrid_rrf")
+                if k not in ("similarity_topk", "similarity_hybrid_rrf",
+                             "embedding_threshold_sweep")
                 and k not in _GROUPED_BNLJ}
 
 
