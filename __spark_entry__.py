@@ -3469,6 +3469,33 @@ def q_privacy_dp_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                          clip=50.0, epsilon=1.0)
 
 
+def q_query_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of `value` as a purchase-vs-rest classifier score
+    (operators/relational.py:auc_exact — Mann-Whitney midrank
+    identity, all-integer until the one final division).  AUC ≈ 0.5
+    on this synthetic data; the point is the exact rank machinery."""
+    from dynamic_partitioner_spark.operators.relational import auc_exact
+    events = _table(spark, sf_dir, "events")
+    return auc_exact(events.select(
+        "value", (F.col("event_type") == "purchase").alias("is_pos")),
+        "value", "is_pos")
+
+
+def q_events_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast baseline (daily buckets, weekly
+    season) with exact per-type MAE/bias
+    (operators/relational.py:seasonal_naive_eval) — the floor every
+    anomaly detector is judged against."""
+    from dynamic_partitioner_spark.operators.relational import (
+        seasonal_naive_eval)
+    events = _table(spark, sf_dir, "events")
+    ev = events.select("event_type",
+                       event_time_us(events).alias("ts_us"), "value")
+    return seasonal_naive_eval(ev, "event_type", "ts_us", "value",
+                               season_buckets=7,
+                               bucket_us=86_400_000_000)
+
+
 def q_embedding_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup threshold calibration: pairwise-cosine histogram +
     at-or-above sweep over a hash-capped quarter sample of the embedding
@@ -3681,9 +3708,10 @@ _PRIORITY_R07 = [
     "text_template_skeleton", "corpus_budget_alloc", "events_rfm",
     "graph_triangles", "sample_importance", "text_langid_confusion",
     "privacy_dp_sum", "embedding_threshold_sweep",
+    "query_auc", "events_seasonal_naive",
     # --- changed query/oracle text this round ---
     "query_approx_percentiles", "events_seq_ngrams",
-    # --- round-3 evidence (28 of the remaining 44) ---
+    # --- round-3 evidence (26 of the remaining 44) ---
     "events_transitions", "event_sessionize", "sample_stratified",
     "privacy_k_anon",
     "mm_binary_roundtrip", "mm_binary_stats", "mm_features",
@@ -3695,9 +3723,10 @@ _PRIORITY_R07 = [
     "streaming_join", "streaming_partitioned_write",
     "streaming_upsert", "streaming_windowed_agg",
     "query_cube", "query_distinct_agg", "query_event_gaps",
-    "query_grouping_sets", "query_histogram", "query_pivot",
+    "query_grouping_sets",
     # ---- fold: driver checks the 50 above ----
-    # round-3-evidence overflow (16)
+    # round-3-evidence overflow (18)
+    "query_histogram", "query_pivot",
     "query_profile", "query_salted_join", "query_semi_anti",
     "query_set_ops", "query_sliding_window",
     "query_snapshot_diff",
@@ -3913,6 +3942,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid_confusion": q_text_langid_confusion,
         "privacy_dp_sum": q_privacy_dp_sum,
         "embedding_threshold_sweep": q_embedding_threshold_sweep,
+        "query_auc": q_query_auc,
+        "events_seasonal_naive": q_events_seasonal_naive,
         "quality_expectations": q_quality_expectations,
         "similarity_hybrid_rrf": q_similarity_hybrid,
         "events_cumulative_users": q_events_cumulative_users,
@@ -6025,6 +6056,11 @@ def oracle_sql() -> dict[str, str]:
             ["event_type"], "value", 50.0, 1.0, from_table="events"),
         "embedding_threshold_sweep": _SIM_MOD.cosine_threshold_sweep_sql(
             "vec_id", "embedding", 0.25, "embeddings"),
+        "query_auc": REL.auc_exact_sql(
+            "value", "event_type = 'purchase'", "events"),
+        "events_seasonal_naive": REL.seasonal_naive_eval_sql(
+            "event_type", "epoch_us(ts)", "value", "events",
+            season_buckets=7, bucket_us=86_400_000_000),
         "events_rfm": f"""
             WITH ev AS (
                 SELECT user_id, epoch_us(ts) AS ts_us,

@@ -993,3 +993,145 @@ def rfm_scores_sql(key: str, ts_us: str, value_u: str,
                    AS m_score
         FROM m
     """
+
+
+def auc_exact(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact ROC-AUC from rank statistics (the Mann-Whitney U
+    identity) — the evaluation every learned quality/toxicity filter
+    needs before it gates a corpus, computed without thresholds,
+    curves, or floats until the single final division:
+
+        AUC = (Σ R⁺ − n⁺(n⁺+1)/2) / (n⁺ · n⁻)
+
+    with midranks for ties.  Everything stays integral: doubling the
+    midrank gives ``2·R = 2·minrank + ties − 1`` (an integer), so the
+    numerator ``Σ 2R⁺ − n⁺(n⁺+1)`` and denominator ``2·n⁺·n⁻`` are
+    exact BIGINTs and the one division is bit-identical cross-engine
+    after round4.  NULL scores are excluded (unrankable).
+
+    Scale: one global rank over the scored rows — the exact price; at
+    extreme row counts (n ≳ 3e9) the rank sums approach BIGINT range
+    and the sketch path (fixed-grid score histogram → trapezoid AUC)
+    is the production fallback.  Output is a single row:
+    ``n_pos, n_neg, auc``.
+    """
+    from ..functions.vectors import round4
+
+    s = F.col(score_col)
+    scored = df.where(s.isNotNull()).select(
+        s.alias("_s"), F.col(label_col).cast("boolean").alias("_pos"))
+    w_rank = Window.orderBy("_s")
+    w_ties = Window.partitionBy("_s")
+    r = scored.select(
+        "_pos",
+        (2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_ties)
+         - F.lit(1)).alias("_2r"))
+    agg = r.agg(
+        F.sum(F.when(F.col("_pos"), F.col("_2r"))).alias("_sum2r_pos"),
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("_pos"), 0).otherwise(1)).alias("n_neg"))
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        round4((F.col("_sum2r_pos")
+                - F.col("n_pos") * (F.col("n_pos") + 1))
+               / (2 * F.col("n_pos") * F.col("n_neg"))))
+    return agg.select("n_pos", "n_neg", auc.alias("auc"))
+
+
+def auc_exact_sql(score: str, label: str, from_table: str) -> str:
+    """DuckDB twin of :func:`auc_exact` (same midrank identity)."""
+    return f"""
+        WITH scored AS (
+            SELECT {score} AS s, CAST({label} AS BOOLEAN) AS pos
+            FROM {from_table} WHERE {score} IS NOT NULL),
+        r AS (SELECT pos,
+                     2 * rank() OVER (ORDER BY s)
+                     + count(*) OVER (PARTITION BY s) - 1 AS r2
+              FROM scored),
+        a AS (SELECT CAST(sum(CASE WHEN pos THEN r2 END) AS BIGINT)
+                         AS sum2r_pos,
+                     CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_pos,
+                     CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END)
+                         AS BIGINT) AS n_neg
+              FROM r)
+        SELECT n_pos, n_neg,
+               CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                   floor((sum2r_pos - n_pos * (n_pos + 1))
+                         / (2.0 * n_pos * n_neg) * 10000 + 0.5) / 10000
+               END AS auc
+        FROM a
+    """
+
+
+def seasonal_naive_eval(df: DataFrame, key_col: str, ts_us_col: str,
+                        value_col: str,
+                        season_buckets: int = 168,
+                        bucket_us: int = 3_600_000_000) -> DataFrame:
+    """Seasonal-naive forecast baseline + exact error report: bucket
+    the stream (hourly by default), forecast each bucket as the value
+    one season ago (168 h = weekly), and report per-key MAE/bias over
+    the evaluable buckets — the sanity floor every anomaly detector
+    and capacity forecast is judged against.
+
+    All integer arithmetic: micro-unit bucket sums, lag by season,
+    |error| and signed-error sums stay BIGINT; the two final ``/n``
+    divisions are the only floats (round4).  Buckets with no
+    predecessor a season earlier are excluded from the error (not
+    zero-filled — absence of history is not a zero forecast).  One
+    shuffle on the key for the bucket aggregate; the lag window rides
+    the same partitioning.
+    """
+    from ..functions.vectors import round4
+
+    b = (df.where(F.col(value_col).isNotNull())
+         .select(F.col(key_col).alias("k"),
+                 F.expr(f"{ts_us_col} div {int(bucket_us)}")
+                 .alias("bucket"),
+                 F.floor(F.col(value_col) * 1_000_000 + F.lit(0.5))
+                 .cast("long").alias("v_u"))
+         .groupBy("k", "bucket")
+         .agg(F.sum("v_u").alias("actual_u")))
+    # self-join on the shifted bucket key, NOT a row-offset lag: a
+    # row-lag only means "one season ago" when every bucket of the
+    # season is occupied, which sparse streams never guarantee — the
+    # equi-join is exact regardless of gaps and rides the same (k)
+    # partitioning as the aggregate
+    season = b.select(
+        F.col("k"),
+        (F.col("bucket") + F.lit(int(season_buckets))).alias("bucket"),
+        F.col("actual_u").alias("forecast_u"))
+    ev = b.join(season, ["k", "bucket"])
+    return (ev.groupBy(F.col("k").alias(key_col))
+            .agg(F.count(F.lit(1)).alias("n_buckets"),
+                 round4(F.sum(F.abs(F.col("actual_u")
+                                    - F.col("forecast_u")))
+                        / (F.count(F.lit(1)) * 1e6)).alias("mae"),
+                 round4(F.sum(F.col("actual_u") - F.col("forecast_u"))
+                        / (F.count(F.lit(1)) * 1e6)).alias("bias")))
+
+
+def seasonal_naive_eval_sql(key: str, ts_us: str, value: str,
+                            from_table: str,
+                            season_buckets: int = 168,
+                            bucket_us: int = 3_600_000_000) -> str:
+    """DuckDB twin of :func:`seasonal_naive_eval`."""
+    return f"""
+        WITH b AS (
+            SELECT {key} AS k, ({ts_us}) // {int(bucket_us)} AS bucket,
+                   CAST(sum(CAST(floor({value} * 1000000 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS actual_u
+            FROM {from_table}
+            WHERE {value} IS NOT NULL
+            GROUP BY 1, 2),
+        ev AS (SELECT b.k, b.actual_u, s.actual_u AS forecast_u
+               FROM b JOIN b s
+                 ON b.k = s.k
+                AND b.bucket = s.bucket + {season_buckets})
+        SELECT k AS {key}, count(*) AS n_buckets,
+               floor(sum(abs(actual_u - forecast_u))
+                     / (count(*) * 1e6) * 10000 + 0.5) / 10000 AS mae,
+               floor(sum(actual_u - forecast_u)
+                     / (count(*) * 1e6) * 10000 + 0.5) / 10000 AS bias
+        FROM ev GROUP BY k
+    """

@@ -841,3 +841,51 @@ def test_rfm_scores_tiling(spark):
     by_val = sorted(out, key=lambda r: (r.value_u, r.user_id))
     scores = [r.m_score for r in by_val]
     assert scores == sorted(scores)           # monotone in the metric
+
+
+def test_auc_exact_known_values(spark):
+    """Perfect separation -> 1.0, inverted -> 0.0, all-ties -> 0.5 via
+    midranks; degenerate one-class input -> NULL."""
+    from dynamic_partitioner_spark.operators.relational import auc_exact
+
+    perfect = spark.createDataFrame(
+        [(1.0, False), (2.0, False), (3.0, True), (4.0, True)],
+        "s double, y boolean")
+    assert auc_exact(perfect, "s", "y").collect()[0].auc == 1.0
+    inverted = spark.createDataFrame(
+        [(4.0, False), (3.0, False), (2.0, True), (1.0, True)],
+        "s double, y boolean")
+    assert auc_exact(inverted, "s", "y").collect()[0].auc == 0.0
+    ties = spark.createDataFrame(
+        [(1.0, True), (1.0, False), (1.0, True), (1.0, False)],
+        "s double, y boolean")
+    assert auc_exact(ties, "s", "y").collect()[0].auc == 0.5
+    one_class = spark.createDataFrame(
+        [(1.0, True), (2.0, True)], "s double, y boolean")
+    assert auc_exact(one_class, "s", "y").collect()[0].auc is None
+    # sklearn-checkable mixed case: scores [1,2,3,4], labels [0,1,0,1]
+    mixed = spark.createDataFrame(
+        [(1.0, False), (2.0, True), (3.0, False), (4.0, True)],
+        "s double, y boolean")
+    assert auc_exact(mixed, "s", "y").collect()[0].auc == 0.75
+
+
+def test_seasonal_naive_eval_sparse_series(spark):
+    """The forecast joins on the shifted BUCKET, not a row lag: gaps
+    in the series pair correctly and gap-adjacent rows are excluded."""
+    from dynamic_partitioner_spark.operators.relational import (
+        seasonal_naive_eval)
+
+    US = 1
+    rows = [("a", 0, 10.0), ("a", 7, 13.0),    # pair: err 3
+            ("a", 3, 5.0),                      # no bucket 10 -> not eval
+            ("a", 14, 12.0),                    # pair with 7: err -1
+            ("b", 100, 2.0)]                    # never evaluable
+    df = spark.createDataFrame(rows, "k string, ts_us long, v double")
+    out = {r.k: r for r in seasonal_naive_eval(
+        df, "k", "ts_us", "v", season_buckets=7, bucket_us=US).collect()}
+    assert "b" not in out
+    a = out["a"]
+    assert a.n_buckets == 2
+    assert a.mae == 2.0                      # (3 + 1) / 2
+    assert a.bias == 1.0                     # (3 - 1) / 2
