@@ -3469,6 +3469,62 @@ def q_privacy_dp_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                          clip=50.0, epsilon=1.0)
 
 
+# rank-function suite through the raw SQL interface: rank /
+# dense_rank / percent_rank / cume_dist / ntile over one window, with
+# the two float functions floor-quantized (both engines compute them
+# as exact small-integer ratios, so round4 of identical doubles is
+# bit-identical); the key tie-break makes every ordering total
+_RANK_SUITE_SQL = """
+    SELECT o_orderpriority, o_orderkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           floor(percent_rank() OVER w * 10000 + 0.5) / 10000 AS prnk,
+           floor(cume_dist() OVER w * 10000 + 0.5) / 10000 AS cdist,
+           ntile(10) OVER w AS decile
+    FROM orders
+    WHERE o_orderkey % 37 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def q_sql_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The five SQL rank functions in one window through the raw SQL
+    interface — identical text in the oracle; Catalyst plans a single
+    sort + window pass for all five."""
+    return _run_sql(spark, sf_dir, _RANK_SUITE_SQL, ["orders"])
+
+
+def q_events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every event-type pair, the exact
+    user-set intersection and Jaccard — the cross-sell / cohort-
+    overlap primitive.  Distinct (user, type) relation self-joined on
+    user with t1 < t2 (each user contributes C(k,2) bounded pairs —
+    k ≤ #types, tiny), then one hash aggregate; per-type totals
+    broadcast back.  Jaccard = |∩| / (|A|+|B|−|∩|) — one division of
+    exact BIGINTs, round4."""
+    events = _table(spark, sf_dir, "events")
+    ut = events.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("t1"))
+    b = ut.select("user_id", F.col("event_type").alias("t2"))
+    both = (a.join(b, "user_id")
+            .where(F.col("t1") < F.col("t2"))
+            .groupBy("t1", "t2")
+            .agg(F.count(F.lit(1)).alias("n_both")))
+    totals = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"))
+    ta = totals.select(F.col("event_type").alias("t1"),
+                       F.col("n_users").alias("n_a"))
+    tb = totals.select(F.col("event_type").alias("t2"),
+                       F.col("n_users").alias("n_b"))
+    return (both.join(F.broadcast(ta), "t1")
+            .join(F.broadcast(tb), "t2")
+            .select("t1", "t2", "n_a", "n_b", "n_both",
+                    round4(F.col("n_both")
+                           / (F.col("n_a") + F.col("n_b")
+                              - F.col("n_both"))).alias("jaccard")))
+
+
 def q_query_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ROC-AUC of `value` as a purchase-vs-rest classifier score
     (operators/relational.py:auc_exact — Mann-Whitney midrank
@@ -3709,9 +3765,10 @@ _PRIORITY_R07 = [
     "graph_triangles", "sample_importance", "text_langid_confusion",
     "privacy_dp_sum", "embedding_threshold_sweep",
     "query_auc", "events_seasonal_naive",
+    "query_sql_rank_suite", "events_audience_overlap",
     # --- changed query/oracle text this round ---
     "query_approx_percentiles", "events_seq_ngrams",
-    # --- round-3 evidence (26 of the remaining 44) ---
+    # --- round-3 evidence (24 of the remaining 44) ---
     "events_transitions", "event_sessionize", "sample_stratified",
     "privacy_k_anon",
     "mm_binary_roundtrip", "mm_binary_stats", "mm_features",
@@ -3722,10 +3779,10 @@ _PRIORITY_R07 = [
     "text_token_ids", "text_vocab",
     "streaming_join", "streaming_partitioned_write",
     "streaming_upsert", "streaming_windowed_agg",
-    "query_cube", "query_distinct_agg", "query_event_gaps",
-    "query_grouping_sets",
+    "query_cube", "query_distinct_agg",
     # ---- fold: driver checks the 50 above ----
-    # round-3-evidence overflow (18)
+    # round-3-evidence overflow (20)
+    "query_event_gaps", "query_grouping_sets",
     "query_histogram", "query_pivot",
     "query_profile", "query_salted_join", "query_semi_anti",
     "query_set_ops", "query_sliding_window",
@@ -3944,6 +4001,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_threshold_sweep": q_embedding_threshold_sweep,
         "query_auc": q_query_auc,
         "events_seasonal_naive": q_events_seasonal_naive,
+        "query_sql_rank_suite": q_sql_rank_suite,
+        "events_audience_overlap": q_events_audience_overlap,
         "quality_expectations": q_quality_expectations,
         "similarity_hybrid_rrf": q_similarity_hybrid,
         "events_cumulative_users": q_events_cumulative_users,
@@ -6061,6 +6120,25 @@ def oracle_sql() -> dict[str, str]:
         "events_seasonal_naive": REL.seasonal_naive_eval_sql(
             "event_type", "epoch_us(ts)", "value", "events",
             season_buckets=7, bucket_us=86_400_000_000),
+        "query_sql_rank_suite": _RANK_SUITE_SQL,
+        "events_audience_overlap": f"""
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+            both_t AS (SELECT a.event_type AS t1, b.event_type AS t2,
+                              count(*) AS n_both
+                       FROM ut a JOIN ut b
+                         ON a.user_id = b.user_id
+                        AND a.event_type < b.event_type
+                       GROUP BY 1, 2),
+            tot AS (SELECT event_type, count(*) AS n_users
+                    FROM ut GROUP BY 1)
+            SELECT t1, t2, ta.n_users AS n_a, tb.n_users AS n_b, n_both,
+                   {ROUND4_SQL.format(
+                       x="n_both / (ta.n_users + tb.n_users - n_both)")}
+                   AS jaccard
+            FROM both_t
+            JOIN tot ta ON ta.event_type = t1
+            JOIN tot tb ON tb.event_type = t2
+        """,
         "events_rfm": f"""
             WITH ev AS (
                 SELECT user_id, epoch_us(ts) AS ts_us,
