@@ -3554,14 +3554,14 @@ def q_events_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup threshold calibration: pairwise-cosine histogram +
-    at-or-above sweep over a hash-capped quarter sample of the embedding
-    corpus (operators/similarity.py:cosine_threshold_sweep) — the
+    at-or-above sweep over a fixed-size (~1000-row) hash sample of the
+    embedding corpus (operators/similarity.py:cosine_threshold_sweep) — the
     table you read before picking the semantic-dedup cutoff."""
     from dynamic_partitioner_spark.operators.similarity import (
         cosine_threshold_sweep)
     emb = _table(spark, sf_dir, "embeddings")
     return cosine_threshold_sweep(emb, "vec_id", "embedding",
-                                  fraction=0.25)
+                                  target_rows=1000)
 
 
 def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6114,7 +6114,7 @@ def oracle_sql() -> dict[str, str]:
         "privacy_dp_sum": _PRIVACY_MOD.dp_noisy_sums_sql(
             ["event_type"], "value", 50.0, 1.0, from_table="events"),
         "embedding_threshold_sweep": _SIM_MOD.cosine_threshold_sweep_sql(
-            "vec_id", "embedding", 0.25, "embeddings"),
+            "vec_id", "embedding", 1000, "embeddings"),
         "query_auc": REL.auc_exact_sql(
             "value", "event_type = 'purchase'", "events"),
         "events_seasonal_naive": REL.seasonal_naive_eval_sql(

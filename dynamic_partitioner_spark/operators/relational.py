@@ -1079,8 +1079,8 @@ def seasonal_naive_eval(df: DataFrame, key_col: str, ts_us_col: str,
     divisions are the only floats (round4).  Buckets with no
     predecessor a season earlier are excluded from the error (not
     zero-filled — absence of history is not a zero forecast).  One
-    shuffle on the key for the bucket aggregate; the lag window rides
-    the same partitioning.
+    shuffle on the key for the bucket aggregate; the shifted-bucket
+    equi-join rides the same (key) partitioning.
     """
     from ..functions.vectors import round4
 

@@ -416,7 +416,7 @@ def hybrid_rrf_topk(docs: DataFrame, doc_id: str, text_col: str,
 
 
 def cosine_threshold_sweep(df: DataFrame, id_col: str, vec_col: str,
-                           fraction: float,
+                           target_rows: int,
                            salt: str = "sweep") -> DataFrame:
     """Dedup-threshold calibration: the pairwise-cosine histogram over
     a deterministic hash sample of the corpus — the evidence you read
@@ -425,23 +425,35 @@ def cosine_threshold_sweep(df: DataFrame, id_col: str, vec_col: str,
     with the pair count and the cumulative count at-or-above the
     bucket (the sweep).
 
-    Deliberately quadratic ON THE SAMPLE and nothing else: the sampled
-    side is hash-capped (``fraction`` — pick it so the sample is a few
-    thousand rows at your corpus size, e.g. k/N) and broadcast; the
-    corpus never self-joins.  Buckets come from the 1e-4-unit
-    integer cosine (``(c4 + 10000) div 500``) so the boundary can
-    never flip on a float multiply; zero-norm vectors are excluded
-    (cosine undefined).
+    Deliberately quadratic ON THE SAMPLE and nothing else — and the
+    sample is a FIXED ~``target_rows`` regardless of corpus size: the
+    hash cut is ``u · N < target_rows`` with N the corpus row count
+    (a 1-row broadcast), so the expected sample stays ~target_rows as
+    the corpus grows and the pair count is O(target²), never O(N²).
+    The sampled side broadcasts; the corpus never self-joins.
+    Buckets come from the 1e-4-unit integer cosine
+    (``(c4 + 10000) div 500``) so the boundary can never flip on a
+    float multiply; zero-norm vectors are excluded (cosine
+    undefined).  Cross-engine: the cut compares ``u·N`` (double ×
+    BIGINT, one IEEE multiply on identical inputs) against the
+    integer target — no division, bit-identical both engines.
     """
     from .sampling import hash_unit
     from ..functions.vectors import l2_norm
 
-    if not 0 < fraction <= 1:
-        raise ValueError("fraction must be in (0, 1]")
-    s = (df.select(F.col(id_col).alias("vid"),
-                   F.col(vec_col).alias("vec"))
-         .where(hash_unit(F.col(id_col), salt) < fraction)
-         .where(l2_norm(F.col(vec_col)) > 0))
+    if target_rows <= 0:
+        raise ValueError("target_rows must be positive")
+    base = df.select(F.col(id_col).alias("vid"),
+                     F.col(vec_col).alias("vec"))
+    n = base.agg(F.count(F.lit(1)).alias("n_total"))
+    s = (base.join(F.broadcast(n))
+         .where(hash_unit(F.col("vid"), salt) * F.col("n_total")
+                < F.lit(int(target_rows)))
+         .where(l2_norm(F.col("vec")) > 0)
+         .select("vid", "vec"))
+    # both sides of the pair join read the sample — materialize the
+    # ~target_rows frame once instead of re-running count+filter twice
+    s = s.localCheckpoint(eager=True)
     a = s.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"))
     b = s.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"))
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
@@ -461,10 +473,10 @@ def cosine_threshold_sweep(df: DataFrame, id_col: str, vec_col: str,
 
 
 def cosine_threshold_sweep_sql(id_col: str, vec_col: str,
-                               fraction: float, from_table: str,
+                               target_rows: int, from_table: str,
                                salt: str = "sweep") -> str:
-    """DuckDB twin of :func:`cosine_threshold_sweep` (same hash sample,
-    same integer bucket arithmetic)."""
+    """DuckDB twin of :func:`cosine_threshold_sweep` (same size-
+    adaptive hash cut, same integer bucket arithmetic)."""
     from .sampling import hash_unit_sql
     from ..functions.vectors import COSINE_SQL, L2_NORM_SQL
 
@@ -474,8 +486,10 @@ def cosine_threshold_sweep_sql(id_col: str, vec_col: str,
     return f"""
         WITH s AS (
             SELECT {id_col} AS vid, {vec_col} AS vec
-            FROM {from_table}
-            WHERE ({u}) < {float(fraction)!r} AND ({l2}) > 0),
+            FROM {from_table},
+                 (SELECT count(*) AS n_total FROM {from_table}) t
+            WHERE ({u}) * n_total < {int(target_rows)}
+              AND ({l2}) > 0),
         c AS (SELECT CAST(floor(({cos}) * 10000 + 0.5) AS BIGINT) AS c4
               FROM s a JOIN s b ON a.vid < b.vid),
         g AS (SELECT (c4 + 10000) // 500 AS bucket,

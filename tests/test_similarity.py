@@ -198,16 +198,14 @@ def test_cosine_threshold_sweep_invariants(spark):
     the cumulative column is a suffix sum, and zero vectors are out."""
     import pytest as _pytest
 
-    from dynamic_partitioner_spark.operators.sampling import hash_unit
     from dynamic_partitioner_spark.operators.similarity import (
         cosine_threshold_sweep)
-    from pyspark.sql import functions as F
 
     rows = [(i, [float(i % 7 + 1), float((i * 3) % 5), 1.0])
             for i in range(40)] + [(99, [0.0, 0.0, 0.0])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = cosine_threshold_sweep(df, "vec_id", "embedding",
-                                 fraction=1.0).collect()
+                                 target_rows=10_000).collect()
     # zero vector excluded -> C(40, 2) pairs total
     assert sum(r.n_pairs for r in out) == 40 * 39 // 2
     by_bucket = sorted(out, key=lambda r: -r.bucket)
@@ -218,4 +216,4 @@ def test_cosine_threshold_sweep_invariants(spark):
     assert all(-1.0 <= r.cos_lo <= 1.0 for r in out)
 
     with _pytest.raises(ValueError):
-        cosine_threshold_sweep(df, "vec_id", "embedding", fraction=0)
+        cosine_threshold_sweep(df, "vec_id", "embedding", target_rows=0)
