@@ -451,14 +451,20 @@ def cosine_threshold_sweep(df: DataFrame, id_col: str, vec_col: str,
                 < F.lit(int(target_rows)))
          .where(l2_norm(F.col("vec")) > 0)
          .select("vid", "vec"))
-    # both sides of the pair join read the sample — materialize the
-    # ~target_rows frame once instead of re-running count+filter twice
+    # precompute each vector's norm ONCE on the ~target_rows sample —
+    # cosine() would re-fold both norms per PAIR (O(target²) folds for
+    # what is O(target) work); then materialize the frame once instead
+    # of re-running count+filter+norm for both join sides
+    s = s.select("vid", "vec", l2_norm(F.col("vec")).alias("_l2"))
     s = s.localCheckpoint(eager=True)
-    a = s.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"))
-    b = s.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"))
+    a = s.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"),
+                 F.col("_l2").alias("_la"))
+    b = s.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"),
+                 F.col("_l2").alias("_lb"))
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    c4 = (F.floor(cosine(F.col("va"), F.col("vb")) * 10000 + F.lit(0.5))
-          .cast("long"))
+    from ..functions.vectors import dot
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("_la") * F.col("_lb"))
+    c4 = F.floor(cos * 10000 + F.lit(0.5)).cast("long")
     bucketed = (pairs.select(c4.alias("c4"))
                 .select(F.expr("(c4 + 10000) div 500").alias("bucket")))
     counts = bucketed.groupBy("bucket").agg(
@@ -478,14 +484,18 @@ def cosine_threshold_sweep_sql(id_col: str, vec_col: str,
     """DuckDB twin of :func:`cosine_threshold_sweep` (same size-
     adaptive hash cut, same integer bucket arithmetic)."""
     from .sampling import hash_unit_sql
-    from ..functions.vectors import COSINE_SQL, L2_NORM_SQL
+    from ..functions.vectors import L2_NORM_SQL
 
     u = hash_unit_sql(id_col, salt)
     l2 = L2_NORM_SQL.format(a=vec_col)
-    cos = COSINE_SQL.format(a="a.vec", b="b.vec")
+    # dot/(la·lb) with per-row norms, mirroring the Spark side's
+    # precomputed-norm form (COSINE_SQL's list_cosine_similarity would
+    # re-derive both norms per pair)
+    cos = ("list_sum(list_transform(list_zip(a.vec::DOUBLE[], "
+           "b.vec::DOUBLE[]), p -> p[1] * p[2])) / (a.l2 * b.l2)")
     return f"""
         WITH s AS (
-            SELECT {id_col} AS vid, {vec_col} AS vec
+            SELECT {id_col} AS vid, {vec_col} AS vec, ({l2}) AS l2
             FROM {from_table},
                  (SELECT count(*) AS n_total FROM {from_table}) t
             WHERE ({u}) * n_total < {int(target_rows)}
