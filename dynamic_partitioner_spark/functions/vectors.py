@@ -72,12 +72,4 @@ def cosine_batched(a: Column, b: Column) -> Column:
 #: Spark's aggregate over an empty array returns the 0.0 seed.
 L2_NORM_SQL = ("sqrt(coalesce(list_sum(list_transform({a}::DOUBLE[], "
                "x -> x * x)), 0.0))")
-#: DuckDB twin of :func:`cosine`; the CASE matters — DuckDB's
-#: list_cosine_similarity returns -1.0 for a zero-norm vector where the
-#: Spark form's try_divide yields NULL.
-COSINE_SQL = ("(CASE WHEN coalesce(list_sum(list_transform({a}::DOUBLE[], "
-              "x -> x * x)), 0.0) = 0.0 OR "
-              "coalesce(list_sum(list_transform({b}::DOUBLE[], "
-              "x -> x * x)), 0.0) = 0.0 THEN NULL "
-              "ELSE list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[]) "
-              "END)")
+

@@ -439,10 +439,12 @@ def cosine_threshold_sweep(df: DataFrame, id_col: str, vec_col: str,
     integer target — no division, bit-identical both engines.
     """
     from .sampling import hash_unit
-    from ..functions.vectors import l2_norm
+    from ..functions.vectors import dot, l2_norm
 
-    if target_rows <= 0:
-        raise ValueError("target_rows must be positive")
+    # reject floats explicitly: a legacy fraction-style 0.25 would
+    # int-truncate to 0 and return a silently empty sweep
+    if not isinstance(target_rows, int) or target_rows <= 0:
+        raise ValueError("target_rows must be a positive int")
     base = df.select(F.col(id_col).alias("vid"),
                      F.col(vec_col).alias("vec"))
     n = base.agg(F.count(F.lit(1)).alias("n_total"))
@@ -454,15 +456,24 @@ def cosine_threshold_sweep(df: DataFrame, id_col: str, vec_col: str,
     # precompute each vector's norm ONCE on the ~target_rows sample —
     # cosine() would re-fold both norms per PAIR (O(target²) folds for
     # what is O(target) work); then materialize the frame once instead
-    # of re-running count+filter+norm for both join sides
+    # of re-running count+filter+norm for both join sides.  eager
+    # checkpoint: building the DataFrame runs the (tiny) sample jobs
+    # up front; the blocks live until session end — acceptable for a
+    # ~target_rows frame, and the lineage cut is what stops the count
+    # + filter re-running per branch.
     s = s.select("vid", "vec", l2_norm(F.col("vec")).alias("_l2"))
     s = s.localCheckpoint(eager=True)
     a = s.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"),
                  F.col("_l2").alias("_la"))
     b = s.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"),
                  F.col("_l2").alias("_lb"))
-    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    from ..functions.vectors import dot
+    # length equality in the join predicate: a ragged (truncated)
+    # vector would otherwise NULL-pad Spark's zip_with while DuckDB's
+    # list_sum skips NULLs — a silent cross-engine divergence; equal
+    # exclusion on both sides keeps parity and drops garbage pairs
+    pairs = a.join(F.broadcast(b),
+                   (F.col("id_a") < F.col("id_b"))
+                   & (F.size("va") == F.size("vb")))
     cos = dot(F.col("va"), F.col("vb")) / (F.col("_la") * F.col("_lb"))
     c4 = F.floor(cos * 10000 + F.lit(0.5)).cast("long")
     bucketed = (pairs.select(c4.alias("c4"))
@@ -482,10 +493,13 @@ def cosine_threshold_sweep_sql(id_col: str, vec_col: str,
                                target_rows: int, from_table: str,
                                salt: str = "sweep") -> str:
     """DuckDB twin of :func:`cosine_threshold_sweep` (same size-
-    adaptive hash cut, same integer bucket arithmetic)."""
+    adaptive hash cut, same integer bucket arithmetic, same
+    equal-length pair predicate)."""
     from .sampling import hash_unit_sql
     from ..functions.vectors import L2_NORM_SQL
 
+    if not isinstance(target_rows, int) or target_rows <= 0:
+        raise ValueError("target_rows must be a positive int")
     u = hash_unit_sql(id_col, salt)
     l2 = L2_NORM_SQL.format(a=vec_col)
     # dot/(la·lb) with per-row norms, mirroring the Spark side's
@@ -501,7 +515,8 @@ def cosine_threshold_sweep_sql(id_col: str, vec_col: str,
             WHERE ({u}) * n_total < {int(target_rows)}
               AND ({l2}) > 0),
         c AS (SELECT CAST(floor(({cos}) * 10000 + 0.5) AS BIGINT) AS c4
-              FROM s a JOIN s b ON a.vid < b.vid),
+              FROM s a JOIN s b
+                ON a.vid < b.vid AND len(a.vec) = len(b.vec)),
         g AS (SELECT (c4 + 10000) // 500 AS bucket,
                      count(*) AS n_pairs
               FROM c GROUP BY 1)

@@ -217,3 +217,32 @@ def test_cosine_threshold_sweep_invariants(spark):
 
     with _pytest.raises(ValueError):
         cosine_threshold_sweep(df, "vec_id", "embedding", target_rows=0)
+
+
+def test_cosine_threshold_sweep_caps_sample(spark):
+    """With target_rows << N the hash cut actually bites: the sampled
+    pair count stays far below C(N,2), is deterministic across runs,
+    and ragged vectors are excluded from pairing."""
+    from dynamic_partitioner_spark.operators.similarity import (
+        cosine_threshold_sweep)
+
+    n = 400
+    rows = [(i, [float(i % 7 + 1), float((i * 3) % 5), 1.0])
+            for i in range(n)]
+    rows.append((n, [1.0, 2.0]))       # ragged: dim 2, never pairs
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    runs = []
+    for _ in range(2):
+        out = cosine_threshold_sweep(df, "vec_id", "embedding",
+                                     target_rows=40).collect()
+        runs.append(sorted((r.bucket, r.n_pairs) for r in out))
+    assert runs[0] == runs[1]                       # deterministic
+    total = sum(p for _, p in runs[0])
+    # expected sample ~40 of 401 -> ~C(40,2)=780 pairs; allow slack
+    # but require far below C(401,2)=80200
+    assert 0 < total < 3000
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cosine_threshold_sweep(df, "vec_id", "embedding",
+                               target_rows=0.25)    # legacy fraction
