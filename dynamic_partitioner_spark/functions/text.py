@@ -582,3 +582,50 @@ def format_skeleton_sql(c: str) -> str:
     u = f"regexp_replace({u}, '[a-z]+', 'a', 'g')"
     u = f"regexp_replace({u}, '[ \\t\\n\\r]+', ' ', 'g')"
     return f"substr(trim({u}), 1, {SKELETON_LEN})"
+
+
+# ----------------------------------------------------------- readability
+
+#: sentence terminators (runs count once: "?!" is one boundary)
+_SENT_RE = "[.!?]+"
+#: vowel-group runs — the standard cheap syllable proxy
+_SYL_RE = "[aeiouyAEIOUY]+"
+
+
+def readability_counts(c: Column) -> tuple[Column, Column, Column]:
+    """(words, sentences, syllable-proxy) counts for Flesch-style
+    scoring — all three are regexp run counts (codegen, RE2-safe)."""
+    words = F.regexp_count(c, F.lit("[^ \\t\\n\\r]+"))
+    sents = F.regexp_count(c, F.lit(_SENT_RE))
+    syls = F.regexp_count(c, F.lit(_SYL_RE))
+    return words, sents, syls
+
+
+def flesch_score(c: Column) -> Column:
+    """Flesch reading-ease score (Flesch 1948, public formula):
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)``
+    with vowel-group runs as the syllable proxy — the standard cheap
+    readability gate in corpus quality stacks.  Both ratios are
+    divisions of exact integer counts, so the score is three IEEE ops
+    on identical inputs — bit-identical cross-engine after round4.
+    A text with words but no terminal punctuation counts as ONE
+    sentence (the usual convention — title-like and list-like corpora
+    would otherwise all score NULL); NULL only when there are no
+    words (formula undefined; a 0-denominator raises under ANSI)."""
+    words, sents, syls = readability_counts(c)
+    sents_eff = F.greatest(sents, F.lit(1))
+    score = (F.lit(206.835)
+             - F.lit(1.015) * (words / sents_eff)
+             - F.lit(84.6) * (syls / words))
+    return F.when(words > 0, score)
+
+
+def flesch_score_sql(c: str) -> str:
+    """DuckDB twin of :func:`flesch_score` (same counts, same three
+    IEEE ops)."""
+    words = f"len(regexp_extract_all({c}, '[^ \\t\\n\\r]+'))"
+    sents = f"greatest(len(regexp_extract_all({c}, '{_SENT_RE}')), 1)"
+    syls = f"len(regexp_extract_all({c}, '{_SYL_RE}'))"
+    return (f"CASE WHEN {words} > 0 THEN "
+            f"206.835 - 1.015 * ({words} / CAST({sents} AS DOUBLE)) "
+            f"- 84.6 * ({syls} / CAST({words} AS DOUBLE)) END")

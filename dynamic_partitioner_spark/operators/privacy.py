@@ -325,3 +325,84 @@ def dp_noisy_sums_sql(group_cols: list[str], value: str, clip: float,
         + ROUND4_SQL.format(x="sum_micro / 1e6") + " AS true_sum, "
         + ROUND4_SQL.format(x=f"sum_micro / 1e6 + {noise}")
         + " AS noisy_sum FROM g")
+
+
+def randomized_response(df: DataFrame, group_cols: list[str],
+                        bit_col: str, p_truth: float = 0.75,
+                        salt: str = "rr") -> DataFrame:
+    """Warner-style randomized response (Warner 1965): each row
+    reports its sensitive bit truthfully with probability ``p`` and
+    flipped otherwise, then the group prevalence is debiased with
+    ``π̂ = (obs + p − 1) / (2p − 1)`` — the local-privacy release
+    shape for per-row sensitive attributes.  The coin is the seeded
+    md5 unit draw on (salt, per-ROW key): seeding on the group key
+    would flip entire groups together and destroy the estimator, so
+    each row flips independently; seeded coins make the release
+    reproducible and oracle-checkable (same HONESTY NOTE as
+    :func:`dp_noisy_counts`: reproducibility, not formal privacy).
+
+    ``bit_col`` must be boolean; rows with NULL bit are excluded.
+    The caller must provide a row-unique ``_rr_key`` column (the
+    draw's seed) — requiring it explicitly beats deriving one from
+    monotonically_increasing_id, which is partitioning-dependent and
+    would break the oracle.
+    """
+    from ..functions.vectors import round4
+    from .sampling import hash_unit
+
+    if not 0.5 < p_truth < 1.0:
+        raise ValueError("p_truth must be in (0.5, 1)")
+    if "_rr_key" not in df.columns:
+        raise ValueError("randomized_response needs a row-unique "
+                         "_rr_key column for the deterministic coin")
+    b = F.col(bit_col).cast("boolean")
+    u = hash_unit(F.col("_rr_key"), salt)
+    reported = F.when(u < F.lit(float(p_truth)), b).otherwise(~b)
+    agg = (df.where(b.isNotNull())
+           .select(*group_cols, b.alias("_b"),
+                   reported.alias("_r"))
+           .groupBy(*group_cols)
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col("_r"), 1).otherwise(0))
+                .alias("n_reported"),
+                F.sum(F.when(F.col("_b"), 1).otherwise(0))
+                .alias("_n_true")))
+    p = float(p_truth)
+    est = ((F.col("n_reported") / F.col("n_rows")) + F.lit(p - 1.0)) \
+        / F.lit(2.0 * p - 1.0)
+    return agg.select(
+        *group_cols, "n_rows", "n_reported",
+        round4(est).alias("est_prevalence"),
+        round4(F.col("_n_true") / F.col("n_rows"))
+        .alias("true_prevalence"))
+
+
+def randomized_response_sql(group_cols: list[str], bit: str,
+                            rr_key: str, p_truth: float = 0.75,
+                            salt: str = "rr",
+                            from_table: str = "events") -> str:
+    """DuckDB twin of :func:`randomized_response`."""
+    from ..functions.vectors import ROUND4_SQL
+    from .sampling import hash_unit_sql
+
+    p = float(p_truth)
+    cols = ", ".join(group_cols)
+    u = hash_unit_sql(rr_key, salt)
+    return (
+        f"WITH base AS (SELECT {cols}, "
+        f"CAST({bit} AS BOOLEAN) AS b, "
+        f"CASE WHEN ({u}) < {p!r} THEN CAST({bit} AS BOOLEAN) "
+        f"ELSE NOT CAST({bit} AS BOOLEAN) END AS r "
+        f"FROM {from_table} WHERE CAST({bit} AS BOOLEAN) IS NOT NULL), "
+        f"g AS (SELECT {cols}, count(*) AS n_rows, "
+        f"CAST(sum(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n_reported, "
+        f"CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_true "
+        f"FROM base GROUP BY {cols}) "
+        f"SELECT {cols}, n_rows, n_reported, "
+        + ROUND4_SQL.format(
+            x=f"((n_reported / CAST(n_rows AS DOUBLE)) + ({p - 1.0!r}))"
+              f" / {2.0 * p - 1.0!r}")
+        + " AS est_prevalence, "
+        + ROUND4_SQL.format(x="n_true / CAST(n_rows AS DOUBLE)")
+        + " AS true_prevalence FROM g")

@@ -1135,3 +1135,89 @@ def seasonal_naive_eval_sql(key: str, ts_us: str, value: str,
                      / (count(*) * 1e6) * 10000 + 0.5) / 10000 AS bias
         FROM ev GROUP BY k
     """
+
+
+def cusum_changepoint(df: DataFrame, key_col: str, order_cols: list[str],
+                      value_col: str) -> DataFrame:
+    """Single level-shift changepoint per series, CUSUM-style: the
+    position maximizing the absolute centered prefix deviation
+    ``|n·P_i − i·T|`` (P = prefix sum, T = series total, n = length) —
+    the classic "where did the level shift" estimator (Page 1954's
+    cumulative-sum statistic, evaluated exactly), multiplied through
+    by ``n`` so no mean is ever divided out and every comparison is
+    BIGINT-exact.  The reported ``deviation`` is the normalized
+    ``|n·P − i·T| / (n·i·(n−i))``-free simple form ``|nP − iT|/n`` in
+    value units (round4) — monotone in the statistic, so the argmax
+    is the same point.
+
+    One shuffle on the key; prefix sums and the argmax ride a single
+    window sort.  Ties break on earliest position.  Series of length
+    < 2 produce no row (no interior point).  Overflow: ``n·P`` stays
+    in BIGINT up to ~10⁹ micro-unit rows per key; past that, cast the
+    products to DECIMAL(38,0) (see allocate_budget for the pattern).
+    """
+    from ..functions.vectors import round4
+
+    v_u = F.floor(F.col(value_col) * 1_000_000 + F.lit(0.5)).cast("long")
+    base = (df.where(F.col(value_col).isNotNull())
+            .select(F.col(key_col).alias("k"),
+                    *[F.col(c) for c in order_cols],
+                    v_u.alias("v_u")))
+    w = Window.partitionBy("k").orderBy(*order_cols)
+    wk = Window.partitionBy("k")
+    pre = base.select(
+        "k", *order_cols,
+        F.sum("v_u").over(w).alias("p"),
+        F.row_number().over(w).alias("i"),
+        F.sum("v_u").over(wk).alias("t"),
+        F.count(F.lit(1)).over(wk).alias("n"))
+    dev = pre.where(F.col("i") < F.col("n")).select(
+        "k", *order_cols, "i", "n",
+        F.abs(F.col("n") * F.col("p") - F.col("i") * F.col("t"))
+        .alias("_d"))
+    w_pick = Window.partitionBy("k").orderBy(F.col("_d").desc(),
+                                             F.col("i").asc())
+    return (dev.withColumn("_rk", F.row_number().over(w_pick))
+            .where(F.col("_rk") == 1)
+            .select(F.col("k").alias(key_col), *order_cols,
+                    F.col("i").alias("position"),
+                    F.col("n").alias("series_len"),
+                    round4(F.col("_d")
+                           / (F.col("n") * F.lit(1e6)))
+                    .alias("deviation")))
+
+
+def cusum_changepoint_sql(key: str, order_exprs: list[tuple[str, str]],
+                          value: str, from_table: str) -> str:
+    """DuckDB twin of :func:`cusum_changepoint`.  ``order_exprs`` are
+    (SQL expression, output name) pairs so computed order columns
+    (e.g. ``epoch_us(ts)``) surface under the same names as the Spark
+    side's aliased columns."""
+    sel = ", ".join(f"{e} AS {n}" for e, n in order_exprs)
+    oc = ", ".join(n for _, n in order_exprs)
+    return f"""
+        WITH base AS (
+            SELECT {key} AS k, {sel},
+                   CAST(floor({value} * 1000000 + 0.5) AS BIGINT) AS v_u
+            FROM {from_table} WHERE {value} IS NOT NULL),
+        pre AS (SELECT k, {oc},
+                       sum(v_u) OVER (PARTITION BY k ORDER BY {oc}
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS p,
+                       row_number() OVER (PARTITION BY k
+                                          ORDER BY {oc}) AS i,
+                       sum(v_u) OVER (PARTITION BY k) AS t,
+                       count(*) OVER (PARTITION BY k) AS n
+                FROM base),
+        dev AS (SELECT k, {oc}, i, n,
+                       abs(n * p - i * t) AS d
+                FROM pre WHERE i < n),
+        pick AS (SELECT *, row_number() OVER (PARTITION BY k
+                           ORDER BY d DESC, i ASC) AS rk
+                 FROM dev)
+        SELECT k AS {key}, {oc},
+               CAST(i AS BIGINT) AS position,
+               CAST(n AS BIGINT) AS series_len,
+               floor(d / (n * 1e6) * 10000 + 0.5) / 10000 AS deviation
+        FROM pick WHERE rk = 1
+    """

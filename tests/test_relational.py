@@ -889,3 +889,24 @@ def test_seasonal_naive_eval_sparse_series(spark):
     assert a.n_buckets == 2
     assert a.mae == 2.0                      # (3 + 1) / 2
     assert a.bias == 1.0                     # (3 - 1) / 2
+
+
+def test_cusum_changepoint_finds_level_shift(spark):
+    """A series that jumps from 1.0 to 5.0 at position 10 argmaxes the
+    centered prefix deviation exactly at the shift; a constant series
+    reports deviation 0; singleton series emit nothing."""
+    from dynamic_partitioner_spark.operators.relational import (
+        cusum_changepoint)
+
+    rows = ([("a", i, 1.0) for i in range(10)]
+            + [("a", i, 5.0) for i in range(10, 20)]
+            + [("b", i, 2.0) for i in range(8)]
+            + [("c", 0, 9.9)])
+    df = spark.createDataFrame(rows, "k string, pos long, v double")
+    out = {r.k: r for r in
+           cusum_changepoint(df, "k", ["pos"], "v").collect()}
+    assert out["a"].position == 10        # the shift point
+    # |n·P − i·T|/(n·1e6) at i=10: |20·10e6 − 10·60e6|/(20·1e6) = 20
+    assert out["a"].deviation == 20.0
+    assert out["b"].deviation == 0.0
+    assert "c" not in out                 # length-1 series: no interior

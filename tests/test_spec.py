@@ -253,3 +253,27 @@ def test_dp_noisy_sums_clipping_and_determinism(spark):
 
     with _pytest.raises(ValueError):
         dp_noisy_sums(df, ["g"], "v", clip=0.0, epsilon=1.0)
+
+
+def test_randomized_response_debiasing(spark):
+    """The debiased estimate lands near the true prevalence on a
+    deterministic coin; the coin flips row-wise (both outcomes occur);
+    missing _rr_key and out-of-range p raise."""
+    import pytest as _pytest
+
+    from dynamic_partitioner_spark.operators.privacy import (
+        randomized_response)
+
+    rows = [("g", i % 5 == 0, str(i)) for i in range(2000)]  # 20% true
+    df = spark.createDataFrame(rows, "g string, bit boolean, _rr_key string")
+    r = randomized_response(df, ["g"], "bit", p_truth=0.75).collect()[0]
+    assert r.n_rows == 2000
+    assert r.true_prevalence == 0.2
+    assert abs(r.est_prevalence - 0.2) < 0.06      # debiased, ±noise
+    # raw reported rate is biased toward 0.5 — debiasing moved it
+    assert abs(r.n_reported / 2000 - 0.35) < 0.05  # 0.2·0.75+0.8·0.25
+
+    with _pytest.raises(ValueError):
+        randomized_response(df.drop("_rr_key"), ["g"], "bit")
+    with _pytest.raises(ValueError):
+        randomized_response(df, ["g"], "bit", p_truth=0.4)

@@ -301,3 +301,24 @@ def test_format_skeleton_collapses_templates(spark):
     assert got[0] == got[1] == "a #9 a a: 9 a"
     assert got[2] != got[0]
     assert len(got[3]) == SKELETON_LEN      # truncation bound holds
+
+
+def test_flesch_score_known_text(spark):
+    """Hand-computed Flesch values; no-terminator text counts as one
+    sentence; empty text scores NULL."""
+    from pyspark.sql import functions as F
+
+    from dynamic_partitioner_spark.functions.text import flesch_score
+
+    rows = [("The cat sat. The dog ran.",),   # 6 words, 2 sents, 6 syl
+            ("spark table scan",),            # 3 words, 1 sent (fallback)
+            ("",), (None,)]
+    df = spark.createDataFrame(rows, "text string")
+    got = [r.f for r in
+           df.select(flesch_score(F.col("text")).alias("f")).collect()]
+    # 206.835 - 1.015*(6/2) - 84.6*(6/6) = 119.19
+    assert abs(got[0] - 119.19) < 1e-9
+    # syllable proxy: spark:1 (a), table:2 (a,e), scan:1 -> 4
+    # 206.835 - 1.015*3 - 84.6*(4/3)
+    assert abs(got[1] - (206.835 - 3.045 - 84.6 * 4 / 3)) < 1e-9
+    assert got[2] is None and got[3] is None
