@@ -3604,6 +3604,41 @@ def q_privacy_randomized_response(spark: SparkSession,
     return randomized_response(ev, ["event_type"], "hi")
 
 
+def q_events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve
+    (operators/relational.py:km_survival): hours from a user's first
+    activity to their first high-value purchase (value > 45), observed
+    over a 7-day window — users without one inside the window are
+    CENSORED at the window edge (or their last activity, whichever is
+    earlier), the case naive time-to-event averages get wrong; the
+    product-limit estimate folds sequentially so both engines multiply
+    the identical chain.  Durations bucket via integer `div` (Spark's
+    float-divide-then-cast truncates while DuckDB's CAST rounds
+    half-even — a silent off-by-one bucket split)."""
+    from dynamic_partitioner_spark.operators.relational import km_survival
+    events = _table(spark, sf_dir, "events")
+    ev = events.select("user_id", "event_type", "value",
+                       event_time_us(events).alias("us"))
+    f = ev.groupBy("user_id").agg(F.min("us").alias("first_us"),
+                                  F.max("us").alias("last_us"))
+    p = (ev.where((F.col("event_type") == "purchase")
+                  & (F.col("value") > 45))
+         .groupBy("user_id").agg(F.min("us").alias("p_us")))
+    _HOUR = 3_600_000_000
+    _WINDOW = 7 * 86_400_000_000
+    j = f.join(p, "user_id", "left").withColumn(
+        "we", F.col("first_us") + F.lit(_WINDOW))
+    converted = F.col("p_us").isNotNull() & (F.col("p_us") <= F.col("we"))
+    dur_end = F.when(converted, F.col("p_us")).otherwise(
+        F.least(F.col("last_us"), F.col("we")))
+    subj = (j.select((dur_end - F.col("first_us")).alias("_d_us"),
+                     F.when(converted, 1).otherwise(0)
+                     .alias("converted"))
+            .select(F.expr(f"_d_us div {_HOUR}").alias("duration_h"),
+                    "converted"))
+    return km_survival(subj, "duration_h", "converted")
+
+
 def q_embedding_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup threshold calibration: pairwise-cosine histogram +
     at-or-above sweep over a fixed-size (~1000-row) hash sample of the
@@ -3819,10 +3854,10 @@ _PRIORITY_R07 = [
     "query_auc", "events_seasonal_naive",
     "query_sql_rank_suite", "events_audience_overlap",
     "text_readability", "events_changepoint",
-    "privacy_randomized_response",
+    "privacy_randomized_response", "events_survival",
     # --- changed query/oracle text this round ---
     "query_approx_percentiles", "events_seq_ngrams",
-    # --- round-3 evidence (21 of the remaining 44) ---
+    # --- round-3 evidence (20 of the remaining 44) ---
     "events_transitions", "event_sessionize", "sample_stratified",
     "privacy_k_anon",
     "mm_binary_roundtrip", "mm_binary_stats", "mm_features",
@@ -3832,10 +3867,9 @@ _PRIORITY_R07 = [
     "text_lm_score", "text_repetition", "text_tfidf",
     "text_token_ids", "text_vocab",
     "streaming_join", "streaming_partitioned_write",
-    "streaming_upsert",
     # ---- fold: driver checks the 50 above ----
-    # round-3-evidence overflow (23)
-    "streaming_windowed_agg",
+    # round-3-evidence overflow (24)
+    "streaming_upsert", "streaming_windowed_agg",
     "query_cube", "query_distinct_agg",
     "query_event_gaps", "query_grouping_sets",
     "query_histogram", "query_pivot",
@@ -4061,6 +4095,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_readability": q_text_readability,
         "events_changepoint": q_events_changepoint,
         "privacy_randomized_response": q_privacy_randomized_response,
+        "events_survival": q_events_survival,
         "quality_expectations": q_quality_expectations,
         "similarity_hybrid_rrf": q_similarity_hybrid,
         "events_cumulative_users": q_events_cumulative_users,
@@ -6193,6 +6228,26 @@ def oracle_sql() -> dict[str, str]:
             FROM scored WHERE flesch IS NOT NULL
             GROUP BY lang
         """,
+        "events_survival": REL.km_survival_sql(
+            "duration_h", "converted",
+            """(WITH ev AS (SELECT user_id, event_type, value,
+                                   epoch_us(ts) AS us FROM events),
+                f AS (SELECT user_id, min(us) AS first_us,
+                             max(us) AS last_us
+                      FROM ev GROUP BY user_id),
+                p AS (SELECT user_id, min(us) AS p_us FROM ev
+                      WHERE event_type = 'purchase' AND value > 45
+                      GROUP BY user_id),
+                j AS (SELECT f.user_id, first_us, last_us, p_us,
+                             first_us + 604800000000 AS we
+                      FROM f LEFT JOIN p USING (user_id))
+                SELECT (CASE WHEN p_us IS NOT NULL AND p_us <= we
+                             THEN p_us
+                             ELSE least(last_us, we) END
+                        - first_us) // 3600000000 AS duration_h,
+                       CASE WHEN p_us IS NOT NULL AND p_us <= we
+                            THEN 1 ELSE 0 END AS converted
+                FROM j) subj"""),
         "events_changepoint": REL.cusum_changepoint_sql(
             "event_type", [("epoch_us(ts)", "ts_us"),
                            ("event_id", "event_id")], "value",

@@ -1221,3 +1221,88 @@ def cusum_changepoint_sql(key: str, order_exprs: list[tuple[str, str]],
                floor(d / (n * 1e6) * 10000 + 0.5) / 10000 AS deviation
         FROM pick WHERE rk = 1
     """
+
+
+def km_survival(df: DataFrame, duration_col: str,
+                event_col: str) -> DataFrame:
+    """Kaplan-Meier survival curve (Kaplan & Meier 1958): per distinct
+    duration bucket t, the at-risk count n_t, event count d_t, and the
+    product-limit estimate ``S(t) = Π_{s≤t} (1 − d_s/n_s)`` — the
+    churn/retention curve with correct censoring handling (a subject
+    censored at t leaves the risk set but contributes no event).
+
+    Exactness: each factor is one IEEE division + subtraction of
+    exact BIGINT counts, and the running product is a SEQUENTIAL fold
+    over the duration-ordered factor array — multiplication is
+    correctly rounded, so the fold is bit-identical to the oracle's
+    ``list_reduce`` (the EWMA precedent), no exp(Σ ln) drift.
+
+    Scale shape: one hash aggregate per duration bucket, a window
+    suffix-sum for the risk sets, then the bucket frame (bounded: one
+    row per DISTINCT duration, pick a bucketing that keeps it in the
+    thousands) collapses to a single ordered array whose running
+    products are folded per row — O(buckets²) multiplications, driver
+    never involved.  ``event_col`` must be 0/1 integral; NULL
+    durations are excluded.
+    """
+    from ..functions.vectors import round4
+
+    base = (df.where(F.col(duration_col).isNotNull())
+            .select(F.col(duration_col).cast("long").alias("t"),
+                    F.col(event_col).cast("long").alias("e")))
+    per_t = base.groupBy("t").agg(
+        F.sum("e").alias("d"),
+        F.count(F.lit(1)).alias("c"))
+    w_prev = (Window.orderBy("t")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    r = per_t.select(
+        "t", "d", "c",
+        (F.sum("c").over(w_all)
+         - F.coalesce(F.sum("c").over(w_prev), F.lit(0))).alias("n"))
+    factor = (F.lit(1.0) - F.col("d") / F.col("n")).cast("double")
+    one = (r.select(F.struct("t", "d", "n", factor.alias("f"))
+                    .alias("s"))
+           .agg(F.sort_array(F.collect_list("s")).alias("arr")))
+    exploded = one.select("arr", F.posexplode("arr").alias("idx", "s"))
+    surv = F.aggregate(
+        F.slice(F.expr("transform(arr, x -> x.f)"), F.lit(1),
+                F.col("idx") + 1),
+        F.lit(1.0).cast("double"), lambda acc, x: acc * x)
+    return exploded.select(
+        F.col("s.t").alias("duration"),
+        F.col("s.n").alias("n_at_risk"),
+        F.col("s.d").alias("d_events"),
+        round4(surv).alias("survival"))
+
+
+def km_survival_sql(duration: str, event: str, from_table: str) -> str:
+    """DuckDB twin of :func:`km_survival` (same counts, same ordered
+    sequential product fold — bit-identical multiplication chain)."""
+    return f"""
+        WITH base AS (
+            SELECT CAST({duration} AS BIGINT) AS t,
+                   CAST({event} AS BIGINT) AS e
+            FROM {from_table} WHERE {duration} IS NOT NULL),
+        per_t AS (SELECT t, CAST(sum(e) AS BIGINT) AS d,
+                         count(*) AS c
+                  FROM base GROUP BY t),
+        r AS (SELECT t, d, c,
+                     sum(c) OVER () - coalesce(sum(c) OVER (
+                         ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS n
+              FROM per_t),
+        arrs AS (SELECT list(t ORDER BY t) AS ts,
+                        list(CAST(n AS BIGINT) ORDER BY t) AS ns,
+                        list(d ORDER BY t) AS ds,
+                        list(CAST(1.0 - d / CAST(n AS DOUBLE)
+                                  AS DOUBLE) ORDER BY t) AS fs
+                 FROM r)
+        SELECT ts[i] AS duration, ns[i] AS n_at_risk, ds[i] AS d_events,
+               floor(list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+                                              fs[1:i]),
+                                 (acc, x) -> acc * x) * 10000 + 0.5)
+               / 10000 AS survival
+        FROM arrs, unnest(range(1, len(ts) + 1)) AS u(i)
+    """

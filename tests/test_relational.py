@@ -910,3 +910,20 @@ def test_cusum_changepoint_finds_level_shift(spark):
     assert out["a"].deviation == 20.0
     assert out["b"].deviation == 0.0
     assert "c" not in out                 # length-1 series: no interior
+
+
+def test_km_survival_hand_checked(spark):
+    """Textbook product-limit curve: censored subjects shrink the risk
+    set without dropping survival; censor-only tail keeps S flat."""
+    from dynamic_partitioner_spark.operators.relational import km_survival
+
+    rows = [(1, 1), (1, 0), (2, 1), (3, 0)]
+    df = spark.createDataFrame(rows, "duration long, event long")
+    out = {r.duration: r for r in
+           km_survival(df, "duration", "event").collect()}
+    assert (out[1].n_at_risk, out[1].d_events) == (4, 1)
+    assert out[1].survival == 0.75          # 1 - 1/4
+    assert (out[2].n_at_risk, out[2].d_events) == (2, 1)
+    assert out[2].survival == 0.375         # 0.75 * (1 - 1/2)
+    assert (out[3].n_at_risk, out[3].d_events) == (1, 0)
+    assert out[3].survival == 0.375         # censoring leaves S flat
