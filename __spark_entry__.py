@@ -3604,6 +3604,57 @@ def q_privacy_randomized_response(spark: SparkSession,
     return randomized_response(ev, ["event_type"], "hi")
 
 
+def q_source_csv_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode ingest audit: a deterministically poisoned CSV
+    feed (every 7th record carries a non-numeric key, every 13th an
+    unclosed quote) read back with an explicit schema +
+    columnNameOfCorruptRecord, then classified — the quarantine
+    split every production CSV ingest needs before the clean rows
+    proceed.  Observed semantics the oracle predicts from the
+    construction: a type failure (non-numeric key) quarantines the
+    row but KEEPS its parseable fields; an unclosed quote is NOT
+    corrupt — univocity reads the open quote to end-of-line, so the
+    row lands clean with a swallowed (NULL) trailing column — the
+    degraded-but-clean class a naive corrupt-count audit misses.
+    At 100 TB the point is PERMISSIVE vs FAILFAST: quarantine columns
+    keep the job alive and auditable instead of dying on row one."""
+    apply_engine_confs(spark)
+    nation = _table(spark, sf_dir, "nation").orderBy("n_nationkey")
+    rows = nation.collect()               # 25 rows — bounded dimension
+    lines = []
+    for rep in range(40):                 # 1000 records
+        for r in rows:
+            i = rep * len(rows) + r.n_nationkey
+            if i % 7 == 0:
+                lines.append(f"xx,{r.n_name},{r.n_regionkey}")
+            elif i % 13 == 0:
+                lines.append(f'{i},"{r.n_name},{r.n_regionkey}')
+            else:
+                lines.append(f"{i},{r.n_name},{r.n_regionkey}")
+    out = _out("csv_corrupt_src")
+    (spark.createDataFrame([(ln,) for ln in lines], "value string")
+     .coalesce(1).write.text(out))
+    schema = ("rec_id LONG, name STRING, region LONG, "
+              "_corrupt STRING")
+    df = (spark.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .csv(out))
+    status = (F.when(F.col("_corrupt").isNotNull(), "quarantined")
+              .otherwise("clean"))
+    # reference rec_id in the projection: CSV column pruning otherwise
+    # skips parsing it, and a type failure in an unread column never
+    # populates the corrupt-record column (documented Spark behavior)
+    return (df.select(status.alias("status"), "rec_id", "region")
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.when(F.col("rec_id").isNotNull(), 1)
+                       .otherwise(0)).alias("n_with_id"),
+                 F.sum(F.when(F.col("region").isNotNull(), 1)
+                       .otherwise(0)).alias("n_with_region"))
+            .orderBy("status"))
+
+
 def q_events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier time-to-conversion curve
     (operators/relational.py:km_survival): hours from a user's first
@@ -3737,15 +3788,28 @@ def q_text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch over the token stream: mergeable per-partition
     sketches (cell-sum shuffle is depth×width, independent of corpus
-    size) + exact top-20 recount exposing the estimation error.
-    Rows-only by design — the estimate depends on the sketch geometry;
-    the overestimate-only bound n_true ≤ n_est ≤ n_true + eN/width is
-    pinned in tests/test_frequency.py."""
+    size) + exact top-20 recount.  HASH-CHECKED via the r6 sketch
+    pattern: the exact columns (rank, item, n_true) plus a Spark-side
+    boolean asserting the Cormode-Muthukrishnan overestimate bound
+    ``n_true ≤ n_est ≤ n_true + ⌊e·N/width⌋ + 1`` that the oracle
+    emits as literal TRUE — the driver hash fails if the sketch ever
+    drifts out of bound; the numeric gap stays pinned in
+    tests/test_frequency.py."""
+    import math
+
     from dynamic_partitioner_spark.operators.frequency import cms_estimates
     docs = _table(spark, sf_dir, "documents")
     toks = (docs.select(F.explode(DD.tokens(F.col("text"))).alias("term"))
             .where(F.length("term") > 0))
-    return cms_estimates(toks, "term", top=20)
+    est = cms_estimates(toks, "term", top=20)
+    total = toks.agg(F.count(F.lit(1)).alias("n_stream"))
+    bound = (F.floor(F.lit(math.e) * F.col("n_stream") / F.lit(1024.0))
+             + F.lit(1))
+    in_bound = ((F.col("n_est") >= F.col("n_true"))
+                & (F.col("n_est") - F.col("n_true") <= bound))
+    return (est.join(F.broadcast(total))
+            .select("rank", "item", "n_true",
+                    in_bound.alias("est_in_bound")))
 
 
 def q_ops_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3855,9 +3919,10 @@ _PRIORITY_R07 = [
     "query_sql_rank_suite", "events_audience_overlap",
     "text_readability", "events_changepoint",
     "privacy_randomized_response", "events_survival",
+    "source_csv_corrupt_audit",
     # --- changed query/oracle text this round ---
-    "query_approx_percentiles", "events_seq_ngrams",
-    # --- round-3 evidence (20 of the remaining 44) ---
+    "query_approx_percentiles", "events_seq_ngrams", "sketch_cms",
+    # --- round-3 evidence (18 of the remaining 44) ---
     "events_transitions", "event_sessionize", "sample_stratified",
     "privacy_k_anon",
     "mm_binary_roundtrip", "mm_binary_stats", "mm_features",
@@ -3866,9 +3931,9 @@ _PRIORITY_R07 = [
     "text_chunk", "text_chunk_dedup", "text_hashed_vector",
     "text_lm_score", "text_repetition", "text_tfidf",
     "text_token_ids", "text_vocab",
-    "streaming_join", "streaming_partitioned_write",
     # ---- fold: driver checks the 50 above ----
-    # round-3-evidence overflow (24)
+    # round-3-evidence overflow (26)
+    "streaming_join", "streaming_partitioned_write",
     "streaming_upsert", "streaming_windowed_agg",
     "query_cube", "query_distinct_agg",
     "query_event_gaps", "query_grouping_sets",
@@ -4096,6 +4161,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_changepoint": q_events_changepoint,
         "privacy_randomized_response": q_privacy_randomized_response,
         "events_survival": q_events_survival,
+        "source_csv_corrupt_audit": q_source_csv_corrupt_audit,
         "quality_expectations": q_quality_expectations,
         "similarity_hybrid_rrf": q_similarity_hybrid,
         "events_cumulative_users": q_events_cumulative_users,
@@ -6227,6 +6293,40 @@ def oracle_sql() -> dict[str, str]:
                    AS mean_flesch
             FROM scored WHERE flesch IS NOT NULL
             GROUP BY lang
+        """,
+        # arithmetic oracle from the poisoning construction (the
+        # parse SEMANTICS are Spark's; the counts are fully determined
+        # by which i are 7- and 13-divisible)
+        "source_csv_corrupt_audit": """
+            WITH i AS (SELECT unnest(range(0, 1000)) AS i),
+            c AS (SELECT CAST(sum(CASE WHEN i % 7 = 0
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                             AS q,
+                         CAST(sum(CASE WHEN i % 7 <> 0 AND i % 13 = 0
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                             AS uq
+                  FROM i)
+            SELECT 'clean' AS status, 1000 - q AS n_rows,
+                   1000 - q AS n_with_id,
+                   1000 - q - uq AS n_with_region
+            FROM c
+            UNION ALL
+            SELECT 'quarantined', q, 0, q FROM c
+        """,
+        # r6 sketch pattern: exact top-20 token counts + the bound
+        # boolean as literal TRUE (tokens mirror DD.tokens: trim,
+        # lower, whitespace split, empty filtered)
+        "sketch_cms": r"""
+            WITH toks AS (
+                SELECT unnest(string_split_regex(trim(lower(text)),
+                                                 '[ \t\n\r]+')) AS term
+                FROM documents),
+            t2 AS (SELECT term FROM toks WHERE length(term) > 0),
+            c AS (SELECT term, count(*) AS n_true FROM t2 GROUP BY term)
+            SELECT row_number() OVER (ORDER BY n_true DESC, term)
+                       AS rank,
+                   term AS item, n_true, TRUE AS est_in_bound
+            FROM c QUALIFY rank <= 20
         """,
         "events_survival": REL.km_survival_sql(
             "duration_h", "converted",

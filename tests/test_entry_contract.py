@@ -28,7 +28,7 @@ def test_every_oracle_has_a_query_and_priorities_resolve():
         "dedup_embedding_lsh", "dedup_minhash", "similarity_ann_ivf",
         "similarity_ann_lsh", "similarity_ivf_pruned", "text_pack",
         "similarity_pq_rerank", "dedup_semantic",
-        "embedding_pca", "text_bpe_learn", "sketch_cms",
+        "embedding_pca", "text_bpe_learn",
         "graph_pagerank",
     }, sorted(rows_only)
     # priority rotation covers every NEW key first (never hash-checked)
