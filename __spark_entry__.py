@@ -3604,6 +3604,71 @@ def q_privacy_randomized_response(spark: SparkSession,
     return randomized_response(ev, ["event_type"], "hi")
 
 
+def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on high-value-conversion rate between
+    hash-split variants — the experimentation readout: per-variant
+    exact user/converter counts, the pooled z statistic, and the
+    |z| > 1.96 verdict.  Variant assignment is the md5 unit draw on
+    user_id (the same machinery as train/test hygiene); every input
+    to the statistic is an exact BIGINT count, and z is a handful of
+    IEEE ops (divisions, one correctly-rounded sqrt) on identical
+    doubles — bit-identical cross-engine after round4.  se = 0
+    (conversion universal or absent) yields NULL z / not-significant
+    rather than an ANSI divide-by-zero.  On a hash split of
+    homogeneous synthetic traffic the verdict SHOULD be
+    not-significant — the A/A-test reading; significance here would
+    flag a broken splitter."""
+    from dynamic_partitioner_spark.operators.sampling import hash_unit
+    events = _table(spark, sf_dir, "events")
+    per_user = (events.groupBy("user_id")
+                .agg(F.max(F.when((F.col("event_type") == "purchase")
+                                  & (F.col("value") > 45), 1)
+                           .otherwise(0)).alias("converted")))
+    variant = F.when(hash_unit(F.col("user_id"), "ab") < 0.5, "A") \
+        .otherwise("B")
+    g = (per_user.select(variant.alias("variant"), "converted")
+         .groupBy("variant")
+         .agg(F.count(F.lit(1)).alias("n_users"),
+              F.sum("converted").alias("n_converted")))
+    w = Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+    tot_n = F.sum("n_users").over(w)
+    tot_c = F.sum("n_converted").over(w)
+    other_n = tot_n - F.col("n_users")
+    other_c = tot_c - F.col("n_converted")
+    p_pool = tot_c / tot_n
+    se = F.sqrt(p_pool * (1 - p_pool)
+                * (1 / F.col("n_users") + 1 / other_n))
+    z = F.when(se > 0,
+               (F.col("n_converted") / F.col("n_users")
+                - other_c / other_n) / se)
+    return g.select(
+        "variant", "n_users", "n_converted",
+        round4(F.col("n_converted") / F.col("n_users")).alias("rate"),
+        round4(z).alias("z_score"),
+        F.coalesce(F.abs(z) > 1.96, F.lit(False))
+        .alias("significant_95"))
+
+
+#: SQL table-function surface: LATERAL VIEW posexplode in Spark; the
+#: oracle expands the same relation with DuckDB's lateral unnest over
+#: an index range (0-based positions match posexplode)
+_LATERAL_SQL_SPARK = """
+    SELECT n_name, pos, word
+    FROM nation
+    LATERAL VIEW posexplode(split(n_name, '_')) t AS pos, word
+    WHERE n_nationkey < 10
+"""
+
+
+def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-valued-function SQL surface: LATERAL VIEW posexplode
+    over a split column — the row-expanding join every nested-data
+    query needs; the oracle runs DuckDB's lateral unnest form of the
+    same relation."""
+    return _run_sql(spark, sf_dir, _LATERAL_SQL_SPARK, ["nation"])
+
+
 def q_source_csv_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERMISSIVE-mode ingest audit: a deterministically poisoned CSV
     feed (every 7th record carries a non-numeric key, every 13th an
@@ -3919,20 +3984,20 @@ _PRIORITY_R07 = [
     "query_sql_rank_suite", "events_audience_overlap",
     "text_readability", "events_changepoint",
     "privacy_randomized_response", "events_survival",
-    "source_csv_corrupt_audit",
+    "source_csv_corrupt_audit", "events_ab_test", "query_sql_lateral",
     # --- changed query/oracle text this round ---
     "query_approx_percentiles", "events_seq_ngrams", "sketch_cms",
-    # --- round-3 evidence (18 of the remaining 44) ---
+    # --- round-3 evidence (16 of the remaining 44) ---
     "events_transitions", "event_sessionize", "sample_stratified",
     "privacy_k_anon",
     "mm_binary_roundtrip", "mm_binary_stats", "mm_features",
     "mm_frame_sample",
-    "streaming_dedup", "streaming_stateful_counts",
     "text_chunk", "text_chunk_dedup", "text_hashed_vector",
     "text_lm_score", "text_repetition", "text_tfidf",
     "text_token_ids", "text_vocab",
     # ---- fold: driver checks the 50 above ----
-    # round-3-evidence overflow (26)
+    # round-3-evidence overflow (28)
+    "streaming_dedup", "streaming_stateful_counts",
     "streaming_join", "streaming_partitioned_write",
     "streaming_upsert", "streaming_windowed_agg",
     "query_cube", "query_distinct_agg",
@@ -4162,6 +4227,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "privacy_randomized_response": q_privacy_randomized_response,
         "events_survival": q_events_survival,
         "source_csv_corrupt_audit": q_source_csv_corrupt_audit,
+        "events_ab_test": q_events_ab_test,
+        "query_sql_lateral": q_sql_lateral,
         "quality_expectations": q_quality_expectations,
         "similarity_hybrid_rrf": q_similarity_hybrid,
         "events_cumulative_users": q_events_cumulative_users,
@@ -6293,6 +6360,52 @@ def oracle_sql() -> dict[str, str]:
                    AS mean_flesch
             FROM scored WHERE flesch IS NOT NULL
             GROUP BY lang
+        """,
+        "events_ab_test": f"""
+            WITH pu AS (
+                SELECT user_id,
+                       max(CASE WHEN event_type = 'purchase'
+                                 AND value > 45
+                                THEN 1 ELSE 0 END) AS converted
+                FROM events GROUP BY user_id),
+            g AS (SELECT CASE WHEN
+                       {{u_ab}} < 0.5
+                       THEN 'A' ELSE 'B' END AS variant,
+                       count(*) AS n_users,
+                       CAST(sum(converted) AS BIGINT) AS n_converted
+                  FROM pu GROUP BY 1),
+            t AS (SELECT *, sum(n_users) OVER () AS tot_n,
+                         sum(n_converted) OVER () AS tot_c
+                  FROM g),
+            st AS (SELECT *,
+                          sqrt((tot_c / CAST(tot_n AS DOUBLE))
+                               * (1 - tot_c / CAST(tot_n AS DOUBLE))
+                               * (1.0 / n_users
+                                  + 1.0 / (tot_n - n_users))) AS se
+                   FROM t)
+            SELECT variant, n_users, n_converted,
+                   {ROUND4_SQL.format(
+                       x="n_converted / CAST(n_users AS DOUBLE)")}
+                   AS rate,
+                   CASE WHEN se > 0 THEN {ROUND4_SQL.format(
+                       x="(n_converted / CAST(n_users AS DOUBLE) "
+                         "- (tot_c - n_converted) "
+                         "/ CAST(tot_n - n_users AS DOUBLE)) / se")}
+                   END AS z_score,
+                   coalesce(CASE WHEN se > 0 THEN
+                       abs((n_converted / CAST(n_users AS DOUBLE)
+                            - (tot_c - n_converted)
+                            / CAST(tot_n - n_users AS DOUBLE)) / se)
+                       > 1.96 END, FALSE) AS significant_95
+            FROM st
+        """.replace("{u_ab}", SMP.hash_unit_sql("user_id", "ab")),
+        "query_sql_lateral": """
+            WITH p AS (SELECT n_name,
+                              string_split(n_name, '_') AS parts
+                       FROM nation WHERE n_nationkey < 10)
+            SELECT n_name, CAST(i - 1 AS INTEGER) AS pos,
+                   parts[i] AS word
+            FROM p, unnest(range(1, len(parts) + 1)) AS t(i)
         """,
         # arithmetic oracle from the poisoning construction (the
         # parse SEMANTICS are Spark's; the counts are fully determined
