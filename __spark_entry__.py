@@ -3605,7 +3605,9 @@ def q_privacy_randomized_response(spark: SparkSession,
 
 
 def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-proportion z-test on high-value-conversion rate between
+    """Two-proportion z-test on high-value-conversion (value > 95 —
+    chosen so conversion is non-degenerate at EVERY test SF; a lower
+    cut saturates to 100% and the z-path never runs) rate between
     hash-split variants — the experimentation readout: per-variant
     exact user/converter counts, the pooled z statistic, and the
     |z| > 1.96 verdict.  Variant assignment is the md5 unit draw on
@@ -3622,7 +3624,7 @@ def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _table(spark, sf_dir, "events")
     per_user = (events.groupBy("user_id")
                 .agg(F.max(F.when((F.col("event_type") == "purchase")
-                                  & (F.col("value") > 45), 1)
+                                  & (F.col("value") > 95), 1)
                            .otherwise(0)).alias("converted")))
     variant = F.when(hash_unit(F.col("user_id"), "ab") < 0.5, "A") \
         .otherwise("B")
@@ -3855,26 +3857,21 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches (cell-sum shuffle is depth×width, independent of corpus
     size) + exact top-20 recount.  HASH-CHECKED via the r6 sketch
     pattern: the exact columns (rank, item, n_true) plus a Spark-side
-    boolean asserting the Cormode-Muthukrishnan overestimate bound
-    ``n_true ≤ n_est ≤ n_true + ⌊e·N/width⌋ + 1`` that the oracle
-    emits as literal TRUE — the driver hash fails if the sketch ever
-    drifts out of bound; the numeric gap stays pinned in
+    boolean asserting the sketch's DETERMINISTIC invariant — CMS
+    never underestimates (``n_est ≥ n_true``, a hard guarantee, not
+    the probabilistic e·N/width bound whose per-item failure odds
+    ~e^−depth would let a correct sketch flip the hash red on a new
+    corpus) — that the oracle emits as literal TRUE; the
+    probabilistic error bound stays pinned per-corpus in
     tests/test_frequency.py."""
-    import math
-
     from dynamic_partitioner_spark.operators.frequency import cms_estimates
     docs = _table(spark, sf_dir, "documents")
     toks = (docs.select(F.explode(DD.tokens(F.col("text"))).alias("term"))
             .where(F.length("term") > 0))
-    est = cms_estimates(toks, "term", top=20)
-    total = toks.agg(F.count(F.lit(1)).alias("n_stream"))
-    bound = (F.floor(F.lit(math.e) * F.col("n_stream") / F.lit(1024.0))
-             + F.lit(1))
-    in_bound = ((F.col("n_est") >= F.col("n_true"))
-                & (F.col("n_est") - F.col("n_true") <= bound))
-    return (est.join(F.broadcast(total))
-            .select("rank", "item", "n_true",
-                    in_bound.alias("est_in_bound")))
+    est = cms_estimates(toks, "term", top=20, width=1024, depth=4)
+    return est.select("rank", "item", "n_true",
+                      (F.col("n_est") >= F.col("n_true"))
+                      .alias("est_in_bound"))
 
 
 def q_ops_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6365,7 +6362,7 @@ def oracle_sql() -> dict[str, str]:
             WITH pu AS (
                 SELECT user_id,
                        max(CASE WHEN event_type = 'purchase'
-                                 AND value > 45
+                                 AND value > 95
                                 THEN 1 ELSE 0 END) AS converted
                 FROM events GROUP BY user_id),
             g AS (SELECT CASE WHEN

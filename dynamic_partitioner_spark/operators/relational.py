@@ -1152,9 +1152,12 @@ def cusum_changepoint(df: DataFrame, key_col: str, order_cols: list[str],
 
     One shuffle on the key; prefix sums and the argmax ride a single
     window sort.  Ties break on earliest position.  Series of length
-    < 2 produce no row (no interior point).  Overflow: ``n·P`` stays
-    in BIGINT up to ~10⁹ micro-unit rows per key; past that, cast the
-    products to DECIMAL(38,0) (see allocate_budget for the pattern).
+    < 2 produce no row (no interior point).  The ``n·P`` / ``i·T``
+    products run in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — BIGINT
+    would overflow at only ~4e5 rows per key for typical micro-unit
+    magnitudes; the final normalized deviation is one int→double
+    conversion (uniquely defined in IEEE, identical both engines) and
+    one division.
     """
     from ..functions.vectors import round4
 
@@ -1171,10 +1174,13 @@ def cusum_changepoint(df: DataFrame, key_col: str, order_cols: list[str],
         F.row_number().over(w).alias("i"),
         F.sum("v_u").over(wk).alias("t"),
         F.count(F.lit(1)).over(wk).alias("n"))
+    # DECIMAL(38,0) products: n·P crosses BIGINT at ~4e5 rows/key for
+    # 5e7-micro-unit values (well inside real scale); 128-bit keeps the
+    # argmax exact and mirrors the oracle's HUGEINT widening
     dev = pre.where(F.col("i") < F.col("n")).select(
         "k", *order_cols, "i", "n",
-        F.abs(F.col("n") * F.col("p") - F.col("i") * F.col("t"))
-        .alias("_d"))
+        F.expr("abs(CAST(n AS DECIMAL(38,0)) * p "
+               "- CAST(i AS DECIMAL(38,0)) * t)").alias("_d"))
     w_pick = Window.partitionBy("k").orderBy(F.col("_d").desc(),
                                              F.col("i").asc())
     return (dev.withColumn("_rk", F.row_number().over(w_pick))
@@ -1182,7 +1188,7 @@ def cusum_changepoint(df: DataFrame, key_col: str, order_cols: list[str],
             .select(F.col("k").alias(key_col), *order_cols,
                     F.col("i").alias("position"),
                     F.col("n").alias("series_len"),
-                    round4(F.col("_d")
+                    round4(F.col("_d").cast("double")
                            / (F.col("n") * F.lit(1e6)))
                     .alias("deviation")))
 
@@ -1210,7 +1216,8 @@ def cusum_changepoint_sql(key: str, order_exprs: list[tuple[str, str]],
                        count(*) OVER (PARTITION BY k) AS n
                 FROM base),
         dev AS (SELECT k, {oc}, i, n,
-                       abs(n * p - i * t) AS d
+                       abs(CAST(n AS HUGEINT) * p
+                           - CAST(i AS HUGEINT) * t) AS d
                 FROM pre WHERE i < n),
         pick AS (SELECT *, row_number() OVER (PARTITION BY k
                            ORDER BY d DESC, i ASC) AS rk

@@ -927,3 +927,19 @@ def test_km_survival_hand_checked(spark):
     assert out[2].survival == 0.375         # 0.75 * (1 - 1/2)
     assert (out[3].n_at_risk, out[3].d_events) == (1, 0)
     assert out[3].survival == 0.375         # censoring leaves S flat
+
+
+def test_cusum_changepoint_survives_bigint_overflow(spark):
+    """n·P beyond int64: the DECIMAL(38,0) product path must neither
+    raise ARITHMETIC_OVERFLOW (ANSI) nor pick a wrapped argmax."""
+    from dynamic_partitioner_spark.operators.relational import (
+        cusum_changepoint)
+
+    # 2000 rows of ~9.2e12 micro-units: P ~ 1.8e16, n*P ~ 3.7e19 > 2^63
+    big = 9.2e6
+    rows = ([("a", i, big) for i in range(1000)]
+            + [("a", i, big * 3) for i in range(1000, 2000)])
+    df = spark.createDataFrame(rows, "k string, pos long, v double")
+    r = cusum_changepoint(df, "k", ["pos"], "v").collect()[0]
+    assert r.position == 1000                  # shift found, no wrap
+    assert r.series_len == 2000
