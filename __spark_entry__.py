@@ -3678,13 +3678,16 @@ def q_source_csv_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     columnNameOfCorruptRecord, then classified — the quarantine
     split every production CSV ingest needs before the clean rows
     proceed.  Observed semantics the oracle predicts from the
-    construction: a type failure (non-numeric key) quarantines the
-    row but KEEPS its parseable fields; an unclosed quote is NOT
-    corrupt — univocity reads the open quote to end-of-line, so the
-    row lands clean with a swallowed (NULL) trailing column — the
-    degraded-but-clean class a naive corrupt-count audit misses.
-    At 100 TB the point is PERMISSIVE vs FAILFAST: quarantine columns
-    keep the job alive and auditable instead of dying on row one."""
+    construction (FULL-column parse — the relation is cached, which
+    both satisfies Spark's corrupt-column query restriction and pins
+    the semantics; under column pruning the univocity parser skips
+    unreferenced columns and classifies DIFFERENTLY): a type failure
+    (non-numeric key) quarantines the row but keeps its parseable
+    sibling fields; an unclosed quote also quarantines (the quote
+    swallows to EOL, leaving too few fields) while its leading
+    well-formed fields survive.  At 100 TB the point is PERMISSIVE vs
+    FAILFAST: quarantine columns keep the job alive and auditable
+    instead of dying on row one."""
     apply_engine_confs(spark)
     nation = _table(spark, sf_dir, "nation").orderBy("n_nationkey")
     rows = nation.collect()               # 25 rows — bounded dimension
@@ -3707,6 +3710,11 @@ def q_source_csv_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
           .option("mode", "PERMISSIVE")
           .option("columnNameOfCorruptRecord", "_corrupt")
           .csv(out))
+    # cache the PARSED relation (Spark's own documented requirement):
+    # a downstream count() would otherwise prune the plan to the
+    # corrupt column alone, which raises
+    # UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN
+    df = df.cache()
     status = (F.when(F.col("_corrupt").isNotNull(), "quarantined")
               .otherwise("clean"))
     # reference rec_id in the projection: CSV column pruning otherwise
@@ -6416,12 +6424,12 @@ def oracle_sql() -> dict[str, str]:
                                        THEN 1 ELSE 0 END) AS BIGINT)
                              AS uq
                   FROM i)
-            SELECT 'clean' AS status, 1000 - q AS n_rows,
-                   1000 - q AS n_with_id,
+            SELECT 'clean' AS status, 1000 - q - uq AS n_rows,
+                   1000 - q - uq AS n_with_id,
                    1000 - q - uq AS n_with_region
             FROM c
             UNION ALL
-            SELECT 'quarantined', q, 0, q FROM c
+            SELECT 'quarantined', q + uq, uq, q FROM c
         """,
         # r6 sketch pattern: exact top-20 token counts + the bound
         # boolean as literal TRUE (tokens mirror DD.tokens: trim,
