@@ -3671,6 +3671,79 @@ def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_sql(spark, sf_dir, _LATERAL_SQL_SPARK, ["nation"])
 
 
+def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel (operators/relational.py:
+    funnel_windowed): view → click → purchase where each step must
+    land within 24 h of the previous step's first completion — the
+    time-constrained variant the plain funnel key cannot express."""
+    from dynamic_partitioner_spark.operators.relational import (
+        funnel_windowed)
+    events = _table(spark, sf_dir, "events")
+    ev = events.select("user_id", "event_type",
+                       event_time_us(events).alias("ts_us"))
+    return funnel_windowed(ev, "user_id", "ts_us", "event_type",
+                           ["view", "click", "purchase"],
+                           max_gap=86_400_000_000)
+
+
+def q_privacy_k_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anonymity-set histogram: distribution of quasi-identifier
+    equivalence-class sizes (the release-audit table behind any k
+    choice — how many rows live in classes smaller than the k you are
+    about to pick).  One hash aggregate to class sizes, one to the
+    histogram; cumulative rows at-or-below each size via a window
+    suffix over the tiny histogram frame."""
+    cust = _table(spark, sf_dir, "customer")
+    classes = (cust.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"))
+        .groupBy("nation", "segment", "bal_band")
+        .agg(F.count(F.lit(1)).alias("class_size")))
+    hist = (classes.groupBy("class_size")
+            .agg(F.count(F.lit(1)).alias("n_classes")))
+    w = (Window.orderBy("class_size")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    rows_here = F.col("class_size") * F.col("n_classes")
+    return hist.select(
+        "class_size", "n_classes",
+        rows_here.alias("n_rows"),
+        F.sum(rows_here).over(w).alias("cum_rows_at_or_below"),
+        round4(F.sum(rows_here).over(w)
+               / F.sum(rows_here).over(w_all)).alias("cum_share"))
+
+
+def q_corpus_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call duplication report across three exactness levels —
+    byte-exact text, whitespace/case-normalized fingerprint, and
+    format-skeleton template families: per level, how many groups
+    collide and how much of the corpus sits in collisions.  The
+    triage table read before choosing which dedup pass to spend
+    compute on (each level is one hash aggregate over a bounded
+    key)."""
+    docs = (_table(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull()))
+    n_total = docs.count()      # bounded driver scalar: one count job
+
+    def level(name: str, key: F.Column) -> DataFrame:
+        g = (docs.select(key.alias("k"))
+             .groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+             .where(F.col("n") >= 2)
+             .agg(F.count(F.lit(1)).alias("n_groups"),
+                  F.coalesce(F.sum("n"), F.lit(0)).alias("n_docs")))
+        return g.select(F.lit(name).alias("dup_class"), "n_groups",
+                        "n_docs",
+                        round4(F.col("n_docs") / F.lit(float(n_total)))
+                        .alias("pct_of_corpus"))
+
+    exact = level("exact", F.md5(F.col("text")))
+    finger = level("fingerprint", TX.doc_fingerprint(F.col("text")))
+    tmpl = level("template", TX.format_skeleton(F.col("text")))
+    return exact.unionByName(finger).unionByName(tmpl)
+
+
 def q_source_csv_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERMISSIVE-mode ingest audit: a deterministically poisoned CSV
     feed (every 7th record carries a non-numeric key, every 13th an
@@ -3990,18 +4063,19 @@ _PRIORITY_R07 = [
     "text_readability", "events_changepoint",
     "privacy_randomized_response", "events_survival",
     "source_csv_corrupt_audit", "events_ab_test", "query_sql_lateral",
+    "events_funnel_windowed", "privacy_k_histogram", "corpus_dup_report",
     # --- changed query/oracle text this round ---
     "query_approx_percentiles", "events_seq_ngrams", "sketch_cms",
-    # --- round-3 evidence (16 of the remaining 44) ---
+    # --- round-3 evidence (13 of the remaining 44) ---
     "events_transitions", "event_sessionize", "sample_stratified",
     "privacy_k_anon",
-    "mm_binary_roundtrip", "mm_binary_stats", "mm_features",
-    "mm_frame_sample",
+    "mm_binary_roundtrip",
     "text_chunk", "text_chunk_dedup", "text_hashed_vector",
     "text_lm_score", "text_repetition", "text_tfidf",
     "text_token_ids", "text_vocab",
     # ---- fold: driver checks the 50 above ----
-    # round-3-evidence overflow (28)
+    # round-3-evidence overflow (31)
+    "mm_binary_stats", "mm_features", "mm_frame_sample",
     "streaming_dedup", "streaming_stateful_counts",
     "streaming_join", "streaming_partitioned_write",
     "streaming_upsert", "streaming_windowed_agg",
@@ -4234,6 +4308,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_csv_corrupt_audit": q_source_csv_corrupt_audit,
         "events_ab_test": q_events_ab_test,
         "query_sql_lateral": q_sql_lateral,
+        "events_funnel_windowed": q_events_funnel_windowed,
+        "privacy_k_histogram": q_privacy_k_histogram,
+        "corpus_dup_report": q_corpus_dup_report,
         "quality_expectations": q_quality_expectations,
         "similarity_hybrid_rrf": q_similarity_hybrid,
         "events_cumulative_users": q_events_cumulative_users,
@@ -6404,6 +6481,59 @@ def oracle_sql() -> dict[str, str]:
                        > 1.96 END, FALSE) AS significant_95
             FROM st
         """.replace("{u_ab}", SMP.hash_unit_sql("user_id", "ab")),
+        "events_funnel_windowed": REL.funnel_windowed_sql(
+            "user_id", "epoch_us(e.ts)", "event_type",
+            ["view", "click", "purchase"], 86_400_000_000, "events"),
+        "privacy_k_histogram": f"""
+            WITH cls AS (
+                SELECT c_nationkey AS nation, c_mktsegment AS segment,
+                       CAST(floor(c_acctbal / 1000) AS BIGINT)
+                           AS bal_band,
+                       count(*) AS class_size
+                FROM customer GROUP BY 1, 2, 3),
+            h AS (SELECT class_size, count(*) AS n_classes
+                  FROM cls GROUP BY class_size)
+            SELECT class_size, n_classes,
+                   class_size * n_classes AS n_rows,
+                   CAST(sum(class_size * n_classes) OVER (
+                       ORDER BY class_size
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT)
+                       AS cum_rows_at_or_below,
+                   {ROUND4_SQL.format(
+                       x="sum(class_size * n_classes) OVER ("
+                         "ORDER BY class_size ROWS BETWEEN UNBOUNDED "
+                         "PRECEDING AND CURRENT ROW) "
+                         "/ CAST(sum(class_size * n_classes) OVER () "
+                         "AS DOUBLE)")} AS cum_share
+            FROM h
+        """,
+        "corpus_dup_report": f"""
+            WITH d AS (SELECT text FROM documents
+                       WHERE text IS NOT NULL),
+            tot AS (SELECT count(*) AS n_total FROM d),
+            lv AS (
+                SELECT 'exact' AS dup_class, md5(text) AS k FROM d
+                UNION ALL
+                SELECT 'fingerprint',
+                       {TX.DOC_FINGERPRINT_SQL.format(c="text")} FROM d
+                UNION ALL
+                SELECT 'template',
+                       {TX.format_skeleton_sql("text")} FROM d),
+            g AS (SELECT dup_class, k, count(*) AS n
+                  FROM lv GROUP BY 1, 2),
+            agg AS (SELECT dup_class,
+                           CAST(count(*) FILTER (n >= 2) AS BIGINT)
+                               AS n_groups,
+                           CAST(coalesce(sum(n) FILTER (n >= 2), 0)
+                               AS BIGINT) AS n_docs
+                    FROM g GROUP BY dup_class)
+            SELECT dup_class, n_groups, n_docs,
+                   {ROUND4_SQL.format(
+                       x="n_docs / CAST(n_total AS DOUBLE)")}
+                   AS pct_of_corpus
+            FROM agg, tot
+        """,
         "query_sql_lateral": """
             WITH p AS (SELECT n_name,
                               string_split(n_name, '_') AS parts

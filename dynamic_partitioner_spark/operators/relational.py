@@ -1313,3 +1313,75 @@ def km_survival_sql(duration: str, event: str, from_table: str) -> str:
                / 10000 AS survival
         FROM arrs, unnest(range(1, len(ts) + 1)) AS u(i)
     """
+
+
+def funnel_windowed(df: DataFrame, user_col: str, ts_col: str,
+                    type_col: str, steps: list[str],
+                    max_gap: int) -> DataFrame:
+    """Time-constrained ordered funnel: step k counts only when it
+    first completes within ``max_gap`` (same units as ``ts_col``)
+    AFTER step k−1's first completion — the conversion-window funnel
+    ("purchased within an hour of clicking") that the unconstrained
+    :func:`funnel` cannot express; the CEP primitive without a CEP
+    engine.
+
+    Same shape as :func:`funnel` — one hash aggregate on the user key
+    per step, each reusing the previous step's per-user
+    first-completion frame — with the window predicate
+    ``prev < t ≤ prev + max_gap`` added to each join.  Integral
+    timestamps (epoch micros) keep the gap arithmetic exact in both
+    engines.
+    """
+    if not steps:
+        raise ValueError("funnel_windowed needs at least one step")
+    if max_gap <= 0:
+        raise ValueError("max_gap must be positive")
+    ev = df.select(F.col(user_col).alias("u"), F.col(ts_col).alias("t"),
+                   F.col(type_col).alias("k"))
+    reached = None
+    counts = []
+    for i, step in enumerate(steps):
+        cur = ev.where(F.col("k") == step)
+        if reached is None:
+            firsts = cur.groupBy("u").agg(F.min("t").alias("ft"))
+        else:
+            firsts = (cur.join(reached, "u")
+                      .where((F.col("t") > F.col("ft"))
+                             & (F.col("t") <= F.col("ft")
+                                + F.lit(int(max_gap))))
+                      .groupBy("u").agg(F.min("t").alias("ft")))
+        reached = firsts
+        counts.append(
+            firsts.agg(F.count(F.lit(1)).alias("n_users"))
+            .select(F.lit(i + 1).alias("step_idx"),
+                    F.lit(step).alias("step"), "n_users"))
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def funnel_windowed_sql(user: str, ts_us: str, typ: str,
+                        steps: list[str], max_gap: int,
+                        from_table: str) -> str:
+    """DuckDB twin of :func:`funnel_windowed`."""
+    ctes, prev = [], None
+    for i, step in enumerate(steps, start=1):
+        if prev is None:
+            ctes.append(
+                f"s{i} AS (SELECT e.{user} AS u, min({ts_us}) AS ft "
+                f"FROM {from_table} e WHERE e.{typ} = '{step}' "
+                f"GROUP BY e.{user})")
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.{user} AS u, min({ts_us}) AS ft "
+                f"FROM {from_table} e JOIN {prev} ON e.{user} = {prev}.u "
+                f"WHERE e.{typ} = '{step}' AND {ts_us} > {prev}.ft "
+                f"AND {ts_us} <= {prev}.ft + {int(max_gap)} "
+                f"GROUP BY e.{user})")
+        prev = f"s{i}"
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS step_idx, '{s}' AS step, "
+        f"(SELECT count(*) FROM s{i}) AS n_users"
+        for i, s in enumerate(steps, start=1))
+    return "WITH " + ", ".join(ctes) + " " + selects

@@ -943,3 +943,30 @@ def test_cusum_changepoint_survives_bigint_overflow(spark):
     r = cusum_changepoint(df, "k", ["pos"], "v").collect()[0]
     assert r.position == 1000                  # shift found, no wrap
     assert r.series_len == 2000
+
+
+def test_funnel_windowed_gap_constraint(spark):
+    """A step completing AFTER the window does not count, and a later
+    in-window occurrence of the same step rescues the user; the
+    unconstrained funnel would count all of them."""
+    from dynamic_partitioner_spark.operators.relational import (
+        funnel, funnel_windowed)
+
+    rows = [  # (user, ts, type)
+        (1, 10, "view"), (1, 15, "click"), (1, 18, "purchase"),  # all in
+        (2, 10, "view"), (2, 50, "click"),                       # click late
+        (3, 10, "view"), (3, 12, "click"), (3, 90, "purchase"),  # buy late
+        (4, 10, "view"), (4, 40, "click"), (4, 15, "click"),     # 2nd click
+        # user 4: first click at 15 (in window), purchase at 20 in window
+        (4, 20, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, et string")
+    got = {r.step: r.n_users
+           for r in funnel_windowed(df, "user_id", "ts", "et",
+                                    ["view", "click", "purchase"],
+                                    max_gap=10).collect()}
+    assert got == {"view": 4, "click": 3, "purchase": 2}
+    plain = {r.step: r.n_users
+             for r in funnel(df, "user_id", "ts", "et",
+                             ["view", "click", "purchase"]).collect()}
+    assert plain["click"] == 4 and plain["purchase"] == 3
