@@ -3721,27 +3721,35 @@ def q_corpus_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     format-skeleton template families: per level, how many groups
     collide and how much of the corpus sits in collisions.  The
     triage table read before choosing which dedup pass to spend
-    compute on (each level is one hash aggregate over a bounded
-    key)."""
+    compute on.  SINGLE corpus scan: each doc emits its three
+    (level, key) pairs in one projection, one hash aggregate per
+    (level, key), one per level; the corpus total rides a 1-row
+    broadcast (no driver-side count job — building the DataFrame
+    must stay lazy for plan audits).  An empty/all-NULL corpus
+    yields zero rows, matching the oracle."""
     docs = (_table(spark, sf_dir, "documents")
             .where(F.col("text").isNotNull()))
-    n_total = docs.count()      # bounded driver scalar: one count job
-
-    def level(name: str, key: F.Column) -> DataFrame:
-        g = (docs.select(key.alias("k"))
-             .groupBy("k").agg(F.count(F.lit(1)).alias("n"))
-             .where(F.col("n") >= 2)
-             .agg(F.count(F.lit(1)).alias("n_groups"),
-                  F.coalesce(F.sum("n"), F.lit(0)).alias("n_docs")))
-        return g.select(F.lit(name).alias("dup_class"), "n_groups",
-                        "n_docs",
-                        round4(F.col("n_docs") / F.lit(float(n_total)))
-                        .alias("pct_of_corpus"))
-
-    exact = level("exact", F.md5(F.col("text")))
-    finger = level("fingerprint", TX.doc_fingerprint(F.col("text")))
-    tmpl = level("template", TX.format_skeleton(F.col("text")))
-    return exact.unionByName(finger).unionByName(tmpl)
+    lv = docs.select(F.explode(F.array(
+        F.struct(F.lit("exact").alias("dup_class"),
+                 F.md5(F.col("text")).alias("k")),
+        F.struct(F.lit("fingerprint").alias("dup_class"),
+                 TX.doc_fingerprint(F.col("text")).alias("k")),
+        F.struct(F.lit("template").alias("dup_class"),
+                 TX.format_skeleton(F.col("text")).alias("k")),
+    )).alias("s")).select("s.dup_class", "s.k")
+    g = (lv.groupBy("dup_class", "k")
+         .agg(F.count(F.lit(1)).alias("n")))
+    agg = (g.groupBy("dup_class")
+           .agg(F.sum(F.when(F.col("n") >= 2, 1).otherwise(0))
+                .alias("n_groups"),
+                F.sum(F.when(F.col("n") >= 2, F.col("n")).otherwise(0))
+                .alias("n_docs")))
+    tot = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    return (agg.join(F.broadcast(tot))
+            .select("dup_class", "n_groups", "n_docs",
+                    round4(F.col("n_docs")
+                           / F.col("n_total").cast("double"))
+                    .alias("pct_of_corpus")))
 
 
 def q_source_csv_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3793,14 +3801,20 @@ def q_source_csv_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference rec_id in the projection: CSV column pruning otherwise
     # skips parsing it, and a type failure in an unread column never
     # populates the corrupt-record column (documented Spark behavior)
-    return (df.select(status.alias("status"), "rec_id", "region")
-            .groupBy("status")
-            .agg(F.count(F.lit(1)).alias("n_rows"),
-                 F.sum(F.when(F.col("rec_id").isNotNull(), 1)
-                       .otherwise(0)).alias("n_with_id"),
-                 F.sum(F.when(F.col("region").isNotNull(), 1)
-                       .otherwise(0)).alias("n_with_region"))
-            .orderBy("status"))
+    out_df = (df.select(status.alias("status"), "rec_id", "region")
+              .groupBy("status")
+              .agg(F.count(F.lit(1)).alias("n_rows"),
+                   F.sum(F.when(F.col("rec_id").isNotNull(), 1)
+                         .otherwise(0)).alias("n_with_id"),
+                   F.sum(F.when(F.col("region").isNotNull(), 1)
+                         .otherwise(0)).alias("n_with_region"))
+              .orderBy("status"))
+    # materialize the 2-row report, then release the cached parse —
+    # without this every invocation leaks one cached relation for the
+    # session lifetime (scale sweeps build this key at every SF)
+    out_df = out_df.localCheckpoint(eager=True)
+    df.unpersist()
+    return out_df
 
 
 def q_events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -91,10 +91,13 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def funnel(df: DataFrame, user_col: str, ts_col: str, type_col: str,
-           steps: list[str]) -> DataFrame:
+           steps: list[str], max_gap: int | None = None) -> DataFrame:
     """Ordered-funnel analysis: per step, how many users reached it IN
     ORDER (each step strictly after the previous one's first
-    completion).  The classic product-analytics query.
+    completion).  The classic product-analytics query.  With
+    ``max_gap`` set, each step additionally must first complete
+    within that many time units of the previous step (the
+    conversion-window variant — see :func:`funnel_windowed`).
 
     Shape: one aggregate per step over the (already keyed) per-user
     relation — step k joins the per-user first-completion time of step
@@ -104,6 +107,8 @@ def funnel(df: DataFrame, user_col: str, ts_col: str, type_col: str,
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
+    if max_gap is not None and max_gap <= 0:
+        raise ValueError("max_gap must be positive")
     ev = df.select(F.col(user_col).alias("u"), F.col(ts_col).alias("t"),
                    F.col(type_col).alias("k"))
     reached = None  # per-user first time the previous step completed
@@ -113,8 +118,12 @@ def funnel(df: DataFrame, user_col: str, ts_col: str, type_col: str,
         if reached is None:
             firsts = cur.groupBy("u").agg(F.min("t").alias("ft"))
         else:
+            in_order = F.col("t") > F.col("ft")
+            if max_gap is not None:
+                in_order = in_order & (
+                    F.col("t") <= F.col("ft") + F.lit(int(max_gap)))
             firsts = (cur.join(reached, "u")
-                      .where(F.col("t") > F.col("ft"))
+                      .where(in_order)
                       .groupBy("u").agg(F.min("t").alias("ft")))
         reached = firsts
         counts.append(
@@ -1321,44 +1330,15 @@ def funnel_windowed(df: DataFrame, user_col: str, ts_col: str,
     """Time-constrained ordered funnel: step k counts only when it
     first completes within ``max_gap`` (same units as ``ts_col``)
     AFTER step k−1's first completion — the conversion-window funnel
-    ("purchased within an hour of clicking") that the unconstrained
-    :func:`funnel` cannot express; the CEP primitive without a CEP
-    engine.
-
-    Same shape as :func:`funnel` — one hash aggregate on the user key
-    per step, each reusing the previous step's per-user
-    first-completion frame — with the window predicate
-    ``prev < t ≤ prev + max_gap`` added to each join.  Integral
+    ("purchased within an hour of clicking"); thin wrapper over
+    :func:`funnel` so the two shapes cannot drift apart.  Integral
     timestamps (epoch micros) keep the gap arithmetic exact in both
     engines.
     """
-    if not steps:
-        raise ValueError("funnel_windowed needs at least one step")
     if max_gap <= 0:
         raise ValueError("max_gap must be positive")
-    ev = df.select(F.col(user_col).alias("u"), F.col(ts_col).alias("t"),
-                   F.col(type_col).alias("k"))
-    reached = None
-    counts = []
-    for i, step in enumerate(steps):
-        cur = ev.where(F.col("k") == step)
-        if reached is None:
-            firsts = cur.groupBy("u").agg(F.min("t").alias("ft"))
-        else:
-            firsts = (cur.join(reached, "u")
-                      .where((F.col("t") > F.col("ft"))
-                             & (F.col("t") <= F.col("ft")
-                                + F.lit(int(max_gap))))
-                      .groupBy("u").agg(F.min("t").alias("ft")))
-        reached = firsts
-        counts.append(
-            firsts.agg(F.count(F.lit(1)).alias("n_users"))
-            .select(F.lit(i + 1).alias("step_idx"),
-                    F.lit(step).alias("step"), "n_users"))
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionByName(c)
-    return out
+    return funnel(df, user_col, ts_col, type_col, steps,
+                  max_gap=max_gap)
 
 
 def funnel_windowed_sql(user: str, ts_us: str, typ: str,

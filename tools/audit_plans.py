@@ -126,6 +126,8 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
                            "data join is an equi-join"),
     "sample_importance": (1, "1-row corpus-total broadcast onto the "
                              "bounded stratum frame"),
+    "corpus_dup_report": (1, "1-row corpus-total broadcast onto the "
+                             "3-row per-level frame"),
     "corpus_budget_alloc": (1, "1-row corpus-total (tw, n_groups) "
                                "broadcast joined to the per-group "
                                "frame; no data-side join exists"),
