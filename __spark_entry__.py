@@ -3752,6 +3752,36 @@ def q_corpus_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("pct_of_corpus")))
 
 
+def q_events_cohort_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve (operators/relational.py:cohort_value): per
+    (first-activity-day cohort, day offset) the active users, exact
+    micro-unit value, cumulative cohort value, and value per active
+    user — the revenue companion to the retention triangle."""
+    from dynamic_partitioner_spark.operators.relational import cohort_value
+    events = _table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id", event_time_us(events).alias("ts_us"),
+        F.coalesce(F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+                   .cast("long"), F.lit(0)).alias("v_u"))
+    return cohort_value(ev, "user_id",
+                        F.expr(f"ts_us div {86_400_000_000}"),
+                        F.col("v_u"))
+
+
+def q_sample_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment for cross-validation
+    (operators/sampling.py:kfold_assign — md5 mod k, per-key stable
+    under corpus growth), summarized per fold: doc count, distinct
+    langs, char mass."""
+    from dynamic_partitioner_spark.operators.sampling import kfold_assign
+    docs = _table(spark, sf_dir, "documents")
+    return (kfold_assign(docs, "doc_id", k=5)
+            .groupBy("fold")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.sum("n_chars").alias("total_chars")))
+
+
 def q_source_csv_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERMISSIVE-mode ingest audit: a deterministically poisoned CSV
     feed (every 7th record carries a non-numeric key, every 13th an
@@ -4078,17 +4108,18 @@ _PRIORITY_R07 = [
     "privacy_randomized_response", "events_survival",
     "source_csv_corrupt_audit", "events_ab_test", "query_sql_lateral",
     "events_funnel_windowed", "privacy_k_histogram", "corpus_dup_report",
+    "events_cohort_value", "sample_kfold",
     # --- changed query/oracle text this round ---
     "query_approx_percentiles", "events_seq_ngrams", "sketch_cms",
-    # --- round-3 evidence (13 of the remaining 44) ---
+    # --- round-3 evidence (11 of the remaining 44) ---
     "events_transitions", "event_sessionize", "sample_stratified",
-    "privacy_k_anon",
-    "mm_binary_roundtrip",
     "text_chunk", "text_chunk_dedup", "text_hashed_vector",
     "text_lm_score", "text_repetition", "text_tfidf",
     "text_token_ids", "text_vocab",
     # ---- fold: driver checks the 50 above ----
-    # round-3-evidence overflow (31)
+    # round-3-evidence overflow (34)
+    "privacy_k_anon",
+    "mm_binary_roundtrip",
     "mm_binary_stats", "mm_features", "mm_frame_sample",
     "streaming_dedup", "streaming_stateful_counts",
     "streaming_join", "streaming_partitioned_write",
@@ -4325,6 +4356,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_windowed": q_events_funnel_windowed,
         "privacy_k_histogram": q_privacy_k_histogram,
         "corpus_dup_report": q_corpus_dup_report,
+        "events_cohort_value": q_events_cohort_value,
+        "sample_kfold": q_sample_kfold,
         "quality_expectations": q_quality_expectations,
         "similarity_hybrid_rrf": q_similarity_hybrid,
         "events_cumulative_users": q_events_cumulative_users,
@@ -6495,6 +6528,17 @@ def oracle_sql() -> dict[str, str]:
                        > 1.96 END, FALSE) AS significant_95
             FROM st
         """.replace("{u_ab}", SMP.hash_unit_sql("user_id", "ab")),
+        "events_cohort_value": REL.cohort_value_sql(
+            "user_id", "epoch_us(ts) // 86400000000",
+            "coalesce(CAST(floor(value * 1000000 + 0.5) AS BIGINT), 0)",
+            "events"),
+        "sample_kfold": f"""
+            SELECT {SMP.kfold_assign_sql("doc_id", 5)} AS fold,
+                   count(*) AS n_docs,
+                   count(DISTINCT lang) AS n_langs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY 1
+        """,
         "events_funnel_windowed": REL.funnel_windowed_sql(
             "user_id", "epoch_us(e.ts)", "event_type",
             ["view", "click", "purchase"], 86_400_000_000, "events"),

@@ -1365,3 +1365,64 @@ def funnel_windowed_sql(user: str, ts_us: str, typ: str,
         f"(SELECT count(*) FROM s{i}) AS n_users"
         for i, s in enumerate(steps, start=1))
     return "WITH " + ", ".join(ctes) + " " + selects
+
+
+def cohort_value(df: DataFrame, user_col: str, day: Column,
+                 value_u: Column) -> DataFrame:
+    """Cohort LTV curve: users grouped by first-activity day, then per
+    (cohort_day, day_offset) the active-user count, the exact
+    micro-unit value contributed that offset, and the cohort's
+    CUMULATIVE value — the revenue companion to
+    :func:`cohort_retention` (which counts heads, not value).
+
+    Shape: per-(user, day) value pre-aggregation (collapses event
+    volume), per-user min-day hash agg, one equi-join back on user,
+    a (cohort, offset) grid agg, then a window prefix-sum over the
+    tiny grid.  All value arithmetic stays BIGINT; the one division
+    (value per active user) is round4 on exact integers.
+    """
+    from ..functions.vectors import round4
+
+    act = (df.select(F.col(user_col).alias("_u"), day.alias("_d"),
+                     value_u.alias("_v"))
+           .groupBy("_u", "_d").agg(F.sum("_v").alias("_dv")))
+    cohorts = act.groupBy("_u").agg(F.min("_d").alias("_cohort"))
+    grid = (act.join(cohorts, "_u")
+            .groupBy(F.col("_cohort").alias("cohort_day"),
+                     (F.col("_d") - F.col("_cohort")).alias("day_offset"))
+            .agg(F.count(F.lit(1)).alias("n_active"),
+                 F.sum("_dv").alias("value_u")))
+    w = (Window.partitionBy("cohort_day").orderBy("day_offset")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return grid.select(
+        "cohort_day", "day_offset", "n_active", "value_u",
+        F.sum("value_u").over(w).alias("cum_value_u"),
+        round4(F.col("value_u")
+               / (F.col("n_active") * F.lit(1e6)))
+        .alias("value_per_active"))
+
+
+def cohort_value_sql(user: str, day: str, value_u: str,
+                     from_table: str) -> str:
+    """DuckDB twin of :func:`cohort_value`."""
+    return f"""
+        WITH act AS (
+            SELECT {user} AS u, {day} AS d,
+                   CAST(sum({value_u}) AS BIGINT) AS dv
+            FROM {from_table} GROUP BY 1, 2),
+        cohorts AS (SELECT u, min(d) AS cohort FROM act GROUP BY u),
+        grid AS (SELECT cohort AS cohort_day,
+                        d - cohort AS day_offset,
+                        count(*) AS n_active,
+                        CAST(sum(dv) AS BIGINT) AS value_u
+                 FROM act JOIN cohorts USING (u)
+                 GROUP BY 1, 2)
+        SELECT cohort_day, day_offset, n_active, value_u,
+               CAST(sum(value_u) OVER (PARTITION BY cohort_day
+                    ORDER BY day_offset ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_value_u,
+               floor(value_u / (n_active * 1e6) * 10000 + 0.5) / 10000
+                   AS value_per_active
+        FROM grid
+    """

@@ -735,3 +735,26 @@ def importance_weights_sql(stratum: str, targets_permille: dict[str, int],
                END AS weight
         FROM j
     """
+
+
+def kfold_assign(df: DataFrame, key_col: str, k: int,
+                 salt: str = "fold") -> DataFrame:
+    """Deterministic k-fold assignment for cross-validation: fold =
+    60-bit md5 hash mod k on the key — per-key stable (a document
+    keeps its fold as the corpus grows, the same leak-safety property
+    as :func:`split_assign`), uniform, and exactly reproducible in
+    the SQL twin.  Adds a ``fold`` column in [0, k); NULL keys get
+    NULL fold (explicitly unassigned)."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+        1, 15), 16, 10).cast("bigint")
+    return df.withColumn("fold", (h % k).cast("long"))
+
+
+def kfold_assign_sql(key: str, k: int, salt: str = "fold") -> str:
+    """DuckDB twin of :func:`kfold_assign`'s ``fold`` column (the
+    60-bit value is non-negative, so both engines' `%` agree)."""
+    return (f"(CAST('0x' || substr(md5('{salt}' || "
+            f"CAST({key} AS VARCHAR)), 1, 15) AS BIGINT) % {k})")

@@ -489,3 +489,26 @@ def test_allocate_budget_edge_cases(spark):
                                      1_000_000).collect()}
     assert sum(out2.values()) == 1_000_000
     assert out2["a"] == 1_000_000 and out2["b"] == 0
+
+
+def test_kfold_assign_stability_and_uniformity(spark):
+    """Folds are stable per key (growth cannot move a doc), roughly
+    uniform, NULL keys get NULL fold, and k < 2 raises."""
+    import pytest as _pytest
+
+    from dynamic_partitioner_spark.operators.sampling import kfold_assign
+
+    small = spark.createDataFrame([(i,) for i in range(200)], "id long")
+    big = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    f_small = {r.id: r.fold for r in kfold_assign(small, "id", 5).collect()}
+    f_big = {r.id: r.fold for r in kfold_assign(big, "id", 5).collect()}
+    assert all(f_big[i] == f_small[i] for i in f_small)   # stability
+    from collections import Counter
+    sizes = Counter(f_big.values())
+    assert set(sizes) == {0, 1, 2, 3, 4}
+    assert max(sizes.values()) < 2 * min(sizes.values())  # rough uniform
+    withnull = spark.createDataFrame([(None,), (1,)], "id long")
+    got = {r.id: r.fold for r in kfold_assign(withnull, "id", 5).collect()}
+    assert got[None] is None
+    with _pytest.raises(ValueError):
+        kfold_assign(small, "id", 1)

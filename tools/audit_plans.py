@@ -84,6 +84,7 @@ AUDIT_KEYS = [
     "events_survival", "source_csv_corrupt_audit",
     "events_ab_test", "query_sql_lateral",
     "events_funnel_windowed", "privacy_k_histogram", "corpus_dup_report",
+    "events_cohort_value", "sample_kfold",
     "dedup_spans", "sample_weighted", "streaming_late_audit",
     "events_ewma", "ops_metadata_files", "query_target_encoding", "text_strip_html", "text_span_novelty", "query_mad", "privacy_t_closeness",
     "text_bm25", "sample_bootstrap",
