@@ -3639,8 +3639,13 @@ def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     other_n = tot_n - F.col("n_users")
     other_c = tot_c - F.col("n_converted")
     p_pool = tot_c / tot_n
-    se = F.sqrt(p_pool * (1 - p_pool)
-                * (1 / F.col("n_users") + 1 / other_n))
+    # other_n = 0 (every user hashed to one variant — possible only on
+    # a degenerate corpus) must yield NULL se, not an ANSI
+    # DIVIDE_BY_ZERO: DuckDB's /0 is NULL, Spark 4's default ANSI mode
+    # raises, so the guard is what keeps both engines on the NULL path.
+    se = F.when(other_n > 0,
+                F.sqrt(p_pool * (1 - p_pool)
+                       * (1 / F.col("n_users") + 1 / other_n)))
     z = F.when(se > 0,
                (F.col("n_converted") / F.col("n_users")
                 - other_c / other_n) / se)

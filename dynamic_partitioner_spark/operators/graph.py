@@ -119,8 +119,12 @@ def triangle_stats(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
     # the canonical edge set feeds THREE consumers (degrees, the
     # oriented join, the closing-edge probe) — materialize it once or
     # Spark re-derives the upstream edge construction (often an
-    # expensive self-join) per branch
-    und = und.localCheckpoint(eager=True)
+    # expensive self-join) per branch.  cache() (not localCheckpoint)
+    # so the blocks are RELEASABLE: the single-row result is eagerly
+    # materialized below and the edge cache unpersisted before
+    # returning — a session sweeping many SFs must not accumulate one
+    # pinned edge-set per call (the CSV-audit cache pattern).
+    und = und.cache()
     deg = (und.select(F.col("u").alias("node"))
            .unionAll(und.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
@@ -160,6 +164,11 @@ def triangle_stats(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
                           round4(F.lit(3.0) * F.col("n_triangles")
                                  / F.col("n_wedges")))
                    .alias("global_cc")))
+    # run the census NOW (1-row result — the eager job is the whole
+    # point of the operator) so the edge cache can be released before
+    # returning instead of leaking for the session lifetime
+    out = out.localCheckpoint(eager=True)
+    und.unpersist()
     return out
 
 

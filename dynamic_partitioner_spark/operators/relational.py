@@ -568,6 +568,10 @@ def seq_ngrams(df: DataFrame, key_col: str, order_cols: list[str],
              .where(F.col("_ok")))
     counts = grams.groupBy(F.col("_gram").alias("gram")).agg(
         F.count(F.lit(1)).alias("n_seq"))
+    # unpartitioned window over the OBSERVED-GRAM counts only (one row
+    # per distinct n-gram, bounded by the gram vocabulary, not the
+    # event volume) — the single-partition WindowExec warning is
+    # accepted by design
     rnk = Window.orderBy(F.desc("n_seq"), F.asc("gram"))
     return (counts
             .withColumn("rnk", F.row_number().over(rnk))

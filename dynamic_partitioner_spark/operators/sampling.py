@@ -621,6 +621,9 @@ def allocate_budget(df: DataFrame, group_cols: list[str],
                f"AS BIGINT) ELSE 0 END").alias("base"),
         F.expr(f"CASE WHEN tw > 0 THEN CAST(({bdec} * w) % tw "
                f"AS BIGINT) ELSE 0 END").alias("rem"))
+    # unpartitioned window over the STRATA relation only (one row per
+    # group tuple, bounded by the strata universe, not the corpus) —
+    # the single-partition WindowExec warning is accepted by design
     wnd = Window.orderBy(F.col("rem").desc(),
                          *[F.col(c) for c in group_cols])
     leftover = F.when(

@@ -503,8 +503,8 @@ def cosine_threshold_sweep_sql(id_col: str, vec_col: str,
     u = hash_unit_sql(id_col, salt)
     l2 = L2_NORM_SQL.format(a=vec_col)
     # dot/(la·lb) with per-row norms, mirroring the Spark side's
-    # precomputed-norm form (COSINE_SQL's list_cosine_similarity would
-    # re-derive both norms per pair)
+    # precomputed-norm form (DuckDB's list_cosine_similarity would
+    # re-derive both norms per pair instead of reusing the l2 column)
     cos = ("list_sum(list_transform(list_zip(a.vec::DOUBLE[], "
            "b.vec::DOUBLE[]), p -> p[1] * p[2])) / (a.l2 * b.l2)")
     return f"""
