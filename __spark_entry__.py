@@ -4787,10 +4787,10 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(h, '' ORDER BY k)) AS resized_md5
             FROM s GROUP BY doc_id, n_bytes
         """,
-        "text_winnow": """
+        "text_winnow": r"""
             WITH t AS (SELECT doc_id,
                               string_split_regex(trim(lower(text)),
-                                                 '[ \\t\\n\\r]+') AS toks
+                                                 '[ \t\n\r]+') AS toks
                        FROM documents),
             g AS (SELECT doc_id, i AS pos,
                          array_to_string(list_slice(toks, i, i + 3), ' ')
@@ -5806,11 +5806,11 @@ def oracle_sql() -> dict[str, str]:
                    {TX.redact_pii_sql('t')} AS clean_text
             FROM aug
         """,
-        "text_tfidf": f"""
+        "text_tfidf": rf"""
             WITH tok AS (
                 SELECT doc_id,
                        unnest(string_split_regex(trim(lower(text)),
-                                                 '[ \\t\\n\\r]+')) AS term
+                                                 '[ \t\n\r]+')) AS term
                 FROM documents),
             pairs AS (SELECT doc_id, term, count(*) AS tf
                       FROM tok WHERE length(term) > 0
@@ -5838,7 +5838,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lm_score": f"""
             WITH t AS (SELECT doc_id,
                               string_split_regex(trim(lower(text)),
-                                                 '[ \\t\\n\\r]+') AS toks
+                                                 '[ \t\n\r]+') AS toks
                        FROM documents),
             bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
                    FROM (SELECT doc_id, toks,
@@ -5975,9 +5975,9 @@ def oracle_sql() -> dict[str, str]:
               ON a.vec_id = b.vec_id AND a.i <= b.i
             GROUP BY a.i, b.i
         """,
-        "text_bpe_pairs": """
+        "text_bpe_pairs": r"""
             WITH t AS (SELECT string_split_regex(trim(lower(text)),
-                                                 '[ \\t\\n\\r]+') AS toks
+                                                 '[ \t\n\r]+') AS toks
                        FROM documents),
             g AS (SELECT array_to_string(list_slice(toks, i, i + 1), ' ')
                              AS pair

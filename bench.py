@@ -37,12 +37,22 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for key in qs:
-        t0 = time.time()
-        n = qs[key](spark, sf_dir).count()
-        dt = round(time.time() - t0, 3)
+        # streaming keys: median of 3 — micro-batch scheduling adds
+        # run-to-run noise of the same magnitude as a real regression
+        # (r6→r7 showed ±20-50% on identical code), so a single sample
+        # can both hide and invent one.  Batch keys stay single-run.
+        reps = 3 if key.startswith("streaming_") else 1
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            n = qs[key](spark, sf_dir).count()
+            samples.append(time.time() - t0)
+        dt = round(sorted(samples)[len(samples) // 2], 3)
         timings[key] = dt
         total += dt
-        print(f"# {key}: {n} rows in {dt}s", file=sys.stderr)
+        print(f"# {key}: {n} rows in {dt}s"
+              + (f" (median of {reps})" if reps > 1 else ""),
+              file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Full per-key timings go to a side file; the printed line keeps only
