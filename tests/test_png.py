@@ -1,0 +1,112 @@
+"""Unit tests for the pure-Python PNG codec (formats/png_py.py) and its
+registration on the multimodal decode seam."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from dynamic_partitioner_spark.formats.png_py import (
+    PngFormatError, PngImage, decode_png, encode_png, png_stats_codec,
+    register_png_codec, synthetic_dims, synthetic_pixel, synthetic_png)
+
+
+def _pixels(n: int, seed: int = 1) -> bytes:
+    return bytes((seed * 97 + i * 31 + (i % 7) * 5) % 256
+                 for i in range(n))
+
+
+@pytest.mark.parametrize("color_type,channels", [(0, 1), (2, 3),
+                                                 (4, 2), (6, 4)])
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_roundtrip_every_color_type_and_filter(color_type, channels,
+                                               ftype):
+    w, h = 13, 9
+    px = _pixels(w * h * channels, seed=ftype + 10 * color_type)
+    blob = encode_png(px, w, h, color_type,
+                      filter_choice=lambda y: ftype)
+    img = decode_png(blob)
+    assert (img.width, img.height, img.channels) == (w, h, channels)
+    assert img.pixels == px
+
+
+def test_roundtrip_mixed_filters_wide_and_tall():
+    for w, h in [(1, 1), (1, 40), (40, 1), (17, 23)]:
+        px = _pixels(w * h * 4, seed=w * 100 + h)
+        blob = encode_png(px, w, h, 6, filter_choice=lambda y: y % 5)
+        assert decode_png(blob).pixels == px
+
+
+def test_signature_and_crc_rejected():
+    blob = synthetic_png(42)
+    with pytest.raises(PngFormatError, match="signature"):
+        decode_png(b"NOPE" + blob[4:])
+    # flip one IDAT payload bit -> CRC must catch it
+    corrupt = bytearray(blob)
+    idat_at = blob.index(b"IDAT")
+    corrupt[idat_at + 6] ^= 0x01
+    with pytest.raises(PngFormatError, match="CRC"):
+        decode_png(bytes(corrupt))
+
+
+def test_truncation_and_unsupported_profiles_rejected():
+    blob = synthetic_png(7)
+    with pytest.raises(PngFormatError):
+        decode_png(blob[:len(blob) // 2])
+    # rebuild IHDR with 16-bit depth -> rejected, not misdecoded
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 6, 0, 0, 0)
+    chunk = (struct.pack(">I", 13) + b"IHDR" + ihdr
+             + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
+    with pytest.raises(PngFormatError, match="bit depth"):
+        decode_png(b"\x89PNG\r\n\x1a\x0a" + chunk)
+    with pytest.raises(PngFormatError):
+        decode_png(None)
+
+
+def test_synthetic_fixture_matches_rule():
+    for doc_id in [0, 1, 17, 123456]:
+        w, h = synthetic_dims(doc_id)
+        img = decode_png(synthetic_png(doc_id))
+        assert (img.width, img.height) == (w, h)
+        expect = bytes(synthetic_pixel(doc_id, i)
+                       for i in range(w * h * 4))
+        assert img.pixels == expect
+
+
+def test_stats_codec_sums_and_registry(spark):
+    # registry DDL validation needs the active session (`spark` unused
+    # otherwise)
+    doc_id = 99
+    stats = png_stats_codec(synthetic_png(doc_id))
+    w, h = synthetic_dims(doc_id)
+    n = w * h * 4
+    vals = [synthetic_pixel(doc_id, i) for i in range(n)]
+    assert stats["width"] == w and stats["height"] == h
+    assert stats["n_px"] == w * h
+    for c, name in enumerate(["sum_r", "sum_g", "sum_b", "sum_a"]):
+        assert stats[name] == sum(v for i, v in enumerate(vals)
+                                  if i % 4 == c)
+    # grayscale payload refuses the RGBA stats codec
+    gray = encode_png(_pixels(16), 4, 4, color_type=0)
+    with pytest.raises(PngFormatError, match="RGBA"):
+        png_stats_codec(gray)
+    from dynamic_partitioner_spark.operators.multimodal import (
+        _CODEC_REGISTRY, unregister_codec)
+    register_png_codec()
+    try:
+        assert "image/png" in _CODEC_REGISTRY
+    finally:
+        unregister_codec("image/png")
+
+
+def test_sniff_agrees_with_codec():
+    """The magic-byte sniffer must route real PNG bytes to this codec's
+    mode string."""
+    from dynamic_partitioner_spark.operators.multimodal import MAGIC_MIME
+    blob = synthetic_png(5)
+    prefix, mime = MAGIC_MIME[0]
+    assert mime == "image/png"
+    assert blob.hex().upper().startswith(prefix)
+    assert isinstance(decode_png(blob), PngImage)
