@@ -40,6 +40,26 @@ _ENGINE_CONFS: dict[str, str] = {
 }
 
 
+def _sweep_stale_dirs(root: str) -> None:
+    """Remove ``run-<pid>`` dirs whose owning process is gone — crash
+    leftovers from previous harness runs (live pids are left alone)."""
+    import shutil
+
+    try:
+        entries = os.listdir(root)
+    except FileNotFoundError:
+        return
+    for name in entries:
+        if not name.startswith("run-"):
+            continue
+        try:
+            pid = int(name.split("-", 1)[1])
+        except ValueError:
+            continue
+        if pid != os.getpid() and not os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+
 def get_spark(app_name: str = "dynamic-partitioner-spark",
               master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
@@ -58,6 +78,19 @@ def get_spark(app_name: str = "dynamic-partitioner-spark",
 
     builder = SparkSession.builder.appName(app_name).master(master)
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    # Per-PROCESS warehouse: managed tables (bucketed joins, catalog
+    # keys) from two concurrent harness processes must not fight over
+    # one ./spark-warehouse — a shared dir let run B's DROP+overwrite
+    # empty the table run A was mid-query on (r8 parallel-sweep FAIL).
+    # Static conf: only effective when this factory creates the JVM;
+    # cleaned at exit, stale dirs of dead pids swept here.
+    wh_root = os.path.join(os.getcwd(), ".scratch", "warehouse")
+    wh = os.path.join(wh_root, f"run-{os.getpid()}")
+    builder = builder.config("spark.sql.warehouse.dir", wh)
+    _sweep_stale_dirs(wh_root)
+    import atexit
+    import shutil
+    atexit.register(shutil.rmtree, wh, ignore_errors=True)
     # local-mode driver == executor: the 1g default heap gives a ~0.5g
     # storage pool that evicts persisted relations mid-query and makes
     # timings swing; size it to the machine (static conf — only applies

@@ -120,6 +120,17 @@ def main() -> int:
             print(f"FAIL {key} ({time.time() - t0:.1f}s)")
             for p in problems:
                 print(f"     {p}")
+            # dump both frames — transient failures (contention flakes)
+            # are undiagnosable without the exact frame that mismatched
+            import os
+            dump = "/root/repo/.scratch/failures"
+            os.makedirs(dump, exist_ok=True)
+            try:
+                sdf.to_parquet(f"{dump}/{key}.spark.parquet")
+                ddf.to_parquet(f"{dump}/{key}.duck.parquet")
+                print(f"     frames dumped to {dump}/{key}.*.parquet")
+            except Exception as exc:  # arrays etc. — best effort
+                print(f"     (dump failed: {exc})")
         else:
             print(f"ok   {key}: {len(sdf)} rows match ({time.time() - t0:.1f}s)")
     print(f"\n{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
