@@ -61,7 +61,26 @@ from dynamic_partitioner_spark.streaming.write import (
     stream_write_partitioned,
 )
 
-SCRATCH = "/root/repo/.scratch"
+#: per-PROCESS scratch root: two harness processes running concurrently
+#: (driver check + pytest, or two contract sweeps) must never share a
+#: sink/checkpoint/source dir — a shared fixed path let one process
+#: rmtree a directory the other's streaming query was mid-write in
+#: (r7 VERDICT "contention-fragile" item).  The dir is removed at
+#: process exit; a crashed run's leftovers are cleaned lazily by the
+#: next run's sweep of stale run-* dirs.
+SCRATCH = f"/root/repo/.scratch/run-{os.getpid()}"
+
+
+def _clean_stale_runs() -> None:
+    import atexit
+
+    from dynamic_partitioner_spark.session import _sweep_stale_dirs
+
+    atexit.register(shutil.rmtree, SCRATCH, ignore_errors=True)
+    _sweep_stale_dirs(os.path.dirname(SCRATCH))
+
+
+_clean_stale_runs()
 
 
 def _out(key: str) -> str:
@@ -836,16 +855,29 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_similarity_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF through the engine's own partitioned sink: corpus written
     partitioned by list_id, query scans only the nprobe probed lists
-    (PartitionFilters pinned in tests) — rows-only; equality with the
-    in-memory IVF path is pinned in tests."""
+    (PartitionFilters pinned in tests).  Hash-checked via the
+    sketch_cms invariant pattern (r7): the partition-pruned path must
+    return EXACTLY the in-memory IVF result at equal centroids/nprobe
+    (`topk_ivf_pruned` docstring's own contract), so the driver row is
+    (query_id, rank, same_as_memory) with the equality surfaced as a
+    boolean the oracle asserts TRUE — any divergence (lost list file,
+    pruning bug, tie-break drift) flips it red.  The float neighbor
+    sims themselves stay pinned in tests/test_similarity.py."""
     from dynamic_partitioner_spark.operators.similarity import (
-        build_ivf_index, topk_ivf_pruned)
+        build_ivf_index, topk_ann_ivf, topk_ivf_pruned)
     apply_engine_confs(spark)
     emb = _table(spark, sf_dir, "embeddings")
     out = _out("ivf_index")
     cents = build_ivf_index(emb, out)
     queries = emb.where(F.col("vec_id") < 10)
-    return (topk_ivf_pruned(spark, out, cents, queries, k=5)
+    pruned = topk_ivf_pruned(spark, out, cents, queries, k=5)
+    mem = topk_ann_ivf(emb, queries, k=5, centroids=cents)
+    p, m = pruned.alias("p"), mem.alias("m")
+    return (p.join(m, ["query_id", "rank"], "full_outer")
+            .select(F.col("query_id"), F.col("rank").cast("long"),
+                    (F.col("p.neighbor_id").eqNullSafe(F.col("m.neighbor_id"))
+                     & F.col("p.cos_sim").eqNullSafe(F.col("m.cos_sim")))
+                    .alias("same_as_memory"))
             .orderBy("query_id", "rank"))
 
 
@@ -922,16 +954,28 @@ def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget sequence packing (256-token bins, 8 shards) — rows
-    only (next-fit with reset is iterative, not SQL-expressible); the
-    no-bin-over-budget / every-doc-once invariants are pinned in
-    tests/test_packing.py."""
+    """Token-budget sequence packing (256-token bins, 8 shards).  The
+    bin ASSIGNMENT is iterative (next-fit with reset — no SQL twin),
+    but its invariants are SQL-expressible from the packed output
+    (sketch_cms pattern, r7): every doc appears exactly once with its
+    exact token count (coverage — the oracle is simply the documents
+    table re-tokenized), and the doc's bin respects the budget unless
+    it is a single-oversized-doc bin (`bin_ok`, oracle-asserted TRUE).
+    A lost/duplicated doc breaks the row hash; an over-packed bin flips
+    bin_ok.  Shard/seq layout stays pinned in tests/test_packing.py."""
     from dynamic_partitioner_spark.operators.packing import pack_sequences
     docs = _table(spark, sf_dir, "documents")
     with_tok = docs.select(
         "doc_id", TX.token_count(F.col("text")).alias("n_tok"))
-    return pack_sequences(with_tok, "doc_id", "n_tok", budget=256,
-                          n_shards=8)
+    packed = pack_sequences(with_tok, "doc_id", "n_tok", budget=256,
+                            n_shards=8)
+    bins = (packed.groupBy("shard", "seq_idx")
+            .agg(F.sum("n_tokens").alias("_bin_tok"),
+                 F.count(F.lit(1)).alias("_bin_docs")))
+    return (packed.join(bins, ["shard", "seq_idx"])
+            .select("doc_id", F.col("n_tokens").alias("n_tok"),
+                    ((F.col("_bin_tok") <= 256) | (F.col("_bin_docs") == 1))
+                    .alias("bin_ok")))
 
 
 def q_text_hashed_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1030,6 +1074,55 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     + moments from ascii() over the (pure-ASCII, verified) text."""
     docs = _table(spark, sf_dir, "documents")
     return feature_rows(to_binary_table(docs))
+
+
+def q_mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode through the registry seam
+    (operators/multimodal.py:register_codec): deterministic RGBA PNGs —
+    stdlib-zlib encoder, scanline filters rotating through all five
+    PNG filter types — are decoded back by the registered ``image/png``
+    codec (formats/png_py.py), and the decoded planes reduce to exact
+    integer sums.  The oracle recomputes the identical statistics
+    straight from the SQL-expressible pixel rule
+    ``(doc_id·7919 + i·37 + (i%11)·13) % 256`` over a byte-index
+    series, with NO PNG machinery — so a decoder defect in any filter
+    path (or a corrupted encode) breaks the value hash.  Scale shape:
+    generation and decode are both Arrow-batched ``mapInPandas``; the
+    payload never shuffles (stats reduce row-locally inside the
+    codec)."""
+    import pandas as _pd
+
+    from dynamic_partitioner_spark.formats.png_py import (
+        register_png_codec, synthetic_png)
+    from dynamic_partitioner_spark.operators.multimodal import (
+        decode_media)
+
+    register_png_codec()
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [synthetic_png(int(d))
+                            for d in pdf["doc_id"]],
+            })
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    dec = decode_media(payloads, "image/png")
+
+    def mean6(s: str):
+        # floor(x·1e6+0.5)/1e6 over a double built from exact integer
+        # operands — the same IEEE op sequence as the DuckDB twin.
+        # Column-side literals (not SQL text): Spark parses `1000000.0`
+        # in SQL as a DECIMAL literal and the whole chain goes decimal
+        return F.floor(F.col(s) / F.col("n_px") * 1000000
+                       + F.lit(0.5)) / 1000000
+
+    return dec.select(
+        "doc_id", "width", "height", "n_px",
+        mean6("sum_r").alias("mean_r"), mean6("sum_g").alias("mean_g"),
+        mean6("sum_b").alias("mean_b"), mean6("sum_a").alias("mean_a"))
 
 
 # =====================================================================
@@ -1329,23 +1422,56 @@ def q_mm_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA projection of the embedding corpus to 8 components: exact
+    """PCA of the embedding corpus to 8 components: exact
     micro-quantized second moments reduced map-side (d²/2+d numbers
     per partition, DECIMAL-exact at any scale), d×d eigh on the
-    driver, one map-only Arrow matmul projection.  Rows-only
-    (eigendecomposition has no SQL twin); variance/orthogonality/
-    partition-independence pinned in tests/test_quantize.py.
+    driver, one map-only Arrow matmul projection.
 
-    Driver contract: ``pca_project`` returns ``array<double>`` for
-    library users, but the driver's pandas canonicalizer cannot sort
-    array cells (r5 ERR) — so this key posexplodes the projection to
-    scalar ``(vec_id, component, value)`` rows."""
-    from dynamic_partitioner_spark.operators.decompose import pca_project
+    Hash-checked via the sketch_cms invariant pattern (r8; was
+    rows-only — eigendecomposition has no SQL twin, so the float
+    values can never be oracle columns): one row per component
+    carrying the exact grid (component, n_vectors — the oracle
+    recomputes both) plus five oracle-asserted-TRUE invariants that
+    tie the whole path together — basis orthonormality and descending
+    non-negative eigenvalues (driver-side numpy over the fitted
+    basis), and, from ONE distributed agg over the actual projected
+    corpus, centering (|mean proj| small) and spectrum faithfulness
+    (population variance of projections ≈ the component's eigenvalue).
+    A wrong covariance, a non-orthogonal basis, a centering bug, or a
+    projection that disagrees with the fitted spectrum each flip a
+    boolean.  Exact projection VALUES stay pinned in
+    tests/test_quantize.py."""
+    from dynamic_partitioner_spark.operators.decompose import (
+        fit_pca, pca_project)
+    import numpy as np
     emb = _table(spark, sf_dir, "embeddings")
+    mean, W, vals = fit_pca(emb, "embedding", dim=64, k=8)
+    # basis invariants: cheap d×k numpy on the driver
+    G = W.T @ W
+    ortho_ok = bool(np.max(np.abs(G - np.eye(8))) < 1e-6)
+    desc_ok = bool(np.all(np.diff(vals) <= 1e-12))
+    nonneg_ok = bool(np.min(vals) >= 0.0)
+    # projection invariants: one agg over the projected corpus
     proj = pca_project(emb, "vec_id", "embedding", dim=64, k=8)
-    return (proj.select("vec_id",
-                        F.posexplode("components").alias("component", "value"))
-            .orderBy("vec_id", "component"))
+    stats = (proj.select(F.posexplode("components")
+                         .alias("component", "v"))
+             .groupBy("component")
+             .agg(F.count(F.lit(1)).alias("n_vectors"),
+                  F.avg("v").alias("_m"),
+                  F.avg(F.col("v") * F.col("v")).alias("_m2")))
+    ev = F.element_at(F.lit([float(x) for x in vals]),
+                      F.col("component") + 1)
+    var = F.col("_m2") - F.col("_m") * F.col("_m")
+    return (stats.select(
+        F.col("component").cast("long").alias("component"),
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.lit(ortho_ok).alias("basis_ortho_ok"),
+        F.lit(desc_ok).alias("eig_desc_ok"),
+        F.lit(nonneg_ok).alias("eig_nonneg_ok"),
+        (F.abs(F.col("_m")) < 1e-4).alias("centered_ok"),
+        (F.abs(var - ev) <= F.greatest(ev, F.lit(1e-9)) * 1e-3)
+        .alias("spectrum_ok"))
+        .orderBy("component"))
 
 
 def q_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1605,9 +1731,18 @@ def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_streaming_upsert)
     apply_engine_confs(spark)
     li = _table(spark, sf_dir, "lineitem")
-    seq = (F.col("l_linenumber") * F.lit(10**11)
-           + F.col("l_partkey") * F.lit(10**5)
-           + F.col("l_suppkey")).alias("seq")
+    # seq MUST be unique per key (cdc_latest's documented contract —
+    # a tie makes the winner nondeterministic in BOTH engines, and the
+    # synthetic lineitem DOES carry duplicate (orderkey, linenumber,
+    # partkey, suppkey) rows with different payloads: one at sf0.001
+    # flipped this key under load, r8).  Tiebreak on price micro-cents;
+    # (l_orderkey, seq) verified duplicate-free at sf0.001/0.01/0.1,
+    # max seq ~7e16 — no BIGINT overflow risk.
+    seq = ((F.col("l_linenumber") * F.lit(10**11)
+            + F.col("l_partkey") * F.lit(10**5)
+            + F.col("l_suppkey")) * F.lit(10**5)
+           + F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+           .cast("long") % F.lit(10**5)).alias("seq")
     changes = li.select(
         "l_orderkey", seq,
         F.when(F.col("l_partkey") % 11 == 0, "D").otherwise("U").alias("op"),
@@ -2994,11 +3129,41 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.concat(F.lit("s"), F.col("l_suppkey"))
                      .alias("dst")))
     ranks = pagerank(edges, "src", "dst", n_iter=4)
-    w = Window.orderBy(F.desc("r4"), F.asc("node"))
-    return (ranks.select("node", round4(F.col("rank")).alias("r4"))
+    # hash-checked via the sketch_cms invariant pattern (r7): the graph
+    # STRUCTURE columns are exact BIGINTs the oracle recomputes
+    # (out-degree over the distinct edge set, dangling flag/count,
+    # node count), and the float ranks surface as two deterministic
+    # invariants the oracle asserts TRUE — rank ≥ teleport base
+    # (base + damping·nonneg can never round below base) and total
+    # mass ≈ 1 (the redistribution loop's conservation property).
+    # Exact rank VALUES stay pinned in tests/test_graph.py.  Top-20
+    # row selection is by (out_degree, node) — exact, so the row set
+    # is oracle-reproducible, unlike a float-rank cut.
+    dist = edges.where(F.col("src").isNotNull()
+                       & F.col("dst").isNotNull()).distinct()
+    deg = dist.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree"))
+    n_nodes = ranks.count()
+    mass = ranks.agg(F.sum("rank").alias("_mass"))
+    base = 0.15 / n_nodes
+    joined = (ranks.join(deg, "node", "left")
+              .select("node",
+                      F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+                      "rank")
+              .crossJoin(F.broadcast(mass)))
+    dang = joined.agg(F.sum(F.when(F.col("out_degree") == 0, 1)
+                            .otherwise(0)).alias("_nd"))
+    w = Window.orderBy(F.desc("out_degree"), F.asc("node"))
+    return (joined.crossJoin(F.broadcast(dang))
+            .select("node", "out_degree",
+                    (F.col("out_degree") == 0).alias("is_dangling"),
+                    F.lit(n_nodes).cast("long").alias("n_nodes"),
+                    F.col("_nd").cast("long").alias("n_dangling"),
+                    F.lit(4).cast("long").alias("n_iter"),
+                    (F.col("rank") >= F.lit(base)).alias("rank_ge_teleport"),
+                    (F.abs(F.col("_mass") - 1.0) < 1e-6).alias("mass_ok"))
             .withColumn("rnk", F.row_number().over(w))
-            .where(F.col("rnk") <= 20)
-            .withColumnRenamed("r4", "rank4"))
+            .where(F.col("rnk") <= 20))
 
 
 def q_geo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4087,65 +4252,69 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate canonicalizes only the first ~50
 # ``queries()`` entries per round.  Rotate each round so the keys with
-# the LEAST driver evidence come first.  Round 7's window:
-#   first  the NEW round-7 keys (zero driver evidence),
-#   then   the two keys whose query/oracle text changed this round
-#          (query_approx_percentiles gained NULL guards,
-#          events_seq_ngrams's oracle became a raw string — the
-#          backslash escapes are live SQL for the first time),
-#   then   as many of the 44 remaining round-3-evidence keys as fit —
-#          the oldest driver evidence left anywhere.
-# Positions 51+ carry the round-3 overflow so the next rotation
-# finishes the stale set; r4/r5/r6-checked keys come last.
-_PRIORITY_R07 = [
-    # --- NEW round-7 keys: zero driver evidence yet ---
-    "query_sql_tpch_q2", "query_sql_tpch_q8", "query_sql_tpch_q9",
-    "query_sql_tpch_q11", "query_sql_tpch_q12", "query_sql_tpch_q16",
-    "query_sql_tpch_q19", "query_sql_tpch_q20", "query_sql_tpch_q21",
-    "query_sql_tpch_q22",
-    "query_sql_recursive", "events_props_extract",
-    "text_template_skeleton", "corpus_budget_alloc", "events_rfm",
-    "graph_triangles", "sample_importance", "text_langid_confusion",
-    "privacy_dp_sum", "embedding_threshold_sweep",
-    "query_auc", "events_seasonal_naive",
-    "query_sql_rank_suite", "events_audience_overlap",
-    "text_readability", "events_changepoint",
-    "privacy_randomized_response", "events_survival",
-    "source_csv_corrupt_audit", "events_ab_test", "query_sql_lateral",
-    "events_funnel_windowed", "privacy_k_histogram", "corpus_dup_report",
-    "events_cohort_value", "sample_kfold",
-    # --- changed query/oracle text this round ---
-    "query_approx_percentiles", "events_seq_ngrams", "sketch_cms",
-    # --- round-3 evidence (11 of the remaining 44) ---
-    "events_transitions", "event_sessionize", "sample_stratified",
-    "text_chunk", "text_chunk_dedup", "text_hashed_vector",
-    "text_lm_score", "text_repetition", "text_tfidf",
-    "text_token_ids", "text_vocab",
-    # ---- fold: driver checks the 50 above ----
-    # round-3-evidence overflow (34)
-    "privacy_k_anon",
-    "mm_binary_roundtrip",
-    "mm_binary_stats", "mm_features", "mm_frame_sample",
-    "streaming_dedup", "streaming_stateful_counts",
-    "streaming_join", "streaming_partitioned_write",
-    "streaming_upsert", "streaming_windowed_agg",
-    "query_cube", "query_distinct_agg",
-    "query_event_gaps", "query_grouping_sets",
-    "query_histogram", "query_pivot",
+# the LEAST driver evidence come first.  Round 8's window (the r7
+# VERDICT's #1 ask: refresh the 82 keys last certified in r3/r4):
+#   first  the NEW key and the keys whose query/oracle text changed
+#          this round (mm_decode_png is new; streaming_upsert gained
+#          the price-cents seq tiebreak; similarity_ivf_pruned /
+#          text_pack / graph_pagerank / embedding_pca flipped
+#          rows-only->hash via
+#          invariant columns; events_ab_test gained the zero-
+#          denominator guard; graph_triangles' operator switched to a
+#          releasable cache),
+#   then   ALL 32 remaining round-3-evidence keys — the oldest driver
+#          evidence anywhere (incl. every original streaming key),
+#   then   the 11 most-churned round-4-evidence keys that fit.
+# Positions 51+ carry the round-4 overflow so round 9 finishes the
+# stale set.  (text_winnow/text_tfidf/text_bpe_pairs became r-strings
+# this round but the cooked SQL bytes are IDENTICAL — not re-folded.)
+_PRIORITY_R08 = [
+    # --- new key + changed query/oracle text this round ---
+    "mm_decode_png", "streaming_upsert", "similarity_ivf_pruned",
+    "text_pack", "graph_pagerank", "embedding_pca",
+    "events_ab_test", "graph_triangles",
+    # --- round-3 evidence (all 32 remaining) ---
+    "streaming_dedup", "streaming_stateful_counts", "streaming_join",
+    "streaming_partitioned_write", "streaming_windowed_agg",
+    "merge_upsert", "cdc_apply", "partition_compact",
+    "mm_binary_roundtrip", "mm_binary_stats", "mm_features",
+    "mm_frame_sample",
+    "catalog_table", "embedding_roundtrip", "privacy_k_anon",
+    "query_cube", "query_distinct_agg", "query_event_gaps",
+    "query_grouping_sets", "query_histogram", "query_pivot",
     "query_profile", "query_salted_join", "query_semi_anti",
-    "query_set_ops", "query_sliding_window",
-    "query_snapshot_diff",
-    "catalog_table", "cdc_apply", "embedding_roundtrip",
-    "merge_upsert",
-    "partition_compact", "sorted_export",
-    "sorted_export_zorder", "source_binaryfile",
+    "query_set_ops", "query_sliding_window", "query_snapshot_diff",
+    "sorted_export", "sorted_export_zorder", "source_binaryfile",
     "source_fixed_width_roundtrip", "source_xml_roundtrip",
+    # --- round-4 evidence (11 most churned since certification) ---
+    "mm_mime_sniff", "mm_resize", "overwrite_dynamic",
+    "dedup_exact", "dedup_containment", "dedup_semantic",
+    "dedup_survivorship", "embedding_grammian", "embedding_quantize",
+    "events_asof_join",
+    # ---- fold: driver checks the 50 above ----
+    # round-4-evidence overflow (finish in r9)
+    "events_range_join",
+    "append_mode", "events_anomaly", "events_asof_nearest",
+    "events_densify", "events_json_extract",
+    "nonnull_validation", "partition_key_trim",
+    "partitioned_write_avro", "partitioned_write_multi",
+    "partitioned_write_orc", "partitioned_write_single",
+    "payload_projection", "privacy_dp_count", "privacy_l_diversity",
+    "query_bucketed_join", "query_join_broadcast", "query_percentiles",
+    "query_pruned_agg", "query_quantile_bins", "query_rollup",
+    "query_rollup_grains", "query_scd2", "query_unpivot",
+    "query_window_topk", "query_windowed_distinct",
+    "sample_cap_group", "sample_hash", "sample_mixture",
+    "sample_split", "sample_temperature",
+    "similarity_int8_topk", "similarity_pq_rerank",
+    "source_csv_roundtrip", "source_jsonl_roundtrip", "stage_tag",
+    "text_bpe_pairs", "text_entropy", "text_winnow",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _all_queries()
-    out = {k: base[k] for k in _PRIORITY_R07}
+    out = {k: base[k] for k in _PRIORITY_R08}
     out.update((k, v) for k, v in base.items() if k not in out)
     return out
 
@@ -4206,6 +4375,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_roundtrip": q_embedding_roundtrip,
         "mm_binary_stats": q_mm_binary_stats,
         "mm_features": q_mm_features,
+        "mm_decode_png": q_mm_decode_png,
         "mm_frame_sample": q_mm_frame_sample,
         "catalog_table": q_catalog_table,
         "partition_compact": q_partition_compact,
@@ -4903,6 +5073,58 @@ def oracle_sql() -> dict[str, str]:
                 WHERE q.vec_id < 10)
             WHERE rank <= 5
         """,
+        # invariant oracle (sketch_cms pattern): the pruned-scan path
+        # must equal the in-memory IVF result row-for-row — the Spark
+        # side computes BOTH and surfaces equality; the oracle pins the
+        # exact (query, rank) grid and asserts the equality held
+        "similarity_ivf_pruned": """
+            SELECT q.vec_id AS query_id,
+                   CAST(r.rank AS BIGINT) AS rank,
+                   TRUE AS same_as_memory
+            FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+            CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS rank) r
+        """,
+        # coverage + budget-invariant oracle: every document exactly
+        # once with its exact token count; bin_ok TRUE everywhere
+        # (over-budget bins may only be single oversized docs)
+        "text_pack": f"""
+            SELECT doc_id, {tok} AS n_tok, TRUE AS bin_ok
+            FROM documents
+        """,
+        # exact graph structure + rank invariants: out-degrees/dangling
+        # from the distinct purchase edge set; the float ranks enter
+        # only through the two oracle-asserted TRUE booleans
+        "graph_pagerank": """
+            WITH e AS (
+                SELECT DISTINCT 'c' || o_custkey AS src,
+                                's' || l_suppkey AS dst
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                WHERE o_custkey < 3000),
+            nodes AS (SELECT src AS node FROM e
+                      UNION SELECT dst FROM e),
+            deg AS (SELECT src AS node, count(*) AS out_degree
+                    FROM e GROUP BY src),
+            j AS (SELECT n.node,
+                         coalesce(d.out_degree, 0) AS out_degree
+                  FROM nodes n LEFT JOIN deg d USING (node)),
+            s AS (SELECT count(*) AS n_nodes,
+                         sum(CASE WHEN out_degree = 0 THEN 1 ELSE 0 END)
+                             AS n_dangling
+                  FROM j),
+            r AS (SELECT j.node, j.out_degree,
+                         (j.out_degree = 0) AS is_dangling,
+                         s.n_nodes, s.n_dangling,
+                         row_number() OVER (ORDER BY j.out_degree DESC,
+                                            j.node) AS rnk
+                  FROM j, s)
+            SELECT node, CAST(out_degree AS BIGINT) AS out_degree,
+                   is_dangling, CAST(n_nodes AS BIGINT) AS n_nodes,
+                   CAST(n_dangling AS BIGINT) AS n_dangling,
+                   CAST(4 AS BIGINT) AS n_iter,
+                   TRUE AS rank_ge_teleport, TRUE AS mass_ok,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM r WHERE rnk <= 20
+        """,
         "text_stats": f"""
             SELECT lang, count(*) AS n_docs,
                    round(avg(n_chars), 4) AS avg_chars,
@@ -5041,6 +5263,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'day', (epoch_us(ts) // 86400000000) * 86400000000,
                    count(*), round(sum(value), 2)
             FROM events GROUP BY 2
+        """,
+        "mm_decode_png": """
+            WITH d AS (
+                SELECT doc_id,
+                       8 + doc_id % 9 AS width,
+                       8 + doc_id % 7 AS height
+                FROM documents),
+            i AS (
+                SELECT doc_id, width, height,
+                       unnest(generate_series(
+                           0, width * height * 4 - 1)) AS i
+                FROM d),
+            v AS (
+                SELECT doc_id, width, height, i,
+                       (doc_id * 7919 + i * 37 + (i % 11) * 13) % 256
+                           AS v
+                FROM i),
+            s AS (
+                SELECT doc_id, any_value(width) AS width,
+                       any_value(height) AS height,
+                       CAST(any_value(width) * any_value(height)
+                            AS BIGINT) AS n_px,
+                       sum(CASE WHEN i % 4 = 0 THEN v ELSE 0 END) AS sr,
+                       sum(CASE WHEN i % 4 = 1 THEN v ELSE 0 END) AS sg,
+                       sum(CASE WHEN i % 4 = 2 THEN v ELSE 0 END) AS sb,
+                       sum(CASE WHEN i % 4 = 3 THEN v ELSE 0 END) AS sa
+                FROM v GROUP BY doc_id)
+            SELECT doc_id, width, height, n_px,
+                   floor(sr / n_px * 1000000.0 + 0.5) / 1000000.0
+                       AS mean_r,
+                   floor(sg / n_px * 1000000.0 + 0.5) / 1000000.0
+                       AS mean_g,
+                   floor(sb / n_px * 1000000.0 + 0.5) / 1000000.0
+                       AS mean_b,
+                   floor(sa / n_px * 1000000.0 + 0.5) / 1000000.0
+                       AS mean_a
+            FROM s
         """,
         "mm_features": """
             -- byte-level feature twin: text is pure ASCII at every SF
@@ -5346,8 +5605,10 @@ def oracle_sql() -> dict[str, str]:
         "streaming_upsert": """
             WITH ch AS (
                 SELECT l_orderkey,
-                       l_linenumber * 100000000000 + l_partkey * 100000
-                           + l_suppkey AS seq,
+                       (l_linenumber * 100000000000 + l_partkey * 100000
+                           + l_suppkey) * 100000
+                           + CAST(floor(l_extendedprice * 100 + 0.5)
+                                  AS BIGINT) % 100000 AS seq,
                        CASE WHEN l_partkey % 11 = 0 THEN 'D' ELSE 'U' END
                            AS op,
                        l_quantity, l_extendedprice,
@@ -5948,6 +6209,17 @@ def oracle_sql() -> dict[str, str]:
                        x='max(abs(x - qv * coalesce(scale, 0.0)))')}
                        AS max_abs_err
             FROM q GROUP BY vec_id
+        """,
+        # invariant oracle (sketch_cms pattern, r8): exact component
+        # grid + corpus count; the eigensolver/centering/projection
+        # enter only through the five oracle-asserted TRUE booleans
+        "embedding_pca": """
+            SELECT CAST(c AS BIGINT) AS component,
+                   (SELECT count(*) FROM embeddings) AS n_vectors,
+                   TRUE AS basis_ortho_ok, TRUE AS eig_desc_ok,
+                   TRUE AS eig_nonneg_ok, TRUE AS centered_ok,
+                   TRUE AS spectrum_ok
+            FROM (SELECT unnest(range(8)) AS c)
         """,
         "embedding_grammian": """
             WITH base AS (

@@ -18,18 +18,20 @@ def test_every_oracle_has_a_query_and_priorities_resolve():
     m = _entry()
     q, o = m.queries(), m.oracle_sql()
     assert set(o) <= set(q), sorted(set(o) - set(q))
-    assert set(m._PRIORITY_R07) <= set(q), \
-        sorted(set(m._PRIORITY_R07) - set(q))
-    assert len(set(m._PRIORITY_R07)) == len(m._PRIORITY_R07), \
+    assert set(m._PRIORITY_R08) <= set(q), \
+        sorted(set(m._PRIORITY_R08) - set(q))
+    assert len(set(m._PRIORITY_R08)) == len(m._PRIORITY_R08), \
         "duplicate keys in priority rotation"
     # the rows-only set is exactly the documented sketch/iterative ops
     rows_only = set(q) - set(o)
+    # r8 flipped similarity_ivf_pruned / text_pack / graph_pagerank /
+    # embedding_pca to hash-pass via invariant columns (sketch_cms
+    # pattern)
     assert rows_only == {
         "dedup_embedding_lsh", "dedup_minhash", "similarity_ann_ivf",
-        "similarity_ann_lsh", "similarity_ivf_pruned", "text_pack",
+        "similarity_ann_lsh",
         "similarity_pq_rerank", "dedup_semantic",
-        "embedding_pca", "text_bpe_learn",
-        "graph_pagerank",
+        "text_bpe_learn",
     }, sorted(rows_only)
     # priority rotation covers every NEW key first (never hash-checked)
     assert len(q) >= 124
