@@ -4,6 +4,13 @@ in ONE warm session and report the 0.01→0.1 scaling exponent
 2.0 quadratic, ~0 means fixed overhead dominates at these sizes).
 
 Writes SCALING.md.  Usage: python tools/scale_sweep.py [key ...]
+
+``--sf1 [key ...]`` instead runs the data-bound tail (default: the
+high-slope keys below) against the 10x-inflated ``.scratch/sf1``
+corpus (build it first: ``python tools/make_sf1.py``) and appends an
+"sf1 spot-run" section to SCALING.md with the 0.1->1 slope — the
+0.01->0.1 slopes in the main table are still overhead-dominated, so
+the linear-at-scale claim is certified where data actually dominates.
 """
 
 from __future__ import annotations
@@ -85,6 +92,69 @@ SWEEP_KEYS = [
 
 SFS = ["0.001", "0.01", "0.1"]
 
+#: keys whose 0.01->0.1 slope is >= ~0.4 — the least
+#: overhead-dominated tail, worth certifying at sf1
+SF1_KEYS = [
+    "dedup_fuzzy", "ops_metadata_files", "text_span_novelty",
+    "embedding_threshold_sweep", "dedup_spans", "graph_triangles",
+    "text_langid_confusion", "sorted_export", "dedup_ngram_jaccard",
+    "corpus_pipeline", "dedup_containment",
+]
+
+SF1_DIR = "/root/repo/.scratch/sf1"
+
+
+def sf1_run() -> None:
+    import __spark_entry__ as E
+    from dynamic_partitioner_spark import get_spark
+
+    import os
+    if not os.path.exists(f"{SF1_DIR}/lineitem.parquet"):
+        sys.exit("build the corpus first: python tools/make_sf1.py")
+    spark = get_spark("sf1-sweep")
+    qs = E.queries()
+    keys = [k for k in (sys.argv[2:] or SF1_KEYS) if k in qs]
+    qs["query_pruned_agg"](spark, "/root/testdata/sf0.001").count()
+
+    rows = []
+    for key in keys:
+        t0 = time.time()
+        n01 = qs[key](spark, "/root/testdata/sf0.1").count()
+        t01 = time.time() - t0
+        t0 = time.time()
+        n1 = qs[key](spark, SF1_DIR).count()
+        t1 = time.time() - t0
+        slope = math.log10(max(t1, 1e-3) / max(t01, 1e-3))
+        rows.append((key, t01, t1, n1, slope))
+        print(f"# {key}: sf0.1={t01:.2f}s sf1={t1:.2f}s rows@1={n1}"
+              f" slope={slope:+.2f}", file=sys.stderr)
+
+    lines = [
+        "",
+        "## sf1 spot-run — the data-bound tail at 10x",
+        "",
+        "The high-slope keys re-timed against a 10x-inflated corpus",
+        "(`tools/make_sf1.py`: key-offset replicas, per-replica word",
+        "renaming keeps near-dup pair growth linear).  Slope here is",
+        "0.1→1 log-log — measured where data, not job overhead,",
+        "dominates.  Regenerate: `python tools/scale_sweep.py --sf1`.",
+        "",
+        "| key | sf0.1 | sf1 | rows@1 | slope 0.1→1 |",
+        "|---|---|---|---|---|",
+    ]
+    for key, t01, t1, n1, slope in sorted(rows, key=lambda r: -r[4]):
+        lines.append(f"| {key} | {t01:.2f}s | {t1:.2f}s | {n1} "
+                     f"| {slope:+.2f} |")
+    lines.append("")
+    with open("/root/repo/SCALING.md") as f:
+        md = f.read()
+    cut = md.find("\n## sf1 spot-run")
+    if cut != -1:
+        md = md[:cut] + "\n"
+    with open("/root/repo/SCALING.md", "w") as f:
+        f.write(md.rstrip("\n") + "\n" + "\n".join(lines))
+    print("SCALING.md sf1 section written")
+
 
 def main() -> None:
     import __spark_entry__ as E
@@ -144,4 +214,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--sf1":
+        sf1_run()
+    else:
+        main()
