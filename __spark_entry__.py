@@ -3143,24 +3143,29 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                        & F.col("dst").isNotNull()).distinct()
     deg = dist.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("out_degree"))
-    n_nodes = ranks.count()
-    mass = ranks.agg(F.sum("rank").alias("_mass"))
-    base = 0.15 / n_nodes
-    joined = (ranks.join(deg, "node", "left")
-              .select("node",
-                      F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
-                      "rank")
-              .crossJoin(F.broadcast(mass)))
-    dang = joined.agg(F.sum(F.when(F.col("out_degree") == 0, 1)
-                            .otherwise(0)).alias("_nd"))
+    # node count + total mass as ONE broadcast 1-row aggregate (no
+    # eager count() at build time — plan audits build lazily)
+    totals = ranks.agg(F.count(F.lit(1)).alias("_n"),
+                       F.sum("rank").alias("_mass"))
+    pre = (ranks.join(deg, "node", "left")
+           .select("node",
+                   F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+                   "rank"))
+    # dangling count aggregated BEFORE the scalar cross-joins — dang's
+    # subtree referencing the crossed frame would replicate the totals
+    # BNLJ node (pre is referenced twice; keep its plan scalar-free)
+    dang = pre.agg(F.sum(F.when(F.col("out_degree") == 0, 1)
+                         .otherwise(0)).alias("_nd"))
+    joined = pre.crossJoin(F.broadcast(totals))
     w = Window.orderBy(F.desc("out_degree"), F.asc("node"))
     return (joined.crossJoin(F.broadcast(dang))
             .select("node", "out_degree",
                     (F.col("out_degree") == 0).alias("is_dangling"),
-                    F.lit(n_nodes).cast("long").alias("n_nodes"),
+                    F.col("_n").cast("long").alias("n_nodes"),
                     F.col("_nd").cast("long").alias("n_dangling"),
                     F.lit(4).cast("long").alias("n_iter"),
-                    (F.col("rank") >= F.lit(base)).alias("rank_ge_teleport"),
+                    (F.col("rank") >= F.lit(0.15) / F.col("_n"))
+                    .alias("rank_ge_teleport"),
                     (F.abs(F.col("_mass") - 1.0) < 1e-6).alias("mass_ok"))
             .withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= 20))

@@ -91,6 +91,8 @@ AUDIT_KEYS = [
     "events_seq_lm", "events_bursts",
     "query_geo_join", "graph_pagerank",
     "streaming_expectations",
+    "mm_decode_png", "embedding_pca", "text_pack",
+    "similarity_ivf_pruned",
 ]
 
 _KEEP = re.compile(
@@ -135,6 +137,11 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
     "query_sql_tpch_q22": (1, "1-row avg-balance frame (sum_c, n) "
                               "broadcast to every customer row; the "
                               "order anti-join is a hash join"),
+    "graph_pagerank": (2, "the two 1-row invariant aggregates "
+                          "(total rank mass, dangling count) crossed "
+                          "onto the node frame for the oracle-"
+                          "asserted booleans; every data join is an "
+                          "equi-join"),
     "privacy_t_closeness": (2, "deliberate class x sensitive-domain "
                                "grid: cross joins of TINY aggregates "
                                "(domain values + the 1-row guarded "
