@@ -1125,6 +1125,48 @@ def q_mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean6("sum_b").alias("mean_b"), mean6("sum_a").alias("mean_a"))
 
 
+def q_mm_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sidecar-free metadata extraction through the codec registry:
+    each document's ``lang``/``source`` ride INSIDE its PNG as tEXt
+    chunks (the embedded-metadata pattern real image corpora use —
+    EXIF/XMP equivalents), and the ``image/png;text`` codec surfaces
+    dimensions plus the chunks as ONE canonical JSON string without
+    inflating any pixels.  Field extraction happens JVM-side
+    (``get_json_object``), so only the tiny JSON crosses from the
+    Arrow batch — never the payload.  The oracle rebuilds the exact
+    JSON bytes and the dims rule straight from ``documents``; a
+    chunk-order, escaping, or parse defect anywhere in the
+    encode->decode->extract chain breaks the value hash."""
+    import pandas as _pd
+
+    from dynamic_partitioner_spark.formats.png_py import (
+        register_png_meta_codec, synthetic_png)
+    from dynamic_partitioner_spark.operators.multimodal import (
+        decode_media)
+
+    register_png_meta_codec()
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source")
+
+    def gen(batches):
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    synthetic_png(int(d), {"lang": la, "source": so})
+                    for d, la, so in zip(pdf["doc_id"], pdf["lang"],
+                                         pdf["source"])],
+            })
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    dec = decode_media(payloads, "image/png;text")
+    return dec.select(
+        "doc_id", "width", "height",
+        F.col("n_text").cast("long").alias("n_text"), "meta_json",
+        F.get_json_object("meta_json", "$.lang").alias("lang"),
+        F.get_json_object("meta_json", "$.source").alias("source"))
+
+
 # =====================================================================
 # Streaming
 # =====================================================================
@@ -3226,6 +3268,28 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, "doc_id", "text", _HYBRID_TERMS, top=20)
 
 
+def q_text_bm25_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25 retrieval — top-5 docs for EVERY query in a query
+    set (the RAG / eval-harness shape; ``text_bm25`` scores one term
+    bag).  Queries derive deterministically from the corpus: the first
+    3 tokens of each doc with ``doc_id < 8``.  Corpus tokenizes ONCE
+    into a posting relation; queries meet it on a term equi-join
+    (inverted-index shape — corpus cost independent of query count,
+    never query × doc).  Integer micro-unit partials keep the score
+    order-free and engine-exact; ties break on doc_id per query."""
+    from dynamic_partitioner_spark.operators.dedup import tokens
+    from dynamic_partitioner_spark.operators.vectorize import (
+        bm25_retrieve)
+    docs = _table(spark, sf_dir, "documents")
+    toks = F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)
+    queries = (docs.where(F.col("doc_id") < 8)
+               .select(F.col("doc_id").alias("query_id"),
+                       F.array_join(F.slice(toks, 1, 3), " ")
+                       .alias("qtext")))
+    return bm25_retrieve(docs, "doc_id", "text", queries,
+                         "query_id", "qtext", top=5)
+
+
 def q_sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap uncertainty over the event metric: 10
     deterministic resampled means with effective sizes — each row
@@ -4275,7 +4339,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # this round but the cooked SQL bytes are IDENTICAL — not re-folded.)
 _PRIORITY_R08 = [
     # --- new key + changed query/oracle text this round ---
-    "mm_decode_png", "streaming_upsert", "similarity_ivf_pruned",
+    "mm_decode_png", "mm_png_meta", "text_bm25_retrieve",
+    "streaming_upsert", "similarity_ivf_pruned",
     "text_pack", "graph_pagerank", "embedding_pca",
     "events_ab_test", "graph_triangles",
     # --- round-3 evidence (all 32 remaining) ---
@@ -4294,11 +4359,10 @@ _PRIORITY_R08 = [
     # --- round-4 evidence (11 most churned since certification) ---
     "mm_mime_sniff", "mm_resize", "overwrite_dynamic",
     "dedup_exact", "dedup_containment", "dedup_semantic",
-    "dedup_survivorship", "embedding_grammian", "embedding_quantize",
-    "events_asof_join",
+    "dedup_survivorship", "embedding_grammian",
     # ---- fold: driver checks the 50 above ----
     # round-4-evidence overflow (finish in r9)
-    "events_range_join",
+    "embedding_quantize", "events_asof_join", "events_range_join",
     "append_mode", "events_anomaly", "events_asof_nearest",
     "events_densify", "events_json_extract",
     "nonnull_validation", "partition_key_trim",
@@ -4381,6 +4445,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_binary_stats": q_mm_binary_stats,
         "mm_features": q_mm_features,
         "mm_decode_png": q_mm_decode_png,
+        "mm_png_meta": q_mm_png_meta,
         "mm_frame_sample": q_mm_frame_sample,
         "catalog_table": q_catalog_table,
         "partition_compact": q_partition_compact,
@@ -4546,6 +4611,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_conformance": q_events_conformance,
         "mm_dedup_binary": q_mm_dedup_binary,
         "text_bm25": q_text_bm25,
+        "text_bm25_retrieve": q_text_bm25_retrieve,
         "sample_bootstrap": q_sample_bootstrap,
         "events_seq_lm": q_events_seq_lm,
         "events_bursts": q_events_bursts,
@@ -5305,6 +5371,16 @@ def oracle_sql() -> dict[str, str]:
                    floor(sa / n_px * 1000000.0 + 0.5) / 1000000.0
                        AS mean_a
             FROM s
+        """,
+        "mm_png_meta": """
+            SELECT doc_id,
+                   8 + doc_id % 9 AS width,
+                   8 + doc_id % 7 AS height,
+                   CAST(2 AS BIGINT) AS n_text,
+                   '{"lang":"' || lang || '","source":"' || source
+                       || '"}' AS meta_json,
+                   lang, source
+            FROM documents
         """,
         "mm_features": """
             -- byte-level feature twin: text is pure ASCII at every SF
@@ -6558,6 +6634,47 @@ def oracle_sql() -> dict[str, str]:
                    d AS doc_id, CAST(s AS DOUBLE) / 1000000 AS bm25
             FROM agg QUALIFY rank <= 20
         """.replace("{terms}", ", ".join(f"'{t}'" for t in _HYBRID_TERMS)),
+        "text_bm25_retrieve": r"""
+            WITH base AS (
+                SELECT doc_id AS d,
+                       list_filter(string_split_regex(trim(lower(text)),
+                                                      '[ \t\n\r]+'),
+                                   x -> len(x) > 0) AS t
+                FROM documents),
+            qt AS (SELECT query_id, term, count(*) AS qtf
+                   FROM (SELECT d AS query_id, unnest(t[1:3]) AS term
+                         FROM base WHERE d < 8)
+                   GROUP BY query_id, term),
+            stats AS (SELECT count(*) AS n_docs,
+                             CAST(sum(len(t)) AS BIGINT) AS total_len
+                      FROM base),
+            tf AS (SELECT d, dl, term, count(*) AS tf
+                   FROM (SELECT d, len(t) AS dl, unnest(t) AS term
+                         FROM base)
+                   WHERE term IN (SELECT DISTINCT term FROM qt)
+                   GROUP BY d, dl, term),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            sc AS (SELECT qt.query_id, tf.d,
+                          CAST(floor(
+                              ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5)
+                                       / (CAST(df AS DOUBLE) + 0.5))
+                              * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                              / (tf + 1.2 * (1.0 - 0.75
+                                  + 0.75 * dl
+                                    / (CAST(total_len AS DOUBLE)
+                                       / n_docs)))
+                              * 1000000 + 0.5) AS BIGINT) * qtf AS su
+                   FROM tf
+                   JOIN qt USING (term)
+                   JOIN dfreq ON dfreq.term = tf.term, stats),
+            agg AS (SELECT query_id, d, CAST(sum(su) AS BIGINT) AS s
+                    FROM sc GROUP BY query_id, d)
+            SELECT query_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, d) AS rank,
+                   d AS doc_id, CAST(s AS DOUBLE) / 1000000 AS bm25
+            FROM agg QUALIFY rank <= 5
+        """,
         "sample_bootstrap": SMP.poisson_bootstrap_sql(
             "event_id", "value", n_replicates=10),
         "events_conformance": ("""

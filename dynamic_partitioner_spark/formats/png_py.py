@@ -44,6 +44,7 @@ class PngImage:
     color_type: int
     channels: int
     pixels: bytes  # row-major, ``width*channels`` bytes per row
+    text: dict | None = None  # tEXt chunks, keyword -> value (latin-1)
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -83,6 +84,7 @@ def decode_png(payload: bytes) -> PngImage:
     width = height = None
     color_type = channels = None
     idat = bytearray()
+    text: dict = {}
     saw_end = False
     for ctype, body in _chunks(payload):
         if ctype == b"IHDR":
@@ -106,6 +108,13 @@ def decode_png(payload: bytes) -> PngImage:
             if width is None:
                 raise PngFormatError("IDAT before IHDR")
             idat.extend(body)
+        elif ctype == b"tEXt":
+            # keyword\0value, both latin-1 per the spec
+            sep = body.find(b"\x00")
+            if sep < 1:
+                raise PngFormatError("malformed tEXt chunk")
+            text[body[:sep].decode("latin-1")] = \
+                body[sep + 1:].decode("latin-1")
         elif ctype == b"IEND":
             saw_end = True
             break
@@ -146,7 +155,8 @@ def decode_png(payload: bytes) -> PngImage:
             raise PngFormatError(f"unknown filter type {ftype} row {y}")
         out[y * rb:(y + 1) * rb] = line
         prior = bytes(line)
-    return PngImage(width, height, color_type, channels, bytes(out))
+    return PngImage(width, height, color_type, channels, bytes(out),
+                    text or None)
 
 
 def _filter_line(ftype: int, line: bytes, prior: bytes,
@@ -180,13 +190,18 @@ def _chunk(ctype: bytes, body: bytes) -> bytes:
 
 def encode_png(pixels: bytes, width: int, height: int,
                color_type: int = 6,
-               filter_choice=None) -> bytes:
+               filter_choice=None,
+               text_chunks: dict | None = None) -> bytes:
     """Encode row-major 8-bit pixel bytes as a valid PNG.
 
     ``filter_choice``: optional ``fn(y) -> int`` selecting the scanline
     filter type per row (default: 0/None).  The fixtures rotate through
     all five types so a decoder bug in ANY filter shows up as a
     value-hash mismatch, not just in unit tests.
+
+    ``text_chunks``: optional keyword -> value metadata written as
+    tEXt chunks (latin-1, per the spec) between IHDR and IDAT, in
+    sorted-keyword order for determinism.
     """
     channels = _CHANNELS.get(color_type)
     if channels is None:
@@ -204,7 +219,14 @@ def encode_png(pixels: bytes, width: int, height: int,
         raw.extend(_filter_line(ftype, line, prior, channels))
         prior = line
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
-    return (_SIGNATURE + _chunk(b"IHDR", ihdr)
+    texts = b""
+    for kw in sorted(text_chunks or {}):
+        val = text_chunks[kw]
+        if not kw or "\x00" in kw or "\x00" in val:
+            raise ValueError(f"invalid tEXt keyword/value for {kw!r}")
+        texts += _chunk(b"tEXt", kw.encode("latin-1") + b"\x00"
+                        + val.encode("latin-1"))
+    return (_SIGNATURE + _chunk(b"IHDR", ihdr) + texts
             + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
             + _chunk(b"IEND", b""))
 
@@ -227,10 +249,10 @@ def synthetic_pixel(doc_id: int, i: int) -> int:
     return (doc_id * 7919 + i * 37 + (i % 11) * 13) % 256
 
 
-def synthetic_png(doc_id: int) -> bytes:
+def synthetic_png(doc_id: int, text_chunks: dict | None = None) -> bytes:
     """Deterministic RGBA PNG for ``doc_id``: dims and pixels from the
     SQL-expressible rule above; scanline filter rotates through all
-    five types with a per-image phase."""
+    five types with a per-image phase; optional tEXt metadata."""
     import numpy as np
 
     w, h = synthetic_dims(doc_id)
@@ -238,7 +260,8 @@ def synthetic_png(doc_id: int) -> bytes:
     px = ((doc_id * 7919 + i * 37 + (i % 11) * 13) % 256) \
         .astype(np.uint8).tobytes()
     return encode_png(px, w, h, color_type=6,
-                      filter_choice=lambda y: (doc_id + y) % 5)
+                      filter_choice=lambda y: (doc_id + y) % 5,
+                      text_chunks=text_chunks)
 
 
 PNG_STATS_DDL = ("width int, height int, n_px bigint, "
@@ -268,3 +291,27 @@ def register_png_codec() -> None:
     multimodal decode seam."""
     from ..operators.multimodal import register_codec
     register_codec("image/png", PNG_STATS_DDL, png_stats_codec)
+
+
+PNG_META_DDL = "width int, height int, n_text int, meta_json string"
+
+
+def png_meta_codec(payload: bytes) -> dict:
+    """Registry codec for metadata extraction WITHOUT touching pixels:
+    dimensions plus the tEXt chunks as one canonical JSON string
+    (sorted keys, compact separators — deterministic bytes), so
+    engine-side field extraction stays JVM-side ``get_json_object``."""
+    import json
+
+    img = decode_png(payload)
+    kv = img.text or {}
+    return {"width": img.width, "height": img.height,
+            "n_text": len(kv),
+            "meta_json": json.dumps(kv, sort_keys=True,
+                                    separators=(",", ":"))}
+
+
+def register_png_meta_codec() -> None:
+    """Register the tEXt metadata codec for mode ``image/png;text``."""
+    from ..operators.multimodal import register_codec
+    register_codec("image/png;text", PNG_META_DDL, png_meta_codec)

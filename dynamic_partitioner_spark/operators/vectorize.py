@@ -264,3 +264,72 @@ def bm25_topk(df: DataFrame, id_col: str, text_col: str,
             .where(F.col("rank") <= top)
             .select("rank", F.col("_d").alias(id_col),
                     (F.col("_s").cast("double") / 1e6).alias("bm25")))
+
+
+def bm25_retrieve(df: DataFrame, id_col: str, text_col: str,
+                  queries: DataFrame, qid_col: str, qtext_col: str,
+                  k1: float = 1.2, b: float = 0.75,
+                  top: int = 10) -> DataFrame:
+    """Batch BM25 retrieval: top-``top`` documents for EVERY query in
+    the ``queries`` relation — the RAG / eval-harness shape
+    (:func:`bm25_topk` scores one term bag; this scores a query SET).
+
+    Scale decomposition: the corpus is tokenized ONCE into a (doc,
+    term, tf) posting relation; queries tokenize into (query, term,
+    qtf) and meet the postings on an equi-join over ``term`` — never a
+    query × doc cross product, so corpus cost is independent of the
+    number of queries and query fan-out rides the posting lists
+    exactly like a distributed inverted index.  The query side
+    broadcasts (a query batch is small by definition); document
+    frequencies and global stats reuse the corpus-side aggregates.
+
+    Cross-engine exactness (same discipline as :func:`bm25_topk`):
+    each (query, doc, term) partial quantizes to integer micro-units
+    BEFORE the integer qtf multiply and the per-(query, doc) sum, so
+    the score is order-free; ranking ties break on the doc id, per
+    query.
+    """
+    from .dedup import tokens
+    toks = F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+    base = df.select(F.col(id_col).alias("_d"), toks.alias("_t"))
+    stats = base.agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum(F.size("_t")).alias("total_len"))
+    tf = (base.select("_d", F.size("_t").alias("dl"),
+                      F.explode("_t").alias("term"))
+          .groupBy("_d", "dl", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    qtoks = F.filter(tokens(F.col(qtext_col)),
+                     lambda t: F.length(t) > 0)
+    qterms = (queries.select(F.col(qid_col).alias("_q"),
+                             qtoks.alias("_t"))
+              .select("_q", F.explode("_t").alias("term"))
+              .groupBy("_q", "term")
+              .agg(F.count(F.lit(1)).alias("qtf")))
+    # prune postings to the query vocabulary BEFORE the df aggregate —
+    # df per term is unchanged (all docs for those terms survive the
+    # semi-join) and the full-vocab aggregate never runs
+    qvocab = qterms.select("term").distinct()
+    tfq = tf.join(F.broadcast(qvocab), "term", "semi")
+    dfreq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (tfq.join(F.broadcast(qterms), "term")
+              .join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(stats)))
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    idf = F.log(F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    part = (idf * (F.col("tf") * (F.lit(k1) + 1.0))
+            / (F.col("tf") + F.lit(k1)
+               * (F.lit(1.0) - F.lit(b)
+                  + F.lit(b) * F.col("dl") / avgdl)))
+    per_term = scored.select(
+        "_q", "_d",
+        (F.floor(part * 1e6 + F.lit(0.5)).cast("long")
+         * F.col("qtf")).alias("_su"))
+    agg = per_term.groupBy("_q", "_d").agg(F.sum("_su").alias("_s"))
+    rnk = Window.partitionBy("_q").orderBy(F.desc("_s"), F.asc("_d"))
+    return (agg.withColumn("rank", F.row_number().over(rnk))
+            .where(F.col("rank") <= top)
+            .select(F.col("_q").alias(qid_col), "rank",
+                    F.col("_d").alias(id_col),
+                    (F.col("_s").cast("double") / 1e6).alias("bm25")))

@@ -110,3 +110,25 @@ def test_sniff_agrees_with_codec():
     assert mime == "image/png"
     assert blob.hex().upper().startswith(prefix)
     assert isinstance(decode_png(blob), PngImage)
+
+
+def test_text_chunks_roundtrip_and_meta_codec():
+    from dynamic_partitioner_spark.formats.png_py import png_meta_codec
+
+    meta = {"lang": "de", "source": "src7", "zz": "last"}
+    blob = synthetic_png(11, text_chunks=meta)
+    img = decode_png(blob)
+    assert img.text == meta
+    # pixels unaffected by the tEXt chunks
+    assert img.pixels == decode_png(synthetic_png(11)).pixels
+    out = png_meta_codec(blob)
+    w, h = synthetic_dims(11)
+    assert (out["width"], out["height"], out["n_text"]) == (w, h, 3)
+    assert out["meta_json"] == \
+        '{"lang":"de","source":"src7","zz":"last"}'
+    # no tEXt -> empty JSON object, zero count
+    bare = png_meta_codec(synthetic_png(11))
+    assert (bare["n_text"], bare["meta_json"]) == (0, "{}")
+    # NUL in a value must be rejected at encode time, not smuggled
+    with pytest.raises(ValueError, match="tEXt"):
+        synthetic_png(11, text_chunks={"k": "a\x00b"})

@@ -188,3 +188,36 @@ def test_bm25_rejects_empty_terms(spark):
     docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bm25_topk(docs, "doc_id", "text", [])
+
+
+def test_bm25_retrieve_per_query_topk_and_qtf(spark):
+    import math
+
+    from dynamic_partitioner_spark.operators.vectorize import (
+        bm25_retrieve, bm25_topk)
+    docs = spark.createDataFrame(
+        [(0, "x x y"), (1, "x z z"), (2, "z z z")],
+        "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(10, "x"), (11, "z z"), (12, "missing")],
+        "query_id long, qtext string")
+    rows = bm25_retrieve(docs, "doc_id", "text", queries,
+                         "query_id", "qtext", top=10).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, {})[r.doc_id] = (r.rank, r.bm25)
+    # query 10 ('x') must equal the single-bag scorer exactly
+    solo = {r.doc_id: (r.rank, r.bm25) for r in
+            bm25_topk(docs, "doc_id", "text", ["x"], top=10).collect()}
+    assert by_q[10] == solo
+    # query 11 ('z z'): qtf=2 doubles every quantized partial
+    idf_z = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    def part_z(tf):
+        return math.floor(idf_z * (tf * 2.2)
+                          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * 1.0))
+                          * 1e6 + 0.5)
+    assert by_q[11][2] == (1, 2 * part_z(3) / 1e6)
+    assert by_q[11][1] == (2, 2 * part_z(2) / 1e6)
+    assert 0 not in by_q[11]
+    # a query with no corpus hits returns no rows, not an error
+    assert 12 not in by_q

@@ -92,7 +92,7 @@ AUDIT_KEYS = [
     "query_geo_join", "graph_pagerank",
     "streaming_expectations",
     "mm_decode_png", "embedding_pca", "text_pack",
-    "similarity_ivf_pruned",
+    "similarity_ivf_pruned", "mm_png_meta", "text_bm25_retrieve",
 ]
 
 _KEEP = re.compile(

@@ -88,6 +88,8 @@ SWEEP_KEYS = [
     "events_seq_lm", "events_bursts",
     "query_geo_join", "graph_pagerank",
     "streaming_expectations",
+    # round-8 additions
+    "mm_decode_png", "mm_png_meta", "text_bm25_retrieve",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
