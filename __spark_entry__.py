@@ -4287,6 +4287,80 @@ def q_ops_metadata_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("pk", "file_rank", "n_rows"))
 
 
+def q_partitioned_write_transforms(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Hidden partitioning through the sink: lineitem written under
+    DERIVED keys — ``ship_year = year(l_shipdate)`` (time transform)
+    and ``pk_bucket = l_partkey % 8`` (bucket transform) — while the
+    payload keeps every original column (no redundant physical year/
+    bucket columns, the Iceberg partition-transform pattern).  Read
+    back filtered to two years THROUGH the partition dirs (partition
+    pruning on the derived key; the payload date column proves it
+    survived intact because the oracle recomputes the same years from
+    the RAW dates).  Aggregates per (year, bucket) in exact DECIMAL
+    money math."""
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        write_partitioned_derived)
+    apply_engine_confs(spark)
+    li = _table(spark, sf_dir, "lineitem")
+    out = _out("pw_transforms")
+    spec = SinkSpec(name="li_hidden", field_names=["ship_year",
+                                                   "pk_bucket"])
+    write_partitioned_derived(
+        li, spec, out,
+        {"ship_year": F.year("l_shipdate"),
+         "pk_bucket": F.col("l_partkey") % 8})
+    back = (read_partitioned(spark, out)
+            .where(F.col("ship_year").cast("long").isin(1997, 1998)))
+    dec = F.col("l_extendedprice").cast("decimal(12,2)")
+    return (back.groupBy(F.col("ship_year").cast("long")
+                         .alias("ship_year"),
+                         F.col("pk_bucket").cast("long")
+                         .alias("pk_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 # payload-intact proof: the same years recomputed
+                 # from the RAW payload date must cover every row
+                 F.sum(F.when(F.year("l_shipdate")
+                              == F.col("ship_year").cast("int"), 1)
+                       .otherwise(0)).alias("n_year_match"),
+                 F.sum(dec).cast("decimal(18,2)").cast("double")
+                 .alias("total_price")))
+
+
+def q_ops_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning end-to-end: write orders
+    partitioned by priority with a deliberately tiny 300-row file cap
+    (strict hash repartition — one sequential writer per key makes
+    every file's row count deterministic), collect per-file stats via
+    the ``_metadata`` virtual column (no data pages read), and run the
+    rolling first-fit-decreasing planner into 1000-row bins.  The
+    oracle PREDICTS the whole plan from the data alone: file sizes are
+    ceil(n/300) files of 300 rows plus one remainder, and the bin
+    arithmetic (running-total DIV target) replays identically in SQL.
+    Equal-sized files are interchangeable, so the (seq, rows, bin)
+    relation is independent of physical file naming."""
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        plan_compaction)
+    apply_engine_confs(spark)
+    df = (_table(spark, sf_dir, "orders")
+          .repartition(F.col("o_orderpriority")))
+    out = _out("ops_compaction_plan")
+    spec = SinkSpec(name="ord_compact_plan",
+                    field_names=["o_orderpriority"],
+                    max_records_per_file=300, cluster_by_key=False)
+    write_partitioned(df, spec, out)
+    per_file = (spark.read.parquet(out)
+                .select(F.col("o_orderpriority").cast("string")
+                        .alias("pk"),
+                        F.col("_metadata.file_path").alias("_file"))
+                .groupBy("pk", "_file")
+                .agg(F.count(F.lit(1)).alias("n_rows")))
+    plan = plan_compaction(per_file, ["pk"], "n_rows", target=1000,
+                           tiebreak_cols=["_file"])
+    return plan.select("pk", "file_seq", "n_rows", "bin",
+                       "bin_size", "bin_files")
+
+
 def q_text_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 windowed token co-occurrence pairs (window=2) — the
     word2vec/PMI prep primitive; pair generation stays inside the token
@@ -4340,6 +4414,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY_R08 = [
     # --- new key + changed query/oracle text this round ---
     "mm_decode_png", "mm_png_meta", "text_bm25_retrieve",
+    "ops_compaction_plan", "partitioned_write_transforms",
     "streaming_upsert", "similarity_ivf_pruned",
     "text_pack", "graph_pagerank", "embedding_pca",
     "events_ab_test", "graph_triangles",
@@ -4359,10 +4434,11 @@ _PRIORITY_R08 = [
     # --- round-4 evidence (11 most churned since certification) ---
     "mm_mime_sniff", "mm_resize", "overwrite_dynamic",
     "dedup_exact", "dedup_containment", "dedup_semantic",
-    "dedup_survivorship", "embedding_grammian",
     # ---- fold: driver checks the 50 above ----
     # round-4-evidence overflow (finish in r9)
-    "embedding_quantize", "events_asof_join", "events_range_join",
+    "dedup_survivorship",
+    "embedding_grammian", "embedding_quantize", "events_asof_join",
+    "events_range_join",
     "append_mode", "events_anomaly", "events_asof_nearest",
     "events_densify", "events_json_extract",
     "nonnull_validation", "partition_key_trim",
@@ -4549,6 +4625,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cooccur": q_text_cooccur,
         "ops_file_audit": q_ops_file_audit,
         "ops_metadata_files": q_ops_metadata_files,
+        "ops_compaction_plan": q_ops_compaction_plan,
+        "partitioned_write_transforms": q_partitioned_write_transforms,
         "text_bpe_learn": q_text_bpe_learn,
         "sketch_cms": q_sketch_cms,
         "query_bloom_join": q_bloom_join,
@@ -7184,6 +7262,47 @@ def oracle_sql() -> dict[str, str]:
         # one sequential writer per key + 100-row cap → files are
         # exactly 100 rows plus one remainder, so the whole per-file
         # relation is predictable from the data
+        "partitioned_write_transforms": """
+            SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+                   l_partkey % 8 AS pk_bucket,
+                   count(*) AS n_rows,
+                   count(*) AS n_year_match,
+                   CAST(CAST(sum(CAST(l_extendedprice
+                                      AS DECIMAL(12,2)))
+                             AS DECIMAL(18,2)) AS DOUBLE)
+                       AS total_price
+            FROM lineitem
+            WHERE year(l_shipdate) IN (1997, 1998)
+            GROUP BY 1, 2
+        """,
+        "ops_compaction_plan": """
+            WITH p AS (SELECT o_orderpriority AS pk, count(*) AS n
+                       FROM orders GROUP BY 1),
+            k AS (SELECT pk, n,
+                         CAST(ceil(n / 300.0) AS BIGINT) AS n_files
+                  FROM p),
+            f AS (SELECT pk,
+                         CASE WHEN i < n_files OR n % 300 = 0
+                              THEN 300 ELSE n % 300 END AS n_rows, i
+                  FROM k, LATERAL unnest(generate_series(1, n_files))
+                          AS u(i)),
+            s AS (SELECT pk, n_rows,
+                         row_number() OVER (PARTITION BY pk
+                                            ORDER BY n_rows DESC, i)
+                             AS file_seq
+                  FROM f),
+            c AS (SELECT pk, file_seq, n_rows,
+                         coalesce(sum(n_rows) OVER (
+                             PARTITION BY pk ORDER BY file_seq
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) // 1000
+                             AS bin
+                  FROM s)
+            SELECT pk, file_seq, n_rows, bin,
+                   sum(n_rows) OVER (PARTITION BY pk, bin) AS bin_size,
+                   count(*) OVER (PARTITION BY pk, bin) AS bin_files
+            FROM c
+        """,
         "ops_metadata_files": """
             WITH p AS (SELECT trim(CAST(c_mktsegment AS VARCHAR)) AS pk,
                               count(*) AS n

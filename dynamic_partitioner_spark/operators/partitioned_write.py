@@ -30,7 +30,7 @@ Scale posture (the part the reference could not do):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.paths import hive_partition_path, unescape_path_name
@@ -653,3 +653,79 @@ def audit_partition_files(spark: SparkSession, path: str,
                             for c in partition_cols])
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.countDistinct("_file").alias("n_files")))
+
+
+def write_partitioned_derived(df: DataFrame, spec: SinkSpec,
+                              path: str,
+                              derive: dict[str, object]) -> str:
+    """Hidden partitioning (the Iceberg partition-transform pattern):
+    partition keys are DERIVED from payload expressions —
+    ``year(ts)``, ``key % n_buckets``, a truncation — while every
+    original column stays in the payload, so writers never maintain a
+    redundant physical column and readers keep querying the raw
+    field.  ``derive`` maps each partition field name (must equal
+    ``spec.field_names``, in order) to its Column expression; the
+    derived columns exist only as directory names after the write.
+
+    The reference's sink partitions on pre-existing fields only
+    (``FieldValueDynamicPartitioner.java:18-33``); this is the
+    transform generalization a time/bucket-partitioned 100 TB lake
+    needs so partition evolution never rewrites payload schemas.
+    """
+    if list(derive) != list(spec.field_names):
+        raise SpecError(
+            f"derive keys {list(derive)} must match spec.field_names "
+            f"{list(spec.field_names)} in order")
+    clash = set(derive) & set(df.columns)
+    if clash:
+        raise SpecError(
+            f"derived partition names {sorted(clash)} already exist "
+            "in the payload — rename the transform or partition on "
+            "the column directly")
+    proj = df
+    for name, col in derive.items():
+        proj = proj.withColumn(name, col)
+    return write_partitioned(proj, spec, path)
+
+
+def plan_compaction(files: DataFrame, part_cols: list[str],
+                    size_col: str, target: int,
+                    tiebreak_cols: list[str] | None = None) -> DataFrame:
+    """Small-file compaction PLANNER: group each partition's files
+    into rolling bins of ~``target`` size units, emitting which files
+    merge into which output bin — the step a 100 TB lake runs nightly
+    BEFORE any rewrite I/O (:func:`compact_partition` is the rewrite;
+    this is the plan an operator reviews and schedules).
+
+    Algorithm (deterministic, shuffle-light): within each partition,
+    files order by size descending (first-fit-decreasing flavor; ties
+    on ``tiebreak_cols``) and fill bins by running total —
+    ``bin = cum_before_this_file DIV target`` — so every bin except
+    possibly the last closes at or just past ``target``.  Two windows
+    over the same partition keys + one over (partition, bin); no data
+    files are read, only the stats relation (thousands of rows per
+    million files), so the plan costs seconds at any lake size.
+
+    Returns per-file rows: ``(*part_cols, file_seq, <size_col>, bin,
+    bin_size, bin_files)``.
+    """
+    if target <= 0:
+        raise ValueError("target must be positive")
+    tb = [F.asc(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*part_cols).orderBy(F.desc(size_col), *tb)
+    cum_before = F.coalesce(
+        F.sum(size_col).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
+    # integer bin id: cum_before DIV target (truncation toward zero —
+    # identical in Spark `div` and DuckDB `//` for the non-negative
+    # sums here)
+    seq = (files
+           .withColumn("file_seq", F.row_number().over(w))
+           .withColumn("_cum", cum_before.cast("long"))
+           .withColumn("bin", F.expr(f"_cum div {int(target)}")))
+    wb = Window.partitionBy(*part_cols, "bin")
+    return (seq
+            .withColumn("bin_size", F.sum(size_col).over(wb))
+            .withColumn("bin_files", F.count(F.lit(1)).over(wb))
+            .select(*part_cols, "file_seq", size_col, "bin",
+                    "bin_size", "bin_files"))

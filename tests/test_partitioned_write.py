@@ -789,3 +789,71 @@ def test_audit_partition_files_predicts_ceil(spark, tmp_path):
     got = {r.k: (r.n_rows, r.n_files)
            for r in audit_partition_files(spark, out, ["k"]).collect()}
     assert got == {"a": (25, 3), "b": (10, 1)}
+
+
+def test_plan_compaction_rolling_bins_and_validation(spark):
+    import pytest
+
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        plan_compaction)
+    files = spark.createDataFrame(
+        [("a", "f1", 900), ("a", "f2", 500), ("a", "f3", 500),
+         ("a", "f4", 100),
+         ("b", "g1", 50)],
+        "pk string, fname string, sz long")
+    got = {(r.pk, r.file_seq): (r.sz, r.bin, r.bin_size, r.bin_files)
+           for r in plan_compaction(files, ["pk"], "sz", target=1000,
+                                    tiebreak_cols=["fname"]).collect()}
+    # desc order: 900, 500, 500, 100 -> cum-before 0, 900, 1400, 1900
+    # -> bins 0, 0, 1, 1
+    assert got[("a", 1)] == (900, 0, 1400, 2)
+    assert got[("a", 2)] == (500, 0, 1400, 2)
+    assert got[("a", 3)] == (500, 1, 600, 2)
+    assert got[("a", 4)] == (100, 1, 600, 2)
+    # a lone small file is its own bin; partitions never mix
+    assert got[("b", 1)] == (50, 0, 50, 1)
+    with pytest.raises(ValueError, match="target"):
+        plan_compaction(files, ["pk"], "sz", target=0)
+
+
+def test_write_partitioned_derived_validation_and_pruning(spark, tmp_path):
+    import io
+    from contextlib import redirect_stdout
+
+    import pytest
+
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        write_partitioned_derived)
+    from dynamic_partitioner_spark.sources.read import read_partitioned
+    from dynamic_partitioner_spark.spec import SinkSpec, SpecError
+
+    df = spark.createDataFrame(
+        [(1, "2024-03-05", 10.0), (2, "2025-07-01", 20.0),
+         (3, "2024-11-11", 30.0)],
+        "k long, d string, v double").withColumn("d", F.to_date("d"))
+    spec = SinkSpec(name="hidden", field_names=["yr"])
+    out = str(tmp_path / "hidden")
+    write_partitioned_derived(df, spec, out, {"yr": F.year("d")})
+    back = read_partitioned(spark, out)
+    # payload intact: original columns survive, derived col is extra
+    assert {"k", "d", "v"} <= set(back.columns)
+    got = back.where(F.col("yr").cast("long") == 2024)
+    assert sorted(r.k for r in got.collect()) == [1, 3]
+    # the derived-key filter must prune at the SCAN, not post-filter
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    assert "PartitionFilters: [" in buf.getvalue()
+    assert "yr" in buf.getvalue().split("PartitionFilters", 1)[1][:200]
+    # derive keys must match spec field order
+    with pytest.raises(SpecError, match="must match"):
+        write_partitioned_derived(df, SinkSpec(name="x",
+                                               field_names=["a", "b"]),
+                                  str(tmp_path / "x"),
+                                  {"b": F.year("d"), "a": F.col("k")})
+    # clashing with a payload column is refused
+    with pytest.raises(SpecError, match="already exist"):
+        write_partitioned_derived(df, SinkSpec(name="y",
+                                               field_names=["v"]),
+                                  str(tmp_path / "y"),
+                                  {"v": F.year("d")})

@@ -93,6 +93,7 @@ AUDIT_KEYS = [
     "streaming_expectations",
     "mm_decode_png", "embedding_pca", "text_pack",
     "similarity_ivf_pruned", "mm_png_meta", "text_bm25_retrieve",
+    "ops_compaction_plan", "partitioned_write_transforms",
 ]
 
 _KEEP = re.compile(

@@ -90,6 +90,7 @@ SWEEP_KEYS = [
     "streaming_expectations",
     # round-8 additions
     "mm_decode_png", "mm_png_meta", "text_bm25_retrieve",
+    "ops_compaction_plan", "partitioned_write_transforms",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
