@@ -1493,8 +1493,10 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     ortho_ok = bool(np.max(np.abs(G - np.eye(8))) < 1e-6)
     desc_ok = bool(np.all(np.diff(vals) <= 1e-12))
     nonneg_ok = bool(np.min(vals) >= 0.0)
-    # projection invariants: one agg over the projected corpus
-    proj = pca_project(emb, "vec_id", "embedding", dim=64, k=8)
+    # projection invariants: one agg over the projected corpus —
+    # reusing the basis already fitted above (no second moments pass)
+    proj = pca_project(emb, "vec_id", "embedding", dim=64, k=8,
+                       basis=(mean, W, vals))
     stats = (proj.select(F.posexplode("components")
                          .alias("component", "v"))
              .groupBy("component")
@@ -1756,6 +1758,25 @@ def q_sorted_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def cdc_change_seq():
+    """The lineitem change-log sequence column — shared by
+    ``q_streaming_upsert`` and the streaming-concurrency test so the
+    two can never validate different CDC orderings.
+
+    seq MUST be unique per key (cdc_latest's documented contract — a
+    tie makes the winner nondeterministic in BOTH engines, and the
+    synthetic lineitem DOES carry duplicate (orderkey, linenumber,
+    partkey, suppkey) rows with different payloads: one at sf0.001
+    flipped this key under load, r8).  Tiebreak on price micro-cents;
+    (l_orderkey, seq) verified duplicate-free at sf0.001/0.01/0.1,
+    max seq ~7e16 — no BIGINT overflow risk."""
+    return ((F.col("l_linenumber") * F.lit(10**11)
+             + F.col("l_partkey") * F.lit(10**5)
+             + F.col("l_suppkey")) * F.lit(10**5)
+            + F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long") % F.lit(10**5)).alias("seq")
+
+
 def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC ingest: a change-log stream foreachBatch-merged
     into the partitioned sink with seq-aware latest-wins (merge_cdc) —
@@ -1773,20 +1794,8 @@ def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_streaming_upsert)
     apply_engine_confs(spark)
     li = _table(spark, sf_dir, "lineitem")
-    # seq MUST be unique per key (cdc_latest's documented contract —
-    # a tie makes the winner nondeterministic in BOTH engines, and the
-    # synthetic lineitem DOES carry duplicate (orderkey, linenumber,
-    # partkey, suppkey) rows with different payloads: one at sf0.001
-    # flipped this key under load, r8).  Tiebreak on price micro-cents;
-    # (l_orderkey, seq) verified duplicate-free at sf0.001/0.01/0.1,
-    # max seq ~7e16 — no BIGINT overflow risk.
-    seq = ((F.col("l_linenumber") * F.lit(10**11)
-            + F.col("l_partkey") * F.lit(10**5)
-            + F.col("l_suppkey")) * F.lit(10**5)
-           + F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
-           .cast("long") % F.lit(10**5)).alias("seq")
     changes = li.select(
-        "l_orderkey", seq,
+        "l_orderkey", cdc_change_seq(),
         F.when(F.col("l_partkey") % 11 == 0, "D").otherwise("U").alias("op"),
         "l_quantity", "l_extendedprice",
         (F.col("l_orderkey") % 5).alias("bucket"))
@@ -3153,9 +3162,13 @@ def q_sample_balance_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer→supplier purchase graph (orders ⋈
-    lineitem), top-20 nodes.  Rows-only by design — iterative float
-    ranks have no SQL twin; known-graph rankings, mass conservation
-    and determinism are pinned in tests/test_graph.py."""
+    lineitem), top-20 nodes by (out_degree, node).  Hash-checked via
+    the sketch_cms invariant pattern (r8; the iterative float ranks
+    themselves have no SQL twin): exact BIGINT graph-structure columns
+    the oracle recomputes plus oracle-asserted teleport-floor and
+    mass-conservation booleans — see the inline comments below.
+    Known-graph rank values, mass conservation and determinism stay
+    pinned in tests/test_graph.py."""
     from dynamic_partitioner_spark.operators.graph import pagerank
     # graph bounded to the first 3000 customers (the dedup_fuzzy2
     # precedent): the iterative key stays bench-bounded at every SF
@@ -4397,20 +4410,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # ``queries()`` entries per round.  Rotate each round so the keys with
 # the LEAST driver evidence come first.  Round 8's window (the r7
 # VERDICT's #1 ask: refresh the 82 keys last certified in r3/r4):
-#   first  the NEW key and the keys whose query/oracle text changed
-#          this round (mm_decode_png is new; streaming_upsert gained
-#          the price-cents seq tiebreak; similarity_ivf_pruned /
-#          text_pack / graph_pagerank / embedding_pca flipped
-#          rows-only->hash via
-#          invariant columns; events_ab_test gained the zero-
-#          denominator guard; graph_triangles' operator switched to a
-#          releasable cache),
+#   first  the 5 NEW keys (mm_decode_png, mm_png_meta,
+#          text_bm25_retrieve, ops_compaction_plan,
+#          partitioned_write_transforms) and the keys whose
+#          query/oracle text changed this round (streaming_upsert
+#          gained the price-cents seq tiebreak; similarity_ivf_pruned
+#          / text_pack / graph_pagerank / embedding_pca flipped
+#          rows-only->hash via invariant columns; events_ab_test
+#          gained the zero-denominator guard; graph_triangles'
+#          operator switched to a releasable cache) — 12 keys,
 #   then   ALL 32 remaining round-3-evidence keys — the oldest driver
 #          evidence anywhere (incl. every original streaming key),
-#   then   the 11 most-churned round-4-evidence keys that fit.
-# Positions 51+ carry the round-4 overflow so round 9 finishes the
-# stale set.  (text_winnow/text_tfidf/text_bpe_pairs became r-strings
-# this round but the cooked SQL bytes are IDENTICAL — not re-folded.)
+#   then   the 6 most-churned round-4-evidence keys that fit.
+# Positions 51+ carry the round-4 overflow (incl. dedup_semantic's
+# siblings bumped by the new keys) so round 9 finishes the stale set.
+# (text_winnow/text_tfidf/text_bpe_pairs became r-strings this round
+# but the cooked SQL bytes are IDENTICAL — not re-folded.)
 _PRIORITY_R08 = [
     # --- new key + changed query/oracle text this round ---
     "mm_decode_png", "mm_png_meta", "text_bm25_retrieve",

@@ -127,13 +127,22 @@ def fit_pca(emb: DataFrame, vec_col: str, dim: int,
 
 def pca_project(emb: DataFrame, id_col: str, vec_col: str, dim: int,
                 k: int = 8, whiten: bool = False,
-                eps: float = 1e-9) -> DataFrame:
+                eps: float = 1e-9, basis=None) -> DataFrame:
     """Project every vector onto the fitted top-k principal components
     (one map-only Arrow matmul; the d×k basis rides inside the UDF
     closure).  ``whiten=True`` scales each component to unit variance.
     Returns ``(id, components array<double>)``, rounded to 6 decimals.
+
+    ``basis``: optional pre-fitted ``(mean, components, eigenvalues)``
+    from :func:`fit_pca` — pass it when the caller already fitted (or
+    fits once and projects many tables); without it every call re-runs
+    the full distributed second-moments pass.
     """
-    mean, W, vals = fit_pca(emb, vec_col, dim, k)
+    mean, W, vals = basis if basis is not None \
+        else fit_pca(emb, vec_col, dim, k)
+    if W.shape != (dim, k):
+        raise ValueError(
+            f"basis shape {W.shape} does not match (dim={dim}, k={k})")
     scale = 1.0 / np.sqrt(vals + eps) if whiten else np.ones(k)
 
     @F.pandas_udf("array<double>")

@@ -86,7 +86,7 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
         shard = int(key[0])
         pdf = pdf.sort_values("_id").reset_index(drop=True)
         seqs = []
-        seq, acc = 0, 0
+        seq, acc, n_in = 0, 0, 0
         for tok in pdf["_tok"]:
             # NULL token counts arrive as NaN (long-with-nulls →
             # float64); both NaN and negatives would silently break the
@@ -96,11 +96,16 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
                     f"invalid token count {tok!r}: n_tokens must be a "
                     "non-negative integer")
             tok = int(tok)
-            if acc > 0 and acc + tok > budget:
+            # bin-open test is DOC count, not token count: a zero-token
+            # doc opening a bin must not let a following over-budget
+            # doc share it (the over-budget exemption is single-doc
+            # bins ONLY — the oracle-asserted bin_ok invariant)
+            if n_in > 0 and acc + tok > budget:
                 seq += 1
-                acc = 0
+                acc, n_in = 0, 0
             seqs.append(seq)
             acc += tok
+            n_in += 1
         return pd.DataFrame({"shard": shard, "seq_idx": seqs,
                              "doc_id": pdf["_id"], "n_tokens": pdf["_tok"]})
 

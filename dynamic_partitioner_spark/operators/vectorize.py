@@ -274,14 +274,16 @@ def bm25_retrieve(df: DataFrame, id_col: str, text_col: str,
     the ``queries`` relation — the RAG / eval-harness shape
     (:func:`bm25_topk` scores one term bag; this scores a query SET).
 
-    Scale decomposition: the corpus is tokenized ONCE into a (doc,
-    term, tf) posting relation; queries tokenize into (query, term,
-    qtf) and meet the postings on an equi-join over ``term`` — never a
+    Scale decomposition (two corpus passes total, like
+    :func:`bm25_topk`: one for the global stats aggregate, one for
+    the posting build): queries tokenize into (query, term, qtf) and
+    meet the postings on an equi-join over ``term`` — never a
     query × doc cross product, so corpus cost is independent of the
     number of queries and query fan-out rides the posting lists
     exactly like a distributed inverted index.  The query side
     broadcasts (a query batch is small by definition); document
-    frequencies and global stats reuse the corpus-side aggregates.
+    frequencies come from a count window over the already-pruned
+    posting relation, so the posting subtree is never recomputed.
 
     Cross-engine exactness (same discipline as :func:`bm25_topk`):
     each (query, doc, term) partial quantizes to integer micro-units
@@ -305,14 +307,17 @@ def bm25_retrieve(df: DataFrame, id_col: str, text_col: str,
               .select("_q", F.explode("_t").alias("term"))
               .groupBy("_q", "term")
               .agg(F.count(F.lit(1)).alias("qtf")))
-    # prune postings to the query vocabulary BEFORE the df aggregate —
-    # df per term is unchanged (all docs for those terms survive the
-    # semi-join) and the full-vocab aggregate never runs
+    # prune postings to the query vocabulary first — df per term is
+    # unchanged (all docs for those terms survive the semi-join) and
+    # the full-vocab aggregate never runs.  df comes from a window
+    # over the pruned postings (one row per (doc, term), so the count
+    # IS the document frequency) — a separate dfreq aggregate would
+    # re-execute the whole posting subtree as a second scan.
     qvocab = qterms.select("term").distinct()
-    tfq = tf.join(F.broadcast(qvocab), "term", "semi")
-    dfreq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tfq = (tf.join(F.broadcast(qvocab), "term", "semi")
+           .withColumn("df", F.count(F.lit(1)).over(
+               Window.partitionBy("term"))))
     scored = (tfq.join(F.broadcast(qterms), "term")
-              .join(F.broadcast(dfreq), "term")
               .crossJoin(F.broadcast(stats)))
     avgdl = F.col("total_len").cast("double") / F.col("n_docs")
     idf = F.log(F.lit(1.0)

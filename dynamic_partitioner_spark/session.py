@@ -40,6 +40,20 @@ _ENGINE_CONFS: dict[str, str] = {
 }
 
 
+def _pid_alive(pid: int) -> bool:
+    """Portable liveness probe — ``/proc`` exists only on Linux, and a
+    false 'dead' verdict here rmtree's a LIVE process's scratch dirs
+    (the exact corruption the per-pid dirs exist to prevent).
+    ``kill(pid, 0)`` sends no signal; EPERM still means alive."""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except (PermissionError, OSError):
+        return True
+    return True
+
+
 def _sweep_stale_dirs(root: str) -> None:
     """Remove ``run-<pid>`` dirs whose owning process is gone — crash
     leftovers from previous harness runs (live pids are left alone)."""
@@ -56,7 +70,7 @@ def _sweep_stale_dirs(root: str) -> None:
             pid = int(name.split("-", 1)[1])
         except ValueError:
             continue
-        if pid != os.getpid() and not os.path.exists(f"/proc/{pid}"):
+        if pid != os.getpid() and not _pid_alive(pid):
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
 

@@ -68,18 +68,39 @@ def test_oracle_backslashes_only_in_raw_strings():
     src = open(SRC).read()
     spans = _oracle_spans()
     bad: list[str] = []
+    # py3.12+ (PEP 701) tokenizes f-strings as FSTRING_START/MIDDLE/END
+    # instead of one STRING token — without handling MIDDLE the lint
+    # would skip every f-string oracle and pass vacuously there
+    fstr_start = getattr(tokenize, "FSTRING_START", -1)
+    fstr_middle = getattr(tokenize, "FSTRING_MIDDLE", -1)
+    fstr_end = getattr(tokenize, "FSTRING_END", -1)
+    in_raw_fstring: list[bool] = []  # stack: f-strings nest (PEP 701)
     for tok in tokenize.generate_tokens(io.StringIO(src).readline):
-        # py3.11: an f-string is a single STRING token too, so the one
-        # branch covers plain, f- and concatenated literal pieces alike
-        if tok.type != tokenize.STRING:
+        in_span = any(a <= tok.start[0] <= b for a, b in spans)
+        if tok.type == fstr_start:
+            in_raw_fstring.append("r" in tok.string.lower()
+                                  .split('"')[0].split("'")[0])
             continue
-        if not any(a <= tok.start[0] <= b for a, b in spans):
+        if tok.type == fstr_end:
+            if in_raw_fstring:
+                in_raw_fstring.pop()
             continue
-        m = _PREFIX_RE.match(tok.string)
-        prefix, quote = m.group(1).lower(), m.group(2)
-        if "r" in prefix:
+        if tok.type == fstr_middle:
+            if not in_span or (in_raw_fstring and in_raw_fstring[-1]):
+                continue
+            body = tok.string  # literal piece, escapes uncooked
+        elif tok.type == tokenize.STRING:
+            # py3.11: an f-string is a single STRING token too, so the
+            # one branch covers plain, f- and concatenated pieces alike
+            if not in_span:
+                continue
+            m = _PREFIX_RE.match(tok.string)
+            prefix, quote = m.group(1).lower(), m.group(2)
+            if "r" in prefix:
+                continue
+            body = tok.string[len(m.group(1)) + len(quote):-len(quote)]
+        else:
             continue
-        body = tok.string[len(m.group(1)) + len(quote):-len(quote)]
         for esc in _live_disallowed(body):
             bad.append(
                 f"line {tok.start[0]}: cooked string interprets {esc!r} "

@@ -177,3 +177,19 @@ def test_scrub_dup_chunks_removes_cross_doc_spans(spark):
     assert got[1] == (2, span + " unique tail here now")
     assert got[2] == (2, "other body of text x")   # 5 tokens → 2 chunks
     assert 3 not in got                              # fully scrubbed
+
+
+def test_zero_token_doc_never_shares_bin_with_oversized(spark):
+    from dynamic_partitioner_spark.operators.packing import pack_sequences
+    # one shard: ids in hash order; a 0-token doc must not hold a bin
+    # open for a following over-budget doc (bin_ok invariant)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([0, 500, 10, 0, 0, 300])],
+        "doc_id long, n_tok long")
+    out = pack_sequences(df, "doc_id", "n_tok", budget=256, n_shards=1)
+    rows = {r.doc_id: (r.seq_idx, r.n_tokens) for r in out.collect()}
+    bins = {}
+    for d, (s, t) in rows.items():
+        bins.setdefault(s, []).append(t)
+    for toks in bins.values():
+        assert sum(toks) <= 256 or len(toks) == 1

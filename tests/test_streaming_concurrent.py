@@ -31,17 +31,13 @@ def _dirs(*names: str) -> list[str]:
 
 
 def _changes(spark):
+    # the seq expression is SHARED with q_streaming_upsert — this test
+    # must validate the exact CDC ordering the driver key ships
+    from __spark_entry__ import cdc_change_seq
+
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-    # unique-per-key seq (cdc_latest contract): price-cents tiebreak —
-    # the raw (linenumber, partkey, suppkey) triple has duplicates in
-    # the synthetic corpus
-    seq = ((F.col("l_linenumber") * F.lit(10**11)
-            + F.col("l_partkey") * F.lit(10**5)
-            + F.col("l_suppkey")) * F.lit(10**5)
-           + F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
-           .cast("long") % F.lit(10**5)).alias("seq")
     return li.select(
-        "l_orderkey", seq,
+        "l_orderkey", cdc_change_seq(),
         F.when(F.col("l_partkey") % 11 == 0, "D").otherwise("U")
         .alias("op"),
         "l_quantity",

@@ -121,9 +121,11 @@ def main() -> int:
             for p in problems:
                 print(f"     {p}")
             # dump both frames — transient failures (contention flakes)
-            # are undiagnosable without the exact frame that mismatched
+            # are undiagnosable without the exact frame that mismatched.
+            # Per-pid dir: a contention flake implies a CONCURRENT run,
+            # which may fail on the same key and clobber this evidence
             import os
-            dump = "/root/repo/.scratch/failures"
+            dump = f"/root/repo/.scratch/failures/run-{os.getpid()}"
             os.makedirs(dump, exist_ok=True)
             try:
                 sdf.to_parquet(f"{dump}/{key}.spark.parquet")

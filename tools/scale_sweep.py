@@ -116,7 +116,12 @@ def sf1_run() -> None:
         sys.exit("build the corpus first: python tools/make_sf1.py")
     spark = get_spark("sf1-sweep")
     qs = E.queries()
-    keys = [k for k in (sys.argv[2:] or SF1_KEYS) if k in qs]
+    keys = list(sys.argv[2:]) or SF1_KEYS
+    unknown = [k for k in keys if k not in qs]
+    if unknown:
+        # silently dropping a typo'd key would rewrite SCALING.md's
+        # sf1 section WITHOUT the requested measurement
+        sys.exit(f"unknown keys: {unknown}")
     qs["query_pruned_agg"](spark, "/root/testdata/sf0.001").count()
 
     rows = []
