@@ -526,6 +526,26 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "o_orderkey")
 
 
+def q_events_interval_union(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Per-user activity coverage via interval merge (gaps-and-
+    islands): every event opens a closed 10-minute activity interval;
+    overlapping/touching intervals merge with a running-max window
+    scan (never an O(n²) overlap self-join), yielding merged-session
+    count, total covered micros with overlap collapsed, and the
+    longest continuous stretch.  All-integer epoch-micro bounds keep
+    both engines bit-exact."""
+    from dynamic_partitioner_spark.functions.eventtime import (
+        event_time_us)
+    from dynamic_partitioner_spark.operators.relational import (
+        interval_union)
+    events = _table(spark, sf_dir, "events")
+    iv = events.select(
+        "user_id", event_time_us(events).alias("s"),
+        (event_time_us(events) + F.lit(600_000_000)).alias("e"))
+    return interval_union(iv, "user_id", "s", "e")
+
+
 def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user recency-weighted value feature: half-life EWMA (alpha
     = 1/2) over the last 20 events — engine-exact because the decay is
@@ -4340,6 +4360,30 @@ def q_partitioned_write_transforms(spark: SparkSession,
                  .alias("total_price")))
 
 
+def q_ops_retention_vacuum(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Retention vacuum over the versioned table (the lakehouse
+    VACUUM shape): four commits — two appends, an overwrite, another
+    append — then vacuum with the retention floor at the overwrite.
+    The two pre-overwrite appends are invisible to every retained
+    version, so they delete; the audit report (computed before
+    deletion) is fully predictable from the commit plan, and the
+    oracle rebuilds it with per-priority scalar counts.  Post-vacuum
+    read correctness and the vacuumed-version refusal are pinned in
+    tests/test_versioned.py."""
+    from dynamic_partitioner_spark.operators.versioned import (
+        vacuum_versions, versioned_write)
+    apply_engine_confs(spark)
+    orders = _table(spark, sf_dir, "orders")
+    out = _out("ops_retention_vacuum")
+    pri = F.col("o_orderpriority")
+    versioned_write(orders.where(pri == "1-URGENT"), out, "append")
+    versioned_write(orders.where(pri == "2-HIGH"), out, "append")
+    versioned_write(orders.where(pri == "3-MEDIUM"), out, "overwrite")
+    versioned_write(orders.where(pri == "5-LOW"), out, "append")
+    return vacuum_versions(spark, out, keep_from=3)
+
+
 def q_ops_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning end-to-end: write orders
     partitioned by priority with a deliberately tiny 300-row file cap
@@ -4410,18 +4454,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # ``queries()`` entries per round.  Rotate each round so the keys with
 # the LEAST driver evidence come first.  Round 8's window (the r7
 # VERDICT's #1 ask: refresh the 82 keys last certified in r3/r4):
-#   first  the 5 NEW keys (mm_decode_png, mm_png_meta,
+#   first  the 7 NEW keys (mm_decode_png, mm_png_meta,
 #          text_bm25_retrieve, ops_compaction_plan,
-#          partitioned_write_transforms) and the keys whose
+#          partitioned_write_transforms, events_interval_union,
+#          ops_retention_vacuum) and the keys whose
 #          query/oracle text changed this round (streaming_upsert
 #          gained the price-cents seq tiebreak; similarity_ivf_pruned
 #          / text_pack / graph_pagerank / embedding_pca flipped
 #          rows-only->hash via invariant columns; events_ab_test
 #          gained the zero-denominator guard; graph_triangles'
-#          operator switched to a releasable cache) — 12 keys,
+#          operator switched to a releasable cache) — 14 keys,
 #   then   ALL 32 remaining round-3-evidence keys — the oldest driver
 #          evidence anywhere (incl. every original streaming key),
-#   then   the 6 most-churned round-4-evidence keys that fit.
+#   then   the 4 most-churned round-4-evidence keys that fit.
 # Positions 51+ carry the round-4 overflow (incl. dedup_semantic's
 # siblings bumped by the new keys) so round 9 finishes the stale set.
 # (text_winnow/text_tfidf/text_bpe_pairs became r-strings this round
@@ -4430,6 +4475,7 @@ _PRIORITY_R08 = [
     # --- new key + changed query/oracle text this round ---
     "mm_decode_png", "mm_png_meta", "text_bm25_retrieve",
     "ops_compaction_plan", "partitioned_write_transforms",
+    "events_interval_union", "ops_retention_vacuum",
     "streaming_upsert", "similarity_ivf_pruned",
     "text_pack", "graph_pagerank", "embedding_pca",
     "events_ab_test", "graph_triangles",
@@ -4448,8 +4494,9 @@ _PRIORITY_R08 = [
     "source_fixed_width_roundtrip", "source_xml_roundtrip",
     # --- round-4 evidence (11 most churned since certification) ---
     "mm_mime_sniff", "mm_resize", "overwrite_dynamic",
-    "dedup_exact", "dedup_containment", "dedup_semantic",
+    "dedup_exact",
     # ---- fold: driver checks the 50 above ----
+    "dedup_containment", "dedup_semantic",
     # round-4-evidence overflow (finish in r9)
     "dedup_survivorship",
     "embedding_grammian", "embedding_quantize", "events_asof_join",
@@ -4635,12 +4682,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seq_ngrams": q_seq_ngrams,
         "events_ohlc": q_events_ohlc,
         "events_ewma": q_events_ewma,
+        "events_interval_union": q_events_interval_union,
         "query_skew_profile": q_skew_profile,
         "sample_group_split": q_sample_group_split,
         "text_cooccur": q_text_cooccur,
         "ops_file_audit": q_ops_file_audit,
         "ops_metadata_files": q_ops_metadata_files,
         "ops_compaction_plan": q_ops_compaction_plan,
+        "ops_retention_vacuum": q_ops_retention_vacuum,
         "partitioned_write_transforms": q_partitioned_write_transforms,
         "text_bpe_learn": q_text_bpe_learn,
         "sketch_cms": q_sketch_cms,
@@ -7020,6 +7069,9 @@ def oracle_sql() -> dict[str, str]:
                        > 1.96 END, FALSE) AS significant_95
             FROM st
         """.replace("{u_ab}", SMP.hash_unit_sql("user_id", "ab")),
+        "events_interval_union": REL.interval_union_sql(
+            "user_id", "epoch_us(ts)", "epoch_us(ts) + 600000000",
+            "events"),
         "events_cohort_value": REL.cohort_value_sql(
             "user_id", "epoch_us(ts) // 86400000000",
             "coalesce(CAST(floor(value * 1000000 + 0.5) AS BIGINT), 0)",
@@ -7289,6 +7341,17 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE year(l_shipdate) IN (1997, 1998)
             GROUP BY 1, 2
+        """,
+        "ops_retention_vacuum": """
+            WITH plan(version, mode, action, pri) AS (VALUES
+                (1, 'append',    'deleted', '1-URGENT'),
+                (2, 'append',    'deleted', '2-HIGH'),
+                (3, 'overwrite', 'kept',    '3-MEDIUM'),
+                (4, 'append',    'kept',    '5-LOW'))
+            SELECT CAST(version AS BIGINT) AS version, mode, action,
+                   (SELECT count(*) FROM orders
+                    WHERE o_orderpriority = pri) AS n_rows
+            FROM plan
         """,
         "ops_compaction_plan": """
             WITH p AS (SELECT o_orderpriority AS pk, count(*) AS n

@@ -1430,3 +1430,68 @@ def cohort_value_sql(user: str, day: str, value_u: str,
                    AS value_per_active
         FROM grid
     """
+
+
+def interval_union(df: DataFrame, key_col: str, start_col: str,
+                   end_col: str) -> DataFrame:
+    """Merge overlapping (or touching) closed integer intervals per
+    key — the gaps-and-islands primitive behind session stitching,
+    coverage/uptime accounting, and span consolidation.  Returns per
+    key: the merged-island count, total covered units (double-counted
+    overlap collapsed), and the longest single island.
+
+    Shape: one window pass per key ordered by (start, end) — a row
+    starts a new island iff its start exceeds the running max of all
+    previous ends — then a (key, island) agg and a per-key agg.  No
+    self-join: the classic O(n²) overlap join is replaced by the
+    running-max scan, so cost is one shuffle on the key plus sort.
+    Integer bounds keep every engine bit-exact (quantize timestamps
+    to epoch micros before calling).
+    """
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    runmax = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = df.select(
+        F.col(key_col).alias("_k"), F.col(start_col).alias("_s"),
+        F.col(end_col).alias("_e"),
+        F.when(runmax.isNull() | (F.col(start_col) > runmax), 1)
+        .otherwise(0).alias("_new"))
+    wi = Window.partitionBy("_k").orderBy("_s", "_e") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = (flagged
+               .withColumn("_isl", F.sum("_new").over(wi))
+               .groupBy("_k", "_isl")
+               .agg(F.min("_s").alias("_is"), F.max("_e").alias("_ie")))
+    return (islands.groupBy(F.col("_k").alias(key_col))
+            .agg(F.count(F.lit(1)).alias("n_islands"),
+                 F.sum(F.col("_ie") - F.col("_is")).alias("covered"),
+                 F.max(F.col("_ie") - F.col("_is")).alias("longest")))
+
+
+def interval_union_sql(key: str, start: str, end: str,
+                       from_table: str) -> str:
+    """DuckDB twin of :func:`interval_union`."""
+    return f"""
+        WITH iv AS (SELECT {key} AS k, {start} AS s, {end} AS e
+                    FROM {from_table}),
+        f AS (SELECT k, s, e,
+                     CASE WHEN max(e) OVER (PARTITION BY k
+                              ORDER BY s, e ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND 1 PRECEDING) IS NULL
+                            OR s > max(e) OVER (PARTITION BY k
+                              ORDER BY s, e ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND 1 PRECEDING)
+                          THEN 1 ELSE 0 END AS new_i
+              FROM iv),
+        isl AS (SELECT k, s, e,
+                       sum(new_i) OVER (PARTITION BY k ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS isl_id
+                FROM f),
+        g AS (SELECT k, isl_id, min(s) AS i_s, max(e) AS i_e
+              FROM isl GROUP BY k, isl_id)
+        SELECT k AS {key}, count(*) AS n_islands,
+               CAST(sum(i_e - i_s) AS BIGINT) AS covered,
+               CAST(max(i_e - i_s) AS BIGINT) AS longest
+        FROM g GROUP BY k
+    """

@@ -58,7 +58,9 @@ def _commits(path: str) -> list[dict]:
         return []
     out = []
     for name in sorted(os.listdir(ld)):
-        if name.endswith(".json"):
+        # underscore-prefixed files are log metadata (_vacuum.json),
+        # not commits
+        if name.endswith(".json") and not name.startswith("_"):
             with open(os.path.join(ld, name)) as fh:
                 out.append(json.load(fh))
     return out
@@ -107,6 +109,12 @@ def read_version(spark: SparkSession, path: str,
     if not 1 <= version <= latest:
         raise ValueError(f"version {version} does not exist under {path}"
                          f" (latest is {latest})")
+    floor = _vacuum_floor(path)
+    if version < floor:
+        # surviving dirs could serve a PARTIAL snapshot — refuse loudly
+        raise ValueError(
+            f"version {version} was vacuumed (retention floor is "
+            f"{floor}); only versions >= {floor} are readable")
     visible = [c for c in commits if c["version"] <= version]
     dirs: list[str] = []
     for c in visible:
@@ -114,3 +122,65 @@ def read_version(spark: SparkSession, path: str,
             dirs = []
         dirs.extend(c["dirs"])
     return spark.read.parquet(*[os.path.join(path, d) for d in dirs])
+
+
+def _vacuum_floor(path: str) -> int:
+    marker = os.path.join(_log_dir(path), "_vacuum.json")
+    if not os.path.exists(marker):
+        return 1
+    with open(marker) as fh:
+        return int(json.load(fh)["floor"])
+
+
+def vacuum_versions(spark: SparkSession, path: str,
+                    keep_from: int) -> DataFrame:
+    """Retention enforcement (the Delta/Iceberg VACUUM shape): delete
+    every batch directory invisible to ALL versions >= ``keep_from``
+    and floor time travel there, returning a per-commit audit report
+    ``(version, mode, action, n_rows)`` computed BEFORE deletion.
+
+    Which dirs survive: the visible set of any version v is "commits
+    since the last overwrite at-or-before v", so the union over
+    v >= keep_from is exactly the commits with version >= L where L
+    is the last overwrite at-or-before ``keep_from`` (1 if none) —
+    appends before an un-overwritten history stay live forever, which
+    is correct: they are still visible.  The floor is recorded in the
+    log (write-then-rename like commits) and :func:`read_version`
+    refuses vacuumed versions loudly rather than returning partial
+    data from surviving dirs.
+
+    This is an eager maintenance ACTION (like the write operators),
+    not a lazy query: deletion happens before return."""
+    import shutil as _sh
+
+    _check_local(path)
+    commits = _commits(path)
+    if not commits:
+        raise FileNotFoundError(f"no commits under {path}")
+    latest = commits[-1]["version"]
+    if not 1 <= keep_from <= latest:
+        raise ValueError(
+            f"keep_from {keep_from} outside 1..{latest}")
+    last_ow = max((c["version"] for c in commits
+                   if c["mode"] == "overwrite"
+                   and c["version"] <= keep_from), default=1)
+    report = []
+    for c in commits:
+        action = "deleted" if c["version"] < last_ow else "kept"
+        n = 0
+        for d in c["dirs"]:
+            full = os.path.join(path, d)
+            if os.path.isdir(full):
+                n += spark.read.parquet(full).count()
+        report.append((c["version"], c["mode"], action, n))
+        if action == "deleted":
+            for d in c["dirs"]:
+                _sh.rmtree(os.path.join(path, d), ignore_errors=True)
+    floor = max(last_ow, _vacuum_floor(path))
+    marker = os.path.join(_log_dir(path), "_vacuum.json")
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"floor": floor}, fh)
+    os.replace(tmp, marker)
+    return spark.createDataFrame(
+        report, "version long, mode string, action string, n_rows long")

@@ -970,3 +970,21 @@ def test_funnel_windowed_gap_constraint(spark):
              for r in funnel(df, "user_id", "ts", "et",
                              ["view", "click", "purchase"]).collect()}
     assert plain["click"] == 4 and plain["purchase"] == 3
+
+
+def test_interval_union_merges_touching_and_nested(spark):
+    from dynamic_partitioner_spark.operators.relational import (
+        interval_union)
+    iv = spark.createDataFrame(
+        [  # u1: [0,10] + [10,20] touch-merge; [30,40] separate
+           ("u1", 0, 10), ("u1", 10, 20), ("u1", 30, 40),
+           # u2: [0,100] swallows [10,20] and [90,150] extends it
+           ("u2", 0, 100), ("u2", 10, 20), ("u2", 90, 150),
+           # u3: single point interval
+           ("u3", 5, 5)],
+        "k string, s long, e long")
+    got = {r.k: (r.n_islands, r.covered, r.longest)
+           for r in interval_union(iv, "k", "s", "e").collect()}
+    assert got["u1"] == (2, 30, 20)
+    assert got["u2"] == (1, 150, 150)
+    assert got["u3"] == (1, 0, 0)

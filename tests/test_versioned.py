@@ -69,3 +69,44 @@ def test_orphan_batch_dir_is_reclaimed_after_crash(spark, tmp_path):
     v = versioned_write(spark.createDataFrame([(2,)], "id long"), p)
     assert v == 2
     assert _ids(read_version(spark, p)) == {1, 2}  # orphan row gone
+
+
+def test_vacuum_deletes_invisible_and_floors_time_travel(spark, tmp_path):
+    import pytest
+
+    from dynamic_partitioner_spark.operators.versioned import (
+        read_version, vacuum_versions, versioned_write)
+    path = str(tmp_path / "vt")
+    mk = lambda lo, hi: spark.range(lo, hi).toDF("id")
+    assert versioned_write(mk(0, 5), path, "append") == 1
+    assert versioned_write(mk(5, 8), path, "append") == 2
+    assert versioned_write(mk(100, 104), path, "overwrite") == 3
+    assert versioned_write(mk(104, 110), path, "append") == 4
+    rep = {r.version: (r.action, r.n_rows)
+           for r in vacuum_versions(spark, path, keep_from=3).collect()}
+    assert rep == {1: ("deleted", 5), 2: ("deleted", 3),
+                   3: ("kept", 4), 4: ("kept", 6)}
+    # retained versions still read exactly
+    assert read_version(spark, path, 4).count() == 10
+    assert read_version(spark, path, 3).count() == 4
+    # vacuumed versions refuse loudly — never partial data
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_version(spark, path, 2)
+    # idempotent: re-vacuum reports already-deleted commits with 0 rows
+    rep2 = {r.version: (r.action, r.n_rows)
+            for r in vacuum_versions(spark, path, keep_from=3).collect()}
+    assert rep2[1] == ("deleted", 0)
+    assert rep2[3] == ("kept", 4)
+
+
+def test_vacuum_without_overwrite_keeps_everything(spark, tmp_path):
+    from dynamic_partitioner_spark.operators.versioned import (
+        read_version, vacuum_versions, versioned_write)
+    path = str(tmp_path / "vt2")
+    versioned_write(spark.range(3).toDF("id"), path, "append")
+    versioned_write(spark.range(3, 7).toDF("id"), path, "append")
+    rep = {r.version: r.action
+           for r in vacuum_versions(spark, path, keep_from=2).collect()}
+    # appends are still visible to version 2 — nothing is deletable
+    assert rep == {1: "kept", 2: "kept"}
+    assert read_version(spark, path, 1).count() == 3
