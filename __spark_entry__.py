@@ -3323,6 +3323,20 @@ def q_text_bm25_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "query_id", "qtext", top=5)
 
 
+def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) over the corpus:
+    stopword-delimited phrase candidates, degree/frequency word
+    scores, top-20 phrases — the model-free topic tagger.  The single
+    division quantizes as deg·1e6 DIV freq so phrase scores are exact
+    integer sums; the oracle replays the identical phrase split
+    (longest-first \\b alternation, RE2 and Java regex agree) and
+    arithmetic."""
+    from dynamic_partitioner_spark.operators.vectorize import (
+        rake_keywords)
+    docs = _table(spark, sf_dir, "documents")
+    return rake_keywords(docs, "text", top=20)
+
+
 def q_sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap uncertainty over the event metric: 10
     deterministic resampled means with effective sizes — each row
@@ -4454,19 +4468,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # ``queries()`` entries per round.  Rotate each round so the keys with
 # the LEAST driver evidence come first.  Round 8's window (the r7
 # VERDICT's #1 ask: refresh the 82 keys last certified in r3/r4):
-#   first  the 7 NEW keys (mm_decode_png, mm_png_meta,
+#   first  the 8 NEW keys (mm_decode_png, mm_png_meta,
 #          text_bm25_retrieve, ops_compaction_plan,
 #          partitioned_write_transforms, events_interval_union,
-#          ops_retention_vacuum) and the keys whose
+#          ops_retention_vacuum, text_rake) and the keys whose
 #          query/oracle text changed this round (streaming_upsert
 #          gained the price-cents seq tiebreak; similarity_ivf_pruned
 #          / text_pack / graph_pagerank / embedding_pca flipped
 #          rows-only->hash via invariant columns; events_ab_test
 #          gained the zero-denominator guard; graph_triangles'
-#          operator switched to a releasable cache) — 14 keys,
+#          operator switched to a releasable cache) — 15 keys,
 #   then   ALL 32 remaining round-3-evidence keys — the oldest driver
 #          evidence anywhere (incl. every original streaming key),
-#   then   the 4 most-churned round-4-evidence keys that fit.
+#   then   the 3 most-churned round-4-evidence keys that fit.
 # Positions 51+ carry the round-4 overflow (incl. dedup_semantic's
 # siblings bumped by the new keys) so round 9 finishes the stale set.
 # (text_winnow/text_tfidf/text_bpe_pairs became r-strings this round
@@ -4475,7 +4489,7 @@ _PRIORITY_R08 = [
     # --- new key + changed query/oracle text this round ---
     "mm_decode_png", "mm_png_meta", "text_bm25_retrieve",
     "ops_compaction_plan", "partitioned_write_transforms",
-    "events_interval_union", "ops_retention_vacuum",
+    "events_interval_union", "ops_retention_vacuum", "text_rake",
     "streaming_upsert", "similarity_ivf_pruned",
     "text_pack", "graph_pagerank", "embedding_pca",
     "events_ab_test", "graph_triangles",
@@ -4494,8 +4508,8 @@ _PRIORITY_R08 = [
     "source_fixed_width_roundtrip", "source_xml_roundtrip",
     # --- round-4 evidence (11 most churned since certification) ---
     "mm_mime_sniff", "mm_resize", "overwrite_dynamic",
-    "dedup_exact",
     # ---- fold: driver checks the 50 above ----
+    "dedup_exact",
     "dedup_containment", "dedup_semantic",
     # round-4-evidence overflow (finish in r9)
     "dedup_survivorship",
@@ -4754,6 +4768,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_dedup_binary": q_mm_dedup_binary,
         "text_bm25": q_text_bm25,
         "text_bm25_retrieve": q_text_bm25_retrieve,
+        "text_rake": q_text_rake,
         "sample_bootstrap": q_sample_bootstrap,
         "events_seq_lm": q_events_seq_lm,
         "events_bursts": q_events_bursts,
@@ -6776,6 +6791,37 @@ def oracle_sql() -> dict[str, str]:
                    d AS doc_id, CAST(s AS DOUBLE) / 1000000 AS bm25
             FROM agg QUALIFY rank <= 20
         """.replace("{terms}", ", ".join(f"'{t}'" for t in _HYBRID_TERMS)),
+        "text_rake": r"""
+            WITH ph AS (
+                SELECT trim(regexp_replace(p, ' +', ' ', 'g')) AS phrase,
+                       row_number() OVER () AS pid
+                FROM (SELECT unnest(string_split(
+                          regexp_replace(trim(lower(text)),
+                              '\b(with|and|for|the|in|is|of|on|to|a)\b',
+                              '|', 'g'), '|')) AS p
+                      FROM documents)
+                WHERE length(trim(regexp_replace(p, ' +', ' ', 'g'))) > 0),
+            pw AS (SELECT pid, phrase,
+                          len(string_split(phrase, ' ')) AS plen,
+                          unnest(string_split(phrase, ' ')) AS word
+                   FROM ph),
+            stats AS (SELECT word, CAST(sum(plen) AS BIGINT) AS deg,
+                             count(*) AS freq
+                      FROM pw GROUP BY word),
+            sc AS (SELECT pid, phrase, (deg * 1000000) // freq AS ws
+                   FROM pw JOIN stats USING (word)),
+            inst AS (SELECT pid, phrase,
+                            CAST(sum(ws) AS BIGINT) AS score_u
+                     FROM sc GROUP BY pid, phrase),
+            agg AS (SELECT phrase, count(*) AS n_occurrences,
+                           max(score_u) AS score_u
+                    FROM inst GROUP BY phrase)
+            SELECT row_number() OVER (ORDER BY score_u DESC, phrase)
+                       AS rank,
+                   phrase, n_occurrences,
+                   CAST(score_u AS DOUBLE) / 1000000 AS rake_score
+            FROM agg QUALIFY rank <= 20
+        """,
         "text_bm25_retrieve": r"""
             WITH base AS (
                 SELECT doc_id AS d,

@@ -338,3 +338,65 @@ def bm25_retrieve(df: DataFrame, id_col: str, text_col: str,
             .select(F.col("_q").alias(qid_col), "rank",
                     F.col("_d").alias(id_col),
                     (F.col("_s").cast("double") / 1e6).alias("bm25")))
+
+
+def rake_keywords(df: DataFrame, text_col: str,
+                  stopwords: list[str] | None = None,
+                  top: int = 20) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    Extraction from Individual Documents"): candidate phrases are the
+    maximal stopword-free word runs; each word scores
+    ``degree/frequency`` (degree = summed length of every phrase
+    instance containing the word — co-occurrence weight), and a
+    phrase scores the sum of its words' scores.  The corpus-level
+    top-``top`` phrases with occurrence counts — the cheap,
+    model-free topic/keyphrase tagger for corpus triage.
+
+    Shape: one tokenize+explode pass builds the (phrase instance,
+    word) relation; word stats are ONE hash aggregate over it
+    (vocabulary-bounded), broadcast back onto the same relation; the
+    only other shuffle is the final phrase aggregate.  Engine-exact:
+    the single division quantizes as ``deg·1e6 DIV freq`` (integer
+    truncation, identical in Spark ``div`` and DuckDB ``//``), so
+    phrase scores are exact integer sums in any order.
+    """
+    from ..functions.text import _STOPWORDS
+    stops = stopwords if stopwords is not None else _STOPWORDS
+    if not stops:
+        raise ValueError("rake_keywords needs a non-empty stopword set")
+    # longest-first alternation: leftmost-FIRST regex engines would
+    # otherwise prefer a short stopword that then fails its \b and
+    # backtrack — same result, but longest-first keeps the pattern's
+    # behavior obvious and identical across engines
+    ordered = sorted(stops, key=lambda w: (-len(w), w))
+    pat = r"\b(" + "|".join(ordered) + r")\b"
+    phrases = (df.select(
+        F.posexplode(F.split(F.regexp_replace(
+            F.trim(F.lower(F.col(text_col))), pat, "|"), r"\|"))
+        .alias("_p", "_phrase"))
+        .select(F.trim(F.regexp_replace("_phrase", r" +", " "))
+                .alias("phrase"))
+        .where(F.length("phrase") > 0)
+        # instance identity only: ids are consumed within this single
+        # lineage (grouped straight back), never compared across runs
+        .withColumn("_pid", F.monotonically_increasing_id()))
+    pw = phrases.select(
+        "_pid", "phrase", F.size(F.split("phrase", " ")).alias("plen"),
+        F.explode(F.split("phrase", " ")).alias("word"))
+    stats = (pw.groupBy("word")
+             .agg(F.sum("plen").alias("deg"),
+                  F.count(F.lit(1)).alias("freq")))
+    scored = (pw.join(F.broadcast(stats), "word")
+              .withColumn("wscore_u", F.expr("deg * 1000000 div freq")))
+    inst = (scored.groupBy("_pid", "phrase")
+            .agg(F.sum("wscore_u").alias("score_u")))
+    agg = (inst.groupBy("phrase")
+           .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                # identical phrases score identically — max == the value
+                F.max("score_u").alias("score_u")))
+    rnk = Window.orderBy(F.desc("score_u"), F.asc("phrase"))
+    return (agg.withColumn("rank", F.row_number().over(rnk))
+            .where(F.col("rank") <= top)
+            .select("rank", "phrase", "n_occurrences",
+                    (F.col("score_u").cast("double") / 1e6)
+                    .alias("rake_score")))

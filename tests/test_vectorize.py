@@ -221,3 +221,30 @@ def test_bm25_retrieve_per_query_topk_and_qtf(spark):
     assert 0 not in by_q[11]
     # a query with no corpus hits returns no rows, not an error
     assert 12 not in by_q
+
+
+def test_rake_hand_computed_scores(spark):
+    from dynamic_partitioner_spark.operators.vectorize import (
+        rake_keywords)
+    docs = spark.createDataFrame(
+        [(0, "red apple and green apple"), (1, "red apple")],
+        "doc_id long, text string")
+    out = {r.phrase: (r.rank, r.n_occurrences, r.rake_score)
+           for r in rake_keywords(docs, "text",
+                                  stopwords=["and"], top=10).collect()}
+    # phrases: 'red apple' x2, 'green apple' x1
+    # freq: red 2, apple 3, green 1; deg: red 4, apple 6, green 2
+    # scores: red 2.0, apple 2.0, green 2.0
+    # 'red apple' = 4.0, 'green apple' = 4.0 — tie breaks on phrase
+    assert out["green apple"] == (1, 1, 4.0)
+    assert out["red apple"] == (2, 2, 4.0)
+
+
+def test_rake_rejects_empty_stopword_set(spark):
+    import pytest
+
+    from dynamic_partitioner_spark.operators.vectorize import (
+        rake_keywords)
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stopword"):
+        rake_keywords(docs, "text", stopwords=[])
