@@ -38,6 +38,7 @@ from dynamic_partitioner_spark.functions import text as TX
 from dynamic_partitioner_spark.functions.vectors import (
     L2_NORM_SQL,
     ROUND4_SQL,
+    cosine,
     l2_norm,
     round4,
 )
@@ -621,16 +622,22 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ-style ANN: product-quantized codes (8 bytes/vector, 32×
     compression) score an ADC shortlist, then only the shortlist reads
-    float vectors for the exact rerank — rows-only (quantized candidate
-    selection is data-dependent); recall ≥ 0.9 vs the exact scorer is
-    pinned in tests/test_quantize.py."""
+    float vectors for the exact rerank.  Hash-checked via per-query
+    STRUCTURAL invariant rows (rank density/uniqueness, no-self,
+    sorted scores) — the numpy dot-product rerank's accumulation
+    order differs from the Column cosine, so a float equality
+    recompute would be ulp-flaky and is deliberately omitted
+    (``check_exact=False``); quantized candidate selection stays
+    data-dependent and recall ≥ 0.9 stays pinned in
+    tests/test_quantize.py."""
     from dynamic_partitioner_spark.operators.quantize import (
         pq_topk_rerank, train_pq_codebooks)
     emb = _table(spark, sf_dir, "embeddings")
     books = train_pq_codebooks(emb, m=8, ksub=256, iters=8)
     queries = emb.where(F.col("vec_id") < 10)
-    return (pq_topk_rerank(emb, queries, books, k=5, shortlist=4)
-            .orderBy("query_id", "rank"))
+    res = pq_topk_rerank(emb, queries, books, k=5, shortlist=4)
+    return _ann_invariant_rows(emb, res, k=5, sim_col="score",
+                               check_exact=False)
 
 
 def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -855,21 +862,85 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_bruteforce(emb, queries, k=5)
 
 
+def _ann_invariant_rows(emb: DataFrame, res: DataFrame, k: int,
+                        sim_col: str = "cos_sim",
+                        check_exact: bool = True) -> DataFrame:
+    """One certification row per query over an ANN result
+    (query_id, rank, neighbor_id, <sim_col>) — the sketch_cms
+    invariant pattern for approximate ops whose RESULT SET is
+    data-dependent (so the rows themselves can never be oracle
+    columns): the deterministic query grid plus oracle-asserted
+    booleans.  ``ranks_ok`` = ranks dense from 1, neighbors unique,
+    at most k; ``no_self`` = a query never returns itself;
+    ``sims_sorted`` = scores non-increasing with rank;
+    ``sims_exact`` (optional) = every reported similarity equals the
+    round4-cosine recomputed through an independent join of the raw
+    vectors — a bucket-join mixup (scoring against the wrong vector)
+    flips it.  Queries with zero candidates still emit a row
+    (vacuously TRUE) via the left join from the grid, so the row set
+    is oracle-reproducible.  Recall itself stays pinned in pytest —
+    it is a property of the corpus, not a deterministic invariant."""
+    w = Window.partitionBy("query_id").orderBy("rank")
+    r = res.withColumn("_prev", F.lag(sim_col).over(w))
+    if check_exact:
+        qv = emb.select(F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("_qv"))
+        nv = emb.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("embedding").alias("_nv"))
+        r = (r.join(F.broadcast(qv), "query_id").join(nv, "neighbor_id")
+             .withColumn("_exact", round4(cosine(F.col("_qv"),
+                                                 F.col("_nv")))))
+    per = r.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("rank").alias("_rmin"), F.max("rank").alias("_rmax"),
+        F.countDistinct("neighbor_id").alias("_nd"),
+        F.sum(F.when(F.col("neighbor_id") == F.col("query_id"), 1)
+              .otherwise(0)).alias("_self"),
+        F.sum(F.when(F.col("_prev") < F.col(sim_col), 1)
+              .otherwise(0)).alias("_unsorted"),
+        *([F.sum(F.when(~F.col("_exact").eqNullSafe(F.col(sim_col)), 1)
+                 .otherwise(0)).alias("_inexact")]
+          if check_exact else []))
+    grid = emb.where(F.col("vec_id") < 10) \
+              .select(F.col("vec_id").alias("query_id"))
+    j = grid.join(per, "query_id", "left")
+    cols = [
+        "query_id", F.lit(k).cast("long").alias("k"),
+        F.coalesce((F.col("_rmin") == 1) & (F.col("_rmax") == F.col("_n"))
+                   & (F.col("_nd") == F.col("_n"))
+                   & (F.col("_n") <= k), F.lit(True)).alias("ranks_ok"),
+        F.coalesce(F.col("_self") == 0, F.lit(True)).alias("no_self"),
+        F.coalesce(F.col("_unsorted") == 0, F.lit(True))
+        .alias("sims_sorted")]
+    if check_exact:
+        cols.append(F.coalesce(F.col("_inexact") == 0, F.lit(True))
+                    .alias("sims_exact"))
+    return j.select(*cols).orderBy("query_id")
+
+
 def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN (multi-probe) — rows-only; recall vs the
-    brute-force baseline is pinned in tests."""
+    """Sign-LSH bucketed ANN (multi-probe).  Hash-checked via per-query
+    invariant rows (``_ann_invariant_rows``): the candidate SET is
+    LSH-data-dependent (rows-only territory), but rank density,
+    uniqueness, no-self, sorted scores, and the independent-join
+    cosine recompute are deterministic booleans the oracle asserts.
+    Recall vs brute force stays pinned in tests."""
     emb = _table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    return topk_ann_lsh(emb, queries, k=5).orderBy("query_id", "rank")
+    res = topk_ann_lsh(emb, queries, k=5)
+    return _ann_invariant_rows(emb, res, k=5)
 
 
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (deterministic k-means lists, nprobe probing) — rows-only;
-    recall vs brute force is pinned in tests."""
+    """IVF ANN (deterministic k-means lists, nprobe probing).
+    Hash-checked via the same per-query invariant rows as
+    ``similarity_ann_lsh``; recall vs brute force stays pinned in
+    tests."""
     from dynamic_partitioner_spark.operators.similarity import topk_ann_ivf
     emb = _table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    return topk_ann_ivf(emb, queries, k=5).orderBy("query_id", "rank")
+    res = topk_ann_ivf(emb, queries, k=5)
+    return _ann_invariant_rows(emb, res, k=5)
 
 
 def q_similarity_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4477,10 +4548,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #          / text_pack / graph_pagerank / embedding_pca flipped
 #          rows-only->hash via invariant columns; events_ab_test
 #          gained the zero-denominator guard; graph_triangles'
-#          operator switched to a releasable cache) — 15 keys,
+#          operator switched to a releasable cache, and the
+#          three ANN keys flipped rows-only->hash via per-query
+#          invariant rows) — 18 keys,
 #   then   ALL 32 remaining round-3-evidence keys — the oldest driver
-#          evidence anywhere (incl. every original streaming key),
-#   then   the 3 most-churned round-4-evidence keys that fit.
+#          evidence anywhere (incl. every original streaming key).
 # Positions 51+ carry the round-4 overflow (incl. dedup_semantic's
 # siblings bumped by the new keys) so round 9 finishes the stale set.
 # (text_winnow/text_tfidf/text_bpe_pairs became r-strings this round
@@ -4490,6 +4562,7 @@ _PRIORITY_R08 = [
     "mm_decode_png", "mm_png_meta", "text_bm25_retrieve",
     "ops_compaction_plan", "partitioned_write_transforms",
     "events_interval_union", "ops_retention_vacuum", "text_rake",
+    "similarity_ann_lsh", "similarity_ann_ivf", "similarity_pq_rerank",
     "streaming_upsert", "similarity_ivf_pruned",
     "text_pack", "graph_pagerank", "embedding_pca",
     "events_ab_test", "graph_triangles",
@@ -4507,8 +4580,8 @@ _PRIORITY_R08 = [
     "sorted_export", "sorted_export_zorder", "source_binaryfile",
     "source_fixed_width_roundtrip", "source_xml_roundtrip",
     # --- round-4 evidence (11 most churned since certification) ---
-    "mm_mime_sniff", "mm_resize", "overwrite_dynamic",
     # ---- fold: driver checks the 50 above ----
+    "mm_mime_sniff", "mm_resize", "overwrite_dynamic",
     "dedup_exact",
     "dedup_containment", "dedup_semantic",
     # round-4-evidence overflow (finish in r9)
@@ -4527,7 +4600,7 @@ _PRIORITY_R08 = [
     "query_window_topk", "query_windowed_distinct",
     "sample_cap_group", "sample_hash", "sample_mixture",
     "sample_split", "sample_temperature",
-    "similarity_int8_topk", "similarity_pq_rerank",
+    "similarity_int8_topk",
     "source_csv_roundtrip", "source_jsonl_roundtrip", "stage_tag",
     "text_bpe_pairs", "text_entropy", "text_winnow",
 ]
@@ -5300,6 +5373,27 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
                 WHERE q.vec_id < 10)
             WHERE rank <= 5
+        """,
+        # per-query invariant oracles for the ANN family (sketch_cms
+        # pattern): the candidate SETS are data-dependent, the
+        # certification booleans are not — see _ann_invariant_rows
+        "similarity_ann_lsh": """
+            SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k,
+                   TRUE AS ranks_ok, TRUE AS no_self,
+                   TRUE AS sims_sorted, TRUE AS sims_exact
+            FROM embeddings WHERE vec_id < 10
+        """,
+        "similarity_ann_ivf": """
+            SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k,
+                   TRUE AS ranks_ok, TRUE AS no_self,
+                   TRUE AS sims_sorted, TRUE AS sims_exact
+            FROM embeddings WHERE vec_id < 10
+        """,
+        "similarity_pq_rerank": """
+            SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k,
+                   TRUE AS ranks_ok, TRUE AS no_self,
+                   TRUE AS sims_sorted
+            FROM embeddings WHERE vec_id < 10
         """,
         # invariant oracle (sketch_cms pattern): the pruned-scan path
         # must equal the in-memory IVF result row-for-row — the Spark

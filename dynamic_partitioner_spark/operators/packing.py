@@ -13,7 +13,8 @@ document's worth of slack per bin versus first-fit-decreasing, but
 needs no global sort and no cross-shard coordination — the right trade
 at 100 TB, where a global FFD would serialize on a full sort and a
 single packer.  Not SQL-expressible (running sum with reset is
-iterative), so the driver key is rows-only with the invariants pinned
+iterative), so the driver key hash-checks the SQL-expressible
+coverage/budget invariants (r8) with the layout pinned
 in pytest.
 """
 

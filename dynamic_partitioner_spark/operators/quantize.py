@@ -290,7 +290,8 @@ def pq_topk(emb: DataFrame, queries: DataFrame, books: np.ndarray,
 
     Approximate by construction (codes quantize the corpus); recall vs
     the exact scorer is pinned in tests, the standard ANN contract
-    (rows-only driver key).  One Arrow pass over the encoded corpus;
+    (candidate selection is data-dependent;
+    the driver key hash-checks per-query invariants, r8).  One Arrow pass over the encoded corpus;
     per-query rank window on the scored rows.
     """
     m, ksub, dsub = books.shape
@@ -339,8 +340,8 @@ def pq_topk_rerank(emb: DataFrame, queries: DataFrame, books: np.ndarray,
     touches 8-byte codes, not 256-byte vectors; the exact pass touches
     ``shortlist·k`` rows per query.
 
-    Recall vs the exact scorer is pinned in tests (rows-only contract,
-    like the other ANN keys).
+    Recall vs the exact scorer is pinned in tests; the driver key
+    hash-checks per-query structural invariants (r8).
     """
     cand = (pq_topk(emb, queries, books, id_col, vec_col,
                     k=shortlist * k)
