@@ -3826,6 +3826,40 @@ def q_privacy_dp_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the two float functions floor-quantized (both engines compute them
 # as exact small-integer ratios, so round4 of identical doubles is
 # bit-identical); the key tie-break makes every ordering total
+#: window FRAME semantics in one pass: ROWS (physical offsets), an
+#: integer-keyed RANGE (value-based bounds), a forward-looking ROWS
+#: tail, and a symmetric RANGE band — identical text in both engines;
+#: event_id is unique, so every frame is totally ordered and the ROWS
+#: frames are deterministic.  Values in exact integer cents.
+_WINDOW_FRAMES_SQL = """
+    WITH e AS (SELECT event_type, event_id,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+               FROM events
+               WHERE event_id < 4000)
+    SELECT event_type, event_id,
+           sum(v) OVER (PARTITION BY event_type ORDER BY event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS roll3,
+           sum(v) OVER (PARTITION BY event_type ORDER BY event_id
+                        RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+               AS range_sum,
+           sum(v) OVER (PARTITION BY event_type ORDER BY event_id
+                        ROWS BETWEEN CURRENT ROW
+                                 AND UNBOUNDED FOLLOWING) AS tail_sum,
+           max(v) OVER (PARTITION BY event_type ORDER BY event_id
+                        RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING)
+               AS range_max
+    FROM e
+"""
+
+
+def q_sql_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAME clause parity through the raw SQL interface:
+    ROWS/RANGE, backward/forward/symmetric bounds — one sort, four
+    frames, identical SQL text in the oracle."""
+    return _run_sql(spark, sf_dir, _WINDOW_FRAMES_SQL, ["events"])
+
+
 _RANK_SUITE_SQL = """
     SELECT o_orderpriority, o_orderkey,
            rank() OVER w AS rnk,
@@ -4563,9 +4597,10 @@ _PRIORITY_R08 = [
     "ops_compaction_plan", "partitioned_write_transforms",
     "events_interval_union", "ops_retention_vacuum", "text_rake",
     "similarity_ann_lsh", "similarity_ann_ivf", "similarity_pq_rerank",
+    "query_sql_window_frames",
     "streaming_upsert", "similarity_ivf_pruned",
     "text_pack", "graph_pagerank", "embedding_pca",
-    "events_ab_test", "graph_triangles",
+    "events_ab_test",
     # --- round-3 evidence (all 32 remaining) ---
     "streaming_dedup", "streaming_stateful_counts", "streaming_join",
     "streaming_partitioned_write", "streaming_windowed_agg",
@@ -4581,6 +4616,9 @@ _PRIORITY_R08 = [
     "source_fixed_width_roundtrip", "source_xml_roundtrip",
     # --- round-4 evidence (11 most churned since certification) ---
     # ---- fold: driver checks the 50 above ----
+    # graph_triangles: r8 change was operator cache-release only —
+    # query/oracle text unchanged since its green r7 driver check
+    "graph_triangles",
     "mm_mime_sniff", "mm_resize", "overwrite_dynamic",
     "dedup_exact",
     "dedup_containment", "dedup_semantic",
@@ -4819,6 +4857,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_auc": q_query_auc,
         "events_seasonal_naive": q_events_seasonal_naive,
         "query_sql_rank_suite": q_sql_rank_suite,
+        "query_sql_window_frames": q_sql_window_frames,
         "events_audience_overlap": q_events_audience_overlap,
         "text_readability": q_text_readability,
         "events_changepoint": q_events_changepoint,
@@ -7157,6 +7196,7 @@ def oracle_sql() -> dict[str, str]:
             "event_type", "epoch_us(ts)", "value", "events",
             season_buckets=7, bucket_us=86_400_000_000),
         "query_sql_rank_suite": _RANK_SUITE_SQL,
+        "query_sql_window_frames": _WINDOW_FRAMES_SQL,
         "text_readability": f"""
             WITH scored AS (
                 SELECT doc_id, lang,
