@@ -636,7 +636,7 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = train_pq_codebooks(emb, m=8, ksub=256, iters=8)
     queries = emb.where(F.col("vec_id") < 10)
     res = pq_topk_rerank(emb, queries, books, k=5, shortlist=4)
-    return _ann_invariant_rows(emb, res, k=5, sim_col="score",
+    return _ann_invariant_rows(queries, res, k=5, sim_col="score",
                                check_exact=False)
 
 
@@ -862,16 +862,18 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_bruteforce(emb, queries, k=5)
 
 
-def _ann_invariant_rows(emb: DataFrame, res: DataFrame, k: int,
+def _ann_invariant_rows(queries: DataFrame, res: DataFrame, k: int,
                         sim_col: str = "cos_sim",
-                        check_exact: bool = True) -> DataFrame:
+                        check_exact: bool = True,
+                        emb: DataFrame | None = None) -> DataFrame:
     """One certification row per query over an ANN result
     (query_id, rank, neighbor_id, <sim_col>) — the sketch_cms
     invariant pattern for approximate ops whose RESULT SET is
     data-dependent (so the rows themselves can never be oracle
     columns): the deterministic query grid plus oracle-asserted
-    booleans.  ``ranks_ok`` = ranks dense from 1, neighbors unique,
-    at most k; ``no_self`` = a query never returns itself;
+    booleans.  ``ranks_ok`` = ranks distinct and dense from 1,
+    neighbors unique, at most k; ``no_self`` = a query never returns
+    itself;
     ``sims_sorted`` = scores non-increasing with rank;
     ``sims_exact`` (optional) = every reported similarity equals the
     round4-cosine recomputed through an independent join of the raw
@@ -879,12 +881,21 @@ def _ann_invariant_rows(emb: DataFrame, res: DataFrame, k: int,
     flips it.  Queries with zero candidates still emit a row
     (vacuously TRUE) via the left join from the grid, so the row set
     is oracle-reproducible.  Recall itself stays pinned in pytest —
-    it is a property of the corpus, not a deterministic invariant."""
-    w = Window.partitionBy("query_id").orderBy("rank")
+    it is a property of the corpus, not a deterministic invariant.
+
+    ``queries`` (the same DataFrame handed to the ANN op, with
+    ``vec_id``/``embedding``) defines BOTH the certification grid and
+    the broadcast query-vector side — one source of truth, so a call
+    site changing its query filter cannot leave the grid checking a
+    stale set; ``emb`` (full corpus) is only needed for the neighbor
+    side of the exact recompute."""
+    # deterministic lag order even under the broken-op case of
+    # duplicate ranks (which _rd flips red regardless)
+    w = Window.partitionBy("query_id").orderBy("rank", "neighbor_id")
     r = res.withColumn("_prev", F.lag(sim_col).over(w))
     if check_exact:
-        qv = emb.select(F.col("vec_id").alias("query_id"),
-                        F.col("embedding").alias("_qv"))
+        qv = queries.select(F.col("vec_id").alias("query_id"),
+                            F.col("embedding").alias("_qv"))
         nv = emb.select(F.col("vec_id").alias("neighbor_id"),
                         F.col("embedding").alias("_nv"))
         r = (r.join(F.broadcast(qv), "query_id").join(nv, "neighbor_id")
@@ -894,6 +905,7 @@ def _ann_invariant_rows(emb: DataFrame, res: DataFrame, k: int,
         F.count(F.lit(1)).alias("_n"),
         F.min("rank").alias("_rmin"), F.max("rank").alias("_rmax"),
         F.countDistinct("neighbor_id").alias("_nd"),
+        F.countDistinct("rank").alias("_rd"),
         F.sum(F.when(F.col("neighbor_id") == F.col("query_id"), 1)
               .otherwise(0)).alias("_self"),
         F.sum(F.when(F.col("_prev") < F.col(sim_col), 1)
@@ -901,13 +913,13 @@ def _ann_invariant_rows(emb: DataFrame, res: DataFrame, k: int,
         *([F.sum(F.when(~F.col("_exact").eqNullSafe(F.col(sim_col)), 1)
                  .otherwise(0)).alias("_inexact")]
           if check_exact else []))
-    grid = emb.where(F.col("vec_id") < 10) \
-              .select(F.col("vec_id").alias("query_id"))
+    grid = queries.select(F.col("vec_id").alias("query_id"))
     j = grid.join(per, "query_id", "left")
     cols = [
         "query_id", F.lit(k).cast("long").alias("k"),
         F.coalesce((F.col("_rmin") == 1) & (F.col("_rmax") == F.col("_n"))
                    & (F.col("_nd") == F.col("_n"))
+                   & (F.col("_rd") == F.col("_n"))
                    & (F.col("_n") <= k), F.lit(True)).alias("ranks_ok"),
         F.coalesce(F.col("_self") == 0, F.lit(True)).alias("no_self"),
         F.coalesce(F.col("_unsorted") == 0, F.lit(True))
@@ -928,7 +940,7 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     res = topk_ann_lsh(emb, queries, k=5)
-    return _ann_invariant_rows(emb, res, k=5)
+    return _ann_invariant_rows(queries, res, k=5, emb=emb)
 
 
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -940,7 +952,7 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     res = topk_ann_ivf(emb, queries, k=5)
-    return _ann_invariant_rows(emb, res, k=5)
+    return _ann_invariant_rows(queries, res, k=5, emb=emb)
 
 
 def q_similarity_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3396,16 +3408,19 @@ def q_text_bm25_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAKE keyphrase extraction (Rose et al. 2010) over the corpus:
-    stopword-delimited phrase candidates, degree/frequency word
-    scores, top-20 phrases — the model-free topic tagger.  The single
-    division quantizes as deg·1e6 DIV freq so phrase scores are exact
-    integer sums; the oracle replays the identical phrase split
-    (longest-first \\b alternation, RE2 and Java regex agree) and
-    arithmetic."""
+    stopword- AND punctuation-delimited phrase candidates,
+    degree/frequency word scores, top-20 phrases — the model-free
+    topic tagger.  The single division quantizes as deg·1e6 DIV freq
+    so phrase scores are exact integer sums; the oracle replays the
+    identical phrase split (punctuation class, then longest-first
+    \\b alternation — RE2 and Java regex agree) and arithmetic."""
     from dynamic_partitioner_spark.operators.vectorize import (
         rake_keywords)
     docs = _table(spark, sf_dir, "documents")
-    return rake_keywords(docs, "text", top=20)
+    # max_words=4: the synthetic corpus is delimiter-sparse word soup —
+    # without Rose et al.'s candidate-length cap the "phrases" are
+    # whole documents
+    return rake_keywords(docs, "text", top=20, max_words=4)
 
 
 def q_sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3837,15 +3852,16 @@ _WINDOW_FRAMES_SQL = """
                FROM events
                WHERE event_id < 4000)
     SELECT event_type, event_id,
-           sum(v) OVER (PARTITION BY event_type ORDER BY event_id
+           CAST(sum(v) OVER (PARTITION BY event_type ORDER BY event_id
                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-               AS roll3,
-           sum(v) OVER (PARTITION BY event_type ORDER BY event_id
+               AS BIGINT) AS roll3,
+           CAST(sum(v) OVER (PARTITION BY event_type ORDER BY event_id
                         RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
-               AS range_sum,
-           sum(v) OVER (PARTITION BY event_type ORDER BY event_id
+               AS BIGINT) AS range_sum,
+           CAST(sum(v) OVER (PARTITION BY event_type ORDER BY event_id
                         ROWS BETWEEN CURRENT ROW
-                                 AND UNBOUNDED FOLLOWING) AS tail_sum,
+                                 AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS tail_sum,
            max(v) OVER (PARTITION BY event_type ORDER BY event_id
                         RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING)
                AS range_max
@@ -4573,10 +4589,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # ``queries()`` entries per round.  Rotate each round so the keys with
 # the LEAST driver evidence come first.  Round 8's window (the r7
 # VERDICT's #1 ask: refresh the 82 keys last certified in r3/r4):
-#   first  the 8 NEW keys (mm_decode_png, mm_png_meta,
+#   first  the 9 NEW keys (mm_decode_png, mm_png_meta,
 #          text_bm25_retrieve, ops_compaction_plan,
 #          partitioned_write_transforms, events_interval_union,
-#          ops_retention_vacuum, text_rake) and the keys whose
+#          ops_retention_vacuum, text_rake,
+#          query_sql_window_frames) and the keys whose
 #          query/oracle text changed this round (streaming_upsert
 #          gained the price-cents seq tiebreak; similarity_ivf_pruned
 #          / text_pack / graph_pagerank / embedding_pca flipped
@@ -4614,8 +4631,9 @@ _PRIORITY_R08 = [
     "query_set_ops", "query_sliding_window", "query_snapshot_diff",
     "sorted_export", "sorted_export_zorder", "source_binaryfile",
     "source_fixed_width_roundtrip", "source_xml_roundtrip",
-    # --- round-4 evidence (11 most churned since certification) ---
-    # ---- fold: driver checks the 50 above ----
+    # ---- fold: driver checks the 50 above (18 new/changed-text
+    # ---- keys + all 32 remaining round-3-evidence keys) ----
+    # below the fold: round-4 evidence, most-churned first (r9 rotation)
     # graph_triangles: r8 change was operator cache-release only —
     # query/oracle text unchanged since its green r7 driver check
     "graph_triangles",
@@ -6929,11 +6947,16 @@ def oracle_sql() -> dict[str, str]:
                 SELECT trim(regexp_replace(p, ' +', ' ', 'g')) AS phrase,
                        row_number() OVER () AS pid
                 FROM (SELECT unnest(string_split(
-                          regexp_replace(trim(lower(text)),
+                          regexp_replace(
+                              regexp_replace(trim(lower(text)),
+                                  '[^a-z0-9 ]', '|', 'g'),
                               '\b(with|and|for|the|in|is|of|on|to|a)\b',
                               '|', 'g'), '|')) AS p
                       FROM documents)
-                WHERE length(trim(regexp_replace(p, ' +', ' ', 'g'))) > 0),
+                WHERE length(trim(regexp_replace(p, ' +', ' ', 'g'))) > 0
+                  AND len(string_split(
+                          trim(regexp_replace(p, ' +', ' ', 'g')),
+                          ' ')) <= 4),
             pw AS (SELECT pid, phrase,
                           len(string_split(phrase, ' ')) AS plen,
                           unnest(string_split(phrase, ' ')) AS word

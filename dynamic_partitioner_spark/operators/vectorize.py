@@ -342,7 +342,8 @@ def bm25_retrieve(df: DataFrame, id_col: str, text_col: str,
 
 def rake_keywords(df: DataFrame, text_col: str,
                   stopwords: list[str] | None = None,
-                  top: int = 20) -> DataFrame:
+                  top: int = 20,
+                  max_words: int | None = None) -> DataFrame:
     """RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
     Extraction from Individual Documents"): candidate phrases are the
     maximal stopword-free word runs; each word scores
@@ -352,6 +353,17 @@ def rake_keywords(df: DataFrame, text_col: str,
     top-``top`` phrases with occurrence counts — the cheap,
     model-free topic/keyphrase tagger for corpus triage.
 
+    Candidates are delimited at punctuation as well as stopwords
+    (Rose et al. §1.2.1): every non-``[a-z0-9 ]`` character in the
+    lowered text becomes a phrase boundary, so sentence/clause
+    punctuation never glues two candidates together and tokens carry
+    no trailing punctuation.  (Consequence: intra-word marks like
+    apostrophes and hyphens also split — ``don't`` → ``don``/``t``.)
+    ``max_words`` (Rose et al.'s candidate-length refinement) DISCARDS
+    candidates longer than the cap before any scoring — on corpora
+    with sparse delimiters (run-on text, word soup) unbounded
+    candidates degenerate to whole-document "phrases".
+
     Shape: one tokenize+explode pass builds the (phrase instance,
     word) relation; word stats are ONE hash aggregate over it
     (vocabulary-bounded), broadcast back onto the same relation; the
@@ -360,6 +372,8 @@ def rake_keywords(df: DataFrame, text_col: str,
     truncation, identical in Spark ``div`` and DuckDB ``//``), so
     phrase scores are exact integer sums in any order.
     """
+    import re as _re
+
     from ..functions.text import _STOPWORDS
     stops = stopwords if stopwords is not None else _STOPWORDS
     if not stops:
@@ -367,16 +381,23 @@ def rake_keywords(df: DataFrame, text_col: str,
     # longest-first alternation: leftmost-FIRST regex engines would
     # otherwise prefer a short stopword that then fails its \b and
     # backtrack — same result, but longest-first keeps the pattern's
-    # behavior obvious and identical across engines
+    # behavior obvious and identical across engines.  re.escape each
+    # word: a caller stopword like "c++" or "a.b" must match literally,
+    # not as regex syntax.
     ordered = sorted(stops, key=lambda w: (-len(w), w))
-    pat = r"\b(" + "|".join(ordered) + r")\b"
+    pat = r"\b(" + "|".join(_re.escape(w) for w in ordered) + r")\b"
     phrases = (df.select(
-        F.posexplode(F.split(F.regexp_replace(
-            F.trim(F.lower(F.col(text_col))), pat, "|"), r"\|"))
+        F.posexplode(F.split(F.regexp_replace(F.regexp_replace(
+            F.trim(F.lower(F.col(text_col))),
+            r"[^a-z0-9 ]", "|"), pat, "|"), r"\|"))
         .alias("_p", "_phrase"))
         .select(F.trim(F.regexp_replace("_phrase", r" +", " "))
                 .alias("phrase"))
-        .where(F.length("phrase") > 0)
+        .where(F.length("phrase") > 0))
+    if max_words is not None:
+        phrases = phrases.where(
+            F.size(F.split("phrase", " ")) <= max_words)
+    phrases = (phrases
         # instance identity only: ids are consumed within this single
         # lineage (grouped straight back), never compared across runs
         .withColumn("_pid", F.monotonically_increasing_id()))

@@ -161,6 +161,15 @@ def vacuum_versions(spark: SparkSession, path: str,
     if not 1 <= keep_from <= latest:
         raise ValueError(
             f"keep_from {keep_from} outside 1..{latest}")
+    prior_floor = _vacuum_floor(path)
+    if keep_from < prior_floor:
+        # a lower keep_from cannot restore already-deleted batches; it
+        # would only produce an audit report labeling unreadable
+        # commits "kept" — refuse loudly instead
+        raise ValueError(
+            f"keep_from {keep_from} is below the existing retention "
+            f"floor {prior_floor}; versions < {prior_floor} are "
+            f"already vacuumed")
     last_ow = max((c["version"] for c in commits
                    if c["mode"] == "overwrite"
                    and c["version"] <= keep_from), default=1)
@@ -176,7 +185,7 @@ def vacuum_versions(spark: SparkSession, path: str,
         if action == "deleted":
             for d in c["dirs"]:
                 _sh.rmtree(os.path.join(path, d), ignore_errors=True)
-    floor = max(last_ow, _vacuum_floor(path))
+    floor = max(last_ow, prior_floor)
     marker = os.path.join(_log_dir(path), "_vacuum.json")
     tmp = marker + ".tmp"
     with open(tmp, "w") as fh:

@@ -240,6 +240,43 @@ def test_rake_hand_computed_scores(spark):
     assert out["red apple"] == (2, 2, 4.0)
 
 
+def test_rake_punctuation_delimits_and_metachar_stopwords_literal(spark):
+    from dynamic_partitioner_spark.operators.vectorize import (
+        rake_keywords)
+    # punctuation is a phrase boundary (Rose et al. §1.2.1): the period
+    # must NOT glue 'green apple. red apple' into one candidate, and
+    # trailing commas must not mint a distinct word 'apple,'
+    docs = spark.createDataFrame(
+        [(0, "green apple. red apple, and red apple")],
+        "doc_id long, text string")
+    out = {r.phrase: r.n_occurrences
+           for r in rake_keywords(docs, "text",
+                                  stopwords=["and"], top=10).collect()}
+    assert out == {"green apple": 1, "red apple": 2}
+    # regex-metachar stopwords match literally, not as syntax: an
+    # unescaped '(' would be a Java-regex group error / silent misparse
+    docs2 = spark.createDataFrame(
+        [(0, "alpha beta gamma beta")], "doc_id long, text string")
+    out2 = {r.phrase for r in rake_keywords(
+        docs2, "text", stopwords=["beta", "x(y"], top=10).collect()}
+    assert out2 == {"alpha", "gamma"}
+
+
+def test_rake_max_words_discards_long_candidates(spark):
+    from dynamic_partitioner_spark.operators.vectorize import (
+        rake_keywords)
+    # the 5-word run is DISCARDED before scoring (not truncated): its
+    # words must not contribute to freq/degree of surviving phrases
+    docs = spark.createDataFrame(
+        [(0, "red apple and one two three four five and red apple")],
+        "doc_id long, text string")
+    out = {r.phrase: (r.n_occurrences, r.rake_score)
+           for r in rake_keywords(docs, "text", stopwords=["and"],
+                                  top=10, max_words=4).collect()}
+    # freq: red 2, apple 2; deg: red 4, apple 4 → scores 2.0 each
+    assert out == {"red apple": (2, 4.0)}
+
+
 def test_rake_rejects_empty_stopword_set(spark):
     import pytest
 

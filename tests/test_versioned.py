@@ -97,6 +97,11 @@ def test_vacuum_deletes_invisible_and_floors_time_travel(spark, tmp_path):
             for r in vacuum_versions(spark, path, keep_from=3).collect()}
     assert rep2[1] == ("deleted", 0)
     assert rep2[3] == ("kept", 4)
+    # re-vacuum BELOW the recorded floor refuses loudly: it cannot
+    # restore deleted batches, and labeling unreadable commits "kept"
+    # would contradict the table state
+    with pytest.raises(ValueError, match="retention floor"):
+        vacuum_versions(spark, path, keep_from=2)
 
 
 def test_vacuum_without_overwrite_keeps_everything(spark, tmp_path):

@@ -94,7 +94,7 @@ AUDIT_KEYS = [
     "mm_decode_png", "embedding_pca", "text_pack",
     "similarity_ivf_pruned", "mm_png_meta", "text_bm25_retrieve",
     "ops_compaction_plan", "partitioned_write_transforms",
-    "events_interval_union", "text_rake",
+    "events_interval_union", "text_rake", "query_sql_window_frames",
 ]
 
 _KEEP = re.compile(
