@@ -893,6 +893,9 @@ def _ann_invariant_rows(queries: DataFrame, res: DataFrame, k: int,
     # duplicate ranks (which _rd flips red regardless)
     w = Window.partitionBy("query_id").orderBy("rank", "neighbor_id")
     r = res.withColumn("_prev", F.lag(sim_col).over(w))
+    if check_exact and emb is None:
+        raise ValueError("check_exact=True needs the full corpus (emb=) "
+                         "for the neighbor side of the recompute")
     if check_exact:
         qv = queries.select(F.col("vec_id").alias("query_id"),
                             F.col("embedding").alias("_qv"))
@@ -4599,9 +4602,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #          / text_pack / graph_pagerank / embedding_pca flipped
 #          rows-only->hash via invariant columns; events_ab_test
 #          gained the zero-denominator guard; graph_triangles'
-#          operator switched to a releasable cache, and the
-#          three ANN keys flipped rows-only->hash via per-query
-#          invariant rows) — 18 keys,
+#          operator now checkpoints its single-row output so the
+#          edge blocks unpin on return, and the three ANN keys
+#          flipped rows-only->hash via per-query invariant
+#          rows) — 18 keys,
 #   then   ALL 32 remaining round-3-evidence keys — the oldest driver
 #          evidence anywhere (incl. every original streaming key).
 # Positions 51+ carry the round-4 overflow (incl. dedup_semantic's
@@ -6948,7 +6952,9 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER () AS pid
                 FROM (SELECT unnest(string_split(
                           regexp_replace(
-                              regexp_replace(trim(lower(text)),
+                              regexp_replace(
+                                  regexp_replace(trim(lower(text)),
+                                      '[ \t\n\r]+', ' ', 'g'),
                                   '[^a-z0-9 ]', '|', 'g'),
                               '\b(with|and|for|the|in|is|of|on|to|a)\b',
                               '|', 'g'), '|')) AS p

@@ -386,9 +386,13 @@ def rake_keywords(df: DataFrame, text_col: str,
     # not as regex syntax.
     ordered = sorted(stops, key=lambda w: (-len(w), w))
     pat = r"\b(" + "|".join(_re.escape(w) for w in ordered) + r")\b"
+    # \t/\n/\r are WORD whitespace, not phrase boundaries — normalize
+    # them to spaces first or the punctuation class below would split
+    # every candidate at a line wrap
     phrases = (df.select(
         F.posexplode(F.split(F.regexp_replace(F.regexp_replace(
-            F.trim(F.lower(F.col(text_col))),
+            F.regexp_replace(F.trim(F.lower(F.col(text_col))),
+                             r"[ \t\n\r]+", " "),
             r"[^a-z0-9 ]", "|"), pat, "|"), r"\|"))
         .alias("_p", "_phrase"))
         .select(F.trim(F.regexp_replace("_phrase", r" +", " "))

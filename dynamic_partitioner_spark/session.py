@@ -111,6 +111,15 @@ def get_spark(app_name: str = "dynamic-partitioner-spark",
     # when this factory creates the JVM, a cluster sets its own)
     builder = builder.config(
         "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    # Bound the window in which GC-released blocks linger: operators
+    # that truncate lineage with localCheckpoint (triangle census,
+    # pagerank, cluster resolution) rely on the ContextCleaner to
+    # reclaim the checkpointed blocks once unreachable — but the
+    # cleaner only acts on JVM GC, and an idle large-heap driver can
+    # stay GC-quiet for the default 30 min.  5 min caps how long a
+    # swept session accumulates dead edge-set/rank blocks (static
+    # conf — only applies when this factory creates the JVM).
+    builder = builder.config("spark.cleaner.periodicGC.interval", "5min")
     for k, v in _ENGINE_CONFS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

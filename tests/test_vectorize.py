@@ -260,6 +260,14 @@ def test_rake_punctuation_delimits_and_metachar_stopwords_literal(spark):
     out2 = {r.phrase for r in rake_keywords(
         docs2, "text", stopwords=["beta", "x(y"], top=10).collect()}
     assert out2 == {"alpha", "gamma"}
+    # \n / \t are WORD whitespace, not phrase boundaries: a line wrap
+    # inside 'machine\nlearning' must not split the candidate
+    docs3 = spark.createDataFrame(
+        [(0, "machine\nlearning\tand machine learning")],
+        "doc_id long, text string")
+    out3 = {r.phrase: r.n_occurrences for r in rake_keywords(
+        docs3, "text", stopwords=["and"], top=10).collect()}
+    assert out3 == {"machine learning": 2}
 
 
 def test_rake_max_words_discards_long_candidates(spark):
