@@ -4522,6 +4522,30 @@ def q_ops_retention_vacuum(spark: SparkSession,
     return vacuum_versions(spark, out, keep_from=3)
 
 
+def q_ops_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental change feed over the versioned table (the Delta
+    CDF / Iceberg incremental-scan shape): four append commits by
+    order priority, then read ONLY what commits 3 and 4 added — cost
+    proportional to change volume, never table size
+    (operators/versioned.py:read_changes).  The oracle rebuilds the
+    feed from the commit plan: each surviving priority maps to its
+    known commit version."""
+    from dynamic_partitioner_spark.operators.versioned import (
+        read_changes, versioned_write)
+    apply_engine_confs(spark)
+    orders = _table(spark, sf_dir, "orders")
+    out = _out("ops_incremental_scan")
+    pri = F.col("o_orderpriority")
+    versioned_write(orders.where(pri == "1-URGENT"), out, "append")
+    versioned_write(orders.where(pri == "2-HIGH"), out, "append")
+    versioned_write(orders.where(pri == "3-MEDIUM"), out, "append")
+    versioned_write(orders.where(pri == "5-LOW"), out, "append")
+    ch = read_changes(spark, out, since_version=2)
+    return (ch.select("o_orderkey", "o_orderpriority",
+                      F.col("_commit_version").alias("commit_version"))
+            .orderBy("o_orderkey"))
+
+
 def q_ops_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning end-to-end: write orders
     partitioned by priority with a deliberately tiny 300-row file cap
@@ -4637,7 +4661,10 @@ _PRIORITY_R08 = [
     "source_fixed_width_roundtrip", "source_xml_roundtrip",
     # ---- fold: driver checks the 50 above (18 new/changed-text
     # ---- keys + all 32 remaining round-3-evidence keys) ----
-    # below the fold: round-4 evidence, most-churned first (r9 rotation)
+    # below the fold, r9 rotation order: ops_incremental_scan (added
+    # late in r8 — locally contract-certified at sf0.01/sf0.001, no
+    # driver evidence yet), then round-4 evidence most-churned first
+    "ops_incremental_scan",
     # graph_triangles: r8 change was operator cache-release only —
     # query/oracle text unchanged since its green r7 driver check
     "graph_triangles",
@@ -4837,6 +4864,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_metadata_files": q_ops_metadata_files,
         "ops_compaction_plan": q_ops_compaction_plan,
         "ops_retention_vacuum": q_ops_retention_vacuum,
+        "ops_incremental_scan": q_ops_incremental_scan,
         "partitioned_write_transforms": q_partitioned_write_transforms,
         "text_bpe_learn": q_text_bpe_learn,
         "sketch_cms": q_sketch_cms,
@@ -7561,6 +7589,13 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM orders
                     WHERE o_orderpriority = pri) AS n_rows
             FROM plan
+        """,
+        "ops_incremental_scan": """
+            SELECT o_orderkey, o_orderpriority,
+                   CASE o_orderpriority WHEN '3-MEDIUM' THEN 3
+                        ELSE 4 END AS commit_version
+            FROM orders
+            WHERE o_orderpriority IN ('3-MEDIUM', '5-LOW')
         """,
         "ops_compaction_plan": """
             WITH p AS (SELECT o_orderpriority AS pk, count(*) AS n

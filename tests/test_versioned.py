@@ -104,6 +104,44 @@ def test_vacuum_deletes_invisible_and_floors_time_travel(spark, tmp_path):
         vacuum_versions(spark, path, keep_from=2)
 
 
+def test_read_changes_feed_and_refusals(spark, tmp_path):
+    import pytest
+
+    from dynamic_partitioner_spark.operators.versioned import (
+        read_changes, vacuum_versions, versioned_write)
+    path = str(tmp_path / "cf")
+    mk = lambda lo, hi: spark.range(lo, hi).toDF("id")
+    versioned_write(mk(0, 3), path, "append")       # v1
+    versioned_write(mk(3, 5), path, "append")       # v2
+    versioned_write(mk(5, 9), path, "append")       # v3
+    # changes since v1 = commits 2 and 3, tagged with their versions
+    ch = {(r.id, r._commit_version)
+          for r in read_changes(spark, path, since_version=1).collect()}
+    assert ch == {(3, 2), (4, 2), (5, 3), (6, 3), (7, 3), (8, 3)}
+    # bounded upper end
+    assert read_changes(spark, path, 1, to_version=2).count() == 2
+    # empty range: 0 rows, schema = table schema + _commit_version
+    empty = read_changes(spark, path, 3)
+    assert empty.count() == 0
+    assert empty.columns == ["id", "_commit_version"]
+    # full history from the beginning
+    assert read_changes(spark, path, 0).count() == 9
+    # crossing an overwrite refuses loudly — removals have no feed rows
+    versioned_write(mk(100, 102), path, "overwrite")  # v4
+    with pytest.raises(ValueError, match="overwrite"):
+        read_changes(spark, path, since_version=2)
+    # after the overwrite, the feed works again
+    versioned_write(mk(102, 103), path, "append")     # v5
+    assert {r.id for r in read_changes(spark, path, 4).collect()} == {102}
+    # vacuumed commits in range refuse loudly
+    vacuum_versions(spark, path, keep_from=4)
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_changes(spark, path, 1, to_version=3)
+    # bad ranges refuse
+    with pytest.raises(ValueError, match="change range"):
+        read_changes(spark, path, 3, to_version=2)
+
+
 def test_vacuum_without_overwrite_keeps_everything(spark, tmp_path):
     from dynamic_partitioner_spark.operators.versioned import (
         read_version, vacuum_versions, versioned_write)

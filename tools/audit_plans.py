@@ -95,6 +95,7 @@ AUDIT_KEYS = [
     "similarity_ivf_pruned", "mm_png_meta", "text_bm25_retrieve",
     "ops_compaction_plan", "partitioned_write_transforms",
     "events_interval_union", "text_rake", "query_sql_window_frames",
+    "ops_incremental_scan",
 ]
 
 _KEEP = re.compile(

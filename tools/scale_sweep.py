@@ -92,7 +92,7 @@ SWEEP_KEYS = [
     "mm_decode_png", "mm_png_meta", "text_bm25_retrieve",
     "ops_compaction_plan", "partitioned_write_transforms",
     "events_interval_union", "ops_retention_vacuum", "text_rake",
-    "query_sql_window_frames",
+    "query_sql_window_frames", "ops_incremental_scan",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
