@@ -4522,6 +4522,19 @@ def q_ops_retention_vacuum(spark: SparkSession,
     return vacuum_versions(spark, out, keep_from=3)
 
 
+def q_embedding_prefix_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-dimension (Matryoshka-style) fidelity report: cosine
+    drift when embeddings are truncated to their first 8/16/32/64
+    components, over the bounded 32-vector pair grid — exact BIGINT
+    micro-unit deltas, so the aggregate is order-free and engine-
+    exact (operators/decompose.py:prefix_dim_eval).  The full-length
+    row (64 of 64 dims) doubles as a self-check: delta exactly 0."""
+    from dynamic_partitioner_spark.operators.decompose import (
+        prefix_dim_eval)
+    emb = _table(spark, sf_dir, "embeddings")
+    return prefix_dim_eval(emb, "vec_id", "embedding")
+
+
 def q_ops_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental change feed over the versioned table (the Delta
     CDF / Iceberg incremental-scan shape): four append commits by
@@ -4661,10 +4674,10 @@ _PRIORITY_R08 = [
     "source_fixed_width_roundtrip", "source_xml_roundtrip",
     # ---- fold: driver checks the 50 above (18 new/changed-text
     # ---- keys + all 32 remaining round-3-evidence keys) ----
-    # below the fold, r9 rotation order: ops_incremental_scan (added
-    # late in r8 — locally contract-certified at sf0.01/sf0.001, no
-    # driver evidence yet), then round-4 evidence most-churned first
-    "ops_incremental_scan",
+    # below the fold, r9 rotation order: the two keys added late in
+    # r8 (locally contract-certified at sf0.01/sf0.001, no driver
+    # evidence yet), then round-4 evidence most-churned first
+    "ops_incremental_scan", "embedding_prefix_eval",
     # graph_triangles: r8 change was operator cache-release only —
     # query/oracle text unchanged since its green r7 driver check
     "graph_triangles",
@@ -4865,6 +4878,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_compaction_plan": q_ops_compaction_plan,
         "ops_retention_vacuum": q_ops_retention_vacuum,
         "ops_incremental_scan": q_ops_incremental_scan,
+        "embedding_prefix_eval": q_embedding_prefix_eval,
         "partitioned_write_transforms": q_partitioned_write_transforms,
         "text_bpe_learn": q_text_bpe_learn,
         "sketch_cms": q_sketch_cms,
@@ -7589,6 +7603,28 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM orders
                     WHERE o_orderpriority = pri) AS n_rows
             FROM plan
+        """,
+        "embedding_prefix_eval": """
+            WITH e AS (SELECT vec_id AS i, embedding::DOUBLE[] AS v
+                       FROM embeddings WHERE vec_id < 32),
+            p AS (SELECT a.v AS va, b.v AS vb
+                  FROM e a JOIN e b ON a.i < b.i),
+            d AS (SELECT unnest([8, 16, 32, 64]) AS prefix_dim),
+            x AS (SELECT d.prefix_dim,
+                         abs(CAST(floor(list_cosine_similarity(va, vb)
+                                        * 10000 + 0.5) AS BIGINT)
+                           - CAST(floor(list_cosine_similarity(
+                                            va[1:prefix_dim],
+                                            vb[1:prefix_dim])
+                                        * 10000 + 0.5) AS BIGINT))
+                             AS du
+                  FROM p, d)
+            SELECT CAST(prefix_dim AS BIGINT) AS prefix_dim,
+                   count(du) AS n_pairs,
+                   CAST(sum(du) AS DOUBLE) / count(du) / 10000
+                       AS mean_abs_delta,
+                   CAST(max(du) AS DOUBLE) / 10000 AS max_abs_delta
+            FROM x GROUP BY 1 ORDER BY 1
         """,
         "ops_incremental_scan": """
             SELECT o_orderkey, o_orderpriority,

@@ -199,3 +199,58 @@ def label_centroid_outliers(emb: DataFrame, id_col: str, vec_col: str,
             .select(F.col("_id").alias(id_col),
                     F.col("_lbl").alias(label_col),
                     "cos_centroid", "rnk"))
+
+
+def prefix_dim_eval(emb: DataFrame, id_col: str, vec_col: str,
+                    dims: tuple[int, ...] = (8, 16, 32, 64),
+                    max_id: int = 32) -> DataFrame:
+    """Prefix-dimension fidelity evaluation (the Matryoshka-style
+    question: how much cosine similarity is lost when vectors are
+    truncated to their first ``d`` components?) — the measurement a
+    pipeline runs BEFORE shipping cheaper truncated embeddings to the
+    ANN/dedup stages.
+
+    Over the deterministic pair grid of vectors with ``id < max_id``
+    (all C(max_id, 2) unordered pairs), for each prefix length:
+    per-pair |round4-cosine(full) − round4-cosine(prefix)| in exact
+    1e-4 micro-units, aggregated to ``(prefix_dim, n_pairs,
+    mean_abs_delta, max_abs_delta)``.  The full-length row is the
+    built-in self-check (delta exactly 0).
+
+    Scale posture: the grid is bounded by construction (``max_id``
+    vectors → one broadcast nested-loop over max_id² rows regardless
+    of corpus size); sums/maxes are exact BIGINT micro-units, so the
+    result is order-free and engine-exact — only the final
+    mean division produces a float, over exact integers.
+    """
+    from ..functions.vectors import cosine
+
+    if not dims:
+        raise ValueError("need at least one prefix dim")
+    e = (emb.where(F.col(id_col) < max_id)
+         .select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v")))
+    a = e.select(F.col("_i").alias("_ia"), F.col("_v").alias("_va"))
+    b = e.select(F.col("_i").alias("_ib"), F.col("_v").alias("_vb"))
+    # bounded pair grid: max_id rows broadcast, non-equi (<) join —
+    # the allowlisted BNLJ, never data x data
+    pairs = a.join(F.broadcast(b), F.col("_ia") < F.col("_ib"))
+    p = pairs.select(
+        "_va", "_vb",
+        F.explode(F.array(*[F.lit(int(d)) for d in sorted(dims)]))
+        .alias("prefix_dim"))
+    u = lambda c: F.floor(c * 10000 + F.lit(0.5)).cast("long")
+    delta = F.abs(
+        u(cosine(F.col("_va"), F.col("_vb")))
+        - u(cosine(F.slice("_va", F.lit(1), F.col("prefix_dim")),
+                   F.slice("_vb", F.lit(1), F.col("prefix_dim")))))
+    return (p.select("prefix_dim", delta.alias("_d"))
+            .groupBy("prefix_dim")
+            .agg(F.count("_d").alias("n_pairs"),
+                 F.sum("_d").alias("_su"), F.max("_d").alias("_mu"))
+            .select(F.col("prefix_dim").cast("long"),
+                    "n_pairs",
+                    (F.col("_su").cast("double") / F.col("n_pairs")
+                     / 10000).alias("mean_abs_delta"),
+                    (F.col("_mu").cast("double") / 10000)
+                    .alias("max_abs_delta"))
+            .orderBy("prefix_dim"))

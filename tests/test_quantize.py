@@ -229,3 +229,25 @@ def test_label_centroid_outliers_flags_the_planted_outlier(spark):
     worst = {r.label: r.vec_id for r in out}
     assert worst[0] == 3          # the planted outlier
     assert len(out) == 2          # one per label; NULL label dropped
+
+
+def test_prefix_dim_eval_full_length_is_exact_zero(spark):
+    from dynamic_partitioner_spark.operators.decompose import (
+        prefix_dim_eval)
+    import pytest as _pt
+
+    rows = [(i, [float(i + 1), float(2 * i + 1), 0.5 * i, 1.0])
+            for i in range(6)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    out = {r.prefix_dim: r for r in prefix_dim_eval(
+        emb, "vec_id", "embedding", dims=(2, 4), max_id=6).collect()}
+    # C(6,2) pairs at every prefix length
+    assert out[2].n_pairs == 15 and out[4].n_pairs == 15
+    # full-length prefix reproduces the full cosine exactly
+    assert out[4].mean_abs_delta == 0.0 and out[4].max_abs_delta == 0.0
+    # truncation loses similarity on these deliberately skewed vectors
+    assert out[2].max_abs_delta > 0.0
+    assert 0.0 <= out[2].mean_abs_delta <= out[2].max_abs_delta
+    with _pt.raises(ValueError, match="prefix dim"):
+        prefix_dim_eval(emb, "vec_id", "embedding", dims=())

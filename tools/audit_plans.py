@@ -95,7 +95,7 @@ AUDIT_KEYS = [
     "similarity_ivf_pruned", "mm_png_meta", "text_bm25_retrieve",
     "ops_compaction_plan", "partitioned_write_transforms",
     "events_interval_union", "text_rake", "query_sql_window_frames",
-    "ops_incremental_scan",
+    "ops_incremental_scan", "embedding_prefix_eval",
 ]
 
 _KEEP = re.compile(
@@ -122,6 +122,7 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
     "text_tfidf": (1, "1-row scalar doc-count broadcast"),
     "text_bm25": (1, "1-row scalar avgdl broadcast"),
     "text_bm25_retrieve": (1, "1-row scalar n_docs/avgdl broadcast"),
+    "embedding_prefix_eval": (1, "bounded 32-vector pair grid (< join)"),
     "query_skew_profile": (1, "1-row scalar totals broadcast"),
     "sample_balance_labels": (1, "1-row scalar min-class-count "
                                  "broadcast"),
@@ -163,7 +164,8 @@ _GROUPED_BNLJ = {"privacy_t_closeness"}
 #: (query set or hash-capped sample) instead.
 _SCALAR_BNLJ = {k for k in BNLJ_ALLOWED
                 if k not in ("similarity_topk", "similarity_hybrid_rrf",
-                             "embedding_threshold_sweep")
+                             "embedding_threshold_sweep",
+                             "embedding_prefix_eval")
                 and k not in _GROUPED_BNLJ}
 
 
