@@ -39,6 +39,7 @@ from dynamic_partitioner_spark.functions.vectors import (
     L2_NORM_SQL,
     ROUND4_SQL,
     cosine,
+    cosine_batched,
     l2_norm,
     round4,
 )
@@ -595,14 +596,28 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic near-dup pairs: k-means clusters as the
-    blocking key, multi-probe assignment for boundary recall, exact
-    cosine verify within blocks — rows-only (cluster blocking is
-    data-dependent); recall vs the exact pair set and the
-    no-false-positives property are pinned in tests/test_dedup.py."""
+    """SemDeDup-style semantic near-dup pairs (k-means blocking,
+    multi-probe boundary recall), flipped rows-only → hash-checked via
+    pair-certification rows (``_pair_certification``) over a per-label
+    corpus-count grid.  Unlike the sign-LSH twin, the op scores pairs
+    with a normalize-then-matmul BLAS kernel whose summation order an
+    independent per-pair recompute cannot reproduce bit-for-bit, so
+    ``sim_verified`` uses ``tol=2e-4`` (two round4 grid steps): immune
+    to kernel ulp, still flipped by any cluster-join mixup, whose
+    cosine error is ≫ 1e-4.  Recall vs the exact pair set and the
+    no-false-positives property stay pinned in tests/test_dedup.py."""
     emb = _table(spark, sf_dir, "embeddings")
-    return (DD.semantic_dedup(emb, "vec_id", "embedding", threshold=0.3)
-            .orderBy("id_a", "id_b"))
+    pairs = DD.semantic_dedup(emb, "vec_id", "embedding", threshold=0.3)
+    va = emb.select(F.col("vec_id").alias("id_a"),
+                    F.col("embedding").alias("_va"))
+    vb = emb.select(F.col("vec_id").alias("id_b"),
+                    F.col("embedding").alias("_vb"))
+    chk = (pairs.join(va, "id_a").join(vb, "id_b")
+           .withColumn("_re", round4(cosine_batched(F.col("_va"),
+                                                    F.col("_vb")))))
+    grid = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (_pair_certification(chk, grid, "cos_sim", 0.3, tol=2e-4)
+            .orderBy("label"))
 
 
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -700,11 +715,49 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (exact-Jaccard verified) — rows-only;
-    recall vs the exact baseline is pinned in tests."""
+    """MinHash+LSH near-dup pairs, flipped rows-only → hash-checked via
+    pair-certification rows (``_pair_certification``): the pair SET is
+    LSH-band-data-dependent, but canonical form, the threshold cut,
+    and reported-jaccard-equals-recompute are deterministic booleans.
+    The recompute re-joins the raw corpus and shingles via the Column
+    HOF form (``DD.shingles`` — a different code path from the
+    pipeline's Arrow-batched verify, pinned element-identical in
+    tests/test_dedup.py); jaccard is a ratio of exact small ints, so
+    bit-equality (``tol=0``) is safe.  The grid is the 50 planted
+    mutants with their exact twin Jaccard — a REAL data column the
+    oracle recomputes from raw text (the dedup_ngram_jaccard parity) —
+    plus ``twin_consistent``: IF the (orig, mutant) pair was emitted,
+    its reported jaccard equals that exact value (vacuously TRUE when
+    LSH missed the twin — presence would be recall, which stays pinned
+    in pytest)."""
     corpus = _augmented_corpus(spark, sf_dir)
-    return (DD.near_dup_minhash(corpus, "doc_id", "text", threshold=0.5)
-            .orderBy("id_a", "id_b"))
+    pairs = DD.near_dup_minhash(corpus, "doc_id", "text", threshold=0.5)
+    sh = corpus.select("doc_id", DD.shingles(F.col("text"), 3).alias("sh"))
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("_sa"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("_sb"))
+    chk = (pairs.join(sa, "id_a").join(sb, "id_b")
+           .withColumn("_re", round4(DD.jaccard(F.col("_sa"),
+                                                F.col("_sb")))))
+    orig = sh.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("mut_id"),
+        F.col("sh").alias("_so"))
+    mut = sh.where(F.col("doc_id") >= 1000000).select(
+        F.col("doc_id").alias("mut_id"), F.col("sh").alias("_sm"))
+    grid = orig.join(mut, "mut_id").select(
+        "mut_id",
+        round4(DD.jaccard(F.col("_so"), F.col("_sm")))
+        .alias("twin_jaccard"))
+    twin_rep = (pairs.where((F.col("id_a") < 50)
+                            & (F.col("id_b") == F.col("id_a") + 1000000))
+                .select(F.col("id_b").alias("mut_id"),
+                        F.col("jaccard").alias("_rep")))
+    grid = (grid.join(twin_rep, "mut_id", "left")
+            .withColumn("twin_consistent",
+                        F.coalesce(F.col("_rep") == F.col("twin_jaccard"),
+                                   F.lit(True)))
+            .select("mut_id", "twin_jaccard", "twin_consistent"))
+    return (_pair_certification(chk, grid, "jaccard", 0.5, tol=0.0)
+            .orderBy("mut_id"))
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -759,18 +812,33 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Label-free embedding near-dup (sign-LSH blocks + cosine verify)
-    — rows-only; recall vs the exact pair set is pinned in tests.
+    """Label-free embedding near-dup (sign-LSH blocks + cosine verify),
+    flipped rows-only → hash-checked via pair-certification rows
+    (``_pair_certification``) over a per-label corpus-count grid.  The
+    cosine recompute re-joins the raw vectors independently but reuses
+    the op's own Arrow kernel (``cosine_batched`` — per-row einsum, so
+    batch composition cannot change a row's sum order): bit-equality
+    (``tol=0``) catches any bucket-join mixup without ulp flake.
     ``n_planes=None`` sizes the bucket count from the corpus (buckets ≈
     n/target) so the per-bucket quadratic stays bounded as SF grows;
     n_tables=8 amplifies recall for the low (0.3-cosine ≈ 72°)
     threshold.  Degenerate buckets are dropped by the default
-    max_bucket_size guard."""
+    max_bucket_size guard.  Recall vs the exact pair set stays pinned
+    in tests/test_dedup.py."""
     emb = _table(spark, sf_dir, "embeddings")
-    return (DD.embedding_near_dup_lsh(emb, "vec_id", "embedding",
+    pairs = DD.embedding_near_dup_lsh(emb, "vec_id", "embedding",
                                       threshold=0.3, n_planes=None,
                                       n_tables=8)
-            .orderBy("id_a", "id_b"))
+    va = emb.select(F.col("vec_id").alias("id_a"),
+                    F.col("embedding").alias("_va"))
+    vb = emb.select(F.col("vec_id").alias("id_b"),
+                    F.col("embedding").alias("_vb"))
+    chk = (pairs.join(va, "id_a").join(vb, "id_b")
+           .withColumn("_re", round4(cosine_batched(F.col("_va"),
+                                                    F.col("_vb")))))
+    grid = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (_pair_certification(chk, grid, "cos_sim", 0.3, tol=0.0)
+            .orderBy("label"))
 
 
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -931,6 +999,48 @@ def _ann_invariant_rows(queries: DataFrame, res: DataFrame, k: int,
         cols.append(F.coalesce(F.col("_inexact") == 0, F.lit(True))
                     .alias("sims_exact"))
     return j.select(*cols).orderBy("query_id")
+
+
+def _pair_certification(chk: DataFrame, grid: DataFrame, sim_col: str,
+                        threshold: float, tol: float = 0.0) -> DataFrame:
+    """One row of oracle-asserted booleans over a near-dup PAIR set,
+    crossed onto a deterministic GRID — the ``_ann_invariant_rows``
+    pattern for pair-shaped approximate ops (MinHash / sign-LSH /
+    SemDeDup blocking), whose pair SET is blocking-data-dependent
+    (rows-only territory) while these properties are not:
+
+    * ``pairs_canonical`` — every pair has ``id_a < id_b`` and no
+      (id_a, id_b) tuple repeats;
+    * ``sim_verified`` — the reported similarity equals a recompute
+      joined INDEPENDENTLY from the raw corpus (``chk`` must carry it
+      as ``_re``): a blocking/bucket-join mixup that scores the wrong
+      row pair flips it.  ``tol=0`` demands bit-equality (safe when
+      the recompute is exact rational arithmetic or reuses the op's
+      own kernel); a positive ``tol`` absorbs kernel summation-order
+      ulp (BLAS matmul vs per-pair einsum) while still flipping on
+      any mixup, whose error is ≫ 1e-4;
+    * ``above_threshold`` — no emitted pair scores below the cut.
+
+    An empty pair set certifies vacuously TRUE (the grid is emitted
+    regardless, so the row set is oracle-reproducible).  Recall vs the
+    exact baseline stays pinned in pytest — it is a property of the
+    corpus, not a deterministic invariant."""
+    agree = (F.abs(F.col("_re") - F.col(sim_col)) <= tol) if tol > 0 \
+        else F.col("_re").eqNullSafe(F.col(sim_col))
+    glob = chk.agg(
+        F.coalesce(
+            (F.sum(F.when(F.col("id_a") < F.col("id_b"), 0)
+                   .otherwise(1)) == 0)
+            & (F.countDistinct("id_a", "id_b") == F.count(F.lit(1))),
+            F.lit(True)).alias("pairs_canonical"),
+        F.coalesce(F.sum(F.when(agree, 0).otherwise(1)) == 0,
+                   F.lit(True)).alias("sim_verified"),
+        F.coalesce(F.sum(F.when(F.col(sim_col) >= threshold, 0)
+                         .otherwise(1)) == 0,
+                   F.lit(True)).alias("above_threshold"))
+    # 1-row scalar broadcast onto the bounded grid — the allowlisted
+    # BNLJ shape (tools/audit_plans.py), same as graph_pagerank
+    return grid.crossJoin(F.broadcast(glob))
 
 
 def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4674,16 +4784,18 @@ _PRIORITY_R08 = [
     "source_fixed_width_roundtrip", "source_xml_roundtrip",
     # ---- fold: driver checks the 50 above (18 new/changed-text
     # ---- keys + all 32 remaining round-3-evidence keys) ----
-    # below the fold, r9 rotation order: the two keys added late in
-    # r8 (locally contract-certified at sf0.01/sf0.001, no driver
-    # evidence yet), then round-4 evidence most-churned first
+    # below the fold, r9 rotation order: the keys added or flipped
+    # rows-only->hash late in r8 (locally contract-certified at
+    # sf0.01/sf0.001, no driver evidence for the NEW query/oracle
+    # text yet), then round-4 evidence most-churned first
     "ops_incremental_scan", "embedding_prefix_eval",
+    "dedup_minhash", "dedup_embedding_lsh", "dedup_semantic",
     # graph_triangles: r8 change was operator cache-release only —
     # query/oracle text unchanged since its green r7 driver check
     "graph_triangles",
     "mm_mime_sniff", "mm_resize", "overwrite_dynamic",
     "dedup_exact",
-    "dedup_containment", "dedup_semantic",
+    "dedup_containment",
     # round-4-evidence overflow (finish in r9)
     "dedup_survivorship",
     "embedding_grammian", "embedding_quantize", "events_asof_join",
@@ -5415,6 +5527,23 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
             WHERE {jacc} >= 0.5
         """,
+        # pair-certification oracle (_pair_certification pattern): the
+        # LSH pair SET is data-dependent, but the planted mutants'
+        # exact twin Jaccard is recomputed here from raw text (the
+        # dedup_ngram_jaccard parity) and the certification booleans
+        # are deterministic TRUEs; the zero-union CASE mirrors the
+        # Spark jaccard()'s when(union == 0, 0.0) for sub-3-token docs
+        "dedup_minhash": f"""
+            WITH corpus AS ({_AUG_SQL}),
+            sh AS (SELECT doc_id, {_shingles('text')} AS sh FROM corpus)
+            SELECT b.doc_id AS mut_id,
+                   CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0
+                        THEN 0.0 ELSE {jacc} END AS twin_jaccard,
+                   TRUE AS twin_consistent, TRUE AS pairs_canonical,
+                   TRUE AS sim_verified, TRUE AS above_threshold
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000
+            WHERE a.doc_id < 50
+        """,
         "dedup_incremental": (
             "WITH fp AS (SELECT doc_id, lang, source, "
             + TX.DOC_FINGERPRINT_SQL.format(c="text") + " AS f "
@@ -5462,6 +5591,19 @@ def oracle_sql() -> dict[str, str]:
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE floor(list_cosine_similarity(a.embedding::DOUBLE[],
                         b.embedding::DOUBLE[]) * 10000 + 0.5) / 10000 >= 0.3
+        """,
+        # pair-certification oracles for the two label-free embedding
+        # blocking ops: the per-label corpus counts anchor the grid,
+        # the booleans are oracle-asserted TRUEs (_pair_certification)
+        "dedup_embedding_lsh": """
+            SELECT label, count(*) AS n_vectors, TRUE AS pairs_canonical,
+                   TRUE AS sim_verified, TRUE AS above_threshold
+            FROM embeddings GROUP BY label
+        """,
+        "dedup_semantic": """
+            SELECT label, count(*) AS n_vectors, TRUE AS pairs_canonical,
+                   TRUE AS sim_verified, TRUE AS above_threshold
+            FROM embeddings GROUP BY label
         """,
         "similarity_topk": """
             SELECT query_id, neighbor_id, cos_sim, rank FROM (

@@ -25,13 +25,12 @@ def test_every_oracle_has_a_query_and_priorities_resolve():
     # the rows-only set is exactly the documented sketch/iterative ops
     rows_only = set(q) - set(o)
     # r8 flipped similarity_ivf_pruned / text_pack / graph_pagerank /
-    # embedding_pca / the three ANN keys to hash-pass via invariant
-    # columns (sketch_cms pattern); what remains is exactly the ops
-    # whose RESULT SET is data-dependent with no deterministic
-    # certification columns
+    # embedding_pca / the three ANN keys / the three blocking-dedup
+    # pair keys (_pair_certification) to hash-pass via invariant
+    # columns (sketch_cms pattern); what remains is the one op whose
+    # output (the learned merge SEQUENCE) is iterative with no
+    # deterministic SQL-expressible certification columns
     assert rows_only == {
-        "dedup_embedding_lsh", "dedup_minhash",
-        "dedup_semantic",
         "text_bpe_learn",
     }, sorted(rows_only)
     # priority rotation covers every NEW key first (never hash-checked)

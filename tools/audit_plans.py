@@ -96,6 +96,7 @@ AUDIT_KEYS = [
     "ops_compaction_plan", "partitioned_write_transforms",
     "events_interval_union", "text_rake", "query_sql_window_frames",
     "ops_incremental_scan", "embedding_prefix_eval",
+    "dedup_semantic",
 ]
 
 _KEEP = re.compile(
@@ -152,6 +153,16 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
                                "(domain values + the 1-row guarded "
                                "global total); data joins are "
                                "equi-joins"),
+    "dedup_minhash": (1, "1-row certification-boolean aggregate "
+                         "crossed onto the 50-mutant grid "
+                         "(_pair_certification); every data join is "
+                         "an equi-join"),
+    "dedup_embedding_lsh": (1, "1-row certification-boolean aggregate "
+                               "crossed onto the per-label grid "
+                               "(_pair_certification)"),
+    "dedup_semantic": (1, "1-row certification-boolean aggregate "
+                          "crossed onto the per-label grid "
+                          "(_pair_certification)"),
 }
 
 #: allowed-BNLJ keys whose bounded side is a GROUPED (not scalar)
