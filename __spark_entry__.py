@@ -3901,6 +3901,24 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(pairs, "p1", "p2")
 
 
+def q_graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier similarity by shared customer base: shared-neighbor
+    Jaccard over the customer–supplier bipartite graph
+    (operators/graph.py:neighbor_jaccard — inverted-index self-join on
+    the customer, degrees joined back, hub customers over 50 distinct
+    suppliers dropped by the broadcast anti-join guard, which the
+    oracle mirrors exactly).  Top-50 by (jaccard, id_a, id_b)."""
+    from dynamic_partitioner_spark.operators.graph import neighbor_jaccard
+    orders = _table(spark, sf_dir, "orders").select("o_orderkey",
+                                                    "o_custkey")
+    li = _table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                  "l_suppkey")
+    edges = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("l_suppkey").alias("supp"), F.col("o_custkey").alias("cust"))
+    return neighbor_jaccard(edges, "supp", "cust", min_shared=2, top=50,
+                            max_degree=50)
+
+
 #: target corpus mixture for the importance-weight key (per-mille,
 #: sums to 1000); 'ja' is deliberately absent from the corpus to
 #: exercise the unfillable-mass NULL-weight path
@@ -4790,6 +4808,7 @@ _PRIORITY_R08 = [
     # text yet), then round-4 evidence most-churned first
     "ops_incremental_scan", "embedding_prefix_eval",
     "dedup_minhash", "dedup_embedding_lsh", "dedup_semantic",
+    "graph_neighbor_jaccard",
     # graph_triangles: r8 change was operator cache-release only —
     # query/oracle text unchanged since its green r7 driver check
     "graph_triangles",
@@ -5026,6 +5045,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_budget_alloc": q_corpus_budget_alloc,
         "events_rfm": q_events_rfm,
         "graph_triangles": q_graph_triangles,
+        "graph_neighbor_jaccard": q_graph_neighbor_jaccard,
         "sample_importance": q_sample_importance,
         "text_langid_confusion": q_text_langid_confusion,
         "privacy_dp_sum": q_privacy_dp_sum,
@@ -7386,6 +7406,32 @@ def oracle_sql() -> dict[str, str]:
             "ON l1.l_orderkey = l2.l_orderkey "
             "AND l1.l_partkey < l2.l_partkey "
             "GROUP BY 1, 2 HAVING count(*) >= 2) pairs"),
+        # same inverted-index formulation, same deterministic hub guard
+        # (customers serving > 50 distinct suppliers dropped both sides)
+        "graph_neighbor_jaccard": """
+            WITH e AS (
+                SELECT DISTINCT l_suppkey AS s, o_custkey AS d
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            keep AS (SELECT d FROM e GROUP BY d HAVING count(*) <= 50),
+            e2 AS (SELECT e.s, e.d FROM e JOIN keep USING (d)),
+            deg AS (SELECT s, count(*) AS deg FROM e2 GROUP BY s),
+            pairs AS (
+                SELECT a.s AS id_a, b.s AS id_b, count(*) AS shared
+                FROM e2 a JOIN e2 b ON a.d = b.d AND a.s < b.s
+                GROUP BY a.s, b.s HAVING count(*) >= 2),
+            scored AS (
+                SELECT id_a, id_b, shared,
+                       floor(CAST(shared AS DOUBLE)
+                             / (da.deg + db.deg - shared) * 10000 + 0.5)
+                           / 10000 AS jaccard
+                FROM pairs
+                JOIN deg da ON da.s = id_a
+                JOIN deg db ON db.s = id_b)
+            SELECT id_a, id_b, shared, jaccard,
+                   row_number() OVER (ORDER BY jaccard DESC, id_a, id_b)
+                       AS rnk
+            FROM scored QUALIFY rnk <= 50
+        """,
         "sample_importance": SMP.importance_weights_sql(
             "lang", _IMPORTANCE_TARGETS, "documents"),
         "text_langid_confusion": f"""

@@ -174,6 +174,64 @@ def triangle_stats(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
     return out
 
 
+def neighbor_jaccard(edges: DataFrame, src_col: str, dst_col: str,
+                     min_shared: int = 2, top: int = 50,
+                     max_degree: int | None = None) -> DataFrame:
+    """Shared-neighbor Jaccard between SOURCE nodes of a (bipartite)
+    edge list — the classic structural link-prediction / entity-
+    similarity score (Liben-Nowell & Kleinberg 2003, *The Link
+    Prediction Problem for Social Networks*): two sources are similar
+    when their destination neighborhoods overlap.
+
+    Inverted-index shape (``ngram_jaccard_pairs``' shingle pattern
+    applied to graphs): the self-join keys on the DESTINATION, so only
+    pairs that actually share a neighbor materialize;
+    ``|N(a) ∪ N(b)| = deg(a) + deg(b) − shared`` from per-source
+    degrees, so neighbor SETS never shuffle.  A destination adjacent
+    to m sources contributes C(m,2) join rows — the hot-key term — so
+    ``max_degree`` drops hub destinations via a broadcast anti-join
+    (same guard as ``max_shingle_df``): a deterministic
+    under-approximation that only removes pairs, applied identically
+    by the SQL oracle.  Jaccard is a ratio of exact small ints
+    (union ≥ shared ≥ 1, ANSI-safe), so round4 hashes identically
+    cross-engine.  Returns the top-``top`` pairs by
+    (jaccard DESC, id_a, id_b) with a dense 1..top ``rnk`` —
+    ``orderBy().limit()`` plans TakeOrderedAndProject (per-partition
+    top-k), and the rank window then runs over ≤ ``top`` rows.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.vectors import round4
+
+    e = (edges.select(F.col(src_col).alias("s"),
+                      F.col(dst_col).alias("d"))
+         .where(F.col("s").isNotNull() & F.col("d").isNotNull())
+         .distinct())
+    if max_degree is not None:
+        hot = (e.groupBy("d").agg(F.count(F.lit(1)).alias("_n"))
+               .where(F.col("_n") > max_degree).select("d"))
+        e = e.join(F.broadcast(hot), "d", "left_anti")
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    a = e.select(F.col("s").alias("id_a"), "d")
+    b = e.select(F.col("s").alias("id_b"), "d")
+    pairs = (a.join(b, "d").where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("shared"))
+             .where(F.col("shared") >= min_shared))
+    da = deg.select(F.col("s").alias("id_a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("s").alias("id_b"), F.col("deg").alias("_db"))
+    scored = (pairs.join(da, "id_a").join(db, "id_b")
+              .select("id_a", "id_b", "shared",
+                      round4(F.col("shared").cast("double")
+                             / (F.col("_da") + F.col("_db")
+                                - F.col("shared"))).alias("jaccard")))
+    ranked = scored.orderBy(F.col("jaccard").desc(), "id_a", "id_b") \
+                   .limit(top)
+    w = Window.orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+    return (ranked.withColumn("rnk", F.row_number().over(w))
+            .select("id_a", "id_b", "shared", "jaccard", "rnk"))
+
+
 def triangle_stats_sql(a: str, b: str, edges_from: str) -> str:
     """DuckDB twin of :func:`triangle_stats` (same orientation, same
     integer wedge arithmetic, same round4)."""

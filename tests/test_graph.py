@@ -76,3 +76,39 @@ def test_triangle_stats_wedge_free_graph(spark):
     assert (r.n_vertices, r.n_edges, r.n_wedges, r.n_triangles) == \
         (4, 2, 0, 0)
     assert r.global_cc is None
+
+
+def test_neighbor_jaccard_known_graph(spark):
+    """Hand-checked bipartite graph: s1/s2 share {c2, c3} →
+    jaccard 2/(3+3−2) = 0.5; s3 shares only c4 with s2 (below
+    min_shared); duplicate edges must dedup before degrees."""
+    from dynamic_partitioner_spark.operators.graph import neighbor_jaccard
+
+    edges = [("s1", "c1"), ("s1", "c2"), ("s1", "c3"),
+             ("s2", "c2"), ("s2", "c3"), ("s2", "c4"),
+             ("s3", "c4"), ("s3", "c9"),
+             ("s1", "c2")]           # duplicate — must not inflate deg
+    df = spark.createDataFrame(edges, "s string, d string")
+    rows = neighbor_jaccard(df, "s", "d", min_shared=2).collect()
+    assert [(r.id_a, r.id_b, r.shared, r.jaccard, r.rnk)
+            for r in rows] == [("s1", "s2", 2, 0.5, 1)]
+
+
+def test_neighbor_jaccard_hub_guard(spark):
+    """A destination over max_degree is dropped from BOTH the pair
+    join and the degrees — the under-approximation is consistent, so
+    jaccard for surviving pairs is computed on the filtered graph."""
+    from dynamic_partitioner_spark.operators.graph import neighbor_jaccard
+
+    hub = [(f"s{i}", "hub") for i in range(4)]
+    rest = [("s0", "c1"), ("s0", "c2"), ("s1", "c1"), ("s1", "c2")]
+    df = spark.createDataFrame(hub + rest, "s string, d string")
+    rows = neighbor_jaccard(df, "s", "d", min_shared=2,
+                            max_degree=3).collect()
+    # hub (degree 4) dropped: s0/s1 share {c1, c2} of degrees 2 and 2
+    assert [(r.id_a, r.id_b, r.shared, r.jaccard)
+            for r in rows] == [("s0", "s1", 2, 1.0)]
+    # without the cap the hub joins everyone and dilutes the union
+    rows2 = neighbor_jaccard(df, "s", "d", min_shared=2).collect()
+    assert [(r.id_a, r.id_b, r.shared, r.jaccard)
+            for r in rows2] == [("s0", "s1", 3, 1.0)]

@@ -96,7 +96,7 @@ AUDIT_KEYS = [
     "ops_compaction_plan", "partitioned_write_transforms",
     "events_interval_union", "text_rake", "query_sql_window_frames",
     "ops_incremental_scan", "embedding_prefix_eval",
-    "dedup_semantic",
+    "dedup_semantic", "graph_neighbor_jaccard",
 ]
 
 _KEEP = re.compile(
