@@ -4732,6 +4732,20 @@ def q_text_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccurrence_pairs(docs, "text", window=2, top=100)
 
 
+def q_text_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 two-word phrases by the word2vec phrase score
+    (operators/vectorize.py:phrase_collocations — discounted
+    count-normalized collocation strength, exact-integer operands, no
+    libm logs).  Complements text_cooccur (raw windowed pair counts)
+    with the normalized score that separates real collocations from
+    frequent-word coincidence."""
+    from dynamic_partitioner_spark.operators.vectorize import (
+        phrase_collocations)
+    docs = _table(spark, sf_dir, "documents")
+    return phrase_collocations(docs, "doc_id", "text",
+                               delta=5, min_count=5, top=50)
+
+
 def q_sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe split: every event of a user lands in one split
     (hash draw on user_id, not event_id) — per-split group/row counts
@@ -4808,7 +4822,7 @@ _PRIORITY_R08 = [
     # text yet), then round-4 evidence most-churned first
     "ops_incremental_scan", "embedding_prefix_eval",
     "dedup_minhash", "dedup_embedding_lsh", "dedup_semantic",
-    "graph_neighbor_jaccard",
+    "graph_neighbor_jaccard", "text_phrases",
     # graph_triangles: r8 change was operator cache-release only —
     # query/oracle text unchanged since its green r7 driver check
     "graph_triangles",
@@ -5046,6 +5060,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rfm": q_events_rfm,
         "graph_triangles": q_graph_triangles,
         "graph_neighbor_jaccard": q_graph_neighbor_jaccard,
+        "text_phrases": q_text_phrases,
         "sample_importance": q_sample_importance,
         "text_langid_confusion": q_text_langid_confusion,
         "privacy_dp_sum": q_privacy_dp_sum,
@@ -6719,6 +6734,38 @@ def oracle_sql() -> dict[str, str]:
                          '(count(*) * 1000000.0)')} AS lm_score
             FROM bg JOIN model USING (w1, w2)
             GROUP BY doc_id
+        """,
+        # same bigram construction as text_lm_score; the phrase score
+        # is the fixed IEEE sequence double(c12-5)*N/c1/c2 — exact
+        # BIGINT operands, no logs (phrase_collocations docstring)
+        "text_phrases": f"""
+            WITH t AS (SELECT string_split_regex(trim(lower(text)),
+                                                 '[ \t\n\r]+') AS toks
+                       FROM documents),
+            bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+                   FROM (SELECT toks,
+                                unnest(range(1, greatest(len(toks), 1)))
+                                    AS i
+                         FROM t)
+                   WHERE length(toks[i]) > 0
+                     AND length(toks[i + 1]) > 0),
+            bgc AS (SELECT w1, w2, count(*) AS c12 FROM bg
+                    GROUP BY w1, w2 HAVING count(*) >= 5),
+            uni AS (SELECT tok, count(*) AS c
+                    FROM (SELECT unnest(toks) AS tok FROM t)
+                    WHERE length(tok) > 0 GROUP BY tok),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+            scored AS (SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+                              {ROUND4_SQL.format(
+                                  x='CAST(c12 - 5 AS DOUBLE) * n '
+                                    '/ u1.c / u2.c')} AS score
+                       FROM bgc
+                       JOIN uni u1 ON u1.tok = w1
+                       JOIN uni u2 ON u2.tok = w2, tot)
+            SELECT w1, w2, c12, c1, c2, score,
+                   row_number() OVER (ORDER BY score DESC, w1, w2)
+                       AS rnk
+            FROM scored QUALIFY rnk <= 50
         """,
         "events_ffill": f"""
             SELECT event_id, user_id, event_type,

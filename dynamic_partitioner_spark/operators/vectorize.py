@@ -425,3 +425,61 @@ def rake_keywords(df: DataFrame, text_col: str,
             .select("rank", "phrase", "n_occurrences",
                     (F.col("score_u").cast("double") / 1e6)
                     .alias("rake_score")))
+
+
+def phrase_collocations(df: DataFrame, id_col: str, text_col: str,
+                        delta: int = 5, min_count: int = 5,
+                        top: int = 50) -> DataFrame:
+    """Two-word phrase (collocation) detection by the word2vec phrase
+    score (Mikolov et al. 2013, *Distributed Representations of Words
+    and Phrases*, §4):
+    ``score(w1, w2) = (C(w1 w2) − δ) · N / (C(w1) · C(w2))`` — the
+    discounted, corpus-size-normalized PMI exponent.  δ discounts rare
+    accidental pairs; ``min_count`` floors bigram support (kept ≥ δ so
+    the score never goes negative).
+
+    Exactness: every operand is an exact BIGINT count and the score is
+    the fixed IEEE sequence ``double(c12 − δ) · N / c1 / c2`` the SQL
+    twin evaluates identically — NO logarithms, so none of the libm
+    parity exposure raw PMI would carry.  Shape: ONE bigram explode
+    (``doc_bigrams``' zip_with, no shuffle) → bigram hash-agg
+    (support-filtered BEFORE the unigram joins, so only candidate
+    phrases shuffle); the unigram counts join on w1/w2 (Catalyst
+    broadcasts the filtered side when it fits); N is Σ unigram counts
+    — a 1-row re-aggregate of the vocab-sized relation, broadcast
+    (the allowlisted scalar-BNLJ shape).  Top-``top`` by
+    (score DESC, w1, w2) plans TakeOrderedAndProject; the rank window
+    then covers ≤ ``top`` rows.
+
+    At 100 TB: BIGINT counts are safe until N² approaches 9.2e18
+    (N ~ 3e9 tokens); past that CAST the products to DECIMAL(38,0) —
+    both engines' decimal division is bit-identical.
+    """
+    from ..functions.vectors import round4
+    from .dedup import tokens
+    from .lm import doc_bigrams
+
+    if min_count < delta:
+        raise ValueError(
+            f"min_count={min_count} below delta={delta} would emit "
+            "negative-scored pairs the discount exists to remove")
+    bg = doc_bigrams(df, id_col, text_col).where(
+        (F.length("w1") > 0) & (F.length("w2") > 0))
+    bgc = (bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+           .where(F.col("c12") >= min_count))
+    uni = (df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+           .where(F.length("t") > 0)
+           .groupBy("t").agg(F.count(F.lit(1)).alias("c")))
+    tot = uni.agg(F.sum("c").alias("n"))
+    u1 = uni.select(F.col("t").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("t").alias("w2"), F.col("c").alias("c2"))
+    scored = (bgc.join(u1, "w1").join(u2, "w2")
+              .crossJoin(F.broadcast(tot))
+              .select("w1", "w2", "c12", "c1", "c2",
+                      round4((F.col("c12") - F.lit(delta)).cast("double")
+                             * F.col("n") / F.col("c1") / F.col("c2"))
+                      .alias("score")))
+    ranked = scored.orderBy(F.col("score").desc(), "w1", "w2").limit(top)
+    w = Window.orderBy(F.col("score").desc(), "w1", "w2")
+    return (ranked.withColumn("rnk", F.row_number().over(w))
+            .select("w1", "w2", "c12", "c1", "c2", "score", "rnk"))

@@ -293,3 +293,39 @@ def test_rake_rejects_empty_stopword_set(spark):
     docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="stopword"):
         rake_keywords(docs, "text", stopwords=[])
+
+
+def test_phrase_collocations_known_corpus(spark):
+    """Hand-checked score: corpus of 'new york' repeated 6 times plus
+    6 'new' and 6 'york' fillers — c12=6, c1=c2=12, N=36:
+    score = (6−5)·36/(12·12) = 0.25."""
+    from dynamic_partitioner_spark.operators.vectorize import (
+        phrase_collocations)
+
+    rows = [(0, "new york " * 6)]
+    rows += [(1, "new a b c " * 6), (2, "york d e f " * 6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = phrase_collocations(df, "doc_id", "text",
+                              delta=5, min_count=5, top=20).collect()
+    got = {(r.w1, r.w2): (r.c12, r.c1, r.c2, r.score, r.rnk)
+           for r in out}
+    # 'new york': bigram 6× inside doc 0 ('york new' appears only 5×,
+    # which still clears min_count but scores 0 after the discount);
+    # unigrams: new/york 6+6 = 12 each; N = 24 + 6·3 + 6·3 = 60
+    assert ("new", "york") in got
+    c12, c1, c2, score, _ = got[("new", "york")]
+    assert (c12, c1, c2) == (6, 12, 12)
+    assert abs(score - (6 - 5) * 60.0 / 144.0) < 1e-4
+    # filler bigrams ('a b' etc.): (6−5)·60/36, round4 → 1.6667 —
+    # outscore the target pair (they're rarer words), ranked first
+    assert got[("a", "b")][3] == 1.6667 and got[("a", "b")][4] == 1
+
+
+def test_phrase_collocations_rejects_negative_discount(spark):
+    from dynamic_partitioner_spark.operators.vectorize import (
+        phrase_collocations)
+    import pytest
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        phrase_collocations(df, "doc_id", "text", delta=5, min_count=2)

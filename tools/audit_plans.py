@@ -96,7 +96,7 @@ AUDIT_KEYS = [
     "ops_compaction_plan", "partitioned_write_transforms",
     "events_interval_union", "text_rake", "query_sql_window_frames",
     "ops_incremental_scan", "embedding_prefix_eval",
-    "dedup_semantic", "graph_neighbor_jaccard",
+    "dedup_semantic", "graph_neighbor_jaccard", "text_phrases",
 ]
 
 _KEEP = re.compile(
@@ -123,6 +123,7 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
     "text_tfidf": (1, "1-row scalar doc-count broadcast"),
     "text_bm25": (1, "1-row scalar avgdl broadcast"),
     "text_bm25_retrieve": (1, "1-row scalar n_docs/avgdl broadcast"),
+    "text_phrases": (1, "1-row scalar total-token-count broadcast"),
     "embedding_prefix_eval": (1, "bounded 32-vector pair grid (< join)"),
     "query_skew_profile": (1, "1-row scalar totals broadcast"),
     "sample_balance_labels": (1, "1-row scalar min-class-count "

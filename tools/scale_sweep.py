@@ -93,7 +93,7 @@ SWEEP_KEYS = [
     "ops_compaction_plan", "partitioned_write_transforms",
     "events_interval_union", "ops_retention_vacuum", "text_rake",
     "query_sql_window_frames", "ops_incremental_scan",
-    "embedding_prefix_eval", "graph_neighbor_jaccard",
+    "embedding_prefix_eval", "graph_neighbor_jaccard", "text_phrases",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
