@@ -4306,6 +4306,20 @@ def q_events_cohort_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("v_u"))
 
 
+def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion-proportional stratified sampling
+    (operators/sampling.py:neyman_allocation — Neyman 1934 allocation
+    with the IQR as the engine-exact dispersion measure, Hamilton
+    integer apportionment, md5 per-stratum draw): 500 event rows
+    apportioned across event types by N_h·IQR_h, with an exact id-sum
+    membership checksum the oracle recomputes."""
+    from dynamic_partitioner_spark.operators.sampling import (
+        neyman_allocation)
+    events = _table(spark, sf_dir, "events")
+    return neyman_allocation(events, "event_type", "event_id", "value",
+                             budget=500)
+
+
 def q_sample_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-fold assignment for cross-validation
     (operators/sampling.py:kfold_assign — md5 mod k, per-key stable
@@ -4822,7 +4836,7 @@ _PRIORITY_R08 = [
     # text yet), then round-4 evidence most-churned first
     "ops_incremental_scan", "embedding_prefix_eval",
     "dedup_minhash", "dedup_embedding_lsh", "dedup_semantic",
-    "graph_neighbor_jaccard", "text_phrases",
+    "graph_neighbor_jaccard", "text_phrases", "sample_neyman",
     # graph_triangles: r8 change was operator cache-release only —
     # query/oracle text unchanged since its green r7 driver check
     "graph_triangles",
@@ -5082,6 +5096,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dup_report": q_corpus_dup_report,
         "events_cohort_value": q_events_cohort_value,
         "sample_kfold": q_sample_kfold,
+        "sample_neyman": q_sample_neyman,
         "quality_expectations": q_quality_expectations,
         "similarity_hybrid_rrf": q_similarity_hybrid,
         "events_cumulative_users": q_events_cumulative_users,
@@ -7569,6 +7584,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY 1
         """,
+        "sample_neyman": SMP.neyman_allocation_sql(
+            "event_type", "event_id", "value", 500, "events"),
         "events_funnel_windowed": REL.funnel_windowed_sql(
             "user_id", "epoch_us(e.ts)", "event_type",
             ["view", "click", "purchase"], 86_400_000_000, "events"),

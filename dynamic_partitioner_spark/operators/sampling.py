@@ -672,6 +672,140 @@ def allocate_budget_sql(group_cols: list[str], weight: str, budget: int,
     """
 
 
+def neyman_allocation(df: DataFrame, stratum_col: str, key_col: str,
+                      value_col: str, budget: int,
+                      salt: str = "neyman") -> DataFrame:
+    """Dispersion-proportional (Neyman-style) stratified sample:
+    allocate an integer ``budget`` across strata proportional to
+    ``N_h · dispersion_h`` (Neyman 1934 — sample more where the
+    response varies more), then draw exactly that many rows per
+    stratum by deterministic key hash.
+
+    Dispersion is the INTERQUARTILE RANGE, not the textbook standard
+    deviation: interpolated percentiles are bit-identical cross-engine
+    (the ``query_percentiles`` parity, Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``) while a float stddev's summation order is not —
+    and the IQR is the standard robust scale estimate anyway.  Every
+    subsequent step is integer arithmetic:
+
+    1. per-stratum ``N_h`` and ``iqr_micro = floor(IQR·1e6 + 0.5)``
+       (rows with NULL ``value_col`` are excluded from stats AND draw);
+    2. weight ``w_h = (N_h · iqr_micro) div 1e6`` — DECIMAL(38,0)
+       product truncated back to whole units so it feeds the BIGINT
+       Hamilton apportionment; constant strata (IQR 0) weigh 0 and
+       win only leftover seats;
+    3. ``alloc_h`` via :func:`allocate_budget` (largest remainder,
+       Σ alloc == budget exactly);
+    4. draw: rank rows inside each stratum by (md5 unit draw, key),
+       keep rank ≤ alloc_h — over-allocated strata cap at ``N_h``.
+
+    Returns one row per stratum: ``(stratum, n_rows, iqr, w, alloc,
+    n_sampled, sampled_id_sum)`` — the id-sum is an exact BIGINT
+    membership checksum an oracle recomputes independently.
+
+    Scale shape: one map-side-combined corpus agg for the stats; the
+    Hamilton window runs on the strata frame only; the draw is one
+    window shuffle keyed on the stratum (cap_per_group's shape with a
+    per-stratum limit broadcast in).
+    """
+    from ..functions.vectors import round4
+
+    sc, kc, vc = stratum_col, key_col, value_col
+    base = df.where(F.col(vc).isNotNull())
+    stats = (base.groupBy(sc)
+             .agg(F.count(F.lit(1)).alias("n_rows"),
+                  F.expr(f"percentile({vc}, 0.25)").alias("_p25"),
+                  F.expr(f"percentile({vc}, 0.75)").alias("_p75"))
+             .withColumn("iqr_micro",
+                         F.floor((F.col("_p75") - F.col("_p25"))
+                                 * F.lit(1_000_000.0) + F.lit(0.5))
+                         .cast("long"))
+             .withColumn("w", F.expr(
+                 "CAST((CAST(n_rows AS DECIMAL(38,0)) * iqr_micro) "
+                 "div 1000000 AS BIGINT)")))
+    # both strata-sized frames feed TWO consumers each (stats → the
+    # Hamilton pass + the output join; alloc → the draw limit + the
+    # output join) — eager localCheckpoint materializes each tiny
+    # relation once, so the corpus agg runs a single time and the
+    # Hamilton 1-row-broadcast subtree doesn't replicate into every
+    # downstream plan branch (the multi-consumer lesson from the
+    # triangle census)
+    stats = stats.localCheckpoint(eager=True)
+    alloc = (allocate_budget(stats, [sc], "w", budget)
+             .select(sc, "alloc").localCheckpoint(eager=True))
+    rank_w = Window.partitionBy(sc).orderBy(
+        hash_unit(F.col(kc), salt).asc(), F.col(kc).asc())
+    drawn = (base.select(sc, kc)
+             .withColumn("_rn", F.row_number().over(rank_w))
+             .join(F.broadcast(alloc), sc)
+             .where(F.col("_rn") <= F.col("alloc"))
+             .groupBy(sc)
+             .agg(F.count(F.lit(1)).alias("n_sampled"),
+                  F.sum(F.col(kc).cast("long")).alias("sampled_id_sum")))
+    return (stats.join(alloc, sc).join(drawn, sc, "left")
+            .select(sc, "n_rows",
+                    round4(F.col("_p75") - F.col("_p25")).alias("iqr"),
+                    "w", "alloc",
+                    F.coalesce("n_sampled", F.lit(0)).cast("long")
+                    .alias("n_sampled"),
+                    F.coalesce("sampled_id_sum", F.lit(0)).cast("long")
+                    .alias("sampled_id_sum")))
+
+
+def neyman_allocation_sql(stratum: str, key: str, value: str, budget: int,
+                          from_table: str, salt: str = "neyman") -> str:
+    """DuckDB twin of :func:`neyman_allocation` — same percentile
+    interpolation, same HUGEINT/DECIMAL(38,0) integer weights, same
+    Hamilton tie-breaks, same md5 draw."""
+    u = hash_unit_sql("k", salt)
+    return f"""
+        WITH base AS (SELECT {stratum} AS s, {key} AS k, {value} AS v
+                      FROM {from_table} WHERE {value} IS NOT NULL),
+        stats AS (SELECT s, count(*) AS n_rows,
+                         quantile_cont(v, 0.25) AS p25,
+                         quantile_cont(v, 0.75) AS p75
+                  FROM base GROUP BY s),
+        wts AS (SELECT s, n_rows, p25, p75,
+                       CAST((CAST(n_rows AS HUGEINT)
+                             * CAST(floor((p75 - p25) * 1000000.0 + 0.5)
+                                    AS BIGINT)) // 1000000
+                            AS BIGINT) AS w
+                FROM stats),
+        t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wts),
+        j AS (SELECT s, n_rows, p25, p75, w, tw,
+                     CASE WHEN tw > 0 THEN CAST(
+                         (CAST({budget} AS HUGEINT) * w) // tw
+                         AS BIGINT) ELSE 0 END AS base_a,
+                     CASE WHEN tw > 0 THEN CAST(
+                         (CAST({budget} AS HUGEINT) * w) % tw
+                         AS BIGINT) ELSE 0 END AS rem
+              FROM wts, t),
+        r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, s) AS rk,
+                     CASE WHEN tw > 0
+                          THEN {budget} - sum(base_a) OVER ()
+                          ELSE 0 END AS leftover
+              FROM j),
+        alloc AS (SELECT s, n_rows, p25, p75, w,
+                         base_a + CASE WHEN rk <= leftover
+                                       THEN 1 ELSE 0 END AS alloc
+                  FROM r),
+        ranked AS (SELECT s, k,
+                          row_number() OVER (PARTITION BY s
+                              ORDER BY {u}, k) AS rn
+                   FROM base),
+        drawn AS (SELECT ranked.s, count(*) AS n_sampled,
+                         CAST(sum(k) AS BIGINT) AS sampled_id_sum
+                  FROM ranked JOIN alloc USING (s)
+                  WHERE rn <= alloc GROUP BY ranked.s)
+        SELECT s AS {stratum}, n_rows,
+               floor((p75 - p25) * 10000 + 0.5) / 10000 AS iqr,
+               w, CAST(alloc AS BIGINT) AS alloc,
+               coalesce(n_sampled, 0) AS n_sampled,
+               coalesce(sampled_id_sum, 0) AS sampled_id_sum
+        FROM alloc LEFT JOIN drawn USING (s)
+    """
+
+
 def importance_weights(df: DataFrame, stratum_col: str,
                        targets_permille: dict[str, int]) -> DataFrame:
     """Per-stratum importance reweighting factors: the multiplier that

@@ -512,3 +512,38 @@ def test_kfold_assign_stability_and_uniformity(spark):
     assert got[None] is None
     with _pytest.raises(ValueError):
         kfold_assign(small, "id", 1)
+
+
+def test_neyman_allocation_dispersion_proportional(spark):
+    """Constant stratum (IQR 0) weighs 0 — the whole budget goes to
+    the spread stratum; membership checksum is deterministic."""
+    from dynamic_partitioner_spark.operators.sampling import (
+        neyman_allocation)
+
+    rows = [("a", i, float(i)) for i in range(10)]          # IQR 4.5
+    rows += [("b", 100 + i, 5.0) for i in range(10)]        # IQR 0
+    df = spark.createDataFrame(rows, "s string, k long, v double")
+    out = {r.s: r for r in
+           neyman_allocation(df, "s", "k", "v", budget=6).collect()}
+    assert out["a"].w == 45 and out["b"].w == 0      # (10·4.5e6)÷1e6
+    assert out["a"].alloc == 6 and out["b"].alloc == 0
+    assert out["a"].n_sampled == 6 and out["b"].n_sampled == 0
+    assert out["b"].sampled_id_sum == 0
+    # rerun → identical draw (hash, not RNG)
+    again = {r.s: r.sampled_id_sum for r in
+             neyman_allocation(df, "s", "k", "v", budget=6).collect()}
+    assert again["a"] == out["a"].sampled_id_sum
+
+
+def test_neyman_allocation_caps_at_stratum_size(spark):
+    """Over-allocated strata draw every row they have (n_sampled =
+    min(alloc, N_h)); NULL values are excluded from stats and draw."""
+    from dynamic_partitioner_spark.operators.sampling import (
+        neyman_allocation)
+
+    rows = [("a", i, float(i)) for i in range(4)]
+    rows += [("a", 99, None)]                       # excluded
+    df = spark.createDataFrame(rows, "s string, k long, v double")
+    r = neyman_allocation(df, "s", "k", "v", budget=10).collect()[0]
+    assert r.n_rows == 4 and r.alloc == 10 and r.n_sampled == 4
+    assert r.sampled_id_sum == 0 + 1 + 2 + 3
