@@ -1341,6 +1341,42 @@ def q_mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean6("sum_b").alias("mean_b"), mean6("sum_a").alias("mean_a"))
 
 
+def q_mm_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image fingerprinting through the codec registry: a
+    64-bit gradient hash (dHash family) over the decoded 8×8 luma
+    crop (formats/png_py.py:png_dhash_codec) — the image analog of
+    text_fingerprint, and the blocking key an image near-dup pass
+    would bucket on.  Exercises the PNG decoder along a per-pixel
+    access path (mm_decode_png only reduces plane SUMS, which could
+    hide position-scrambling defects); the oracle rebuilds both hash
+    halves from the SQL-expressible synthetic pixel rule with no PNG
+    machinery, so any filter/interlace/positioning defect flips the
+    value hash.  Payloads never shuffle — the hash reduces row-locally
+    inside the Arrow batch."""
+    import pandas as _pd
+
+    from dynamic_partitioner_spark.formats.png_py import (
+        register_png_dhash_codec, synthetic_png)
+    from dynamic_partitioner_spark.operators.multimodal import (
+        decode_media)
+
+    register_png_dhash_codec()
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [synthetic_png(int(d))
+                            for d in pdf["doc_id"]],
+            })
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    dec = decode_media(payloads, "image/png;dhash")
+    return dec.select("doc_id", "width", "height",
+                      "dhash_hi", "dhash_lo")
+
+
 def q_mm_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sidecar-free metadata extraction through the codec registry:
     each document's ``lang``/``source`` ride INSIDE its PNG as tEXt
@@ -4837,6 +4873,7 @@ _PRIORITY_R08 = [
     "ops_incremental_scan", "embedding_prefix_eval",
     "dedup_minhash", "dedup_embedding_lsh", "dedup_semantic",
     "graph_neighbor_jaccard", "text_phrases", "sample_neyman",
+    "mm_dhash",
     # graph_triangles: r8 change was operator cache-release only —
     # query/oracle text unchanged since its green r7 driver check
     "graph_triangles",
@@ -4930,6 +4967,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": q_mm_features,
         "mm_decode_png": q_mm_decode_png,
         "mm_png_meta": q_mm_png_meta,
+        "mm_dhash": q_mm_dhash,
         "mm_frame_sample": q_mm_frame_sample,
         "catalog_table": q_catalog_table,
         "partition_compact": q_partition_compact,
@@ -5194,6 +5232,17 @@ def oracle_sql() -> dict[str, str]:
             "/ 10000")
     cont = ("floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
             "least(len(a.sh), len(b.sh))) * 10000 + 0.5) / 10000")
+
+    # integer BT.601 luma of synthetic-PNG pixel p (p = row·width+col)
+    # straight from the SQL-expressible pixel rule — no PNG machinery
+    # (formats/png_py.py:synthetic_pixel; the mm_dhash twin)
+    def _png_luma(p: str) -> str:
+        def pix(i: str) -> str:
+            return (f"((doc_id * 7919 + ({i}) * 37 "
+                    f"+ (({i}) % 11) * 13) % 256)")
+        base = f"(4 * ({p}))"
+        return (f"(299 * {pix(base)} + 587 * {pix(base + ' + 1')} "
+                f"+ 114 * {pix(base + ' + 2')})")
 
     return {
         "partitioned_write_single": li_full,
@@ -5917,6 +5966,31 @@ def oracle_sql() -> dict[str, str]:
                    floor(sa / n_px * 1000000.0 + 0.5) / 1000000.0
                        AS mean_a
             FROM s
+        """,
+        # per-pixel twin of the decode path: both dhash halves rebuilt
+        # from the pixel rule over the 8x8 luma crop (wrapping right
+        # neighbor), no PNG machinery — a positioning defect anywhere
+        # in the decoder flips a comparison bit and the value hash
+        "mm_dhash": f"""
+            WITH d AS (
+                SELECT doc_id, 8 + doc_id % 9 AS width,
+                       8 + doc_id % 7 AS height
+                FROM documents),
+            g AS (SELECT doc_id, width, height,
+                         unnest(range(0, 64)) AS k FROM d),
+            b AS (SELECT doc_id, width, height, k,
+                         CASE WHEN {_png_luma('(k // 8) * width + (k % 8)')}
+                                > {_png_luma(
+                                    '(k // 8) * width + ((k % 8 + 1) % 8)')}
+                              THEN CAST(1 AS BIGINT) ELSE 0 END AS bit
+                  FROM g)
+            SELECT doc_id, any_value(width) AS width,
+                   any_value(height) AS height,
+                   CAST(sum(CASE WHEN k >= 32 THEN bit << (k - 32)
+                                 ELSE 0 END) AS BIGINT) AS dhash_hi,
+                   CAST(sum(CASE WHEN k < 32 THEN bit << k
+                                 ELSE 0 END) AS BIGINT) AS dhash_lo
+            FROM b GROUP BY doc_id
         """,
         "mm_png_meta": """
             SELECT doc_id,

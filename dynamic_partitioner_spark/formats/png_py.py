@@ -315,3 +315,49 @@ def register_png_meta_codec() -> None:
     """Register the tEXt metadata codec for mode ``image/png;text``."""
     from ..operators.multimodal import register_codec
     register_codec("image/png;text", PNG_META_DDL, png_meta_codec)
+
+
+PNG_DHASH_DDL = "width int, height int, dhash_hi bigint, dhash_lo bigint"
+
+
+def png_dhash_codec(payload: bytes) -> dict:
+    """Registry codec: 64-bit perceptual GRADIENT hash (the dHash
+    family — Krawetz's difference hash, bit = "is this pixel brighter
+    than its right neighbor?") over the top-left 8×8 luma crop.
+
+    Classic dHash resizes to 9×8 first; with no resampling libraries
+    in this container the crop stands in for the downsample — the
+    8×8 grid wraps horizontally so every row still yields 8
+    comparisons and the hash stays 64 bits.  Luma is the integer
+    BT.601 approximation ``299·R + 587·G + 114·B`` (no /1000 — the
+    comparison is scale-invariant), so every operand is exact integer
+    arithmetic a SQL twin reproduces from the synthetic pixel rule.
+    Bit ``k = 8·row + col`` is set iff
+    ``luma[row][col] > luma[row][(col+1) % 8]``; bits 0–31 pack into
+    ``dhash_lo``, 32–63 into ``dhash_hi`` (two BIGINTs — a single
+    int64 would overflow signed at bit 63)."""
+    import numpy as np
+
+    img = decode_png(payload)
+    if img.color_type != 6:
+        raise PngFormatError(
+            f"dhash codec expects RGBA, got color type {img.color_type}")
+    if img.width < 8 or img.height < 8:
+        raise PngFormatError(
+            f"dhash codec needs an 8x8 crop, image is "
+            f"{img.width}x{img.height}")
+    a = (np.frombuffer(img.pixels, dtype=np.uint8)
+         .reshape(img.height, img.width, 4).astype(np.int64))
+    luma = (299 * a[:8, :8, 0] + 587 * a[:8, :8, 1]
+            + 114 * a[:8, :8, 2])
+    bits = (luma > np.roll(luma, -1, axis=1)).astype(np.int64).ravel()
+    lo = int(sum(int(bits[k]) << k for k in range(32)))
+    hi = int(sum(int(bits[32 + k]) << k for k in range(32)))
+    return {"width": img.width, "height": img.height,
+            "dhash_hi": hi, "dhash_lo": lo}
+
+
+def register_png_dhash_codec() -> None:
+    """Register the perceptual-hash codec for mode ``image/png;dhash``."""
+    from ..operators.multimodal import register_codec
+    register_codec("image/png;dhash", PNG_DHASH_DDL, png_dhash_codec)

@@ -132,3 +132,57 @@ def test_text_chunks_roundtrip_and_meta_codec():
     # NUL in a value must be rejected at encode time, not smuggled
     with pytest.raises(ValueError, match="tEXt"):
         synthetic_png(11, text_chunks={"k": "a\x00b"})
+
+
+def test_dhash_codec_known_gradients():
+    """Hand-checked hashes: constant luma → 0; a strictly decreasing
+    horizontal gradient sets bits 0–6 of every row (bit 7 wraps to the
+    brighter column 0) → 0x7F per row-byte in both halves."""
+    from dynamic_partitioner_spark.formats.png_py import (
+        encode_png, png_dhash_codec)
+
+    flat = encode_png(bytes([128, 128, 128, 255]) * 64, 8, 8,
+                      color_type=6)
+    out = png_dhash_codec(flat)
+    assert (out["width"], out["height"]) == (8, 8)
+    assert out["dhash_hi"] == 0 and out["dhash_lo"] == 0
+
+    px = bytearray()
+    for _r in range(8):
+        for c in range(8):
+            v = 200 - 10 * c
+            px += bytes([v, v, v, 255])
+    grad = png_dhash_codec(encode_png(bytes(px), 8, 8, color_type=6))
+    assert grad["dhash_lo"] == 0x7F7F7F7F
+    assert grad["dhash_hi"] == 0x7F7F7F7F
+
+
+def test_dhash_codec_rejects_small_images():
+    from dynamic_partitioner_spark.formats.png_py import (
+        PngFormatError, encode_png, png_dhash_codec)
+
+    tiny = encode_png(bytes([0, 0, 0, 255]) * 21, 7, 3, color_type=6)
+    with pytest.raises(PngFormatError, match="8x8"):
+        png_dhash_codec(tiny)
+
+
+def test_dhash_codec_matches_pixel_rule():
+    """The codec on the synthetic fixture equals a straight numpy
+    evaluation of the pixel rule — the same independence the DuckDB
+    twin certifies (but cheap enough to pin per-commit)."""
+    import numpy as np
+
+    from dynamic_partitioner_spark.formats.png_py import (
+        png_dhash_codec, synthetic_dims, synthetic_pixel)
+
+    for doc_id in (0, 7, 38, 123):
+        w, h = synthetic_dims(doc_id)
+        px = np.array([synthetic_pixel(doc_id, i)
+                       for i in range(w * h * 4)]).reshape(h, w, 4)
+        luma = (299 * px[:8, :8, 0] + 587 * px[:8, :8, 1]
+                + 114 * px[:8, :8, 2])
+        bits = (luma > np.roll(luma, -1, axis=1)).astype(int).ravel()
+        lo = sum(int(bits[k]) << k for k in range(32))
+        hi = sum(int(bits[32 + k]) << k for k in range(32))
+        out = png_dhash_codec(synthetic_png(doc_id))
+        assert (out["dhash_hi"], out["dhash_lo"]) == (hi, lo), doc_id
