@@ -4771,6 +4771,46 @@ def q_ops_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "bin_size", "bin_files")
 
 
+def q_ops_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-quality audit end-to-end: orders written through the
+    engine's sink sorted by a coarse price band (300-row files, strict
+    per-key repartition + within-partition sort, so each file is a
+    contiguous run of the sorted multiset), per-file (n_rows, vmin,
+    vmax) collected from the read-back, then the interval-overlap
+    depth (operators/partitioned_write.py:clustering_depth).  The
+    oracle PREDICTS every file's stats positionally — file k of a
+    partition holds sorted positions [300k, 300k+300) whose values
+    are deterministic however ties are ordered — and replays the same
+    overlap join; deliberate price-band ties straddling file
+    boundaries make depth > 1 for real, so the metric isn't a
+    constant-1 tautology.  If a Spark version ever stopped honoring
+    the incoming within-partition order in the sink, the positional
+    prediction would break loudly (tests/test_partitioned_write.py
+    pins the same contract per-commit)."""
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        clustering_depth)
+    apply_engine_confs(spark)
+    orders = _table(spark, sf_dir, "orders")
+    df = (orders.select(
+            F.col("o_orderpriority").alias("pk"),
+            F.floor(F.col("o_totalprice") / 1000).cast("long").alias("v"))
+          .repartition(F.col("pk")))
+    out = _out("ops_clustering_depth")
+    spec = SinkSpec(name="ord_cluster_depth", field_names=["pk"],
+                    max_records_per_file=300, cluster_by_key=False,
+                    sort_within=["v"])
+    write_partitioned(df, spec, out)
+    stats = (spark.read.parquet(out)
+             .select(F.col("pk").cast("string").alias("pk"), "v",
+                     F.col("_metadata.file_path").alias("_f"))
+             .groupBy("pk", "_f")
+             .agg(F.count(F.lit(1)).alias("n_rows"),
+                  F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+             .drop("_f"))
+    return clustering_depth(stats, ["pk"], "vmin", "vmax",
+                            order_extra=["n_rows"])
+
+
 def q_text_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 windowed token co-occurrence pairs (window=2) — the
     word2vec/PMI prep primitive; pair generation stays inside the token
@@ -4873,7 +4913,7 @@ _PRIORITY_R08 = [
     "ops_incremental_scan", "embedding_prefix_eval",
     "dedup_minhash", "dedup_embedding_lsh", "dedup_semantic",
     "graph_neighbor_jaccard", "text_phrases", "sample_neyman",
-    "mm_dhash",
+    "mm_dhash", "ops_clustering_depth",
     # graph_triangles: r8 change was operator cache-release only —
     # query/oracle text unchanged since its green r7 driver check
     "graph_triangles",
@@ -5073,6 +5113,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_file_audit": q_ops_file_audit,
         "ops_metadata_files": q_ops_metadata_files,
         "ops_compaction_plan": q_ops_compaction_plan,
+        "ops_clustering_depth": q_ops_clustering_depth,
         "ops_retention_vacuum": q_ops_retention_vacuum,
         "ops_incremental_scan": q_ops_incremental_scan,
         "embedding_prefix_eval": q_embedding_prefix_eval,
@@ -7958,6 +7999,34 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 4 END AS commit_version
             FROM orders
             WHERE o_orderpriority IN ('3-MEDIUM', '5-LOW')
+        """,
+        # positional stats prediction (the ops_compaction_plan trick,
+        # extended to min/max): file k of a partition is sorted
+        # positions [300k, 300k+300) of the price-band multiset, so
+        # (n_rows, vmin, vmax) are deterministic however ties are
+        # physically ordered; the overlap join then replays the
+        # operator's depth definition exactly
+        "ops_clustering_depth": """
+            WITH v AS (SELECT o_orderpriority AS pk,
+                              CAST(floor(o_totalprice / 1000) AS BIGINT)
+                                  AS v
+                       FROM orders),
+            r AS (SELECT pk, v,
+                         row_number() OVER (PARTITION BY pk ORDER BY v)
+                             - 1 AS rn
+                  FROM v),
+            f AS (SELECT pk, rn // 300 AS fidx, count(*) AS n_rows,
+                         min(v) AS vmin, max(v) AS vmax
+                  FROM r GROUP BY pk, rn // 300),
+            s AS (SELECT pk, n_rows, vmin, vmax,
+                         row_number() OVER (PARTITION BY pk
+                             ORDER BY vmin, vmax, n_rows) AS file_seq
+                  FROM f)
+            SELECT a.pk, a.n_rows, a.vmin, a.vmax, a.file_seq,
+                   count(*) AS depth
+            FROM s a JOIN f b ON a.pk = b.pk
+             AND a.vmin <= b.vmax AND b.vmin <= a.vmax
+            GROUP BY ALL
         """,
         "ops_compaction_plan": """
             WITH p AS (SELECT o_orderpriority AS pk, count(*) AS n

@@ -130,6 +130,18 @@ def write_partitioned(df: DataFrame, spec: SinkSpec, path: str | None = None) ->
         else:
             ndf = ndf.repartition(*[F.col(c) for c in spec.field_names])
 
+    if spec.sort_within:
+        # sorted write (Iceberg sorted-table / Delta OPTIMIZE shape):
+        # sort AFTER key normalization with the partition fields as the
+        # ordering prefix, so FileFormatWriter's required ordering is
+        # already satisfied and it does NOT insert its own UNSTABLE
+        # partition-column sort (which would scramble any incoming row
+        # order) — every output file then holds a contiguous run of the
+        # per-partition sort (see clustering_depth for the audit)
+        ndf = ndf.sortWithinPartitions(
+            *[F.col(c) for c in spec.field_names],
+            *[F.col(c) for c in spec.sort_within])
+
     mode = "overwrite" if spec.overwrite_partitions else "append"
     overwrite_conf = "spark.sql.sources.partitionOverwriteMode"
     prev_mode = spark.conf.get(overwrite_conf, "static")
@@ -686,6 +698,42 @@ def write_partitioned_derived(df: DataFrame, spec: SinkSpec,
     for name, col in derive.items():
         proj = proj.withColumn(name, col)
     return write_partitioned(proj, spec, path)
+
+
+def clustering_depth(stats: DataFrame, part_cols: list[str],
+                     min_col: str, max_col: str,
+                     order_extra: list[str] | None = None) -> DataFrame:
+    """Interval-overlap DEPTH of per-file column ranges — the
+    layout-quality metric behind lakehouse OPTIMIZE/Z-ORDER decisions
+    ("how many files could a point lookup on this column touch"):
+    depth of file i = number of files in the SAME partition whose
+    [min, max] range intersects file i's, self included — a perfectly
+    clustered layout scores 1 everywhere, a fully unclustered one
+    scores files-per-partition.
+
+    Input is a file-stats relation ``(part_cols…, min_col, max_col,
+    extras…)`` — e.g. a ``_metadata``-grouped read-back, a catalog
+    manifest, or footer stats.  Files are sequenced per partition by
+    (min, max, ``order_extra``…): ties between byte-identical stat
+    rows are interchangeable, so the output multiset is deterministic
+    even when the physical file naming is not.  The overlap self-join
+    is keyed on the partition columns (equi-join); its quadratic term
+    is bounded by files-per-partition — the metadata relation, never
+    the data (the compaction planner's shape).  Extra columns ride
+    along unchanged.
+    """
+    extra = list(order_extra or [])
+    w = Window.partitionBy(*part_cols).orderBy(
+        F.col(min_col), F.col(max_col), *[F.col(c) for c in extra])
+    s = stats.withColumn("file_seq", F.row_number().over(w))
+    b = s.select(*part_cols, F.col(min_col).alias("_bmin"),
+                 F.col(max_col).alias("_bmax"))
+    overlap = ((F.col(min_col) <= F.col("_bmax"))
+               & (F.col("_bmin") <= F.col(max_col)))
+    carry = [c for c in s.columns if c not in part_cols]
+    return (s.join(b, part_cols).where(overlap)
+            .groupBy(*part_cols, *carry)
+            .agg(F.count(F.lit(1)).alias("depth")))
 
 
 def plan_compaction(files: DataFrame, part_cols: list[str],

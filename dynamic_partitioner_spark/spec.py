@@ -82,6 +82,16 @@ class SinkSpec:
     # scale knobs (ours): cap rows per output file; repartition by key first
     max_records_per_file: int = 5_000_000
     cluster_by_key: bool = True
+    #: opt-in SORTED WRITE (the Iceberg sorted-table / Delta OPTIMIZE
+    #: write shape): sort rows by these columns WITHIN each task,
+    #: after partition-key normalization, so every output file is a
+    #: contiguous run of the per-partition sort order — point lookups
+    #: on the sort column then touch ~1 file (see clustering_depth).
+    #: Applied after the partition columns (which Spark's writer
+    #: requires first in the ordering); without this, the writer
+    #: inserts its own UNSTABLE sort on the partition columns and any
+    #: incoming row order is lost.
+    sort_within: list[str] | None = None
     extra_options: dict[str, str] = field(default_factory=dict)
 
     @property
@@ -133,6 +143,14 @@ class SinkSpec:
                     # normalize guard regardless of declared nullability.
                     raise SpecError(
                         f"Partition field '{fname}' must be non-nullable")
+        for sname in self.sort_within or []:
+            if sname not in by_name:
+                raise SpecError(
+                    f"Sort field '{sname}' must exist in the input schema")
+            if sname in self.field_names:
+                raise SpecError(
+                    f"Sort field '{sname}' is a partition field — the "
+                    "writer already orders by partition fields first")
         if self.compression_codec is not None:
             codec = self.compression_codec.lower()
             if codec not in CODECS[self.fmt]:

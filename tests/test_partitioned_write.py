@@ -857,3 +857,69 @@ def test_write_partitioned_derived_validation_and_pruning(spark, tmp_path):
                                                field_names=["v"]),
                                   str(tmp_path / "y"),
                                   {"v": F.year("d")})
+
+
+def test_sorted_write_files_are_contiguous_runs(spark, tmp_out):
+    """sort_within: every output file is a contiguous run of the
+    per-partition sort — per-file (min, max, n_rows) equal the
+    positional prediction over the sorted multiset (the contract
+    ops_clustering_depth's oracle relies on)."""
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        write_partitioned)
+
+    rows = [("a", (i * 7919) % 100) for i in range(25)]
+    rows += [("b", (i * 104729) % 50) for i in range(10)]
+    df = (spark.createDataFrame(rows, "k string, v long")
+          .repartition(F.col("k")))
+    write_partitioned(
+        df, SinkSpec(name="s", field_names=["k"], cluster_by_key=False,
+                     max_records_per_file=8, sort_within=["v"]),
+        tmp_out)
+    got = {(r.k, r.vmin, r.vmax, r.n)
+           for r in (spark.read.parquet(tmp_out)
+                     .groupBy("k", F.col("_metadata.file_path"))
+                     .agg(F.min("v").alias("vmin"),
+                          F.max("v").alias("vmax"),
+                          F.count(F.lit(1)).alias("n"))
+                     .collect())}
+    expect = set()
+    for k, n_rows in (("a", 25), ("b", 10)):
+        vs = sorted(v for kk, v in rows if kk == k)
+        for lo in range(0, n_rows, 8):
+            chunk = vs[lo:lo + 8]
+            expect.add((k, chunk[0], chunk[-1], len(chunk)))
+    assert got == expect
+
+
+def test_sort_within_validation():
+    from pyspark.sql import types as T
+
+    from dynamic_partitioner_spark.spec import SpecError
+
+    schema = T.StructType.fromDDL("k string, v long")
+    with pytest.raises(SpecError, match="Sort field 'x'"):
+        SinkSpec(name="s", field_names=["k"],
+                 sort_within=["x"]).validate(schema)
+    with pytest.raises(SpecError, match="partition field"):
+        SinkSpec(name="s", field_names=["k"],
+                 sort_within=["k"]).validate(schema)
+
+
+def test_clustering_depth_known_intervals(spark):
+    """Disjoint ranges score depth 1; a file spanning the whole range
+    overlaps everything; touching endpoints count as overlap."""
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        clustering_depth)
+
+    stats = spark.createDataFrame(
+        [("p", 0, 9, 10), ("p", 10, 19, 10), ("p", 0, 19, 5),
+         ("q", 0, 5, 6), ("q", 5, 9, 5)],
+        "pk string, vmin long, vmax long, n_rows long")
+    out = {(r.pk, r.vmin, r.vmax): (r.file_seq, r.depth)
+           for r in clustering_depth(stats, ["pk"], "vmin", "vmax",
+                                     order_extra=["n_rows"]).collect()}
+    assert out[("p", 0, 19)] == (2, 3)   # spans both → sees all 3
+    assert out[("p", 0, 9)][1] == 2      # itself + the spanner
+    assert out[("p", 10, 19)][1] == 2
+    # shared endpoint 5 counts as overlap
+    assert out[("q", 0, 5)][1] == 2 and out[("q", 5, 9)][1] == 2

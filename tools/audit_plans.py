@@ -97,7 +97,7 @@ AUDIT_KEYS = [
     "events_interval_union", "text_rake", "query_sql_window_frames",
     "ops_incremental_scan", "embedding_prefix_eval",
     "dedup_semantic", "graph_neighbor_jaccard", "text_phrases",
-    "sample_neyman", "mm_dhash",
+    "sample_neyman", "mm_dhash", "ops_clustering_depth",
 ]
 
 _KEEP = re.compile(

@@ -94,7 +94,7 @@ SWEEP_KEYS = [
     "events_interval_union", "ops_retention_vacuum", "text_rake",
     "query_sql_window_frames", "ops_incremental_scan",
     "embedding_prefix_eval", "graph_neighbor_jaccard", "text_phrases",
-    "sample_neyman", "mm_dhash",
+    "sample_neyman", "mm_dhash", "ops_clustering_depth",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
