@@ -683,7 +683,14 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _augmented_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ mutated copies of doc_id<50 (last two tokens dropped,
-    id offset +1000000) — guarantees near-dup pairs exist at every SF."""
+    id offset +1000000) — guarantees near-dup pairs exist at every SF.
+
+    The fixed offset assumes corpus doc_id < 1e6 — true for every
+    driver SF (sf1 tops out ~5e5) and for the sf1 inflated corpus; it
+    is a TEST-FIXTURE device, not operator semantics (the dedup
+    operators take arbitrary ids).  A corpus past 1e6 docs would
+    collide mutant ids with real ones and flip the certification keys
+    red loudly (duplicate ids fan out the verify joins), not silently."""
     docs = _table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     toks = DD.tokens(F.col("text"))
     mut_text = F.array_join(
@@ -730,9 +737,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     its reported jaccard equals that exact value (vacuously TRUE when
     LSH missed the twin — presence would be recall, which stays pinned
     in pytest)."""
+    from pyspark.storagelevel import StorageLevel
+
     corpus = _augmented_corpus(spark, sf_dir)
-    pairs = DD.near_dup_minhash(corpus, "doc_id", "text", threshold=0.5)
-    sh = corpus.select("doc_id", DD.shingles(F.col("text"), 3).alias("sh"))
+    # pairs feeds two consumers (the glob aggregate + twin_rep) and
+    # sh feeds four (both verify sides + both grid sides): truncate /
+    # persist each so the LSH pipeline and the interpreted-HOF shingle
+    # scan run once, then eagerly checkpoint the tiny output and
+    # release (the lm_score cache-release pattern)
+    pairs = (DD.near_dup_minhash(corpus, "doc_id", "text", threshold=0.5)
+             .localCheckpoint(eager=True))
+    sh = (corpus.select("doc_id", DD.shingles(F.col("text"), 3).alias("sh"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("_sa"))
     sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("_sb"))
     chk = (pairs.join(sa, "id_a").join(sb, "id_b")
@@ -756,8 +772,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.coalesce(F.col("_rep") == F.col("twin_jaccard"),
                                    F.lit(True)))
             .select("mut_id", "twin_jaccard", "twin_consistent"))
-    return (_pair_certification(chk, grid, "jaccard", 0.5, tol=0.0)
-            .orderBy("mut_id"))
+    out = (_pair_certification(chk, grid, "jaccard", 0.5, tol=0.0)
+           .orderBy("mut_id")
+           .localCheckpoint(eager=True))   # 50 rows — frees sh below
+    sh.unpersist()
+    return out
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

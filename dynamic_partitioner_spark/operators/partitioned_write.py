@@ -714,15 +714,20 @@ def clustering_depth(stats: DataFrame, part_cols: list[str],
     Input is a file-stats relation ``(part_cols…, min_col, max_col,
     extras…)`` — e.g. a ``_metadata``-grouped read-back, a catalog
     manifest, or footer stats.  Files are sequenced per partition by
-    (min, max, ``order_extra``…): ties between byte-identical stat
-    rows are interchangeable, so the output multiset is deterministic
-    even when the physical file naming is not.  The overlap self-join
-    is keyed on the partition columns (equi-join); its quadratic term
-    is bounded by files-per-partition — the metadata relation, never
-    the data (the compaction planner's shape).  Extra columns ride
-    along unchanged.
+    (min, max, then EVERY carried extra column unless ``order_extra``
+    overrides the tail): with all carried columns in the ordering,
+    ties are only possible between byte-identical stat rows, which
+    are interchangeable — so the output multiset is deterministic
+    even when the physical file naming is not.  (A caller overriding
+    ``order_extra`` with a subset owns that determinism argument.)
+    The overlap self-join is keyed on the partition columns
+    (equi-join); its quadratic term is bounded by files-per-partition
+    — the metadata relation, never the data (the compaction planner's
+    shape).  Extra columns ride along unchanged.
     """
-    extra = list(order_extra or [])
+    extra = (list(order_extra) if order_extra is not None
+             else [c for c in stats.columns
+                   if c not in (*part_cols, min_col, max_col)])
     w = Window.partitionBy(*part_cols).orderBy(
         F.col(min_col), F.col(max_col), *[F.col(c) for c in extra])
     s = stats.withColumn("file_seq", F.row_number().over(w))

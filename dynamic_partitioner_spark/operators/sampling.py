@@ -642,7 +642,9 @@ def allocate_budget(df: DataFrame, group_cols: list[str],
 def allocate_budget_sql(group_cols: list[str], weight: str, budget: int,
                         from_table: str) -> str:
     """DuckDB twin of :func:`allocate_budget` (same integer
-    apportionment, same tie-break)."""
+    apportionment, same tie-break).  The apportionment CTE chain is
+    restated in :func:`neyman_allocation_sql` — keep the two in sync
+    (see the note there)."""
     gc = ", ".join(group_cols)
     order = ", ".join(group_cols)
     return f"""
@@ -756,7 +758,13 @@ def neyman_allocation_sql(stratum: str, key: str, value: str, budget: int,
                           from_table: str, salt: str = "neyman") -> str:
     """DuckDB twin of :func:`neyman_allocation` — same percentile
     interpolation, same HUGEINT/DECIMAL(38,0) integer weights, same
-    Hamilton tie-breaks, same md5 draw."""
+    Hamilton tie-breaks, same md5 draw.
+
+    The j/r/alloc CTE chain deliberately restates
+    :func:`allocate_budget_sql`'s apportionment (that twin is a
+    self-contained query, not a composable CTE block) — any change to
+    the shared Hamilton arithmetic there (tie-break, HUGEINT product,
+    degenerate tw=0) must be mirrored here, and vice versa."""
     u = hash_unit_sql("k", salt)
     return f"""
         WITH base AS (SELECT {stratum} AS s, {key} AS k, {value} AS v

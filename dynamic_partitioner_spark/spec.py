@@ -143,6 +143,14 @@ class SinkSpec:
                     # normalize guard regardless of declared nullability.
                     raise SpecError(
                         f"Partition field '{fname}' must be non-nullable")
+        if self.sort_within and self.fmt == "avro":
+            # the pure-Python avro container fallback (no spark-avro
+            # jar) returns before the sort is applied and does not
+            # guarantee per-file contiguous runs — reject rather than
+            # silently violate the sorted-write contract on one path
+            raise SpecError(
+                "sort_within is not supported for avro — the container "
+                "fallback writer cannot guarantee sorted file runs")
         for sname in self.sort_within or []:
             if sname not in by_name:
                 raise SpecError(

@@ -296,9 +296,9 @@ def test_rake_rejects_empty_stopword_set(spark):
 
 
 def test_phrase_collocations_known_corpus(spark):
-    """Hand-checked score: corpus of 'new york' repeated 6 times plus
-    6 'new' and 6 'york' fillers — c12=6, c1=c2=12, N=36:
-    score = (6−5)·36/(12·12) = 0.25."""
+    """Hand-checked score: 'new york' ×6 in doc 0, plus filler docs
+    that bring 'new'/'york' to 12 occurrences each and the corpus to
+    N=60 tokens — score = (6−5)·60/(12·12) = 0.4167."""
     from dynamic_partitioner_spark.operators.vectorize import (
         phrase_collocations)
 
