@@ -4192,6 +4192,63 @@ def q_privacy_randomized_response(spark: SparkSession,
     return randomized_response(ev, ["event_type"], "hi")
 
 
+def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator — the causal-readout
+    companion to events_ab_test: value means per (treatment-hash
+    group × pre/post median-time period), DiD = (T_post − T_pre) −
+    (C_post − C_pre).  Every mean is an exact BIGINT micro-unit sum
+    over an exact count (the lm_score division pattern), the period
+    cutoff is the interpolated median event time (the
+    query_percentiles parity) broadcast as one scalar row, and the
+    estimate is a fixed IEEE subtraction sequence over identical
+    doubles — bit-identical cross-engine after round4.  On a hash
+    split of homogeneous synthetic traffic DiD SHOULD be ≈ 0 (the
+    placebo reading); empty cells guard to NULL rather than an ANSI
+    divide-by-zero.  Single wide output row; one corpus agg + one
+    scalar broadcast."""
+    from dynamic_partitioner_spark.operators.sampling import hash_unit
+    events = _table(spark, sf_dir, "events")
+    ev = (events.where(F.col("value").isNotNull())
+          .select("user_id", event_time_us(events).alias("ts_us"),
+                  F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+                  .cast("long").alias("vm")))
+    cut = ev.agg(F.expr("percentile(ts_us, 0.5)").alias("_cut"))
+    g = ev.crossJoin(F.broadcast(cut)).select(
+        F.when(hash_unit(F.col("user_id"), "did") < 0.5, "T")
+        .otherwise("C").alias("grp"),
+        F.when(F.col("ts_us") > F.col("_cut"), "post")
+        .otherwise("pre").alias("period"),
+        "vm")
+
+    def _n(gv, pv):
+        return F.sum(F.when((F.col("grp") == gv)
+                            & (F.col("period") == pv), 1).otherwise(0))
+
+    def _s(gv, pv):
+        return F.sum(F.when((F.col("grp") == gv)
+                            & (F.col("period") == pv),
+                            F.col("vm")).otherwise(F.lit(0)))
+
+    wide = g.agg(
+        _n("T", "pre").alias("n_t_pre"), _s("T", "pre").alias("_s_tp"),
+        _n("T", "post").alias("n_t_post"), _s("T", "post").alias("_s_tq"),
+        _n("C", "pre").alias("n_c_pre"), _s("C", "pre").alias("_s_cp"),
+        _n("C", "post").alias("n_c_post"), _s("C", "post").alias("_s_cq"))
+
+    def _m(s, n):
+        return F.when(F.col(n) > 0,
+                      F.col(s).cast("double")
+                      / (F.col(n) * F.lit(1_000_000.0)))
+
+    mtp, mtq = _m("_s_tp", "n_t_pre"), _m("_s_tq", "n_t_post")
+    mcp, mcq = _m("_s_cp", "n_c_pre"), _m("_s_cq", "n_c_post")
+    return wide.select(
+        "n_t_pre", "n_t_post", "n_c_pre", "n_c_post",
+        round4(mtp).alias("mean_t_pre"), round4(mtq).alias("mean_t_post"),
+        round4(mcp).alias("mean_c_pre"), round4(mcq).alias("mean_c_post"),
+        round4((mtq - mtp) - (mcq - mcp)).alias("did"))
+
+
 def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion z-test on high-value-conversion (value > 95 —
     chosen so conversion is non-degenerate at EVERY test SF; a lower
@@ -4932,7 +4989,7 @@ _PRIORITY_R08 = [
     "ops_incremental_scan", "embedding_prefix_eval",
     "dedup_minhash", "dedup_embedding_lsh", "dedup_semantic",
     "graph_neighbor_jaccard", "text_phrases", "sample_neyman",
-    "mm_dhash", "ops_clustering_depth",
+    "mm_dhash", "ops_clustering_depth", "events_did",
     # graph_triangles: r8 change was operator cache-release only —
     # query/oracle text unchanged since its green r7 driver check
     "graph_triangles",
@@ -5188,6 +5245,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_survival": q_events_survival,
         "source_csv_corrupt_audit": q_source_csv_corrupt_audit,
         "events_ab_test": q_events_ab_test,
+        "events_did": q_events_did,
         "query_sql_lateral": q_sql_lateral,
         "events_funnel_windowed": q_events_funnel_windowed,
         "privacy_k_histogram": q_privacy_k_histogram,
@@ -7665,6 +7723,61 @@ def oracle_sql() -> dict[str, str]:
                    AS mean_flesch
             FROM scored WHERE flesch IS NOT NULL
             GROUP BY lang
+        """,
+        # same micro-unit mean and scalar-median machinery as the Spark
+        # side (lm_score division pattern + quantile_cont parity); DiD
+        # is the identical IEEE subtraction sequence before round4
+        "events_did": f"""
+            WITH ev AS (
+                SELECT user_id, epoch_us(ts) AS ts_us,
+                       CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm
+                FROM events WHERE value IS NOT NULL),
+            c AS (SELECT quantile_cont(ts_us, 0.5) AS cut FROM ev),
+            g AS (SELECT CASE WHEN {SMP.hash_unit_sql("user_id", "did")}
+                                   < 0.5
+                              THEN 'T' ELSE 'C' END AS grp,
+                         CASE WHEN ts_us > cut THEN 'post'
+                              ELSE 'pre' END AS period,
+                         vm
+                  FROM ev, c),
+            w AS (SELECT
+                sum(CASE WHEN grp = 'T' AND period = 'pre'
+                         THEN 1 ELSE 0 END) AS n_t_pre,
+                sum(CASE WHEN grp = 'T' AND period = 'pre'
+                         THEN vm ELSE 0 END) AS s_tp,
+                sum(CASE WHEN grp = 'T' AND period = 'post'
+                         THEN 1 ELSE 0 END) AS n_t_post,
+                sum(CASE WHEN grp = 'T' AND period = 'post'
+                         THEN vm ELSE 0 END) AS s_tq,
+                sum(CASE WHEN grp = 'C' AND period = 'pre'
+                         THEN 1 ELSE 0 END) AS n_c_pre,
+                sum(CASE WHEN grp = 'C' AND period = 'pre'
+                         THEN vm ELSE 0 END) AS s_cp,
+                sum(CASE WHEN grp = 'C' AND period = 'post'
+                         THEN 1 ELSE 0 END) AS n_c_post,
+                sum(CASE WHEN grp = 'C' AND period = 'post'
+                         THEN vm ELSE 0 END) AS s_cq
+                FROM g),
+            m AS (SELECT *,
+                CASE WHEN n_t_pre > 0 THEN
+                    CAST(s_tp AS DOUBLE) / (n_t_pre * 1000000.0) END AS mtp,
+                CASE WHEN n_t_post > 0 THEN
+                    CAST(s_tq AS DOUBLE) / (n_t_post * 1000000.0) END AS mtq,
+                CASE WHEN n_c_pre > 0 THEN
+                    CAST(s_cp AS DOUBLE) / (n_c_pre * 1000000.0) END AS mcp,
+                CASE WHEN n_c_post > 0 THEN
+                    CAST(s_cq AS DOUBLE) / (n_c_post * 1000000.0) END AS mcq
+                FROM w)
+            SELECT CAST(n_t_pre AS BIGINT) AS n_t_pre,
+                   CAST(n_t_post AS BIGINT) AS n_t_post,
+                   CAST(n_c_pre AS BIGINT) AS n_c_pre,
+                   CAST(n_c_post AS BIGINT) AS n_c_post,
+                   {ROUND4_SQL.format(x="mtp")} AS mean_t_pre,
+                   {ROUND4_SQL.format(x="mtq")} AS mean_t_post,
+                   {ROUND4_SQL.format(x="mcp")} AS mean_c_pre,
+                   {ROUND4_SQL.format(x="mcq")} AS mean_c_post,
+                   {ROUND4_SQL.format(x="(mtq - mtp) - (mcq - mcp)")} AS did
+            FROM m
         """,
         "events_ab_test": f"""
             WITH pu AS (
