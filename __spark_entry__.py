@@ -4195,13 +4195,18 @@ def q_privacy_randomized_response(spark: SparkSession,
 def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difference-in-differences estimator — the causal-readout
     companion to events_ab_test: value means per (treatment-hash
-    group × pre/post median-time period), DiD = (T_post − T_pre) −
-    (C_post − C_pre).  Every mean is an exact BIGINT micro-unit sum
-    over an exact count (the lm_score division pattern), the period
-    cutoff is the interpolated median event time (the
-    query_percentiles parity) broadcast as one scalar row, and the
-    estimate is a fixed IEEE subtraction sequence over identical
-    doubles — bit-identical cross-engine after round4.  On a hash
+    group × pre/post median-DAY period), DiD = (T_post − T_pre) −
+    (C_post − C_pre).  Every mean is an exact micro-unit sum — summed
+    in DECIMAL(38,0) ↔ DuckDB HUGEINT, since a cell's BIGINT sum
+    would cross 9.2e18 at ~9e10 rows (the repo's standard wide-sum
+    guard) — over an exact count, the period cutoff is the
+    interpolated median event DAY (the query_percentiles parity; day
+    granularity keeps the exact percentile's distinct-value state
+    bounded by the corpus's calendar span, where a microsecond median
+    would hoard every near-unique timestamp on one reducer at scale —
+    code-review r8) broadcast as one scalar row, and the estimate is
+    a fixed IEEE subtraction sequence over identical doubles —
+    bit-identical cross-engine after round4.  On a hash
     split of homogeneous synthetic traffic DiD SHOULD be ≈ 0 (the
     placebo reading); empty cells guard to NULL rather than an ANSI
     divide-by-zero.  Single wide output row; one corpus agg + one
@@ -4211,12 +4216,14 @@ def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (events.where(F.col("value").isNotNull())
           .select("user_id", event_time_us(events).alias("ts_us"),
                   F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
-                  .cast("long").alias("vm")))
-    cut = ev.agg(F.expr("percentile(ts_us, 0.5)").alias("_cut"))
+                  .cast("long").alias("vm"))
+          .select("user_id", "vm",
+                  F.expr("ts_us div 86400000000").alias("day")))
+    cut = ev.agg(F.expr("percentile(day, 0.5)").alias("_cut"))
     g = ev.crossJoin(F.broadcast(cut)).select(
         F.when(hash_unit(F.col("user_id"), "did") < 0.5, "T")
         .otherwise("C").alias("grp"),
-        F.when(F.col("ts_us") > F.col("_cut"), "post")
+        F.when(F.col("day") > F.col("_cut"), "post")
         .otherwise("pre").alias("period"),
         "vm")
 
@@ -4227,7 +4234,8 @@ def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _s(gv, pv):
         return F.sum(F.when((F.col("grp") == gv)
                             & (F.col("period") == pv),
-                            F.col("vm")).otherwise(F.lit(0)))
+                            F.col("vm")).otherwise(F.lit(0))
+                     .cast("decimal(38,0)"))
 
     wide = g.agg(
         _n("T", "pre").alias("n_t_pre"), _s("T", "pre").alias("_s_tp"),
@@ -7729,14 +7737,15 @@ def oracle_sql() -> dict[str, str]:
         # is the identical IEEE subtraction sequence before round4
         "events_did": f"""
             WITH ev AS (
-                SELECT user_id, epoch_us(ts) AS ts_us,
+                SELECT user_id,
+                       epoch_us(ts) // 86400000000 AS day,
                        CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm
                 FROM events WHERE value IS NOT NULL),
-            c AS (SELECT quantile_cont(ts_us, 0.5) AS cut FROM ev),
+            c AS (SELECT quantile_cont(day, 0.5) AS cut FROM ev),
             g AS (SELECT CASE WHEN {SMP.hash_unit_sql("user_id", "did")}
                                    < 0.5
                               THEN 'T' ELSE 'C' END AS grp,
-                         CASE WHEN ts_us > cut THEN 'post'
+                         CASE WHEN day > cut THEN 'post'
                               ELSE 'pre' END AS period,
                          vm
                   FROM ev, c),
