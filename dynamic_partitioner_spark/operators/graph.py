@@ -10,8 +10,10 @@ driver state).  Lineage is truncated with ``localCheckpoint`` every
 few rounds, the same guard the cluster-resolution loop uses — without
 it the plan doubles per iteration.
 
-Rows-only by nature (iterative float ranks have no SQL twin);
-convergence and known-graph rankings are pinned in tests/test_graph.py.
+The iterative float ranks themselves have no SQL twin — the driver
+key certifies exact BIGINT graph-structure columns plus
+teleport-floor / mass-conservation booleans (r8); convergence and
+known-graph rankings are pinned in tests/test_graph.py.
 No counterpart in the reference.
 """
 
