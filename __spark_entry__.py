@@ -1396,6 +1396,41 @@ def q_mm_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "dhash_hi", "dhash_lo")
 
 
+def q_mm_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-container decode through the codec registry: RIFF/WAV
+    PCM16 payloads (formats/wav_py.py — chunk walk with word
+    alignment, an unknown odd-sized LIST chunk deliberately in the
+    way) decoded back to exact-integer waveform screens (|sample|
+    mass, peak, per-channel zero crossings — the cheap silence/noise
+    gates of an audio ingest).  The oracle recomputes every column
+    straight from the SQL-expressible sample rule with NO WAV
+    machinery — a chunk-walk, alignment, or unpacking defect breaks
+    the value hash.  The audio sibling of mm_decode_png; payloads
+    never shuffle."""
+    import pandas as _pd
+
+    from dynamic_partitioner_spark.formats.wav_py import (
+        register_wav_codec, synthetic_wav)
+    from dynamic_partitioner_spark.operators.multimodal import (
+        decode_media)
+
+    register_wav_codec()
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [synthetic_wav(int(d))
+                            for d in pdf["doc_id"]],
+            })
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    dec = decode_media(payloads, "audio/wav")
+    return dec.select("doc_id", "rate", "channels", "n_frames",
+                      "sum_abs", "peak", "zero_crossings")
+
+
 def q_mm_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sidecar-free metadata extraction through the codec registry:
     each document's ``lang``/``source`` ride INSIDE its PNG as tEXt
@@ -4998,6 +5033,7 @@ _PRIORITY_R08 = [
     "dedup_minhash", "dedup_embedding_lsh", "dedup_semantic",
     "graph_neighbor_jaccard", "text_phrases", "sample_neyman",
     "mm_dhash", "ops_clustering_depth", "events_did",
+    "mm_wav_stats",
     # graph_triangles: r8 change was operator cache-release only —
     # query/oracle text unchanged since its green r7 driver check
     "graph_triangles",
@@ -5092,6 +5128,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_png": q_mm_decode_png,
         "mm_png_meta": q_mm_png_meta,
         "mm_dhash": q_mm_dhash,
+        "mm_wav_stats": q_mm_wav_stats,
         "mm_frame_sample": q_mm_frame_sample,
         "catalog_table": q_catalog_table,
         "partition_compact": q_partition_compact,
@@ -6117,6 +6154,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN k < 32 THEN bit << k
                                  ELSE 0 END) AS BIGINT) AS dhash_lo
             FROM b GROUP BY doc_id
+        """,
+        # audio twin of the mm_dhash/mm_decode_png oracles: every
+        # decoded statistic recomputed from the synthetic sample rule
+        # over an index series — no WAV machinery; the i+channels
+        # neighbor is re-derived from the rule, so no self-join
+        "mm_wav_stats": """
+            WITH d AS (
+                SELECT doc_id,
+                       256 + doc_id % 128 AS n_frames,
+                       1 + doc_id % 2 AS channels,
+                       8000 + (doc_id % 3) * 4000 AS rate
+                FROM documents),
+            i AS (
+                SELECT doc_id, n_frames, channels, rate,
+                       unnest(generate_series(
+                           0, n_frames * channels - 1)) AS i
+                FROM d),
+            s AS (
+                SELECT doc_id, n_frames, channels, rate, i,
+                       (doc_id * 2654435761 + i * 48271) % 65536
+                           - 32768 AS smp,
+                       (doc_id * 2654435761 + (i + channels) * 48271)
+                           % 65536 - 32768 AS smp_next
+                FROM i)
+            SELECT doc_id, any_value(rate) AS rate,
+                   any_value(channels) AS channels,
+                   CAST(any_value(n_frames) AS BIGINT) AS n_frames,
+                   CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+                   CAST(max(abs(smp)) AS INTEGER) AS peak,
+                   CAST(sum(CASE WHEN i + channels
+                                      < n_frames * channels
+                                  AND (smp < 0) <> (smp_next < 0)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS zero_crossings
+            FROM s GROUP BY doc_id
         """,
         "mm_png_meta": """
             SELECT doc_id,

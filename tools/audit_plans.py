@@ -98,7 +98,7 @@ AUDIT_KEYS = [
     "ops_incremental_scan", "embedding_prefix_eval",
     "dedup_semantic", "graph_neighbor_jaccard", "text_phrases",
     "sample_neyman", "mm_dhash", "ops_clustering_depth",
-    "events_did",
+    "events_did", "mm_wav_stats",
 ]
 
 _KEEP = re.compile(
