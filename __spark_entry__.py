@@ -4292,6 +4292,65 @@ def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4((mtq - mtp) - (mcq - mcp)).alias("did"))
 
 
+def q_events_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift screen (the ML-feature monitoring readout):
+    chi-square contingency statistic of value-quartile bin × pre/post
+    median-day period.  Bin cuts are interpolated percentiles (the
+    query_percentiles parity) and the cutoff is the median DAY (the
+    events_did lesson — bounded percentile state), both broadcast as
+    ONE scalar row.  The full 4×2 grid is materialized literally and
+    left-joined so zero cells exist (a groupBy alone would drop them
+    and corrupt the marginals); expected counts use
+    double(row_tot)·col_tot/grand — overflow-free where a BIGINT
+    product would cross 9.2e18 at ~1e10 rows.  Each cell's (o−e)²/e
+    term quantizes to micro-units BEFORE the global sum (floats sum
+    in nondeterministic order under parallel aggregation; BIGINTs
+    don't — the lm_score trick), so chi2 is bit-stable and
+    oracle-hash-checkable.  On a time-homogeneous synthetic corpus
+    chi2 SHOULD be small (df = 3·1 = 3).  Windows run over the
+    bounded 8-row grid — warning accepted by design."""
+    events = _table(spark, sf_dir, "events")
+    ev = (events.where(F.col("value").isNotNull())
+          .select(event_time_us(events).alias("ts_us"), "value")
+          .select("value", F.expr("ts_us div 86400000000").alias("day")))
+    cuts = ev.agg(F.expr("percentile(value, 0.25)").alias("_q1"),
+                  F.expr("percentile(value, 0.5)").alias("_q2"),
+                  F.expr("percentile(value, 0.75)").alias("_q3"),
+                  F.expr("percentile(day, 0.5)").alias("_cut"))
+    v = F.col("value")
+    obs = (ev.crossJoin(F.broadcast(cuts))
+           .select(F.when(v <= F.col("_q1"), 0)
+                   .when(v <= F.col("_q2"), 1)
+                   .when(v <= F.col("_q3"), 2)
+                   .otherwise(3).alias("bin"),
+                   F.when(F.col("day") > F.col("_cut"), "post")
+                   .otherwise("pre").alias("period"))
+           .groupBy("bin", "period")
+           .agg(F.count(F.lit(1)).alias("n")))
+    grid = spark.createDataFrame(
+        [(b, p) for b in range(4) for p in ("pre", "post")],
+        "bin int, period string")
+    full = (grid.join(obs, ["bin", "period"], "left")
+            .select("bin", "period",
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n")))
+    wb = Window.partitionBy("bin")
+    wp = Window.partitionBy("period")
+    wa = Window.partitionBy()
+    e = (F.sum("n").over(wb).cast("double") * F.sum("n").over(wp)
+         / F.sum("n").over(wa))
+    term = F.when(e > 0, (F.col("n") - e) * (F.col("n") - e) / e) \
+        .otherwise(F.lit(0.0))
+    cell = full.select("bin", "period", "n",
+                       round4(e).alias("expected"),
+                       F.floor(term * 1_000_000).cast("long")
+                       .alias("_tm"))
+    chi2 = round4(F.sum("_tm").over(wa) / F.lit(1_000_000.0))
+    return (cell.select("bin", "period", "n", "expected",
+                        chi2.alias("chi2"),
+                        F.lit(3).cast("long").alias("dof"))
+            .orderBy("bin", "period"))
+
+
 def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion z-test on high-value-conversion (value > 95 —
     chosen so conversion is non-degenerate at EVERY test SF; a lower
@@ -5033,7 +5092,7 @@ _PRIORITY_R08 = [
     "dedup_minhash", "dedup_embedding_lsh", "dedup_semantic",
     "graph_neighbor_jaccard", "text_phrases", "sample_neyman",
     "mm_dhash", "ops_clustering_depth", "events_did",
-    "mm_wav_stats",
+    "mm_wav_stats", "events_drift_chi2",
     # graph_triangles: r8 change was operator cache-release only —
     # query/oracle text unchanged since its green r7 driver check
     "graph_triangles",
@@ -5291,6 +5350,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_csv_corrupt_audit": q_source_csv_corrupt_audit,
         "events_ab_test": q_events_ab_test,
         "events_did": q_events_did,
+        "events_drift_chi2": q_events_drift_chi2,
         "query_sql_lateral": q_sql_lateral,
         "events_funnel_windowed": q_events_funnel_windowed,
         "privacy_k_histogram": q_privacy_k_histogram,
@@ -7859,6 +7919,51 @@ def oracle_sql() -> dict[str, str]:
                    {ROUND4_SQL.format(x="mcq")} AS mean_c_post,
                    {ROUND4_SQL.format(x="(mtq - mtp) - (mcq - mcp)")} AS did
             FROM m
+        """,
+        # same grid/marginal construction; term micro-quantized before
+        # the order-free integer sum (q_events_drift_chi2 docstring)
+        "events_drift_chi2": f"""
+            WITH ev AS (
+                SELECT value,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events WHERE value IS NOT NULL),
+            c AS (SELECT quantile_cont(value, 0.25) AS q1,
+                         quantile_cont(value, 0.5) AS q2,
+                         quantile_cont(value, 0.75) AS q3,
+                         quantile_cont(day, 0.5) AS cut
+                  FROM ev),
+            o AS (SELECT CASE WHEN value <= q1 THEN 0
+                              WHEN value <= q2 THEN 1
+                              WHEN value <= q3 THEN 2
+                              ELSE 3 END AS bin,
+                         CASE WHEN day > cut THEN 'post'
+                              ELSE 'pre' END AS period,
+                         count(*) AS n
+                  FROM ev, c GROUP BY 1, 2),
+            grid AS (SELECT b.bin, p.period
+                     FROM (SELECT unnest(range(0, 4)) AS bin) b
+                     CROSS JOIN (VALUES ('pre'), ('post')) p(period)),
+            filled AS (SELECT grid.bin, grid.period,
+                              CAST(coalesce(o.n, 0) AS BIGINT) AS n
+                       FROM grid LEFT JOIN o USING (bin, period)),
+            m AS (SELECT bin, period, n,
+                         CAST(sum(n) OVER (PARTITION BY bin) AS DOUBLE)
+                             * sum(n) OVER (PARTITION BY period)
+                             / sum(n) OVER () AS e
+                  FROM filled),
+            t AS (SELECT bin, period, n,
+                         {ROUND4_SQL.format(x="e")} AS expected,
+                         CAST(floor(CASE WHEN e > 0
+                                         THEN (n - e) * (n - e) / e
+                                         ELSE 0.0 END * 1000000)
+                              AS BIGINT) AS tm
+                  FROM m)
+            SELECT bin, period, n, expected,
+                   {ROUND4_SQL.format(
+                       x="CAST(sum(tm) OVER () AS DOUBLE) / 1000000.0")}
+                       AS chi2,
+                   CAST(3 AS BIGINT) AS dof
+            FROM t
         """,
         "events_ab_test": f"""
             WITH pu AS (

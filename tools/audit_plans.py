@@ -98,7 +98,7 @@ AUDIT_KEYS = [
     "ops_incremental_scan", "embedding_prefix_eval",
     "dedup_semantic", "graph_neighbor_jaccard", "text_phrases",
     "sample_neyman", "mm_dhash", "ops_clustering_depth",
-    "events_did", "mm_wav_stats",
+    "events_did", "mm_wav_stats", "events_drift_chi2",
 ]
 
 _KEEP = re.compile(
@@ -127,6 +127,9 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
     "text_bm25_retrieve": (1, "1-row scalar n_docs/avgdl broadcast"),
     "text_phrases": (1, "1-row scalar total-token-count broadcast"),
     "events_did": (1, "1-row scalar median-cutoff broadcast"),
+    "events_drift_chi2": (1, "1-row scalar quartile/median-cut "
+                             "broadcast; the 4x2 grid left-join is "
+                             "an equi-keyed BHJ"),
     "embedding_prefix_eval": (1, "bounded 32-vector pair grid (< join)"),
     "query_skew_profile": (1, "1-row scalar totals broadcast"),
     "sample_balance_labels": (1, "1-row scalar min-class-count "

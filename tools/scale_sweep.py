@@ -95,7 +95,7 @@ SWEEP_KEYS = [
     "query_sql_window_frames", "ops_incremental_scan",
     "embedding_prefix_eval", "graph_neighbor_jaccard", "text_phrases",
     "sample_neyman", "mm_dhash", "ops_clustering_depth",
-    "events_did", "mm_wav_stats",
+    "events_did", "mm_wav_stats", "events_drift_chi2",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
