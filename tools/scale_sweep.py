@@ -107,6 +107,8 @@ SF1_KEYS = [
     "embedding_threshold_sweep", "dedup_spans", "graph_triangles",
     "text_langid_confusion", "sorted_export", "dedup_ngram_jaccard",
     "corpus_pipeline", "dedup_containment",
+    # r8 second-session additions with 0.01->0.1 slope >= ~0.5
+    "ops_clustering_depth", "mm_dhash", "graph_neighbor_jaccard",
 ]
 
 SF1_DIR = "/root/repo/.scratch/sf1"
