@@ -1311,6 +1311,30 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feature_rows(to_binary_table(docs))
 
 
+def _synthetic_payloads(docs: DataFrame, make_payload) -> DataFrame:
+    """(doc_id[, extra cols…]) → (doc_id, payload BINARY) in one
+    Arrow-batched ``mapInPandas`` pass — the ONE fixture-generation
+    seam shared by the mm_* codec keys (code-review r8: four verbatim
+    generator closures otherwise).  ``make_payload`` receives one
+    positional value per input column, doc_id first as a Python int;
+    the payload bytes never leave the executor unaggregated."""
+    import pandas as _pd
+
+    cols = list(docs.columns)
+
+    def gen(batches):
+        for pdf in batches:
+            args = [pdf[c] for c in cols]
+            args[0] = [int(d) for d in args[0]]
+            yield _pd.DataFrame({
+                "doc_id": pdf[cols[0]],
+                "payload": [make_payload(*vals)
+                            for vals in zip(*args)],
+            })
+
+    return docs.mapInPandas(gen, "doc_id long, payload binary")
+
+
 def q_mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode through the registry seam
     (operators/multimodal.py:register_codec): deterministic RGBA PNGs —
@@ -1325,8 +1349,6 @@ def q_mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation and decode are both Arrow-batched ``mapInPandas``; the
     payload never shuffles (stats reduce row-locally inside the
     codec)."""
-    import pandas as _pd
-
     from dynamic_partitioner_spark.formats.png_py import (
         register_png_codec, synthetic_png)
     from dynamic_partitioner_spark.operators.multimodal import (
@@ -1334,17 +1356,8 @@ def q_mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_png_codec()
     docs = _table(spark, sf_dir, "documents").select("doc_id")
-
-    def gen(batches):
-        for pdf in batches:
-            yield _pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "payload": [synthetic_png(int(d))
-                            for d in pdf["doc_id"]],
-            })
-
-    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
-    dec = decode_media(payloads, "image/png")
+    dec = decode_media(_synthetic_payloads(docs, synthetic_png),
+                       "image/png")
 
     def mean6(s: str):
         # floor(x·1e6+0.5)/1e6 over a double built from exact integer
@@ -1372,8 +1385,6 @@ def q_mm_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery, so any filter/interlace/positioning defect flips the
     value hash.  Payloads never shuffle — the hash reduces row-locally
     inside the Arrow batch."""
-    import pandas as _pd
-
     from dynamic_partitioner_spark.formats.png_py import (
         register_png_dhash_codec, synthetic_png)
     from dynamic_partitioner_spark.operators.multimodal import (
@@ -1381,17 +1392,8 @@ def q_mm_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_png_dhash_codec()
     docs = _table(spark, sf_dir, "documents").select("doc_id")
-
-    def gen(batches):
-        for pdf in batches:
-            yield _pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "payload": [synthetic_png(int(d))
-                            for d in pdf["doc_id"]],
-            })
-
-    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
-    dec = decode_media(payloads, "image/png;dhash")
+    dec = decode_media(_synthetic_payloads(docs, synthetic_png),
+                       "image/png;dhash")
     return dec.select("doc_id", "width", "height",
                       "dhash_hi", "dhash_lo")
 
@@ -1407,8 +1409,6 @@ def q_mm_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery — a chunk-walk, alignment, or unpacking defect breaks
     the value hash.  The audio sibling of mm_decode_png; payloads
     never shuffle."""
-    import pandas as _pd
-
     from dynamic_partitioner_spark.formats.wav_py import (
         register_wav_codec, synthetic_wav)
     from dynamic_partitioner_spark.operators.multimodal import (
@@ -1416,17 +1416,8 @@ def q_mm_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_wav_codec()
     docs = _table(spark, sf_dir, "documents").select("doc_id")
-
-    def gen(batches):
-        for pdf in batches:
-            yield _pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "payload": [synthetic_wav(int(d))
-                            for d in pdf["doc_id"]],
-            })
-
-    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
-    dec = decode_media(payloads, "audio/wav")
+    dec = decode_media(_synthetic_payloads(docs, synthetic_wav),
+                       "audio/wav")
     return dec.select("doc_id", "rate", "channels", "n_frames",
                       "sum_abs", "peak", "zero_crossings")
 
@@ -1443,8 +1434,6 @@ def q_mm_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON bytes and the dims rule straight from ``documents``; a
     chunk-order, escaping, or parse defect anywhere in the
     encode->decode->extract chain breaks the value hash."""
-    import pandas as _pd
-
     from dynamic_partitioner_spark.formats.png_py import (
         register_png_meta_codec, synthetic_png)
     from dynamic_partitioner_spark.operators.multimodal import (
@@ -1453,19 +1442,12 @@ def q_mm_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_png_meta_codec()
     docs = _table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source")
-
-    def gen(batches):
-        for pdf in batches:
-            yield _pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "payload": [
-                    synthetic_png(int(d), {"lang": la, "source": so})
-                    for d, la, so in zip(pdf["doc_id"], pdf["lang"],
-                                         pdf["source"])],
-            })
-
-    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
-    dec = decode_media(payloads, "image/png;text")
+    dec = decode_media(
+        _synthetic_payloads(
+            docs,
+            lambda d, la, so: synthetic_png(d, {"lang": la,
+                                                "source": so})),
+        "image/png;text")
     return dec.select(
         "doc_id", "width", "height",
         F.col("n_text").cast("long").alias("n_text"), "meta_json",

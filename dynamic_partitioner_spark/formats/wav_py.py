@@ -92,6 +92,11 @@ def decode_wav(payload: bytes) -> tuple[int, int, bytes]:
     if audio_format != 1 or bits != 16:
         raise WavFormatError(
             f"only PCM16 supported (format={audio_format}, bits={bits})")
+    if channels < 1:
+        # keeps the documented error contract: a crafted channels=0 /
+        # block=0 header would otherwise pass 0 == 2·0 and escape as a
+        # raw ZeroDivisionError from the modulo below (code-review r8)
+        raise WavFormatError("fmt chunk declares zero channels")
     if block != 2 * channels:
         raise WavFormatError(
             f"block align {block} != 2 x {channels} channels")

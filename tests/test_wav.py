@@ -45,6 +45,14 @@ def test_structural_damage_rejected():
         decode_wav(bad)
     with pytest.raises(WavFormatError, match="tile"):
         encode_wav(b"\x00\x01\x02", 8000, 1)
+    # crafted channels=0 / block=0 header: must be the documented
+    # error class, not a ZeroDivisionError from the tiling modulo
+    zero_ch = blob.replace(struct.pack("<HHIIHH", 1, 1, 8000, 16000,
+                                       2, 16),
+                           struct.pack("<HHIIHH", 1, 0, 8000, 16000,
+                                       0, 16), 1)
+    with pytest.raises(WavFormatError, match="zero channels"):
+        decode_wav(zero_ch)
 
 
 def test_codec_matches_sample_rule():
