@@ -3,12 +3,16 @@
 ``queries()`` exposes every implemented operator from SURVEY.md §2 (the
 reference's dynamic-partitioned sink surface S1–S7 + read-back) and the
 north-star extensions (dedup / similarity / text analysis / multimodal /
-streaming).  ``oracle_sql()`` carries a DuckDB twin for every
-SQL-expressible key; the sketch/approximate ops (MinHash LSH, sign-LSH
-ANN, IVF, PQ rerank, HLL / approx-percentile, iterative sequence
-packing) are rows-only by nature and their correctness (recall / error
-bounds / invariants) is pinned by pytest instead (tests/; the exact
-rows-only set is asserted in tests/test_entry_contract.py).
+streaming).  ``oracle_sql()`` carries a DuckDB twin for every key but
+one: the sketch/approximate ops (MinHash LSH, sign-LSH ANN, IVF, PQ
+rerank, SemDeDup, HLL / approx-percentile, sequence packing, PageRank)
+are hash-checked through INVARIANT-CERTIFICATION rows — deterministic
+grids plus oracle-asserted booleans / exact twin columns
+(``_ann_invariant_rows`` / ``_pair_certification`` / the sketch_cms
+pattern) — while their data-dependent recall / error bounds stay
+pinned in pytest.  The one remaining rows-only key is
+``text_bpe_learn`` (an iterative merge SEQUENCE with no SQL twin;
+asserted in tests/test_entry_contract.py).
 
 Conventions shared by both sides so value-hashes match:
   * every computed column is aliased identically in Spark and SQL
