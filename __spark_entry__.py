@@ -2687,6 +2687,20 @@ def q_similarity_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int8_topk(emb, queries, k=5)
 
 
+def q_similarity_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization top-k (operators/quantize.py:bq_topk): 1-bit
+    sign signatures (two packed LONGs per vector, 32x smaller than
+    float32) ranked by exact Hamming distance — the cheapest retrieval
+    tier, fully value-checkable because nothing past the sign
+    comparison is float.  Completes the quantization ladder
+    (float → int8 → PQ → 1-bit); rank agreement with the float cosine
+    baseline stays pinned in tests/test_quantize.py."""
+    from dynamic_partitioner_spark.operators.quantize import bq_topk
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return bq_topk(emb, queries, k=5)
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle-containment pairs (|A∩B| / min|A|,|B|) — catches
     sub-document duplication (quotes, boilerplate, truncated
@@ -5078,7 +5092,7 @@ _PRIORITY_R08 = [
     "dedup_minhash", "dedup_embedding_lsh", "dedup_semantic",
     "graph_neighbor_jaccard", "text_phrases", "sample_neyman",
     "mm_dhash", "ops_clustering_depth", "events_did",
-    "mm_wav_stats", "events_drift_chi2",
+    "mm_wav_stats", "events_drift_chi2", "similarity_bq_topk",
     # graph_triangles: r8 change was operator cache-release only —
     # query/oracle text unchanged since its green r7 driver check
     "graph_triangles",
@@ -5227,6 +5241,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_pairs": q_text_bpe_pairs,
         "events_anomaly": q_events_anomaly,
         "similarity_int8_topk": q_similarity_int8,
+        "similarity_bq_topk": q_similarity_bq,
         "dedup_containment": q_dedup_containment,
         "privacy_l_diversity": q_privacy_l_diversity,
         "sample_temperature": q_sample_temperature,
@@ -5452,6 +5467,10 @@ def oracle_sql() -> dict[str, str]:
         base = f"(4 * ({p}))"
         return (f"(299 * {pix(base)} + 587 * {pix(base + ' + 1')} "
                 f"+ 114 * {pix(base + ' + 2')})")
+
+    from dynamic_partitioner_spark.operators.quantize import sign_half_sql
+    _QZ_HI = sign_half_sql("embedding", 32)
+    _QZ_LO = sign_half_sql("embedding", 0)
 
     return {
         "partitioned_write_single": li_full,
@@ -7251,6 +7270,26 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN s USING (user_id)
             WHERE sd > 0 AND abs((e.value - m) / sd) > 2
         """,
+        # 1-bit tier twin: identical 32-term CASE packing (1-based
+        # list indexing), identical bit_count(xor) distance — all
+        # integers, so the oracle matches on values
+        "similarity_bq_topk": f"""
+            WITH p AS (
+                SELECT vec_id,
+                       {{QHI}} AS hi, {{QLO}} AS lo
+                FROM embeddings WHERE len(embedding) = 64),
+            scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       CAST(bit_count(xor(q.hi, c.hi))
+                            + bit_count(xor(q.lo, c.lo)) AS INTEGER)
+                           AS hamming
+                FROM p q JOIN p c ON q.vec_id != c.vec_id
+                WHERE q.vec_id < 10)
+            SELECT query_id, neighbor_id, hamming,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY hamming, neighbor_id) AS rank
+            FROM scored QUALIFY rank <= 5
+        """.format(QHI=_QZ_HI, QLO=_QZ_LO),
         "similarity_int8_topk": f"""
             WITH base AS (
                 SELECT vec_id, embedding,

@@ -251,3 +251,47 @@ def test_prefix_dim_eval_full_length_is_exact_zero(spark):
     assert 0.0 <= out[2].mean_abs_delta <= out[2].max_abs_delta
     with _pt.raises(ValueError, match="prefix dim"):
         prefix_dim_eval(emb, "vec_id", "embedding", dims=())
+
+
+def test_bq_topk_matches_numpy_reference(spark):
+    """The packed-sign Hamming ranks equal a numpy recompute, and the
+    1-bit tier's rank-1 neighbor tracks the float-cosine rank-1 for a
+    clearly-clustered corpus (the quantization-ladder sanity pin)."""
+    import numpy as np
+
+    from dynamic_partitioner_spark.operators.quantize import bq_topk
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(4, 64))
+    rows = []
+    vid = 0
+    for b in range(4):
+        for _ in range(6):
+            rows.append((vid, (base[b] + 0.05 * rng.normal(size=64))
+                         .tolist()))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.where(F.col("vec_id") < 3)
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.hamming)
+           for r in bq_topk(df, queries, k=5).collect()}
+
+    X = np.asarray([v for _, v in rows])
+    bits = (X > 0)
+    for q in range(3):
+        ham = (bits[q] != bits).sum(axis=1)
+        order = sorted((int(ham[i]), i) for i in range(len(rows))
+                       if i != q)[:5]
+        for rk, (h, i) in enumerate(order, 1):
+            assert got[(q, rk)] == (i, h), (q, rk)
+        # same cluster (vectors 0..5) dominates the 1-bit shortlist
+        assert {got[(q, rk)][0] // 6 for rk in (1, 2)} == {0}
+
+
+def test_bq_topk_excludes_ragged_vectors(spark):
+    from dynamic_partitioner_spark.operators.quantize import bq_topk
+
+    rows = [(0, [1.0] * 64), (1, [-1.0] * 64), (2, [1.0] * 10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = bq_topk(df, df.where(F.col("vec_id") == 0), k=5).collect()
+    assert {r.neighbor_id for r in out} == {1}   # ragged vec 2 dropped
+    assert out[0].hamming == 64

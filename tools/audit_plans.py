@@ -99,6 +99,7 @@ AUDIT_KEYS = [
     "dedup_semantic", "graph_neighbor_jaccard", "text_phrases",
     "sample_neyman", "mm_dhash", "ops_clustering_depth",
     "events_did", "mm_wav_stats", "events_drift_chi2",
+    "similarity_bq_topk",
 ]
 
 _KEEP = re.compile(
@@ -115,6 +116,9 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
                            "QUERY SET broadcasts; corpus side streams"),
     "similarity_hybrid_rrf": (1, "same exact-baseline query-set "
                                  "broadcast as similarity_topk"),
+    "similarity_bq_topk": (1, "same bounded query-set broadcast as "
+                              "similarity_topk; 16-byte signatures "
+                              "stream, never the float vectors"),
     "embedding_threshold_sweep": (1, "hash-capped calibration sample "
                                      "broadcast; the sweep is "
                                      "quadratic on the SAMPLE by "
@@ -182,6 +186,7 @@ _GROUPED_BNLJ = {"privacy_t_closeness"}
 #: (query set or hash-capped sample) instead.
 _SCALAR_BNLJ = {k for k in BNLJ_ALLOWED
                 if k not in ("similarity_topk", "similarity_hybrid_rrf",
+                             "similarity_bq_topk",
                              "embedding_threshold_sweep",
                              "embedding_prefix_eval")
                 and k not in _GROUPED_BNLJ}
