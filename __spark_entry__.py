@@ -7276,7 +7276,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_bq_topk": f"""
             WITH p AS (
                 SELECT vec_id,
-                       {{QHI}} AS hi, {{QLO}} AS lo
+                       {_QZ_HI} AS hi, {_QZ_LO} AS lo
                 FROM embeddings WHERE len(embedding) = 64),
             scored AS (
                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -7289,7 +7289,7 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY query_id
                        ORDER BY hamming, neighbor_id) AS rank
             FROM scored QUALIFY rank <= 5
-        """.format(QHI=_QZ_HI, QLO=_QZ_LO),
+        """,
         "similarity_int8_topk": f"""
             WITH base AS (
                 SELECT vec_id, embedding,

@@ -231,7 +231,17 @@ def bq_topk(emb: DataFrame, queries: DataFrame, id_col: str = "vec_id",
     (corpus × n_queries) scored rows shuffle into the rank window.
     Vectors whose length differs from ``dim`` are excluded up front
     (mirrored by the oracle) rather than implicitly zero-padded.
+
+    The two-LONG signature is wired for exactly 64 dims; other widths
+    need ⌈dim/32⌉ packed words (and a matching oracle), so anything
+    else is rejected here rather than silently truncating the vector
+    (dim > 64) or reading past the array under ANSI mode (dim < 64).
     """
+    if dim != 64:
+        raise ValueError(
+            f"bq_topk packs exactly 64 dims into its two signature "
+            f"words; got dim={dim} — extend to ceil(dim/32) words "
+            "(and the oracle twin) before widening")
     v = F.col(vec_col)
     q = (queries.where(F.size(v) == dim)
          .select(F.col(id_col).alias("query_id"),
