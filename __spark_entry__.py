@@ -4292,6 +4292,78 @@ def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4((mtq - mtp) - (mcq - mcp)).alias("did"))
 
 
+def q_events_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size (power) calculator over the OBSERVED baseline —
+    the planning companion to events_ab_test: from the corpus's exact
+    per-user conversion counts (the same value > 95 definition), the
+    required users per arm to detect an absolute +2pp lift at
+    α = 0.05 two-sided / 80% power:
+    ``n = ceil((z_α/2 + z_β)² · (p1(1−p1) + p2(1−p2)) / (p2−p1)²)``.
+    The z quantiles are shared double LITERALS (no erf/quantile
+    machinery to diverge), p1 is an exact-count ratio, and the whole
+    formula is one fixed IEEE sequence — bit-identical cross-engine.
+    Output: one row (n_users, n_converted, p1/p2 round4, n_per_arm,
+    feasible = corpus already holds 2n users).  Degenerate baselines
+    (p1 = 0 or p2 ≥ 1) yield NULL n rather than a misleading plan."""
+    events = _table(spark, sf_dir, "events")
+    per_user = (events.groupBy("user_id")
+                .agg(F.max(F.when((F.col("event_type") == "purchase")
+                                  & (F.col("value") > 95), 1)
+                           .otherwise(0)).alias("converted")))
+    g = per_user.agg(F.count(F.lit(1)).alias("n_users"),
+                     F.sum("converted").alias("n_converted"))
+    z = F.lit(1.959963984540054) + F.lit(0.8416212335729143)
+    p1 = F.col("n_converted").cast("double") / F.col("n_users")
+    p2 = p1 + F.lit(0.02)
+    n = F.when((F.col("n_converted") > 0) & (p2 < 1),
+               F.ceil(z * z * (p1 * (1 - p1) + p2 * (1 - p2))
+                      / ((p2 - p1) * (p2 - p1))).cast("long"))
+    return g.select(
+        "n_users", "n_converted",
+        round4(p1).alias("p1"), round4(p2).alias("p2"),
+        n.alias("n_per_arm"),
+        F.coalesce(F.lit(2) * n <= F.col("n_users"), F.lit(False))
+        .alias("feasible"))
+
+
+def q_query_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of account balance per market segment —
+    the inequality/concentration readout (how skewed is the value
+    mass), via the rank-weighted closed form
+    ``G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)`` over cent-quantized
+    balances.  Rank ties on equal values are irrelevant to the sum
+    (equal x under either rank) but are broken on c_custkey anyway so
+    the per-row relation is deterministic; the rank-weighted products
+    accumulate in DECIMAL(38,0) ↔ HUGEINT (i·x crosses BIGINT once
+    n·x̄ passes ~9e18 — the repo's wide-sum rule).  Negative balances
+    are filtered (Gini is defined over non-negative mass), mirrored by
+    the oracle.  One shuffle: the per-segment rank window; at 100 TB
+    the exact form's full per-group sort gives way to the binned
+    (Lorenz-histogram) approximation — documented trade, not a
+    silent one."""
+    cust = _table(spark, sf_dir, "customer")
+    base = (cust.where(F.col("c_acctbal") >= 0)
+            .select("c_mktsegment", "c_custkey",
+                    F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+                    .cast("long").alias("xm")))
+    w = Window.partitionBy("c_mktsegment").orderBy("xm", "c_custkey")
+    ranked = base.withColumn("i", F.row_number().over(w))
+    g = (ranked.groupBy("c_mktsegment")
+         .agg(F.count(F.lit(1)).alias("n_customers"),
+              F.sum("xm").alias("total_cents"),
+              F.sum(F.expr("CAST(i AS DECIMAL(38,0)) * xm"))
+              .alias("_iwx")))
+    num = (F.lit(2) * F.col("_iwx").cast("double")
+           - (F.col("n_customers") + 1).cast("double")
+           * F.col("total_cents"))
+    gini = F.when(F.col("total_cents") > 0,
+                  round4(num / (F.col("n_customers").cast("double")
+                                * F.col("total_cents"))))
+    return (g.select("c_mktsegment", "n_customers", "total_cents",
+                     gini.alias("gini"))
+            .orderBy("c_mktsegment"))
+
+
 def q_events_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift screen (the ML-feature monitoring readout):
     chi-square contingency statistic of value-quartile bin × pre/post
@@ -5093,6 +5165,7 @@ _PRIORITY_R08 = [
     "graph_neighbor_jaccard", "text_phrases", "sample_neyman",
     "mm_dhash", "ops_clustering_depth", "events_did",
     "mm_wav_stats", "events_drift_chi2", "similarity_bq_topk",
+    "query_gini", "events_power",
     # graph_triangles: r8 change was operator cache-release only —
     # query/oracle text unchanged since its green r7 driver check
     "graph_triangles",
@@ -5352,6 +5425,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ab_test": q_events_ab_test,
         "events_did": q_events_did,
         "events_drift_chi2": q_events_drift_chi2,
+        "query_gini": q_query_gini,
+        "events_power": q_events_power,
         "query_sql_lateral": q_sql_lateral,
         "events_funnel_windowed": q_events_funnel_windowed,
         "privacy_k_histogram": q_privacy_k_histogram,
@@ -7947,6 +8022,65 @@ def oracle_sql() -> dict[str, str]:
         """,
         # same grid/marginal construction; term micro-quantized before
         # the order-free integer sum (q_events_drift_chi2 docstring)
+        # identical rank-weighted closed form; HUGEINT product sums
+        # shared z-quantile literals, exact-count baseline, one fixed
+        # IEEE formula sequence (q_events_power docstring)
+        "events_power": f"""
+            WITH pu AS (
+                SELECT user_id,
+                       max(CASE WHEN event_type = 'purchase'
+                                 AND value > 95
+                                THEN 1 ELSE 0 END) AS converted
+                FROM events GROUP BY user_id),
+            g AS (SELECT count(*) AS n_users,
+                         CAST(sum(converted) AS BIGINT) AS n_converted
+                  FROM pu),
+            m AS (SELECT n_users, n_converted,
+                         CAST(n_converted AS DOUBLE) / n_users AS p1,
+                         CAST(n_converted AS DOUBLE) / n_users + 0.02
+                             AS p2,
+                         1.959963984540054 + 0.8416212335729143 AS z
+                  FROM g),
+            c AS (SELECT *,
+                         CASE WHEN n_converted > 0 AND p2 < 1 THEN
+                             CAST(ceil(z * z
+                                       * (p1 * (1 - p1) + p2 * (1 - p2))
+                                       / ((p2 - p1) * (p2 - p1)))
+                                  AS BIGINT)
+                         END AS n_per_arm
+                  FROM m)
+            SELECT n_users, n_converted,
+                   {ROUND4_SQL.format(x="p1")} AS p1,
+                   {ROUND4_SQL.format(x="p2")} AS p2,
+                   n_per_arm,
+                   coalesce(2 * n_per_arm <= n_users, FALSE) AS feasible
+            FROM c
+        """,
+        "query_gini": f"""
+            WITH base AS (
+                SELECT c_mktsegment, c_custkey,
+                       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS xm
+                FROM customer WHERE c_acctbal >= 0),
+            r AS (SELECT c_mktsegment, xm,
+                         row_number() OVER (PARTITION BY c_mktsegment
+                             ORDER BY xm, c_custkey) AS i
+                  FROM base),
+            g AS (SELECT c_mktsegment,
+                         count(*) AS n_customers,
+                         CAST(sum(xm) AS BIGINT) AS total_cents,
+                         sum(CAST(i AS HUGEINT) * xm) AS iwx
+                  FROM r GROUP BY c_mktsegment)
+            SELECT c_mktsegment, n_customers, total_cents,
+                   CASE WHEN total_cents > 0 THEN
+                       {ROUND4_SQL.format(
+                           x="(2 * CAST(iwx AS DOUBLE)"
+                             " - CAST(n_customers + 1 AS DOUBLE)"
+                             " * total_cents)"
+                             " / (CAST(n_customers AS DOUBLE)"
+                             " * total_cents)")}
+                   END AS gini
+            FROM g
+        """,
         "events_drift_chi2": f"""
             WITH ev AS (
                 SELECT value,

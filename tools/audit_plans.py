@@ -99,7 +99,7 @@ AUDIT_KEYS = [
     "dedup_semantic", "graph_neighbor_jaccard", "text_phrases",
     "sample_neyman", "mm_dhash", "ops_clustering_depth",
     "events_did", "mm_wav_stats", "events_drift_chi2",
-    "similarity_bq_topk",
+    "similarity_bq_topk", "query_gini", "events_power",
 ]
 
 _KEEP = re.compile(

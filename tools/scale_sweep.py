@@ -96,7 +96,7 @@ SWEEP_KEYS = [
     "embedding_prefix_eval", "graph_neighbor_jaccard", "text_phrases",
     "sample_neyman", "mm_dhash", "ops_clustering_depth",
     "events_did", "mm_wav_stats", "events_drift_chi2",
-    "similarity_bq_topk",
+    "similarity_bq_topk", "query_gini", "events_power",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
