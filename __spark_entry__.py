@@ -4292,6 +4292,63 @@ def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4((mtq - mtp) - (mcq - mcp)).alias("did"))
 
 
+def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013, *Improving the
+    Sensitivity of Online Controlled Experiments by Utilizing
+    Pre-Experiment Data*) — the experimentation suite's variance
+    lever: per-user pre-period value mass as the covariate x,
+    post-period mass as the metric y (median-DAY split, the
+    events_did machinery), θ = cov(x,y)/var(x) from EXACT integer
+    moments, and the achieved variance-reduction ratio
+    ``var(y − θx)/var(y) = 1 − ρ²``.
+
+    Exactness: x/y are DECI-unit BIGINTs — coarse enough that every
+    moment sum (Σx, Σy, Σxy, Σx², Σy²) stays below 2^53 through sf10,
+    so the BIGINT→DOUBLE conversions are exact and θ/ρ² are one fixed
+    IEEE sequence over identical doubles (a finer unit would push Σxy
+    past 2^53 where DuckDB's HUGEINT→DOUBLE rounding is not
+    guaranteed correctly-rounded — the quantization coarseness IS the
+    overflow-free-exactness trade, chosen deliberately).  Users with
+    activity in only one period participate with 0 in the other (the
+    standard CUPED population).  Degenerate var(x) = 0 or
+    var(y) = 0 yields NULL θ / ratio.  Output: one row of exact
+    moments + round4 statistics."""
+    events = _table(spark, sf_dir, "events")
+    ev = (events.where(F.col("value").isNotNull())
+          .select("user_id", event_time_us(events).alias("ts_us"),
+                  F.floor(F.col("value") * 10 + F.lit(0.5))
+                  .cast("long").alias("vd"))
+          .select("user_id", "vd",
+                  F.expr("ts_us div 86400000000").alias("day")))
+    cut = ev.agg(F.expr("percentile(day, 0.5)").alias("_cut"))
+    pu = (ev.crossJoin(F.broadcast(cut))
+          .groupBy("user_id")
+          .agg(F.sum(F.when(F.col("day") <= F.col("_cut"),
+                            F.col("vd")).otherwise(F.lit(0)))
+               .alias("x"),
+               F.sum(F.when(F.col("day") > F.col("_cut"),
+                            F.col("vd")).otherwise(F.lit(0)))
+               .alias("y")))
+    m = pu.agg(F.count(F.lit(1)).alias("n_users"),
+               F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+               F.sum(F.col("x") * F.col("y")).alias("sxy"),
+               F.sum(F.col("x") * F.col("x")).alias("sxx"),
+               F.sum(F.col("y") * F.col("y")).alias("syy"))
+    n = F.col("n_users").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy          # n²·cov — shared scale cancels
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    theta = F.when(varx_n > 0, cov_n / varx_n)
+    ratio = F.when((varx_n > 0) & (vary_n > 0),
+                   1 - (cov_n * cov_n) / (varx_n * vary_n))
+    return m.select("n_users", "sx", "sy", "sxy", "sxx", "syy",
+                    round4(theta).alias("theta"),
+                    round4(ratio).alias("var_ratio"))
+
+
 def q_events_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B sample-size (power) calculator over the OBSERVED baseline —
     the planning companion to events_ab_test: from the corpus's exact
@@ -5165,7 +5222,7 @@ _PRIORITY_R08 = [
     "graph_neighbor_jaccard", "text_phrases", "sample_neyman",
     "mm_dhash", "ops_clustering_depth", "events_did",
     "mm_wav_stats", "events_drift_chi2", "similarity_bq_topk",
-    "query_gini", "events_power",
+    "query_gini", "events_power", "events_cuped",
     # graph_triangles: r8 change was operator cache-release only —
     # query/oracle text unchanged since its green r7 driver check
     "graph_triangles",
@@ -5427,6 +5484,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_drift_chi2": q_events_drift_chi2,
         "query_gini": q_query_gini,
         "events_power": q_events_power,
+        "events_cuped": q_events_cuped,
         "query_sql_lateral": q_sql_lateral,
         "events_funnel_windowed": q_events_funnel_windowed,
         "privacy_k_histogram": q_privacy_k_histogram,
@@ -8025,6 +8083,46 @@ def oracle_sql() -> dict[str, str]:
         # identical rank-weighted closed form; HUGEINT product sums
         # shared z-quantile literals, exact-count baseline, one fixed
         # IEEE formula sequence (q_events_power docstring)
+        # identical deci-unit moments (all < 2^53 -> exact BIGINT ->
+        # exact DOUBLE) and the same fixed IEEE theta/ratio sequence
+        "events_cuped": f"""
+            WITH ev AS (
+                SELECT user_id,
+                       epoch_us(ts) // 86400000000 AS day,
+                       CAST(floor(value * 10 + 0.5) AS BIGINT) AS vd
+                FROM events WHERE value IS NOT NULL),
+            c AS (SELECT quantile_cont(day, 0.5) AS cut FROM ev),
+            pu AS (SELECT user_id,
+                          CAST(sum(CASE WHEN day <= cut THEN vd
+                                        ELSE 0 END) AS BIGINT) AS x,
+                          CAST(sum(CASE WHEN day > cut THEN vd
+                                        ELSE 0 END) AS BIGINT) AS y
+                   FROM ev, c GROUP BY user_id),
+            m AS (SELECT count(*) AS n_users,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x * y) AS BIGINT) AS sxy,
+                         CAST(sum(x * x) AS BIGINT) AS sxx,
+                         CAST(sum(y * y) AS BIGINT) AS syy
+                  FROM pu),
+            d AS (SELECT *,
+                         CAST(n_users AS DOUBLE) * sxy
+                             - CAST(sx AS DOUBLE) * sy AS cov_n,
+                         CAST(n_users AS DOUBLE) * sxx
+                             - CAST(sx AS DOUBLE) * sx AS varx_n,
+                         CAST(n_users AS DOUBLE) * syy
+                             - CAST(sy AS DOUBLE) * sy AS vary_n
+                  FROM m)
+            SELECT n_users, sx, sy, sxy, sxx, syy,
+                   CASE WHEN varx_n > 0 THEN
+                       {ROUND4_SQL.format(x="cov_n / varx_n")}
+                   END AS theta,
+                   CASE WHEN varx_n > 0 AND vary_n > 0 THEN
+                       {ROUND4_SQL.format(
+                           x="1 - (cov_n * cov_n) / (varx_n * vary_n)")}
+                   END AS var_ratio
+            FROM d
+        """,
         "events_power": f"""
             WITH pu AS (
                 SELECT user_id,

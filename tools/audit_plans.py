@@ -100,6 +100,7 @@ AUDIT_KEYS = [
     "sample_neyman", "mm_dhash", "ops_clustering_depth",
     "events_did", "mm_wav_stats", "events_drift_chi2",
     "similarity_bq_topk", "query_gini", "events_power",
+    "events_cuped",
 ]
 
 _KEEP = re.compile(
@@ -131,6 +132,7 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
     "text_bm25_retrieve": (1, "1-row scalar n_docs/avgdl broadcast"),
     "text_phrases": (1, "1-row scalar total-token-count broadcast"),
     "events_did": (1, "1-row scalar median-cutoff broadcast"),
+    "events_cuped": (1, "1-row scalar median-cutoff broadcast"),
     "events_drift_chi2": (1, "1-row scalar quartile/median-cut "
                              "broadcast; the 4x2 grid left-join is "
                              "an equi-keyed BHJ"),

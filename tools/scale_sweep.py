@@ -97,6 +97,7 @@ SWEEP_KEYS = [
     "sample_neyman", "mm_dhash", "ops_clustering_depth",
     "events_did", "mm_wav_stats", "events_drift_chi2",
     "similarity_bq_topk", "query_gini", "events_power",
+    "events_cuped",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
