@@ -4292,6 +4292,28 @@ def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4((mtq - mtp) - (mcq - mcp)).alias("did"))
 
 
+#: the ONE high-value-conversion definition shared by the A/B z-test
+#: and the power calculator (Spark + SQL sides) — value > 95 is chosen
+#: so conversion is non-degenerate at EVERY test SF; retune it HERE so
+#: the two experimentation keys can never silently diverge
+_CONVERTED_PU_SQL = """
+    SELECT user_id,
+           max(CASE WHEN event_type = 'purchase'
+                     AND value > 95
+                    THEN 1 ELSE 0 END) AS converted
+    FROM events GROUP BY user_id
+"""
+
+
+def _converted_per_user(events: DataFrame) -> DataFrame:
+    """(user_id, converted 0/1) — the Spark twin of
+    ``_CONVERTED_PU_SQL``."""
+    return (events.groupBy("user_id")
+            .agg(F.max(F.when((F.col("event_type") == "purchase")
+                              & (F.col("value") > 95), 1)
+                       .otherwise(0)).alias("converted")))
+
+
 def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance reduction (Deng et al. 2013, *Improving the
     Sensitivity of Online Controlled Experiments by Utilizing
@@ -4363,12 +4385,9 @@ def q_events_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     feasible = corpus already holds 2n users).  Degenerate baselines
     (p1 = 0 or p2 ≥ 1) yield NULL n rather than a misleading plan."""
     events = _table(spark, sf_dir, "events")
-    per_user = (events.groupBy("user_id")
-                .agg(F.max(F.when((F.col("event_type") == "purchase")
-                                  & (F.col("value") > 95), 1)
-                           .otherwise(0)).alias("converted")))
-    g = per_user.agg(F.count(F.lit(1)).alias("n_users"),
-                     F.sum("converted").alias("n_converted"))
+    g = _converted_per_user(events).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"))
     z = F.lit(1.959963984540054) + F.lit(0.8416212335729143)
     p1 = F.col("n_converted").cast("double") / F.col("n_users")
     p2 = p1 + F.lit(0.02)
@@ -4387,38 +4406,42 @@ def q_query_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Gini coefficient of account balance per market segment —
     the inequality/concentration readout (how skewed is the value
     mass), via the rank-weighted closed form
-    ``G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)`` over cent-quantized
-    balances.  Rank ties on equal values are irrelevant to the sum
-    (equal x under either rank) but are broken on c_custkey anyway so
-    the per-row relation is deterministic; the rank-weighted products
-    accumulate in DECIMAL(38,0) ↔ HUGEINT (i·x crosses BIGINT once
-    n·x̄ passes ~9e18 — the repo's wide-sum rule).  Negative balances
-    are filtered (Gini is defined over non-negative mass), mirrored by
-    the oracle.  One shuffle: the per-segment rank window; at 100 TB
-    the exact form's full per-group sort gives way to the binned
-    (Lorenz-histogram) approximation — documented trade, not a
-    silent one."""
+    ``G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)`` over whole-DOLLAR
+    quantized balances.  The coarse unit is deliberate (the
+    events_cuped rule): the rank-product sum grows QUADRATICALLY in
+    group size, and past 2^53 the two engines' wide-int→DOUBLE casts
+    are not guaranteed identically rounded — dollars keep Σi·x exact
+    through ~sf30, and since no fixed unit survives the quadratic
+    forever, the binned (Lorenz-histogram) approximation is the
+    documented path beyond that, not a silent cast residue.  Rank
+    ties on equal values are irrelevant to the sum (equal x under
+    either rank) but are broken on c_custkey anyway so the per-row
+    relation is deterministic; products still accumulate in
+    DECIMAL(38,0) ↔ HUGEINT so the INTEGER sum itself can never
+    overflow.  Negative balances are filtered (Gini is defined over
+    non-negative mass), mirrored by the oracle.  One shuffle: the
+    per-segment rank window (no output sort — the driver compares
+    order-insensitively)."""
     cust = _table(spark, sf_dir, "customer")
     base = (cust.where(F.col("c_acctbal") >= 0)
             .select("c_mktsegment", "c_custkey",
-                    F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+                    F.floor(F.col("c_acctbal") + F.lit(0.5))
                     .cast("long").alias("xm")))
     w = Window.partitionBy("c_mktsegment").orderBy("xm", "c_custkey")
     ranked = base.withColumn("i", F.row_number().over(w))
     g = (ranked.groupBy("c_mktsegment")
          .agg(F.count(F.lit(1)).alias("n_customers"),
-              F.sum("xm").alias("total_cents"),
+              F.sum("xm").alias("total_dollars"),
               F.sum(F.expr("CAST(i AS DECIMAL(38,0)) * xm"))
               .alias("_iwx")))
     num = (F.lit(2) * F.col("_iwx").cast("double")
            - (F.col("n_customers") + 1).cast("double")
-           * F.col("total_cents"))
-    gini = F.when(F.col("total_cents") > 0,
+           * F.col("total_dollars"))
+    gini = F.when(F.col("total_dollars") > 0,
                   round4(num / (F.col("n_customers").cast("double")
-                                * F.col("total_cents"))))
-    return (g.select("c_mktsegment", "n_customers", "total_cents",
-                     gini.alias("gini"))
-            .orderBy("c_mktsegment"))
+                                * F.col("total_dollars"))))
+    return g.select("c_mktsegment", "n_customers", "total_dollars",
+                    gini.alias("gini"))
 
 
 def q_events_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4498,10 +4521,7 @@ def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag a broken splitter."""
     from dynamic_partitioner_spark.operators.sampling import hash_unit
     events = _table(spark, sf_dir, "events")
-    per_user = (events.groupBy("user_id")
-                .agg(F.max(F.when((F.col("event_type") == "purchase")
-                                  & (F.col("value") > 95), 1)
-                           .otherwise(0)).alias("converted")))
+    per_user = _converted_per_user(events)
     variant = F.when(hash_unit(F.col("user_id"), "ab") < 0.5, "A") \
         .otherwise("B")
     g = (per_user.select(variant.alias("variant"), "converted")
@@ -8078,11 +8098,6 @@ def oracle_sql() -> dict[str, str]:
                    {ROUND4_SQL.format(x="(mtq - mtp) - (mcq - mcp)")} AS did
             FROM m
         """,
-        # same grid/marginal construction; term micro-quantized before
-        # the order-free integer sum (q_events_drift_chi2 docstring)
-        # identical rank-weighted closed form; HUGEINT product sums
-        # shared z-quantile literals, exact-count baseline, one fixed
-        # IEEE formula sequence (q_events_power docstring)
         # identical deci-unit moments (all < 2^53 -> exact BIGINT ->
         # exact DOUBLE) and the same fixed IEEE theta/ratio sequence
         "events_cuped": f"""
@@ -8123,13 +8138,10 @@ def oracle_sql() -> dict[str, str]:
                    END AS var_ratio
             FROM d
         """,
+        # shared z-quantile literals, exact-count baseline, one fixed
+        # IEEE formula sequence (q_events_power docstring)
         "events_power": f"""
-            WITH pu AS (
-                SELECT user_id,
-                       max(CASE WHEN event_type = 'purchase'
-                                 AND value > 95
-                                THEN 1 ELSE 0 END) AS converted
-                FROM events GROUP BY user_id),
+            WITH pu AS ({_CONVERTED_PU_SQL}),
             g AS (SELECT count(*) AS n_users,
                          CAST(sum(converted) AS BIGINT) AS n_converted
                   FROM pu),
@@ -8154,10 +8166,11 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(2 * n_per_arm <= n_users, FALSE) AS feasible
             FROM c
         """,
+        # identical rank-weighted closed form; HUGEINT product sums
         "query_gini": f"""
             WITH base AS (
                 SELECT c_mktsegment, c_custkey,
-                       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS xm
+                       CAST(floor(c_acctbal + 0.5) AS BIGINT) AS xm
                 FROM customer WHERE c_acctbal >= 0),
             r AS (SELECT c_mktsegment, xm,
                          row_number() OVER (PARTITION BY c_mktsegment
@@ -8165,20 +8178,22 @@ def oracle_sql() -> dict[str, str]:
                   FROM base),
             g AS (SELECT c_mktsegment,
                          count(*) AS n_customers,
-                         CAST(sum(xm) AS BIGINT) AS total_cents,
+                         CAST(sum(xm) AS BIGINT) AS total_dollars,
                          sum(CAST(i AS HUGEINT) * xm) AS iwx
                   FROM r GROUP BY c_mktsegment)
-            SELECT c_mktsegment, n_customers, total_cents,
-                   CASE WHEN total_cents > 0 THEN
+            SELECT c_mktsegment, n_customers, total_dollars,
+                   CASE WHEN total_dollars > 0 THEN
                        {ROUND4_SQL.format(
                            x="(2 * CAST(iwx AS DOUBLE)"
                              " - CAST(n_customers + 1 AS DOUBLE)"
-                             " * total_cents)"
+                             " * total_dollars)"
                              " / (CAST(n_customers AS DOUBLE)"
-                             " * total_cents)")}
+                             " * total_dollars)")}
                    END AS gini
             FROM g
         """,
+        # same grid/marginal construction; term micro-quantized before
+        # the order-free integer sum (q_events_drift_chi2 docstring)
         "events_drift_chi2": f"""
             WITH ev AS (
                 SELECT value,
@@ -8223,12 +8238,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "events_ab_test": f"""
-            WITH pu AS (
-                SELECT user_id,
-                       max(CASE WHEN event_type = 'purchase'
-                                 AND value > 95
-                                THEN 1 ELSE 0 END) AS converted
-                FROM events GROUP BY user_id),
+            WITH pu AS ({_CONVERTED_PU_SQL}),
             g AS (SELECT CASE WHEN
                        {{u_ab}} < 0.5
                        THEN 'A' ELSE 'B' END AS variant,
