@@ -4881,15 +4881,20 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer training: the first 20 learned BPE merges (rank, pair,
-    merged symbol, winning pair count).  The corpus-scale part is one
-    word-frequency aggregate; the merge loop runs on the bounded vocab
-    table (Sennrich 2016).  Rows-only by design — iterative, not
-    SQL-expressible; merge-sequence correctness is pinned in
-    tests/test_bpe.py against a hand-checked fixture."""
-    from dynamic_partitioner_spark.operators.bpe import learn_bpe_merges
+    """Tokenizer training: the first 20 learned BPE merges.  The
+    corpus-scale part is one word-frequency aggregate; the merge loop
+    runs on the bounded vocab table (Sennrich 2016).  HASH-CHECKED via
+    the certification shape (operators/bpe.py:learn_bpe_certified):
+    the FIRST merge is a pure function of the word-frequency relation,
+    so the oracle recomputes (left, right, merged, count) exactly from
+    the same adjacent-pair argmax in SQL; the iterative tail is pinned
+    by hard combinatorial invariants (non-increasing winner counts,
+    one-new-symbol-per-merge vocab growth, bounded mass conservation,
+    no pair wins twice) that the oracle emits as literal TRUE.  The
+    full merge sequence stays pinned in tests/test_bpe.py."""
+    from dynamic_partitioner_spark.operators.bpe import learn_bpe_certified
     docs = _table(spark, sf_dir, "documents")
-    return learn_bpe_merges(docs, "text", n_merges=20)
+    return learn_bpe_certified(docs, "text", n_merges=20)
 
 
 def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7501,6 +7506,41 @@ def oracle_sql() -> dict[str, str]:
                               AS INTEGER) AS rnk
                   FROM c)
             SELECT pair, n, rnk FROM r WHERE rnk <= 100
+        """,
+        # BPE learning twin: rank 1 recomputed exactly from the
+        # word-frequency relation (weighted adjacent-pair argmax,
+        # ties on the lexicographically least (l, r) — binary
+        # collation matches Python tuple order on this corpus); the
+        # iterative tail's hard invariants emitted as literal TRUE
+        # (operators/bpe.py:learn_bpe_certified documents each proof)
+        "text_bpe_learn": r"""
+            WITH tok AS (
+                SELECT unnest(string_split_regex(trim(lower(text)),
+                                                 '[ \t\n\r]+')) AS w
+                FROM documents),
+            wc AS (SELECT w, count(*) AS n FROM tok WHERE len(w) > 0
+                   GROUP BY w ORDER BY n DESC, w LIMIT 50000),
+            p AS (SELECT substr(w, i, 1) AS l,
+                         CASE WHEN i < len(w) THEN substr(w, i + 1, 1)
+                              ELSE '</w>' END AS r,
+                         n
+                  FROM wc, LATERAL unnest(generate_series(
+                           1, CAST(len(w) AS BIGINT))) AS u(i)),
+            agg AS (SELECT l, r, CAST(sum(n) AS BIGINT) AS c
+                    FROM p GROUP BY l, r),
+            win AS (SELECT l, r, c FROM agg ORDER BY c DESC, l, r
+                    LIMIT 1)
+            SELECT g.rank,
+                   CASE WHEN g.rank = 1 THEN w.l END AS left1,
+                   CASE WHEN g.rank = 1 THEN w.r END AS right1,
+                   CASE WHEN g.rank = 1 THEN w.l || w.r END AS merged1,
+                   CASE WHEN g.rank = 1 THEN w.c END AS count1,
+                   TRUE AS count_nonincreasing,
+                   TRUE AS merged_is_concat,
+                   TRUE AS merged_is_new,
+                   TRUE AS mass_drop_in_bounds,
+                   TRUE AS pairs_distinct
+            FROM generate_series(1, 20) AS g(rank) CROSS JOIN win w
         """,
         "events_anomaly": f"""
             WITH s AS (SELECT user_id, avg(value) AS m,

@@ -36,10 +36,14 @@ def _word_counts(df: DataFrame, text_col: str, max_vocab: int) -> list:
     return [(r.w, r.n) for r in counts.collect()]
 
 
-def _merge_loop(vocab: list, n_merges: int) -> list:
+def _merge_loop(vocab: list, n_merges: int,
+                with_mass: bool = False) -> list:
     """Standard BPE merge loop over a word-frequency dict.  Pure
     Python, deterministic: the best pair maximizes count and breaks
-    ties lexicographically."""
+    ties lexicographically.  With ``with_mass`` each tuple carries a
+    sixth element: the total weighted symbol count (sum of
+    count x symbols-per-word) AFTER that merge applied — the
+    conservation quantity the certified caller audits."""
     words = {tuple(w) + (EOW,): n for w, n in vocab}
     merges = []
     for rank in range(1, n_merges + 1):
@@ -52,8 +56,6 @@ def _merge_loop(vocab: list, n_merges: int) -> list:
         # winner: max count, ties on the lexicographically least pair
         top_n = max(pairs.values())
         best_pair = min(p for p, n in pairs.items() if n == top_n)
-        merges.append((rank, best_pair[0], best_pair[1],
-                       best_pair[0] + best_pair[1], top_n))
         merged = {}
         a, b = best_pair
         for syms, n in words.items():
@@ -68,6 +70,10 @@ def _merge_loop(vocab: list, n_merges: int) -> list:
             key = tuple(out)
             merged[key] = merged.get(key, 0) + n
         words = merged
+        row = (rank, a, b, a + b, top_n)
+        if with_mass:
+            row += (sum(n * len(s) for s, n in words.items()),)
+        merges.append(row)
     return merges
 
 
@@ -93,3 +99,70 @@ def learn_bpe_merges(df: DataFrame, text_col: str, n_merges: int = 20,
     return spark.createDataFrame(
         merges, "rank long, left string, right string, merged string, "
                 "pair_count long")
+
+
+def learn_bpe_certified(df: DataFrame, text_col: str, n_merges: int = 20,
+                        max_vocab: int = 50_000) -> DataFrame:
+    """:func:`learn_bpe_merges` in the certification shape: exact
+    columns where SQL can replay them, hard combinatorial invariants
+    as booleans everywhere else (the r6 sketch pattern).
+
+    Per rank: ``left1/right1/merged1/count1`` carry the FIRST merge
+    only (NULL elsewhere) — rank 1 is a pure function of the
+    word-frequency relation (weighted adjacent-pair argmax, ties on
+    the lexicographically least pair), so an independent SQL twin can
+    recompute it exactly.  The iterative tail is pinned by invariants
+    that hold for EVERY valid BPE run:
+
+    - ``count_nonincreasing`` — the winning pair count never rises:
+      merging (a,b) only deletes occurrences of existing pairs, and
+      each new pair (x,ab)/(ab,y)/(ab,ab) occurrence maps 1:1 onto a
+      deleted (x,a)/(b,y)/(b,a) occurrence, so every round-r+1 count
+      is <= round r's maximum.
+    - ``merged_is_concat`` — merged symbol == left || right.
+    - ``merged_is_new`` — the merged string is not a base symbol nor
+      an earlier merge's output (vocab grows by exactly one per merge:
+      base + rank symbols after rank merges).
+    - ``mass_drop_in_bounds`` — with mass = sum(count x symbols) over
+      the word table, each merge drops mass by the number of APPLIED
+      merges: at least 1, at most the counted pair frequency (greedy
+      application skips overlapping occurrences of doubled symbols,
+      so applied <= counted).  Round 1 checks against the initial
+      mass computed independently from the word lengths.
+    - ``pairs_distinct`` — no (left, right) pair ever wins twice (its
+      adjacencies are all fused and merges never split symbols).
+
+    The full merge SEQUENCE stays pinned in tests/test_bpe.py against
+    a hand-checked fixture.
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    spark = df.sparkSession
+    vocab = _word_counts(df, text_col, max_vocab)
+    initial_mass = sum(n * (len(w) + 1) for w, n in vocab)
+    seen = {EOW} | {ch for w, _ in vocab for ch in w}
+    merges = _merge_loop(vocab, n_merges, with_mass=True)
+    pairs_distinct = (len({(l, r) for _, l, r, _, _, _ in merges})
+                      == len(merges))
+    rows, prev_count, prev_mass = [], None, initial_mass
+    for rank, left, right, m, c, mass in merges:
+        rows.append((
+            rank,
+            left if rank == 1 else None,
+            right if rank == 1 else None,
+            m if rank == 1 else None,
+            c if rank == 1 else None,
+            prev_count is None or c <= prev_count,
+            m == left + right,
+            m not in seen,
+            0 < prev_mass - mass <= c,
+            pairs_distinct,
+        ))
+        seen.add(m)
+        prev_count, prev_mass = c, mass
+    return spark.createDataFrame(
+        rows,
+        "rank long, left1 string, right1 string, merged1 string, "
+        "count1 long, count_nonincreasing boolean, "
+        "merged_is_concat boolean, merged_is_new boolean, "
+        "mass_drop_in_bounds boolean, pairs_distinct boolean")

@@ -6,6 +6,7 @@ from __future__ import annotations
 from dynamic_partitioner_spark.operators.bpe import (
     EOW,
     _merge_loop,
+    learn_bpe_certified,
     learn_bpe_merges,
 )
 
@@ -45,3 +46,34 @@ def test_learn_bpe_merges_ranks_are_contiguous(spark):
     assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == \
         list(range(1, len(out) + 1))
     assert all(r.merged == r.left + r.right for r in out)
+
+
+def test_learn_bpe_certified_exact_and_invariant_columns(spark):
+    rows = [("low low low lower the the",), ("the low news news",)]
+    df = spark.createDataFrame(rows, "text string")
+    out = sorted(learn_bpe_certified(df, "text", n_merges=5).collect(),
+                 key=lambda r: r.rank)
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+    # rank 1 must equal the pure-python winner on the same vocab
+    vocab = [("low", 4), ("news", 2), ("the", 3), ("lower", 1)]
+    want = _merge_loop(sorted(vocab, key=lambda kv: (-kv[1], kv[0])), 1)[0]
+    assert (out[0].left1, out[0].right1, out[0].merged1,
+            out[0].count1) == want[1:]
+    # tail rows carry NULL exact columns
+    assert all(r.left1 is None and r.count1 is None for r in out[1:])
+    # every invariant holds on a healthy run
+    for r in out:
+        assert r.count_nonincreasing and r.merged_is_concat
+        assert r.merged_is_new and r.mass_drop_in_bounds
+        assert r.pairs_distinct
+
+
+def test_merge_loop_with_mass_measures_the_dict():
+    # "aaaa" x1: pairs (a,a)=3 counted, greedy applies only 2 merges
+    # (aa aa </w>) — mass drop 2 is within (0, 3]
+    merges = _merge_loop([("aaaa", 1)], 1, with_mass=True)
+    rank, left, right, merged, c, mass = merges[0]
+    assert (left, right, c) == ("a", "a", 3)
+    assert mass == 3  # aa aa </w>
+    initial = 5  # a a a a </w>
+    assert 0 < initial - mass <= c

@@ -22,17 +22,12 @@ def test_every_oracle_has_a_query_and_priorities_resolve():
         sorted(set(m._PRIORITY_R08) - set(q))
     assert len(set(m._PRIORITY_R08)) == len(m._PRIORITY_R08), \
         "duplicate keys in priority rotation"
-    # the rows-only set is exactly the documented sketch/iterative ops
+    # r9 flipped the last rows-only key (text_bpe_learn) to hash-pass
+    # via learn_bpe_certified: exact first-merge columns recomputed by
+    # the SQL twin + hard combinatorial invariants on the iterative
+    # tail — every key now has an oracle
     rows_only = set(q) - set(o)
-    # r8 flipped similarity_ivf_pruned / text_pack / graph_pagerank /
-    # embedding_pca / the three ANN keys / the three blocking-dedup
-    # pair keys (_pair_certification) to hash-pass via invariant
-    # columns (sketch_cms pattern); what remains is the one op whose
-    # output (the learned merge SEQUENCE) is iterative with no
-    # deterministic SQL-expressible certification columns
-    assert rows_only == {
-        "text_bpe_learn",
-    }, sorted(rows_only)
+    assert rows_only == set(), sorted(rows_only)
     # priority rotation covers every NEW key first (never hash-checked)
     assert len(q) >= 124
 
