@@ -535,12 +535,13 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_interval_union(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """Per-user activity coverage via interval merge (gaps-and-
-    islands): every event opens a closed 10-minute activity interval;
-    overlapping/touching intervals merge with a running-max window
-    scan (never an O(n²) overlap self-join), yielding merged-session
-    count, total covered micros with overlap collapsed, and the
-    longest continuous stretch.  All-integer epoch-micro bounds keep
-    both engines bit-exact."""
+    islands): every event opens a 10-minute activity interval
+    [t, t + 10min); overlapping/touching intervals merge with a
+    running-max window scan (never an O(n²) overlap self-join),
+    yielding merged-session count, total covered micros with overlap
+    collapsed (half-open lengths — see interval_union's semantics
+    note), and the longest continuous stretch.  All-integer
+    epoch-micro bounds keep both engines bit-exact."""
     from dynamic_partitioner_spark.functions.eventtime import (
         event_time_us)
     from dynamic_partitioner_spark.operators.relational import (
@@ -1953,8 +1954,8 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _table(spark, sf_dir, "lineitem")
     # l_linenumber alone is not unique per order in the synthetic data;
     # compose a unique monotone sequence (cdc_latest requires one) from
-    # (linenumber, partkey, suppkey) — unique at every SF
-    seq = (F.col("l_linenumber") * F.lit(10**11)
+    # (linenumber, partkey, suppkey) — slot math in cdc_change_seq()
+    seq = (F.col("l_linenumber") * F.lit(10**13)
            + F.col("l_partkey") * F.lit(10**5)
            + F.col("l_suppkey")).alias("seq")
     changes = li.select(
@@ -2059,10 +2060,14 @@ def cdc_change_seq():
     tie makes the winner nondeterministic in BOTH engines, and the
     synthetic lineitem DOES carry duplicate (orderkey, linenumber,
     partkey, suppkey) rows with different payloads: one at sf0.001
-    flipped this key under load, r8).  Tiebreak on price micro-cents;
-    (l_orderkey, seq) verified duplicate-free at sf0.001/0.01/0.1,
-    max seq ~7e16 — no BIGINT overflow risk."""
-    return ((F.col("l_linenumber") * F.lit(10**11)
+    flipped this key under load, r8).  Tiebreak on price cents; slot
+    widths (r9, was 10**11): linenumber*10**13 gives partkey a 1e8
+    slot (clean to sf~500; the old 1e6 slot bled at sf>=5) and
+    suppkey keeps 1e5 (clean to sf~10); max seq ~8e18 < 2**63.
+    tests/test_entry_contract.py asserts (l_orderkey, seq)
+    duplicate-free on the shipped corpora so a larger corpus fails
+    loudly instead of nondeterministically."""
+    return ((F.col("l_linenumber") * F.lit(10**13)
              + F.col("l_partkey") * F.lit(10**5)
              + F.col("l_suppkey")) * F.lit(10**5)
             + F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
@@ -2761,7 +2766,7 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     via one lead window per key."""
     from dynamic_partitioner_spark.operators.relational import scd2_build
     li = _table(spark, sf_dir, "lineitem")
-    seq = (F.col("l_linenumber") * F.lit(10**11)
+    seq = (F.col("l_linenumber") * F.lit(10**13)
            + F.col("l_partkey") * F.lit(10**5)
            + F.col("l_suppkey")).alias("seq")
     changes = li.select("l_orderkey", seq,
@@ -6021,7 +6026,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "query_scd2": """
             WITH ch AS (SELECT l_orderkey,
-                               l_linenumber * 100000000000
+                               l_linenumber * 10000000000000
                                    + l_partkey * 100000
                                    + l_suppkey AS seq,
                                round(l_quantity, 2) AS quantity
@@ -6742,7 +6747,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_apply": """
             WITH ch AS (
                 SELECT l_orderkey, l_linenumber,
-                       l_linenumber * 100000000000 + l_partkey * 100000
+                       l_linenumber * 10000000000000 + l_partkey * 100000
                            + l_suppkey AS seq,
                        CASE WHEN l_partkey % 11 = 0 THEN 'D' ELSE 'U' END
                            AS op,
@@ -6816,7 +6821,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_upsert": """
             WITH ch AS (
                 SELECT l_orderkey,
-                       (l_linenumber * 100000000000 + l_partkey * 100000
+                       (l_linenumber * 10000000000000 + l_partkey * 100000
                            + l_suppkey) * 100000
                            + CAST(floor(l_extendedprice * 100 + 0.5)
                                   AS BIGINT) % 100000 AS seq,

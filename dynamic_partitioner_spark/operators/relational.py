@@ -1434,11 +1434,20 @@ def cohort_value_sql(user: str, day: str, value_u: str,
 
 def interval_union(df: DataFrame, key_col: str, start_col: str,
                    end_col: str) -> DataFrame:
-    """Merge overlapping (or touching) closed integer intervals per
-    key — the gaps-and-islands primitive behind session stitching,
+    """Merge overlapping (or touching) integer intervals per key —
+    the gaps-and-islands primitive behind session stitching,
     coverage/uptime accounting, and span consolidation.  Returns per
-    key: the merged-island count, total covered units (double-counted
-    overlap collapsed), and the longest single island.
+    key: the merged-island count, total covered units, and the longest
+    single island.
+
+    MERGE semantics treat bounds as closed (intervals touching at a
+    point join one island: the island test is ``start > running max
+    end``, not ``>=``); COVERAGE is half-open — ``covered`` and
+    ``longest`` are ``island_end - island_start``, i.e. [s, e) length,
+    so a point interval [5, 5] covers 0 units.  This is the natural
+    convention for timestamp spans (end = first instant NOT covered);
+    callers wanting closed-length coverage add islands x 1 unit
+    themselves.
 
     Shape: one window pass per key ordered by (start, end) — a row
     starts a new island iff its start exceeds the running max of all

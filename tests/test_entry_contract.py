@@ -102,3 +102,40 @@ def test_tool_key_lists_are_unique_and_resolve():
         assert not dupes, (path, dupes)
         unknown = set(keys) - valid
         assert not unknown, (path, unknown)
+
+
+def test_cdc_change_seq_unique_per_key(spark):
+    """The CDC keys' latest-wins semantics require (l_orderkey, seq)
+    to be duplicate-free — a tie makes the winner nondeterministic in
+    BOTH engines.  Slot packing can silently collide when a larger
+    corpus outgrows a slot (ADVICE r8: partkey outgrew its old 1e6
+    slot at sf>=5), so assert uniqueness loudly on the shipped test
+    corpora; a future corpus that collides fails here, not as a
+    driver hash flake."""
+    import __spark_entry__ as m
+    from pyspark.sql import functions as F
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        seq = m.cdc_change_seq()
+        dupes = (li.select("l_orderkey", seq)
+                 .groupBy("l_orderkey", "seq").count()
+                 .where(F.col("count") > 1).count())
+        assert dupes == 0, f"{sf_dir}: {dupes} duplicate (key, seq) pairs"
+
+
+def test_rake_oracle_stopword_alternation_in_sync():
+    """The text_rake oracle hardcodes the stopword alternation; an
+    edit to functions.text._STOPWORDS would silently desynchronize the
+    two engines until the driver hash flipped red with no hint why
+    (ADVICE r8).  Pin the literal to the exact pattern rake_keywords
+    generates (longest-first order + re.escape)."""
+    import re
+
+    import __spark_entry__ as m
+    from dynamic_partitioner_spark.functions.text import _STOPWORDS
+
+    ordered = sorted(_STOPWORDS, key=lambda w: (-len(w), w))
+    want = r"\b(" + "|".join(re.escape(w) for w in ordered) + r")\b"
+    assert want in m.oracle_sql()["text_rake"], (
+        "text_rake oracle stopword alternation desynchronized from "
+        f"functions.text._STOPWORDS — regenerate as {want!r}")

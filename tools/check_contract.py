@@ -80,6 +80,14 @@ def main() -> int:
 
     import __spark_entry__ as E
     from dynamic_partitioner_spark import get_spark
+    from dynamic_partitioner_spark.session import _sweep_stale_dirs
+
+    # failure dumps below live in per-pid dirs so concurrent runs can't
+    # clobber each other's evidence; dead runs' dumps would otherwise
+    # accumulate unboundedly (ADVICE r8) — sweep them like every other
+    # run-* dir (a dump survives until the NEXT contract run, which is
+    # the window it gets inspected in)
+    _sweep_stale_dirs("/root/repo/.scratch/failures")
 
     spark = get_spark("check-contract")
     con = duck_con(sf_dir)
