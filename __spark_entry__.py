@@ -5285,94 +5285,64 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate canonicalizes only the first ~50
 # ``queries()`` entries per round.  Rotate each round so the keys with
-# the LEAST driver evidence come first.  Round 8's window (the r7
-# VERDICT's #1 ask: refresh the 82 keys last certified in r3/r4):
-#   first  the 9 NEW keys (mm_decode_png, mm_png_meta,
-#          text_bm25_retrieve, ops_compaction_plan,
-#          partitioned_write_transforms, events_interval_union,
-#          ops_retention_vacuum, text_rake,
-#          query_sql_window_frames) and the keys whose
-#          query/oracle text changed this round (streaming_upsert
-#          gained the price-cents seq tiebreak; similarity_ivf_pruned
-#          / text_pack / graph_pagerank / embedding_pca flipped
-#          rows-only->hash via invariant columns; events_ab_test
-#          gained the zero-denominator guard; graph_triangles'
-#          operator now checkpoints its single-row output so the
-#          edge blocks unpin on return, and the three ANN keys
-#          flipped rows-only->hash via per-query invariant
-#          rows) — 18 keys,
-#   then   ALL 32 remaining round-3-evidence keys — the oldest driver
-#          evidence anywhere (incl. every original streaming key).
-# Positions 51+ carry the round-4 overflow (incl. dedup_semantic's
-# siblings bumped by the new keys) so round 9 finishes the stale set.
-# (text_winnow/text_tfidf/text_bpe_pairs became r-strings this round
-# but the cooked SQL bytes are IDENTICAL — not re-folded.)
-_PRIORITY_R08 = [
-    # --- new key + changed query/oracle text this round ---
-    "mm_decode_png", "mm_png_meta", "text_bm25_retrieve",
-    "ops_compaction_plan", "partitioned_write_transforms",
-    "events_interval_union", "ops_retention_vacuum", "text_rake",
-    "similarity_ann_lsh", "similarity_ann_ivf", "similarity_pq_rerank",
-    "query_sql_window_frames",
-    "streaming_upsert", "similarity_ivf_pruned",
-    "text_pack", "graph_pagerank", "embedding_pca",
-    "events_ab_test",
-    # --- round-3 evidence (all 32 remaining) ---
-    "streaming_dedup", "streaming_stateful_counts", "streaming_join",
-    "streaming_partitioned_write", "streaming_windowed_agg",
-    "merge_upsert", "cdc_apply", "partition_compact",
-    "mm_binary_roundtrip", "mm_binary_stats", "mm_features",
-    "mm_frame_sample",
-    "catalog_table", "embedding_roundtrip", "privacy_k_anon",
-    "query_cube", "query_distinct_agg", "query_event_gaps",
-    "query_grouping_sets", "query_histogram", "query_pivot",
-    "query_profile", "query_salted_join", "query_semi_anti",
-    "query_set_ops", "query_sliding_window", "query_snapshot_diff",
-    "sorted_export", "sorted_export_zorder", "source_binaryfile",
-    "source_fixed_width_roundtrip", "source_xml_roundtrip",
-    # ---- fold: driver checks the 50 above (18 new/changed-text
-    # ---- keys + all 32 remaining round-3-evidence keys) ----
-    # below the fold, r9 rotation order: the keys added or flipped
-    # rows-only->hash late in r8 (locally contract-certified at
-    # sf0.01/sf0.001, no driver evidence for the NEW query/oracle
-    # text yet), then round-4 evidence most-churned first
-    "ops_incremental_scan", "embedding_prefix_eval",
+# the LEAST driver evidence come first.  Round 9's window (the r8
+# VERDICT's #1 ask: the 18-key evidence gap, then the round-4 cohort):
+#   first  the keys whose query/oracle text changed THIS round —
+#          ops_compaction_plan + ops_clustering_depth (oracles made
+#          decomposition-independent after the r8 driver hash flake),
+#          text_bpe_learn (last rows-only key flipped to a certified
+#          oracle), and cdc_apply / query_scd2 / streaming_upsert
+#          (CDC seq slot widened 10**11 -> 10**13),
+#   then   the r8-second-session cohort with NO driver evidence for
+#          their current text: the 3 re-oracled dedup flips (driver
+#          rows still say no_oracle) and the 13 never-checked late-r8
+#          keys,
+#   then   the round-4-evidence cohort (the oldest anywhere), the
+#          reference-surface S1-S7 keys first.
+# Positions 51+ lead with the round-4 remainder so round 10 starts
+# there (they hit the 5-round freshness budget at r10 —
+# tools/check_freshness.py enforces the rotation).
+_PRIORITY_R09 = [
+    # --- query/oracle text changed this round ---
+    "ops_compaction_plan", "ops_clustering_depth", "text_bpe_learn",
+    "cdc_apply", "query_scd2", "streaming_upsert",
+    # --- re-oracled dedup flips (driver evidence still "no_oracle") ---
     "dedup_minhash", "dedup_embedding_lsh", "dedup_semantic",
+    # --- late-r8 keys never driver-checked ---
+    "ops_incremental_scan", "embedding_prefix_eval",
     "graph_neighbor_jaccard", "text_phrases", "sample_neyman",
-    "mm_dhash", "ops_clustering_depth", "events_did",
-    "mm_wav_stats", "events_drift_chi2", "similarity_bq_topk",
-    "query_gini", "events_power", "events_cuped",
-    # graph_triangles: r8 change was operator cache-release only —
-    # query/oracle text unchanged since its green r7 driver check
-    "graph_triangles",
-    "mm_mime_sniff", "mm_resize", "overwrite_dynamic",
-    "dedup_exact",
-    "dedup_containment",
-    # round-4-evidence overflow (finish in r9)
-    "dedup_survivorship",
+    "mm_dhash", "mm_wav_stats", "events_did", "events_drift_chi2",
+    "similarity_bq_topk", "query_gini", "events_power", "events_cuped",
+    # --- round-4 evidence: reference surface first ---
+    "partitioned_write_single", "partitioned_write_multi",
+    "partitioned_write_orc", "partitioned_write_avro",
+    "append_mode", "overwrite_dynamic", "stage_tag",
+    "payload_projection", "nonnull_validation", "partition_key_trim",
+    "mm_mime_sniff", "mm_resize",
+    # --- round-4 evidence: extension keys ---
+    "dedup_exact", "dedup_containment", "dedup_survivorship",
     "embedding_grammian", "embedding_quantize", "events_asof_join",
-    "events_range_join",
-    "append_mode", "events_anomaly", "events_asof_nearest",
+    "events_range_join", "events_anomaly", "events_asof_nearest",
     "events_densify", "events_json_extract",
-    "nonnull_validation", "partition_key_trim",
-    "partitioned_write_avro", "partitioned_write_multi",
-    "partitioned_write_orc", "partitioned_write_single",
-    "payload_projection", "privacy_dp_count", "privacy_l_diversity",
+    "privacy_dp_count", "privacy_l_diversity",
     "query_bucketed_join", "query_join_broadcast", "query_percentiles",
+    # ---- fold: the driver checks the 50 above ----
+    # below the fold, r10 rotation order: the round-4 remainder (they
+    # reach the 5-round freshness budget at r10 — refresh them FIRST),
+    # then the round-5 cohort
     "query_pruned_agg", "query_quantile_bins", "query_rollup",
-    "query_rollup_grains", "query_scd2", "query_unpivot",
-    "query_window_topk", "query_windowed_distinct",
-    "sample_cap_group", "sample_hash", "sample_mixture",
-    "sample_split", "sample_temperature",
-    "similarity_int8_topk",
-    "source_csv_roundtrip", "source_jsonl_roundtrip", "stage_tag",
-    "text_bpe_pairs", "text_entropy", "text_winnow",
+    "query_rollup_grains", "query_unpivot", "query_window_topk",
+    "query_windowed_distinct", "sample_cap_group", "sample_hash",
+    "sample_mixture", "sample_split", "sample_temperature",
+    "similarity_int8_topk", "source_csv_roundtrip",
+    "source_jsonl_roundtrip", "text_bpe_pairs", "text_entropy",
+    "text_winnow",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _all_queries()
-    out = {k: base[k] for k in _PRIORITY_R08}
+    out = {k: base[k] for k in _PRIORITY_R09}
     out.update((k, v) for k, v in base.items() if k not in out)
     return out
 
