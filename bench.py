@@ -34,14 +34,33 @@ def main() -> None:
     qs["query_pruned_agg"](spark, "/root/testdata/sf0.001").count()
     qs["text_repetition"](spark, "/root/testdata/sf0.001").count()
 
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    here = os.path.dirname(os.path.abspath(__file__))
+    # previous full run at the same SF — the common-key ratio below is
+    # the ONLY sane round-over-round comparison: identical 245-key runs
+    # in one r8 session spanned 260→342 s (host contention, uniform
+    # across unrelated keys), so absolute seconds self-label as noise
+    # only through a ratio + the load/canary fields
+    prev: dict[str, float] = {}
+    try:
+        with open(os.path.join(here, "BENCH_FULL.json")) as f:
+            prev_doc = json.load(f)
+        if prev_doc.get("sf") == float(sf):
+            prev = prev_doc.get("queries", {})
+    except (OSError, ValueError):
+        pass
+    load_start = os.getloadavg()
+
+    # median-of-3 keys: streaming (micro-batch scheduling noise of
+    # regression magnitude, r6→r7 showed ±20-50% on identical code)
+    # and the iterative multi-job ops whose wall time is job-count
+    # overhead (r8's graph_pagerank 2.08x flag was host noise)
+    ITERATIVE = {"graph_pagerank", "dedup_semantic"}
     timings: dict[str, float] = {}
     total = 0.0
     for key in qs:
-        # streaming keys: median of 3 — micro-batch scheduling adds
-        # run-to-run noise of the same magnitude as a real regression
-        # (r6→r7 showed ±20-50% on identical code), so a single sample
-        # can both hide and invent one.  Batch keys stay single-run.
-        reps = 3 if key.startswith("streaming_") else 1
+        reps = 3 if (key.startswith("streaming_") or key in ITERATIVE) \
+            else 1
         samples = []
         for _ in range(reps):
             t0 = time.time()
@@ -54,12 +73,34 @@ def main() -> None:
               + (f" (median of {reps})" if reps > 1 else ""),
               file=sys.stderr)
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # canary: re-run the 10 most expensive batch keys once; a canary
+    # ratio far from 1.0 labels THIS run as taken on a noisy host
+    canary_keys = [k for k, _ in sorted(timings.items(),
+                                        key=lambda kv: -kv[1])
+                   if not k.startswith("streaming_")][:10]
+    ratios = []
+    for key in canary_keys:
+        t0 = time.time()
+        qs[key](spark, sf_dir).count()
+        if timings[key] > 0:
+            ratios.append((time.time() - t0) / timings[key])
+    canary_ratio = round(sorted(ratios)[len(ratios) // 2], 3) \
+        if ratios else None
+
+    common = [timings[k] / prev[k] for k in timings
+              if prev.get(k, 0) > 0 and timings[k] > 0]
+    common_ratio = round(sorted(common)[len(common) // 2], 3) \
+        if common else None
+
     # Full per-key timings go to a side file; the printed line keeps only
     # the most expensive keys so it stays within the driver's tail buffer
     # (the r02 line with all 101 keys overflowed it and failed to parse).
-    here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+    # BENCH_FULL.json is the committed sf0.1 round-over-round baseline —
+    # a smoke run at another SF must not clobber it (r9: an sf0.001
+    # smoke destroyed the ratio baseline; was a memory-only rule before)
+    full_name = ("BENCH_FULL.json" if float(sf) == 0.1
+                 else f"BENCH_FULL_sf{sf}.json")
+    with open(os.path.join(here, full_name), "w") as f:
         json.dump({"sf": float(sf), "total_sec": round(total, 3),
                    "n_queries": len(timings), "queries": timings}, f,
                   indent=1, sort_keys=True)
@@ -71,6 +112,14 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": {k: timings[k] for k in timings if k in top},
         "sf": float(sf),
+        # round-over-round median ratio on keys common with the last
+        # committed full run at this SF (None on SF change / first run)
+        "common_key_ratio": common_ratio,
+        "n_common_keys": len(common),
+        "load": [round(x, 2) for x in load_start],
+        "load_end": [round(x, 2) for x in os.getloadavg()],
+        "canary_ratio": canary_ratio,
+        "canary_keys": canary_keys,
     }))
 
 

@@ -139,3 +139,16 @@ def test_rake_oracle_stopword_alternation_in_sync():
     assert want in m.oracle_sql()["text_rake"], (
         "text_rake oracle stopword alternation desynchronized from "
         f"functions.text._STOPWORDS — regenerate as {want!r}")
+
+
+def test_freshness_budget_holds():
+    """Every key with stale driver evidence (never green, text newer
+    than its last green row, or older than the 5-round budget) must
+    sit inside the upcoming fold — stale-and-unscheduled keys were
+    r8's only real findings (tools/check_freshness.py)."""
+    import subprocess
+    import sys as _sys
+    r = subprocess.run(
+        [_sys.executable, "/root/repo/tools/check_freshness.py"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr

@@ -1,0 +1,170 @@
+"""Evidence-freshness budget for the driver correctness rotation
+(r8 VERDICT #6: the round's only real findings — stale dedup evidence,
+untested late keys — would both have been machine-caught).
+
+A key's driver evidence is STALE when any of:
+
+- it has never produced a green CORRECTNESS row (rows + schema + hash
+  all true, no err), or its latest row is red;
+- its query/oracle TEXT changed after its latest green row (tracked by
+  a fingerprint manifest, ``tools/key_text_manifest.json`` — the
+  sha256 of the key's query-function source + oracle SQL; rounds are
+  per-fingerprint, so a git-blame pass is never needed);
+- its latest green row is older than the freshness budget
+  (``MAX_AGE_ROUNDS`` — the 50-key fold cycles the whole surface in
+  ~5 rounds).
+
+The check PASSES when every stale key sits inside the upcoming fold
+(the first 50 ``_PRIORITY_R0x`` entries) — stale-and-scheduled is the
+rotation working as designed; stale-and-unscheduled fails the build.
+
+Usage:
+    python tools/check_freshness.py           # check (CI chain)
+    python tools/check_freshness.py --update  # re-record fingerprints
+        for keys whose text changed (stamps them with the CURRENT
+        round, which forces them into the fold until re-certified)
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import inspect
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+MANIFEST = os.path.join(HERE, "key_text_manifest.json")
+MAX_AGE_ROUNDS = 5
+FOLD = 50
+
+
+def _green(rec: dict) -> bool:
+    return bool(rec.get("rows_match") and rec.get("schema_match")
+                and rec.get("hash_match") and not rec.get("err"))
+
+
+def load_evidence() -> tuple[int, dict[str, int], dict[str, int]]:
+    """Returns (current_round, latest_green_round, latest_any_round)."""
+    green: dict[str, int] = {}
+    seen: dict[str, int] = {}
+    rounds = []
+    for path in sorted(glob.glob(os.path.join(REPO,
+                                              "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        rounds.append(rnd)
+        for key, rec in json.load(open(path)).items():
+            seen[key] = max(seen.get(key, 0), rnd)
+            if _green(rec):
+                green[key] = max(green.get(key, 0), rnd)
+    current = (max(rounds) + 1) if rounds else 1
+    return current, green, seen
+
+
+def fingerprints() -> dict[str, str]:
+    import __spark_entry__ as E
+    qs, oracles = E.queries(), E.oracle_sql()
+    out = {}
+    for key, fn in qs.items():
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            src = repr(fn)
+        blob = src + "\n--oracle--\n" + oracles.get(key, "")
+        out[key] = hashlib.sha256(blob.encode()).hexdigest()[:16]
+    return out
+
+
+def main() -> int:
+    update = "--update" in sys.argv
+    current, green, _seen = load_evidence()
+    fps = fingerprints()
+
+    manifest: dict[str, dict] = {}
+    bootstrap = not os.path.exists(MANIFEST)
+    if not bootstrap:
+        manifest = json.load(open(MANIFEST))
+    else:
+        # first run: assume every key's current text is the text its
+        # latest green row certified (keys ACTUALLY changed in the
+        # bootstrap round must be in that round's fold — which this
+        # round's rotation already guarantees for r9's changed keys);
+        # never-green keys stamp as current so they stay flagged
+        manifest = {k: {"fp": fps[k],
+                        "text_round": green.get(k, current)}
+                    for k in fps}
+
+    import __spark_entry__ as E
+    fold = set(E._PRIORITY_R09[:FOLD]) if hasattr(E, "_PRIORITY_R09") \
+        else set(list(E.queries())[:FOLD])
+
+    changed, problems = [], []
+    for key, fp in fps.items():
+        ent = manifest.get(key)
+        if ent is None or ent["fp"] != fp:
+            changed.append(key)
+            # text is new (or changed): current text exists as of NOW
+            text_round = current
+        else:
+            text_round = ent["text_round"]
+        g = green.get(key, 0)
+        stale_reasons = []
+        if g == 0:
+            stale_reasons.append("never driver-green")
+        elif g < text_round:
+            stale_reasons.append(
+                f"text newer (r{text_round}) than last green (r{g})")
+        elif current - g > MAX_AGE_ROUNDS:
+            stale_reasons.append(
+                f"evidence r{g} older than {MAX_AGE_ROUNDS} rounds")
+        if stale_reasons and key not in fold:
+            problems.append(f"{key}: {'; '.join(stale_reasons)} "
+                            f"and NOT in the upcoming fold")
+
+    if changed and not update:
+        unrecorded = [k for k in changed if k not in manifest
+                      or manifest[k]["fp"] != fps[k]]
+        print(f"# {len(unrecorded)} key(s) have unrecorded text "
+              f"fingerprints: {sorted(unrecorded)[:10]}"
+              + (" ..." if len(unrecorded) > 10 else ""))
+        print("# run with --update after confirming each is in the "
+              "fold (text changes must re-certify)")
+
+    if update:
+        for key in fps:
+            ent = manifest.get(key)
+            if ent is None or ent["fp"] != fps[key]:
+                manifest[key] = {"fp": fps[key], "text_round": current}
+        # drop deleted keys
+        manifest = {k: v for k, v in manifest.items() if k in fps}
+        with open(MANIFEST, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        print(f"# manifest updated: {len(manifest)} keys, "
+              f"round {current}")
+
+    if problems:
+        print(f"FRESHNESS CHECK: {len(problems)} STALE KEY(S) OUTSIDE "
+              f"THE FOLD (round {current}, budget {MAX_AGE_ROUNDS})")
+        for p in sorted(problems):
+            print(f"  {p}")
+        return 1
+    n_stale_in_fold = len([k for k in fold
+                           if green.get(k, 0) < current - MAX_AGE_ROUNDS
+                           or k in changed])
+    print(f"FRESHNESS CHECK: OK — round {current}, {len(fps)} keys, "
+          f"{len(fold)} in fold ({n_stale_in_fold} of them "
+          f"stale-and-scheduled), budget {MAX_AGE_ROUNDS} rounds")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
