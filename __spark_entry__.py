@@ -1952,14 +1952,13 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     it is a delete."""
     from dynamic_partitioner_spark.operators.relational import cdc_latest
     li = _table(spark, sf_dir, "lineitem")
-    # l_linenumber alone is not unique per order in the synthetic data;
-    # compose a unique monotone sequence (cdc_latest requires one) from
-    # (linenumber, partkey, suppkey) — slot math in cdc_change_seq()
-    seq = (F.col("l_linenumber") * F.lit(10**13)
-           + F.col("l_partkey") * F.lit(10**5)
-           + F.col("l_suppkey")).alias("seq")
+    # the SHARED tiebroken sequence (cdc_change_seq) — the r9 review
+    # found the un-tiebroken (linenumber, partkey, suppkey) slot seq
+    # DUPLICATE at sf0.001 (orderkey 1294 carries two rows with the
+    # same three keys and different payloads), which made the
+    # latest-wins winner nondeterministic in both engines
     changes = li.select(
-        "l_orderkey", "l_linenumber", seq,
+        "l_orderkey", "l_linenumber", cdc_change_seq(),
         F.when(F.col("l_partkey") % 11 == 0, "D").otherwise("U").alias("op"),
         "l_quantity", "l_extendedprice")
     return cdc_latest(changes, ["l_orderkey"], "seq").drop("seq")
@@ -2072,6 +2071,17 @@ def cdc_change_seq():
              + F.col("l_suppkey")) * F.lit(10**5)
             + F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
             .cast("long") % F.lit(10**5)).alias("seq")
+
+
+#: DuckDB twin of cdc_change_seq() — the ONE SQL-side authority,
+#: interpolated into all three CDC oracles (cdc_apply, query_scd2,
+#: streaming_upsert) so a slot-width change cannot silently
+#: desynchronize them (r9 review: the r9 widening had to be
+#: hand-edited in six places)
+_CDC_SEQ_SQL = ("(l_linenumber * 10000000000000 + l_partkey * 100000"
+                " + l_suppkey) * 100000"
+                " + CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+                " % 100000")
 
 
 def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2766,10 +2776,9 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     via one lead window per key."""
     from dynamic_partitioner_spark.operators.relational import scd2_build
     li = _table(spark, sf_dir, "lineitem")
-    seq = (F.col("l_linenumber") * F.lit(10**13)
-           + F.col("l_partkey") * F.lit(10**5)
-           + F.col("l_suppkey")).alias("seq")
-    changes = li.select("l_orderkey", seq,
+    # tiebroken shared seq — duplicate (key, seq) rows would make the
+    # lead-window interval order nondeterministic (see q_cdc_apply)
+    changes = li.select("l_orderkey", cdc_change_seq(),
                         F.round("l_quantity", 2).alias("quantity"))
     return scd2_build(changes, ["l_orderkey"], "seq", ["quantity"])
 
@@ -5994,11 +6003,9 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n, 0) AS n_events
             FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.b = c.b
         """,
-        "query_scd2": """
+        "query_scd2": f"""
             WITH ch AS (SELECT l_orderkey,
-                               l_linenumber * 10000000000000
-                                   + l_partkey * 100000
-                                   + l_suppkey AS seq,
+                               {_CDC_SEQ_SQL} AS seq,
                                round(l_quantity, 2) AS quantity
                         FROM lineitem)
             SELECT l_orderkey,
@@ -6714,11 +6721,10 @@ def oracle_sql() -> dict[str, str]:
                              THEN l_quantity END), 2) AS qty_o
             FROM lineitem GROUP BY 1
         """,
-        "cdc_apply": """
+        "cdc_apply": f"""
             WITH ch AS (
                 SELECT l_orderkey, l_linenumber,
-                       l_linenumber * 10000000000000 + l_partkey * 100000
-                           + l_suppkey AS seq,
+                       {_CDC_SEQ_SQL} AS seq,
                        CASE WHEN l_partkey % 11 = 0 THEN 'D' ELSE 'U' END
                            AS op,
                        l_quantity, l_extendedprice
@@ -6788,13 +6794,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "sorted_export": li_full,
-        "streaming_upsert": """
+        "streaming_upsert": f"""
             WITH ch AS (
                 SELECT l_orderkey,
-                       (l_linenumber * 10000000000000 + l_partkey * 100000
-                           + l_suppkey) * 100000
-                           + CAST(floor(l_extendedprice * 100 + 0.5)
-                                  AS BIGINT) % 100000 AS seq,
+                       {_CDC_SEQ_SQL} AS seq,
                        CASE WHEN l_partkey % 11 = 0 THEN 'D' ELSE 'U' END
                            AS op,
                        l_quantity, l_extendedprice,
@@ -7512,7 +7515,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN g.rank = 1 THEN w.c END AS count1,
                    TRUE AS count_nonincreasing,
                    TRUE AS merged_is_concat,
-                   TRUE AS merged_is_new,
+                   TRUE AS merged_outside_base,
                    TRUE AS mass_drop_in_bounds,
                    TRUE AS pairs_distinct
             FROM generate_series(1, 20) AS g(rank) CROSS JOIN win w

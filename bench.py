@@ -41,9 +41,14 @@ def main() -> None:
     # in one r8 session spanned 260→342 s (host contention, uniform
     # across unrelated keys), so absolute seconds self-label as noise
     # only through a ratio + the load/canary fields
+    # BENCH_FULL.json is the committed sf0.1 round-over-round baseline;
+    # other SFs read/write their own side file so an ad-hoc run still
+    # gets a same-SF ratio without clobbering the canonical baseline
+    full_name = ("BENCH_FULL.json" if float(sf) == 0.1
+                 else f"BENCH_FULL_sf{sf}.json")
     prev: dict[str, float] = {}
     try:
-        with open(os.path.join(here, "BENCH_FULL.json")) as f:
+        with open(os.path.join(here, full_name)) as f:
             prev_doc = json.load(f)
         if prev_doc.get("sf") == float(sf):
             prev = prev_doc.get("queries", {})
@@ -95,11 +100,6 @@ def main() -> None:
     # Full per-key timings go to a side file; the printed line keeps only
     # the most expensive keys so it stays within the driver's tail buffer
     # (the r02 line with all 101 keys overflowed it and failed to parse).
-    # BENCH_FULL.json is the committed sf0.1 round-over-round baseline —
-    # a smoke run at another SF must not clobber it (r9: an sf0.001
-    # smoke destroyed the ratio baseline; was a memory-only rule before)
-    full_name = ("BENCH_FULL.json" if float(sf) == 0.1
-                 else f"BENCH_FULL_sf{sf}.json")
     with open(os.path.join(here, full_name), "w") as f:
         json.dump({"sf": float(sf), "total_sec": round(total, 3),
                    "n_queries": len(timings), "queries": timings}, f,

@@ -120,9 +120,16 @@ def learn_bpe_certified(df: DataFrame, text_col: str, n_merges: int = 20,
       deleted (x,a)/(b,y)/(b,a) occurrence, so every round-r+1 count
       is <= round r's maximum.
     - ``merged_is_concat`` — merged symbol == left || right.
-    - ``merged_is_new`` — the merged string is not a base symbol nor
-      an earlier merge's output (vocab grows by exactly one per merge:
-      base + rank symbols after rank merges).
+    - ``merged_outside_base`` — the merged string is never a base
+      symbol: merges concatenate two non-empty symbols (length >= 2,
+      base symbols are single characters) and cannot spell EOW (its
+      characters are not in any base alphabet word).  NOTE this is
+      deliberately NOT "not an earlier merge's output": two distinct
+      merges CAN produce the same string — (a,bc) and (ab,c) both
+      yield "abc" — so vocab-grows-by-one is not a theorem and
+      asserting it would flip the hash red on a correct engine for
+      some corpus (r9 review); pair-level uniqueness is the theorem,
+      and ``pairs_distinct`` asserts it.
     - ``mass_drop_in_bounds`` — with mass = sum(count x symbols) over
       the word table, each merge drops mass by the number of APPLIED
       merges: at least 1, at most the counted pair frequency (greedy
@@ -140,7 +147,7 @@ def learn_bpe_certified(df: DataFrame, text_col: str, n_merges: int = 20,
     spark = df.sparkSession
     vocab = _word_counts(df, text_col, max_vocab)
     initial_mass = sum(n * (len(w) + 1) for w, n in vocab)
-    seen = {EOW} | {ch for w, _ in vocab for ch in w}
+    base = {EOW} | {ch for w, _ in vocab for ch in w}
     merges = _merge_loop(vocab, n_merges, with_mass=True)
     pairs_distinct = (len({(l, r) for _, l, r, _, _, _ in merges})
                       == len(merges))
@@ -154,15 +161,14 @@ def learn_bpe_certified(df: DataFrame, text_col: str, n_merges: int = 20,
             c if rank == 1 else None,
             prev_count is None or c <= prev_count,
             m == left + right,
-            m not in seen,
+            m not in base,
             0 < prev_mass - mass <= c,
             pairs_distinct,
         ))
-        seen.add(m)
         prev_count, prev_mass = c, mass
     return spark.createDataFrame(
         rows,
         "rank long, left1 string, right1 string, merged1 string, "
         "count1 long, count_nonincreasing boolean, "
-        "merged_is_concat boolean, merged_is_new boolean, "
+        "merged_is_concat boolean, merged_outside_base boolean, "
         "mass_drop_in_bounds boolean, pairs_distinct boolean")

@@ -672,16 +672,27 @@ def embedding_near_dup_lsh(df: DataFrame, id_col: str, vec_col: str,
       pile-up: every zero vector lands in bucket 0 of every table) via
       a broadcast anti-join on the tiny hot-bucket list, same guard as
       the MinHash band path.  Pass None to disable.
-    * the bucket self-join carries only (id, tbl, bucket) — 3 longs —
-      and candidate pairs are ``distinct``-ed BEFORE the cosine verify,
-      so a pair colliding in several tables shuffles thin and pays the
-      Arrow-batched cosine once, not n_tables times.
+    * the verify runs IN-BUCKET (``applyInPandas`` per (table,
+      bucket)): each bucket entry ships its vector ONCE — n·tables
+      rows of (id, vec) — and pairs score inside the group with the
+      same per-row float64 einsum/norm arithmetic as
+      ``cosine_batched`` (bit-identical, so the certification key's
+      tol=0 recompute still matches).  The r9 sf10 spot-run showed
+      why: materializing candidate pairs and joining both vectors
+      onto them shuffles pairs x 2 x dim floats (~55 GB at 200k
+      vectors / 100M candidates, slope 1.40); in-bucket verify
+      shuffles ~0.4 GB and only SURVIVING pairs leave the group
+      (the distinct dedupes the <= n_tables copies of each
+      survivor).  Slab-chunked pair generation bounds group memory
+      at ~500k pairs however large a bucket the cap admits.
     """
     import math as _math
 
+    import numpy as _np
+    import pandas as _pd
+
     from pyspark.storagelevel import StorageLevel
 
-    from ..functions.vectors import cosine_batched
     from .similarity import _all_buckets_udf
 
     if n_planes is None:
@@ -690,33 +701,66 @@ def embedding_near_dup_lsh(df: DataFrame, id_col: str, vec_col: str,
             _math.log2(max(n / target_bucket_size, 2.0)))))
 
     budf = _all_buckets_udf(dim, n_planes, n_tables, seed)
-    base = (df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("v"))
-            # read by the bucket pass + both sides of the verify join
-            .persist(StorageLevel.MEMORY_AND_DISK))
-    buckets = (base.select("_id",
-                           F.posexplode(budf(F.col("v"))).alias("tbl", "bucket"))
-               # both self-join sides + the hot-bucket count read this —
+    id_t = df.schema[id_col].dataType.simpleString()
+    entries = (df.select(F.col(id_col).alias("_id"),
+                         F.col(vec_col).alias("v"))
+               .select("_id", "v",
+                       F.posexplode(budf(F.col("v"))).alias("tbl", "bucket"))
+               # read by the hot-bucket count + the verify pass —
                # persist so the Arrow bucket UDF runs once per corpus
                .persist(StorageLevel.MEMORY_AND_DISK))
     if max_bucket_size is not None:
-        hot = (buckets.groupBy("tbl", "bucket")
+        hot = (entries.groupBy("tbl", "bucket")
                .agg(F.count(F.lit(1)).alias("_n"))
                .where(F.col("_n") > max_bucket_size)
                .select("tbl", "bucket"))
-        buckets = buckets.join(F.broadcast(hot), ["tbl", "bucket"], "left_anti")
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (a.join(b, ["tbl", "bucket"])
-            .where(F.col("a._id") < F.col("b._id"))
-            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-            .distinct())
-    va = base.select(F.col("_id").alias("id_a"), F.col("v").alias("va"))
-    vb = base.select(F.col("_id").alias("id_b"), F.col("v").alias("vb"))
-    # batched numpy verify: the Column aggregate/zip_with form is
-    # interpreted (no codegen) and measured ~5× slower on the pair set
-    cos = cosine_batched(F.col("va"), F.col("vb"))
-    return (cand.join(va, "id_a").join(vb, "id_b")
-            .select("id_a", "id_b", round4(cos).alias("cos_sim"))
-            .where(F.col("cos_sim") >= threshold))
+        entries = entries.join(F.broadcast(hot), ["tbl", "bucket"],
+                               "left_anti")
+    thr = float(threshold)
+
+    def _verify(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        ids = pdf["_id"].to_numpy()
+        nb = len(ids)
+        empty = _pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0],
+                               "cos_sim": _np.array([], dtype=_np.float64)})
+        if nb < 2:
+            return empty
+        mat = _np.asarray(pdf["v"].tolist(), dtype=_np.float64)
+        norms = _np.linalg.norm(mat, axis=1)
+        out = []
+        # slab over the i side so pair arrays stay ~500k rows
+        slab = max(1, 500_000 // nb)
+        for lo in range(0, nb - 1, slab):
+            hi = min(lo + slab, nb - 1)
+            ia, ib = [], []
+            for i in range(lo, hi):
+                ia.append(_np.full(nb - i - 1, i))
+                ib.append(_np.arange(i + 1, nb))
+            ia = _np.concatenate(ia)
+            ib = _np.concatenate(ib)
+            # same per-row kernel as functions.vectors.cosine_batched:
+            # float64 gather, einsum row dot, norm product — per-pair
+            # bits independent of batch composition, and orientation-
+            # independent (elementwise mul + same row reduction)
+            num = _np.einsum("ij,ij->i", mat[ia], mat[ib])
+            den = norms[ia] * norms[ib]
+            with _np.errstate(divide="ignore", invalid="ignore"):
+                cos = _np.where(den > 0, num / den, _np.nan)
+            cos = _np.floor(cos * 10000 + 0.5) / 10000  # round4 twin
+            keep = ~_np.isnan(cos) & (cos >= thr)
+            if keep.any():
+                ka, kb = ia[keep], ib[keep]
+                out.append(_pd.DataFrame({
+                    "id_a": _np.minimum(ids[ka], ids[kb]),
+                    "id_b": _np.maximum(ids[ka], ids[kb]),
+                    "cos_sim": cos[keep]}))
+        return _pd.concat(out) if out else empty
+
+    pairs = entries.groupBy("tbl", "bucket").applyInPandas(
+        _verify, f"id_a {id_t}, id_b {id_t}, cos_sim double")
+    # a pair colliding in several tables emits bit-identical rows
+    # (same kernel, same inputs) — distinct on the SURVIVORS is tiny
+    return pairs.distinct()
 
 
 def embedding_near_dup(df: DataFrame, id_col: str, vec_col: str,

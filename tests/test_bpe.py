@@ -64,7 +64,7 @@ def test_learn_bpe_certified_exact_and_invariant_columns(spark):
     # every invariant holds on a healthy run
     for r in out:
         assert r.count_nonincreasing and r.merged_is_concat
-        assert r.merged_is_new and r.mass_drop_in_bounds
+        assert r.merged_outside_base and r.mass_drop_in_bounds
         assert r.pairs_distinct
 
 

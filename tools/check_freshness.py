@@ -107,7 +107,7 @@ def main() -> int:
     fold = set(E._PRIORITY_R09[:FOLD]) if hasattr(E, "_PRIORITY_R09") \
         else set(list(E.queries())[:FOLD])
 
-    changed, problems = [], []
+    changed, stale, problems = [], set(), []
     for key, fp in fps.items():
         ent = manifest.get(key)
         if ent is None or ent["fp"] != fp:
@@ -126,16 +126,16 @@ def main() -> int:
         elif current - g > MAX_AGE_ROUNDS:
             stale_reasons.append(
                 f"evidence r{g} older than {MAX_AGE_ROUNDS} rounds")
-        if stale_reasons and key not in fold:
-            problems.append(f"{key}: {'; '.join(stale_reasons)} "
-                            f"and NOT in the upcoming fold")
+        if stale_reasons:
+            stale.add(key)
+            if key not in fold:
+                problems.append(f"{key}: {'; '.join(stale_reasons)} "
+                                f"and NOT in the upcoming fold")
 
     if changed and not update:
-        unrecorded = [k for k in changed if k not in manifest
-                      or manifest[k]["fp"] != fps[k]]
-        print(f"# {len(unrecorded)} key(s) have unrecorded text "
-              f"fingerprints: {sorted(unrecorded)[:10]}"
-              + (" ..." if len(unrecorded) > 10 else ""))
+        print(f"# {len(changed)} key(s) have unrecorded text "
+              f"fingerprints: {sorted(changed)[:10]}"
+              + (" ..." if len(changed) > 10 else ""))
         print("# run with --update after confirming each is in the "
               "fold (text changes must re-certify)")
 
@@ -157,11 +157,8 @@ def main() -> int:
         for p in sorted(problems):
             print(f"  {p}")
         return 1
-    n_stale_in_fold = len([k for k in fold
-                           if green.get(k, 0) < current - MAX_AGE_ROUNDS
-                           or k in changed])
     print(f"FRESHNESS CHECK: OK — round {current}, {len(fps)} keys, "
-          f"{len(fold)} in fold ({n_stale_in_fold} of them "
+          f"{len(fold)} in fold ({len(stale & fold)} of them "
           f"stale-and-scheduled), budget {MAX_AGE_ROUNDS} rounds")
     return 0
 

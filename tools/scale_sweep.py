@@ -114,6 +114,85 @@ SF1_KEYS = [
 ]
 
 SF1_DIR = "/root/repo/.scratch/sf1"
+SF10_DIR = "/root/repo/.scratch/sf10"
+
+
+def _replace_section(md: str, header: str, section: str) -> str:
+    """Replace ONLY the named ``## `` section (up to the next ``## ``
+    header or EOF), preserving every other section — a truncate-at-
+    header-then-append splice deletes whatever follows (r9 review: an
+    --sf1 rerun silently wiped the sf10 table)."""
+    start = md.find("\n" + header)
+    if start == -1:
+        return md.rstrip("\n") + "\n" + section
+    end = md.find("\n## ", start + 1)
+    tail = "" if end == -1 else md[end:]
+    return md[:start].rstrip("\n") + "\n" + section + tail
+
+#: the dedup ladder — the keys whose 100 TB posture rests on blocking
+#: math (banded minhash join, sign-LSH buckets, k-means clusters);
+#: measured at 100x the driver SF where the blocked join dominates
+SF10_KEYS = ["dedup_minhash", "dedup_embedding_lsh", "dedup_semantic"]
+
+
+def sf10_run() -> None:
+    """Dedup-ladder proof at 100x: time the three blocking-dedup keys
+    at sf1 and sf10 (documents/embeddings only — all these keys read)
+    and append the 1→10 slope section to SCALING.md."""
+    import __spark_entry__ as E
+    from dynamic_partitioner_spark import get_spark
+
+    import os
+    if not os.path.exists(f"{SF10_DIR}/documents.parquet"):
+        sys.exit("build the corpus first: python tools/make_sf10.py")
+    spark = get_spark("sf10-sweep")
+    qs = E.queries()
+    keys = list(sys.argv[2:]) or SF10_KEYS
+    unknown = [k for k in keys if k not in qs]
+    if unknown:
+        sys.exit(f"unknown keys: {unknown}")
+    qs["query_pruned_agg"](spark, "/root/testdata/sf0.001").count()
+    qs["text_repetition"](spark, "/root/testdata/sf0.001").count()
+
+    rows = []
+    for key in keys:
+        t0 = time.time()
+        n1 = qs[key](spark, SF1_DIR).count()
+        t1 = time.time() - t0
+        t0 = time.time()
+        n10 = qs[key](spark, SF10_DIR).count()
+        t10 = time.time() - t0
+        slope = math.log10(max(t10, 1e-3) / max(t1, 1e-3))
+        rows.append((key, t1, t10, n1, n10, slope))
+        print(f"# {key}: sf1={t1:.2f}s sf10={t10:.2f}s "
+              f"rows {n1}->{n10} slope={slope:+.2f}", file=sys.stderr)
+
+    lines = [
+        "",
+        "## sf10 dedup spot-run — the blocking ladder at 100x",
+        "",
+        "The three blocking-dedup keys re-timed at 100x the driver SF",
+        "(`tools/make_sf10.py`: 10x the sf1 corpus; second-level word",
+        "suffix keeps shingle spaces disjoint, rotation+Hadamard-sign",
+        "keeps embedding replicas decorrelated — pair growth stays",
+        "linear by construction).  Slope is 1→10 log-log, measured",
+        "where the banded/bucketed join dominates everything else.",
+        "Regenerate: `python tools/scale_sweep.py --sf10`.",
+        "",
+        "| key | sf1 | sf10 | rows@1 | rows@10 | slope 1→10 |",
+        "|---|---|---|---|---|---|",
+    ]
+    for key, t1, t10, n1, n10, slope in sorted(rows, key=lambda r: -r[5]):
+        lines.append(f"| {key} | {t1:.2f}s | {t10:.2f}s | {n1} "
+                     f"| {n10} | {slope:+.2f} |")
+    lines.append("")
+    with open("/root/repo/SCALING.md") as f:
+        md = f.read()
+    md = _replace_section(md, "## sf10 dedup spot-run",
+                          "\n".join(lines))
+    with open("/root/repo/SCALING.md", "w") as f:
+        f.write(md)
+    print("SCALING.md sf10 section written")
 
 
 def sf1_run() -> None:
@@ -165,11 +244,9 @@ def sf1_run() -> None:
     lines.append("")
     with open("/root/repo/SCALING.md") as f:
         md = f.read()
-    cut = md.find("\n## sf1 spot-run")
-    if cut != -1:
-        md = md[:cut] + "\n"
+    md = _replace_section(md, "## sf1 spot-run", "\n".join(lines))
     with open("/root/repo/SCALING.md", "w") as f:
-        f.write(md.rstrip("\n") + "\n" + "\n".join(lines))
+        f.write(md)
     print("SCALING.md sf1 section written")
 
 
@@ -233,5 +310,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--sf1":
         sf1_run()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--sf10":
+        sf10_run()
     else:
         main()
