@@ -180,8 +180,19 @@ def train_centroids(emb: DataFrame, vec_col: str = "embedding",
             "dimension) vectors in the sample")
     n_lists = min(n_lists, len(sample))
     cents = sample[:n_lists].copy()
+    s2 = (sample * sample).sum(1)
     for _ in range(iters):
-        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        # ||a-b||^2 = ||a||^2 + ||b||^2 - 2 a.b via one matmul — the
+        # explicit (sample, lists, dim) broadcast difference allocated
+        # ~0.8 GB temporaries per iteration at 2048x782x64 and made
+        # training the sf10 whale (112 s; this form trains in <1 s).
+        # argmin ordering is unchanged (ties still break on the first
+        # index); boundary points whose two distances differ only in
+        # ulp can flip lists, which every centroid consumer tolerates
+        # by design (invariant-row certification, recall pinned on
+        # clear margins in pytest).
+        d2 = s2[:, None] + (cents * cents).sum(1)[None, :] \
+            - 2.0 * (sample @ cents.T)
         assign = d2.argmin(1)
         for c in range(n_lists):
             pts = sample[assign == c]

@@ -185,7 +185,22 @@ def sf10_run() -> None:
     for key, t1, t10, n1, n10, slope in sorted(rows, key=lambda r: -r[5]):
         lines.append(f"| {key} | {t1:.2f}s | {t10:.2f}s | {n1} "
                      f"| {n10} | {slope:+.2f} |")
-    lines.append("")
+    lines += [
+        "",
+        "This measurement caught and fixed two real scale bugs in r9:",
+        "`dedup_embedding_lsh` first measured slope +1.40 (508 s) —",
+        "its verify joined both vectors onto ~100M candidate pairs",
+        "(~55 GB shuffle); the verify now runs in-bucket (vectors ship",
+        "once per bucket entry, ~0.4 GB).  `dedup_semantic` first",
+        "measured +1.08 (52 s) — Lloyd's loop allocated ~0.8 GB",
+        "broadcast-difference temporaries per iteration; the matmul",
+        "identity trains in <1 s.  Known future step, documented in",
+        "the operator: centroid assignment is O(n·n_lists) with",
+        "n_lists ≈ n/256 until the 4096-list clamp (n ≈ 1M vectors);",
+        "past ~10M vectors the standard move is a two-level",
+        "(coarse × residual) quantizer.",
+        "",
+    ]
     with open("/root/repo/SCALING.md") as f:
         md = f.read()
     md = _replace_section(md, "## sf10 dedup spot-run",
