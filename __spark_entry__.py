@@ -5059,6 +5059,63 @@ def q_embedding_prefix_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_dim_eval(emb, "vec_id", "embedding")
 
 
+def q_ops_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-directory audit over the versioned table
+    (operators/versioned.py:find_orphans — the Delta VACUUM
+    untracked-file scan / Iceberg remove_orphan_files primitive):
+    two committed appends, then a simulated writer crash (a
+    ``batch-00000099`` dir written with NO log entry — exactly the
+    failure versioned_write's retry note describes) and foreign
+    debris (``stray-export``).  The audit must flag exactly the two
+    unreferenced dirs with their row counts and whether the name is
+    engine-shaped (recoverable by re-commit) or delete-only.  Cost is
+    one driver listing + a footer count per orphan — metadata-scale."""
+    from dynamic_partitioner_spark.operators.versioned import (
+        find_orphans, versioned_write)
+    apply_engine_confs(spark)
+    orders = _table(spark, sf_dir, "orders")
+    out = _out("ops_orphan_files")
+    pri = F.col("o_orderpriority")
+    versioned_write(orders.where(pri == "1-URGENT"), out, "append")
+    versioned_write(orders.where(pri == "2-HIGH"), out, "append")
+    # crashed write: the batch lands, the commit never does
+    (orders.where(pri == "3-MEDIUM").write.mode("overwrite")
+     .parquet(f"{out}/batch-00000099"))
+    # foreign debris: a non-engine directory holding parquet
+    (orders.where(pri == "5-LOW").limit(7).write.mode("overwrite")
+     .parquet(f"{out}/stray-export"))
+    return find_orphans(spark, out).orderBy("orphan_dir")
+
+
+def q_query_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining (association-rule prep): distinct
+    part brands per order (fact x dim join — the dim side broadcasts),
+    pair generation INSIDE the per-order sorted brand array via nested
+    ``transform``/``slice`` (the text_cooccur shape — never a
+    positional self-join, so cost is rows x pairs-per-basket, not
+    rows²), support = number of orders containing the pair, top-20 by
+    (support, brand pair).  The oracle replays it with an explicit
+    equi-self-join — two independent pair constructions."""
+    li = _table(spark, sf_dir, "lineitem")
+    part = _table(spark, sf_dir, "part")
+    ob = (li.join(part, li.l_partkey == part.p_partkey)
+          .select("l_orderkey", "p_brand").distinct())
+    baskets = ob.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("p_brand")).alias("bs"))
+    pairs = (baskets.select(F.explode(F.expr(
+        "flatten(transform(bs, (x, i) -> "
+        "transform(slice(bs, i + 2, size(bs)), "
+        "y -> struct(x AS a, y AS b))))")).alias("p"))
+        .select(F.col("p.a").alias("brand_a"),
+                F.col("p.b").alias("brand_b")))
+    counts = pairs.groupBy("brand_a", "brand_b").agg(
+        F.count(F.lit(1)).alias("n_orders"))
+    w = Window.orderBy(F.desc("n_orders"), "brand_a", "brand_b")
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 20)
+            .select("rank", "brand_a", "brand_b", "n_orders"))
+
+
 def q_ops_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental change feed over the versioned table (the Delta
     CDF / Iceberg incremental-scan shape): four append commits by
@@ -5312,6 +5369,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # there (they hit the 5-round freshness budget at r10 —
 # tools/check_freshness.py enforces the rotation).
 _PRIORITY_R09 = [
+    # --- NEW keys this round (never driver-checked) ---
+    "ops_orphan_files", "query_basket_pairs",
     # --- query/oracle text changed this round ---
     "ops_compaction_plan", "ops_clustering_depth", "text_bpe_learn",
     "cdc_apply", "query_scd2", "streaming_upsert",
@@ -5334,8 +5393,12 @@ _PRIORITY_R09 = [
     "events_range_join", "events_anomaly", "events_asof_nearest",
     "events_densify", "events_json_extract",
     "privacy_dp_count", "privacy_l_diversity",
-    "query_bucketed_join", "query_join_broadcast", "query_percentiles",
+    "query_bucketed_join",
     # ---- fold: the driver checks the 50 above ----
+    # (query_join_broadcast / query_percentiles were bumped below the
+    # fold by the two new keys — r4 evidence, age 5 at r9, first in
+    # line for r10 with the rest of the remainder)
+    "query_join_broadcast", "query_percentiles",
     # below the fold, r10 rotation order: the round-4 remainder (they
     # reach the 5-round freshness budget at r10 — refresh them FIRST),
     # then the round-5 cohort
@@ -5525,6 +5588,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_clustering_depth": q_ops_clustering_depth,
         "ops_retention_vacuum": q_ops_retention_vacuum,
         "ops_incremental_scan": q_ops_incremental_scan,
+        "ops_orphan_files": q_ops_orphan_files,
+        "query_basket_pairs": q_query_basket_pairs,
         "embedding_prefix_eval": q_embedding_prefix_eval,
         "partitioned_write_transforms": q_partitioned_write_transforms,
         "text_bpe_learn": q_text_bpe_learn,
@@ -8691,6 +8756,31 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 4 END AS commit_version
             FROM orders
             WHERE o_orderpriority IN ('3-MEDIUM', '5-LOW')
+        """,
+        # the planted-orphan construction: the crashed batch holds the
+        # full 3-MEDIUM slice, the foreign dir a literal 7 rows
+        "ops_orphan_files": """
+            SELECT 'batch-00000099' AS orphan_dir,
+                   (SELECT count(*) FROM orders
+                    WHERE o_orderpriority = '3-MEDIUM') AS n_rows,
+                   TRUE AS version_shaped
+            UNION ALL
+            SELECT 'stray-export', 7, FALSE
+        """,
+        "query_basket_pairs": """
+            WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
+                        FROM lineitem JOIN part
+                          ON l_partkey = p_partkey),
+            p AS (SELECT x.p_brand AS brand_a, y.p_brand AS brand_b
+                  FROM ob x JOIN ob y
+                    ON x.l_orderkey = y.l_orderkey
+                   AND x.p_brand < y.p_brand),
+            c AS (SELECT brand_a, brand_b, count(*) AS n_orders
+                  FROM p GROUP BY brand_a, brand_b)
+            SELECT row_number() OVER (ORDER BY n_orders DESC,
+                                      brand_a, brand_b) AS rank,
+                   brand_a, brand_b, n_orders
+            FROM c QUALIFY rank <= 20
         """,
         # positional stats replay (idealized decomposition): file k of
         # a partition is sorted positions [300k, 300k+300) of the

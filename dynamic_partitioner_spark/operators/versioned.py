@@ -256,3 +256,47 @@ def vacuum_versions(spark: SparkSession, path: str,
     os.replace(tmp, marker)
     return spark.createDataFrame(
         report, "version long, mode string, action string, n_rows long")
+
+
+def find_orphans(spark: SparkSession, path: str) -> DataFrame:
+    """Orphan-directory audit: top-level data directories present on
+    disk but referenced by NO commit — exactly what a writer crash
+    between the batch write and the log rename leaves behind (see
+    :func:`versioned_write`'s overwrite-not-error note), plus any
+    foreign debris dropped into the table root.  The vacuum-planning
+    primitive: production lakehouses run this before reclaiming space
+    (Delta VACUUM's untracked-file scan, Iceberg's
+    ``remove_orphan_files``).
+
+    Returns one row per orphan: ``(orphan_dir, n_rows,
+    version_shaped)`` — ``n_rows`` from reading the stray parquet
+    (0 for an unreadable/empty dir), ``version_shaped`` whether the
+    name matches the engine's own ``batch-XXXXXXXX`` pattern (a
+    crashed write of THIS engine, recoverable by re-commit) or not
+    (foreign debris, delete-only).  Cost is one driver listing plus a
+    footer read per orphan — metadata-scale, never a table scan; the
+    commit log is bytes per commit by design.
+    """
+    import re as _re
+
+    _check_local(path)
+    commits = _commits(path)
+    referenced = {d for c in commits for d in c["dirs"]}
+    try:
+        entries = sorted(os.listdir(path))
+    except FileNotFoundError:
+        entries = []
+    rows = []
+    for name in entries:
+        full = os.path.join(path, name)
+        if name == "_log" or not os.path.isdir(full) \
+                or name in referenced:
+            continue
+        try:
+            n = spark.read.parquet(full).count()
+        except Exception:
+            n = 0
+        rows.append((name, n,
+                     bool(_re.fullmatch(r"batch-\d{8}", name))))
+    return spark.createDataFrame(
+        rows, "orphan_dir string, n_rows long, version_shaped boolean")

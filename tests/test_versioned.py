@@ -153,3 +153,26 @@ def test_vacuum_without_overwrite_keeps_everything(spark, tmp_path):
     # appends are still visible to version 2 — nothing is deletable
     assert rep == {1: "kept", 2: "kept"}
     assert read_version(spark, path, 1).count() == 3
+
+
+def test_find_orphans_flags_only_unreferenced_dirs(spark, tmp_path):
+    from dynamic_partitioner_spark.operators.versioned import (
+        find_orphans, versioned_write)
+    path = str(tmp_path / "vt")
+    df = spark.range(10).withColumnRenamed("id", "k")
+    versioned_write(df, path, "append")
+    versioned_write(df.where("k < 3"), path, "append")
+    # clean table: no orphans
+    assert find_orphans(spark, path).count() == 0
+    # crashed write (engine-shaped, no commit) + foreign debris
+    df.where("k < 5").write.mode("overwrite").parquet(
+        f"{path}/batch-00000042")
+    df.where("k < 2").write.mode("overwrite").parquet(
+        f"{path}/not-a-batch")
+    got = {(r.orphan_dir, r.n_rows, r.version_shaped)
+           for r in find_orphans(spark, path).collect()}
+    assert got == {("batch-00000042", 5, True),
+                   ("not-a-batch", 2, False)}
+    # committed dirs never flagged even after more commits
+    versioned_write(df.where("k >= 8"), path, "overwrite")
+    assert find_orphans(spark, path).count() == 2

@@ -101,6 +101,8 @@ AUDIT_KEYS = [
     "events_did", "mm_wav_stats", "events_drift_chi2",
     "similarity_bq_topk", "query_gini", "events_power",
     "events_cuped",
+    # round-9 additions
+    "ops_orphan_files", "query_basket_pairs",
 ]
 
 _KEEP = re.compile(

@@ -98,6 +98,8 @@ SWEEP_KEYS = [
     "events_did", "mm_wav_stats", "events_drift_chi2",
     "similarity_bq_topk", "query_gini", "events_power",
     "events_cuped",
+    # round-9 additions
+    "ops_orphan_files", "query_basket_pairs",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
@@ -317,9 +319,21 @@ def main() -> None:
         "NOT a documented quadratic audit baseline would be a red flag.",
         "",
     ]
+    # preserve the sf1 / sf10 spot-run sections (previously a full
+    # rewrite dropped them and they had to be hand-re-appended — the
+    # r8 memory-note footgun, now structural)
+    tail = ""
+    try:
+        with open("/root/repo/SCALING.md") as f:
+            old = f.read()
+        cut = old.find("\n## ")
+        if cut != -1:
+            tail = old[cut:]
+    except FileNotFoundError:
+        pass
     with open("/root/repo/SCALING.md", "w") as f:
-        f.write("\n".join(lines))
-    print("SCALING.md written")
+        f.write("\n".join(lines).rstrip("\n") + "\n" + tail)
+    print("SCALING.md written (spot-run sections preserved)")
 
 
 if __name__ == "__main__":
