@@ -95,6 +95,42 @@ def _out(key: str) -> str:
     return path
 
 
+def _certify_booleans(key: str, audit_df: DataFrame,
+                      bool_cols: list[str],
+                      observed_df: DataFrame | None = None,
+                      max_diag_rows: int = 200) -> None:
+    """Loud physical-write certification (r9 VERDICT #2/#3).
+
+    The ops_* keys certify their physical write with per-partition-key
+    boolean invariants that hold under ANY <=cap file decomposition.
+    Hashing those booleans made a driver-side violation collapse into
+    an undiagnosable hash mismatch (ops_compaction_plan was hash-red
+    in r8 AND r9 with no way to tell WHICH invariant flipped, or
+    whether the oracle dialect was at fault).  This helper collects
+    the tiny per-key audit relation (a handful of rows — one per
+    partition key) and RAISES with the violated invariants plus the
+    observed per-file decomposition, so the driver records a
+    self-describing ``err`` string instead of ``hash_match: false``.
+    ``observed_df`` is bounded by files-per-key (rows/cap) and is
+    collected only on failure."""
+    rows = audit_df.collect()
+    bad = [r for r in rows
+           if not all(bool(r[c]) for c in bool_cols)]
+    if not bad:
+        return
+    lines = [f"{key}: physical-write audit violated — "
+             + "; ".join(
+                 str(r["pk"]) + ": "
+                 + ",".join(f"{c}={r[c]}" for c in bool_cols
+                            if not r[c])
+                 for r in bad)]
+    if observed_df is not None:
+        obs = observed_df.limit(max_diag_rows).collect()
+        lines.append("observed per-file decomposition:")
+        lines.extend("  " + str(tuple(r)) for r in obs)
+    raise RuntimeError("\n".join(lines))
+
+
 def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -4903,8 +4939,10 @@ def q_text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle recomputes (left, right, merged, count) exactly from
     the same adjacent-pair argmax in SQL; the iterative tail is pinned
     by hard combinatorial invariants (non-increasing winner counts,
-    one-new-symbol-per-merge vocab growth, bounded mass conservation,
-    no pair wins twice) that the oracle emits as literal TRUE.  The
+    merged == left||right, merged never a base symbol, bounded mass
+    conservation, no (left, right) pair wins twice — pairs_distinct,
+    NOT vocab-grows-by-one, which is a non-theorem: two merges can
+    spell the same string) that the oracle emits as literal TRUE.  The
     full merge sequence stays pinned in tests/test_bpe.py."""
     from dynamic_partitioner_spark.operators.bpe import learn_bpe_certified
     docs = _table(spark, sf_dir, "documents")
@@ -4940,11 +4978,13 @@ def q_ops_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     physical file decomposition (the r8 ops_compaction_plan driver
     flake generalizes: even after a strict hash repartition, a task
     retry or AQE rewrite can split one key across two sequential
-    writers, so exact file counts are a scheduler property) — the
-    audit certifies the invariants that hold under ANY <=cap
-    decomposition: observed file count >= ceil(rows/1000)
-    (files_floor_ok) and every observed file <= 1000 rows
-    (cap_ok), alongside the exact per-key row counts."""
+    writers, so exact file counts are a scheduler property) — only the
+    exact per-key row counts are hashed.  The invariants that hold
+    under ANY <=cap decomposition — observed file count >=
+    ceil(rows/1000) (files_floor_ok), every observed file <= 1000 rows
+    (cap_ok) — are checked LOUDLY via _certify_booleans (r9 VERDICT
+    #3): a violation raises with the observed per-file decomposition
+    instead of surfacing as a bare hash mismatch."""
     from dynamic_partitioner_spark.operators.partitioned_write import (
         audit_partition_files)
     apply_engine_confs(spark)
@@ -4956,15 +4996,20 @@ def q_ops_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_partitioned(df, spec, out)
     audit = (audit_partition_files(spark, out, ["o_orderpriority"])
              .withColumnRenamed("o_orderpriority", "pk"))
-    cap = (spark.read.parquet(out)
-           .select(F.col("o_orderpriority").cast("string").alias("pk"),
-                   F.col("_metadata.file_path").alias("_f"))
-           .groupBy("pk", "_f").agg(F.count(F.lit(1)).alias("_n"))
-           .groupBy("pk").agg((F.max("_n") <= 1000).alias("cap_ok")))
-    return (audit.join(cap, "pk")
-            .select("pk", "n_rows",
-                    (F.col("n_files") >= F.ceil(F.col("n_rows") / 1000))
-                    .alias("files_floor_ok"), "cap_ok"))
+    per_file = (spark.read.parquet(out)
+                .select(F.col("o_orderpriority").cast("string")
+                        .alias("pk"),
+                        F.col("_metadata.file_path").alias("_f"))
+                .groupBy("pk", "_f").agg(F.count(F.lit(1)).alias("_n")))
+    cap = (per_file.groupBy("pk")
+           .agg((F.max("_n") <= 1000).alias("cap_ok")))
+    checks = (audit.join(cap, "pk")
+              .select("pk", "n_rows",
+                      (F.col("n_files") >= F.ceil(F.col("n_rows") / 1000))
+                      .alias("files_floor_ok"), "cap_ok"))
+    _certify_booleans("ops_file_audit", checks,
+                      ["files_floor_ok", "cap_ok"], per_file)
+    return checks.select("pk", "n_rows")
 
 
 def q_ops_metadata_files(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4976,10 +5021,12 @@ def q_ops_metadata_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ceil(n/100) files of 100 plus one remainder — what the oracle
     predicts from the data alone); the PHYSICAL decomposition is a
     scheduler property (the r8 compaction-plan flake class) and is
-    certified by the invariants that hold under ANY <=cap split:
-    every observed file <= 100 rows (audit_cap_ok), observed rows ==
-    table rows (audit_total_ok), observed file count >= ceil(n/100)
-    (audit_files_ok)."""
+    certified LOUDLY via _certify_booleans (r9 VERDICT #3 — a
+    violation raises with the observed per-file decomposition rather
+    than collapsing into a hash mismatch): invariants that hold under
+    ANY <=cap split — every observed file <= 100 rows (audit_cap_ok),
+    observed rows == table rows (audit_total_ok), observed file count
+    >= ceil(n/100) (audit_files_ok)."""
     apply_engine_confs(spark)
     df = (_table(spark, sf_dir, "customer")
           .repartition(F.col("c_mktsegment")))
@@ -4991,11 +5038,12 @@ def q_ops_metadata_files(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy(F.trim(F.col("c_mktsegment").cast("string"))
                        .alias("pk"))
               .agg(F.count(F.lit(1)).alias("_n")))
-    audit = (spark.read.parquet(out)
-             .select(F.col("c_mktsegment").cast("string").alias("pk"),
-                     F.col("_metadata.file_path").alias("_file"))
-             .groupBy("pk", "_file").agg(F.count(F.lit(1)).alias("_fr"))
-             .groupBy("pk")
+    per_file = (spark.read.parquet(out)
+                .select(F.col("c_mktsegment").cast("string").alias("pk"),
+                        F.col("_metadata.file_path").alias("_file"))
+                .groupBy("pk", "_file")
+                .agg(F.count(F.lit(1)).alias("_fr")))
+    audit = (per_file.groupBy("pk")
              .agg(F.max("_fr").alias("_mx"), F.sum("_fr").alias("_tot"),
                   F.count(F.lit(1)).alias("_nf"))
              .join(counts, "pk")
@@ -5004,6 +5052,9 @@ def q_ops_metadata_files(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (F.col("_tot") == F.col("_n")).alias("audit_total_ok"),
                      (F.col("_nf") >= F.ceil(F.col("_n") / 100))
                      .alias("audit_files_ok")))
+    _certify_booleans("ops_metadata_files", audit,
+                      ["audit_cap_ok", "audit_total_ok",
+                       "audit_files_ok"], per_file)
     ideal = (counts
              .select("pk", "_n",
                      F.explode(F.expr(
@@ -5014,9 +5065,7 @@ def q_ops_metadata_files(spark: SparkSession, sf_dir: str) -> DataFrame:
                             | (F.col("_n") % 100 == 0), F.lit(100))
                      .otherwise(F.col("_n") % 100)
                      .cast("long").alias("n_rows")))
-    return ideal.join(audit, "pk").select(
-        "pk", "file_rank", "n_rows",
-        "audit_cap_ok", "audit_total_ok", "audit_files_ok")
+    return ideal.select("pk", "file_rank", "n_rows")
 
 
 def q_partitioned_write_transforms(spark: SparkSession,
@@ -5106,7 +5155,12 @@ def q_ops_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     debris (``stray-export``).  The audit must flag exactly the two
     unreferenced dirs with their row counts and whether the name is
     engine-shaped (recoverable by re-commit) or delete-only.  Cost is
-    one driver listing + a footer count per orphan — metadata-scale."""
+    one driver listing + a footer count per orphan — metadata-scale.
+    The orphan-dir NAME set is checked loudly Spark-side (r9 VERDICT
+    #3): if the scan surfaces anything besides the two planted dirs —
+    e.g. real crash debris from THIS run's own committed writes — the
+    query raises with the observed listing instead of handing the
+    driver a row-count mismatch."""
     from dynamic_partitioner_spark.operators.versioned import (
         find_orphans, versioned_write)
     apply_engine_confs(spark)
@@ -5121,7 +5175,14 @@ def q_ops_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     # foreign debris: a non-engine directory holding parquet
     (orders.where(pri == "5-LOW").limit(7).write.mode("overwrite")
      .parquet(f"{out}/stray-export"))
-    return find_orphans(spark, out).orderBy("orphan_dir")
+    got = find_orphans(spark, out).orderBy("orphan_dir")
+    names = [r["orphan_dir"] for r in got.select("orphan_dir").collect()]
+    if names != ["batch-00000099", "stray-export"]:
+        raise RuntimeError(
+            "ops_orphan_files: orphan scan surfaced an unexpected dir "
+            f"set {names} (expected the two planted dirs) — real "
+            "writer debris is present in the scratch table")
+    return got
 
 
 def q_query_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5184,48 +5245,64 @@ def q_ops_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     data pages read), and run the rolling first-fit-decreasing planner
     into 1000-row bins.
 
-    HASHED values never depend on physical file decomposition (the r8
-    driver flake: a task retry / AQE rewrite can split one key's rows
-    across two sequential writers — same file count, different per-file
-    n_rows — and "one writer per key" is a scheduler property no plan
-    can pin).  Instead the planner runs on the IDEALIZED deterministic
-    decomposition derived from the data (ceil(n/300) files of 300 plus
-    one remainder — what any single writer produces), which the oracle
-    replays exactly, bin arithmetic (running-total DIV target) and all.
-    The real write is certified by per-key boolean invariants that hold
-    under ANY decomposition into <=cap files: every observed file
-    <= 300 rows (audit_cap_ok), observed rows == table rows
-    (audit_total_ok), observed file count >= ceil(n/300) — the
-    information-theoretic floor (audit_files_ok)."""
+    HASHED values are PURE DATA — the planner runs on the IDEALIZED
+    deterministic decomposition derived from source counts (ceil(n/300)
+    files of 300 plus one remainder — what any single writer produces),
+    which the oracle replays exactly, bin arithmetic (running-total DIV
+    target) and all.  Physical file decomposition is a scheduler
+    property no plan can pin (the r8 driver flake: a task retry / AQE
+    rewrite can split one key across two sequential writers), so the
+    real write is certified LOUDLY instead of hashed (r9 VERDICT #2 —
+    this key was hash-red in r8 AND r9 with no way to name the cause):
+    per-key invariants that hold under ANY <=cap decomposition — every
+    observed file <= 300 rows (cap), observed rows == table rows
+    (total), observed file count >= ceil(n/300) (floor) — are checked
+    Spark-side via _certify_booleans.  On violation the write is
+    retried ONCE from a clean directory (the suspected mechanism is
+    crash/retry debris in the scratch dir — the ops_orphan_files
+    class), and a persistent violation RAISES with the observed
+    per-file (pk, file, n_rows) decomposition, so the driver records a
+    self-describing err.  A future driver hash-red on this key now
+    unambiguously indicts the oracle dialect."""
     from dynamic_partitioner_spark.operators.partitioned_write import (
         plan_compaction)
     apply_engine_confs(spark)
-    df = (_table(spark, sf_dir, "orders")
-          .repartition(F.col("o_orderpriority")))
-    out = _out("ops_compaction_plan")
+    src = _table(spark, sf_dir, "orders")
+    counts = (src
+              .groupBy(F.col("o_orderpriority").cast("string").alias("pk"))
+              .agg(F.count(F.lit(1)).alias("_n")))
     spec = SinkSpec(name="ord_compact_plan",
                     field_names=["o_orderpriority"],
                     max_records_per_file=300, cluster_by_key=False)
-    write_partitioned(df, spec, out)
-    observed = (spark.read.parquet(out)
-                .select(F.col("o_orderpriority").cast("string")
-                        .alias("pk"),
-                        F.col("_metadata.file_path").alias("_file"))
-                .groupBy("pk", "_file")
-                .agg(F.count(F.lit(1)).alias("n_rows")))
-    counts = (_table(spark, sf_dir, "orders")
-              .groupBy(F.col("o_orderpriority").cast("string").alias("pk"))
-              .agg(F.count(F.lit(1)).alias("_n")))
-    audit = (observed.groupBy("pk")
-             .agg(F.max("n_rows").alias("_mx"),
-                  F.sum("n_rows").alias("_tot"),
-                  F.count(F.lit(1)).alias("_nf"))
-             .join(counts, "pk")
-             .select("pk",
-                     (F.col("_mx") <= 300).alias("audit_cap_ok"),
-                     (F.col("_tot") == F.col("_n")).alias("audit_total_ok"),
-                     (F.col("_nf") >= F.ceil(F.col("_n") / 300))
-                     .alias("audit_files_ok")))
+    for attempt in (1, 2):
+        out = _out("ops_compaction_plan")  # rmtree + fresh dir each try
+        write_partitioned(src.repartition(F.col("o_orderpriority")),
+                          spec, out)
+        observed = (spark.read.parquet(out)
+                    .select(F.col("o_orderpriority").cast("string")
+                            .alias("pk"),
+                            F.col("_metadata.file_path").alias("_file"))
+                    .groupBy("pk", "_file")
+                    .agg(F.count(F.lit(1)).alias("n_rows")))
+        audit = (observed.groupBy("pk")
+                 .agg(F.max("n_rows").alias("_mx"),
+                      F.sum("n_rows").alias("_tot"),
+                      F.count(F.lit(1)).alias("_nf"))
+                 .join(counts, "pk")
+                 .select("pk",
+                         (F.col("_mx") <= 300).alias("audit_cap_ok"),
+                         (F.col("_tot") == F.col("_n"))
+                         .alias("audit_total_ok"),
+                         (F.col("_nf") >= F.ceil(F.col("_n") / 300))
+                         .alias("audit_files_ok")))
+        try:
+            _certify_booleans("ops_compaction_plan", audit,
+                              ["audit_cap_ok", "audit_total_ok",
+                               "audit_files_ok"], observed)
+            break
+        except RuntimeError:
+            if attempt == 2:
+                raise
     per_file = (counts
                 .select("pk", "_n",
                         F.explode(F.expr(
@@ -5238,9 +5315,8 @@ def q_ops_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .cast("long").alias("n_rows")))
     plan = plan_compaction(per_file, ["pk"], "n_rows", target=1000,
                            tiebreak_cols=["_file"])
-    return plan.join(audit, "pk").select(
-        "pk", "file_seq", "n_rows", "bin", "bin_size", "bin_files",
-        "audit_cap_ok", "audit_total_ok", "audit_files_ok")
+    return plan.select(
+        "pk", "file_seq", "n_rows", "bin", "bin_size", "bin_files")
 
 
 def q_ops_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5255,17 +5331,20 @@ def q_ops_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose (n_rows, vmin, vmax) are deterministic however ties are
     ordered — which the oracle replays exactly; deliberate price-band
     ties straddling file boundaries make depth > 1 for real, so the
-    metric isn't a constant-1 tautology.  HASHED values never depend
-    on the physical decomposition (the r8 ops_compaction_plan driver
-    flake: a task retry / AQE rewrite can split one key across two
-    sequential writers, and each writer's files are contiguous runs of
-    ITS subset, not of the global multiset).  The real sorted write is
-    certified by per-key boolean invariants that hold under ANY
-    <=cap-file decomposition: every file <= 300 rows (audit_cap_ok),
-    observed rows == table rows (audit_total_ok), file count >=
-    ceil(n/300) (audit_files_ok), and the per-key [min(vmin),
-    max(vmax)] envelope equals the table's value range
-    (audit_range_ok).  The positional stats come from the bounded
+    metric isn't a constant-1 tautology.  HASHED values are PURE DATA
+    — physical decomposition is a scheduler property (the r8
+    ops_compaction_plan driver flake: a task retry / AQE rewrite can
+    split one key across two sequential writers, and each writer's
+    files are contiguous runs of ITS subset, not of the global
+    multiset).  The real sorted write is certified LOUDLY via
+    _certify_booleans (r9 VERDICT #3 — a violated invariant must
+    raise a self-describing err, never a bare hash mismatch): per-key
+    invariants that hold under ANY <=cap-file decomposition — every
+    file <= 300 rows (audit_cap_ok), observed rows == table rows
+    (audit_total_ok), file count >= ceil(n/300) (audit_files_ok), and
+    the per-key [min(vmin), max(vmax)] envelope equals the table's
+    value range (audit_range_ok).  The positional stats come from the
+    bounded
     value GRID (distinct price bands, a few hundred rows per key) via
     a cumulative window + file-interval explode — never a per-row
     global sort, so the certification harness itself scales
@@ -5308,6 +5387,11 @@ def q_ops_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ((F.col("_omin") == F.col("_vlo"))
                       & (F.col("_omax") == F.col("_vhi")))
                      .alias("audit_range_ok")))
+    _certify_booleans("ops_clustering_depth", audit,
+                      ["audit_cap_ok", "audit_total_ok",
+                       "audit_files_ok", "audit_range_ok"],
+                      observed.select("pk", "_f", "n_rows",
+                                      "vmin", "vmax"))
     # idealized per-file stats from the bounded value grid: band v
     # occupies sorted positions [cum_before, cum_before + cnt), so it
     # touches files cum_before div 300 .. (cum_before + cnt - 1) div 300
@@ -5334,10 +5418,8 @@ def q_ops_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "vmin", "vmax"))
     depth = clustering_depth(stats, ["pk"], "vmin", "vmax",
                              order_extra=["n_rows"])
-    return depth.join(audit, "pk").select(
-        "pk", "n_rows", "vmin", "vmax", "file_seq", "depth",
-        "audit_cap_ok", "audit_total_ok", "audit_files_ok",
-        "audit_range_ok")
+    return depth.select(
+        "pk", "n_rows", "vmin", "vmax", "file_seq", "depth")
 
 
 def q_text_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5388,71 +5470,60 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate canonicalizes only the first ~50
 # ``queries()`` entries per round.  Rotate each round so the keys with
-# the LEAST driver evidence come first.  Round 9's window (the r8
-# VERDICT's #1 ask: the 18-key evidence gap, then the round-4 cohort):
-#   first  the keys whose query/oracle text changed THIS round —
-#          ops_compaction_plan + ops_clustering_depth (oracles made
-#          decomposition-independent after the r8 driver hash flake),
-#          text_bpe_learn (last rows-only key flipped to a certified
-#          oracle), and cdc_apply / query_scd2 / streaming_upsert
-#          (CDC seq slot widened 10**11 -> 10**13),
-#   then   the r8-second-session cohort with NO driver evidence for
-#          their current text: the 3 re-oracled dedup flips (driver
-#          rows still say no_oracle) and the 13 never-checked late-r8
-#          keys,
-#   then   the round-4-evidence cohort (the oldest anywhere), the
-#          reference-surface S1-S7 keys first.
-# Positions 51+ lead with the round-4 remainder so round 10 starts
-# there (they hit the 5-round freshness budget at r10 —
-# tools/check_freshness.py enforces the rotation).
-_PRIORITY_R09 = [
-    # --- NEW keys this round (never driver-checked) ---
-    "ops_orphan_files", "query_basket_pairs",
-    # --- query/oracle text changed this round ---
-    "ops_compaction_plan", "ops_clustering_depth", "text_bpe_learn",
-    "cdc_apply", "query_scd2", "streaming_upsert",
-    "ops_file_audit", "ops_metadata_files",
-    # --- re-oracled dedup flips (driver evidence still "no_oracle") ---
-    "dedup_minhash", "dedup_embedding_lsh", "dedup_semantic",
-    # --- late-r8 keys never driver-checked ---
-    "ops_incremental_scan", "embedding_prefix_eval",
-    "graph_neighbor_jaccard", "text_phrases", "sample_neyman",
-    "mm_dhash", "mm_wav_stats", "events_did", "events_drift_chi2",
-    "similarity_bq_topk", "query_gini", "events_power", "events_cuped",
-    # --- round-4 evidence: reference surface first ---
-    "partitioned_write_single", "partitioned_write_multi",
-    "partitioned_write_orc", "partitioned_write_avro",
-    "append_mode", "overwrite_dynamic", "stage_tag",
-    "payload_projection", "nonnull_validation", "partition_key_trim",
-    "mm_mime_sniff", "mm_resize",
-    # --- round-4 evidence: extension keys ---
-    "dedup_exact", "dedup_containment", "dedup_survivorship",
-    "embedding_grammian", "embedding_quantize", "events_asof_join",
-    "events_range_join", "events_anomaly", "events_asof_nearest",
-    "events_densify", "events_json_extract",
-    "privacy_dp_count",
-    # ---- fold: the driver checks the 50 above ----
-    # (these four r4-evidence keys were bumped below the fold by the
-    # two new keys and the two decomposition-hardened ops keys —
-    # age 5 at r9, first in line for r10 with the rest)
+# the LEAST driver evidence come first.  Round 10's window (the r9
+# VERDICT's #1/#2/#3 asks):
+#   first  the keys whose query/oracle text changed THIS round — the
+#          five ops_* keys moved to the loud-certification design
+#          (physical-write booleans checked Spark-side via
+#          _certify_booleans and REMOVED from the hashed relation;
+#          ops_compaction_plan — the only key never driver-green —
+#          additionally self-heals with one rewrite-retry), plus
+#          text_bpe_learn (docstring synced to the actual certified
+#          invariants — r9 ADVICE),
+#   then   the round-4-evidence cohort (22 keys at the 5-round
+#          freshness budget — the exact list the gate names),
+#   then   the oldest 22 of the 41 round-5-evidence keys.
+# Positions 51+ carry the round-5 remainder (stale at r11 — they lead
+# the r11 fold), then the round-6 cohort (stale at r12).
+_PRIORITY_R10 = [
+    # --- query/oracle text changed this round (loud certification) ---
+    "ops_compaction_plan", "ops_clustering_depth", "ops_file_audit",
+    "ops_metadata_files", "ops_orphan_files", "text_bpe_learn",
+    # --- round-4 evidence (at the freshness budget) ---
     "privacy_l_diversity", "query_bucketed_join",
-    "query_join_broadcast", "query_percentiles",
-    # below the fold, r10 rotation order: the round-4 remainder (they
-    # reach the 5-round freshness budget at r10 — refresh them FIRST),
-    # then the round-5 cohort
-    "query_pruned_agg", "query_quantile_bins", "query_rollup",
-    "query_rollup_grains", "query_unpivot", "query_window_topk",
-    "query_windowed_distinct", "sample_cap_group", "sample_hash",
-    "sample_mixture", "sample_split", "sample_temperature",
-    "similarity_int8_topk", "source_csv_roundtrip",
-    "source_jsonl_roundtrip", "text_bpe_pairs", "text_entropy",
-    "text_winnow",
+    "query_join_broadcast", "query_percentiles", "query_pruned_agg",
+    "query_quantile_bins", "query_rollup", "query_rollup_grains",
+    "query_unpivot", "query_window_topk", "query_windowed_distinct",
+    "sample_cap_group", "sample_hash", "sample_mixture",
+    "sample_split", "sample_temperature", "similarity_int8_topk",
+    "source_csv_roundtrip", "source_jsonl_roundtrip",
+    "text_bpe_pairs", "text_entropy", "text_winnow",
+    # --- round-5 evidence, oldest first (alphabetical within) ---
+    "dedup_apply", "dedup_fuzzy2", "dedup_url", "embedding_outliers",
+    "events_attribution", "events_bursts", "events_conformance",
+    "events_cumulative_users", "events_delay_audit", "events_ohlc",
+    "events_seq_lm", "mm_dedup_binary", "mm_tar_shards",
+    "privacy_pseudonymize", "quality_expectations", "query_bloom_join",
+    "query_decimal_agg", "query_geo_join", "query_heavy_hitters",
+    "query_incremental_agg", "query_lag_features",
+    "query_salted_join_auto",
+    # ---- fold: the driver checks the 50 above ----
+    # below the fold, r11 rotation order: the round-5 remainder (they
+    # reach the 5-round freshness budget at r11 — refresh them FIRST),
+    # then the round-6 cohort
+    "query_skew_profile", "query_sql_tpch_q1", "query_sql_tpch_q3",
+    "query_sql_tpch_q5", "query_sql_tpch_q6", "sample_balance_labels",
+    "sample_bootstrap", "sample_epoch_shuffle", "sample_group_split",
+    "sample_topk", "similarity_hybrid_rrf", "source_schema_evolution",
+    "source_time_travel", "streaming_expectations",
+    "streaming_sessionize", "text_bm25", "text_cooccur",
+    "text_pii_redact", "text_scrub_chunks",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _all_queries()
-    out = {k: base[k] for k in _PRIORITY_R09}
+    out = {k: base[k] for k in _PRIORITY_R10}
     out.update((k, v) for k, v in base.items() if k not in out)
     return out
 
@@ -8825,9 +8896,9 @@ def oracle_sql() -> dict[str, str]:
         # price-band multiset, so (n_rows, vmin, vmax) are
         # deterministic however ties are ordered; the overlap join
         # replays the operator's depth definition exactly.  The
-        # physical write is certified by the audit_* boolean
-        # invariants, which hold under ANY <=cap decomposition —
-        # emitted as literal TRUE
+        # physical write is certified LOUDLY Spark-side
+        # (_certify_booleans — r9 VERDICT #3), so the hashed relation
+        # is pure data on both sides
         "ops_clustering_depth": """
             WITH v AS (SELECT o_orderpriority AS pk,
                               CAST(floor(o_totalprice / 1000) AS BIGINT)
@@ -8845,16 +8916,16 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY vmin, vmax, n_rows) AS file_seq
                   FROM f)
             SELECT a.pk, a.n_rows, a.vmin, a.vmax, a.file_seq,
-                   count(*) AS depth,
-                   TRUE AS audit_cap_ok, TRUE AS audit_total_ok,
-                   TRUE AS audit_files_ok, TRUE AS audit_range_ok
+                   count(*) AS depth
             FROM s a JOIN f b ON a.pk = b.pk
              AND a.vmin <= b.vmax AND b.vmin <= a.vmax
             GROUP BY ALL
         """,
-        # idealized-decomposition FFD replay + physical-write audit
-        # invariants as literal TRUE (hashed values never depend on
-        # the scheduler's file decomposition — the r8 driver flake)
+        # idealized-decomposition FFD replay; the physical write is
+        # certified LOUDLY Spark-side with a bounded rewrite-retry
+        # (_certify_booleans — r9 VERDICT #2), so the hashed relation
+        # is pure data on both sides and a hash-red here can only be
+        # an oracle-dialect divergence
         "ops_compaction_plan": """
             WITH p AS (SELECT o_orderpriority AS pk, count(*) AS n
                        FROM orders GROUP BY 1),
@@ -8880,9 +8951,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM s)
             SELECT pk, file_seq, n_rows, bin,
                    sum(n_rows) OVER (PARTITION BY pk, bin) AS bin_size,
-                   count(*) OVER (PARTITION BY pk, bin) AS bin_files,
-                   TRUE AS audit_cap_ok, TRUE AS audit_total_ok,
-                   TRUE AS audit_files_ok
+                   count(*) OVER (PARTITION BY pk, bin) AS bin_files
             FROM c
         """,
         "ops_metadata_files": """
@@ -8898,22 +8967,16 @@ def oracle_sql() -> dict[str, str]:
                 SELECT pk, CAST(n // 100 AS INT) + 1 AS file_rank,
                        CAST(n % 100 AS BIGINT) AS n_rows
                 FROM p WHERE n % 100 <> 0)
-            SELECT pk, file_rank, n_rows,
-                   TRUE AS audit_cap_ok, TRUE AS audit_total_ok,
-                   TRUE AS audit_files_ok
-            FROM full_files
+            SELECT pk, file_rank, n_rows FROM full_files
             UNION ALL
-            SELECT pk, file_rank, n_rows,
-                   TRUE, TRUE, TRUE
-            FROM remainder
+            SELECT pk, file_rank, n_rows FROM remainder
         """,
-        # exact per-key counts + decomposition-independent boolean
-        # invariants as literal TRUE (physical file counts are a
-        # scheduler property — the r8 compaction-plan flake class)
+        # exact per-key counts; the decomposition-independent
+        # invariants are checked LOUDLY Spark-side (physical file
+        # counts are a scheduler property — the r8 flake class)
         "ops_file_audit": """
             SELECT trim(CAST(o_orderpriority AS VARCHAR)) AS pk,
-                   count(*) AS n_rows,
-                   TRUE AS files_floor_ok, TRUE AS cap_ok
+                   count(*) AS n_rows
             FROM orders GROUP BY o_orderpriority
         """,
         "text_cooccur": r"""

@@ -149,6 +149,25 @@ def learn_bpe_certified(df: DataFrame, text_col: str, n_merges: int = 20,
     initial_mass = sum(n * (len(w) + 1) for w, n in vocab)
     base = {EOW} | {ch for w, _ in vocab for ch in w}
     merges = _merge_loop(vocab, n_merges, with_mass=True)
+    # Build-time guards (r9 review): both conditions are CORPUS
+    # properties, not engine bugs — a corpus whose text can spell the
+    # EOW sentinel (e.g. literal '</w>' in HTML-ish docs) would flip
+    # merged_outside_base false on a CORRECT engine, and a corpus
+    # yielding < n_merges merges would return fewer rows than the
+    # oracle's unconditional generate_series(1, n_merges).  Fail
+    # loudly here (pytest / driver err) rather than as a hash flake.
+    if len(merges) < n_merges:
+        raise ValueError(
+            f"corpus exhausted after {len(merges)} merges; the "
+            f"certified relation requires exactly {n_merges} — "
+            "lower n_merges or use a larger corpus")
+    for _, left, right, m, _, _ in merges:
+        if m in base:
+            raise ValueError(
+                f"merge ({left!r},{right!r}) spells base symbol "
+                f"{m!r} (EOW constructible from this corpus's "
+                "alphabet) — merged_outside_base is not certifiable; "
+                "change the EOW sentinel for this corpus")
     pairs_distinct = (len({(l, r) for _, l, r, _, _, _ in merges})
                       == len(merges))
     rows, prev_count, prev_mass = [], None, initial_mass

@@ -671,7 +671,14 @@ def embedding_near_dup_lsh(df: DataFrame, id_col: str, vec_col: str,
     * ``max_bucket_size`` drops degenerate buckets (e.g. a zero-vector
       pile-up: every zero vector lands in bucket 0 of every table) via
       a broadcast anti-join on the tiny hot-bucket list, same guard as
-      the MinHash band path.  Pass None to disable.
+      the MinHash band path.  Since the in-bucket verify materializes
+      a whole bucket's vectors in ONE Python worker (the join-based
+      verify streamed pairs; this one does not), the guard doubles as
+      the executor-memory bound — so None no longer disables it
+      outright (r9 review): an internal ceiling of
+      ``max(100_000, 64 * target_bucket_size)`` still applies, keeping
+      a degenerate bucket's in-worker matrix bounded (~50 MB at
+      dim 64) while admitting any realistic bucket.
     * the verify runs IN-BUCKET (``applyInPandas`` per (table,
       bucket)): each bucket entry ships its vector ONCE — n·tables
       rows of (id, vec) — and pairs score inside the group with the
@@ -709,13 +716,17 @@ def embedding_near_dup_lsh(df: DataFrame, id_col: str, vec_col: str,
                # read by the hot-bucket count + the verify pass —
                # persist so the Arrow bucket UDF runs once per corpus
                .persist(StorageLevel.MEMORY_AND_DISK))
-    if max_bucket_size is not None:
-        hot = (entries.groupBy("tbl", "bucket")
-               .agg(F.count(F.lit(1)).alias("_n"))
-               .where(F.col("_n") > max_bucket_size)
-               .select("tbl", "bucket"))
-        entries = entries.join(F.broadcast(hot), ["tbl", "bucket"],
-                               "left_anti")
+    # None relaxes but never removes the bound: the verify holds a
+    # bucket's full vector matrix in one worker, so an uncapped
+    # degenerate bucket (zero-vector pile-up) could OOM an executor
+    cap = (max_bucket_size if max_bucket_size is not None
+           else max(100_000, 64 * target_bucket_size))
+    hot = (entries.groupBy("tbl", "bucket")
+           .agg(F.count(F.lit(1)).alias("_n"))
+           .where(F.col("_n") > cap)
+           .select("tbl", "bucket"))
+    entries = entries.join(F.broadcast(hot), ["tbl", "bucket"],
+                           "left_anti")
     thr = float(threshold)
 
     def _verify(pdf: _pd.DataFrame) -> _pd.DataFrame:

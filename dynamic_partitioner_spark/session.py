@@ -20,6 +20,14 @@ _ENGINE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Start every shuffle WIDE and let AQE coalesce down: with a fixed
+    # spark.sql.shuffle.partitions=32, a 28 GB pair shuffle runs
+    # ~900 MB tasks and spills (the r10 sf10 sweep measured
+    # graph_neighbor_jaccard at slope +1.08 from exactly this), while
+    # AQE can only merge partitions, never add them.  512 initial
+    # partitions puts the same shuffle at ~55 MB/task; small shuffles
+    # still coalesce to a handful of tasks, so short queries pay ~0.
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "512",
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",

@@ -1,0 +1,58 @@
+"""Guards on the bench harness itself — the writer-debris canary
+(r9 VERDICT #7) must count exactly the crash-debris class and nothing
+else, or a nonzero reading in BENCH_r{N}.json points the driver-red
+investigation the wrong way."""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from bench import sweep_writer_debris  # noqa: E402
+
+
+def _mk(p):
+    os.makedirs(p, exist_ok=True)
+
+
+def test_sweep_clean_scratch_is_zero(tmp_path):
+    d = str(tmp_path)
+    _mk(f"{d}/tbl/pk=A")
+    open(f"{d}/tbl/pk=A/part-0.parquet", "w").close()
+    # versioned table whose every batch is referenced
+    _mk(f"{d}/vt/_log")
+    _mk(f"{d}/vt/batch-00000001")
+    json.dump({"version": 1, "mode": "append",
+               "dirs": ["batch-00000001"]},
+              open(f"{d}/vt/_log/00000001.json", "w"))
+    assert sweep_writer_debris(d) == (0, [])
+
+
+def test_sweep_flags_temporary_and_unreferenced_batches(tmp_path):
+    d = str(tmp_path)
+    _mk(f"{d}/tbl/_temporary/0")          # committer staging debris
+    _mk(f"{d}/vt/_log")
+    _mk(f"{d}/vt/batch-00000001")          # referenced
+    _mk(f"{d}/vt/batch-00000002")          # crash debris: no commit
+    json.dump({"version": 1, "mode": "append",
+               "dirs": ["batch-00000001"]},
+              open(f"{d}/vt/_log/00000001.json", "w"))
+    n, dirs = sweep_writer_debris(d)
+    assert n == 2
+    assert set(dirs) == {"tbl/_temporary", "vt/batch-00000002"}
+
+
+def test_sweep_skips_intentional_orphan_plants(tmp_path):
+    """ops_orphan_files plants two orphans BY DESIGN — counting them
+    would make every healthy bench run read nonzero."""
+    d = str(tmp_path)
+    _mk(f"{d}/ops_orphan_files/_log")
+    _mk(f"{d}/ops_orphan_files/batch-00000099")
+    _mk(f"{d}/ops_orphan_files/stray-export")
+    assert sweep_writer_debris(d) == (0, [])
+
+
+def test_sweep_missing_scratch_is_zero(tmp_path):
+    assert sweep_writer_debris(str(tmp_path / "nope")) == (0, [])

@@ -18,9 +18,9 @@ def test_every_oracle_has_a_query_and_priorities_resolve():
     m = _entry()
     q, o = m.queries(), m.oracle_sql()
     assert set(o) <= set(q), sorted(set(o) - set(q))
-    assert set(m._PRIORITY_R09) <= set(q), \
-        sorted(set(m._PRIORITY_R09) - set(q))
-    assert len(set(m._PRIORITY_R09)) == len(m._PRIORITY_R09), \
+    assert set(m._PRIORITY_R10) <= set(q), \
+        sorted(set(m._PRIORITY_R10) - set(q))
+    assert len(set(m._PRIORITY_R10)) == len(m._PRIORITY_R10), \
         "duplicate keys in priority rotation"
     # r9 flipped the last rows-only key (text_bpe_learn) to hash-pass
     # via learn_bpe_certified: exact first-merge columns recomputed by

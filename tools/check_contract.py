@@ -143,6 +143,10 @@ def main() -> int:
                 print(f"     (dump failed: {exc})")
         else:
             print(f"ok   {key}: {len(sdf)} rows match ({time.time() - t0:.1f}s)")
+    # writer-debris canary (r9 VERDICT #7): same sweep bench.py records
+    import bench as _bench
+    seen, dirs = _bench.sweep_writer_debris(E.SCRATCH)
+    print(f"# orphan_dirs_seen={seen}" + (f" {dirs}" if dirs else ""))
     print(f"\n{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
     return 1 if n_fail else 0
 

@@ -104,7 +104,12 @@ def main() -> int:
                     for k in fps}
 
     import __spark_entry__ as E
-    fold = set(E._PRIORITY_R09[:FOLD]) if hasattr(E, "_PRIORITY_R09") \
+    # resolve the rotation list by pattern so renames (_PRIORITY_R09 ->
+    # _PRIORITY_R10 -> ...) keep being read explicitly instead of
+    # silently falling back to queries() order (ADVICE r9)
+    pri_names = sorted(n for n in dir(E)
+                       if re.fullmatch(r"_PRIORITY_R\d+", n))
+    fold = set(getattr(E, pri_names[-1])[:FOLD]) if pri_names \
         else set(list(E.queries())[:FOLD])
 
     changed, stale, problems = [], set(), []

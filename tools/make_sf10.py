@@ -1,12 +1,23 @@
-"""Inflate the sf1 corpus's DEDUP tables (documents, embeddings)
-another 10x into ``.scratch/sf10`` — the 100x-of-driver-SF corpus for
-the dedup-ladder scaling proof (r8 VERDICT stretch #9: the blocking
-math says linear; measure it where the banded join dominates).
+"""Inflate the sf1 corpus another 10x into ``.scratch/sf10`` — the
+100x-of-driver-SF corpus for the scaling proofs (r8 VERDICT stretch
+#9 / r9 VERDICT #5: the blocking math says linear; measure it where
+the blocked join dominates).
 
-Only the two tables the dedup ladder reads are built (the full sf10
-relational corpus would be ~1.8 GB of lineitem nobody scans in these
-keys).  Same workload-preserving construction discipline as
-``make_sf1.py``:
+Tables built: the dedup pair (documents, embeddings) plus the three
+the pair-generating graph/linkage keys read (customer, orders,
+lineitem — ~1.5 GB total, dominated by 60M lineitem rows).  Same
+workload-preserving construction discipline as ``make_sf1.py``:
+
+- relational keys offset by ``replica * span`` so the 10 replicas are
+  DISJOINT graphs — the bipartite customer-supplier graph, the
+  co-purchase part graph and the SymSpell name space each grow as 10
+  independent copies, so pair/triangle counts grow exactly 10x
+  (linear) while per-node degree distributions are bit-identical to
+  sf1's;
+- customer names get a per-replica two-letter suffix (``~aa``,
+  ``~bb``, ...): within-replica edit distances are unchanged (same
+  suffix both sides), cross-replica pairs differ in >= 2 characters,
+  so the lev<=1 pair set is exactly 10 disjoint copies of sf1's;
 
 - ``doc_id``/``vec_id`` offset by ``replica * span`` (sf10 doc ids top
   out ~50k — far under the 1e6 mutant-fixture offset documented in
@@ -49,7 +60,8 @@ def main() -> None:
         sys.exit("build the sf1 corpus first: python tools/make_sf1.py")
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
-    for t in ("documents", "embeddings"):
+    for t in ("documents", "embeddings", "customer", "orders",
+              "lineitem"):
         con.execute(f"CREATE VIEW {t} AS FROM '{SRC}/{t}.parquet'")
     con.execute(
         f"CREATE VIEW k AS SELECT unnest(range({REPLICAS})) AS k")
@@ -58,6 +70,14 @@ def main() -> None:
             "SELECT max(doc_id) + 1 FROM documents").fetchone()[0],
         "vec": con.execute(
             "SELECT max(vec_id) + 1 FROM embeddings").fetchone()[0],
+        "cust": con.execute(
+            "SELECT max(c_custkey) + 1 FROM customer").fetchone()[0],
+        "ord": con.execute(
+            "SELECT max(o_orderkey) + 1 FROM orders").fetchone()[0],
+        "supp": con.execute(
+            "SELECT max(l_suppkey) + 1 FROM lineitem").fetchone()[0],
+        "part": con.execute(
+            "SELECT max(l_partkey) + 1 FROM lineitem").fetchone()[0],
     }
 
     sql = {
@@ -86,6 +106,26 @@ def main() -> None:
                             THEN -x ELSE x END) AS FLOAT[]) AS embedding,
                    label
             FROM embeddings, k""",
+        "customer": f"""
+            SELECT c_custkey + k * {spans['cust']} AS c_custkey,
+                   c_name || '~' || chr(97 + CAST(k AS INT))
+                          || chr(97 + CAST(k AS INT)) AS c_name,
+                   c_nationkey, c_acctbal, c_mktsegment
+            FROM customer, k""",
+        "orders": f"""
+            SELECT o_orderkey + k * {spans['ord']} AS o_orderkey,
+                   o_custkey + k * {spans['cust']} AS o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate,
+                   o_orderpriority
+            FROM orders, k""",
+        "lineitem": f"""
+            SELECT l_orderkey + k * {spans['ord']} AS l_orderkey,
+                   l_partkey + k * {spans['part']} AS l_partkey,
+                   l_suppkey + k * {spans['supp']} AS l_suppkey,
+                   l_linenumber, l_quantity, l_extendedprice,
+                   l_discount, l_tax, l_returnflag, l_linestatus,
+                   l_shipdate
+            FROM lineitem, k""",
     }
     for t, q in sql.items():
         con.execute(
