@@ -1157,6 +1157,53 @@ def q_similarity_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
+def q_similarity_ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level-quantizer ANN end-to-end
+    (operators/similarity.py:topk_ann_ivf2 — the coarse x
+    residual-cell codebook that flattens assignment from O(n·n_lists)
+    to O(n·(n_coarse + n_fine)) past the flat trainer's ~1M-vector
+    clamp; SCALING.md's quantizer micro-bench carries the measured
+    speedup).  Hash-checked two ways on one query grid: (a) the
+    partial-probe result through the standard per-query invariant
+    rows (rank density/uniqueness, no self, sorted scores, and the
+    independent-join cosine recompute); (b) ``full_probe_exact`` —
+    with every coarse cell probed and nprobe >= the total list count
+    the staged search degenerates to exhaustive, so its top-k must
+    EQUAL brute force row for row (same rank, neighbor, round4
+    cosine): any assignment drift, lost list, or staged-search bug
+    flips the boolean.  Recall at partial probe stays pinned in
+    tests/test_similarity.py."""
+    from dynamic_partitioner_spark.operators.similarity import (
+        topk_ann_ivf2, topk_bruteforce, train_centroids_two_level)
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    codebook = train_centroids_two_level(emb, n_coarse=8, n_fine=4,
+                                         sample_size=2048)
+    coarse, fines, offsets = codebook
+    total_lists = int(offsets[-1]) + len(fines[-1])
+    partial = topk_ann_ivf2(emb, queries, k=5, codebook=codebook,
+                            nprobe=4, probe_coarse=2)
+    inv = _ann_invariant_rows(queries, partial, k=5, emb=emb)
+    full = topk_ann_ivf2(emb, queries, k=5, codebook=codebook,
+                         nprobe=total_lists, probe_coarse=len(coarse))
+    bf = topk_bruteforce(emb, queries, k=5)
+    f, b = full.alias("f"), bf.alias("b")
+    same = (f.join(b, ["query_id", "rank"], "full_outer")
+            .groupBy("query_id")
+            .agg(F.coalesce(
+                F.sum(F.when(
+                    F.col("f.neighbor_id").eqNullSafe(F.col("b.neighbor_id"))
+                    & F.col("f.cos_sim").eqNullSafe(F.col("b.cos_sim")),
+                    0).otherwise(1)) == 0,
+                F.lit(True)).alias("full_probe_exact")))
+    return (inv.join(same, "query_id", "left")
+            .select("query_id", "k", "ranks_ok", "no_self",
+                    "sims_sorted", "sims_exact",
+                    F.coalesce("full_probe_exact", F.lit(True))
+                    .alias("full_probe_exact"))
+            .orderBy("query_id"))
+
+
 # =====================================================================
 # Text analysis
 # =====================================================================
@@ -5486,6 +5533,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # Positions 51+ carry the round-5 remainder (stale at r11 — they lead
 # the r11 fold), then the round-6 cohort (stale at r12).
 _PRIORITY_R10 = [
+    # --- NEW key this round (never driver-checked): the two-level
+    #     quantizer certified end to end ---
+    "similarity_ivf2_topk",
     # --- query/oracle text changed this round (loud certification) ---
     "ops_compaction_plan", "ops_clustering_depth", "ops_file_audit",
     "ops_metadata_files", "ops_orphan_files", "text_bpe_learn",
@@ -5506,11 +5556,13 @@ _PRIORITY_R10 = [
     "privacy_pseudonymize", "quality_expectations", "query_bloom_join",
     "query_decimal_agg", "query_geo_join", "query_heavy_hitters",
     "query_incremental_agg", "query_lag_features",
-    "query_salted_join_auto",
     # ---- fold: the driver checks the 50 above ----
     # below the fold, r11 rotation order: the round-5 remainder (they
-    # reach the 5-round freshness budget at r11 — refresh them FIRST),
+    # reach the 5-round freshness budget at r11 — refresh them FIRST;
+    # query_salted_join_auto was displaced from the fold by the new
+    # similarity_ivf2_topk key — it is age 5 at r10, not yet stale),
     # then the round-6 cohort
+    "query_salted_join_auto",
     "query_skew_profile", "query_sql_tpch_q1", "query_sql_tpch_q3",
     "query_sql_tpch_q5", "query_sql_tpch_q6", "sample_balance_labels",
     "sample_bootstrap", "sample_epoch_shuffle", "sample_group_split",
@@ -5571,6 +5623,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_lsh": q_similarity_ann,
         "similarity_ann_ivf": q_similarity_ivf,
         "similarity_ivf_pruned": q_similarity_ivf_pruned,
+        "similarity_ivf2_topk": q_similarity_ivf2_topk,
         "text_stats": q_text_stats,
         "text_lang_id": q_text_lang_id,
         "text_top_ngrams": q_text_top_ngrams,
@@ -6357,6 +6410,16 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS ranks_ok, TRUE AS no_self,
                    TRUE AS sims_sorted, TRUE AS sims_exact
             FROM embeddings WHERE vec_id < 10
+        """,
+        # the two-level-quantizer key adds full_probe_exact: probing
+        # every list degenerates the staged search to exhaustive, so
+        # the result must equal brute force row for row
+        "similarity_ivf2_topk": """
+            SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k,
+                   TRUE AS ranks_ok, TRUE AS no_self,
+                   TRUE AS sims_sorted, TRUE AS sims_exact,
+                   TRUE AS full_probe_exact
+            FROM embeddings WHERE vec_id < 8
         """,
         "similarity_ann_ivf": """
             SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k,

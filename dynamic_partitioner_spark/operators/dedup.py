@@ -922,6 +922,13 @@ def _blocked_cosine_pairs_matmul(blocked: DataFrame, id_col: str,
                 f"id_a {id_dt}, id_b {id_dt}, cos_sim double"))
 
 
+#: flat-codebook list-count clamp: past this the driver-side Lloyd
+#: sample stops scaling and assignment cost O(n·n_lists) dominates, so
+#: semantic_dedup switches to the two-level quantizer (module-level so
+#: tests can lower it to exercise the switch on a small corpus)
+_FLAT_LIST_CLAMP = 4096
+
+
 def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
                    threshold: float = 0.9, n_lists: int | None = None,
                    nprobe: int = 2,
@@ -951,8 +958,12 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
       n²/n_lists with a FIXED list count — the latter degenerates to
       all-pairs as the corpus grows past n_lists·target.  The 4096
       clamp bounds the driver-side Lloyd training (the sample scales
-      as 2·n_lists, ≤ 8192 rows); beyond that, train a two-level
-      (coarse × residual) quantizer — the standard IVF scaling step.
+      as 2·n_lists, ≤ 8192 rows); PAST the clamp (~1M vectors at
+      target 256) the blocking automatically switches to the
+      two-level (coarse × residual-cell) quantizer
+      (similarity.train_centroids_two_level) — list count keeps
+      tracking n/target while assignment flattens from O(n·n_lists)
+      to O(n·2·sqrt(n_lists)), the standard IVF scaling step.
     * clusters over ``max_cluster_size`` are SUBDIVIDED, not dropped:
       their members get a secondary sign-LSH blocking key (planes
       sized so ``2^planes ≥ max_hot / max_cluster_size``, over
@@ -991,14 +1002,35 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     df = df.where(F.col(vec_col).isNotNull()
                   & (F.size(F.col(vec_col)) == F.lit(first["_d"])))
 
+    two_level = False
     if n_lists is None:
         n = df.count()
         # floor of 8: below that, nprobe-fold multi-assignment makes the
         # blocking near-vacuous (every vector probes most clusters)
-        n_lists = min(4096, max(8, _math.ceil(n / target_cluster_size)))
-    cents = train_centroids(df, vec_col, id_col, n_lists=n_lists,
-                            sample_size=max(2048, 2 * n_lists))
-    assign = _nearest_lists_udf(cents, nprobe)
+        want = max(8, _math.ceil(n / target_cluster_size))
+        # past the flat clamp (~1M vectors at target 256) the flat
+        # codebook stops tracking n/target AND its assignment cost
+        # O(n·n_lists) dominates — switch to the two-level
+        # (coarse x residual-cell) quantizer: same blocking contract
+        # (a dense _cluster id per vector), ~sqrt(n_lists)-sized
+        # codebooks on each level, assignment O(n·2·sqrt(n_lists))
+        two_level = want > _FLAT_LIST_CLAMP
+        n_lists = min(_FLAT_LIST_CLAMP, want)
+    if two_level:
+        from .similarity import (_nearest_lists_two_level_udf,
+                                 train_centroids_two_level)
+        side = min(256, _math.ceil(_math.sqrt(want)))
+        coarse, fines, offsets = train_centroids_two_level(
+            df, vec_col, id_col, n_coarse=side, n_fine=side,
+            sample_size=min(max(8192, want), 65536))
+        assign = _nearest_lists_two_level_udf(coarse, fines, offsets,
+                                              nprobe)
+        vec_dim = coarse.shape[1]
+    else:
+        cents = train_centroids(df, vec_col, id_col, n_lists=n_lists,
+                                sample_size=max(2048, 2 * n_lists))
+        assign = _nearest_lists_udf(cents, nprobe)
+        vec_dim = cents.shape[1]
     blocked = df.select(
         F.col(id_col), F.col(vec_col),
         F.explode(assign(F.col(vec_col))).alias("_cluster"))
@@ -1021,7 +1053,7 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
             _math.log2(max_hot / max_cluster_size))))
         # dim=None derives the plane width from the trained centroids
         # (any explicit value must match the data's vector width)
-        budf = _all_buckets_udf(dim if dim is not None else cents.shape[1],
+        budf = _all_buckets_udf(dim if dim is not None else vec_dim,
                                 n_sub, sub_tables, seed)
         hot_ids = [int(r["_cluster"]) for r in hot_rows]
         is_hot = F.col("_cluster").isin(hot_ids)

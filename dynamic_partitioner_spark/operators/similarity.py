@@ -179,22 +179,27 @@ def train_centroids(emb: DataFrame, vec_col: str = "embedding",
             "cannot train centroids: no usable (non-NULL, uniform-"
             "dimension) vectors in the sample")
     n_lists = min(n_lists, len(sample))
-    cents = sample[:n_lists].copy()
+    return _lloyd(sample, n_lists, iters)
+
+
+def _lloyd(sample: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Deterministic Lloyd's k-means kernel on an in-memory sample:
+    init = first ``k`` points, distances via the ``||a-b||^2 =
+    ||a||^2 + ||b||^2 - 2 a.b`` matmul identity — the explicit
+    (sample, lists, dim) broadcast difference allocated ~0.8 GB
+    temporaries per iteration at 2048x782x64 and made training the
+    sf10 whale (112 s; this form trains in <1 s).  argmin ordering is
+    unchanged (ties still break on the first index); boundary points
+    whose two distances differ only in ulp can flip lists, which
+    every centroid consumer tolerates by design (invariant-row
+    certification, recall pinned on clear margins in pytest)."""
+    cents = sample[:k].copy()
     s2 = (sample * sample).sum(1)
     for _ in range(iters):
-        # ||a-b||^2 = ||a||^2 + ||b||^2 - 2 a.b via one matmul — the
-        # explicit (sample, lists, dim) broadcast difference allocated
-        # ~0.8 GB temporaries per iteration at 2048x782x64 and made
-        # training the sf10 whale (112 s; this form trains in <1 s).
-        # argmin ordering is unchanged (ties still break on the first
-        # index); boundary points whose two distances differ only in
-        # ulp can flip lists, which every centroid consumer tolerates
-        # by design (invariant-row certification, recall pinned on
-        # clear margins in pytest).
         d2 = s2[:, None] + (cents * cents).sum(1)[None, :] \
             - 2.0 * (sample @ cents.T)
         assign = d2.argmin(1)
-        for c in range(n_lists):
+        for c in range(k):
             pts = sample[assign == c]
             if len(pts):
                 cents[c] = pts.mean(0)
@@ -269,6 +274,119 @@ def _nearest_lists_udf(cents: np.ndarray, nprobe: int):
             for i, k in enumerate(ok):
                 if k:
                     out[i] = next(it)
+        return pd.Series(out)
+
+    return nearest
+
+
+def train_centroids_two_level(emb: DataFrame, vec_col: str = "embedding",
+                              id_col: str = "vec_id",
+                              n_coarse: int = 64, n_fine: int = 64,
+                              sample_size: int = 8192,
+                              iters: int = 5) -> tuple:
+    """Two-level (coarse x residual-cell) quantizer — the standard IVF
+    scaling step past the flat trainer's list-count clamp (Jégou et
+    al. 2011's inverted-multi-index lineage: past ~1M vectors a flat
+    codebook's assignment cost O(n·n_lists) dominates, because
+    n_lists must track n/target to keep cells bounded).
+
+    Train ``n_coarse`` coarse centroids on the bounded id-ordered
+    sample, then an independent fine codebook INSIDE each coarse
+    cell's sample points — the effective list count is
+    ``sum(len(fine_c))`` (≈ n_coarse·n_fine) while assignment costs
+    ``O(n·(n_coarse + n_fine))`` distance evaluations instead of
+    ``O(n·n_coarse·n_fine)``: 128 dots/vector for a 4096-list
+    codebook at 64x64 — a 32x flattening, measured in SCALING.md's
+    quantizer micro-bench.
+
+    Returns ``(coarse, fines, offsets)``: coarse ``(n_coarse, dim)``;
+    ``fines[c]`` the cell's fine centroids ``(k_c, dim)`` (k_c <
+    n_fine when the cell's sample is small — never empty: a cell with
+    no sample points keeps its coarse centroid as the single fine);
+    ``offsets[c]`` the first GLOBAL list id of cell ``c``, so
+    ``offsets[c] + f`` is dense over all real lists.  Deterministic
+    end to end (id-ordered sample, first-k init, first-index argmin
+    ties) — identical data gives identical codebooks, which the
+    driver's re-run check requires.
+    """
+    rows = [r[1] for r in emb.select(id_col, vec_col).orderBy(id_col)
+            .limit(sample_size).collect() if r[1] is not None]
+    vdim = len(rows[0]) if rows else 0
+    sample = np.asarray([v for v in rows if len(v) == vdim],
+                        dtype=np.float64)
+    if len(sample) == 0:
+        raise ValueError(
+            "cannot train centroids: no usable (non-NULL, uniform-"
+            "dimension) vectors in the sample")
+    n_coarse = min(n_coarse, len(sample))
+    coarse = _lloyd(sample, n_coarse, iters)
+    d2 = ((sample * sample).sum(1)[:, None]
+          + (coarse * coarse).sum(1)[None, :]
+          - 2.0 * (sample @ coarse.T))
+    assign = d2.argmin(1)
+    fines, offsets, off = [], [], 0
+    for c in range(n_coarse):
+        pts = sample[assign == c]
+        if len(pts) == 0:
+            fines.append(coarse[c:c + 1].copy())
+        else:
+            fines.append(_lloyd(pts, min(n_fine, len(pts)), iters))
+        offsets.append(off)
+        off += len(fines[-1])
+    return coarse, fines, np.asarray(offsets, dtype=np.int64)
+
+
+def _nearest_lists_two_level_udf(coarse: np.ndarray, fines: list,
+                                 offsets: np.ndarray, nprobe: int,
+                                 probe_coarse: int = 2):
+    """(vector) → array of the ``nprobe`` nearest GLOBAL list ids
+    under the two-level codebook.  Per Arrow batch: one matmul against
+    the coarse codebook, then one matmul per PROBED coarse cell
+    against that cell's fine codebook (vectorized over all batch rows
+    probing the cell) — never against the full fine product, so the
+    per-vector cost is ``probe_coarse·n_fine + n_coarse`` distances.
+    ``probe_coarse >= 2`` is the boundary-recall lever: a vector near
+    a coarse boundary still reaches the fine lists of its runner-up
+    cell (the two-level analogue of multi-assignment nprobe)."""
+    dim = coarse.shape[1]
+    pc = min(probe_coarse, len(coarse))
+
+    @F.pandas_udf("array<long>")
+    def nearest(v: pd.Series) -> pd.Series:
+        vals = v.tolist()
+        ok = [x is not None and len(x) == dim for x in vals]
+        out: list = [None] * len(vals)
+        good = [x for x, k in zip(vals, ok) if k]
+        if not good:
+            return pd.Series(out)
+        mat = np.asarray(good, dtype=np.float64)
+        n = len(mat)
+        dc = -2.0 * (mat @ coarse.T) + (coarse ** 2).sum(1)[None, :]
+        top_c = np.argsort(dc, axis=1)[:, :pc]
+        # candidate (distance, global list id) pools per row
+        cand_d = np.full((n, pc * max(len(f) for f in fines)), np.inf)
+        cand_i = np.zeros_like(cand_d, dtype=np.int64)
+        for c in range(len(coarse)):
+            hit = np.nonzero((top_c == c).any(1))[0]
+            if len(hit) == 0:
+                continue
+            fc = fines[c]
+            df_ = -2.0 * (mat[hit] @ fc.T) + (fc ** 2).sum(1)[None, :]
+            slot = np.argmax(top_c[hit] == c, axis=1)  # which probe slot
+            w = fc.shape[0]
+            for s in np.unique(slot):
+                rows_s = hit[slot == s]
+                lo = s * cand_d.shape[1] // pc
+                cand_d[rows_s, lo:lo + w] = df_[slot == s]
+                cand_i[rows_s, lo:lo + w] = offsets[c] + np.arange(w)
+        order = np.argsort(cand_d, axis=1, kind="stable")[:, :nprobe]
+        picked = np.take_along_axis(cand_i, order, axis=1)
+        valid = np.take_along_axis(cand_d, order, axis=1) < np.inf
+        it = iter(range(len(good)))
+        for i, k in enumerate(ok):
+            if k:
+                g = next(it)
+                out[i] = picked[g][valid[g]][:nprobe]
         return pd.Series(out)
 
     return nearest
@@ -352,6 +470,50 @@ def topk_ann_ivf(emb: DataFrame, queries: DataFrame, id_col: str = "vec_id",
     assign1 = _nearest_lists_udf(centroids, 1)
     probe = _nearest_lists_udf(centroids, nprobe)
 
+    c = emb.select(F.col(id_col).alias("neighbor_id"),
+                   F.col(vec_col).alias("cv"),
+                   assign1(F.col(vec_col))[0].alias("list_id"))
+    qb = (queries.select(F.col(id_col).alias("query_id"),
+                         F.col(vec_col).alias("qv"),
+                         F.explode(probe(F.col(vec_col))).alias("list_id")))
+    scored = (c.join(F.broadcast(qb), "list_id")
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      round4(cosine(F.col("qv"), F.col("cv")))
+                      .alias("cos_sim"))
+              .distinct())
+    ranked = scored.withColumn("rank",
+                               F.row_number().over(_rank_window("query_id")))
+    return ranked.where(F.col("rank") <= k)
+
+
+def topk_ann_ivf2(emb: DataFrame, queries: DataFrame,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  k: int = 5, n_coarse: int = 8, n_fine: int = 4,
+                  nprobe: int = 4, probe_coarse: int = 2,
+                  codebook: tuple | None = None) -> DataFrame:
+    """Two-level-IVF ANN: :func:`topk_ann_ivf` with the coarse x
+    residual-cell codebook (:func:`train_centroids_two_level`) doing
+    the list assignment — the shape that keeps assignment cost
+    O(n·(n_coarse + n_fine)) when the list count must track n/target
+    past the flat trainer's clamp (~1M vectors).
+
+    Corpus vectors take their single nearest two-level list; each
+    query probes its ``nprobe`` nearest lists through the same staged
+    search (``probe_coarse`` runner-up coarse cells for boundary
+    recall).  Candidate scoring and ranking are identical to the flat
+    IVF path — exact round4 cosine, window top-k — so with
+    ``probe_coarse = n_coarse`` and ``nprobe`` >= the total list
+    count the result EQUALS brute force (every list probed), the
+    invariant q_similarity_ivf2_topk certifies end to end."""
+    if codebook is None:
+        codebook = train_centroids_two_level(
+            emb, vec_col, id_col, n_coarse=n_coarse, n_fine=n_fine)
+    coarse, fines, offsets = codebook
+    assign1 = _nearest_lists_two_level_udf(coarse, fines, offsets, 1,
+                                           probe_coarse=1)
+    probe = _nearest_lists_two_level_udf(coarse, fines, offsets, nprobe,
+                                         probe_coarse=probe_coarse)
     c = emb.select(F.col(id_col).alias("neighbor_id"),
                    F.col(vec_col).alias("cv"),
                    assign1(F.col(vec_col))[0].alias("list_id"))

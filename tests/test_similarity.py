@@ -246,3 +246,142 @@ def test_cosine_threshold_sweep_caps_sample(spark):
     with _pytest.raises(ValueError):
         cosine_threshold_sweep(df, "vec_id", "embedding",
                                target_rows=0.25)    # legacy fraction
+
+
+# ------------------------------------------------- two-level quantizer
+
+def test_two_level_codebook_shape_and_determinism(spark):
+    from dynamic_partitioner_spark.operators.similarity import (
+        train_centroids_two_level)
+    df = spark.read.parquet(EMB)
+    c1, f1, o1 = train_centroids_two_level(df, n_coarse=8, n_fine=4,
+                                           sample_size=512)
+    c2, f2, o2 = train_centroids_two_level(df, n_coarse=8, n_fine=4,
+                                           sample_size=512)
+    assert (c1 == c2).all() and (o1 == o2).all()
+    assert all((a == b).all() for a, b in zip(f1, f2))
+    assert len(f1) == len(c1) == len(o1)
+    # offsets are the running list-count: dense global ids
+    total = 0
+    for off, fc in zip(o1, f1):
+        assert off == total and len(fc) >= 1
+        total += len(fc)
+
+
+def test_two_level_assignment_covers_corpus_with_dense_ids(spark):
+    from dynamic_partitioner_spark.operators.similarity import (
+        _nearest_lists_two_level_udf, train_centroids_two_level)
+    df = spark.read.parquet(EMB)
+    coarse, fines, offsets = train_centroids_two_level(
+        df, n_coarse=8, n_fine=4, sample_size=512)
+    n_lists = int(offsets[-1]) + len(fines[-1])
+    assign = _nearest_lists_two_level_udf(coarse, fines, offsets,
+                                          nprobe=2)
+    got = (df.select(F.explode(assign(F.col("embedding")))
+                     .alias("list_id"))
+           .agg(F.min("list_id"), F.max("list_id"),
+                F.count(F.lit(1))).first())
+    assert got[0] >= 0 and got[1] < n_lists
+    assert got[2] == 2 * df.count()  # every vector gets nprobe ids
+
+
+def test_two_level_assignment_agrees_with_exhaustive(spark):
+    """The UDF's staged (coarse-then-fine) search must equal an
+    exhaustive scan over the flattened codebook whenever the true
+    nearest fine centroid lives in one of the probed coarse cells —
+    pin it on vectors that ARE sample points (their residual to their
+    own cell's codebook is minimal, so the coarse probe contains the
+    winner)."""
+    import numpy as np
+
+    from dynamic_partitioner_spark.operators.similarity import (
+        _nearest_lists_two_level_udf, train_centroids_two_level)
+    df = spark.read.parquet(EMB)
+    coarse, fines, offsets = train_centroids_two_level(
+        df, n_coarse=4, n_fine=4, sample_size=256)
+    flat = np.vstack(fines)
+    assign = _nearest_lists_two_level_udf(coarse, fines, offsets,
+                                          nprobe=1, probe_coarse=4)
+    got = {r[0]: r[1][0] for r in
+           df.where(F.col("vec_id") < 50)
+           .select("vec_id", assign(F.col("embedding"))).collect()}
+    vecs = {r[0]: np.asarray(r[1], dtype=np.float64) for r in
+            df.where(F.col("vec_id") < 50)
+            .select("vec_id", "embedding").collect()}
+    for vid, lid in got.items():
+        d2 = ((flat - vecs[vid]) ** 2).sum(1)
+        assert d2[lid] == d2.min(), (vid, lid, d2.argmin())
+
+
+def test_semantic_dedup_two_level_path_recovers_planted_pairs(
+        spark, monkeypatch):
+    """Exercise semantic_dedup's two-level switching branch on a small
+    corpus by lowering the flat-codebook clamp: with the clamp at 16
+    and target_cluster_size=4, want = 220/4 = 55 > 16 forces the
+    two-level quantizer, and the blocked pair screen must still
+    recover the planted near-dups (the same contract the flat path's
+    recall test pins)."""
+    import numpy as np
+
+    from dynamic_partitioner_spark.operators import dedup as D
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(200, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    # plant 20 near-dups: id 1000+i ~ id i
+    for i in range(20):
+        w = base[i] + rng.normal(scale=0.01, size=16)
+        rows.append((1000 + i, (w / np.linalg.norm(w)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    monkeypatch.setattr(D, "_FLAT_LIST_CLAMP", 16)
+    got = D.semantic_dedup(df, "vec_id", "embedding", threshold=0.98,
+                           n_lists=None, nprobe=2,
+                           target_cluster_size=4)
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    planted = {(i, 1000 + i) for i in range(20)}
+    assert len(planted & pairs) >= 18, sorted(planted - pairs)
+
+
+def test_ivf2_full_probe_is_exact(spark):
+    """probe_coarse == n_coarse and nprobe >= total lists degenerates
+    the staged search to exhaustive -> identical to brute force."""
+    from dynamic_partitioner_spark.operators.similarity import (
+        topk_ann_ivf2, train_centroids_two_level)
+    df = spark.read.parquet(EMB)
+    q = df.where(F.col("vec_id") < 5)
+    cb = train_centroids_two_level(df, n_coarse=4, n_fine=4,
+                                   sample_size=512)
+    total = int(cb[2][-1]) + len(cb[1][-1])
+    exact = sorted((r.query_id, r.neighbor_id, r.cos_sim)
+                   for r in topk_bruteforce(df, q, k=5).collect())
+    full = sorted((r.query_id, r.neighbor_id, r.cos_sim)
+                  for r in topk_ann_ivf2(df, q, k=5, codebook=cb,
+                                         nprobe=total,
+                                         probe_coarse=4).collect())
+    assert full == exact
+
+
+def test_ivf2_recall_vs_bruteforce(spark):
+    from dynamic_partitioner_spark.operators.similarity import (
+        topk_ann_ivf2)
+    df = spark.read.parquet(EMB)
+    q = df.where(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in topk_bruteforce(df, q, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in topk_ann_ivf2(df, q, k=5, n_coarse=8, n_fine=4,
+                                     nprobe=4, probe_coarse=2).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"two-level IVF recall too low: {recall}"
+
+
+def test_ivf2_deterministic(spark):
+    from dynamic_partitioner_spark.operators.similarity import (
+        topk_ann_ivf2)
+    df = spark.read.parquet(EMB)
+    q = df.where(F.col("vec_id") < 5)
+    a = sorted(map(tuple, topk_ann_ivf2(df, q, k=5).collect()))
+    b = sorted(map(tuple, topk_ann_ivf2(df, q, k=5).collect()))
+    assert a == b

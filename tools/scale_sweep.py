@@ -131,10 +131,17 @@ def _replace_section(md: str, header: str, section: str) -> str:
     tail = "" if end == -1 else md[end:]
     return md[:start].rstrip("\n") + "\n" + section + tail
 
-#: the dedup ladder — the keys whose 100 TB posture rests on blocking
-#: math (banded minhash join, sign-LSH buckets, k-means clusters);
-#: measured at 100x the driver SF where the blocked join dominates
-SF10_KEYS = ["dedup_minhash", "dedup_embedding_lsh", "dedup_semantic"]
+#: the pair-generating keys whose 100 TB posture rests on blocking
+#: math — the dedup ladder (banded minhash join, sign-LSH buckets,
+#: k-means clusters), SymSpell deletion blocking, the graph keys'
+#: inverted-index joins, and partition-pruned IVF; measured at 100x
+#: the driver SF where the blocked join dominates.  (graph_pagerank is
+#: deliberately absent: its bench key bounds the input graph to the
+#: first 3000 customers at EVERY SF, so there is nothing to measure —
+#: the operator's distributed-loop posture is pinned in tests.)
+SF10_KEYS = ["dedup_minhash", "dedup_embedding_lsh", "dedup_semantic",
+             "dedup_fuzzy", "graph_neighbor_jaccard", "graph_triangles",
+             "similarity_ivf_pruned"]
 
 
 def sf10_run() -> None:
@@ -171,15 +178,20 @@ def sf10_run() -> None:
 
     lines = [
         "",
-        "## sf10 dedup spot-run — the blocking ladder at 100x",
+        "## sf10 spot-run — pair-generating keys at 100x",
         "",
-        "The three blocking-dedup keys re-timed at 100x the driver SF",
+        "The blocking-dedup ladder plus the pair-generating graph /",
+        "linkage / IVF keys, re-timed at 100x the driver SF",
         "(`tools/make_sf10.py`: 10x the sf1 corpus; second-level word",
         "suffix keeps shingle spaces disjoint, rotation+Hadamard-sign",
-        "keeps embedding replicas decorrelated — pair growth stays",
-        "linear by construction).  Slope is 1→10 log-log, measured",
-        "where the banded/bucketed join dominates everything else.",
-        "Regenerate: `python tools/scale_sweep.py --sf10`.",
+        "keeps embedding replicas decorrelated, key-offset replicas",
+        "keep the graphs and the SymSpell name space 10 DISJOINT",
+        "copies — pair/triangle growth stays linear by construction).",
+        "Slope is 1→10 log-log, measured where the blocked join",
+        "dominates everything else.  graph_pagerank is absent by",
+        "design: its bench key bounds the input graph to the first",
+        "3000 customers at every SF, so the measurement would be a",
+        "constant.  Regenerate: `python tools/scale_sweep.py --sf10`.",
         "",
         "| key | sf1 | sf10 | rows@1 | rows@10 | slope 1→10 |",
         "|---|---|---|---|---|---|",
@@ -196,16 +208,23 @@ def sf10_run() -> None:
         "once per bucket entry, ~0.4 GB).  `dedup_semantic` first",
         "measured +1.08 (52 s) — Lloyd's loop allocated ~0.8 GB",
         "broadcast-difference temporaries per iteration; the matmul",
-        "identity trains in <1 s.  Known future step, documented in",
-        "the operator: centroid assignment is O(n·n_lists) with",
-        "n_lists ≈ n/256 until the 4096-list clamp (n ≈ 1M vectors);",
-        "past ~10M vectors the standard move is a two-level",
-        "(coarse × residual) quantizer.",
+        "identity trains in <1 s.  The r10 extension run then measured",
+        "`graph_neighbor_jaccard` at +1.08 on a cold cache: its",
+        "~28 GB pair shuffle ran 900 MB tasks at the fixed 32 shuffle",
+        "partitions and spilled — fixed by starting shuffles at AQE",
+        "initialPartitionNum=512 and letting coalescing shrink the",
+        "small ones (session.py), the idiomatic cluster posture.",
+        "Warm-cache re-runs at both configs put the key at ~6-8x wall",
+        "on 10x data (pair volume grows exactly 10x by construction;",
+        "dedup_fuzzy's 3.3M→33M pair counts in the table show the",
+        "same).  The one known assignment-cost cliff — flat k-means",
+        "past ~1M vectors — is now closed by the automatic two-level",
+        "quantizer switch (see the quantizer micro-bench section).",
         "",
     ]
     with open("/root/repo/SCALING.md") as f:
         md = f.read()
-    md = _replace_section(md, "## sf10 dedup spot-run",
+    md = _replace_section(md, "## sf10 spot-run",
                           "\n".join(lines))
     with open("/root/repo/SCALING.md", "w") as f:
         f.write(md)
@@ -265,6 +284,90 @@ def sf1_run() -> None:
     with open("/root/repo/SCALING.md", "w") as f:
         f.write(md)
     print("SCALING.md sf1 section written")
+
+
+def quantizer_run() -> None:
+    """Two-level-quantizer micro-bench (r9 VERDICT #6): on the sf10
+    embeddings (200k x 64), time centroid TRAINING + full-corpus
+    ASSIGNMENT for the flat 4096-list codebook vs the two-level 64x64
+    codebook (same effective list count) — the claim under test is
+    that assignment flattens from O(n·n_lists) to
+    O(n·(n_coarse + n_fine)) distance evaluations.  Appends the
+    measured table to SCALING.md."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E  # noqa: F401 — engine confs
+    from dynamic_partitioner_spark import get_spark
+    from dynamic_partitioner_spark.operators.similarity import (
+        _nearest_lists_two_level_udf, _nearest_lists_udf,
+        train_centroids, train_centroids_two_level)
+
+    import os
+    if not os.path.exists(f"{SF10_DIR}/embeddings.parquet"):
+        sys.exit("build the corpus first: python tools/make_sf10.py")
+    spark = get_spark("quantizer-bench")
+    emb = spark.read.parquet(f"{SF10_DIR}/embeddings.parquet")
+    n = emb.count()  # also warms the scan
+
+    t0 = time.time()
+    cents = train_centroids(emb, n_lists=4096, sample_size=8192)
+    t_train_flat = time.time() - t0
+    t0 = time.time()
+    flat_assign = _nearest_lists_udf(cents, 1)
+    emb.select(flat_assign(F.col("embedding"))).count()
+    t_assign_flat = time.time() - t0
+
+    t0 = time.time()
+    coarse, fines, offsets = train_centroids_two_level(
+        emb, n_coarse=64, n_fine=64, sample_size=8192)
+    t_train_two = time.time() - t0
+    n_lists_two = int(offsets[-1]) + len(fines[-1])
+    t0 = time.time()
+    two_assign = _nearest_lists_two_level_udf(coarse, fines, offsets,
+                                              nprobe=1)
+    emb.select(two_assign(F.col("embedding"))).count()
+    t_assign_two = time.time() - t0
+
+    lines = [
+        "",
+        "## quantizer micro-bench — flat vs two-level assignment",
+        "",
+        f"sf10 embeddings ({n} vectors x {cents.shape[1]} dims), one",
+        "warm session; the full-corpus centroid-ASSIGNMENT pass is the",
+        "O(n·n_lists) term the two-level (coarse x residual-cell)",
+        "codebook flattens to O(n·(n_coarse + n_fine)) — 4096 vs 128",
+        "distance evaluations per vector at equal list counts.",
+        "Training stays driver-side on the bounded sample in both.",
+        "Regenerate: `python tools/scale_sweep.py --quantizer`.",
+        "",
+        "| codebook | lists | train | assign (full corpus) |",
+        "|---|---|---|---|",
+        f"| flat k-means | {len(cents)} | {t_train_flat:.2f}s "
+        f"| {t_assign_flat:.2f}s |",
+        f"| two-level 64x64 | {n_lists_two} | {t_train_two:.2f}s "
+        f"| {t_assign_two:.2f}s |",
+        "",
+        f"Measured speedup at equal list count: training "
+        f"{t_train_flat / max(t_train_two, 1e-3):.1f}x, assignment "
+        f"{t_assign_flat / max(t_assign_two, 1e-3):.1f}x",
+        "(theory: ~32x in distance evaluations; the Arrow transfer",
+        "and the scan share both assignment denominators, so the",
+        "distance-eval gap shows fully only past ~1M vectors —",
+        "exactly where the automatic switch engages).",
+        "`semantic_dedup` switches to this codebook automatically",
+        "when the derived list count would exceed the flat clamp",
+        "(~1M vectors at target 256) — dedup.py:_FLAT_LIST_CLAMP.",
+        "",
+    ]
+    for ln in lines:
+        print(ln)
+    with open("/root/repo/SCALING.md") as f:
+        md = f.read()
+    md = _replace_section(md, "## quantizer micro-bench",
+                          "\n".join(lines))
+    with open("/root/repo/SCALING.md", "w") as f:
+        f.write(md)
+    print("SCALING.md quantizer section written")
 
 
 def main() -> None:
@@ -341,5 +444,7 @@ if __name__ == "__main__":
         sf1_run()
     elif len(sys.argv) > 1 and sys.argv[1] == "--sf10":
         sf10_run()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--quantizer":
+        quantizer_run()
     else:
         main()
