@@ -4996,6 +4996,71 @@ def q_text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learn_bpe_certified(docs, "text", n_merges=20)
 
 
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — the apply half of tokenizer training
+    (operators/bpe.py:encode_bpe): learn 10 merges, then encode every
+    document with the frozen merge table (one map-only Arrow pass,
+    merge table rides as a closure, per-batch word memoization).
+    This is the op a training pipeline actually runs over the full
+    100 TB corpus once the vocab is frozen.
+
+    HASH-CHECKED three ways per doc: exact ``n_words`` / ``n_syms``
+    (chars+EOW before any merge — pure functions of the text the
+    oracle recomputes), and exact ``n_tokens_m1`` — the token count
+    after applying ONLY the first merge, whose SQL twin exists
+    because merge 1 is the adjacent-pair argmax over the capped
+    word-frequency relation (the text_bpe_learn oracle's own CTE) and
+    single-character pair application equals left-to-right
+    non-overlapping ``replace()`` counting (greedy BPE semantics,
+    doubled pairs included: replace('aaa','aa','') removes one —
+    floor(run/2) — exactly the trainer's scan).  The full-10-merge
+    count has no SQL twin (the iterative word table is not
+    SQL-expressible); it is certified by ``tokens_bounded``
+    (n_words <= n_tokens <= n_syms) and ``roundtrip_ok`` — stripping
+    EOW and re-joining the emitted tokens must reproduce the
+    normalized text EXACTLY (lossless encode), which any split/merge/
+    ordering bug flips.  The merge-table fixture and encode semantics
+    stay pinned in tests/test_bpe.py."""
+    from dynamic_partitioner_spark.operators.bpe import (
+        EOW, encode_bpe, learn_bpe_merges)
+    docs = _table(spark, sf_dir, "documents")
+    merges = [(r["left"], r["right"])
+              for r in learn_bpe_merges(docs, "text", n_merges=10)
+              .orderBy("rank").collect()]
+    full = encode_bpe(docs, "doc_id", "text", merges)
+    m1 = (encode_bpe(docs, "doc_id", "text", merges[:1])
+          .select("doc_id", F.col("n_tokens").alias("n_tokens_m1")))
+    words = F.expr(
+        "filter(split(trim(lower(text)), '[ \\t\\n\\r]+'), "
+        "x -> length(x) > 0)")
+    base = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.expr(
+            "aggregate(filter(split(trim(lower(text)), '[ \\t\\n\\r]+'), "
+            "x -> length(x) > 0), 0L, (a, x) -> a + length(x) + 1)")
+        .alias("n_syms"),
+        F.array_join(words, " ").alias("_norm"))
+    rebuilt = F.expr(
+        f"array_join(transform(tokens, t -> CASE "
+        f"WHEN t = '{EOW}' THEN ' ' "
+        f"WHEN t LIKE '%{EOW}' THEN concat(substring(t, 1, "
+        f"length(t) - {len(EOW)}), ' ') ELSE t END), '')")
+    return (base
+            .join(full.select("doc_id", "tokens", "n_tokens"), "doc_id")
+            .join(m1, "doc_id")
+            .select(
+                "doc_id", "n_words", "n_syms", "n_tokens_m1",
+                ((F.col("n_tokens") >= F.col("n_words"))
+                 & (F.col("n_tokens") <= F.col("n_syms")))
+                .alias("tokens_bounded"),
+                (F.when(F.col("n_words") == 0, F.size("tokens") == 0)
+                 .otherwise(rebuilt == F.concat(F.col("_norm"),
+                                                F.lit(" "))))
+                .alias("roundtrip_ok"))
+            .orderBy("doc_id"))
+
+
 def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch over the token stream: mergeable per-partition
     sketches (cell-sum shuffle is depth×width, independent of corpus
@@ -5533,9 +5598,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # Positions 51+ carry the round-5 remainder (stale at r11 — they lead
 # the r11 fold), then the round-6 cohort (stale at r12).
 _PRIORITY_R10 = [
-    # --- NEW key this round (never driver-checked): the two-level
-    #     quantizer certified end to end ---
-    "similarity_ivf2_topk",
+    # --- NEW keys this round (never driver-checked): the two-level
+    #     quantizer and BPE-encode certified end to end ---
+    "similarity_ivf2_topk", "text_bpe_encode",
     # --- query/oracle text changed this round (loud certification) ---
     "ops_compaction_plan", "ops_clustering_depth", "ops_file_audit",
     "ops_metadata_files", "ops_orphan_files", "text_bpe_learn",
@@ -5549,7 +5614,7 @@ _PRIORITY_R10 = [
     "source_csv_roundtrip", "source_jsonl_roundtrip",
     "text_bpe_pairs", "text_entropy", "text_winnow",
     # --- round-5 evidence, oldest first (alphabetical within) ---
-    "dedup_apply", "dedup_fuzzy2", "dedup_url", "embedding_outliers",
+    "dedup_fuzzy2", "dedup_url", "embedding_outliers",
     "events_attribution", "events_bursts", "events_conformance",
     "events_cumulative_users", "events_delay_audit", "events_ohlc",
     "events_seq_lm", "mm_dedup_binary", "mm_tar_shards",
@@ -5559,10 +5624,10 @@ _PRIORITY_R10 = [
     # ---- fold: the driver checks the 50 above ----
     # below the fold, r11 rotation order: the round-5 remainder (they
     # reach the 5-round freshness budget at r11 — refresh them FIRST;
-    # query_salted_join_auto was displaced from the fold by the new
-    # similarity_ivf2_topk key — it is age 5 at r10, not yet stale),
+    # query_salted_join_auto and dedup_apply were displaced from the
+    # fold by the two new keys — age 5 at r10, not yet stale),
     # then the round-6 cohort
-    "query_salted_join_auto",
+    "dedup_apply", "query_salted_join_auto",
     "query_skew_profile", "query_sql_tpch_q1", "query_sql_tpch_q3",
     "query_sql_tpch_q5", "query_sql_tpch_q6", "sample_balance_labels",
     "sample_bootstrap", "sample_epoch_shuffle", "sample_group_split",
@@ -5755,6 +5820,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_prefix_eval": q_embedding_prefix_eval,
         "partitioned_write_transforms": q_partitioned_write_transforms,
         "text_bpe_learn": q_text_bpe_learn,
+        "text_bpe_encode": q_text_bpe_encode,
         "sketch_cms": q_sketch_cms,
         "query_bloom_join": q_bloom_join,
         "query_lag_features": q_lag_features,
@@ -7756,6 +7822,55 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS mass_drop_in_bounds,
                    TRUE AS pairs_distinct
             FROM generate_series(1, 20) AS g(rank) CROSS JOIN win w
+        """,
+        # BPE encode: merge 1 is the same argmax CTE as the learn
+        # oracle; applying one single-character pair equals
+        # left-to-right non-overlapping replace() counting (greedy
+        # BPE semantics, doubled pairs included), with EOW mapped to
+        # a one-char sentinel so it participates in the pattern.
+        # Full-10-merge invariants are Spark-side booleans.
+        "text_bpe_encode": r"""
+            WITH tok AS (
+                SELECT unnest(string_split_regex(trim(lower(text)),
+                                                 '[ \t\n\r]+')) AS w
+                FROM documents),
+            wc AS (SELECT w, count(*) AS n FROM tok WHERE len(w) > 0
+                   GROUP BY w ORDER BY n DESC, w LIMIT 50000),
+            p AS (SELECT substr(w, i, 1) AS l,
+                         CASE WHEN i < len(w) THEN substr(w, i + 1, 1)
+                              ELSE '</w>' END AS r,
+                         n
+                  FROM wc, LATERAL unnest(generate_series(
+                           1, CAST(len(w) AS BIGINT))) AS u(i)),
+            agg AS (SELECT l, r, CAST(sum(n) AS BIGINT) AS c
+                    FROM p GROUP BY l, r),
+            win AS (SELECT CASE WHEN l = '</w>' THEN chr(1) ELSE l END
+                               || CASE WHEN r = '</w>' THEN chr(1)
+                                       ELSE r END AS pat
+                    FROM agg ORDER BY c DESC, l, r LIMIT 1),
+            dw AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(
+                           trim(lower(text)), '[ \t\n\r]+'),
+                           x -> len(x) > 0)) AS w
+                FROM documents),
+            enc AS (
+                SELECT doc_id, len(w) + 1 AS syms,
+                       (len(w || chr(1))
+                        - len(replace(w || chr(1), pat, ''))) // 2
+                           AS hits
+                FROM dw CROSS JOIN win),
+            per AS (
+                SELECT doc_id, count(*) AS n_words,
+                       CAST(sum(syms) AS BIGINT) AS n_syms,
+                       CAST(sum(syms - hits) AS BIGINT) AS n_tokens_m1
+                FROM enc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(p.n_words, 0) AS n_words,
+                   coalesce(p.n_syms, 0) AS n_syms,
+                   coalesce(p.n_tokens_m1, 0) AS n_tokens_m1,
+                   TRUE AS tokens_bounded, TRUE AS roundtrip_ok
+            FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
         """,
         "events_anomaly": f"""
             WITH s AS (SELECT user_id, avg(value) AS m,

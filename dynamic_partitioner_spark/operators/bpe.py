@@ -16,6 +16,7 @@ algorithm, cited above.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -191,3 +192,67 @@ def learn_bpe_certified(df: DataFrame, text_col: str, n_merges: int = 20,
         "count1 long, count_nonincreasing boolean, "
         "merged_is_concat boolean, merged_outside_base boolean, "
         "mass_drop_in_bounds boolean, pairs_distinct boolean")
+
+
+def encode_bpe(df: DataFrame, id_col: str, text_col: str,
+               merges: list[tuple[str, str]]) -> DataFrame:
+    """APPLY a learned merge table — the other half of tokenizer
+    training (:func:`learn_bpe_merges` fits, this encodes), i.e. what
+    a training pipeline actually runs over the full 100 TB corpus
+    once the vocab is frozen.
+
+    Per word: split to characters + EOW, then apply each merge in
+    RANK ORDER with the same greedy non-overlapping left-to-right
+    scan the trainer uses — so a corpus encoded with its own learned
+    merges reproduces the trainer's final word table exactly.  The
+    merge table is tiny (it rides into the Arrow workers as a closure
+    — the broadcast-vocab pattern); encoding is one map-only pass,
+    no shuffle, and words are memoized per batch (Zipf repetition
+    makes the per-distinct-word cost the real unit, not per-token).
+
+    Returns ``(id_col, tokens array<string>, n_tokens long)``.
+    """
+    ranked = list(merges)
+
+    @F.pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def word_syms(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is None:
+                syms = list(w) + [EOW]
+                for a, b in ranked:
+                    out, i = [], 0
+                    while i < len(syms):
+                        if (i + 1 < len(syms) and syms[i] == a
+                                and syms[i + 1] == b):
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                got = cache[w] = syms
+            return got
+
+        import re as _re
+        # the same word boundary as _word_counts' tokens(): trim +
+        # lower + split on [ \t\n\r]+ — NOT str.split(), whose wider
+        # whitespace class would silently disagree with the trainer
+        # (and the SQL twin) on exotic-whitespace corpora
+        split = _re.compile(r"[ \t\n\r]+").split
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks: list[str] = []
+            for w in split(t.strip().lower()):
+                if w:
+                    toks.extend(word_syms(w))
+            out.append(toks)
+        return pd.Series(out)
+
+    return (df.select(F.col(id_col), enc(F.col(text_col)).alias("tokens"))
+            .withColumn("n_tokens", F.size("tokens").cast("long")))

@@ -77,3 +77,94 @@ def test_merge_loop_with_mass_measures_the_dict():
     assert mass == 3  # aa aa </w>
     initial = 5  # a a a a </w>
     assert 0 < initial - mass <= c
+
+
+def test_encode_bpe_hand_checked(spark):
+    from dynamic_partitioner_spark.operators.bpe import (
+        encode_bpe, learn_bpe_merges)
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low"), (2, "new newer low")],
+        "doc_id long, text string")
+    m = [(r["left"], r["right"])
+         for r in learn_bpe_merges(df, "text", n_merges=5)
+         .orderBy("rank").collect()]
+    got = {r.doc_id: (r.tokens, r.n_tokens)
+           for r in encode_bpe(df, "doc_id", "text", m).collect()}
+    # merges on this corpus: (l,o) (lo,w) (low,</w>) (e,r) (e,w)
+    assert got[1][0] == ["low</w>", "low", "er", "</w>",
+                         "low", "e", "s", "t", "</w>", "low</w>"]
+    assert got[2][0] == ["n", "ew", "</w>", "n", "ew", "er", "</w>",
+                         "low</w>"]
+    assert got[1][1] == 10 and got[2][1] == 8
+
+
+def test_encode_bpe_roundtrip_and_mass(spark):
+    """Lossless: stripping EOW re-joins to the normalized text; token
+    counts sit between word count and raw symbol count; encoding with
+    ZERO merges returns exactly chars+EOW per word."""
+    from dynamic_partitioner_spark.operators.bpe import (
+        EOW, encode_bpe, learn_bpe_merges)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(100)
+    m = [(r["left"], r["right"])
+         for r in learn_bpe_merges(docs, "text", n_merges=10)
+         .orderBy("rank").collect()]
+    enc = encode_bpe(docs, "doc_id", "text", m)
+    rows = {r.doc_id: r for r in enc.collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    import re
+    for did, r in rows.items():
+        words = [w for w in re.split(r"[ \t\n\r]+",
+                                     texts[did].strip().lower()) if w]
+        joined = "".join(r.tokens).replace(EOW, " ").rstrip()
+        assert joined == " ".join(words), did
+        assert len(words) <= r.n_tokens <= sum(len(w) + 1
+                                               for w in words)
+    zero = {r.doc_id: r.n_tokens
+            for r in encode_bpe(docs, "doc_id", "text", []).collect()}
+    for did in rows:
+        words = [w for w in re.split(r"[ \t\n\r]+",
+                                     texts[did].strip().lower()) if w]
+        assert zero[did] == sum(len(w) + 1 for w in words)
+
+
+def test_encode_bpe_reproduces_trainer_word_table(spark):
+    """A corpus encoded with its own learned merges must land on the
+    trainer's final word table exactly (same greedy scan)."""
+    from dynamic_partitioner_spark.operators.bpe import (
+        _merge_loop, _word_counts, encode_bpe, learn_bpe_merges)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(50)
+    vocab = _word_counts(docs, "text", 50_000)
+    merges = _merge_loop(vocab, 8)
+    m = [(t[1], t[2]) for t in merges]
+    # rebuild the trainer's final words by replaying the loop
+    words = {tuple(w) + ("</w>",): n for w, n in vocab}
+    for a, b in m:
+        nxt = {}
+        for syms, n in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a \
+                        and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + n
+        words = nxt
+    trainer = set(words)
+    enc = encode_bpe(docs, "doc_id", "text", m)
+    toks = {r.doc_id: list(r.tokens) for r in enc.collect()}
+    # split each doc's token stream back into per-word symbol tuples
+    seen = set()
+    for did, ts in toks.items():
+        cur = []
+        for t in ts:
+            cur.append(t)
+            if t.endswith("</w>"):
+                seen.add(tuple(cur))
+                cur = []
+        assert cur == [], f"doc {did}: trailing symbols without EOW"
+    assert seen <= trainer, sorted(seen - trainer)[:5]
