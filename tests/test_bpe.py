@@ -168,3 +168,44 @@ def test_encode_bpe_reproduces_trainer_word_table(spark):
                 cur = []
         assert cur == [], f"doc {did}: trailing symbols without EOW"
     assert seen <= trainer, sorted(seen - trainer)[:5]
+
+
+def test_encode_bpe_roundtrip_property():
+    """Hypothesis: for ANY word list and ANY merge prefix learned from
+    it, the per-word greedy scan is lossless (concatenating a word's
+    symbols and stripping EOW reproduces the word) and the symbol
+    count stays within [1, len(word)+1] — pure-Python twin of the
+    Arrow UDF's inner loop (same word_syms logic)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dynamic_partitioner_spark.operators.bpe import EOW, _merge_loop
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.text(alphabet="abc", min_size=1, max_size=8),
+                    min_size=1, max_size=12),
+           st.integers(1, 6))
+    def prop(words, n_merges):
+        vocab = {}
+        for w in words:
+            vocab[w] = vocab.get(w, 0) + 1
+        merges = _merge_loop(sorted(vocab.items()), n_merges)
+        pairs = [(t[1], t[2]) for t in merges]
+        for w in words:
+            syms = list(w) + [EOW]
+            for a, b in pairs:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a \
+                            and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            joined = "".join(syms)
+            assert joined == w + EOW, (w, syms)
+            assert 1 <= len(syms) <= len(w) + 1
+
+    prop()

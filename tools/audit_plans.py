@@ -103,6 +103,8 @@ AUDIT_KEYS = [
     "events_cuped",
     # round-9 additions
     "ops_orphan_files", "query_basket_pairs",
+    # round-10 additions
+    "similarity_ivf2_topk", "text_bpe_encode",
 ]
 
 _KEEP = re.compile(
@@ -122,6 +124,12 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
     "similarity_bq_topk": (1, "same bounded query-set broadcast as "
                               "similarity_topk; 16-byte signatures "
                               "stream, never the float vectors"),
+    "similarity_ivf2_topk": (1, "the brute-force CERTIFICATION leg "
+                                "(full_probe_exact's baseline) "
+                                "broadcasts the bounded 8-query set, "
+                                "same shape as similarity_topk; both "
+                                "IVF legs and the full-vs-bf compare "
+                                "are equi-joins"),
     "embedding_threshold_sweep": (1, "hash-capped calibration sample "
                                      "broadcast; the sweep is "
                                      "quadratic on the SAMPLE by "
@@ -191,6 +199,7 @@ _GROUPED_BNLJ = {"privacy_t_closeness"}
 _SCALAR_BNLJ = {k for k in BNLJ_ALLOWED
                 if k not in ("similarity_topk", "similarity_hybrid_rrf",
                              "similarity_bq_topk",
+                             "similarity_ivf2_topk",
                              "embedding_threshold_sweep",
                              "embedding_prefix_eval")
                 and k not in _GROUPED_BNLJ}

@@ -100,6 +100,8 @@ SWEEP_KEYS = [
     "events_cuped",
     # round-9 additions
     "ops_orphan_files", "query_basket_pairs",
+    # round-10 additions
+    "similarity_ivf2_topk", "text_bpe_encode",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
@@ -145,9 +147,8 @@ SF10_KEYS = ["dedup_minhash", "dedup_embedding_lsh", "dedup_semantic",
 
 
 def sf10_run() -> None:
-    """Dedup-ladder proof at 100x: time the three blocking-dedup keys
-    at sf1 and sf10 (documents/embeddings only — all these keys read)
-    and append the 1→10 slope section to SCALING.md."""
+    """Pair-generating-key proof at 100x: time SF10_KEYS at sf1 and
+    sf10 and append the 1→10 slope section to SCALING.md."""
     import __spark_entry__ as E
     from dynamic_partitioner_spark import get_spark
 
