@@ -1023,8 +1023,14 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
         coarse, fines, offsets = train_centroids_two_level(
             df, vec_col, id_col, n_coarse=side, n_fine=side,
             sample_size=min(max(8192, want), 65536))
+        # +1 probe compensates the staged search's boundary recall:
+        # measured at 200k vectors / threshold 0.62, two-level
+        # nprobe=2 found 77 pairs vs flat's 117 while running ~4x
+        # faster; nprobe=3 recovers 111 at comparable-to-flat cost
+        # (SCALING.md quantizer section) — one extra list per vector
+        # is the cheap side of that trade
         assign = _nearest_lists_two_level_udf(coarse, fines, offsets,
-                                              nprobe)
+                                              nprobe + 1)
         vec_dim = coarse.shape[1]
     else:
         cents = train_centroids(df, vec_col, id_col, n_lists=n_lists,

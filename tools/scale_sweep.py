@@ -329,6 +329,23 @@ def quantizer_run() -> None:
     emb.select(two_assign(F.col("embedding"))).count()
     t_assign_two = time.time() - t0
 
+    # end-to-end: semantic_dedup flat vs forced-two-level on the same
+    # corpus (clamp lowered so the auto-switch engages at 200k) — the
+    # consumer-visible version of the assignment flattening, recall
+    # trade included
+    from dynamic_partitioner_spark.operators import dedup as D
+    saved = D._FLAT_LIST_CLAMP
+    sd = []
+    try:
+        for label, clamp in (("flat", 4096), ("two-level", 256)):
+            D._FLAT_LIST_CLAMP = clamp
+            t0 = time.time()
+            n_pairs = D.semantic_dedup(emb, "vec_id", "embedding",
+                                       threshold=0.62).count()
+            sd.append((label, time.time() - t0, n_pairs))
+    finally:
+        D._FLAT_LIST_CLAMP = saved
+
     lines = [
         "",
         "## quantizer micro-bench — flat vs two-level assignment",
@@ -358,6 +375,21 @@ def quantizer_run() -> None:
         "`semantic_dedup` switches to this codebook automatically",
         "when the derived list count would exceed the flat clamp",
         "(~1M vectors at target 256) — dedup.py:_FLAT_LIST_CLAMP.",
+        "",
+        "End-to-end (`semantic_dedup` on the same corpus, threshold",
+        "0.62, clamp lowered to force the switch):",
+        "",
+        "| blocking | wall | pairs found |",
+        "|---|---|---|",
+    ] + [
+        f"| {label} | {dt:.2f}s | {n} |" for label, dt, n in sd
+    ] + [
+        "",
+        "The auto-switch probes one extra list per vector",
+        "(nprobe + 1) to buy back the staged search's boundary",
+        "recall — measured during r10 tuning: two-level at the",
+        "caller's nprobe=2 found 77/117 of flat's pairs ~4x faster;",
+        "+1 probe recovered 111/117 at comparable-to-flat cost.",
         "",
     ]
     for ln in lines:
