@@ -5115,12 +5115,20 @@ def q_ops_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("pk", "_f").agg(F.count(F.lit(1)).alias("_n")))
     cap = (per_file.groupBy("pk")
            .agg((F.max("_n") <= 1000).alias("cap_ok")))
-    checks = (audit.join(cap, "pk")
+    # source counts as the LEFT side: a pk whose rows vanished from
+    # the physical write must surface as a loud raise (total_ok /
+    # null booleans), not as a bare row-count mismatch (r10 review)
+    src = (_table(spark, sf_dir, "orders")
+           .groupBy(F.trim(F.col("o_orderpriority").cast("string"))
+                    .alias("pk"))
+           .agg(F.count(F.lit(1)).alias("_src")))
+    checks = (src.join(audit, "pk", "left").join(cap, "pk", "left")
               .select("pk", "n_rows",
+                      (F.col("n_rows") == F.col("_src")).alias("total_ok"),
                       (F.col("n_files") >= F.ceil(F.col("n_rows") / 1000))
                       .alias("files_floor_ok"), "cap_ok"))
     _certify_booleans("ops_file_audit", checks,
-                      ["files_floor_ok", "cap_ok"], per_file)
+                      ["total_ok", "files_floor_ok", "cap_ok"], per_file)
     return checks.select("pk", "n_rows")
 
 
@@ -5155,10 +5163,15 @@ def q_ops_metadata_files(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("_metadata.file_path").alias("_file"))
                 .groupBy("pk", "_file")
                 .agg(F.count(F.lit(1)).alias("_fr")))
-    audit = (per_file.groupBy("pk")
-             .agg(F.max("_fr").alias("_mx"), F.sum("_fr").alias("_tot"),
-                  F.count(F.lit(1)).alias("_nf"))
-             .join(counts, "pk")
+    # counts LEFT side so a pk missing from the physical write still
+    # produces an audit row (null booleans -> _certify_booleans
+    # raises) — see q_ops_compaction_plan's note (r10 review)
+    audit = (counts.join(
+                 per_file.groupBy("pk")
+                 .agg(F.max("_fr").alias("_mx"),
+                      F.sum("_fr").alias("_tot"),
+                      F.count(F.lit(1)).alias("_nf")),
+                 "pk", "left")
              .select("pk",
                      (F.col("_mx") <= 100).alias("audit_cap_ok"),
                      (F.col("_tot") == F.col("_n")).alias("audit_total_ok"),
@@ -5396,11 +5409,18 @@ def q_ops_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("_metadata.file_path").alias("_file"))
                     .groupBy("pk", "_file")
                     .agg(F.count(F.lit(1)).alias("n_rows")))
-        audit = (observed.groupBy("pk")
-                 .agg(F.max("n_rows").alias("_mx"),
-                      F.sum("n_rows").alias("_tot"),
-                      F.count(F.lit(1)).alias("_nf"))
-                 .join(counts, "pk")
+        # counts is the LEFT side: a pk whose rows vanished entirely
+        # from the physical write would produce NO observed row, and
+        # an observed-side join would silently drop the audit row
+        # (r10 review — the hashed relation is pure source data now,
+        # so the missing key would otherwise read GREEN); left-join
+        # nulls make every boolean falsy and _certify_booleans raises
+        audit = (counts.join(
+                     observed.groupBy("pk")
+                     .agg(F.max("n_rows").alias("_mx"),
+                          F.sum("n_rows").alias("_tot"),
+                          F.count(F.lit(1)).alias("_nf")),
+                     "pk", "left")
                  .select("pk",
                          (F.col("_mx") <= 300).alias("audit_cap_ok"),
                          (F.col("_tot") == F.col("_n"))
@@ -5484,13 +5504,17 @@ def q_ops_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = (df.groupBy(F.col("pk").cast("string").alias("pk"))
              .agg(F.count(F.lit(1)).alias("_n"),
                   F.min("v").alias("_vlo"), F.max("v").alias("_vhi")))
-    audit = (observed.groupBy("pk")
-             .agg(F.max("n_rows").alias("_mx"),
-                  F.sum("n_rows").alias("_tot"),
-                  F.count(F.lit(1)).alias("_nf"),
-                  F.min("vmin").alias("_omin"),
-                  F.max("vmax").alias("_omax"))
-             .join(truth, "pk")
+    # truth is the LEFT side so a pk missing from the physical write
+    # still yields an audit row (null booleans raise) — see
+    # q_ops_compaction_plan's note (r10 review)
+    audit = (truth.join(
+                 observed.groupBy("pk")
+                 .agg(F.max("n_rows").alias("_mx"),
+                      F.sum("n_rows").alias("_tot"),
+                      F.count(F.lit(1)).alias("_nf"),
+                      F.min("vmin").alias("_omin"),
+                      F.max("vmax").alias("_omax")),
+                 "pk", "left")
              .select("pk",
                      (F.col("_mx") <= 300).alias("audit_cap_ok"),
                      (F.col("_tot") == F.col("_n")).alias("audit_total_ok"),
@@ -5594,9 +5618,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #          invariants — r9 ADVICE),
 #   then   the round-4-evidence cohort (22 keys at the 5-round
 #          freshness budget — the exact list the gate names),
-#   then   the oldest 22 of the 41 round-5-evidence keys.
-# Positions 51+ carry the round-5 remainder (stale at r11 — they lead
-# the r11 fold), then the round-6 cohort (stale at r12).
+#   then   20 of the 41 round-5-evidence keys, oldest first (two r5
+#          slots went to the new keys: 2 new + 6 text-changed + 22 r4
+#          + 20 r5 = 50).
+# Positions 51+ carry the round-5 remainder (21 keys, stale at r11 —
+# they lead the r11 fold), then the round-6 cohort (stale at r12).
 _PRIORITY_R10 = [
     # --- NEW keys this round (never driver-checked): the two-level
     #     quantizer and BPE-encode certified end to end ---

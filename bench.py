@@ -120,8 +120,15 @@ def main() -> None:
     # any key whose round-over-round ratio exceeds 1.3 in the main
     # pass gets a median-of-3 remeasure (r9 VERDICT #8) — identical
     # same-host runs have spanned 1.07-1.40x, so a single slow sample
-    # must self-label as noise or survive as a real regression
-    remeasured: list[str] = []
+    # must self-label as noise or survive as a real regression.  The
+    # remeasure is RECORDED NEXT TO the first sample, never written
+    # over it (r10 review): the two re-runs are fully page-cache/JIT
+    # warm, so replacing the timing would mask real cold-path
+    # regressions AND ratchet the committed baseline warmer every
+    # round (warm baseline -> more >1.3 cold samples -> more warm
+    # medians).  A key is noise if median3/prev is back near 1.0; a
+    # real regression keeps median3 high too.
+    remeasured: dict[str, dict] = {}
     for key, dt in list(timings.items()):
         if key.startswith("streaming_") or key in ITERATIVE:
             continue  # already median-of-3
@@ -132,11 +139,10 @@ def main() -> None:
                 qs[key](spark, sf_dir).count()
                 samples.append(time.time() - t0)
             med = round(sorted(samples)[1], 3)
-            total += med - timings[key]
-            timings[key] = med
-            remeasured.append(key)
-            print(f"# {key}: ratio>1.3 vs prev — remeasured to "
-                  f"median-of-3 {med}s", file=sys.stderr)
+            remeasured[key] = {"first": dt, "median3": med,
+                               "prev": prev[key]}
+            print(f"# {key}: ratio>1.3 vs prev — median-of-3 {med}s "
+                  f"(first sample kept in timings)", file=sys.stderr)
 
     # canary: re-run the 10 most expensive batch keys once; a canary
     # ratio far from 1.0 labels THIS run as taken on a noisy host
@@ -185,7 +191,9 @@ def main() -> None:
         "load_end": [round(x, 2) for x in os.getloadavg()],
         "canary_ratio": canary_ratio,
         "canary_keys": canary_keys,
-        "remeasured_keys": remeasured,
+        # first sample stays authoritative in `queries`; the warm
+        # median-of-3 sits here for the noise-vs-regression read
+        "remeasured": remeasured,
         "orphan_dirs_seen": orphan_dirs_seen,
         "orphan_dirs": orphan_dirs,
     }))

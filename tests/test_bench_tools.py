@@ -56,3 +56,37 @@ def test_sweep_skips_intentional_orphan_plants(tmp_path):
 
 def test_sweep_missing_scratch_is_zero(tmp_path):
     assert sweep_writer_debris(str(tmp_path / "nope")) == (0, [])
+
+
+def test_certify_booleans_raises_on_null_and_false(spark):
+    """The ops_* loud-certification helper: a FALSE invariant raises,
+    and so does a NULL one — the missing-partition-key case (r10
+    review: audits are built with source counts as the LEFT side, so
+    a pk that vanished from the physical write shows up as nulls,
+    which must be as loud as an explicit violation)."""
+    import importlib.util
+    import pytest
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod_cb", "/root/repo/__spark_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    sys.modules["entry_mod_cb"] = m
+    spec.loader.exec_module(m)
+
+    ok = spark.createDataFrame([("A", True), ("B", True)],
+                               "pk string, inv boolean")
+    m._certify_booleans("k", ok, ["inv"])  # no raise
+
+    bad = spark.createDataFrame([("A", True), ("B", False)],
+                                "pk string, inv boolean")
+    with pytest.raises(RuntimeError, match="B: inv=False"):
+        m._certify_booleans("k", bad, ["inv"])
+
+    null = spark.createDataFrame([("A", True), ("C", None)],
+                                 "pk string, inv boolean")
+    obs = spark.createDataFrame([("A", "f1", 3)],
+                                "pk string, f string, n long")
+    with pytest.raises(RuntimeError) as ei:
+        m._certify_booleans("k", null, ["inv"], obs)
+    assert "C: inv=None" in str(ei.value)
+    assert "('A', 'f1', 3)" in str(ei.value)  # diagnostic decomposition

@@ -107,8 +107,11 @@ def main() -> int:
     # resolve the rotation list by pattern so renames (_PRIORITY_R09 ->
     # _PRIORITY_R10 -> ...) keep being read explicitly instead of
     # silently falling back to queries() order (ADVICE r9)
-    pri_names = sorted(n for n in dir(E)
-                       if re.fullmatch(r"_PRIORITY_R\d+", n))
+    # numeric sort: lexicographic would pick _PRIORITY_R9 over
+    # _PRIORITY_R10 when a transition commit keeps both (r10 review)
+    pri_names = sorted((n for n in dir(E)
+                        if re.fullmatch(r"_PRIORITY_R\d+", n)),
+                       key=lambda n: int(n.rsplit("R", 1)[1]))
     fold = set(getattr(E, pri_names[-1])[:FOLD]) if pri_names \
         else set(list(E.queries())[:FOLD])
 
