@@ -5092,11 +5092,14 @@ def q_ops_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     retry or AQE rewrite can split one key across two sequential
     writers, so exact file counts are a scheduler property) — only the
     exact per-key row counts are hashed.  The invariants that hold
-    under ANY <=cap decomposition — observed file count >=
-    ceil(rows/1000) (files_floor_ok), every observed file <= 1000 rows
-    (cap_ok) — are checked LOUDLY via _certify_booleans (r9 VERDICT
-    #3): a violation raises with the observed per-file decomposition
-    instead of surfacing as a bare hash mismatch."""
+    under ANY <=cap decomposition — read-back rows == source rows per
+    key (total_ok), observed file count >= ceil(rows/1000)
+    (files_floor_ok), every observed file <= 1000 rows (cap_ok) — are
+    checked LOUDLY via _certify_booleans (r9 VERDICT #3): a violation,
+    including a partition key missing entirely from the physical
+    write (null booleans via the source-left join), raises with the
+    observed per-file decomposition instead of surfacing as a bare
+    hash mismatch."""
     from dynamic_partitioner_spark.operators.partitioned_write import (
         audit_partition_files)
     apply_engine_confs(spark)
