@@ -5024,6 +5024,21 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynamic_partitioner_spark.operators.bpe import (
         EOW, encode_bpe, learn_bpe_merges)
     docs = _table(spark, sf_dir, "documents")
+    # corpus guard (r10 review — the learn key's build-time guard
+    # protects only learn_bpe_certified): text that can SPELL the EOW
+    # sentinel would let a merged token end in a text-spelled '</w>'
+    # (rebuilt would strip real characters -> roundtrip_ok red on a
+    # correct engine), and chr(1) is the oracle's EOW stand-in in the
+    # merge-1 replace pattern.  Fail loudly, not as a hash flake.
+    poisoned = (docs.where(F.col("text").contains(EOW)
+                           | F.col("text").contains("\x01"))
+                .select("doc_id").limit(1).collect())
+    if poisoned:
+        raise ValueError(
+            f"text_bpe_encode: doc {poisoned[0][0]} contains the EOW "
+            f"sentinel {EOW!r} (or \\x01, the oracle's stand-in) — "
+            "the roundtrip certification cannot distinguish spelled "
+            "from structural EOW; change the sentinel for this corpus")
     merges = [(r["left"], r["right"])
               for r in learn_bpe_merges(docs, "text", n_merges=10)
               .orderBy("rank").collect()]
@@ -5036,10 +5051,11 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select(
         "doc_id",
         F.size(words).cast("long").alias("n_words"),
-        F.expr(
-            "aggregate(filter(split(trim(lower(text)), '[ \\t\\n\\r]+'), "
-            "x -> length(x) > 0), 0L, (a, x) -> a + length(x) + 1)")
-        .alias("n_syms"),
+        # n_syms over the SAME bound words column — the whitespace
+        # class is defined once (r10 review: a second verbatim copy
+        # of the split expr could silently diverge on a future edit)
+        F.aggregate(words, F.lit(0).cast("long"),
+                    lambda a, x: a + F.length(x) + 1).alias("n_syms"),
         F.array_join(words, " ").alias("_norm"))
     rebuilt = F.expr(
         f"array_join(transform(tokens, t -> CASE "
@@ -5090,8 +5106,9 @@ def q_ops_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     physical file decomposition (the r8 ops_compaction_plan driver
     flake generalizes: even after a strict hash repartition, a task
     retry or AQE rewrite can split one key across two sequential
-    writers, so exact file counts are a scheduler property) — only the
-    exact per-key row counts are hashed.  The invariants that hold
+    writers, so exact file counts are a scheduler property) — the
+    hashed relation is the PURE-SOURCE per-key row counts (read-back
+    equality is certified loudly first).  The invariants that hold
     under ANY <=cap decomposition — read-back rows == source rows per
     key (total_ok), observed file count >= ceil(rows/1000)
     (files_floor_ok), every observed file <= 1000 rows (cap_ok) — are
@@ -5126,13 +5143,18 @@ def q_ops_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("pk"))
            .agg(F.count(F.lit(1)).alias("_src")))
     checks = (src.join(audit, "pk", "left").join(cap, "pk", "left")
-              .select("pk", "n_rows",
+              .select("pk", "_src",
                       (F.col("n_rows") == F.col("_src")).alias("total_ok"),
                       (F.col("n_files") >= F.ceil(F.col("n_rows") / 1000))
                       .alias("files_floor_ok"), "cap_ok"))
     _certify_booleans("ops_file_audit", checks,
                       ["total_ok", "files_floor_ok", "cap_ok"], per_file)
-    return checks.select("pk", "n_rows")
+    # hashed relation is PURE SOURCE (r10 review): total_ok above
+    # already certified read-back == source per key, so returning the
+    # source counts keeps the hash physical-independent like the
+    # other ops keys AND avoids re-running the file scan at driver
+    # hash time (src alone — the certify joins don't ride along)
+    return src.select("pk", F.col("_src").alias("n_rows"))
 
 
 def q_ops_metadata_files(spark: SparkSession, sf_dir: str) -> DataFrame:

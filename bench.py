@@ -23,10 +23,13 @@ def sweep_writer_debris(scratch: str) -> tuple[int, list[str]]:
     sweep the run's own scratch outputs for the crash-debris class
     suspected behind the ops_compaction_plan driver reds — committer
     staging dirs (``_temporary``) anywhere, plus unreferenced batch
-    dirs inside versioned tables (a ``find_orphans``-style listing;
-    the ``ops_orphan_files`` table is skipped because it plants two
-    orphans by design).  Driver-side listings only — metadata-scale."""
-    import re as _re
+    dirs inside versioned tables (the commit-log contract comes from
+    ``operators/versioned.py`` itself — r10 review: a hand-rolled
+    copy would silently flag every healthy batch if the log schema
+    changed; the ``ops_orphan_files`` table is skipped because it
+    plants two orphans by design).  Driver listings only."""
+    from dynamic_partitioner_spark.operators.versioned import (
+        is_batch_shaped, unreferenced_dirs)
     debris: list[str] = []
     if not os.path.isdir(scratch):
         return 0, debris
@@ -38,22 +41,12 @@ def sweep_writer_debris(scratch: str) -> tuple[int, list[str]]:
                 dirs.remove(d)
     for table in sorted(os.listdir(scratch)):
         tdir = os.path.join(scratch, table)
-        log = os.path.join(tdir, "_log")
-        if table == "ops_orphan_files" or not os.path.isdir(log):
+        if table == "ops_orphan_files" \
+                or not os.path.isdir(os.path.join(tdir, "_log")):
             continue
-        referenced: set[str] = set()
-        for cf in sorted(os.listdir(log)):
-            try:
-                with open(os.path.join(log, cf)) as f:
-                    referenced.update(json.load(f).get("dirs", []))
-            except (OSError, ValueError):
-                continue
-        for name in sorted(os.listdir(tdir)):
-            full = os.path.join(tdir, name)
-            if (os.path.isdir(full) and name != "_log"
-                    and name not in referenced
-                    and _re.fullmatch(r"batch-\d{8}", name)):
-                debris.append(f"{table}/{name}")
+        debris.extend(f"{table}/{name}"
+                      for name in unreferenced_dirs(tdir)
+                      if is_batch_shaped(name))
     return len(debris), debris[:20]
 
 

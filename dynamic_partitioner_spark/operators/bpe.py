@@ -238,9 +238,11 @@ def encode_bpe(df: DataFrame, id_col: str, text_col: str,
 
         import re as _re
         # the same word boundary as _word_counts' tokens(): trim +
-        # lower + split on [ \t\n\r]+ — NOT str.split(), whose wider
-        # whitespace class would silently disagree with the trainer
-        # (and the SQL twin) on exotic-whitespace corpora
+        # lower + split on [ \t\n\r]+ — NOT str.split()/str.strip(),
+        # whose wider Unicode whitespace classes (\x0b, \x0c, \x85,
+        # \xa0, ...) would silently disagree with the trainer (and
+        # the SQL twin) on exotic-whitespace corpora (r10 review:
+        # Spark's trim removes only spaces; the regex class governs)
         split = _re.compile(r"[ \t\n\r]+").split
         out = []
         for t in texts:
@@ -248,7 +250,7 @@ def encode_bpe(df: DataFrame, id_col: str, text_col: str,
                 out.append(None)
                 continue
             toks: list[str] = []
-            for w in split(t.strip().lower()):
+            for w in split(t.strip(" \t\n\r").lower()):
                 if w:
                     toks.extend(word_syms(w))
             out.append(toks)

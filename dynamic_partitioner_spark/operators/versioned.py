@@ -277,26 +277,40 @@ def find_orphans(spark: SparkSession, path: str) -> DataFrame:
     footer read per orphan — metadata-scale, never a table scan; the
     commit log is bytes per commit by design.
     """
-    import re as _re
-
     _check_local(path)
-    commits = _commits(path)
-    referenced = {d for c in commits for d in c["dirs"]}
+    rows = []
+    for name in unreferenced_dirs(path):
+        try:
+            n = spark.read.parquet(os.path.join(path, name)).count()
+        except Exception:
+            n = 0
+        rows.append((name, n, is_batch_shaped(name)))
+    return spark.createDataFrame(
+        rows, "orphan_dir string, n_rows long, version_shaped boolean")
+
+
+def is_batch_shaped(name: str) -> bool:
+    """Whether a directory name matches the engine's own batch-dir
+    pattern (a crashed write of THIS engine, recoverable by
+    re-commit) — the single authority for the pattern, shared with
+    the bench harness's writer-debris canary."""
+    import re as _re
+    return bool(_re.fullmatch(r"batch-\d{8}", name))
+
+
+def unreferenced_dirs(path: str) -> list[str]:
+    """Top-level data dirs present on disk but referenced by NO
+    commit — the pure-python commit-log contract behind
+    :func:`find_orphans`, shared with ``bench.sweep_writer_debris``
+    (r10 review: a second hand-rolled copy of the log schema would
+    silently report every healthy batch as debris if the commit
+    format ever changed)."""
+    referenced = {d for c in _commits(path) for d in c["dirs"]}
     try:
         entries = sorted(os.listdir(path))
     except FileNotFoundError:
-        entries = []
-    rows = []
-    for name in entries:
-        full = os.path.join(path, name)
-        if name == "_log" or not os.path.isdir(full) \
-                or name in referenced:
-            continue
-        try:
-            n = spark.read.parquet(full).count()
-        except Exception:
-            n = 0
-        rows.append((name, n,
-                     bool(_re.fullmatch(r"batch-\d{8}", name))))
-    return spark.createDataFrame(
-        rows, "orphan_dir string, n_rows long, version_shaped boolean")
+        return []
+    return [name for name in entries
+            if name != "_log"
+            and os.path.isdir(os.path.join(path, name))
+            and name not in referenced]
