@@ -5583,6 +5583,107 @@ def q_ops_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pk", "n_rows", "vmin", "vmax", "file_seq", "depth")
 
 
+def q_ops_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional (Z-order / Morton) clustering end-to-end —
+    the lakehouse OPTIMIZE ZORDER primitive
+    (operators/partitioned_write.py:zorder_key): orders bucketed on
+    TWO dimensions (customer bucket, price band), sort-written by the
+    interleaved key through the engine's sink (300-row files), then
+    the per-file PER-DIMENSION min/max envelopes — the file-skipping
+    stats a 100 TB point/range query on EITHER dimension prunes by
+    (1-d sort keeps only its own column's envelopes tight; the
+    interleave bounds both at once, which tests/test_partitioned_write
+    pins as strictly better x-pruning than a y-only sort).
+
+    HASHED values are PURE DATA (the r10 ops design): the envelope
+    relation is computed from the IDEALIZED positional decomposition
+    — file k of a partition holds zval-sorted positions
+    [300k, 300k+300), whose per-dimension envelopes are deterministic
+    because zval <-> (xb, yb) is a bijection on the masked buckets —
+    via the bounded (pk, zval) grid (<= 256 cells/pk), and the oracle
+    replays it exactly, bit-interleave arithmetic included
+    (zorder_key_sql — the same term-for-term expression, so the
+    engines cannot drift).  The physical sorted write is certified
+    LOUDLY via _certify_booleans (cap/total/files floor/z-range, the
+    clustering_depth pattern; source side is the join's LEFT so a
+    vanished partition key raises too)."""
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        zorder_key)
+    apply_engine_confs(spark)
+    orders = _table(spark, sf_dir, "orders")
+    dims = orders.select(
+        F.col("o_orderpriority").alias("pk"),
+        (F.col("o_custkey") % 16).cast("long").alias("xb"),
+        F.least(F.floor(F.col("o_totalprice") / 30000),
+                F.lit(15)).cast("long").alias("yb"))
+    df = dims.withColumn("zval", zorder_key(["xb", "yb"], bits=4)) \
+             .repartition(F.col("pk"))
+    out = _out("ops_zorder_layout")
+    spec = SinkSpec(name="ord_zorder", field_names=["pk"],
+                    max_records_per_file=300, cluster_by_key=False,
+                    sort_within=["zval"])
+    write_partitioned(df, spec, out)
+    observed = (spark.read.parquet(out)
+                .select(F.col("pk").cast("string").alias("pk"), "zval",
+                        F.col("_metadata.file_path").alias("_f"))
+                .groupBy("pk", "_f")
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.min("zval").alias("zmin"),
+                     F.max("zval").alias("zmax")))
+    truth = (df.groupBy(F.col("pk").cast("string").alias("pk"))
+             .agg(F.count(F.lit(1)).alias("_n"),
+                  F.min("zval").alias("_zlo"),
+                  F.max("zval").alias("_zhi")))
+    audit = (truth.join(
+                 observed.groupBy("pk")
+                 .agg(F.max("n_rows").alias("_mx"),
+                      F.sum("n_rows").alias("_tot"),
+                      F.count(F.lit(1)).alias("_nf"),
+                      F.min("zmin").alias("_omin"),
+                      F.max("zmax").alias("_omax")),
+                 "pk", "left")
+             .select("pk",
+                     (F.col("_mx") <= 300).alias("audit_cap_ok"),
+                     (F.col("_tot") == F.col("_n")).alias("audit_total_ok"),
+                     (F.col("_nf") >= F.ceil(F.col("_n") / 300))
+                     .alias("audit_files_ok"),
+                     ((F.col("_omin") == F.col("_zlo"))
+                      & (F.col("_omax") == F.col("_zhi")))
+                     .alias("audit_range_ok")))
+    _certify_booleans("ops_zorder_layout", audit,
+                      ["audit_cap_ok", "audit_total_ok",
+                       "audit_files_ok", "audit_range_ok"], observed)
+    # idealized per-file envelopes from the bounded (pk, zval) grid:
+    # zval cell occupies sorted positions [cb, cb + cnt), touching
+    # files cb div 300 .. (cb + cnt - 1) div 300; zval <-> (xb, yb)
+    # bijection lets the grid carry both dimensions exactly
+    grid = (df.groupBy(F.col("pk").cast("string").alias("pk"),
+                       "zval", "xb", "yb")
+            .agg(F.count(F.lit(1)).alias("_cnt")))
+    wg = Window.partitionBy("pk").orderBy("zval")
+    grid = (grid.withColumn(
+                "_cb", F.coalesce(F.sum("_cnt").over(
+                    wg.rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0)))
+            .withColumn("_f0", F.expr("_cb div 300"))
+            .withColumn("_f1", F.expr("(_cb + _cnt - 1) div 300")))
+    per = (grid.select("pk", "zval", "xb", "yb",
+                       F.explode(F.expr("sequence(_f0, _f1)"))
+                       .alias("_fidx"))
+           .groupBy("pk", "_fidx")
+           .agg(F.min("zval").alias("zmin"), F.max("zval").alias("zmax"),
+                F.min("xb").alias("xmin"), F.max("xb").alias("xmax"),
+                F.min("yb").alias("ymin"), F.max("yb").alias("ymax"))
+           .join(truth.select("pk", "_n"), "pk"))
+    return (per.select(
+                "pk", (F.col("_fidx") + 1).cast("long").alias("file_seq"),
+                (F.least(F.lit(300) * (F.col("_fidx") + 1), F.col("_n"))
+                 - F.lit(300) * F.col("_fidx")).cast("long")
+                .alias("n_rows"),
+                "zmin", "zmax", "xmin", "xmax", "ymin", "ymax")
+            .orderBy("pk", "file_seq"))
+
+
 def q_text_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 windowed token co-occurrence pairs (window=2) — the
     word2vec/PMI prep primitive; pair generation stays inside the token
@@ -5643,15 +5744,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #          invariants — r9 ADVICE),
 #   then   the round-4-evidence cohort (22 keys at the 5-round
 #          freshness budget — the exact list the gate names),
-#   then   20 of the 41 round-5-evidence keys, oldest first (two r5
-#          slots went to the new keys: 2 new + 6 text-changed + 22 r4
-#          + 20 r5 = 50).
-# Positions 51+ carry the round-5 remainder (21 keys, stale at r11 —
+#   then   19 of the 41 round-5-evidence keys, oldest first (three r5
+#          slots went to the new keys: 3 new + 6 text-changed + 22 r4
+#          + 19 r5 = 50).
+# Positions 51+ carry the round-5 remainder (22 keys, stale at r11 —
 # they lead the r11 fold), then the round-6 cohort (stale at r12).
 _PRIORITY_R10 = [
     # --- NEW keys this round (never driver-checked): the two-level
-    #     quantizer and BPE-encode certified end to end ---
-    "similarity_ivf2_topk", "text_bpe_encode",
+    #     quantizer, BPE-encode, and Z-order layout certified e2e ---
+    "similarity_ivf2_topk", "text_bpe_encode", "ops_zorder_layout",
     # --- query/oracle text changed this round (loud certification) ---
     "ops_compaction_plan", "ops_clustering_depth", "ops_file_audit",
     "ops_metadata_files", "ops_orphan_files", "text_bpe_learn",
@@ -5665,7 +5766,7 @@ _PRIORITY_R10 = [
     "source_csv_roundtrip", "source_jsonl_roundtrip",
     "text_bpe_pairs", "text_entropy", "text_winnow",
     # --- round-5 evidence, oldest first (alphabetical within) ---
-    "dedup_fuzzy2", "dedup_url", "embedding_outliers",
+    "dedup_url", "embedding_outliers",
     "events_attribution", "events_bursts", "events_conformance",
     "events_cumulative_users", "events_delay_audit", "events_ohlc",
     "events_seq_lm", "mm_dedup_binary", "mm_tar_shards",
@@ -5675,10 +5776,10 @@ _PRIORITY_R10 = [
     # ---- fold: the driver checks the 50 above ----
     # below the fold, r11 rotation order: the round-5 remainder (they
     # reach the 5-round freshness budget at r11 — refresh them FIRST;
-    # query_salted_join_auto and dedup_apply were displaced from the
-    # fold by the two new keys — age 5 at r10, not yet stale),
-    # then the round-6 cohort
-    "dedup_apply", "query_salted_join_auto",
+    # dedup_apply, dedup_fuzzy2 and query_salted_join_auto were
+    # displaced from the fold by the three new keys — age 5 at r10,
+    # not yet stale), then the round-6 cohort
+    "dedup_apply", "dedup_fuzzy2", "query_salted_join_auto",
     "query_skew_profile", "query_sql_tpch_q1", "query_sql_tpch_q3",
     "query_sql_tpch_q5", "query_sql_tpch_q6", "sample_balance_labels",
     "sample_bootstrap", "sample_epoch_shuffle", "sample_group_split",
@@ -5867,6 +5968,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_retention_vacuum": q_ops_retention_vacuum,
         "ops_incremental_scan": q_ops_incremental_scan,
         "ops_orphan_files": q_ops_orphan_files,
+        "ops_zorder_layout": q_ops_zorder_layout,
         "query_basket_pairs": q_query_basket_pairs,
         "embedding_prefix_eval": q_embedding_prefix_eval,
         "partitioned_write_transforms": q_partitioned_write_transforms,
@@ -5990,6 +6092,49 @@ def _zorder_oracle() -> str:
     from dynamic_partitioner_spark.functions.zorder import zorder_sql
     return ("SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
             f"{zorder_sql(_ZSPECS, 8)} AS z FROM lineitem")
+
+
+def _zorder_oracle_sql() -> str:
+    """DuckDB twin of q_ops_zorder_layout's idealized envelope
+    relation — the interleave expression is generated by the same
+    zorder_key_sql the Spark column uses."""
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        zorder_key_sql)
+    zsql = zorder_key_sql(["xb", "yb"], bits=4)
+    return f"""
+        WITH v AS (
+            SELECT o_orderpriority AS pk,
+                   CAST(o_custkey % 16 AS BIGINT) AS xb,
+                   CAST(least(floor(o_totalprice / 30000), 15)
+                        AS BIGINT) AS yb
+            FROM orders),
+        z AS (SELECT pk, xb, yb, CAST({zsql} AS BIGINT) AS zval
+              FROM v),
+        g AS (SELECT pk, zval, xb, yb, count(*) AS cnt
+              FROM z GROUP BY ALL),
+        c AS (SELECT pk, zval, xb, yb, cnt,
+                     CAST(coalesce(sum(cnt) OVER (
+                         PARTITION BY pk ORDER BY zval
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS BIGINT) AS cb
+              FROM g),
+        f AS (SELECT pk, zval, xb, yb,
+                     unnest(generate_series(cb // 300,
+                                            (cb + cnt - 1) // 300))
+                         AS fidx
+              FROM c),
+        per AS (SELECT pk, fidx,
+                       min(zval) AS zmin, max(zval) AS zmax,
+                       min(xb) AS xmin, max(xb) AS xmax,
+                       min(yb) AS ymin, max(yb) AS ymax
+                FROM f GROUP BY pk, fidx),
+        n AS (SELECT pk, count(*) AS n FROM v GROUP BY pk)
+        SELECT per.pk, CAST(fidx + 1 AS BIGINT) AS file_seq,
+               CAST(least(300 * (fidx + 1), n) - 300 * fidx
+                    AS BIGINT) AS n_rows,
+               zmin, zmax, xmin, xmax, ymin, ymax
+        FROM per JOIN n ON per.pk = n.pk
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -9183,6 +9328,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) OVER (PARTITION BY pk, bin) AS bin_files
             FROM c
         """,
+        # Z-order layout: the bit-interleave expression comes from the
+        # SAME helper the Spark key uses (zorder_key_sql) — the
+        # engines cannot drift; the rest replays the bounded-grid
+        # positional arithmetic (the clustering_depth oracle shape).
+        # The physical sorted write is certified LOUDLY Spark-side.
+        "ops_zorder_layout": _zorder_oracle_sql(),
         "ops_metadata_files": """
             WITH p AS (SELECT trim(CAST(c_mktsegment AS VARCHAR)) AS pk,
                               count(*) AS n

@@ -923,3 +923,72 @@ def test_clustering_depth_known_intervals(spark):
     assert out[("p", 10, 19)][1] == 2
     # shared endpoint 5 counts as overlap
     assert out[("q", 0, 5)][1] == 2 and out[("q", 5, 9)][1] == 2
+
+
+# --------------------------------------------------------------- Z-order
+
+def test_zorder_key_known_values_and_sql_twin(spark):
+    """Interleave pinned by hand (x=10,y=6,bits=4 -> 108) and the SQL
+    twin must agree term for term, including the mask making negative
+    and overflowing inputs total."""
+    import duckdb
+
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        zorder_key, zorder_key_sql)
+
+    rows = [(10, 6), (0, 0), (15, 15), (255, 1), (-3, 2)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = [r[0] for r in
+           df.select(zorder_key(["x", "y"], bits=4)).collect()]
+    assert got[0] == 108  # x bits at even positions, y at odd
+    assert got[1] == 0 and got[2] == 255
+    sql = zorder_key_sql(["x", "y"], bits=4)
+    vals = ",".join(f"({x},{y})" for x, y in rows)
+    duck = [r[0] for r in duckdb.sql(
+        f"SELECT {sql} FROM (VALUES {vals}) t(x, y)").fetchall()]
+    assert got == duck
+
+    import pytest
+    with pytest.raises(ValueError):
+        zorder_key(["a", "b", "c"], bits=21)  # 63 bits > BIGINT
+
+
+def test_zorder_layout_prunes_both_dimensions(spark):
+    """The point of Morton order: on a uniform 2-d grid, files sorted
+    by the interleaved key have TIGHT envelopes on BOTH dimensions,
+    so a point query on x touches strictly fewer files than under a
+    y-only sort (where every file spans all of x)."""
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        zorder_key)
+    from pyspark.sql import functions as F
+
+    # uniform 16x16 grid, 4 rows per cell -> 1024 rows, 8 files of 128
+    rows = [(x, y) for x in range(16) for y in range(16)
+            for _ in range(4)]
+    df = spark.createDataFrame(rows, "xb long, yb long")
+
+    def envelopes(sort_col):
+        # positional files of 128 rows via the exact rank
+        from pyspark.sql import Window
+        w = Window.orderBy(sort_col, "xb", "yb")
+        d = df.withColumn("z", zorder_key(["xb", "yb"], bits=4)) \
+              .withColumn("rn", F.row_number().over(w) - 1)
+        return (d.groupBy((F.col("rn") / 128).cast("int").alias("f"))
+                .agg(F.min("xb").alias("xmin"), F.max("xb").alias("xmax"))
+                .collect())
+
+    z_env = envelopes("z")
+    y_env = envelopes("yb")
+
+    def files_touched(env, x):
+        return sum(1 for r in env if r.xmin <= x <= r.xmax)
+
+    z_touch = sum(files_touched(z_env, x) for x in range(16))
+    y_touch = sum(files_touched(y_env, x) for x in range(16))
+    # y-sort: every file spans all x -> touches 8 files per query;
+    # z-sort: each of the 8 files is an 8x4 Morton block, so an
+    # x-point query touches exactly the 4 files of its x-half —
+    # half of y-sort's cost at this file count (the gap widens with
+    # more files: 64 files -> 4x4 blocks -> 8 of 64 touched, 8x)
+    assert y_touch == 16 * 8
+    assert z_touch == y_touch / 2, (z_touch, y_touch)

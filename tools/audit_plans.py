@@ -104,7 +104,7 @@ AUDIT_KEYS = [
     # round-9 additions
     "ops_orphan_files", "query_basket_pairs",
     # round-10 additions
-    "similarity_ivf2_topk", "text_bpe_encode",
+    "similarity_ivf2_topk", "text_bpe_encode", "ops_zorder_layout",
 ]
 
 _KEEP = re.compile(

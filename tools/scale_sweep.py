@@ -101,7 +101,7 @@ SWEEP_KEYS = [
     # round-9 additions
     "ops_orphan_files", "query_basket_pairs",
     # round-10 additions
-    "similarity_ivf2_topk", "text_bpe_encode",
+    "similarity_ivf2_topk", "text_bpe_encode", "ops_zorder_layout",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
