@@ -115,6 +115,9 @@ SF1_KEYS = [
     "corpus_pipeline", "dedup_containment",
     # r8 second-session additions with 0.01->0.1 slope >= ~0.5
     "ops_clustering_depth", "mm_dhash", "graph_neighbor_jaccard",
+    # r10 addition: the z-order write+envelope key (clustering_depth's
+    # machinery on two dimensions — measure, don't assume the analogy)
+    "ops_zorder_layout",
 ]
 
 SF1_DIR = "/root/repo/.scratch/sf1"
