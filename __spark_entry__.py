@@ -5030,7 +5030,10 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (rebuilt would strip real characters -> roundtrip_ok red on a
     # correct engine), and chr(1) is the oracle's EOW stand-in in the
     # merge-1 replace pattern.  Fail loudly, not as a hash flake.
-    poisoned = (docs.where(F.col("text").contains(EOW)
+    # lower() first: tokens and the roundtrip check are built from
+    # lowercased text, so '</W>' would slip a case-sensitive guard
+    # and still poison the rebuilt expression (r10 review)
+    poisoned = (docs.where(F.lower(F.col("text")).contains(EOW)
                            | F.col("text").contains("\x01"))
                 .select("doc_id").limit(1).collect())
     if poisoned:
@@ -5476,6 +5479,77 @@ def q_ops_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pk", "file_seq", "n_rows", "bin", "bin_size", "bin_files")
 
 
+def _certify_sorted_write(key: str, truth: DataFrame, observed: DataFrame,
+                          cap: int, min_col: str, max_col: str) -> None:
+    """Loud physical certification of a sorted, row-capped sink write
+    — shared by the layout-audit keys (r10 review: the boolean block
+    was copy-pasted between ops_clustering_depth and
+    ops_zorder_layout, so a future invariant fix had to land in both
+    or the keys silently diverged).  ``truth`` carries per-key
+    (pk, _n, _vlo, _vhi) from the SOURCE and is the join's LEFT side,
+    so a partition key that vanished from the physical write yields
+    null booleans and raises; ``observed`` carries per-file
+    (pk, n_rows, min_col, max_col) from the read-back.  Invariants
+    hold under ANY <=cap-file decomposition: cap, total, file-count
+    floor, and the per-key sort-column envelope."""
+    audit = (truth.join(
+                 observed.groupBy("pk")
+                 .agg(F.max("n_rows").alias("_mx"),
+                      F.sum("n_rows").alias("_tot"),
+                      F.count(F.lit(1)).alias("_nf"),
+                      F.min(min_col).alias("_omin"),
+                      F.max(max_col).alias("_omax")),
+                 "pk", "left")
+             .select("pk",
+                     (F.col("_mx") <= cap).alias("audit_cap_ok"),
+                     (F.col("_tot") == F.col("_n")).alias("audit_total_ok"),
+                     (F.col("_nf") >= F.ceil(F.col("_n") / cap))
+                     .alias("audit_files_ok"),
+                     ((F.col("_omin") == F.col("_vlo"))
+                      & (F.col("_omax") == F.col("_vhi")))
+                     .alias("audit_range_ok")))
+    _certify_booleans(key, audit,
+                      ["audit_cap_ok", "audit_total_ok",
+                       "audit_files_ok", "audit_range_ok"], observed)
+
+
+def _idealized_file_stats(df: DataFrame, order_col: str,
+                          stat_cols: list, truth: DataFrame,
+                          cap: int) -> DataFrame:
+    """Idealized positional per-file stats from the bounded value
+    GRID — the shared decomposition arithmetic behind the layout
+    keys (r10 review): a value cell occupies sorted positions
+    [cum_before, cum_before + cnt), so it touches files
+    cum_before div cap .. (cum_before + cnt - 1) div cap; per-file
+    stats are deterministic however ties are ordered.  ``stat_cols``
+    is [(col, min_alias, max_alias), ...]; returns
+    (pk, _fidx, n_rows, *aliases).  Never a per-row global sort —
+    the grid is value-bounded, so the certification harness itself
+    scales."""
+    cols = [c for c, _, _ in stat_cols]
+    grid = (df.groupBy(F.col("pk").cast("string").alias("pk"), *cols)
+            .agg(F.count(F.lit(1)).alias("_cnt")))
+    wg = Window.partitionBy("pk").orderBy(order_col)
+    grid = (grid.withColumn(
+                "_cb", F.coalesce(F.sum("_cnt").over(
+                    wg.rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0)))
+            .withColumn("_f0", F.expr(f"_cb div {cap}"))
+            .withColumn("_f1", F.expr(f"(_cb + _cnt - 1) div {cap}")))
+    aggs = []
+    for c, mn, mx in stat_cols:
+        aggs += [F.min(c).alias(mn), F.max(c).alias(mx)]
+    return (grid.select("pk", *cols,
+                        F.explode(F.expr("sequence(_f0, _f1)"))
+                        .alias("_fidx"))
+            .groupBy("pk", "_fidx").agg(*aggs)
+            .join(truth.select("pk", "_n"), "pk")
+            .withColumn(
+                "n_rows",
+                (F.least(F.lit(cap) * (F.col("_fidx") + 1), F.col("_n"))
+                 - F.lit(cap) * F.col("_fidx")).cast("long")))
+
+
 def q_ops_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layout-quality audit end-to-end: orders written through the
     engine's sink sorted by a coarse price band (300-row files, strict
@@ -5529,54 +5603,11 @@ def q_ops_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = (df.groupBy(F.col("pk").cast("string").alias("pk"))
              .agg(F.count(F.lit(1)).alias("_n"),
                   F.min("v").alias("_vlo"), F.max("v").alias("_vhi")))
-    # truth is the LEFT side so a pk missing from the physical write
-    # still yields an audit row (null booleans raise) — see
-    # q_ops_compaction_plan's note (r10 review)
-    audit = (truth.join(
-                 observed.groupBy("pk")
-                 .agg(F.max("n_rows").alias("_mx"),
-                      F.sum("n_rows").alias("_tot"),
-                      F.count(F.lit(1)).alias("_nf"),
-                      F.min("vmin").alias("_omin"),
-                      F.max("vmax").alias("_omax")),
-                 "pk", "left")
-             .select("pk",
-                     (F.col("_mx") <= 300).alias("audit_cap_ok"),
-                     (F.col("_tot") == F.col("_n")).alias("audit_total_ok"),
-                     (F.col("_nf") >= F.ceil(F.col("_n") / 300))
-                     .alias("audit_files_ok"),
-                     ((F.col("_omin") == F.col("_vlo"))
-                      & (F.col("_omax") == F.col("_vhi")))
-                     .alias("audit_range_ok")))
-    _certify_booleans("ops_clustering_depth", audit,
-                      ["audit_cap_ok", "audit_total_ok",
-                       "audit_files_ok", "audit_range_ok"],
-                      observed.select("pk", "_f", "n_rows",
-                                      "vmin", "vmax"))
-    # idealized per-file stats from the bounded value grid: band v
-    # occupies sorted positions [cum_before, cum_before + cnt), so it
-    # touches files cum_before div 300 .. (cum_before + cnt - 1) div 300
-    grid = (df.groupBy(F.col("pk").cast("string").alias("pk"), "v")
-            .agg(F.count(F.lit(1)).alias("_cnt")))
-    wg = Window.partitionBy("pk").orderBy("v")
-    grid = (grid.withColumn(
-                "_cb", F.coalesce(F.sum("_cnt").over(
-                    wg.rowsBetween(Window.unboundedPreceding, -1)),
-                    F.lit(0)))
-            .withColumn("_f0", F.expr("_cb div 300"))
-            .withColumn("_f1", F.expr("(_cb + _cnt - 1) div 300")))
-    stats = (grid.select("pk", "v",
-                         F.explode(F.expr("sequence(_f0, _f1)"))
-                         .alias("_fidx"))
-             .groupBy("pk", "_fidx")
-             .agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
-             .join(truth.select("pk", "_n"), "pk")
-             .select("pk",
-                     (F.least(F.lit(300) * (F.col("_fidx") + 1),
-                              F.col("_n"))
-                      - F.lit(300) * F.col("_fidx"))
-                     .cast("long").alias("n_rows"),
-                     "vmin", "vmax"))
+    _certify_sorted_write("ops_clustering_depth", truth, observed,
+                          cap=300, min_col="vmin", max_col="vmax")
+    stats = _idealized_file_stats(
+        df, "v", [("v", "vmin", "vmax")], truth, cap=300) \
+        .select("pk", "n_rows", "vmin", "vmax")
     depth = clustering_depth(stats, ["pk"], "vmin", "vmax",
                              order_extra=["n_rows"])
     return depth.select(
@@ -5607,8 +5638,7 @@ def q_ops_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     LOUDLY via _certify_booleans (cap/total/files floor/z-range, the
     clustering_depth pattern; source side is the join's LEFT so a
     vanished partition key raises too)."""
-    from dynamic_partitioner_spark.operators.partitioned_write import (
-        zorder_key)
+    from dynamic_partitioner_spark.functions.zorder import zorder_key
     apply_engine_confs(spark)
     orders = _table(spark, sf_dir, "orders")
     dims = orders.select(
@@ -5632,54 +5662,18 @@ def q_ops_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.max("zval").alias("zmax")))
     truth = (df.groupBy(F.col("pk").cast("string").alias("pk"))
              .agg(F.count(F.lit(1)).alias("_n"),
-                  F.min("zval").alias("_zlo"),
-                  F.max("zval").alias("_zhi")))
-    audit = (truth.join(
-                 observed.groupBy("pk")
-                 .agg(F.max("n_rows").alias("_mx"),
-                      F.sum("n_rows").alias("_tot"),
-                      F.count(F.lit(1)).alias("_nf"),
-                      F.min("zmin").alias("_omin"),
-                      F.max("zmax").alias("_omax")),
-                 "pk", "left")
-             .select("pk",
-                     (F.col("_mx") <= 300).alias("audit_cap_ok"),
-                     (F.col("_tot") == F.col("_n")).alias("audit_total_ok"),
-                     (F.col("_nf") >= F.ceil(F.col("_n") / 300))
-                     .alias("audit_files_ok"),
-                     ((F.col("_omin") == F.col("_zlo"))
-                      & (F.col("_omax") == F.col("_zhi")))
-                     .alias("audit_range_ok")))
-    _certify_booleans("ops_zorder_layout", audit,
-                      ["audit_cap_ok", "audit_total_ok",
-                       "audit_files_ok", "audit_range_ok"], observed)
-    # idealized per-file envelopes from the bounded (pk, zval) grid:
-    # zval cell occupies sorted positions [cb, cb + cnt), touching
-    # files cb div 300 .. (cb + cnt - 1) div 300; zval <-> (xb, yb)
-    # bijection lets the grid carry both dimensions exactly
-    grid = (df.groupBy(F.col("pk").cast("string").alias("pk"),
-                       "zval", "xb", "yb")
-            .agg(F.count(F.lit(1)).alias("_cnt")))
-    wg = Window.partitionBy("pk").orderBy("zval")
-    grid = (grid.withColumn(
-                "_cb", F.coalesce(F.sum("_cnt").over(
-                    wg.rowsBetween(Window.unboundedPreceding, -1)),
-                    F.lit(0)))
-            .withColumn("_f0", F.expr("_cb div 300"))
-            .withColumn("_f1", F.expr("(_cb + _cnt - 1) div 300")))
-    per = (grid.select("pk", "zval", "xb", "yb",
-                       F.explode(F.expr("sequence(_f0, _f1)"))
-                       .alias("_fidx"))
-           .groupBy("pk", "_fidx")
-           .agg(F.min("zval").alias("zmin"), F.max("zval").alias("zmax"),
-                F.min("xb").alias("xmin"), F.max("xb").alias("xmax"),
-                F.min("yb").alias("ymin"), F.max("yb").alias("ymax"))
-           .join(truth.select("pk", "_n"), "pk"))
+                  F.min("zval").alias("_vlo"),
+                  F.max("zval").alias("_vhi")))
+    _certify_sorted_write("ops_zorder_layout", truth, observed,
+                          cap=300, min_col="zmin", max_col="zmax")
+    # zval <-> (xb, yb) bijection lets the grid carry both dimensions
+    per = _idealized_file_stats(
+        df, "zval",
+        [("zval", "zmin", "zmax"), ("xb", "xmin", "xmax"),
+         ("yb", "ymin", "ymax")], truth, cap=300)
     return (per.select(
                 "pk", (F.col("_fidx") + 1).cast("long").alias("file_seq"),
-                (F.least(F.lit(300) * (F.col("_fidx") + 1), F.col("_n"))
-                 - F.lit(300) * F.col("_fidx")).cast("long")
-                .alias("n_rows"),
+                "n_rows",
                 "zmin", "zmax", "xmin", "xmax", "ymin", "ymax")
             .orderBy("pk", "file_seq"))
 
@@ -5744,18 +5738,22 @@ def entry(spark: SparkSession) -> DataFrame:
 #          invariants — r9 ADVICE),
 #   then   the round-4-evidence cohort (22 keys at the 5-round
 #          freshness budget — the exact list the gate names),
-#   then   19 of the 41 round-5-evidence keys, oldest first (three r5
-#          slots went to the new keys: 3 new + 6 text-changed + 22 r4
-#          + 19 r5 = 50).
-# Positions 51+ carry the round-5 remainder (22 keys, stale at r11 —
+#   then   18 of the 41 round-5-evidence keys, oldest first (four r5
+#          slots went to the new keys + the re-certifying
+#          sorted_export_zorder: 3 new + 7 text-changed + 22 r4
+#          + 18 r5 = 50).
+# Positions 51+ carry the round-5 remainder (23 keys, stale at r11 —
 # they lead the r11 fold), then the round-6 cohort (stale at r12).
 _PRIORITY_R10 = [
     # --- NEW keys this round (never driver-checked): the two-level
     #     quantizer, BPE-encode, and Z-order layout certified e2e ---
     "similarity_ivf2_topk", "text_bpe_encode", "ops_zorder_layout",
-    # --- query/oracle text changed this round (loud certification) ---
+    # --- query/oracle text changed this round (loud certification;
+    #     sorted_export_zorder: its oracle text regenerates through
+    #     the consolidated _interleave_sql — same values, new text) ---
     "ops_compaction_plan", "ops_clustering_depth", "ops_file_audit",
     "ops_metadata_files", "ops_orphan_files", "text_bpe_learn",
+    "sorted_export_zorder",
     # --- round-4 evidence (at the freshness budget) ---
     "privacy_l_diversity", "query_bucketed_join",
     "query_join_broadcast", "query_percentiles", "query_pruned_agg",
@@ -5766,7 +5764,7 @@ _PRIORITY_R10 = [
     "source_csv_roundtrip", "source_jsonl_roundtrip",
     "text_bpe_pairs", "text_entropy", "text_winnow",
     # --- round-5 evidence, oldest first (alphabetical within) ---
-    "dedup_url", "embedding_outliers",
+    "embedding_outliers",
     "events_attribution", "events_bursts", "events_conformance",
     "events_cumulative_users", "events_delay_audit", "events_ohlc",
     "events_seq_lm", "mm_dedup_binary", "mm_tar_shards",
@@ -5776,10 +5774,12 @@ _PRIORITY_R10 = [
     # ---- fold: the driver checks the 50 above ----
     # below the fold, r11 rotation order: the round-5 remainder (they
     # reach the 5-round freshness budget at r11 — refresh them FIRST;
-    # dedup_apply, dedup_fuzzy2 and query_salted_join_auto were
-    # displaced from the fold by the three new keys — age 5 at r10,
-    # not yet stale), then the round-6 cohort
-    "dedup_apply", "dedup_fuzzy2", "query_salted_join_auto",
+    # dedup_apply, dedup_fuzzy2, dedup_url and query_salted_join_auto
+    # were displaced from the fold by the three new keys + the
+    # re-certifying sorted_export_zorder — age 5 at r10, not yet
+    # stale), then the round-6 cohort
+    "dedup_apply", "dedup_fuzzy2", "dedup_url",
+    "query_salted_join_auto",
     "query_skew_profile", "query_sql_tpch_q1", "query_sql_tpch_q3",
     "query_sql_tpch_q5", "query_sql_tpch_q6", "sample_balance_labels",
     "sample_bootstrap", "sample_epoch_shuffle", "sample_group_split",
@@ -6098,7 +6098,7 @@ def _zorder_oracle_sql() -> str:
     """DuckDB twin of q_ops_zorder_layout's idealized envelope
     relation — the interleave expression is generated by the same
     zorder_key_sql the Spark column uses."""
-    from dynamic_partitioner_spark.operators.partitioned_write import (
+    from dynamic_partitioner_spark.functions.zorder import (
         zorder_key_sql)
     zsql = zorder_key_sql(["xb", "yb"], bits=4)
     return f"""

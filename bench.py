@@ -44,9 +44,17 @@ def sweep_writer_debris(scratch: str) -> tuple[int, list[str]]:
         if table == "ops_orphan_files" \
                 or not os.path.isdir(os.path.join(tdir, "_log")):
             continue
-        debris.extend(f"{table}/{name}"
-                      for name in unreferenced_dirs(tdir)
-                      if is_batch_shaped(name))
+        try:
+            debris.extend(f"{table}/{name}"
+                          for name in unreferenced_dirs(tdir)
+                          if is_batch_shaped(name))
+        except Exception as exc:
+            # the sweep's premise is post-crash state of unknown
+            # shape (r10 review: an unreadable/corrupt commit file
+            # must not discard the whole bench run's results after
+            # the multi-minute query pass) — surface it as a visible
+            # marker instead of raising
+            debris.append(f"{table}/_log!{type(exc).__name__}")
     return len(debris), debris[:20]
 
 
@@ -158,8 +166,12 @@ def main() -> None:
 
     # writer-debris canary (r9 VERDICT #7): nonzero implicates crash/
     # retry debris (hypothesis a) for any same-round driver red; zero
-    # shifts suspicion to the oracle dialect (hypothesis b)
-    orphan_dirs_seen, orphan_dirs = sweep_writer_debris(E.SCRATCH)
+    # shifts suspicion to the oracle dialect (hypothesis b).  The
+    # sweep itself must never sink the run's results this late.
+    try:
+        orphan_dirs_seen, orphan_dirs = sweep_writer_debris(E.SCRATCH)
+    except Exception as exc:
+        orphan_dirs_seen, orphan_dirs = -1, [f"sweep!{type(exc).__name__}"]
 
     # Full per-key timings go to a side file; the printed line keeps only
     # the most expensive keys so it stays within the driver's tail buffer

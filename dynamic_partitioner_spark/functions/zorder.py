@@ -55,32 +55,72 @@ def _quantize(col: str, lo: float, hi: float, n: int) -> Column:
             .cast("long"))
 
 
-def zorder_value(cols: list[ColSpec], bits: int = 8) -> Column:
-    """Morton value interleaving ``bits`` bits of each quantized column
-    — column j's bit i lands at output position ``i·k + j`` (k = number
-    of columns).  Pure codegen: one floor per column, then shift/mask/
-    add terms; no UDF, no shuffle."""
-    _check(cols, bits)
-    k = len(cols)
+def _interleave(qs: list[Column], bits: int) -> Column:
+    """THE Morton bit placement — column j's bit i lands at output
+    position ``i·k + j`` (k = number of columns) — shared by the
+    quantizing (:func:`zorder_value`) and masked-integer
+    (:func:`zorder_key`) variants so there is exactly one
+    implementation to fix (r10 review: two parallel interleaves had
+    already diverged on the width cap).  Inputs must be non-negative
+    BIGINTs below ``2^bits``."""
+    k = len(qs)
     terms: list[Column] = []
-    for j, (c, lo, hi) in enumerate(cols):
-        q = _quantize(c, lo, hi, 1 << bits)
+    for j, q in enumerate(qs):
         for i in range(bits):
             terms.append(F.shiftleft(
                 F.shiftright(q, i).bitwiseAND(F.lit(1)), i * k + j))
     return reduce(lambda a, b: a + b, terms)
 
 
+def _interleave_sql(qs: list[str], bits: int) -> str:
+    """ANSI twin of :func:`_interleave`, term for term."""
+    k = len(qs)
+    terms = []
+    for j, q in enumerate(qs):
+        for i in range(bits):
+            terms.append(f"((({q}) >> {i}) & 1) << {i * k + j}")
+    return "(" + " + ".join(f"({t})" for t in terms) + ")"
+
+
+def zorder_value(cols: list[ColSpec], bits: int = 8) -> Column:
+    """Morton value interleaving ``bits`` bits of each quantized column
+    (linear quantization over caller-declared [lo, hi) bounds).  Pure
+    codegen: one floor per column, then shift/mask/add terms; no UDF,
+    no shuffle."""
+    _check(cols, bits)
+    return _interleave([_quantize(c, lo, hi, 1 << bits)
+                        for c, lo, hi in cols], bits)
+
+
 def zorder_sql(cols: list[ColSpec], bits: int = 8) -> str:
     """DuckDB twin of :func:`zorder_value` — identical quantization and
     bit placement, so z-values hash-match bit-for-bit."""
     _check(cols, bits)
-    k, n = len(cols), 1 << bits
-    terms = []
-    for j, (c, lo, hi) in enumerate(cols):
-        q = (f"CAST(least(greatest(floor((CAST({c} AS DOUBLE) - {float(lo)})"
-             f" * {n} / {float(hi) - float(lo)}), 0.0), {float(n - 1)})"
-             f" AS BIGINT)")
-        for i in range(bits):
-            terms.append(f"((({q} >> {i}) & 1) << {i * k + j})")
-    return " + ".join(terms)
+    n = 1 << bits
+    qs = [(f"CAST(least(greatest(floor((CAST({c} AS DOUBLE) - {float(lo)})"
+           f" * {n} / {float(hi) - float(lo)}), 0.0), {float(n - 1)})"
+           f" AS BIGINT)")
+          for c, lo, hi in cols]
+    return _interleave_sql(qs, bits)
+
+
+def zorder_key(cols: list[str], bits: int = 8) -> Column:
+    """Masked-integer Morton variant: interleave the low ``bits`` bits
+    of ALREADY-BUCKETED non-negative integer columns (no quantization
+    — callers bucket real columns down to small ints; the mask makes
+    stray high/negative bits total rather than undefined).  Same
+    shared bit placement as :func:`zorder_value`; the layout-audit
+    key ops_zorder_layout certifies it end to end."""
+    _check([(c, 0.0, 1.0) for c in cols], bits)
+    mask = (1 << bits) - 1
+    return _interleave([F.col(c).cast("long").bitwiseAND(F.lit(mask))
+                        for c in cols], bits)
+
+
+def zorder_key_sql(cols: list[str], bits: int = 8) -> str:
+    """ANSI twin of :func:`zorder_key` (same mask + shared bit
+    placement) — build oracles from THIS so the engines cannot
+    drift."""
+    _check([(c, 0.0, 1.0) for c in cols], bits)
+    mask = (1 << bits) - 1
+    return _interleave_sql([f"({c}) & {mask}" for c in cols], bits)

@@ -741,52 +741,6 @@ def clustering_depth(stats: DataFrame, part_cols: list[str],
             .agg(F.count(F.lit(1)).alias("depth")))
 
 
-def zorder_key(cols: list[str], bits: int = 8):
-    """Morton (Z-order) interleave of the low ``bits`` bits of each
-    non-negative integer dimension column into ONE BIGINT sort key —
-    the multi-dimensional clustering primitive behind lakehouse
-    OPTIMIZE ZORDER / Iceberg sort orders: sorting by the interleaved
-    key keeps files' per-DIMENSION min/max envelopes tight
-    simultaneously, so point/range queries on ANY of the dimensions
-    can skip files (1-d sort clusters only its own column).
-
-    Pure integer Column arithmetic (mask, shift, multiply by the
-    2^position literal) — whole-stage-codegen friendly, and the exact
-    twin of :func:`zorder_key_sql` so a DuckDB oracle replays the key
-    bit for bit.  Inputs are masked to ``bits`` low bits first
-    (callers bucket real columns down to small non-negative ints;
-    the mask makes stray high/negative bits total rather than
-    undefined).  Total key width is ``len(cols) * bits`` bits — keep
-    it <= 62 for BIGINT.
-    """
-    n = len(cols)
-    if n * bits > 62:
-        raise ValueError(f"{n} cols x {bits} bits exceeds BIGINT")
-    mask = (1 << bits) - 1
-    z = F.lit(0).cast("long")
-    for b in range(bits):
-        for j, c in enumerate(cols):
-            bit = F.shiftright(F.col(c).cast("long")
-                               .bitwiseAND(F.lit(mask)), b) \
-                   .bitwiseAND(F.lit(1))
-            z = z + bit * F.lit(1 << (b * n + j))
-    return z
-
-
-def zorder_key_sql(cols: list[str], bits: int = 8) -> str:
-    """ANSI-SQL twin of :func:`zorder_key` (same mask/shift/multiply
-    arithmetic, term for term) — build oracles from THIS so the two
-    engines cannot drift."""
-    n = len(cols)
-    mask = (1 << bits) - 1
-    terms = []
-    for b in range(bits):
-        for j, c in enumerate(cols):
-            terms.append(f"((({c} & {mask}) >> {b}) & 1) "
-                         f"* {1 << (b * n + j)}")
-    return "(" + " + ".join(terms) + ")"
-
-
 def plan_compaction(files: DataFrame, part_cols: list[str],
                     size_col: str, target: int,
                     tiebreak_cols: list[str] | None = None) -> DataFrame:

@@ -933,7 +933,7 @@ def test_zorder_key_known_values_and_sql_twin(spark):
     and overflowing inputs total."""
     import duckdb
 
-    from dynamic_partitioner_spark.operators.partitioned_write import (
+    from dynamic_partitioner_spark.functions.zorder import (
         zorder_key, zorder_key_sql)
 
     rows = [(10, 6), (0, 0), (15, 15), (255, 1), (-3, 2)]
@@ -950,7 +950,7 @@ def test_zorder_key_known_values_and_sql_twin(spark):
 
     import pytest
     with pytest.raises(ValueError):
-        zorder_key(["a", "b", "c"], bits=21)  # 63 bits > BIGINT
+        zorder_key(["a", "b", "c"], bits=22)  # 66 bits > BIGINT
 
 
 def test_zorder_layout_prunes_both_dimensions(spark):
@@ -958,8 +958,7 @@ def test_zorder_layout_prunes_both_dimensions(spark):
     by the interleaved key have TIGHT envelopes on BOTH dimensions,
     so a point query on x touches strictly fewer files than under a
     y-only sort (where every file spans all of x)."""
-    from dynamic_partitioner_spark.operators.partitioned_write import (
-        zorder_key)
+    from dynamic_partitioner_spark.functions.zorder import zorder_key
     from pyspark.sql import functions as F
 
     # uniform 16x16 grid, 4 rows per cell -> 1024 rows, 8 files of 128
