@@ -5520,16 +5520,24 @@ def _idealized_file_stats(df: DataFrame, order_col: str,
     GRID — the shared decomposition arithmetic behind the layout
     keys (r10 review): a value cell occupies sorted positions
     [cum_before, cum_before + cnt), so it touches files
-    cum_before div cap .. (cum_before + cnt - 1) div cap; per-file
-    stats are deterministic however ties are ordered.  ``stat_cols``
-    is [(col, min_alias, max_alias), ...]; returns
+    cum_before div cap .. (cum_before + cnt - 1) div cap.  Per-file
+    stats are deterministic however ties are ordered ONLY when the
+    stats of tied rows are interchangeable — so the cumulative window
+    orders by (order_col, *all stat cols): callers whose extra stat
+    columns are functionally determined by order_col (both current
+    keys: price band is the sort key itself; zval <-> (xb, yb) is a
+    bijection) see identical results, and a future caller violating
+    that gets a DETERMINISTIC tie order instead of a run-to-run
+    hash flake (r10 review).  ``stat_cols`` is
+    [(col, min_alias, max_alias), ...]; returns
     (pk, _fidx, n_rows, *aliases).  Never a per-row global sort —
     the grid is value-bounded, so the certification harness itself
     scales."""
     cols = [c for c, _, _ in stat_cols]
     grid = (df.groupBy(F.col("pk").cast("string").alias("pk"), *cols)
             .agg(F.count(F.lit(1)).alias("_cnt")))
-    wg = Window.partitionBy("pk").orderBy(order_col)
+    order = [order_col] + [c for c in cols if c != order_col]
+    wg = Window.partitionBy("pk").orderBy(*order)
     grid = (grid.withColumn(
                 "_cb", F.coalesce(F.sum("_cnt").over(
                     wg.rowsBetween(Window.unboundedPreceding, -1)),
@@ -5617,7 +5625,7 @@ def q_ops_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ops_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-dimensional (Z-order / Morton) clustering end-to-end —
     the lakehouse OPTIMIZE ZORDER primitive
-    (operators/partitioned_write.py:zorder_key): orders bucketed on
+    (functions/zorder.py:zorder_key): orders bucketed on
     TWO dimensions (customer bucket, price band), sort-written by the
     interleaved key through the engine's sink (300-row files), then
     the per-file PER-DIMENSION min/max envelopes — the file-skipping

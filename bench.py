@@ -31,6 +31,7 @@ def sweep_writer_debris(scratch: str) -> tuple[int, list[str]]:
     from dynamic_partitioner_spark.operators.versioned import (
         is_batch_shaped, unreferenced_dirs)
     debris: list[str] = []
+    errors: list[str] = []
     if not os.path.isdir(scratch):
         return 0, debris
     for root, dirs, _files in os.walk(scratch):
@@ -54,8 +55,12 @@ def sweep_writer_debris(scratch: str) -> tuple[int, list[str]]:
             # must not discard the whole bench run's results after
             # the multi-minute query pass) — surface it as a visible
             # marker instead of raising
-            debris.append(f"{table}/_log!{type(exc).__name__}")
-    return len(debris), debris[:20]
+            errors.append(f"{table}/_log!{type(exc).__name__}")
+    # markers ride along in the dirs list for diagnosis but do NOT
+    # count as debris — a transient sweep error must not flip the
+    # canary from "oracle dialect suspected" to "crash debris
+    # implicated" (r10 review)
+    return len(debris), (debris + errors)[:20]
 
 
 def main() -> None:

@@ -28,12 +28,18 @@ from pyspark.sql import functions as F
 ColSpec = tuple[str, float, float]
 
 
-def _check(cols: list[ColSpec], bits: int) -> None:
-    if not cols:
+def _check_width(n_cols: int, bits: int) -> None:
+    """Shared by all four entry points (r10 review: the masked-integer
+    variants were smuggling dummy bounds through the combined check)."""
+    if n_cols < 1:
         raise ValueError("need at least one column")
-    if bits <= 0 or bits * len(cols) > 63:
+    if bits <= 0 or bits * n_cols > 63:
         raise ValueError("bits per column must be positive and the "
                          "interleaved width must fit a signed 64-bit int")
+
+
+def _check(cols: list[ColSpec], bits: int) -> None:
+    _check_width(len(cols), bits)
     for _, lo, hi in cols:
         if hi <= lo:
             raise ValueError("each column needs hi > lo")
@@ -111,7 +117,7 @@ def zorder_key(cols: list[str], bits: int = 8) -> Column:
     stray high/negative bits total rather than undefined).  Same
     shared bit placement as :func:`zorder_value`; the layout-audit
     key ops_zorder_layout certifies it end to end."""
-    _check([(c, 0.0, 1.0) for c in cols], bits)
+    _check_width(len(cols), bits)
     mask = (1 << bits) - 1
     return _interleave([F.col(c).cast("long").bitwiseAND(F.lit(mask))
                         for c in cols], bits)
@@ -121,6 +127,6 @@ def zorder_key_sql(cols: list[str], bits: int = 8) -> str:
     """ANSI twin of :func:`zorder_key` (same mask + shared bit
     placement) — build oracles from THIS so the engines cannot
     drift."""
-    _check([(c, 0.0, 1.0) for c in cols], bits)
+    _check_width(len(cols), bits)
     mask = (1 << bits) - 1
     return _interleave_sql([f"({c}) & {mask}" for c in cols], bits)
