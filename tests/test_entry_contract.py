@@ -15,12 +15,20 @@ def _entry():
 
 
 def test_every_oracle_has_a_query_and_priorities_resolve():
+    import re
+
     m = _entry()
     q, o = m.queries(), m.oracle_sql()
     assert set(o) <= set(q), sorted(set(o) - set(q))
-    assert set(m._PRIORITY_R10) <= set(q), \
-        sorted(set(m._PRIORITY_R10) - set(q))
-    assert len(set(m._PRIORITY_R10)) == len(m._PRIORITY_R10), \
+    # resolve the rotation list by pattern (the same resolution
+    # check_freshness uses) so this test never needs a rename edit
+    pri_names = sorted((n for n in dir(m)
+                        if re.fullmatch(r"_PRIORITY_R\d+", n)),
+                       key=lambda n: int(n.rsplit("R", 1)[1]))
+    assert pri_names, "no _PRIORITY_R<n> rotation list defined"
+    pri = getattr(m, pri_names[-1])
+    assert set(pri) <= set(q), sorted(set(pri) - set(q))
+    assert len(set(pri)) == len(pri), \
         "duplicate keys in priority rotation"
     # r9 flipped the last rows-only key (text_bpe_learn) to hash-pass
     # via learn_bpe_certified: exact first-merge columns recomputed by
@@ -152,3 +160,72 @@ def test_freshness_budget_holds():
         [_sys.executable, "/root/repo/tools/check_freshness.py"],
         capture_output=True, text=True)
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_no_hugeint_oracle_columns():
+    """No oracle may return HUGEINT/UHUGEINT columns (r10 VERDICT #2):
+    DuckDB's ``sum(BIGINT)`` widens to HUGEINT, which ``.df()``
+    converts to float64 while Spark emits int64 — the driver's
+    dtype-sensitive hash then reads red with rows+schema green (the
+    exact three-round ops_compaction_plan signature).  Binding is
+    enough to learn the result types; nothing executes."""
+    import duckdb
+
+    m = _entry()
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')")
+    offenders = []
+    for key, sql in m.oracle_sql().items():
+        rel = con.sql(sql)
+        hug = [(c, str(ty)) for c, ty in zip(rel.columns, rel.types)
+               if "HUGEINT" in str(ty).upper()]
+        if hug:
+            offenders.append((key, hug))
+    assert offenders == [], (
+        f"uncast HUGEINT oracle columns (wrap the sum/product in "
+        f"CAST(... AS BIGINT)): {offenders}")
+
+
+def test_freshness_slack_and_never_green_semantics():
+    """Pin the r11 gate redesign (r10 VERDICT #3 + #7) on synthetic
+    evidence: one round of age-overage during the boundary window
+    (fold round == current - 1) WARNS; two+ rounds, text-newer, and
+    never-green keys FAIL regardless of slack — a never-green key
+    auto-joins every fold until green."""
+    sys.path.insert(0, "/root/repo/tools")
+    import check_freshness as CF
+
+    fps = {k: "f" for k in
+           ("age1", "age2", "textnew", "nevergreen", "infold")}
+    manifest = {
+        "age1": {"fp": "f", "text_round": 1},
+        "age2": {"fp": "f", "text_round": 1},
+        "textnew": {"fp": "OLD", "text_round": 1},   # fp mismatch
+        "nevergreen": {"fp": "f", "text_round": 1},
+        "infold": {"fp": "f", "text_round": 1},
+    }
+    # current=12, budget 5: age1 green r6 (over by 1), age2 green r5
+    # (over by 2), textnew green r11 but text changed now, infold
+    # never green but scheduled
+    green = {"age1": 6, "age2": 5, "textnew": 11}
+    fold = {"infold"}
+
+    # boundary window: fold r11, current 12
+    changed, stale, problems, warnings = CF.evaluate(
+        12, green, fps, manifest, fold, fold_round=11)
+    assert changed == ["textnew"]
+    assert stale == {"age1", "age2", "textnew", "nevergreen", "infold"}
+    assert [w.split(":")[0] for w in warnings] == ["age1"]
+    assert sorted(p.split(":")[0] for p in problems) == \
+        ["age2", "nevergreen", "textnew"]
+
+    # fold for the current round shipped: no slack, age1 fails too
+    _, _, problems2, warnings2 = CF.evaluate(
+        12, green, fps, manifest, fold, fold_round=12)
+    assert warnings2 == []
+    assert sorted(p.split(":")[0] for p in problems2) == \
+        ["age1", "age2", "nevergreen", "textnew"]

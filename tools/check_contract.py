@@ -59,6 +59,20 @@ def compare(key: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str
     except TypeError as exc:
         problems.append(f"driver canon would crash: {exc}")
         return problems
+    # dtype-kind parity (r10 VERDICT #2): the driver's value hash is
+    # dtype-sensitive (int 3 != float 3.0) while pandas `==` is not —
+    # ops_compaction_plan burned THREE driver rounds on an uncast
+    # DuckDB HUGEINT window sum (-> float64) that this gate waved
+    # through.  After normalize() the kinds are already widened
+    # (i/u -> int64, f -> float64), so any surviving kind mismatch is
+    # exactly the class the driver hash reds on.
+    for c in s.columns:
+        sk, dk = s[c].dtype.kind, d[c].dtype.kind
+        if sk != dk:
+            problems.append(
+                f"dtype kind differs in '{c}': spark={spark_df[c].dtype}"
+                f" duck={duck_df[c].dtype} — driver hash is "
+                f"dtype-sensitive (uncast HUGEINT/DOUBLE in the oracle?)")
     if len(s) == len(d):
         for c in s.columns:
             if s[c].dtype.kind == "f":

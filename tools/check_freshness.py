@@ -18,6 +18,16 @@ The check PASSES when every stale key sits inside the upcoming fold
 (the first 50 ``_PRIORITY_R0x`` entries) — stale-and-scheduled is the
 rotation working as designed; stale-and-unscheduled fails the build.
 
+Boundary slack (r10 VERDICT #3 — the gate red-ded the repo at every
+round boundary by design): when the newest ``_PRIORITY_R{N}`` is
+exactly ONE round behind the current round (the driver just dropped a
+new CORRECTNESS artifact and the next fold hasn't shipped yet), keys
+whose age-staleness is exactly one round over budget WARN instead of
+fail — they were fresh when the shipped fold was built.  Two or more
+rounds of staleness, text-changed keys, and never-green keys still
+fail: a never-green key auto-joins EVERY fold until green (r10
+VERDICT #7), slack or no slack.
+
 Usage:
     python tools/check_freshness.py           # check (CI chain)
     python tools/check_freshness.py --update  # re-record fingerprints
@@ -84,6 +94,52 @@ def fingerprints() -> dict[str, str]:
     return out
 
 
+def evaluate(current: int, green: dict[str, int], fps: dict[str, str],
+             manifest: dict[str, dict], fold: set[str],
+             fold_round: int) -> tuple[list, set, list, list]:
+    """Pure staleness classification (unit-tested in
+    tests/test_entry_contract.py) -> (changed, stale, problems,
+    warnings).  ``problems`` fail the gate; ``warnings`` are the
+    one-round boundary-slack class (r10 VERDICT #3)."""
+    # the one-round boundary window: the driver advanced the round but
+    # the next fold hasn't shipped yet — age-overage-by-one keys warn
+    boundary_slack = fold_round == current - 1
+
+    changed, stale, problems, warnings = [], set(), [], []
+    for key, fp in fps.items():
+        ent = manifest.get(key)
+        if ent is None or ent["fp"] != fp:
+            changed.append(key)
+            # text is new (or changed): current text exists as of NOW
+            text_round = current
+        else:
+            text_round = ent["text_round"]
+        g = green.get(key, 0)
+        stale_reasons, soft = [], False
+        if g == 0:
+            # never-green keys auto-join EVERY fold until green — no
+            # slack ever (r10 VERDICT #7)
+            stale_reasons.append("never driver-green")
+        elif g < text_round:
+            stale_reasons.append(
+                f"text newer (r{text_round}) than last green (r{g})")
+        elif current - g > MAX_AGE_ROUNDS:
+            over = current - g - MAX_AGE_ROUNDS
+            stale_reasons.append(
+                f"evidence r{g} older than {MAX_AGE_ROUNDS} rounds")
+            # fresh when the shipped fold was built, stale only because
+            # the driver advanced the round -> warn for exactly one
+            # round of slack; 2+ rounds over budget always fail
+            soft = boundary_slack and over == 1
+        if stale_reasons:
+            stale.add(key)
+            if key not in fold:
+                msg = (f"{key}: {'; '.join(stale_reasons)} "
+                       f"and NOT in the upcoming fold")
+                (warnings if soft else problems).append(msg)
+    return changed, stale, problems, warnings
+
+
 def main() -> int:
     update = "--update" in sys.argv
     current, green, _seen = load_evidence()
@@ -114,31 +170,9 @@ def main() -> int:
                        key=lambda n: int(n.rsplit("R", 1)[1]))
     fold = set(getattr(E, pri_names[-1])[:FOLD]) if pri_names \
         else set(list(E.queries())[:FOLD])
-
-    changed, stale, problems = [], set(), []
-    for key, fp in fps.items():
-        ent = manifest.get(key)
-        if ent is None or ent["fp"] != fp:
-            changed.append(key)
-            # text is new (or changed): current text exists as of NOW
-            text_round = current
-        else:
-            text_round = ent["text_round"]
-        g = green.get(key, 0)
-        stale_reasons = []
-        if g == 0:
-            stale_reasons.append("never driver-green")
-        elif g < text_round:
-            stale_reasons.append(
-                f"text newer (r{text_round}) than last green (r{g})")
-        elif current - g > MAX_AGE_ROUNDS:
-            stale_reasons.append(
-                f"evidence r{g} older than {MAX_AGE_ROUNDS} rounds")
-        if stale_reasons:
-            stale.add(key)
-            if key not in fold:
-                problems.append(f"{key}: {'; '.join(stale_reasons)} "
-                                f"and NOT in the upcoming fold")
+    fold_round = int(pri_names[-1].rsplit("R", 1)[1]) if pri_names else 0
+    changed, stale, problems, warnings = evaluate(
+        current, green, fps, manifest, fold, fold_round)
 
     if changed and not update:
         print(f"# {len(changed)} key(s) have unrecorded text "
@@ -159,6 +193,12 @@ def main() -> int:
         print(f"# manifest updated: {len(manifest)} keys, "
               f"round {current}")
 
+    if warnings:
+        print(f"# WARN (boundary slack, fold r{fold_round} vs round "
+              f"{current}): {len(warnings)} key(s) one round over "
+              f"budget — ship _PRIORITY_R{current} this round:")
+        for w in sorted(warnings):
+            print(f"#   {w}")
     if problems:
         print(f"FRESHNESS CHECK: {len(problems)} STALE KEY(S) OUTSIDE "
               f"THE FOLD (round {current}, budget {MAX_AGE_ROUNDS})")
@@ -167,7 +207,9 @@ def main() -> int:
         return 1
     print(f"FRESHNESS CHECK: OK — round {current}, {len(fps)} keys, "
           f"{len(fold)} in fold ({len(stale & fold)} of them "
-          f"stale-and-scheduled), budget {MAX_AGE_ROUNDS} rounds")
+          f"stale-and-scheduled), budget {MAX_AGE_ROUNDS} rounds"
+          + (f", {len(warnings)} boundary-slack warning(s)"
+             if warnings else ""))
     return 0
 
 
