@@ -139,11 +139,28 @@ def main() -> None:
         if key.startswith("streaming_") or key in ITERATIVE:
             continue  # already median-of-3
         if prev.get(key, 0) > 0 and dt / prev[key] > 1.3:
+            # identical-run variance spans 1.07-1.40x on this host, so
+            # remeasures WILL trigger on noise — a re-run that raises
+            # (loud-certifying ops_* key hitting a transient write
+            # error) must not sink the whole multi-minute run's JSON
+            # line this late (r10 ADVICE #1); record the failure as a
+            # marker instead
             samples = [dt]
+            err = None
             for _ in range(2):
                 t0 = time.time()
-                qs[key](spark, sf_dir).count()
+                try:
+                    qs[key](spark, sf_dir).count()
+                except Exception as exc:
+                    err = f"{type(exc).__name__}: {exc}"[:200]
+                    break
                 samples.append(time.time() - t0)
+            if err is not None:
+                remeasured[key] = {"first": dt, "prev": prev[key],
+                                   "error": err}
+                print(f"# {key}: remeasure re-run RAISED ({err}) — "
+                      f"first sample kept", file=sys.stderr)
+                continue
             med = round(sorted(samples)[1], 3)
             remeasured[key] = {"first": dt, "median3": med,
                                "prev": prev[key]}
@@ -158,7 +175,14 @@ def main() -> None:
     ratios = []
     for key in canary_keys:
         t0 = time.time()
-        qs[key](spark, sf_dir).count()
+        try:
+            qs[key](spark, sf_dir).count()
+        except Exception as exc:  # same late-run fragility class as
+            # the remeasure loop — drop the sample, keep the run
+            print(f"# canary re-run of {key} RAISED "
+                  f"({type(exc).__name__}) — sample dropped",
+                  file=sys.stderr)
+            continue
         if timings[key] > 0:
             ratios.append((time.time() - t0) / timings[key])
     canary_ratio = round(sorted(ratios)[len(ratios) // 2], 3) \
@@ -181,9 +205,28 @@ def main() -> None:
     # Full per-key timings go to a side file; the printed line keeps only
     # the most expensive keys so it stays within the driver's tail buffer
     # (the r02 line with all 101 keys overflowed it and failed to parse).
+    # The noise self-labels are written HERE as well as stdout (r10
+    # VERDICT #4: the driver's BENCH_r10.json tail truncated at 2,311
+    # bytes and lost every adjudication field) — the committed artifact
+    # must carry them durably.
     with open(os.path.join(here, full_name), "w") as f:
         json.dump({"sf": float(sf), "total_sec": round(total, 3),
-                   "n_queries": len(timings), "queries": timings}, f,
+                   "n_queries": len(timings), "queries": timings,
+                   "common_key_ratio": common_ratio,
+                   "n_common_keys": len(common),
+                   "load": [round(x, 2) for x in load_start],
+                   "load_end": [round(x, 2) for x in os.getloadavg()],
+                   "canary_ratio": canary_ratio,
+                   "canary_keys": canary_keys,
+                   "remeasured": remeasured,
+                   "orphan_dirs_seen": orphan_dirs_seen,
+                   "orphan_dirs": orphan_dirs,
+                   "notes": ("AQE initialPartitionNum=512 (the sf10 "
+                             "spill fix, session.py r10) adds ~0.5-2s "
+                             "task-scheduling overhead to shuffle-heavy "
+                             "keys at sf0.1 — the named cause of the "
+                             "~10% r9->r10 total drift; scale posture "
+                             "paid at bench SF")}, f,
                   indent=1, sort_keys=True)
     top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:30])
     print(json.dumps({

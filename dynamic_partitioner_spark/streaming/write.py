@@ -42,6 +42,38 @@ def shuffle_partitions(spark: SparkSession, n: int | None):
     finally:
         spark.conf.set(key, old)
 
+@contextmanager
+def micro_batch_aqe_fanout(spark: SparkSession, n: int | None = 64):
+    """Temporarily bound AQE's initial shuffle fan-out
+    (``spark.sql.adaptive.coalescePartitions.initialPartitionNum``)
+    for tiny per-trigger shuffles.  The session default (512 — the
+    sf10 spill posture, session.py) is right for ONE big batch job,
+    but a foreachBatch loop pays the 512-task scheduling cost on
+    every micro-batch's joins/aggregates: per trigger, not per run
+    (r10 VERDICT #5 measured streaming_expectations at ~1.9x its r9
+    wall after the 512 change, identical plans — pure scheduling
+    overhead on 3 tiny batches).  Scale posture should be paid at
+    scale: a micro-batch's input is one trigger's worth of files, so
+    a bounded fan-out still lets AQE coalesce while scheduling 8x
+    fewer probe tasks.  ``None`` = leave as-is."""
+    if n is None:
+        yield
+        return
+    key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 from ..operators.partition_keys import normalize_partition_keys
 from ..operators.partitioned_write import STAGE_FIELD
 from ..spec import SinkSpec
@@ -224,16 +256,20 @@ def run_streaming_expectations(spark: SparkSession, src_path: str,
             k = (r.rule_id, r.rule, r.col_name)
             totals[k] = totals.get(k, 0) + r.n_violations
 
-    q = (stream_from_files(spark, src_path,
-                           max_files_per_trigger=max_files_per_trigger)
-         .writeStream.foreachBatch(_fb)
-         .option("checkpointLocation", checkpoint)
-         .trigger(availableNow=True).start())
-    try:
-        run_stream_to_completion(q, timeout_sec=timeout_sec)
-    finally:
-        for refs in cached:
-            refs.unpersist()
+    # bounded fan-out for the per-batch expectation shuffles — the
+    # conf is read at micro-batch planning time, so the CM must span
+    # the whole drain, and restores the session's batch posture after
+    with micro_batch_aqe_fanout(spark):
+        q = (stream_from_files(spark, src_path,
+                               max_files_per_trigger=max_files_per_trigger)
+             .writeStream.foreachBatch(_fb)
+             .option("checkpointLocation", checkpoint)
+             .trigger(availableNow=True).start())
+        try:
+            run_stream_to_completion(q, timeout_sec=timeout_sec)
+        finally:
+            for refs in cached:
+                refs.unpersist()
     rows = [(rid, rule, col, int(n))
             for (rid, rule, col), n in sorted(totals.items())]
     return spark.createDataFrame(
