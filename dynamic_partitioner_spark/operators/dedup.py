@@ -649,6 +649,15 @@ def apply_dedup(corpus: DataFrame, pairs: DataFrame, id_col: str,
 
 # ------------------------------------------------------------- embeddings
 
+# floor of the internal executor-memory ceiling applied when
+# ``max_bucket_size=None`` (exhaustive-verify mode): a bucket's full
+# vector matrix lives in ONE in-bucket worker (~50 MB at 100k x dim 64
+# float64), so "unbounded" relaxes but never removes the bound; the
+# over-cap drop WARNS loudly (r10 ADVICE #2).  Module-level so tests
+# can pin the warning without building a 100k-entry bucket.
+_UNBOUNDED_VERIFY_CEILING_FLOOR = 100_000
+
+
 def embedding_near_dup_lsh(df: DataFrame, id_col: str, vec_col: str,
                            threshold: float = 0.9, dim: int = 64,
                            n_planes: int | None = None, n_tables: int = 4,
@@ -720,11 +729,33 @@ def embedding_near_dup_lsh(df: DataFrame, id_col: str, vec_col: str,
     # bucket's full vector matrix in one worker, so an uncapped
     # degenerate bucket (zero-vector pile-up) could OOM an executor
     cap = (max_bucket_size if max_bucket_size is not None
-           else max(100_000, 64 * target_bucket_size))
+           else max(_UNBOUNDED_VERIFY_CEILING_FLOOR,
+                    64 * target_bucket_size))
     hot = (entries.groupBy("tbl", "bucket")
            .agg(F.count(F.lit(1)).alias("_n"))
            .where(F.col("_n") > cap)
            .select("tbl", "bucket"))
+    if max_bucket_size is None:
+        # the caller asked for exhaustive verification — the internal
+        # executor-memory ceiling still applies (an uncapped degenerate
+        # bucket OOMs the in-bucket worker), but it must never cut
+        # recall SILENTLY (r10 ADVICE #2).  Bounded probe: the hot list
+        # is over-cap buckets only, so collecting a handful is cheap,
+        # and the agg it runs is the same one the anti-join needs over
+        # the persisted entries.
+        sample = hot.limit(20).collect()
+        if sample:
+            import warnings
+            warnings.warn(
+                f"embedding_near_dup_lsh(max_bucket_size=None): "
+                f"{len(sample)}{'+' if len(sample) == 20 else ''} "
+                f"bucket(s) exceed the internal executor-memory "
+                f"ceiling ({cap} entries); their pairs are DROPPED "
+                f"and recall is reduced, e.g. (tbl, bucket) = "
+                f"{[(r.tbl, r.bucket) for r in sample[:5]]}. Raise "
+                f"target_bucket_size or pre-filter degenerate vectors "
+                f"(zero-vector pile-ups).", RuntimeWarning,
+                stacklevel=2)
     entries = entries.join(F.broadcast(hot), ["tbl", "bucket"],
                            "left_anti")
     thr = float(threshold)
