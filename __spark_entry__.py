@@ -5753,71 +5753,54 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate canonicalizes only the first ~50
 # ``queries()`` entries per round.  Rotate each round so the keys with
-# the LEAST driver evidence come first.  Round 11's window (the r10
-# VERDICT's #1/#3/#5 asks):
-#   first  ops_compaction_plan — the ONLY never-driver-green key, and
-#          the one whose root cause r10's judge finally named: the
-#          oracle's uncast window sums came back HUGEINT from DuckDB,
-#          which pandas renders float64 while Spark emits int64 — a
-#          dtype-sensitive-hash red that rows/schema/local-== all miss.
-#          Both sums now CAST AS BIGINT (plus the trim normalization
-#          from r10 ADVICE #4); never-green keys auto-join every fold
-#          until green (check_freshness enforces),
-#   then   the other keys whose query/oracle text changed this round:
-#          ops_clustering_depth + ops_zorder_layout (same trim fix),
-#          similarity_ivf2_topk (missing full-probe comparison rows
-#          now certify FALSE, not TRUE — r10 ADVICE #3),
-#   then   the round-5-evidence cohort (23 keys at the 5-round
-#          freshness budget — the exact list the r11 gate names,
-#          including streaming_expectations + dedup_apply for their
-#          AQE-512 re-certification, r10 VERDICT #5),
-#   then   23 of the 41 round-6-evidence keys, oldest first
-#          (alphabetical within the round: 4 changed + 23 r5
-#          + 23 r6 = 50).
-# Positions 51+ carry the round-6 remainder (18 keys, stale at r12 —
-# they lead the r12 fold), then the round-7 cohort.
-_PRIORITY_R11 = [
-    # --- never driver-green + oracle text changed (BIGINT casts) ---
-    "ops_compaction_plan",
-    # --- query/oracle text changed this round (trim normalization;
-    #     ivf2 missing-comparison coalesce flipped to FALSE) ---
-    "ops_clustering_depth", "ops_zorder_layout",
-    "similarity_ivf2_topk",
-    # --- round-5 evidence (at the freshness budget) ---
-    "dedup_apply", "dedup_fuzzy2", "dedup_url",
-    "query_salted_join_auto", "query_skew_profile",
-    "query_sql_tpch_q1", "query_sql_tpch_q3", "query_sql_tpch_q5",
-    "query_sql_tpch_q6", "sample_balance_labels", "sample_bootstrap",
-    "sample_epoch_shuffle", "sample_group_split", "sample_topk",
-    "similarity_hybrid_rrf", "source_schema_evolution",
-    "source_time_travel", "streaming_expectations",
-    "streaming_sessionize", "text_bm25", "text_cooccur",
-    "text_pii_redact", "text_scrub_chunks",
-    # --- round-6 evidence, oldest first (alphabetical within) ---
-    "corpus_pipeline", "corpus_quality_filter", "dedup_clusters",
-    "dedup_decontaminate", "dedup_embedding", "dedup_fuzzy",
-    "dedup_incremental", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_simhash_pairs", "dedup_spans", "events_ewma",
-    "events_ffill", "events_funnel", "events_retention",
-    "events_rolling_1h", "privacy_t_closeness", "query_approx_distinct",
-    "query_hll_mergeable", "query_mad", "query_sql_tpch_q10",
-    "query_sql_tpch_q13", "query_sql_tpch_q14",
-    # ---- fold: the driver checks the 50 above ----
-    # below the fold, r12 rotation order: the round-6 remainder (they
-    # reach the 5-round freshness budget at r12 — refresh them FIRST),
-    # then the round-7 cohort
+# the LEAST driver evidence come first.  Round 12's window (the r11
+# VERDICT's #1 ask — all 253 keys are ever-green, so the fold is pure
+# age rotation now):
+#   first  the 18 round-6-evidence keys (one round over the 5-round
+#          freshness budget at r12; the r11 gate warned on exactly
+#          these under boundary slack — they hard-fail if unscheduled),
+#   then   32 of the 49 round-7-evidence keys, oldest first
+#          (alphabetical within the round: 18 + 32 = 50).
+# Positions 51+ carry the round-7 remainder (17 keys, at the budget
+# at r13 — they lead the r13 fold), then the round-8 cohort rotates in.
+_PRIORITY_R12 = [
+    # --- round-6 evidence (one round over budget; r11 gate names them) ---
     "query_sql_tpch_q15", "query_sql_tpch_q17", "query_sql_tpch_q18",
     "query_sql_tpch_q4", "query_sql_tpch_q7", "query_target_encoding",
     "sample_weighted", "similarity_topk", "streaming_late_audit",
     "text_clean", "text_fingerprint", "text_lang_id", "text_quality",
     "text_signals", "text_span_novelty", "text_stats",
     "text_strip_html", "text_top_ngrams",
+    # --- round-7 evidence, oldest first (alphabetical within) ---
+    "corpus_budget_alloc", "corpus_dup_report",
+    "embedding_threshold_sweep", "event_sessionize",
+    "events_audience_overlap", "events_changepoint",
+    "events_cohort_value", "events_funnel_windowed",
+    "events_props_extract", "events_rfm", "events_seasonal_naive",
+    "events_seq_ngrams", "events_survival", "events_transitions",
+    "graph_triangles", "privacy_dp_sum", "privacy_k_histogram",
+    "privacy_randomized_response", "query_approx_percentiles",
+    "query_auc", "query_sql_lateral", "query_sql_rank_suite",
+    "query_sql_recursive", "query_sql_tpch_q11", "query_sql_tpch_q12",
+    "query_sql_tpch_q16", "query_sql_tpch_q19", "query_sql_tpch_q2",
+    "query_sql_tpch_q20", "query_sql_tpch_q21", "query_sql_tpch_q22",
+    "query_sql_tpch_q8",
+    # ---- fold: the driver checks the 50 above ----
+    # below the fold, r13 rotation order: the round-7 remainder (they
+    # reach the 5-round freshness budget at r13 — refresh them FIRST),
+    # then the round-8 cohort
+    "query_sql_tpch_q9", "sample_importance", "sample_kfold",
+    "sample_stratified", "sketch_cms", "source_csv_corrupt_audit",
+    "text_chunk", "text_chunk_dedup", "text_hashed_vector",
+    "text_langid_confusion", "text_lm_score", "text_readability",
+    "text_repetition", "text_template_skeleton", "text_tfidf",
+    "text_token_ids", "text_vocab",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _all_queries()
-    out = {k: base[k] for k in _PRIORITY_R11}
+    out = {k: base[k] for k in _PRIORITY_R12}
     out.update((k, v) for k, v in base.items() if k not in out)
     return out
 

@@ -92,11 +92,25 @@ def main() -> None:
     full_name = ("BENCH_FULL.json" if float(sf) == 0.1
                  else f"BENCH_FULL_sf{sf}.json")
     prev: dict[str, float] = {}
+    prev_labeled = None
     try:
         with open(os.path.join(here, full_name)) as f:
             prev_doc = json.load(f)
         if prev_doc.get("sf") == float(sf):
             prev = prev_doc.get("queries", {})
+            # a baseline missing its noise self-labels is untrusted:
+            # the committed r10 driver artifact had none, its inflated
+            # timings silenced the >1.3x remeasure on dedup_apply for
+            # a whole round (r11 VERDICT "What's wrong" #1).  Mark it
+            # loudly; tests/test_bench_tools.py reds an unlabeled
+            # committed BENCH_FULL outright.
+            prev_labeled = all(k in prev_doc for k in
+                               ("canary_ratio", "remeasured", "load"))
+            if not prev_labeled:
+                print("# WARNING: prev baseline lacks noise "
+                      "self-labels (canary_ratio/remeasured/load) — "
+                      "round-over-round ratios vs it are untrusted",
+                      file=sys.stderr)
     except (OSError, ValueError):
         pass
     load_start = os.getloadavg()
@@ -104,8 +118,11 @@ def main() -> None:
     # median-of-3 keys: streaming (micro-batch scheduling noise of
     # regression magnitude, r6→r7 showed ±20-50% on identical code)
     # and the iterative multi-job ops whose wall time is job-count
-    # overhead (r8's graph_pagerank 2.08x flag was host noise)
-    ITERATIVE = {"graph_pagerank", "dedup_semantic"}
+    # overhead (r8's graph_pagerank 2.08x flag was host noise;
+    # dedup_apply runs the same label-propagation loop as
+    # dedup_clusters and cold-sampled 2-3x its warm wall in both r10
+    # and r11 driver runs — r11 VERDICT #3)
+    ITERATIVE = {"graph_pagerank", "dedup_semantic", "dedup_apply"}
     timings: dict[str, float] = {}
     total = 0.0
     for key in qs:
@@ -156,7 +173,12 @@ def main() -> None:
                     break
                 samples.append(time.time() - t0)
             if err is not None:
+                # keep any successful re-run sample — a lone warm
+                # sample still distinguishes noise from regression
+                # (r11 ADVICE #2)
                 remeasured[key] = {"first": dt, "prev": prev[key],
+                                   "samples": [round(s, 3)
+                                               for s in samples],
                                    "error": err}
                 print(f"# {key}: remeasure re-run RAISED ({err}) — "
                       f"first sample kept", file=sys.stderr)
@@ -221,12 +243,14 @@ def main() -> None:
                    "remeasured": remeasured,
                    "orphan_dirs_seen": orphan_dirs_seen,
                    "orphan_dirs": orphan_dirs,
+                   "prev_baseline_labeled": prev_labeled,
+                   # timeless fact only — round-specific adjudication
+                   # lives in the per-round VERDICT/ADVICE artifacts
+                   # (r11 ADVICE #1)
                    "notes": ("AQE initialPartitionNum=512 (the sf10 "
-                             "spill fix, session.py r10) adds ~0.5-2s "
-                             "task-scheduling overhead to shuffle-heavy "
-                             "keys at sf0.1 — the named cause of the "
-                             "~10% r9->r10 total drift; scale posture "
-                             "paid at bench SF")}, f,
+                             "spill fix) adds task-scheduling overhead "
+                             "to shuffle-heavy keys at small SF; scale "
+                             "posture paid at bench SF")}, f,
                   indent=1, sort_keys=True)
     top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:30])
     print(json.dumps({
@@ -249,6 +273,7 @@ def main() -> None:
         "remeasured": remeasured,
         "orphan_dirs_seen": orphan_dirs_seen,
         "orphan_dirs": orphan_dirs,
+        "prev_baseline_labeled": prev_labeled,
     }))
 
 

@@ -58,6 +58,23 @@ def test_sweep_missing_scratch_is_zero(tmp_path):
     assert sweep_writer_debris(str(tmp_path / "nope")) == (0, [])
 
 
+def test_bench_full_baseline_carries_self_labels():
+    """The committed BENCH_FULL.json is the round-over-round baseline;
+    an overwrite that lacks the noise self-labels silenced the >1.3x
+    remeasure guard for a whole round (r11 VERDICT #1 — the r10
+    driver's unlabeled 368s artifact sat at HEAD while dedup_apply
+    cold-read 2.18x vs the clean band).  Red any unlabeled baseline."""
+    with open("/root/repo/BENCH_FULL.json") as f:
+        doc = json.load(f)
+    missing = [k for k in ("canary_ratio", "remeasured", "load",
+                           "load_end", "canary_keys")
+               if k not in doc]
+    assert missing == [], (
+        f"BENCH_FULL.json baseline lacks noise self-labels {missing} — "
+        "an unlabeled artifact (e.g. a driver worktree overwrite from "
+        "a pre-r10 bench.py) must not become the comparison baseline")
+
+
 def test_certify_booleans_raises_on_null_and_false(spark):
     """The ops_* loud-certification helper: a FALSE invariant raises,
     and so does a NULL one — the missing-partition-key case (r10

@@ -8,6 +8,7 @@ Usage: python tools/check_contract.py [sf_dir] [key ...]
 
 from __future__ import annotations
 
+import datetime as _dt
 import sys
 import time
 
@@ -42,6 +43,22 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("int64")
         elif k == "f":
             df[c] = df[c].astype("float64")
+        elif k == "M":
+            df[c] = df[c].astype("datetime64[us]")
+        elif k == "O":
+            # Spark DATE comes back as object cells (datetime.date)
+            # while DuckDB DATE lands as datetime64[us]; the DRIVER
+            # hashes these EQUAL (query_sql_tpch_q3 — identical
+            # `CAST(o_orderdate AS DATE)` text — was hash-green in
+            # r11), so the local gate must not red the representation
+            # gap.  Coerce only when every non-null cell is a
+            # date/datetime: string dates stay object and still trip
+            # the dtype-kind check below.
+            sample = df[c].dropna()
+            if len(sample) and all(
+                    isinstance(v, (_dt.date, _dt.datetime))
+                    for v in sample.iloc[:1000]):
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
