@@ -962,7 +962,7 @@ _FLAT_LIST_CLAMP = 4096
 
 def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
                    threshold: float = 0.9, n_lists: int | None = None,
-                   nprobe: int = 2,
+                   nprobe: int = 2, extra_probes: int = 1,
                    max_cluster_size: int | None = 10_000,
                    target_cluster_size: int = 256,
                    dim: int | None = None, sub_tables: int = 2,
@@ -978,6 +978,25 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     centroids (multi-assignment), recovering near-dup pairs that
     straddle a cluster boundary — the same recall lever as LSH's
     multi-table amplification.
+
+    ``extra_probes`` adds that many probes ON TOP of ``nprobe`` when
+    the two-level quantizer is active (it compensates the staged
+    coarse-then-fine search's extra boundary loss; the flat path
+    probes exactly ``nprobe`` lists).  Probed lists are nearest-k, so
+    a larger ``extra_probes`` probes a superset of lists and the pair
+    set grows monotonically.  Measured at 200k vectors / threshold
+    0.62 vs flat's 117 pairs in 27s (SCALING.md quantizer section):
+
+    ========================  =======  ==========
+    two-level setting         pairs    wall (s)
+    ========================  =======  ==========
+    nprobe=2 (extra=0)        77       ~7
+    nprobe=2 + extra=1        111      ~9.7
+    ========================  =======  ==========
+
+    The default (1) is the cheap side of that trade; raise it toward
+    2-3 only when boundary recall matters more than the ~linear
+    probe-count cost in the in-block verify.
 
     Scale shape — the two knobs that keep the per-block quadratic
     bounded as the corpus grows (same pattern as
@@ -1054,14 +1073,11 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
         coarse, fines, offsets = train_centroids_two_level(
             df, vec_col, id_col, n_coarse=side, n_fine=side,
             sample_size=min(max(8192, want), 65536))
-        # +1 probe compensates the staged search's boundary recall:
-        # measured at 200k vectors / threshold 0.62, two-level
-        # nprobe=2 found 77 pairs vs flat's 117 while running ~4x
-        # faster; nprobe=3 recovers 111 at comparable-to-flat cost
-        # (SCALING.md quantizer section) — one extra list per vector
-        # is the cheap side of that trade
+        # extra_probes compensates the staged search's boundary
+        # recall (measured trade in the docstring table); the default
+        # 1 reproduces the original hard-coded nprobe + 1
         assign = _nearest_lists_two_level_udf(coarse, fines, offsets,
-                                              nprobe + 1)
+                                              nprobe + extra_probes)
         vec_dim = coarse.shape[1]
     else:
         cents = train_centroids(df, vec_col, id_col, n_lists=n_lists,

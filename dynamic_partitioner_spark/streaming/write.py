@@ -55,7 +55,15 @@ def micro_batch_aqe_fanout(spark: SparkSession, n: int | None = 64):
     overhead on 3 tiny batches).  Scale posture should be paid at
     scale: a micro-batch's input is one trigger's worth of files, so
     a bounded fan-out still lets AQE coalesce while scheduling 8x
-    fewer probe tasks.  ``None`` = leave as-is."""
+    fewer probe tasks.  ``None`` = leave as-is.
+
+    Scope: this mutates SESSION-level SQL conf for the duration of
+    the block — any concurrent query on the same SparkSession
+    inherits the reduced fan-out until the block exits (r11 ADVICE
+    #3).  The engine's drains run one stream at a time, so that's
+    acceptable here; callers that interleave batch work on the same
+    session should scope the override inside their foreachBatch
+    function instead."""
     if n is None:
         yield
         return
@@ -144,6 +152,10 @@ def run_streaming_upsert(spark: SparkSession, src_path: str, dest_path: str,
         merge_cdc(batch_df.sparkSession, dest_path, batch_df, spec,
                   key_cols, seq_col, op_col, delete_op)
 
+    # micro_batch_aqe_fanout deliberately NOT applied here (r11 VERDICT
+    # #5 measured it): streaming_upsert warm wall is 5.4s with or
+    # without the bound — merge_cdc's cost is partition rewrite I/O,
+    # not AQE task scheduling, so the bound buys nothing
     q = (sdf.writeStream.foreachBatch(apply_batch)
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True).start())

@@ -344,6 +344,39 @@ def test_semantic_dedup_two_level_path_recovers_planted_pairs(
     assert len(planted & pairs) >= 18, sorted(planted - pairs)
 
 
+def test_semantic_dedup_extra_probes_recall_monotone(spark, monkeypatch):
+    """Pin the extra_probes knob (r11 VERDICT #7) on the two-level
+    path: probed lists are nearest-k, so extra_probes ∈ {0,1,2} must
+    yield a monotone pair-set chain (superset as probes grow), the
+    default (1) must reproduce the pre-knob hard-coded nprobe+1
+    recall, and even extra_probes=0 must keep most planted pairs."""
+    import numpy as np
+
+    from dynamic_partitioner_spark.operators import dedup as D
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(200, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    for i in range(20):
+        w = base[i] + rng.normal(scale=0.01, size=16)
+        rows.append((1000 + i, (w / np.linalg.norm(w)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    monkeypatch.setattr(D, "_FLAT_LIST_CLAMP", 16)
+    planted = {(i, 1000 + i) for i in range(20)}
+    by_probe = {}
+    for ep in (0, 1, 2):
+        got = D.semantic_dedup(df, "vec_id", "embedding", threshold=0.98,
+                               n_lists=None, nprobe=2, extra_probes=ep,
+                               target_cluster_size=4)
+        by_probe[ep] = {(r.id_a, r.id_b) for r in got.collect()}
+    assert by_probe[0] <= by_probe[1] <= by_probe[2], (
+        "pair set must grow monotonically with extra_probes")
+    assert len(planted & by_probe[1]) >= 18, sorted(planted - by_probe[1])
+    assert len(planted & by_probe[0]) >= 14, sorted(planted - by_probe[0])
+
+
 def test_ivf2_full_probe_is_exact(spark):
     """probe_coarse == n_coarse and nprobe >= total lists degenerates
     the staged search to exhaustive -> identical to brute force."""

@@ -168,9 +168,16 @@ def main() -> int:
     pri_names = sorted((n for n in dir(E)
                         if re.fullmatch(r"_PRIORITY_R\d+", n)),
                        key=lambda n: int(n.rsplit("R", 1)[1]))
-    fold = set(getattr(E, pri_names[-1])[:FOLD]) if pri_names \
-        else set(list(E.queries())[:FOLD])
-    fold_round = int(pri_names[-1].rsplit("R", 1)[1]) if pri_names else 0
+    if not pri_names:
+        # fail LOUDLY: silently falling back to queries() order with
+        # fold_round=0 would disable boundary slack and hard-fail
+        # every overage key on a mere rename (r11 ADVICE #4)
+        print("FRESHNESS CHECK: FAIL — no _PRIORITY_R<n> rotation "
+              "list found in __spark_entry__ (renamed without the "
+              "pattern?); the fold cannot be resolved")
+        sys.exit(1)
+    fold = set(getattr(E, pri_names[-1])[:FOLD])
+    fold_round = int(pri_names[-1].rsplit("R", 1)[1])
     changed, stale, problems, warnings = evaluate(
         current, green, fps, manifest, fold, fold_round)
 
