@@ -4947,6 +4947,58 @@ def q_streaming_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ], ckpt)
 
 
+def q_ops_snapshot_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-shaped snapshot-manifest listing (r12 roadmap tranche;
+    Apache Iceberg spec §Manifests — lower/upper bounds + null counts
+    per data file; no counterpart in the reference): four commits
+    (append, append, overwrite, append) over disjoint lineitem key
+    slices, then the manifest relation derived for TWO snapshots —
+    version 2 (pre-overwrite: commits 1+2 visible) and version 4
+    (post-overwrite: commits 3+4 visible) — so both the time-travel
+    membership and the per-file pruning bounds are hash-certified.
+
+    Each commit is written as ONE file (coalesce(1)): the within-
+    commit file split is a scheduler property (the r8 compaction-plan
+    flake class), so one-file-per-commit is what makes min/max/count
+    bounds the oracle-predictable commit aggregates; the multi-file
+    decomposition path is pinned in tests/test_versioned.py.  The
+    physical fields the oracle cannot predict (file size, name, dir
+    naming) certify LOUDLY via _certify_booleans and stay out of the
+    hashed relation."""
+    from dynamic_partitioner_spark.operators.versioned import (
+        snapshot_manifest, versioned_write)
+    apply_engine_confs(spark)
+    li = _table(spark, sf_dir, "lineitem")
+    slim = li.select(
+        "l_orderkey",
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+        .alias("qty_c"))
+    out = _out("ops_snapshot_manifest")
+    for k, mode in ((0, "append"), (1, "append"),
+                    (2, "overwrite"), (3, "append")):
+        versioned_write(slim.where(F.col("l_orderkey") % 4 == k)
+                        .coalesce(1), out, mode=mode)
+    parts = []
+    for v in (2, 4):
+        m = snapshot_manifest(spark, out, v,
+                              stat_cols=("l_orderkey", "qty_c"))
+        parts.append(m.withColumn("snapshot_version", F.lit(v)))
+    man = parts[0].unionByName(parts[1])
+    audit = man.select(
+        F.col("batch_dir").alias("pk"),
+        (F.col("size_bytes") > 0).alias("size_ok"),
+        F.col("file_name").endswith(".parquet").alias("name_ok"),
+        (F.col("batch_dir") ==
+         F.format_string("batch-%08d", F.col("commit_version")))
+        .alias("dir_ok"))
+    _certify_booleans("ops_snapshot_manifest", audit,
+                      ["size_ok", "name_ok", "dir_ok"])
+    return man.select(
+        "snapshot_version", "commit_version", "n_rows",
+        "min_l_orderkey", "max_l_orderkey", "nulls_l_orderkey",
+        "min_qty_c", "max_qty_c", "nulls_qty_c")
+
+
 def q_source_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-versioned table: three commits (append, append,
     overwrite), then per-priority counts read AS OF each version —
@@ -5764,6 +5816,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # Positions 51+ carry the round-7 remainder (17 keys, at the budget
 # at r13 — they lead the r13 fold), then the round-8 cohort rotates in.
 _PRIORITY_R12 = [
+    # --- NEW this round (never driver-green until certified) ---
+    "ops_snapshot_manifest",
     # --- round-6 evidence (one round over budget; r11 gate names them) ---
     "query_sql_tpch_q15", "query_sql_tpch_q17", "query_sql_tpch_q18",
     "query_sql_tpch_q4", "query_sql_tpch_q7", "query_target_encoding",
@@ -5784,11 +5838,12 @@ _PRIORITY_R12 = [
     "query_sql_recursive", "query_sql_tpch_q11", "query_sql_tpch_q12",
     "query_sql_tpch_q16", "query_sql_tpch_q19", "query_sql_tpch_q2",
     "query_sql_tpch_q20", "query_sql_tpch_q21", "query_sql_tpch_q22",
-    "query_sql_tpch_q8",
     # ---- fold: the driver checks the 50 above ----
     # below the fold, r13 rotation order: the round-7 remainder (they
-    # reach the 5-round freshness budget at r13 — refresh them FIRST),
-    # then the round-8 cohort
+    # reach the 5-round freshness budget at r13 — refresh them FIRST;
+    # q8 displaced from the fold by the new ops_snapshot_manifest key,
+    # so it leads), then the round-8 cohort
+    "query_sql_tpch_q8",
     "query_sql_tpch_q9", "sample_importance", "sample_kfold",
     "sample_stratified", "sketch_cms", "source_csv_corrupt_audit",
     "text_chunk", "text_chunk_dedup", "text_hashed_vector",
@@ -5987,6 +6042,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_lag_features": q_lag_features,
         "events_attribution": q_events_attribution,
         "source_time_travel": q_source_time_travel,
+        "ops_snapshot_manifest": q_ops_snapshot_manifest,
         "query_sql_tpch_q1": q_sql_tpch_q1,
         "query_sql_tpch_q3": q_sql_tpch_q3,
         "query_sql_tpch_q5": q_sql_tpch_q5,
@@ -9126,6 +9182,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_custkey IS NOT NULL
               AND NOT EXISTS (SELECT 1 FROM customer c
                               WHERE c.c_custkey = o.o_custkey)
+        """,
+        "ops_snapshot_manifest": """
+            WITH snaps(snapshot_version, commit_version, mod_class) AS (
+                VALUES (2, 1, 0), (2, 2, 1), (4, 3, 2), (4, 4, 3))
+            SELECT s.snapshot_version, s.commit_version,
+                   count(*) AS n_rows,
+                   min(l.l_orderkey) AS min_l_orderkey,
+                   max(l.l_orderkey) AS max_l_orderkey,
+                   count(*) - count(l.l_orderkey) AS nulls_l_orderkey,
+                   min(CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT))
+                       AS min_qty_c,
+                   max(CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT))
+                       AS max_qty_c,
+                   count(*) - count(l.l_quantity) AS nulls_qty_c
+            FROM snaps s
+            JOIN lineitem l ON l.l_orderkey % 4 = s.mod_class
+            GROUP BY s.snapshot_version, s.commit_version
         """,
         "source_time_travel": """
             WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),

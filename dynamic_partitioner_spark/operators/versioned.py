@@ -94,10 +94,10 @@ def versioned_write(df: DataFrame, path: str,
     return version
 
 
-def read_version(spark: SparkSession, path: str,
-                 version: int | None = None) -> DataFrame:
-    """Read the table as of ``version`` (default: latest).  Raises on
-    an empty table or a version that never existed."""
+def _visible_dirs(path: str, version: int | None = None) -> list[str]:
+    """Resolve the batch dirs visible at ``version`` (default latest),
+    with the same existence/vacuum validation ``read_version`` always
+    had: appends accumulate, an overwrite starts a new visible set."""
     _check_local(path)
     commits = _commits(path)
     if not commits:
@@ -121,7 +121,73 @@ def read_version(spark: SparkSession, path: str,
         if c["mode"] == "overwrite":
             dirs = []
         dirs.extend(c["dirs"])
+    return dirs
+
+
+def read_version(spark: SparkSession, path: str,
+                 version: int | None = None) -> DataFrame:
+    """Read the table as of ``version`` (default: latest).  Raises on
+    an empty table or a version that never existed."""
+    dirs = _visible_dirs(path, version)
     return spark.read.parquet(*[os.path.join(path, d) for d in dirs])
+
+
+def snapshot_manifest(spark: SparkSession, path: str,
+                      version: int | None = None,
+                      stat_cols: tuple[str, ...] | list[str] = ()
+                      ) -> DataFrame:
+    """Iceberg-shaped manifest listing for a snapshot: one row per
+    data FILE in the version's visible set, carrying what a planner
+    needs to prune files without opening them — row count, per-column
+    lower/upper bounds and null counts (Iceberg's ``manifest_entry``
+    ``lower_bounds``/``upper_bounds``/``null_value_counts``, Apache
+    Iceberg spec §Manifests), plus the commit that added the file and
+    its size.
+
+    Returns one row per file with columns::
+
+        commit_version  batch_dir  file_name  size_bytes  n_rows
+        min_<c>  max_<c>  nulls_<c>      (for each c in stat_cols)
+
+    A caller prunes by intersecting a predicate with the bounds, then
+    reads only the surviving files — the manifest-driven scan pattern
+    that makes petabyte tables plannable.
+
+    Scale posture: Iceberg WRITES these stats into manifest avro files
+    at commit time; this table's commit log is minimal (dirs only), so
+    the manifest is DERIVED by one distributed pass — a group-by on
+    the hidden ``_metadata.file_path`` whose partial aggregation is
+    map-side (zero shuffle growth: output is files-sized, never
+    rows-sized) and whose scan reads ONLY ``stat_cols`` (column
+    pruning applies; pass few columns).  Derive once per snapshot and
+    cache/persist the (tiny) result; the snapshot is immutable, so
+    the manifest never goes stale."""
+    from pyspark.sql import functions as F
+
+    dirs = _visible_dirs(path, version)
+    df = spark.read.parquet(*[os.path.join(path, d) for d in dirs])
+    base = df.select(
+        *[F.col(c) for c in stat_cols],
+        F.col("_metadata.file_path").alias("_fp"),
+        F.col("_metadata.file_name").alias("file_name"),
+        F.col("_metadata.file_size").alias("_fs"))
+    aggs = [F.first("file_name").alias("file_name"),
+            F.first("_fs").alias("size_bytes"),
+            F.count(F.lit(1)).alias("n_rows")]
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"min_{c}"),
+                 F.max(c).alias(f"max_{c}"),
+                 F.sum(F.col(c).isNull().cast("long"))
+                 .alias(f"nulls_{c}")]
+    return (base.groupBy("_fp").agg(*aggs)
+            .select(
+                F.regexp_extract("_fp", r"(batch-(\d{8}))", 2)
+                .cast("int").alias("commit_version"),
+                F.regexp_extract("_fp", r"(batch-\d{8})", 1)
+                .alias("batch_dir"),
+                "file_name", "size_bytes", "n_rows",
+                *[f"{p}_{c}" for c in stat_cols
+                  for p in ("min", "max", "nulls")]))
 
 
 def read_changes(spark: SparkSession, path: str, since_version: int,

@@ -176,3 +176,73 @@ def test_find_orphans_flags_only_unreferenced_dirs(spark, tmp_path):
     # committed dirs never flagged even after more commits
     versioned_write(df.where("k >= 8"), path, "overwrite")
     assert find_orphans(spark, path).count() == 2
+
+
+def test_snapshot_manifest_bounds_and_time_travel(spark, tmp_path):
+    """Manifest rows carry the per-file pruning metadata for exactly
+    the requested snapshot's visible set: an overwrite drops earlier
+    commits from the latest manifest but time travel still lists
+    them; bounds/null counts are the true file aggregates."""
+    import pyspark.sql.functions as F
+
+    from dynamic_partitioner_spark.operators.versioned import (
+        snapshot_manifest, versioned_write)
+    path = str(tmp_path / "vt")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.col("id") * 2).alias("v"))
+    versioned_write(df.where("k < 40").coalesce(1), path, "append")
+    versioned_write(df.where("k >= 40").coalesce(1), path, "append")
+    versioned_write(df.where("k < 5").coalesce(1), path, "overwrite")
+
+    latest = snapshot_manifest(spark, path, stat_cols=("k", "v"))
+    rows = {r.commit_version: r for r in latest.collect()}
+    assert set(rows) == {3}, "overwrite must hide commits 1-2"
+    r = rows[3]
+    assert (r.n_rows, r.min_k, r.max_k) == (5, 0, 4)
+    assert (r.min_v, r.max_v, r.nulls_v) == (2, 8, 1)  # k=0 -> null v
+    assert r.batch_dir == "batch-00000003"
+    assert r.size_bytes > 0 and r.file_name.endswith(".parquet")
+
+    asof = snapshot_manifest(spark, path, version=2, stat_cols=("k",))
+    rows2 = {r.commit_version: r for r in asof.collect()}
+    assert set(rows2) == {1, 2}
+    assert (rows2[1].min_k, rows2[1].max_k, rows2[1].n_rows) == (0, 39, 40)
+    assert (rows2[2].min_k, rows2[2].max_k, rows2[2].n_rows) == (40, 99, 60)
+
+
+def test_snapshot_manifest_multi_file_commit(spark, tmp_path):
+    """A commit written as several files yields several manifest rows
+    that partition the commit: counts sum to the slice, per-file
+    bounds nest inside the commit bounds, file names are distinct."""
+    from dynamic_partitioner_spark.operators.versioned import (
+        snapshot_manifest, versioned_write)
+    path = str(tmp_path / "vt")
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    versioned_write(df.repartition(4), path, "append")
+    man = snapshot_manifest(spark, path, stat_cols=("k",)).collect()
+    assert len(man) == 4
+    assert sum(r.n_rows for r in man) == 1000
+    assert len({r.file_name for r in man}) == 4
+    assert all(r.commit_version == 1 for r in man)
+    assert min(r.min_k for r in man) == 0
+    assert max(r.max_k for r in man) == 999
+
+
+def test_snapshot_manifest_validation_matches_read_version(spark, tmp_path):
+    """The manifest shares read_version's snapshot validation: absent
+    versions and vacuumed versions refuse loudly."""
+    import pytest
+
+    from dynamic_partitioner_spark.operators.versioned import (
+        snapshot_manifest, vacuum_versions, versioned_write)
+    path = str(tmp_path / "vt")
+    df = spark.range(10).withColumnRenamed("id", "k")
+    versioned_write(df, path, "append")
+    versioned_write(df, path, "overwrite")
+    with pytest.raises(ValueError, match="does not exist"):
+        snapshot_manifest(spark, path, version=9)
+    vacuum_versions(spark, path, keep_from=2)
+    with pytest.raises(ValueError, match="vacuumed"):
+        snapshot_manifest(spark, path, version=1)

@@ -105,6 +105,8 @@ AUDIT_KEYS = [
     "ops_orphan_files", "query_basket_pairs",
     # round-10 additions
     "similarity_ivf2_topk", "text_bpe_encode", "ops_zorder_layout",
+    # round-12 additions
+    "ops_snapshot_manifest",
 ]
 
 _KEEP = re.compile(

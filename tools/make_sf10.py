@@ -61,7 +61,7 @@ def main() -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for t in ("documents", "embeddings", "customer", "orders",
-              "lineitem"):
+              "lineitem", "events"):
         con.execute(f"CREATE VIEW {t} AS FROM '{SRC}/{t}.parquet'")
     con.execute(
         f"CREATE VIEW k AS SELECT unnest(range({REPLICAS})) AS k")
@@ -78,6 +78,10 @@ def main() -> None:
             "SELECT max(l_suppkey) + 1 FROM lineitem").fetchone()[0],
         "part": con.execute(
             "SELECT max(l_partkey) + 1 FROM lineitem").fetchone()[0],
+        "evt": con.execute(
+            "SELECT max(event_id) + 1 FROM events").fetchone()[0],
+        "user": con.execute(
+            "SELECT max(user_id) + 1 FROM events").fetchone()[0],
     }
 
     sql = {
@@ -118,6 +122,17 @@ def main() -> None:
                    o_orderstatus, o_totalprice, o_orderdate,
                    o_orderpriority
             FROM orders, k""",
+        # 10 disjoint copies of the event stream: event/user key
+        # offsets keep per-user sequences bit-identical to sf1's, so
+        # per-user windows/sessions grow in COUNT (10x), never in
+        # depth — the same linear-by-construction discipline as the
+        # relational replicas
+        "events": f"""
+            SELECT event_id + k * {spans['evt']} AS event_id,
+                   ts,
+                   user_id + k * {spans['user']} AS user_id,
+                   event_type, value, props
+            FROM events, k""",
         "lineitem": f"""
             SELECT l_orderkey + k * {spans['ord']} AS l_orderkey,
                    l_partkey + k * {spans['part']} AS l_partkey,

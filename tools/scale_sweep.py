@@ -102,6 +102,8 @@ SWEEP_KEYS = [
     "ops_orphan_files", "query_basket_pairs",
     # round-10 additions
     "similarity_ivf2_topk", "text_bpe_encode", "ops_zorder_layout",
+    # round-12 additions
+    "ops_snapshot_manifest",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
@@ -146,7 +148,14 @@ def _replace_section(md: str, header: str, section: str) -> str:
 #: the operator's distributed-loop posture is pinned in tests.)
 SF10_KEYS = ["dedup_minhash", "dedup_embedding_lsh", "dedup_semantic",
              "dedup_fuzzy", "graph_neighbor_jaccard", "graph_triangles",
-             "similarity_ivf_pruned"]
+             "similarity_ivf_pruned",
+             # r11 VERDICT #4: the quadratic-audit and explode-heavy
+             # tails — the exact-pair keys whose posture is the
+             # inverted shingle index (their sketch twins are
+             # dedup_minhash/dedup_simhash_pairs), the span/bootstrap
+             # exploders, and the per-pixel decode path
+             "dedup_ngram_jaccard", "dedup_containment",
+             "text_span_novelty", "mm_dhash", "sample_bootstrap"]
 
 
 def sf10_run() -> None:
@@ -185,7 +194,9 @@ def sf10_run() -> None:
         "## sf10 spot-run — pair-generating keys at 100x",
         "",
         "The blocking-dedup ladder plus the pair-generating graph /",
-        "linkage / IVF keys, re-timed at 100x the driver SF",
+        "linkage / IVF keys, and (r12) the quadratic-audit and",
+        "explode-heavy tails — exact shingle-pair keys, span/bootstrap",
+        "exploders, per-pixel decode — re-timed at 100x the driver SF",
         "(`tools/make_sf10.py`: 10x the sf1 corpus; second-level word",
         "suffix keeps shingle spaces disjoint, rotation+Hadamard-sign",
         "keeps embedding replicas decorrelated, key-offset replicas",
