@@ -5808,13 +5808,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # the LEAST driver evidence come first.  Round 12's window (the r11
 # VERDICT's #1 ask — all 253 keys are ever-green, so the fold is pure
 # age rotation now):
-#   first  the 18 round-6-evidence keys (one round over the 5-round
+#   first  ops_snapshot_manifest (NEW this round — never-green keys
+#          auto-join every fold until certified),
+#   then   the 18 round-6-evidence keys (one round over the 5-round
 #          freshness budget at r12; the r11 gate warned on exactly
 #          these under boundary slack — they hard-fail if unscheduled),
-#   then   32 of the 49 round-7-evidence keys, oldest first
-#          (alphabetical within the round: 18 + 32 = 50).
-# Positions 51+ carry the round-7 remainder (17 keys, at the budget
-# at r13 — they lead the r13 fold), then the round-8 cohort rotates in.
+#   then   31 of the 49 round-7-evidence keys, oldest first
+#          (alphabetical within the round: 1 + 18 + 31 = 50).
+# Positions 51+ carry the round-7 remainder (18 keys — q8 displaced by
+# the new key plus the 17 that never fit; at the budget at r13, they
+# lead the r13 fold), then the round-8 cohort rotates in.
 _PRIORITY_R12 = [
     # --- NEW this round (never driver-green until certified) ---
     "ops_snapshot_manifest",

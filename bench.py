@@ -104,8 +104,12 @@ def main() -> None:
             # a whole round (r11 VERDICT "What's wrong" #1).  Mark it
             # loudly; tests/test_bench_tools.py reds an unlabeled
             # committed BENCH_FULL outright.
+            # same field set tests/test_bench_tools.py reds on — two
+            # definitions of "labeled" would let an intermediate-
+            # schema artifact pass one gate and fail the other
             prev_labeled = all(k in prev_doc for k in
-                               ("canary_ratio", "remeasured", "load"))
+                               ("canary_ratio", "remeasured", "load",
+                                "load_end", "canary_keys"))
             if not prev_labeled:
                 print("# WARNING: prev baseline lacks noise "
                       "self-labels (canary_ratio/remeasured/load) — "

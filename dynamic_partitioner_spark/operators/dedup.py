@@ -983,8 +983,12 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     the two-level quantizer is active (it compensates the staged
     coarse-then-fine search's extra boundary loss; the flat path
     probes exactly ``nprobe`` lists).  Probed lists are nearest-k, so
-    a larger ``extra_probes`` probes a superset of lists and the pair
-    set grows monotonically.  Measured at 200k vectors / threshold
+    a larger ``extra_probes`` probes a superset of lists and — while
+    ``max_cluster_size`` is not binding — the pair set grows
+    monotonically (with the cap binding, extra probes can push a
+    block OVER the cap and into subdivision, whose undivisible
+    residue is dropped; the cap warning names the dropped blocks).
+    Measured at 200k vectors / threshold
     0.62 vs flat's 117 pairs in 27s (SCALING.md quantizer section):
 
     ========================  =======  ==========
@@ -1035,6 +1039,15 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
 
     from .similarity import (_all_buckets_udf, _nearest_lists_udf,
                              train_centroids)
+
+    # a negative value would silently shrink the probe count — down to
+    # argsort[:, :0] = EMPTY assignments and a quietly empty pair set
+    # (the exact silent-recall-loss class the bucket-cap warning
+    # exists for) — so refuse loudly (r12 review)
+    if extra_probes < 0:
+        raise ValueError(f"extra_probes must be >= 0, got {extra_probes}")
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
 
     # NULL/ragged vectors would score NULL cosine and be filtered in
     # the expression path — exclude them up front so the Arrow matmul

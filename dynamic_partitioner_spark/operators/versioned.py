@@ -179,11 +179,15 @@ def snapshot_manifest(spark: SparkSession, path: str,
                  F.max(c).alias(f"max_{c}"),
                  F.sum(F.col(c).isNull().cast("long"))
                  .alias(f"nulls_{c}")]
+    # anchor the commit-dir extraction to the file's PARENT directory
+    # segment — a first-match-anywhere regexp would mis-attribute every
+    # file when the TABLE ROOT's path itself contains a batch-\d{8}
+    # segment (e.g. a table nested under another table's batch dir)
     return (base.groupBy("_fp").agg(*aggs)
             .select(
-                F.regexp_extract("_fp", r"(batch-(\d{8}))", 2)
+                F.regexp_extract("_fp", r"/(batch-(\d{8}))/[^/]+$", 2)
                 .cast("int").alias("commit_version"),
-                F.regexp_extract("_fp", r"(batch-\d{8})", 1)
+                F.regexp_extract("_fp", r"/(batch-\d{8})/[^/]+$", 1)
                 .alias("batch_dir"),
                 "file_name", "size_bytes", "n_rows",
                 *[f"{p}_{c}" for c in stat_cols

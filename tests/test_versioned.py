@@ -246,3 +246,20 @@ def test_snapshot_manifest_validation_matches_read_version(spark, tmp_path):
     vacuum_versions(spark, path, keep_from=2)
     with pytest.raises(ValueError, match="vacuumed"):
         snapshot_manifest(spark, path, version=1)
+
+
+def test_snapshot_manifest_table_rooted_under_batchlike_dir(spark, tmp_path):
+    """Commit attribution must come from the file's PARENT dir, not the
+    first batch-like segment anywhere in the path (r12 review): a table
+    rooted under a directory named like a batch dir must still
+    attribute files to their real commits."""
+    from dynamic_partitioner_spark.operators.versioned import (
+        snapshot_manifest, versioned_write)
+    path = str(tmp_path / "batch-00000099" / "vt")
+    df = spark.range(10).withColumnRenamed("id", "k")
+    versioned_write(df.coalesce(1), path, "append")
+    versioned_write(df.coalesce(1), path, "append")
+    man = snapshot_manifest(spark, path, stat_cols=("k",)).collect()
+    assert {r.commit_version for r in man} == {1, 2}
+    assert {r.batch_dir for r in man} == {"batch-00000001",
+                                          "batch-00000002"}

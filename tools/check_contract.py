@@ -51,14 +51,23 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             # hashes these EQUAL (query_sql_tpch_q3 — identical
             # `CAST(o_orderdate AS DATE)` text — was hash-green in
             # r11), so the local gate must not red the representation
-            # gap.  Coerce only when every non-null cell is a
-            # date/datetime: string dates stay object and still trip
-            # the dtype-kind check below.
+            # gap.  Coerce only when EVERY non-null cell is a
+            # date/datetime (a sampled check would let a mixed
+            # date/string column coerce and mask exactly the
+            # divergence the gate reds on — r12 review); string dates
+            # stay object and still trip the dtype-kind check below.
+            # A cell outside datetime64 range (date(9999,12,31)
+            # sentinel) keeps the column object rather than crashing
+            # the whole run: kind-mismatch is loud, a traceback that
+            # skips every remaining key is not.
             sample = df[c].dropna()
             if len(sample) and all(
                     isinstance(v, (_dt.date, _dt.datetime))
-                    for v in sample.iloc[:1000]):
-                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+                    for v in sample):
+                try:
+                    df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+                except (ValueError, OverflowError):
+                    pass
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
@@ -73,8 +82,13 @@ def compare(key: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str
         return problems
     try:
         s, d = normalize(spark_df), normalize(duck_df)
-    except TypeError as exc:
-        problems.append(f"driver canon would crash: {exc}")
+    except Exception as exc:
+        # any canonicalization crash (unhashable cells -> TypeError,
+        # datetime parse -> ValueError/OutOfBoundsDatetime, ...) must
+        # FAIL this one key, never abort the multi-minute run (r12
+        # review)
+        problems.append(
+            f"driver canon would crash: {type(exc).__name__}: {exc}")
         return problems
     # dtype-kind parity (r10 VERDICT #2): the driver's value hash is
     # dtype-sensitive (int 3 != float 3.0) while pandas `==` is not —
