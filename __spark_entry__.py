@@ -4947,6 +4947,87 @@ def q_streaming_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ], ckpt)
 
 
+def q_streaming_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state-store TTL/eviction audit, oracle-certified
+    (the README roadmap's 'state-store TTL/eviction audit' tranche).
+
+    The 30-day events table streams as three 10-day chunk files (one
+    per micro-batch, forced mtime order) plus a far-future sentinel
+    file (min+50 days, reserved key user_id=-1) whose batch flushes
+    end-of-data timeouts through a REAL data batch.  Per
+    (user_id, event_type) key, ``applyInPandasWithState`` keeps
+    (count, value-cents, last-seen) state under a 4-day EVENT-TIME TTL
+    with a 12 h watermark delay; a key idle past the TTL is evicted
+    and emits one audit row per evicted generation.
+
+    Deterministic by construction (no-data micro-batches disabled, see
+    run_ttl_eviction_audit): the eviction watermark of batch i is
+    ``max(event ms over batches 0..i-1) - delay``, and a timeout fires
+    iff the key gets no rows in the batch and its ms-truncated
+    ``last_seen + TTL`` is STRICTLY below that watermark — pinned
+    empirically in tests/test_streaming.py.  The DuckDB oracle replays
+    the whole run from the raw events grid: per-key per-chunk
+    (presence, count, cents, max ts) pivots + the three global
+    watermarks, cascaded through the generation splits (evict at W1 →
+    a chunk-2 reappearance restarts the count).  The audited result
+    keeps evictions with watermark ≤ min+31 days, which excludes any
+    engine-dependent post-sentinel sweep, so the row set is identical
+    whether or not a trailing batch ever runs.
+
+    100 TB posture: this IS the bounded-state certification for the
+    streaming surface — one shuffle on the key, O(1) state per key,
+    and the TTL provably reclaims idle keys' state, which is what
+    keeps an unbounded production stream's store flat.
+    """
+    import glob as _glob
+
+    from dynamic_partitioner_spark.streaming.stateful import (
+        run_ttl_eviction_audit)
+    apply_engine_confs(spark)
+    events = _table(spark, sf_dir, "events")
+    ev = events.select("user_id", "event_type", "value",
+                       event_time_ts(events).alias("ts"),
+                       event_time_us(events).alias("_us"))
+    m = int(ev.agg(F.min("_us")).collect()[0][0])
+    day_us = 86_400_000_000
+    ev = ev.withColumn(
+        "_chunk", F.least(F.expr(f"(_us - {m}) div {10 * day_us}"),
+                          F.lit(2)))
+    chunks = [ev.where(F.col("_chunk") == i)
+              .select("user_id", "event_type", "ts", "value")
+              for i in range(3)]
+    # sentinel: far-future single event under a reserved key — its
+    # batch carries eviction watermark max(all events) - 12h, flushing
+    # every timeout the data batches left pending, deterministically
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+        F.expr(f"timestamp_micros({m + 50 * day_us})").alias("ts"),
+        F.lit(0.0).alias("value"))
+    src = _out("stream_ttl_src")
+    os.makedirs(src)
+    for i, ch in enumerate(chunks + [sentinel]):
+        tmp = f"{src}_tmp{i}"
+        ch.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{src}/{i:02d}.parquet"
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+        shutil.rmtree(tmp)
+    spark.catalog.dropTempView("stream_ttl_sink")
+    evicts = run_ttl_eviction_audit(
+        spark, src, "stream_ttl_sink", ["user_id", "event_type"],
+        ttl="4 days", watermark_delay="12 hours")
+    return (evicts
+            .where((F.col("evict_wm_us") <= m + 31 * day_us)
+                   & (F.col("user_id") >= 0))
+            .groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("n_evictions"),
+                 F.sum("gen_events").alias("evicted_events"),
+                 F.sum("gen_cents").alias("evicted_cents"),
+                 F.max("evict_wm_us").alias("last_evict_wm_us")))
+
+
 def q_ops_snapshot_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg-shaped snapshot-manifest listing (r12 roadmap tranche;
     Apache Iceberg spec §Manifests — lower/upper bounds + null counts
@@ -5808,19 +5889,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # the LEAST driver evidence come first.  Round 12's window (the r11
 # VERDICT's #1 ask — all 253 keys are ever-green, so the fold is pure
 # age rotation now):
-#   first  ops_snapshot_manifest (NEW this round — never-green keys
-#          auto-join every fold until certified),
+#   first  ops_snapshot_manifest + streaming_ttl_eviction (NEW this
+#          round — never-green keys auto-join every fold until
+#          certified),
 #   then   the 18 round-6-evidence keys (one round over the 5-round
 #          freshness budget at r12; the r11 gate warned on exactly
 #          these under boundary slack — they hard-fail if unscheduled),
-#   then   31 of the 49 round-7-evidence keys, oldest first
-#          (alphabetical within the round: 1 + 18 + 31 = 50).
-# Positions 51+ carry the round-7 remainder (18 keys — q8 displaced by
-# the new key plus the 17 that never fit; at the budget at r13, they
-# lead the r13 fold), then the round-8 cohort rotates in.
+#   then   30 of the 49 round-7-evidence keys, oldest first
+#          (alphabetical within the round: 2 + 18 + 30 = 50).
+# Positions 51+ carry the round-7 remainder (19 keys — q22/q8
+# displaced by the two new keys plus the 17 that never fit; at the
+# budget at r13, they lead the r13 fold), then the round-8 cohort
+# rotates in.
 _PRIORITY_R12 = [
     # --- NEW this round (never driver-green until certified) ---
-    "ops_snapshot_manifest",
+    "ops_snapshot_manifest", "streaming_ttl_eviction",
     # --- round-6 evidence (one round over budget; r11 gate names them) ---
     "query_sql_tpch_q15", "query_sql_tpch_q17", "query_sql_tpch_q18",
     "query_sql_tpch_q4", "query_sql_tpch_q7", "query_target_encoding",
@@ -5840,13 +5923,13 @@ _PRIORITY_R12 = [
     "query_auc", "query_sql_lateral", "query_sql_rank_suite",
     "query_sql_recursive", "query_sql_tpch_q11", "query_sql_tpch_q12",
     "query_sql_tpch_q16", "query_sql_tpch_q19", "query_sql_tpch_q2",
-    "query_sql_tpch_q20", "query_sql_tpch_q21", "query_sql_tpch_q22",
+    "query_sql_tpch_q20", "query_sql_tpch_q21",
     # ---- fold: the driver checks the 50 above ----
     # below the fold, r13 rotation order: the round-7 remainder (they
     # reach the 5-round freshness budget at r13 — refresh them FIRST;
-    # q8 displaced from the fold by the new ops_snapshot_manifest key,
-    # so it leads), then the round-8 cohort
-    "query_sql_tpch_q8",
+    # q22/q8 displaced from the fold by the two new-this-round keys,
+    # so they lead), then the round-8 cohort
+    "query_sql_tpch_q22", "query_sql_tpch_q8",
     "query_sql_tpch_q9", "sample_importance", "sample_kfold",
     "sample_stratified", "sketch_cms", "source_csv_corrupt_audit",
     "text_chunk", "text_chunk_dedup", "text_hashed_vector",
@@ -5932,6 +6015,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessionize": q_sessionize,
         "streaming_windowed_agg": q_streaming_windowed_agg,
         "streaming_late_audit": q_streaming_late_audit,
+        "streaming_ttl_eviction": q_streaming_ttl_eviction,
         "streaming_stateful_counts": q_streaming_stateful,
         "streaming_dedup": q_streaming_dedup,
         "query_sliding_window": q_sliding_window,
@@ -7210,6 +7294,99 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": (
             "SELECT event_id, user_id, round(value, 2) AS value "
             "FROM events"),
+        # batch replay of the staged TTL-eviction stream (see
+        # q_streaming_ttl_eviction): per-key per-10-day-chunk pivots +
+        # the three global eviction watermarks (ms-truncated exactly
+        # like Spark's event-time clock: wm entering batch i =
+        # max(us // 1000 over chunks < i) - 12h), cascaded through the
+        # generation splits; a timeout fires iff the key is absent
+        # from the batch's chunk and its (last_seen//1000 + 4d) is
+        # STRICTLY below the watermark (strictness pinned in
+        # tests/test_streaming.py)
+        "streaming_ttl_eviction": """
+            WITH p AS (SELECT min(epoch_us(ts)) AS m FROM events),
+            e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+                         CAST(floor(value * 100 + 0.5) AS BIGINT)
+                             AS cents,
+                         least((epoch_us(ts) - (SELECT m FROM p))
+                               // 864000000000, 2) AS chunk
+                  FROM events),
+            g AS (SELECT user_id, event_type, chunk, count(*) AS n,
+                         CAST(sum(cents) AS BIGINT) AS c, max(us) AS s
+                  FROM e GROUP BY 1, 2, 3),
+            w AS (SELECT (max(CASE WHEN chunk <= 0 THEN s END) // 1000)
+                             - 43200000 AS w1,
+                         (max(CASE WHEN chunk <= 1 THEN s END) // 1000)
+                             - 43200000 AS w2,
+                         (max(s) // 1000) - 43200000 AS w3
+                  FROM g),
+            k AS (SELECT user_id, event_type,
+                         max(CASE WHEN chunk = 0 THEN n END) AS n0,
+                         max(CASE WHEN chunk = 0 THEN c END) AS c0,
+                         max(CASE WHEN chunk = 0 THEN s END) AS s0,
+                         max(CASE WHEN chunk = 1 THEN n END) AS n1,
+                         max(CASE WHEN chunk = 1 THEN c END) AS c1,
+                         max(CASE WHEN chunk = 1 THEN s END) AS s1,
+                         max(CASE WHEN chunk = 2 THEN n END) AS n2,
+                         max(CASE WHEN chunk = 2 THEN c END) AS c2,
+                         max(CASE WHEN chunk = 2 THEN s END) AS s2
+                  FROM g GROUP BY 1, 2),
+            b1 AS (SELECT k.*, w.w1, w.w2, w.w3,
+                          (s0 IS NOT NULL AND s1 IS NULL
+                           AND s0 // 1000 + 345600000 < w1) AS e1
+                   FROM k, w),
+            b2 AS (SELECT *,
+                          CASE WHEN s1 IS NOT NULL
+                                   THEN coalesce(n0, 0) + n1
+                               WHEN s0 IS NOT NULL AND NOT e1 THEN n0
+                          END AS g1n,
+                          CASE WHEN s1 IS NOT NULL
+                                   THEN coalesce(c0, 0) + c1
+                               WHEN s0 IS NOT NULL AND NOT e1 THEN c0
+                          END AS g1c,
+                          CASE WHEN s1 IS NOT NULL THEN s1
+                               WHEN s0 IS NOT NULL AND NOT e1 THEN s0
+                          END AS l1
+                   FROM b1),
+            b3 AS (SELECT *,
+                          (l1 IS NOT NULL AND s2 IS NULL
+                           AND l1 // 1000 + 345600000 < w2) AS e2
+                   FROM b2),
+            b4 AS (SELECT *,
+                          CASE WHEN s2 IS NOT NULL
+                                   THEN coalesce(g1n, 0) + n2
+                               WHEN l1 IS NOT NULL AND NOT e2 THEN g1n
+                          END AS g2n,
+                          CASE WHEN s2 IS NOT NULL
+                                   THEN coalesce(g1c, 0) + c2
+                               WHEN l1 IS NOT NULL AND NOT e2 THEN g1c
+                          END AS g2c,
+                          CASE WHEN s2 IS NOT NULL THEN s2
+                               WHEN l1 IS NOT NULL AND NOT e2 THEN l1
+                          END AS l2
+                   FROM b3),
+            fin AS (SELECT *,
+                           (l2 IS NOT NULL
+                            AND l2 // 1000 + 345600000 < w3) AS e3
+                    FROM b4)
+            SELECT user_id, event_type,
+                   CAST(CASE WHEN e1 THEN 1 ELSE 0 END
+                        + CASE WHEN e2 THEN 1 ELSE 0 END
+                        + CASE WHEN e3 THEN 1 ELSE 0 END AS BIGINT)
+                       AS n_evictions,
+                   CAST(CASE WHEN e1 THEN n0 ELSE 0 END
+                        + CASE WHEN e2 THEN g1n ELSE 0 END
+                        + CASE WHEN e3 THEN g2n ELSE 0 END AS BIGINT)
+                       AS evicted_events,
+                   CAST(CASE WHEN e1 THEN c0 ELSE 0 END
+                        + CASE WHEN e2 THEN g1c ELSE 0 END
+                        + CASE WHEN e3 THEN g2c ELSE 0 END AS BIGINT)
+                       AS evicted_cents,
+                   CAST((CASE WHEN e3 THEN w3 WHEN e2 THEN w2
+                              ELSE w1 END) * 1000 AS BIGINT)
+                       AS last_evict_wm_us
+            FROM fin WHERE e1 OR e2 OR e3
+        """,
         "query_profile": """
             SELECT 'l_returnflag' AS column, count(*) AS n_rows,
                    CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0

@@ -369,6 +369,163 @@ def run_running_topk(spark: SparkSession, src_path: str, sink_table: str,
                     "s.v3", "s.e3"))
 
 
+def _interval_to_us(spec: str) -> int:
+    """``"4 days"`` / ``"12 hours"`` / ``"30 minutes"`` → microseconds.
+
+    Tiny on purpose: the TTL audit needs the SAME duration in two
+    places (Spark's ``setTimeoutTimestamp`` arithmetic and the staged
+    oracle's replay), so both sides parse one string instead of
+    trusting two hand-converted constants to agree.
+    """
+    n_str, unit = spec.strip().split()
+    n = int(n_str)
+    us = {"day": 86_400_000_000, "hour": 3_600_000_000,
+          "minute": 60_000_000, "second": 1_000_000}
+    return n * us[unit.rstrip("s")]
+
+
+def _ttl_out_schema(key_cols: list[str],
+                    key_types: list[T.DataType]) -> T.StructType:
+    fields = [T.StructField(c, t) for c, t in zip(key_cols, key_types)]
+    fields += [T.StructField("gen_events", T.LongType()),
+               T.StructField("gen_cents", T.LongType()),
+               T.StructField("last_seen_us", T.LongType()),
+               T.StructField("evict_wm_us", T.LongType())]
+    return T.StructType(fields)
+
+
+_TTL_STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType()),
+                                  T.StructField("cents", T.LongType()),
+                                  T.StructField("last_us", T.LongType())])
+
+
+def ttl_evicted_state(sdf: DataFrame, key_cols: list[str],
+                      ts_col: str = "ts", value_col: str = "value",
+                      ttl: str = "4 days",
+                      watermark_delay: str = "12 hours") -> DataFrame:
+    """State-store TTL / eviction audit stream — the roadmap's
+    'streaming state-store TTL/eviction audit' tranche.
+
+    Per-key running (count, value-cents, last-seen) state with an
+    EVENT-TIME TTL: every data batch resets the key's timeout to
+    ``last event time + ttl``; when the watermark passes that timeout
+    and the key receives no data in a batch, the state is EVICTED and
+    the operator emits exactly one audit row — the evicted
+    generation's event count, cents sum, last-seen timestamp, and the
+    watermark that evicted it (``getCurrentWatermarkMs``).  Data
+    batches emit nothing: the eviction stream IS the audit.
+
+    This certifies the property an unbounded deployment cares about —
+    state is BOUNDED: a key idle for longer than the TTL (as measured
+    by the event-time watermark, not wall clock) is provably removed,
+    and the emitted generation row says exactly how much state left
+    the store.  A key that reappears after eviction starts a fresh
+    generation (its counts restart from zero), so the audit rows also
+    expose generation splits.
+
+    Values are accumulated as integer CENTS (``floor(value*100+0.5)``)
+    so the Python-side state arithmetic is exact and the DuckDB oracle
+    can replay it with BIGINT sums — no float drift across the
+    state-store round trip.
+
+    Determinism contract (what the oracle replays): with the source
+    staged as time-ordered files, one file per trigger, and no-data
+    micro-batches DISABLED (see :func:`run_ttl_eviction_audit`), the
+    eviction watermark for batch *i* is
+    ``max(event ms over batches 0..i-1) - delay`` — a pure function of
+    the staged data — and a timeout fires in batch *i* iff the key has
+    state, receives no rows in that batch, and its
+    ``(last_us + ttl)`` millisecond timeout is STRICTLY below that
+    watermark (pinned in tests/test_streaming.py).
+
+    Scale: one shuffle on the key into the state store, O(1) state per
+    key, map-only Arrow batches — the same posture as
+    :func:`stateful_user_stats`; the TTL is precisely what keeps the
+    store's footprint flat on an unbounded 100 TB/day stream.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ttl_ms = _interval_to_us(ttl) // 1000
+    key_types = [sdf.schema[c].dataType for c in key_cols]
+    out_schema = _ttl_out_schema(key_cols, key_types)
+
+    def update(key: tuple, pdfs: Iterator["pd.DataFrame"],
+               state) -> Iterator["pd.DataFrame"]:
+        if state.hasTimedOut:
+            n, cents, last_us = state.get
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            state.remove()
+            row = {c: [k] for c, k in zip(key_cols, key)}
+            row.update({"gen_events": [n], "gen_cents": [cents],
+                        "last_seen_us": [last_us],
+                        "evict_wm_us": [wm_us]})
+            yield pd.DataFrame(row)
+            return
+        n, cents, last_us = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["_cents"].sum())
+            last_us = max(last_us, int(pdf["_us"].max()))
+        state.update((n, cents, last_us))
+        # ms-truncating: Spark's event-time clock is millisecond-granular
+        state.setTimeoutTimestamp(last_us // 1000 + ttl_ms)
+        return
+
+    cols = [F.col(c) for c in key_cols]
+    prepared = (sdf.select(*cols,
+                           _event_ts(sdf, ts_col).alias("_ets"),
+                           F.unix_micros(_event_ts(sdf, ts_col))
+                           .alias("_us"),
+                           F.floor(F.col(value_col) * 100 + F.lit(0.5))
+                           .cast("long").alias("_cents"))
+                .withWatermark("_ets", watermark_delay))
+    return (prepared.groupBy(*key_cols)
+            .applyInPandasWithState(update, out_schema, _TTL_STATE_SCHEMA,
+                                    "update",
+                                    GroupStateTimeout.EventTimeTimeout))
+
+
+def run_ttl_eviction_audit(spark: SparkSession, src_path: str,
+                           sink_table: str, key_cols: list[str],
+                           ttl: str = "4 days",
+                           watermark_delay: str = "12 hours",
+                           timeout_sec: int = 300,
+                           state_partitions: int | None = 8) -> DataFrame:
+    """Drive :func:`ttl_evicted_state` through real micro-batches (one
+    staged file per trigger) and return the drained eviction rows.
+
+    No-data micro-batches are DISABLED for the drain (session conf,
+    restored after): with them on, Spark may insert extra batches
+    whenever the watermark moves, so WHEN a timeout fires (and hence
+    how generations split around a key's reappearance) would depend on
+    engine scheduling, not on the staged data.  With them off, the
+    watermark trajectory and every eviction are a pure function of the
+    file order — which is what lets a batch SQL oracle replay the
+    whole run.  The trade is that state still alive after the LAST
+    data batch is never flushed; callers that need end-of-stream
+    evictions stage a far-future sentinel file (see
+    ``streaming_ttl_eviction`` in ``__spark_entry__.py``).
+    """
+    from .write import (run_stream_to_completion, shuffle_partitions,
+                        stream_from_files)
+
+    nodata_conf = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_nodata = spark.conf.get(nodata_conf, "true")
+    spark.conf.set(nodata_conf, "false")
+    try:
+        with shuffle_partitions(spark, state_partitions):
+            sdf = stream_from_files(spark, src_path,
+                                    max_files_per_trigger=1)
+            out = ttl_evicted_state(sdf, key_cols, ttl=ttl,
+                                    watermark_delay=watermark_delay)
+            q = (out.writeStream.format("memory").queryName(sink_table)
+                 .outputMode("update").trigger(availableNow=True).start())
+            run_stream_to_completion(q, timeout_sec)
+    finally:
+        spark.conf.set(nodata_conf, prev_nodata)
+    return spark.table(sink_table)
+
+
 STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType()),
                              T.StructField("total", T.DoubleType())])
 

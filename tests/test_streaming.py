@@ -413,3 +413,114 @@ def test_streaming_expectations_rejects_single_slash_and_authority_uris(
     with pytest.raises(ValueError, match="authority"):
         run_streaming_expectations(
             spark, src, [("not_null", "k")], "file://host/ck")
+
+
+def _stage_ordered_files(spark, src, frames):
+    """Write each frame as ONE parquet file under ``src`` with forced
+    ascending mtimes, so ``maxFilesPerTrigger=1`` consumes them as
+    deterministic micro-batches in list order."""
+    import glob
+
+    os.makedirs(src)
+    for i, df in enumerate(frames):
+        tmp = f"{src}_tmp{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{src}/{i:02d}.parquet"
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 60,) * 2)
+        shutil.rmtree(tmp)
+
+
+def test_ttl_eviction_semantics_pinned(spark, tmp_out):
+    """Pins the determinism contract the streaming_ttl_eviction oracle
+    replays (empirically established, r12):
+
+    * the eviction watermark for batch i is
+      ``max(event ms over batches 0..i-1) - delay`` (the SPARK-40925
+      'state eviction' watermark — NOT the end-of-batch-i one: key A
+      below gets data in batch 1, so under the wrong reading its
+      batch-3 eviction would report wm=175min instead of 115),
+    * a timeout fires only for keys with NO data in the batch,
+    * eviction removes state — a reappearing key restarts at zero
+      (generation split),
+    * with no-data micro-batches disabled there is NO end-of-stream
+      flush: state alive after the last data batch is never emitted.
+    """
+    from pyspark.sql import functions as F
+
+    from dynamic_partitioner_spark.streaming.stateful import (
+        run_ttl_eviction_audit)
+
+    M = 60_000_000_000                         # 1 min in nanos
+    B0 = 1_000                                 # base minute: an event at
+    schema = "user_id string, ts long, value double"
+    # exactly epoch 0 is dropped by the INITIAL watermark (0 ms) in
+    # batch 0 — keep the grid clear of that edge (real data is never
+    # at epoch 0; pinned here by construction, not under test)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(k, (B0 + m) * M, v) for k, m, v in rows], schema)
+
+    frames = [
+        mk([("A", 0, 1.0), ("A", 10, 1.0), ("B", 2, 1.0),
+            ("C", 9, 1.0)]),                   # batch 0, max 10min
+        mk([("A", 60, 1.0)]),                  # batch 1, wm 10-5=5min
+        mk([("D", 120, 1.0)]),                 # batch 2, wm 60-5=55min
+        mk([("B", 180, 1.0)]),                 # batch 3, wm 120-5=115min
+    ]
+    src = os.path.join(tmp_out, "ttl_src")
+    _stage_ordered_files(spark, src, frames)
+    out = run_ttl_eviction_audit(spark, src, "ttl_pin_sink", ["user_id"],
+                                 ttl="40 minutes",
+                                 watermark_delay="5 minutes",
+                                 state_partitions=4)
+    got = {r.user_id: (r.gen_events, r.gen_cents,
+                       r.evict_wm_us / 60_000_000 - B0)
+           for r in out.collect()}
+    # B,C idle through batch 2: timeouts 42/49 < wm 55 → evicted there;
+    # A (timeout 60+40=100) survives batch 2 (100 > 55), gets NO data
+    # in batch 3 and 100 < 115 → evicted with the batch-3 ENTERING wm
+    assert got == {"A": (3, 300, 115.0),
+                   "B": (1, 100, 55.0),
+                   "C": (1, 100, 55.0)}
+    # D (timeout 160 > 115) and B's second generation (batch-3 data)
+    # are never flushed: no end-of-stream eviction without a later
+    # data batch
+    assert (spark.table("ttl_pin_sink")
+            .where(F.col("user_id") == "D").count()) == 0
+
+
+def test_ttl_eviction_timeout_equal_watermark_does_not_fire(spark, tmp_out):
+    """STRICT comparison pinned: a timeout exactly EQUAL to the
+    eviction watermark does not fire (Spark fires when the watermark
+    advances strictly beyond the set timestamp); the key is evicted
+    one batch later, stamped with that later watermark.  The oracle's
+    ``<`` replays exactly this."""
+    M = 60_000_000_000
+    B0 = 1_000                       # clear of the epoch-0 edge (above)
+    schema = "user_id string, ts long, value double"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(k, (B0 + m) * M, v) for k, m, v in rows], schema)
+
+    # E last@0 with ttl 55min → timeout = minute 55; batch-1 data max
+    # 60min → wm entering batch 2 = 55min exactly (tie → no fire);
+    # batch 3 wm = 115min > 55 → fires there
+    frames = [mk([("E", 0, 1.0), ("A", 10, 1.0)]),
+              mk([("A", 60, 1.0)]),
+              mk([("A", 120, 1.0)]),
+              mk([("A", 180, 1.0)])]
+    src = os.path.join(tmp_out, "ttl_tie_src")
+    _stage_ordered_files(spark, src, frames)
+    from dynamic_partitioner_spark.streaming.stateful import (
+        run_ttl_eviction_audit)
+    out = run_ttl_eviction_audit(spark, src, "ttl_tie_sink", ["user_id"],
+                                 ttl="55 minutes",
+                                 watermark_delay="5 minutes",
+                                 state_partitions=4)
+    evs = [(r.user_id, r.gen_events, r.evict_wm_us / 60_000_000 - B0)
+           for r in out.collect() if r.user_id == "E"]
+    assert evs == [("E", 1, 115.0)]
