@@ -77,3 +77,98 @@ def test_bnlj_over_allowance_and_missing_scalar_agg_flagged(spark):
     cart = "(1) CartesianProduct"
     assert any("CartesianProduct" in p
                for p in A.check_plan("similarity_topk", cart))
+
+
+# ---------------------------------------------------------- r12: positive
+# plan-feature assertions against the adjudicated snapshot
+# (tools/plan_expectations.json)
+
+_BASE = {"bhj": 2, "smj": 1, "bnlj": 0, "exchanges": 3, "scans": 2,
+         "pushed_filters": 2, "partial_agg": True}
+
+
+def test_feature_degradations_fail():
+    """Every degradation direction reds: lost broadcast, new shuffle
+    join, new exchange, duplicate scan, lost pushdown, lost map-side
+    combine."""
+    A = _audit()
+    for feat, bad in (("bhj", 1), ("smj", 2), ("exchanges", 4),
+                      ("scans", 3), ("pushed_filters", 1)):
+        now = dict(_BASE, **{feat: bad})
+        problems, _ = A.compare_features("k", now, _BASE)
+        assert problems, feat
+        assert feat in problems[0]
+    problems, _ = A.compare_features("k", dict(_BASE, partial_agg=False),
+                                     _BASE)
+    assert any("partial aggregation lost" in p for p in problems)
+
+
+def test_feature_improvements_only_note():
+    """The reverse directions (more broadcasts, fewer shuffles/scans,
+    more pushdown, partial agg appearing) must NOT fail — they note a
+    re-snapshot instead."""
+    A = _audit()
+    better = {"bhj": 3, "smj": 0, "bnlj": 0, "exchanges": 2, "scans": 1,
+              "pushed_filters": 3, "partial_agg": True}
+    problems, notes = A.compare_features("k", better, _BASE)
+    assert problems == []
+    assert len(notes) == 5 and all("improvement" in n for n in notes)
+    problems, notes = A.compare_features(
+        "k", dict(_BASE, partial_agg=True),
+        dict(_BASE, partial_agg=False))
+    assert problems == [] and any("partial aggregation" in n
+                                  for n in notes)
+
+
+def test_missing_snapshot_entry_notes_not_fails():
+    A = _audit()
+    problems, notes = A.compare_features("newkey", _BASE, None)
+    assert problems == [] and "no snapshot entry" in notes[0]
+
+
+def test_plan_features_extraction_is_node_id_deduped():
+    """Counts must come from distinct node ids (formatted explain
+    repeats each node in the details section) and partial-agg presence
+    from the functions list."""
+    A = _audit()
+    plan = """
+== Physical Plan ==
+AdaptiveSparkPlan (9)
++- HashAggregate (5)
+   +- Exchange (4)
+      +- HashAggregate (3)
+         +- BroadcastHashJoin Inner (2)
+            :- Scan parquet  (1)
+
+(1) Scan parquet
+Output: [a]
+PushedFilters: [IsNotNull(a)]
+(2) BroadcastHashJoin Inner
+(3) HashAggregate
+Functions [1]: [partial_sum(x)]
+(4) Exchange
+(5) HashAggregate
+Functions [1]: [sum(x)]
+"""
+    feats = A.plan_features(plan)
+    assert feats == {"bhj": 1, "smj": 0, "bnlj": 0, "exchanges": 1,
+                     "scans": 1, "pushed_filters": 1,
+                     "partial_agg": True}
+
+
+def test_live_snapshot_matches_representative_plans(spark):
+    """The committed snapshot agrees with live plans for a handful of
+    stable keys at the snapshot's SF — the end-to-end wiring check
+    (full-surface compare runs in tools/audit_plans.py --check)."""
+    import json
+
+    A, E = _audit(), _entry()
+    exp = json.load(open(A.EXPECTATIONS_PATH))
+    sf_dir = f"/root/testdata/{exp['sf']}"
+    qs = E.queries()
+    for key in ("query_sql_tpch_q6", "query_join_broadcast",
+                "dedup_exact"):
+        plan = A.formatted_plan(qs[key](spark, sf_dir))
+        problems, _ = A.compare_features(key, A.plan_features(plan),
+                                         exp["keys"][key])
+        assert problems == [], (key, problems)

@@ -14,7 +14,22 @@ baseline whose broadcast side is row-bounded by construction), and
 only up to the recorded node count — so a join that silently degrades
 to a nested-loop fails the audit instead of shipping.
 
-Usage: python tools/audit_plans.py [sf_dir] [--check]
+``--check`` also runs the POSITIVE plan assertions (r12 roadmap
+tranche): every audited key's plan features — broadcast-join /
+sort-merge-join / exchange / scan counts, pushed-filter count,
+map-side partial-aggregation presence — are compared against the
+adjudicated snapshot in ``tools/plan_expectations.json``.  A
+DEGRADATION fails the audit (a broadcast that fell back to a shuffle
+join, a filter that stopped reaching its scan, a new exchange or
+duplicate scan, a lost map-side combine); an IMPROVEMENT only warns,
+with a pointer to re-snapshot.  Snapshots regenerate ONLY via the
+explicit ``--update-expectations`` flag, so every accepted plan-shape
+change leaves a reviewable fixture diff instead of silently moving
+the bar.  The snapshot records the SF it was taken at; the compare is
+skipped (loudly) at any other SF, since join strategies are
+size-dependent.
+
+Usage: python tools/audit_plans.py [sf_dir] [--check] [--update-expectations]
 """
 
 from __future__ import annotations
@@ -106,13 +121,17 @@ AUDIT_KEYS = [
     # round-10 additions
     "similarity_ivf2_topk", "text_bpe_encode", "ops_zorder_layout",
     # round-12 additions
-    "ops_snapshot_manifest",
+    "ops_snapshot_manifest", "streaming_ttl_eviction",
 ]
+
+#: where the adjudicated per-key plan-feature snapshot lives
+EXPECTATIONS_PATH = "/root/repo/tools/plan_expectations.json"
 
 _KEEP = re.compile(
     r"Scan parquet|PushedFilters|PartitionFilters|ReadSchema|"
     r"BroadcastHashJoin|SortMergeJoin|BroadcastNestedLoopJoin|"
-    r"^\s*\(\d+\) Exchange|AQEShuffleRead|Window|HashAggregate")
+    r"^\s*\(\d+\) Exchange|AQEShuffleRead|Window|HashAggregate|"
+    r"ReusedExchange")
 
 #: keys allowed to carry BroadcastNestedLoopJoin nodes, with the max
 #: node count and WHY the broadcast side is row-bounded.  Everything
@@ -242,6 +261,82 @@ def check_plan(key: str, plan: str) -> list[str]:
     return problems
 
 
+def plan_features(plan: str) -> dict:
+    """Structural features of one formatted plan — the unit the
+    positive assertions snapshot and compare.  Counts are DISTINCT
+    node ids (formatted explain prints each node twice: tree +
+    details), so they are stable under expression-id renumbering.
+
+    ``partial_agg`` is presence, not a count: False is legitimate for
+    distinct-only aggregations (paired HashAggregates with empty
+    function lists — the pair IS the map-side partial + final) and
+    for plans with no aggregate at all; what the assertion protects is
+    a key that HAD map-side combine losing it.
+    """
+    return {
+        "bhj": len(_node_ids(plan, "BroadcastHashJoin")),
+        "smj": len(_node_ids(plan, "SortMergeJoin")),
+        "bnlj": len(_node_ids(plan, "BroadcastNestedLoopJoin")),
+        "exchanges": len(_node_ids(plan, "Exchange")),
+        "scans": len(re.findall(r"\(\d+\) Scan parquet", plan)),
+        "pushed_filters": len(re.findall(r"PushedFilters: \[[^]]", plan)),
+        "partial_agg": bool(re.search(r"partial_\w+\(", plan)),
+    }
+
+
+#: (feature, direction, message) — direction +1 means MORE is a
+#: degradation (new shuffles / scans / fallback joins), -1 means LESS
+#: is a degradation (lost broadcasts / pushdowns).
+_DEGRADE_RULES = [
+    ("bhj", -1, "broadcast join(s) lost — degraded to a shuffle join?"),
+    ("smj", +1, "new sort-merge join(s) — a broadcast stopped applying?"),
+    ("exchanges", +1, "new exchange(s) — an extra shuffle appeared"),
+    ("scans", +1, "table scanned more times than the adjudicated plan"),
+    ("pushed_filters", -1, "pushed filter(s) no longer reach the scan"),
+]
+
+
+def compare_features(key: str, now: dict, expected: dict | None
+                     ) -> tuple[list[str], list[str]]:
+    """Compare live features to the snapshot → (problems, notes).
+
+    Degradations are problems (fail the audit); improvements and a
+    missing snapshot entry are notes (run ``--update-expectations``
+    after adjudicating them).  BNLJ count appears in the snapshot for
+    the record but is asserted by the dedicated BNLJ_ALLOWED gate, not
+    here.
+    """
+    if expected is None:
+        return [], [f"{key}: no snapshot entry (new key?) — run "
+                    "--update-expectations to adjudicate its plan"]
+    problems, notes = [], []
+    for feat, direction, msg in _DEGRADE_RULES:
+        nv, ev = now[feat], expected[feat]
+        if nv == ev:
+            continue
+        if (nv - ev) * direction > 0:
+            problems.append(f"{feat} {ev}->{nv}: {msg}")
+        else:
+            notes.append(f"{key}: {feat} {ev}->{nv} (improvement — "
+                         "re-snapshot with --update-expectations)")
+    if expected["partial_agg"] and not now["partial_agg"]:
+        problems.append("map-side partial aggregation lost — every "
+                        "grouped row now crosses the shuffle unreduced")
+    elif now["partial_agg"] and not expected["partial_agg"]:
+        notes.append(f"{key}: partial aggregation appeared "
+                     "(improvement — re-snapshot)")
+    return problems, notes
+
+
+def load_expectations() -> dict | None:
+    import json
+    import os
+    if not os.path.exists(EXPECTATIONS_PATH):
+        return None
+    with open(EXPECTATIONS_PATH) as fh:
+        return json.load(fh)
+
+
 def formatted_plan(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -250,33 +345,52 @@ def formatted_plan(df) -> str:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--check"]
+    import json
+    import os
+
+    flags = {"--check", "--update-expectations"}
+    args = [a for a in sys.argv[1:] if a not in flags]
     check = "--check" in sys.argv[1:]
+    update = "--update-expectations" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     import __spark_entry__ as E
     from dynamic_partitioner_spark import get_spark
 
+    exp = load_expectations() if (check or update) else None
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    compare = check and exp is not None and exp.get("sf") == sf_name
+    if check and exp is not None and not compare:
+        print(f"NOTE: snapshot taken at {exp.get('sf')}, running at "
+              f"{sf_name} — feature compare skipped (join strategies "
+              "are size-dependent)")
+
     spark = get_spark("plan-audit")
     qs = E.queries()
     sections = []
+    features: dict[str, dict] = {}
     n_bad = 0
+    notes: list[str] = []
     for key in AUDIT_KEYS:
         df = qs[key](spark, sf_dir)
         plan = formatted_plan(df)
+        feats = plan_features(plan)
+        features[key] = feats
         if check:
             problems = check_plan(key, plan)
+            if compare:
+                fproblems, fnotes = compare_features(
+                    key, feats, exp["keys"].get(key))
+                problems += fproblems
+                notes += fnotes
             if problems:
                 n_bad += 1
                 for p in problems:
                     print(f"DRIFT {key}: {p}")
-        n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
-        n_bhj = plan.count("BroadcastHashJoin")
-        n_smj = plan.count("SortMergeJoin")
         lines = "\n".join("    " + x for x in summarize(plan))
         sections.append(
             f"## {key}\n\n"
-            f"exchanges={n_exchanges} broadcast_joins={n_bhj} "
-            f"sortmerge_joins={n_smj}\n\n```\n{lines}\n```\n")
+            f"exchanges={feats['exchanges']} broadcast_joins={feats['bhj']} "
+            f"sortmerge_joins={feats['smj']}\n\n```\n{lines}\n```\n")
 
     with open("/root/repo/PLANS.md", "w") as fh:
         fh.write(
@@ -286,9 +400,20 @@ def main() -> int:
             "read schema), join strategies, and exchange count.  Re-run\n"
             "after changing any operator's plan shape.  `--check` asserts\n"
             "join strategies (no CartesianProduct ever; BNLJ only for the\n"
-            "documented scalar-stats/exact-baseline keys).\n\n"
+            "documented scalar-stats/exact-baseline keys) and compares\n"
+            "every key's plan features against the adjudicated snapshot\n"
+            "in tools/plan_expectations.json (degradations fail;\n"
+            "improvements re-snapshot via --update-expectations).\n\n"
             + "\n".join(sections))
     print(f"PLANS.md written ({len(sections)} queries)")
+    for note in notes:
+        print(f"NOTE {note}")
+    if update:
+        with open(EXPECTATIONS_PATH, "w") as fh:
+            json.dump({"sf": sf_name, "keys": features}, fh, indent=1,
+                      sort_keys=True)
+        print(f"plan_expectations.json updated "
+              f"({len(features)} keys at {sf_name})")
     if check:
         print("PLAN CHECK: " + ("OK" if n_bad == 0 else f"{n_bad} keys drifted"))
     return 1 if n_bad else 0
