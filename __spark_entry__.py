@@ -5015,9 +5015,14 @@ def q_streaming_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.utime(dst, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
         shutil.rmtree(tmp)
     spark.catalog.dropTempView("stream_ttl_sink")
+    # state_partitions=16: the (user_id, event_type) keyspace is 7.5k
+    # at sf0.1 and the per-batch cost is Python-worker-bound (one
+    # update call per touched key), so parallelism wins — measured
+    # r12: 4p=16.2s / 8p=10.7s / 16p=8.5s / 32p=7.6s-but-noisy for
+    # the 3-batch drain; 16 is the stable knee
     evicts = run_ttl_eviction_audit(
         spark, src, "stream_ttl_sink", ["user_id", "event_type"],
-        ttl="4 days", watermark_delay="12 hours")
+        ttl="4 days", watermark_delay="12 hours", state_partitions=16)
     return (evicts
             .where((F.col("evict_wm_us") <= m + 31 * day_us)
                    & (F.col("user_id") >= 0))

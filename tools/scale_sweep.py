@@ -16,6 +16,7 @@ the linear-at-scale claim is certified where data actually dominates.
 from __future__ import annotations
 
 import math
+import re
 import sys
 import time
 
@@ -103,7 +104,7 @@ SWEEP_KEYS = [
     # round-10 additions
     "similarity_ivf2_topk", "text_bpe_encode", "ops_zorder_layout",
     # round-12 additions
-    "ops_snapshot_manifest",
+    "ops_snapshot_manifest", "streaming_ttl_eviction",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
@@ -476,6 +477,25 @@ def main() -> None:
             f"sf{sf}={times[sf]:.2f}s" for sf in SFS)
             + f"  slope={slope:+.2f}", file=sys.stderr)
 
+    new_lines = {
+        key: (f"| {key} | {times['0.001']:.2f}s | {times['0.01']:.2f}s "
+              f"| {times['0.1']:.2f}s | {counts['0.1']} | {slope:+.2f} |",
+              slope)
+        for key, times, counts, slope in rows}
+    if sys.argv[1:]:
+        # explicit-key run: MERGE into the existing table instead of
+        # rewriting it with only the measured keys (a 2-key spot run
+        # must not wipe the other ~200 adjudicated rows — same footgun
+        # class as the _replace_section fix above)
+        try:
+            with open("/root/repo/SCALING.md") as f:
+                for ln in f.read().split("\n## ")[0].splitlines():
+                    m = re.match(r"\| (\w+) \|.* ([+-]\d+\.\d+) \|$", ln)
+                    if m and m.group(1) not in new_lines:
+                        new_lines[m.group(1)] = (ln, float(m.group(2)))
+        except FileNotFoundError:
+            pass
+
     lines = [
         "# Scale sweep — measured runtime vs scale factor",
         "",
@@ -483,15 +503,15 @@ def main() -> None:
         "the 0.01→0.1 log-log slope (data grows 10×: slope 1.0 = linear",
         "scaling, 0.0 = fixed overhead dominates, 2.0 = quadratic — only",
         "acceptable for the deliberately-quadratic audit baselines).",
-        "Regenerate: `python tools/scale_sweep.py`.",
+        "Regenerate: `python tools/scale_sweep.py` (a full rewrite);",
+        "`python tools/scale_sweep.py key ...` re-times just those keys",
+        "and merges them into the table.",
         "",
         "| key | sf0.001 | sf0.01 | sf0.1 | rows@0.1 | slope |",
         "|---|---|---|---|---|---|",
     ]
-    for key, times, counts, slope in sorted(rows, key=lambda r: -r[3]):
-        lines.append(
-            f"| {key} | {times['0.001']:.2f}s | {times['0.01']:.2f}s "
-            f"| {times['0.1']:.2f}s | {counts['0.1']} | {slope:+.2f} |")
+    for line, _slope in sorted(new_lines.values(), key=lambda r: -r[1]):
+        lines.append(line)
     lines += [
         "",
         "Reading: slopes well under 1.0 mean the operator is still",
