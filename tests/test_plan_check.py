@@ -84,7 +84,7 @@ def test_bnlj_over_allowance_and_missing_scalar_agg_flagged(spark):
 # (tools/plan_expectations.json)
 
 _BASE = {"bhj": 2, "smj": 1, "bnlj": 0, "exchanges": 3, "scans": 2,
-         "pushed_filters": 2, "partial_agg": True}
+         "pushed_filters": 2, "partition_filters": 1, "partial_agg": True}
 
 
 def test_feature_degradations_fail():
@@ -93,7 +93,8 @@ def test_feature_degradations_fail():
     combine."""
     A = _audit()
     for feat, bad in (("bhj", 1), ("smj", 2), ("exchanges", 4),
-                      ("scans", 3), ("pushed_filters", 1)):
+                      ("scans", 3), ("pushed_filters", 1),
+                      ("partition_filters", 0)):
         now = dict(_BASE, **{feat: bad})
         problems, _ = A.compare_features("k", now, _BASE)
         assert problems, feat
@@ -109,10 +110,11 @@ def test_feature_improvements_only_note():
     re-snapshot instead."""
     A = _audit()
     better = {"bhj": 3, "smj": 0, "bnlj": 0, "exchanges": 2, "scans": 1,
-              "pushed_filters": 3, "partial_agg": True}
+              "pushed_filters": 3, "partition_filters": 2,
+              "partial_agg": True}
     problems, notes = A.compare_features("k", better, _BASE)
     assert problems == []
-    assert len(notes) == 5 and all("improvement" in n for n in notes)
+    assert len(notes) == 6 and all("improvement" in n for n in notes)
     problems, notes = A.compare_features(
         "k", dict(_BASE, partial_agg=True),
         dict(_BASE, partial_agg=False))
@@ -153,7 +155,18 @@ Functions [1]: [sum(x)]
     feats = A.plan_features(plan)
     assert feats == {"bhj": 1, "smj": 0, "bnlj": 0, "exchanges": 1,
                      "scans": 1, "pushed_filters": 1,
-                     "partial_agg": True}
+                     "partition_filters": 0, "partial_agg": True}
+
+
+def test_snapshot_predating_a_feature_notes_not_fails():
+    """An old snapshot without a newly-added feature must not crash or
+    red the audit — it notes a re-snapshot (forward-compat for fixture
+    evolution)."""
+    A = _audit()
+    old = {k: v for k, v in _BASE.items() if k != "partition_filters"}
+    problems, notes = A.compare_features("k", _BASE, old)
+    assert problems == []
+    assert any("predates feature 'partition_filters'" in n for n in notes)
 
 
 def test_live_snapshot_matches_representative_plans(spark):

@@ -280,6 +280,8 @@ def plan_features(plan: str) -> dict:
         "exchanges": len(_node_ids(plan, "Exchange")),
         "scans": len(re.findall(r"\(\d+\) Scan parquet", plan)),
         "pushed_filters": len(re.findall(r"PushedFilters: \[[^]]", plan)),
+        "partition_filters": len(re.findall(r"PartitionFilters: \[[^]]",
+                                            plan)),
         "partial_agg": bool(re.search(r"partial_\w+\(", plan)),
     }
 
@@ -293,6 +295,9 @@ _DEGRADE_RULES = [
     ("exchanges", +1, "new exchange(s) — an extra shuffle appeared"),
     ("scans", +1, "table scanned more times than the adjudicated plan"),
     ("pushed_filters", -1, "pushed filter(s) no longer reach the scan"),
+    ("partition_filters", -1,
+     "partition-pruning filter(s) lost — the scan reads every "
+     "partition at 100 TB"),
 ]
 
 
@@ -311,7 +316,11 @@ def compare_features(key: str, now: dict, expected: dict | None
                     "--update-expectations to adjudicate its plan"]
     problems, notes = [], []
     for feat, direction, msg in _DEGRADE_RULES:
-        nv, ev = now[feat], expected[feat]
+        nv, ev = now[feat], expected.get(feat)
+        if ev is None:
+            notes.append(f"{key}: snapshot predates feature {feat!r} — "
+                         "re-snapshot with --update-expectations")
+            continue
         if nv == ev:
             continue
         if (nv - ev) * direction > 0:
