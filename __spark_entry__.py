@@ -1623,10 +1623,10 @@ def q_streaming_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     30 min delay, so the SPARK-40925 two-watermark subtlety (filter
     uses the previous batch's watermark) never lands near a boundary
     — the pinned pytest covers the boundary cases."""
-    import glob as _glob
-
     from dynamic_partitioner_spark.streaming.stateful import (
         streaming_windowed_agg_append)
+    from dynamic_partitioner_spark.streaming.write import (
+        stage_ordered_files)
     apply_engine_confs(spark)
     events = _table(spark, sf_dir, "events")
     ev = events.select(
@@ -1649,17 +1649,9 @@ def q_streaming_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # last file: hours 6-8 PLUS the hour-0 replay (all late)
         base.where((F.col("_h") >= 6) | (F.col("_h") < 1)),
     ]
-    src = _out("stream_late_src")
-    os.makedirs(src)
-    for i, ch in enumerate(chunks):
-        tmp = f"{src}_tmp{i}"
-        (ch.select("ts", "user_id", "value")
-         .coalesce(1).write.mode("overwrite").parquet(tmp))
-        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
-        dst = f"{src}/{i:02d}.parquet"
-        shutil.copyfile(part, dst)
-        os.utime(dst, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
-        shutil.rmtree(tmp)
+    src = stage_ordered_files(
+        [ch.select("ts", "user_id", "value") for ch in chunks],
+        _out("stream_late_src"))
     spark.catalog.dropTempView("stream_late_sink")
     return streaming_windowed_agg_append(
         spark, src, "stream_late_sink",
@@ -4947,6 +4939,18 @@ def q_streaming_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ], ckpt)
 
 
+#: the TTL audit's durations and chunking, shared between the Spark key
+#: and its DuckDB oracle (the oracle interpolates the SAME parsed
+#: values via _interval_to_us, so retuning one string retunes both
+#: sides — r12 review closed the hand-matched-constants gap).  The
+#: 31-day eviction-watermark cutoff in the key body is derived from
+#: these (3 chunks x 10 days + slack < sentinel's 49.5-day sweep) and
+#: must be re-derived if they change.
+_TTL_EVICTION_TTL = "4 days"
+_TTL_EVICTION_DELAY = "12 hours"
+_TTL_EVICTION_CHUNK_DAYS = 10
+
+
 def q_streaming_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming state-store TTL/eviction audit, oracle-certified
     (the README roadmap's 'state-store TTL/eviction audit' tranche).
@@ -4979,10 +4983,10 @@ def q_streaming_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the TTL provably reclaims idle keys' state, which is what
     keeps an unbounded production stream's store flat.
     """
-    import glob as _glob
-
     from dynamic_partitioner_spark.streaming.stateful import (
         run_ttl_eviction_audit)
+    from dynamic_partitioner_spark.streaming.write import (
+        stage_ordered_files)
     apply_engine_confs(spark)
     events = _table(spark, sf_dir, "events")
     ev = events.select("user_id", "event_type", "value",
@@ -4990,30 +4994,23 @@ def q_streaming_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
                        event_time_us(events).alias("_us"))
     m = int(ev.agg(F.min("_us")).collect()[0][0])
     day_us = 86_400_000_000
+    chunk_us = _TTL_EVICTION_CHUNK_DAYS * day_us
     ev = ev.withColumn(
-        "_chunk", F.least(F.expr(f"(_us - {m}) div {10 * day_us}"),
+        "_chunk", F.least(F.expr(f"(_us - {m}) div {chunk_us}"),
                           F.lit(2)))
     chunks = [ev.where(F.col("_chunk") == i)
               .select("user_id", "event_type", "ts", "value")
               for i in range(3)]
     # sentinel: far-future single event under a reserved key — its
-    # batch carries eviction watermark max(all events) - 12h, flushing
-    # every timeout the data batches left pending, deterministically
+    # batch carries eviction watermark max(all events) - delay,
+    # flushing every timeout the data batches left pending,
+    # deterministically
     sentinel = spark.range(1).select(
         F.lit(-1).cast("long").alias("user_id"),
         F.lit("sentinel").alias("event_type"),
         F.expr(f"timestamp_micros({m + 50 * day_us})").alias("ts"),
         F.lit(0.0).alias("value"))
-    src = _out("stream_ttl_src")
-    os.makedirs(src)
-    for i, ch in enumerate(chunks + [sentinel]):
-        tmp = f"{src}_tmp{i}"
-        ch.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
-        dst = f"{src}/{i:02d}.parquet"
-        shutil.copyfile(part, dst)
-        os.utime(dst, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
-        shutil.rmtree(tmp)
+    src = stage_ordered_files(chunks + [sentinel], _out("stream_ttl_src"))
     spark.catalog.dropTempView("stream_ttl_sink")
     # state_partitions=16: the (user_id, event_type) keyspace is 7.5k
     # at sf0.1 and the per-batch cost is Python-worker-bound (one
@@ -5022,7 +5019,8 @@ def q_streaming_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 3-batch drain; 16 is the stable knee
     evicts = run_ttl_eviction_audit(
         spark, src, "stream_ttl_sink", ["user_id", "event_type"],
-        ttl="4 days", watermark_delay="12 hours", state_partitions=16)
+        ttl=_TTL_EVICTION_TTL, watermark_delay=_TTL_EVICTION_DELAY,
+        state_partitions=16)
     return (evicts
             .where((F.col("evict_wm_us") <= m + 31 * day_us)
                    & (F.col("user_id") >= 0))
@@ -6302,6 +6300,15 @@ def oracle_sql() -> dict[str, str]:
     from dynamic_partitioner_spark.operators.vectorize import (
         hashed_counts_sql)
 
+    from dynamic_partitioner_spark.streaming.stateful import (
+        _interval_to_us)
+
+    # the TTL-eviction oracle interpolates the SAME parsed durations
+    # the Spark key passes to run_ttl_eviction_audit (r12 review)
+    _ttl_ms = _interval_to_us(_TTL_EVICTION_TTL) // 1000
+    _ttl_delay_ms = _interval_to_us(_TTL_EVICTION_DELAY) // 1000
+    _ttl_chunk_us = _TTL_EVICTION_CHUNK_DAYS * 86_400_000_000
+
     tok = TX.TOKEN_COUNT_SQL.format(c="text")
     bpe = TX.BPE_TOKEN_COUNT_SQL.format(c="text")
     punct = TX.PUNCT_RATIO_SQL.format(c="text")
@@ -7300,30 +7307,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, round(value, 2) AS value "
             "FROM events"),
         # batch replay of the staged TTL-eviction stream (see
-        # q_streaming_ttl_eviction): per-key per-10-day-chunk pivots +
-        # the three global eviction watermarks (ms-truncated exactly
-        # like Spark's event-time clock: wm entering batch i =
-        # max(us // 1000 over chunks < i) - 12h), cascaded through the
-        # generation splits; a timeout fires iff the key is absent
-        # from the batch's chunk and its (last_seen//1000 + 4d) is
+        # q_streaming_ttl_eviction): per-key per-chunk pivots + the
+        # three global eviction watermarks (ms-truncated exactly like
+        # Spark's event-time clock: wm entering batch i =
+        # max(us // 1000 over chunks < i) - delay), cascaded through
+        # the generation splits; a timeout fires iff the key is absent
+        # from the batch's chunk and its (last_seen//1000 + ttl) is
         # STRICTLY below the watermark (strictness pinned in
-        # tests/test_streaming.py)
-        "streaming_ttl_eviction": """
+        # tests/test_streaming.py).  Durations/chunking interpolate
+        # from the SAME constants the Spark key uses.
+        "streaming_ttl_eviction": f"""
             WITH p AS (SELECT min(epoch_us(ts)) AS m FROM events),
             e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
                          CAST(floor(value * 100 + 0.5) AS BIGINT)
                              AS cents,
                          least((epoch_us(ts) - (SELECT m FROM p))
-                               // 864000000000, 2) AS chunk
+                               // {_ttl_chunk_us}, 2) AS chunk
                   FROM events),
             g AS (SELECT user_id, event_type, chunk, count(*) AS n,
                          CAST(sum(cents) AS BIGINT) AS c, max(us) AS s
                   FROM e GROUP BY 1, 2, 3),
             w AS (SELECT (max(CASE WHEN chunk <= 0 THEN s END) // 1000)
-                             - 43200000 AS w1,
+                             - {_ttl_delay_ms} AS w1,
                          (max(CASE WHEN chunk <= 1 THEN s END) // 1000)
-                             - 43200000 AS w2,
-                         (max(s) // 1000) - 43200000 AS w3
+                             - {_ttl_delay_ms} AS w2,
+                         (max(s) // 1000) - {_ttl_delay_ms} AS w3
                   FROM g),
             k AS (SELECT user_id, event_type,
                          max(CASE WHEN chunk = 0 THEN n END) AS n0,
@@ -7338,7 +7346,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM g GROUP BY 1, 2),
             b1 AS (SELECT k.*, w.w1, w.w2, w.w3,
                           (s0 IS NOT NULL AND s1 IS NULL
-                           AND s0 // 1000 + 345600000 < w1) AS e1
+                           AND s0 // 1000 + {_ttl_ms} < w1) AS e1
                    FROM k, w),
             b2 AS (SELECT *,
                           CASE WHEN s1 IS NOT NULL
@@ -7355,7 +7363,7 @@ def oracle_sql() -> dict[str, str]:
                    FROM b1),
             b3 AS (SELECT *,
                           (l1 IS NOT NULL AND s2 IS NULL
-                           AND l1 // 1000 + 345600000 < w2) AS e2
+                           AND l1 // 1000 + {_ttl_ms} < w2) AS e2
                    FROM b2),
             b4 AS (SELECT *,
                           CASE WHEN s2 IS NOT NULL
@@ -7372,7 +7380,7 @@ def oracle_sql() -> dict[str, str]:
                    FROM b3),
             fin AS (SELECT *,
                            (l2 IS NOT NULL
-                            AND l2 // 1000 + 345600000 < w3) AS e3
+                            AND l2 // 1000 + {_ttl_ms} < w3) AS e3
                     FROM b4)
             SELECT user_id, event_type,
                    CAST(CASE WHEN e1 THEN 1 ELSE 0 END

@@ -373,9 +373,11 @@ def _interval_to_us(spec: str) -> int:
     """``"4 days"`` / ``"12 hours"`` / ``"30 minutes"`` → microseconds.
 
     Tiny on purpose: the TTL audit needs the SAME duration in two
-    places (Spark's ``setTimeoutTimestamp`` arithmetic and the staged
-    oracle's replay), so both sides parse one string instead of
-    trusting two hand-converted constants to agree.
+    places — Spark's ``setTimeoutTimestamp`` arithmetic here, and the
+    DuckDB oracle's replay (``oracle_sql()`` in ``__spark_entry__.py``
+    interpolates ``_interval_to_us`` of the same shared constants into
+    the SQL) — so both sides parse one string and retuning the string
+    retunes both.
     """
     n_str, unit = spec.strip().split()
     n = int(n_str)

@@ -87,6 +87,36 @@ from ..operators.partitioned_write import STAGE_FIELD
 from ..spec import SinkSpec
 
 
+def stage_ordered_files(frames: list[DataFrame], src: str) -> str:
+    """Write each DataFrame as ONE parquet file under ``src`` with
+    forced ascending mtimes (60 s apart), so a file-source stream with
+    ``maxFilesPerTrigger=1`` consumes them as deterministic
+    micro-batches in list order.
+
+    This is the determinism primitive every staged-stream audit key
+    relies on (``streaming_late_audit``, ``streaming_ttl_eviction``,
+    and the pytest pins): the file-source orders by modification time,
+    so the forced-mtime copy is what turns "a directory of files" into
+    "a reproducible batch sequence".  One implementation on purpose —
+    the mtime spacing and ``NN.parquet`` naming must stay byte-
+    consistent across every caller (r12 review: three drifting copies).
+    """
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(src)
+    for i, df in enumerate(frames):
+        tmp = f"{src}_tmp{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{src}/{i:02d}.parquet"
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+        shutil.rmtree(tmp)
+    return src
+
+
 def stream_from_files(spark: SparkSession, src_path: str,
                       fmt: str = "parquet",
                       max_files_per_trigger: int | None = None) -> DataFrame:

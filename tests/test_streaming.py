@@ -416,20 +416,13 @@ def test_streaming_expectations_rejects_single_slash_and_authority_uris(
 
 
 def _stage_ordered_files(spark, src, frames):
-    """Write each frame as ONE parquet file under ``src`` with forced
-    ascending mtimes, so ``maxFilesPerTrigger=1`` consumes them as
-    deterministic micro-batches in list order."""
-    import glob
+    """Delegates to the package's determinism primitive — the tests
+    must exercise the SAME staging the entry keys use (one
+    implementation; r12 review folded three drifting copies)."""
+    from dynamic_partitioner_spark.streaming.write import (
+        stage_ordered_files)
 
-    os.makedirs(src)
-    for i, df in enumerate(frames):
-        tmp = f"{src}_tmp{i}"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = glob.glob(f"{tmp}/part-*.parquet")[0]
-        dst = f"{src}/{i:02d}.parquet"
-        shutil.copyfile(part, dst)
-        os.utime(dst, (1_000_000_000 + i * 60,) * 2)
-        shutil.rmtree(tmp)
+    stage_ordered_files(frames, src)
 
 
 def test_ttl_eviction_semantics_pinned(spark, tmp_out):

@@ -328,10 +328,14 @@ def compare_features(key: str, now: dict, expected: dict | None
         else:
             notes.append(f"{key}: {feat} {ev}->{nv} (improvement — "
                          "re-snapshot with --update-expectations)")
-    if expected["partial_agg"] and not now["partial_agg"]:
+    exp_partial = expected.get("partial_agg")
+    if exp_partial is None:
+        notes.append(f"{key}: snapshot predates feature 'partial_agg' "
+                     "— re-snapshot with --update-expectations")
+    elif exp_partial and not now["partial_agg"]:
         problems.append("map-side partial aggregation lost — every "
                         "grouped row now crosses the shuffle unreduced")
-    elif now["partial_agg"] and not expected["partial_agg"]:
+    elif now["partial_agg"] and not exp_partial:
         notes.append(f"{key}: partial aggregation appeared "
                      "(improvement — re-snapshot)")
     return problems, notes
@@ -366,6 +370,13 @@ def main() -> int:
     from dynamic_partitioner_spark import get_spark
 
     exp = load_expectations() if (check or update) else None
+    if check and exp is None and not update:
+        # a missing committed fixture must not silently disable the
+        # positive gate (r12 review): FAIL, don't no-op to OK
+        print("PLAN CHECK: FAIL — tools/plan_expectations.json missing; "
+              "restore the committed fixture or regenerate deliberately "
+              "with --update-expectations")
+        return 1
     sf_name = os.path.basename(sf_dir.rstrip("/"))
     compare = check and exp is not None and exp.get("sf") == sf_name
     if check and exp is not None and not compare:
