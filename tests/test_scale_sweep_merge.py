@@ -1,0 +1,60 @@
+"""Per-key scale-sweep runs must MERGE into the existing SCALING.md
+main table — a 2-key spot run that rewrote the table with only the
+measured keys silently dropped ~200 adjudicated rows (r12).  Pure
+string-level tests over tools/scale_sweep.py's merge unit."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+
+def _sweep():
+    spec = importlib.util.spec_from_file_location(
+        "sweep_mod", "/root/repo/tools/scale_sweep.py")
+    m = importlib.util.module_from_spec(spec)
+    sys.modules["sweep_mod"] = m
+    spec.loader.exec_module(m)
+    return m
+
+
+_MD = """# Scale sweep — measured runtime vs scale factor
+
+prose here
+
+| key | sf0.001 | sf0.01 | sf0.1 | rows@0.1 | slope |
+|---|---|---|---|---|---|
+| old_key_a | 1.00s | 1.10s | 2.20s | 10 | +0.30 |
+| old_key_b | 0.50s | 0.60s | 0.70s | 20 | +0.07 |
+
+tail prose
+
+## sf1 spot-run — the data-bound tail at 10x
+
+| key | sf0.1 | sf1 | rows@1 | slope 0.1→1 |
+|---|---|---|---|---|
+| spot_key | 2.00s | 9.00s | 99 | +0.65 |
+"""
+
+
+def test_merge_keeps_unmeasured_rows_and_prefers_fresh():
+    S = _sweep()
+    fresh = {"old_key_a": ("| old_key_a | 1.50s | 1.60s | 3.00s | 10 "
+                           "| +0.27 |", 0.27)}
+    out = S.merge_table_rows(_MD, fresh)
+    # the re-measured key keeps its FRESH row; the unmeasured one is
+    # carried over verbatim with its parsed slope
+    assert "3.00s" in out["old_key_a"][0]
+    assert out["old_key_b"] == (
+        "| old_key_b | 0.50s | 0.60s | 0.70s | 20 | +0.07 |", 0.07)
+    # spot-run sections (after the first ## header) are never scanned:
+    # their rows have a different shape and belong to _replace_section
+    assert "spot_key" not in out
+    # header/separator lines don't match the row pattern
+    assert "key" not in out and "---" not in out
+
+
+def test_merge_tolerates_empty_or_headerless_md():
+    S = _sweep()
+    assert S.merge_table_rows("", {}) == {}
+    assert S.merge_table_rows("no table at all", {}) == {}

@@ -127,6 +127,23 @@ SF1_DIR = "/root/repo/.scratch/sf1"
 SF10_DIR = "/root/repo/.scratch/sf10"
 
 
+def merge_table_rows(md: str, new_lines: dict[str, tuple[str, float]]
+                     ) -> dict[str, tuple[str, float]]:
+    """Fold the existing main-table rows of SCALING.md into
+    ``new_lines`` (key → (formatted row, slope)) WITHOUT overwriting
+    freshly-measured keys — the merge that lets a per-key spot run
+    update its rows in place instead of wiping the other ~200
+    adjudicated measurements.  Only the main table (before the first
+    ``## `` spot-run section) is scanned; header/separator lines don't
+    match the row pattern.  Mutates and returns ``new_lines``.
+    """
+    for ln in md.split("\n## ")[0].splitlines():
+        m = re.match(r"\| (\w+) \|.* ([+-]\d+\.\d+) \|$", ln)
+        if m and m.group(1) not in new_lines:
+            new_lines[m.group(1)] = (ln, float(m.group(2)))
+    return new_lines
+
+
 def _replace_section(md: str, header: str, section: str) -> str:
     """Replace ONLY the named ``## `` section (up to the next ``## ``
     header or EOF), preserving every other section — a truncate-at-
@@ -489,10 +506,7 @@ def main() -> None:
         # class as the _replace_section fix above)
         try:
             with open("/root/repo/SCALING.md") as f:
-                for ln in f.read().split("\n## ")[0].splitlines():
-                    m = re.match(r"\| (\w+) \|.* ([+-]\d+\.\d+) \|$", ln)
-                    if m and m.group(1) not in new_lines:
-                        new_lines[m.group(1)] = (ln, float(m.group(2)))
+                merge_table_rows(f.read(), new_lines)
         except FileNotFoundError:
             pass
 
