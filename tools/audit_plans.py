@@ -231,7 +231,10 @@ def summarize(plan: str) -> list[str]:
     for line in plan.splitlines():
         s = line.strip()
         if _KEEP.search(line):
-            out.append(s[:160])
+            # strip Catalyst expression ids (#1234) — they renumber on
+            # every session, so keeping them makes PLANS.md churn on
+            # re-generation with no semantic change
+            out.append(re.sub(r"#\d+L?", "#", s)[:160])
     return out
 
 
