@@ -517,3 +517,30 @@ def test_ttl_eviction_timeout_equal_watermark_does_not_fire(spark, tmp_out):
     evs = [(r.user_id, r.gen_events, r.evict_wm_us / 60_000_000 - B0)
            for r in out.collect() if r.user_id == "E"]
     assert evs == [("E", 1, 115.0)]
+
+
+def test_stage_ordered_files_layout_and_mtimes(spark, tmp_out):
+    """The staging primitive's contract, asserted directly: one
+    NN.parquet file per frame, strictly ascending mtimes 60s apart,
+    and the batch source reads the rows back intact."""
+    from dynamic_partitioner_spark.streaming.write import (
+        stage_ordered_files)
+
+    frames = [spark.createDataFrame([(i,)], "k long") for i in range(3)]
+    src = stage_ordered_files(frames, os.path.join(tmp_out, "src"))
+    names = sorted(os.listdir(src))
+    assert names == ["00.parquet", "01.parquet", "02.parquet"]
+    mtimes = [os.path.getmtime(os.path.join(src, n)) for n in names]
+    assert mtimes == sorted(mtimes)
+    assert all(b - a == 60 for a, b in zip(mtimes, mtimes[1:]))
+    assert sorted(r.k for r in spark.read.parquet(src).collect()) == [0, 1, 2]
+
+
+def test_interval_to_us_units():
+    from dynamic_partitioner_spark.streaming.stateful import (
+        _interval_to_us)
+
+    assert _interval_to_us("4 days") == 4 * 86_400_000_000
+    assert _interval_to_us("12 hours") == 12 * 3_600_000_000
+    assert _interval_to_us("1 minute") == 60_000_000
+    assert _interval_to_us("30 seconds") == 30_000_000
