@@ -473,11 +473,10 @@ def ttl_evicted_state(sdf: DataFrame, key_cols: list[str],
         state.setTimeoutTimestamp(last_us // 1000 + ttl_ms)
         return
 
-    cols = [F.col(c) for c in key_cols]
-    prepared = (sdf.select(*cols,
-                           _event_ts(sdf, ts_col).alias("_ets"),
-                           F.unix_micros(_event_ts(sdf, ts_col))
-                           .alias("_us"),
+    ets = _event_ts(sdf, ts_col)
+    prepared = (sdf.select(*[F.col(c) for c in key_cols],
+                           ets.alias("_ets"),
+                           F.unix_micros(ets).alias("_us"),
                            F.floor(F.col(value_col) * 100 + F.lit(0.5))
                            .cast("long").alias("_cents"))
                 .withWatermark("_ets", watermark_delay))

@@ -415,7 +415,7 @@ def test_streaming_expectations_rejects_single_slash_and_authority_uris(
             spark, src, [("not_null", "k")], "file://host/ck")
 
 
-def _stage_ordered_files(spark, src, frames):
+def _stage_ordered_files(src, frames):
     """Delegates to the package's determinism primitive — the tests
     must exercise the SAME staging the entry keys use (one
     implementation; r12 review folded three drifting copies)."""
@@ -464,7 +464,7 @@ def test_ttl_eviction_semantics_pinned(spark, tmp_out):
         mk([("B", 180, 1.0)]),                 # batch 3, wm 120-5=115min
     ]
     src = os.path.join(tmp_out, "ttl_src")
-    _stage_ordered_files(spark, src, frames)
+    _stage_ordered_files(src, frames)
     out = run_ttl_eviction_audit(spark, src, "ttl_pin_sink", ["user_id"],
                                  ttl="40 minutes",
                                  watermark_delay="5 minutes",
@@ -507,7 +507,7 @@ def test_ttl_eviction_timeout_equal_watermark_does_not_fire(spark, tmp_out):
               mk([("A", 120, 1.0)]),
               mk([("A", 180, 1.0)])]
     src = os.path.join(tmp_out, "ttl_tie_src")
-    _stage_ordered_files(spark, src, frames)
+    _stage_ordered_files(src, frames)
     from dynamic_partitioner_spark.streaming.stateful import (
         run_ttl_eviction_audit)
     out = run_ttl_eviction_audit(spark, src, "ttl_tie_sink", ["user_id"],

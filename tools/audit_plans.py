@@ -36,6 +36,8 @@ from __future__ import annotations
 
 import contextlib
 import io
+import json
+import os
 import re
 import sys
 
@@ -345,8 +347,6 @@ def compare_features(key: str, now: dict, expected: dict | None
 
 
 def load_expectations() -> dict | None:
-    import json
-    import os
     if not os.path.exists(EXPECTATIONS_PATH):
         return None
     with open(EXPECTATIONS_PATH) as fh:
@@ -361,9 +361,6 @@ def formatted_plan(df) -> str:
 
 
 def main() -> int:
-    import json
-    import os
-
     flags = {"--check", "--update-expectations"}
     args = [a for a in sys.argv[1:] if a not in flags]
     check = "--check" in sys.argv[1:]
