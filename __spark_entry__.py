@@ -4943,12 +4943,20 @@ def q_streaming_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: and its DuckDB oracle (the oracle interpolates the SAME parsed
 #: values via _interval_to_us, so retuning one string retunes both
 #: sides — r12 review closed the hand-matched-constants gap).  The
-#: 31-day eviction-watermark cutoff in the key body is derived from
-#: these (3 chunks x 10 days + slack < sentinel's 49.5-day sweep) and
-#: must be re-derived if they change.
+#: eviction-watermark cutoff below is derived from these and must be
+#: re-derived if they change.
 _TTL_EVICTION_TTL = "4 days"
 _TTL_EVICTION_DELAY = "12 hours"
 _TTL_EVICTION_CHUNK_DAYS = 10
+#: eviction-watermark cutoff (min event time + 31 days = 3 chunks x
+#: 10 days + 1 day slack, strictly under the sentinel's 49.5-day
+#: sweep): excludes any engine-dependent post-sentinel eviction.
+#: Shared STRUCTURALLY by the Spark key and the DuckDB oracle (each
+#: replayed eviction's watermark is tested against the same constant)
+#: so a fixture that grows past the cutoff drops the same rows on
+#: both sides instead of failing the hash compare (r12 ADVICE #2).
+_TTL_EVICTION_CUTOFF_US = ((3 * _TTL_EVICTION_CHUNK_DAYS + 1)
+                           * 86_400_000_000)
 
 
 def q_streaming_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5022,7 +5030,7 @@ def q_streaming_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ttl=_TTL_EVICTION_TTL, watermark_delay=_TTL_EVICTION_DELAY,
         state_partitions=16)
     return (evicts
-            .where((F.col("evict_wm_us") <= m + 31 * day_us)
+            .where((F.col("evict_wm_us") <= m + _TTL_EVICTION_CUTOFF_US)
                    & (F.col("user_id") >= 0))
             .groupBy("user_id", "event_type")
             .agg(F.count(F.lit(1)).alias("n_evictions"),
@@ -6308,6 +6316,7 @@ def oracle_sql() -> dict[str, str]:
     _ttl_ms = _interval_to_us(_TTL_EVICTION_TTL) // 1000
     _ttl_delay_ms = _interval_to_us(_TTL_EVICTION_DELAY) // 1000
     _ttl_chunk_us = _TTL_EVICTION_CHUNK_DAYS * 86_400_000_000
+    _ttl_cutoff_us = _TTL_EVICTION_CUTOFF_US
 
     tok = TX.TOKEN_COUNT_SQL.format(c="text")
     bpe = TX.BPE_TOKEN_COUNT_SQL.format(c="text")
@@ -7315,7 +7324,11 @@ def oracle_sql() -> dict[str, str]:
         # from the batch's chunk and its (last_seen//1000 + ttl) is
         # STRICTLY below the watermark (strictness pinned in
         # tests/test_streaming.py).  Durations/chunking interpolate
-        # from the SAME constants the Spark key uses.
+        # from the SAME constants the Spark key uses, and every
+        # replayed eviction's watermark is tested against the SAME
+        # min+31d cutoff the Spark key applies (r12 ADVICE #2: both
+        # sides drop post-cutoff evictions together, so a fixture
+        # spanning past the cutoff cannot desynchronize them).
         "streaming_ttl_eviction": f"""
             WITH p AS (SELECT min(epoch_us(ts)) AS m FROM events),
             e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
@@ -7331,7 +7344,9 @@ def oracle_sql() -> dict[str, str]:
                              - {_ttl_delay_ms} AS w1,
                          (max(CASE WHEN chunk <= 1 THEN s END) // 1000)
                              - {_ttl_delay_ms} AS w2,
-                         (max(s) // 1000) - {_ttl_delay_ms} AS w3
+                         (max(s) // 1000) - {_ttl_delay_ms} AS w3,
+                         ((SELECT m FROM p) + {_ttl_cutoff_us}) // 1000
+                             AS wcut
                   FROM g),
             k AS (SELECT user_id, event_type,
                          max(CASE WHEN chunk = 0 THEN n END) AS n0,
@@ -7344,9 +7359,10 @@ def oracle_sql() -> dict[str, str]:
                          max(CASE WHEN chunk = 2 THEN c END) AS c2,
                          max(CASE WHEN chunk = 2 THEN s END) AS s2
                   FROM g GROUP BY 1, 2),
-            b1 AS (SELECT k.*, w.w1, w.w2, w.w3,
+            b1 AS (SELECT k.*, w.w1, w.w2, w.w3, w.wcut,
                           (s0 IS NOT NULL AND s1 IS NULL
-                           AND s0 // 1000 + {_ttl_ms} < w1) AS e1
+                           AND s0 // 1000 + {_ttl_ms} < w1
+                           AND w1 <= wcut) AS e1
                    FROM k, w),
             b2 AS (SELECT *,
                           CASE WHEN s1 IS NOT NULL
@@ -7363,7 +7379,8 @@ def oracle_sql() -> dict[str, str]:
                    FROM b1),
             b3 AS (SELECT *,
                           (l1 IS NOT NULL AND s2 IS NULL
-                           AND l1 // 1000 + {_ttl_ms} < w2) AS e2
+                           AND l1 // 1000 + {_ttl_ms} < w2
+                           AND w2 <= wcut) AS e2
                    FROM b2),
             b4 AS (SELECT *,
                           CASE WHEN s2 IS NOT NULL
@@ -7380,7 +7397,8 @@ def oracle_sql() -> dict[str, str]:
                    FROM b3),
             fin AS (SELECT *,
                            (l2 IS NOT NULL
-                            AND l2 // 1000 + {_ttl_ms} < w3) AS e3
+                            AND l2 // 1000 + {_ttl_ms} < w3
+                            AND w3 <= wcut) AS e3
                     FROM b4)
             SELECT user_id, event_type,
                    CAST(CASE WHEN e1 THEN 1 ELSE 0 END

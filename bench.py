@@ -256,13 +256,25 @@ def main() -> None:
                              "to shuffle-heavy keys at small SF; scale "
                              "posture paid at bench SF")}, f,
                   indent=1, sort_keys=True)
-    top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:30])
-    print(json.dumps({
+    # The driver captures only the LAST 2000 bytes of stdout, so the
+    # single JSON line must fit that window or the round artifact
+    # records ``parsed: null`` (r10 overflowed via full per-key
+    # timings; r12 via a 26-entry ``remeasured`` dict — r12 VERDICT
+    # #3).  The full remeasured dict and all timings stay durable in
+    # BENCH_FULL.json; stdout carries the adjudication SUMMARY — how
+    # many keys were remeasured and which ones HELD >=1.3x after the
+    # warm median-of-3 (the only entries a reader acts on) — and the
+    # top-N queries shrink until the line fits a 1800-byte budget
+    # (r9/r11 parsed fine at ~1350).
+    hot = sorted(k for k, v in remeasured.items()
+                 if v.get("median3") is not None and v["prev"] > 0
+                 and v["median3"] / v["prev"] >= 1.3)
+    errs = sorted(k for k, v in remeasured.items() if "error" in v)
+    payload = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
         "n_queries": len(timings),
-        "queries": {k: timings[k] for k in timings if k in top},
         "sf": float(sf),
         # round-over-round median ratio on keys common with the last
         # committed full run at this SF (None on SF change / first run)
@@ -272,13 +284,20 @@ def main() -> None:
         "load_end": [round(x, 2) for x in os.getloadavg()],
         "canary_ratio": canary_ratio,
         "canary_keys": canary_keys,
-        # first sample stays authoritative in `queries`; the warm
-        # median-of-3 sits here for the noise-vs-regression read
-        "remeasured": remeasured,
+        "remeasured_n": len(remeasured),
+        "remeasured_hot": hot,
+        "remeasured_err": errs,
         "orphan_dirs_seen": orphan_dirs_seen,
-        "orphan_dirs": orphan_dirs,
+        "orphan_dirs": orphan_dirs[:5],
         "prev_baseline_labeled": prev_labeled,
-    }))
+        "detail": "BENCH_FULL.json",
+    }
+    for top_n in (30, 20, 12, 6, 0):
+        payload["queries"] = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:top_n])
+        if len(json.dumps(payload)) <= 1800:
+            break
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

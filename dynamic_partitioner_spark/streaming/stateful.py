@@ -469,8 +469,17 @@ def ttl_evicted_state(sdf: DataFrame, key_cols: list[str],
             cents += int(pdf["_cents"].sum())
             last_us = max(last_us, int(pdf["_us"].max()))
         state.update((n, cents, last_us))
-        # ms-truncating: Spark's event-time clock is millisecond-granular
-        state.setTimeoutTimestamp(last_us // 1000 + ttl_ms)
+        # ms-truncating: Spark's event-time clock is millisecond-granular.
+        # Clamped to watermark+1: Spark REJECTS a timeout at-or-below the
+        # current watermark (IllegalArgumentException in
+        # GroupStateImpl.setTimeoutTimestamp), which a generic source hits
+        # when one batch advances the watermark past last_seen+TTL while
+        # the key still receives (near-late) rows — the staged 10-day-chunk
+        # fixture never does, but a caller's stream may (r12 ADVICE #1).
+        # A clamped key times out in the NEXT batch, the earliest eviction
+        # Spark can express for it.
+        state.setTimeoutTimestamp(max(last_us // 1000 + ttl_ms,
+                                      state.getCurrentWatermarkMs() + 1))
         return
 
     ets = _event_ts(sdf, ts_col)

@@ -128,6 +128,21 @@ def test_missing_snapshot_entry_notes_not_fails():
     assert problems == [] and "no snapshot entry" in notes[0]
 
 
+def test_missing_snapshot_entry_gates_check_mode():
+    """r12 ADVICE #4: compare_features only NOTES a missing per-key
+    entry (so --update-expectations can adjudicate it), but plain
+    --check must FAIL on it — otherwise a newly added AUDIT_KEYS key
+    is never covered by the positive plan assertions until someone
+    remembers to re-snapshot."""
+    A = _audit()
+    problems = A.missing_entry_problems(None, update=False)
+    assert len(problems) == 1 and "ungated" in problems[0]
+    # same run is adjudicating the entry — no failure
+    assert A.missing_entry_problems(None, update=True) == []
+    # an existing entry never trips this gate
+    assert A.missing_entry_problems(_BASE, update=False) == []
+
+
 def test_plan_features_extraction_is_node_id_deduped():
     """Counts must come from distinct node ids (formatted explain
     repeats each node in the details section) and partial-agg presence

@@ -58,3 +58,20 @@ def test_merge_tolerates_empty_or_headerless_md():
     S = _sweep()
     assert S.merge_table_rows("", {}) == {}
     assert S.merge_table_rows("no table at all", {}) == {}
+
+
+def test_merge_tolerates_trailing_whitespace_and_reports_drops(capsys):
+    """r12 ADVICE #3: a hand-edited row with trailing spaces must still
+    be carried over (rstripped), and a |-shaped row that genuinely
+    fails to parse must be REPORTED, not silently dropped — silent row
+    loss is the class this merge exists to prevent."""
+    S = _sweep()
+    md = (_MD.replace(
+        "| old_key_b | 0.50s | 0.60s | 0.70s | 20 | +0.07 |",
+        "| old_key_b | 0.50s | 0.60s | 0.70s | 20 | +0.07 |   ")
+        + "").split("\n## ")[0] + "| broken_key | no slope here |\n"
+    out = S.merge_table_rows(md, {})
+    assert out["old_key_b"] == (
+        "| old_key_b | 0.50s | 0.60s | 0.70s | 20 | +0.07 |", 0.07)
+    assert "broken_key" not in out
+    assert "broken_key" in capsys.readouterr().err

@@ -306,6 +306,22 @@ _DEGRADE_RULES = [
 ]
 
 
+def missing_entry_problems(expected_entry: dict | None,
+                           update: bool) -> list[str]:
+    """The missing-FILE case hard-fails in ``main``; a missing per-key
+    ENTRY must fail ``--check`` too, or a newly added AUDIT_KEYS key
+    rides ungated by the positive assertions until someone remembers
+    to run ``--update-expectations`` (r12 ADVICE #4).  With
+    ``--update-expectations`` in the same run the entry is being
+    adjudicated right now, so only :func:`compare_features`' note
+    applies."""
+    if expected_entry is None and not update:
+        return ["no snapshot entry in plan_expectations.json — "
+                "new AUDIT_KEYS key is ungated; adjudicate with "
+                "--update-expectations"]
+    return []
+
+
 def compare_features(key: str, now: dict, expected: dict | None
                      ) -> tuple[list[str], list[str]]:
     """Compare live features to the snapshot → (problems, notes).
@@ -402,6 +418,8 @@ def main() -> int:
                     key, feats, exp["keys"].get(key))
                 problems += fproblems
                 notes += fnotes
+                problems += missing_entry_problems(
+                    exp["keys"].get(key), update)
             if problems:
                 n_bad += 1
                 for p in problems:

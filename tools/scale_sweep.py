@@ -135,12 +135,20 @@ def merge_table_rows(md: str, new_lines: dict[str, tuple[str, float]]
     update its rows in place instead of wiping the other ~200
     adjudicated measurements.  Only the main table (before the first
     ``## `` spot-run section) is scanned; header/separator lines don't
-    match the row pattern.  Mutates and returns ``new_lines``.
+    match the row pattern.  Trailing whitespace after the final ``|``
+    is tolerated, and any ``|``-shaped line whose key still fails to
+    parse is reported on stderr — silently dropping a hand-edited row
+    is the exact loss class this merge exists to prevent (r12 ADVICE
+    #3).  Mutates and returns ``new_lines``.
     """
     for ln in md.split("\n## ")[0].splitlines():
-        m = re.match(r"\| (\w+) \|.* ([+-]\d+\.\d+) \|$", ln)
+        m = re.match(r"\| (\w+) \|.* ([+-]\d+\.\d+) \|\s*$", ln)
         if m and m.group(1) not in new_lines:
-            new_lines[m.group(1)] = (ln, float(m.group(2)))
+            new_lines[m.group(1)] = (ln.rstrip(), float(m.group(2)))
+        elif m is None and re.match(r"\| \w", ln) \
+                and not re.match(r"\| key ", ln):
+            print(f"# merge: unparseable row NOT carried over: {ln!r}",
+                  file=sys.stderr)
     return new_lines
 
 
