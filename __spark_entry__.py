@@ -5091,6 +5091,57 @@ def q_ops_snapshot_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_qty_c", "max_qty_c", "nulls_qty_c")
 
 
+def q_ops_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-pruned READ (r13 roadmap tranche; closes the Iceberg
+    prune-before-read loop the snapshot manifest exists for —
+    Apache Iceberg spec §Scan Planning): four RANGE-clustered commits
+    (append, append, overwrite, append) over contiguous l_orderkey
+    slices of width W = max//4 + 1, one file each, then
+    ``read_pruned`` at version 4 (commits 3+4 visible) with
+    ``l_orderkey <= 2W + W//2`` — a predicate whose bounds
+    intersection keeps ONLY commit 3's file, so the planned scan
+    reads 1 of the snapshot's 2 files and the residual filter
+    restores row-exactness.
+
+    The hashed relation is the pruned read's rows themselves (exact
+    multiset vs the oracle's slice-arithmetic replay); the PLAN-level
+    facts the oracle cannot see — 2 files in the snapshot, 1 survivor,
+    and the executed scan's ``inputFiles()`` being exactly that
+    survivor — certify LOUDLY via ``_certify_booleans``.
+
+    100 TB posture: the planner collects only the FILES-sized manifest
+    (what every Iceberg/Delta planner does); the data scan opens only
+    surviving files, so a selective predicate on a range-clustered
+    table touches a vanishing fraction of a petabyte of footers."""
+    from dynamic_partitioner_spark.operators.versioned import (
+        plan_pruned_files, read_pruned, versioned_write)
+    apply_engine_confs(spark)
+    li = _table(spark, sf_dir, "lineitem")
+    slim = li.select(
+        "l_orderkey",
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+        .alias("qty_c"))
+    wd = int(slim.agg(F.max("l_orderkey")).collect()[0][0]) // 4 + 1
+    out = _out("ops_pruned_read")
+    for k, mode in ((0, "append"), (1, "append"),
+                    (2, "overwrite"), (3, "append")):
+        versioned_write(slim.where(F.expr(f"l_orderkey div {wd}") == k)
+                        .coalesce(1), out, mode=mode)
+    ranges = {"l_orderkey": (None, 2 * wd + wd // 2)}
+    kept, total = plan_pruned_files(spark, out, ranges, version=4)
+    res = read_pruned(spark, out, ranges, version=4)
+    scanned = {os.path.basename(p) for p in res.inputFiles()}
+    audit = spark.createDataFrame(
+        [("prune", total == 2, len(kept) == 1,
+          scanned == {os.path.basename(p) for p in kept})],
+        "pk string, snapshot_files_ok boolean, pruned_to_one boolean, "
+        "scan_matches_plan boolean")
+    _certify_booleans("ops_pruned_read", audit,
+                      ["snapshot_files_ok", "pruned_to_one",
+                       "scan_matches_plan"])
+    return res
+
+
 def q_source_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-versioned table: three commits (append, append,
     overwrite), then per-priority counts read AS OF each version —
@@ -5897,62 +5948,60 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate canonicalizes only the first ~50
 # ``queries()`` entries per round.  Rotate each round so the keys with
-# the LEAST driver evidence come first.  Round 12's window (the r11
-# VERDICT's #1 ask — all 253 keys are ever-green, so the fold is pure
-# age rotation now):
-#   first  ops_snapshot_manifest + streaming_ttl_eviction (NEW this
-#          round — never-green keys auto-join every fold until
-#          certified),
-#   then   the 18 round-6-evidence keys (one round over the 5-round
-#          freshness budget at r12; the r11 gate warned on exactly
-#          these under boundary slack — they hard-fail if unscheduled),
-#   then   30 of the 49 round-7-evidence keys, oldest first
-#          (alphabetical within the round: 2 + 18 + 30 = 50).
-# Positions 51+ carry the round-7 remainder (19 keys — q22/q8
-# displaced by the two new keys plus the 17 that never fit; at the
-# budget at r13, they lead the r13 fold), then the round-8 cohort
-# rotates in.
-_PRIORITY_R12 = [
+# the LEAST driver evidence come first.  Round 13's window:
+#   first  ops_pruned_read (NEW this round — never-green keys
+#          auto-join every fold until certified),
+#   then   streaming_ttl_eviction (r12-green but its key TEXT changed
+#          this round — the shared eviction-watermark cutoff, r12
+#          ADVICE #2 — and text changes must re-certify),
+#   then   the 19 round-7-evidence keys at the freshness budget (the
+#          r12 gate's boundary-slack warnings name exactly these —
+#          they hard-fail if unscheduled),
+#   then   29 of the 46 round-8-evidence keys, oldest first
+#          (alphabetical within the round: 1 + 1 + 19 + 29 = 50).
+# Positions 51+ carry the round-8 remainder (17 keys — they reach the
+# budget at r14 and lead the r14 fold), then the r9 cohort rotates in.
+_PRIORITY_R13 = [
     # --- NEW this round (never driver-green until certified) ---
-    "ops_snapshot_manifest", "streaming_ttl_eviction",
-    # --- round-6 evidence (one round over budget; r11 gate names them) ---
-    "query_sql_tpch_q15", "query_sql_tpch_q17", "query_sql_tpch_q18",
-    "query_sql_tpch_q4", "query_sql_tpch_q7", "query_target_encoding",
-    "sample_weighted", "similarity_topk", "streaming_late_audit",
-    "text_clean", "text_fingerprint", "text_lang_id", "text_quality",
-    "text_signals", "text_span_novelty", "text_stats",
-    "text_strip_html", "text_top_ngrams",
-    # --- round-7 evidence, oldest first (alphabetical within) ---
-    "corpus_budget_alloc", "corpus_dup_report",
-    "embedding_threshold_sweep", "event_sessionize",
-    "events_audience_overlap", "events_changepoint",
-    "events_cohort_value", "events_funnel_windowed",
-    "events_props_extract", "events_rfm", "events_seasonal_naive",
-    "events_seq_ngrams", "events_survival", "events_transitions",
-    "graph_triangles", "privacy_dp_sum", "privacy_k_histogram",
-    "privacy_randomized_response", "query_approx_percentiles",
-    "query_auc", "query_sql_lateral", "query_sql_rank_suite",
-    "query_sql_recursive", "query_sql_tpch_q11", "query_sql_tpch_q12",
-    "query_sql_tpch_q16", "query_sql_tpch_q19", "query_sql_tpch_q2",
-    "query_sql_tpch_q20", "query_sql_tpch_q21",
+    "ops_pruned_read",
+    # --- key text changed this round (must re-certify) ---
+    "streaming_ttl_eviction",
+    # --- round-7 evidence (at budget; r12 gate names them) ---
+    "query_sql_tpch_q22", "query_sql_tpch_q8", "query_sql_tpch_q9",
+    "sample_importance", "sample_kfold", "sample_stratified",
+    "sketch_cms", "source_csv_corrupt_audit", "text_chunk",
+    "text_chunk_dedup", "text_hashed_vector", "text_langid_confusion",
+    "text_lm_score", "text_readability", "text_repetition",
+    "text_template_skeleton", "text_tfidf", "text_token_ids",
+    "text_vocab",
+    # --- round-8 evidence, oldest first (alphabetical within) ---
+    "catalog_table", "embedding_pca", "embedding_roundtrip",
+    "events_ab_test", "events_interval_union", "graph_pagerank",
+    "merge_upsert", "mm_binary_roundtrip", "mm_binary_stats",
+    "mm_decode_png", "mm_features", "mm_frame_sample", "mm_png_meta",
+    "ops_retention_vacuum", "partition_compact",
+    "partitioned_write_transforms", "privacy_k_anon", "query_cube",
+    "query_distinct_agg", "query_event_gaps", "query_grouping_sets",
+    "query_histogram", "query_pivot", "query_profile",
+    "query_salted_join", "query_semi_anti", "query_set_ops",
+    "query_sliding_window", "query_snapshot_diff",
     # ---- fold: the driver checks the 50 above ----
-    # below the fold, r13 rotation order: the round-7 remainder (they
-    # reach the 5-round freshness budget at r13 — refresh them FIRST;
-    # q22/q8 displaced from the fold by the two new-this-round keys,
-    # so they lead), then the round-8 cohort
-    "query_sql_tpch_q22", "query_sql_tpch_q8",
-    "query_sql_tpch_q9", "sample_importance", "sample_kfold",
-    "sample_stratified", "sketch_cms", "source_csv_corrupt_audit",
-    "text_chunk", "text_chunk_dedup", "text_hashed_vector",
-    "text_langid_confusion", "text_lm_score", "text_readability",
-    "text_repetition", "text_template_skeleton", "text_tfidf",
-    "text_token_ids", "text_vocab",
+    # below the fold, r14 rotation order: the round-8 remainder (they
+    # reach the 5-round freshness budget at r14 — refresh them FIRST),
+    # then the round-9 cohort
+    "query_sql_window_frames", "similarity_ann_ivf",
+    "similarity_ann_lsh", "similarity_ivf_pruned",
+    "similarity_pq_rerank", "sorted_export", "source_binaryfile",
+    "source_fixed_width_roundtrip", "source_xml_roundtrip",
+    "streaming_dedup", "streaming_join", "streaming_partitioned_write",
+    "streaming_stateful_counts", "streaming_windowed_agg",
+    "text_bm25_retrieve", "text_pack", "text_rake",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _all_queries()
-    out = {k: base[k] for k in _PRIORITY_R12}
+    out = {k: base[k] for k in _PRIORITY_R13}
     out.update((k, v) for k, v in base.items() if k not in out)
     return out
 
@@ -6141,6 +6190,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": q_events_attribution,
         "source_time_travel": q_source_time_travel,
         "ops_snapshot_manifest": q_ops_snapshot_manifest,
+        "ops_pruned_read": q_ops_pruned_read,
         "query_sql_tpch_q1": q_sql_tpch_q1,
         "query_sql_tpch_q3": q_sql_tpch_q3,
         "query_sql_tpch_q5": q_sql_tpch_q5,
@@ -9410,6 +9460,24 @@ def oracle_sql() -> dict[str, str]:
             FROM snaps s
             JOIN lineitem l ON l.l_orderkey % 4 = s.mod_class
             GROUP BY s.snapshot_version, s.commit_version
+        """,
+        # slice-arithmetic replay of the manifest-pruned read: at
+        # version 4 the visible set is slices 2 and 3 (the overwrite
+        # hid 0 and 1); the predicate's upper bound 2W + W//2 lies
+        # inside slice 2, so pruning drops slice 3's file and the
+        # residual filter keeps slice-2 rows under the bound — which
+        # is exactly rows with l_orderkey // W = 2 AND
+        # l_orderkey <= 2W + W//2 (the file-level pruning itself is
+        # plan-level and certifies loudly in the Spark key)
+        "ops_pruned_read": """
+            WITH w AS (SELECT max(l_orderkey) // 4 + 1 AS wd
+                       FROM lineitem)
+            SELECT l.l_orderkey,
+                   CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT)
+                       AS qty_c
+            FROM lineitem l, w
+            WHERE l.l_orderkey // w.wd = 2
+              AND l.l_orderkey <= 2 * w.wd + w.wd // 2
         """,
         "source_time_travel": """
             WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),

@@ -194,6 +194,81 @@ def snapshot_manifest(spark: SparkSession, path: str,
                   for p in ("min", "max", "nulls")]))
 
 
+def plan_pruned_files(spark: SparkSession, path: str,
+                      ranges: dict[str, tuple],
+                      version: int | None = None
+                      ) -> tuple[list[str], int]:
+    """Plan a manifest-pruned scan: intersect inclusive range
+    predicates with :func:`snapshot_manifest`'s per-file bounds and
+    return ``(surviving file paths, total files in the snapshot)``.
+
+    ``ranges`` maps column name → ``(lo, hi)`` (either side ``None``
+    for open); the implied predicate is the conjunction of
+    ``lo <= col <= hi``.  A file survives unless some column's bounds
+    prove no row can match: ``min > hi``, ``max < lo``, or an
+    all-null column (``min`` is ``None`` — a range predicate is
+    null-rejecting, so an all-null file can never contribute a row).
+    Pruning is CONSERVATIVE (bounds overlap does not imply a matching
+    row); :func:`read_pruned` applies the residual filter for
+    exactness — the same contract as Iceberg's scan planning
+    (Apache Iceberg spec §Scan Planning: inclusive projection over
+    ``lower_bounds``/``upper_bounds``).
+
+    Scale posture: the manifest is FILES-sized, so collecting it to
+    the driver to pick the file list is exactly what every Iceberg/
+    Delta planner does — the data itself is never touched until the
+    surviving files are scanned."""
+    man = snapshot_manifest(spark, path, version,
+                            stat_cols=tuple(ranges)).collect()
+    kept = []
+    for row in man:
+        d = row.asDict()
+        survives = True
+        for c, (lo, hi) in ranges.items():
+            mn, mx = d[f"min_{c}"], d[f"max_{c}"]
+            if mn is None or (hi is not None and mn > hi) \
+                    or (lo is not None and mx < lo):
+                survives = False
+                break
+        if survives:
+            kept.append(os.path.join(path, d["batch_dir"],
+                                     d["file_name"]))
+    return kept, len(man)
+
+
+def read_pruned(spark: SparkSession, path: str,
+                ranges: dict[str, tuple],
+                version: int | None = None) -> DataFrame:
+    """Read the snapshot at ``version`` through the manifest: plan the
+    file list with :func:`plan_pruned_files`, scan ONLY the surviving
+    files, and apply the range predicate as a residual row filter —
+    the prune-before-read loop the manifest exists for.  On a table
+    whose commits are range-clustered (each file covering a disjoint
+    key slice), the scan's input-file list shrinks to the slices the
+    predicate touches (pinned in tests/test_versioned.py via
+    ``inputFiles()``); at 100 TB this is the difference between
+    opening every footer and opening the files the query can actually
+    match.  An empty survivor set returns an empty frame with the
+    snapshot's schema."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    kept, _total = plan_pruned_files(spark, path, ranges, version)
+    residual = [cond
+                for c, (lo, hi) in ranges.items()
+                for cond in ((F.col(c) >= lo,) if lo is not None
+                             else ())
+                + ((F.col(c) <= hi,) if hi is not None else ())]
+    if not kept:
+        return spark.createDataFrame(
+            [], read_version(spark, path, version).schema)
+    df = spark.read.parquet(*kept)
+    if residual:
+        df = df.where(reduce(lambda a, b: a & b, residual))
+    return df
+
+
 def read_changes(spark: SparkSession, path: str, since_version: int,
                  to_version: int | None = None) -> DataFrame:
     """Incremental change feed (the Delta CDF / Iceberg incremental-

@@ -228,6 +228,11 @@ def test_snapshot_manifest_multi_file_commit(spark, tmp_path):
     assert all(r.commit_version == 1 for r in man)
     assert min(r.min_k for r in man) == 0
     assert max(r.max_k for r in man) == 999
+    # bounds containment, explicit per file (r12 VERDICT #5): every
+    # file's [min, max] interval nests inside the commit's bounds and
+    # is itself well-ordered — the invariant pruning relies on
+    assert all(0 <= r.min_k <= r.max_k <= 999 for r in man)
+    assert all(r.nulls_k == 0 for r in man)
 
 
 def test_snapshot_manifest_validation_matches_read_version(spark, tmp_path):
@@ -263,3 +268,83 @@ def test_snapshot_manifest_table_rooted_under_batchlike_dir(spark, tmp_path):
     assert {r.commit_version for r in man} == {1, 2}
     assert {r.batch_dir for r in man} == {"batch-00000001",
                                           "batch-00000002"}
+
+
+def _clustered_table(spark, tmp_path, name="vt"):
+    """Three append commits over disjoint 100-key slices, one file
+    each — the range-clustered layout manifest pruning exists for."""
+    from dynamic_partitioner_spark.operators.versioned import (
+        versioned_write)
+    path = str(tmp_path / name)
+    for lo in (0, 100, 200):
+        versioned_write(
+            spark.range(lo, lo + 100).withColumnRenamed("id", "k")
+            .coalesce(1), path, "append")
+    return path
+
+
+def test_read_pruned_scans_strictly_fewer_files(spark, tmp_path):
+    """The Iceberg prune-before-read loop (r12 VERDICT next-tranche
+    (a)): a predicate that touches one key slice plans a scan over
+    ONLY that slice's file — asserted on the PLAN via inputFiles(),
+    not just the row values."""
+    from dynamic_partitioner_spark.operators.versioned import (
+        plan_pruned_files, read_pruned, read_version)
+    path = _clustered_table(spark, tmp_path)
+    kept, total = plan_pruned_files(spark, path, {"k": (120, 130)})
+    assert total == 3 and len(kept) == 1
+    df = read_pruned(spark, path, {"k": (120, 130)})
+    full = read_version(spark, path)
+    assert set(df.inputFiles()) < set(full.inputFiles())
+    assert len(df.inputFiles()) == 1
+    assert {r.k for r in df.collect()} == set(range(120, 131))
+
+
+def test_read_pruned_residual_filter_and_open_ranges(spark, tmp_path):
+    """Bounds pruning is conservative — a surviving file still holds
+    rows outside the range, and the residual filter must drop them.
+    Open-ended ranges (lo or hi None) prune on the bounded side
+    only."""
+    from dynamic_partitioner_spark.operators.versioned import (
+        read_pruned)
+    path = _clustered_table(spark, tmp_path)
+    df = read_pruned(spark, path, {"k": (None, 150)})
+    assert len(df.inputFiles()) == 2  # slice [200,300) pruned
+    assert {r.k for r in df.collect()} == set(range(0, 151))
+    df = read_pruned(spark, path, {"k": (250, None)})
+    assert len(df.inputFiles()) == 1
+    assert {r.k for r in df.collect()} == set(range(250, 300))
+
+
+def test_read_pruned_time_travel_and_empty_survivors(spark, tmp_path):
+    """Pruning composes with time travel (the snapshot's visible set
+    is what gets pruned), and an empty survivor set returns an empty
+    frame that keeps the snapshot schema."""
+    from dynamic_partitioner_spark.operators.versioned import (
+        read_pruned)
+    path = _clustered_table(spark, tmp_path)
+    # at version 2 the [200,300) slice does not exist yet
+    df = read_pruned(spark, path, {"k": (250, None)}, version=2)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["k"]
+    # latest version, range beyond every bound
+    df = read_pruned(spark, path, {"k": (1000, 2000)})
+    assert df.count() == 0
+
+
+def test_read_pruned_drops_all_null_files(spark, tmp_path):
+    """A file whose stat column is entirely null can never satisfy a
+    range predicate (range predicates are null-rejecting) — it must be
+    pruned, not scanned."""
+    from dynamic_partitioner_spark.operators.versioned import (
+        plan_pruned_files, read_pruned, versioned_write)
+    path = str(tmp_path / "vt")
+    versioned_write(spark.range(5).withColumnRenamed("id", "k")
+                    .coalesce(1), path, "append")
+    versioned_write(
+        spark.createDataFrame([(None,), (None,)], "k long").coalesce(1),
+        path, "append")
+    kept, total = plan_pruned_files(spark, path, {"k": (0, 10)})
+    assert total == 2 and len(kept) == 1
+    assert {r.k for r in read_pruned(spark, path, {"k": (0, 10)})
+            .collect()} == {0, 1, 2, 3, 4}

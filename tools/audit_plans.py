@@ -124,6 +124,8 @@ AUDIT_KEYS = [
     "similarity_ivf2_topk", "text_bpe_encode", "ops_zorder_layout",
     # round-12 additions
     "ops_snapshot_manifest", "streaming_ttl_eviction",
+    # round-13 additions
+    "ops_pruned_read",
 ]
 
 #: where the adjudicated per-key plan-feature snapshot lives

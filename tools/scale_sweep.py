@@ -105,6 +105,8 @@ SWEEP_KEYS = [
     "similarity_ivf2_topk", "text_bpe_encode", "ops_zorder_layout",
     # round-12 additions
     "ops_snapshot_manifest", "streaming_ttl_eviction",
+    # round-13 additions
+    "ops_pruned_read",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
