@@ -5000,7 +5000,8 @@ def q_streaming_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events.select("user_id", "event_type", "value",
                        event_time_ts(events).alias("ts"),
                        event_time_us(events).alias("_us"))
-    m = int(ev.agg(F.min("_us")).collect()[0][0])
+    mn_n = ev.agg(F.min("_us"), F.count(F.lit(1))).collect()[0]
+    m, n_ev = int(mn_n[0]), int(mn_n[1])
     day_us = 86_400_000_000
     chunk_us = _TTL_EVICTION_CHUNK_DAYS * day_us
     ev = ev.withColumn(
@@ -5020,15 +5021,21 @@ def q_streaming_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("value"))
     src = stage_ordered_files(chunks + [sentinel], _out("stream_ttl_src"))
     spark.catalog.dropTempView("stream_ttl_sink")
-    # state_partitions=16: the (user_id, event_type) keyspace is 7.5k
-    # at sf0.1 and the per-batch cost is Python-worker-bound (one
-    # update call per touched key), so parallelism wins — measured
-    # r12: 4p=16.2s / 8p=10.7s / 16p=8.5s / 32p=7.6s-but-noisy for
-    # the 3-batch drain; 16 is the stable knee
+    # state partitioning sizes to the staged volume — the same lever
+    # a cluster job sets via shuffle partitions.  At the driver/bench
+    # SFs (<=1M events, 7.5k keys at sf0.1) 16 is the measured knee
+    # (r12: 4p=16.2s / 8p=10.7s / 16p=8.5s / 32p=7.6s-but-noisy);
+    # the sf1/sf10 sweep corpora (6M/60M events, 75k/750k keys) shard
+    # at the local core count and get a wider drain timeout — at 16
+    # partitions the sf1 drain blew the 300s rail, at 32 it takes
+    # ~52s (r13 measurement; the per-batch cost is Python-state-
+    # worker-bound, one update call per touched key)
+    small = n_ev <= 1_000_000
     evicts = run_ttl_eviction_audit(
         spark, src, "stream_ttl_sink", ["user_id", "event_type"],
         ttl=_TTL_EVICTION_TTL, watermark_delay=_TTL_EVICTION_DELAY,
-        state_partitions=16)
+        timeout_sec=300 if small else 3600,
+        state_partitions=16 if small else 32)
     return (evicts
             .where((F.col("evict_wm_us") <= m + _TTL_EVICTION_CUTOFF_US)
                    & (F.col("user_id") >= 0))

@@ -75,3 +75,27 @@ def test_merge_tolerates_trailing_whitespace_and_reports_drops(capsys):
         "| old_key_b | 0.50s | 0.60s | 0.70s | 20 | +0.07 |", 0.07)
     assert "broken_key" not in out
     assert "broken_key" in capsys.readouterr().err
+
+
+def test_merge_section_rows_scopes_to_named_section():
+    """The sf10-section twin: rows from OTHER sections and the main
+    table are never pulled in; fresh keys win; unmeasured sf10 rows
+    carry over."""
+    S = _sweep()
+    table = {"spot_key": ("| spot_key | 3.00s | 12.00s | 99 | 990 "
+                          "| +0.60 |", 0.60)}
+    out = S.merge_section_rows(_MD, "## sf1 spot-run", table)
+    # fresh row kept, main-table keys NOT pulled in
+    assert out["spot_key"][1] == 0.60
+    assert "old_key_a" not in out and "old_key_b" not in out
+    # a second section key carries over when not freshly measured
+    md2 = _MD + ("\n## sf10 spot-run — pair keys\n\n"
+                 "| key | sf1 | sf10 | rows@1 | rows@10 | slope 1→10 |\n"
+                 "|---|---|---|---|---|---|\n"
+                 "| carried | 1.00s | 8.00s | 5 | 50 | +0.90 |\n")
+    out2 = S.merge_section_rows(md2, "## sf10 spot-run", {})
+    assert out2 == {"carried":
+                    ("| carried | 1.00s | 8.00s | 5 | 50 | +0.90 |",
+                     0.90)}
+    # absent section is a no-op
+    assert S.merge_section_rows(_MD, "## sf10 spot-run", {}) == {}
