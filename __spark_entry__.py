@@ -5031,11 +5031,18 @@ def q_streaming_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~52s (r13 measurement; the per-batch cost is Python-state-
     # worker-bound, one update call per touched key)
     small = n_ev <= 1_000_000
+    # state_provider="rocksdb": the unbounded-keyspace production
+    # posture (spill-to-disk store + changelog checkpoints instead of
+    # every key's state on-heap).  Provider-invariance of the results
+    # and the bounded-state metrics are pinned in
+    # tests/test_streaming.py; measured cost at sf0.1 is within the
+    # default provider's band (7.4-12.8s vs 9.8-10.7s, r13)
     evicts = run_ttl_eviction_audit(
         spark, src, "stream_ttl_sink", ["user_id", "event_type"],
         ttl=_TTL_EVICTION_TTL, watermark_delay=_TTL_EVICTION_DELAY,
         timeout_sec=300 if small else 3600,
-        state_partitions=16 if small else 32)
+        state_partitions=16 if small else 32,
+        state_provider="rocksdb")
     return (evicts
             .where((F.col("evict_wm_us") <= m + _TTL_EVICTION_CUTOFF_US)
                    & (F.col("user_id") >= 0))

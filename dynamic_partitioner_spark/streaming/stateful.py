@@ -500,7 +500,9 @@ def run_ttl_eviction_audit(spark: SparkSession, src_path: str,
                            ttl: str = "4 days",
                            watermark_delay: str = "12 hours",
                            timeout_sec: int = 300,
-                           state_partitions: int | None = 8) -> DataFrame:
+                           state_partitions: int | None = 8,
+                           state_provider: str | None = None
+                           ) -> DataFrame:
     """Drive :func:`ttl_evicted_state` through real micro-batches (one
     staged file per trigger) and return the drained eviction rows.
 
@@ -515,15 +517,22 @@ def run_ttl_eviction_audit(spark: SparkSession, src_path: str,
     data batch is never flushed; callers that need end-of-stream
     evictions stage a far-future sentinel file (see
     ``streaming_ttl_eviction`` in ``__spark_entry__.py``).
+
+    ``state_provider`` selects the state-store backend for the drain
+    (``"rocksdb"`` = the unbounded-keyspace production posture, see
+    :data:`~dynamic_partitioner_spark.streaming.write.STATE_STORE_PROVIDERS`);
+    eviction results are provider-invariant — pinned in
+    tests/test_streaming.py.
     """
     from .write import (run_stream_to_completion, shuffle_partitions,
-                        stream_from_files)
+                        state_store_provider, stream_from_files)
 
     nodata_conf = "spark.sql.streaming.noDataMicroBatches.enabled"
     prev_nodata = spark.conf.get(nodata_conf, "true")
     spark.conf.set(nodata_conf, "false")
     try:
-        with shuffle_partitions(spark, state_partitions):
+        with shuffle_partitions(spark, state_partitions), \
+                state_store_provider(spark, state_provider):
             sdf = stream_from_files(spark, src_path,
                                     max_files_per_trigger=1)
             out = ttl_evicted_state(sdf, key_cols, ttl=ttl,
@@ -580,15 +589,19 @@ def stateful_user_stats(sdf: DataFrame, key_col: str = "user_id",
 def run_stateful_user_stats(spark: SparkSession, src_path: str,
                             sink_table: str, n_batches_hint: int = 3,
                             timeout_sec: int = 300,
-                            state_partitions: int | None = 8) -> DataFrame:
+                            state_partitions: int | None = 8,
+                            state_provider: str | None = None
+                            ) -> DataFrame:
     """Drive :func:`stateful_user_stats` through real micro-batches:
     one file per trigger, update-mode memory sink, then reduce the
     emitted snapshots to the final per-key state (max of the monotone
-    count, and the matching total)."""
+    count, and the matching total).  ``state_provider`` as in
+    :func:`run_ttl_eviction_audit`."""
     from .write import (run_stream_to_completion, shuffle_partitions,
-                        stream_from_files)
+                        state_store_provider, stream_from_files)
 
-    with shuffle_partitions(spark, state_partitions):
+    with shuffle_partitions(spark, state_partitions), \
+            state_store_provider(spark, state_provider):
         sdf = stream_from_files(spark, src_path, max_files_per_trigger=1)
         out = stateful_user_stats(sdf)
         q = (out.writeStream.format("memory").queryName(sink_table)

@@ -42,6 +42,53 @@ def shuffle_partitions(spark: SparkSession, n: int | None):
     finally:
         spark.conf.set(key, old)
 
+#: public built-in providers (org.apache.spark...state package):
+#: "rocksdb" is the unbounded-keyspace production posture — the
+#: default HDFSBackedStateStoreProvider keeps EVERY key's state in
+#: on-heap maps (plus snapshots), so a 100 TB/day stream's keyspace
+#: eventually exhausts executor heap; RocksDB spills to local disk
+#: with incremental changelog checkpointing and holds only the
+#: working set in memory.  Value is the provider CLASS so a caller
+#: can also pass a custom provider FQCN directly.
+STATE_STORE_PROVIDERS = {
+    "rocksdb": ("org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"),
+    "hdfs": ("org.apache.spark.sql.execution.streaming.state."
+             "HDFSBackedStateStoreProvider"),
+}
+
+
+@contextmanager
+def state_store_provider(spark: SparkSession, provider: str | None):
+    """Temporarily select the state-store provider for a streaming
+    query started inside the block — like :func:`shuffle_partitions`,
+    the choice is fixed at FIRST start and persisted in the
+    checkpoint, so it must wrap the ``.start()`` call.  ``provider``
+    is a key of :data:`STATE_STORE_PROVIDERS`, a provider FQCN, or
+    ``None`` (leave the session default — Spark's HDFS-backed
+    in-memory provider).  Results are provider-invariant (pinned in
+    tests/test_streaming.py); only the storage/latency posture
+    changes."""
+    if provider is None:
+        yield
+        return
+    key = "spark.sql.streaming.stateStore.providerClass"
+    cls = STATE_STORE_PROVIDERS.get(provider, provider)
+    if "." not in cls:
+        raise ValueError(
+            f"unknown state-store provider {provider!r}: pass one of "
+            f"{sorted(STATE_STORE_PROVIDERS)} or a provider FQCN")
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, cls)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 @contextmanager
 def micro_batch_aqe_fanout(spark: SparkSession, n: int | None = 64):
     """Temporarily bound AQE's initial shuffle fan-out

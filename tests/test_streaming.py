@@ -544,3 +544,101 @@ def test_interval_to_us_units():
     assert _interval_to_us("12 hours") == 12 * 3_600_000_000
     assert _interval_to_us("1 minute") == 60_000_000
     assert _interval_to_us("30 seconds") == 30_000_000
+
+
+def test_ttl_eviction_provider_invariant_rocksdb(spark, tmp_out):
+    """RocksDB state-store posture (r12 VERDICT next-tranche (b)): the
+    SAME staged fixture as test_ttl_eviction_semantics_pinned, drained
+    under ``RocksDBStateStoreProvider``, yields identical evictions —
+    the provider changes the storage posture only (spill-to-disk +
+    changelog checkpoints, what an unbounded production keyspace
+    needs to keep executor heap flat), never the semantics.  Also
+    pins that the session conf is restored after the drain."""
+    from dynamic_partitioner_spark.streaming.stateful import (
+        run_ttl_eviction_audit)
+
+    M = 60_000_000_000
+    B0 = 1_000
+    schema = "user_id string, ts long, value double"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(k, (B0 + m) * M, v) for k, m, v in rows], schema)
+
+    frames = [
+        mk([("A", 0, 1.0), ("A", 10, 1.0), ("B", 2, 1.0),
+            ("C", 9, 1.0)]),
+        mk([("A", 60, 1.0)]),
+        mk([("D", 120, 1.0)]),
+        mk([("B", 180, 1.0)]),
+    ]
+    src = os.path.join(tmp_out, "ttl_rdb_src")
+    _stage_ordered_files(src, frames)
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(conf_key, None)
+    out = run_ttl_eviction_audit(spark, src, "ttl_rdb_sink",
+                                 ["user_id"], ttl="40 minutes",
+                                 watermark_delay="5 minutes",
+                                 state_partitions=4,
+                                 state_provider="rocksdb")
+    got = {r.user_id: (r.gen_events, r.gen_cents,
+                       r.evict_wm_us / 60_000_000 - B0)
+           for r in out.collect()}
+    # identical to the default-provider pin in
+    # test_ttl_eviction_semantics_pinned
+    assert got == {"A": (3, 300, 115.0),
+                   "B": (1, 100, 55.0),
+                   "C": (1, 100, 55.0)}
+    assert spark.conf.get(conf_key, None) == before
+
+
+def test_rocksdb_provider_reports_bounded_state(spark, tmp_out):
+    """The state-SIZE assertion of the RocksDB posture: after a
+    stateful drain under RocksDB, the query's progress reports
+    exactly the live keyspace in the store (numRowsTotal == distinct
+    keys — O(1) state per key, nothing leaks) and the rocksdb*
+    custom metrics prove which provider actually served the run."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from dynamic_partitioner_spark.streaming.stateful import (
+        stateful_user_stats)
+    from dynamic_partitioner_spark.streaming.write import (
+        run_stream_to_completion, shuffle_partitions,
+        state_store_provider, stream_from_files)
+
+    frames = [spark.createDataFrame(
+        [(u, float(u)) for u in range(1, 6)], "user_id long, value double")
+        for _ in range(2)]
+    src = os.path.join(tmp_out, "rdb_metrics_src")
+    _stage_ordered_files(src, frames)
+    with shuffle_partitions(spark, 4), \
+            state_store_provider(spark, "rocksdb"):
+        sdf = stream_from_files(spark, src, max_files_per_trigger=1)
+        q = (stateful_user_stats(sdf).writeStream.format("memory")
+             .queryName("rdb_metrics_sink").outputMode("update")
+             .trigger(availableNow=True).start())
+        run_stream_to_completion(q, 300)
+        so = q.lastProgress["stateOperators"][0]
+    assert so["numRowsTotal"] == 5          # 5 keys, O(1) state each
+    assert any(k.startswith("rocksdb") for k in so["customMetrics"])
+
+
+def test_state_store_provider_context_manager(spark):
+    """Unit pins: unknown short name raises before touching conf;
+    None is a no-op; a set value is restored (or unset) on exit."""
+    import pytest
+
+    from dynamic_partitioner_spark.streaming.write import (
+        STATE_STORE_PROVIDERS, state_store_provider)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    with pytest.raises(ValueError, match="unknown state-store"):
+        with state_store_provider(spark, "bogus"):
+            pass
+    with state_store_provider(spark, None):
+        pass  # no-op
+    with state_store_provider(spark, "rocksdb"):
+        assert spark.conf.get(key) == STATE_STORE_PROVIDERS["rocksdb"]
+    # a custom FQCN passes through verbatim
+    with state_store_provider(spark, "com.example.MyProvider"):
+        assert spark.conf.get(key) == "com.example.MyProvider"
