@@ -256,16 +256,28 @@ def main() -> None:
                              "to shuffle-heavy keys at small SF; scale "
                              "posture paid at bench SF")}, f,
                   indent=1, sort_keys=True)
-    # The driver captures only the LAST 2000 bytes of stdout, so the
-    # single JSON line must fit that window or the round artifact
-    # records ``parsed: null`` (r10 overflowed via full per-key
-    # timings; r12 via a 26-entry ``remeasured`` dict — r12 VERDICT
-    # #3).  The full remeasured dict and all timings stay durable in
-    # BENCH_FULL.json; stdout carries the adjudication SUMMARY — how
-    # many keys were remeasured and which ones HELD >=1.3x after the
-    # warm median-of-3 (the only entries a reader acts on) — and the
-    # top-N queries shrink until the line fits a 1800-byte budget
-    # (r9/r11 parsed fine at ~1350).
+    print(json.dumps(bounded_stdout_payload(
+        timings, total, float(sf), common_ratio, len(common),
+        load_start, canary_ratio, canary_keys, remeasured,
+        orphan_dirs_seen, orphan_dirs, prev_labeled)))
+
+
+def bounded_stdout_payload(timings: dict, total: float, sf: float,
+                           common_ratio, n_common, load_start,
+                           canary_ratio, canary_keys, remeasured,
+                           orphan_dirs_seen, orphan_dirs,
+                           prev_labeled, budget: int = 1800) -> dict:
+    """Build the single stdout JSON line, bounded to ``budget`` bytes.
+
+    The driver captures only the LAST 2000 bytes of stdout, so the
+    line must fit that window or the round artifact records
+    ``parsed: null`` (r10 overflowed via full per-key timings; r12
+    via a 26-entry ``remeasured`` dict — r12 VERDICT #3).  The full
+    remeasured dict and all timings stay durable in BENCH_FULL.json;
+    stdout carries the adjudication SUMMARY — how many keys were
+    remeasured and which ones HELD >=1.3x after the warm median-of-3
+    (the only entries a reader acts on) — and the top-N queries
+    shrink until the line fits (r9/r11 parsed fine at ~1350 bytes)."""
     hot = sorted(k for k, v in remeasured.items()
                  if v.get("median3") is not None and v["prev"] > 0
                  and v["median3"] / v["prev"] >= 1.3)
@@ -275,11 +287,11 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "n_queries": len(timings),
-        "sf": float(sf),
+        "sf": sf,
         # round-over-round median ratio on keys common with the last
         # committed full run at this SF (None on SF change / first run)
         "common_key_ratio": common_ratio,
-        "n_common_keys": len(common),
+        "n_common_keys": n_common,
         "load": [round(x, 2) for x in load_start],
         "load_end": [round(x, 2) for x in os.getloadavg()],
         "canary_ratio": canary_ratio,
@@ -295,9 +307,16 @@ def main() -> None:
     for top_n in (30, 20, 12, 6, 0):
         payload["queries"] = dict(
             sorted(timings.items(), key=lambda kv: -kv[1])[:top_n])
-        if len(json.dumps(payload)) <= 1800:
+        if len(json.dumps(payload)) <= budget:
             break
-    print(json.dumps(payload))
+    # pathological fallback: a mass-regression run could make the hot
+    # list ITSELF exceed the window — truncate the name lists rather
+    # than overflow (the counts stay authoritative; every name lives
+    # durably in BENCH_FULL.json)
+    for field in ("remeasured_hot", "remeasured_err", "canary_keys"):
+        while len(json.dumps(payload)) > budget and payload[field]:
+            payload[field] = payload[field][:-1]
+    return payload
 
 
 if __name__ == "__main__":

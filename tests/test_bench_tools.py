@@ -107,3 +107,69 @@ def test_certify_booleans_raises_on_null_and_false(spark):
         m._certify_booleans("k", null, ["inv"], obs)
     assert "C: inv=None" in str(ei.value)
     assert "('A', 'f1', 3)" in str(ei.value)  # diagnostic decomposition
+
+
+def test_bounded_stdout_payload_fits_driver_tail_window():
+    """r12 VERDICT #3: the driver's 2000-byte tail capture truncated
+    the stdout JSON line when the remeasured dict grew to 26 entries
+    (BENCH_r12 recorded parsed:null).  The payload must (a) compress
+    remeasured to count + held->=1.3x names + error names, and (b)
+    shrink the top-N queries until the line fits the budget — even
+    with a pathological key population."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod_bp", "/root/repo/bench.py")
+    B = importlib.util.module_from_spec(spec)
+    sys.modules["bench_mod_bp"] = B
+    spec.loader.exec_module(B)
+
+    timings = {f"some_quite_long_key_name_{i:03d}": i * 0.017
+               for i in range(300)}
+    remeasured = {f"some_quite_long_key_name_{i:03d}":
+                  {"first": 1.0, "median3": 1.5 if i % 2 else 0.9,
+                   "prev": 1.0}
+                  for i in range(40)}
+    remeasured["erring_key"] = {"first": 1.0, "prev": 0.5,
+                                "samples": [1.0], "error": "Boom"}
+    payload = B.bounded_stdout_payload(
+        timings, sum(timings.values()), 0.1, 1.01, 299,
+        (1.0, 2.0, 3.0), 0.98, list(timings)[:10], remeasured,
+        0, [], True)
+    line = json.dumps(payload)
+    assert len(line) <= 1800
+    assert json.loads(line)["remeasured_n"] == 41
+    # only the held->=1.3 names ride along, sorted
+    assert all("_00" in k or "_01" in k or "_02" in k or "_03" in k
+               for k in payload["remeasured_hot"])
+    assert len(payload["remeasured_hot"]) == 20
+    assert payload["remeasured_err"] == ["erring_key"]
+    # a small population keeps the full top-30
+    small = B.bounded_stdout_payload(
+        {"k": 1.0}, 1.0, 0.1, None, 0, (0.0, 0.0, 0.0), None, [],
+        {}, 0, [], None)
+    assert small["queries"] == {"k": 1.0}
+
+
+def test_bounded_stdout_payload_truncates_pathological_hot_list():
+    """Even a mass-regression run (every key held >=1.3x) must yield a
+    parseable line: the name lists truncate once the queries dict has
+    shrunk to nothing."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod_bp2", "/root/repo/bench.py")
+    B = importlib.util.module_from_spec(spec)
+    sys.modules["bench_mod_bp2"] = B
+    spec.loader.exec_module(B)
+
+    timings = {f"another_rather_long_key_name_{i:03d}": 1.0
+               for i in range(200)}
+    remeasured = {k: {"first": 2.0, "median3": 1.9, "prev": 1.0}
+                  for k in timings}
+    payload = B.bounded_stdout_payload(
+        timings, 200.0, 0.1, 1.9, 200, (0.0, 0.0, 0.0), 1.0,
+        list(timings)[:10], remeasured, 0, [], True)
+    line = json.dumps(payload)
+    assert len(line) <= 1800
+    assert json.loads(line)["remeasured_n"] == 200  # count survives
