@@ -348,3 +348,49 @@ def test_read_pruned_drops_all_null_files(spark, tmp_path):
     assert total == 2 and len(kept) == 1
     assert {r.k for r in read_pruned(spark, path, {"k": (0, 10)})
             .collect()} == {0, 1, 2, 3, 4}
+
+
+def test_read_pruned_multi_column_conjunction(spark, tmp_path):
+    """Ranges over TWO columns prune as a conjunction: a file survives
+    only if EVERY column's bounds intersect its range — one column's
+    miss is enough to drop the file."""
+    from dynamic_partitioner_spark.operators.versioned import (
+        plan_pruned_files, read_pruned, versioned_write)
+    path = str(tmp_path / "vt")
+    # two commits: k in [0,100) with g=0, k in [100,200) with g=1
+    for lo, g in ((0, 0), (100, 1)):
+        versioned_write(
+            spark.range(lo, lo + 100).withColumnRenamed("id", "k")
+            .selectExpr("k", f"{g}L as g").coalesce(1), path, "append")
+    # k-range matches BOTH files' [0,200) span, g-range only file 2
+    kept, total = plan_pruned_files(
+        spark, path, {"k": (50, 150), "g": (1, 1)})
+    assert total == 2 and len(kept) == 1
+    rows = {(r.k, r.g)
+            for r in read_pruned(spark, path,
+                                 {"k": (50, 150), "g": (1, 1)})
+            .collect()}
+    assert rows == {(k, 1) for k in range(100, 151)}
+
+
+def test_read_pruned_equals_filtered_read_over_predicate_grid(
+        spark, tmp_path):
+    """Equivalence property over a seeded predicate grid: for every
+    (lo, hi) range — open, closed, empty, partial, spanning — the
+    pruned read's multiset equals the plain snapshot read filtered
+    row-wise.  This is the contract that makes pruning SAFE to apply
+    blindly at 100 TB: it may only skip files, never rows."""
+    from dynamic_partitioner_spark.operators.versioned import (
+        read_pruned, read_version)
+    path = _clustered_table(spark, tmp_path)
+    full = sorted(r.k for r in read_version(spark, path).collect())
+    grid = [(None, None), (None, -1), (300, None), (0, 299),
+            (0, 0), (299, 299), (150, 150), (99, 100), (100, 199),
+            (95, 205), (None, 42), (250, None), (180, 120)]
+    for lo, hi in grid:
+        got = sorted(r.k for r in
+                     read_pruned(spark, path, {"k": (lo, hi)})
+                     .collect())
+        want = [k for k in full
+                if (lo is None or k >= lo) and (hi is None or k <= hi)]
+        assert got == want, f"range ({lo}, {hi})"
