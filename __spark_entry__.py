@@ -5143,7 +5143,11 @@ def q_ops_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .coalesce(1), out, mode=mode)
     ranges = {"l_orderkey": (None, 2 * wd + wd // 2)}
     kept, total = plan_pruned_files(spark, out, ranges, version=4)
-    res = read_pruned(spark, out, ranges, version=4)
+    # pass the plan through: the manifest derivation must run ONCE
+    # per snapshot (it is immutable), not once for the certification
+    # counts and again for the read (r13 review)
+    res = read_pruned(spark, out, ranges, version=4,
+                      plan=(kept, total))
     scanned = {os.path.basename(p) for p in res.inputFiles()}
     audit = spark.createDataFrame(
         [("prune", total == 2, len(kept) == 1,

@@ -204,10 +204,13 @@ def plan_pruned_files(spark: SparkSession, path: str,
 
     ``ranges`` maps column name → ``(lo, hi)`` (either side ``None``
     for open); the implied predicate is the conjunction of
-    ``lo <= col <= hi``.  A file survives unless some column's bounds
-    prove no row can match: ``min > hi``, ``max < lo``, or an
-    all-null column (``min`` is ``None`` — a range predicate is
-    null-rejecting, so an all-null file can never contribute a row).
+    ``lo <= col <= hi``.  A column bounded on NEITHER side is no
+    constraint at all — it prunes nothing and drops no rows (it is
+    not null-rejecting, since no predicate is ever applied to it).
+    A bounded column's file survives unless its bounds prove no row
+    can match: ``min > hi``, ``max < lo``, or an all-null column
+    (``min`` is ``None`` — a range predicate is null-rejecting, so
+    an all-null file can never contribute a matching row).
     Pruning is CONSERVATIVE (bounds overlap does not imply a matching
     row); :func:`read_pruned` applies the residual filter for
     exactness — the same contract as Iceberg's scan planning
@@ -225,6 +228,12 @@ def plan_pruned_files(spark: SparkSession, path: str,
         d = row.asDict()
         survives = True
         for c, (lo, hi) in ranges.items():
+            if lo is None and hi is None:
+                # unconstrained column: nothing to intersect — and
+                # NOT null-rejecting, so an all-null file stays (the
+                # residual filter applies no condition either; r13
+                # review caught file-skip/residual disagreement here)
+                continue
             mn, mx = d[f"min_{c}"], d[f"max_{c}"]
             if mn is None or (hi is not None and mn > hi) \
                     or (lo is not None and mx < lo):
@@ -238,7 +247,8 @@ def plan_pruned_files(spark: SparkSession, path: str,
 
 def read_pruned(spark: SparkSession, path: str,
                 ranges: dict[str, tuple],
-                version: int | None = None) -> DataFrame:
+                version: int | None = None,
+                plan: tuple[list[str], int] | None = None) -> DataFrame:
     """Read the snapshot at ``version`` through the manifest: plan the
     file list with :func:`plan_pruned_files`, scan ONLY the surviving
     files, and apply the range predicate as a residual row filter —
@@ -249,12 +259,19 @@ def read_pruned(spark: SparkSession, path: str,
     ``inputFiles()``); at 100 TB this is the difference between
     opening every footer and opening the files the query can actually
     match.  An empty survivor set returns an empty frame with the
-    snapshot's schema."""
+    snapshot's schema.
+
+    ``plan`` short-circuits the planning pass with a precomputed
+    :func:`plan_pruned_files` result for the SAME (path, ranges,
+    version) — the snapshot is immutable, so a caller that already
+    planned (to log or certify the file counts) must not pay the
+    manifest derivation twice (r13 review)."""
     from functools import reduce
 
     from pyspark.sql import functions as F
 
-    kept, _total = plan_pruned_files(spark, path, ranges, version)
+    kept, _total = plan if plan is not None \
+        else plan_pruned_files(spark, path, ranges, version)
     residual = [cond
                 for c, (lo, hi) in ranges.items()
                 for cond in ((F.col(c) >= lo,) if lo is not None

@@ -99,3 +99,18 @@ def test_merge_section_rows_scopes_to_named_section():
                      0.90)}
     # absent section is a no-op
     assert S.merge_section_rows(_MD, "## sf10 spot-run", {}) == {}
+
+
+def test_merge_section_rows_reports_unparseable_rows(capsys):
+    """The section twin gets merge_table_rows' stderr report too (r13
+    review): a malformed hand-edited row is reported, never silently
+    wiped."""
+    S = _sweep()
+    md = ("\n## sf10 spot-run — pair keys\n\n"
+          "| key | sf1 | sf10 | rows@1 | rows@10 | slope 1→10 |\n"
+          "|---|---|---|---|---|---|\n"
+          "| good | 1.00s | 8.00s | 5 | 50 | +0.90 |\n"
+          "| broken | n/a |\n")
+    out = S.merge_section_rows(md, "## sf10 spot-run", {})
+    assert list(out) == ["good"]
+    assert "broken" in capsys.readouterr().err

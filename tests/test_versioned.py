@@ -394,3 +394,28 @@ def test_read_pruned_equals_filtered_read_over_predicate_grid(
         want = [k for k in full
                 if (lo is None or k >= lo) and (hi is None or k <= hi)]
         assert got == want, f"range ({lo}, {hi})"
+
+
+def test_read_pruned_open_range_keeps_all_null_files(spark, tmp_path):
+    """r13 review: a column bounded on NEITHER side is no constraint —
+    it must not drop the all-null file (no predicate is ever applied,
+    so nothing is null-rejecting), or file-skipping loses rows the
+    residual filter would keep."""
+    from dynamic_partitioner_spark.operators.versioned import (
+        plan_pruned_files, read_pruned, versioned_write)
+    path = str(tmp_path / "vt")
+    versioned_write(spark.range(3).withColumnRenamed("id", "k")
+                    .coalesce(1), path, "append")
+    versioned_write(
+        spark.createDataFrame([(None,), (None,)], "k long").coalesce(1),
+        path, "append")
+    kept, total = plan_pruned_files(spark, path, {"k": (None, None)})
+    assert total == 2 and len(kept) == 2
+    got = [r.k for r in read_pruned(spark, path, {"k": (None, None)})
+           .collect()]
+    assert sorted(x for x in got if x is not None) == [0, 1, 2]
+    assert got.count(None) == 2
+    # a precomputed plan short-circuits planning and reads the same
+    got2 = read_pruned(spark, path, {"k": (None, None)},
+                       plan=(kept, total))
+    assert got2.count() == 5

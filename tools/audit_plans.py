@@ -415,13 +415,20 @@ def main() -> int:
         features[key] = feats
         if check:
             problems = check_plan(key, plan)
+            if exp is not None:
+                # the missing-ENTRY gate is SF-independent (the key
+                # simply has no snapshot at all), so it must run even
+                # when the feature compare is skipped for an SF
+                # mismatch — otherwise --check at a non-snapshot SF
+                # silently re-opens the ungated-new-key hole (r13
+                # review)
+                problems += missing_entry_problems(
+                    exp["keys"].get(key), update)
             if compare:
                 fproblems, fnotes = compare_features(
                     key, feats, exp["keys"].get(key))
                 problems += fproblems
                 notes += fnotes
-                problems += missing_entry_problems(
-                    exp["keys"].get(key), update)
             if problems:
                 n_bad += 1
                 for p in problems:

@@ -172,6 +172,13 @@ def merge_section_rows(md: str, header: str,
         if m and m.group(1) not in table \
                 and not ln.startswith("| key "):
             table[m.group(1)] = (ln.rstrip(), float(m.group(2)))
+        elif m is None and re.match(r"\| \w", ln) \
+                and not re.match(r"\| key ", ln):
+            # same stderr report as merge_table_rows — silent loss of
+            # a hand-edited section row is the class this merge
+            # exists to prevent (r13 review: the twin lacked it)
+            print(f"# section merge: unparseable row NOT carried "
+                  f"over: {ln!r}", file=sys.stderr)
     return table
 
 
