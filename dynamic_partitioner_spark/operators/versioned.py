@@ -29,8 +29,11 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _check_local(path: str) -> None:
@@ -57,12 +60,17 @@ def _commits(path: str) -> list[dict]:
     if not os.path.isdir(ld):
         return []
     out = []
-    for name in sorted(os.listdir(ld)):
-        # underscore-prefixed files are log metadata (_vacuum.json),
-        # not commits
-        if name.endswith(".json") and not name.startswith("_"):
-            with open(os.path.join(ld, name)) as fh:
-                out.append(json.load(fh))
+    # underscore-prefixed files are log metadata (_vacuum.json), not
+    # commits; order NUMERICALLY by the filename's version — lexical
+    # sort breaks at the 9th digit (100000000.json < 99999999.json),
+    # which would corrupt the version counter and overwrite ordering
+    # (r13 review; unreachable in practice, one-line to make exact)
+    names = [n for n in os.listdir(ld)
+             if n.endswith(".json") and not n.startswith("_")
+             and n[:-5].isdigit()]
+    for name in sorted(names, key=lambda n: int(n[:-5])):
+        with open(os.path.join(ld, name)) as fh:
+            out.append(json.load(fh))
     return out
 
 
@@ -155,42 +163,71 @@ def snapshot_manifest(spark: SparkSession, path: str,
 
     Scale posture: Iceberg WRITES these stats into manifest avro files
     at commit time; this table's commit log is minimal (dirs only), so
-    the manifest is DERIVED by one distributed pass — a group-by on
-    the hidden ``_metadata.file_path`` whose partial aggregation is
-    map-side (zero shuffle growth: output is files-sized, never
+    the manifest is DERIVED by one distributed stats pass — a group-by
+    on the file identity from ``_metadata`` whose partial aggregation
+    is map-side (zero shuffle growth: output is files-sized, never
     rows-sized) and whose scan reads ONLY ``stat_cols`` (column
-    pruning applies; pass few columns).  Derive once per snapshot and
-    cache/persist the (tiny) result; the snapshot is immutable, so
-    the manifest never goes stale."""
-    from pyspark.sql import functions as F
-
+    pruning applies; pass few columns) — joined to a driver-side FILE
+    LISTING (same files-sized I/O class as the commit log itself),
+    which is what keeps zero-row part files in the manifest: they
+    contribute no row to the stats pass but are still data files the
+    total must count.  Derive once per snapshot and cache/persist the
+    (tiny) result; the snapshot is immutable, so the manifest never
+    goes stale."""
+    reserved = {"commit_version", "batch_dir", "file_name",
+                "size_bytes", "n_rows"}
+    bad = sorted(set(stat_cols) & reserved)
+    if bad:
+        # the internal select would emit two columns with the same
+        # name (AMBIGUOUS_REFERENCE at best, wrong binding at worst)
+        # — refuse loudly (r13 review)
+        raise ValueError(
+            f"stat_cols {bad} collide with the manifest's own output "
+            f"columns {sorted(reserved)}; rename or exclude them")
     dirs = _visible_dirs(path, version)
+    # the file POPULATION comes from a driver-side listing (files-
+    # sized, same I/O class as the commit log itself): a zero-row
+    # part file contributes no row to the group-by below, so deriving
+    # the population from row-level data would silently omit it and
+    # undercount the snapshot's file total (r13 review)
+    listing = spark.createDataFrame(
+        [(int(d.rsplit("-", 1)[1]), d, fn,
+          os.path.getsize(os.path.join(path, d, fn)))
+         for d in dirs
+         for fn in sorted(os.listdir(os.path.join(path, d)))
+         if fn.endswith(".parquet")],
+        "commit_version int, batch_dir string, file_name string, "
+        "size_bytes long")
     df = spark.read.parquet(*[os.path.join(path, d) for d in dirs])
+    # anchor the batch-dir extraction to the file's PARENT directory
+    # segment — a first-match-anywhere regexp would mis-attribute every
+    # file when the TABLE ROOT's path itself contains a batch-\d{8}
+    # segment (e.g. a table nested under another table's batch dir)
     base = df.select(
         *[F.col(c) for c in stat_cols],
-        F.col("_metadata.file_path").alias("_fp"),
-        F.col("_metadata.file_name").alias("file_name"),
-        F.col("_metadata.file_size").alias("_fs"))
-    aggs = [F.first("file_name").alias("file_name"),
-            F.first("_fs").alias("size_bytes"),
-            F.count(F.lit(1)).alias("n_rows")]
+        F.regexp_extract(F.col("_metadata.file_path"),
+                         r"/(batch-\d{8})/[^/]+$", 1).alias("batch_dir"),
+        F.col("_metadata.file_name").alias("file_name"))
+    aggs = [F.count(F.lit(1)).alias("_n")]
     for c in stat_cols:
         aggs += [F.min(c).alias(f"min_{c}"),
                  F.max(c).alias(f"max_{c}"),
                  F.sum(F.col(c).isNull().cast("long"))
                  .alias(f"nulls_{c}")]
-    # anchor the commit-dir extraction to the file's PARENT directory
-    # segment — a first-match-anywhere regexp would mis-attribute every
-    # file when the TABLE ROOT's path itself contains a batch-\d{8}
-    # segment (e.g. a table nested under another table's batch dir)
-    return (base.groupBy("_fp").agg(*aggs)
+    stats = base.groupBy("batch_dir", "file_name").agg(*aggs)
+    # stats (files-sized) broadcasts as the build side of the left
+    # join; zero-row files join to null stats → n_rows 0, null
+    # bounds, 0 null-counts
+    return (listing.join(F.broadcast(stats),
+                         ["batch_dir", "file_name"], "left")
             .select(
-                F.regexp_extract("_fp", r"/(batch-(\d{8}))/[^/]+$", 2)
-                .cast("int").alias("commit_version"),
-                F.regexp_extract("_fp", r"/(batch-\d{8})/[^/]+$", 1)
-                .alias("batch_dir"),
-                "file_name", "size_bytes", "n_rows",
-                *[f"{p}_{c}" for c in stat_cols
+                "commit_version", "batch_dir", "file_name",
+                "size_bytes",
+                F.coalesce("_n", F.lit(0).cast("long")).alias("n_rows"),
+                *[F.coalesce(f"nulls_{c}", F.lit(0).cast("long"))
+                  .alias(f"nulls_{c}") if p == "nulls"
+                  else F.col(f"{p}_{c}")
+                  for c in stat_cols
                   for p in ("min", "max", "nulls")]))
 
 
@@ -221,19 +258,19 @@ def plan_pruned_files(spark: SparkSession, path: str,
     the driver to pick the file list is exactly what every Iceberg/
     Delta planner does — the data itself is never touched until the
     surviving files are scanned."""
+    # only BOUNDED columns participate: an unconstrained (None, None)
+    # column prunes nothing, is NOT null-rejecting (no predicate is
+    # applied, so an all-null file stays), and must not widen the
+    # stats scan's read schema either (r13 review, both halves)
+    bounded = {c: b for c, b in ranges.items()
+               if b[0] is not None or b[1] is not None}
     man = snapshot_manifest(spark, path, version,
-                            stat_cols=tuple(ranges)).collect()
+                            stat_cols=tuple(bounded)).collect()
     kept = []
     for row in man:
         d = row.asDict()
         survives = True
-        for c, (lo, hi) in ranges.items():
-            if lo is None and hi is None:
-                # unconstrained column: nothing to intersect — and
-                # NOT null-rejecting, so an all-null file stays (the
-                # residual filter applies no condition either; r13
-                # review caught file-skip/residual disagreement here)
-                continue
+        for c, (lo, hi) in bounded.items():
             mn, mx = d[f"min_{c}"], d[f"max_{c}"]
             if mn is None or (hi is not None and mn > hi) \
                     or (lo is not None and mx < lo):
@@ -266,10 +303,6 @@ def read_pruned(spark: SparkSession, path: str,
     version) — the snapshot is immutable, so a caller that already
     planned (to log or certify the file counts) must not pay the
     manifest derivation twice (r13 review)."""
-    from functools import reduce
-
-    from pyspark.sql import functions as F
-
     kept, _total = plan if plan is not None \
         else plan_pruned_files(spark, path, ranges, version)
     residual = [cond
@@ -307,10 +340,6 @@ def read_changes(spark: SparkSession, path: str, since_version: int,
     parquet scan per batch dir, unioned) — cost is proportional to
     the CHANGE volume, never the table size, and pruning/pushdown
     apply per branch."""
-    from functools import reduce
-
-    from pyspark.sql import functions as F
-
     _check_local(path)
     commits = _commits(path)
     if not commits:
@@ -376,8 +405,6 @@ def vacuum_versions(spark: SparkSession, path: str,
 
     This is an eager maintenance ACTION (like the write operators),
     not a lazy query: deletion happens before return."""
-    import shutil as _sh
-
     _check_local(path)
     commits = _commits(path)
     if not commits:
@@ -398,6 +425,10 @@ def vacuum_versions(spark: SparkSession, path: str,
     last_ow = max((c["version"] for c in commits
                    if c["mode"] == "overwrite"
                    and c["version"] <= keep_from), default=1)
+    # audit counts are metadata-cheap: count() over parquet plans an
+    # empty projection (ReadSchema struct<>), so only footers/row-
+    # group metadata are read, never data pages — the report costs
+    # one small job per commit dir, not a table scan
     report = []
     for c in commits:
         action = "deleted" if c["version"] < last_ow else "kept"
@@ -407,15 +438,23 @@ def vacuum_versions(spark: SparkSession, path: str,
             if os.path.isdir(full):
                 n += spark.read.parquet(full).count()
         report.append((c["version"], c["mode"], action, n))
-        if action == "deleted":
-            for d in c["dirs"]:
-                _sh.rmtree(os.path.join(path, d), ignore_errors=True)
+    # floor FIRST, then delete: a crash mid-rmtree must leave the
+    # half-deleted version REFUSING loudly (floor already advanced),
+    # never serving partial rows from a gutted dir — and a re-vacuum
+    # at the same keep_from is allowed (not < floor) and finishes the
+    # deletes (r13 review: the old delete-then-floor order had
+    # exactly the silent-partial-read window this module promises
+    # not to have)
     floor = max(last_ow, prior_floor)
     marker = os.path.join(_log_dir(path), "_vacuum.json")
     tmp = marker + ".tmp"
     with open(tmp, "w") as fh:
         json.dump({"floor": floor}, fh)
     os.replace(tmp, marker)
+    for c in commits:
+        if c["version"] < last_ow:
+            for d in c["dirs"]:
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     return spark.createDataFrame(
         report, "version long, mode string, action string, n_rows long")
 

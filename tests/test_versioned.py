@@ -419,3 +419,94 @@ def test_read_pruned_open_range_keeps_all_null_files(spark, tmp_path):
     got2 = read_pruned(spark, path, {"k": (None, None)},
                        plan=(kept, total))
     assert got2.count() == 5
+
+
+def test_snapshot_manifest_includes_zero_row_files(spark, tmp_path):
+    """r13 review: a zero-row part file contributes no row to the
+    stats pass, but it IS a data file — the manifest must list it
+    (n_rows 0, null bounds, 0 null-counts) and plan_pruned_files'
+    total must count it.  A bounded range prunes it (no row can
+    match); a fully-open range keeps it (harmless, costless)."""
+    from dynamic_partitioner_spark.operators.versioned import (
+        plan_pruned_files, snapshot_manifest, versioned_write)
+    path = str(tmp_path / "vt")
+    versioned_write(spark.range(5).withColumnRenamed("id", "k")
+                    .coalesce(1), path, "append")
+    empty = spark.createDataFrame([], "k long").coalesce(1)
+    versioned_write(empty, path, "append")
+    man = {r.commit_version: r
+           for r in snapshot_manifest(spark, path,
+                                      stat_cols=("k",)).collect()}
+    assert set(man) == {1, 2}
+    assert (man[2].n_rows, man[2].min_k, man[2].max_k,
+            man[2].nulls_k) == (0, None, None, 0)
+    assert man[2].size_bytes > 0  # parquet footer exists
+    assert man[1].n_rows == 5
+    kept, total = plan_pruned_files(spark, path, {"k": (0, 10)})
+    assert total == 2 and len(kept) == 1       # bounded: pruned
+    kept, total = plan_pruned_files(spark, path, {"k": (None, None)})
+    assert total == 2 and len(kept) == 2       # open: kept
+
+
+def test_snapshot_manifest_rejects_reserved_stat_cols(spark, tmp_path):
+    """A stat column named like a manifest output column would emit an
+    ambiguous reference — refused loudly instead (r13 review)."""
+    from dynamic_partitioner_spark.operators.versioned import (
+        snapshot_manifest, versioned_write)
+    path = str(tmp_path / "vt")
+    versioned_write(spark.range(3).selectExpr("id as k",
+                                              "id as n_rows"),
+                    path, "append")
+    with pytest.raises(ValueError, match="collide"):
+        snapshot_manifest(spark, path, stat_cols=("n_rows",))
+
+
+def test_vacuum_floors_before_deleting(spark, tmp_path, monkeypatch):
+    """Crash-window pin (r13 review): the retention floor must be
+    persisted BEFORE any rmtree, so a crash mid-deletion leaves the
+    half-deleted version refusing loudly — never serving partial rows
+    from a gutted dir.  A re-vacuum at the same keep_from then
+    finishes the deletes."""
+    from dynamic_partitioner_spark.operators import versioned as V
+    path = str(tmp_path / "vt")
+    V.versioned_write(spark.range(5).toDF("id"), path, "append")
+    V.versioned_write(spark.range(5, 8).toDF("id"), path, "overwrite")
+
+    def boom(*a, **k):
+        raise OSError("disk died mid-delete")
+    monkeypatch.setattr(V.shutil, "rmtree", boom)
+    with pytest.raises(OSError, match="mid-delete"):
+        V.vacuum_versions(spark, path, keep_from=2)
+    monkeypatch.undo()
+    # the floor advanced BEFORE the failed delete: v1 refuses loudly
+    # even though its dir still (partially) exists on disk
+    assert V._vacuum_floor(path) == 2
+    with pytest.raises(ValueError, match="vacuumed"):
+        V.read_version(spark, path, 1)
+    # re-vacuum at the same keep_from completes the deletion
+    rep = {r.version: r.action
+           for r in V.vacuum_versions(spark, path, keep_from=2)
+           .collect()}
+    assert rep == {1: "deleted", 2: "kept"}
+    import os as _os
+    assert not _os.path.isdir(_os.path.join(path, "batch-00000001"))
+    assert V.read_version(spark, path, 2).count() == 3
+
+
+def test_commits_order_numerically_and_skip_non_digit_names(tmp_path):
+    """r13 review: lexical filename sort breaks at the 9th digit
+    (100000000.json < 99999999.json); _commits orders by the parsed
+    version and ignores non-digit .json debris."""
+    import json as _json
+    import os as _os
+
+    from dynamic_partitioner_spark.operators.versioned import _commits
+    ld = tmp_path / "t" / "_log"
+    ld.mkdir(parents=True)
+    for v in (99999999, 100000000, 1):
+        (ld / f"{v:08d}.json").write_text(
+            _json.dumps({"version": v, "mode": "append",
+                         "dirs": [f"batch-{v:08d}"]}))
+    (ld / "notes.json").write_text("{}")       # debris: ignored
+    got = [c["version"] for c in _commits(str(tmp_path / "t"))]
+    assert got == [1, 99999999, 100000000]
