@@ -30,6 +30,8 @@ Scale posture (the part the reference could not do):
 
 from __future__ import annotations
 
+import dataclasses
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -188,8 +190,14 @@ def register_table(spark: SparkSession, spec: SinkSpec, path: str,
     cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in payload)
     parts = ", ".join(f"`{c}` string" for c in spec.field_names)
     loc = path.replace("'", "''")       # SQL string literal escaping
-    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
-    spark.sql(f"CREATE TABLE `{name}` ({cols}) USING {spec.fmt} "
+    # quote each dot-separated part: backticking the WHOLE name would
+    # turn 'db.tbl' into a single-part identifier containing a dot in
+    # the current database, which recoverPartitions then re-parses as
+    # two-part and fails (r13 review; write_bucketed splits the same
+    # way)
+    quoted = ".".join(f"`{p}`" for p in name.split("."))
+    spark.sql(f"DROP TABLE IF EXISTS {quoted}")
+    spark.sql(f"CREATE TABLE {quoted} ({cols}) USING {spec.fmt} "
               f"PARTITIONED BY ({parts}) LOCATION '{loc}'")
     spark.catalog.recoverPartitions(name)
     return name
@@ -232,6 +240,29 @@ def write_bucketed(df, table_name: str, bucket_cols: list[str],
      .sortBy(*bucket_cols)
      .saveAsTable(table_name))
     return table_name
+
+
+def _partition_member_filter(field_names: list[str],
+                             tuples: list[tuple[str, ...]]):
+    """Column predicate selecting rows whose stringified partition
+    tuple is in ``tuples`` — single-field via ``isin``, multi-field
+    via a NUL-joined concat (NUL cannot appear in a partition value:
+    the key normalizer rejects it upstream).  ONE implementation for
+    the three merge paths (r13 review: the 5-line block was
+    copy-pasted into each, so a delimiter/escaping fix could drift)."""
+    if len(field_names) == 1:
+        return F.col(field_names[0]).isin([t[0] for t in tuples])
+    return F.concat_ws("\x00", *field_names).isin(
+        ["\x00".join(t) for t in tuples])
+
+
+def _collect_key_tuples(df: DataFrame,
+                        field_names: list[str]) -> list[tuple[str, ...]]:
+    """Distinct stringified partition tuples of ``df`` — driver-side,
+    bounded by partition-key cardinality.  One implementation for the
+    merge paths (r13 review: previously inlined four times)."""
+    return [tuple(str(r[f]) for f in field_names)
+            for r in df.select(*field_names).distinct().collect()]
 
 
 def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
@@ -277,25 +308,29 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
     touch_src = ndf.select(*spec.field_names)
     if del_ndf is not None:
         touch_src = touch_src.union(del_ndf.select(*spec.field_names))
-    touched = [tuple(str(r[f]) for f in spec.field_names)
-               for r in touch_src.distinct().collect()]
+    touched = _collect_key_tuples(touch_src, spec.field_names)
     existing = list_existing_partitions(spark, path, spec.field_names)
     affected = [t for t in touched if t in existing]
     merged = ndf
     if affected:
-        current = read_partitioned(spark, path, spec.fmt)
-        if len(spec.field_names) == 1:
-            flt = F.col(spec.field_names[0]).isin([t[0] for t in affected])
-        else:
-            flt = F.concat_ws("\x00", *spec.field_names).isin(
-                ["\x00".join(t) for t in affected])
+        # merge_schema: the touched partitions may hold columns the
+        # update batch predates (schema evolution) — reading one
+        # footer's schema and projecting kept rows through the batch's
+        # columns would silently erase those columns from every
+        # rewritten partition (r13 review).  The footer-read cost is
+        # right for a mutation op.
+        current = read_partitioned(spark, path, spec.fmt,
+                                   merge_schema=True)
+        flt = _partition_member_filter(spec.field_names, affected)
         drop_keys = ndf.select(*key_cols)
         if del_ndf is not None:
             drop_keys = drop_keys.union(del_ndf.select(*key_cols))
         keep = (current.where(flt)
                 .join(F.broadcast(drop_keys.distinct()),
                       key_cols, "left_anti"))
-        merged = keep.select(*ndf.columns).unionByName(ndf)
+        # unionByName keeps evolved columns (null-filled on whichever
+        # side lacks them) instead of projecting them away
+        merged = ndf.unionByName(keep, allowMissingColumns=True)
     return _overwrite_and_prune(spark, path, spec, merged, affected)
 
 
@@ -307,7 +342,7 @@ def _overwrite_and_prune(spark: SparkSession, path: str, spec: SinkSpec,
     overwrite only rewrites partitions PRESENT in the written data, so
     an emptied partition's old files would otherwise survive.  The
     remaining-partition collect is bounded by |affected|."""
-    up_spec = SinkSpec(**{**spec.__dict__, "overwrite_partitions": True})
+    up_spec = dataclasses.replace(spec, overwrite_partitions=True)
     # materialize once and CUT LINEAGE: the remaining-partition collect
     # and the overwrite write both consume the merged DAG (pruned read
     # + anti-join + union) — without this every merge pays that plan
@@ -315,9 +350,7 @@ def _overwrite_and_prune(spark: SparkSession, path: str, spec: SinkSpec,
     # files the overwrite is deleting (an eviction away from
     # FILE_NOT_EXIST).  Checkpointed blocks fail loudly if lost.
     merged = merged.localCheckpoint(eager=True)
-    remaining = ({tuple(str(r[f]) for f in spec.field_names)
-                  for r in merged.select(*spec.field_names)
-                  .distinct().collect()}
+    remaining = (set(_collect_key_tuples(merged, spec.field_names))
                  if affected else set())
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
@@ -384,23 +417,21 @@ def merge_cdc(spark: SparkSession, path: str, changes: DataFrame,
     winners = cdc_latest(changes, key_cols, seq_col, op_col, delete_op,
                          keep_deletes=True)
     wn = normalize_partition_keys(winners, spec.field_names)
-    touched = [tuple(str(r[f]) for f in spec.field_names)
-               for r in wn.select(*spec.field_names).distinct().collect()]
+    touched = _collect_key_tuples(wn, spec.field_names)
     existing = list_existing_partitions(spark, path, spec.field_names)
     affected = [t for t in touched if t in existing]
     combined = wn
     if affected:
-        current = read_partitioned(spark, path, spec.fmt)
-        if len(spec.field_names) == 1:
-            flt = F.col(spec.field_names[0]).isin([t[0] for t in affected])
-        else:
-            flt = F.concat_ws("\x00", *spec.field_names).isin(
-                ["\x00".join(t) for t in affected])
+        # merge_schema + unionByName: same schema-evolution hazard as
+        # merge_upsert — a projection through the batch's columns
+        # would erase evolved columns from the rewritten partitions
+        current = read_partitioned(spark, path, spec.fmt,
+                                   merge_schema=True)
+        flt = _partition_member_filter(spec.field_names, affected)
         # current already carries op (tombstones included) — it competes
         # on equal footing with the batch winners
-        combined = (current.where(flt)
-                    .select(*wn.columns)
-                    .unionByName(wn))
+        combined = wn.unionByName(current.where(flt),
+                                  allowMissingColumns=True)
     merged = cdc_latest(combined, key_cols, seq_col, op_col, delete_op,
                         keep_deletes=True)
     spec.validate(merged.schema)
@@ -434,24 +465,23 @@ def compact_tombstones(spark: SparkSession, path: str, spec: SinkSpec,
     just those partitions, emptied ones removed) — cost scales with
     tombstone spread, not table size.
     """
-    current = read_partitioned(spark, path, spec.fmt)
+    # merge_schema: the rewrite must carry schema-evolved columns —
+    # a randomly-sampled old footer could hide them (r13 review)
+    current = read_partitioned(spark, path, spec.fmt,
+                               merge_schema=True)
     # null-safe on BOTH sides: a NULL op is not a tombstone, and a NULL
     # sequence is never provably below the horizon — plain three-valued
     # predicates would let `.where(~expirable)` silently DROP such live
     # rows during the rewrite
     expirable = (F.col(op_col).eqNullSafe(delete_op)
                  & F.coalesce(F.col(seq_col) < below_seq, F.lit(False)))
-    holds = [tuple(str(r[f]) for f in spec.field_names)
-             for r in current.where(expirable)
-             .select(*spec.field_names).distinct().collect()]
+    holds = _collect_key_tuples(current.where(expirable),
+                                spec.field_names)
     if not holds:
         return path
-    if len(spec.field_names) == 1:
-        flt = F.col(spec.field_names[0]).isin([t[0] for t in holds])
-    else:
-        flt = F.concat_ws("\x00", *spec.field_names).isin(
-            ["\x00".join(t) for t in holds])
-    merged = current.where(flt).where(~expirable)
+    merged = (current.where(_partition_member_filter(spec.field_names,
+                                                     holds))
+              .where(~expirable))
     return _overwrite_and_prune(spark, path, spec, merged, holds)
 
 
@@ -463,9 +493,12 @@ def compact_partitions(spark: SparkSession, path: str, fmt: str = "parquet",
     partitioning at 100 TB (every task writing every key → files ×
     tasks×keys).  This op re-reads the tree, REBALANCEs on the partition
     keys (AQE sizes the shuffle output, splitting skewed keys), and
-    rewrites with ``partitionOverwriteMode=dynamic`` so only partitions
-    present in the input are replaced — safe to run over a live dataset
-    directory-by-directory.  Returns the number of partition columns
+    rewrites the WHOLE tree into a temp dir, then atomically swaps it
+    in — single-writer like every file-level op here: an append landing
+    between the read and the swap goes to the old tree and is lost with
+    it, so quiesce writers first (r13 review corrected this docstring —
+    it previously claimed a per-partition dynamic overwrite that the
+    swap design does not do).  Returns the number of partition columns
     detected.
 
     Swap discipline: the rewrite lands in ``<path>._compact_tmp``, the
@@ -504,7 +537,15 @@ def compact_partitions(spark: SparkSession, path: str, fmt: str = "parquet",
                  and f.name in discovered]
     if not part_cols:
         raise ValueError(f"no Hive partition columns discovered under {path}")
-    ndf = df.hint("rebalance", *part_cols)
+    # same version gate as write_partitioned: Spark < 3.2 DROPS the
+    # unknown REBALANCE hint with only a log warning, which would make
+    # the compaction silently rewrite with input-split parallelism and
+    # reproduce the small files it exists to remove (r13 review)
+    major, minor = (int(x) for x in spark.version.split(".")[:2])
+    if (major, minor) >= (3, 2):
+        ndf = df.hint("rebalance", *part_cols)
+    else:
+        ndf = df.repartition(*[F.col(c) for c in part_cols])
     (ndf.write.mode("overwrite")
      .option("maxRecordsPerFile", str(target_rows_per_file))
      .partitionBy(*part_cols).format(fmt).save(tmp_path))
@@ -521,7 +562,18 @@ def compact_partitions(spark: SparkSession, path: str, fmt: str = "parquet",
             f"compaction swap failed: rename {tmp_path} -> {path} "
             f"returned false; original data "
             f"{'restored to ' + path if restored else 'left at ' + old_path}")
-    fs.delete(trash, True)
+    if not fs.delete(trash, True) and fs.exists(trash):
+        # the swap SUCCEEDED (live tree is the rewrite), but the trash
+        # dir survived — fail loudly with the true state, or the next
+        # run's leftover-dir guard would misdiagnose this as a
+        # crashed-mid-swap and tell an operator to restore STALE data
+        # over a healthy tree (r13 review)
+        raise RuntimeError(
+            f"compaction SUCCEEDED (live data at {path} is the "
+            f"rewrite) but deleting the pre-compact copy at "
+            f"{old_path} returned false — remove that directory "
+            "manually before the next compaction; do NOT rename it "
+            "back over the live path")
     # invalidate cached file listings over this path.  refreshByPath
     # covers path-based plans, but catalog tables cache their file index
     # under the table identifier and only REFRESH TABLE drops it — so
@@ -584,6 +636,13 @@ def write_zordered(df: DataFrame, path: str, cols, bits: int = 8,
     itself is pure codegen arithmetic.
     """
     from ..functions.zorder import zorder_value
+    if "_z" in df.columns:
+        # withColumn would silently REPLACE the user's column and the
+        # post-sort drop would erase it from the export (r13 review;
+        # the derived-partition path rejects the same clash class)
+        raise SpecError(
+            "input already has a column named '_z', which "
+            "write_zordered uses internally — rename it first")
     z = df.withColumn("_z", zorder_value(cols, bits))
     (z.repartitionByRange(n_files, F.col("_z"))
      .sortWithinPartitions("_z")
@@ -642,7 +701,8 @@ def spark_avro_available(spark: SparkSession) -> bool:
 
 
 def audit_partition_files(spark: SparkSession, path: str,
-                          partition_cols: list[str]) -> DataFrame:
+                          partition_cols: list[str],
+                          fmt: str = "parquet") -> DataFrame:
     """File-size governance audit over a partitioned dataset: per
     partition key, the row count and the number of physical files —
     the observability primitive behind small-file detection and
@@ -656,8 +716,15 @@ def audit_partition_files(spark: SparkSession, path: str,
     partition columns (free, from the directory layout) and the
     virtual file name are read, so the scan touches no data pages on
     parquet.
+
+    Reads through :func:`read_partitioned` (r13 review): the audit
+    works on all three sink formats and partition values stay STRING —
+    with type inference on, directories ``p=01`` and ``p=1`` would
+    both infer to int 1 and their per-directory file counts (the whole
+    point of the audit) would silently merge under a key matching
+    neither directory.
     """
-    df = spark.read.parquet(path)
+    df = read_partitioned(spark, path, fmt)
     # project the virtual column first — Spark 4 (correctly) refuses
     # nondeterministic expressions as direct aggregate arguments
     named = df.select(*partition_cols, F.input_file_name().alias("_file"))

@@ -991,3 +991,117 @@ def test_zorder_layout_prunes_both_dimensions(spark):
     # more files: 64 files -> 4x4 blocks -> 8 of 64 touched, 8x)
     assert y_touch == 16 * 8
     assert z_touch == y_touch / 2, (z_touch, y_touch)
+
+
+def test_merge_upsert_preserves_schema_evolved_columns(spark, tmp_out):
+    """r13 review (data loss): a partition holding a schema-evolved
+    column must keep it through a merge whose update batch PREDATES
+    the evolution — the old projection through the batch's columns
+    erased evolved columns from every rewritten partition."""
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        merge_upsert)
+
+    spec = SinkSpec(name="ev", field_names=["p"])
+    write_partitioned(spark.createDataFrame(
+        [(1, "a", "x")], "id long, v string, p string"), spec, tmp_out)
+    # evolved append: new column w lands in the SAME partition
+    write_partitioned(spark.createDataFrame(
+        [(2, "b", "B!", "x")], "id long, v string, w string, p string"),
+        SinkSpec(name="ev", field_names=["p"],
+                 append_to_partition="CREATE_OR_APPEND"), tmp_out)
+    # old-schema update touches partition x (updates id=1 only)
+    merge_upsert(spark, tmp_out,
+                 spark.createDataFrame([(1, "a2", "x")],
+                                       "id long, v string, p string"),
+                 spec, ["id"])
+    back = {r.id: (r.v, r.w)
+            for r in read_partitioned(spark, tmp_out,
+                                      merge_schema=True).collect()}
+    assert back[1] == ("a2", None)       # updated row (no w yet)
+    assert back[2] == ("b", "B!")        # evolved column SURVIVES
+
+
+def test_merge_cdc_preserves_schema_evolved_columns(spark, tmp_out):
+    """Same data-loss class for the CDC merge path."""
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        merge_cdc, read_cdc_table)
+
+    spec = SinkSpec(name="cdcev", field_names=["p"],
+                    overwrite_partitions=True)
+    # batch 1 establishes (id, v, seq, op, p); an evolved append adds w
+    merge_cdc(spark, tmp_out, spark.createDataFrame(
+        [(1, "a", 1, "U", "x")],
+        "id long, v string, seq long, op string, p string"),
+        spec, ["id"], "seq")
+    write_partitioned(spark.createDataFrame(
+        [(2, "b", 1, "U", "W!", "x")],
+        "id long, v string, seq long, op string, w string, p string"),
+        SinkSpec(name="cdcev", field_names=["p"],
+                 append_to_partition="CREATE_OR_APPEND"), tmp_out)
+    # old-schema batch 2 updates id=1 — w on id=2's row must survive
+    merge_cdc(spark, tmp_out, spark.createDataFrame(
+        [(1, "a2", 2, "U", "x")],
+        "id long, v string, seq long, op string, p string"),
+        spec, ["id"], "seq")
+    live = {r.id: (r.v, r.w)
+            for r in read_cdc_table(spark, tmp_out).collect()}
+    assert live[1] == ("a2", None)
+    assert live[2] == ("b", "W!")
+
+
+def test_register_table_qualified_name(spark, tmp_out):
+    """r13 review: a db-qualified table name must be quoted per part —
+    backticking the whole name created a literal `db.tbl` identifier
+    in the current database and recoverPartitions then failed."""
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        register_table)
+
+    spec = SinkSpec(name="q", field_names=["p"])
+    write_partitioned(spark.createDataFrame(
+        [(1, "x")], "id long, p string"), spec, tmp_out)
+    spark.sql("CREATE DATABASE IF NOT EXISTS regdb")
+    try:
+        name = register_table(spark, spec, tmp_out,
+                              table_name="regdb.events_q")
+        assert name == "regdb.events_q"
+        assert spark.table("regdb.events_q").count() == 1
+        # and it landed in regdb, not as a dotted name in default
+        assert "events_q" in [t.name for t in
+                              spark.catalog.listTables("regdb")]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS regdb.events_q")
+        spark.sql("DROP DATABASE IF EXISTS regdb")
+
+
+def test_write_zordered_rejects_z_name_clash(spark, tmp_out):
+    """r13 review: a payload column named _z would be silently
+    replaced and dropped from the export — refuse loudly instead."""
+    import pytest
+
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        write_zordered)
+    from dynamic_partitioner_spark.spec import SpecError
+
+    df = spark.createDataFrame([(1, 2, 3)], "a long, b long, _z long")
+    with pytest.raises(SpecError, match="_z"):
+        write_zordered(df, os.path.join(tmp_out, "z"),
+                       [("a", 0, 10), ("b", 0, 10)])
+
+
+def test_audit_partition_files_orc_and_no_type_inference(spark, tmp_out):
+    """r13 review: the audit reads through read_partitioned — it works
+    on ORC datasets and keeps partition values STRING, so directories
+    p=01 and p=1 stay separate audit rows instead of merging under an
+    inferred int key that matches neither directory."""
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        audit_partition_files)
+
+    spec = SinkSpec(name="aud", field_names=["p"], fmt="orc")
+    write_partitioned(spark.createDataFrame(
+        [(1, "01"), (2, "1"), (3, "1")], "id long, p string"),
+        spec, tmp_out)
+    rows = {r.p: (r.n_rows, r.n_files)
+            for r in audit_partition_files(spark, tmp_out, ["p"],
+                                           fmt="orc").collect()}
+    assert set(rows) == {"01", "1"}
+    assert rows["01"][0] == 1 and rows["1"][0] == 2
