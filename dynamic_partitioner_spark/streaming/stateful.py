@@ -339,28 +339,18 @@ def run_running_topk(spark: SparkSession, src_path: str, sink_table: str,
     top-3 via the monotone ``max(struct(...))``.  Requires
     ``google.protobuf`` (see the operator's environment gate)."""
     from .write import (run_stream_to_completion, shuffle_partitions,
-                        stream_from_files)
+                        state_store_provider, stream_from_files)
 
-    provider_conf = "spark.sql.streaming.stateStore.providerClass"
-    prev_provider = spark.conf.get(
-        provider_conf,
-        "org.apache.spark.sql.execution.streaming.state."
-        "HDFSBackedStateStoreProvider")
-    spark.conf.set(
-        provider_conf,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider")
-    try:
-        with shuffle_partitions(spark, state_partitions):
-            sdf = stream_from_files(spark, src_path, max_files_per_trigger=1)
-            out = running_topk_state(sdf)
-            q = (out.writeStream.format("memory").queryName(sink_table)
-                 .outputMode("update").trigger(availableNow=True).start())
-            run_stream_to_completion(q, timeout_sec)
-    finally:
-        # a session-wide provider flip would break later queries whose
-        # checkpoints expect the default provider
-        spark.conf.set(provider_conf, prev_provider)
+    # rocksdb via the shared CM (r13 review: this function predated
+    # state_store_provider and hand-rolled the same override with
+    # divergent restore semantics)
+    with shuffle_partitions(spark, state_partitions), \
+            state_store_provider(spark, "rocksdb"):
+        sdf = stream_from_files(spark, src_path, max_files_per_trigger=1)
+        out = running_topk_state(sdf)
+        q = (out.writeStream.format("memory").queryName(sink_table)
+             .outputMode("update").trigger(availableNow=True).start())
+        run_stream_to_completion(q, timeout_sec)
     snaps = spark.table(sink_table)
     return (snaps.groupBy("user_id")
             .agg(F.max(F.struct("v1", "e1", "v2", "e2", "v3", "e3"))

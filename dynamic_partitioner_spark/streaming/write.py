@@ -23,6 +23,28 @@ from pyspark.sql.streaming import StreamingQuery
 
 
 @contextmanager
+def _conf_override(spark: SparkSession, key: str, value: str | None):
+    """Set a session SQL conf for the block, restoring (or unsetting,
+    if it was unset) on exit.  THE one save/restore implementation —
+    this file had grown three divergent copies whose save idioms
+    (get-with-default vs bare get vs try/except) and restore idioms
+    (set vs unset-or-set) had already drifted (r13 review).
+    ``value=None`` is a no-op."""
+    if value is None:
+        yield
+        return
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+@contextmanager
 def shuffle_partitions(spark: SparkSession, n: int | None):
     """Temporarily set ``spark.sql.shuffle.partitions`` — for a
     STREAMING query this is the state-store partition count, fixed at
@@ -31,16 +53,9 @@ def shuffle_partitions(spark: SparkSession, n: int | None):
     state partition costs a store instance + a Python worker round per
     micro-batch, so 32 partitions for a small keyspace measured ~2×
     slower than 8 on the stateful keys.  ``None`` = leave as-is."""
-    if n is None:
+    with _conf_override(spark, "spark.sql.shuffle.partitions",
+                        None if n is None else str(n)):
         yield
-        return
-    key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
-    spark.conf.set(key, str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set(key, old)
 
 #: public built-in providers (org.apache.spark...state package):
 #: "rocksdb" is the unbounded-keyspace production posture — the
@@ -68,25 +83,29 @@ def state_store_provider(spark: SparkSession, provider: str | None):
     ``None`` (leave the session default — Spark's HDFS-backed
     in-memory provider).  Results are provider-invariant (pinned in
     tests/test_streaming.py); only the storage/latency posture
-    changes."""
+    changes.
+
+    Scope: like :func:`micro_batch_aqe_fanout` this mutates
+    SESSION-level SQL conf for the duration of the block — and the
+    leak is WORSE here, because an unrelated query started
+    concurrently on the same session bakes the provider into ITS
+    checkpoint permanently (it survives the block's exit and every
+    restart of that query).  The engine's drains run one stream at a
+    time; callers managing concurrent streams should start them from
+    separate sessions (``spark.newSession()``) or accept the
+    provider session-wide (r13 review)."""
     if provider is None:
         yield
         return
-    key = "spark.sql.streaming.stateStore.providerClass"
     cls = STATE_STORE_PROVIDERS.get(provider, provider)
     if "." not in cls:
         raise ValueError(
             f"unknown state-store provider {provider!r}: pass one of "
             f"{sorted(STATE_STORE_PROVIDERS)} or a provider FQCN")
-    old = spark.conf.get(key, None)
-    spark.conf.set(key, cls)
-    try:
+    with _conf_override(spark,
+                        "spark.sql.streaming.stateStore.providerClass",
+                        cls):
         yield
-    finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
 
 
 @contextmanager
@@ -111,22 +130,11 @@ def micro_batch_aqe_fanout(spark: SparkSession, n: int | None = 64):
     acceptable here; callers that interleave batch work on the same
     session should scope the override inside their foreachBatch
     function instead."""
-    if n is None:
+    with _conf_override(
+            spark,
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            None if n is None else str(n)):
         yield
-        return
-    key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-    try:
-        old = spark.conf.get(key)
-    except Exception:
-        old = None
-    spark.conf.set(key, str(n))
-    try:
-        yield
-    finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
 
 
 from ..operators.partition_keys import normalize_partition_keys
@@ -156,7 +164,10 @@ def stage_ordered_files(frames: list[DataFrame], src: str) -> str:
     for i, df in enumerate(frames):
         tmp = f"{src}_tmp{i}"
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        # glob.escape: a metacharacter in the caller's path (e.g.
+        # '.../run[1]/...') would make the pattern match nothing and
+        # the [0] index crash with IndexError (r13 review)
+        part = glob.glob(f"{glob.escape(tmp)}/part-*.parquet")[0]
         dst = f"{src}/{i:02d}.parquet"
         shutil.copyfile(part, dst)
         os.utime(dst, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))

@@ -642,3 +642,28 @@ def test_state_store_provider_context_manager(spark):
     # a custom FQCN passes through verbatim
     with state_store_provider(spark, "com.example.MyProvider"):
         assert spark.conf.get(key) == "com.example.MyProvider"
+
+
+def test_stage_ordered_files_tolerates_glob_metachar_paths(spark,
+                                                           tmp_out):
+    """r13 review: a glob metacharacter in the caller's path (e.g.
+    'run[1]') made the part-file pattern match nothing and the [0]
+    index crash — glob.escape pins the literal path."""
+    from dynamic_partitioner_spark.streaming.write import (
+        stage_ordered_files)
+
+    import pyarrow.parquet as pq
+
+    src = os.path.join(tmp_out, "run[1]", "staged")
+    os.makedirs(os.path.dirname(src))
+    out = stage_ordered_files(
+        [spark.createDataFrame([(i,)], "k long") for i in range(2)],
+        src)
+    names = sorted(os.listdir(out))
+    assert names == ["00.parquet", "01.parquet"]
+    # read back file-by-file: SPARK's own reader globs paths too, so a
+    # metachar dir can't serve a stream source — staging still must
+    # not crash, and the staged bytes must be the frames in order
+    got = [pq.read_table(os.path.join(out, n)).column("k")[0].as_py()
+           for n in names]
+    assert got == [0, 1]
