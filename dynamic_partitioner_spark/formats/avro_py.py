@@ -248,6 +248,13 @@ def encode_container(rows: Iterator[tuple], schema: T.StructType,
                      sync: bytes, codec: str = "deflate",
                      block_rows: int = 4096) -> bytes:
     """Rows (tuples in schema field order) → Avro object-container bytes."""
+    if codec not in ("null", "deflate"):
+        # the container metadata CLAIMS the codec; writing it over
+        # blocks that were not actually compressed that way would
+        # produce a file every conformant reader mis-decodes (r13
+        # review: only write_avro_partitioned validated)
+        raise ValueError(f"encode_container supports codecs "
+                         f"null/deflate, not {codec!r}")
     encs = _make_encoders(schema)
     ncols = len(encs)
     out = io.BytesIO()
@@ -389,6 +396,15 @@ def write_avro_partitioned(df: DataFrame, field_names: list[str],
     job_token = uuid.uuid4().hex[:12]
     float_cols = [f.name for f in payload_schema.fields
                   if isinstance(f.dataType, (T.DoubleType, T.FloatType))]
+    # nullable integer columns need the same mask treatment: Arrow
+    # hands int64-with-nulls to pandas as float64, which silently
+    # rounds values beyond 2^53 (r13 review: data corruption).  The
+    # value column is coalesced to 0 Spark-side so pandas receives
+    # exact int64; the mask restores the nulls at encode time.
+    int_cols = [f.name for f in payload_schema.fields
+                if isinstance(f.dataType,
+                              (T.LongType, T.IntegerType,
+                               T.ShortType, T.ByteType))]
 
     moved: list[tuple[str, str]] = []
     if overwrite_partitions:
@@ -399,8 +415,16 @@ def write_avro_partitioned(df: DataFrame, field_names: list[str],
             target = os.path.join(path, _hive_dir(field_names, key))
             if os.path.isdir(target):
                 old = target.rstrip("/") + "._overwrite_old"
-                if os.path.isdir(old):       # leftover from a crashed run
-                    shutil.rmtree(old)
+                if os.path.isdir(old):
+                    # leftover from a crashed run: it may hold the ONLY
+                    # good copy of this partition (the live dir could be
+                    # a partial rewrite) — deciding which to keep needs
+                    # an operator, not an rmtree (r13 review)
+                    raise RuntimeError(
+                        f"{old} already exists — a previous overwrite "
+                        f"crashed mid-swap.  Inspect it against "
+                        f"{target}, keep the good copy at {target}, "
+                        "delete the other, then re-run")
                 os.rename(target, old)
                 moved.append((target, old))
 
@@ -408,22 +432,38 @@ def write_avro_partitioned(df: DataFrame, field_names: list[str],
         rel = _hive_dir(field_names, key)
         target = os.path.join(path, rel)
         os.makedirs(target, exist_ok=True)
-        sync = hashlib.md5(rel.encode()).digest()
-        pdf = pdf.sort_values(cols).reset_index(drop=True)
+        rel_md5 = hashlib.md5(rel.encode())
+        sync = rel_md5.digest()
+        # masks join the sort key: a NULL and a NaN double tie as NaN
+        # in the pandas view, and shuffle arrival order would then
+        # decide their output order — breaking the byte-identical
+        # re-run/retry guarantee the deterministic file name relies on
+        # (r13 review)
+        sort_cols = cols + [f"__null_{c}" for c in (*float_cols,
+                                                    *int_cols)]
+        pdf = pdf.sort_values(sort_cols).reset_index(drop=True) \
+            if cols else pdf
         # None only for TRUE nulls; float NaN is a legitimate double
         # value and must survive (the spark-avro fast path writes NaN
         # as NaN — blanket NaN→None diverged, and crashed non-nullable
         # float fields outright).  Arrow hands float columns to pandas
         # with nulls ALREADY collapsed to NaN, so the distinction rides
         # in the Spark-side __null_ mask columns projected below.
-        vals = pdf[cols].astype(object)
-        mask = pd.notna(vals)
-        for c in float_cols:
-            mask[c] = ~pdf[f"__null_{c}"].astype(bool)
-        recs = vals.where(mask, None).itertuples(index=False, name=None)
+        if cols:
+            vals = pdf[cols].astype(object)
+            mask = pd.notna(vals)
+            for c in (*float_cols, *int_cols):
+                mask[c] = ~pdf[f"__null_{c}"].astype(bool)
+            recs = vals.where(mask, None).itertuples(index=False,
+                                                     name=None)
+        else:
+            # every column a partition key: itertuples over a zero-
+            # column frame yields NOTHING, silently writing an empty
+            # container while stats claimed len(pdf) rows (r13
+            # review) — emit one empty record per row instead
+            recs = iter([()] * len(pdf))
         blob = encode_container(recs, payload_schema, sync, codec)
-        fname = (f"part-{hashlib.md5(rel.encode()).hexdigest()[:16]}"
-                 f"-{job_token}.avro")
+        fname = f"part-{rel_md5.hexdigest()[:16]}-{job_token}.avro"
         with open(os.path.join(target, fname), "wb") as fh:
             fh.write(blob)
         return pd.DataFrame({"partition": [rel], "rows": [len(pdf)]})
@@ -431,12 +471,30 @@ def write_avro_partitioned(df: DataFrame, field_names: list[str],
     os.makedirs(path, exist_ok=True)       # empty input → valid empty dataset
     out_schema = "partition string, rows long"
     masked = df.select(
-        "*", *[F.col(c).isNull().alias(f"__null_{c}") for c in float_cols])
+        "*", *[F.col(c).isNull().alias(f"__null_{c}")
+               for c in (*float_cols, *int_cols)])
+    for c in int_cols:
+        # AFTER the mask projection: exact int64 reaches pandas, the
+        # mask restores which zeros were really nulls
+        masked = masked.withColumn(c, F.coalesce(F.col(c), F.lit(0))
+                                   .cast(df.schema[c].dataType))
     stats = (masked.groupBy(*field_names)
              .applyInPandas(write_group, out_schema))
     try:
         stats.count()                      # materialize = run the write
     except Exception:
+        # remove THIS job's own partial output: succeeded tasks'
+        # files are token-unique, and a caller's whole-call retry
+        # would otherwise duplicate every one of their rows (r13
+        # review).  glob.escape: the tree path is caller-supplied.
+        import glob as _glob
+        for f in _glob.glob(os.path.join(_glob.escape(path), "**",
+                                         f"part-*-{job_token}.avro"),
+                            recursive=True):
+            try:
+                os.remove(f)
+            except OSError:
+                pass
         if moved:                          # failed overwrite: restore
             import shutil
             for target, old in moved:
@@ -486,12 +544,27 @@ def read_avro_partitioned(spark: SparkSession, path: str,
             for fpath, content in zip(paths, contents):
                 file_schema, rows = decode_container(bytes(content))
                 pos = {f.name: i for i, f in enumerate(file_schema.fields)}
+                missing = [f.name for f in payload_schema.fields
+                           if f.name not in pos]
+                if missing:
+                    # a mixed-schema tree (evolved append) previously
+                    # surfaced as an opaque executor KeyError (r13
+                    # review) — name the file and the fields instead
+                    raise ValueError(
+                        f"avro file {fpath} lacks payload fields "
+                        f"{missing} (schema evolution across the "
+                        "tree?) — the pure-Python fallback reads one "
+                        "schema; rewrite or read formats separately")
                 arrays = [
                     pa.array([r[pos[f.name]] for r in rows], type=at)
                     for f, at in zip(payload_schema.fields, arrow_types)]
                 for f in field_names:
                     marker = f"/{f}="
-                    seg = fpath.split(marker, 1)[1].split("/", 1)[0]
+                    # LAST occurrence: the innermost dir is the real
+                    # partition — a base path containing '/{f}=' (e.g.
+                    # a date-stamped run dir) matched FIRST and stamped
+                    # every row with the base path's value (r13 review)
+                    seg = fpath.rsplit(marker, 1)[1].split("/", 1)[0]
                     arrays.append(pa.array(
                         [unescape_path_name(seg)] * len(rows),
                         type=pa.string()))
@@ -501,5 +574,9 @@ def read_avro_partitioned(spark: SparkSession, path: str,
              .option("pathGlobFilter", "*.avro")
              .option("recursiveFileLookup", "true")
              .load(path)
+             # never read through a crashed overwrite's move-aside dir:
+             # its files would parse a mangled partition value
+             # ('v._overwrite_old') out of the path (r13 review)
+             .where(~F.col("path").contains("._overwrite_old/"))
              .select("path", "content"))
     return files.mapInArrow(decode, full)

@@ -79,9 +79,12 @@ def _read_avro_fallback(spark: SparkSession, path: str) -> DataFrame:
             break
         order.append(subs[0].getPath().getName().split("=", 1)[0])
         p = subs[0].getPath()
+    from pyspark.sql import functions as _F
     one = (spark.read.format("binaryFile")
            .option("recursiveFileLookup", "true")
            .option("pathGlobFilter", "*.avro").load(path)
+           # same move-aside exclusion as read_avro_partitioned
+           .where(~_F.col("path").contains("._overwrite_old/"))
            .select("content").limit(1).collect())
     if not one:
         raise FileNotFoundError(f"no .avro container files under {path}")

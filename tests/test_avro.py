@@ -256,3 +256,117 @@ def test_avro_dispatch_prefers_spark_avro_when_available(
     assert got2 == out
     assert fb == {"fields": ["k"], "path": out, "codec": "snappy",
                   "overwrite": False}
+
+
+def test_nullable_long_beyond_2_53_survives_nulls(spark, tmp_path):
+    """r13 review (data corruption): Arrow hands int64-with-nulls to
+    pandas as float64, which rounds values beyond 2^53 — the writer
+    now coalesces + masks integer columns like it always did floats,
+    so the exact long AND the null both round-trip."""
+    from dynamic_partitioner_spark.formats import (
+        read_avro_partitioned, write_avro_partitioned)
+
+    big = 9_007_199_254_740_993            # 2^53 + 1: float64 rounds it
+    df = spark.createDataFrame([(big, "x"), (None, "x")],
+                               "id long, p string")
+    out = str(tmp_path / "t")
+    write_avro_partitioned(df, ["p"], out, codec="null")
+    back = read_avro_partitioned(
+        spark, out, ["p"],
+        T.StructType([T.StructField("id", T.LongType())]))
+    got = sorted((r.id for r in back.collect()),
+                 key=lambda v: (v is None, v))
+    assert got == [big, None]
+
+
+def test_all_partition_column_payload_keeps_rows(spark, tmp_path):
+    """r13 review (silent row loss): with EVERY column a partition
+    key, itertuples over the zero-column payload frame yielded nothing
+    and the container was written empty while stats claimed the real
+    count — one empty record per row is emitted now."""
+    from dynamic_partitioner_spark.formats import (
+        read_avro_partitioned, write_avro_partitioned)
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "p string")
+    out = str(tmp_path / "t")
+    write_avro_partitioned(df, ["p"], out, codec="null")
+    back = read_avro_partitioned(spark, out, ["p"], T.StructType([]))
+    assert sorted(r.p for r in back.collect()) == ["a", "a", "b"]
+
+
+def test_partition_value_from_innermost_dir(spark, tmp_path):
+    """r13 review: a BASE path containing '/{field}=' (a date-stamped
+    run dir) matched first and stamped every row with the base path's
+    value — the innermost occurrence is the real partition dir."""
+    from dynamic_partitioner_spark.formats import (
+        read_avro_partitioned, write_avro_partitioned)
+
+    out = str(tmp_path / "date=2026-08-16" / "out")
+    os.makedirs(os.path.dirname(out))
+    df = spark.createDataFrame([(1, "2001-01-01"), (2, "2002-02-02")],
+                               "id long, date string")
+    write_avro_partitioned(df, ["date"], out, codec="null")
+    back = {r.id: r.date for r in read_avro_partitioned(
+        spark, out, ["date"],
+        T.StructType([T.StructField("id", T.LongType())])).collect()}
+    assert back == {1: "2001-01-01", 2: "2002-02-02"}
+
+
+def test_encode_container_rejects_unknown_codec():
+    """r13 review: the container metadata claims the codec — writing
+    it over uncompressed blocks would make every conformant reader
+    mis-decode; refuse up front."""
+    from dynamic_partitioner_spark.formats import encode_container
+
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    with pytest.raises(ValueError, match="snappy"):
+        encode_container(iter([(1,)]), schema, b"0" * 16, codec="snappy")
+
+
+def test_failed_write_cleans_its_own_partials(spark, tmp_path,
+                                              monkeypatch):
+    """r13 review: succeeded tasks' files from a FAILED job are
+    token-unique — the failure path removes them, so a whole-call
+    retry cannot duplicate their rows."""
+    from dynamic_partitioner_spark.formats import avro_py as A
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, p string")
+    out = str(tmp_path / "t")
+    real_encode = A.encode_container
+    def sometimes_boom(rows, schema, sync, codec="deflate", **kw):
+        rows = list(rows)
+        if any(r[0] == 2 for r in rows):
+            raise RuntimeError("task boom")
+        return real_encode(iter(rows), schema, sync, codec, **kw)
+    monkeypatch.setattr(A, "encode_container", sometimes_boom)
+    with pytest.raises(Exception):
+        A.write_avro_partitioned(df, ["p"], out, codec="null")
+    monkeypatch.undo()
+    # partition a's task may have succeeded before b failed — its
+    # partial file must be gone either way
+    assert glob.glob(f"{out}/**/*.avro", recursive=True) == []
+    # the retry writes cleanly, no duplicates
+    A.write_avro_partitioned(df, ["p"], out, codec="null")
+    from dynamic_partitioner_spark.sources.read import read_partitioned
+    assert read_partitioned(spark, out, "avro").count() == 2
+
+
+def test_overwrite_refuses_leftover_moveaside(spark, tmp_path):
+    """r13 review: a leftover ._overwrite_old dir may hold the only
+    good copy of the partition — refuse loudly instead of rmtree'ing
+    it; and reads never pick mangled values out of the move-aside."""
+    from dynamic_partitioner_spark.formats import write_avro_partitioned
+    from dynamic_partitioner_spark.sources.read import read_partitioned
+
+    df = spark.createDataFrame([(1, "a")], "id long, p string")
+    out = str(tmp_path / "t")
+    write_avro_partitioned(df, ["p"], out, codec="null")
+    # simulate the crashed prior overwrite
+    os.rename(f"{out}/p=a", f"{out}/p=a._overwrite_old")
+    write_avro_partitioned(df, ["p"], out, codec="null")  # rewrites p=a
+    # the move-aside's rows are INVISIBLE to reads (no 'a._overwrite_old' key)
+    assert {r.p for r in read_partitioned(spark, out, "avro")
+            .collect()} == {"a"}
+    with pytest.raises(RuntimeError, match="crashed mid-swap"):
+        write_avro_partitioned(df, ["p"], out, codec="null",
+                               overwrite_partitions=True)
