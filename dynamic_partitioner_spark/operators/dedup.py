@@ -599,6 +599,7 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
         persisted.unpersist()
     labels = (edges.select("u").distinct()
               .select(F.col("u").alias("node"), F.col("u").alias("label")))
+    changed = -1          # max_iter=0: for-else must not read unbound
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges.v == labels.node)
                  .select(F.col("u").alias("node"), "label",
@@ -622,7 +623,9 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
     else:
         raise RuntimeError(
             f"label propagation did not converge within max_iter="
-            f"{max_iter} rounds ({changed} labels still changing) — "
+            f"{max_iter} rounds "
+            f"({'no round ran' if changed < 0 else changed} "
+            "labels still changing) — "
             "the pair graph has a longer chain than expected; raise "
             "max_iter or switch to star contraction")
     return labels.select(F.col("node").alias("doc_id"),
@@ -659,7 +662,8 @@ _UNBOUNDED_VERIFY_CEILING_FLOOR = 100_000
 
 
 def embedding_near_dup_lsh(df: DataFrame, id_col: str, vec_col: str,
-                           threshold: float = 0.9, dim: int = 64,
+                           threshold: float = 0.9,
+                           dim: int | None = 64,
                            n_planes: int | None = None, n_tables: int = 4,
                            seed: int = 42,
                            max_bucket_size: int | None = 10_000,
@@ -711,6 +715,21 @@ def embedding_near_dup_lsh(df: DataFrame, id_col: str, vec_col: str,
 
     from .similarity import _all_buckets_udf
 
+    # NULL ids break the in-bucket object-array min/max pairing the
+    # same way they break the matmul twin (which guards them) — drop
+    # them up front (r13 review)
+    df = df.where(F.col(id_col).isNotNull())
+    if dim is None:
+        # derive from the id-ordered first non-null vector (same
+        # deterministic probe semantic_dedup uses)
+        row = (df.where(F.col(vec_col).isNotNull())
+               .select(F.size(F.col(vec_col)).alias("_d"))
+               .orderBy(id_col).first())
+        if row is None:
+            id_dt0 = df.schema[id_col].dataType.simpleString()
+            return df.sparkSession.createDataFrame(
+                [], f"id_a {id_dt0}, id_b {id_dt0}, cos_sim double")
+        dim = int(row["_d"])
     if n_planes is None:
         n = df.count()
         n_planes = min(16, max(2, _math.ceil(
@@ -725,6 +744,18 @@ def embedding_near_dup_lsh(df: DataFrame, id_col: str, vec_col: str,
                # read by the hot-bucket count + the verify pass —
                # persist so the Arrow bucket UDF runs once per corpus
                .persist(StorageLevel.MEMORY_AND_DISK))
+    if not entries.take(1) and df.take(1):
+        # a wrong `dim` NULL-buckets every vector and the result is a
+        # silently empty pair set, indistinguishable from "no
+        # duplicates" (r13 review) — fail loudly instead
+        probe = (df.where(F.col(vec_col).isNotNull())
+                 .select(F.size(F.col(vec_col)).alias("_d")).take(1))
+        raise ValueError(
+            f"embedding_near_dup_lsh: every vector failed the "
+            f"dim={dim} check ("
+            + (f"first non-null vector has {probe[0]['_d']} elements"
+               if probe else "all vectors are NULL")
+            + ") — pass dim=None to derive it from the corpus")
     # None relaxes but never removes the bound: the verify holds a
     # bucket's full vector matrix in one worker, so an uncapped
     # degenerate bucket (zero-vector pile-up) could OOM an executor
@@ -792,10 +823,17 @@ def embedding_near_dup_lsh(df: DataFrame, id_col: str, vec_col: str,
             keep = ~_np.isnan(cos) & (cos >= thr)
             if keep.any():
                 ka, kb = ia[keep], ib[keep]
-                out.append(_pd.DataFrame({
-                    "id_a": _np.minimum(ids[ka], ids[kb]),
-                    "id_b": _np.maximum(ids[ka], ids[kb]),
-                    "cos_sim": cos[keep]}))
+                # two ROWS sharing one id value (exact-duplicate input)
+                # would emit a (x, x) self-pair the a._id < b._id join
+                # form excludes — the matmul twin guards this too (r13
+                # review)
+                neq = ids[ka] != ids[kb]
+                ka, kb, kcos = ka[neq], kb[neq], cos[keep][neq]
+                if len(ka):
+                    out.append(_pd.DataFrame({
+                        "id_a": _np.minimum(ids[ka], ids[kb]),
+                        "id_b": _np.maximum(ids[ka], ids[kb]),
+                        "cos_sim": kcos}))
         return _pd.concat(out) if out else empty
 
     pairs = entries.groupBy("tbl", "bucket").applyInPandas(
@@ -890,7 +928,6 @@ def _blocked_cosine_pairs_matmul(blocked: DataFrame, id_col: str,
                                  vec_col: str, block_col: str,
                                  threshold: float,
                                  chunk: int = 1024) -> DataFrame:
-    id_dt = blocked.schema[id_col].dataType.simpleString()
     """Within-block cosine pairs via one BLAS matmul per block
     (``applyInPandas``): each block ships its vectors through Arrow
     ONCE (n·dim floats) instead of duplicating both vectors onto every
@@ -901,6 +938,8 @@ def _blocked_cosine_pairs_matmul(blocked: DataFrame, id_col: str,
     ``chunk × n`` doubles, not ``n × n``.  Same rounding
     (floor(x·1e4+0.5)/1e4) and (id_a < id_b) contract as
     :func:`embedding_near_dup`."""
+    id_dt = blocked.schema[id_col].dataType.simpleString()
+
     def pairs_of(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": pd.Series([], dtype="object"),
                               "id_b": pd.Series([], dtype="object"),
@@ -1062,8 +1101,13 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
         id_dt = df.schema[id_col].dataType.simpleString()
         return df.sparkSession.createDataFrame(
             [], f"id_a {id_dt}, id_b {id_dt}, cos_sim double")
-    df = df.where(F.col(vec_col).isNotNull()
-                  & (F.size(F.col(vec_col)) == F.lit(first["_d"])))
+    from pyspark.storagelevel import StorageLevel
+    df = (df.where(F.col(vec_col).isNotNull()
+                   & (F.size(F.col(vec_col)) == F.lit(first["_d"])))
+          # up to four actions read this (count, centroid sample,
+          # assignment, pair pipeline) — without a persist each one
+          # re-executes the caller's upstream pipeline (r13 review)
+          .persist(StorageLevel.MEMORY_AND_DISK))
 
     two_level = False
     if n_lists is None:
@@ -1133,6 +1177,26 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
                          F.concat_ws("#", F.col("_cluster"), F.col("_tbl"),
                                      F.col("_sub")).alias("_blk")))
         blocked = cold.unionByName(hot_b)
+        still_hot_rows = (blocked.groupBy("_blk")
+                          .agg(F.count(F.lit(1)).alias("_n"))
+                          .where(F.col("_n") > max_cluster_size)
+                          .limit(20).collect())
+        if still_hot_rows:
+            # the docstring promises the cap warning NAMES the dropped
+            # blocks — an anti-join alone cut recall silently (r13
+            # review, same class as the lsh ceiling warning)
+            import warnings
+            warnings.warn(
+                f"semantic_dedup: {len(still_hot_rows)}"
+                f"{'+' if len(still_hot_rows) == 20 else ''} "
+                f"sub-block(s) still exceed max_cluster_size="
+                f"{max_cluster_size} after sign-LSH subdivision "
+                f"(an unsplittable pile-up, e.g. identical vectors); "
+                f"their pairs are DROPPED and recall is reduced, "
+                f"e.g. _blk = "
+                f"{[r['_blk'] for r in still_hot_rows[:5]]}. Raise "
+                f"max_cluster_size or pre-dedupe exact-duplicate "
+                f"vectors first.", RuntimeWarning, stacklevel=2)
         still_hot = (blocked.groupBy("_blk")
                      .agg(F.count(F.lit(1)).alias("_n"))
                      .where(F.col("_n") > max_cluster_size)
@@ -1163,8 +1227,7 @@ def _span_relation(docs: DataFrame, id_col: str, text_col: str,
         raise ValueError("span length k must be >= 2")
     toks = (docs.where(F.col(id_col).isNotNull())
             .select(F.col(id_col).alias("_id"),
-                    F.split(F.trim(F.lower(F.col(text_col))),
-                            "[ \t\n\r]+").alias("_t"))
+                    tokens(F.col(text_col)).alias("_t"))
             .where(F.size("_t") >= k))
     return toks.select(
         "_id",
@@ -1231,7 +1294,6 @@ def span_novelty(docs: DataFrame, id_col: str, text_col: str,
     spans = _span_relation(docs, id_col, text_col, k)
     sharing = (spans.groupBy("span")
                .agg(F.countDistinct("_id").alias("_docs")))
-    from ..functions.vectors import round4
     joined = spans.join(sharing, "span")
     return (joined.groupBy("_id")
             .agg(F.count(F.lit(1)).alias("n_spans"),

@@ -638,3 +638,72 @@ def test_span_novelty_scores_copies_and_excludes_short_docs(spark):
     assert got[3] == (4, 0, 1.0)
     assert got[4] == (5, 4, 0.2)
     assert 5 not in got
+
+
+def test_embedding_lsh_null_ids_dup_ids_and_dim_probe(spark):
+    """r13 review triplet for embedding_near_dup_lsh: NULL ids are
+    dropped (they crashed the in-bucket object-array pairing), two
+    ROWS sharing an id never emit a (x,x) self-pair, and dim=None
+    derives the corpus dimension."""
+    import dynamic_partitioner_spark.operators.dedup as DD
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [("a", v), ("a", v), (None, v), ("b", v)],
+        "id string, vec array<double>")
+    out = DD.embedding_near_dup_lsh(df, "id", "vec", threshold=0.9,
+                                    dim=None, n_planes=2)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert got == {("a", "b")}          # no (a,a), no None pairs
+
+
+def test_embedding_lsh_wrong_dim_fails_loudly(spark):
+    """r13 review: a wrong dim NULL-buckets every vector — previously
+    a silently empty result, indistinguishable from 'no duplicates'."""
+    import pytest
+
+    import dynamic_partitioner_spark.operators.dedup as DD
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.0])],
+        "id string, vec array<double>")
+    with pytest.raises(ValueError, match="dim=64"):
+        DD.embedding_near_dup_lsh(df, "id", "vec")  # default dim=64
+    # dim=None derives and works
+    assert DD.embedding_near_dup_lsh(
+        df, "id", "vec", dim=None, n_planes=2).count() == 1
+
+
+def test_dedup_clusters_zero_max_iter_raises_cleanly(spark):
+    """r13 review: max_iter=0 read the unbound loop variable and
+    raised NameError instead of the non-convergence diagnostic."""
+    import pytest
+
+    import dynamic_partitioner_spark.operators.dedup as DD
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="no round ran"):
+        DD.dedup_clusters(pairs, max_iter=0, driver_threshold=0)
+
+
+def test_semantic_dedup_warns_on_unsplittable_hot_block(spark):
+    """r13 review: the docstring promises the cap warning NAMES the
+    dropped blocks — an anti-join alone cut recall silently.  An
+    identical-vector pile-up cannot be split by sign-LSH, so it must
+    warn."""
+    import warnings as W
+
+    import dynamic_partitioner_spark.operators.dedup as DD
+
+    n = 12
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(n)],
+        "id long, vec array<double>")
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        out = DD.semantic_dedup(df, "id", "vec", n_lists=1,
+                                max_cluster_size=4, sub_tables=1)
+        out.count()
+    msgs = [str(c.message) for c in caught
+            if issubclass(c.category, RuntimeWarning)]
+    assert any("still exceed max_cluster_size" in m for m in msgs), msgs
