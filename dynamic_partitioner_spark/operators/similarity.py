@@ -30,6 +30,24 @@ def _rank_window(qcol: str) -> Window:
             .orderBy(F.col("cos_sim").desc(), F.col("neighbor_id")))
 
 
+def _score_and_rank(candidates, k: int):
+    """Shared scoring tail of every ANN path: exclude self, exact
+    round4 cosine, dedupe multi-probe copies, per-query row_number
+    top-k.  ONE implementation (r13 review: the block was copy-pasted
+    verbatim into four functions, so a scoring-contract change could
+    drift).  ``candidates`` carries (query_id, qv, neighbor_id, cv)
+    rows from the caller's blocking join."""
+    scored = (candidates
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      round4(cosine(F.col("qv"), F.col("cv")))
+                      .alias("cos_sim"))
+              .distinct())
+    ranked = scored.withColumn(
+        "rank", F.row_number().over(_rank_window("query_id")))
+    return ranked.where(F.col("rank") <= k)
+
+
 def topk_bruteforce(emb: DataFrame, queries: DataFrame, id_col: str = "vec_id",
                     vec_col: str = "embedding", k: int = 5) -> DataFrame:
     """Exact top-k cosine neighbors for each query row.
@@ -60,7 +78,11 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 def sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """LSH bucket id: sign bit per hyperplane, packed into an int.
-    Pure-Column form (used by tests as the vectorized path's oracle)."""
+    Pure-Column form (used by tests as the vectorized path's oracle).
+    NULL/ragged vectors bucket to NULL — matching the vectorized
+    ``_all_buckets_udf`` (r13 review: a NULL 'd > 0' fell through to
+    ``.otherwise(0)`` per plane, colliding every bad vector into the
+    legitimate all-negative-signs bucket 0)."""
     bucket = F.lit(0)
     for j, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
@@ -68,7 +90,8 @@ def sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
                                    lambda x, y: x.cast("double") * y),
                         F.lit(0.0), lambda acc, v: acc + v)
         bucket = bucket + F.when(d > 0, F.lit(2 ** j)).otherwise(F.lit(0))
-    return bucket
+    return F.when(vec.isNotNull()
+                  & (F.size(vec) == len(planes[0])), bucket)
 
 
 def _all_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int):
@@ -94,13 +117,19 @@ def _all_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int):
         good = [x for x, k in zip(vals, ok) if k]
         if good:
             mat = np.asarray(good, dtype=np.float64)        # (B, dim)
+            # Arrow delivers NULL ELEMENTS as NaN, which passes the
+            # length check; 'NaN > 0' is False on every plane, so such
+            # vectors collided into legitimate bucket 0 (r13 review) —
+            # NULL-bucket them like NULL/ragged vectors instead
+            nan_rows = np.isnan(mat).any(1)
             signs = (mat @ planes.T) > 0                    # (B, T·P)
             per_table = signs.reshape(len(mat), -1, n_planes)
             ids = per_table @ weights                       # (B, T)
-            it = iter(ids)
+            it = iter(zip(ids, nan_rows))
             for i, k in enumerate(ok):
                 if k:
-                    out[i] = next(it)
+                    r, bad = next(it)
+                    out[i] = None if bad else r
         return pd.Series(out)
 
     return buckets
@@ -140,18 +169,42 @@ def topk_ann_lsh(emb: DataFrame, queries: DataFrame, id_col: str = "vec_id",
                        F.explode(probes).alias("bucket"))
     else:
         qb = qb.withColumnRenamed("qbucket", "bucket")
-    scored = (c.join(F.broadcast(qb), ["tbl", "bucket"])
-              .where(F.col("neighbor_id") != F.col("query_id"))
-              .select("query_id", "neighbor_id",
-                      round4(cosine(F.col("qv"), F.col("cv")))
-                      .alias("cos_sim"))
-              .distinct())
-    ranked = scored.withColumn("rank",
-                               F.row_number().over(_rank_window("query_id")))
-    return ranked.where(F.col("rank") <= k)
+    return _score_and_rank(c.join(F.broadcast(qb), ["tbl", "bucket"]),
+                           k)
 
 
 # ------------------------------------------------------------------- IVF
+
+def _rectangular_sample(emb: DataFrame, vec_col: str, id_col: str,
+                        sample_size: int) -> np.ndarray:
+    """Bounded id-ordered training sample as a clean float64 matrix —
+    ONE implementation for both trainers (r13 review: the block was
+    duplicated and both copies shared two defects).  Rows kept: the
+    sample's MODAL dimension (ties → the more frequent, then the
+    smaller dim), so one ragged lowest-id vector cannot poison the
+    trained dimension and silently empty every downstream topk; rows
+    containing NULL elements (collected as None) or NaN are dropped —
+    a single NaN collapses Lloyd's assignment to all-cluster-0 NaN
+    centroids."""
+    from collections import Counter
+
+    rows = [r[1] for r in emb.select(id_col, vec_col).orderBy(id_col)
+            .limit(sample_size).collect() if r[1] is not None]
+    clean = [v for v in rows if not any(e is None for e in v)]
+    dims = Counter(len(v) for v in clean)
+    if dims:
+        vdim = max(dims.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        sample = np.asarray([v for v in clean if len(v) == vdim],
+                            dtype=np.float64)
+        sample = sample[~np.isnan(sample).any(1)]
+    else:
+        sample = np.empty((0, 0))
+    if len(sample) == 0:
+        raise ValueError(
+            "cannot train centroids: no usable (non-NULL, finite, "
+            "uniform-dimension) vectors in the sample")
+    return sample
+
 
 def train_centroids(emb: DataFrame, vec_col: str = "embedding",
                     id_col: str = "vec_id", n_lists: int = 16,
@@ -166,18 +219,9 @@ def train_centroids(emb: DataFrame, vec_col: str = "embedding",
     sample points, so identical data → identical centroids → identical
     query results, which the driver's re-run check requires.
     """
-    rows = [r[1] for r in emb.select(id_col, vec_col).orderBy(id_col)
-            .limit(sample_size).collect() if r[1] is not None]
-    vdim = len(rows[0]) if rows else 0
-    sample = np.asarray([v for v in rows if len(v) == vdim],
-                        dtype=np.float64)
-    # a corpus smaller than n_lists trains fewer (still valid) centroids
-    # instead of indexing past the sample; NULL/ragged sample rows are
-    # skipped rather than fatal
-    if len(sample) == 0:
-        raise ValueError(
-            "cannot train centroids: no usable (non-NULL, uniform-"
-            "dimension) vectors in the sample")
+    sample = _rectangular_sample(emb, vec_col, id_col, sample_size)
+    # a corpus smaller than n_lists trains fewer (still valid)
+    # centroids instead of indexing past the sample
     n_lists = min(n_lists, len(sample))
     return _lloyd(sample, n_lists, iters)
 
@@ -227,16 +271,22 @@ def train_centroids_distributed(emb: DataFrame, vec_col: str = "embedding",
     centroid.  Cost: ``iters`` full passes — train on the corpus when
     the sample trainer's 2048 rows stop representing it, not before.
     """
-    init = [r[1] for r in emb.select(id_col, vec_col).orderBy(id_col)
-            .limit(n_lists).collect()]
-    if not init:
-        raise ValueError("cannot train centroids on an empty corpus")
-    cents = np.asarray(init, dtype=np.float64)
+    # clean rectangular init: a NULL/ragged row among the first
+    # n_lists ids raised an opaque inhomogeneous-shape ValueError, and
+    # the sample trainers' modal-dim discipline applies here too (r13
+    # review); oversample 4x so a few bad rows still fill n_lists
+    cents = _rectangular_sample(emb, vec_col, id_col,
+                                max(4 * n_lists, 64))[:n_lists]
     micro = (F.floor(F.col("_x") * _MICRO + F.lit(0.5))).cast("bigint")
     for _ in range(iters):
         assign1 = _nearest_lists_udf(cents, 1)
         parts = (emb.select(assign1(F.col(vec_col))[0].alias("_c"),
                             F.posexplode(vec_col).alias("_d", "_x"))
+                 # NULL/ragged vectors assign _c NULL; their group's
+                 # Row value None used as a numpy index means
+                 # np.newaxis — silently overwriting an entire sums
+                 # row and ALL counts (r13 review, verified repro)
+                 .where(F.col("_c").isNotNull())
                  .groupBy("_c", "_d")
                  .agg(F.sum(micro).alias("_s"),
                       F.count(F.lit(1)).alias("_n"))
@@ -255,6 +305,11 @@ def train_centroids_distributed(emb: DataFrame, vec_col: str = "embedding",
 
 def _nearest_lists_udf(cents: np.ndarray, nprobe: int):
     """(vector) → array of the nprobe nearest list ids (L2)."""
+    if nprobe < 1:
+        # argsort[:, :0] would assign EMPTY lists and the result would
+        # be silently empty (r13 review; same class as the dedup
+        # extra_probes guard)
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     dim = cents.shape[1]
 
     @F.pandas_udf("array<long>")
@@ -267,13 +322,18 @@ def _nearest_lists_udf(cents: np.ndarray, nprobe: int):
         good = [x for x, k in zip(vals, ok) if k]
         if good:
             mat = np.asarray(good, dtype=np.float64)
+            # NaN elements (Arrow's NULL-element spelling) make the
+            # whole distance row NaN and argmin degenerates to list 0
+            # — a silent misassignment (r13 review); NULL-assign them
+            nan_rows = np.isnan(mat).any(1)
             # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
             d2 = -2.0 * (mat @ cents.T) + (cents ** 2).sum(1)[None, :]
             order = np.argsort(d2, axis=1)[:, :nprobe].astype(np.int64)
-            it = iter(order)
+            it = iter(zip(order, nan_rows))
             for i, k in enumerate(ok):
                 if k:
-                    out[i] = next(it)
+                    r, bad = next(it)
+                    out[i] = None if bad else r
         return pd.Series(out)
 
     return nearest
@@ -309,15 +369,7 @@ def train_centroids_two_level(emb: DataFrame, vec_col: str = "embedding",
     ties) — identical data gives identical codebooks, which the
     driver's re-run check requires.
     """
-    rows = [r[1] for r in emb.select(id_col, vec_col).orderBy(id_col)
-            .limit(sample_size).collect() if r[1] is not None]
-    vdim = len(rows[0]) if rows else 0
-    sample = np.asarray([v for v in rows if len(v) == vdim],
-                        dtype=np.float64)
-    if len(sample) == 0:
-        raise ValueError(
-            "cannot train centroids: no usable (non-NULL, uniform-"
-            "dimension) vectors in the sample")
+    sample = _rectangular_sample(emb, vec_col, id_col, sample_size)
     n_coarse = min(n_coarse, len(sample))
     coarse = _lloyd(sample, n_coarse, iters)
     d2 = ((sample * sample).sum(1)[:, None]
@@ -348,6 +400,12 @@ def _nearest_lists_two_level_udf(coarse: np.ndarray, fines: list,
     ``probe_coarse >= 2`` is the boundary-recall lever: a vector near
     a coarse boundary still reaches the fine lists of its runner-up
     cell (the two-level analogue of multi-assignment nprobe)."""
+    if nprobe < 1 or probe_coarse < 1:
+        # zero-width probes produce empty assignment arrays and a
+        # silently empty result (r13 review)
+        raise ValueError(
+            f"nprobe and probe_coarse must be >= 1, got nprobe="
+            f"{nprobe}, probe_coarse={probe_coarse}")
     dim = coarse.shape[1]
     pc = min(probe_coarse, len(coarse))
 
@@ -429,26 +487,25 @@ def topk_ivf_pruned(spark, index_path: str, centroids: np.ndarray,
     """
     from ..sources.read import read_partitioned
 
+    from pyspark.storagelevel import StorageLevel
+
     probe = _nearest_lists_udf(centroids, nprobe)
     qb = (queries.select(F.col(id_col).alias("query_id"),
                          F.col(vec_col).alias("qv"),
                          F.explode(probe(F.col(vec_col))).alias("list_id"))
-          .withColumn("list_id", F.col("list_id").cast("string")))
+          .withColumn("list_id", F.col("list_id").cast("string"))
+          # the probe-list collect AND the broadcast join both read
+          # this (query-set-sized) frame — persist so the probe UDF
+          # and the caller's upstream query pipeline run once (r13
+          # review)
+          .persist(StorageLevel.MEMORY_AND_DISK))
     wanted = sorted({r.list_id for r in qb.select("list_id").distinct()
                      .collect()})
     corpus = (read_partitioned(spark, index_path)
               .where(F.col("list_id").isin(wanted))
               .select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("cv"), "list_id"))
-    scored = (corpus.join(F.broadcast(qb), "list_id")
-              .where(F.col("neighbor_id") != F.col("query_id"))
-              .select("query_id", "neighbor_id",
-                      round4(cosine(F.col("qv"), F.col("cv")))
-                      .alias("cos_sim"))
-              .distinct())
-    ranked = scored.withColumn("rank",
-                               F.row_number().over(_rank_window("query_id")))
-    return ranked.where(F.col("rank") <= k)
+    return _score_and_rank(corpus.join(F.broadcast(qb), "list_id"), k)
 
 
 def topk_ann_ivf(emb: DataFrame, queries: DataFrame, id_col: str = "vec_id",
@@ -476,15 +533,7 @@ def topk_ann_ivf(emb: DataFrame, queries: DataFrame, id_col: str = "vec_id",
     qb = (queries.select(F.col(id_col).alias("query_id"),
                          F.col(vec_col).alias("qv"),
                          F.explode(probe(F.col(vec_col))).alias("list_id")))
-    scored = (c.join(F.broadcast(qb), "list_id")
-              .where(F.col("neighbor_id") != F.col("query_id"))
-              .select("query_id", "neighbor_id",
-                      round4(cosine(F.col("qv"), F.col("cv")))
-                      .alias("cos_sim"))
-              .distinct())
-    ranked = scored.withColumn("rank",
-                               F.row_number().over(_rank_window("query_id")))
-    return ranked.where(F.col("rank") <= k)
+    return _score_and_rank(c.join(F.broadcast(qb), "list_id"), k)
 
 
 def topk_ann_ivf2(emb: DataFrame, queries: DataFrame,
@@ -520,15 +569,7 @@ def topk_ann_ivf2(emb: DataFrame, queries: DataFrame,
     qb = (queries.select(F.col(id_col).alias("query_id"),
                          F.col(vec_col).alias("qv"),
                          F.explode(probe(F.col(vec_col))).alias("list_id")))
-    scored = (c.join(F.broadcast(qb), "list_id")
-              .where(F.col("neighbor_id") != F.col("query_id"))
-              .select("query_id", "neighbor_id",
-                      round4(cosine(F.col("qv"), F.col("cv")))
-                      .alias("cos_sim"))
-              .distinct())
-    ranked = scored.withColumn("rank",
-                               F.row_number().over(_rank_window("query_id")))
-    return ranked.where(F.col("rank") <= k)
+    return _score_and_rank(c.join(F.broadcast(qb), "list_id"), k)
 
 
 def hybrid_rrf_topk(docs: DataFrame, doc_id: str, text_col: str,
@@ -555,6 +596,15 @@ def hybrid_rrf_topk(docs: DataFrame, doc_id: str, text_col: str,
     """
     if k < 1 or shortlist < k:
         raise ValueError("need 1 <= k <= shortlist")
+    n_q = query_vec.count()
+    if n_q != 1:
+        # >1 rows would duplicate every corpus id with different
+        # cosines under ONE global rank window — garbage rrf scores
+        # with no error (r13 review); the frame is query-sized, so the
+        # count is a trivial job
+        raise ValueError(
+            f"query_vec must have exactly 1 row, got {n_q} — fuse "
+            "multi-query retrieval one query at a time")
     from .dedup import tokens
     toks = (docs.select(F.col(doc_id).alias("_d"),
                         F.explode(tokens(F.col(text_col))).alias("_t")))

@@ -418,3 +418,119 @@ def test_ivf2_deterministic(spark):
     a = sorted(map(tuple, topk_ann_ivf2(df, q, k=5).collect()))
     b = sorted(map(tuple, topk_ann_ivf2(df, q, k=5).collect()))
     assert a == b
+
+
+def test_nan_element_vectors_assign_null_not_list_zero(spark):
+    """r13 review (verified repro): Arrow delivers NULL array elements
+    as NaN, which passed the length check — the NaN row's distances
+    were all-NaN and argmin silently assigned list 0 / bucket 0.
+    Both UDFs must NULL-assign such vectors instead."""
+    import numpy as np
+
+    from dynamic_partitioner_spark.operators.similarity import (
+        _all_buckets_udf, _nearest_lists_udf)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [None, 1.0]), (3, [0.0, 1.0])],
+        "id long, v array<double>")
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    got = {r.id: r.lists for r in df.select(
+        "id", _nearest_lists_udf(cents, 1)(F.col("v")).alias("lists"))
+        .collect()}
+    assert got[1] == [0] and got[3] == [1]
+    assert got[2] is None
+    got_b = {r.id: r.b for r in df.select(
+        "id", _all_buckets_udf(2, 2, 1, 42)(F.col("v")).alias("b"))
+        .collect()}
+    assert got_b[2] is None and got_b[1] is not None
+
+
+def test_nprobe_guards_raise(spark):
+    """r13 review: zero-width probes produced silently empty results —
+    the silent-recall-loss class the repo guards loudly elsewhere."""
+    import numpy as np
+    import pytest
+
+    from dynamic_partitioner_spark.operators.similarity import (
+        _nearest_lists_two_level_udf, _nearest_lists_udf)
+
+    cents = np.eye(2)
+    with pytest.raises(ValueError, match="nprobe"):
+        _nearest_lists_udf(cents, 0)
+    with pytest.raises(ValueError, match="probe_coarse"):
+        _nearest_lists_two_level_udf(cents, [cents], np.array([0, 1]),
+                                     1, probe_coarse=0)
+
+
+def test_trainer_sample_uses_modal_dimension(spark):
+    """r13 review: the trained dimension came from the FIRST sampled
+    row, so one ragged lowest-id vector poisoned the codebook and
+    every downstream topk silently returned empty — the modal
+    dimension wins now."""
+    from dynamic_partitioner_spark.operators.similarity import (
+        train_centroids)
+
+    df = spark.createDataFrame(
+        [(0, [9.0])]                       # ragged lowest-id row
+        + [(i, [float(i), 0.0]) for i in range(1, 9)],
+        "vec_id long, embedding array<double>")
+    cents = train_centroids(df, n_lists=2, sample_size=16)
+    assert cents.shape[1] == 2             # not poisoned to dim 1
+
+
+def test_distributed_trainer_tolerates_ragged_rows(spark):
+    """r13 review (verified repro): a ragged vector's NULL assignment
+    group used Row value None as a numpy index — None is np.newaxis,
+    silently overwriting an entire sums row and ALL cluster counts."""
+    import numpy as np
+
+    from dynamic_partitioner_spark.operators.similarity import (
+        train_centroids, train_centroids_distributed)
+
+    clean = [(i, [float(i % 4), float(i % 3)]) for i in range(1, 17)]
+    df_clean = spark.createDataFrame(
+        clean, "vec_id long, embedding array<double>")
+    df_dirty = spark.createDataFrame(
+        clean + [(99, [5.0]), (100, None)],
+        "vec_id long, embedding array<double>")
+    a = train_centroids_distributed(df_clean, n_lists=2, iters=2)
+    b = train_centroids_distributed(df_dirty, n_lists=2, iters=2)
+    assert np.allclose(a, b)               # dirty rows change nothing
+
+
+def test_sign_bucket_nulls_bad_vectors(spark):
+    """r13 review: the pure-Column sign_bucket sent NULL/ragged
+    vectors to bucket 0 (every NULL 'd > 0' fell through to 0),
+    colliding them with legitimate all-negative-signs vectors — they
+    bucket to NULL now, matching the vectorized path."""
+    from dynamic_partitioner_spark.operators.similarity import (
+        _hyperplanes, sign_bucket)
+    from pyspark.sql import functions as F
+
+    planes = _hyperplanes(2, 2, seed=1)
+    df = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, None), (3, [1.0])],
+        "id long, v array<double>")
+    got = {r.id: r.b for r in df.select(
+        "id", sign_bucket(F.col("v"), planes).alias("b")).collect()}
+    assert got[1] is not None
+    assert got[2] is None and got[3] is None
+
+
+def test_hybrid_rrf_rejects_multirow_query(spark):
+    """r13 review: >1 query_vec rows interleaved under one global rank
+    window, producing duplicate doc_ids with garbage rrf scores."""
+    import pytest
+
+    from dynamic_partitioner_spark.operators.similarity import (
+        hybrid_rrf_topk)
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    emb = spark.createDataFrame([(1, [1.0, 0.0])],
+                                "vec_id long, embedding array<double>")
+    qv = spark.createDataFrame(
+        [([1.0, 0.0],), ([0.0, 1.0],)], "embedding array<double>")
+    with pytest.raises(ValueError, match="exactly 1 row"):
+        hybrid_rrf_topk(docs, "doc_id", "text", emb, "vec_id",
+                        "embedding", qv, ["a"], k=1, shortlist=5)
