@@ -5982,8 +5982,15 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY_R13 = [
     # --- NEW this round (never driver-green until certified) ---
     "ops_pruned_read",
-    # --- key text changed this round (must re-certify) ---
-    "streaming_ttl_eviction",
+    # --- key text changed this round (must re-certify):
+    # streaming_ttl_eviction (shared eviction cutoff + RocksDB),
+    # events_rfm / query_auc (NULL-handling fixes applied to BOTH the
+    # operator and its SQL twin in the r13 hardening pass — the twins
+    # render into oracle_sql(), so the key text changed).  The two
+    # displaced r8-cohort keys (mm_frame_sample, mm_binary_stats, the
+    # only in-fold r8 keys whose operators r13 did NOT touch) lead the
+    # below-fold r14 block instead.
+    "streaming_ttl_eviction", "events_rfm", "query_auc",
     # --- round-7 evidence (at budget; r12 gate names them) ---
     "query_sql_tpch_q22", "query_sql_tpch_q8", "query_sql_tpch_q9",
     "sample_importance", "sample_kfold", "sample_stratified",
@@ -5995,8 +6002,8 @@ _PRIORITY_R13 = [
     # --- round-8 evidence, oldest first (alphabetical within) ---
     "catalog_table", "embedding_pca", "embedding_roundtrip",
     "events_ab_test", "events_interval_union", "graph_pagerank",
-    "merge_upsert", "mm_binary_roundtrip", "mm_binary_stats",
-    "mm_decode_png", "mm_features", "mm_frame_sample", "mm_png_meta",
+    "merge_upsert", "mm_binary_roundtrip",
+    "mm_decode_png", "mm_features", "mm_png_meta",
     "ops_retention_vacuum", "partition_compact",
     "partitioned_write_transforms", "privacy_k_anon", "query_cube",
     "query_distinct_agg", "query_event_gaps", "query_grouping_sets",
@@ -6007,6 +6014,7 @@ _PRIORITY_R13 = [
     # below the fold, r14 rotation order: the round-8 remainder (they
     # reach the 5-round freshness budget at r14 — refresh them FIRST),
     # then the round-9 cohort
+    "mm_frame_sample", "mm_binary_stats",
     "query_sql_window_frames", "similarity_ann_ivf",
     "similarity_ann_lsh", "similarity_ivf_pruned",
     "similarity_pq_rerank", "sorted_export", "source_binaryfile",

@@ -52,7 +52,13 @@ def range_join_binned(left: DataFrame, right: DataFrame, left_point: str,
         F.lit(f"interval inverted or wider than max_bins_per_interval"
               f"={max_bins_per_interval} bins"))
     bins = F.sequence(F.coalesce(span_ok.cast("long"), sbin), ebin)
-    r = right.select("*", F.explode(bins).alias("_bin"))
+    # a NULL bound made assert_true(NULL) abort the whole job with the
+    # MISLEADING width-violation message (r13 review, verified) —
+    # an open/unclosed interval simply matches nothing, like the
+    # point predicates below would decide anyway
+    r = (right.where(F.col(start_col).isNotNull()
+                     & F.col(end_col).isNotNull())
+         .select("*", F.explode(bins).alias("_bin")))
     return (l.join(r, "_bin")
             .where((F.col(left_point) >= F.col(start_col))
                    & (F.col(left_point) < F.col(end_col)))
@@ -203,9 +209,18 @@ def salted_join_auto(left: DataFrame, right: DataFrame, key: str,
     hot = (stats.crossJoin(F.broadcast(mean))
            .where(F.col("_n") > F.lit(float(hot_factor)) * F.col("_avg"))
            .select(key))
-    l_hot = left.join(F.broadcast(hot), key, "left_semi")
-    l_cold = left.join(F.broadcast(hot), key, "left_anti")
-    r_hot = right.join(F.broadcast(hot), key, "left_semi")
+    # null-SAFE routing: the skew profile's classic case is a hot
+    # NULL join key, but a null-unsafe semi-join can never match it —
+    # every NULL row fell to the cold path and shuffled into one
+    # straggler partition, the exact problem this operator exists to
+    # remove (r13 review).  The salted slice handles NULLs fine: they
+    # match nothing (equi-join semantics preserved) while the salt
+    # spreads them across partitions.
+    hk = F.broadcast(hot.select(F.col(key).alias("_hk")))
+    is_hot = F.col(key).eqNullSafe(F.col("_hk"))
+    l_hot = left.join(hk, is_hot, "left_semi")
+    l_cold = left.join(hk, is_hot, "left_anti")
+    r_hot = right.join(hk, is_hot, "left_semi")
     cold = l_cold.join(right, key, how)
     salted = salted_join(l_hot, r_hot, key, salt_src, n_salts, how)
     return cold.unionByName(salted)
@@ -272,11 +287,20 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
     """
     # explicit presence markers: a compare column may be legitimately
     # NULL in a present row, so data columns can't signal side-presence
-    o = old.select(*key_cols, F.lit(1).alias("_o_present"),
+    # eqNullSafe keys: the USING-style full outer matched NULL keys
+    # null-unsafely, so an identical unchanged row with a NULL key
+    # component was double-reported as removed AND added on every
+    # reconciliation run (r13 review, verified)
+    from functools import reduce as _reduce
+    o = old.select(*[F.col(k).alias(f"_ok_{k}") for k in key_cols],
+                   F.lit(1).alias("_o_present"),
                    *[F.col(c).alias(f"_o_{c}") for c in compare_cols])
-    n = new.select(*key_cols, F.lit(1).alias("_n_present"),
+    n = new.select(*[F.col(k).alias(f"_nk_{k}") for k in key_cols],
+                   F.lit(1).alias("_n_present"),
                    *[F.col(c).alias(f"_n_{c}") for c in compare_cols])
-    j = o.join(n, key_cols, "full_outer")
+    j = o.join(n, _reduce(lambda a, b: a & b,
+                          [F.col(f"_ok_{k}").eqNullSafe(F.col(f"_nk_{k}"))
+                           for k in key_cols]), "full_outer")
     in_old = F.col("_o_present").isNotNull()
     in_new = F.col("_n_present").isNotNull()
     # empty compare_cols is a legitimate key-presence-only diff
@@ -287,7 +311,9 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
     change = (F.when(~in_old, F.lit("added"))
               .when(~in_new, F.lit("removed"))
               .when(~same, F.lit("changed")))
-    out_cols = [*key_cols, change.alias("change")]
+    out_cols = [*[F.coalesce(F.col(f"_ok_{k}"), F.col(f"_nk_{k}"))
+                  .alias(k) for k in key_cols],
+                change.alias("change")]
     for c in compare_cols:
         out_cols += [F.col(f"_o_{c}").alias(f"{c}_old"),
                      F.col(f"_n_{c}").alias(f"{c}_new")]
@@ -368,7 +394,12 @@ def histogram_fixed(df: DataFrame, value_col: str, lo: float, hi: float,
     # least(): float rounding can push (v-lo)*n/(hi-lo) for v just
     # below hi up to exactly n_bins — clamp so an in-range value never
     # lands in the overflow bucket
-    bucket = (F.when(v < lo, F.lit(0))
+    # NULL values are not observations: without the isNotNull branch
+    # they fell through every when() to the otherwise(), where
+    # least(NULL-raw, n_bins) returned n_bins — silently inflating the
+    # TOP in-range bucket (r13 review, verified)
+    bucket = (F.when(v.isNull(), F.lit(None))
+              .when(v < lo, F.lit(0))
               .when(v >= hi, F.lit(n_bins + 1))
               .otherwise(F.least(raw, F.lit(n_bins)))).alias("bucket")
     width = (float(hi) - float(lo)) / n_bins
@@ -381,7 +412,9 @@ def histogram_fixed(df: DataFrame, value_col: str, lo: float, hi: float,
                 "n_rows"]
     if agg_col is not None:
         out_cols.append(f"sum_{agg_col}")
-    return df.groupBy(bucket).agg(*aggs).select(*out_cols)
+    return (df.groupBy(bucket).agg(*aggs)
+            .where(F.col("bucket").isNotNull())
+            .select(*out_cols))
 
 
 def cohort_retention(df: DataFrame, user_col: str, day: Column) -> DataFrame:
@@ -662,6 +695,13 @@ def lag_features(df: DataFrame, key_col: str, order_cols: list[str],
     floor-rounds (``round4``) so ratios of doubles hash identically in
     the oracle.
     """
+    if n_lags < 1 or roll < 1:
+        # bad arguments otherwise fail deep inside Spark (invalid
+        # window frame / UNRESOLVED_COLUMN lag_1) — name the mistake
+        # at entry like the sibling operators do (r13 review)
+        raise ValueError(
+            f"need n_lags >= 1 and roll >= 1, got n_lags={n_lags}, "
+            f"roll={roll}")
     from ..functions.vectors import round4
     w = Window.partitionBy(key_col).orderBy(*order_cols)
     wr = w.rowsBetween(-(roll - 1), 0)
@@ -880,7 +920,12 @@ def target_encode_loo(df: DataFrame, cat_col: str, target_col: str,
         F.col("_n") > 1,
         round4(((F.col("_sum") - F.col("_xc")).cast("double") / 100.0)
                / (F.col("_n") - 1).cast("double")))
-    return (base.join(stats, cat_col)
+    # eqNullSafe: a null-unsafe equi-join silently DROPPED every
+    # NULL-category row from the output (r13 review, verified — the
+    # robust_stats docstring names this exact pattern); NULL is a
+    # legitimate category and gets its own LOO stats
+    st = stats.select(F.col(cat_col).alias("_cat"), "_sum", "_n")
+    return (base.join(st, F.col(cat_col).eqNullSafe(F.col("_cat")))
             .select(id_col, cat_col, loo.alias("target_loo")))
 
 
@@ -963,18 +1008,22 @@ def rfm_scores(df: DataFrame, key_col: str, ts_us_col: str,
     ``percentile_approx`` cuts instead (the sketch path, see
     query_approx_percentiles).
     """
-    # NULL guards: a NULL event time cannot contribute recency (and a
-    # key with only NULL times would sort NULLS FIRST in Spark but
-    # NULLS LAST in DuckDB, shifting every tile boundary); a NULL
-    # value counts as zero mass rather than nulling the key's sum
-    m = (df.where(F.col(ts_us_col).isNotNull())
-         .groupBy(key_col)
+    # NULL guards: a NULL event time cannot contribute recency
+    # (max() skips it), but the EVENT still counts and its value is
+    # real mass — the old row filter understated f/m scores and made
+    # keys with only NULL-ts events vanish (r13 review).  Recency
+    # ordering coalesces a NULL last-seen to -1 (< any epoch micro),
+    # deterministically coldest in BOTH engines — NULLS FIRST (Spark)
+    # vs NULLS LAST (DuckDB) would otherwise shift tile boundaries.
+    # A NULL value counts as zero mass rather than nulling the sum.
+    m = (df.groupBy(key_col)
          .agg(F.max(F.col(ts_us_col)).alias("last_us"),
               F.count(F.lit(1)).alias("n_events"),
               F.sum(F.coalesce(F.col(value_col), F.lit(0)))
               .alias("value_u")))
     k = F.col(key_col)
-    r_w = Window.orderBy(F.col("last_us").asc(), k)
+    r_w = Window.orderBy(F.coalesce(F.col("last_us"), F.lit(-1)).asc(),
+                         k)
     f_w = Window.orderBy(F.col("n_events").asc(), k)
     m_w = Window.orderBy(F.col("value_u").asc(), k)
     return m.select(
@@ -995,10 +1044,10 @@ def rfm_scores_sql(key: str, ts_us: str, value_u: str,
                    count(*) AS n_events,
                    CAST(sum(coalesce({value_u}, 0)) AS BIGINT) AS value_u
             FROM {from_table}
-            WHERE {ts_us} IS NOT NULL
             GROUP BY {key})
         SELECT {key}, last_us, n_events, value_u,
-               ntile({n_tiles}) OVER (ORDER BY last_us ASC, {key})
+               ntile({n_tiles}) OVER (
+                   ORDER BY coalesce(last_us, -1) ASC, {key})
                    AS r_score,
                ntile({n_tiles}) OVER (ORDER BY n_events ASC, {key})
                    AS f_score,
@@ -1031,8 +1080,14 @@ def auc_exact(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     from ..functions.vectors import round4
 
     s = F.col(score_col)
-    scored = df.where(s.isNotNull()).select(
-        s.alias("_s"), F.col(label_col).cast("boolean").alias("_pos"))
+    # NULL labels are unrankable like NULL scores — without the
+    # filter they fell into otherwise(1) and counted as NEGATIVES,
+    # inflating n_neg and depressing every positive's rank (r13
+    # review, verified)
+    scored = (df.where(s.isNotNull()
+                       & F.col(label_col).isNotNull())
+              .select(s.alias("_s"),
+                      F.col(label_col).cast("boolean").alias("_pos")))
     w_rank = Window.orderBy("_s")
     w_ties = Window.partitionBy("_s")
     r = scored.select(
@@ -1056,7 +1111,8 @@ def auc_exact_sql(score: str, label: str, from_table: str) -> str:
     return f"""
         WITH scored AS (
             SELECT {score} AS s, CAST({label} AS BOOLEAN) AS pos
-            FROM {from_table} WHERE {score} IS NOT NULL),
+            FROM {from_table}
+            WHERE {score} IS NOT NULL AND {label} IS NOT NULL),
         r AS (SELECT pos,
                      2 * rank() OVER (ORDER BY s)
                      + count(*) OVER (PARTITION BY s) - 1 AS r2
@@ -1460,9 +1516,16 @@ def interval_union(df: DataFrame, key_col: str, start_col: str,
     w = Window.partitionBy(key_col).orderBy(start_col, end_col)
     runmax = F.max(end_col).over(
         w.rowsBetween(Window.unboundedPreceding, -1))
+    # loud inversion guard (same coalesce-over-assert_true trick as
+    # range_join_binned): one corrupt end < start row would otherwise
+    # contribute NEGATIVE covered/longest downstream with no error
+    # (r13 review)
+    inv_ok = F.assert_true(
+        F.col(end_col) >= F.col(start_col),
+        F.lit(f"inverted interval: {end_col} < {start_col}"))
     flagged = df.select(
         F.col(key_col).alias("_k"), F.col(start_col).alias("_s"),
-        F.col(end_col).alias("_e"),
+        F.coalesce(inv_ok.cast("long"), F.col(end_col)).alias("_e"),
         F.when(runmax.isNull() | (F.col(start_col) > runmax), 1)
         .otherwise(0).alias("_new"))
     wi = Window.partitionBy("_k").orderBy("_s", "_e") \

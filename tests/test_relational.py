@@ -988,3 +988,137 @@ def test_interval_union_merges_touching_and_nested(spark):
     assert got["u1"] == (2, 30, 20)
     assert got["u2"] == (1, 150, 150)
     assert got["u3"] == (1, 0, 0)
+
+
+def test_histogram_fixed_excludes_nulls(spark):
+    """r13 review (verified): NULL values fell through every when() to
+    least(NULL, n_bins) = n_bins, silently inflating the TOP in-range
+    bucket."""
+    from dynamic_partitioner_spark.operators.relational import (
+        histogram_fixed)
+
+    df = spark.createDataFrame([(5.0,), (None,), (None,)], "v double")
+    rows = {r.bucket: r.n_rows
+            for r in histogram_fixed(df, "v", 0, 10, 5).collect()}
+    assert rows == {3: 1}                # bucket for 5.0 only
+
+
+def test_target_encode_loo_keeps_null_categories(spark):
+    """r13 review (verified): the null-unsafe equi-join silently
+    dropped every NULL-category row from the output."""
+    from dynamic_partitioner_spark.operators.relational import (
+        target_encode_loo)
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 3.0), (3, None, 5.0), (4, None, 7.0)],
+        "id long, cat string, x double")
+    got = {r.id: r.target_loo
+           for r in target_encode_loo(df, "cat", "x", "id").collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[3] == 7.0 and got[4] == 5.0   # NULL is its own category
+
+
+def test_auc_exact_excludes_null_labels(spark):
+    """r13 review (verified): a NULL label fell into otherwise(1) and
+    counted as a NEGATIVE, inflating n_neg and depressing AUC."""
+    from dynamic_partitioner_spark.operators.relational import auc_exact
+
+    df = spark.createDataFrame(
+        [(0.9, True), (0.8, True), (0.2, False), (0.5, None)],
+        "s double, y boolean")
+    r = auc_exact(df, "s", "y").collect()[0]
+    assert (r.n_pos, r.n_neg, r.auc) == (2, 1, 1.0)
+
+
+def test_range_join_binned_null_bounds_match_nothing(spark):
+    """r13 review (verified): a NULL bound made assert_true(NULL)
+    abort the job with a misleading width-violation message — an open
+    interval simply matches nothing."""
+    from dynamic_partitioner_spark.operators.relational import (
+        range_join_binned)
+
+    left = spark.createDataFrame([(5,)], "p long")
+    right = spark.createDataFrame(
+        [(0, 10, "full"), (3, None, "open")],
+        "s long, e long, tag string")
+    got = [r.tag for r in range_join_binned(
+        left, right, "p", "s", "e", bin_width=4).collect()]
+    assert got == ["full"]
+
+
+def test_snapshot_diff_null_keys_match(spark):
+    """r13 review (verified): a NULL key component was double-reported
+    as removed AND added for an identical unchanged row."""
+    from dynamic_partitioner_spark.operators.relational import (
+        snapshot_diff)
+
+    old = spark.createDataFrame([(None, 1.0), ("k", 2.0)],
+                                "k string, v double")
+    new = spark.createDataFrame([(None, 1.0), ("k", 3.0)],
+                                "k string, v double")
+    got = {(r.k, r.change) for r in
+           snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert got == {("k", "changed")}     # NULL-key row matched, no diff
+
+
+def test_salted_join_auto_spreads_hot_null_key(spark):
+    """r13 review: NULL-key rows always fell to the cold path (the
+    null-unsafe semi-join never matched the hot list), recreating the
+    single-partition straggler; they route to the salted slice now and
+    the left join still preserves them with NULL right columns."""
+    from dynamic_partitioner_spark.operators.relational import (
+        salted_join_auto)
+
+    left = spark.createDataFrame(
+        [(None, i) for i in range(200)] + [("k", 0)],
+        "j string, lv long")
+    right = spark.createDataFrame([("k", 9)], "j string, rv long")
+    out = salted_join_auto(left, right, "j", "lv", how="left",
+                           hot_factor=1.5, n_salts=4)
+    assert out.count() == 201
+    assert out.where("j IS NULL AND rv IS NOT NULL").count() == 0
+    assert out.where("j = 'k'").collect()[0].rv == 9
+
+
+def test_rfm_keeps_null_ts_event_mass(spark):
+    """r13 review: the NULL-ts row filter also deleted the event's
+    count and value mass; recency now coalesces to coldest while
+    f/m keep the full mass."""
+    from dynamic_partitioner_spark.operators.relational import (
+        rfm_scores)
+
+    df = spark.createDataFrame(
+        [(1, 100, 10), (1, None, 50), (2, 200, 5)],
+        "u long, ts long, v long")
+    got = {r.u: (r.n_events, r.value_u, r.last_us)
+           for r in rfm_scores(df, "u", "ts", "v").collect()}
+    assert got[1] == (2, 60, 100)        # NULL-ts event still counts
+    assert got[2] == (1, 5, 200)
+
+
+def test_interval_union_rejects_inverted_interval(spark):
+    """r13 review: an end < start row silently produced NEGATIVE
+    covered/longest — it raises loudly now."""
+    import pytest
+
+    from dynamic_partitioner_spark.operators.relational import (
+        interval_union)
+
+    df = spark.createDataFrame([(1, 10, 5)], "k long, s long, e long")
+    with pytest.raises(Exception, match="inverted interval"):
+        interval_union(df, "k", "s", "e").collect()
+
+
+def test_lag_features_guards_arguments(spark):
+    """r13 review: bad arguments failed deep inside Spark with
+    confusing frame/column errors."""
+    import pytest
+
+    from dynamic_partitioner_spark.operators.relational import (
+        lag_features)
+
+    df = spark.createDataFrame([(1, 1, 1.0)], "k long, t long, v double")
+    with pytest.raises(ValueError, match="n_lags"):
+        lag_features(df, "k", ["t"], "v", n_lags=0)
+    with pytest.raises(ValueError, match="roll"):
+        lag_features(df, "k", ["t"], "v", roll=0)
