@@ -5991,6 +5991,11 @@ _PRIORITY_R13 = [
     # only in-fold r8 keys whose operators r13 did NOT touch) lead the
     # below-fold r14 block instead.
     "streaming_ttl_eviction", "events_rfm", "query_auc",
+    # sampling twins fixed in the same pass (NULL-key engine parity,
+    # bootstrap tail-cap, topk tie-break) — five more untouched
+    # r8-cohort keys displaced below the fold in exchange
+    "sample_balance_labels", "sample_bootstrap", "sample_cap_group",
+    "sample_neyman", "sample_topk",
     # --- round-7 evidence (at budget; r12 gate names them) ---
     "query_sql_tpch_q22", "query_sql_tpch_q8", "query_sql_tpch_q9",
     "sample_importance", "sample_kfold", "sample_stratified",
@@ -6000,21 +6005,22 @@ _PRIORITY_R13 = [
     "text_template_skeleton", "text_tfidf", "text_token_ids",
     "text_vocab",
     # --- round-8 evidence, oldest first (alphabetical within) ---
-    "catalog_table", "embedding_pca", "embedding_roundtrip",
-    "events_ab_test", "events_interval_union", "graph_pagerank",
+    "catalog_table", "events_interval_union",
     "merge_upsert", "mm_binary_roundtrip",
     "mm_decode_png", "mm_features", "mm_png_meta",
     "ops_retention_vacuum", "partition_compact",
     "partitioned_write_transforms", "privacy_k_anon", "query_cube",
     "query_distinct_agg", "query_event_gaps", "query_grouping_sets",
-    "query_histogram", "query_pivot", "query_profile",
+    "query_histogram", "query_profile",
     "query_salted_join", "query_semi_anti", "query_set_ops",
     "query_sliding_window", "query_snapshot_diff",
     # ---- fold: the driver checks the 50 above ----
     # below the fold, r14 rotation order: the round-8 remainder (they
     # reach the 5-round freshness budget at r14 — refresh them FIRST),
     # then the round-9 cohort
-    "mm_frame_sample", "mm_binary_stats",
+    "mm_frame_sample", "mm_binary_stats", "embedding_pca",
+    "embedding_roundtrip", "events_ab_test", "graph_pagerank",
+    "query_pivot",
     "query_sql_window_frames", "similarity_ann_ivf",
     "similarity_ann_lsh", "similarity_ivf_pruned",
     "similarity_pq_rerank", "sorted_export", "source_binaryfile",
@@ -7930,7 +7936,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sample_topk": f"""
             SELECT c_custkey, c_name, c_acctbal FROM customer
-            ORDER BY {{u}} LIMIT 200
+            ORDER BY {{u}}, c_custkey LIMIT 200
         """.format(u=SMP.hash_unit_sql("c_custkey", "s5")),
         "sample_weighted": SMP.weighted_sample_sql(
             "o_orderkey, o_totalprice", "orders", "o_orderkey",
@@ -8877,13 +8883,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sample_balance_labels": f"""
             WITH c AS (SELECT label, count(*) AS n FROM embeddings
-                       WHERE label IS NOT NULL GROUP BY label),
+                       WHERE label IS NOT NULL AND vec_id IS NOT NULL
+                       GROUP BY label),
             t AS (SELECT min(n) AS target FROM c),
             r AS (SELECT vec_id, label,
                          row_number() OVER (PARTITION BY label
                              ORDER BY {SMP.hash_unit_sql('vec_id', 'bal')},
                                       vec_id) AS rn
-                  FROM embeddings WHERE label IS NOT NULL)
+                  FROM embeddings
+                  WHERE label IS NOT NULL AND vec_id IS NOT NULL)
             SELECT CAST(label AS BIGINT) AS label, count(*) AS n_kept,
                    min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
             FROM r, t WHERE rn <= target GROUP BY label

@@ -32,6 +32,14 @@ def hash_unit(key: Column, salt: str = "") -> Column:
 
     Use integer or string keys: the key is stringified (``CAST(k AS
     VARCHAR)`` in the twin) and float formatting differs across engines.
+
+    Boundary note (r13 review): hash values in ``[2^60 - 64, 2^60)``
+    round UP in the int64→double cast, so the draw can be exactly
+    1.0 — probability ~6e-17 per key, identical in BOTH engines (the
+    twin does the same cast), so engine parity is unaffected; a
+    consumer doing ``floor(u * n)`` arithmetic should tolerate the
+    ``n`` edge or clamp, as ``weighted_sample`` clamps its own u=0
+    edge.
     """
     h = F.conv(F.substring(
         F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15), 16, 10)
@@ -61,6 +69,16 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float,
     return df.where(hash_unit(F.col(key_col), salt) < fraction)
 
 
+def _validate_split_weights(weights: dict[str, float]) -> None:
+    """Shared by the Column and SQL splitters: a NEGATIVE weight can
+    pass the sum check while making its split unreachable (the
+    cumulative thresholds go non-monotone and an earlier branch
+    shadows it) — r13 review."""
+    bad = {k: v for k, v in weights.items() if v <= 0}
+    if bad:
+        raise ValueError(f"split weights must be > 0, got {bad}")
+
+
 def split_assign(df: DataFrame, key_col: str,
                  weights: dict[str, float] | None = None,
                  salt: str = "split") -> DataFrame:
@@ -73,6 +91,7 @@ def split_assign(df: DataFrame, key_col: str,
     train/test-leak guarantee ``randomSplit`` cannot give.
     """
     weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    _validate_split_weights(weights)
     total = sum(weights.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"split weights must sum to 1, got {total}")
@@ -93,6 +112,7 @@ def split_assign_sql(key: str, weights: dict[str, float] | None = None,
                      salt: str = "split") -> str:
     """DuckDB CASE twin of :func:`split_assign`'s ``split`` column."""
     weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    _validate_split_weights(weights)
     u = hash_unit_sql(key, salt)
     parts = [f"WHEN ({u}) IS NULL THEN NULL"]
     acc = 0.0
@@ -116,7 +136,12 @@ def cap_per_group(df: DataFrame, group_col: str, key_col: str,
     """
     u = hash_unit(F.col(key_col), salt)
     w = Window.partitionBy(group_col).orderBy(u.asc(), F.col(key_col))
-    return (df.withColumn("_rn", F.row_number().over(w))
+    # NULL keys draw NULL and sort NULLS FIRST in Spark / NULLS LAST
+    # in DuckDB: unfiltered they crowd the cap nondeterministically on
+    # one engine and not the other (r13 review; topk_hash_sample has
+    # always filtered for the same reason)
+    return (df.where(F.col(key_col).isNotNull())
+            .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= n)
             .drop("_rn"))
 
@@ -126,6 +151,7 @@ def cap_per_group_sql(table_cols: str, group: str, key: str, n: int,
     """DuckDB QUALIFY twin of :func:`cap_per_group`."""
     u = hash_unit_sql(key, salt)
     return (f"SELECT {table_cols} FROM {from_table} "
+            f"WHERE {key} IS NOT NULL "
             f"QUALIFY row_number() OVER (PARTITION BY {group} "
             f"ORDER BY {u} ASC, {key}) <= {n}")
 
@@ -297,9 +323,12 @@ def topk_hash_sample(df: DataFrame, key_col: str, k: int,
     # NULL keys draw NULL, and Spark's ASC sort is NULLS FIRST — left
     # unfiltered they would preferentially (and nondeterministically)
     # fill the sample
+    # key tie-break: DUPLICATE key values share an identical 60-bit
+    # draw, so a bare orderBy(_u) made the k-boundary row arbitrary
+    # when equal-key rows straddled it (r13 review)
     return (df.where(F.col(key_col).isNotNull())
             .withColumn("_u", hash_unit(F.col(key_col), salt))
-            .orderBy("_u")
+            .orderBy("_u", key_col)
             .limit(k)
             .drop("_u"))
 
@@ -367,13 +396,17 @@ def balance_classes(df: DataFrame, label_col: str, key_col: str,
     at extreme imbalance pre-filter the majority class with
     ``hash_sample`` first and let the exact rank finish the job.
     """
-    counts = (df.where(F.col(label_col).isNotNull())
-              .groupBy(label_col).agg(F.count(F.lit(1)).alias("_n")))
+    # NULL keys draw NULL and sort NULLS FIRST in Spark's ASC window:
+    # they would preferentially AND nondeterministically fill each
+    # class quota (all tie on (NULL, NULL)), contradicting the
+    # never-resamples-differently contract (r13 review)
+    base = df.where(F.col(label_col).isNotNull()
+                    & F.col(key_col).isNotNull())
+    counts = base.groupBy(label_col).agg(F.count(F.lit(1)).alias("_n"))
     target = counts.agg(F.min("_n").alias("_target"))
     u = hash_unit(F.col(key_col), salt)
     w = Window.partitionBy(label_col).orderBy(u.asc(), F.col(key_col).asc())
-    ranked = (df.where(F.col(label_col).isNotNull())
-              .withColumn("_rn", F.row_number().over(w)))
+    ranked = base.withColumn("_rn", F.row_number().over(w))
     return (ranked.crossJoin(F.broadcast(target))
             .where(F.col("_rn") <= F.col("_target"))
             .drop("_rn", "_target"))
@@ -410,6 +443,12 @@ def poisson_bootstrap(df: DataFrame, key_col: str, value_col: str,
     """
     if n_replicates < 1:
         raise ValueError("n_replicates must be >= 1")
+    # NULL keys draw NULL, fail every WHEN threshold, and fell through
+    # to the otherwise() TAIL CAP — weight 9, the maximum, for exactly
+    # the rows every other sampler drops; NULL values inflated n_eff
+    # while adding nothing to the weighted sum (r13 review)
+    df = df.where(F.col(key_col).isNotNull()
+                  & F.col(value_col).isNotNull())
     reps = df.select(
         F.col(key_col).alias("_k"),
         F.floor(F.col(value_col).cast("double") * 1e6 + F.lit(0.5))
@@ -427,8 +466,14 @@ def poisson_bootstrap(df: DataFrame, key_col: str, value_col: str,
             .agg(F.sum(F.col("_w") * F.col("_v")).alias("_ws"),
                  F.sum("_w").alias("n_eff"))
             .select("replicate", "n_eff",
-                    round4((F.col("_ws").cast("double") / 1e6)
-                           / F.col("n_eff")).alias("boot_mean")))
+                    # n_eff=0 (every weight drew 0 — likely only on
+                    # tiny inputs): 0/0 is NaN and floor(NaN) silently
+                    # fabricates 0.0 in Spark while DuckDB NaN-casts
+                    # differently — NULL mean on both engines instead
+                    F.when(F.col("n_eff") > 0,
+                           round4((F.col("_ws").cast("double") / 1e6)
+                                  / F.col("n_eff")))
+                    .alias("boot_mean")))
 
 
 def poisson_bootstrap_sql(key: str, value: str, n_replicates: int = 10,
@@ -450,14 +495,16 @@ def poisson_bootstrap_sql(key: str, value: str, n_replicates: int = 10,
                    CAST(floor(CAST({value} AS DOUBLE) * 1000000 + 0.5)
                         AS BIGINT) AS v,
                    unnest(range(1, {n_replicates} + 1)) AS replicate
-            FROM {from_table}),
+            FROM {from_table}
+            WHERE {key} IS NOT NULL AND {value} IS NOT NULL),
         wtd AS (SELECT replicate, v,
                        CASE {cases} ELSE {len(_POISSON1_CDF)} END AS w
                 FROM reps)
         SELECT replicate, CAST(sum(w) AS BIGINT) AS n_eff,
-               floor((CAST(sum(w * v) AS DOUBLE) / 1000000)
-                     / CAST(sum(w) AS BIGINT) * 10000 + 0.5) / 10000
-                   AS boot_mean
+               CASE WHEN sum(w) > 0 THEN
+                   floor((CAST(sum(w * v) AS DOUBLE) / 1000000)
+                         / CAST(sum(w) AS BIGINT) * 10000 + 0.5) / 10000
+               END AS boot_mean
         FROM wtd GROUP BY replicate
     """
 
@@ -713,7 +760,14 @@ def neyman_allocation(df: DataFrame, stratum_col: str, key_col: str,
     from ..functions.vectors import round4
 
     sc, kc, vc = stratum_col, key_col, value_col
-    base = df.where(F.col(vc).isNotNull())
+    # key NOT NULL: the draw ranks by hash(key), and NULL draws sort
+    # NULLS FIRST in Spark / NULLS LAST in DuckDB — opposite sample
+    # memberships (r13 review).  NaN values excluded: one NaN makes
+    # the stratum IQR NaN, which Spark's floor silently collapses to
+    # weight 0 while DuckDB's CAST errors.
+    base = df.where(F.col(vc).isNotNull()
+                    & ~F.isnan(F.col(vc).cast("double"))
+                    & F.col(kc).isNotNull())
     stats = (base.groupBy(sc)
              .agg(F.count(F.lit(1)).alias("n_rows"),
                   F.expr(f"percentile({vc}, 0.25)").alias("_p25"),
@@ -768,7 +822,10 @@ def neyman_allocation_sql(stratum: str, key: str, value: str, budget: int,
     u = hash_unit_sql("k", salt)
     return f"""
         WITH base AS (SELECT {stratum} AS s, {key} AS k, {value} AS v
-                      FROM {from_table} WHERE {value} IS NOT NULL),
+                      FROM {from_table}
+                      WHERE {value} IS NOT NULL
+                        AND NOT isnan(CAST({value} AS DOUBLE))
+                        AND {key} IS NOT NULL),
         stats AS (SELECT s, count(*) AS n_rows,
                          quantile_cont(v, 0.25) AS p25,
                          quantile_cont(v, 0.75) AS p75

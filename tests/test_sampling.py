@@ -547,3 +547,76 @@ def test_neyman_allocation_caps_at_stratum_size(spark):
     r = neyman_allocation(df, "s", "k", "v", budget=10).collect()[0]
     assert r.n_rows == 4 and r.alloc == 10 and r.n_sampled == 4
     assert r.sampled_id_sum == 0 + 1 + 2 + 3
+
+
+def test_cap_per_group_and_balance_drop_null_keys(spark):
+    """r13 review: NULL keys draw NULL and sort NULLS FIRST in Spark
+    but NULLS LAST in DuckDB — unfiltered they crowd caps/quotas
+    nondeterministically on one engine only."""
+    from dynamic_partitioner_spark.operators.sampling import (
+        balance_classes, cap_per_group)
+
+    df = spark.createDataFrame(
+        [("g", None), ("g", None), ("g", "a"), ("g", "b"), ("g", "c")],
+        "grp string, k string")
+    kept = [r.k for r in cap_per_group(df, "grp", "k", 2).collect()]
+    assert None not in kept and len(kept) == 2
+
+    lab = spark.createDataFrame(
+        [(0, None), (0, None), (0, 1), (1, 2)],
+        "label long, k long")
+    out = balance_classes(lab, "label", "k")
+    got = [(r.label, r.k) for r in out.collect()]
+    assert (0, None) not in got
+    assert sorted(got) == [(0, 1), (1, 2)]
+
+
+def test_poisson_bootstrap_null_rows_and_zero_neff(spark):
+    """r13 review: a NULL key's draw failed every WHEN threshold and
+    fell through to the MAXIMUM tail-cap weight 9; NULL values
+    inflated n_eff with zero mass; and an all-zero-weight replicate
+    fabricated boot_mean 0.0 via floor(NaN)."""
+    from dynamic_partitioner_spark.operators.sampling import (
+        poisson_bootstrap)
+
+    df = spark.createDataFrame(
+        [(None, 100.0), (1, None), (1, 10.0), (2, 10.0), (3, 10.0)],
+        "k long, v double")
+    out = poisson_bootstrap(df, "k", "v", n_replicates=5).collect()
+    # NULL rows excluded entirely: every replicate's n_eff <= 3*9 and
+    # every non-null mean is exactly 10 (all surviving values equal)
+    for r in out:
+        assert r.n_eff <= 27
+        assert r.boot_mean in (None, 10.0)
+
+
+def test_split_assign_rejects_negative_weight(spark):
+    """r13 review: a negative weight passed the sum check and silently
+    made its split unreachable."""
+    import pytest
+
+    from dynamic_partitioner_spark.operators.sampling import (
+        split_assign, split_assign_sql)
+
+    df = spark.createDataFrame([(1,)], "k long")
+    w = {"train": 0.5, "val": -0.2, "test": 0.7}
+    with pytest.raises(ValueError, match="must be > 0"):
+        split_assign(df, "k", weights=w)
+    with pytest.raises(ValueError, match="must be > 0"):
+        split_assign_sql("k", weights=w)
+
+
+def test_neyman_excludes_nan_values_and_null_keys(spark):
+    """r13 review: one NaN made a stratum's IQR NaN — Spark silently
+    collapsed its weight to 0 while the DuckDB twin's CAST errors;
+    NULL keys ranked at opposite ends across engines."""
+    from dynamic_partitioner_spark.operators.sampling import (
+        neyman_allocation)
+
+    df = spark.createDataFrame(
+        [("s", i, float(i)) for i in range(1, 9)]
+        + [("s", 99, float("nan")), ("s", None, 5.0)],
+        "st string, k long, v double")
+    r = neyman_allocation(df, "st", "k", "v", budget=4).collect()[0]
+    assert r.n_rows == 8                  # NaN + NULL-key rows excluded
+    assert r.n_sampled == 4
