@@ -5996,6 +5996,9 @@ _PRIORITY_R13 = [
     # r8-cohort keys displaced below the fold in exchange
     "sample_balance_labels", "sample_bootstrap", "sample_cap_group",
     "sample_neyman", "sample_topk",
+    # URL canonicalizer fixed on both sides (path-&ref truncation +
+    # $-anchor engine divergence) — query_cube displaced in exchange
+    "dedup_url",
     # --- round-7 evidence (at budget; r12 gate names them) ---
     "query_sql_tpch_q22", "query_sql_tpch_q8", "query_sql_tpch_q9",
     "sample_importance", "sample_kfold", "sample_stratified",
@@ -6009,7 +6012,7 @@ _PRIORITY_R13 = [
     "merge_upsert", "mm_binary_roundtrip",
     "mm_decode_png", "mm_features", "mm_png_meta",
     "ops_retention_vacuum", "partition_compact",
-    "partitioned_write_transforms", "privacy_k_anon", "query_cube",
+    "partitioned_write_transforms", "privacy_k_anon",
     "query_distinct_agg", "query_event_gaps", "query_grouping_sets",
     "query_histogram", "query_profile",
     "query_salted_join", "query_semi_anti", "query_set_ops",
@@ -6018,7 +6021,8 @@ _PRIORITY_R13 = [
     # below the fold, r14 rotation order: the round-8 remainder (they
     # reach the 5-round freshness budget at r14 — refresh them FIRST),
     # then the round-9 cohort
-    "mm_frame_sample", "mm_binary_stats", "embedding_pca",
+    "mm_frame_sample", "mm_binary_stats", "query_cube",
+    "embedding_pca",
     "embedding_roundtrip", "events_ab_test", "graph_pagerank",
     "query_pivot",
     "query_sql_window_frames", "similarity_ann_ivf",

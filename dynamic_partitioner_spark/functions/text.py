@@ -361,7 +361,10 @@ def simhash_batched(c: Column) -> Column:
             # (+1 if nibble>=8 else -1) summed per bit position
             votes = (nibs >= 8).sum(0, dtype=np.int64) * 2 - digs.shape[0]
             out.append(int(weights[votes > 0].sum()))
-        return pd.Series(out, dtype="object")
+        # int64, not object: every value fits (max 2^32 - 1), and the
+        # object path paid per-element boxing on the hot dedup path
+        # this UDF exists to accelerate (r13 review)
+        return pd.Series(out, dtype="int64")
 
     return _simhash(c)
 
@@ -405,14 +408,18 @@ def canonicalize_url(c: Column) -> Column:
     u = F.concat(
         F.lower(F.regexp_extract(c, r"^((?i)https?://[^/?#]*)", 1)),
         F.regexp_replace(c, r"^(?i)https?://[^/?#]*", ""))
-    u = F.regexp_replace(u, r"^(http://[^/?#:]*):80([/?#].*)?$", r"$1$2")
-    u = F.regexp_replace(u, r"^(https://[^/?#:]*):443([/?#].*)?$", r"$1$2")
-    u = F.regexp_replace(u, r"#.*$", "")
-    u = F.regexp_replace(u, rf"&{_TRACK}=[^&#]*", "")
+    u = F.regexp_replace(
+        u, r"^(http://[^/?#:]*):80([/?#][^\n]*)?\z", r"$1$2")
+    u = F.regexp_replace(
+        u, r"^(https://[^/?#:]*):443([/?#][^\n]*)?\z", r"$1$2")
+    u = F.regexp_replace(u, r"#[^\n]*\z", "")
+    for _ in range(4):
+        u = F.regexp_replace(
+            u, rf"^([^?#]*\?[^#]*?)&{_TRACK}=[^&#]*", r"$1")
     u = F.regexp_replace(u, rf"\?{_TRACK}=[^&#]*&", "?")
-    u = F.regexp_replace(u, rf"\?{_TRACK}=[^&#]*$", "")
-    u = F.regexp_replace(u, r"\?$", "")
-    u = F.regexp_replace(u, r"([^/])/$", r"$1")
+    u = F.regexp_replace(u, rf"\?{_TRACK}=[^&#]*\z", "")
+    u = F.regexp_replace(u, r"\?\z", "")
+    u = F.regexp_replace(u, r"([^/])/\z", r"$1")
     return u
 
 
@@ -423,17 +430,23 @@ def _canon_url_sql(c: str) -> str:
     # would canonicalize to ''), the || operator propagates like Spark
     u = (f"(lower(regexp_extract({c}, '^((?i)https?://[^/?#]*)', 1)) || "
          f"regexp_replace({c}, '^(?i)https?://[^/?#]*', ''))")
-    u = f"regexp_replace({u}, '^(http://[^/?#:]*):80([/?#].*)?$', '\\1\\2')"
     u = (f"regexp_replace({u}, "
-         f"'^(https://[^/?#:]*):443([/?#].*)?$', '\\1\\2')")
-    u = f"regexp_replace({u}, '#.*$', '')"
-    u = f"regexp_replace({u}, '&{_TRACK}=[^&#]*', '', 'g')"
+         f"'^(http://[^/?#:]*):80([/?#][^\\n]*)?\\z', '\\1\\2')")
+    u = (f"regexp_replace({u}, "
+         f"'^(https://[^/?#:]*):443([/?#][^\\n]*)?\\z', '\\1\\2')")
+    u = f"regexp_replace({u}, '#[^\\n]*\\z', '')"
+    # anchored to a real '?' (r13 review: the unanchored &-rule ate
+    # path text); anchored rules match once per call, so the 4-pass
+    # bound mirrors the Spark chain exactly
+    for _ in range(4):
+        u = (f"regexp_replace({u}, "
+             f"'^([^?#]*\\?[^#]*?)&{_TRACK}=[^&#]*', '\\1')")
     # 'g' matters: Spark's regexp_replace is always global, and a
     # literal '?' inside a query value gives this rule a second match
     u = f"regexp_replace({u}, '\\?{_TRACK}=[^&#]*&', '?', 'g')"
-    u = f"regexp_replace({u}, '\\?{_TRACK}=[^&#]*$', '')"
-    u = f"regexp_replace({u}, '\\?$', '')"
-    u = f"regexp_replace({u}, '([^/])/$', '\\1')"
+    u = f"regexp_replace({u}, '\\?{_TRACK}=[^&#]*\\z', '')"
+    u = f"regexp_replace({u}, '\\?\\z', '')"
+    u = f"regexp_replace({u}, '([^/])/\\z', '\\1')"
     return u
 
 
@@ -595,7 +608,10 @@ _SYL_RE = "[aeiouyAEIOUY]+"
 def readability_counts(c: Column) -> tuple[Column, Column, Column]:
     """(words, sentences, syllable-proxy) counts for Flesch-style
     scoring — all three are regexp run counts (codegen, RE2-safe)."""
-    words = F.regexp_count(c, F.lit("[^ \\t\\n\\r]+"))
+    # token_count IS the word count — one definition (r13 review: an
+    # inline copy here could silently desynchronize Flesch from the
+    # module's token convention)
+    words = token_count(c)
     sents = F.regexp_count(c, F.lit(_SENT_RE))
     syls = F.regexp_count(c, F.lit(_SYL_RE))
     return words, sents, syls
@@ -623,7 +639,7 @@ def flesch_score(c: Column) -> Column:
 def flesch_score_sql(c: str) -> str:
     """DuckDB twin of :func:`flesch_score` (same counts, same three
     IEEE ops)."""
-    words = f"len(regexp_extract_all({c}, '[^ \\t\\n\\r]+'))"
+    words = TOKEN_COUNT_SQL.format(c=c)   # byte-identical rendering
     sents = f"greatest(len(regexp_extract_all({c}, '{_SENT_RE}')), 1)"
     syls = f"len(regexp_extract_all({c}, '{_SYL_RE}'))"
     return (f"CASE WHEN {words} > 0 THEN "

@@ -322,3 +322,46 @@ def test_flesch_score_known_text(spark):
     # 206.835 - 1.015*3 - 84.6*(4/3)
     assert abs(got[1] - (206.835 - 3.045 - 84.6 * 4 / 3)) < 1e-9
     assert got[2] is None and got[3] is None
+
+
+def test_canonicalize_url_preserves_path_ampersands(spark):
+    """r13 review (verified): the unanchored &-tracking rule ate
+    '&ref=...' out of the PATH of query-less URLs, collapsing distinct
+    resources in the URL-dedup key; the rule is anchored to a real
+    '?' now."""
+    from pyspark.sql import functions as F
+
+    from dynamic_partitioner_spark.functions.text import (
+        canonicalize_url)
+
+    urls = ["http://h.io/a&ref=b/c", "http://h/a&ref=x/d?ref=z",
+            "http://h/p?utm_a=1&b=2"]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    got = [r.c for r in df.select(
+        canonicalize_url(F.col("u")).alias("c")).collect()]
+    assert got == ["http://h.io/a&ref=b/c",     # path untouched
+                   "http://h/a&ref=x/d",        # query ref dropped only
+                   "http://h/p?b=2"]
+
+
+def test_canonicalize_url_engine_parity_on_whitespace_tails(spark):
+    """r13 review (verified): Java's '$' matches before a trailing
+    newline while RE2's does not, so whitespace-tainted URLs
+    canonicalized differently per engine; with \\z anchors both agree
+    exactly — including on garbage inputs."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from dynamic_partitioner_spark.functions.text import (
+        CANON_URL_SQL, canonicalize_url)
+
+    urls = ["http://h/p/\n", "http://h/p#frag\r",
+            "HTTP://Ex.COM:80/A/?utm_a=1&b=2",
+            "https://h:443/x?ref=1&c=3", "http://h/x/"]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    got = [r.c for r in df.select(
+        canonicalize_url(F.col("u")).alias("c")).collect()]
+    dd = [r[0] for r in duckdb.connect().execute(
+        "SELECT " + CANON_URL_SQL.format(c="u")
+        + " FROM (SELECT unnest(?) AS u)", [urls]).fetchall()]
+    assert got == dd
