@@ -750,12 +750,19 @@ def embedding_near_dup_lsh(df: DataFrame, id_col: str, vec_col: str,
         # duplicates" (r13 review) — fail loudly instead
         probe = (df.where(F.col(vec_col).isNotNull())
                  .select(F.size(F.col(vec_col)).alias("_d")).take(1))
+        if not probe:
+            # every vector is NULL: nothing to compare, which is an
+            # empty RESULT, not a dim error — matching the dim=None
+            # path, which returns the empty typed pair frame for the
+            # same corpus (r13 advice: the two paths diverged in
+            # loudness on this input)
+            return df.sparkSession.createDataFrame(
+                [], f"id_a {id_t}, id_b {id_t}, cos_sim double")
         raise ValueError(
             f"embedding_near_dup_lsh: every vector failed the "
-            f"dim={dim} check ("
-            + (f"first non-null vector has {probe[0]['_d']} elements"
-               if probe else "all vectors are NULL")
-            + ") — pass dim=None to derive it from the corpus")
+            f"dim={dim} check (first non-null vector has "
+            f"{probe[0]['_d']} elements) — pass dim=None to derive "
+            f"it from the corpus")
     # None relaxes but never removes the bound: the verify holds a
     # bucket's full vector matrix in one worker, so an uncapped
     # degenerate bucket (zero-vector pile-up) could OOM an executor
@@ -1155,6 +1162,11 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
                     .agg(F.count(F.lit(1)).alias("_n"))
                     .where(F.col("_n") > max_cluster_size)
                     .collect())
+        # the agg above materialized blocked's cache; every later read
+        # goes through it, so the input's persisted block can be
+        # released now instead of accumulating until session end
+        # (r13 advice)
+        df.unpersist()
     if hot_rows:
         max_hot = max(r["_n"] for r in hot_rows)
         # +1 plane of margin: sign-LSH splits real data unevenly, so
@@ -1177,18 +1189,22 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
                          F.concat_ws("#", F.col("_cluster"), F.col("_tbl"),
                                      F.col("_sub")).alias("_blk")))
         blocked = cold.unionByName(hot_b)
+        # ONE still-hot aggregation feeds both the warning and the
+        # anti-join (r13 advice: collecting for the warning and
+        # re-aggregating for the join frame ran this job twice).  The
+        # collect is the same block-name set the broadcast anti-join
+        # would ship anyway, so driver volume is unchanged.
         still_hot_rows = (blocked.groupBy("_blk")
                           .agg(F.count(F.lit(1)).alias("_n"))
                           .where(F.col("_n") > max_cluster_size)
-                          .limit(20).collect())
+                          .select("_blk").collect())
         if still_hot_rows:
             # the docstring promises the cap warning NAMES the dropped
             # blocks — an anti-join alone cut recall silently (r13
             # review, same class as the lsh ceiling warning)
             import warnings
             warnings.warn(
-                f"semantic_dedup: {len(still_hot_rows)}"
-                f"{'+' if len(still_hot_rows) == 20 else ''} "
+                f"semantic_dedup: {len(still_hot_rows)} "
                 f"sub-block(s) still exceed max_cluster_size="
                 f"{max_cluster_size} after sign-LSH subdivision "
                 f"(an unsplittable pile-up, e.g. identical vectors); "
@@ -1197,11 +1213,9 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
                 f"{[r['_blk'] for r in still_hot_rows[:5]]}. Raise "
                 f"max_cluster_size or pre-dedupe exact-duplicate "
                 f"vectors first.", RuntimeWarning, stacklevel=2)
-        still_hot = (blocked.groupBy("_blk")
-                     .agg(F.count(F.lit(1)).alias("_n"))
-                     .where(F.col("_n") > max_cluster_size)
-                     .select("_blk"))
-        blocked = blocked.join(F.broadcast(still_hot), "_blk", "left_anti")
+            names = blocked.sparkSession.createDataFrame(
+                [(r["_blk"],) for r in still_hot_rows], "_blk string")
+            blocked = blocked.join(F.broadcast(names), "_blk", "left_anti")
     else:
         blocked = blocked.select(
             id_col, vec_col, F.col("_cluster").cast("string").alias("_blk"))

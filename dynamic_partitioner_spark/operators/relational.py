@@ -1513,6 +1513,15 @@ def interval_union(df: DataFrame, key_col: str, start_col: str,
     Integer bounds keep every engine bit-exact (quantize timestamps
     to epoch micros before calling).
     """
+    # NULL-bound rows are excluded up front (same posture as
+    # range_join_binned): an open-ended interval carries no measurable
+    # span, and without this filter assert_true's NULL predicate would
+    # abort the whole job with a misleading "inverted interval"
+    # message (r13 advice).  The SQL twin applies the identical
+    # filter, which also sidesteps Spark-NULLS-FIRST vs
+    # DuckDB-NULLS-LAST window-order divergence on NULL starts.
+    df = df.where(F.col(start_col).isNotNull()
+                  & F.col(end_col).isNotNull())
     w = Window.partitionBy(key_col).orderBy(start_col, end_col)
     runmax = F.max(end_col).over(
         w.rowsBetween(Window.unboundedPreceding, -1))
@@ -1545,7 +1554,8 @@ def interval_union_sql(key: str, start: str, end: str,
     """DuckDB twin of :func:`interval_union`."""
     return f"""
         WITH iv AS (SELECT {key} AS k, {start} AS s, {end} AS e
-                    FROM {from_table}),
+                    FROM {from_table}
+                    WHERE {start} IS NOT NULL AND {end} IS NOT NULL),
         f AS (SELECT k, s, e,
                      CASE WHEN max(e) OVER (PARTITION BY k
                               ORDER BY s, e ROWS BETWEEN UNBOUNDED

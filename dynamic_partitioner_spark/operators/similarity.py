@@ -79,10 +79,13 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 def sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """LSH bucket id: sign bit per hyperplane, packed into an int.
     Pure-Column form (used by tests as the vectorized path's oracle).
-    NULL/ragged vectors bucket to NULL — matching the vectorized
-    ``_all_buckets_udf`` (r13 review: a NULL 'd > 0' fell through to
-    ``.otherwise(0)`` per plane, colliding every bad vector into the
-    legitimate all-negative-signs bucket 0)."""
+    NULL/ragged/NaN-element/NULL-element vectors bucket to NULL —
+    matching the vectorized ``_all_buckets_udf`` (r13 review: a NULL
+    'd > 0' fell through to ``.otherwise(0)`` per plane, colliding
+    every bad vector into the legitimate all-negative-signs bucket 0;
+    r13 advice: in Spark SQL ``NaN > 0`` is TRUE — NaN sorts largest —
+    so without an explicit element check a NaN-element vector landed
+    in a real bucket here while the UDF NULL-bucketed it)."""
     bucket = F.lit(0)
     for j, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
@@ -90,8 +93,10 @@ def sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
                                    lambda x, y: x.cast("double") * y),
                         F.lit(0.0), lambda acc, v: acc + v)
         bucket = bucket + F.when(d > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+    clean = ~F.exists(vec, lambda x: x.isNull()
+                      | F.isnan(x.cast("double")))
     return F.when(vec.isNotNull()
-                  & (F.size(vec) == len(planes[0])), bucket)
+                  & (F.size(vec) == len(planes[0])) & clean, bucket)
 
 
 def _all_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int):
@@ -497,7 +502,11 @@ def topk_ivf_pruned(spark, index_path: str, centroids: np.ndarray,
           # the probe-list collect AND the broadcast join both read
           # this (query-set-sized) frame — persist so the probe UDF
           # and the caller's upstream query pipeline run once (r13
-          # review)
+          # review).  Retention is intentional: the returned frame is
+          # lazy and its broadcast build reads qb at ACTION time, so
+          # unpersisting here would re-run the probe UDF; the block is
+          # query-set-sized (small by construction) and Spark evicts
+          # it LRU under memory pressure.
           .persist(StorageLevel.MEMORY_AND_DISK))
     wanted = sorted({r.list_id for r in qb.select("list_id").distinct()
                      .collect()})

@@ -674,6 +674,25 @@ def test_embedding_lsh_wrong_dim_fails_loudly(spark):
         df, "id", "vec", dim=None, n_planes=2).count() == 1
 
 
+def test_embedding_lsh_all_null_vectors_empty_on_both_paths(spark):
+    """r13 advice: a non-empty corpus whose vectors are ALL NULL raised
+    ValueError on the explicit-dim path but returned the empty typed
+    pair frame on the dim=None path.  Both paths return the empty
+    frame now — the ValueError is reserved for the actual wrong-dim
+    case where non-null vectors exist with a different size."""
+    import dynamic_partitioner_spark.operators.dedup as DD
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", None)], "id string, vec array<double>")
+    explicit = DD.embedding_near_dup_lsh(df, "id", "vec", dim=4,
+                                         n_planes=2)
+    derived = DD.embedding_near_dup_lsh(df, "id", "vec", dim=None,
+                                        n_planes=2)
+    assert explicit.count() == 0 and derived.count() == 0
+    assert explicit.columns == derived.columns == \
+        ["id_a", "id_b", "cos_sim"]
+
+
 def test_dedup_clusters_zero_max_iter_raises_cleanly(spark):
     """r13 review: max_iter=0 read the unbound loop variable and
     raised NameError instead of the non-convergence diagnostic."""

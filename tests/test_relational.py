@@ -1109,6 +1109,25 @@ def test_interval_union_rejects_inverted_interval(spark):
         interval_union(df, "k", "s", "e").collect()
 
 
+def test_interval_union_tolerates_null_bounds(spark):
+    """r13 advice: assert_true's NULL predicate aborted the whole job
+    on a NULL start/end with the misleading 'inverted interval'
+    message.  NULL-bound rows are excluded up front now (the
+    range_join_binned posture), and genuinely inverted non-null rows
+    still trip the assert."""
+    from dynamic_partitioner_spark.operators.relational import (
+        interval_union)
+
+    df = spark.createDataFrame(
+        [("u1", 0, 10), ("u1", None, 99), ("u1", 20, None),
+         ("u2", None, None)],
+        "k string, s long, e long")
+    got = {r.k: (r.n_islands, r.covered, r.longest)
+           for r in interval_union(df, "k", "s", "e").collect()}
+    # only the fully-bounded row survives; u2 vanishes entirely
+    assert got == {"u1": (1, 10, 10)}
+
+
 def test_lag_features_guards_arguments(spark):
     """r13 review: bad arguments failed deep inside Spark with
     confusing frame/column errors."""

@@ -518,6 +518,29 @@ def test_sign_bucket_nulls_bad_vectors(spark):
     assert got[2] is None and got[3] is None
 
 
+def test_sign_bucket_nan_and_null_elements_match_udf(spark):
+    """r13 advice: in Spark SQL ``NaN > 0`` is TRUE (NaN sorts
+    largest), so the pure-Column oracle bucketed a NaN-element vector
+    into a real bucket while the vectorized UDF NULL-bucketed it.
+    Both paths NULL-bucket NaN- and NULL-element vectors now."""
+    from dynamic_partitioner_spark.operators.similarity import (
+        _all_buckets_udf, _hyperplanes, sign_bucket)
+    from pyspark.sql import functions as F
+
+    dim, n_planes, seed = 2, 2, 42
+    planes = _hyperplanes(dim, n_planes, seed)
+    budf = _all_buckets_udf(dim, n_planes, n_tables=1, seed=seed)
+    df = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, [float("nan"), 1.0]), (3, [None, 1.0])],
+        "id long, v array<double>")
+    got = {r.id: (r.col, r.udf) for r in df.select(
+        "id", sign_bucket(F.col("v"), planes).alias("col"),
+        budf(F.col("v")).getItem(0).alias("udf")).collect()}
+    assert got[1][0] is not None and got[1][0] == got[1][1]
+    assert got[2] == (None, None)        # NaN element
+    assert got[3] == (None, None)        # NULL element
+
+
 def test_hybrid_rrf_rejects_multirow_query(spark):
     """r13 review: >1 query_vec rows interleaved under one global rank
     window, producing duplicate doc_ids with garbage rrf scores."""
