@@ -1661,7 +1661,13 @@ def q_streaming_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState per-user running stats across real
     micro-batches (one file per trigger); final snapshot equals the
-    batch per-user count/sum."""
+    batch per-user count/sum.  Runs under the RocksDB state-store
+    provider — the unbounded-keyspace production posture (state spills
+    to local disk, working set in memory; the default HDFS-backed
+    provider holds EVERY key on-heap).  Results are
+    provider-invariant (pinned in tests/test_streaming.py); this key
+    certifies the stateful operator under the provider a 100 TB
+    deployment would actually run."""
     from dynamic_partitioner_spark.streaming.stateful import (
         run_stateful_user_stats)
     apply_engine_confs(spark)
@@ -1671,7 +1677,8 @@ def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_table(spark, sf_dir, "events").repartition(3)
      .write.mode("overwrite").parquet(src))
     spark.catalog.dropTempView("stream_state_sink")
-    return run_stateful_user_stats(spark, src, "stream_state_sink")
+    return run_stateful_user_stats(spark, src, "stream_state_sink",
+                                   state_provider="rocksdb")
 
 
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5160,6 +5167,88 @@ def q_ops_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_ops_pruned_read_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-DIMENSION manifest pruning over Z-order envelopes (r14
+    roadmap tranche; closes the clustering → manifest → scan loop):
+    orders bucketed on TWO dimensions (``xb`` = customer bucket,
+    ``yb`` = price band, 16 buckets each), Morton-interleaved
+    (functions/zorder.py:zorder_key, bits=4), and committed as four
+    z-SLAB commits (zval div 64 — each file covers one 8×8
+    hyper-rectangle of the (xb, yb) grid, the OPTIMIZE ZORDER file
+    shape), plus a 1-d x-SORTED twin table (xb div 4 slices — each
+    file spans ALL of y).  ``read_pruned`` with the conjunctive
+    two-column range ``xb ≤ 7 AND yb ≤ 7`` intersects the predicate
+    with the manifest's per-file per-DIMENSION envelopes
+    (plan_pruned_files already conjoins bounded columns; Apache
+    Iceberg spec §Scan Planning inclusive projection).
+
+    The hashed relation is the pruned read's rows themselves (exact
+    multiset vs the oracle's arithmetic replay — zorder_key_sql emits
+    the identical interleave, so zval hash-checks bit-for-bit).  The
+    PLAN-level facts the oracle cannot see certify LOUDLY via
+    ``_certify_booleans``: the xy-predicate keeps exactly 1 of the
+    z-table's 4 files, the executed scan reads exactly that file,
+    the SAME predicate keeps 2 of the x-sorted twin's 4 files
+    (z-clustering strictly beats the 1-d sort on a 2-d predicate —
+    the y bound prunes NOTHING on x-sorted files, whose y envelopes
+    span the domain), and a y-ONLY predicate still halves the
+    z-table's scan (a 1-d x-sort prunes nothing at all on y).
+
+    100 TB posture: identical to ops_pruned_read — the planner
+    collects only the FILES-sized manifest; the win here is the
+    LAYOUT: on a z-clustered petabyte table a point-ish query
+    bounded in k dimensions scans ~(selectivity)^k of the files,
+    where any 1-d sort scans ~(selectivity)^1."""
+    from dynamic_partitioner_spark.functions.zorder import zorder_key
+    from dynamic_partitioner_spark.operators.versioned import (
+        plan_pruned_files, read_pruned, versioned_write)
+    apply_engine_confs(spark)
+    orders = _table(spark, sf_dir, "orders")
+    dims = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 16).cast("long").alias("xb"),
+        F.least(F.floor(F.col("o_totalprice") / 30000),
+                F.lit(15)).cast("long").alias("yb"))
+    z = dims.withColumn("zval", zorder_key(["xb", "yb"], bits=4))
+    # 4 commits read the same small projection — persist so the
+    # upstream scan runs once, released before the read-back
+    z = z.persist()
+    out_z = _out("ops_pruned_read_zorder")
+    out_x = _out("ops_pruned_read_zorder_x1d")
+    for k in range(4):
+        # z-slab commit: zval ∈ [64k, 64k+64) — one Morton quadrant,
+        # so the file's (xb, yb) envelopes are an 8×8 rectangle
+        versioned_write(z.where(F.col("zval").between(64 * k,
+                                                      64 * k + 63))
+                        .coalesce(1), out_z)
+        # x-slice commit for the 1-d sorted twin: xb ∈ [4k, 4k+4)
+        versioned_write(z.where(F.expr("xb div 4") == k).coalesce(1),
+                        out_x)
+    ranges_xy = {"xb": (None, 7), "yb": (None, 7)}
+    plan_z = plan_pruned_files(spark, out_z, ranges_xy)
+    kept_x, total_x = plan_pruned_files(spark, out_x, ranges_xy)
+    kept_y_only, _ = plan_pruned_files(spark, out_z,
+                                       {"yb": (None, 7)})
+    res = read_pruned(spark, out_z, ranges_xy, plan=plan_z)
+    kept_z, total_z = plan_z
+    scanned = {os.path.basename(p) for p in res.inputFiles()}
+    z.unpersist()
+    audit = spark.createDataFrame(
+        [("zorder", total_z == 4 and total_x == 4,
+          len(kept_z) == 1,
+          scanned == {os.path.basename(p) for p in kept_z},
+          len(kept_z) < len(kept_x),
+          len(kept_y_only) == 2)],
+        "pk string, snapshot_files_ok boolean, xy_pruned_to_one "
+        "boolean, scan_matches_plan boolean, z_beats_1d_sort boolean, "
+        "y_only_halves_scan boolean")
+    _certify_booleans("ops_pruned_read_zorder", audit,
+                      ["snapshot_files_ok", "xy_pruned_to_one",
+                       "scan_matches_plan", "z_beats_1d_sort",
+                       "y_only_halves_scan"])
+    return res
+
+
 def q_source_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-versioned table: three commits (append, append,
     overwrite), then per-priority counts read AS OF each version —
@@ -5966,19 +6055,68 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate canonicalizes only the first ~50
 # ``queries()`` entries per round.  Rotate each round so the keys with
-# the LEAST driver evidence come first.  Round 13's window:
-#   first  ops_pruned_read (NEW this round — never-green keys
+# the LEAST driver evidence come first.  Round 14's window:
+#   first  ops_pruned_read_zorder (NEW this round — never-green keys
 #          auto-join every fold until certified),
-#   then   streaming_ttl_eviction (r12-green but its key TEXT changed
-#          this round — the shared eviction-watermark cutoff, r12
-#          ADVICE #2 — and text changes must re-certify),
-#   then   the 19 round-7-evidence keys at the freshness budget (the
-#          r12 gate's boundary-slack warnings name exactly these —
-#          they hard-fail if unscheduled),
-#   then   29 of the 46 round-8-evidence keys, oldest first
-#          (alphabetical within the round: 1 + 1 + 19 + 29 = 50).
-# Positions 51+ carry the round-8 remainder (17 keys — they reach the
-# budget at r14 and lead the r14 fold), then the r9 cohort rotates in.
+#   then   events_interval_union (r13-green but its key TEXT changed
+#          this round — the SQL twin gained the NULL-bound filter
+#          mirroring the Spark-side fix, r13 ADVICE #1 — and text
+#          changes must re-certify),
+#   then   the 25 round-8-evidence keys at the freshness budget (the
+#          r13 gate's boundary-slack warnings name exactly these —
+#          they hard-fail if unscheduled).  streaming_stateful_counts
+#          is among them and ALSO changed text this round (the
+#          deferred RocksDB provider flip, r13 verdict #1),
+#   then   23 of the 43 round-9-evidence keys, oldest first
+#          (alphabetical within the round: 1 + 1 + 25 + 23 = 50).
+# Positions 51+ carry the round-9 remainder (20 keys — they reach the
+# budget at r15 and lead the r15 fold), then the r10 cohort rotates in.
+_PRIORITY_R14 = [
+    # --- NEW this round (never driver-green until certified) ---
+    "ops_pruned_read_zorder",
+    # --- key text changed this round (must re-certify):
+    # events_interval_union (NULL-bound filter added to BOTH the
+    # operator and interval_union_sql, which renders into the oracle)
+    "events_interval_union",
+    # --- round-8 evidence (at budget; r13 gate names them).
+    # streaming_stateful_counts additionally flipped to the RocksDB
+    # state-store provider this round (key-text change, in-fold) ---
+    "embedding_pca", "embedding_roundtrip", "events_ab_test",
+    "graph_pagerank", "mm_binary_stats", "mm_frame_sample",
+    "query_cube", "query_pivot", "query_sql_window_frames",
+    "similarity_ann_ivf", "similarity_ann_lsh",
+    "similarity_ivf_pruned", "similarity_pq_rerank", "sorted_export",
+    "source_binaryfile", "source_fixed_width_roundtrip",
+    "source_xml_roundtrip", "streaming_dedup", "streaming_join",
+    "streaming_partitioned_write", "streaming_stateful_counts",
+    "streaming_windowed_agg", "text_bm25_retrieve", "text_pack",
+    "text_rake",
+    # --- round-9 evidence, oldest first (alphabetical within) ---
+    "append_mode", "cdc_apply", "dedup_containment",
+    "dedup_embedding_lsh", "dedup_exact", "dedup_minhash",
+    "dedup_semantic", "dedup_survivorship", "embedding_grammian",
+    "embedding_prefix_eval", "embedding_quantize", "events_anomaly",
+    "events_asof_join", "events_asof_nearest", "events_cuped",
+    "events_densify", "events_did", "events_drift_chi2",
+    "events_json_extract", "events_power", "events_range_join",
+    "graph_neighbor_jaccard", "mm_dhash",
+    # ---- fold: the driver checks the 50 above ----
+    # below the fold, r15 rotation order: the round-9 remainder (they
+    # reach the 5-round freshness budget at r15 — refresh them FIRST),
+    # then the round-10 cohort
+    "mm_mime_sniff", "mm_resize", "mm_wav_stats",
+    "nonnull_validation", "ops_incremental_scan", "overwrite_dynamic",
+    "partition_key_trim", "partitioned_write_avro",
+    "partitioned_write_multi", "partitioned_write_orc",
+    "partitioned_write_single", "payload_projection",
+    "privacy_dp_count", "query_basket_pairs", "query_gini",
+    "query_scd2", "similarity_bq_topk", "stage_tag",
+    "streaming_upsert", "text_phrases",
+]
+
+# Round 13's window, kept for the freshness gate's fold-history scan
+# (it resolves the shipped fold from the LAST _PRIORITY_R* name, and
+# earlier rounds' lists document when each cohort last certified).
 _PRIORITY_R13 = [
     # --- NEW this round (never driver-green until certified) ---
     "ops_pruned_read",
@@ -6037,7 +6175,7 @@ _PRIORITY_R13 = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _all_queries()
-    out = {k: base[k] for k in _PRIORITY_R13}
+    out = {k: base[k] for k in _PRIORITY_R14}
     out.update((k, v) for k, v in base.items() if k not in out)
     return out
 
@@ -6227,6 +6365,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_time_travel": q_source_time_travel,
         "ops_snapshot_manifest": q_ops_snapshot_manifest,
         "ops_pruned_read": q_ops_pruned_read,
+        "ops_pruned_read_zorder": q_ops_pruned_read_zorder,
         "query_sql_tpch_q1": q_sql_tpch_q1,
         "query_sql_tpch_q3": q_sql_tpch_q3,
         "query_sql_tpch_q5": q_sql_tpch_q5,
@@ -6382,6 +6521,26 @@ def _zorder_oracle_sql() -> str:
                     AS BIGINT) AS n_rows,
                zmin, zmax, xmin, xmax, ymin, ymax
         FROM per JOIN n ON per.pk = n.pk
+    """
+
+
+def _zorder_pruned_oracle_sql() -> str:
+    """DuckDB twin of q_ops_pruned_read_zorder: the pruned read is
+    row-exact (conservative file pruning + residual filter), so the
+    oracle replays the bucket arithmetic and the two-column predicate;
+    zval comes from the same term-for-term zorder_key_sql the Spark
+    column uses."""
+    from dynamic_partitioner_spark.functions.zorder import (
+        zorder_key_sql)
+    zsql = zorder_key_sql(["xb", "yb"], bits=4)
+    return f"""
+        WITH v AS (SELECT o_orderkey,
+                          CAST(o_custkey % 16 AS BIGINT) AS xb,
+                          CAST(least(floor(o_totalprice / 30000), 15)
+                               AS BIGINT) AS yb
+                   FROM orders)
+        SELECT o_orderkey, xb, yb, CAST({zsql} AS BIGINT) AS zval
+        FROM v WHERE xb <= 7 AND yb <= 7
     """
 
 
@@ -9743,6 +9902,14 @@ def oracle_sql() -> dict[str, str]:
         # positional arithmetic (the clustering_depth oracle shape).
         # The physical sorted write is certified LOUDLY Spark-side.
         "ops_zorder_layout": _zorder_oracle_sql(),
+        # Z-order manifest-pruned read: the residual filter makes the
+        # pruned read ROW-exact, so the oracle is the predicate replay
+        # over the same bucket arithmetic (zval from the shared
+        # zorder_key_sql, so the hashed z-values cannot drift); the
+        # file-level facts — 1 of 4 z-files survives the xy
+        # predicate, strictly fewer than the 1-d sorted twin's 2 of
+        # 4 — are plan-level and certify loudly in the Spark key.
+        "ops_pruned_read_zorder": _zorder_pruned_oracle_sql(),
         "ops_metadata_files": """
             WITH p AS (SELECT trim(CAST(c_mktsegment AS VARCHAR)) AS pk,
                               count(*) AS n

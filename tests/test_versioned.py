@@ -493,6 +493,51 @@ def test_vacuum_floors_before_deleting(spark, tmp_path, monkeypatch):
     assert V.read_version(spark, path, 2).count() == 3
 
 
+def test_zorder_slab_pruning_beats_1d_sort_on_2d_predicate(
+        spark, tmp_path):
+    """r14 tranche pin (multi-dimension manifest pruning over Z-order
+    envelopes): the SAME 256-cell (x, y) grid committed two ways —
+    four z-SLAB commits (each file an 8x8 Morton quadrant) and four
+    x-SLICE commits (each file 4 x-values spanning ALL of y).  An
+    x-AND-y range predicate scans STRICTLY fewer files on the
+    z-clustered table: its per-file y envelopes are tight, the 1-d
+    sort's span the whole domain.  A y-only predicate prunes half the
+    z-table and NOTHING on the x-sorted one."""
+    from pyspark.sql import functions as F
+
+    from dynamic_partitioner_spark.functions.zorder import zorder_key
+    from dynamic_partitioner_spark.operators.versioned import (
+        plan_pruned_files, read_pruned, versioned_write)
+
+    grid = (spark.range(256)
+            .select((F.col("id") % 16).alias("xb"),
+                    (F.col("id") / 16).cast("long").alias("yb"))
+            .withColumn("zval", zorder_key(["xb", "yb"], bits=4)))
+    pz, px = str(tmp_path / "z"), str(tmp_path / "x")
+    for k in range(4):
+        versioned_write(grid.where(F.col("zval")
+                                   .between(64 * k, 64 * k + 63))
+                        .coalesce(1), pz)
+        versioned_write(grid.where(F.expr("xb div 4") == k)
+                        .coalesce(1), px)
+    xy = {"xb": (0, 7), "yb": (0, 7)}
+    kept_z, tot_z = plan_pruned_files(spark, pz, xy)
+    kept_x, tot_x = plan_pruned_files(spark, px, xy)
+    assert tot_z == tot_x == 4
+    assert len(kept_z) == 1 and len(kept_x) == 2
+    assert len(kept_z) < len(kept_x)            # the tranche claim
+    # y-only: halves the z scan, prunes nothing on the 1-d x sort
+    kept_zy, _ = plan_pruned_files(spark, pz, {"yb": (0, 7)})
+    kept_xy_only, _ = plan_pruned_files(spark, px, {"yb": (0, 7)})
+    assert len(kept_zy) == 2 and len(kept_xy_only) == 4
+    # row exactness: both layouts' pruned reads agree with the truth
+    want = {(x, y) for x in range(8) for y in range(8)}
+    for p in (pz, px):
+        got = {(r.xb, r.yb) for r in read_pruned(spark, p, xy)
+               .select("xb", "yb").collect()}
+        assert got == want
+
+
 def test_commits_order_numerically_and_skip_non_digit_names(tmp_path):
     """r13 review: lexical filename sort breaks at the 9th digit
     (100000000.json < 99999999.json); _commits orders by the parsed

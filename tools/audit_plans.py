@@ -126,6 +126,8 @@ AUDIT_KEYS = [
     "ops_snapshot_manifest", "streaming_ttl_eviction",
     # round-13 additions
     "ops_pruned_read",
+    # round-14 additions
+    "ops_pruned_read_zorder",
 ]
 
 #: where the adjudicated per-key plan-feature snapshot lives

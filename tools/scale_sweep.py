@@ -107,6 +107,8 @@ SWEEP_KEYS = [
     "ops_snapshot_manifest", "streaming_ttl_eviction",
     # round-13 additions
     "ops_pruned_read",
+    # round-14 additions
+    "ops_pruned_read_zorder",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
