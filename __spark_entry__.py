@@ -6099,12 +6099,20 @@ _PRIORITY_R14 = [
     "events_asof_join", "events_asof_nearest", "events_cuped",
     "events_densify", "events_did", "events_drift_chi2",
     "events_json_extract", "events_power", "events_range_join",
-    "graph_neighbor_jaccard", "mm_dhash",
+    "graph_neighbor_jaccard",
+    # --- key text changed mid-round (must re-certify): the
+    # embedding_outliers oracle gained the NULL-vector filter
+    # mirroring the Spark-side fix (r14 review — a NULL vector's NULL
+    # cosine sorted NULLS-FIRST into Spark's bottom_k where DuckDB
+    # sorted it LAST).  mm_dhash (r9 evidence, untouched, budget-safe
+    # until r15) is displaced below the fold in exchange and leads the
+    # r15 rotation.
+    "embedding_outliers",
     # ---- fold: the driver checks the 50 above ----
     # below the fold, r15 rotation order: the round-9 remainder (they
     # reach the 5-round freshness budget at r15 — refresh them FIRST),
     # then the round-10 cohort
-    "mm_mime_sniff", "mm_resize", "mm_wav_stats",
+    "mm_dhash", "mm_mime_sniff", "mm_resize", "mm_wav_stats",
     "nonnull_validation", "ops_incremental_scan", "overwrite_dynamic",
     "partition_key_trim", "partitioned_write_avro",
     "partitioned_write_multi", "partitioned_write_orc",
@@ -9007,7 +9015,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_outliers": """
             WITH base AS (SELECT vec_id, label, embedding
-                          FROM embeddings WHERE label IS NOT NULL),
+                          FROM embeddings
+                          WHERE label IS NOT NULL
+                            AND embedding IS NOT NULL),
             ex AS (SELECT label, i - 1 AS dim, embedding[i] AS x
                    FROM (SELECT label, embedding,
                                 unnest(range(1, len(embedding) + 1)) AS i

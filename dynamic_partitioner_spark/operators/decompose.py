@@ -171,10 +171,16 @@ def label_centroid_outliers(emb: DataFrame, id_col: str, vec_col: str,
     a per-label window over the corpus — WindowGroupLimit prunes
     map-side to k rows per partition per label.
     """
+    # NULL vectors are excluded on BOTH sides of the contract: they
+    # contribute nothing to the centroid (posexplode skips them) but
+    # their cosine is NULL, and Spark's ASC window puts NULLS FIRST
+    # where DuckDB puts them LAST — a NULL-vector row would silently
+    # claim a bottom_k outlier slot here and not in the oracle (the
+    # r13 NULL-ordering divergence class)
     base = emb.select(F.col(id_col).alias("_id"),
                       F.col(label_col).alias("_lbl"),
                       F.col(vec_col).alias("_v")) \
-              .where(F.col("_lbl").isNotNull())
+              .where(F.col("_lbl").isNotNull() & F.col("_v").isNotNull())
     ex = base.select("_lbl", F.posexplode("_v").alias("dim", "x"))
     sums = (ex.groupBy("_lbl", "dim")
             .agg(F.sum(F.floor(F.col("x").cast("double") * 1e6

@@ -84,12 +84,18 @@ def heavy_hitters(items: DataFrame, item_col: str,
         yield pd.DataFrame({item_col: list(counters) + [None],
                             "_pn": [0] * len(counters) + [n_part]})
 
-    summaries = (items.select(item_col)
-                 .mapInPandas(summarize, f"{item_col} {item_dt}, _pn long")
-                 .persist())
-    total = summaries.agg(F.sum("_pn")).collect()[0][0] or 0
-    cands = (summaries.where(F.col(item_col).isNotNull())
-             .select(item_col).distinct())
+    summaries = items.select(item_col).mapInPandas(
+        summarize, f"{item_col} {item_dt}, _pn long")
+    # ONE bounded collect serves both statistics (<= m+1 rows per
+    # partition summary — the same volume the broadcast would ship):
+    # N from the NULL-item marker rows, candidates from the rest.
+    # No persist, no second job, nothing left pinned for the returned
+    # frame's lifetime (the r13 persist-retention class).
+    srows = summaries.collect()
+    total = sum(r["_pn"] for r in srows)
+    cand_rows = sorted({r[0] for r in srows if r[0] is not None})
+    cands = items.sparkSession.createDataFrame(
+        [(v,) for v in cand_rows], f"{item_col} {item_dt}")
     return (items.join(F.broadcast(cands), item_col, "left_semi")
             .groupBy(item_col)
             .agg(F.count(F.lit(1)).alias("n"))

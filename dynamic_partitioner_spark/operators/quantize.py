@@ -46,6 +46,40 @@ def _round8(c):
     return F.floor(c * 100000000 + F.lit(0.5)) / 100000000
 
 
+def _finite_matrix(vals: list, ctx: str) -> np.ndarray:
+    """Validate a collected/Arrow vector batch into a clean float64
+    row-matrix, failing LOUDLY on NULL vectors, ragged dimensions, or
+    NaN/inf elements (Arrow delivers NULL ELEMENTS as NaN, which
+    passes length checks — r13 review class).  The quantized operators
+    are EXACT scorers: ``floor(NaN) .astype(int64)`` silently writes
+    INT64_MIN garbage into grammians/scores, and a NaN code argmin
+    silently lands in code 0 — corrupt input must raise, not skew
+    (mirrors int8_grammian's existing shape check and
+    decompose.second_moments' finite check)."""
+    if any(v is None for v in vals):
+        raise ValueError(
+            f"{ctx}: NULL vector in input — filter NULL rows "
+            "before quantizing")
+    try:
+        # NULL ELEMENTS inside a vector convert to NaN here (numpy
+        # None→nan float casting) and are caught by the finite check;
+        # ragged inputs raise numpy's inhomogeneous-shape ValueError,
+        # re-raised with the operator-level diagnostic
+        X = np.asarray(vals, dtype=np.float64)
+    except (ValueError, TypeError):
+        raise ValueError(
+            f"{ctx}: ragged vector dimensions in input "
+            f"(got lengths {sorted({len(v) for v in vals})})") from None
+    if X.ndim != 2:
+        raise ValueError(
+            f"{ctx}: expected a batch of vectors, got ndim={X.ndim}")
+    if not np.isfinite(X).all():
+        raise ValueError(
+            f"{ctx}: NaN/inf component in input (a NULL element "
+            "arrives as NaN) — clean or filter before quantizing")
+    return X
+
+
 def quantize_embeddings(df: DataFrame, id_col: str,
                         vec_col: str) -> DataFrame:
     """Per-vector int8 quantization summary: ``(id, scale, qsum,
@@ -64,8 +98,17 @@ def quantize_embeddings(df: DataFrame, id_col: str,
     """
     emb = F.col(vec_col)
     maxabs = F.array_max(F.transform(emb, lambda x: F.abs(x)))
+    # loud NaN guard (coalesce-over-assert_true, the interval_union
+    # trick): a NaN element would otherwise reach ``cast("long")`` as
+    # floor(NaN) and die with a cryptic ANSI CAST_INVALID_INPUT deep
+    # in the plan.  Evaluated only for rows posexplode emits, so NULL/
+    # empty vectors (whose ``clean`` is NULL) never trip the assert.
+    clean = ~F.exists(emb, lambda x: F.isnan(x.cast("double")))
+    nan_ok = F.assert_true(
+        clean, F.lit("quantize_embeddings: NaN element in vector — "
+                     "clean or filter before quantizing"))
     scale = F.when(maxabs == 0, F.lit(None)).otherwise(
-        maxabs.cast("double") / 127.0)
+        F.coalesce(nan_ok.cast("double"), maxabs.cast("double") / 127.0))
     base = df.select(F.col(id_col), scale.alias("_scale"),
                      F.posexplode(emb).alias("_i", "_x"))
     x = F.col("_x").cast("double")
@@ -102,8 +145,8 @@ def int8_grammian(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
             vecs = pdf[vec_col].tolist()
             if not vecs:
                 continue
-            X = np.asarray(vecs, dtype=np.float64)
-            if X.ndim != 2 or X.shape[1] != dim:
+            X = _finite_matrix(vecs, "int8_grammian")
+            if X.shape[1] != dim:
                 raise ValueError(
                     f"expected {dim}-dim vectors, got shape {X.shape}")
             maxabs = np.max(np.abs(X), axis=1, keepdims=True)
@@ -125,7 +168,10 @@ def int8_grammian(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
 
 def _quantize_np(X: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(scale, Q) for a float64 row-matrix — the same deterministic
-    ``floor(x/(max|x|/127) + 0.5)`` as :func:`quantize_embeddings`."""
+    ``floor(x/(max|x|/127) + 0.5)`` as :func:`quantize_embeddings`.
+    Callers validate with :func:`_finite_matrix` first: a NaN here
+    would flow through ``floor`` into ``astype(int64)`` as INT64_MIN
+    garbage."""
     maxabs = np.max(np.abs(X), axis=1, keepdims=True)
     scale = maxabs / 127.0
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -158,8 +204,8 @@ def int8_topk(emb: DataFrame, queries: DataFrame, id_col: str = "vec_id",
     if not qrows:
         raise ValueError("queries must be non-empty")
     qids = [int(r[0]) for r in qrows]
-    qscale, Qq = _quantize_np(np.asarray([r[1] for r in qrows],
-                                         dtype=np.float64))
+    qscale, Qq = _quantize_np(_finite_matrix([r[1] for r in qrows],
+                                             "int8_topk queries"))
     nq = len(qids)
     out_schema = ("query_id long, neighbor_id long, score_int long, "
                   "_raw double")
@@ -169,7 +215,7 @@ def int8_topk(emb: DataFrame, queries: DataFrame, id_col: str = "vec_id",
             if not len(pdf):
                 continue
             ids = pdf[id_col].to_numpy()
-            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            X = _finite_matrix(pdf[vec_col].tolist(), "int8_topk corpus")
             xscale, Xq = _quantize_np(X)
             D = Xq @ Qq.T                               # int64, exact
             raw = D * xscale[:, None] * qscale[None, :]
@@ -292,14 +338,21 @@ def train_pq_codebooks(emb: DataFrame, vec_col: str = "embedding",
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
-    sample = np.asarray(
-        [r[1] for r in emb.select(id_col, vec_col).orderBy(id_col)
-         .limit(sample_size).collect()], dtype=np.float64)
-    if sample.ndim != 2 or sample.shape[0] < ksub:
+    # the same NULL/NaN/ragged-robust bounded sample the IVF trainer
+    # uses (r13 fixed train_centroids; this trainer had the identical
+    # exposure — one NaN row silently poisons every subspace codebook
+    # through the Lloyd update)
+    from .similarity import _rectangular_sample
+    try:
+        sample = _rectangular_sample(emb, vec_col, id_col, sample_size)
+    except ValueError:
+        # zero usable rows — keep this trainer's pinned, ksub-specific
+        # diagnostic rather than the sampler's generic one
+        sample = np.empty((0, dim))
+    if sample.shape[0] < ksub:
         raise ValueError(
             f"PQ training needs at least ksub={ksub} rows of "
-            f"{dim}-dim vectors; got "
-            f"{0 if sample.ndim != 2 else sample.shape[0]} usable rows "
+            f"{dim}-dim vectors; got {sample.shape[0]} usable rows "
             f"(corpus smaller than ksub, or ragged/empty {vec_col!r}) — "
             f"lower ksub or raise sample_size")
     if sample.shape[1] != dim:
@@ -343,8 +396,8 @@ def pq_encode(emb: DataFrame, books: np.ndarray, id_col: str = "vec_id",
 
     @F.pandas_udf("array<int>")
     def _enc(v: pd.Series) -> pd.Series:
-        X = np.asarray(v.tolist(), dtype=np.float64)
-        if X.ndim != 2 or X.shape[1] != m * dsub:
+        X = _finite_matrix(v.tolist(), "pq_encode")
+        if X.shape[1] != m * dsub:
             raise ValueError(
                 f"expected {m * dsub}-dim vectors, got shape {X.shape} "
                 "(corrupt input should fail loudly, not encode a prefix)")
@@ -379,7 +432,7 @@ def pq_topk(emb: DataFrame, queries: DataFrame, books: np.ndarray,
     if not qrows:
         raise ValueError("queries must be non-empty")
     qids = np.asarray([int(r[0]) for r in qrows], dtype=np.int64)
-    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    Q = _finite_matrix([r[1] for r in qrows], "pq_topk queries")
     # lut[q, j, c] = dot(query_sub_j, codebook[j][c])
     lut = np.einsum("qjd,jcd->qjc",
                     Q.reshape(len(Q), m, dsub), books)
@@ -435,7 +488,7 @@ def pq_topk_rerank(emb: DataFrame, queries: DataFrame, books: np.ndarray,
 
     @F.pandas_udf("double")
     def _exact(qid: pd.Series, v: pd.Series) -> pd.Series:
-        X = np.asarray(v.tolist(), dtype=np.float64)
+        X = _finite_matrix(v.tolist(), "pq_topk_rerank exact pass")
         Qm = np.asarray([qmap[int(q)] for q in qid])
         return pd.Series((X * Qm).sum(1))
 

@@ -259,6 +259,12 @@ def bm25_topk(df: DataFrame, id_col: str, text_col: str,
     per_term = scored.select(
         "_d", F.floor(part * 1e6 + F.lit(0.5)).cast("long").alias("_su"))
     agg = per_term.groupBy("_d").agg(F.sum("_su").alias("_s"))
+    # the rank<=top filter over this unpartitioned row_number window
+    # is rewritten by Spark's LimitPushDownThroughWindow into
+    # TakeOrderedAndProject (per-partition heads, no global sort), so
+    # the single-partition window never sees more than ``top`` rows —
+    # pinned in tests/test_vectorize.py so an optimizer/shape change
+    # that loses the rewrite fails loudly
     rnk = Window.orderBy(F.desc("_s"), F.asc("_d"))
     return (agg.withColumn("rank", F.row_number().over(rnk))
             .where(F.col("rank") <= top)

@@ -108,3 +108,23 @@ def test_cms_estimates_deterministic_across_partitionings(spark):
     rb = sorted((r.item, r.n_true, r.n_est)
                 for r in cms_estimates(b, "term", top=5).collect())
     assert ra == rb
+
+
+def test_heavy_hitters_releases_summary_cache(spark):
+    """r14 hardening (the persist-retention class): the summary block
+    is released once the bounded candidate set is collected — a long
+    session mining many corpora must not accumulate MEMORY_AND_DISK
+    blocks — and the result is unchanged by the collect-then-broadcast
+    rewrite."""
+    rows = [("a",)] * 60 + [("b",)] * 30 + [("c",)] * 10
+    df = spark.createDataFrame(rows, "w string").repartition(4)
+    # delta, not absolute: the shared test session may carry other
+    # operators' INTENTIONAL persists (e.g. topk_ivf_pruned's qb)
+    jsc = spark.sparkContext._jsc.sc()
+    pinned_before = jsc.getPersistentRDDs().size()
+    got = {(r.w, r.n) for r in heavy_hitters(df, "w", 0.25).collect()}
+    assert got == {("a", 60), ("b", 30)}
+    pinned_after = jsc.getPersistentRDDs().size()
+    assert pinned_after <= pinned_before, (
+        f"heavy_hitters leaked {pinned_after - pinned_before} "
+        f"persisted RDD block(s)")

@@ -1,6 +1,7 @@
 """Int8 quantization + quantized grammian (operators/quantize.py)."""
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import functions as F
 
 from dynamic_partitioner_spark.operators.quantize import (
@@ -295,3 +296,63 @@ def test_bq_topk_excludes_ragged_vectors(spark):
     out = bq_topk(df, df.where(F.col("vec_id") == 0), k=5).collect()
     assert {r.neighbor_id for r in out} == {1}   # ragged vec 2 dropped
     assert out[0].hamming == 64
+
+
+def test_quantized_operators_reject_nan_vectors_loudly(spark):
+    """r14 hardening (the r13 similarity NaN class applied to the
+    quantized tier): a NaN element previously flowed through
+    ``floor(NaN).astype(int64)`` into INT64_MIN garbage in the
+    grammian / int8 scores, argmin'd into PQ code 0, or died as a
+    cryptic ANSI cast error in the Column path — every entry point
+    now names the problem."""
+    import pytest
+
+    from dynamic_partitioner_spark.operators.quantize import (
+        int8_grammian, int8_topk, pq_encode, quantize_embeddings,
+        train_pq_codebooks)
+
+    bad = spark.createDataFrame(
+        [(0, [1.0, float("nan")] + [0.0] * 62),
+         (1, [1.0] * 64)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="NaN"):
+        quantize_embeddings(bad, "vec_id", "embedding").collect()
+    with pytest.raises(Exception, match="NaN"):
+        int8_grammian(bad, "embedding", 64).collect()
+    with pytest.raises(Exception, match="NaN"):
+        int8_topk(bad, bad.where(F.col("vec_id") == 1)).collect()
+    books = np.zeros((8, 2, 8))
+    books[:, 1, :] = 1.0
+    with pytest.raises(Exception, match="NaN"):
+        pq_encode(bad, books).collect()
+    # the PQ trainer reuses the NULL/NaN/ragged-robust sample: the
+    # NaN row drops instead of poisoning every subspace codebook
+    ok = spark.createDataFrame(
+        [(i, [float(i)] * 64) for i in range(4)]
+        + [(99, [float("nan")] * 64), (100, None)],
+        "vec_id long, embedding array<double>")
+    trained = train_pq_codebooks(ok, dim=64, m=8, ksub=2, iters=2)
+    clean = ok.where(F.col("vec_id") < 4)
+    assert np.allclose(trained,
+                       train_pq_codebooks(clean, dim=64, m=8, ksub=2,
+                                          iters=2))
+
+
+def test_label_centroid_outliers_excludes_null_vectors(spark):
+    """r14 hardening (the r13 NULL-ordering divergence class): a NULL
+    vector's NULL cosine sorted NULLS-FIRST in Spark's ASC rank window
+    — silently claiming a bottom_k outlier slot the DuckDB oracle
+    (NULLS LAST) never gives it.  NULL vectors are excluded up front
+    now."""
+    from dynamic_partitioner_spark.operators.decompose import (
+        label_centroid_outliers)
+
+    df = spark.createDataFrame(
+        [(0, "a", [1.0, 0.0]), (1, "a", [0.9, 0.1]),
+         (2, "a", [0.0, 1.0]), (3, "a", None)],
+        "vec_id long, label string, embedding array<double>")
+    got = {r.vec_id for r in
+           label_centroid_outliers(df, "vec_id", "embedding", "label",
+                                   bottom_k=2).collect()}
+    assert 3 not in got          # NULL vector never ranks
+    assert 2 in got              # the genuine outlier does

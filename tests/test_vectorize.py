@@ -329,3 +329,22 @@ def test_phrase_collocations_rejects_negative_discount(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         phrase_collocations(df, "doc_id", "text", delta=5, min_count=2)
+
+
+def test_bm25_topk_plans_take_ordered_not_global_window(spark):
+    """r14 plan pin: Spark's LimitPushDownThroughWindow rewrites the
+    rank<=top filter over bm25_topk's unpartitioned row_number window
+    into TakeOrderedAndProject (per-partition heads), so the
+    single-partition window never sees more than top rows — this pins
+    that rewrite so an optimizer or query-shape change that silently
+    loses it (pulling every matching document into one partition)
+    fails here first."""
+    from dynamic_partitioner_spark.operators.vectorize import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, "x y z") for i in range(50)], "doc_id long, text string")
+    out = bm25_topk(docs, "doc_id", "text", ["x"], top=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    got = [r.doc_id for r in out.collect()]
+    assert got == [0, 1, 2, 3, 4]      # equal scores -> id tie-break
