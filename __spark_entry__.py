@@ -6098,7 +6098,14 @@ _PRIORITY_R14 = [
     "embedding_prefix_eval", "embedding_quantize", "events_anomaly",
     "events_asof_join", "events_asof_nearest", "events_cuped",
     "events_densify", "events_did", "events_drift_chi2",
-    "events_json_extract", "events_power", "events_range_join",
+    "events_json_extract",
+    # --- key text changed mid-round (must re-certify): the dp-release
+    # oracles gained the Laplace ln(0)-edge clamp and the
+    # collision-free seed sentinel (r14 privacy review) — both twins
+    # render into these keys' oracle_sql().  events_power and
+    # events_range_join (r9 evidence, untouched, budget-safe until
+    # r15) are displaced below the fold in exchange.
+    "privacy_dp_count", "privacy_dp_sum",
     "graph_neighbor_jaccard",
     # --- key text changed mid-round (must re-certify): the
     # embedding_outliers oracle gained the NULL-vector filter
@@ -6112,12 +6119,13 @@ _PRIORITY_R14 = [
     # below the fold, r15 rotation order: the round-9 remainder (they
     # reach the 5-round freshness budget at r15 — refresh them FIRST),
     # then the round-10 cohort
+    "events_power", "events_range_join",
     "mm_dhash", "mm_mime_sniff", "mm_resize", "mm_wav_stats",
     "nonnull_validation", "ops_incremental_scan", "overwrite_dynamic",
     "partition_key_trim", "partitioned_write_avro",
     "partitioned_write_multi", "partitioned_write_orc",
     "partitioned_write_single", "payload_projection",
-    "privacy_dp_count", "query_basket_pairs", "query_gini",
+    "query_basket_pairs", "query_gini",
     "query_scd2", "similarity_bq_topk", "stage_tag",
     "streaming_upsert", "text_phrases",
 ]

@@ -102,19 +102,32 @@ def _require_non_float_groups(df: DataFrame, group_cols: list[str]) -> None:
 def _group_seed_key(group_cols: list[str]) -> Column:
     """Deterministic per-group seed string.  concat_ws SKIPS nulls,
     which would collapse distinct groups that differ only in which
-    column is NULL onto one seed — encode NULL explicitly (chr(30)
-    sentinel can't collide with cast output that shares a prefix,
-    since chr(31) separates fields)."""
+    column is NULL onto one seed — encode NULL explicitly.  Every
+    non-NULL value is prefixed with chr(29) and the NULL sentinel
+    starts with chr(30), so NO value can spell the sentinel (r14
+    review: an unprefixed value literally equal to the sentinel
+    string drew the same noise as the NULL group)."""
     return F.concat_ws("\x1f", *[
-        F.coalesce(F.col(c).cast("string"), F.lit("\x1eNULL"))
+        F.coalesce(F.concat(F.lit("\x1d"), F.col(c).cast("string")),
+                   F.lit("\x1eNULL"))
         for c in group_cols])
 
 
 def _group_seed_key_sql(group_cols: list[str]) -> str:
     """SQL twin of :func:`_group_seed_key`."""
     return ("concat_ws(chr(31), " +
-            ", ".join(f"coalesce(CAST({c} AS VARCHAR), chr(30) || 'NULL')"
+            ", ".join(f"coalesce(chr(29) || CAST({c} AS VARCHAR), "
+                      f"chr(30) || 'NULL')"
                       for c in group_cols) + ")")
+
+
+#: floor for the Laplace inverse-CDF magnitude: hash_unit's draw can be
+#: EXACTLY 0.0 or (documented, ~6e-17 per key) round to 1.0, where
+#: ``ln(1 - 2|u - 0.5|) = ln(0)`` — NULL in Spark but a hard
+#: OutOfRangeException in DuckDB (r14 review, verified both).  The
+#: clamp caps |noise| at scale·ln(1e12) ≈ 27.6·scale — the inverse-CDF
+#: tail a 1-in-1.8e12 draw legitimately produces.
+_LAPLACE_MAG_FLOOR = 1e-12
 
 
 def _laplace_noise(u: Column, scale: float) -> Column:
@@ -122,14 +135,16 @@ def _laplace_noise(u: Column, scale: float) -> Column:
     — deterministic, so the release is reproducible and the oracle
     matches exactly (see the HONESTY NOTE on the public functions)."""
     centered = u - F.lit(0.5)
-    mag = F.lit(1.0) - F.lit(2.0) * F.abs(centered)
+    mag = F.greatest(F.lit(1.0) - F.lit(2.0) * F.abs(centered),
+                     F.lit(_LAPLACE_MAG_FLOOR))
     return F.lit(-float(scale)) * F.signum(centered) * F.log(mag)
 
 
 def _laplace_noise_sql(u: str, scale: float) -> str:
     """SQL twin of :func:`_laplace_noise`."""
     return (f"({-float(scale)!r}) * sign(({u}) - 0.5) "
-            f"* ln(1.0 - 2.0 * abs(({u}) - 0.5))")
+            f"* ln(greatest(1.0 - 2.0 * abs(({u}) - 0.5), "
+            f"{_LAPLACE_MAG_FLOOR!r}))")
 
 
 def dp_noisy_counts(df: DataFrame, group_cols: list[str], epsilon: float,
@@ -168,10 +183,13 @@ def dp_noisy_counts(df: DataFrame, group_cols: list[str], epsilon: float,
 def dp_noisy_counts_sql(group_cols: list[str], epsilon: float,
                         salt: str = "dp",
                         from_table: str = "customer") -> str:
-    """DuckDB twin of :func:`dp_noisy_counts`."""
+    """DuckDB twin of :func:`dp_noisy_counts` — including the Spark
+    side's parameter validation (r14 review)."""
     from ..functions.vectors import ROUND4_SQL
     from .sampling import hash_unit_sql
 
+    if epsilon <= 0:
+        raise ValueError("epsilon must be > 0")
     cols = ", ".join(group_cols)
     u = hash_unit_sql(_group_seed_key_sql(group_cols), salt)
     noise = _laplace_noise_sql(u, 1.0 / epsilon)
@@ -202,15 +220,21 @@ def t_closeness(df: DataFrame, quasi_cols: list[str],
     contribute ``g_i·n_c`` (the join keeps the full sensitive domain
     per class), so a class missing a common value scores correctly.
 
-    One scan feeds the class counts; the domain totals, global total
-    and grid are derived from THAT aggregate (tiny relations), so the
-    whole plan is lazy — no driver-side count at build time.  NULL
+    One scan feeds the class counts; the domain totals and global
+    total are derived from THAT aggregate (tiny relations), so the
+    whole plan is lazy — no driver-side count at build time.  Values
+    absent from a class contribute in CLOSED FORM rather than via a
+    materialized (class × sensitive-domain) grid (r14 review — the
+    grid is quadratic for zero accuracy gain): each absent value i
+    contributes exactly ``g_i·n_c``, and summing over the absent set
+    gives ``n_c·(n_g − Σ_present g_i)`` — the same exact BIGINTs the
+    grid summed, over only the PRESENT (class, value) cells.  NULL
     sensitive values are excluded from both distributions
     identically; a NULL QUASI value is a legitimate class of its own
-    (the grid join is null-safe — a null-unsafe key would zero the
-    class's own counts and pin its tvd at 0.5, code-review r6).  The
-    BIGINT numerator bound (n_g < ~3e9) is asserted inside the plan;
-    move the counts to DECIMAL(38,0) for larger corpora.
+    (the per-class joins are null-safe — a null-unsafe key would drop
+    the class, code-review r6).  The BIGINT numerator bound
+    (n_g < ~3e9) is asserted inside the plan; move the counts to
+    DECIMAL(38,0) for larger corpora.
     """
     if not quasi_cols:
         raise ValueError("t_closeness needs at least one quasi column")
@@ -232,27 +256,32 @@ def t_closeness(df: DataFrame, quasi_cols: list[str],
     ng = (glob.agg(F.sum("_g").alias("_ng"))
           .select(F.coalesce(ng_ok.cast("long"), F.col("_ng"))
                   .alias("_ng")))
-    # full (class × sensitive-domain) grid, absent cells count 0;
-    # the class-count join is NULL-SAFE on the quasi key
-    g_side = (cls_tot.crossJoin(F.broadcast(glob))
-              .crossJoin(F.broadcast(ng)).alias("G"))
+    # present cells only: |c_i·n_g − g_i·n_c| plus the running Σ g_i
+    # this class has seen; every class has >= 1 present cell (classes
+    # are derived from non-null-_s rows), so the inner joins keep all
     c_side = cls.alias("C")
-    cond = F.col("G._s") == F.col("C._s")
+    t_side = cls_tot.alias("T")
+    cond = None
     for c in quasi_cols:
-        cond = cond & F.col(f"G.{c}").eqNullSafe(F.col(f"C.{c}"))
-    grid = (g_side.join(c_side, cond, "left")
-            .select(*[F.col(f"G.{c}") for c in quasi_cols],
-                    F.col("G._nc").alias("_nc"),
-                    F.col("G._g").alias("_g"),
-                    F.col("G._ng").alias("_ng"),
-                    F.coalesce(F.col("C._c"), F.lit(0)).alias("_c")))
-    num = (grid.groupBy(*quasi_cols, "_nc", "_ng")
+        eq = F.col(f"C.{c}").eqNullSafe(F.col(f"T.{c}"))
+        cond = eq if cond is None else cond & eq
+    present = (c_side.join(t_side, cond)
+               .select(*[F.col(f"C.{c}") for c in quasi_cols],
+                       F.col("T._nc").alias("_nc"),
+                       F.col("C._s").alias("_s"),
+                       F.col("C._c").alias("_c"))
+               .join(F.broadcast(glob), "_s")
+               .crossJoin(F.broadcast(ng)))
+    num = (present.groupBy(*quasi_cols, "_nc", "_ng")
            .agg(F.sum(F.abs(F.col("_c") * F.col("_ng")
                             - F.col("_g") * F.col("_nc")))
-                .alias("_num")))
+                .alias("_pnum"),
+                F.sum("_g").alias("_gp")))
     return num.select(
         *quasi_cols, F.col("_nc").alias("n_class"),
-        round4(F.col("_num").cast("double")
+        round4((F.col("_pnum")
+                + F.col("_nc") * (F.col("_ng") - F.col("_gp")))
+               .cast("double")
                / (2.0 * F.col("_nc").cast("double")
                   * F.col("_ng").cast("double")))
         .alias("tvd"))
@@ -283,11 +312,16 @@ def dp_noisy_sums(df: DataFrame, group_cols: list[str], value_col: str,
     v = F.col(value_col).cast("double")
     clipped = F.least(F.greatest(v, F.lit(0.0)), F.lit(float(clip)))
     micro = F.floor(clipped * 1_000_000 + F.lit(0.5)).cast("long")
-    # NULL contributions are EXCLUDED, not zero-counted: least/greatest
-    # skip NULLs in both engines, so an unfiltered NULL would clip to
-    # 0.0 yet still inflate n_rows — the released contributor count
-    # must mean "rows that actually contributed"
-    agg = (df.where(v.isNotNull())
+    # NULL and NaN contributions are EXCLUDED, not zero-counted: an
+    # unfiltered NULL would clip to 0.0 yet still inflate n_rows, and
+    # a NaN passes isNotNull but clips to the FULL clip value in both
+    # engines (least/greatest treat NaN as greatest — r14 review), so
+    # every NaN measurement would silently contribute the maximum
+    # possible amount.  ±inf stays: it is an extreme VALUE, and
+    # clipping it to the bounds is exactly what bounded-contribution
+    # clipping is for.  The released contributor count must mean
+    # "rows that actually contributed".
+    agg = (df.where(v.isNotNull() & ~F.isnan(v))
            .withColumn("_m", micro)
            .groupBy(*group_cols)
            .agg(F.sum("_m").alias("_sum_micro"),
@@ -305,10 +339,15 @@ def dp_noisy_sums(df: DataFrame, group_cols: list[str], value_col: str,
 def dp_noisy_sums_sql(group_cols: list[str], value: str, clip: float,
                       epsilon: float, salt: str = "dpsum",
                       from_table: str = "events") -> str:
-    """DuckDB twin of :func:`dp_noisy_sums`."""
+    """DuckDB twin of :func:`dp_noisy_sums` — including the Spark
+    side's parameter validation, so both halves reject the same bad
+    arguments (r14 review: a clip <= 0 would silently release n·clip
+    nonsense from the twin the operator itself refuses)."""
     from ..functions.vectors import ROUND4_SQL
     from .sampling import hash_unit_sql
 
+    if epsilon <= 0 or clip <= 0:
+        raise ValueError("epsilon and clip must be > 0")
     cols = ", ".join(group_cols)
     u = hash_unit_sql(_group_seed_key_sql(group_cols), salt)
     noise = _laplace_noise_sql(u, float(clip) / epsilon)
@@ -320,6 +359,7 @@ def dp_noisy_sums_sql(group_cols: list[str], value: str, clip: float,
         f"AS BIGINT) AS sum_micro, count(*) AS n_rows "
         f"FROM {from_table} "
         f"WHERE CAST({value} AS DOUBLE) IS NOT NULL "
+        f"AND NOT isnan(CAST({value} AS DOUBLE)) "
         f"GROUP BY {cols}) "
         f"SELECT {cols}, n_rows, "
         + ROUND4_SQL.format(x="sum_micro / 1e6") + " AS true_sum, "
@@ -355,8 +395,22 @@ def randomized_response(df: DataFrame, group_cols: list[str],
     if "_rr_key" not in df.columns:
         raise ValueError("randomized_response needs a row-unique "
                          "_rr_key column for the deterministic coin")
+    # the coin seed gets the same float-key rejection the dp releases
+    # apply to their group keys — double formatting diverges across
+    # engines, so a float _rr_key would flip different rows in the
+    # oracle with no error (r14 review)
+    _require_non_float_groups(df, ["_rr_key"])
     b = F.col(bit_col).cast("boolean")
     u = hash_unit(F.col("_rr_key"), salt)
+    # a NULL _rr_key gives a NULL draw, and `when(u < p).otherwise`
+    # would send the row to the FLIP branch with probability 1 —
+    # deterministically biasing the estimator with no error (r14
+    # review).  assert in-plan instead (the t_closeness pattern).
+    u_ok = F.assert_true(
+        u.isNotNull(),
+        F.lit("randomized_response: NULL _rr_key — the coin seed "
+              "must be non-null and row-unique"))
+    u = F.coalesce(u_ok.cast("double"), u)
     reported = F.when(u < F.lit(float(p_truth)), b).otherwise(~b)
     agg = (df.where(b.isNotNull())
            .select(*group_cols, b.alias("_b"),
@@ -381,10 +435,15 @@ def randomized_response_sql(group_cols: list[str], bit: str,
                             rr_key: str, p_truth: float = 0.75,
                             salt: str = "rr",
                             from_table: str = "events") -> str:
-    """DuckDB twin of :func:`randomized_response`."""
+    """DuckDB twin of :func:`randomized_response` — including the
+    Spark side's parameter validation (r14 review: p_truth=0.5 emits
+    a divide-by-zero DuckDB evaluates to silent NULL, and p < 0.5
+    sign-flips the estimator)."""
     from ..functions.vectors import ROUND4_SQL
     from .sampling import hash_unit_sql
 
+    if not 0.5 < p_truth < 1.0:
+        raise ValueError("p_truth must be in (0.5, 1)")
     p = float(p_truth)
     cols = ", ".join(group_cols)
     u = hash_unit_sql(rr_key, salt)

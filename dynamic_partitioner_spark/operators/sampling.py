@@ -52,8 +52,12 @@ def hash_unit_sql(key: str, salt: str = "") -> str:
     # || not concat(): DuckDB concat() IGNORES null arguments while
     # Spark's concat null-propagates — the || operator propagates, so a
     # NULL key draws NULL in both engines (and is dropped by every
-    # sampling filter identically)
-    return (f"(CAST('0x' || substr(md5('{salt}' || "
+    # sampling filter identically).  The salt is escaped into the SQL
+    # string literal (r14 review: a rotated secret salt containing a
+    # quote broke the rendered oracle while the F.lit twin hashed it
+    # fine); rendering is unchanged for quote-free salts.
+    esc = salt.replace("'", "''")
+    return (f"(CAST('0x' || substr(md5('{esc}' || "
             f"CAST({key} AS VARCHAR)), 1, 15) AS BIGINT) "
             f"/ 1152921504606846976.0)")
 

@@ -277,3 +277,94 @@ def test_randomized_response_debiasing(spark):
         randomized_response(df.drop("_rr_key"), ["g"], "bit")
     with _pytest.raises(ValueError):
         randomized_response(df, ["g"], "bit", p_truth=0.4)
+
+
+def test_privacy_r14_hardening(spark):
+    """r14 privacy review pins: (1) the Laplace magnitude clamps at
+    the hash edge so u→{0,1} draws a bounded tail instead of ln(0)
+    (NULL in Spark, a hard error in DuckDB); (2) NaN measurements are
+    EXCLUDED from dp_noisy_sums instead of silently contributing the
+    full clip value; (3) a NULL _rr_key aborts randomized_response
+    loudly instead of deterministically flipping the row; (4) a float
+    _rr_key is rejected like float dp group keys; (5) the SQL twins
+    reject the same bad parameters their Spark halves do; (6) the
+    seed sentinel cannot collide with a value spelling it; (7) a
+    quoted salt renders into a valid oracle literal."""
+    import duckdb
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dynamic_partitioner_spark.operators import privacy as P
+    from dynamic_partitioner_spark.operators.sampling import (
+        hash_unit_sql)
+
+    # (1) magnitude floor: ln argument never reaches 0 on either side
+    assert "greatest" in P._laplace_noise_sql("0.5", 1.0)
+    assert duckdb.sql(
+        "SELECT " + P._laplace_noise_sql("1.0", 1.0)).fetchone()[0] \
+        is not None
+
+    # (2) NaN rows excluded from the dp sum on both sides
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", float("nan")), ("a", None)],
+        "g string, v double")
+    got = P.dp_noisy_sums(df, ["g"], "v", clip=5.0,
+                          epsilon=1.0).collect()[0]
+    assert got["n_rows"] == 1 and got["true_sum"] == 1.0
+    rel = duckdb.sql(
+        P.dp_noisy_sums_sql(["g"], "v", 5.0, 1.0,
+                            from_table="(VALUES ('a', 1.0), "
+                            "('a', CAST('nan' AS DOUBLE)), "
+                            "('a', NULL)) t(g, v)")).fetchone()
+    assert rel[1] == 1                     # n_rows matches
+
+    # (3) NULL coin seed aborts loudly; (4) float seed rejected
+    rr = spark.createDataFrame(
+        [(1, "x", True), (None, "x", False)],
+        "_rr_key long, g string, b boolean")
+    with pytest.raises(Exception, match="NULL _rr_key"):
+        P.randomized_response(rr, ["g"], "b").collect()
+    rr_f = spark.createDataFrame(
+        [(1.0, "x", True)], "_rr_key double, g string, b boolean")
+    with pytest.raises(ValueError, match="floating-point"):
+        P.randomized_response(rr_f, ["g"], "b")
+
+    # (5) twin parameter validation mirrors the Spark side
+    with pytest.raises(ValueError):
+        P.randomized_response_sql(["g"], "b", "k", p_truth=0.5)
+    with pytest.raises(ValueError):
+        P.dp_noisy_sums_sql(["g"], "v", clip=-1.0, epsilon=1.0)
+    with pytest.raises(ValueError):
+        P.dp_noisy_counts_sql(["g"], epsilon=0.0)
+
+    # (6) a value spelling the old sentinel no longer shares the NULL
+    # group's seed (both get DIFFERENT noise)
+    col = spark.createDataFrame(
+        [("\x1eNULL", 1), (None, 1)], "g string, x int")
+    noisy = {r["g"]: r["noisy_count"]
+             for r in P.dp_noisy_counts(col, ["g"], 1.0).collect()}
+    assert noisy["\x1eNULL"] != noisy[None]
+
+    # (7) quoted salt renders a parseable literal
+    duckdb.sql("SELECT " + hash_unit_sql("'k'", salt="o'brien"))
+
+
+def test_t_closeness_closed_form_matches_grid_semantics(spark):
+    """r14 review: the (class x domain) grid was replaced by the
+    closed-form absent-cell contribution n_c*(n_g - sum of present
+    g_i) — same exact BIGINT numerator.  Hand-checked: classes A
+    (values x,x,y) and B (z) against global counts x:2, y:1, z:1,
+    n_g=4."""
+    from dynamic_partitioner_spark.operators import privacy as P
+
+    df = spark.createDataFrame(
+        [("A", "x"), ("A", "x"), ("A", "y"), ("B", "z")],
+        "q string, s string")
+    got = {r["q"]: (r["n_class"], r["tvd"])
+           for r in P.t_closeness(df, ["q"], "s").collect()}
+    # A: |2*4-2*3| + |1*4-1*3| + absent z: 1*3 = 2+1+3 = 6
+    #    tvd = 6 / (2*3*4) = 0.25
+    # B: |1*4-1*1| + absent x: 2*1, absent y: 1*1 = 3+2+1 = 6
+    #    tvd = 6 / (2*1*4) = 0.75
+    assert got["A"] == (3, 0.25)
+    assert got["B"] == (1, 0.75)
