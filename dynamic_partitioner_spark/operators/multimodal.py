@@ -98,8 +98,16 @@ def decode_media(df: DataFrame, mode: str,
             "extract_features() for the deterministic byte-level path.")
     ddl, fn = reg
     id_field = df.schema[id_col]
-    out_schema = f"{id_field.name} {id_field.dataType.simpleString()}, {ddl}"
     cols = T.StructType.fromDDL(ddl).fieldNames()
+    if id_field.name in cols:
+        # the passthrough id and a codec column with the same name
+        # would produce a duplicate-field schema and silently mislabel
+        # (or fail) the worker's pandas->Arrow conversion (r14 review)
+        raise ValueError(
+            f"codec for mode {mode!r} declares output column "
+            f"{id_field.name!r}, which collides with the passthrough "
+            f"id column — rename one of them")
+    out_schema = f"{id_field.name} {id_field.dataType.simpleString()}, {ddl}"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -218,11 +226,17 @@ def resize_media(binary_df: DataFrame,
     ``octet_length`` — not from metadata that may disagree with the
     actual bytes once a real decoder is plugged in.
     """
-    n_bytes = F.octet_length("payload")
+    # LONG multiply: octet_length is int32 and the sequence elements
+    # are int32, so k * n_bytes overflowed (ANSI ARITHMETIC_OVERFLOW)
+    # for payloads past ~34 MB at the top k — real media sizes (r14
+    # review); the DuckDB twin already multiplies against a BIGINT
+    # strlen
+    n_bytes = F.octet_length("payload").cast("long")
     samples = F.transform(
         F.sequence(F.lit(0), F.lit(target - 1)),
         lambda k: F.hex(F.expr("payload").substr(
-            (F.lit(1) + F.floor(k * n_bytes / F.lit(float(target))))
+            (F.lit(1) + F.floor(k.cast("long") * n_bytes
+                                / F.lit(float(target))))
             .cast("int"), F.lit(1))))
     return binary_df.select(
         "doc_id", n_bytes.cast("long").alias("n_bytes"),
@@ -253,9 +267,14 @@ def sniff_mime(binary_df: DataFrame) -> DataFrame:
     for prefix, m in MAGIC_MIME:
         cond = h.startswith(prefix)
         mime = F.when(cond, m) if mime is None else mime.when(cond, m)
+    # a NULL payload is UNCLASSIFIABLE, not text: every startswith
+    # condition above is NULL for it, so the bare otherwise() routed
+    # missing assets to the text decoder (r14 review) — gate the
+    # fallback on payload presence so NULL payloads yield NULL mime
     return binary_df.select(
         "doc_id",
-        mime.otherwise("text/plain").alias("mime"),
+        F.when(F.col("payload").isNotNull(),
+               mime.otherwise("text/plain")).alias("mime"),
         F.octet_length("payload").cast("long").alias("n_bytes"))
 
 
@@ -267,10 +286,18 @@ def tar_shards(df: DataFrame, id_col: str, payload_col: str,
     container (one sequential read per shard, per-member offsets for
     indexed access).
 
-    Deterministic bytes: members sorted by id, ``mtime=0``, fixed
-    mode/uid/gid, ustar format — identical input gives identical
-    archives.  Returns ``(shard, n_members, tar_bytes)``; at scale
-    each row lands as one ``.tar`` object via the binary sink.  The
+    Deterministic bytes: members sorted by (id, payload) — the payload
+    tiebreaker keeps duplicate-id member order stable where pandas'
+    unstable id-only sort depended on shuffle arrival order (r14
+    review) — ``mtime=0``, fixed mode/uid/gid, ustar format —
+    identical input gives identical archives.  Member names longer
+    than ustar's 100-byte limit are rejected up front with the
+    offending id named.  Returns ``(shard, n_members, tar_bytes)``;
+    at scale each row lands as one ``.tar`` object via the binary
+    sink.  Size ``n_shards`` so corpus/n_shards fits one Python
+    worker: the packer holds a full shard's payloads plus the archive
+    in memory (real WebDataset shards cap at ~100 MB–1 GB — thousands
+    of shards at corpus scale, never the demo default).  The
     tar layout is exactly computable (header 512 B + data rounded up
     to 512 B per member), which is what :func:`tar_members` — and the
     driver key's SQL oracle — verify offset-for-offset.
@@ -281,13 +308,19 @@ def tar_shards(df: DataFrame, id_col: str, payload_col: str,
     from .sampling import hash_unit
 
     def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_id")
+        pdf = pdf.sort_values(["_id", "_p"])
         buf = io.BytesIO()
         with tarfile.open(fileobj=buf, mode="w",
                           format=tarfile.USTAR_FORMAT) as tf:
             for _id, payload in zip(pdf["_id"], pdf["_p"]):
                 data = bytes(payload)
-                ti = tarfile.TarInfo(name=f"{_id}.{ext}")
+                name = f"{_id}.{ext}"
+                if len(name.encode("utf-8")) > 100:
+                    raise ValueError(
+                        f"tar_shards: member name {name!r} exceeds "
+                        "ustar's 100-byte limit — shorten the id or "
+                        "extension")
+                ti = tarfile.TarInfo(name=name)
                 ti.size = len(data)
                 ti.mtime = 0
                 ti.mode = 0o644
@@ -299,12 +332,17 @@ def tar_shards(df: DataFrame, id_col: str, payload_col: str,
                              "tar_bytes": [buf.getvalue()]})
 
     # NULL ids have no member name (and hash to a NULL shard) — drop
-    # them; NULL payloads become empty members (header-only entries)
+    # them; NULL payloads become empty members (header-only entries).
+    # The shard id clamps at n_shards-1: hash_unit documents its draw
+    # can round to exactly 1.0 (~6e-17 per key), and floor(u·n)
+    # without the clamp would emit shard == n_shards — outside the
+    # layout (r14 review; the documented hash_unit consumer contract)
     base = (df.where(F.col(id_col).isNotNull())
             .select(
         F.col(id_col).alias("_id"),
         F.coalesce(F.col(payload_col), F.lit(b"")).alias("_p"),
-        F.floor(hash_unit(F.col(id_col)) * n_shards).cast("long")
+        F.least(F.floor(hash_unit(F.col(id_col)) * n_shards),
+                F.lit(n_shards - 1)).cast("long")
         .alias("_shard")))
     return base.groupBy("_shard").applyInPandas(
         pack, "shard long, n_members long, tar_bytes binary")
@@ -325,6 +363,12 @@ def tar_members(shards: DataFrame) -> DataFrame:
             rows = {"shard": [], "name": [], "size": [],
                     "data_offset": [], "payload_md5": []}
             for shard, blob in zip(pdf["shard"], pdf["tar_bytes"]):
+                if blob is None:
+                    # bytes(None) raises a bare TypeError mid-stage;
+                    # name the bad shard instead (r14 review)
+                    raise ValueError(
+                        f"tar_members: shard {shard} has NULL "
+                        "tar_bytes — corrupt or unwritten shard row")
                 with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
                     for m in tf.getmembers():
                         rows["shard"].append(int(shard))
@@ -359,6 +403,10 @@ def binary_dup_groups(df: DataFrame, id_col: str = "doc_id",
     one hash aggregate); payload bytes never shuffle — only the
     fingerprint and id do.
     """
+    # NULL payloads carry no bytes to fingerprint: without the filter
+    # they all share the (NULL, NULL, NULL) group key and surface as a
+    # bogus "duplicate group" with NULL fingerprints (r14 review)
+    df = df.where(F.col(payload_col).isNotNull())
     # substring the BINARY first, hex the 64-byte edge — hexing the
     # whole payload to slice 128 chars would cost O(payload) per edge
     # on multi-MB media rows; hex is per-byte, so

@@ -255,3 +255,80 @@ def test_codec_registry_handles_nested_types_and_bad_ddl(spark):
         unregister_codec("nested")
     with pytest.raises(Exception):
         register_codec("broken", "width int, oops", codec)
+
+
+def test_mm_r14_hardening(spark):
+    """r14 multimodal review pins: (1) NULL payloads sniff to NULL
+    mime, not text/plain; (2) NULL payloads never form a bogus
+    duplicate group; (3) duplicate-id tar members pack in a
+    deterministic (id, payload) order regardless of input order;
+    (4) over-limit member names and NULL shard blobs raise named
+    errors; (5) a codec column colliding with the id column is
+    rejected at decode_media."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import dynamic_partitioner_spark.operators.multimodal as MM
+
+    # (1) NULL payload -> NULL mime
+    b = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n\x1a\x0a")), (2, None)],
+        "doc_id long, payload binary")
+    got = {r.doc_id: r.mime for r in MM.sniff_mime(b).collect()}
+    assert got[1] == "image/png" and got[2] is None
+
+    # (2) NULL payloads form no duplicate group
+    nn = spark.createDataFrame(
+        [(1, None), (2, None), (3, bytearray(b"x")),
+         (4, bytearray(b"x"))],
+        "doc_id long, payload binary")
+    groups = MM.binary_dup_groups(nn).collect()
+    assert len(groups) == 1 and groups[0]["rep_id"] == 3
+
+    # (3) duplicate-id members pack deterministically
+    rows = [(7, bytearray(b"bbb")), (7, bytearray(b"aaa")),
+            (8, bytearray(b"c"))]
+    t1 = MM.tar_shards(spark.createDataFrame(
+        rows, "doc_id long, payload binary"), "doc_id", "payload",
+        n_shards=1)
+    t2 = MM.tar_shards(spark.createDataFrame(
+        rows[::-1], "doc_id long, payload binary").repartition(3),
+        "doc_id", "payload", n_shards=1)
+    assert bytes(t1.collect()[0]["tar_bytes"]) == \
+        bytes(t2.collect()[0]["tar_bytes"])
+
+    # (4a) member name over ustar's 100-byte limit raises with the id
+    long_id = spark.createDataFrame(
+        [("x" * 120, bytearray(b"p"))], "doc_id string, payload binary")
+    with pytest.raises(Exception, match="100-byte"):
+        MM.tar_shards(long_id, "doc_id", "payload", n_shards=1).collect()
+
+    # (4b) NULL tar_bytes raises a named error, not bytes(None)
+    bad = spark.createDataFrame([(0, None)],
+                                "shard long, tar_bytes binary")
+    with pytest.raises(Exception, match="NULL tar_bytes"):
+        MM.tar_members(bad).collect()
+
+    # (5) codec column colliding with the id column rejected
+    MM.register_codec("collide", "doc_id int, w int",
+                      lambda p: {"doc_id": 0, "w": 1})
+    try:
+        with pytest.raises(ValueError, match="collides"):
+            MM.decode_media(b, "collide")
+    finally:
+        MM.unregister_codec("collide")
+
+
+def test_resize_media_long_payload_no_overflow(spark):
+    """r14 review: k * octet_length was 32-bit math — k=63 on a
+    ~35 MB payload overflowed int32 (ANSI ARITHMETIC_OVERFLOW).  The
+    multiply is LONG now; the sampled positions stay in-range."""
+    import dynamic_partitioner_spark.operators.multimodal as MM
+    from pyspark.sql import functions as F
+
+    big = spark.range(1).select(
+        F.col("id").alias("doc_id"),
+        F.expr("cast(repeat('a', 35000000) as binary)").alias("payload"))
+    row = MM.resize_media(big).collect()[0]
+    assert row["n_bytes"] == 35_000_000
+    assert row["resized_md5"] is not None
