@@ -88,6 +88,11 @@ def decode_png(payload: bytes) -> PngImage:
     saw_end = False
     for ctype, body in _chunks(payload):
         if ctype == b"IHDR":
+            if width is not None:
+                # exactly one IHDR per spec — a second one silently
+                # rewrote the geometry the IDAT check then validated
+                # against (r14 review)
+                raise PngFormatError("duplicate IHDR chunk")
             if len(body) != 13:
                 raise PngFormatError("IHDR must be 13 bytes")
             (width, height, depth, color_type, comp, filt,
@@ -113,21 +118,41 @@ def decode_png(payload: bytes) -> PngImage:
             sep = body.find(b"\x00")
             if sep < 1:
                 raise PngFormatError("malformed tEXt chunk")
-            text[body[:sep].decode("latin-1")] = \
-                body[sep + 1:].decode("latin-1")
+            kw = body[:sep].decode("latin-1")
+            if kw in text:
+                # the spec permits repeated keywords; this profile's
+                # dict would silently drop all but the last value and
+                # undercount n_text — reject rather than guess (r14
+                # review; the loud-decoder contract)
+                raise PngFormatError(f"duplicate tEXt keyword {kw!r}")
+            text[kw] = body[sep + 1:].decode("latin-1")
         elif ctype == b"IEND":
             saw_end = True
             break
     if width is None or not saw_end:
         raise PngFormatError("missing IHDR or IEND")
+    rb = width * channels  # row bytes, excluding the filter byte
+    expected = (rb + 1) * height
+    if expected > 256 * 1024 * 1024:
+        # sanity-cap the DECLARED geometry before inflating: IHDR
+        # dims are attacker-controlled 32-bit values (r14 review)
+        raise PngFormatError(
+            f"declared image size {expected} bytes exceeds the "
+            "256 MiB decode profile")
     try:
-        raw = zlib.decompress(bytes(idat))
+        # bounded inflate: a small crafted payload with a
+        # high-ratio stream must not allocate gigabytes before the
+        # size check — inflate at most expected+1 bytes and reject
+        # overlong output (r14 review)
+        dobj = zlib.decompressobj()
+        raw = dobj.decompress(bytes(idat), expected + 1)
     except zlib.error as exc:
         raise PngFormatError(f"IDAT inflate failed: {exc}") from exc
-    rb = width * channels  # row bytes, excluding the filter byte
-    if len(raw) != (rb + 1) * height:
+    if len(raw) != expected or not dobj.eof \
+            or dobj.unconsumed_tail or dobj.unused_data:
         raise PngFormatError(
-            f"decompressed size {len(raw)} != expected {(rb + 1) * height}")
+            f"decompressed size {len(raw)}{'+' if not dobj.eof else ''}"
+            f" != expected {expected}")
     bpp = channels
     out = bytearray(rb * height)
     prior = bytes(rb)

@@ -46,12 +46,17 @@ def encode_wav(samples: bytes, rate: int, channels: int) -> bytes:
     fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block,
                       block, 16)
     # odd-sized unknown chunk: exercises the spec's word-alignment
-    # pad byte in the chunk walk
+    # pad byte in the chunk walk.  A genuinely unknown fourcc, not
+    # LIST: RIFF requires a LIST body to open with a 4-byte list-type
+    # fourcc, so a 3-byte LIST body was spec-malformed (r14 review)
     info = b"dps"
     chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
-              + b"LIST" + struct.pack("<I", len(info)) + info + b"\x00"
-              + b"data" + struct.pack("<I", len(samples)) + samples
-              + (b"\x00" if len(samples) % 2 else b""))
+              + b"junk" + struct.pack("<I", len(info)) + info + b"\x00"
+              # no data pad byte: len(samples) is always even (it
+              # tiles 2*channels), so the odd-data alignment path is
+              # exercised only by the junk chunk above (r14 review:
+              # a conditional pad here was dead code)
+              + b"data" + struct.pack("<I", len(samples)) + samples)
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
@@ -64,6 +69,12 @@ def decode_wav(payload: bytes) -> tuple[int, int, bytes]:
     missing fmt/data chunk, or a data length that does not tile the
     channel block size.
     """
+    if payload is None:
+        # registry contract is fn(payload: bytes | None) — the PNG
+        # sibling raises its format error on None; a bare
+        # len(None) TypeError mid-Arrow-batch is the r14 multimodal
+        # review class
+        raise WavFormatError("missing payload (NULL)")
     if len(payload) < 12 or payload[:4] != b"RIFF" \
             or payload[8:12] != b"WAVE":
         raise WavFormatError("not a RIFF/WAVE payload")
@@ -76,9 +87,12 @@ def decode_wav(payload: bytes) -> tuple[int, int, bytes]:
     while pos + 8 <= end:
         ctype = payload[pos:pos + 4]
         (clen,) = struct.unpack_from("<I", payload, pos + 4)
-        body = payload[pos + 8:pos + 8 + clen]
-        if len(body) < clen:
+        if pos + 8 + clen > end:
+            # bound against the DECLARED RIFF extent, not the raw
+            # payload: a shrunken riff_len with trailing bytes would
+            # otherwise decode silently (r14 review)
             raise WavFormatError(f"truncated {ctype!r} chunk")
+        body = payload[pos + 8:pos + 8 + clen]
         if ctype == b"fmt ":
             if clen < 16:
                 raise WavFormatError("fmt chunk shorter than 16 bytes")

@@ -186,3 +186,54 @@ def test_dhash_codec_matches_pixel_rule():
         hi = sum(int(bits[32 + k]) << k for k in range(32))
         out = png_dhash_codec(synthetic_png(doc_id))
         assert (out["dhash_hi"], out["dhash_lo"]) == (hi, lo), doc_id
+
+
+def test_png_r14_hardening():
+    """r14 review pins: (1) duplicate IHDR rejected (a second one
+    silently rewrote the geometry); (2) duplicate tEXt keywords
+    rejected (the dict kept only the last value and undercounted
+    n_text); (3) a small payload whose IHDR declares a huge image is
+    rejected BEFORE inflating (decompression-bomb guard), and the
+    inflate itself is bounded to the declared size."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from dynamic_partitioner_spark.formats.png_py import (
+        _SIGNATURE, _chunk)
+
+    def ihdr(w, h, ct=0):
+        return _chunk(b"IHDR",
+                      _struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0))
+
+    # (1) duplicate IHDR
+    raw = bytes([0]) * (1 + 1)            # 1x1 gray: filter byte + px
+    blob = (_SIGNATURE + ihdr(1, 1) + ihdr(1, 1)
+            + _chunk(b"IDAT", _zlib.compress(raw))
+            + _chunk(b"IEND", b""))
+    with pytest.raises(PngFormatError, match="duplicate IHDR"):
+        decode_png(blob)
+
+    # (2) duplicate tEXt keyword
+    blob = (_SIGNATURE + ihdr(1, 1)
+            + _chunk(b"tEXt", b"Comment\x00a")
+            + _chunk(b"tEXt", b"Comment\x00b")
+            + _chunk(b"IDAT", _zlib.compress(raw))
+            + _chunk(b"IEND", b""))
+    with pytest.raises(PngFormatError, match="duplicate tEXt"):
+        decode_png(blob)
+
+    # (3) declared-size cap fires before any inflate
+    bomb = (_SIGNATURE + ihdr(60000, 60000)
+            + _chunk(b"IDAT", _zlib.compress(b"\x00" * 64))
+            + _chunk(b"IEND", b""))
+    with pytest.raises(PngFormatError, match="256 MiB"):
+        decode_png(bomb)
+
+    # bounded inflate: stream longer than declared rejected, not
+    # silently truncated
+    long_raw = bytes([0]) * (2 * (1 + 1))  # two rows for a 1x1 image
+    blob = (_SIGNATURE + ihdr(1, 1)
+            + _chunk(b"IDAT", _zlib.compress(long_raw))
+            + _chunk(b"IEND", b""))
+    with pytest.raises(PngFormatError, match="expected"):
+        decode_png(blob)

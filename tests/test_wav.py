@@ -26,11 +26,28 @@ def test_roundtrip_mono_and_stereo():
 
 
 def test_unknown_chunk_and_alignment_are_walked():
-    """encode_wav plants an odd-sized LIST chunk before data — a
-    parser that assumes data at byte 36 or skips the pad byte fails."""
+    """encode_wav plants an odd-sized unknown chunk before data — a
+    parser that assumes data at byte 36 or skips the pad byte fails.
+    (r14 review: the chunk's fourcc is 'junk', not LIST — a RIFF LIST
+    body must open with a list-type fourcc, so a 3-byte LIST body was
+    itself spec-malformed.)"""
     blob = encode_wav(struct.pack("<2h", 7, -7), 8000, 1)
-    assert b"LIST" in blob
+    assert b"junk" in blob
     assert decode_wav(blob)[2] == struct.pack("<2h", 7, -7)
+
+
+def test_decode_wav_r14_hardening():
+    """r14 review pins: NULL payload raises the format error (not a
+    bare TypeError — the registry contract the PNG sibling honors),
+    and a chunk body crossing the DECLARED RIFF extent is rejected
+    even when trailing payload bytes could cover it."""
+    with pytest.raises(WavFormatError, match="NULL"):
+        decode_wav(None)
+    blob = encode_wav(struct.pack("<2h", 7, -7), 8000, 1)
+    (riff_len,) = struct.unpack_from("<I", blob, 4)
+    shrunk = blob[:4] + struct.pack("<I", riff_len - 2) + blob[8:]
+    with pytest.raises(WavFormatError, match="truncated"):
+        decode_wav(shrunk)
 
 
 def test_structural_damage_rejected():
