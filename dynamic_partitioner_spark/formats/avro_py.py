@@ -511,6 +511,21 @@ def write_avro_partitioned(df: DataFrame, field_names: list[str],
 
 # ----------------------------------------------------- distributed read
 
+def list_avro_containers(spark, path: str):
+    """The ONE binaryFile listing for .avro containers under a tree:
+    recursive, '*.avro'-globbed, excluding any crashed overwrite's
+    '._overwrite_old/' move-aside dir (whose files would parse a
+    mangled partition value out of the path).  Shared by the
+    distributed reader below and sources.read's header-sampling
+    fallback so the exclusion predicate cannot desynchronize
+    (r14 review)."""
+    return (spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.avro")
+            .option("recursiveFileLookup", "true")
+            .load(path)
+            .where(~F.col("path").contains("._overwrite_old/")))
+
+
 def read_avro_partitioned(spark: SparkSession, path: str,
                           field_names: list[str],
                           payload_schema: T.StructType) -> DataFrame:
@@ -537,7 +552,7 @@ def read_avro_partitioned(spark: SparkSession, path: str,
 
     def decode(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
         from dynamic_partitioner_spark.functions.paths import (
-            unescape_path_name)
+            partition_value_from_dir)
         for batch in batches:
             paths = batch.column(0).to_pylist()
             contents = batch.column(1).to_pylist()
@@ -566,17 +581,9 @@ def read_avro_partitioned(spark: SparkSession, path: str,
                     # every row with the base path's value (r13 review)
                     seg = fpath.rsplit(marker, 1)[1].split("/", 1)[0]
                     arrays.append(pa.array(
-                        [unescape_path_name(seg)] * len(rows),
+                        [partition_value_from_dir(seg)] * len(rows),
                         type=pa.string()))
                 yield pa.RecordBatch.from_arrays(arrays, out_names)
 
-    files = (spark.read.format("binaryFile")
-             .option("pathGlobFilter", "*.avro")
-             .option("recursiveFileLookup", "true")
-             .load(path)
-             # never read through a crashed overwrite's move-aside dir:
-             # its files would parse a mangled partition value
-             # ('v._overwrite_old') out of the path (r13 review)
-             .where(~F.col("path").contains("._overwrite_old/"))
-             .select("path", "content"))
+    files = list_avro_containers(spark, path).select("path", "content")
     return files.mapInArrow(decode, full)

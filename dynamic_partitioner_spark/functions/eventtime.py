@@ -51,7 +51,11 @@ def _floor_div_nanos_to_us(col: str) -> str:
 def event_time_us(df: DataFrame, col: str = "ts") -> Column:
     """Event-time column → LONG epoch microseconds (exact, truncating)."""
     dt = _ts_type(df, col)
-    if isinstance(dt, (T.LongType, T.IntegerType)):
+    # LongType ONLY for the integer path: the nanosAsLong read always
+    # yields LONG, so an IntegerType ts is never nanos (int32 spans
+    # +-2.1 s of them) — accepting it silently landed epoch-seconds
+    # data in January 1970 (r14 review); reject loudly instead
+    if isinstance(dt, T.LongType):
         return F.expr(_floor_div_nanos_to_us(col))
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         return F.unix_micros(F.col(col).cast("timestamp"))
@@ -68,7 +72,8 @@ def event_time_ts(df: DataFrame, col: str = "ts") -> Column:
     of :func:`event_time_us` for those paths.
     """
     dt = _ts_type(df, col)
-    if isinstance(dt, (T.LongType, T.IntegerType)):
+    # LongType ONLY — see event_time_us (r14 review)
+    if isinstance(dt, T.LongType):
         return F.expr(f"timestamp_micros({_floor_div_nanos_to_us(col)})")
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         return F.col(col).cast("timestamp")

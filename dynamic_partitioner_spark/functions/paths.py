@@ -25,10 +25,29 @@ _TO_ESCAPE = frozenset(
        '{', '[', ']', '^'])
 
 
+#: Spark's spelling for a null-or-EMPTY partition value
+#: (``ExternalCatalogUtils.getPartitionPathString``): the native
+#: writer never creates a bare ``f=`` directory.  The engine rejects
+#: NULL keys at write time, so only the empty string reaches this —
+#: note Spark's own reader surfaces such a directory as NULL, not ''
+#: (a Spark semantics fact; the engine's listing-based parsers map it
+#: back to '' so key-tuple set comparisons stay consistent).
+DEFAULT_PARTITION_NAME = "__HIVE_DEFAULT_PARTITION__"
+
+
 def escape_path_name(value: str) -> str:
     """Escape a partition value exactly as Spark's native writer does."""
     return "".join(f"%{ord(c):02X}" if c in _TO_ESCAPE else c
                    for c in value)
+
+
+def partition_value_from_dir(name: str) -> str:
+    """Decode a partition directory VALUE segment: the default-
+    partition spelling maps back to the empty string (see
+    :data:`DEFAULT_PARTITION_NAME`), everything else unescapes."""
+    if name == DEFAULT_PARTITION_NAME:
+        return ""
+    return unescape_path_name(name)
 
 
 def unescape_path_name(name: str) -> str:
@@ -51,6 +70,12 @@ def unescape_path_name(name: str) -> str:
 
 def hive_partition_path(field_names: list[str],
                         values: tuple[str, ...]) -> str:
-    """``f1=v1/f2=v2`` relative path with writer-exact escaping."""
-    return "/".join(f"{f}={escape_path_name(str(v))}"
-                    for f, v in zip(field_names, values))
+    """``f1=v1/f2=v2`` relative path with writer-exact escaping.
+    An EMPTY value spells :data:`DEFAULT_PARTITION_NAME`, exactly as
+    ``getPartitionPathString`` does — composing ``f=`` here made the
+    emptied-partition prune's existence check miss the directory the
+    native writer actually created, silently skipping its delete
+    (r14 review)."""
+    return "/".join(
+        f"{f}={escape_path_name(str(v)) if str(v) else DEFAULT_PARTITION_NAME}"
+        for f, v in zip(field_names, values))

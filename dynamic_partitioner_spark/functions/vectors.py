@@ -52,16 +52,34 @@ def cosine_batched(a: Column, b: Column) -> Column:
     (pairwise/SIMD), so use it on rows-only paths and keep
     :func:`cosine` where a DuckDB oracle checks exact values.  Zero-norm
     rows come back NULL, not NaN — Spark orders NaN above every number,
-    so a raw NaN would pass any ``>= threshold`` filter.
+    so a raw NaN would pass any ``>= threshold`` filter.  NULL and
+    batch-ragged vectors also come back NULL, matching the Column
+    form's null-propagation (r14 review: one dirty row previously
+    raised numpy's inhomogeneous-shape error and killed the stage
+    instead of NULLing like the form this replaces).
     """
     @F.pandas_udf("double")
     def _cos(x: pd.Series, y: pd.Series) -> pd.Series:
-        mx = np.asarray(x.tolist(), dtype=np.float64)
-        my = np.asarray(y.tolist(), dtype=np.float64)
-        num = np.einsum("ij,ij->i", mx, my)
-        den = np.linalg.norm(mx, axis=1) * np.linalg.norm(my, axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            out = np.where(den > 0, num / den, np.nan)
+        xs, ys = x.tolist(), y.tolist()
+        out = np.full(len(xs), np.nan)
+        # group rows by their (equal-on-both-sides) dimension so each
+        # group is a rectangular matmul — per-ROW semantics stay
+        # batch-independent (a lone 32-dim pair computes the same
+        # whether or not 64-dim pairs share its Arrow batch); rows
+        # with a NULL side or mismatched lengths stay NaN -> NULL
+        by_dim: dict[int, list[int]] = {}
+        for i, (xv, yv) in enumerate(zip(xs, ys)):
+            if xv is not None and yv is not None \
+                    and len(xv) == len(yv) > 0:
+                by_dim.setdefault(len(xv), []).append(i)
+        for dim, idx in by_dim.items():
+            mx = np.asarray([xs[i] for i in idx], dtype=np.float64)
+            my = np.asarray([ys[i] for i in idx], dtype=np.float64)
+            num = np.einsum("ij,ij->i", mx, my)
+            den = (np.linalg.norm(mx, axis=1)
+                   * np.linalg.norm(my, axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[idx] = np.where(den > 0, num / den, np.nan)
         return pd.Series(out)
 
     raw = _cos(a, b)

@@ -51,7 +51,15 @@ def deletion_keys_batched(c, max_dist: int = 1) -> "F.Column":
     every single deletion, every double deletion — ``1 + L + C(L,2)``
     distinct keys, sorted for determinism): the SymSpell guarantee
     extends, so any two strings within Levenshtein distance 2 share at
-    least one key."""
+    least one key.  Larger radii are rejected (r14 review: the
+    else-branch silently computed only the 2-deletion neighborhood,
+    so a direct ``max_dist=3`` caller lost recall with no error)."""
+    if max_dist not in (1, 2):
+        raise ValueError(
+            "deletion_keys_batched supports max_dist of 1 or 2; "
+            "beyond d=2 the deletion expansion explodes "
+            "combinatorially — use an n-gram block instead")
+
     @F.pandas_udf("array<string>")
     def _dk(s: pd.Series) -> pd.Series:
         out = []
@@ -114,6 +122,15 @@ def fuzzy_pairs(df: DataFrame, id_col: str, s_col: str,
         F.explode(F.array_distinct(deletion_keys_batched(s_col, max_dist)))
         .alias("_k"))
     if max_key_df is not None:
+        # the Arrow key-explosion lineage feeds the hot-key aggregate
+        # AND both self-join sides — persist so the most expensive map
+        # stage runs once, not ~3x (r14 review).  Retention is
+        # intentional: the returned frame is lazy and reads this at
+        # action time; the block is (corpus x keys)-sized but Spark
+        # evicts LRU under pressure, and recomputing it costs more
+        # than re-reading it ever can.
+        from pyspark.storagelevel import StorageLevel
+        keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
         hot = (keyed.groupBy("_k")
                .agg(F.count(F.lit(1)).alias("_n"))
                .where(F.col("_n") > max_key_df)

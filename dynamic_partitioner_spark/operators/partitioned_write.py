@@ -35,7 +35,7 @@ import dataclasses
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.paths import hive_partition_path, unescape_path_name
+from ..functions.paths import hive_partition_path, partition_value_from_dir
 from ..sources.read import read_partitioned
 from ..spec import SinkSpec, SpecError
 from .partition_keys import normalize_partition_keys
@@ -75,7 +75,10 @@ def list_existing_partitions(spark: SparkSession, base_path: str,
                 continue
             name = status.getPath().getName()
             if name.startswith(want):
-                value = unescape_path_name(name[len(want):])
+                # maps __HIVE_DEFAULT_PARTITION__ back to '' so the
+                # listed key tuples compare against data-derived
+                # ones (r14 review)
+                value = partition_value_from_dir(name[len(want):])
                 walk(status.getPath(), depth + 1, prefix + (value,))
 
     walk(jpath, 0, ())

@@ -51,6 +51,17 @@ def read_partitioned(spark: SparkSession, path: str,
     if fmt == "avro":
         from ..operators.partitioned_write import spark_avro_available
         if not spark_avro_available(spark):
+            if merge_schema:
+                # the fallback reads ONE container header's schema —
+                # silently dropping an explicit merge request would
+                # either mis-read an evolved tree or surface as a
+                # confusing executor-side field error (r14 review)
+                raise ValueError(
+                    "merge_schema=True is not supported by the "
+                    "pure-Python Avro fallback (it decodes every "
+                    "file against one self-describing header "
+                    "schema); install spark-avro or read each "
+                    "schema generation separately")
             return _read_avro_fallback(spark, path)
     with _no_partition_type_inference(spark):
         reader = spark.read.format(fmt)
@@ -79,12 +90,8 @@ def _read_avro_fallback(spark: SparkSession, path: str) -> DataFrame:
             break
         order.append(subs[0].getPath().getName().split("=", 1)[0])
         p = subs[0].getPath()
-    from pyspark.sql import functions as _F
-    one = (spark.read.format("binaryFile")
-           .option("recursiveFileLookup", "true")
-           .option("pathGlobFilter", "*.avro").load(path)
-           # same move-aside exclusion as read_avro_partitioned
-           .where(~_F.col("path").contains("._overwrite_old/"))
+    from ..formats.avro_py import list_avro_containers
+    one = (list_avro_containers(spark, path)
            .select("content").limit(1).collect())
     if not one:
         raise FileNotFoundError(f"no .avro container files under {path}")

@@ -76,3 +76,20 @@ def test_nanos_ts_roundtrip(spark):
     row = df.select(event_time_ts(df, "ts").alias("t"),
                     event_time_us(df, "ts").alias("us")).collect()[0]
     assert int(row.t.timestamp() * 1_000_000) == row.us
+
+
+def test_integer_ts_rejected(spark):
+    """r14 review: an IntegerType ts can never be LONG nanoseconds
+    (int32 spans +-2.1 s of nanos) — it is epoch seconds in the wild,
+    and interpreting it as nanos landed every event in January 1970.
+    Both accessors reject it loudly now."""
+    import pytest
+
+    from dynamic_partitioner_spark.functions.eventtime import (
+        event_time_ts, event_time_us)
+
+    df = spark.createDataFrame([(1723766400,)], "ts int")
+    with pytest.raises(TypeError, match="unsupported event-time type"):
+        event_time_us(df)
+    with pytest.raises(TypeError, match="unsupported event-time type"):
+        event_time_ts(df)

@@ -132,3 +132,44 @@ def test_survivorship_takes_newest_non_null_per_column(spark):
     assert got[1].bal == 7.0                  # donated by the seq-20 row
     assert got[1].n_members == 3 and got[1].latest_seq == 30
     assert got[2].name is None and got[2].bal is None
+
+
+def test_deletion_keys_batched_rejects_wide_radius(spark):
+    """r14 review: max_dist=3 silently computed only the 2-deletion
+    neighborhood, losing recall with no error for direct callers."""
+    import pytest
+
+    from dynamic_partitioner_spark.operators.linkage import (
+        deletion_keys_batched)
+
+    with pytest.raises(ValueError, match="1 or 2"):
+        deletion_keys_batched("s", max_dist=3)
+
+
+def test_cosine_batched_nulls_dirty_rows_like_column_form(spark):
+    """r14 review: a NULL or batch-ragged vector pair previously
+    raised numpy's inhomogeneous-shape error and killed the stage;
+    it now returns NULL exactly like the Column-form cosine, and a
+    consistent pair whose dimension differs from its batch neighbors
+    still computes (per-dimension grouping, batch-independent)."""
+    from pyspark.sql import functions as F
+
+    from dynamic_partitioner_spark.functions.vectors import (
+        cosine, cosine_batched)
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [1.0, 0.0]),      # clean
+         (2, None, [1.0, 0.0]),            # NULL side
+         (3, [1.0, 0.0], [1.0]),           # ragged pair
+         (4, [1.0, 2.0, 2.0], [1.0, 2.0, 2.0]),  # odd-dim, consistent
+         (5, [0.0, 0.0], [1.0, 0.0])],     # zero norm
+        "id long, a array<double>, b array<double>").coalesce(1)
+    got = {r.id: (r.b_c, r.c_c) for r in df.select(
+        "id",
+        cosine_batched(F.col("a"), F.col("b")).alias("b_c"),
+        cosine(F.col("a"), F.col("b")).alias("c_c")).collect()}
+    assert got[1] == (1.0, 1.0)
+    assert got[2] == (None, None)
+    assert got[3][0] is None                # batched NULLs ragged pair
+    assert abs(got[4][0] - 1.0) < 1e-12 and abs(got[4][1] - 1.0) < 1e-12
+    assert got[5] == (None, None)

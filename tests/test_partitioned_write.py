@@ -1105,3 +1105,30 @@ def test_audit_partition_files_orc_and_no_type_inference(spark, tmp_out):
                                            fmt="orc").collect()}
     assert set(rows) == {"01", "1"}
     assert rows["01"][0] == 1 and rows["1"][0] == 2
+
+
+def test_empty_partition_value_spells_default_partition(spark, tmp_path):
+    """r14 review: Spark's native writer spells a null-or-EMPTY
+    partition value __HIVE_DEFAULT_PARTITION__, while
+    hive_partition_path composed a bare 'f=' — so merge_upsert's
+    emptied-partition existence check missed the directory the writer
+    actually created and skipped its delete.  The path authority now
+    matches the writer, and the listing walk maps the spelling back to
+    '' so key-tuple set comparisons stay consistent."""
+    from dynamic_partitioner_spark.functions.paths import (
+        DEFAULT_PARTITION_NAME, hive_partition_path,
+        partition_value_from_dir)
+
+    # composed path matches what the native writer creates
+    assert hive_partition_path(["f"], ("",)) == \
+        f"f={DEFAULT_PARTITION_NAME}"
+    assert partition_value_from_dir(DEFAULT_PARTITION_NAME) == ""
+    assert partition_value_from_dir("a%20b") == "a b"
+
+    # ground truth: the native writer's directory for an empty value
+    out = str(tmp_path / "t")
+    (spark.createDataFrame([("", 1)], "f string, x int")
+     .write.partitionBy("f").parquet(out))
+    import os
+    dirs = [d for d in os.listdir(out) if d.startswith("f=")]
+    assert dirs == [f"f={DEFAULT_PARTITION_NAME}"]
