@@ -255,8 +255,13 @@ def run_streaming_join(spark: SparkSession, src_path: str, sink_table: str,
     return spark.table(sink_table)
 
 
-def _topk_snap_schema(key_col: str = "user_id") -> str:
-    return (f"{key_col} long, v1 double, e1 long, v2 double, "
+def _topk_snap_schema(key_col: str = "user_id",
+                      key_type: str = "long") -> str:
+    # key TYPE is caller-derived (r14 review: hardcoding long while
+    # accepting arbitrary key_col invited string-keyed streams whose
+    # snapshots then failed the Arrow cast; ttl's schema already
+    # derives its key types from the input)
+    return (f"{key_col} {key_type}, v1 double, e1 long, v2 double, "
             "e2 long, v3 double, e3 long")
 
 
@@ -307,8 +312,14 @@ def running_topk_state(sdf: DataFrame, key_col: str = "user_id",
                 best = [(cur[2 * i], cur[2 * i + 1]) for i in range(3)
                         if cur[2 * i] is not None]
             for pdf in rows:
-                best.extend(zip(pdf[value_col].astype(float),
-                                pdf[id_col].astype(int)))
+                vals = pdf[value_col].astype(float)
+                ids = pdf[id_col]
+                # NULL ids arrive as NaN (astype(int) raised and
+                # killed the stream) and NaN values compare
+                # inconsistently under sort, lodging in the kept
+                # top-3 — both row classes are excluded (r14 review)
+                ok = ids.notna() & vals.notna()
+                best.extend(zip(vals[ok], ids[ok].astype(int)))
             best.sort(key=lambda t: (-t[0], -t[1]))
             best = best[:3]
             flat: list = []
@@ -326,8 +337,10 @@ def running_topk_state(sdf: DataFrame, key_col: str = "user_id",
         def close(self) -> None:
             pass
 
+    ktype = sdf.schema[key_col].dataType.simpleString()
     return (sdf.groupBy(key_col)
-            .transformWithStateInPandas(TopK(), _topk_snap_schema(key_col),
+            .transformWithStateInPandas(TopK(),
+                                        _topk_snap_schema(key_col, ktype),
                                         "Update", "None"))
 
 
@@ -478,6 +491,12 @@ def ttl_evicted_state(sdf: DataFrame, key_cols: list[str],
                            F.unix_micros(ets).alias("_us"),
                            F.floor(F.col(value_col) * 100 + F.lit(0.5))
                            .cast("long").alias("_cents"))
+                # NULL event times carry no position on the TTL clock:
+                # Spark's late-row filter does NOT drop them, they
+                # arrive in pandas as NaN, and int(NaN.max()) killed
+                # the stream when a batch's key had only NULL-ts rows
+                # (r14 review) — exclude them before the stateful op
+                .where(F.col("_us").isNotNull())
                 .withWatermark("_ets", watermark_delay))
     return (prepared.groupBy(*key_cols)
             .applyInPandasWithState(update, out_schema, _TTL_STATE_SCHEMA,
@@ -517,29 +536,35 @@ def run_ttl_eviction_audit(spark: SparkSession, src_path: str,
     from .write import (run_stream_to_completion, shuffle_partitions,
                         state_store_provider, stream_from_files)
 
-    nodata_conf = "spark.sql.streaming.noDataMicroBatches.enabled"
-    prev_nodata = spark.conf.get(nodata_conf, "true")
-    spark.conf.set(nodata_conf, "false")
-    try:
-        with shuffle_partitions(spark, state_partitions), \
-                state_store_provider(spark, state_provider):
-            sdf = stream_from_files(spark, src_path,
-                                    max_files_per_trigger=1)
-            out = ttl_evicted_state(sdf, key_cols, ttl=ttl,
-                                    watermark_delay=watermark_delay)
-            q = (out.writeStream.format("memory").queryName(sink_table)
-                 .outputMode("update").trigger(availableNow=True).start())
-            run_stream_to_completion(q, timeout_sec)
-    finally:
-        spark.conf.set(nodata_conf, prev_nodata)
+    from .write import _conf_override
+
+    # the ONE save/restore implementation (r13 collapsed three
+    # divergent copies into _conf_override; this was a fourth
+    # hand-rolled one — r14 review)
+    with _conf_override(spark,
+                        "spark.sql.streaming.noDataMicroBatches.enabled",
+                        "false"), \
+            shuffle_partitions(spark, state_partitions), \
+            state_store_provider(spark, state_provider):
+        sdf = stream_from_files(spark, src_path,
+                                max_files_per_trigger=1)
+        out = ttl_evicted_state(sdf, key_cols, ttl=ttl,
+                                watermark_delay=watermark_delay)
+        q = (out.writeStream.format("memory").queryName(sink_table)
+             .outputMode("update").trigger(availableNow=True).start())
+        run_stream_to_completion(q, timeout_sec)
     return spark.table(sink_table)
 
 
 STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType()),
                              T.StructField("total", T.DoubleType())])
 
-def _stats_schema(key_col: str = "user_id") -> T.StructType:
-    return T.StructType([T.StructField(key_col, T.LongType()),
+def _stats_schema(key_col: str = "user_id",
+                  key_type: T.DataType | None = None) -> T.StructType:
+    # key TYPE is caller-derived, defaulting to LONG for back-compat
+    # (r14 review — see _topk_snap_schema)
+    return T.StructType([T.StructField(key_col,
+                                       key_type or T.LongType()),
                          T.StructField("n_events", T.LongType()),
                          T.StructField("total_value", T.DoubleType())])
 
@@ -570,8 +595,9 @@ def stateful_user_stats(sdf: DataFrame, key_col: str = "user_id",
         yield pd.DataFrame({key_col: [key[0]], "n_events": [n],
                             "total_value": [round(total, 2)]})
 
+    ktype = sdf.schema[key_col].dataType
     return (sdf.groupBy(key_col)
-            .applyInPandasWithState(update, _stats_schema(key_col),
+            .applyInPandasWithState(update, _stats_schema(key_col, ktype),
                                     STATE_SCHEMA,
                                     "update", GroupStateTimeout.NoTimeout))
 
@@ -580,20 +606,23 @@ def run_stateful_user_stats(spark: SparkSession, src_path: str,
                             sink_table: str, n_batches_hint: int = 3,
                             timeout_sec: int = 300,
                             state_partitions: int | None = 8,
-                            state_provider: str | None = None
-                            ) -> DataFrame:
+                            state_provider: str | None = None,
+                            key_col: str = "user_id",
+                            value_col: str = "value") -> DataFrame:
     """Drive :func:`stateful_user_stats` through real micro-batches:
     one file per trigger, update-mode memory sink, then reduce the
     emitted snapshots to the final per-key state (max of the monotone
     count, and the matching total).  ``state_provider`` as in
-    :func:`run_ttl_eviction_audit`."""
+    :func:`run_ttl_eviction_audit`; ``key_col``/``value_col`` pass
+    through to the operator (the key's TYPE is derived from the
+    stream, so non-long keys work — r14 review)."""
     from .write import (run_stream_to_completion, shuffle_partitions,
                         state_store_provider, stream_from_files)
 
     with shuffle_partitions(spark, state_partitions), \
             state_store_provider(spark, state_provider):
         sdf = stream_from_files(spark, src_path, max_files_per_trigger=1)
-        out = stateful_user_stats(sdf)
+        out = stateful_user_stats(sdf, key_col, value_col)
         q = (out.writeStream.format("memory").queryName(sink_table)
              .outputMode("update").trigger(availableNow=True).start())
         run_stream_to_completion(q, timeout_sec)
@@ -602,7 +631,7 @@ def run_stateful_user_stats(spark: SparkSession, src_path: str,
     # monotone; max over the struct carries the matching total along,
     # unlike max over each column independently, which would be wrong
     # for negative values)
-    final = (snaps.groupBy("user_id")
+    final = (snaps.groupBy(key_col)
              .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
-             .select("user_id", "s.n_events", "s.total_value"))
+             .select(key_col, "s.n_events", "s.total_value"))
     return final

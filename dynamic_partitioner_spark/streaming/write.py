@@ -195,8 +195,31 @@ def stream_write_partitioned(sdf: DataFrame, spec: SinkSpec, path: str,
     ``available_now=True`` drains everything currently in the source and
     stops — the batch-parity mode the tests and driver use; pass False
     for a continuously-running query.
+
+    Spec coverage is a SUBSET of the batch sink's, enforced loudly
+    (r14 review — these fields previously validated fine and were then
+    silently dropped): streaming appends forever, so CREATE mode's
+    fail-if-partition-exists contract and ``overwrite_partitions``
+    cannot hold across micro-batches, and ``sort_within`` has no
+    ``sortWithinPartitions`` equivalent on an unbounded source.  Use
+    the batch sink (via ``foreachBatch``) for those semantics.
     """
     spec.validate(sdf.schema)
+    if not spec.mode_is_append:
+        raise ValueError(
+            "stream_write_partitioned cannot honor CREATE mode "
+            "(fail-if-partition-exists) — each micro-batch appends; "
+            "set append_to_partition='CREATE_OR_APPEND' or route "
+            "through foreachBatch + write_partitioned")
+    if spec.overwrite_partitions:
+        raise ValueError(
+            "stream_write_partitioned cannot honor "
+            "overwrite_partitions — route through foreachBatch + "
+            "write_partitioned for per-batch dynamic overwrite")
+    if spec.sort_within:
+        raise ValueError(
+            "stream_write_partitioned cannot honor sort_within — "
+            "route through foreachBatch + write_partitioned")
     ndf = normalize_partition_keys(sdf, spec.field_names)
     if spec.stage_name is not None:
         ndf = ndf.withColumn(STAGE_FIELD, F.lit(spec.stage_name))
@@ -293,6 +316,12 @@ def run_streaming_expectations(spark: SparkSession, src_path: str,
 
     from ..operators.expectations import check_expectations
 
+    if not rules:
+        # fail BEFORE the stream starts: check_expectations would
+        # raise this only inside the first micro-batch, after the
+        # checkpoint directory is created (r14 review)
+        raise ValueError("run_streaming_expectations needs at least "
+                         "one rule")
     bad = [r[0] for r in rules if r[0] not in ("not_null", "range", "fk")]
     if bad:
         raise ValueError(
@@ -337,12 +366,11 @@ def run_streaming_expectations(spark: SparkSession, src_path: str,
     # resolve fk reference sides ONCE — check_expectations would
     # otherwise re-scan + re-distinct + re-broadcast the reference
     # table inside every micro-batch
-    from pyspark.sql import functions as SF
     resolved, cached = [], []
     for r in rules:
         if r[0] == "fk":
             _, col, ref_df, ref_col = r
-            refs = (ref_df.where(SF.col(ref_col).isNotNull())
+            refs = (ref_df.where(F.col(ref_col).isNotNull())
                     .select(ref_col).distinct().cache())
             refs.count()
             cached.append(refs)

@@ -667,3 +667,86 @@ def test_stage_ordered_files_tolerates_glob_metachar_paths(spark,
     got = [pq.read_table(os.path.join(out, n)).column("k")[0].as_py()
            for n in names]
     assert got == [0, 1]
+
+
+def test_streaming_r14_hardening(spark, tmp_path):
+    """r14 streaming review pins: (1) stream_write_partitioned rejects
+    spec semantics it cannot honor (CREATE mode, overwrite_partitions,
+    sort_within) instead of silently dropping them; (2) NULL
+    event-time rows are excluded from the TTL audit (a batch whose key
+    had only NULL-ts rows crashed the worker on int(NaN)); (3)
+    run_streaming_expectations rejects an empty rule list before the
+    stream starts; (4) the stateful-stats snapshot schema derives the
+    key TYPE from the input, so string-keyed streams work."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dynamic_partitioner_spark.spec import SinkSpec
+    from dynamic_partitioner_spark.streaming.stateful import (
+        run_stateful_user_stats, ttl_evicted_state)
+    from dynamic_partitioner_spark.streaming.write import (
+        run_streaming_expectations, stage_ordered_files,
+        stream_from_files, stream_write_partitioned)
+
+    # (1) unsupported spec fields rejected loudly
+    src = str(tmp_path / "src")
+    spark.range(3).selectExpr("CAST(id AS STRING) AS k", "id AS v") \
+        .write.parquet(src)
+    sdf = stream_from_files(spark, src)
+    for spec in (SinkSpec(name="s1", field_names=["k"]),
+                 SinkSpec(name="s2", field_names=["k"],
+                          append_to_partition="CREATE_OR_APPEND",
+                          overwrite_partitions=True),
+                 SinkSpec(name="s3", field_names=["k"],
+                          append_to_partition="CREATE_OR_APPEND",
+                          sort_within=["v"])):
+        with pytest.raises(ValueError, match="cannot honor"):
+            stream_write_partitioned(sdf, spec, str(tmp_path / "d"),
+                                     str(tmp_path / "c"))
+
+    # (3) empty rules fail before stream start
+    with pytest.raises(ValueError, match="at least one rule"):
+        run_streaming_expectations(spark, src, [],
+                                   str(tmp_path / "ck"))
+
+    # (2) NULL event-time rows excluded from the TTL audit: one staged
+    # file whose only row for key 9 has NULL ts previously died on
+    # int(NaN); the other key's generation still drains
+    # batch 0: key 1 (Jan) + key 9 (NULL ts, excluded); batch 1
+    # advances the watermark past key 1's TTL via an UNRELATED key;
+    # batch 2 is the far-future sentinel whose entering watermark
+    # fires key 1's (and then 500's) eviction
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0), (9, None, 2.0),
+         (500, "2024-03-01 00:00:00", 0.0),
+         (600, "2024-06-01 00:00:00", 0.0)],
+        "user_id long, ts string, value double").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    src2 = str(tmp_path / "ttl_src")
+    stage_ordered_files(
+        [ev.where("user_id in (1, 9)"),
+         ev.where("user_id = 500"),
+         ev.where("user_id = 600")], src2)
+    from dynamic_partitioner_spark.streaming.stateful import (
+        run_ttl_eviction_audit)
+    spark.catalog.dropTempView("ttl_r14_sink") \
+        if "ttl_r14_sink" in [t.name for t in
+                              spark.catalog.listTables()] else None
+    out = run_ttl_eviction_audit(spark, src2, "ttl_r14_sink",
+                                 ["user_id"], ttl="1 day",
+                                 watermark_delay="1 hour",
+                                 state_partitions=2)
+    got = {r.user_id for r in out.collect()}
+    assert 1 in got and 9 not in got       # NULL-ts key never tracked
+
+    # (4) string-keyed stateful stats snapshot
+    src3 = str(tmp_path / "ss_src")
+    (spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 3.0)],
+                           "country string, value double")
+     .write.parquet(src3))
+    snap = run_stateful_user_stats(spark, src3, "ss_r14_sink",
+                                   key_col="country",
+                                   state_partitions=2)
+    got = {r.country: (r.n_events, r.total_value)
+           for r in snap.collect()}
+    assert got == {"a": (2, 3.0), "b": (1, 3.0)}

@@ -62,7 +62,10 @@ def _run_partitioned(spark, tag: str) -> int:
     os.makedirs(src)
     os.symlink(f"{SF_DIR}/lineitem.parquet", f"{src}/lineitem.parquet")
     sdf = stream_from_files(spark, src)
-    spec = SinkSpec(name=f"pw_{tag}", field_names=["l_returnflag"])
+    # CREATE mode is rejected by the streaming sink (r14 review) —
+    # micro-batches append by construction
+    spec = SinkSpec(name=f"pw_{tag}", field_names=["l_returnflag"],
+                    append_to_partition="CREATE_OR_APPEND")
     q = stream_write_partitioned(sdf, spec, dest, ckpt)
     run_stream_to_completion(q)
     return read_partitioned(spark, dest).count()
