@@ -114,3 +114,20 @@ def test_merge_section_rows_reports_unparseable_rows(capsys):
     out = S.merge_section_rows(md, "## sf10 spot-run", {})
     assert list(out) == ["good"]
     assert "broken" in capsys.readouterr().err
+
+
+def test_sf1_writer_merges_like_sf10(tmp_path, monkeypatch):
+    """r14: a one-key --sf1 run wiped every other sf1 row — the merge
+    the sf10 writer gained in r12 had never reached the sf1 path.
+    This pins the sf1 source calling merge_section_rows (structural:
+    the writer's table must pass through the same merge the sf10 one
+    does)."""
+    import inspect
+
+    import tools.scale_sweep as S
+
+    src = inspect.getsource(S.sf1_run) if hasattr(S, "sf1_run") else \
+        open(S.__file__).read()
+    # the sf1 section writer must merge before replacing
+    seg = src[src.index("## sf1 spot-run — the data-bound"):]
+    assert "merge_section_rows" in seg[:4000]

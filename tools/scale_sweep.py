@@ -404,12 +404,18 @@ def sf1_run() -> None:
         "| key | sf0.1 | sf1 | rows@1 | slope 0.1→1 |",
         "|---|---|---|---|---|",
     ]
-    for key, t01, t1, n1, slope in sorted(rows, key=lambda r: -r[4]):
-        lines.append(f"| {key} | {t01:.2f}s | {t1:.2f}s | {n1} "
-                     f"| {slope:+.2f} |")
-    lines.append("")
+    table = {key: (f"| {key} | {t01:.2f}s | {t1:.2f}s | {n1} "
+                   f"| {slope:+.2f} |", slope)
+             for key, t01, t1, n1, slope in rows}
+    # carry over previously-measured rows exactly like the sf10 path
+    # (r12 ADVICE #3's loss class — the sf1 writer had been left
+    # unmerged and a one-key run wiped every other sf1 row, r14)
     with open("/root/repo/SCALING.md") as f:
         md = f.read()
+    merge_section_rows(md, "## sf1 spot-run", table)
+    for ln, _slope in sorted(table.values(), key=lambda v: -v[1]):
+        lines.append(ln)
+    lines.append("")
     md = _replace_section(md, "## sf1 spot-run", "\n".join(lines))
     with open("/root/repo/SCALING.md", "w") as f:
         f.write(md)
