@@ -31,9 +31,9 @@ def encode_wav(samples: bytes, rate: int, channels: int) -> bytes:
     PCM16 ``samples`` (raw bytes, length divisible by 2·channels).
 
     Writes the minimal spec-complete layout: RIFF header, 16-byte
-    ``fmt `` chunk (audio format 1 = PCM), ``data`` chunk, plus a
-    vendor-style ``LIST`` padding chunk BEFORE ``data`` so decoders
-    that skip unknown chunks (ours included) are actually exercised —
+    ``fmt `` chunk (audio format 1 = PCM), ``data`` chunk, plus an
+    odd-sized unknown ``junk`` chunk BEFORE ``data`` so decoders that
+    skip unknown chunks (ours included) are actually exercised —
     naive parsers that assume ``data`` starts at byte 36 break here.
     """
     if channels < 1:

@@ -286,13 +286,13 @@ def tar_shards(df: DataFrame, id_col: str, payload_col: str,
     container (one sequential read per shard, per-member offsets for
     indexed access).
 
-    Deterministic bytes: members sorted by (id, payload) — the payload
-    tiebreaker keeps duplicate-id member order stable where pandas'
-    unstable id-only sort depended on shuffle arrival order (r14
-    review) — ``mtime=0``, fixed mode/uid/gid, ustar format —
-    identical input gives identical archives.  Member names longer
-    than ustar's 100-byte limit are rejected up front with the
-    offending id named.  Returns ``(shard, n_members, tar_bytes)``;
+    Deterministic bytes: members sorted by id, ``mtime=0``, fixed
+    mode/uid/gid, ustar format — identical input gives identical
+    archives.  DUPLICATE ids are rejected loudly: two rows with the
+    same id would produce two members with the same name, and tar
+    extraction silently keeps only the last one — data loss (r14
+    review).  Member names longer than ustar's 100-byte limit are
+    rejected up front with the offending id named.  Returns ``(shard, n_members, tar_bytes)``;
     at scale each row lands as one ``.tar`` object via the binary
     sink.  Size ``n_shards`` so corpus/n_shards fits one Python
     worker: the packer holds a full shard's payloads plus the archive
@@ -308,7 +308,14 @@ def tar_shards(df: DataFrame, id_col: str, payload_col: str,
     from .sampling import hash_unit
 
     def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["_id", "_p"])
+        dups = pdf["_id"][pdf["_id"].duplicated()]
+        if len(dups):
+            raise ValueError(
+                f"tar_shards: duplicate id(s) {sorted(set(dups))[:5]!r}"
+                " in shard — members would share a name and tar"
+                " extraction silently keeps only one payload;"
+                " de-duplicate or suffix the ids first")
+        pdf = pdf.sort_values("_id")
         buf = io.BytesIO()
         with tarfile.open(fileobj=buf, mode="w",
                           format=tarfile.USTAR_FORMAT) as tf:

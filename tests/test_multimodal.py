@@ -285,17 +285,16 @@ def test_mm_r14_hardening(spark):
     groups = MM.binary_dup_groups(nn).collect()
     assert len(groups) == 1 and groups[0]["rep_id"] == 3
 
-    # (3) duplicate-id members pack deterministically
+    # (3) duplicate ids are rejected loudly: two members would share a
+    # name and tar extraction silently keeps only one payload (the
+    # whole-diff review upgraded the original sort-tiebreaker fix —
+    # deterministic bytes still silently lost a payload)
     rows = [(7, bytearray(b"bbb")), (7, bytearray(b"aaa")),
             (8, bytearray(b"c"))]
-    t1 = MM.tar_shards(spark.createDataFrame(
-        rows, "doc_id long, payload binary"), "doc_id", "payload",
-        n_shards=1)
-    t2 = MM.tar_shards(spark.createDataFrame(
-        rows[::-1], "doc_id long, payload binary").repartition(3),
-        "doc_id", "payload", n_shards=1)
-    assert bytes(t1.collect()[0]["tar_bytes"]) == \
-        bytes(t2.collect()[0]["tar_bytes"])
+    with pytest.raises(Exception, match="duplicate id"):
+        MM.tar_shards(spark.createDataFrame(
+            rows, "doc_id long, payload binary"), "doc_id", "payload",
+            n_shards=1).collect()
 
     # (4a) member name over ustar's 100-byte limit raises with the id
     long_id = spark.createDataFrame(
