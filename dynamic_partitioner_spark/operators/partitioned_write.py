@@ -813,7 +813,8 @@ def clustering_depth(stats: DataFrame, part_cols: list[str],
 
 def plan_compaction(files: DataFrame, part_cols: list[str],
                     size_col: str, target: int,
-                    tiebreak_cols: list[str] | None = None) -> DataFrame:
+                    tiebreak_cols: list[str] | None = None,
+                    carry_cols: list[str] | None = None) -> DataFrame:
     """Small-file compaction PLANNER: group each partition's files
     into rolling bins of ~``target`` size units, emitting which files
     merge into which output bin — the step a 100 TB lake runs nightly
@@ -830,7 +831,13 @@ def plan_compaction(files: DataFrame, part_cols: list[str],
     million files), so the plan costs seconds at any lake size.
 
     Returns per-file rows: ``(*part_cols, file_seq, <size_col>, bin,
-    bin_size, bin_files)``.
+    bin_size, bin_files, *carry_cols)``.  ``carry_cols`` are identity
+    columns (file paths, batch dirs) passed through untouched so an
+    EXECUTOR of the plan (``versioned.compact_snapshot``) can map each
+    planned row back to a physical file without re-deriving the
+    window ordering — the single-authority seam for the bin
+    arithmetic (the r10 lesson: a second hand-rolled copy of the FFD
+    silently diverges on the next fix).
     """
     if target <= 0:
         raise ValueError("target must be positive")
@@ -851,4 +858,5 @@ def plan_compaction(files: DataFrame, part_cols: list[str],
             .withColumn("bin_size", F.sum(size_col).over(wb))
             .withColumn("bin_files", F.count(F.lit(1)).over(wb))
             .select(*part_cols, "file_seq", size_col, "bin",
-                    "bin_size", "bin_files"))
+                    "bin_size", "bin_files",
+                    *(carry_cols or [])))

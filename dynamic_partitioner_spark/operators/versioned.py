@@ -319,6 +319,114 @@ def read_pruned(spark: SparkSession, path: str,
     return df
 
 
+def compact_snapshot(spark: SparkSession, path: str, target_rows: int,
+                     max_concurrent_bins: int = 4
+                     ) -> tuple[int, DataFrame]:
+    """Small-file compaction EXECUTION (the Delta ``OPTIMIZE`` shape:
+    Delta Lake docs §Optimize, Iceberg ``rewrite_data_files``): bin
+    the LATEST snapshot's data files first-fit-decreasing by row
+    count into ~``target_rows`` bins (:func:`plan_compaction` — the
+    shared bin arithmetic, never a second copy), rewrite each bin as
+    exactly ONE parquet file, and commit the rewrite as a new
+    ``overwrite`` version.  Same rows, fewer files; every earlier
+    version stays readable until vacuumed — compaction is a LAYOUT
+    change, so time travel across it is exactly what the versioned
+    log exists for.
+
+    Returns ``(new_version, plan)`` where ``plan`` is the executed
+    per-file relation ``(batch_dir, file_name, n_rows, file_seq, bin,
+    bin_size, bin_files)``; output file ``bin-%05d.parquet`` in the
+    new commit carries exactly its bin's ``bin_size`` rows.
+
+    Zero-row data files are DROPPED, not rewritten (they carry no
+    rows; eliminating them is the point of compaction) — they appear
+    in neither the plan nor the new commit.
+
+    Crash safety mirrors :func:`versioned_write`: bin files are
+    staged inside the NEW batch directory (invisible — no commit
+    references it) via per-bin ``_tmp-`` subdirs (underscore-prefixed,
+    so even a direct read of the dir ignores them), and the log entry
+    lands last via write-then-rename; a crash at any point leaves an
+    orphan batch dir that :func:`find_orphans` reports and a retry
+    reclaims with a fresh ``rmtree``.
+
+    Scale posture: the plan is derived from the FILES-sized manifest
+    (the only collect — what every Delta/Iceberg OPTIMIZE planner
+    does); each bin rewrite is an independent ~target-sized job
+    reading only its own files, submitted ``max_concurrent_bins`` at
+    a time (Delta's OPTIMIZE executes exactly this way — parallel
+    independent bin rewrites), so the rewrite I/O is proportional to
+    the data compacted and never gated on a single serial pass."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        plan_compaction)
+    if target_rows <= 0:
+        raise ValueError("target_rows must be positive")
+    _check_local(path)
+    commits = _commits(path)
+    if not commits:
+        raise FileNotFoundError(f"no commits under {path}")
+    source_version = commits[-1]["version"]
+    man = snapshot_manifest(spark, path, source_version)
+    plan = plan_compaction(
+        man.where(F.col("n_rows") > 0).withColumn("_tbl", F.lit("t")),
+        ["_tbl"], "n_rows", target_rows,
+        tiebreak_cols=["batch_dir", "file_name"],
+        carry_cols=["batch_dir", "file_name"])
+    rows = plan.collect()  # files-sized, the planner's only collect
+    if not rows:
+        raise ValueError(
+            f"nothing to compact under {path}: snapshot "
+            f"{source_version} has no non-empty data files")
+    version = source_version + 1
+    batch = f"batch-{version:08d}"
+    batch_full = os.path.join(path, batch)
+    shutil.rmtree(batch_full, ignore_errors=True)  # reclaim a crashed try
+    os.makedirs(batch_full)
+    bins: dict[int, list[str]] = {}
+    for r in rows:
+        bins.setdefault(r["bin"], []).append(
+            os.path.join(path, r["batch_dir"], r["file_name"]))
+
+    def _rewrite(b: int) -> None:
+        tmp = os.path.join(batch_full, f"_tmp-{b:05d}")
+        # one task reads the whole ~target-sized bin and writes its
+        # single output file — the bin IS the parallelism unit
+        spark.read.parquet(*bins[b]).coalesce(1) \
+            .write.mode("overwrite").parquet(tmp)
+        parts = [n for n in os.listdir(tmp) if n.endswith(".parquet")]
+        if len(parts) != 1:
+            raise RuntimeError(
+                f"bin {b} rewrite produced {len(parts)} part files "
+                f"(expected 1) under {tmp}")
+        os.replace(os.path.join(tmp, parts[0]),
+                   os.path.join(batch_full, f"bin-{b:05d}.parquet"))
+        shutil.rmtree(tmp)
+
+    with ThreadPoolExecutor(
+            max_workers=min(max_concurrent_bins, len(bins))) as pool:
+        # list() materializes to re-raise the first worker error
+        list(pool.map(_rewrite, sorted(bins)))
+    os.makedirs(_log_dir(path), exist_ok=True)
+    commit = {"version": version, "mode": "overwrite", "dirs": [batch],
+              "compacted_from": source_version}
+    final = os.path.join(_log_dir(path), f"{version:08d}.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(commit, fh)
+    os.replace(tmp, final)
+    # materialize from the already-collected rows: the lazy plan would
+    # re-derive the whole manifest stats pass on every downstream use
+    out_cols = ["batch_dir", "file_name", "n_rows", "file_seq", "bin",
+                "bin_size", "bin_files"]
+    executed = spark.createDataFrame(
+        [tuple(r[c] for c in out_cols) for r in rows],
+        "batch_dir string, file_name string, n_rows long, "
+        "file_seq int, bin long, bin_size long, bin_files long")
+    return version, executed
+
+
 def read_changes(spark: SparkSession, path: str, since_version: int,
                  to_version: int | None = None) -> DataFrame:
     """Incremental change feed (the Delta CDF / Iceberg incremental-

@@ -555,3 +555,83 @@ def test_commits_order_numerically_and_skip_non_digit_names(tmp_path):
     (ld / "notes.json").write_text("{}")       # debris: ignored
     got = [c["version"] for c in _commits(str(tmp_path / "t"))]
     assert got == [1, 99999999, 100000000]
+
+
+def test_compact_snapshot_fewer_files_same_rows(spark, tmp_path):
+    """The Delta OPTIMIZE shape (r15 roadmap tranche): post-compaction
+    file count equals the plan's bin count, each output file carries
+    exactly its bin's rows, total rows are conserved, and the
+    PRE-compaction snapshot still reads unchanged (time travel across
+    a layout change is the point of the versioned log)."""
+    import os as _os
+
+    from dynamic_partitioner_spark.operators.versioned import (
+        compact_snapshot, snapshot_manifest)
+    p = str(tmp_path / "t")
+    # five single-file appends with known sizes 40/30/20/10/5
+    for i, n in enumerate((40, 30, 20, 10, 5)):
+        versioned_write(
+            spark.range(100 * i, 100 * i + n)
+            .selectExpr("id", "id * 2 AS v").coalesce(1), p)
+    pre = read_version(spark, p, 5)
+    pre_rows = sorted((r.id, r.v) for r in pre.collect())
+    v, plan = compact_snapshot(spark, p, target_rows=50)
+    assert v == 6
+    bins = {r.bin: (r.bin_size, r.bin_files) for r in plan.collect()}
+    # FFD desc: 40,30 -> cum 0,40 bins 0,0; 20 cum 70 -> bin 1;
+    # 10 cum 90 -> bin 1; 5 cum 100 -> bin 2
+    assert bins == {0: (70, 2), 1: (30, 2), 2: (5, 1)}
+    batch = _os.path.join(p, "batch-00000006")
+    files = sorted(n for n in _os.listdir(batch)
+                   if n.endswith(".parquet"))
+    assert files == ["bin-00000.parquet", "bin-00001.parquet",
+                     "bin-00002.parquet"]
+    man = {r.file_name: r.n_rows
+           for r in snapshot_manifest(spark, p, v).collect()}
+    assert man == {"bin-00000.parquet": 70, "bin-00001.parquet": 30,
+                   "bin-00002.parquet": 5}
+    # rows conserved, and the pre-compaction snapshot is untouched
+    post_rows = sorted((r.id, r.v)
+                       for r in read_version(spark, p, v).collect())
+    assert post_rows == pre_rows
+    assert sorted((r.id, r.v)
+                  for r in read_version(spark, p, 5).collect()) \
+        == pre_rows
+
+
+def test_compact_snapshot_drops_zero_row_files_and_validates(
+        spark, tmp_path):
+    """Zero-row data files are eliminated (not rewritten); bad target
+    and empty tables refuse loudly; a crashed prior attempt's batch
+    dir is reclaimed."""
+    import os as _os
+
+    from dynamic_partitioner_spark.operators.versioned import (
+        compact_snapshot)
+    p = str(tmp_path / "t")
+    with pytest.raises(FileNotFoundError):
+        compact_snapshot(spark, p, 10)
+    versioned_write(spark.range(0, 7).coalesce(1), p)
+    versioned_write(spark.range(0, 7).where("id < 0").coalesce(2), p)
+    with pytest.raises(ValueError, match="positive"):
+        compact_snapshot(spark, p, 0)
+    # crashed-attempt debris under the next batch dir is reclaimed
+    debris = _os.path.join(p, "batch-00000003")
+    _os.makedirs(debris)
+    open(_os.path.join(debris, "stale.parquet"), "w").write("junk")
+    v, plan = compact_snapshot(spark, p, target_rows=100)
+    assert v == 3
+    got = plan.collect()
+    assert len(got) == 1 and got[0].n_rows == 7   # zero-row files gone
+    assert sorted(_os.listdir(debris)) == ["bin-00000.parquet"]
+    assert {r.id for r in read_version(spark, p, v).collect()} \
+        == set(range(7))
+
+
+def test_compact_snapshot_all_empty_snapshot_refuses(spark, tmp_path):
+    from dynamic_partitioner_spark.operators.versioned import (
+        compact_snapshot)
+    p = str(tmp_path / "t")
+    versioned_write(spark.range(5).where("id < 0").coalesce(1), p)
+    with pytest.raises(ValueError, match="no non-empty data files"):
+        compact_snapshot(spark, p, 10)
