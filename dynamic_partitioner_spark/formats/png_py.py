@@ -30,6 +30,14 @@ _SIGNATURE = b"\x89PNG\r\n\x1a\x0a"
 #: color type -> samples per pixel (bit depth 8 => bytes per pixel)
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
+#: default cap on the DECLARED decoded size (row bytes + filter bytes)
+#: — IHDR dims are attacker-controlled 32-bit values, so the cap fires
+#: BEFORE any inflate; 256 MiB covers ~8192x8192 RGB.  Callers with
+#: deliberately large assets raise it per call via
+#: ``decode_png(..., max_decoded_bytes=...)`` (r15 ADVICE: the limit
+#: must be visible and overridable, not a buried magic number).
+MAX_DECODED_BYTES = 256 * 1024 * 1024
+
 
 class PngFormatError(ValueError):
     """Payload is not a PNG this codec can decode (bad signature, bad
@@ -44,7 +52,10 @@ class PngImage:
     color_type: int
     channels: int
     pixels: bytes  # row-major, ``width*channels`` bytes per row
-    text: dict | None = None  # tEXt chunks, keyword -> value (latin-1)
+    #: tEXt chunks, keyword -> value (latin-1); spec-valid repeated
+    #: keywords are suffix-indexed (``kw``, ``kw#2``, …) in chunk
+    #: order, so ``len(text)`` is the exact tEXt chunk count
+    text: dict | None = None
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -73,11 +84,23 @@ def _chunks(data: bytes):
         pos += 12 + length
 
 
-def decode_png(payload: bytes) -> PngImage:
+def decode_png(payload: bytes,
+               max_decoded_bytes: int = MAX_DECODED_BYTES) -> PngImage:
     """Decode a PNG byte string into raw row-major pixel bytes.
 
     Raises :class:`PngFormatError` on anything outside the supported
     profile — a decode seam must fail loudly, never guess.
+
+    ``max_decoded_bytes`` caps the DECLARED decoded size (filter byte
+    + row bytes, per IHDR) before any inflate — the decompression-bomb
+    guard; default :data:`MAX_DECODED_BYTES` (256 MiB).  Repeated tEXt
+    keywords (spec-valid: ISO 15948 §11.3.3.2 permits the same keyword
+    in multiple tEXt chunks) accumulate under deterministic
+    suffix-indexed keys — the first occurrence keeps the bare keyword,
+    later ones become ``kw#2``, ``kw#3``, … in chunk order (bumping
+    past any literal collision) — so ``len(img.text)`` counts tEXt
+    chunks exactly and no spec-valid file is rejected (r15 ADVICE:
+    the r14 duplicate-rejection was stricter than the spec).
     """
     if payload is None or not payload.startswith(_SIGNATURE):
         raise PngFormatError("missing PNG signature")
@@ -119,13 +142,16 @@ def decode_png(payload: bytes) -> PngImage:
             if sep < 1:
                 raise PngFormatError("malformed tEXt chunk")
             kw = body[:sep].decode("latin-1")
-            if kw in text:
-                # the spec permits repeated keywords; this profile's
-                # dict would silently drop all but the last value and
-                # undercount n_text — reject rather than guess (r14
-                # review; the loud-decoder contract)
-                raise PngFormatError(f"duplicate tEXt keyword {kw!r}")
-            text[kw] = body[sep + 1:].decode("latin-1")
+            # repeated keywords are spec-valid (ISO 15948 §11.3.3.2);
+            # suffix-index them in chunk order so every chunk keeps a
+            # distinct key and len(text) counts chunks exactly —
+            # deterministic, and bumps past a literal "kw#2" keyword
+            # already present in the file
+            key, i = kw, 1
+            while key in text:
+                i += 1
+                key = f"{kw}#{i}"
+            text[key] = body[sep + 1:].decode("latin-1")
         elif ctype == b"IEND":
             saw_end = True
             break
@@ -133,12 +159,13 @@ def decode_png(payload: bytes) -> PngImage:
         raise PngFormatError("missing IHDR or IEND")
     rb = width * channels  # row bytes, excluding the filter byte
     expected = (rb + 1) * height
-    if expected > 256 * 1024 * 1024:
+    if expected > max_decoded_bytes:
         # sanity-cap the DECLARED geometry before inflating: IHDR
         # dims are attacker-controlled 32-bit values (r14 review)
         raise PngFormatError(
             f"declared image size {expected} bytes exceeds the "
-            "256 MiB decode profile")
+            f"{max_decoded_bytes}-byte decode cap (raise via "
+            "decode_png(..., max_decoded_bytes=...))")
     try:
         # bounded inflate: a small crafted payload with a
         # high-ratio stream must not allocate gigabytes before the

@@ -189,12 +189,15 @@ def test_dhash_codec_matches_pixel_rule():
 
 
 def test_png_r14_hardening():
-    """r14 review pins: (1) duplicate IHDR rejected (a second one
-    silently rewrote the geometry); (2) duplicate tEXt keywords
-    rejected (the dict kept only the last value and undercounted
-    n_text); (3) a small payload whose IHDR declares a huge image is
-    rejected BEFORE inflating (decompression-bomb guard), and the
-    inflate itself is bounded to the declared size."""
+    """r14 review pins (r15-adjusted): (1) duplicate IHDR rejected (a
+    second one silently rewrote the geometry); (2) repeated tEXt
+    keywords — spec-valid per ISO 15948 §11.3.3.2 — ACCUMULATE under
+    deterministic suffix-indexed keys instead of rejecting (r15
+    ADVICE; the r14 rejection was stricter than the spec), with
+    literal-collision bumping; (3) a small payload whose IHDR declares
+    a huge image is rejected BEFORE inflating (decompression-bomb
+    guard, cap overridable per call), and the inflate itself is
+    bounded to the declared size."""
     import struct as _struct
     import zlib as _zlib
 
@@ -213,21 +216,32 @@ def test_png_r14_hardening():
     with pytest.raises(PngFormatError, match="duplicate IHDR"):
         decode_png(blob)
 
-    # (2) duplicate tEXt keyword
+    # (2) repeated tEXt keywords accumulate in chunk order; a literal
+    # "Comment#2" keyword already present bumps the repeat past it
     blob = (_SIGNATURE + ihdr(1, 1)
             + _chunk(b"tEXt", b"Comment\x00a")
+            + _chunk(b"tEXt", b"Comment#2\x00literal")
             + _chunk(b"tEXt", b"Comment\x00b")
+            + _chunk(b"tEXt", b"Comment\x00c")
             + _chunk(b"IDAT", _zlib.compress(raw))
             + _chunk(b"IEND", b""))
-    with pytest.raises(PngFormatError, match="duplicate tEXt"):
-        decode_png(blob)
+    img = decode_png(blob)
+    assert img.text == {"Comment": "a", "Comment#2": "literal",
+                        "Comment#3": "b", "Comment#4": "c"}
+    assert len(img.text) == 4             # n_text == tEXt chunk count
 
-    # (3) declared-size cap fires before any inflate
+    # (3) declared-size cap fires before any inflate, and is a per-call
+    # parameter (default MAX_DECODED_BYTES)
     bomb = (_SIGNATURE + ihdr(60000, 60000)
             + _chunk(b"IDAT", _zlib.compress(b"\x00" * 64))
             + _chunk(b"IEND", b""))
-    with pytest.raises(PngFormatError, match="256 MiB"):
+    with pytest.raises(PngFormatError, match="decode cap"):
         decode_png(bomb)
+    with pytest.raises(PngFormatError, match="decode cap"):
+        decode_png(blob, max_decoded_bytes=1)   # valid file, tiny cap
+    from dynamic_partitioner_spark.formats.png_py import (
+        MAX_DECODED_BYTES)
+    assert MAX_DECODED_BYTES == 256 * 1024 * 1024
 
     # bounded inflate: stream longer than declared rejected, not
     # silently truncated

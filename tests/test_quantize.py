@@ -356,3 +356,24 @@ def test_label_centroid_outliers_excludes_null_vectors(spark):
                                    bottom_k=2).collect()}
     assert 3 not in got          # NULL vector never ranks
     assert 2 in got              # the genuine outlier does
+
+
+def test_quantize_drops_null_and_empty_vectors_silently(spark):
+    """r15 ADVICE pin: quantize_embeddings' loud NaN guard relies on
+    Spark's ExtractGenerator placing the assert_true projection ABOVE
+    the Generate, so NULL/empty vectors (whose guard condition is
+    NULL) never evaluate the assert — they simply produce no element
+    rows (the posexplode contract the docstring promises).  If a
+    future Spark plan-shape change starts evaluating the assert for
+    those rows, this fails loudly in CI instead of in production."""
+    from dynamic_partitioner_spark.operators.quantize import (
+        quantize_embeddings)
+
+    df = spark.createDataFrame(
+        [(0, [3.0, -4.0]), (1, None), (2, [])],
+        "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in
+           quantize_embeddings(df, "vec_id", "embedding").collect()}
+    # NULL (id 1) and empty (id 2) vectors dropped, no assert trip
+    assert set(got) == {0}
+    assert got[0].qsum == 95 + -127            # floor(x/scale + .5)
