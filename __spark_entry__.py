@@ -5249,6 +5249,80 @@ def q_ops_pruned_read_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_ops_compact_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction EXECUTION (r15 roadmap tranche; the Delta
+    ``OPTIMIZE`` shape — Delta Lake docs §Optimize, Iceberg
+    ``rewrite_data_files``; closes the plan → rewrite loop that
+    ``ops_compaction_plan`` left at the plan): six single-file append
+    commits over ``o_orderkey % 6`` slices of orders, then
+    ``versioned.compact_snapshot`` executes the first-fit-decreasing
+    bins (target = total rows DIV 3 + 1) as ONE overwrite commit —
+    same rows, strictly fewer files, and the PRE-compaction snapshot
+    still reads unchanged (time travel across a layout change is what
+    the versioned log exists for).
+
+    HASHED: the EXECUTED plan relation (slice_id, file_seq, n_rows,
+    bin, bin_size, bin_files) — pure data on both sides: each staged
+    commit is exactly one file (coalesce(1)) whose row count IS its
+    slice count, so the oracle replays the same FFD arithmetic from
+    ``count(*) GROUP BY o_orderkey % 6`` (the ops_compaction_plan
+    oracle shape; tie-break parity: ascending batch_dir == ascending
+    slice_id by construction).
+
+    LOUD (physical facts the oracle cannot see, via
+    ``_certify_booleans``): post-compaction file count == the plan's
+    bin count, each ``bin-%05d.parquet`` carries exactly its bin's
+    ``bin_size`` rows, total rows conserved, the global o_orderkey
+    envelope is preserved, and ``read_version`` of the pre-compaction
+    snapshot returns the staged total (the rewrite touched no old
+    batch dir).
+
+    100 TB posture: the planner collects only the FILES-sized
+    manifest; each bin rewrite is an independent ~target-sized job
+    reading only its own files (submitted concurrently — Delta's
+    OPTIMIZE execution model), so rewrite I/O scales with the data
+    compacted, never with table history."""
+    from dynamic_partitioner_spark.operators.versioned import (
+        compact_snapshot, read_version, snapshot_manifest,
+        versioned_write)
+    apply_engine_confs(spark)
+    orders = _table(spark, sf_dir, "orders")
+    slim = orders.select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 6).cast("long").alias("slice_id"))
+    out = _out("ops_compact_execute")
+    for s in range(6):
+        versioned_write(slim.where(F.col("slice_id") == s).coalesce(1),
+                        out)
+    total = slim.count()
+    new_v, plan = compact_snapshot(spark, out, total // 3 + 1)
+    pre_cnt = read_version(spark, out, 6).count()
+    post = snapshot_manifest(spark, out, new_v,
+                             stat_cols=("o_orderkey",)).collect()
+    bins_plan = {r["bin"]: r["bin_size"] for r in plan.collect()}
+    post_by_bin = {int(r["file_name"][4:9]): r["n_rows"] for r in post
+                   if r["file_name"].startswith("bin-")}
+    lo, hi = slim.agg(F.min("o_orderkey"), F.max("o_orderkey")) \
+        .collect()[0]
+    audit = spark.createDataFrame(
+        [("compact",
+          len(post) == len(bins_plan),
+          post_by_bin == bins_plan,
+          sum(r["n_rows"] for r in post) == total,
+          min(r["min_o_orderkey"] for r in post) == lo
+          and max(r["max_o_orderkey"] for r in post) == hi,
+          pre_cnt == total)],
+        "pk string, files_eq_bins boolean, rows_eq_bin_size boolean, "
+        "total_ok boolean, bounds_ok boolean, pre_snapshot_ok boolean")
+    _certify_booleans("ops_compact_execute", audit,
+                      ["files_eq_bins", "rows_eq_bin_size", "total_ok",
+                       "bounds_ok", "pre_snapshot_ok"])
+    return plan.select(
+        (F.substring("batch_dir", 7, 8).cast("long") - 1)
+        .alias("slice_id"),
+        "file_seq", "n_rows", "bin", "bin_size", "bin_files")
+
+
 def q_source_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-versioned table: three commits (append, append,
     overwrite), then per-priority counts read AS OF each version —
@@ -6071,6 +6145,44 @@ def entry(spark: SparkSession) -> DataFrame:
 #          (alphabetical within the round: 1 + 1 + 25 + 23 = 50).
 # Positions 51+ carry the round-9 remainder (20 keys — they reach the
 # budget at r15 and lead the r15 fold), then the r10 cohort rotates in.
+_PRIORITY_R15 = [
+    # --- NEW this round (never driver-green until certified) ---
+    "ops_compact_execute",
+    # --- round-9 evidence (at budget; the r14 gate names all 22 —
+    # this cohort includes ALL FIVE core reference-sink keys) ---
+    "events_power", "events_range_join", "mm_dhash", "mm_mime_sniff",
+    "mm_resize", "mm_wav_stats", "nonnull_validation",
+    "ops_incremental_scan", "overwrite_dynamic", "partition_key_trim",
+    "partitioned_write_avro", "partitioned_write_multi",
+    "partitioned_write_orc", "partitioned_write_single",
+    "payload_projection", "query_basket_pairs", "query_gini",
+    "query_scd2", "similarity_bq_topk", "stage_tag",
+    "streaming_upsert", "text_phrases",
+    # --- round-10 evidence, oldest first (alphabetical within);
+    # fill to the 50-key fold ---
+    "events_attribution", "events_bursts", "events_conformance",
+    "events_cumulative_users", "events_delay_audit", "events_ohlc",
+    "events_seq_lm", "mm_dedup_binary", "mm_tar_shards",
+    "ops_file_audit", "ops_metadata_files", "ops_orphan_files",
+    "privacy_l_diversity", "privacy_pseudonymize",
+    "quality_expectations", "query_bloom_join", "query_bucketed_join",
+    "query_decimal_agg", "query_geo_join", "query_heavy_hitters",
+    "query_incremental_agg", "query_join_broadcast",
+    "query_lag_features", "query_percentiles", "query_pruned_agg",
+    "query_quantile_bins", "query_rollup",
+    # ---- fold: the driver checks the 50 above ----
+    # below the fold, r16 rotation order: the round-10 remainder
+    # (they reach the 5-round freshness budget at r16 — refresh them
+    # FIRST), then the round-11 cohort
+    "query_rollup_grains", "query_unpivot", "query_window_topk",
+    "query_windowed_distinct", "sample_hash", "sample_mixture",
+    "sample_split", "sample_temperature", "similarity_int8_topk",
+    "sorted_export_zorder", "source_csv_roundtrip",
+    "source_jsonl_roundtrip", "text_bpe_encode", "text_bpe_learn",
+    "text_bpe_pairs", "text_entropy", "text_winnow",
+]
+
+# Round 14's window, kept for the freshness gate's fold-history scan.
 _PRIORITY_R14 = [
     # --- NEW this round (never driver-green until certified) ---
     "ops_pruned_read_zorder",
@@ -6191,7 +6303,7 @@ _PRIORITY_R13 = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _all_queries()
-    out = {k: base[k] for k in _PRIORITY_R14}
+    out = {k: base[k] for k in _PRIORITY_R15}
     out.update((k, v) for k, v in base.items() if k not in out)
     return out
 
@@ -6364,6 +6476,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_file_audit": q_ops_file_audit,
         "ops_metadata_files": q_ops_metadata_files,
         "ops_compaction_plan": q_ops_compaction_plan,
+        "ops_compact_execute": q_ops_compact_execute,
         "ops_clustering_depth": q_ops_clustering_depth,
         "ops_retention_vacuum": q_ops_retention_vacuum,
         "ops_incremental_scan": q_ops_incremental_scan,
@@ -9912,6 +10025,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_rows) OVER (PARTITION BY pk, bin)
                         AS BIGINT) AS bin_size,
                    count(*) OVER (PARTITION BY pk, bin) AS bin_files
+            FROM c
+        """,
+        # compaction EXECUTION: each staged commit is exactly one
+        # file (coalesce(1)) whose row count IS its o_orderkey % 6
+        # slice count, so the executed plan replays as pure FFD
+        # arithmetic over GROUP BY counts (the ops_compaction_plan
+        # oracle shape; tie-break parity: ascending batch_dir ==
+        # ascending slice_id by construction).  The physical rewrite
+        # — file count == bins, per-file rows == bin_size, row
+        # conservation, preserved bounds, pre-compaction snapshot
+        # intact — certifies LOUDLY Spark-side (_certify_booleans).
+        "ops_compact_execute": """
+            WITH p AS (SELECT CAST(o_orderkey % 6 AS BIGINT)
+                                  AS slice_id,
+                              count(*) AS n_rows
+                       FROM orders GROUP BY 1),
+            t AS (SELECT CAST(sum(n_rows) AS BIGINT) // 3 + 1
+                             AS target
+                  FROM p),
+            s AS (SELECT slice_id, n_rows,
+                         row_number() OVER (ORDER BY n_rows DESC,
+                                            slice_id) AS file_seq
+                  FROM p),
+            c AS (SELECT slice_id, file_seq, n_rows,
+                         CAST(coalesce(sum(n_rows) OVER (
+                             ORDER BY file_seq
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS BIGINT)
+                             // (SELECT target FROM t) AS bin
+                  FROM s)
+            SELECT slice_id, file_seq,
+                   CAST(n_rows AS BIGINT) AS n_rows, bin,
+                   CAST(sum(n_rows) OVER (PARTITION BY bin)
+                        AS BIGINT) AS bin_size,
+                   count(*) OVER (PARTITION BY bin) AS bin_files
             FROM c
         """,
         # Z-order layout: the bit-interleave expression comes from the

@@ -128,6 +128,8 @@ AUDIT_KEYS = [
     "ops_pruned_read",
     # round-14 additions
     "ops_pruned_read_zorder",
+    # round-15 additions
+    "ops_compact_execute",
 ]
 
 #: where the adjudicated per-key plan-feature snapshot lives

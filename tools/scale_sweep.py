@@ -109,6 +109,8 @@ SWEEP_KEYS = [
     "ops_pruned_read",
     # round-14 additions
     "ops_pruned_read_zorder",
+    # round-15 additions
+    "ops_compact_execute",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
