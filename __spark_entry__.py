@@ -5290,11 +5290,18 @@ def q_ops_compact_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     slim = orders.select(
         "o_orderkey",
         (F.col("o_orderkey") % 6).cast("long").alias("slice_id"))
+    # six staged commits + the certification aggregate all read the
+    # same two-column projection — persist so orders scans once
+    # (r15 review: 8 source scans otherwise), released after the agg
+    slim = slim.persist()
     out = _out("ops_compact_execute")
     for s in range(6):
         versioned_write(slim.where(F.col("slice_id") == s).coalesce(1),
                         out)
-    total = slim.count()
+    total, lo, hi = slim.agg(
+        F.count(F.lit(1)), F.min("o_orderkey"),
+        F.max("o_orderkey")).collect()[0]
+    slim.unpersist()
     new_v, plan = compact_snapshot(spark, out, total // 3 + 1)
     pre_cnt = read_version(spark, out, 6).count()
     post = snapshot_manifest(spark, out, new_v,
@@ -5302,8 +5309,6 @@ def q_ops_compact_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins_plan = {r["bin"]: r["bin_size"] for r in plan.collect()}
     post_by_bin = {int(r["file_name"][4:9]): r["n_rows"] for r in post
                    if r["file_name"].startswith("bin-")}
-    lo, hi = slim.agg(F.min("o_orderkey"), F.max("o_orderkey")) \
-        .collect()[0]
     audit = spark.createDataFrame(
         [("compact",
           len(post) == len(bins_plan),

@@ -100,7 +100,11 @@ def decode_png(payload: bytes,
     later ones become ``kw#2``, ``kw#3``, … in chunk order (bumping
     past any literal collision) — so ``len(img.text)`` counts tEXt
     chunks exactly and no spec-valid file is rejected (r15 ADVICE:
-    the r14 duplicate-rejection was stricter than the spec).
+    the r14 duplicate-rejection was stricter than the spec).  Known
+    ambiguity of the flattening: a synthesized ``kw#2`` is
+    indistinguishable from a literal ``kw#2`` keyword in ``img.text``
+    (two such files flatten identically); a caller needing exact
+    chunk identity should walk ``_chunks`` directly.
     """
     if payload is None or not payload.startswith(_SIGNATURE):
         raise PngFormatError("missing PNG signature")

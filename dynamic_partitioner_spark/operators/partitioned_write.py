@@ -841,6 +841,15 @@ def plan_compaction(files: DataFrame, part_cols: list[str],
     """
     if target <= 0:
         raise ValueError("target must be positive")
+    clash = sorted(set(carry_cols or [])
+                   & {*part_cols, size_col, "file_seq", "bin",
+                      "bin_size", "bin_files"})
+    if clash:
+        # two same-named output columns bind ambiguously downstream
+        # (the snapshot_manifest reserved-column hazard, r13) — refuse
+        raise ValueError(
+            f"carry_cols {clash} collide with the plan's own output "
+            "columns; rename or drop them")
     tb = [F.asc(c) for c in (tiebreak_cols or [])]
     w = Window.partitionBy(*part_cols).orderBy(F.desc(size_col), *tb)
     cum_before = F.coalesce(

@@ -338,9 +338,22 @@ def compact_snapshot(spark: SparkSession, path: str, target_rows: int,
     bin_size, bin_files)``; output file ``bin-%05d.parquet`` in the
     new commit carries exactly its bin's ``bin_size`` rows.
 
+    NO-OP detection (the r15 review): when the plan cannot reduce the
+    file count — every bin holds exactly one file and the snapshot
+    has no zero-row files to drop — NO commit is written and the
+    CURRENT version is returned with the (unexecuted) plan, so a
+    scheduled nightly compaction on an already-compact table costs
+    one files-sized manifest pass instead of rewriting every byte
+    and doubling the on-disk footprint until vacuum.
+
     Zero-row data files are DROPPED, not rewritten (they carry no
     rows; eliminating them is the point of compaction) — they appear
     in neither the plan nor the new commit.
+
+    The commit records ``"compacted_from": <source_version>`` — the
+    Delta ``dataChange=false`` marker: :func:`read_changes` skips
+    compaction commits (a pure layout change adds no rows) instead
+    of refusing the range the way it must for a true overwrite.
 
     Crash safety mirrors :func:`versioned_write`: bin files are
     staged inside the NEW batch directory (invisible — no commit
@@ -363,22 +376,49 @@ def compact_snapshot(spark: SparkSession, path: str, target_rows: int,
         plan_compaction)
     if target_rows <= 0:
         raise ValueError("target_rows must be positive")
+    if max_concurrent_bins < 1:
+        # validate BEFORE any filesystem mutation: ThreadPoolExecutor's
+        # own error names no compact_snapshot parameter and would fire
+        # only after the batch dir was created (r15 review)
+        raise ValueError("max_concurrent_bins must be >= 1")
     _check_local(path)
     commits = _commits(path)
     if not commits:
         raise FileNotFoundError(f"no commits under {path}")
     source_version = commits[-1]["version"]
     man = snapshot_manifest(spark, path, source_version)
-    plan = plan_compaction(
-        man.where(F.col("n_rows") > 0).withColumn("_tbl", F.lit("t")),
-        ["_tbl"], "n_rows", target_rows,
-        tiebreak_cols=["batch_dir", "file_name"],
-        carry_cols=["batch_dir", "file_name"])
-    rows = plan.collect()  # files-sized, the planner's only collect
-    if not rows:
+    # one files-sized collect feeds BOTH the zero-row census and the
+    # planner (over a local relation — the stats pass runs once)
+    man_rows = man.collect()
+    nonzero = [(r["batch_dir"], r["file_name"], r["n_rows"])
+               for r in man_rows if r["n_rows"] > 0]
+    if not nonzero:
         raise ValueError(
             f"nothing to compact under {path}: snapshot "
             f"{source_version} has no non-empty data files")
+    plan = plan_compaction(
+        spark.createDataFrame(
+            nonzero,
+            "batch_dir string, file_name string, n_rows long")
+        .withColumn("_tbl", F.lit("t")),
+        ["_tbl"], "n_rows", target_rows,
+        tiebreak_cols=["batch_dir", "file_name"],
+        carry_cols=["batch_dir", "file_name"])
+    rows = plan.collect()  # files-sized
+    out_cols = ["batch_dir", "file_name", "n_rows", "file_seq", "bin",
+                "bin_size", "bin_files"]
+    # materialize from the collected rows: the lazy plan would re-run
+    # its window pass on every downstream use
+    executed = spark.createDataFrame(
+        [tuple(r[c] for c in out_cols) for r in rows],
+        "batch_dir string, file_name string, n_rows long, "
+        "file_seq int, bin long, bin_size long, bin_files long")
+    n_bins = len({r["bin"] for r in rows})
+    if n_bins == len(rows) and len(nonzero) == len(man_rows):
+        # every bin holds exactly one file and there is nothing to
+        # drop: rewriting would change no layout — return the current
+        # version untouched (the no-op guard; r15 review)
+        return source_version, executed
     version = source_version + 1
     batch = f"batch-{version:08d}"
     batch_full = os.path.join(path, batch)
@@ -416,14 +456,6 @@ def compact_snapshot(spark: SparkSession, path: str, target_rows: int,
     with open(tmp, "w") as fh:
         json.dump(commit, fh)
     os.replace(tmp, final)
-    # materialize from the already-collected rows: the lazy plan would
-    # re-derive the whole manifest stats pass on every downstream use
-    out_cols = ["batch_dir", "file_name", "n_rows", "file_seq", "bin",
-                "bin_size", "bin_files"]
-    executed = spark.createDataFrame(
-        [tuple(r[c] for c in out_cols) for r in rows],
-        "batch_dir string, file_name string, n_rows long, "
-        "file_seq int, bin long, bin_size long, bin_files long")
     return version, executed
 
 
@@ -437,12 +469,15 @@ def read_changes(spark: SparkSession, path: str, since_version: int,
     re-scanning the table.
 
     ``since_version=0`` means "from the beginning".  The range must
-    not cross an ``overwrite`` commit: an overwrite REMOVES rows, and
-    an append-only feed cannot represent removals — callers get a
+    not cross a TRUE ``overwrite`` commit: an overwrite REMOVES rows,
+    and an append-only feed cannot represent removals — callers get a
     loud error telling them to re-snapshot via :func:`read_version`
-    (exactly Delta's behavior for non-CDF tables).  Vacuumed commits
-    in the range also refuse loudly.  An empty range returns an empty
-    frame with the table schema.
+    (exactly Delta's behavior for non-CDF tables).  COMPACTION
+    commits (:func:`compact_snapshot`'s ``compacted_from`` marker)
+    are exempt: they rewrite layout, not rows, so the feed skips them
+    silently — Delta CDF's ``dataChange=false`` treatment of
+    OPTIMIZE.  Vacuumed commits in the range also refuse loudly.  An
+    empty range returns an empty frame with the table schema.
 
     Scale posture: the commits in range are read directly (one
     parquet scan per batch dir, unioned) — cost is proportional to
@@ -467,12 +502,20 @@ def read_changes(spark: SparkSession, path: str, since_version: int,
         raise ValueError(
             f"commit(s) {gone} in the change range were vacuumed "
             f"(retention floor is {floor})")
-    ow = [c["version"] for c in sel if c["mode"] == "overwrite"]
+    # compaction commits are pure LAYOUT changes — the row multiset is
+    # identical before and after (compact_snapshot certifies it), so
+    # the feed skips them exactly like Delta CDF treats OPTIMIZE
+    # (dataChange=false); only a TRUE overwrite removes rows and
+    # breaks an append-only feed (r15 review: before this, any
+    # nightly compaction hard-failed every incremental consumer)
+    ow = [c["version"] for c in sel if c["mode"] == "overwrite"
+          and "compacted_from" not in c]
     if ow:
         raise ValueError(
             f"change feed undefined across overwrite commit(s) {ow}: "
             "an append-only feed cannot represent removed rows — "
             "re-snapshot with read_version instead")
+    sel = [c for c in sel if "compacted_from" not in c]
     if not sel:
         # schema from the LATEST snapshot: to_version may be 0 or
         # below the vacuum floor, both unreadable as snapshots

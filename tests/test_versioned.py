@@ -635,3 +635,65 @@ def test_compact_snapshot_all_empty_snapshot_refuses(spark, tmp_path):
     versioned_write(spark.range(5).where("id < 0").coalesce(1), p)
     with pytest.raises(ValueError, match="no non-empty data files"):
         compact_snapshot(spark, p, 10)
+
+
+def test_compact_snapshot_noop_guard_and_validation(spark, tmp_path):
+    """r15 review pins: re-compacting an already-compact table writes
+    NO commit (every bin holds one file, nothing to drop — the
+    rewrite would double footprint for zero gain); bad
+    max_concurrent_bins refuses before any filesystem mutation;
+    plan_compaction rejects carry_cols colliding with its outputs."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        plan_compaction)
+    from dynamic_partitioner_spark.operators.versioned import (
+        compact_snapshot)
+    p = str(tmp_path / "t")
+    for n in (40, 30, 20):
+        versioned_write(spark.range(n).coalesce(1), p)
+    with _pytest.raises(ValueError, match="max_concurrent_bins"):
+        compact_snapshot(spark, p, 50, max_concurrent_bins=0)
+    assert not _os.path.isdir(_os.path.join(p, "batch-00000004"))
+    v, _ = compact_snapshot(spark, p, target_rows=50)
+    assert v == 4
+    # second run: plan merges nothing -> current version returned,
+    # no new commit, no new batch dir
+    v2, plan2 = compact_snapshot(spark, p, target_rows=50)
+    assert v2 == 4
+    assert not _os.path.isdir(_os.path.join(p, "batch-00000005"))
+    assert all(r.bin_files == 1 for r in plan2.collect())
+    files = spark.createDataFrame(
+        [("a", "f1", 10)], "pk string, bin string, n_rows long")
+    with _pytest.raises(ValueError, match="carry_cols"):
+        plan_compaction(files, ["pk"], "n_rows", 5, carry_cols=["bin"])
+
+
+def test_read_changes_skips_compaction_commits(spark, tmp_path):
+    """r15 review pin: compaction is a pure layout change (row
+    multiset identical), so the change feed SKIPS it — Delta CDF's
+    dataChange=false treatment of OPTIMIZE — instead of hard-failing
+    every incremental consumer after a nightly compaction.  A true
+    overwrite still refuses."""
+    from dynamic_partitioner_spark.operators.versioned import (
+        compact_snapshot, read_changes)
+    p = str(tmp_path / "t")
+    versioned_write(spark.range(0, 3).coalesce(1), p)       # v1
+    versioned_write(spark.range(10, 12).coalesce(1), p)     # v2
+    v, _ = compact_snapshot(spark, p, target_rows=100)      # v3 layout
+    assert v == 3
+    versioned_write(spark.range(20, 21).coalesce(1), p)     # v4
+    # feed across the compaction: appends only, nothing from v3
+    got = {(r.id, r._commit_version)
+           for r in read_changes(spark, p, 0).collect()}
+    assert got == {(0, 1), (1, 1), (2, 1), (10, 2), (11, 2), (20, 4)}
+    # consumer positioned before the compaction sees only the append
+    assert {(r.id, r._commit_version)
+            for r in read_changes(spark, p, 2).collect()} == {(20, 4)}
+    # a TRUE overwrite still breaks the feed loudly
+    versioned_write(spark.range(99, 100).coalesce(1), p,
+                    mode="overwrite")                        # v5
+    with pytest.raises(ValueError, match="overwrite"):
+        read_changes(spark, p, 0)
