@@ -10,8 +10,9 @@ Five families, all shuffle-aware:
                    Everything up to the band join is a narrow map; the
                    only shuffle is on (band_idx, band_hash), the same
                    shape Spark ML's MinHashLSH uses.
-* **simhash**    — 16-bit SimHash + hamming-distance pairing inside
-                   blocking groups (bit_count(xor) is JVM-side).
+* **simhash**    — 32-bit SimHash (functions/text.py SIMHASH_BITS) +
+                   hamming-distance pairing inside blocking groups
+                   (bit_count(xor) is JVM-side).
 * **ngram-jaccard** — exact pairwise Jaccard inside a blocking key;
                    quadratic per block, the *oracle-checkable* baseline
                    the sketches approximate.
@@ -37,10 +38,24 @@ from ..functions.text import simhash_batched
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Keep-lowest-id representative per duplicate group + group size.
     One hash-aggregate shuffle on the key; deterministic (unlike
-    ``dropDuplicates``, which keeps an arbitrary row)."""
-    return (df.groupBy(*key_cols)
+    ``dropDuplicates``, which keeps an arbitrary row).
+
+    Rows with ANY NULL key column pass through UNDEDUPED (their own
+    id, ``dup_count`` 1): a NULL key identifies nothing, and groupBy
+    treats NULLs as equal — a corpus of NULL-key rows would otherwise
+    collapse to ONE survivor (the incremental_dedup NULL-fingerprint
+    rule applied here too, r15 review).  Implemented as an extra
+    grouping column (the row's own id when any key is NULL, NULL
+    otherwise), so the plan stays ONE hash aggregate — no union, no
+    second scan."""
+    from functools import reduce as _reduce
+    some_null = _reduce(lambda x, y: x | y,
+                        [F.col(c).isNull() for c in key_cols])
+    return (df.groupBy(*key_cols,
+                       F.when(some_null, F.col(id_col)).alias("_solo"))
             .agg(F.min(id_col).alias(id_col),
-                 F.count(F.lit(1)).alias("dup_count")))
+                 F.count(F.lit(1)).alias("dup_count"))
+            .drop("_solo"))
 
 
 def distinct_rows(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -239,6 +254,20 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str, sig_col: str = "sig",
     bucket list; members of a dropped bucket still pair through their
     other bands.  Pass None to disable (exhaustive audits).
     """
+    # bands×rows_per_band must fit the signature: trailing bands would
+    # otherwise hash EMPTY slices shared by every doc — one degenerate
+    # bucket of the whole corpus (n²/2 pairs in uncapped mode).  The
+    # wrapper validated against its own k; the public entry point must
+    # too (r15 review).  Plain .first() (no sort): signatures are
+    # fixed-k by construction, so ANY row's length is THE length and
+    # the probe stops at the first non-empty partition
+    probe = (sig_df.where(F.col(sig_col).isNotNull())
+             .select(F.size(F.col(sig_col)).alias("_k")).first())
+    if probe is not None and bands * rows_per_band > probe["_k"]:
+        raise ValueError(
+            f"bands×rows_per_band = {bands * rows_per_band} exceeds "
+            f"the signature length {probe['_k']}: trailing bands "
+            "would hash empty slices shared by every doc")
     band_entries = F.array(*[
         F.struct(F.lit(j).alias("band_idx"),
                  F.xxhash64(F.slice(F.col(sig_col), j * rows_per_band + 1,
@@ -269,10 +298,19 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str, sig_col: str = "sig",
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard over two (distinct-element) arrays, in DOUBLE."""
+    """Exact Jaccard over two (distinct-element) arrays, in DOUBLE.
+
+    NULL on either side yields NULL (no similarity is defined for a
+    missing set) — the guard is explicit because under a non-ANSI
+    session ``size(NULL)`` is -1, which made two NULL arrays score
+    -1/-1 = 1.0: every pair of NULL-text documents read as a PERFECT
+    duplicate and all but one were deleted downstream (r15 review,
+    verified live; ``union == 0`` never fired because union was -1)."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(F.array_union(a, b)).cast("double")
-    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+    return F.when(a.isNull() | b.isNull(),
+                  F.lit(None).cast("double")) \
+        .when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
 def near_dup_minhash(df: DataFrame, id_col: str, text_col: str,
@@ -492,21 +530,30 @@ def incremental_dedup(new_df: DataFrame, seen_df: DataFrame,
     """
     from pyspark.sql import Window
 
-    keyed = new_df.withColumn("_fp", key)
+    # collision-checked temp names: a caller's own "_fp"/"_rn" column
+    # was silently clobbered by withColumn and then dropped from the
+    # output — a row-dropping operator must never lose a column (r15
+    # review)
+    fp, rn = "_fp", "_rn"
+    while fp in new_df.columns:
+        fp += "_"
+    while rn in new_df.columns or rn == fp:
+        rn += "_"
+    keyed = new_df.withColumn(fp, key)
     # a NULL fingerprint (e.g. NULL text) identifies nothing — those
     # rows pass through UNDEDUPED rather than silently vanishing in
     # the null-unsafe joins below (ex-review finding)
-    null_fp = keyed.where(F.col("_fp").isNull()).drop("_fp")
-    fresh = (keyed.where(F.col("_fp").isNotNull())
-             .join(seen_df.select(F.col(seen_key_col).alias("_fp"))
+    null_fp = keyed.where(F.col(fp).isNull()).drop(fp)
+    fresh = (keyed.where(F.col(fp).isNotNull())
+             .join(seen_df.select(F.col(seen_key_col).alias(fp))
                    .distinct(),
-                   "_fp", "left_anti"))
+                   fp, "left_anti"))
     # window rank, not a groupBy+self-join: one shuffle instead of two,
     # and exact re-delivered duplicates (same fingerprint AND id) keep
     # exactly one copy instead of both surviving an equality join
-    w = Window.partitionBy("_fp").orderBy(id_col)
-    kept = (fresh.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1).drop("_rn", "_fp"))
+    w = Window.partitionBy(fp).orderBy(id_col)
+    kept = (fresh.withColumn(rn, F.row_number().over(w))
+            .where(F.col(rn) == 1).drop(rn, fp))
     return kept.unionByName(null_fp)
 
 
@@ -913,7 +960,11 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
     """
     from pyspark.sql import Window
 
-    ex = df.select(
+    # NULL document ids are excluded (the _span_relation rule): every
+    # NULL-id doc's fingerprints would otherwise merge under one NULL
+    # id surviving the final distinct, then vanish in downstream
+    # null-unsafe joins (r15 review)
+    ex = df.where(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         F.posexplode(ngrams_all_batched(F.col(text_col), k))
         .alias("_pos", "_g"))
@@ -1173,10 +1224,16 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
         # aim the EXPECTED sub-block size at cap/2, not exactly cap
         n_sub = min(12, max(1, 1 + _math.ceil(
             _math.log2(max_hot / max_cluster_size))))
-        # dim=None derives the plane width from the trained centroids
-        # (any explicit value must match the data's vector width)
-        budf = _all_buckets_udf(dim if dim is not None else vec_dim,
-                                n_sub, sub_tables, seed)
+        # the trained centroid width IS the corpus vector width; an
+        # explicit dim can only equal it or make _all_buckets_udf
+        # NULL-bucket every hot vector (posexplode then DROPS all
+        # hot-cluster members — silent recall loss, r15 review) —
+        # validate loudly instead
+        if dim is not None and dim != vec_dim:
+            raise ValueError(
+                f"dim={dim} does not match the corpus vector width "
+                f"{vec_dim}; omit dim to derive it from the data")
+        budf = _all_buckets_udf(vec_dim, n_sub, sub_tables, seed)
         hot_ids = [int(r["_cluster"]) for r in hot_rows]
         is_hot = F.col("_cluster").isin(hot_ids)
         cold = blocked.where(~is_hot).select(
@@ -1188,7 +1245,16 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
                  .select(id_col, vec_col,
                          F.concat_ws("#", F.col("_cluster"), F.col("_tbl"),
                                      F.col("_sub")).alias("_blk")))
-        blocked = cold.unionByName(hot_b)
+        # the union is read twice (still-hot agg + pair pipeline);
+        # without its own persist each read re-runs hot_b's Arrow
+        # sign-LSH matmul over every hot-cluster member (each >cap
+        # rows by definition, × sub_tables) — persist the union and
+        # release the raw-assignment cache once it materializes (r15
+        # review; the same single-Arrow-pass rule the blocked cache
+        # above exists for)
+        assign_cached = blocked
+        blocked = cold.unionByName(hot_b).persist(
+            StorageLevel.MEMORY_AND_DISK)
         # ONE still-hot aggregation feeds both the warning and the
         # anti-join (r13 advice: collecting for the warning and
         # re-aggregating for the join frame ran this job twice).  The
@@ -1198,6 +1264,9 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
                           .agg(F.count(F.lit(1)).alias("_n"))
                           .where(F.col("_n") > max_cluster_size)
                           .select("_blk").collect())
+        # the agg materialized the union's cache; the raw-assignment
+        # block behind it is now dead weight
+        assign_cached.unpersist()
         if still_hot_rows:
             # the docstring promises the cap warning NAMES the dropped
             # blocks — an anti-join alone cut recall silently (r13

@@ -726,3 +726,89 @@ def test_semantic_dedup_warns_on_unsplittable_hot_block(spark):
     msgs = [str(c.message) for c in caught
             if issubclass(c.category, RuntimeWarning)]
     assert any("still exceed max_cluster_size" in m for m in msgs), msgs
+
+
+def test_r15_null_key_and_jaccard_hardening(spark):
+    """r15 module-review pins.
+
+    (1) jaccard: NULL array on either side yields NULL — under a
+    non-ANSI session size(NULL) is -1, which previously scored two
+    NULL-text docs -1/-1 = 1.0 (a PERFECT duplicate) and deleted all
+    but one downstream.  (2) near_dup_minhash: two NULL-text docs
+    report NO pair under either ANSI setting.  (3) exact_dedup:
+    NULL-key rows pass through undeduped instead of collapsing to
+    one survivor.  (4) winnow_fingerprints excludes NULL ids (the
+    _span_relation rule)."""
+    import dynamic_partitioner_spark.operators.dedup as DD
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        for ansi in ("false", "true"):
+            spark.conf.set("spark.sql.ansi.enabled", ansi)
+            arrs = spark.createDataFrame(
+                [(1, ["a"], None), (2, None, None)],
+                "id long, xs array<string>, ys array<string>")
+            got = arrs.select(
+                DD.jaccard(F.col("xs"), F.col("ys")).alias("j"),
+                DD.jaccard(F.col("ys"), F.col("ys")).alias("jj"),
+                DD.jaccard(F.col("xs"), F.col("xs")).alias("s")).collect()
+            assert all(r.j is None and r.jj is None for r in got), ansi
+            assert {r.s for r in got} == {1.0, None}
+            docs = spark.createDataFrame(
+                [(1, None), (2, None),
+                 (3, "the quick brown fox jumps over the lazy dog ok"),
+                 (4, "the quick brown fox jumps over the lazy dog ok")],
+                "doc_id long, text string")
+            pairs = DD.near_dup_minhash(docs, "doc_id", "text",
+                                        threshold=0.5, persist=False)
+            assert {(r.id_a, r.id_b) for r in pairs.collect()} \
+                == {(3, 4)}, ansi
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+    dup = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, None), (4, None), (5, None)],
+        "doc_id long, text string")
+    got = DD.exact_dedup(dup, ["text"], "doc_id").collect()
+    assert {(r.text, r.doc_id, r.dup_count) for r in got} \
+        == {("x", 1, 2), (None, 3, 1), (None, 4, 1), (None, 5, 1)}
+
+    wdocs = spark.createDataFrame(
+        [(None, "a b c d e f g h"), (7, "a b c d e f g h")],
+        "doc_id long, text string")
+    fps = DD.winnow_fingerprints(wdocs, "doc_id", "text", k=3, w=2)
+    ids = {r.doc_id for r in fps.collect()}
+    assert ids == {7}
+
+
+def test_r15_loud_validation_and_column_preservation(spark):
+    """r15 module-review pins: semantic_dedup rejects a wrong explicit
+    dim instead of silently dropping every hot-cluster member;
+    lsh_candidate_pairs validates bands*rows_per_band against the
+    signature length at the public entry point; incremental_dedup
+    preserves a caller's own _fp column instead of clobbering it."""
+    import pytest as _pytest
+
+    import dynamic_partitioner_spark.operators.dedup as DD
+
+    n = 12
+    emb = spark.createDataFrame(
+        [(i, [1.0 * (i % 3), 1.0, 0.0, 0.0]) for i in range(n)],
+        "id long, vec array<double>")
+    with _pytest.raises(ValueError, match="vector width"):
+        DD.semantic_dedup(emb, "id", "vec", n_lists=1,
+                          max_cluster_size=2, dim=64).count()
+
+    sigs = spark.createDataFrame(
+        [(1, list(range(8))), (2, list(range(8)))],
+        "doc_id long, sig array<long>")
+    with _pytest.raises(ValueError, match="signature length"):
+        DD.lsh_candidate_pairs(sigs, "doc_id", bands=8, rows_per_band=4)
+
+    new = spark.createDataFrame(
+        [(1, "a", "keepme"), (2, "a", "keepme2"), (3, "b", "keepme3")],
+        "doc_id long, text string, _fp string")
+    seen = spark.createDataFrame([("b",)], "fingerprint string")
+    out = DD.incremental_dedup(new, seen, F.col("text"), "doc_id")
+    assert "_fp" in out.columns
+    assert {(r.doc_id, r._fp) for r in out.collect()} == {(1, "keepme")}
