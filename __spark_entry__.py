@@ -6163,6 +6163,21 @@ _PRIORITY_R15 = [
     "payload_projection", "query_basket_pairs", "query_gini",
     "query_scd2", "similarity_bq_topk", "stage_tag",
     "streaming_upsert", "text_phrases",
+    # --- key text changed mid-round (must re-certify): the r15
+    # relational-module sweep fixed null-unsafe grid joins
+    # (events_densify's oracle now joins IS NOT DISTINCT FROM, like
+    # the Spark side's eqNullSafe), the LOO denominator (count(xc),
+    # not count(*) — NULL targets deflated every encoding), the
+    # histogram sum rounding (floor trick on BOTH sides — F.round vs
+    # DuckDB round() diverges on 3rd-decimal midpoints), and the
+    # explicit NULL-user exclusion in the cohort pair (both sides).
+    # events_bursts got the same null-safe grid fix but already sits
+    # in this fold above.  Five untouched r10-cohort keys
+    # (query_join_broadcast, query_lag_features, query_percentiles,
+    # query_pruned_agg, query_quantile_bins) are displaced below the
+    # fold in exchange and lead the r16 rotation.
+    "events_densify", "query_target_encoding", "query_histogram",
+    "events_retention", "events_cohort_value",
     # --- round-10 evidence, oldest first (alphabetical within);
     # fill to the 50-key fold ---
     "events_attribution", "events_bursts", "events_conformance",
@@ -6172,13 +6187,13 @@ _PRIORITY_R15 = [
     "privacy_l_diversity", "privacy_pseudonymize",
     "quality_expectations", "query_bloom_join", "query_bucketed_join",
     "query_decimal_agg", "query_geo_join", "query_heavy_hitters",
-    "query_incremental_agg", "query_join_broadcast",
-    "query_lag_features", "query_percentiles", "query_pruned_agg",
-    "query_quantile_bins", "query_rollup",
+    "query_incremental_agg", "query_rollup",
     # ---- fold: the driver checks the 50 above ----
     # below the fold, r16 rotation order: the round-10 remainder
     # (they reach the 5-round freshness budget at r16 — refresh them
-    # FIRST), then the round-11 cohort
+    # FIRST; the five displaced above lead), then the round-11 cohort
+    "query_join_broadcast", "query_lag_features", "query_percentiles",
+    "query_pruned_agg", "query_quantile_bins",
     "query_rollup_grains", "query_unpivot", "query_window_topk",
     "query_windowed_distinct", "sample_hash", "sample_mixture",
     "sample_split", "sample_temperature", "similarity_int8_topk",
@@ -7041,7 +7056,9 @@ def oracle_sql() -> dict[str, str]:
             g AS (SELECT user_id, unnest(range(lo, hi + 1)) AS b FROM s)
             SELECT g.user_id, g.b AS bucket_idx,
                    coalesce(n, 0) AS n_events
-            FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.b = c.b
+            FROM g LEFT JOIN c
+              ON g.user_id IS NOT DISTINCT FROM c.user_id
+             AND g.b = c.b
         """,
         "query_scd2": f"""
             WITH ch AS (SELECT l_orderkey,
@@ -8104,7 +8121,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem)
             SELECT bucket, 0.0 + (bucket - 1) * 10000.0 AS bucket_lo,
                    count(*) AS n_rows,
-                   round(sum(l_quantity), 2) AS sum_l_quantity
+                   floor(sum(l_quantity) * 100 + 0.5) / 100
+                       AS sum_l_quantity
             FROM b GROUP BY bucket
         """,
         "events_transitions": f"""
@@ -8305,7 +8323,7 @@ def oracle_sql() -> dict[str, str]:
                        FROM orders),
             s AS (SELECT o_orderpriority,
                          CAST(sum(xc) AS BIGINT) AS sm,
-                         count(*) AS n
+                         count(xc) AS n
                   FROM b GROUP BY o_orderpriority)
             SELECT o_orderkey, o_orderpriority,
                    CASE WHEN n > 1 THEN {ROUND4_SQL.format(
@@ -8431,7 +8449,8 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": f"""
             WITH act AS (SELECT DISTINCT user_id AS u,
                                 epoch_us(ts) // {_DAY_US} AS d
-                         FROM events),
+                         FROM events
+                         WHERE user_id IS NOT NULL),
             coh AS (SELECT u, min(d) AS cohort FROM act GROUP BY u)
             SELECT cohort AS cohort_day, d - cohort AS day_offset,
                    count(*) AS n_users
@@ -8975,9 +8994,11 @@ def oracle_sql() -> dict[str, str]:
                             unnest(range(lo, hi + 1)) AS bucket
                      FROM span),
             c AS (SELECT grid.event_type, grid.bucket,
-                         coalesce(n_events, 0) AS n_events
+                         coalesce(c0.n_events, 0) AS n_events
                   FROM grid LEFT JOIN c0
-                       USING (event_type, bucket)),
+                    ON grid.event_type
+                       IS NOT DISTINCT FROM c0.event_type
+                   AND grid.bucket = c0.bucket),
             m AS (SELECT event_type, bucket, n_events,
                          CAST(sum(n_events) OVER w AS BIGINT) AS tsum,
                          count(n_events) OVER w AS tc

@@ -405,7 +405,13 @@ def histogram_fixed(df: DataFrame, value_col: str, lo: float, hi: float,
     width = (float(hi) - float(lo)) / n_bins
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     if agg_col is not None:
-        aggs.append(F.round(F.sum(agg_col), 2).alias(f"sum_{agg_col}"))
+        # floor trick, not F.round: Spark rounds via BigDecimal
+        # HALF_UP on the exact double while DuckDB scales the float —
+        # a 3rd-decimal midpoint sum diverges by 0.01 cross-engine
+        # (the vectors.round4 rationale at 2 decimals, r15 review)
+        aggs.append(
+            (F.floor(F.sum(agg_col) * 100 + F.lit(0.5)) / 100)
+            .alias(f"sum_{agg_col}"))
     out_cols = ["bucket",
                 (F.lit(float(lo)) + (F.col("bucket") - 1) * width)
                 .alias("bucket_lo"),
@@ -431,8 +437,17 @@ def cohort_retention(df: DataFrame, user_col: str, day: Column) -> DataFrame:
 
     ``day`` is an integral Column (e.g. epoch days derived from the
     event timestamp).
+
+    NULL users are EXCLUDED explicitly (r15 review): an unidentified
+    user is not a cohort member — before the filter, every anonymous
+    event silently vanished in the null-unsafe join anyway (the worst
+    of both: lost AND undocumented), while a null-safe join would
+    have fused all anonymous traffic into one fake "user" inflating
+    its cohort by exactly 1.  Pre-filter identified traffic is the
+    honest contract; the SQL twin filters identically.
     """
-    activity = (df.select(F.col(user_col).alias("_u"), day.alias("_d"))
+    activity = (df.where(F.col(user_col).isNotNull())
+                .select(F.col(user_col).alias("_u"), day.alias("_d"))
                 .distinct())
     cohorts = activity.groupBy("_u").agg(F.min("_d").alias("_cohort"))
     return (activity.join(cohorts, "_u")
@@ -552,10 +567,19 @@ def densify_time_buckets(df: DataFrame, key_col: str, us: Column,
     grid = spans.select(
         "_k",
         F.explode(F.sequence(lo_checked, F.col("_hi"))).alias("_b"))
-    return (grid.join(counts, ["_k", "_b"], "left")
-            .select(F.col("_k").alias(key_col),
-                    F.col("_b").alias("bucket_idx"),
-                    F.coalesce(F.col("_n"), F.lit(0)).alias("n_events")))
+    # eqNullSafe on the KEY: a USING left join is null-unsafe, so a
+    # NULL key's real count rows never matched their own grid rows and
+    # every bucket reported a FABRICATED 0 while the data was silently
+    # discarded (r15 review — worse than dropping the key; the SQL
+    # twin joins IS NOT DISTINCT FROM for the same reason).  Buckets
+    # (_b) come from sequence() and are never NULL, so plain equality
+    # is right there.
+    g, c = grid.alias("g"), counts.alias("c")
+    return (g.join(c, F.col("g._k").eqNullSafe(F.col("c._k"))
+                   & (F.col("g._b") == F.col("c._b")), "left")
+            .select(F.col("g._k").alias(key_col),
+                    F.col("g._b").alias("bucket_idx"),
+                    F.coalesce(F.col("c._n"), F.lit(0)).alias("n_events")))
 
 
 def seq_ngrams(df: DataFrame, key_col: str, order_cols: list[str],
@@ -666,7 +690,13 @@ def key_skew_profile(df: DataFrame, key_col: str, top: int = 20) -> DataFrame:
     # NULL keys stay IN the profile (a hot NULL join key is a classic
     # skew source) but the tie-break must pin their position: Spark
     # defaults ASC to NULLS FIRST while DuckDB defaults NULLS LAST, so
-    # an unpinned tie at the cut boundary would diverge cross-engine
+    # an unpinned tie at the cut boundary would diverge cross-engine.
+    # NOT a single-partition sort of the full key set: Spark's limit
+    # pushdown plans TakeOrderedAndProject(limit=top) UNDER this
+    # window for the rnk <= top filter, so only `top` rows ever reach
+    # the window (verified in the executed plan; pinned in
+    # tests/test_relational.py — the r14/r15 reviews both
+    # re-flagged this shape)
     rnk = Window.orderBy(F.desc("n_rows"), F.asc_nulls_last("key"))
     topk = (counts.withColumn("rnk", F.row_number().over(rnk))
             .where(F.col("rnk") <= top))
@@ -813,6 +843,15 @@ def burst_detection(df: DataFrame, type_col: str, bucket: Column,
     ``max_buckets`` fails LOUDLY if one type's span would densify
     wider than that (the corrupt-epoch guard).
     """
+    if trailing < 1 or min_count < 1 or factor <= 0:
+        # trailing=0 builds rowsBetween(0, -1) and dies deep inside
+        # Spark with a window-frame AnalysisException naming nothing —
+        # name the mistake at the entry like the sibling operators
+        # (the lag_features rule, r15 review)
+        raise ValueError(
+            f"need trailing >= 1, min_count >= 1, factor > 0 "
+            f"(got trailing={trailing}, min_count={min_count}, "
+            f"factor={factor})")
     counts = (df.select(F.col(type_col).alias("_t"), bucket.alias("_b"))
               .groupBy("_t", "_b")
               .agg(F.count(F.lit(1)).alias("n_events")))
@@ -827,9 +866,17 @@ def burst_detection(df: DataFrame, type_col: str, bucket: Column,
         grid = spans.select(
             "_t", F.explode(F.sequence(lo_checked, F.col("_hi")))
             .alias("_b"))
-        counts = (grid.join(counts, ["_t", "_b"], "left")
-                  .select("_t", "_b",
-                          F.coalesce("n_events", F.lit(0))
+        # eqNullSafe on the type (the densify_time_buckets rule, r15
+        # review): a null-unsafe grid join zeroed a NULL type's real
+        # counts, so fill_gaps=True silently DISABLED burst detection
+        # for exactly the broken-instrumentation stream it should
+        # flag; fill_gaps=False flagged the same data
+        g, c0 = grid.alias("g"), counts.alias("c0")
+        counts = (g.join(c0, F.col("g._t").eqNullSafe(F.col("c0._t"))
+                         & (F.col("g._b") == F.col("c0._b")), "left")
+                  .select(F.col("g._t").alias("_t"),
+                          F.col("g._b").alias("_b"),
+                          F.coalesce(F.col("c0.n_events"), F.lit(0))
                           .alias("n_events")))
     w = (Window.partitionBy("_t").orderBy("_b")
          .rowsBetween(-trailing, -1))
@@ -913,9 +960,15 @@ def target_encode_loo(df: DataFrame, cat_col: str, target_col: str,
     xc = F.floor(F.col(target_col).cast("double") * 100 + F.lit(0.5)) \
           .cast("long")
     base = df.select(F.col(id_col), F.col(cat_col), xc.alias("_xc"))
+    # count the OBSERVED targets, not the rows: count(1) counted
+    # NULL-target rows into the LOO denominator while sum() skipped
+    # them from the numerator, deflating every encoding in the
+    # category (and a category whose only sibling targets are NULL
+    # must encode NULL — there are no "other rows" to average) —
+    # count(_xc) skips NULLs on both engine sides (r15 review)
     stats = (base.groupBy(cat_col)
              .agg(F.sum("_xc").alias("_sum"),
-                  F.count(F.lit(1)).alias("_n")))
+                  F.count("_xc").alias("_n")))
     loo = F.when(
         F.col("_n") > 1,
         round4(((F.col("_sum") - F.col("_xc")).cast("double") / 100.0)
@@ -1021,7 +1074,12 @@ def rfm_scores(df: DataFrame, key_col: str, ts_us_col: str,
               F.count(F.lit(1)).alias("n_events"),
               F.sum(F.coalesce(F.col(value_col), F.lit(0)))
               .alias("value_u")))
-    k = F.col(key_col)
+    # asc_nulls_last on the key tie-break: Spark ASC defaults NULLS
+    # FIRST while DuckDB defaults NULLS LAST, so a NULL-key group
+    # tying a non-null key at a tile boundary shifted scores
+    # cross-engine (the key_skew_profile rule, r15 review; the SQL
+    # twin's bare ASC is already NULLS LAST)
+    k = F.asc_nulls_last(F.col(key_col))
     r_w = Window.orderBy(F.coalesce(F.col("last_us"), F.lit(-1)).asc(),
                          k)
     f_w = Window.orderBy(F.col("n_events").asc(), k)
@@ -1083,11 +1141,18 @@ def auc_exact(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     # NULL labels are unrankable like NULL scores — without the
     # filter they fell into otherwise(1) and counted as NEGATIVES,
     # inflating n_neg and depressing every positive's rank (r13
-    # review, verified)
+    # review, verified).  The filter must ALSO run post-cast: on a
+    # non-ANSI session a malformed label ('maybe') passes the raw
+    # isNotNull, casts to NULL boolean, and re-enters otherwise(1) —
+    # the same bias through the back door (r15 review).  On ANSI
+    # sessions (the oracle contract) a malformed cast RAISES, so the
+    # post-cast filter is a no-op there and the strict-cast SQL twin
+    # needs no counterpart.
     scored = (df.where(s.isNotNull()
                        & F.col(label_col).isNotNull())
               .select(s.alias("_s"),
-                      F.col(label_col).cast("boolean").alias("_pos")))
+                      F.col(label_col).cast("boolean").alias("_pos"))
+              .where(F.col("_pos").isNotNull()))
     w_rank = Window.orderBy("_s")
     w_ties = Window.partitionBy("_s")
     r = scored.select(
@@ -1150,10 +1215,16 @@ def seasonal_naive_eval(df: DataFrame, key_col: str, ts_us_col: str,
     zero-filled — absence of history is not a zero forecast).  One
     shuffle on the key for the bucket aggregate; the shifted-bucket
     equi-join rides the same (key) partitioning.
+
+    NULL keys are EXCLUDED explicitly (r15 review): an unkeyed series
+    previously vanished in the null-unsafe self-join on BOTH engine
+    sides — same result, but silently; the filter makes the contract
+    visible (key your stream before evaluating it).
     """
     from ..functions.vectors import round4
 
-    b = (df.where(F.col(value_col).isNotNull())
+    b = (df.where(F.col(value_col).isNotNull()
+                  & F.col(key_col).isNotNull())
          .select(F.col(key_col).alias("k"),
                  F.expr(f"{ts_us_col} div {int(bucket_us)}")
                  .alias("bucket"),
@@ -1443,8 +1514,12 @@ def cohort_value(df: DataFrame, user_col: str, day: Column,
     """
     from ..functions.vectors import round4
 
-    act = (df.select(F.col(user_col).alias("_u"), day.alias("_d"),
-                     value_u.alias("_v"))
+    # NULL users excluded explicitly, both engine sides — the
+    # cohort_retention rule (r15 review): anonymous value previously
+    # vanished in the null-unsafe join with no trace
+    act = (df.where(F.col(user_col).isNotNull())
+           .select(F.col(user_col).alias("_u"), day.alias("_d"),
+                   value_u.alias("_v"))
            .groupBy("_u", "_d").agg(F.sum("_v").alias("_dv")))
     cohorts = act.groupBy("_u").agg(F.min("_d").alias("_cohort"))
     grid = (act.join(cohorts, "_u")
@@ -1469,7 +1544,9 @@ def cohort_value_sql(user: str, day: str, value_u: str,
         WITH act AS (
             SELECT {user} AS u, {day} AS d,
                    CAST(sum({value_u}) AS BIGINT) AS dv
-            FROM {from_table} GROUP BY 1, 2),
+            FROM {from_table}
+            WHERE {user} IS NOT NULL
+            GROUP BY 1, 2),
         cohorts AS (SELECT u, min(d) AS cohort FROM act GROUP BY u),
         grid AS (SELECT cohort AS cohort_day,
                         d - cohort AS day_offset,

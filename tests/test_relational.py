@@ -1141,3 +1141,119 @@ def test_lag_features_guards_arguments(spark):
         lag_features(df, "k", ["t"], "v", n_lags=0)
     with pytest.raises(ValueError, match="roll"):
         lag_features(df, "k", ["t"], "v", roll=0)
+
+
+def test_r15_null_unsafe_grid_joins_fixed(spark):
+    """r15 module-review pins: the null-unsafe USING grid joins
+    fabricated zeros for NULL keys.  densify_time_buckets must
+    preserve a NULL key's real counts; burst_detection with
+    fill_gaps=True must flag a NULL type's burst exactly like
+    fill_gaps=False does; trailing/min_count/factor validate at
+    entry."""
+    import pytest as _pytest
+
+    from dynamic_partitioner_spark.operators.relational import (
+        burst_detection, densify_time_buckets)
+
+    ev = spark.createDataFrame(
+        [(None, 1_000_000 * i) for i in range(5)]
+        + [(None, 3_000_000)] * 7          # NULL key, busy bucket 3
+        + [("a", 1_000_000)],
+        "k string, us long")
+    out = densify_time_buckets(ev, "k", F.col("us"), 1_000_000,
+                               max_buckets=100)
+    got = {(r.k, r.bucket_idx): r.n_events for r in out.collect()}
+    assert got[(None, 3)] == 8             # real counts, not zeros
+    assert got[(None, 0)] == 1 and got[("a", 1)] == 1
+
+    burst = spark.createDataFrame(
+        [(None, b) for b in range(10) for _ in range(2)]
+        + [(None, 10)] * 50,
+        "t string, b long")
+    for fill in (False, True):
+        flagged = burst_detection(
+            burst.select("t", F.col("b")), "t", F.col("b"),
+            min_count=10, factor=2.0, trailing=5, fill_gaps=fill)
+        rows = flagged.collect()
+        assert [(r.t, r.bucket, r.n_events) for r in rows] \
+            == [(None, 10, 50)], f"fill_gaps={fill}"
+    with _pytest.raises(ValueError, match="trailing"):
+        burst_detection(burst, "t", F.col("b"), trailing=0)
+
+
+def test_r15_loo_nulls_histogram_rounding_cohort_contract(spark):
+    """r15 module-review pins: target_encode_loo counts only OBSERVED
+    targets in the LOO denominator (a NULL-target sibling neither
+    deflates the mean nor grants a singleton an encoding); the
+    histogram sum uses the portable floor rounding; cohort operators
+    exclude NULL users explicitly; seasonal_naive_eval excludes NULL
+    keys explicitly."""
+    from dynamic_partitioner_spark.operators.relational import (
+        cohort_retention, cohort_value, histogram_fixed,
+        seasonal_naive_eval, target_encode_loo)
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "a", 4.0), (3, "a", None),
+         (4, "b", 9.0), (5, "b", None)],
+        "id long, cat string, t double")
+    got = {r.id: r.target_loo
+           for r in target_encode_loo(df, "cat", "t", "id").collect()}
+    # cat a: two observed (2, 4) + one NULL -> LOO over the OTHER
+    # observed value only; cat b: single observed + NULL -> no "other
+    # rows", encodes NULL (not 0.0 / (n-1)-inflated)
+    assert got == {1: 4.0, 2: 2.0, 3: None, 4: None, 5: None}
+
+    h = spark.createDataFrame(
+        [(5.0, 0.005), (15.0, 0.005)], "v double, q double")
+    out = {r.bucket: r.sum_q
+           for r in histogram_fixed(h, "v", 0.0, 20.0, 2,
+                                    agg_col="q").collect()}
+    # floor(0.005*100 + 0.5)/100 = 0.01 on both engines by definition
+    assert out == {1: 0.01, 2: 0.01}
+
+    ev = spark.createDataFrame(
+        [(None, 1), (None, 2), (7, 1), (7, 2)],
+        "u long, d long")
+    ret = cohort_retention(ev, "u", F.col("d")).collect()
+    assert {(r.cohort_day, r.day_offset, r.n_users) for r in ret} \
+        == {(1, 0, 1), (1, 1, 1)}          # NULL user contributes 0
+    cv = cohort_value(ev.withColumn("v", F.lit(1_000_000)),
+                      "u", F.col("d"), F.col("v")).collect()
+    assert all(r.n_active == 1 for r in cv) and len(cv) == 2
+
+    sn = spark.createDataFrame(
+        [(None, i * 3_600_000_000, 1.0) for i in range(400)]
+        + [("k", i * 3_600_000_000, 1.0) for i in range(400)],
+        "g string, us long, v double")
+    rep = seasonal_naive_eval(sn, "g", "us", "v").collect()
+    assert [r.g for r in rep] == ["k"]     # NULL key excluded, named
+
+
+def test_r15_skew_profile_topk_plan_and_auc_cast_hole(spark):
+    """r15 pins: (1) key_skew_profile's rnk <= top filter plans
+    TakeOrderedAndProject under the window — the full key set never
+    single-partitions (the r14/r15 reviews both flagged this shape;
+    it is already bounded); (2) auc_exact excludes labels that cast
+    to NULL boolean on non-ANSI sessions instead of counting them as
+    negatives."""
+    from dynamic_partitioner_spark.operators.relational import (
+        auc_exact, key_skew_profile)
+
+    df = spark.createDataFrame([(i % 7,) for i in range(100)],
+                               "k long")
+    prof = key_skew_profile(df, "k", top=3)
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert prof.count() == 3
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        scored = spark.createDataFrame(
+            [(0.9, "true"), (0.8, "maybe"), (0.1, "false")],
+            "s double, lab string")
+        r = auc_exact(scored, "s", "lab").collect()[0]
+        # 'maybe' casts to NULL boolean -> excluded, NOT a negative
+        assert (r.n_pos, r.n_neg, r.auc) == (1, 1, 1.0)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
