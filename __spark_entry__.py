@@ -6172,12 +6172,16 @@ _PRIORITY_R15 = [
     # DuckDB round() diverges on 3rd-decimal midpoints), and the
     # explicit NULL-user exclusion in the cohort pair (both sides).
     # events_bursts got the same null-safe grid fix but already sits
-    # in this fold above.  Five untouched r10-cohort keys
-    # (query_join_broadcast, query_lag_features, query_percentiles,
+    # in this fold above.  embedding_threshold_sweep's twin gained
+    # the NaN-vector exclusion (NaN l2 > 0 is TRUE both engines — a
+    # NaN pair hard-crashed the DuckDB cast; r15 similarity sweep).
+    # Six untouched r10-cohort keys (query_incremental_agg,
+    # query_join_broadcast, query_lag_features, query_percentiles,
     # query_pruned_agg, query_quantile_bins) are displaced below the
     # fold in exchange and lead the r16 rotation.
     "events_densify", "query_target_encoding", "query_histogram",
     "events_retention", "events_cohort_value",
+    "embedding_threshold_sweep",
     # --- round-10 evidence, oldest first (alphabetical within);
     # fill to the 50-key fold ---
     "events_attribution", "events_bursts", "events_conformance",
@@ -6187,11 +6191,12 @@ _PRIORITY_R15 = [
     "privacy_l_diversity", "privacy_pseudonymize",
     "quality_expectations", "query_bloom_join", "query_bucketed_join",
     "query_decimal_agg", "query_geo_join", "query_heavy_hitters",
-    "query_incremental_agg", "query_rollup",
+    "query_rollup",
     # ---- fold: the driver checks the 50 above ----
     # below the fold, r16 rotation order: the round-10 remainder
     # (they reach the 5-round freshness budget at r16 — refresh them
-    # FIRST; the five displaced above lead), then the round-11 cohort
+    # FIRST; the six displaced above lead), then the round-11 cohort
+    "query_incremental_agg",
     "query_join_broadcast", "query_lag_features", "query_percentiles",
     "query_pruned_agg", "query_quantile_bins",
     "query_rollup_grains", "query_unpivot", "query_window_topk",

@@ -30,19 +30,24 @@ def _rank_window(qcol: str) -> Window:
             .orderBy(F.col("cos_sim").desc(), F.col("neighbor_id")))
 
 
-def _score_and_rank(candidates, k: int):
+def _score_and_rank(candidates, k: int, dedupe: bool = True):
     """Shared scoring tail of every ANN path: exclude self, exact
     round4 cosine, dedupe multi-probe copies, per-query row_number
     top-k.  ONE implementation (r13 review: the block was copy-pasted
     verbatim into four functions, so a scoring-contract change could
     drift).  ``candidates`` carries (query_id, qv, neighbor_id, cv)
-    rows from the caller's blocking join."""
+    rows from the caller's blocking join.  ``dedupe=False`` skips the
+    multi-probe distinct for callers whose candidates are unique by
+    construction (the brute-force cross join) — r15 review: the
+    baseline carried a verbatim copy of this tail, re-creating the
+    drift this helper exists to kill."""
     scored = (candidates
               .where(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
                       round4(cosine(F.col("qv"), F.col("cv")))
-                      .alias("cos_sim"))
-              .distinct())
+                      .alias("cos_sim")))
+    if dedupe:
+        scored = scored.distinct()
     ranked = scored.withColumn(
         "rank", F.row_number().over(_rank_window("query_id")))
     return ranked.where(F.col("rank") <= k)
@@ -59,14 +64,8 @@ def topk_bruteforce(emb: DataFrame, queries: DataFrame, id_col: str = "vec_id",
                                    F.col(vec_col).alias("qv")))
     c = emb.select(F.col(id_col).alias("neighbor_id"),
                    F.col(vec_col).alias("cv"))
-    scored = (c.crossJoin(q)
-              .where(F.col("neighbor_id") != F.col("query_id"))
-              .select("query_id", "neighbor_id",
-                      round4(cosine(F.col("qv"), F.col("cv")))
-                      .alias("cos_sim")))
-    ranked = scored.withColumn("rank",
-                               F.row_number().over(_rank_window("query_id")))
-    return ranked.where(F.col("rank") <= k)
+    # cross-join candidates are unique by construction — no distinct
+    return _score_and_rank(c.crossJoin(q), k, dedupe=False)
 
 
 # ------------------------------------------------------------- sign LSH
@@ -151,7 +150,18 @@ def topk_ann_lsh(emb: DataFrame, queries: DataFrame, id_col: str = "vec_id",
     buckets in one projection); the join key is (table, bucket), so the
     corpus shuffles once regardless of L.  Same output schema as
     :func:`topk_bruteforce`.
+
+    ``dim`` must match the corpus vector width: validated against one
+    probed row (r15 review — a mismatched default silently
+    NULL-bucketed every vector and returned an EMPTY result, total
+    recall loss with no diagnostic; the semantic_dedup rule).
     """
+    probe = (emb.where(F.col(vec_col).isNotNull())
+             .select(F.size(F.col(vec_col)).alias("_d")).first())
+    if probe is not None and probe["_d"] != dim:
+        raise ValueError(
+            f"dim={dim} does not match the corpus vector width "
+            f"{probe['_d']}; pass dim={probe['_d']}")
     budf = _all_buckets_udf(dim, n_planes, n_tables, seed)
 
     def with_buckets(df: DataFrame, idc: str, vecc: str) -> DataFrame:
@@ -333,7 +343,13 @@ def _nearest_lists_udf(cents: np.ndarray, nprobe: int):
             nan_rows = np.isnan(mat).any(1)
             # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
             d2 = -2.0 * (mat @ cents.T) + (cents ** 2).sum(1)[None, :]
-            order = np.argsort(d2, axis=1)[:, :nprobe].astype(np.int64)
+            # stable sort: duplicate centroids (duplicate sampled
+            # vectors survive Lloyd's) tie on d2, and quicksort's
+            # tie order is value-dependent — a query could probe
+            # duplicate j while its neighbors sit in duplicate i
+            # (r15 review; the two-level twin already pins stable)
+            order = np.argsort(d2, axis=1,
+                               kind="stable")[:, :nprobe].astype(np.int64)
             it = iter(zip(order, nan_rows))
             for i, k in enumerate(ok):
                 if k:
@@ -605,15 +621,31 @@ def hybrid_rrf_topk(docs: DataFrame, doc_id: str, text_col: str,
     """
     if k < 1 or shortlist < k:
         raise ValueError("need 1 <= k <= shortlist")
-    n_q = query_vec.count()
-    if n_q != 1:
-        # >1 rows would duplicate every corpus id with different
-        # cosines under ONE global rank window — garbage rrf scores
-        # with no error (r13 review); the frame is query-sized, so the
-        # count is a trivial job
+    if c < 1:
+        # c = -rank_text for some rank divides by zero (ANSI raises;
+        # non-ANSI injects Infinity that dominates the fusion), and
+        # any negative c inverts the rank weighting (r15 review)
+        raise ValueError(f"need c >= 1, got {c}")
+    if not terms:
+        # an empty lexical leg silently degrades to vector-only
+        # ranking — the silent-recall-loss class (r15 review)
+        raise ValueError("terms must be non-empty")
+    # tokens() lowercases before splitting, so match terms lowercased
+    # too: 'Spark' previously contributed ZERO lexical signal with no
+    # warning (r15 review)
+    terms = [t.lower() for t in terms]
+    # ONE action reads query_vec: limit(2)+collect both validates the
+    # exactly-1-row contract (r13 review — >1 rows under one global
+    # rank window is garbage) and materializes the row, so an
+    # expensive upstream pipeline no longer executes twice (count +
+    # crossJoin build, r15 review)
+    q_sel = query_vec.select(F.col(vec_col).alias("_qv"))
+    qrows = q_sel.limit(2).collect()
+    if len(qrows) != 1:
         raise ValueError(
-            f"query_vec must have exactly 1 row, got {n_q} — fuse "
-            "multi-query retrieval one query at a time")
+            f"query_vec must have exactly 1 row, got "
+            f"{'0' if not qrows else '2 or more'} — fuse multi-query "
+            "retrieval one query at a time")
     from .dedup import tokens
     toks = (docs.select(F.col(doc_id).alias("_d"),
                         F.explode(tokens(F.col(text_col))).alias("_t")))
@@ -623,7 +655,7 @@ def hybrid_rrf_topk(docs: DataFrame, doc_id: str, text_col: str,
     lex = (tf.withColumn("rank_text", F.row_number().over(wt))
            .where(F.col("rank_text") <= shortlist))
 
-    qv = query_vec.select(F.col(vec_col).alias("_qv"))
+    qv = query_vec.sparkSession.createDataFrame(qrows, q_sel.schema)
     scored = (emb.crossJoin(F.broadcast(qv))
               .select(F.col(vec_id).alias("_v"),
                       round4(cosine(F.col(vec_col), F.col("_qv")))
@@ -680,10 +712,19 @@ def cosine_threshold_sweep(df: DataFrame, id_col: str, vec_col: str,
     base = df.select(F.col(id_col).alias("vid"),
                      F.col(vec_col).alias("vec"))
     n = base.agg(F.count(F.lit(1)).alias("n_total"))
+    # NaN-element vectors must not reach the pair stage: their l2
+    # norm is NaN and 'NaN > 0' is TRUE in BOTH engines, so they
+    # slipped the zero-norm guard — every pair scored NaN cosine,
+    # which the DuckDB twin's CAST(floor(NaN...)) rejects as a hard
+    # Conversion Error and Spark mis-buckets (r15 review; same
+    # exclusion rendered in the SQL twin)
+    no_nan = ~F.coalesce(
+        F.exists(F.col("vec"), lambda x: F.isnan(x.cast("double"))),
+        F.lit(False))
     s = (base.join(F.broadcast(n))
          .where(hash_unit(F.col("vid"), salt) * F.col("n_total")
                 < F.lit(int(target_rows)))
-         .where(l2_norm(F.col("vec")) > 0)
+         .where((l2_norm(F.col("vec")) > 0) & no_nan)
          .select("vid", "vec"))
     # precompute each vector's norm ONCE on the ~target_rows sample —
     # cosine() would re-fold both norms per PAIR (O(target²) folds for
@@ -745,7 +786,9 @@ def cosine_threshold_sweep_sql(id_col: str, vec_col: str,
             FROM {from_table},
                  (SELECT count(*) AS n_total FROM {from_table}) t
             WHERE ({u}) * n_total < {int(target_rows)}
-              AND ({l2}) > 0),
+              AND ({l2}) > 0
+              AND NOT coalesce(list_bool_or(list_transform(
+                      {vec_col}, x -> isnan(x::DOUBLE))), FALSE)),
         c AS (SELECT CAST(floor(({cos}) * 10000 + 0.5) AS BIGINT) AS c4
               FROM s a JOIN s b
                 ON a.vid < b.vid AND len(a.vec) = len(b.vec)),

@@ -557,3 +557,65 @@ def test_hybrid_rrf_rejects_multirow_query(spark):
     with pytest.raises(ValueError, match="exactly 1 row"):
         hybrid_rrf_topk(docs, "doc_id", "text", emb, "vec_id",
                         "embedding", qv, ["a"], k=1, shortlist=5)
+
+
+def test_r15_similarity_hardening(spark):
+    """r15 module-review pins: (1) topk_ann_lsh rejects a dim that
+    mismatches the corpus width instead of returning a silently EMPTY
+    result; (2) hybrid_rrf_topk lowercases caller terms (tokens() is
+    lowercased — 'Alpha' previously contributed zero lexical signal),
+    rejects empty terms and c < 1; (3) cosine_threshold_sweep
+    excludes NaN-element vectors (NaN l2 > 0 is TRUE both engines —
+    the pair crashed the DuckDB cast / mis-bucketed in Spark);
+    (4) duplicate centroids assign stably, so identical vectors probe
+    the SAME duplicate list at nprobe=1."""
+    import pytest
+
+    from dynamic_partitioner_spark.operators.similarity import (
+        cosine_threshold_sweep, hybrid_rrf_topk, topk_ann_ivf)
+
+    emb32 = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="vector width"):
+        topk_ann_lsh(emb32, emb32.limit(1), k=2)   # default dim=64
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha alpha"), (2, "gamma")],
+        "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 0.1])],
+        "vec_id long, embedding array<float>")
+    qv = emb.where("vec_id = 0")
+    out = {r.doc_id: r for r in
+           hybrid_rrf_topk(docs, "doc_id", "text", emb, "vec_id",
+                           "embedding", qv, ["Alpha"], k=3).collect()}
+    assert out[1].rank_text == 1 and out[0].rank_text == 2
+    with pytest.raises(ValueError, match="non-empty"):
+        hybrid_rrf_topk(docs, "doc_id", "text", emb, "vec_id",
+                        "embedding", qv, [], k=1, shortlist=5)
+    with pytest.raises(ValueError, match="c >= 1"):
+        hybrid_rrf_topk(docs, "doc_id", "text", emb, "vec_id",
+                        "embedding", qv, ["alpha"], k=1, shortlist=5,
+                        c=-5)
+
+    nanv = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]),
+         (3, [float("nan"), 1.0])],
+        "vec_id long, embedding array<double>")
+    sweep = cosine_threshold_sweep(nanv, "vec_id", "embedding",
+                                   target_rows=10)
+    rows = sweep.collect()
+    # only the (1,2) pair survives; the NaN vector is excluded
+    assert sum(r.n_pairs for r in rows) == 1
+
+    dup = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(4)]
+        + [(10 + i, [0.0, 1.0]) for i in range(4)],
+        "vec_id long, embedding array<double>")
+    # n_lists=2 over two tight duplicate piles -> possibly duplicate
+    # centroids; stable assignment must keep each pile co-listed so
+    # every query finds its identical neighbors at nprobe=1
+    got = topk_ann_ivf(dup, dup, k=2, n_lists=2, nprobe=1)
+    per_q = {r.query_id for r in got.collect()}
+    assert per_q == {r.vec_id for r in dup.collect()}
