@@ -6175,13 +6175,20 @@ _PRIORITY_R15 = [
     # in this fold above.  embedding_threshold_sweep's twin gained
     # the NaN-vector exclusion (NaN l2 > 0 is TRUE both engines — a
     # NaN pair hard-crashed the DuckDB cast; r15 similarity sweep).
-    # Six untouched r10-cohort keys (query_incremental_agg,
+    # The r15 text sweep changed two more twins: CANON_URL_SQL
+    # (tracking-param runs collapse in one pass — the 5-param GA set
+    # previously left extras; default ports drop behind password
+    # userinfo; a trailing '/' inside a query VALUE is preserved) and
+    # WORD_REPETITION_RATIO_SQL (non-whitespace-run tokens — the
+    # phantom empty token under-reported repetition), so dedup_url
+    # and text_signals re-certify too.  Eight untouched r10-cohort
+    # keys (query_heavy_hitters, query_incremental_agg,
     # query_join_broadcast, query_lag_features, query_percentiles,
-    # query_pruned_agg, query_quantile_bins) are displaced below the
-    # fold in exchange and lead the r16 rotation.
+    # query_pruned_agg, query_quantile_bins, query_rollup) are
+    # displaced below the fold in exchange and lead the r16 rotation.
     "events_densify", "query_target_encoding", "query_histogram",
     "events_retention", "events_cohort_value",
-    "embedding_threshold_sweep",
+    "embedding_threshold_sweep", "dedup_url", "text_signals",
     # --- round-10 evidence, oldest first (alphabetical within);
     # fill to the 50-key fold ---
     "events_attribution", "events_bursts", "events_conformance",
@@ -6190,15 +6197,15 @@ _PRIORITY_R15 = [
     "ops_file_audit", "ops_metadata_files", "ops_orphan_files",
     "privacy_l_diversity", "privacy_pseudonymize",
     "quality_expectations", "query_bloom_join", "query_bucketed_join",
-    "query_decimal_agg", "query_geo_join", "query_heavy_hitters",
-    "query_rollup",
+    "query_decimal_agg", "query_geo_join",
     # ---- fold: the driver checks the 50 above ----
     # below the fold, r16 rotation order: the round-10 remainder
     # (they reach the 5-round freshness budget at r16 — refresh them
-    # FIRST; the six displaced above lead), then the round-11 cohort
-    "query_incremental_agg",
+    # FIRST; the eight displaced above lead), then the round-11
+    # cohort
+    "query_heavy_hitters", "query_incremental_agg",
     "query_join_broadcast", "query_lag_features", "query_percentiles",
-    "query_pruned_agg", "query_quantile_bins",
+    "query_pruned_agg", "query_quantile_bins", "query_rollup",
     "query_rollup_grains", "query_unpivot", "query_window_topk",
     "query_windowed_distinct", "sample_hash", "sample_mixture",
     "sample_split", "sample_temperature", "similarity_int8_topk",

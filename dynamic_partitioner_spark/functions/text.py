@@ -168,16 +168,31 @@ DIGIT_RATIO_SQL = ("CAST(len(regexp_extract_all({c}, '[0-9]')) AS DOUBLE)"
 def word_repetition_ratio(c: Column) -> Column:
     """Fraction of tokens that repeat an earlier token (1 − distinct/
     total) — the cheap duplicate-content signal (Gopher's repeated-
-    n-gram family, at n=1)."""
-    toks = F.split(F.trim(F.lower(c)), _WS_RUN)
-    return (F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double")
-            / F.greatest(F.size(toks), F.lit(1)))
+    n-gram family, at n=1).
 
+    Tokens are NON-whitespace runs (the :func:`token_count`
+    convention): the old split-on-trim form left a phantom empty
+    token for any doc with leading/trailing tabs/newlines (``trim``
+    strips only spaces), which counted as an extra distinct "word"
+    and systematically under-reported repetition — 'a a\\n' scored
+    0.3333 instead of 0.5 on BOTH engine sides, so a Gopher-style
+    gate passed boilerplate it should reject (r15 review).  An empty
+    or whitespace-only doc scores 0.0 (nothing repeats)."""
+    toks = F.regexp_extract_all(F.lower(c), F.lit(_NONWS_RUN), 0)
+    return (F.when(F.size(toks) == 0, F.lit(0.0))
+            .otherwise(F.lit(1.0)
+                       - F.size(F.array_distinct(toks)).cast("double")
+                       / F.size(toks)))
+
+
+_NONWS_RUN = "[^ \\t\\n\\r]+"
 
 WORD_REPETITION_RATIO_SQL = (
-    "1.0 - CAST(len(list_distinct(string_split_regex(trim(lower({c})), "
-    "'[ \\t\\n\\r]+'))) AS DOUBLE) / greatest(len(string_split_regex("
-    "trim(lower({c})), '[ \\t\\n\\r]+')), 1)")
+    "CASE WHEN len(regexp_extract_all(lower({c}), '[^ \\t\\n\\r]+')) = 0"
+    " THEN 0.0 ELSE"
+    " 1.0 - CAST(len(list_distinct(regexp_extract_all(lower({c}),"
+    " '[^ \\t\\n\\r]+'))) AS DOUBLE)"
+    " / len(regexp_extract_all(lower({c}), '[^ \\t\\n\\r]+')) END")
 
 
 # ---------------------------------------------------------------- lang id
@@ -388,18 +403,31 @@ _TRACK = r"(utm_[a-z0-9]*|fbclid|gclid|msclkid|ref)"
 def canonicalize_url(c: Column) -> Column:
     """Canonical form of a URL for dedup/aggregation:
 
-    1. scheme + host lowercased (path/query case preserved),
+    1. the whole AUTHORITY lowercased (scheme, any userinfo, host —
+       path/query case preserved).  The canonical form is a DEDUP
+       KEY, not a usable URL: userinfo is case-sensitive per RFC
+       3986, so treat the output as an identity, never as an address
+       (r15 review — the lowercasing deliberately collapses
+       ``Alice@h`` and ``alice@h``),
     2. the scheme's OWN default port dropped (``:80`` for http,
        ``:443`` for https — ``https://h:80/`` is a distinct resource
-       and keeps its port),
+       and keeps its port), including behind a userinfo whose
+       password part contains ``:`` (r15 review),
     3. fragment (``#...``) dropped,
     4. tracking params (``utm_*``, ``fbclid``, ``gclid``, ``msclkid``,
        ``ref``) dropped without ever touching the ``?`` separator:
-       non-leading params strip with their ``&``; a leading param
+       non-leading params strip with their ``&`` — a consecutive RUN
+       strips in one pass, and up to 4 SEPARATED groups (tracking
+       params split apart by surviving params) are handled; beyond
+       that the extras remain (documented bound; crawl-shaped URLs
+       carry their tracking params consecutively).  A leading param
        followed by survivors promotes the next param behind ``?``; a
        query that was ONLY tracking params disappears.  Ampersands in
        the path (no query present) are never rewritten.
-    5. dangling ``?`` and trailing ``/`` dropped.
+    5. dangling ``?`` dropped; a trailing ``/`` dropped only when the
+       URL has NO query (a ``/`` ending a query VALUE is part of that
+       value — stripping it collapsed distinct resources, r15
+       review).
 
     Pure ``regexp_replace`` chain — codegen, RE2-safe (no lookaround,
     so the DuckDB twin applies the identical patterns; only the
@@ -409,17 +437,23 @@ def canonicalize_url(c: Column) -> Column:
         F.lower(F.regexp_extract(c, r"^((?i)https?://[^/?#]*)", 1)),
         F.regexp_replace(c, r"^(?i)https?://[^/?#]*", ""))
     u = F.regexp_replace(
-        u, r"^(http://[^/?#:]*):80([/?#][^\n]*)?\z", r"$1$2")
+        u, r"^(http://(?:[^/?#@]*@)?[^/?#:]*):80([/?#][^\n]*)?\z",
+        r"$1$2")
     u = F.regexp_replace(
-        u, r"^(https://[^/?#:]*):443([/?#][^\n]*)?\z", r"$1$2")
+        u, r"^(https://(?:[^/?#@]*@)?[^/?#:]*):443([/?#][^\n]*)?\z",
+        r"$1$2")
     u = F.regexp_replace(u, r"#[^\n]*\z", "")
     for _ in range(4):
+        # (?:...)+ collapses a consecutive run in ONE pass; the ^
+        # anchor bounds each pass to one match, so the 4 passes handle
+        # 4 SEPARATED groups (r15 review: the old single-param form
+        # capped at 4 params total — the 5-param GA set left extras)
         u = F.regexp_replace(
-            u, rf"^([^?#]*\?[^#]*?)&{_TRACK}=[^&#]*", r"$1")
+            u, rf"^([^?#]*\?[^#]*?)(?:&{_TRACK}=[^&#]*)+", r"$1")
     u = F.regexp_replace(u, rf"\?{_TRACK}=[^&#]*&", "?")
     u = F.regexp_replace(u, rf"\?{_TRACK}=[^&#]*\z", "")
     u = F.regexp_replace(u, r"\?\z", "")
-    u = F.regexp_replace(u, r"([^/])/\z", r"$1")
+    u = F.regexp_replace(u, r"^([^?#]*[^/])/\z", r"$1")
     return u
 
 
@@ -431,22 +465,25 @@ def _canon_url_sql(c: str) -> str:
     u = (f"(lower(regexp_extract({c}, '^((?i)https?://[^/?#]*)', 1)) || "
          f"regexp_replace({c}, '^(?i)https?://[^/?#]*', ''))")
     u = (f"regexp_replace({u}, "
-         f"'^(http://[^/?#:]*):80([/?#][^\\n]*)?\\z', '\\1\\2')")
+         f"'^(http://(?:[^/?#@]*@)?[^/?#:]*):80([/?#][^\\n]*)?\\z', "
+         f"'\\1\\2')")
     u = (f"regexp_replace({u}, "
-         f"'^(https://[^/?#:]*):443([/?#][^\\n]*)?\\z', '\\1\\2')")
+         f"'^(https://(?:[^/?#@]*@)?[^/?#:]*):443([/?#][^\\n]*)?\\z', "
+         f"'\\1\\2')")
     u = f"regexp_replace({u}, '#[^\\n]*\\z', '')"
     # anchored to a real '?' (r13 review: the unanchored &-rule ate
-    # path text); anchored rules match once per call, so the 4-pass
-    # bound mirrors the Spark chain exactly
+    # path text); anchored rules match once per call and the (?:...)+
+    # run-collapse mirrors the Spark chain exactly — 4 passes handle
+    # 4 SEPARATED tracking groups, a consecutive run strips in one
     for _ in range(4):
         u = (f"regexp_replace({u}, "
-             f"'^([^?#]*\\?[^#]*?)&{_TRACK}=[^&#]*', '\\1')")
+             f"'^([^?#]*\\?[^#]*?)(?:&{_TRACK}=[^&#]*)+', '\\1')")
     # 'g' matters: Spark's regexp_replace is always global, and a
     # literal '?' inside a query value gives this rule a second match
     u = f"regexp_replace({u}, '\\?{_TRACK}=[^&#]*&', '?', 'g')"
     u = f"regexp_replace({u}, '\\?{_TRACK}=[^&#]*\\z', '')"
     u = f"regexp_replace({u}, '\\?\\z', '')"
-    u = f"regexp_replace({u}, '([^/])/\\z', '\\1')"
+    u = f"regexp_replace({u}, '^([^?#]*[^/])/\\z', '\\1')"
     return u
 
 
