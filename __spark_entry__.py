@@ -6186,9 +6186,15 @@ _PRIORITY_R15 = [
     # query_join_broadcast, query_lag_features, query_percentiles,
     # query_pruned_agg, query_quantile_bins, query_rollup) are
     # displaced below the fold in exchange and lead the r16 rotation.
+    # The r15 sampling sweep changed two more twins: the temperature
+    # normalization now excludes NULL sources on BOTH sides (their
+    # quota mass was silently lost — unsampleable rows inflated S),
+    # and the epoch-shuffle shard clamps the documented u == 1.0 hash
+    # edge on BOTH sides (shard == n_shards escaped the [0, n) range).
     "events_densify", "query_target_encoding", "query_histogram",
     "events_retention", "events_cohort_value",
     "embedding_threshold_sweep", "dedup_url", "text_signals",
+    "sample_temperature", "sample_epoch_shuffle",
     # --- round-10 evidence, oldest first (alphabetical within);
     # fill to the 50-key fold ---
     "events_attribution", "events_bursts", "events_conformance",
@@ -6197,18 +6203,20 @@ _PRIORITY_R15 = [
     "ops_file_audit", "ops_metadata_files", "ops_orphan_files",
     "privacy_l_diversity", "privacy_pseudonymize",
     "quality_expectations", "query_bloom_join", "query_bucketed_join",
-    "query_decimal_agg", "query_geo_join",
     # ---- fold: the driver checks the 50 above ----
     # below the fold, r16 rotation order: the round-10 remainder
     # (they reach the 5-round freshness budget at r16 — refresh them
-    # FIRST; the eight displaced above lead), then the round-11
-    # cohort
+    # FIRST; the ten displaced above lead), then the round-11
+    # cohort.  sample_temperature and sample_epoch_shuffle moved UP
+    # into the fold (twin changes), so two r10 keys displace in
+    # exchange.
+    "query_decimal_agg", "query_geo_join",
     "query_heavy_hitters", "query_incremental_agg",
     "query_join_broadcast", "query_lag_features", "query_percentiles",
     "query_pruned_agg", "query_quantile_bins", "query_rollup",
     "query_rollup_grains", "query_unpivot", "query_window_topk",
     "query_windowed_distinct", "sample_hash", "sample_mixture",
-    "sample_split", "sample_temperature", "similarity_int8_topk",
+    "sample_split", "similarity_int8_topk",
     "sorted_export_zorder", "source_csv_roundtrip",
     "source_jsonl_roundtrip", "text_bpe_encode", "text_bpe_learn",
     "text_bpe_pairs", "text_entropy", "text_winnow",
@@ -8374,7 +8382,7 @@ def oracle_sql() -> dict[str, str]:
                        {SMP.hash_unit_sql("c_custkey", "epoch1")} AS u
                 FROM customer),
             s AS (SELECT c_custkey, c_name, u,
-                         CAST(floor(u * 8) AS BIGINT) AS shard
+                         CAST(least(floor(u * 8), 7) AS BIGINT) AS shard
                   FROM d)
             SELECT c_custkey, c_name, shard,
                    CAST(row_number() OVER (PARTITION BY shard

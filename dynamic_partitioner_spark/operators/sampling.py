@@ -15,7 +15,9 @@ The hash unit is the first 15 hex chars (60 bits) of
 ``md5(salt || key)`` scaled to [0, 1) — md5 is the one hash both Spark
 and DuckDB expose, and 60 bits stays inside BIGINT in both engines
 (Spark ``conv(_, 16, 10)``, DuckDB ``CAST('0x' || _ AS BIGINT)``), so
-every sampling op ships with an exact SQL oracle twin.
+every sampling op ships with an exact SQL oracle twin — except
+:func:`negative_pairs`, whose shard assignment uses ``xxhash64``
+(absent in DuckDB) and is verified property-based instead.
 """
 
 from __future__ import annotations
@@ -25,6 +27,34 @@ from pyspark.sql import functions as F
 
 #: 2^60 — denominator for the 60-bit hash → [0, 1) unit interval
 _DENOM = float(1 << 60)
+
+
+def _sql_lit(v) -> str:
+    """Render a python value as a quoted SQL string literal with
+    quote-escaping — EVERY data-derived string spliced into a twin
+    goes through this (r15 review: the r14 salt-escaping fix covered
+    hash_unit_sql only; split names, stratum keys, source names and
+    importance targets still rendered raw, so a value like
+    \"o'reilly.com\" broke the rendered oracle while F.lit hashed it
+    fine).  Rendering is unchanged for quote-free values."""
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _hash60(key: Column, salt: str) -> Column:
+    """The 60-bit md5 BIGINT behind every draw — single authority
+    (r15 review: kfold_assign carried a verbatim copy, which is how
+    the r14 salt fix missed the inlined renders)."""
+    return F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), key.cast("string"))),
+        1, 15), 16, 10).cast("bigint")
+
+
+def _hash60_sql(str_expr: str, salt: str) -> str:
+    """DuckDB twin of :func:`_hash60` over an already-VARCHAR
+    expression; the salt is escaped into the literal (r14 review)."""
+    esc = salt.replace("'", "''")
+    return (f"CAST('0x' || substr(md5('{esc}' || {str_expr}), 1, 15) "
+            f"AS BIGINT)")
 
 
 def hash_unit(key: Column, salt: str = "") -> Column:
@@ -41,9 +71,7 @@ def hash_unit(key: Column, salt: str = "") -> Column:
     ``n`` edge or clamp, as ``weighted_sample`` clamps its own u=0
     edge.
     """
-    h = F.conv(F.substring(
-        F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15), 16, 10)
-    return h.cast("bigint") / F.lit(_DENOM)
+    return _hash60(key, salt) / F.lit(_DENOM)
 
 
 def hash_unit_sql(key: str, salt: str = "") -> str:
@@ -56,9 +84,7 @@ def hash_unit_sql(key: str, salt: str = "") -> str:
     # string literal (r14 review: a rotated secret salt containing a
     # quote broke the rendered oracle while the F.lit twin hashed it
     # fine); rendering is unchanged for quote-free salts.
-    esc = salt.replace("'", "''")
-    return (f"(CAST('0x' || substr(md5('{esc}' || "
-            f"CAST({key} AS VARCHAR)), 1, 15) AS BIGINT) "
+    return (f"({_hash60_sql(f'CAST({key} AS VARCHAR)', salt)} "
             f"/ 1152921504606846976.0)")
 
 
@@ -123,8 +149,9 @@ def split_assign_sql(key: str, weights: dict[str, float] | None = None,
     names = list(weights)
     for name in names[:-1]:
         acc += weights[name]
-        parts.append(f"WHEN {u} < {acc!r} THEN '{name}'")
-    return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
+        parts.append(f"WHEN {u} < {acc!r} THEN {_sql_lit(name)}")
+    return ("CASE " + " ".join(parts)
+            + f" ELSE {_sql_lit(names[-1])} END")
 
 
 def cap_per_group(df: DataFrame, group_col: str, key_col: str,
@@ -190,7 +217,7 @@ def stratified_sample_sql(table_cols: str, stratum: str, key: str,
     u = hash_unit_sql(key, salt)
     case = "CASE"
     for s, f in sorted(fractions.items()):
-        case += f" WHEN {stratum} = '{s}' THEN {float(f)!r}"
+        case += f" WHEN {stratum} = {_sql_lit(s)} THEN {float(f)!r}"
     case += f" ELSE {float(default_fraction)!r} END"
     return (f"SELECT {table_cols} FROM {from_table} "
             f"WHERE ({u}) < ({case})")
@@ -238,9 +265,10 @@ def mix_by_weights_sql(table_cols: str, source: str, key: str,
     engines agree bit-for-bit on every membership decision."""
     u = hash_unit_sql(key, salt)
     w_case = ("CASE " + " ".join(
-        f"WHEN {source} = '{s}' THEN {w!r}" for s, w in weights.items())
+        f"WHEN {source} = {_sql_lit(s)} THEN {w!r}"
+        for s, w in weights.items())
         + " ELSE NULL END")
-    in_list = ", ".join(f"'{s}'" for s in weights)
+    in_list = ", ".join(_sql_lit(s) for s in weights)
     # the IN filter is load-bearing: DuckDB's least() IGNORES NULLs
     # (least(1.0, NULL) = 1.0), so an unweighted source would otherwise
     # pass at rate 1 instead of being dropped
@@ -273,8 +301,15 @@ def temperature_mixture(df: DataFrame, source_col: str, key_col: str,
     """
     import math
 
+    # NULL-source rows are excluded from the NORMALIZATION, not just
+    # the draw: they can never be sampled (NULL equality in the WHEN
+    # chain; JOIN USING in the twin), so counting them inflated S and
+    # silently shrank every real source's quota — the output fell
+    # short of total_rows with no diagnostic (r15 review; the twin
+    # filters its _n CTE identically)
     counts = {r[0]: int(r[1])
-              for r in df.groupBy(source_col).count().collect()}
+              for r in df.where(F.col(source_col).isNotNull())
+              .groupBy(source_col).count().collect()}
     if not counts:
         raise ValueError("empty input: no sources to sample")
     w = {s: int(math.floor(math.sqrt(float(n)))) for s, n in counts.items()}
@@ -300,6 +335,7 @@ def temperature_mixture_sql(table_cols: str, source: str, key: str,
     u = hash_unit_sql(key, salt)
     return (
         f"WITH _n AS (SELECT {source}, count(*) AS n FROM {from_table} "
+        f"WHERE {source} IS NOT NULL "
         f"GROUP BY {source}), "
         f"_w AS (SELECT {source}, n, "
         f"CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM _n), "
@@ -359,9 +395,15 @@ def epoch_shuffle(df: DataFrame, key_col: str, n_shards: int = 8,
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
     u = hash_unit(F.col(key_col), f"epoch{epoch}")
+    # least(): hash_unit documents a ~6e-17/key u == 1.0 edge (the
+    # int64→double round-up) — unclamped, floor(1.0·n) emits shard ==
+    # n_shards, OUTSIDE the documented [0, n) range, and a consumer
+    # reading shards 0..n-1 silently drops the row (r15 review; the
+    # SQL twin clamps identically)
     out = df.where(F.col(key_col).isNotNull()) \
         .withColumn("_u", u).withColumn(
-        "shard", F.floor(F.col("_u") * n_shards).cast("long"))
+        "shard", F.least(F.floor(F.col("_u") * n_shards),
+                         F.lit(n_shards - 1)).cast("long"))
     w = Window.partitionBy("shard").orderBy("_u", key_col)
     return (out.withColumn("pos", F.row_number().over(w).cast("long"))
             .drop("_u"))
@@ -453,10 +495,23 @@ def poisson_bootstrap(df: DataFrame, key_col: str, value_col: str,
     # while adding nothing to the weighted sum (r13 review)
     df = df.where(F.col(key_col).isNotNull()
                   & F.col(value_col).isNotNull())
+    vd = F.col(value_col).cast("double") * 1e6 + F.lit(0.5)
+    # loud overflow guard (r15 review): past |value| ≈ 9.2e12 the
+    # micro-unit quantization exceeds 2^63 — Spark's double→long cast
+    # silently SATURATES into a plausible-looking wrong boot_mean
+    # while the DuckDB twin's CAST raises; raise here too (NaN values
+    # also land in the raise branch — a NaN metric must not enter the
+    # replicate sums silently)
+    v_ok = F.assert_true(
+        F.coalesce(F.abs(vd) < F.lit(9.2e18), F.lit(False)),
+        F.concat(F.lit("poisson_bootstrap: value "),
+                 F.col(value_col).cast("string"),
+                 F.lit(" overflows the 1e-6 micro-unit quantization "
+                       "(|value| must stay below ~9.2e12) — rescale")))
     reps = df.select(
         F.col(key_col).alias("_k"),
-        F.floor(F.col(value_col).cast("double") * 1e6 + F.lit(0.5))
-        .cast("long").alias("_v"),
+        F.coalesce(v_ok.cast("long"), F.floor(vd).cast("long"))
+        .alias("_v"),
         F.explode(F.sequence(F.lit(1), F.lit(n_replicates)))
         .alias("replicate"))
     u = hash_unit(F.concat(F.col("_k").cast("string"), F.lit("#"),
@@ -486,10 +541,12 @@ def poisson_bootstrap_sql(key: str, value: str, n_replicates: int = 10,
     """DuckDB twin of :func:`poisson_bootstrap` (identical thresholds,
     identical md5 unit draw)."""
     # hash_unit_sql would double-wrap the concatenated key in CAST(...
-    # AS VARCHAR); inline the draw with the key expression spliced in
-    u = (f"(CAST('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR) "
-         f"|| '#' || CAST(replicate AS VARCHAR)), 1, 15) AS BIGINT) "
-         f"/ 1152921504606846976.0)")
+    # AS VARCHAR); compose the string expression and share the
+    # escaped renderer (r15 review: this inline repeated the raw salt
+    # the r14 fix escaped in hash_unit_sql)
+    expr = (f"CAST({key} AS VARCHAR) "
+            f"|| '#' || CAST(replicate AS VARCHAR)")
+    u = f"({_hash60_sql(expr, salt)} / 1152921504606846976.0)"
     cases = " ".join(
         f"WHEN {u} < {c!r} THEN {k}"
         for k, c in enumerate(_POISSON1_CDF))
@@ -551,7 +608,22 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
     u = F.greatest(u, F.lit(1e-18))
     w = F.col(weight_col).cast("double")
     race = -F.log(u) / w
-    q = F.floor(race * 1e9 + F.lit(0.5)) / 1e9
+    scaled = race * 1e9 + F.lit(0.5)
+    # loud overflow guard (r15 review): below w ≈ 5e-9 the scaled race
+    # exceeds 2^63 and Spark's floor→LONG SATURATES (every such row
+    # collapses to one race_key, ordered by key instead of by weight)
+    # while the SQL twin's floor stays DOUBLE — a silent cross-engine
+    # membership divergence.  Raise instead; the condition tolerates
+    # NaN/NULL rows the where() below drops (coalesce-over-assert, so
+    # optimizer placement cannot surprise it — the quantize rule).
+    ok = F.assert_true(
+        F.coalesce(F.isnan(scaled) | (scaled < F.lit(9.2e18)),
+                   F.lit(True)),
+        F.concat(F.lit("weighted_sample: weight "), w.cast("string"),
+                 F.lit(" below ~5e-9 overflows the 1e-9 race "
+                       "quantization — rescale weights")))
+    q = F.coalesce(ok.cast("double"),
+                   F.floor(scaled).cast("double")) / 1e9
     return (df.where(F.col(key_col).isNotNull()
                      & (w > 0) & ~F.isnan(w))
             .withColumn("race_key", q)
@@ -592,8 +664,14 @@ def negative_pairs(df: DataFrame, id_col: str, k: int = 4,
     key.  Single-member shards have no valid partner and are excluded
     (at any real corpus size a hash shard is never a singleton).
 
-    Cross-engine exact: the only float op is ``floor(u·(size−1))`` on
-    the md5 unit draw — one multiply both engines run identically.
+    Determinism note: the offset draw is the md5 unit hash (exact in
+    any engine), but the SHARD assignment uses Spark's ``xxhash64``,
+    which DuckDB does not implement — so no exact SQL oracle twin
+    exists for this operator (the one exception to the module
+    header's twin rule; r15 review corrected the former
+    "cross-engine exact" claim, which covered only the offset).
+    Verification is property-based (pytest pins: never-self, k
+    partners per id, determinism across runs).
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -614,7 +692,12 @@ def negative_pairs(df: DataFrame, id_col: str, k: int = 4,
                      .alias("pair_idx")))
     u = hash_unit(F.concat(F.col("_id").cast("string"), F.lit("#"),
                            F.col("pair_idx").cast("string")), salt)
-    off = (F.floor(u * (F.col("_n") - 1)) + 1).cast("long")
+    # least(): at the documented u == 1.0 hash edge, floor(1·(n−1))+1
+    # = n wraps the ring back to the row's own rank — neg_id == id,
+    # violating the never-itself contract (r15 review); clamp to the
+    # last valid offset n−2 (+1 below); _n ≥ 2 by the singleton filter
+    off = (F.least(F.floor(u * (F.col("_n") - 1)),
+                   F.col("_n") - 2) + 1).cast("long")
     drawn = drawn.withColumn(
         "_neg_rn", (F.col("_rn") - 1 + off) % F.col("_n") + 1)
     neg = ranked.select(F.col("_shard"), F.col("_rn").alias("_neg_rn"),
@@ -754,16 +837,30 @@ def neyman_allocation(df: DataFrame, stratum_col: str, key_col: str,
 
     Returns one row per stratum: ``(stratum, n_rows, iqr, w, alloc,
     n_sampled, sampled_id_sum)`` — the id-sum is an exact BIGINT
-    membership checksum an oracle recomputes independently.
+    membership checksum an oracle recomputes independently, so
+    ``key_col`` must be an INTEGRAL column (validated loudly — a
+    string key silently cast to NULL and summed to a useless 0
+    checksum while the SQL twin's sum(VARCHAR) hard-errored,
+    r15 review).
 
     Scale shape: one map-side-combined corpus agg for the stats; the
     Hamilton window runs on the strata frame only; the draw is one
     window shuffle keyed on the stratum (cap_per_group's shape with a
     per-stratum limit broadcast in).
     """
+    from pyspark.sql.types import (ByteType, IntegerType, LongType,
+                                   ShortType)
+
     from ..functions.vectors import round4
 
     sc, kc, vc = stratum_col, key_col, value_col
+    key_dt = df.schema[kc].dataType
+    if not isinstance(key_dt, (ByteType, ShortType, IntegerType,
+                               LongType)):
+        raise ValueError(
+            f"neyman_allocation needs an integral key_col for the "
+            f"sampled_id_sum checksum; got {key_dt.simpleString()} — "
+            "hash or index string keys first")
     # key NOT NULL: the draw ranks by hash(key), and NULL draws sort
     # NULLS FIRST in Spark / NULLS LAST in DuckDB — opposite sample
     # memberships (r13 review).  NaN values excluded: one NaN makes
@@ -923,7 +1020,7 @@ def importance_weights_sql(stratum: str, targets_permille: dict[str, int],
                            from_table: str) -> str:
     """DuckDB twin of :func:`importance_weights` (same integer targets,
     same single division, same round4)."""
-    vals = ", ".join(f"('{k}', {v})"
+    vals = ", ".join(f"({_sql_lit(k)}, {v})"
                      for k, v in sorted(targets_permille.items()))
     return f"""
         WITH g AS (SELECT {stratum} AS s, count(*) AS n_rows
@@ -953,14 +1050,11 @@ def kfold_assign(df: DataFrame, key_col: str, k: int,
     NULL fold (explicitly unassigned)."""
     if k < 2:
         raise ValueError("k must be >= 2")
-    h = F.conv(F.substring(
-        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
-        1, 15), 16, 10).cast("bigint")
-    return df.withColumn("fold", (h % k).cast("long"))
+    return df.withColumn(
+        "fold", (_hash60(F.col(key_col), salt) % k).cast("long"))
 
 
 def kfold_assign_sql(key: str, k: int, salt: str = "fold") -> str:
     """DuckDB twin of :func:`kfold_assign`'s ``fold`` column (the
     60-bit value is non-negative, so both engines' `%` agree)."""
-    return (f"(CAST('0x' || substr(md5('{salt}' || "
-            f"CAST({key} AS VARCHAR)), 1, 15) AS BIGINT) % {k})")
+    return f"({_hash60_sql(f'CAST({key} AS VARCHAR)', salt)} % {k})"

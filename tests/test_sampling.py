@@ -620,3 +620,83 @@ def test_neyman_excludes_nan_values_and_null_keys(spark):
     r = neyman_allocation(df, "st", "k", "v", budget=4).collect()[0]
     assert r.n_rows == 8                  # NaN + NULL-key rows excluded
     assert r.n_sampled == 4
+
+
+def test_r15_sampling_hardening(spark):
+    """r15 module-review pins: (1) weighted_sample raises loudly on
+    weights below ~5e-9 instead of Spark-silently saturating the race
+    quantization to Long.MAX (while the SQL twin kept DOUBLE — a
+    silent membership divergence); (2) poisson_bootstrap raises on
+    values past the micro-unit range (Spark clamped silently, DuckDB
+    errored); (3) temperature_mixture excludes NULL sources from the
+    NORMALIZATION, not just the draw — their quota mass silently
+    shrank every real source's rate; (4) neyman_allocation rejects
+    non-integral keys (string keys summed to a useless 0 checksum);
+    (5) epoch_shuffle/negative_pairs clamp the documented u == 1.0
+    hash edge; (6) SQL-twin renders escape quotes in every
+    data-derived literal (split names, strata, sources, targets,
+    salts in the re-inlined renders)."""
+    import math
+
+    import pytest as _pytest
+
+    from dynamic_partitioner_spark.operators.sampling import (
+        importance_weights_sql, kfold_assign_sql, mix_by_weights_sql,
+        neyman_allocation, poisson_bootstrap, poisson_bootstrap_sql,
+        split_assign_sql, stratified_sample_sql, temperature_mixture,
+        weighted_sample)
+
+    tiny = spark.createDataFrame(
+        [(1, 1e-12), (2, 1.0)], "id long, w double")
+    with _pytest.raises(Exception, match="race quantization"):
+        weighted_sample(tiny, "id", "w", k=1).collect()
+
+    big = spark.createDataFrame(
+        [(1, 1e13)], "id long, v double")
+    with _pytest.raises(Exception, match="micro-unit"):
+        poisson_bootstrap(big, "id", "v", n_replicates=2).collect()
+
+    mixed = spark.createDataFrame(
+        [(None, i) for i in range(400)]
+        + [("a", 1000 + i) for i in range(100)],
+        "src string, id long")
+    out = temperature_mixture(mixed, "src", "id", total_rows=100)
+    rows = out.collect()
+    # NULL-source rows are unsampleable; with their mass excluded
+    # from S, source 'a' (the only real source) takes rate 1 and the
+    # full 100 rows survive (previously S included sqrt(400) and the
+    # output fell far short)
+    assert len(rows) == 100 and all(r.src == "a" for r in rows)
+
+    s_key = spark.createDataFrame(
+        [("s", "k1", 1.0)], "st string, k string, v double")
+    with _pytest.raises(ValueError, match="integral key_col"):
+        neyman_allocation(s_key, "st", "k", "v", budget=1)
+
+    from dynamic_partitioner_spark.operators.sampling import (
+        epoch_shuffle, negative_pairs)
+    ids = spark.createDataFrame([(i,) for i in range(200)], "id long")
+    sh = epoch_shuffle(ids, "id", n_shards=4, epoch=0)
+    assert set(r.shard for r in sh.collect()) <= {0, 1, 2, 3}
+    neg = negative_pairs(ids, "id", k=2, n_shards=4)
+    assert all(r.id != r.neg_id for r in neg.collect())
+
+    # twin renders survive quoted values (syntactically: DuckDB parses)
+    import duckdb
+    d = duckdb.connect()
+    d.execute("CREATE TABLE t (k VARCHAR, s VARCHAR, v DOUBLE)")
+    d.execute("INSERT INTO t VALUES ('a', 'o''reilly.com', 1.0)")
+    for sql in (
+        "SELECT " + split_assign_sql(
+            "k", {"tr'ain": 0.5, "te'st": 0.5}, salt="s'alt") + " FROM t",
+        stratified_sample_sql("k", "s", "k",
+                              {"o'reilly.com": 0.5}, from_table="t"),
+        mix_by_weights_sql("k", "s", "k", {"o'reilly.com": 1.0}, 10,
+                           from_table="t"),
+        importance_weights_sql("s", {"o'reilly.com": 500},
+                               from_table="t"),
+        "SELECT " + kfold_assign_sql("k", 3, salt="s'alt") + " FROM t",
+        poisson_bootstrap_sql("k", "v", 2, salt="s'alt",
+                              from_table="t"),
+    ):
+        d.execute(sql).fetchall()   # must parse and run
