@@ -24,7 +24,16 @@ from pyspark.sql import functions as F
 
 
 def normalized_key_column(name: str) -> Column:
-    """``trim(cast(c as string))`` with inline rejection of '/' and NULL."""
+    """``trim(cast(c as string))`` with inline rejection of '/', NUL
+    and NULL.
+
+    The NUL rejection is engine hardening BEYOND the reference (which
+    rejects only '/'): Hive's directory escaping starts at 0x01, so a
+    NUL would pass into the file system name raw, and the merge
+    paths' NUL-joined multi-field tuple encoding
+    (``_partition_member_filter``) would read ('a', 'b\\x00c') and
+    ('a\\x00b', 'c') as the same partition — a merge could rewrite
+    the wrong one (r15 review)."""
     s = F.trim(F.col(name).cast("string"))
     return (
         F.when(F.col(name).isNull(),
@@ -34,6 +43,10 @@ def normalized_key_column(name: str) -> Column:
               F.raise_error(F.concat(
                   F.lit(f"Invalid value for partition field '{name}': "),
                   s, F.lit(" (must not contain '/')"))))
+        .when(s.contains("\x00"),
+              F.raise_error(F.lit(
+                  f"Invalid value for partition field '{name}': "
+                  "must not contain NUL (0x00)")))
         .otherwise(s)
         .alias(name)
     )

@@ -49,6 +49,50 @@ class PartitionExistsError(RuntimeError):
     """CREATE-mode write would touch an already-existing partition."""
 
 
+def _rebalance_by_keys(df: DataFrame, cols: list[str]) -> DataFrame:
+    """AQE REBALANCE on the partition keys, or plain repartition on
+    Spark < 3.2 — which DROPS unknown hints with only a log warning
+    (no exception), so a try/except can't detect missing REBALANCE
+    support; gate on the version explicitly.  ONE implementation
+    (r15 review: the 8-line gate was duplicated verbatim in
+    write_partitioned and compact_partitions — the compaction copy
+    silently drifting would reproduce the small files it exists to
+    remove)."""
+    spark = df.sparkSession
+    major, minor = (int(x) for x in spark.version.split(".")[:2])
+    if (major, minor) >= (3, 2):
+        return df.hint("rebalance", *cols)
+    return df.repartition(*[F.col(c) for c in cols])
+
+
+def existing_touched_partitions(
+        spark: SparkSession, base_path: str, field_names: list[str],
+        tuples: list[tuple[str, ...]]) -> list[tuple[str, ...]]:
+    """Which of ``tuples`` already exist on disk — O(|tuples|)
+    ``fs.exists`` probes on writer-exact composed paths
+    (``hive_partition_path``, the same spelling authority the writer
+    and the emptied-partition pruner use) instead of a FULL recursive
+    walk of every partition directory (r15 review: a merge touching 3
+    partitions of a 500k-partition lake paid ~500k listStatus RPCs —
+    minutes of driver metadata latency per batch — where 3 probes
+    answer the question).  ``list_existing_partitions`` remains the
+    enumeration primitive for callers that genuinely need the full
+    set."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    base = base_path.rstrip("/")
+    jbase = jvm.org.apache.hadoop.fs.Path(base_path)
+    fs = jbase.getFileSystem(hconf)
+    if not fs.exists(jbase):
+        return []
+    out = []
+    for t in tuples:
+        rel = hive_partition_path(field_names, t)
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{base}/{rel}")):
+            out.append(t)
+    return out
+
+
 def list_existing_partitions(spark: SparkSession, base_path: str,
                              field_names: list[str]) -> set[tuple[str, ...]]:
     """Hive-layout partition discovery via the Hadoop FS API.
@@ -99,20 +143,28 @@ def write_partitioned(df: DataFrame, spec: SinkSpec, path: str | None = None) ->
 
     ndf = normalize_partition_keys(df, spec.field_names)
     if spec.stage_name is not None:
+        if STAGE_FIELD in ndf.columns:
+            # withColumn would silently OVERWRITE a caller's own
+            # _stage payload column with the literal stage name (and
+            # merge rewrites would re-stamp kept rows) — raise like
+            # the _z and derived-name clash paths do (r15 review)
+            raise SpecError(
+                f"input already has a column named {STAGE_FIELD!r}; "
+                "stage tagging would overwrite it — rename the "
+                "column or unset stage_name")
         ndf = ndf.withColumn(STAGE_FIELD, F.lit(spec.stage_name))
 
     if not spec.mode_is_append and not spec.overwrite_partitions:
-        existing = list_existing_partitions(spark, out, spec.field_names)
-        if existing:
-            incoming = {
-                tuple(str(r[f]) for f in spec.field_names)
-                for r in ndf.select(*spec.field_names).distinct().collect()
-            }
-            clash = incoming & existing
-            if clash:
-                raise PartitionExistsError(
-                    f"partitions already exist under {out}: {sorted(clash)[:5]}"
-                    f"{'...' if len(clash) > 5 else ''}")
+        # O(|incoming|) existence probes, not a full partition walk
+        # (r15 review): the clash question only concerns the keys this
+        # batch carries
+        incoming = _collect_key_tuples(ndf, spec.field_names)
+        clash = existing_touched_partitions(spark, out,
+                                            spec.field_names, incoming)
+        if clash:
+            raise PartitionExistsError(
+                f"partitions already exist under {out}: {sorted(clash)[:5]}"
+                f"{'...' if len(clash) > 5 else ''}")
 
     if spec.fmt == "avro" and not spark_avro_available(spark):
         # no spark-avro connector jar in this deployment — use the
@@ -126,14 +178,7 @@ def write_partitioned(df: DataFrame, spec: SinkSpec, path: str | None = None) ->
             overwrite_partitions=spec.overwrite_partitions)
 
     if spec.cluster_by_key:
-        # Spark < 3.2 DROPS unknown hints with only a log warning (no
-        # exception), so a try/except can't detect missing REBALANCE
-        # support — gate on the version explicitly
-        major, minor = (int(x) for x in spark.version.split(".")[:2])
-        if (major, minor) >= (3, 2):
-            ndf = ndf.hint("rebalance", *spec.field_names)
-        else:
-            ndf = ndf.repartition(*[F.col(c) for c in spec.field_names])
+        ndf = _rebalance_by_keys(ndf, spec.field_names)
 
     if spec.sort_within:
         # sorted write (Iceberg sorted-table / Delta OPTIMIZE shape):
@@ -202,7 +247,11 @@ def register_table(spark: SparkSession, spec: SinkSpec, path: str,
     spark.sql(f"DROP TABLE IF EXISTS {quoted}")
     spark.sql(f"CREATE TABLE {quoted} ({cols}) USING {spec.fmt} "
               f"PARTITIONED BY ({parts}) LOCATION '{loc}'")
-    spark.catalog.recoverPartitions(name)
+    # the QUOTED name: recoverPartitions parses its argument as a
+    # multipart identifier, so a name needing quoting (hyphens) would
+    # throw ParseException AFTER the table was created, aborting the
+    # idempotent registration half-done (r15 review)
+    spark.catalog.recoverPartitions(quoted)
     return name
 
 
@@ -250,21 +299,52 @@ def _partition_member_filter(field_names: list[str],
     """Column predicate selecting rows whose stringified partition
     tuple is in ``tuples`` — single-field via ``isin``, multi-field
     via a NUL-joined concat (NUL cannot appear in a partition value:
-    the key normalizer rejects it upstream).  ONE implementation for
-    the three merge paths (r13 review: the 5-line block was
-    copy-pasted into each, so a delimiter/escaping fix could drift)."""
+    the key normalizer rejects it upstream, like '/').  ONE
+    implementation for the three merge paths (r13 review: the 5-line
+    block was copy-pasted into each, so a delimiter/escaping fix
+    could drift).
+
+    Partition columns are COALESCED to '' first: the writer spells an
+    empty value ``__HIVE_DEFAULT_PARTITION__``, which Spark's READER
+    surfaces as NULL — without the coalesce, neither ``isin`` (NULL
+    never matches) nor ``concat_ws`` (which SKIPS null args) could
+    select the empty-string partition's current rows, so a merge
+    touching it silently DELETED every pre-existing row there (r15
+    review; the writer rejects NULL keys, so a read-back NULL is
+    unambiguously the written '')."""
+    cols = [F.coalesce(F.col(f).cast("string"), F.lit(""))
+            for f in field_names]
     if len(field_names) == 1:
-        return F.col(field_names[0]).isin([t[0] for t in tuples])
-    return F.concat_ws("\x00", *field_names).isin(
+        return cols[0].isin([t[0] for t in tuples])
+    return F.concat_ws("\x00", *cols).isin(
         ["\x00".join(t) for t in tuples])
+
+
+def _read_back_partitions_as_written(df: DataFrame,
+                                     field_names: list[str]) -> DataFrame:
+    """Map read-back NULL partition columns to '' — the writer spells
+    an empty value ``__HIVE_DEFAULT_PARTITION__`` and Spark's reader
+    surfaces that as NULL, but the writer's own normalizer REJECTS
+    NULL keys, so kept rows re-entering a merge rewrite would
+    otherwise raise (or, pre-r15, silently vanish from the member
+    filter).  One authority for the three merge paths."""
+    for f in field_names:
+        df = df.withColumn(
+            f, F.coalesce(F.col(f).cast("string"), F.lit("")))
+    return df
 
 
 def _collect_key_tuples(df: DataFrame,
                         field_names: list[str]) -> list[tuple[str, ...]]:
     """Distinct stringified partition tuples of ``df`` — driver-side,
     bounded by partition-key cardinality.  One implementation for the
-    merge paths (r13 review: previously inlined four times)."""
-    return [tuple(str(r[f]) for f in field_names)
+    merge paths (r13 review: previously inlined four times).  A NULL
+    read-back value maps to '' (the __HIVE_DEFAULT_PARTITION__
+    spelling — r15 review: ``str(None)`` produced the literal 'None',
+    a partition that never existed, so compact_tombstones silently
+    retained empty-partition tombstones forever)."""
+    return [tuple("" if r[f] is None else str(r[f])
+                  for f in field_names)
             for r in df.select(*field_names).distinct().collect()]
 
 
@@ -296,9 +376,14 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
 
     Caveats: like every file-level writer here, single-writer; and an
     update must carry its partition columns — moving a row BETWEEN
-    partitions updates the target partition but leaves the old copy in
-    the source partition (delete-from-old-partition needs a table
-    format's delete vectors; document or pre-delete explicitly).
+    partitions updates the target partition and ALWAYS leaves the old
+    copy in the source partition: replacement matches on
+    (key, partition tuple), so the outcome is deterministic and never
+    depends on what else shares the batch (r15 review: the old
+    key-only anti-join deleted the source copy exactly when an
+    unrelated row happened to co-touch that partition — same logical
+    operation, two different table states).  Delete-from-old-partition
+    needs a table format's delete vectors; pre-delete explicitly.
     """
     spec.validate(updates.schema)
     ndf = normalize_partition_keys(updates, spec.field_names)
@@ -312,8 +397,9 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
     if del_ndf is not None:
         touch_src = touch_src.union(del_ndf.select(*spec.field_names))
     touched = _collect_key_tuples(touch_src, spec.field_names)
-    existing = list_existing_partitions(spark, path, spec.field_names)
-    affected = [t for t in touched if t in existing]
+    # O(|touched|) probes, not a full partition walk (r15 review)
+    affected = existing_touched_partitions(spark, path,
+                                           spec.field_names, touched)
     merged = ndf
     if affected:
         # merge_schema: the touched partitions may hold columns the
@@ -325,12 +411,22 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
         current = read_partitioned(spark, path, spec.fmt,
                                    merge_schema=True)
         flt = _partition_member_filter(spec.field_names, affected)
-        drop_keys = ndf.select(*key_cols)
+        # anti-join on (key, PARTITION tuple): a key-only anti-join
+        # removed a moved key's old copy only when its source
+        # partition was co-affected by unrelated batch rows — the
+        # documented leaves-the-old-copy caveat held or not depending
+        # on batch contents (r15 review).  Read-back partition cols
+        # coalesce to '' for the __HIVE_DEFAULT_PARTITION__ spelling,
+        # matching the normalized batch side.
+        anti_cols = list(dict.fromkeys([*key_cols, *spec.field_names]))
+        drop_keys = ndf.select(*anti_cols)
         if del_ndf is not None:
-            drop_keys = drop_keys.union(del_ndf.select(*key_cols))
-        keep = (current.where(flt)
+            drop_keys = drop_keys.union(del_ndf.select(*anti_cols))
+        cur_keyed = _read_back_partitions_as_written(
+            current.where(flt), spec.field_names)
+        keep = (cur_keyed
                 .join(F.broadcast(drop_keys.distinct()),
-                      key_cols, "left_anti"))
+                      anti_cols, "left_anti"))
         # unionByName keeps evolved columns (null-filled on whichever
         # side lacks them) instead of projecting them away
         merged = ndf.unionByName(keep, allowMissingColumns=True)
@@ -421,8 +517,9 @@ def merge_cdc(spark: SparkSession, path: str, changes: DataFrame,
                          keep_deletes=True)
     wn = normalize_partition_keys(winners, spec.field_names)
     touched = _collect_key_tuples(wn, spec.field_names)
-    existing = list_existing_partitions(spark, path, spec.field_names)
-    affected = [t for t in touched if t in existing]
+    # O(|touched|) probes, not a full partition walk (r15 review)
+    affected = existing_touched_partitions(spark, path,
+                                           spec.field_names, touched)
     combined = wn
     if affected:
         # merge_schema + unionByName: same schema-evolution hazard as
@@ -432,9 +529,13 @@ def merge_cdc(spark: SparkSession, path: str, changes: DataFrame,
                                    merge_schema=True)
         flt = _partition_member_filter(spec.field_names, affected)
         # current already carries op (tombstones included) — it competes
-        # on equal footing with the batch winners
-        combined = wn.unionByName(current.where(flt),
-                                  allowMissingColumns=True)
+        # on equal footing with the batch winners; partition cols map
+        # NULL -> '' so stored empty-partition rows both compete AND
+        # survive the writer's NULL-rejecting normalizer (r15 review)
+        combined = wn.unionByName(
+            _read_back_partitions_as_written(current.where(flt),
+                                             spec.field_names),
+            allowMissingColumns=True)
     merged = cdc_latest(combined, key_cols, seq_col, op_col, delete_op,
                         keep_deletes=True)
     spec.validate(merged.schema)
@@ -482,9 +583,10 @@ def compact_tombstones(spark: SparkSession, path: str, spec: SinkSpec,
                                 spec.field_names)
     if not holds:
         return path
-    merged = (current.where(_partition_member_filter(spec.field_names,
-                                                     holds))
-              .where(~expirable))
+    merged = _read_back_partitions_as_written(
+        current.where(_partition_member_filter(spec.field_names,
+                                               holds))
+        .where(~expirable), spec.field_names)
     return _overwrite_and_prune(spark, path, spec, merged, holds)
 
 
@@ -540,15 +642,7 @@ def compact_partitions(spark: SparkSession, path: str, fmt: str = "parquet",
                  and f.name in discovered]
     if not part_cols:
         raise ValueError(f"no Hive partition columns discovered under {path}")
-    # same version gate as write_partitioned: Spark < 3.2 DROPS the
-    # unknown REBALANCE hint with only a log warning, which would make
-    # the compaction silently rewrite with input-split parallelism and
-    # reproduce the small files it exists to remove (r13 review)
-    major, minor = (int(x) for x in spark.version.split(".")[:2])
-    if (major, minor) >= (3, 2):
-        ndf = df.hint("rebalance", *part_cols)
-    else:
-        ndf = df.repartition(*[F.col(c) for c in part_cols])
+    ndf = _rebalance_by_keys(df, part_cols)
     (ndf.write.mode("overwrite")
      .option("maxRecordsPerFile", str(target_rows_per_file))
      .partitionBy(*part_cols).format(fmt).save(tmp_path))

@@ -5,6 +5,7 @@ purchase fixture, plus key-normalization and mode semantics.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 
 import pytest
@@ -1132,3 +1133,110 @@ def test_empty_partition_value_spells_default_partition(spark, tmp_path):
     import os
     dirs = [d for d in os.listdir(out) if d.startswith("f=")]
     assert dirs == [f"f={DEFAULT_PARTITION_NAME}"]
+
+
+def test_r15_merge_preserves_empty_string_partition(spark, tmp_path):
+    """r15 review: the merge member filter compared composed ''
+    tuples against read-back partition columns that Spark surfaces
+    as NULL for __HIVE_DEFAULT_PARTITION__ — isin never matched and
+    concat_ws SKIPPED the null — so a merge touching the
+    empty-string partition silently DELETED every pre-existing row
+    there.  Also pins _collect_key_tuples mapping read-back NULL to
+    '' (not the literal 'None')."""
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        merge_upsert, write_partitioned)
+    from dynamic_partitioner_spark.sources.read import read_partitioned
+
+    out = str(tmp_path / "t")
+    spec = SinkSpec(name="t", field_names=["f"])
+    base = spark.createDataFrame(
+        [("", 1, "keep"), ("", 2, "old"), ("a", 3, "other")],
+        "f string, k long, v string")
+    write_partitioned(base, spec, out)
+    upd = spark.createDataFrame([("", 2, "new")],
+                                "f string, k long, v string")
+    merge_upsert(spark, out, upd, spec, key_cols=["k"])
+    got = {(r.k, r.v) for r in
+           read_partitioned(spark, out, "parquet").collect()}
+    # row k=1 SURVIVES the empty-partition rewrite; k=2 replaced
+    assert got == {(1, "keep"), (2, "new"), (3, "other")}
+
+
+def test_r15_moved_key_old_copy_always_survives(spark, tmp_path):
+    """r15 review: the key-only anti-join deleted a moved key's old
+    copy exactly when unrelated batch rows co-touched its source
+    partition — same logical merge, two different table states.  The
+    anti-join now matches on (key, partition tuple), so the
+    documented leaves-the-old-copy caveat holds deterministically."""
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        merge_upsert, write_partitioned)
+    from dynamic_partitioner_spark.sources.read import read_partitioned
+
+    out = str(tmp_path / "t")
+    spec = SinkSpec(name="t", field_names=["f"])
+    base = spark.createDataFrame(
+        [("p1", 10, "orig"), ("p1", 11, "bystander")],
+        "f string, k long, v string")
+    write_partitioned(base, spec, out)
+    # k=10 moves p1 -> p2, AND another row co-touches p1
+    upd = spark.createDataFrame(
+        [("p2", 10, "moved"), ("p1", 11, "updated")],
+        "f string, k long, v string")
+    merge_upsert(spark, out, upd, spec, key_cols=["k"])
+    got = {(r.f, r.k, r.v) for r in
+           read_partitioned(spark, out, "parquet").collect()}
+    # the old copy in p1 survives even though p1 was co-affected
+    assert got == {("p1", 10, "orig"), ("p2", 10, "moved"),
+                   ("p1", 11, "updated")}
+
+
+def test_r15_nul_key_stage_clash_and_probe_parity(spark, tmp_path):
+    """r15 review pins: NUL in a partition value refuses loudly (the
+    NUL-joined merge tuple encoding would alias distinct tuples);
+    stage tagging refuses to overwrite a caller's own _stage column;
+    existing_touched_partitions (O(probes)) agrees with the full
+    listing walk, __HIVE_DEFAULT_PARTITION__ included; register_table
+    passes the SAME quoted identifier to recoverPartitions it used
+    for DROP/CREATE (a dotted name exercises the multipart parse;
+    the session catalog itself rejects names needing quoting, so
+    consistency is the testable contract)."""
+    import pytest as _pytest
+
+    from dynamic_partitioner_spark.operators.partitioned_write import (
+        existing_touched_partitions, list_existing_partitions,
+        register_table, write_partitioned)
+    from dynamic_partitioner_spark.spec import SpecError
+
+    out = str(tmp_path / "t")
+    spec = SinkSpec(name="t", field_names=["f"])
+    with _pytest.raises(Exception, match="NUL"):
+        write_partitioned(
+            spark.createDataFrame([("a\x00b", 1)], "f string, x int"),
+            spec, str(tmp_path / "nul"))
+
+    staged = dataclasses.replace(spec, stage_name="ingest")
+    with _pytest.raises(SpecError, match="_stage"):
+        write_partitioned(
+            spark.createDataFrame([("a", 1, "mine")],
+                                  "f string, x int, _stage string"),
+            staged, str(tmp_path / "st"))
+
+    write_partitioned(
+        spark.createDataFrame([("", 1), ("a", 2)], "f string, x int"),
+        spec, out)
+    walk = list_existing_partitions(spark, out, ["f"])
+    assert walk == {("",), ("a",)}
+    probed = existing_touched_partitions(
+        spark, out, ["f"], [("",), ("a",), ("missing",)])
+    assert set(probed) == walk
+
+    register_table(spark, spec, out, table_name="default.r15_probe_tbl")
+    try:
+        assert spark.sql("SELECT count(*) FROM default.r15_probe_tbl") \
+            .collect()[0][0] == 2
+        # the empty-string partition is recovered too
+        assert spark.sql(
+            "SELECT count(*) FROM default.r15_probe_tbl "
+            "WHERE f IS NULL OR f = ''").collect()[0][0] == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS default.r15_probe_tbl")
