@@ -258,20 +258,33 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str, sig_col: str = "sig",
     # otherwise hash EMPTY slices shared by every doc — one degenerate
     # bucket of the whole corpus (n²/2 pairs in uncapped mode).  The
     # wrapper validated against its own k; the public entry point must
-    # too (r15 review).  Plain .first() (no sort): signatures are
-    # fixed-k by construction, so ANY row's length is THE length and
-    # the probe stops at the first non-empty partition
-    probe = (sig_df.where(F.col(sig_col).isNotNull())
-             .select(F.size(F.col(sig_col)).alias("_k")).first())
-    if probe is not None and bands * rows_per_band > probe["_k"]:
-        raise ValueError(
-            f"bands×rows_per_band = {bands * rows_per_band} exceeds "
-            f"the signature length {probe['_k']}: trailing bands "
-            "would hash empty slices shared by every doc")
+    # too (r15 review).  IN-PLAN assert, not a driver probe: an eager
+    # .first() here re-ran the upstream shingle+signature pipeline as
+    # an extra job per call, measurably slowing every minhash-chain
+    # key (r15 bench) — the coalesce-over-assert rides the first
+    # band's hash at zero extra jobs and raises at execution with the
+    # same named error.  NULL signatures pass (coalesce True) and
+    # bucket like before.
+    sig_len_ok = F.assert_true(
+        F.coalesce(F.size(F.col(sig_col))
+                   >= F.lit(bands * rows_per_band), F.lit(True)),
+        F.concat(
+            F.lit(f"lsh_candidate_pairs: bands×rows_per_band = "
+                  f"{bands * rows_per_band} exceeds the signature "
+                  f"length "),
+            F.size(F.col(sig_col)).cast("string"),
+            F.lit(": trailing bands would hash empty slices shared "
+                  "by every doc")))
     band_entries = F.array(*[
         F.struct(F.lit(j).alias("band_idx"),
-                 F.xxhash64(F.slice(F.col(sig_col), j * rows_per_band + 1,
-                                    rows_per_band)).alias("band_hash"))
+                 (F.coalesce(sig_len_ok.cast("long"),
+                             F.xxhash64(F.slice(
+                                 F.col(sig_col), j * rows_per_band + 1,
+                                 rows_per_band)))
+                  if j == 0 else
+                  F.xxhash64(F.slice(F.col(sig_col),
+                                     j * rows_per_band + 1,
+                                     rows_per_band))).alias("band_hash"))
         for j in range(bands)
     ])
     exploded = (sig_df.select(F.col(id_col), F.explode(band_entries).alias("b"))

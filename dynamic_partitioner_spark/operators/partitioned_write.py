@@ -65,6 +65,13 @@ def _rebalance_by_keys(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.repartition(*[F.col(c) for c in cols])
 
 
+def _base_path_exists(spark: SparkSession, base_path: str) -> bool:
+    """One FS metadata call — the fresh-target fast path."""
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(base_path)
+    return jp.getFileSystem(spark._jsc.hadoopConfiguration()).exists(jp)
+
+
 def existing_touched_partitions(
         spark: SparkSession, base_path: str, field_names: list[str],
         tuples: list[tuple[str, ...]]) -> list[tuple[str, ...]]:
@@ -157,14 +164,19 @@ def write_partitioned(df: DataFrame, spec: SinkSpec, path: str | None = None) ->
     if not spec.mode_is_append and not spec.overwrite_partitions:
         # O(|incoming|) existence probes, not a full partition walk
         # (r15 review): the clash question only concerns the keys this
-        # batch carries
-        incoming = _collect_key_tuples(ndf, spec.field_names)
-        clash = existing_touched_partitions(spark, out,
-                                            spec.field_names, incoming)
-        if clash:
-            raise PartitionExistsError(
-                f"partitions already exist under {out}: {sorted(clash)[:5]}"
-                f"{'...' if len(clash) > 5 else ''}")
+        # batch carries.  The base-existence check comes FIRST so the
+        # common fresh-target case stays one FS metadata call and
+        # never pays the distinct-collect job (r15 bench: losing this
+        # fast path slowed every CREATE-mode write)
+        if _base_path_exists(spark, out):
+            incoming = _collect_key_tuples(ndf, spec.field_names)
+            clash = existing_touched_partitions(
+                spark, out, spec.field_names, incoming)
+            if clash:
+                raise PartitionExistsError(
+                    f"partitions already exist under {out}: "
+                    f"{sorted(clash)[:5]}"
+                    f"{'...' if len(clash) > 5 else ''}")
 
     if spec.fmt == "avro" and not spark_avro_available(spark):
         # no spark-avro connector jar in this deployment — use the

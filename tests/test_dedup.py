@@ -802,8 +802,10 @@ def test_r15_loud_validation_and_column_preservation(spark):
     sigs = spark.createDataFrame(
         [(1, list(range(8))), (2, list(range(8)))],
         "doc_id long, sig array<long>")
-    with _pytest.raises(ValueError, match="signature length"):
-        DD.lsh_candidate_pairs(sigs, "doc_id", bands=8, rows_per_band=4)
+    # in-plan assert (zero extra jobs): raises at execution, not call
+    with _pytest.raises(Exception, match="signature length"):
+        DD.lsh_candidate_pairs(sigs, "doc_id", bands=8,
+                               rows_per_band=4).collect()
 
     new = spark.createDataFrame(
         [(1, "a", "keepme"), (2, "a", "keepme2"), (3, "b", "keepme3")],
