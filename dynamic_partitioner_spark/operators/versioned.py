@@ -35,6 +35,36 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: the batch-dir name pattern — SINGLE authority, shared by the
+#: writer's format string (``batch-{version:08d}``), the manifest's
+#: file→dir attribution regexp and :func:`is_batch_shaped`.  ``{8,}``
+#: not ``{8}``: the zero-padded width GROWS past version 10^8, and a
+#: width-exact pattern there would silently detach every file from
+#: its stats (manifest n_rows=0, read_pruned EMPTY) — the same
+#: 9th-digit scale the commit-log sort was made exact for (r13),
+#: but with a silent failure shape instead of a loud one (r15 review)
+_BATCH_SEG = r"batch-\d{8,}"
+
+
+def _write_json_atomic(target: str, payload: dict) -> None:
+    """Write-then-rename so a torn write never looks like a commit —
+    the ONE durability mechanism for every log mutation (commit,
+    compaction commit, vacuum floor); hardening it (fsync, checksums)
+    must happen here and nowhere else (r15 review: three copies had
+    already drifted into place)."""
+    tmp = target + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, target)
+
+
+def _require_commits(path: str) -> list[dict]:
+    """The non-empty commit log, or a loud FileNotFoundError."""
+    commits = _commits(path)
+    if not commits:
+        raise FileNotFoundError(f"no commits under {path}")
+    return commits
+
 
 def _check_local(path: str) -> None:
     """The commit log uses driver-local ``os`` I/O, so the table path
@@ -92,13 +122,8 @@ def versioned_write(df: DataFrame, path: str,
     # could never advance past the orphan
     df.write.mode("overwrite").parquet(os.path.join(path, batch))
     os.makedirs(_log_dir(path), exist_ok=True)
-    commit = {"version": version, "mode": mode, "dirs": [batch]}
-    # write-then-rename so a torn write never looks like a commit
-    final = os.path.join(_log_dir(path), f"{version:08d}.json")
-    tmp = final + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(commit, fh)
-    os.replace(tmp, final)
+    _write_json_atomic(os.path.join(_log_dir(path), f"{version:08d}.json"),
+                       {"version": version, "mode": mode, "dirs": [batch]})
     return version
 
 
@@ -107,9 +132,7 @@ def _visible_dirs(path: str, version: int | None = None) -> list[str]:
     with the same existence/vacuum validation ``read_version`` always
     had: appends accumulate, an overwrite starts a new visible set."""
     _check_local(path)
-    commits = _commits(path)
-    if not commits:
-        raise FileNotFoundError(f"no commits under {path}")
+    commits = _require_commits(path)
     latest = commits[-1]["version"]
     if version is None:
         version = latest
@@ -206,7 +229,7 @@ def snapshot_manifest(spark: SparkSession, path: str,
     base = df.select(
         *[F.col(c) for c in stat_cols],
         F.regexp_extract(F.col("_metadata.file_path"),
-                         r"/(batch-\d{8})/[^/]+$", 1).alias("batch_dir"),
+                         rf"/({_BATCH_SEG})/[^/]+$", 1).alias("batch_dir"),
         F.col("_metadata.file_name").alias("file_name"))
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in stat_cols:
@@ -382,10 +405,7 @@ def compact_snapshot(spark: SparkSession, path: str, target_rows: int,
         # only after the batch dir was created (r15 review)
         raise ValueError("max_concurrent_bins must be >= 1")
     _check_local(path)
-    commits = _commits(path)
-    if not commits:
-        raise FileNotFoundError(f"no commits under {path}")
-    source_version = commits[-1]["version"]
+    source_version = _require_commits(path)[-1]["version"]
     man = snapshot_manifest(spark, path, source_version)
     # one files-sized collect feeds BOTH the zero-row census and the
     # planner (over a local relation — the stats pass runs once)
@@ -449,13 +469,10 @@ def compact_snapshot(spark: SparkSession, path: str, target_rows: int,
         # list() materializes to re-raise the first worker error
         list(pool.map(_rewrite, sorted(bins)))
     os.makedirs(_log_dir(path), exist_ok=True)
-    commit = {"version": version, "mode": "overwrite", "dirs": [batch],
-              "compacted_from": source_version}
-    final = os.path.join(_log_dir(path), f"{version:08d}.json")
-    tmp = final + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(commit, fh)
-    os.replace(tmp, final)
+    _write_json_atomic(os.path.join(_log_dir(path), f"{version:08d}.json"),
+                       {"version": version, "mode": "overwrite",
+                        "dirs": [batch],
+                        "compacted_from": source_version})
     return version, executed
 
 
@@ -484,9 +501,7 @@ def read_changes(spark: SparkSession, path: str, since_version: int,
     the CHANGE volume, never the table size, and pruning/pushdown
     apply per branch."""
     _check_local(path)
-    commits = _commits(path)
-    if not commits:
-        raise FileNotFoundError(f"no commits under {path}")
+    commits = _require_commits(path)
     latest = commits[-1]["version"]
     if to_version is None:
         to_version = latest
@@ -494,28 +509,31 @@ def read_changes(spark: SparkSession, path: str, since_version: int,
         raise ValueError(
             f"bad change range ({since_version}, {to_version}]: "
             f"need 0 <= since <= to <= {latest}")
+    # compaction commits are pure LAYOUT changes — the row multiset is
+    # identical before and after (compact_snapshot certifies it), so
+    # the feed skips them exactly like Delta CDF treats OPTIMIZE
+    # (dataChange=false); only a TRUE overwrite removes rows and
+    # breaks an append-only feed (r15 review: before this, any
+    # nightly compaction hard-failed every incremental consumer).
+    # Filter them BEFORE the vacuum check: a vacuumed compaction
+    # commit's dirs are never read by the feed, so refusing the range
+    # for it would be a false refusal of a fully representable answer
+    # (r15 review — the old order did exactly that)
     sel = [c for c in commits
-           if since_version < c["version"] <= to_version]
+           if since_version < c["version"] <= to_version
+           and "compacted_from" not in c]
     floor = _vacuum_floor(path)
     gone = [c["version"] for c in sel if c["version"] < floor]
     if gone:
         raise ValueError(
             f"commit(s) {gone} in the change range were vacuumed "
             f"(retention floor is {floor})")
-    # compaction commits are pure LAYOUT changes — the row multiset is
-    # identical before and after (compact_snapshot certifies it), so
-    # the feed skips them exactly like Delta CDF treats OPTIMIZE
-    # (dataChange=false); only a TRUE overwrite removes rows and
-    # breaks an append-only feed (r15 review: before this, any
-    # nightly compaction hard-failed every incremental consumer)
-    ow = [c["version"] for c in sel if c["mode"] == "overwrite"
-          and "compacted_from" not in c]
+    ow = [c["version"] for c in sel if c["mode"] == "overwrite"]
     if ow:
         raise ValueError(
             f"change feed undefined across overwrite commit(s) {ow}: "
             "an append-only feed cannot represent removed rows — "
             "re-snapshot with read_version instead")
-    sel = [c for c in sel if "compacted_from" not in c]
     if not sel:
         # schema from the LATEST snapshot: to_version may be 0 or
         # below the vacuum floor, both unreadable as snapshots
@@ -557,9 +575,7 @@ def vacuum_versions(spark: SparkSession, path: str,
     This is an eager maintenance ACTION (like the write operators),
     not a lazy query: deletion happens before return."""
     _check_local(path)
-    commits = _commits(path)
-    if not commits:
-        raise FileNotFoundError(f"no commits under {path}")
+    commits = _require_commits(path)
     latest = commits[-1]["version"]
     if not 1 <= keep_from <= latest:
         raise ValueError(
@@ -597,11 +613,8 @@ def vacuum_versions(spark: SparkSession, path: str,
     # exactly the silent-partial-read window this module promises
     # not to have)
     floor = max(last_ow, prior_floor)
-    marker = os.path.join(_log_dir(path), "_vacuum.json")
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"floor": floor}, fh)
-    os.replace(tmp, marker)
+    _write_json_atomic(os.path.join(_log_dir(path), "_vacuum.json"),
+                       {"floor": floor})
     for c in commits:
         if c["version"] < last_ow:
             for d in c["dirs"]:
@@ -644,10 +657,11 @@ def find_orphans(spark: SparkSession, path: str) -> DataFrame:
 def is_batch_shaped(name: str) -> bool:
     """Whether a directory name matches the engine's own batch-dir
     pattern (a crashed write of THIS engine, recoverable by
-    re-commit) — the single authority for the pattern, shared with
-    the bench harness's writer-debris canary."""
+    re-commit) — the single authority for the pattern (``_BATCH_SEG``),
+    shared with the bench harness's writer-debris canary and the
+    manifest's file→dir attribution."""
     import re as _re
-    return bool(_re.fullmatch(r"batch-\d{8}", name))
+    return bool(_re.fullmatch(_BATCH_SEG, name))
 
 
 def unreferenced_dirs(path: str) -> list[str]:

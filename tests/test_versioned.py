@@ -697,3 +697,61 @@ def test_read_changes_skips_compaction_commits(spark, tmp_path):
                     mode="overwrite")                        # v5
     with pytest.raises(ValueError, match="overwrite"):
         read_changes(spark, p, 0)
+
+
+def test_read_changes_allows_vacuumed_compaction_in_range(
+        spark, tmp_path):
+    """r15 review pin: the feed never reads a compaction commit's
+    dirs, so a VACUUMED compaction in range must not refuse the
+    range — the old order ran the vacuum check before the
+    dataChange=false filter and falsely refused a fully
+    representable answer.  A vacuumed APPEND in range still refuses
+    (those rows are genuinely gone)."""
+    from dynamic_partitioner_spark.operators.versioned import (
+        compact_snapshot, read_changes, vacuum_versions)
+    p = str(tmp_path / "t")
+    # v1: one append staged as three files so compaction can merge
+    versioned_write(spark.range(9).repartition(3), p)
+    v2, _ = compact_snapshot(spark, p, target_rows=5)   # 3 -> 2 files
+    assert v2 == 2
+    v3, _ = compact_snapshot(spark, p, target_rows=100)  # 2 -> 1 file
+    assert v3 == 3
+    versioned_write(spark.range(20, 22).coalesce(1), p)  # v4 append
+    # floor at the last compaction: dirs of v1 and v2 are deleted
+    vacuum_versions(spark, p, keep_from=3)
+    # consumer checkpointed at v1: everything unread in range is
+    # either a compaction (skipped, dirs never read) or a live
+    # append — the feed must answer, not refuse
+    got = {(r.id, r._commit_version)
+           for r in read_changes(spark, p, 1).collect()}
+    assert got == {(20, 4), (21, 4)}
+    # from the beginning the range covers the VACUUMED APPEND v1 —
+    # those rows are gone, so the refusal is real and stays loud
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_changes(spark, p, 0)
+
+
+def test_batch_dir_width_grows_past_version_1e8(spark, tmp_path):
+    """r15 review pin: ``batch-{version:08d}`` grows to 9 digits at
+    version 10^8, and every consumer of the name — the manifest's
+    file→dir attribution, pruning, ``is_batch_shaped`` — must keep
+    matching it (a width-exact regexp would silently detach all
+    stats: n_rows=0, null bounds, read_pruned EMPTY)."""
+    import json as _json
+    import os as _os
+
+    from dynamic_partitioner_spark.operators.versioned import (
+        is_batch_shaped, read_pruned, snapshot_manifest)
+    p = str(tmp_path / "t")
+    batch = "batch-100000000"
+    spark.range(5).coalesce(1).write.parquet(_os.path.join(p, batch))
+    _os.makedirs(_os.path.join(p, "_log"))
+    with open(_os.path.join(p, "_log", "100000000.json"), "w") as fh:
+        _json.dump({"version": 100000000, "mode": "append",
+                    "dirs": [batch]}, fh)
+    assert is_batch_shaped(batch)
+    man = snapshot_manifest(spark, p, stat_cols=("id",)).collect()
+    assert len(man) == 1 and man[0].n_rows == 5
+    assert (man[0].min_id, man[0].max_id) == (0, 4)
+    got = {r.id for r in read_pruned(spark, p, {"id": (1, 3)}).collect()}
+    assert got == {1, 2, 3}
