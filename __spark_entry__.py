@@ -6191,10 +6191,17 @@ _PRIORITY_R15 = [
     # quota mass was silently lost — unsampleable rows inflated S),
     # and the epoch-shuffle shard clamps the documented u == 1.0 hash
     # edge on BOTH sides (shard == n_shards escaped the [0, n) range).
+    # The r15 zorder sweep changed zorder_key_sql (each input now
+    # CAST AS BIGINT like the Spark side's .cast("long") — a 32-bit
+    # DuckDB column overflowed at shift >= 31 while the Spark twin
+    # worked), which re-renders the two oracles built from it, so
+    # ops_zorder_layout and ops_pruned_read_zorder re-certify;
+    # query_bloom_join and query_bucketed_join displace in exchange.
     "events_densify", "query_target_encoding", "query_histogram",
     "events_retention", "events_cohort_value",
     "embedding_threshold_sweep", "dedup_url", "text_signals",
     "sample_temperature", "sample_epoch_shuffle",
+    "ops_zorder_layout", "ops_pruned_read_zorder",
     # --- round-10 evidence, oldest first (alphabetical within);
     # fill to the 50-key fold ---
     "events_attribution", "events_bursts", "events_conformance",
@@ -6202,14 +6209,16 @@ _PRIORITY_R15 = [
     "events_seq_lm", "mm_dedup_binary", "mm_tar_shards",
     "ops_file_audit", "ops_metadata_files", "ops_orphan_files",
     "privacy_l_diversity", "privacy_pseudonymize",
-    "quality_expectations", "query_bloom_join", "query_bucketed_join",
+    "quality_expectations",
     # ---- fold: the driver checks the 50 above ----
     # below the fold, r16 rotation order: the round-10 remainder
     # (they reach the 5-round freshness budget at r16 — refresh them
-    # FIRST; the ten displaced above lead), then the round-11
+    # FIRST; the twelve displaced above lead), then the round-11
     # cohort.  sample_temperature and sample_epoch_shuffle moved UP
     # into the fold (twin changes), so two r10 keys displace in
-    # exchange.
+    # exchange; query_bloom_join and query_bucketed_join displaced
+    # for the zorder twin re-certification the same way.
+    "query_bloom_join", "query_bucketed_join",
     "query_decimal_agg", "query_geo_join",
     "query_heavy_hitters", "query_incremental_agg",
     "query_join_broadcast", "query_lag_features", "query_percentiles",

@@ -41,8 +41,13 @@ def _check_width(n_cols: int, bits: int) -> None:
 def _check(cols: list[ColSpec], bits: int) -> None:
     _check_width(len(cols), bits)
     for _, lo, hi in cols:
-        if hi <= lo:
-            raise ValueError("each column needs hi > lo")
+        # `not (hi > lo)`, NOT `hi <= lo`: a NaN bound passes every
+        # comparison-based rejection (NaN <= x is false) and would
+        # silently quantize EVERY row to one bucket — clustering and
+        # pruning degrade to no-ops with no error (r15 review)
+        if not (hi > lo):
+            raise ValueError("each column needs hi > lo (and neither "
+                             "bound may be NaN)")
 
 
 def _quantize(col: str, lo: float, hi: float, n: int) -> Column:
@@ -126,7 +131,12 @@ def zorder_key(cols: list[str], bits: int = 8) -> Column:
 def zorder_key_sql(cols: list[str], bits: int = 8) -> str:
     """ANSI twin of :func:`zorder_key` (same mask + shared bit
     placement) — build oracles from THIS so the engines cannot
-    drift."""
+    drift.  Each input is CAST to BIGINT exactly like the Spark
+    side's ``.cast("long")``: without it, an INT32 column makes
+    DuckDB shift and sum in 32-bit — ``1 << 31`` already overflows
+    ("Out of Range"), so the default bits=8 with 4 columns errored
+    on any INTEGER input while the Spark twin worked (r15 review)."""
     _check_width(len(cols), bits)
     mask = (1 << bits) - 1
-    return _interleave_sql([f"({c}) & {mask}" for c in cols], bits)
+    return _interleave_sql(
+        [f"CAST({c} AS BIGINT) & {mask}" for c in cols], bits)

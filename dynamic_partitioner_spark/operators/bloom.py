@@ -74,7 +74,32 @@ def bloom_semi_join(fact: DataFrame, dim_keys: DataFrame, fact_col: str,
     exact semi join then shuffles only the survivors.  Result is
     exactly ``fact ⋉ dim_keys`` — false positives are removed by the
     verify join; false negatives cannot occur."""
+    # the filter hashes STRING renderings on both sides, so the two
+    # key columns must render identically: fact DOUBLE 28.0 vs dim
+    # INT 28 hashes "28.0" vs "28" — the row is dropped map-side even
+    # though the verify join (which COERCES 28.0 = 28) would match it,
+    # i.e. silent FALSE NEGATIVES, the one error class this operator
+    # promises never to produce.  Refuse loudly; the caller casts one
+    # side explicitly (r15 review)
+    ft = fact.schema[fact_col].dataType
+    dt = dim_keys.schema[dim_col].dataType
+    if ft != dt:
+        raise ValueError(
+            f"bloom_semi_join key types differ: {fact_col} is "
+            f"{ft.simpleString()} but {dim_col} is {dt.simpleString()}"
+            " — string-rendered hashes would silently drop coercible "
+            "matches; cast one side first")
+    if "_bk" in fact.columns:
+        # the probe key would overwrite and then drop the user's
+        # column (the write_zordered `_z` clash class; r15 review)
+        raise ValueError("fact already has a column named '_bk' "
+                         "(reserved for the probe key); rename it")
     bits = build_bloom(dim_keys, dim_col, n_bits=n_bits, n_hashes=n_hashes)
+    # ship the bit array ONCE per executor, not once per task: a
+    # closure-captured array is pickled into every task binary
+    # (n_bits/8 bytes × tens of thousands of scan tasks at 100 TB);
+    # a broadcast variable is the documented fix (r15 review)
+    bbits = fact.sparkSession.sparkContext.broadcast(bits)
 
     # cast the probe key JVM-side: a NULL anywhere in an Arrow batch
     # coerces pandas int64 → float64 and every key would hash as
@@ -83,10 +108,11 @@ def bloom_semi_join(fact: DataFrame, dim_keys: DataFrame, fact_col: str,
     keyed = fact.withColumn("_bk", F.col(fact_col).cast("string"))
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b = bbits.value
         for pdf in batches:
             keep = [
                 k is not None and all(
-                    bits[p] for p in _bit_positions(k, n_hashes, n_bits))
+                    b[p] for p in _bit_positions(k, n_hashes, n_bits))
                 for k in pdf["_bk"]]
             yield pdf[pd.Series(keep, index=pdf.index)]
 

@@ -30,11 +30,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def check_expectations(df: DataFrame, rules: list[tuple]) -> DataFrame:
+def check_expectations(df: DataFrame, rules: list[tuple],
+                       broadcast_refs: bool = True) -> DataFrame:
     """Evaluate ``rules`` against ``df`` → one row per rule:
     ``(rule_id, rule, col_name, n_violations)``; ``rule_id`` is the
     1-based position, so the output is stable and joinable against the
-    rule definition."""
+    rule definition.
+
+    ``broadcast_refs`` controls the fk anti-join's build side: the
+    default forces a broadcast (right for the usual small reference),
+    but a reference with hundreds of millions of distinct keys would
+    OOM the driver under a forced hint — pass ``False`` there and the
+    planner picks a shuffle anti-join instead (r15 review: the hint
+    was unconditional, contradicting the module's own 'broadcast when
+    the reference is small')."""
     if not rules:
         raise ValueError("check_expectations needs at least one rule")
 
@@ -66,8 +75,10 @@ def check_expectations(df: DataFrame, rules: list[tuple]) -> DataFrame:
             _, col, ref_df, ref_col = rule
             refs = (ref_df.where(F.col(ref_col).isNotNull())
                     .select(F.col(ref_col).alias(col)).distinct())
+            if broadcast_refs:
+                refs = F.broadcast(refs)
             orphans = (df.where(F.col(col).isNotNull())
-                       .join(F.broadcast(refs), col, "left_anti")
+                       .join(refs, col, "left_anti")
                        .agg(F.count(F.lit(1)).alias("n_violations")))
             other_rows.append(orphans.select(
                 F.lit(i).alias("rule_id"), F.lit(kind).alias("rule"),

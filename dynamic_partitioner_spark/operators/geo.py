@@ -41,16 +41,33 @@ def grid_distance_join(left: DataFrame, right: DataFrame,
     """
     if radius_u <= 0:
         raise ValueError("radius_u must be positive")
+    if left_id == right_id:
+        # the output would carry two columns with ONE name and the
+        # final select raises AMBIGUOUS_REFERENCE — refuse up front
+        # with the fix in hand (the natural self-join call; r15 review)
+        raise ValueError(
+            f"left_id and right_id are both {left_id!r}; for a "
+            "self-join alias one side's id column first "
+            "(e.g. right.withColumnRenamed(id, id + '_r'))")
     r = int(radius_u)
-    lcell = left.select(
+    # rows with a NULL coordinate can never satisfy the distance
+    # predicate (NULL dist² fails the <=), but concat_ws SKIPS null
+    # components, so they would collapse into degenerate shared cell
+    # ids ('' or a single number) and meet EVERY such row on the other
+    # side — unbounded spurious candidates discarded only after the
+    # join, breaking the bounded-by-local-density contract on dirty
+    # geo data.  Drop them before bucketing (r15 review)
+    coords_ok = F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
+    lcell = left.where(coords_ok).select(
         F.col(left_id), F.col(lat_col).alias("_lla"),
         F.col(lon_col).alias("_llo"),
         F.concat_ws(":", F.expr(f"`{lat_col}` div {r}"),
                     F.expr(f"`{lon_col}` div {r}")).alias("_cell"))
     # 3x3 neighborhood — dx/dy in {-1,0,1}
     offs = F.expr("explode(array(-1, 0, 1))")
-    rr = (right.select(F.col(right_id), F.col(lat_col).alias("_rla"),
-                       F.col(lon_col).alias("_rlo"))
+    rr = (right.where(coords_ok)
+          .select(F.col(right_id), F.col(lat_col).alias("_rla"),
+                  F.col(lon_col).alias("_rlo"))
           .withColumn("_dx", offs).withColumn("_dy", offs)
           .withColumn("_cell", F.concat_ws(
               ":",

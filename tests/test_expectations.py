@@ -42,3 +42,17 @@ def test_unknown_rule_and_empty_rules_raise(spark):
         check_expectations(df, [])
     with pytest.raises(ValueError):
         check_expectations(df, [("regexp", "id")])
+
+
+def test_fk_without_forced_broadcast_matches(spark):
+    """r15 review pin: the fk anti-join's broadcast hint is an option
+    (default on), not a hard-wired hint — a huge reference would OOM
+    the driver under a forced broadcast; counts are identical either
+    way."""
+    df = spark.createDataFrame([(1,), (2,), (9,)], "k long")
+    ref = spark.createDataFrame([(1,), (2,)], "rk long")
+    rules = [("fk", "k", ref, "rk")]
+    a = check_expectations(df, rules).collect()
+    b = check_expectations(df, rules, broadcast_refs=False).collect()
+    assert [r.n_violations for r in a] == [1]
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

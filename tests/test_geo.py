@@ -60,3 +60,31 @@ def test_int32_inputs_do_not_overflow(spark):
 def test_rejects_nonpositive_radius(spark):
     with pytest.raises(ValueError):
         _pairs(spark, [(0, 0)], [(0, 0)], 0)
+
+
+def test_null_coordinates_are_dropped_before_bucketing(spark):
+    """r15 review pin: concat_ws skips NULL components, so NULL-coord
+    rows collapsed into degenerate shared cells ('' or a bare
+    number) and met EVERY such row on the other side — unbounded
+    candidates on dirty data.  They can never satisfy the distance
+    predicate, so they are filtered before bucketing; results equal
+    the clean-data join."""
+    left = spark.createDataFrame(
+        [(0, 10, 10), (1, None, 10), (2, None, None), (3, 7000, None)],
+        "lid long, lat_u long, lon_u long")
+    right = spark.createDataFrame(
+        [(0, 12, 11), (1, None, None), (2, None, 10), (3, 7000, None)],
+        "rid long, lat_u long, lon_u long")
+    got = {(p.lid, p.rid) for p in
+           grid_distance_join(left, right, "lid", "rid",
+                              radius_u=100).collect()}
+    assert got == {(0, 0)}
+
+
+def test_self_join_with_identical_id_name_refuses_loudly(spark):
+    """r15 review pin: left_id == right_id would emit two columns
+    with one name (AMBIGUOUS_REFERENCE downstream at best) — refuse
+    up front with the aliasing fix in the message."""
+    df = spark.createDataFrame([(1, 5, 5)], "id long, lat_u long, lon_u long")
+    with pytest.raises(ValueError, match="alias"):
+        grid_distance_join(df, df, "id", "id")

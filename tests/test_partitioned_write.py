@@ -1240,3 +1240,62 @@ def test_r15_nul_key_stage_clash_and_probe_parity(spark, tmp_path):
             "WHERE f IS NULL OR f = ''").collect()[0][0] == 1
     finally:
         spark.sql("DROP TABLE IF EXISTS default.r15_probe_tbl")
+
+
+def test_bloom_semi_join_refuses_type_mismatch_and_key_clash(spark):
+    """r15 review pins: differing key types hash different string
+    renderings ('28.0' vs '28') — silent false negatives the
+    operator's contract forbids, so it refuses loudly; a fact column
+    named '_bk' would be overwritten and dropped (the write_zordered
+    '_z' clash class)."""
+    import pytest as _pytest
+
+    from dynamic_partitioner_spark.operators.bloom import bloom_semi_join
+    fact_d = spark.createDataFrame([(28.0,)], "k double")
+    dim_i = spark.createDataFrame([(28,)], "dk int")
+    with _pytest.raises(ValueError, match="types differ"):
+        bloom_semi_join(fact_d, dim_i, "k", "dk")
+    fact_clash = spark.createDataFrame([(1, "x")], "k long, _bk string")
+    dim_l = spark.createDataFrame([(1,)], "dk long")
+    with _pytest.raises(ValueError, match="_bk"):
+        bloom_semi_join(fact_clash, dim_l, "k", "dk")
+
+
+def test_zorder_rejects_nan_bounds(spark):
+    """r15 review pin: a NaN bound passes any comparison-based check
+    (NaN <= lo is false) and would silently quantize every row into
+    one bucket — clustering and pruning become no-ops with no error."""
+    import pytest as _pytest
+
+    from dynamic_partitioner_spark.functions.zorder import zorder_value
+    with _pytest.raises(ValueError, match="hi > lo"):
+        zorder_value([("x", float("nan"), 1.0)], bits=4)
+    with _pytest.raises(ValueError, match="hi > lo"):
+        zorder_value([("x", 0.0, float("nan"))], bits=4)
+
+
+def test_zorder_key_sql_works_on_int32_columns(spark):
+    """r15 review pin: zorder_key_sql now CASTs each input to BIGINT
+    like the Spark twin's .cast('long') — on a DuckDB INTEGER column
+    the shift/sum otherwise ran in 32-bit and overflowed at bit
+    position >= 31 ('Out of Range') while the Spark side worked."""
+    import duckdb
+    import pandas as pd
+
+    from dynamic_partitioner_spark.functions.zorder import (
+        zorder_key, zorder_key_sql)
+    # 4 cols x 8 bits -> top bit position 31: the 32-bit overflow zone
+    cols = ["a", "b", "c", "d"]
+    rows = [((i * 3) % 256, (i * 5) % 256, (i * 7) % 256,
+             (i * 11) % 256) for i in range(64)]
+    pdf = pd.DataFrame(rows, columns=cols)
+    want = duckdb.sql(
+        "SELECT " + ", ".join(cols)
+        + f", {zorder_key_sql(cols, 8)} AS z "
+        "FROM (SELECT CAST(a AS INTEGER) a, CAST(b AS INTEGER) b, "
+        "CAST(c AS INTEGER) c, CAST(d AS INTEGER) d FROM pdf)"
+    ).fetchall()
+    df = spark.createDataFrame(rows, "a int, b int, c int, d int")
+    got = [tuple(r) for r in
+           df.withColumn("z", zorder_key(cols, 8)).collect()]
+    assert sorted(got) == sorted(tuple(r) for r in want)
