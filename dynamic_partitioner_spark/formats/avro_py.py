@@ -76,12 +76,24 @@ def avro_schema_json(schema: T.StructType, name: str = "topLevelRecord") -> str:
     """Spark StructType → Avro record schema JSON (flat primitives;
     nullable fields become ``["null", T]`` unions, null-first like the
     reference's CDAP nullable-union convention)."""
+    import re as _re
     fields = []
     for f in schema.fields:
         if f.dataType not in _SPARK_TO_AVRO:
             raise ValueError(
                 f"avro_py supports flat primitive schemas; field "
                 f"'{f.name}' has unsupported type {f.dataType.simpleString()}")
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", f.name):
+            # the Avro spec's name rule (§Names): a column like
+            # 'order date' or '2col' would WRITE fine and round-trip
+            # through this module's own reader, but every conformant
+            # reader (spark-avro, fastavro, avro-tools) rejects the
+            # container's schema — corruption that only surfaces when
+            # the data leaves the engine (r15 review).  Fail at write.
+            raise ValueError(
+                f"field name {f.name!r} is not a valid Avro name "
+                "([A-Za-z_][A-Za-z0-9_]*); rename the column before "
+                "the Avro sink")
         at: object = _SPARK_TO_AVRO[f.dataType]
         if f.nullable:
             at = ["null", at]
@@ -406,13 +418,34 @@ def write_avro_partitioned(df: DataFrame, field_names: list[str],
                               (T.LongType, T.IntegerType,
                                T.ShortType, T.ByteType))]
 
+    clash = [c for c in (*float_cols, *int_cols)
+             if f"__null_{c}" in df.columns]
+    if clash:
+        # a real payload column named '__null_x' would duplicate the
+        # mask's label and crash pandas inside the per-group writer
+        # (duplicate-label indexing) — refuse loudly up front, the
+        # partitioned_write '_stage' clash pattern (r15 review).
+        # BEFORE the move-aside below: raising after it would strand
+        # every moved partition invisible with nothing written
+        # (r15 diff review)
+        raise ValueError(
+            f"columns {[f'__null_{c}' for c in clash]} collide with "
+            "the writer's internal null-mask labels; rename them")
+
     moved: list[tuple[str, str]] = []
+    collected_rels: set[str] = set()
     if overwrite_partitions:
-        import shutil
         keys = [tuple(str(r[f]) for f in field_names)
                 for r in df.select(*field_names).distinct().collect()]
+        # PHASE 1 — validate every target before renaming ANY: the old
+        # single pass raised on a leftover AFTER renaming earlier keys
+        # aside, stranding them invisible to readers with nothing
+        # written (r15 review)
+        renames: list[tuple[str, str]] = []
         for key in keys:
-            target = os.path.join(path, _hive_dir(field_names, key))
+            rel = _hive_dir(field_names, key)
+            collected_rels.add(rel)
+            target = os.path.join(path, rel)
             if os.path.isdir(target):
                 old = target.rstrip("/") + "._overwrite_old"
                 if os.path.isdir(old):
@@ -425,11 +458,29 @@ def write_avro_partitioned(df: DataFrame, field_names: list[str],
                         f"crashed mid-swap.  Inspect it against "
                         f"{target}, keep the good copy at {target}, "
                         "delete the other, then re-run")
+                renames.append((target, old))
+        # PHASE 2 — rename, rolling back on any OS failure so a
+        # partial move-aside never hides live partitions
+        try:
+            for target, old in renames:
                 os.rename(target, old)
                 moved.append((target, old))
+        except OSError:
+            for target, old in reversed(moved):
+                os.rename(old, target)
+            raise
 
     def write_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         rel = _hive_dir(field_names, key)
+        if any(seg.endswith("._overwrite_old") for seg in rel.split("/")):
+            # a legitimate VALUE ending in the move-aside marker would
+            # collide with the crash-recovery scheme: its files are
+            # excluded from every read (list_avro_containers filters
+            # the marker) and overwrites of the sibling value are
+            # spuriously refused as crashed swaps (r15 review)
+            raise ValueError(
+                f"partition directory {rel!r} ends with the reserved "
+                "overwrite marker '._overwrite_old'; rename the value")
         target = os.path.join(path, rel)
         os.makedirs(target, exist_ok=True)
         rel_md5 = hashlib.md5(rel.encode())
@@ -481,7 +532,11 @@ def write_avro_partitioned(df: DataFrame, field_names: list[str],
     stats = (masked.groupBy(*field_names)
              .applyInPandas(write_group, out_schema))
     try:
-        stats.count()                      # materialize = run the write
+        # materialize = run the write; the per-partition rows are the
+        # ground truth of what the write ACTUALLY produced, which the
+        # overwrite reconciliation below compares against the pre-write
+        # key scan (the relation is partition-sized, not row-sized)
+        written_rels = {r["partition"] for r in stats.collect()}
     except Exception:
         # remove THIS job's own partial output: succeeded tasks'
         # files are token-unique, and a caller's whole-call retry
@@ -502,11 +557,73 @@ def write_avro_partitioned(df: DataFrame, field_names: list[str],
                 if os.path.isdir(old):
                     os.rename(old, target)
         raise
-    if moved:
-        import shutil
-        for _, old in moved:
-            shutil.rmtree(old, ignore_errors=True)
+    if overwrite_partitions:
+        _reconcile_overwrite(path, moved, collected_rels, written_rels,
+                             job_token)
     return path
+
+
+def _reconcile_overwrite(path: str, moved: list[tuple[str, str]],
+                         collected_rels: set[str],
+                         written_rels: set[str],
+                         job_token: str) -> None:
+    """Reconcile an overwrite's pre-write key scan against what the
+    write job actually produced: the two are separate evaluations of
+    the input DataFrame, and a non-deterministic input (rand-derived
+    key, source changing between jobs) makes them diverge — both
+    directions were SILENT corruption before (r15 review): a key that
+    vanished lost its live copy (moved aside, nothing written,
+    move-aside deleted), a key that appeared mixed old and new files
+    in one directory.  Now: vanished keys restore their live copy,
+    the move-aside copies of genuinely replaced partitions are
+    deleted (finalizing them — they are consistent regardless), and
+    an appeared-on-top-of-existing-files key then raises with both
+    of ITS generations intact."""
+    import shutil
+    for target, old in list(moved):
+        rel = os.path.relpath(target, path)
+        if rel not in written_rels:
+            # key vanished between scan and write: nothing replaced
+            # the live copy — restore it, never delete.  A failed or
+            # speculative task attempt may have left a PARTIAL target
+            # dir holding only this job's token-named files (the task
+            # ran write_group, then the stage retry re-evaluated the
+            # key away) — clear that debris so the rename cannot die
+            # ENOTEMPTY and strand the live copy aside; anything NOT
+            # this job's refuses loudly instead (r15 diff review)
+            if os.path.isdir(target):
+                foreign = [fn for fn in os.listdir(target)
+                           if not fn.endswith(f"-{job_token}.avro")]
+                if foreign:
+                    raise RuntimeError(
+                        f"cannot restore {old} over {target}: the "
+                        f"target holds files {sorted(foreign)[:5]} "
+                        "not written by this job — inspect and merge "
+                        "by hand")
+                shutil.rmtree(target)
+            os.rename(old, target)
+            moved.remove((target, old))
+    # delete the move-aside copies of the VERIFIED-replaced
+    # partitions BEFORE the grown check can raise: those partitions
+    # are consistent (scanned, rewritten by this job), and leaving
+    # their old copies behind would make every later overwrite of
+    # them refuse as a crashed swap (r15 diff review)
+    for _, old in moved:
+        shutil.rmtree(old, ignore_errors=True)
+    grown = [rel for rel in written_rels
+             if rel not in collected_rels
+             and any(not fn.endswith(f"-{job_token}.avro")
+                     for fn in os.listdir(os.path.join(path, rel))
+                     if fn.endswith(".avro"))]
+    if grown:
+        raise RuntimeError(
+            f"overwrite wrote partition(s) {sorted(grown)} that "
+            "were absent from the pre-write key scan, on top of "
+            "pre-existing files (non-deterministic input "
+            "DataFrame?) — old and new files now coexist there; "
+            f"inspect and remove one generation (new files match "
+            f"part-*-{job_token}.avro); all other partitions were "
+            "replaced consistently")
 
 
 # ----------------------------------------------------- distributed read
@@ -575,6 +692,16 @@ def read_avro_partitioned(spark: SparkSession, path: str,
                     for f, at in zip(payload_schema.fields, arrow_types)]
                 for f in field_names:
                     marker = f"/{f}="
+                    if marker not in fpath:
+                        # a mixed-depth tree or stray .avro file whose
+                        # path lacks the partition dir previously died
+                        # as an opaque executor IndexError — name the
+                        # file and the field instead, like the
+                        # missing-payload-field error above (r15 review)
+                        raise ValueError(
+                            f"avro file {fpath} has no '{marker[1:]}' "
+                            "directory in its path; the tree is not "
+                            f"partitioned by {f!r} at this branch")
                     # LAST occurrence: the innermost dir is the real
                     # partition — a base path containing '/{f}=' (e.g.
                     # a date-stamped run dir) matched FIRST and stamped

@@ -370,3 +370,155 @@ def test_overwrite_refuses_leftover_moveaside(spark, tmp_path):
     with pytest.raises(RuntimeError, match="crashed mid-swap"):
         write_avro_partitioned(df, ["p"], out, codec="null",
                                overwrite_partitions=True)
+
+
+def test_overwrite_leftover_validates_before_any_rename(
+        spark, purchase_df, tmp_out):
+    """r15 review pin: the crashed-swap refusal must fire BEFORE any
+    partition is renamed aside — the old single pass stranded
+    already-moved partitions invisible to readers with nothing
+    written."""
+    spec = SinkSpec(name="p", field_names=["purchase_date"], fmt="avro")
+    write_partitioned(purchase_df, spec, tmp_out)
+    dates = sorted({r.purchase_date for r in
+                    purchase_df.select("purchase_date").collect()})
+    assert len(dates) >= 2
+    # plant a leftover for the LAST date so earlier keys would have
+    # been renamed first under the old single-pass order
+    bad = os.path.join(tmp_out, f"purchase_date={dates[-1]}")
+    os.mkdir(bad + "._overwrite_old")
+    with pytest.raises(RuntimeError, match="crashed mid-swap"):
+        write_partitioned(
+            purchase_df,
+            SinkSpec(name="p", field_names=["purchase_date"], fmt="avro",
+                     overwrite_partitions=True), tmp_out)
+    # every live partition is still visible — nothing was moved aside
+    for d in dates:
+        assert os.path.isdir(os.path.join(tmp_out, f"purchase_date={d}"))
+    assert glob.glob(os.path.join(
+        tmp_out, "*._overwrite_old")) == [bad + "._overwrite_old"]
+
+
+def test_partition_value_colliding_with_marker_refuses(spark, tmp_path):
+    """r15 review pin: a VALUE whose directory ends in
+    '._overwrite_old' would be invisible to every read (the listing
+    filters the marker) and spuriously refuse sibling overwrites —
+    the writer rejects it loudly."""
+    from dynamic_partitioner_spark.formats.avro_py import (
+        write_avro_partitioned)
+    df = spark.createDataFrame([(1, "x._overwrite_old")], "id long, p string")
+    with pytest.raises(Exception, match="reserved overwrite marker"):
+        write_avro_partitioned(df, ["p"], str(tmp_path / "t"))
+
+
+def test_overwrite_reconciliation_restores_and_flags(spark, tmp_path):
+    """r15 review pin for the nondeterministic-input reconciliation
+    (unit level — the branches need the key scan and the write job to
+    disagree, which a deterministic DataFrame never does): a key that
+    VANISHED between scan and write gets its live copy restored
+    (never deleted); a key that APPEARED on top of pre-existing files
+    raises with both generations intact; a genuinely replaced key's
+    move-aside copy is deleted."""
+    import shutil
+
+    from dynamic_partitioner_spark.formats.avro_py import (
+        _reconcile_overwrite)
+    root = str(tmp_path / "t")
+    # replaced partition: moved aside + rewritten by this job
+    os.makedirs(os.path.join(root, "p=a._overwrite_old"))
+    os.makedirs(os.path.join(root, "p=a"))
+    open(os.path.join(root, "p=a", "part-x-tok1.avro"), "w").close()
+    # vanished partition: moved aside, nothing written
+    os.makedirs(os.path.join(root, "p=b._overwrite_old"))
+    open(os.path.join(root, "p=b._overwrite_old", "part-old.avro"),
+         "w").close()
+    moved = [(os.path.join(root, "p=a"),
+              os.path.join(root, "p=a._overwrite_old")),
+             (os.path.join(root, "p=b"),
+              os.path.join(root, "p=b._overwrite_old"))]
+    _reconcile_overwrite(root, moved, {"p=a", "p=b"}, {"p=a"}, "tok1")
+    assert os.path.isdir(os.path.join(root, "p=b"))          # restored
+    assert not os.path.isdir(os.path.join(root, "p=b._overwrite_old"))
+    assert not os.path.isdir(os.path.join(root, "p=a._overwrite_old"))
+    # vanished key whose target holds ONLY this job's debris (a
+    # failed/speculative attempt ran write_group before the retry
+    # re-evaluated the key away): debris cleared, live copy restored
+    os.makedirs(os.path.join(root, "p=d._overwrite_old"))
+    open(os.path.join(root, "p=d._overwrite_old", "part-live.avro"),
+         "w").close()
+    os.makedirs(os.path.join(root, "p=d"))
+    open(os.path.join(root, "p=d", "part-z-tok1.avro"), "w").close()
+    _reconcile_overwrite(
+        root, [(os.path.join(root, "p=d"),
+                os.path.join(root, "p=d._overwrite_old"))],
+        {"p=d"}, set(), "tok1")
+    assert os.path.exists(os.path.join(root, "p=d", "part-live.avro"))
+    assert not os.path.exists(os.path.join(root, "p=d", "part-z-tok1.avro"))
+    # ... but FOREIGN files in the target refuse loudly, both kept
+    os.makedirs(os.path.join(root, "p=e._overwrite_old"))
+    os.makedirs(os.path.join(root, "p=e"))
+    open(os.path.join(root, "p=e", "part-foreign.avro"), "w").close()
+    with pytest.raises(RuntimeError, match="cannot restore"):
+        _reconcile_overwrite(
+            root, [(os.path.join(root, "p=e"),
+                    os.path.join(root, "p=e._overwrite_old"))],
+            {"p=e"}, set(), "tok1")
+    assert os.path.isdir(os.path.join(root, "p=e._overwrite_old"))
+    # appeared partition on top of pre-existing files -> loud, AND the
+    # verified-replaced partition's move-aside is deleted BEFORE the
+    # raise (its replacement is consistent; leaving the old copy
+    # would refuse every later overwrite as a crashed swap)
+    shutil.rmtree(root)
+    os.makedirs(os.path.join(root, "p=c"))
+    open(os.path.join(root, "p=c", "part-stale.avro"), "w").close()
+    open(os.path.join(root, "p=c", "part-y-tok2.avro"), "w").close()
+    os.makedirs(os.path.join(root, "p=f._overwrite_old"))
+    os.makedirs(os.path.join(root, "p=f"))
+    open(os.path.join(root, "p=f", "part-w-tok2.avro"), "w").close()
+    with pytest.raises(RuntimeError, match="absent from the pre-write"):
+        _reconcile_overwrite(
+            root, [(os.path.join(root, "p=f"),
+                    os.path.join(root, "p=f._overwrite_old"))],
+            {"p=f"}, {"p=c", "p=f"}, "tok2")
+    assert os.path.exists(os.path.join(root, "p=c", "part-stale.avro"))
+    assert not os.path.isdir(os.path.join(root, "p=f._overwrite_old"))
+
+
+def test_avro_rejects_invalid_field_names(spark, tmp_path):
+    """r15 review pin: a column like 'order date' writes fine and
+    round-trips through this module, but every conformant Avro reader
+    rejects the container's schema — fail at write time instead."""
+    from dynamic_partitioner_spark.formats.avro_py import (
+        avro_schema_json, write_avro_partitioned)
+    bad = T.StructType([T.StructField("order date", T.LongType(), True)])
+    with pytest.raises(ValueError, match="valid Avro name"):
+        avro_schema_json(bad)
+    df = spark.createDataFrame([(1, "a")], "`order date` long, p string")
+    with pytest.raises(ValueError, match="valid Avro name"):
+        write_avro_partitioned(df, ["p"], str(tmp_path / "t"))
+
+
+def test_read_names_missing_partition_dir(spark, tmp_path):
+    """r15 review pin: reading a tree by a field the path does not
+    contain previously died as an opaque executor IndexError — it
+    now names the file and the missing field."""
+    from dynamic_partitioner_spark.formats.avro_py import (
+        read_avro_partitioned, write_avro_partitioned)
+    df = spark.createDataFrame([(1, "a")], "id long, p string")
+    out = str(tmp_path / "t")
+    write_avro_partitioned(df, ["p"], out)
+    payload = T.StructType([T.StructField("id", T.LongType(), True)])
+    with pytest.raises(Exception, match="not partitioned by"):
+        read_avro_partitioned(spark, out, ["q"], payload).collect()
+
+
+def test_null_mask_label_clash_refuses(spark, tmp_path):
+    """r15 review pin: a payload column literally named '__null_x'
+    collides with the writer's internal mask label and crashed pandas
+    mid-write — refuse up front."""
+    from dynamic_partitioner_spark.formats.avro_py import (
+        write_avro_partitioned)
+    df = spark.createDataFrame([(1.0, "y", "a")],
+                               "x double, __null_x string, p string")
+    with pytest.raises(ValueError, match="null-mask"):
+        write_avro_partitioned(df, ["p"], str(tmp_path / "t"))

@@ -1299,3 +1299,29 @@ def test_zorder_key_sql_works_on_int32_columns(spark):
     got = [tuple(r) for r in
            df.withColumn("z", zorder_key(cols, 8)).collect()]
     assert sorted(got) == sorted(tuple(r) for r in want)
+
+
+def test_normalize_resolves_dotted_column_names_exactly(spark):
+    """r15 review pin: normalize_partition_keys resolves columns via
+    df[c] (exact top-level names), never F.col(c) — a payload or key
+    column literally named 'price.usd' (legal in Spark, common from
+    ingested JSON/CSV headers) parsed as struct access and aborted a
+    valid write."""
+    import pytest as _pytest
+
+    from dynamic_partitioner_spark.operators.partition_keys import (
+        normalize_partition_keys)
+    df = spark.createDataFrame([(" a ", 1.5, 7)],
+                               "k string, `price.usd` double, v long")
+    out = normalize_partition_keys(df, ["k"])
+    assert out.columns == ["k", "price.usd", "v"]
+    row = out.collect()[0]
+    assert row.k == "a" and row["price.usd"] == 1.5
+    # a dotted PARTITION KEY refuses loudly instead: the key columns
+    # flow downstream as bare string names (groupBy, sort, member
+    # filters) where a dot parses as struct access — aborting three
+    # operators later (or silently reading a same-spelled struct
+    # field) is the failure mode this rejects up front
+    df2 = spark.createDataFrame([(3, " x ")], "v long, `region.code` string")
+    with _pytest.raises(ValueError, match="plain names"):
+        normalize_partition_keys(df2, ["region.code"])
