@@ -82,3 +82,19 @@ def test_hugeint_sweep_reds_uncast_sum_fixture():
         "DuckDB no longer widens sum(BIGINT) to HUGEINT — the "
         "HUGEINT sweep's premise changed; re-validate the oracle "
         "cast policy")
+
+
+def test_normalize_array_cells_raise_value_error_class():
+    """r15 review pin: numpy-array cells (an ArrayType column — the
+    r5 embedding_pca class) raise ValueError from sort_values, not
+    TypeError; the rows-only canonicalization guard must catch BOTH
+    or one bad key aborts the whole multi-key run."""
+    import pytest as _pytest
+    df = pd.DataFrame({"a": [np.array([1.0, 2.0]),
+                             np.array([0.5, 1.5])]})
+    with _pytest.raises((TypeError, ValueError)):
+        CC.normalize(df)
+    # and the documented catch covers exactly that class
+    import inspect as _inspect
+    src = _inspect.getsource(CC.main)
+    assert "(TypeError, ValueError)" in src

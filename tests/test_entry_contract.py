@@ -229,3 +229,23 @@ def test_freshness_slack_and_never_green_semantics():
     assert warnings2 == []
     assert sorted(p.split(":")[0] for p in problems2) == \
         ["age1", "age2", "nevergreen", "textnew"]
+
+
+def test_freshness_flags_red_regression_after_old_green():
+    """r15 review pin: a key green in an old round but RED in a newer
+    one (a regression) is stale with no slack — previously the
+    latest-any-round map was discarded and the regressed key passed
+    the gate as fresh for up to two more rounds."""
+    sys.path.insert(0, "/root/repo/tools")
+    import check_freshness as CF
+
+    fps = {"regressed": "f", "fine": "f"}
+    manifest = {"regressed": {"fp": "f", "text_round": 1},
+                "fine": {"fp": "f", "text_round": 1}}
+    green = {"regressed": 12, "fine": 14}
+    seen = {"regressed": 14, "fine": 14}   # red row in r14
+    _, stale, problems, warnings = CF.evaluate(
+        15, green, fps, manifest, fold=set(), fold_round=15, seen=seen)
+    assert "regressed" in stale and "fine" not in stale
+    assert [p.split(":")[0] for p in problems] == ["regressed"]
+    assert "is red" in problems[0] and warnings == []

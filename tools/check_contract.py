@@ -134,9 +134,18 @@ def main() -> int:
     # the window it gets inspected in)
     _sweep_stale_dirs("/root/repo/.scratch/failures")
 
+    qs, oracles = E.queries(), E.oracle_sql()
+    unknown = sorted(k for k in only if k not in qs)
+    if unknown:
+        # a typo'd key previously ran ZERO queries and printed
+        # 'ALL OK' with exit 0 — a gate run certifying nothing while
+        # reading green (r15 review; scale_sweep's sf runs already
+        # guard this class)
+        print(f"unknown key(s): {unknown} — not in queries()")
+        return 2
+
     spark = get_spark("check-contract")
     con = duck_con(sf_dir)
-    qs, oracles = E.queries(), E.oracle_sql()
 
     n_fail = 0
     for key, fn in qs.items():
@@ -154,7 +163,11 @@ def main() -> int:
             # embedding_pca ERR was a rows-only key) — so must we
             try:
                 normalize(sdf)
-            except TypeError as exc:
+            except (TypeError, ValueError) as exc:
+                # ValueError too: numpy-array cells (an ArrayType
+                # column — the r5 embedding_pca class this guard
+                # exists for) raise ValueError from sort_values, not
+                # TypeError, and aborted the whole run (r15 review)
                 print(f"FAIL {key}: driver canon would crash: {exc}")
                 n_fail += 1
                 continue

@@ -96,11 +96,19 @@ def fingerprints() -> dict[str, str]:
 
 def evaluate(current: int, green: dict[str, int], fps: dict[str, str],
              manifest: dict[str, dict], fold: set[str],
-             fold_round: int) -> tuple[list, set, list, list]:
+             fold_round: int,
+             seen: dict[str, int] | None = None
+             ) -> tuple[list, set, list, list]:
     """Pure staleness classification (unit-tested in
     tests/test_entry_contract.py) -> (changed, stale, problems,
     warnings).  ``problems`` fail the gate; ``warnings`` are the
-    one-round boundary-slack class (r10 VERDICT #3)."""
+    one-round boundary-slack class (r10 VERDICT #3).  ``seen`` is the
+    latest round each key appeared in ANY row — a key whose latest
+    row is newer than its latest green row REGRESSED red and is
+    stale with no slack (r15 review: the docstring promised this
+    class but load_evidence's latest-any map was being discarded,
+    so a red regression after an old green passed as fresh)."""
+    seen = seen or {}
     # the one-round boundary window: the driver advanced the round but
     # the next fold hasn't shipped yet — age-overage-by-one keys warn
     boundary_slack = fold_round == current - 1
@@ -120,6 +128,11 @@ def evaluate(current: int, green: dict[str, int], fps: dict[str, str],
             # never-green keys auto-join EVERY fold until green — no
             # slack ever (r10 VERDICT #7)
             stale_reasons.append("never driver-green")
+        elif seen.get(key, 0) > g:
+            # the key REGRESSED: a row newer than its last green is
+            # red — no slack ever
+            stale_reasons.append(
+                f"latest row (r{seen[key]}) is red; last green r{g}")
         elif g < text_round:
             stale_reasons.append(
                 f"text newer (r{text_round}) than last green (r{g})")
@@ -142,7 +155,7 @@ def evaluate(current: int, green: dict[str, int], fps: dict[str, str],
 
 def main() -> int:
     update = "--update" in sys.argv
-    current, green, _seen = load_evidence()
+    current, green, seen = load_evidence()
     fps = fingerprints()
 
     manifest: dict[str, dict] = {}
@@ -179,7 +192,7 @@ def main() -> int:
     fold = set(getattr(E, pri_names[-1])[:FOLD])
     fold_round = int(pri_names[-1].rsplit("R", 1)[1])
     changed, stale, problems, warnings = evaluate(
-        current, green, fps, manifest, fold, fold_round)
+        current, green, fps, manifest, fold, fold_round, seen=seen)
 
     if changed and not update:
         print(f"# {len(changed)} key(s) have unrecorded text "

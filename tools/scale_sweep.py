@@ -287,9 +287,14 @@ def sf10_run() -> None:
              for key, t1, t10, n1, n10, slope in rows}
     # carry over previously-measured rows the same way the main table
     # merges (r12 ADVICE #3's loss class): a one-key spot run must
-    # UPDATE the section, not wipe every other adjudicated sf10 row
-    with open("/root/repo/SCALING.md") as f:
-        md = f.read()
+    # UPDATE the section, not wipe every other adjudicated sf10 row.
+    # A missing SCALING.md merges nothing instead of discarding the
+    # whole (tens-of-minutes) measurement after the loop (r15 review)
+    try:
+        with open("/root/repo/SCALING.md") as f:
+            md = f.read()
+    except FileNotFoundError:
+        md = ""
     merge_section_rows(md, "## sf10 spot-run", table)
     for ln, _slope in sorted(table.values(), key=lambda v: -v[1]):
         lines.append(ln)
@@ -411,9 +416,13 @@ def sf1_run() -> None:
              for key, t01, t1, n1, slope in rows}
     # carry over previously-measured rows exactly like the sf10 path
     # (r12 ADVICE #3's loss class — the sf1 writer had been left
-    # unmerged and a one-key run wiped every other sf1 row, r14)
-    with open("/root/repo/SCALING.md") as f:
-        md = f.read()
+    # unmerged and a one-key run wiped every other sf1 row, r14).
+    # Missing SCALING.md: merge nothing, keep the measurement (r15)
+    try:
+        with open("/root/repo/SCALING.md") as f:
+            md = f.read()
+    except FileNotFoundError:
+        md = ""
     merge_section_rows(md, "## sf1 spot-run", table)
     for ln, _slope in sorted(table.values(), key=lambda v: -v[1]):
         lines.append(ln)
@@ -531,8 +540,11 @@ def quantizer_run() -> None:
     ]
     for ln in lines:
         print(ln)
-    with open("/root/repo/SCALING.md") as f:
-        md = f.read()
+    try:
+        with open("/root/repo/SCALING.md") as f:
+            md = f.read()
+    except FileNotFoundError:
+        md = ""          # write the section alone, keep the timings
     md = _replace_section(md, "## quantizer micro-bench",
                           "\n".join(lines))
     with open("/root/repo/SCALING.md", "w") as f:
@@ -544,9 +556,17 @@ def main() -> None:
     import __spark_entry__ as E
     from dynamic_partitioner_spark import get_spark
 
-    spark = get_spark("scale-sweep")
     qs = E.queries()
     keys = sys.argv[1:] or [k for k in SWEEP_KEYS if k in qs]
+    unknown = [k for k in keys if k not in qs]
+    if unknown:
+        # guard BEFORE measuring: a typo'd second key previously
+        # raised KeyError after minutes of timings, discarding the
+        # whole run (r15 review; the sf1/sf10 runs already guard
+        # this class up front)
+        sys.exit(f"unknown key(s): {unknown} — not in queries()")
+
+    spark = get_spark("scale-sweep")
 
     # warm JVM + Arrow workers
     qs["query_pruned_agg"](spark, "/root/testdata/sf0.001").count()
