@@ -62,6 +62,28 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
+#: warehouse dirs this PROCESS has claimed (cleared-once guard: see
+#: _claim_warehouse)
+_CLAIMED_WAREHOUSES: set[str] = set()
+
+
+def _claim_warehouse(wh: str) -> None:
+    """First claim by THIS process clears any pre-existing dir: under
+    our own pid it can only be a SIGKILLed run's leftover adopted via
+    pid reuse (the stale sweep skips pid == getpid(), and atexit
+    never ran for a kill -9) — its stale managed tables would collide
+    with or silently fold into this run's (r15 review).  Later calls
+    in the same process must NOT clear it: the dir then holds OUR
+    live tables.  Exit cleanup registers once per claim."""
+    import atexit
+    import shutil
+    if wh in _CLAIMED_WAREHOUSES:
+        return
+    shutil.rmtree(wh, ignore_errors=True)
+    _CLAIMED_WAREHOUSES.add(wh)
+    atexit.register(shutil.rmtree, wh, ignore_errors=True)
+
+
 def _sweep_stale_dirs(root: str) -> None:
     """Remove ``run-<pid>`` dirs whose owning process is gone — crash
     leftovers from previous harness runs (live pids are left alone)."""
@@ -110,9 +132,7 @@ def get_spark(app_name: str = "dynamic-partitioner-spark",
     wh = os.path.join(wh_root, f"run-{os.getpid()}")
     builder = builder.config("spark.sql.warehouse.dir", wh)
     _sweep_stale_dirs(wh_root)
-    import atexit
-    import shutil
-    atexit.register(shutil.rmtree, wh, ignore_errors=True)
+    _claim_warehouse(wh)
     # local-mode driver == executor: the 1g default heap gives a ~0.5g
     # storage pool that evicts persisted relations mid-query and makes
     # timings swing; size it to the machine (static conf — only applies

@@ -222,6 +222,17 @@ def stream_write_partitioned(sdf: DataFrame, spec: SinkSpec, path: str,
             "route through foreachBatch + write_partitioned")
     ndf = normalize_partition_keys(sdf, spec.field_names)
     if spec.stage_name is not None:
+        if STAGE_FIELD in ndf.columns:
+            # mirror the batch path's clash guard (r15 review: the
+            # same SinkSpec raised SpecError through
+            # write_partitioned but silently overwrote the caller's
+            # _stage payload column here — divergent semantics,
+            # silent data loss on the streaming path)
+            from ..spec import SpecError
+            raise SpecError(
+                f"input already has a column named {STAGE_FIELD!r}; "
+                "stage tagging would overwrite it — rename the "
+                "column or unset stage_name")
         ndf = ndf.withColumn(STAGE_FIELD, F.lit(spec.stage_name))
     writer = (ndf.writeStream.format(spec.fmt)
               .option("checkpointLocation", checkpoint)

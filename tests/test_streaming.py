@@ -750,3 +750,41 @@ def test_streaming_r14_hardening(spark, tmp_path):
     got = {r.country: (r.n_events, r.total_value)
            for r in snap.collect()}
     assert got == {"a": (2, 3.0), "b": (1, 3.0)}
+
+
+def test_streaming_stage_clash_refuses_like_batch(spark, tmp_out):
+    """r15 review pin: the batch path raises SpecError when the input
+    already carries a '_stage' column and stage_name is set; the
+    streaming twin silently overwrote it — same SinkSpec, divergent
+    semantics.  Both now refuse identically."""
+    import pytest
+
+    from dynamic_partitioner_spark.spec import SpecError
+    src = f"{tmp_out}/src"
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    spark.createDataFrame([(1, "mine", "a")],
+                          "id long, _stage string, k string") \
+        .write.parquet(src)
+    sdf = stream_from_files(spark, src)
+    spec = SinkSpec(name="p", field_names=["k"], stage_name="ingest",
+                    append_to_partition="CREATE_OR_APPEND")
+    with pytest.raises(SpecError, match="_stage"):
+        stream_write_partitioned(sdf, spec, f"{tmp_out}/out",
+                                 f"{tmp_out}/ckpt")
+
+
+def test_warehouse_claim_clears_once_then_preserves(tmp_path):
+    """r15 review pin: the first _claim_warehouse in a process clears
+    a pre-existing dir (a SIGKILLed run's leftover adopted via pid
+    reuse — the stale sweep skips our own pid); later claims preserve
+    it (it then holds THIS run's live tables)."""
+    from dynamic_partitioner_spark.session import _claim_warehouse
+    wh = str(tmp_path / "run-999999")
+    os.makedirs(wh)
+    open(os.path.join(wh, "stale-table"), "w").close()
+    _claim_warehouse(wh)
+    assert not os.path.exists(wh)          # leftover cleared
+    os.makedirs(wh)
+    open(os.path.join(wh, "live-table"), "w").close()
+    _claim_warehouse(wh)                   # second claim: no-op
+    assert os.path.exists(os.path.join(wh, "live-table"))

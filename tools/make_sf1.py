@@ -37,6 +37,29 @@ import duckdb
 REPLICAS = 10
 
 
+def assert_single_space_tokens(con) -> None:
+    """The word-suffix renaming splits on ONE space while the engine
+    tokenizes on [ \\t\\n\\r]+, so the disjoint-vocabulary invariant
+    (cross-replica shingle spaces share NO token) silently depends on
+    the corpus containing no tabs/newlines/doubled/leading/trailing
+    spaces.  True of today's fixture, but unguarded — a regenerated
+    fixture with a single '\\n' would leak an UNSUFFIXED token across
+    every replica and corrupt the linear-scaling measurement these
+    corpora exist to certify (r15 review).  Abort loudly instead."""
+    n = con.execute(
+        r"""SELECT count(*) FROM documents
+            WHERE regexp_matches(text, '[\t\n\r]')
+               OR text LIKE '%  %'
+               OR text LIKE ' %' OR text LIKE '% '""").fetchone()[0]
+    if n:
+        raise SystemExit(
+            f"{n} document(s) violate the single-space token "
+            "invariant (tab/newline/doubled/leading/trailing space); "
+            "the per-replica word-suffix renaming would leak "
+            "unsuffixed tokens across replicas — fix the fixture or "
+            "switch the renaming to a whitespace-class tokenizer")
+
+
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1"
     src = "/root/testdata/sf0.1"
@@ -47,6 +70,7 @@ def main() -> None:
         con.execute(
             f"CREATE VIEW {t} AS FROM '{src}/{t}.parquet'")
     con.execute(f"CREATE VIEW r AS SELECT unnest(range({REPLICAS})) AS r")
+    assert_single_space_tokens(con)
 
     # key spans at sf0.1 (offset unit = max+1, queried not hardcoded)
     spans = {k: con.execute(q).fetchone()[0] + 1 for k, q in {

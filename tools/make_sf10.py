@@ -20,8 +20,9 @@ workload-preserving construction discipline as ``make_sf1.py``:
   so the lev<=1 pair set is exactly 10 disjoint copies of sf1's;
 
 - ``doc_id``/``vec_id`` offset by ``replica * span`` (sf10 doc ids top
-  out ~50k — far under the 1e6 mutant-fixture offset documented in
-  ``_augmented_corpus``);
+  out at 499,999 — a 2x margin under the 1e6 mutant-fixture offset
+  documented in ``_augmented_corpus``; a same-discipline make_sf100
+  would CROSS it and must re-base the mutant offset first);
 - document words get a SECOND-level suffix (``^k``, distinct from
   level 1's ``~r``) — a vocabulary permutation keeps every
   within-replica shingle/Jaccard relation bit-identical while making
@@ -54,6 +55,29 @@ REPLICAS = 10
 SRC = "/root/repo/.scratch/sf1"
 
 
+def assert_single_space_tokens(con) -> None:
+    """The word-suffix renaming splits on ONE space while the engine
+    tokenizes on [ \\t\\n\\r]+, so the disjoint-vocabulary invariant
+    (cross-replica shingle spaces share NO token) silently depends on
+    the corpus containing no tabs/newlines/doubled/leading/trailing
+    spaces.  True of today's fixture, but unguarded — a regenerated
+    fixture with a single '\\n' would leak an UNSUFFIXED token across
+    every replica and corrupt the linear-scaling measurement these
+    corpora exist to certify (r15 review).  Abort loudly instead."""
+    n = con.execute(
+        r"""SELECT count(*) FROM documents
+            WHERE regexp_matches(text, '[\t\n\r]')
+               OR text LIKE '%  %'
+               OR text LIKE ' %' OR text LIKE '% '""").fetchone()[0]
+    if n:
+        raise SystemExit(
+            f"{n} document(s) violate the single-space token "
+            "invariant (tab/newline/doubled/leading/trailing space); "
+            "the per-replica word-suffix renaming would leak "
+            "unsuffixed tokens across replicas — fix the fixture or "
+            "switch the renaming to a whitespace-class tokenizer")
+
+
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf10"
     if not os.path.exists(f"{SRC}/documents.parquet"):
@@ -65,6 +89,7 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS FROM '{SRC}/{t}.parquet'")
     con.execute(
         f"CREATE VIEW k AS SELECT unnest(range({REPLICAS})) AS k")
+    assert_single_space_tokens(con)
     spans = {
         "doc": con.execute(
             "SELECT max(doc_id) + 1 FROM documents").fetchone()[0],
