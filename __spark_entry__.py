@@ -1626,7 +1626,7 @@ def q_streaming_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynamic_partitioner_spark.streaming.stateful import (
         streaming_windowed_agg_append)
     from dynamic_partitioner_spark.streaming.write import (
-        stage_ordered_files)
+        stage_ordered_union)
     apply_engine_confs(spark)
     events = _table(spark, sf_dir, "events")
     ev = events.select(
@@ -1649,7 +1649,10 @@ def q_streaming_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # last file: hours 6-8 PLUS the hour-0 replay (all late)
         base.where((F.col("_h") >= 6) | (F.col("_h") < 1)),
     ]
-    src = stage_ordered_files(
+    # all three staged files land in ONE write job (r16: was one
+    # coalesce(1) job per file); per-batch row order is irrelevant to
+    # the windowed agg, so the single-job primitive applies
+    src = stage_ordered_union(
         [ch.select("ts", "user_id", "value") for ch in chunks],
         _out("stream_late_src"))
     spark.catalog.dropTempView("stream_late_sink")
@@ -5001,7 +5004,7 @@ def q_streaming_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynamic_partitioner_spark.streaming.stateful import (
         run_ttl_eviction_audit)
     from dynamic_partitioner_spark.streaming.write import (
-        stage_ordered_files)
+        stage_ordered_union)
     apply_engine_confs(spark)
     events = _table(spark, sf_dir, "events")
     ev = events.select("user_id", "event_type", "value",
@@ -5026,7 +5029,11 @@ def q_streaming_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("sentinel").alias("event_type"),
         F.expr(f"timestamp_micros({m + 50 * day_us})").alias("ts"),
         F.lit(0.0).alias("value"))
-    src = stage_ordered_files(chunks + [sentinel], _out("stream_ttl_src"))
+    # all four staged files (3 chunks + sentinel) land in ONE write
+    # job (r16: was one coalesce(1) job per file); the TTL state
+    # machine is per-batch order-insensitive, so the single-job
+    # primitive applies
+    src = stage_ordered_union(chunks + [sentinel], _out("stream_ttl_src"))
     spark.catalog.dropTempView("stream_ttl_sink")
     # state partitioning sizes to the staged volume — the same lever
     # a cluster job sets via shuffle partitions.  At the driver/bench
@@ -5079,7 +5086,7 @@ def q_ops_snapshot_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     naming) certify LOUDLY via _certify_booleans and stay out of the
     hashed relation."""
     from dynamic_partitioner_spark.operators.versioned import (
-        snapshot_manifest, versioned_write)
+        snapshot_manifest, versioned_write_slices)
     apply_engine_confs(spark)
     li = _table(spark, sf_dir, "lineitem")
     slim = li.select(
@@ -5087,10 +5094,14 @@ def q_ops_snapshot_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
         .alias("qty_c"))
     out = _out("ops_snapshot_manifest")
-    for k, mode in ((0, "append"), (1, "append"),
-                    (2, "overwrite"), (3, "append")):
-        versioned_write(slim.where(F.col("l_orderkey") % 4 == k)
-                        .coalesce(1), out, mode=mode)
+    # all four commits staged in ONE pass over lineitem (r16: was four
+    # sequential write jobs, each re-scanning the source); the slice
+    # column is the staging partition key and never lands in the data,
+    # and each commit is one file exactly as the coalesce(1) path was
+    versioned_write_slices(
+        slim.withColumn("_slice", F.col("l_orderkey") % 4), "_slice",
+        [(0, "append"), (1, "append"), (2, "overwrite"), (3, "append")],
+        out)
     parts = []
     for v in (2, 4):
         m = snapshot_manifest(spark, out, v,
@@ -5135,7 +5146,7 @@ def q_ops_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving files, so a selective predicate on a range-clustered
     table touches a vanishing fraction of a petabyte of footers."""
     from dynamic_partitioner_spark.operators.versioned import (
-        plan_pruned_files, read_pruned, versioned_write)
+        plan_pruned_files, read_pruned, versioned_write_slices)
     apply_engine_confs(spark)
     li = _table(spark, sf_dir, "lineitem")
     slim = li.select(
@@ -5144,10 +5155,14 @@ def q_ops_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("qty_c"))
     wd = int(slim.agg(F.max("l_orderkey")).collect()[0][0]) // 4 + 1
     out = _out("ops_pruned_read")
-    for k, mode in ((0, "append"), (1, "append"),
-                    (2, "overwrite"), (3, "append")):
-        versioned_write(slim.where(F.expr(f"l_orderkey div {wd}") == k)
-                        .coalesce(1), out, mode=mode)
+    # one staging pass for all four range-clustered commits (r16: was
+    # four write jobs x four source scans); one file per commit as
+    # before, so the per-file bounds the pruner sees are unchanged
+    versioned_write_slices(
+        slim.withColumn("_slice", F.expr(f"l_orderkey div {wd}")),
+        "_slice",
+        [(0, "append"), (1, "append"), (2, "overwrite"), (3, "append")],
+        out)
     ranges = {"l_orderkey": (None, 2 * wd + wd // 2)}
     kept, total = plan_pruned_files(spark, out, ranges, version=4)
     # pass the plan through: the manifest derivation must run ONCE
@@ -5201,7 +5216,7 @@ def q_ops_pruned_read_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     where any 1-d sort scans ~(selectivity)^1."""
     from dynamic_partitioner_spark.functions.zorder import zorder_key
     from dynamic_partitioner_spark.operators.versioned import (
-        plan_pruned_files, read_pruned, versioned_write)
+        plan_pruned_files, read_pruned, versioned_write_slices)
     apply_engine_confs(spark)
     orders = _table(spark, sf_dir, "orders")
     dims = orders.select(
@@ -5215,15 +5230,19 @@ def q_ops_pruned_read_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = z.persist()
     out_z = _out("ops_pruned_read_zorder")
     out_x = _out("ops_pruned_read_zorder_x1d")
-    for k in range(4):
-        # z-slab commit: zval ∈ [64k, 64k+64) — one Morton quadrant,
-        # so the file's (xb, yb) envelopes are an 8×8 rectangle
-        versioned_write(z.where(F.col("zval").between(64 * k,
-                                                      64 * k + 63))
-                        .coalesce(1), out_z)
-        # x-slice commit for the 1-d sorted twin: xb ∈ [4k, 4k+4)
-        versioned_write(z.where(F.expr("xb div 4") == k).coalesce(1),
-                        out_x)
+    appends4 = [(k, "append") for k in range(4)]
+    # each table's four commits staged in ONE pass over z (r16: was
+    # eight sequential write jobs); one file per commit as before, so
+    # the per-file (xb, yb) envelopes are unchanged.
+    # z-slab commits: zval div 64 = one Morton quadrant each, so the
+    # file's (xb, yb) envelopes are an 8×8 rectangle
+    versioned_write_slices(
+        z.withColumn("_slice", F.expr("zval div 64")), "_slice",
+        appends4, out_z)
+    # x-slice commits for the 1-d sorted twin: xb ∈ [4k, 4k+4)
+    versioned_write_slices(
+        z.withColumn("_slice", F.expr("xb div 4")), "_slice",
+        appends4, out_x)
     ranges_xy = {"xb": (None, 7), "yb": (None, 7)}
     plan_z = plan_pruned_files(spark, out_z, ranges_xy)
     kept_x, total_x = plan_pruned_files(spark, out_x, ranges_xy)
@@ -5284,7 +5303,7 @@ def q_ops_compact_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     compacted, never with table history."""
     from dynamic_partitioner_spark.operators.versioned import (
         compact_snapshot, read_version, snapshot_manifest,
-        versioned_write)
+        versioned_write_slices)
     apply_engine_confs(spark)
     orders = _table(spark, sf_dir, "orders")
     slim = orders.select(
@@ -5295,9 +5314,12 @@ def q_ops_compact_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (r15 review: 8 source scans otherwise), released after the agg
     slim = slim.persist()
     out = _out("ops_compact_execute")
-    for s in range(6):
-        versioned_write(slim.where(F.col("slice_id") == s).coalesce(1),
-                        out)
+    # six staged commits in ONE pass over slim (r16: was six write
+    # jobs); slice_id is duplicated because the staging partition key
+    # is stripped from data files and the committed rows carry it
+    versioned_write_slices(
+        slim.withColumn("_slice", F.col("slice_id")), "_slice",
+        [(k, "append") for k in range(6)], out)
     total, lo, hi = slim.agg(
         F.count(F.lit(1)), F.min("o_orderkey"),
         F.max("o_orderkey")).collect()[0]
@@ -5323,8 +5345,10 @@ def q_ops_compact_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ["files_eq_bins", "rows_eq_bin_size", "total_ok",
                        "bounds_ok", "pre_snapshot_ok"])
     return plan.select(
-        (F.substring("batch_dir", 7, 8).cast("long") - 1)
-        .alias("slice_id"),
+        # derive the slice from the batch number, not a width-exact
+        # substring: _BATCH_SEG is \d{8,} on purpose (r15 ADVICE)
+        (F.regexp_extract("batch_dir", r"batch-(\d+)", 1)
+         .cast("long") - 1).alias("slice_id"),
         "file_seq", "n_rows", "bin", "bin_size", "bin_files")
 
 
@@ -5334,13 +5358,14 @@ def q_source_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     time travel over plain parquet + a JSON commit log.  The oracle
     recomputes each snapshot's membership from the same key split."""
     from dynamic_partitioner_spark.operators.versioned import (
-        read_version, versioned_write)
+        read_version, versioned_write_slices)
     orders = _table(spark, sf_dir, "orders")
     out = _out("source_time_travel")
-    versioned_write(orders.where(F.col("o_orderkey") % 3 == 0), out)
-    versioned_write(orders.where(F.col("o_orderkey") % 3 == 1), out)
-    versioned_write(orders.where(F.col("o_orderkey") % 3 == 2), out,
-                    mode="overwrite")
+    # three commits staged in ONE pass over orders (r16: was three
+    # sequential write jobs each re-scanning the source)
+    versioned_write_slices(
+        orders.withColumn("_slice", F.col("o_orderkey") % 3), "_slice",
+        [(0, "append"), (1, "append"), (2, "overwrite")], out)
     parts = []
     for v in (1, 2, 3):
         parts.append(
@@ -5660,15 +5685,18 @@ def q_ops_retention_vacuum(spark: SparkSession,
     read correctness and the vacuumed-version refusal are pinned in
     tests/test_versioned.py."""
     from dynamic_partitioner_spark.operators.versioned import (
-        vacuum_versions, versioned_write)
+        vacuum_versions, versioned_write_slices)
     apply_engine_confs(spark)
     orders = _table(spark, sf_dir, "orders")
     out = _out("ops_retention_vacuum")
-    pri = F.col("o_orderpriority")
-    versioned_write(orders.where(pri == "1-URGENT"), out, "append")
-    versioned_write(orders.where(pri == "2-HIGH"), out, "append")
-    versioned_write(orders.where(pri == "3-MEDIUM"), out, "overwrite")
-    versioned_write(orders.where(pri == "5-LOW"), out, "append")
+    # four priority commits staged in ONE pass over orders (r16: was
+    # four write jobs x four source scans); the slice key is the
+    # priority's leading digit, so the committed rows are unchanged
+    versioned_write_slices(
+        orders.withColumn(
+            "_slice", F.substring("o_orderpriority", 1, 1)), "_slice",
+        [(1, "append"), (2, "append"), (3, "overwrite"),
+         (5, "append")], out)
     return vacuum_versions(spark, out, keep_from=3)
 
 
@@ -5702,13 +5730,16 @@ def q_ops_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     query raises with the observed listing instead of handing the
     driver a row-count mismatch."""
     from dynamic_partitioner_spark.operators.versioned import (
-        find_orphans, versioned_write)
+        find_orphans, versioned_write_slices)
     apply_engine_confs(spark)
     orders = _table(spark, sf_dir, "orders")
     out = _out("ops_orphan_files")
     pri = F.col("o_orderpriority")
-    versioned_write(orders.where(pri == "1-URGENT"), out, "append")
-    versioned_write(orders.where(pri == "2-HIGH"), out, "append")
+    # both healthy commits staged in ONE pass (r16: was two write jobs)
+    versioned_write_slices(
+        orders.withColumn(
+            "_slice", F.substring("o_orderpriority", 1, 1)), "_slice",
+        [(1, "append"), (2, "append")], out)
     # crashed write: the batch lands, the commit never does
     (orders.where(pri == "3-MEDIUM").write.mode("overwrite")
      .parquet(f"{out}/batch-00000099"))
@@ -5763,15 +5794,17 @@ def q_ops_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed from the commit plan: each surviving priority maps to its
     known commit version."""
     from dynamic_partitioner_spark.operators.versioned import (
-        read_changes, versioned_write)
+        read_changes, versioned_write_slices)
     apply_engine_confs(spark)
     orders = _table(spark, sf_dir, "orders")
     out = _out("ops_incremental_scan")
-    pri = F.col("o_orderpriority")
-    versioned_write(orders.where(pri == "1-URGENT"), out, "append")
-    versioned_write(orders.where(pri == "2-HIGH"), out, "append")
-    versioned_write(orders.where(pri == "3-MEDIUM"), out, "append")
-    versioned_write(orders.where(pri == "5-LOW"), out, "append")
+    # four priority appends staged in ONE pass over orders (r16: was
+    # four write jobs x four source scans)
+    versioned_write_slices(
+        orders.withColumn(
+            "_slice", F.substring("o_orderpriority", 1, 1)), "_slice",
+        [(1, "append"), (2, "append"), (3, "append"), (5, "append")],
+        out)
     ch = read_changes(spark, out, since_version=2)
     return (ch.select("o_orderkey", "o_orderpriority",
                       F.col("_commit_version").alias("commit_version"))
@@ -6150,6 +6183,35 @@ def entry(spark: SparkSession) -> DataFrame:
 #          (alphabetical within the round: 1 + 1 + 25 + 23 = 50).
 # Positions 51+ carry the round-9 remainder (20 keys — they reach the
 # budget at r15 and lead the r15 fold), then the r10 cohort rotates in.
+_PRIORITY_R16 = [
+    # --- r16 optimization-round touched keys (text or operator
+    # internals changed; the driver must re-certify them first) ---
+    "ops_snapshot_manifest", "ops_pruned_read", "ops_pruned_read_zorder",
+    "ops_compact_execute", "source_time_travel", "ops_retention_vacuum",
+    "ops_orphan_files", "ops_incremental_scan",
+    "embedding_threshold_sweep", "streaming_late_audit",
+    "streaming_ttl_eviction",
+    # --- round-10 evidence (the 28 boundary-slack keys the r15 gate
+    # names; at budget — r17 hard-fails without this cohort) ---
+    "query_bloom_join", "query_bucketed_join", "query_decimal_agg",
+    "query_geo_join", "query_heavy_hitters", "query_incremental_agg",
+    "query_join_broadcast", "query_lag_features", "query_percentiles",
+    "query_pruned_agg", "query_quantile_bins", "query_rollup",
+    "query_rollup_grains", "query_unpivot", "query_window_topk",
+    "query_windowed_distinct", "sample_hash", "sample_mixture",
+    "sample_split", "similarity_int8_topk", "sorted_export_zorder",
+    "source_csv_roundtrip", "source_jsonl_roundtrip", "text_bpe_encode",
+    "text_bpe_learn", "text_bpe_pairs", "text_entropy", "text_winnow",
+    # --- fill to 50 from the round-11 cohort (oldest remaining
+    # evidence; includes the dedup family whose exact_dedup helper
+    # gained the _solo collision guard this round) ---
+    "corpus_pipeline", "corpus_quality_filter", "dedup_apply",
+    "dedup_clusters", "dedup_decontaminate", "dedup_embedding",
+    "dedup_fuzzy", "dedup_fuzzy2", "dedup_incremental",
+    "dedup_ngram_jaccard", "dedup_simhash",
+]
+
+
 _PRIORITY_R15 = [
     # --- NEW this round (never driver-green until certified) ---
     "ops_compact_execute",
@@ -6352,7 +6414,7 @@ _PRIORITY_R13 = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _all_queries()
-    out = {k: base[k] for k in _PRIORITY_R15}
+    out = {k: base[k] for k in _PRIORITY_R16}
     out.update((k, v) for k, v in base.items() if k not in out)
     return out
 

@@ -51,11 +51,18 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     from functools import reduce as _reduce
     some_null = _reduce(lambda x, y: x | y,
                         [F.col(c).isNull() for c in key_cols])
+    # bump the helper grouping name past any same-named key column:
+    # a literal "_solo" key would otherwise yield TWO _solo output
+    # columns and drop() would remove both (r15 ADVICE — the same
+    # collision guard incremental_dedup's _fp/_rn already carry)
+    solo = "_solo"
+    while solo in key_cols or solo == id_col:
+        solo += "_"
     return (df.groupBy(*key_cols,
-                       F.when(some_null, F.col(id_col)).alias("_solo"))
+                       F.when(some_null, F.col(id_col)).alias(solo))
             .agg(F.min(id_col).alias(id_col),
                  F.count(F.lit(1)).alias("dup_count"))
-            .drop("_solo"))
+            .drop(solo))
 
 
 def distinct_rows(df: DataFrame, cols: list[str] | None = None) -> DataFrame:

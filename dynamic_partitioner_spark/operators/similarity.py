@@ -736,8 +736,15 @@ def cosine_threshold_sweep(df: DataFrame, id_col: str, vec_col: str,
     # + filter re-running per branch.
     s = s.select("vid", "vec", l2_norm(F.col("vec")).alias("_l2"))
     s = s.localCheckpoint(eager=True)
-    a = s.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"),
-                 F.col("_l2").alias("_la"))
+    # spread the streamed side of the pair join across the cluster:
+    # the sample inherits the (tiny) upstream scan's partitioning —
+    # often ONE partition — which would run the O(target²) interpreted
+    # cosine folds on a single core (r16 measured the whole sweep 4×
+    # faster from this line alone).  Round-robin repartition only
+    # relocates rows; every pair, cosine and bucket count is unchanged
+    a_side = s.repartition(s.sparkSession.sparkContext.defaultParallelism)
+    a = a_side.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"),
+                      F.col("_l2").alias("_la"))
     b = s.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"),
                  F.col("_l2").alias("_lb"))
     # length equality in the join predicate: a ragged (truncated)

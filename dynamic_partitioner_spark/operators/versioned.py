@@ -49,13 +49,24 @@ _BATCH_SEG = r"batch-\d{8,}"
 def _write_json_atomic(target: str, payload: dict) -> None:
     """Write-then-rename so a torn write never looks like a commit —
     the ONE durability mechanism for every log mutation (commit,
-    compaction commit, vacuum floor); hardening it (fsync, checksums)
-    must happen here and nowhere else (r15 review: three copies had
-    already drifted into place)."""
+    compaction commit, vacuum floor); hardening (fsync, checksums)
+    happens here and nowhere else (r15 review: three copies had
+    already drifted into place).  The tmp file is fsynced before the
+    rename and the log directory after it, so a power loss can no
+    longer surface a renamed-but-truncated commit (every later read
+    would die at json.load) or un-happen a rename whose batch dir
+    survives (r15 ADVICE)."""
     tmp = target + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(payload, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
     os.replace(tmp, target)
+    dfd = os.open(os.path.dirname(target), os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def _require_commits(path: str) -> list[dict]:
@@ -125,6 +136,97 @@ def versioned_write(df: DataFrame, path: str,
     _write_json_atomic(os.path.join(_log_dir(path), f"{version:08d}.json"),
                        {"version": version, "mode": mode, "dirs": [batch]})
     return version
+
+
+def versioned_write_slices(df: DataFrame, slice_col: str,
+                           plan: list[tuple], path: str) -> list[int]:
+    """Commit MANY slices of one DataFrame as consecutive versions with
+    a SINGLE Spark write job — the bulk-backfill shape (N history
+    commits staged in one pass over the source instead of N sequential
+    jobs each re-scanning it).
+
+    ``plan`` is the ordered commit plan ``[(slice_value, mode), ...]``
+    over INTEGER slice values: rows with ``df[slice_col] ==
+    slice_value`` become version ``next + i`` with that entry's mode.
+    Rows whose slice value is in no plan entry are ignored.  Each
+    commit lands as exactly ONE parquet file (every slice hash-lands
+    in one task of the staging repartition, and the partitioned writer
+    opens one file per directory per task).  ``slice_col`` is the
+    staging partition key and is therefore STRIPPED from the data
+    files — add it as a throwaway column, and duplicate it under
+    another name if the committed rows should carry it.
+
+    Semantics are identical to calling :func:`versioned_write` once
+    per slice in plan order (same batch dirs, same log entries, same
+    rows — pinned in tests/test_versioned.py); the difference is one
+    source pass and one job instead of N.  Crash safety matches
+    :func:`versioned_write`: data stages under an underscore-prefixed
+    dir (invisible to readers), then per commit the batch dir is
+    populated BEFORE its log entry lands (write-then-rename), in
+    ascending version order — a crash leaves only invisible orphan
+    dirs that :func:`find_orphans` reports and a retry reclaims.
+
+    A plan slice that matched NO rows raises loudly: an empty commit
+    here is a fixture/backfill bug, and silently skipping it would
+    shift every later slice's version number.
+    """
+    if not plan:
+        raise ValueError("empty commit plan")
+    if len({s for s, _ in plan}) != len(plan):
+        raise ValueError("duplicate slice values in commit plan")
+    bad = [m for _, m in plan if m not in ("append", "overwrite")]
+    if bad:
+        raise ValueError(f"unsupported mode {bad[0]!r}")
+    _check_local(path)
+    commits = _commits(path)
+    v0 = (commits[-1]["version"] + 1) if commits else 1
+    stage = os.path.join(path, f"_stage-{v0:08d}")
+    shutil.rmtree(stage, ignore_errors=True)  # reclaim a crashed try
+    values = [s for s, _ in plan]
+    # the staging partition column is cast to long IN PLACE so the
+    # directory names round-trip exactly; hash-repartitioning on it
+    # lands every slice wholly in one task -> one file per slice,
+    # and partitionBy strips it from the data files
+    (df.withColumn(slice_col, F.col(slice_col).cast("long"))
+       .where(F.col(slice_col).isin(values))
+       .repartition(len(plan), F.col(slice_col))
+       .write.mode("overwrite").partitionBy(slice_col).parquet(stage))
+    try:
+        # validate EVERY slice staged before committing ANY: a plan
+        # slice that matched no rows must leave the table untouched
+        # (zero commits), not a half-committed prefix — an empty
+        # commit would silently renumber every later slice
+        staged: dict = {}
+        for value, _ in plan:
+            src = os.path.join(stage, f"{slice_col}={int(value)}")
+            parts = sorted(n for n in os.listdir(src)
+                           if n.endswith(".parquet")) \
+                if os.path.isdir(src) else []
+            if not parts:
+                raise ValueError(
+                    f"slice {slice_col}={value!r} matched no rows — an "
+                    "empty commit would silently renumber every later "
+                    "slice; fix the plan or the fixture")
+            staged[value] = (src, parts)
+        versions = []
+        for i, (value, mode) in enumerate(plan):
+            version = v0 + i
+            src, parts = staged[value]
+            batch = f"batch-{version:08d}"
+            batch_full = os.path.join(path, batch)
+            shutil.rmtree(batch_full, ignore_errors=True)
+            os.makedirs(batch_full)
+            for n in parts:
+                os.replace(os.path.join(src, n),
+                           os.path.join(batch_full, n))
+            os.makedirs(_log_dir(path), exist_ok=True)
+            _write_json_atomic(
+                os.path.join(_log_dir(path), f"{version:08d}.json"),
+                {"version": version, "mode": mode, "dirs": [batch]})
+            versions.append(version)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return versions
 
 
 def _visible_dirs(path: str, version: int | None = None) -> list[str]:

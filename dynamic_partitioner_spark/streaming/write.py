@@ -175,6 +175,57 @@ def stage_ordered_files(frames: list[DataFrame], src: str) -> str:
     return src
 
 
+def stage_ordered_union(frames: list[DataFrame], src: str) -> str:
+    """Single-job :func:`stage_ordered_files`: union the (same-schema)
+    frames under a literal file-index column, hash-stage one parquet
+    file per index with one ``partitionBy`` write, and rename/utime
+    into the SAME ``NN.parquet`` + forced-ascending-mtime layout
+    (byte-layout contract aside, list order and naming are identical —
+    pinned in tests/test_streaming.py).  N sequential coalesce(1)
+    write jobs become ONE Spark job; frames may overlap (a replayed
+    slice is just unioned in again under a later index).  Row order
+    WITHIN a staged file is shuffle order, not input order — every
+    drain this primitive feeds is per-batch order-insensitive; use
+    :func:`stage_ordered_files` if byte-stable files matter."""
+    import glob
+    import os
+    import shutil
+
+    if not frames:
+        raise ValueError("stage_ordered_union needs at least one frame")
+    cols = frames[0].columns
+    fi = "_fi"
+    while fi in cols:
+        fi += "_"
+    tagged = None
+    for i, df in enumerate(frames):
+        if df.columns != cols:
+            raise ValueError(
+                f"frame {i} columns {df.columns} != frame 0's {cols}: "
+                "stage_ordered_union unions the frames, so schemas "
+                "must line up — use stage_ordered_files instead")
+        part = df.withColumn(fi, F.lit(i))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    tmp = f"{src}_tmp"
+    (tagged.repartition(len(frames), F.col(fi))
+     .write.mode("overwrite").partitionBy(fi).parquet(tmp))
+    os.makedirs(src)
+    try:
+        for i in range(len(frames)):
+            parts = glob.glob(f"{glob.escape(tmp)}/{fi}={i}/part-*.parquet")
+            if len(parts) != 1:
+                raise ValueError(
+                    f"frame {i} staged {len(parts)} files (expected 1)"
+                    " — an empty frame is a fixture bug here; use "
+                    "stage_ordered_files for empty-frame staging")
+            dst = f"{src}/{i:02d}.parquet"
+            shutil.copyfile(parts[0], dst)
+            os.utime(dst, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+    finally:
+        shutil.rmtree(tmp)
+    return src
+
+
 def stream_from_files(spark: SparkSession, src_path: str,
                       fmt: str = "parquet",
                       max_files_per_trigger: int | None = None) -> DataFrame:

@@ -814,3 +814,17 @@ def test_r15_loud_validation_and_column_preservation(spark):
     out = DD.incremental_dedup(new, seen, F.col("text"), "doc_id")
     assert "_fp" in out.columns
     assert {(r.doc_id, r._fp) for r in out.collect()} == {(1, "keepme")}
+
+
+def test_exact_dedup_key_column_named_solo(spark):
+    """A key column literally named _solo must survive: the helper
+    grouping name bumps past the collision instead of drop() removing
+    both (r15 ADVICE)."""
+    from dynamic_partitioner_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), (None, 3)], "_solo string, id long")
+    got = exact_dedup(df, ["_solo"], "id")
+    assert set(got.columns) == {"_solo", "id", "dup_count"}
+    rows = {(r._solo, r.id, r.dup_count) for r in got.collect()}
+    assert rows == {("a", 1, 2), (None, 3, 1)}

@@ -788,3 +788,66 @@ def test_warehouse_claim_clears_once_then_preserves(tmp_path):
     open(os.path.join(wh, "live-table"), "w").close()
     _claim_warehouse(wh)                   # second claim: no-op
     assert os.path.exists(os.path.join(wh, "live-table"))
+
+
+def test_stage_ordered_union_matches_files_layout(spark, tmp_path):
+    """stage_ordered_union (one write job) produces the same file
+    names, list order (forced mtimes) and per-file ROW SETS as
+    stage_ordered_files — including an overlapping replayed slice
+    (r16 staging optimization)."""
+    import os
+
+    from dynamic_partitioner_spark.streaming.write import (
+        stage_ordered_files, stage_ordered_union)
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(12)], "id long, g long")
+    frames = [df.where(df.g == 0).select("id"),
+              df.where(df.g == 1).select("id"),
+              # replayed overlap: slice 0 rides again in file 2
+              df.where((df.g == 2) | (df.g == 0)).select("id")]
+    a = stage_ordered_files(frames, str(tmp_path / "a"))
+    b = stage_ordered_union(frames, str(tmp_path / "b"))
+    names_a = sorted(os.listdir(a))
+    names_b = sorted(os.listdir(b))
+    assert names_a == names_b == ["00.parquet", "01.parquet",
+                                  "02.parquet"]
+    for n in names_a:
+        fa, fb = os.path.join(a, n), os.path.join(b, n)
+        assert os.path.getmtime(fa) == os.path.getmtime(fb)
+        ra = {r.id for r in spark.read.parquet(fa).collect()}
+        rb = {r.id for r in spark.read.parquet(fb).collect()}
+        assert ra == rb
+
+
+def test_stage_ordered_union_rejects_schema_drift_and_empty(spark,
+                                                            tmp_path):
+    import pytest as _pytest
+
+    from dynamic_partitioner_spark.streaming.write import (
+        stage_ordered_union)
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with _pytest.raises(ValueError, match="at least one frame"):
+        stage_ordered_union([], str(tmp_path / "x"))
+    with _pytest.raises(ValueError, match="columns"):
+        stage_ordered_union(
+            [df, df.select(df.id.alias("other"))], str(tmp_path / "y"))
+    # an empty frame stages no file — loud error, not a silent gap
+    with _pytest.raises(ValueError, match="staged 0 files"):
+        stage_ordered_union([df, df.where("id > 99")],
+                            str(tmp_path / "z"))
+
+
+def test_stage_ordered_union_bumps_index_column_collision(spark,
+                                                          tmp_path):
+    from dynamic_partitioner_spark.streaming.write import (
+        stage_ordered_union)
+
+    df = spark.createDataFrame([(1, 9), (2, 9)], "id long, _fi long")
+    out = stage_ordered_union([df.where("id = 1"), df.where("id = 2")],
+                              str(tmp_path / "c"))
+    got = spark.read.parquet(out + "/00.parquet")
+    # the caller's own _fi column survives untouched
+    assert set(got.columns) == {"id", "_fi"}
+    assert [(r.id, r._fi) for r in got.collect()] == [(1, 9)]

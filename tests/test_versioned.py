@@ -755,3 +755,91 @@ def test_batch_dir_width_grows_past_version_1e8(spark, tmp_path):
     assert (man[0].min_id, man[0].max_id) == (0, 4)
     got = {r.id for r in read_pruned(spark, p, {"id": (1, 3)}).collect()}
     assert got == {1, 2, 3}
+
+
+# ------------------------------------------------- batched slice staging
+
+def test_write_slices_matches_sequential_writes(spark, tmp_path):
+    """versioned_write_slices is semantics-identical to calling
+    versioned_write once per slice in plan order: same batch dirs,
+    same log modes, same rows per version (r16 staging optimization)."""
+    import os
+
+    from dynamic_partitioner_spark.operators.versioned import (
+        _commits, versioned_write_slices)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id long, grp long")
+    seq = str(tmp_path / "seq")
+    for g, mode in ((0, "append"), (1, "append"), (2, "overwrite")):
+        versioned_write(df.where(F.col("grp") == g).drop("grp"), seq,
+                        mode=mode)
+    bat = str(tmp_path / "bat")
+    got = versioned_write_slices(
+        df.withColumn("_s", F.col("grp")).drop("grp"), "_s",
+        [(0, "append"), (1, "append"), (2, "overwrite")], bat)
+    assert got == [1, 2, 3]
+    assert [(c["version"], c["mode"], c["dirs"]) for c in _commits(bat)] \
+        == [(c["version"], c["mode"], c["dirs"]) for c in _commits(seq)]
+    for v in (1, 2, 3):
+        assert _ids(read_version(spark, bat, v)) \
+            == _ids(read_version(spark, seq, v))
+        # schema: the slice column is stripped from the data files
+        assert read_version(spark, bat, v).columns == ["id"]
+        # one data file per commit
+        d = os.path.join(bat, f"batch-{v:08d}")
+        assert len([n for n in os.listdir(d)
+                    if n.endswith(".parquet")]) == 1
+
+
+def test_write_slices_appends_after_existing_commits(spark, tmp_path):
+    from dynamic_partitioner_spark.operators.versioned import (
+        versioned_write_slices)
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    versioned_write(spark.createDataFrame([(100,)], "id long"), p)
+    df = spark.createDataFrame([(1, 0), (2, 1)], "id long, s long")
+    assert versioned_write_slices(df, "s", [(0, "append"), (1, "append")],
+                                  p) == [2, 3]
+    assert _ids(read_version(spark, p)) == {100, 1, 2}
+
+
+def test_write_slices_carried_duplicate_column(spark, tmp_path):
+    """A caller that wants the slice value IN the data duplicates it
+    under another name (the documented contract)."""
+    from dynamic_partitioner_spark.operators.versioned import (
+        versioned_write_slices)
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 0), (2, 1)], "id long, s long")
+    versioned_write_slices(df.withColumn("_sl", F.col("s")), "_sl",
+                           [(0, "append"), (1, "append")], p)
+    got = read_version(spark, p)
+    assert set(got.columns) == {"id", "s"}
+    assert {(r.id, r.s) for r in got.collect()} == {(1, 0), (2, 1)}
+
+
+def test_write_slices_rejects_bad_plans(spark, tmp_path):
+    from dynamic_partitioner_spark.operators.versioned import (
+        versioned_write_slices)
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 0)], "id long, s long")
+    with pytest.raises(ValueError, match="empty commit plan"):
+        versioned_write_slices(df, "s", [], p)
+    with pytest.raises(ValueError, match="duplicate slice"):
+        versioned_write_slices(df, "s", [(0, "append"), (0, "append")], p)
+    with pytest.raises(ValueError, match="unsupported mode"):
+        versioned_write_slices(df, "s", [(0, "merge")], p)
+    # an empty slice would silently renumber later versions — loud error
+    with pytest.raises(ValueError, match="matched no rows"):
+        versioned_write_slices(df, "s", [(0, "append"), (7, "append")], p)
+    # the failed try must not leave a half-committed table: slice 0 DID
+    # stage, but no commit may have landed for the failed plan
+    import os
+    assert not os.path.isdir(os.path.join(p, "_log")) or not [
+        n for n in os.listdir(os.path.join(p, "_log"))
+        if n.endswith(".json")]
