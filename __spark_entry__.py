@@ -4820,8 +4820,11 @@ def q_source_csv_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     FAILFAST: quarantine columns keep the job alive and auditable
     instead of dying on row one."""
     apply_engine_confs(spark)
-    nation = _table(spark, sf_dir, "nation").orderBy("n_nationkey")
-    rows = nation.collect()               # 25 rows — bounded dimension
+    # collect unsorted and sort driver-side: an orderBy before a
+    # 25-row collect paid a global-sort exchange job for nothing
+    # (r16 guide §1.2 — don't compute what the driver can)
+    rows = sorted(_table(spark, sf_dir, "nation").collect(),
+                  key=lambda r: r.n_nationkey)  # 25 rows — bounded dim
     lines = []
     for rep in range(40):                 # 1000 records
         for r in rows:
@@ -4833,8 +4836,13 @@ def q_source_csv_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 lines.append(f"{i},{r.n_name},{r.n_regionkey}")
     out = _out("csv_corrupt_src")
-    (spark.createDataFrame([(ln,) for ln in lines], "value string")
-     .coalesce(1).write.text(out))
+    # the fixture is a ~55 KB LOCAL text file: write it with driver
+    # I/O instead of a createDataFrame + coalesce(1) Spark write job
+    # (r16; byte-identical content — same lines, same order, one
+    # file — so the PERMISSIVE parse the key certifies is unchanged)
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "part-00000.txt"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
     schema = ("rec_id LONG, name STRING, region LONG, "
               "_corrupt STRING")
     df = (spark.read.schema(schema)
@@ -6190,7 +6198,7 @@ _PRIORITY_R16 = [
     "ops_compact_execute", "source_time_travel", "ops_retention_vacuum",
     "ops_orphan_files", "ops_incremental_scan",
     "embedding_threshold_sweep", "streaming_late_audit",
-    "streaming_ttl_eviction",
+    "streaming_ttl_eviction", "source_csv_corrupt_audit",
     # --- round-10 evidence (the 28 boundary-slack keys the r15 gate
     # names; at budget — r17 hard-fails without this cohort) ---
     "query_bloom_join", "query_bucketed_join", "query_decimal_agg",
@@ -6208,7 +6216,10 @@ _PRIORITY_R16 = [
     "corpus_pipeline", "corpus_quality_filter", "dedup_apply",
     "dedup_clusters", "dedup_decontaminate", "dedup_embedding",
     "dedup_fuzzy", "dedup_fuzzy2", "dedup_incremental",
-    "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_ngram_jaccard",
+    # (dedup_simhash rotated out to make room for the r16-retouched
+    # source_csv_corrupt_audit; its r11 evidence ages into the r17
+    # fold's r11 cohort)
 ]
 
 

@@ -399,6 +399,20 @@ def _shingle_overlap_counts(df: DataFrame, id_col: str, text_col: str,
                .where(F.col("_n") > max_shingle_df)
                .select("_blk", "s"))
         ex = ex.join(F.broadcast(hot), ["_blk", "s"], "left_anti")
+    # spread the per-shingle pair fold across the cluster: the corpus
+    # is byte-small, so the self-join plans as a BroadcastHashJoin
+    # whose STREAM side runs directly on the scan's 1-2 input
+    # partitions — but the join EXPLODES m²/2 rows per shingle, CPU
+    # volume that byte-based split sizing cannot see, so the whole
+    # fold (join + map-side pair agg) ran on 2 of 32 cores (r16
+    # measured the pair family 5-17× slower from this alone, and
+    # wildly load-sensitive).  An explicit-count hash repartition on
+    # the join key spreads the stream side AND is exempt from AQE
+    # partition coalescing; under a sort-merge plan both sides reuse
+    # the one exchange.  Pure relocation: every pair and every count
+    # is unchanged.
+    ex = ex.repartition(
+        ex.sparkSession.sparkContext.defaultParallelism, "_blk", "s")
     a, b = ex.alias("a"), ex.alias("b")
     return (a.join(b, ["_blk", "s"])
             .where(F.col("a._id") < F.col("b._id"))

@@ -145,6 +145,14 @@ def triangle_stats(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
                     | ((F.col("du") == F.col("dv"))
                        & (F.col("u") < F.col("v"))),
                     F.col("v")).otherwise(F.col("u")).alias("hi")))
+    # spread the wedge fold: the oriented edge list is byte-small (the
+    # checkpointed blocks span 1-2 partitions, so the self-join's
+    # stream side ran on 1-2 of 32 cores) but the join explodes
+    # C(out_deg, 2) wedge rows per apex — CPU volume byte-based split
+    # sizing cannot see (the r16 shingle-join fix, same shape).
+    # Explicit-count hash repartition on the apex is exempt from AQE
+    # coalescing; pure relocation, every wedge and triangle unchanged.
+    e = e.repartition(e.sparkSession.sparkContext.defaultParallelism, "lo")
     e1 = e.select(F.col("lo").alias("apex"), F.col("hi").alias("x"))
     e2 = e.select(F.col("lo").alias("apex"), F.col("hi").alias("y"))
     wedge = (e1.join(e2, "apex")
@@ -209,13 +217,28 @@ def neighbor_jaccard(edges: DataFrame, src_col: str, dst_col: str,
                       F.col(dst_col).alias("d"))
          .where(F.col("s").isNotNull() & F.col("d").isNotNull())
          .distinct())
+    # materialize the canonical edge set ONCE: it feeds the hot-key
+    # aggregate, the anti-join main side, the degree aggregate and
+    # both self-join sides — without this every consumer re-derives
+    # the (often expensive) upstream edge construction per branch
+    # (r16: the co-purchase entry's orders⋈lineitem join appeared 5×,
+    # 16 scans in the executed plan).  Same localCheckpoint posture
+    # as triangle_stats' und — lineage truncation, blocks reclaimed
+    # by the ContextCleaner once the result is returned.
+    e = e.localCheckpoint(eager=True)
     if max_degree is not None:
         hot = (e.groupBy("d").agg(F.count(F.lit(1)).alias("_n"))
                .where(F.col("_n") > max_degree).select("d"))
         e = e.join(F.broadcast(hot), "d", "left_anti")
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    a = e.select(F.col("s").alias("id_a"), "d")
-    b = e.select(F.col("s").alias("id_b"), "d")
+    # spread the per-destination pair fold: the checkpointed edge
+    # blocks span 1-2 partitions while the self-join explodes C(m,2)
+    # rows per destination (the r16 shingle-join fix, same shape).
+    # Explicit-count hash repartition on the join key is exempt from
+    # AQE coalescing; pure relocation, every pair count unchanged.
+    e2 = e.repartition(e.sparkSession.sparkContext.defaultParallelism, "d")
+    a = e2.select(F.col("s").alias("id_a"), "d")
+    b = e2.select(F.col("s").alias("id_b"), "d")
     pairs = (a.join(b, "d").where(F.col("id_a") < F.col("id_b"))
              .groupBy("id_a", "id_b")
              .agg(F.count(F.lit(1)).alias("shared"))

@@ -136,6 +136,17 @@ def fuzzy_pairs(df: DataFrame, id_col: str, s_col: str,
                .where(F.col("_n") > max_key_df)
                .select("_k"))
         keyed = keyed.join(F.broadcast(hot), "_k", "left_anti")
+    # spread the per-key pair fold: the keyed relation is byte-small
+    # (the whole self-join plans as a BroadcastHashJoin whose stream
+    # side runs on the source scan's 1-2 input partitions), but the
+    # join EXPLODES m²/2 candidate rows per deletion key and runs the
+    # levenshtein verify on them map-side — CPU volume byte-based
+    # split sizing cannot see, so the fold ran on 2 of 32 cores (the
+    # r16 shingle-join fix, same shape).  Explicit-count hash
+    # repartition on the join key is exempt from AQE coalescing; pure
+    # relocation, every candidate and verified pair unchanged.
+    keyed = keyed.repartition(
+        keyed.sparkSession.sparkContext.defaultParallelism, "_k")
     a = keyed.select(F.col("_id").alias("id_a"), F.col("_s").alias("s_a"),
                      "_k")
     b = keyed.select(F.col("_id").alias("id_b"), F.col("_s").alias("s_b"),

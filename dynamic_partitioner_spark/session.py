@@ -28,6 +28,19 @@ _ENGINE_CONFS: dict[str, str] = {
     # partitions puts the same shuffle at ~55 MB/task; small shuffles
     # still coalesce to a handful of tasks, so short queries pay ~0.
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "512",
+    # Let AQE coalesce shuffles INSIDE cached/persisted plans too: by
+    # default caching compiles with AQE's partition-count changes
+    # disabled (to keep a cached relation's output partitioning
+    # reusable), so every persisted subtree ran its exchanges at the
+    # full initialPartitionNum — with the wide-start posture above
+    # that is 512 near-empty tasks per cached shuffle at small scale
+    # (r16 measured dedup_clusters' persisted pair pipeline paying
+    # ~1500 such tasks ≈ half its wall; at cluster scale the same
+    # conf is what keeps cached-plan shuffles advisory-sized instead
+    # of fixed-width).  Output rows are unaffected; a downstream
+    # consumer that could have reused the cached partitioning may
+    # plan one extra exchange, which AQE then sizes correctly.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",

@@ -173,3 +173,26 @@ def test_bounded_stdout_payload_truncates_pathological_hot_list():
     line = json.dumps(payload)
     assert len(line) <= 1800
     assert json.loads(line)["remeasured_n"] == 200  # count survives
+
+
+def test_hot_start_load_redirects_baseline_write():
+    """r15 VERDICT #4 (third recurrence of a hot driver run
+    overwriting the committed quiet baseline): at/above the quiet
+    policy the full-detail write goes to the gitignored *_hot.json
+    side file; below it the committed baseline file is used."""
+    import bench
+
+    assert bench.baseline_out_name("BENCH_FULL.json", 0.49) \
+        == "BENCH_FULL.json"
+    assert bench.baseline_out_name("BENCH_FULL.json", 0.5) \
+        == "BENCH_FULL_hot.json"
+    assert bench.baseline_out_name("BENCH_FULL.json", 3.35) \
+        == "BENCH_FULL_hot.json"
+    assert bench.baseline_out_name("BENCH_FULL_sf0.01.json", 2.0) \
+        == "BENCH_FULL_sf0.01_hot.json"
+    # the stdout payload must be able to NAME the side file so the
+    # round artifact records where the detail went
+    p = bench.bounded_stdout_payload(
+        {"k": 1.0}, 1.0, 0.1, None, 0, [3.4, 1.0, 0.5], None, [], {},
+        0, [], True, detail="BENCH_FULL_hot.json")
+    assert p["detail"] == "BENCH_FULL_hot.json"

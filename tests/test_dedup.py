@@ -828,3 +828,23 @@ def test_exact_dedup_key_column_named_solo(spark):
     assert set(got.columns) == {"_solo", "id", "dup_count"}
     rows = {(r._solo, r.id, r.dup_count) for r in got.collect()}
     assert rows == {("a", 1, 2), (None, 3, 1)}
+
+
+def test_shingle_pair_fold_is_spread_by_explicit_repartition(spark):
+    """r16 plan pin: the shingle self-join's stream side must carry the
+    explicit-count hash repartition on the join key (REPARTITION_BY_NUM
+    — exempt from AQE coalescing).  Without it the whole m²/2 pair
+    fold ran on the source scan's 1-2 partitions (r16 measured the
+    pair family 5-17× slower from exactly that); a refactor that
+    silently loses the spread fails here first."""
+    from dynamic_partitioner_spark.operators.dedup import (
+        ngram_jaccard_pairs)
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e f", "x") for i in range(6)],
+        "doc_id long, text string, lang string")
+    out = ngram_jaccard_pairs(df, "doc_id", "text", "lang", threshold=0.1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan
+    n = spark.sparkContext.defaultParallelism
+    assert f"s#" in plan and f", {n}), REPARTITION_BY_NUM" in plan

@@ -173,3 +173,16 @@ def test_cosine_batched_nulls_dirty_rows_like_column_form(spark):
     assert got[3][0] is None                # batched NULLs ragged pair
     assert abs(got[4][0] - 1.0) < 1e-12 and abs(got[4][1] - 1.0) < 1e-12
     assert got[5] == (None, None)
+
+
+def test_fuzzy_pair_fold_is_spread_by_explicit_repartition(spark):
+    """r16 plan pin: fuzzy_pairs' deletion-key self-join must carry the
+    explicit-count hash repartition on _k (REPARTITION_BY_NUM) so the
+    m²/2 candidate explode + levenshtein verify run cluster-wide, not
+    on the source scan's 1-2 partitions (same fix as the r16 shingle
+    join)."""
+    df = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(6)], "id long, s string")
+    out = fuzzy_pairs(df, "id", "s", max_dist=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan
