@@ -536,7 +536,17 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     base = df.select(F.col(block_col).alias("_blk"),
                      F.col(id_col).alias("_id"),
                      simhash_batched(F.col(text_col)).alias("sh"))
-    a, b = base.alias("a"), base.alias("b")
+    # spread the per-block m²/2 hamming fold: the signature relation is
+    # byte-small, so the self-join plans as a BroadcastHashJoin whose
+    # stream side ran on the scan's 1-2 partitions (the r16 shingle-
+    # join collapse).  The block key has FEW distinct values (a
+    # language column), so a hash repartition on it cannot spread the
+    # fold — round-robin the STREAM side instead (a broadcast join
+    # needs no particular stream partitioning; the threshold-sweep fix,
+    # same shape).  Pure relocation: every pair and hamming unchanged.
+    a = base.repartition(
+        base.sparkSession.sparkContext.defaultParallelism).alias("a")
+    b = base.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (a.join(b, "_blk")
             .where(F.col("a._id") < F.col("b._id"))

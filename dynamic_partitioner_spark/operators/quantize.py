@@ -293,7 +293,15 @@ def bq_topk(emb: DataFrame, queries: DataFrame, id_col: str = "vec_id",
          .select(F.col(id_col).alias("query_id"),
                  _sign_half(v, 32).alias("_qhi"),
                  _sign_half(v, 0).alias("_qlo")))
+    # spread the corpus scoring: the corpus projection is byte-small,
+    # so the broadcast nested-loop's stream side ran on the scan's 1-2
+    # partitions while every corpus row pays the 64-term packing CASE
+    # and n_queries hamming evaluations (the r16 shingle-join
+    # collapse, cross-join flavor).  The repartition sits BEFORE the
+    # signature projection so the packing itself runs wide too.
+    # Round-robin relocation only — every scored row identical.
     c = (emb.where(F.size(v) == dim)
+         .repartition(emb.sparkSession.sparkContext.defaultParallelism)
          .select(F.col(id_col).alias("neighbor_id"),
                  _sign_half(v, 32).alias("_chi"),
                  _sign_half(v, 0).alias("_clo")))

@@ -64,6 +64,11 @@ def topk_bruteforce(emb: DataFrame, queries: DataFrame, id_col: str = "vec_id",
                                    F.col(vec_col).alias("qv")))
     c = emb.select(F.col(id_col).alias("neighbor_id"),
                    F.col(vec_col).alias("cv"))
+    # spread the corpus × query cosine fold: the projection is
+    # byte-small, so the broadcast nested-loop's stream side ran on
+    # the scan's 1-2 partitions (the r16 shingle-join collapse,
+    # cross-join flavor).  Round-robin relocation only.
+    c = c.repartition(c.sparkSession.sparkContext.defaultParallelism)
     # cross-join candidates are unique by construction — no distinct
     return _score_and_rank(c.crossJoin(q), k, dedupe=False)
 
@@ -656,6 +661,10 @@ def hybrid_rrf_topk(docs: DataFrame, doc_id: str, text_col: str,
            .where(F.col("rank_text") <= shortlist))
 
     qv = query_vec.sparkSession.createDataFrame(qrows, q_sel.schema)
+    # spread the per-corpus-row cosine against the 1-row query vector:
+    # the stream side otherwise runs on the scan's 1-2 partitions (the
+    # r16 shingle-join collapse, cross-join flavor); relocation only
+    emb = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
     scored = (emb.crossJoin(F.broadcast(qv))
               .select(F.col(vec_id).alias("_v"),
                       round4(cosine(F.col(vec_col), F.col("_qv")))

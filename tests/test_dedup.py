@@ -848,3 +848,19 @@ def test_shingle_pair_fold_is_spread_by_explicit_repartition(spark):
     assert "REPARTITION_BY_NUM" in plan
     n = spark.sparkContext.defaultParallelism
     assert f"s#" in plan and f", {n}), REPARTITION_BY_NUM" in plan
+
+
+def test_simhash_pair_fold_is_spread(spark):
+    """r16 plan pin: simhash_pairs round-robin-repartitions the stream
+    side of its block self-join (the block key has too few distinct
+    values for a hash spread) so the per-block m²/2 hamming fold runs
+    cluster-wide."""
+    from dynamic_partitioner_spark.operators.dedup import simhash_pairs
+
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps", "en") for i in range(5)],
+        "doc_id long, text string, lang string")
+    out = simhash_pairs(df, "doc_id", "text", "lang", max_hamming=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan
+    assert out.count() == 10               # identical texts: C(5,2)

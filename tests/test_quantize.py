@@ -377,3 +377,19 @@ def test_quantize_drops_null_and_empty_vectors_silently(spark):
     # NULL (id 1) and empty (id 2) vectors dropped, no assert trip
     assert set(got) == {0}
     assert got[0].qsum == 95 + -127            # floor(x/scale + .5)
+
+
+def test_bq_topk_corpus_scoring_is_spread(spark):
+    """r16 plan pin: bq_topk round-robin-repartitions the corpus side
+    before the broadcast cross join (REPARTITION_BY_NUM) so the
+    packing CASE + hamming scoring run cluster-wide instead of on the
+    scan's 1-2 partitions."""
+    from dynamic_partitioner_spark.operators.quantize import bq_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(j % 3 - 1) for j in range(64)]) for i in range(8)],
+        "vec_id long, embedding array<double>")
+    out = bq_topk(emb, emb.where("vec_id < 2"), k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan
+    assert out.count() == 4                # 2 queries x k=2

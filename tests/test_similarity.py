@@ -619,3 +619,20 @@ def test_r15_similarity_hardening(spark):
     got = topk_ann_ivf(dup, dup, k=2, n_lists=2, nprobe=1)
     per_q = {r.query_id for r in got.collect()}
     assert per_q == {r.vec_id for r in dup.collect()}
+
+
+def test_bruteforce_corpus_scoring_is_spread(spark):
+    """r16 plan pin: topk_bruteforce round-robin-repartitions the
+    corpus side before the broadcast cross join (REPARTITION_BY_NUM)
+    so the per-pair cosine fold runs cluster-wide instead of on the
+    scan's 1-2 partitions."""
+    from dynamic_partitioner_spark.operators.similarity import (
+        topk_bruteforce)
+
+    emb = spark.createDataFrame(
+        [(i, [1.0 * (i + 1), 2.0, 3.0]) for i in range(6)],
+        "vec_id long, embedding array<double>")
+    out = topk_bruteforce(emb, emb.where("vec_id < 2"), k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan
+    assert out.count() == 4
