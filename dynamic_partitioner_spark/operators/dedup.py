@@ -527,6 +527,18 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, id_col: str,
 
 # ---------------------------------------------------------------- simhash
 
+def _spread_stream(df: DataFrame) -> DataFrame:
+    """Round-robin the STREAM side of a broadcast pair join across the
+    cluster: blocked self-joins on byte-small relations plan as a
+    BroadcastHashJoin whose stream side runs on the source scan's 1-2
+    partitions while the join explodes m²/2 rows per block — CPU
+    volume byte-based split sizing cannot see (the r16 collapse
+    family).  A broadcast join needs no particular stream
+    partitioning, so this is pure relocation; use it where the block
+    key has too few distinct values for a hash spread."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                   block_col: str, max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup pairs: hamming(simhash32) <= max_hamming inside a
@@ -536,16 +548,10 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     base = df.select(F.col(block_col).alias("_blk"),
                      F.col(id_col).alias("_id"),
                      simhash_batched(F.col(text_col)).alias("sh"))
-    # spread the per-block m²/2 hamming fold: the signature relation is
-    # byte-small, so the self-join plans as a BroadcastHashJoin whose
-    # stream side ran on the scan's 1-2 partitions (the r16 shingle-
-    # join collapse).  The block key has FEW distinct values (a
-    # language column), so a hash repartition on it cannot spread the
-    # fold — round-robin the STREAM side instead (a broadcast join
-    # needs no particular stream partitioning; the threshold-sweep fix,
-    # same shape).  Pure relocation: every pair and hamming unchanged.
-    a = base.repartition(
-        base.sparkSession.sparkContext.defaultParallelism).alias("a")
+    # the block key has FEW distinct values (a language column), so a
+    # hash repartition cannot spread the m²/2 hamming fold — round-
+    # robin the stream side (_spread_stream; pairs unchanged)
+    a = _spread_stream(base).alias("a")
     b = base.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (a.join(b, "_blk")
@@ -963,14 +969,16 @@ def embedding_near_dup(df: DataFrame, id_col: str, vec_col: str,
         base = df.select(F.col(block_col).alias("_blk"),
                          F.col(id_col).alias("_id"),
                          F.col(vec_col).alias("v"))
-        a, b = base.alias("a"), base.alias("b")
+        a = _spread_stream(base).alias("a")
+        b = base.alias("b")
         cos = cosine_batched(F.col("a.v"), F.col("b.v"))
     else:
         base = df.select(F.col(block_col).alias("_blk"),
                          F.col(id_col).alias("_id"),
                          F.col(vec_col).alias("v"),
                          l2_norm(F.col(vec_col)).alias("nrm"))
-        a, b = base.alias("a"), base.alias("b")
+        a = _spread_stream(base).alias("a")
+        b = base.alias("b")
         cos = F.try_divide(dot(F.col("a.v"), F.col("b.v")),
                            F.col("a.nrm") * F.col("b.nrm"))
     return (a.join(b, "_blk")

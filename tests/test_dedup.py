@@ -864,3 +864,21 @@ def test_simhash_pair_fold_is_spread(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "REPARTITION_BY_NUM" in plan
     assert out.count() == 10               # identical texts: C(5,2)
+
+
+def test_embedding_near_dup_fold_is_spread(spark):
+    """r16 plan pin: embedding_near_dup round-robins the stream side
+    of its block self-join (_spread_stream) in BOTH scoring modes so
+    the per-pair cosine fold runs cluster-wide."""
+    from dynamic_partitioner_spark.operators.dedup import (
+        embedding_near_dup)
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0], "x") for i in range(4)],
+        "vec_id long, embedding array<double>, label string")
+    for batched in (False, True):
+        out = embedding_near_dup(df, "vec_id", "embedding", "label",
+                                 threshold=0.5, batched=batched)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "REPARTITION_BY_NUM" in plan, f"batched={batched}"
+        assert out.count() == 6            # identical vectors: C(4,2)
