@@ -82,6 +82,12 @@ def sweep_writer_debris(scratch: str) -> tuple[int, list[str]]:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # sample the host's load BEFORE the JVM spin-up and warmup queries
+    # saturate the cores: sampling after them inflates the 1-min
+    # average with the bench's own work, which would make quiet-host
+    # runs self-exceed the ratchet guard's policy below and never
+    # refresh the committed baseline (r16 review)
+    load_start = os.getloadavg()
     import __spark_entry__ as E
     from dynamic_partitioner_spark import get_spark
 
@@ -134,8 +140,6 @@ def main() -> None:
                       file=sys.stderr)
     except (OSError, ValueError):
         pass
-    load_start = os.getloadavg()
-
     # median-of-3 keys: streaming (micro-batch scheduling noise of
     # regression magnitude, r6→r7 showed ±20-50% on identical code)
     # and the iterative multi-job ops whose wall time is job-count

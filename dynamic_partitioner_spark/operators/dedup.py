@@ -406,13 +406,12 @@ def _shingle_overlap_counts(df: DataFrame, id_col: str, text_col: str,
     # volume that byte-based split sizing cannot see, so the whole
     # fold (join + map-side pair agg) ran on 2 of 32 cores (r16
     # measured the pair family 5-17× slower from this alone, and
-    # wildly load-sensitive).  An explicit-count hash repartition on
-    # the join key spreads the stream side AND is exempt from AQE
-    # partition coalescing; under a sort-merge plan both sides reuse
-    # the one exchange.  Pure relocation: every pair and every count
-    # is unchanged.
-    ex = ex.repartition(
-        ex.sparkSession.sparkContext.defaultParallelism, "_blk", "s")
+    # wildly load-sensitive).  Hash spread on the join key (shingles
+    # are high-cardinality, so the exchange is join-reusable); no-op
+    # on already-wide inputs (functions/partitioning.py).  Pure
+    # relocation: every pair and every count is unchanged.
+    from ..functions.partitioning import spread_if_narrow
+    ex = spread_if_narrow(ex, "_blk", "s")
     a, b = ex.alias("a"), ex.alias("b")
     return (a.join(b, ["_blk", "s"])
             .where(F.col("a._id") < F.col("b._id"))
@@ -535,8 +534,11 @@ def _spread_stream(df: DataFrame) -> DataFrame:
     volume byte-based split sizing cannot see (the r16 collapse
     family).  A broadcast join needs no particular stream
     partitioning, so this is pure relocation; use it where the block
-    key has too few distinct values for a hash spread."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    key has too few distinct values for a hash spread.  No-op when
+    the relation is already planned at cluster width (r16 review —
+    the spread must never add a shuffle on wide inputs)."""
+    from ..functions.partitioning import spread_if_narrow
+    return spread_if_narrow(df)
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,

@@ -149,10 +149,11 @@ def triangle_stats(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
     # checkpointed blocks span 1-2 partitions, so the self-join's
     # stream side ran on 1-2 of 32 cores) but the join explodes
     # C(out_deg, 2) wedge rows per apex — CPU volume byte-based split
-    # sizing cannot see (the r16 shingle-join fix, same shape).
-    # Explicit-count hash repartition on the apex is exempt from AQE
-    # coalescing; pure relocation, every wedge and triangle unchanged.
-    e = e.repartition(e.sparkSession.sparkContext.defaultParallelism, "lo")
+    # sizing cannot see (the r16 shingle-join fix, same shape; no-op
+    # on already-wide inputs).  Pure relocation, every wedge and
+    # triangle unchanged.
+    from ..functions.partitioning import spread_if_narrow
+    e = spread_if_narrow(e, "lo")
     e1 = e.select(F.col("lo").alias("apex"), F.col("hi").alias("x"))
     e2 = e.select(F.col("lo").alias("apex"), F.col("hi").alias("y"))
     wedge = (e1.join(e2, "apex")
@@ -233,10 +234,11 @@ def neighbor_jaccard(edges: DataFrame, src_col: str, dst_col: str,
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     # spread the per-destination pair fold: the checkpointed edge
     # blocks span 1-2 partitions while the self-join explodes C(m,2)
-    # rows per destination (the r16 shingle-join fix, same shape).
-    # Explicit-count hash repartition on the join key is exempt from
-    # AQE coalescing; pure relocation, every pair count unchanged.
-    e2 = e.repartition(e.sparkSession.sparkContext.defaultParallelism, "d")
+    # rows per destination (the r16 shingle-join fix, same shape;
+    # no-op on already-wide inputs).  Pure relocation, every pair
+    # count unchanged.
+    from ..functions.partitioning import spread_if_narrow
+    e2 = spread_if_narrow(e, "d")
     a = e2.select(F.col("s").alias("id_a"), "d")
     b = e2.select(F.col("s").alias("id_b"), "d")
     pairs = (a.join(b, "d").where(F.col("id_a") < F.col("id_b"))

@@ -142,11 +142,10 @@ def fuzzy_pairs(df: DataFrame, id_col: str, s_col: str,
     # join EXPLODES m²/2 candidate rows per deletion key and runs the
     # levenshtein verify on them map-side — CPU volume byte-based
     # split sizing cannot see, so the fold ran on 2 of 32 cores (the
-    # r16 shingle-join fix, same shape).  Explicit-count hash
-    # repartition on the join key is exempt from AQE coalescing; pure
-    # relocation, every candidate and verified pair unchanged.
-    keyed = keyed.repartition(
-        keyed.sparkSession.sparkContext.defaultParallelism, "_k")
+    # r16 shingle-join fix, same shape; no-op on already-wide inputs).
+    # Pure relocation, every candidate and verified pair unchanged.
+    from ..functions.partitioning import spread_if_narrow
+    keyed = spread_if_narrow(keyed, "_k")
     a = keyed.select(F.col("_id").alias("id_a"), F.col("_s").alias("s_a"),
                      "_k")
     b = keyed.select(F.col("_id").alias("id_b"), F.col("_s").alias("s_b"),

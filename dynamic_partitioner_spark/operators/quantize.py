@@ -300,8 +300,8 @@ def bq_topk(emb: DataFrame, queries: DataFrame, id_col: str = "vec_id",
     # collapse, cross-join flavor).  The repartition sits BEFORE the
     # signature projection so the packing itself runs wide too.
     # Round-robin relocation only — every scored row identical.
-    c = (emb.where(F.size(v) == dim)
-         .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    from ..functions.partitioning import spread_if_narrow
+    c = (spread_if_narrow(emb.where(F.size(v) == dim))
          .select(F.col(id_col).alias("neighbor_id"),
                  _sign_half(v, 32).alias("_chi"),
                  _sign_half(v, 0).alias("_clo")))

@@ -67,8 +67,9 @@ def topk_bruteforce(emb: DataFrame, queries: DataFrame, id_col: str = "vec_id",
     # spread the corpus × query cosine fold: the projection is
     # byte-small, so the broadcast nested-loop's stream side ran on
     # the scan's 1-2 partitions (the r16 shingle-join collapse,
-    # cross-join flavor).  Round-robin relocation only.
-    c = c.repartition(c.sparkSession.sparkContext.defaultParallelism)
+    # cross-join flavor; no-op on already-wide inputs).
+    from ..functions.partitioning import spread_if_narrow
+    c = spread_if_narrow(c)
     # cross-join candidates are unique by construction — no distinct
     return _score_and_rank(c.crossJoin(q), k, dedupe=False)
 
@@ -663,8 +664,10 @@ def hybrid_rrf_topk(docs: DataFrame, doc_id: str, text_col: str,
     qv = query_vec.sparkSession.createDataFrame(qrows, q_sel.schema)
     # spread the per-corpus-row cosine against the 1-row query vector:
     # the stream side otherwise runs on the scan's 1-2 partitions (the
-    # r16 shingle-join collapse, cross-join flavor); relocation only
-    emb = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    # r16 shingle-join collapse, cross-join flavor; no-op on
+    # already-wide inputs)
+    from ..functions.partitioning import spread_if_narrow
+    emb = spread_if_narrow(emb)
     scored = (emb.crossJoin(F.broadcast(qv))
               .select(F.col(vec_id).alias("_v"),
                       round4(cosine(F.col(vec_col), F.col("_qv")))
@@ -751,7 +754,8 @@ def cosine_threshold_sweep(df: DataFrame, id_col: str, vec_col: str,
     # cosine folds on a single core (r16 measured the whole sweep 4×
     # faster from this line alone).  Round-robin repartition only
     # relocates rows; every pair, cosine and bucket count is unchanged
-    a_side = s.repartition(s.sparkSession.sparkContext.defaultParallelism)
+    from ..functions.partitioning import spread_if_narrow
+    a_side = spread_if_narrow(s)
     a = a_side.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"),
                       F.col("_l2").alias("_la"))
     b = s.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"),

@@ -180,8 +180,18 @@ def versioned_write_slices(df: DataFrame, slice_col: str,
     _check_local(path)
     commits = _commits(path)
     v0 = (commits[-1]["version"] + 1) if commits else 1
+    # reclaim EVERY stale stage dir, not just the current version's: a
+    # crash after a partial commit prefix advances v0 on retry, so the
+    # crashed attempt's _stage-{old v0} would otherwise be stranded
+    # forever as pseudo-orphan debris (r16 review).  Underscore dirs
+    # are reader-invisible and this writer is the single-writer
+    # authority for the table, so any _stage-* here is reclaimable.
+    if os.path.isdir(path):
+        for name in os.listdir(path):
+            if name.startswith("_stage-"):
+                shutil.rmtree(os.path.join(path, name),
+                              ignore_errors=True)
     stage = os.path.join(path, f"_stage-{v0:08d}")
-    shutil.rmtree(stage, ignore_errors=True)  # reclaim a crashed try
     values = [s for s, _ in plan]
     # the staging partition column is cast to long IN PLACE so the
     # directory names round-trip exactly; hash-repartitioning on it

@@ -221,6 +221,13 @@ def stage_ordered_union(frames: list[DataFrame], src: str) -> str:
             dst = f"{src}/{i:02d}.parquet"
             shutil.copyfile(parts[0], dst)
             os.utime(dst, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+    except BaseException:
+        # a failed validation mid-copy must not leave a partial (yet
+        # complete-looking) NN.parquet sequence behind: a retry would
+        # die on os.makedirs(src) masking the real error, and a reader
+        # would see silently missing files (r16 review)
+        shutil.rmtree(src, ignore_errors=True)
+        raise
     finally:
         shutil.rmtree(tmp)
     return src

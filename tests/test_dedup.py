@@ -842,7 +842,7 @@ def test_shingle_pair_fold_is_spread_by_explicit_repartition(spark):
 
     df = spark.createDataFrame(
         [(i, "a b c d e f", "x") for i in range(6)],
-        "doc_id long, text string, lang string")
+        "doc_id long, text string, lang string").coalesce(1)
     out = ngram_jaccard_pairs(df, "doc_id", "text", "lang", threshold=0.1)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "REPARTITION_BY_NUM" in plan
@@ -859,7 +859,7 @@ def test_simhash_pair_fold_is_spread(spark):
 
     df = spark.createDataFrame(
         [(i, "the quick brown fox jumps", "en") for i in range(5)],
-        "doc_id long, text string, lang string")
+        "doc_id long, text string, lang string").coalesce(1)
     out = simhash_pairs(df, "doc_id", "text", "lang", max_hamming=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "REPARTITION_BY_NUM" in plan
@@ -875,10 +875,34 @@ def test_embedding_near_dup_fold_is_spread(spark):
 
     df = spark.createDataFrame(
         [(i, [1.0, 2.0, 3.0], "x") for i in range(4)],
-        "vec_id long, embedding array<double>, label string")
+        "vec_id long, embedding array<double>, label string").coalesce(1)
     for batched in (False, True):
         out = embedding_near_dup(df, "vec_id", "embedding", "label",
                                  threshold=0.5, batched=batched)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "REPARTITION_BY_NUM" in plan, f"batched={batched}"
         assert out.count() == 6            # identical vectors: C(4,2)
+
+
+def test_spread_if_narrow_is_noop_on_wide_inputs(spark):
+    """r16 review guard: the explicit-count spread fires only when the
+    relation is planned NARROWER than defaultParallelism — on an
+    already-wide input it must be a no-op (no extra shuffle, no fixed
+    width cap, AQE skew handling preserved at scale)."""
+    from dynamic_partitioner_spark.functions.partitioning import (
+        spread_if_narrow)
+
+    n = spark.sparkContext.defaultParallelism
+    narrow = spark.createDataFrame([(i,) for i in range(8)], "k long") \
+        .coalesce(1)
+    assert "REPARTITION_BY_NUM" in spread_if_narrow(narrow, "k") \
+        ._jdf.queryExecution().executedPlan().toString()
+    wide = spark.createDataFrame([(i,) for i in range(8)], "k long") \
+        .repartition(n + 1)
+    plan = spread_if_narrow(wide, "k")._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the only repartition is the test's own n+1 ROUND-ROBIN — no
+    # spread hash exchange was added on top (the AQE plan string
+    # repeats each node in its Initial Plan section, so count node
+    # kinds, not occurrences)
+    assert "hashpartitioning" not in plan

@@ -182,7 +182,8 @@ def test_fuzzy_pair_fold_is_spread_by_explicit_repartition(spark):
     on the source scan's 1-2 partitions (same fix as the r16 shingle
     join)."""
     df = spark.createDataFrame(
-        [(i, f"name{i}") for i in range(6)], "id long, s string")
+        [(i, f"name{i}") for i in range(6)],
+        "id long, s string").coalesce(1)
     out = fuzzy_pairs(df, "id", "s", max_dist=1)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "REPARTITION_BY_NUM" in plan

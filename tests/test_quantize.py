@@ -388,7 +388,7 @@ def test_bq_topk_corpus_scoring_is_spread(spark):
 
     emb = spark.createDataFrame(
         [(i, [float(j % 3 - 1) for j in range(64)]) for i in range(8)],
-        "vec_id long, embedding array<double>")
+        "vec_id long, embedding array<double>").coalesce(1)
     out = bq_topk(emb, emb.where("vec_id < 2"), k=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "REPARTITION_BY_NUM" in plan

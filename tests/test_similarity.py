@@ -631,7 +631,7 @@ def test_bruteforce_corpus_scoring_is_spread(spark):
 
     emb = spark.createDataFrame(
         [(i, [1.0 * (i + 1), 2.0, 3.0]) for i in range(6)],
-        "vec_id long, embedding array<double>")
+        "vec_id long, embedding array<double>").coalesce(1)
     out = topk_bruteforce(emb, emb.where("vec_id < 2"), k=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "REPARTITION_BY_NUM" in plan

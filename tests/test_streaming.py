@@ -851,3 +851,25 @@ def test_stage_ordered_union_bumps_index_column_collision(spark,
     # the caller's own _fi column survives untouched
     assert set(got.columns) == {"id", "_fi"}
     assert [(r.id, r._fi) for r in got.collect()] == [(1, 9)]
+
+
+def test_stage_ordered_union_cleans_src_on_failure(spark, tmp_path):
+    """r16 review: a failed staged-file-count validation must not
+    leave a partial NN.parquet sequence behind — src is removed so a
+    retry neither dies on makedirs nor reads missing files."""
+    import os
+
+    import pytest
+
+    from dynamic_partitioner_spark.streaming.write import (
+        stage_ordered_union)
+
+    src = str(tmp_path / "src")
+    good = spark.createDataFrame([(1,)], "v long")
+    empty = good.where("v < 0")
+    with pytest.raises(ValueError, match="staged 0 files"):
+        stage_ordered_union([good, empty], src)
+    assert not os.path.exists(src)
+    # a corrected retry succeeds against the same path
+    out = stage_ordered_union([good, good], src)
+    assert sorted(os.listdir(out)) == ["00.parquet", "01.parquet"]

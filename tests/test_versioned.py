@@ -843,3 +843,23 @@ def test_write_slices_rejects_bad_plans(spark, tmp_path):
     assert not os.path.isdir(os.path.join(p, "_log")) or not [
         n for n in os.listdir(os.path.join(p, "_log"))
         if n.endswith(".json")]
+
+
+def test_write_slices_reclaims_stale_stage_dirs(spark, tmp_path):
+    """r16 review: a crash after a partial commit prefix advances the
+    next version, so the crashed attempt's _stage-{old} dir must be
+    reclaimed on ANY later write — not just an exact-version retry."""
+    import os
+
+    from dynamic_partitioner_spark.operators.versioned import (
+        versioned_write_slices)
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k long, _s long")
+    versioned_write_slices(df, "_s", [(10, "append")], path)
+    # simulate a crashed attempt's leftover stage dir
+    stale = os.path.join(path, "_stage-00000001")
+    os.makedirs(os.path.join(stale, "_s=10"))
+    versioned_write_slices(df, "_s", [(20, "append")], path)
+    assert not os.path.exists(stale)
+    assert not [n for n in os.listdir(path) if n.startswith("_stage-")]

@@ -23,6 +23,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # audit_plans
 
 
 def main() -> None:
@@ -64,8 +65,10 @@ def main() -> None:
     def all_job_ids() -> set[int]:
         # jobs submitted without a group land in the null group; the
         # engine sets none, so this enumerates every job so far
-        jt = spark.sparkContext.statusTracker()._jtracker
-        return set(jt.getJobIdsForGroup(None) or [])
+        # (public StatusTracker API — r16 review dropped the private
+        # _jtracker reach-through)
+        return set(spark.sparkContext.statusTracker()
+                   .getJobIdsForGroup(None) or [])
 
     out = {}
     for key in keys:
@@ -83,10 +86,14 @@ def main() -> None:
             samples.append(round(dt, 3))
             n_jobs = len(all_job_ids() - ids_before)
             if plan_dir and r == 0:
+                # ONE plan-capture implementation feeds every judge
+                # artifact (r16 review): reuse audit_plans'
+                # public-API formatted_plan instead of a second,
+                # private-internals copy that could drift
+                from audit_plans import formatted_plan
                 os.makedirs(plan_dir, exist_ok=True)
                 with open(os.path.join(plan_dir, f"{key}.txt"), "w") as f:
-                    f.write(df._sc._jvm.PythonSQLUtils.explainString(
-                        df._jdf.queryExecution(), "formatted"))
+                    f.write(formatted_plan(df))
         out[key] = {"samples": samples, "rows": n, "jobs": n_jobs}
         print(f"{key}: {samples} s, {n} rows, {n_jobs} jobs", flush=True)
     print(json.dumps(out))
