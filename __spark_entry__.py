@@ -5012,7 +5012,7 @@ def q_streaming_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynamic_partitioner_spark.streaming.stateful import (
         run_ttl_eviction_audit)
     from dynamic_partitioner_spark.streaming.write import (
-        stage_ordered_union)
+        stage_ordered_files)
     apply_engine_confs(spark)
     events = _table(spark, sf_dir, "events")
     ev = events.select("user_id", "event_type", "value",
@@ -5037,11 +5037,15 @@ def q_streaming_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("sentinel").alias("event_type"),
         F.expr(f"timestamp_micros({m + 50 * day_us})").alias("ts"),
         F.lit(0.0).alias("value"))
-    # all four staged files (3 chunks + sentinel) land in ONE write
-    # job (r16: was one coalesce(1) job per file); the TTL state
-    # machine is per-batch order-insensitive, so the single-job
-    # primitive applies
-    src = stage_ordered_union(chunks + [sentinel], _out("stream_ttl_src"))
+    # staged per-file (one coalesce(1) job each): the r16 single-job
+    # stage_ordered_union regressed THIS key — quiet-paired A/B at 32
+    # cores (r17, alternating in one session) measured union 14.4-28.9s
+    # vs files 13.1-16.2s (files faster in 4 of 5 pairs) despite 2
+    # fewer jobs, because the union's 3 chunk branches re-scan events
+    # through one shuffle while the drain cost dwarfs the saved job
+    # overhead.  streaming_late_audit keeps the union primitive (the
+    # same A/B measured union faster there: 4.6-5.0s vs 5.0-6.0s).
+    src = stage_ordered_files(chunks + [sentinel], _out("stream_ttl_src"))
     spark.catalog.dropTempView("stream_ttl_sink")
     # state partitioning sizes to the staged volume — the same lever
     # a cluster job sets via shuffle partitions.  At the driver/bench
