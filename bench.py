@@ -25,13 +25,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 QUIET_LOAD_POLICY = 0.5
 
 
-def baseline_out_name(full_name: str, load1: float) -> str:
+#: 5-min load above which a run counts as drain-contaminated even when
+#: the 1-min average has already dropped below QUIET_LOAD_POLICY (r16
+#: ADVICE: a run that starts in a multi-minute drain tail measured a
+#: 1.27x uniform inflation with start load1 = 0.29 but load5 = 1.59 —
+#: the 1-min-only gate let it overwrite the committed baseline)
+QUIET_LOAD5_POLICY = 1.0
+
+
+def baseline_out_name(full_name: str, load: tuple,
+                      cpus: int | str | None = None) -> str:
     """Where this run's full-detail JSON goes: the committed baseline
-    file on a quiet start, a gitignored ``*_hot.json`` side file when
-    the 1-min start load is at/above the quiet policy (r15 VERDICT #4
-    — a hot run must never reset the round-over-round comparator)."""
-    if load1 >= QUIET_LOAD_POLICY:
-        return full_name.replace(".json", "_hot.json")
+    file on a quiet start, a gitignored ``*_hot_c{cpus}.json`` side
+    file when the start load says the timings are not baseline
+    material (r15 VERDICT #4 — a hot run must never reset the
+    round-over-round comparator).  Hot because the 1-min average is
+    at/above the quiet policy OR the 5-min average shows a drain tail
+    (r16 ADVICE).  The cpus suffix keeps one run's detail from
+    overwriting another's — the r16 driver's 8-core run clobbered its
+    32-core run's full detail in the single ``_hot.json`` slot (r16
+    VERDICT #3)."""
+    if load[0] >= QUIET_LOAD_POLICY or load[1] >= QUIET_LOAD5_POLICY:
+        suffix = f"_hot_c{cpus}" if cpus else "_hot"
+        return full_name.replace(".json", f"{suffix}.json")
     return full_name
 
 
@@ -262,12 +278,15 @@ def main() -> None:
     # material — write them to a side file (gitignored) and leave the
     # committed comparator alone.  The stdout payload names the file
     # so the round artifact still records where the full detail went.
-    out_name = baseline_out_name(full_name, load_start[0])
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") \
+        or spark.sparkContext.defaultParallelism
+    out_name = baseline_out_name(full_name, load_start, cpus)
     if out_name != full_name:
-        print(f"# start load {load_start[0]:.2f} >= quiet policy "
-              f"{QUIET_LOAD_POLICY} — full detail written to "
-              f"{out_name}; committed baseline NOT overwritten",
-              file=sys.stderr)
+        print(f"# start load {load_start[0]:.2f}/{load_start[1]:.2f} "
+              f"(1/5 min) exceeds quiet policy "
+              f"{QUIET_LOAD_POLICY}/{QUIET_LOAD5_POLICY} — full detail "
+              f"written to {out_name}; committed baseline NOT "
+              f"overwritten", file=sys.stderr)
     with open(os.path.join(here, out_name), "w") as f:
         json.dump({"sf": float(sf), "total_sec": round(total, 3),
                    "n_queries": len(timings), "queries": timings,
@@ -318,6 +337,14 @@ def bounded_stdout_payload(timings: dict, total: float, sf: float,
                  and v["median3"] / v["prev"] >= 1.3)
     errs = sorted(k for k, v in remeasured.items() if "error" in v)
     payload = {
+        # full hot/err COUNTS stay authoritative even when the name
+        # lists below are capped (r16 VERDICT #2: an 83-key remeasure
+        # run's hot list ate the byte budget and squeezed the queries
+        # window to 6, leaving the driver's PERF table 5 comparable
+        # keys — the top-N queries dict is the round's PRIMARY
+        # measurement artifact and must win the budget fight)
+        "remeasured_hot_n": len(hot),
+        "remeasured_err_n": len(errs),
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
@@ -339,11 +366,24 @@ def bounded_stdout_payload(timings: dict, total: float, sf: float,
         "prev_baseline_labeled": prev_labeled,
         "detail": detail,
     }
-    for top_n in (30, 20, 12, 6, 0):
-        payload["queries"] = dict(
-            sorted(timings.items(), key=lambda kv: -kv[1])[:top_n])
+    # err names are rare and actionable — keep (up to 5 of) them ahead
+    # of everything below; the final fallback can still trim them
+    payload["remeasured_err"] = errs[:5]
+    top30 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:30])
+    # cap the hot NAME list before surrendering a single queries
+    # entry: shrink the cap first, and only if the smallest cap still
+    # overflows start narrowing the queries window
+    for cap in (8, 5, 3, 1, 0):
+        payload["remeasured_hot"] = hot[:cap]
+        payload["queries"] = top30
         if len(json.dumps(payload)) <= budget:
             break
+    else:
+        for top_n in (20, 12, 6, 0):
+            payload["queries"] = dict(
+                sorted(timings.items(), key=lambda kv: -kv[1])[:top_n])
+            if len(json.dumps(payload)) <= budget:
+                break
     # pathological fallback: a mass-regression run could make the hot
     # list ITSELF exceed the window — truncate the name lists rather
     # than overflow (the counts stay authoritative; every name lives

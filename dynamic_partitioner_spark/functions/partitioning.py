@@ -21,17 +21,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def spread_if_narrow(df: DataFrame, *cols: str) -> DataFrame:
+def spread_if_narrow(df: DataFrame, *cols: str,
+                     probe: DataFrame | None = None) -> DataFrame:
     """Repartition ``df`` to ``defaultParallelism`` iff it is planned
     narrower than that — by ``cols`` (hash; use for high-cardinality
     join keys so the exchange is reusable by the join) or round-robin
     with no cols (use when the join key has too few distinct values
     to spread, or for a broadcast join's stream side, which needs no
     particular partitioning).  Pure relocation: row content is
-    untouched.  The probe reads the PLANNED partition count (no job
-    runs)."""
+    untouched.
+
+    The width probe (``.rdd.getNumPartitions()``) runs on ``probe``
+    when given, else on ``df``.  CAVEAT (r16 ADVICE): with AQE on,
+    ``.rdd`` over a plan containing exchanges MATERIALIZES its query
+    stages — real Spark jobs at operator-construction time, running
+    any upstream aggregate/broadcast twice.  Callers must hand this
+    function an exchange-free relation: probe/spread BEFORE joining
+    in broadcast subtrees (a BroadcastHashJoin preserves stream-side
+    partitioning, so the spread carries through), or pass an eagerly
+    ``localCheckpoint``-ed upstream whose partition count equals the
+    target's planned width (``probe=``).  On exchange-free plans the
+    probe only forces physical planning — no job runs."""
     n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    if (probe if probe is not None else df).rdd.getNumPartitions() >= n:
         return df
     if cols:
         return df.repartition(n, *cols)

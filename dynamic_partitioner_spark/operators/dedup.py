@@ -393,12 +393,6 @@ def _shingle_overlap_counts(df: DataFrame, id_col: str, text_col: str,
                      shingles_batched(F.col(text_col), n).alias("sh"))
     ex = base.select("_blk", "_id", F.size("sh").alias("sz"),
                      F.explode("sh").alias("s"))
-    if max_shingle_df is not None:
-        hot = (ex.groupBy("_blk", "s")
-               .agg(F.count(F.lit(1)).alias("_n"))
-               .where(F.col("_n") > max_shingle_df)
-               .select("_blk", "s"))
-        ex = ex.join(F.broadcast(hot), ["_blk", "s"], "left_anti")
     # spread the per-shingle pair fold across the cluster: the corpus
     # is byte-small, so the self-join plans as a BroadcastHashJoin
     # whose STREAM side runs directly on the scan's 1-2 input
@@ -409,9 +403,21 @@ def _shingle_overlap_counts(df: DataFrame, id_col: str, text_col: str,
     # wildly load-sensitive).  Hash spread on the join key (shingles
     # are high-cardinality, so the exchange is join-reusable); no-op
     # on already-wide inputs (functions/partitioning.py).  Pure
-    # relocation: every pair and every count is unchanged.
+    # relocation: every pair and every count is unchanged.  The
+    # spread sits BEFORE the hot-shingle anti-join: probing the
+    # post-join plan materialized its broadcast (the hot aggregate
+    # ran twice per call — r16 ADVICE), while here the probed plan is
+    # scan-only; the broadcast anti-join preserves the stream side's
+    # (_blk, s) partitioning, and the hot aggregate itself now reuses
+    # the exchange instead of shuffling again.
     from ..functions.partitioning import spread_if_narrow
     ex = spread_if_narrow(ex, "_blk", "s")
+    if max_shingle_df is not None:
+        hot = (ex.groupBy("_blk", "s")
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .where(F.col("_n") > max_shingle_df)
+               .select("_blk", "s"))
+        ex = ex.join(F.broadcast(hot), ["_blk", "s"], "left_anti")
     a, b = ex.alias("a"), ex.alias("b")
     return (a.join(b, ["_blk", "s"])
             .where(F.col("a._id") < F.col("b._id"))
@@ -552,9 +558,14 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                      simhash_batched(F.col(text_col)).alias("sh"))
     # the block key has FEW distinct values (a language column), so a
     # hash repartition cannot spread the m²/2 hamming fold — round-
-    # robin the stream side (_spread_stream; pairs unchanged)
+    # robin the stream side (_spread_stream; pairs unchanged).  Side b
+    # carries an explicit broadcast hint: the spread only works while
+    # the planner streams side a, and with two identical-size sides
+    # that was a tie-break the committed plan fixtures pinned but a
+    # stats/version change could flip, silently running the fold on
+    # side b's 1-2 scan partitions again (r16 ADVICE).
     a = _spread_stream(base).alias("a")
-    b = base.alias("b")
+    b = F.broadcast(base).alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (a.join(b, "_blk")
             .where(F.col("a._id") < F.col("b._id"))
@@ -967,12 +978,16 @@ def embedding_near_dup(df: DataFrame, id_col: str, vec_col: str,
     verification is a threshold, not a value hash."""
     from ..functions.vectors import cosine_batched
 
+    # side b broadcast-hinted for the same reason as simhash_pairs:
+    # the spread is only effective while side a streams, and the
+    # identical-size tie-break must not depend on planner stats (r16
+    # ADVICE)
     if batched:
         base = df.select(F.col(block_col).alias("_blk"),
                          F.col(id_col).alias("_id"),
                          F.col(vec_col).alias("v"))
         a = _spread_stream(base).alias("a")
-        b = base.alias("b")
+        b = F.broadcast(base).alias("b")
         cos = cosine_batched(F.col("a.v"), F.col("b.v"))
     else:
         base = df.select(F.col(block_col).alias("_blk"),
@@ -980,7 +995,7 @@ def embedding_near_dup(df: DataFrame, id_col: str, vec_col: str,
                          F.col(vec_col).alias("v"),
                          l2_norm(F.col(vec_col)).alias("nrm"))
         a = _spread_stream(base).alias("a")
-        b = base.alias("b")
+        b = F.broadcast(base).alias("b")
         cos = F.try_divide(dot(F.col("a.v"), F.col("b.v")),
                            F.col("a.nrm") * F.col("b.nrm"))
     return (a.join(b, "_blk")

@@ -151,9 +151,14 @@ def triangle_stats(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
     # C(out_deg, 2) wedge rows per apex — CPU volume byte-based split
     # sizing cannot see (the r16 shingle-join fix, same shape; no-op
     # on already-wide inputs).  Pure relocation, every wedge and
-    # triangle unchanged.
+    # triangle unchanged.  Probe the eagerly-checkpointed ``und``
+    # (its RDD already exists, so the probe costs nothing), not ``e``:
+    # e's plan contains the two broadcast degree joins, and probing
+    # THROUGH a broadcast subtree materializes the degree aggregate as
+    # an extra job per call (r16 ADVICE); the joins preserve und's
+    # stream-side partitioning, so the counts are interchangeable.
     from ..functions.partitioning import spread_if_narrow
-    e = spread_if_narrow(e, "lo")
+    e = spread_if_narrow(e, "lo", probe=und)
     e1 = e.select(F.col("lo").alias("apex"), F.col("hi").alias("x"))
     e2 = e.select(F.col("lo").alias("apex"), F.col("hi").alias("y"))
     wedge = (e1.join(e2, "apex")
@@ -227,6 +232,7 @@ def neighbor_jaccard(edges: DataFrame, src_col: str, dst_col: str,
     # as triangle_stats' und — lineage truncation, blocks reclaimed
     # by the ContextCleaner once the result is returned.
     e = e.localCheckpoint(eager=True)
+    e_ck = e      # exchange-free probe target for the spread below
     if max_degree is not None:
         hot = (e.groupBy("d").agg(F.count(F.lit(1)).alias("_n"))
                .where(F.col("_n") > max_degree).select("d"))
@@ -236,9 +242,13 @@ def neighbor_jaccard(edges: DataFrame, src_col: str, dst_col: str,
     # blocks span 1-2 partitions while the self-join explodes C(m,2)
     # rows per destination (the r16 shingle-join fix, same shape;
     # no-op on already-wide inputs).  Pure relocation, every pair
-    # count unchanged.
+    # count unchanged.  Probe the checkpointed edge set (RDD already
+    # exists — zero cost), not the post-anti-join plan, whose
+    # broadcast subtree the probe would materialize as an extra
+    # hot-key-aggregate job per call (r16 ADVICE); the anti-join
+    # preserves stream-side partitioning, so the counts match.
     from ..functions.partitioning import spread_if_narrow
-    e2 = spread_if_narrow(e, "d")
+    e2 = spread_if_narrow(e, "d", probe=e_ck)
     a = e2.select(F.col("s").alias("id_a"), "d")
     b = e2.select(F.col("s").alias("id_b"), "d")
     pairs = (a.join(b, "d").where(F.col("id_a") < F.col("id_b"))

@@ -121,6 +121,21 @@ def fuzzy_pairs(df: DataFrame, id_col: str, s_col: str,
         F.col(id_col).alias("_id"), F.col(s_col).alias("_s"),
         F.explode(F.array_distinct(deletion_keys_batched(s_col, max_dist)))
         .alias("_k"))
+    # spread the per-key pair fold: the keyed relation is byte-small
+    # (the whole self-join plans as a BroadcastHashJoin whose stream
+    # side runs on the source scan's 1-2 input partitions), but the
+    # join EXPLODES m²/2 candidate rows per deletion key and runs the
+    # levenshtein verify on them map-side — CPU volume byte-based
+    # split sizing cannot see, so the fold ran on 2 of 32 cores (the
+    # r16 shingle-join fix, same shape; no-op on already-wide inputs).
+    # Pure relocation, every candidate and verified pair unchanged.
+    # The spread sits BEFORE the persist + hot-key anti-join: probing
+    # the post-join plan materialized its broadcast (the hot-key
+    # aggregate ran twice per call — r16 ADVICE); here the probed plan
+    # is scan-only, the persisted blocks land already wide, and the
+    # hot aggregate reuses the _k exchange instead of shuffling again.
+    from ..functions.partitioning import spread_if_narrow
+    keyed = spread_if_narrow(keyed, "_k")
     if max_key_df is not None:
         # the Arrow key-explosion lineage feeds the hot-key aggregate
         # AND both self-join sides — persist so the most expensive map
@@ -136,16 +151,6 @@ def fuzzy_pairs(df: DataFrame, id_col: str, s_col: str,
                .where(F.col("_n") > max_key_df)
                .select("_k"))
         keyed = keyed.join(F.broadcast(hot), "_k", "left_anti")
-    # spread the per-key pair fold: the keyed relation is byte-small
-    # (the whole self-join plans as a BroadcastHashJoin whose stream
-    # side runs on the source scan's 1-2 input partitions), but the
-    # join EXPLODES m²/2 candidate rows per deletion key and runs the
-    # levenshtein verify on them map-side — CPU volume byte-based
-    # split sizing cannot see, so the fold ran on 2 of 32 cores (the
-    # r16 shingle-join fix, same shape; no-op on already-wide inputs).
-    # Pure relocation, every candidate and verified pair unchanged.
-    from ..functions.partitioning import spread_if_narrow
-    keyed = spread_if_narrow(keyed, "_k")
     a = keyed.select(F.col("_id").alias("id_a"), F.col("_s").alias("s_a"),
                      "_k")
     b = keyed.select(F.col("_id").alias("id_b"), F.col("_s").alias("s_b"),

@@ -139,11 +139,18 @@ def test_bounded_stdout_payload_fits_driver_tail_window():
     line = json.dumps(payload)
     assert len(line) <= 1800
     assert json.loads(line)["remeasured_n"] == 41
-    # only the held->=1.3 names ride along, sorted
+    # only the held->=1.3 names ride along, sorted and CAPPED — the
+    # full count stays authoritative in remeasured_hot_n (r16 VERDICT
+    # #2: a long hot list must never squeeze the queries window)
     assert all("_00" in k or "_01" in k or "_02" in k or "_03" in k
                for k in payload["remeasured_hot"])
-    assert len(payload["remeasured_hot"]) == 20
+    assert payload["remeasured_hot_n"] == 20
+    assert len(payload["remeasured_hot"]) <= 8
     assert payload["remeasured_err"] == ["erring_key"]
+    # even this pathologically long-named population keeps a usable
+    # queries window (the realistic-width top-30 pin is the
+    # mass-remeasure test below)
+    assert len(payload["queries"]) >= 20
     # a small population keeps the full top-30
     small = B.bounded_stdout_payload(
         {"k": 1.0}, 1.0, 0.1, None, 0, (0.0, 0.0, 0.0), None, [],
@@ -175,21 +182,61 @@ def test_bounded_stdout_payload_truncates_pathological_hot_list():
     assert json.loads(line)["remeasured_n"] == 200  # count survives
 
 
+def test_bounded_stdout_payload_keeps_top30_under_mass_remeasure():
+    """r16 VERDICT #2 pin: the driver run whose remeasure pass fired
+    on 83 keys collapsed the stdout queries window to 6 (then the r17
+    rerun to 0), leaving the round's PERF table almost no comparable
+    keys.  A simulated 83-key remeasure with realistic key-name widths
+    must still emit the full top-30 queries dict."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod_bp3", "/root/repo/bench.py")
+    B = importlib.util.module_from_spec(spec)
+    sys.modules["bench_mod_bp3"] = B
+    spec.loader.exec_module(B)
+
+    # the real 258-key surface averages 16.6 chars/key (r17 measured);
+    # bench.py rounds timings to 3dp before they reach the payload
+    timings = {f"key_width_match_{i:03d}": round(1.0 + i * 0.017, 3)
+               for i in range(258)}
+    remeasured = {k: {"first": 2.0, "median3": 1.9, "prev": 1.0}
+                  for k in list(timings)[:83]}
+    payload = B.bounded_stdout_payload(
+        timings, 500.0, 0.1, 1.27, 258, (0.3, 1.6, 1.8), 1.16,
+        list(timings)[:10], remeasured, 0, [], True)
+    line = json.dumps(payload)
+    assert len(line) <= 1800
+    assert len(json.loads(line)["queries"]) == 30
+    assert json.loads(line)["remeasured_hot_n"] == 83
+
+
 def test_hot_start_load_redirects_baseline_write():
     """r15 VERDICT #4 (third recurrence of a hot driver run
     overwriting the committed quiet baseline): at/above the quiet
-    policy the full-detail write goes to the gitignored *_hot.json
-    side file; below it the committed baseline file is used."""
+    policy the full-detail write goes to a gitignored *_hot*.json
+    side file; below it the committed baseline file is used.  r16
+    ADVICE additions: a drain tail (5-min load >= 1.0 with a quiet
+    1-min average) is hot too, and the side file carries the core
+    count so two runs at different widths cannot clobber each other
+    (r16 VERDICT #3)."""
     import bench
 
-    assert bench.baseline_out_name("BENCH_FULL.json", 0.49) \
-        == "BENCH_FULL.json"
-    assert bench.baseline_out_name("BENCH_FULL.json", 0.5) \
-        == "BENCH_FULL_hot.json"
-    assert bench.baseline_out_name("BENCH_FULL.json", 3.35) \
-        == "BENCH_FULL_hot.json"
-    assert bench.baseline_out_name("BENCH_FULL_sf0.01.json", 2.0) \
-        == "BENCH_FULL_sf0.01_hot.json"
+    assert bench.baseline_out_name("BENCH_FULL.json", (0.49, 0.9, 0.9),
+                                   32) == "BENCH_FULL.json"
+    assert bench.baseline_out_name("BENCH_FULL.json", (0.5, 0.2, 0.1),
+                                   32) == "BENCH_FULL_hot_c32.json"
+    assert bench.baseline_out_name("BENCH_FULL.json", (3.35, 3.0, 2.0),
+                                   8) == "BENCH_FULL_hot_c8.json"
+    # the r17 drain case: 1-min quiet, 5-min still draining pytest
+    assert bench.baseline_out_name("BENCH_FULL.json", (0.29, 1.59, 1.79),
+                                   32) == "BENCH_FULL_hot_c32.json"
+    # no cpus known -> legacy name, still a side file
+    assert bench.baseline_out_name("BENCH_FULL.json", (0.5, 0.2, 0.1),
+                                   None) == "BENCH_FULL_hot.json"
+    assert bench.baseline_out_name("BENCH_FULL_sf0.01.json",
+                                   (2.0, 2.0, 2.0), 32) \
+        == "BENCH_FULL_sf0.01_hot_c32.json"
     # the stdout payload must be able to NAME the side file so the
     # round artifact records where the detail went
     p = bench.bounded_stdout_payload(

@@ -906,3 +906,85 @@ def test_spread_if_narrow_is_noop_on_wide_inputs(spark):
     # repeats each node in its Initial Plan section, so count node
     # kinds, not occurrences)
     assert "hashpartitioning" not in plan
+
+
+def test_spread_if_narrow_probe_relation_decides(spark):
+    """r17 (r16 ADVICE): ``probe=`` lets a caller hand the width probe
+    an exchange-free stand-in (a checkpointed upstream) so the probe
+    never materializes broadcast/aggregate subtrees of the spread
+    target.  The PROBE's planned width decides; the TARGET is what
+    gets repartitioned."""
+    from dynamic_partitioner_spark.functions.partitioning import (
+        spread_if_narrow)
+
+    n = spark.sparkContext.defaultParallelism
+    narrow = spark.createDataFrame([(i,) for i in range(8)], "k long") \
+        .coalesce(1)
+    wide = spark.createDataFrame([(i,) for i in range(8)], "k long") \
+        .repartition(n + 1)
+    # wide probe -> no-op even though the target is narrow
+    plan = spread_if_narrow(narrow, "k", probe=wide) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" not in plan
+    # narrow probe -> spread fires on the target
+    plan = spread_if_narrow(narrow, "k", probe=narrow.coalesce(1)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan
+
+
+def test_spread_operators_run_no_jobs_at_construction(spark):
+    """r16 ADVICE (medium): probing ``.rdd`` through a plan that holds
+    an exchange materializes its query stages — the hot-key aggregate
+    of the capped pair operators ran as REAL jobs at operator-
+    construction time (and then again at action time).  The spread now
+    sits before the anti-join / probes a checkpointed upstream, so
+    constructing the lazy relation must submit zero Spark jobs."""
+    from dynamic_partitioner_spark.operators.dedup import (
+        ngram_jaccard_pairs)
+    from dynamic_partitioner_spark.operators.linkage import fuzzy_pairs
+
+    def n_jobs():
+        return len(spark.sparkContext.statusTracker()
+                   .getJobIdsForGroup(None) or [])
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g", "en") for i in range(20)],
+        "doc_id long, text string, lang string").coalesce(1)
+    before = n_jobs()
+    ngram_jaccard_pairs(docs, "doc_id", "text", "lang",
+                        threshold=0.1, max_shingle_df=50)
+    assert n_jobs() == before, "ngram construction submitted jobs"
+
+    names = spark.createDataFrame(
+        [(i, f"name{i % 9:03d}") for i in range(30)],
+        "id long, s string").coalesce(1)
+    before = n_jobs()
+    fuzzy_pairs(names, "id", "s", max_dist=1, max_key_df=50)
+    assert n_jobs() == before, "fuzzy construction submitted jobs"
+
+
+def test_spread_stream_build_side_is_forced(spark):
+    """r16 ADVICE: the round-robin spread of the pair self-joins only
+    helps while side 'a' STREAMS — with two identical-size broadcast
+    candidates that was a planner tie-break.  Side 'b' now carries an
+    explicit broadcast hint, so the plan must build RIGHT regardless
+    of stats."""
+    from dynamic_partitioner_spark.operators.dedup import (
+        embedding_near_dup, simhash_pairs)
+
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox", "en") for i in range(5)],
+        "doc_id long, text string, lang string").coalesce(1)
+    plan = simhash_pairs(df, "doc_id", "text", "lang") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BuildRight" in plan and "BuildLeft" not in plan
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0], "x") for i in range(4)],
+        "vec_id long, embedding array<double>, label string").coalesce(1)
+    for batched in (False, True):
+        plan = embedding_near_dup(emb, "vec_id", "embedding", "label",
+                                  threshold=0.5, batched=batched) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BuildRight" in plan and "BuildLeft" not in plan, \
+            f"batched={batched}"
