@@ -39,6 +39,8 @@ from dynamic_partitioner_spark import (
     write_partitioned,
 )
 from dynamic_partitioner_spark.functions import text as TX
+from dynamic_partitioner_spark.functions.checkpoint import (
+    checkpoint_df)
 from dynamic_partitioner_spark.functions.vectors import (
     L2_NORM_SQL,
     ROUND4_SQL,
@@ -786,8 +788,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist each so the LSH pipeline and the interpreted-HOF shingle
     # scan run once, then eagerly checkpoint the tiny output and
     # release (the lm_score cache-release pattern)
-    pairs = (DD.near_dup_minhash(corpus, "doc_id", "text", threshold=0.5)
-             .localCheckpoint(eager=True))
+    pairs = checkpoint_df(
+        DD.near_dup_minhash(corpus, "doc_id", "text", threshold=0.5))
     sh = (corpus.select("doc_id", DD.shingles(F.col("text"), 3).alias("sh"))
           .persist(StorageLevel.MEMORY_AND_DISK))
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("_sa"))
@@ -813,9 +815,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.coalesce(F.col("_rep") == F.col("twin_jaccard"),
                                    F.lit(True)))
             .select("mut_id", "twin_jaccard", "twin_consistent"))
-    out = (_pair_certification(chk, grid, "jaccard", 0.5, tol=0.0)
-           .orderBy("mut_id")
-           .localCheckpoint(eager=True))   # 50 rows — frees sh below
+    out = checkpoint_df(                 # 50 rows — frees sh below
+        _pair_certification(chk, grid, "jaccard", 0.5, tol=0.0)
+        .orderBy("mut_id"))
     sh.unpersist()
     return out
 
@@ -4870,7 +4872,7 @@ def q_source_csv_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the 2-row report, then release the cached parse —
     # without this every invocation leaks one cached relation for the
     # session lifetime (scale sweeps build this key at every SF)
-    out_df = out_df.localCheckpoint(eager=True)
+    out_df = checkpoint_df(out_df)
     df.unpersist()
     return out_df
 

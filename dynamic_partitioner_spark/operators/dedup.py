@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import dot, l2_norm, round4
+from ..functions.checkpoint import checkpoint_df
 from ..functions.text import simhash_batched
 
 # ------------------------------------------------------------------ exact
@@ -698,13 +699,13 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
             rows = [(node, label[find(node)]) for node in parent]
             return pairs.sparkSession.createDataFrame(
                 rows, f"doc_id {id_dt}, cluster_id {id_dt}")
-    edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-             .unionByName(pairs.select(F.col(id_b).alias("u"),
-                                       F.col(id_a).alias("v")))
-             # materialize once: every iteration joins against edges, and
-             # without this each round would recompute the (possibly
-             # expensive) upstream pair pipeline
-             .localCheckpoint(eager=True))
+    edges = checkpoint_df(
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(pairs.select(F.col(id_b).alias("u"),
+                                  F.col(id_a).alias("v"))))
+    # ^ materialized once: every iteration joins against edges, and
+    # without the cut each round would recompute the (possibly
+    # expensive) upstream pair pipeline
     if persisted is not None:       # checkpoint holds the data now
         persisted.unpersist()
     labels = (edges.select("u").distinct()
@@ -724,7 +725,7 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
                       .agg(F.min("label").alias("label"),
                            F.max(F.when(F.col("_own"), F.col("label")))
                            .alias("_old")))
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = checkpoint_df(new_labels)
         changed = new_labels.where(
             F.col("label") != F.col("_old")).count()
         labels = new_labels.select("node", "label")

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..functions.checkpoint import checkpoint_df
 
 
 def pagerank(edges: DataFrame, src_col: str, dst_col: str,
@@ -49,8 +50,8 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
                    .withColumn("_has_out", F.lit(True)),
                    "node", "left")
              .select("node", F.coalesce("_has_out", F.lit(False))
-                     .alias("has_out"))
-             .localCheckpoint(eager=True))
+                     .alias("has_out")))
+    nodes = checkpoint_df(nodes)
     n = nodes.count()
     if n == 0:
         ew.unpersist()
@@ -80,7 +81,7 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
         # iteration deep; raise checkpoint_every on small fast graphs
         # to trade lineage depth for fewer eager jobs
         if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = checkpoint_df(ranks)
     ew.unpersist()
     return ranks.select("node", "rank")
 
@@ -128,7 +129,7 @@ def triangle_stats(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
     # checkpointed below, so nothing reachable references this RDD
     # after return and the ContextCleaner reclaims it on GC — a
     # session sweeping many SFs does not accumulate edge sets.
-    und = und.localCheckpoint(eager=True)
+    und = checkpoint_df(und)
     deg = (und.select(F.col("u").alias("node"))
            .unionAll(und.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
@@ -186,7 +187,7 @@ def triangle_stats(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
     # point of the operator); checkpointing the output truncates the
     # plan's reference to the edge blocks, which releases them (via
     # GC + ContextCleaner) instead of leaking for the session lifetime
-    out = out.localCheckpoint(eager=True)
+    out = checkpoint_df(out)
     return out
 
 
@@ -231,7 +232,7 @@ def neighbor_jaccard(edges: DataFrame, src_col: str, dst_col: str,
     # 16 scans in the executed plan).  Same localCheckpoint posture
     # as triangle_stats' und — lineage truncation, blocks reclaimed
     # by the ContextCleaner once the result is returned.
-    e = e.localCheckpoint(eager=True)
+    e = checkpoint_df(e)
     e_ck = e      # exchange-free probe target for the spread below
     if max_degree is not None:
         hot = (e.groupBy("d").agg(F.count(F.lit(1)).alias("_n"))

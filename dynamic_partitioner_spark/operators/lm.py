@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..functions.checkpoint import checkpoint_df
 
 
 def _tokens(text_col: str):
@@ -100,7 +101,7 @@ def bigram_lm_score(df: DataFrame, id_col: str, text_col: str,
     if eager:
         # one row per document — small; lineage truncation lets the
         # bigram cache go away immediately
-        out = out.localCheckpoint(eager=True)
+        out = checkpoint_df(out)
         bgs.unpersist()
     return out
 
@@ -143,7 +144,7 @@ def sequence_lm_score(df: DataFrame, key_col: str, order_cols: list[str],
                    round4(F.col("_s")
                           / (F.col("n_steps").cast("double")
                              * F.lit(1_000_000.0)))
-                   .alias("seq_score"))
-           .localCheckpoint(eager=True))
+                   .alias("seq_score")))
+    out = checkpoint_df(out)
     bg.unpersist()
     return out

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.paths import hive_partition_path, partition_value_from_dir
+from ..functions.checkpoint import checkpoint_df
 from ..sources.read import read_partitioned
 from ..spec import SinkSpec, SpecError
 from .partition_keys import normalize_partition_keys
@@ -460,7 +461,7 @@ def _overwrite_and_prune(spark: SparkSession, path: str, spec: SinkSpec,
     # twice, and worse, the write's lineage would re-read the very
     # files the overwrite is deleting (an eviction away from
     # FILE_NOT_EXIST).  Checkpointed blocks fail loudly if lost.
-    merged = merged.localCheckpoint(eager=True)
+    merged = checkpoint_df(merged)
     remaining = (set(_collect_key_tuples(merged, spec.field_names))
                  if affected else set())
     jvm = spark._jvm

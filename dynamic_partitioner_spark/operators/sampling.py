@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..functions.checkpoint import checkpoint_df
 
 #: 2^60 — denominator for the 60-bit hash → [0, 1) unit interval
 _DENOM = float(1 << 60)
@@ -887,9 +888,9 @@ def neyman_allocation(df: DataFrame, stratum_col: str, key_col: str,
     # Hamilton 1-row-broadcast subtree doesn't replicate into every
     # downstream plan branch (the multi-consumer lesson from the
     # triangle census)
-    stats = stats.localCheckpoint(eager=True)
-    alloc = (allocate_budget(stats, [sc], "w", budget)
-             .select(sc, "alloc").localCheckpoint(eager=True))
+    stats = checkpoint_df(stats)
+    alloc = checkpoint_df(allocate_budget(stats, [sc], "w", budget)
+                          .select(sc, "alloc"))
     rank_w = Window.partitionBy(sc).orderBy(
         hash_unit(F.col(kc), salt).asc(), F.col(kc).asc())
     drawn = (base.select(sc, kc)

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine, round4
+from ..functions.checkpoint import checkpoint_df
 
 
 def _rank_window(qcol: str) -> Window:
@@ -747,7 +748,7 @@ def cosine_threshold_sweep(df: DataFrame, id_col: str, vec_col: str,
     # ~target_rows frame, and the lineage cut is what stops the count
     # + filter re-running per branch.
     s = s.select("vid", "vec", l2_norm(F.col("vec")).alias("_l2"))
-    s = s.localCheckpoint(eager=True)
+    s = checkpoint_df(s)
     # spread the streamed side of the pair join across the cluster:
     # the sample inherits the (tiny) upstream scan's partitioning —
     # often ONE partition — which would run the O(target²) interpreted

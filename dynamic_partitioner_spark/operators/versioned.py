@@ -180,15 +180,26 @@ def versioned_write_slices(df: DataFrame, slice_col: str,
     _check_local(path)
     commits = _commits(path)
     v0 = (commits[-1]["version"] + 1) if commits else 1
-    # reclaim EVERY stale stage dir, not just the current version's: a
-    # crash after a partial commit prefix advances v0 on retry, so the
-    # crashed attempt's _stage-{old v0} would otherwise be stranded
-    # forever as pseudo-orphan debris (r16 review).  Underscore dirs
-    # are reader-invisible and this writer is the single-writer
-    # authority for the table, so any _stage-* here is reclaimable.
+    # reclaim stale stage dirs whose version is <= v0: a crash after a
+    # partial commit prefix advances v0 on retry, so the crashed
+    # attempt's _stage-{old v0} would otherwise be stranded forever as
+    # pseudo-orphan debris (r16 review).  Underscore dirs are
+    # reader-invisible, and under the documented single-writer
+    # assumption every such dir is reclaimable — but the sweep still
+    # stops at v0 so a hypothetical concurrent writer staging a HIGHER
+    # version is never destroyed mid-commit (r16 ADVICE: an
+    # all-_stage-* rmtree turned a version-scoped reclaim into
+    # potential cross-writer data loss); an unparsable suffix is
+    # treated as crash debris of unknown vintage and reclaimed.
     if os.path.isdir(path):
         for name in os.listdir(path):
-            if name.startswith("_stage-"):
+            if not name.startswith("_stage-"):
+                continue
+            try:
+                stage_v = int(name[len("_stage-"):])
+            except ValueError:
+                stage_v = v0
+            if stage_v <= v0:
                 shutil.rmtree(os.path.join(path, name),
                               ignore_errors=True)
     stage = os.path.join(path, f"_stage-{v0:08d}")

@@ -863,3 +863,27 @@ def test_write_slices_reclaims_stale_stage_dirs(spark, tmp_path):
     versioned_write_slices(df, "_s", [(20, "append")], path)
     assert not os.path.exists(stale)
     assert not [n for n in os.listdir(path) if n.startswith("_stage-")]
+
+
+def test_write_slices_stage_sweep_spares_higher_versions(spark,
+                                                         tmp_path):
+    """r16 ADVICE: the stale-stage sweep is version-scoped — a stage
+    dir at a HIGHER version than this writer's next commit could only
+    belong to a concurrent writer and must never be destroyed
+    mid-commit; crashed-attempt dirs at <= next version (and
+    unparsable debris) are reclaimed as before."""
+    import os
+
+    from dynamic_partitioner_spark.operators.versioned import (
+        versioned_write_slices)
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k long, _s long")
+    versioned_write_slices(df, "_s", [(10, "append")], path)
+    future = os.path.join(path, "_stage-00000099")   # concurrent writer
+    os.makedirs(os.path.join(future, "_s=10"))
+    junk = os.path.join(path, "_stage-garbage")      # unknown vintage
+    os.makedirs(junk)
+    versioned_write_slices(df, "_s", [(20, "append")], path)
+    assert os.path.exists(future), "higher-version stage was destroyed"
+    assert not os.path.exists(junk)
