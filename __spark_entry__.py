@@ -1386,10 +1386,20 @@ def q_partition_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction: write with a tiny per-file row cap (the
     many-files failure mode), compact to right-sized files, read back —
     contents identical, file count bounded (pinned in tests)."""
+    from dynamic_partitioner_spark.functions.partitioning import (
+        spread_if_narrow)
     from dynamic_partitioner_spark.operators.partitioned_write import (
         compact_partitions)
     apply_engine_confs(spark)
-    df = _table(spark, sf_dir, "lineitem")
+    # the single-file sf inputs scan as ONE partition, so the tiny-cap
+    # write ran its ~300 small files on one task (r17: that write job
+    # was 8.3s of this key's 12s wall).  Round-robin spread — the
+    # 3-value partition key cannot hash-spread — writes the same rows
+    # in parallel; MORE small files pre-compaction (each task opens
+    # each key's writer), which is the many-files failure mode this
+    # key exists to exercise, and compact_partitions rewrites the
+    # whole tree regardless.  No-op on already-wide inputs.
+    df = spread_if_narrow(_table(spark, sf_dir, "lineitem"))
     out = _out("partition_compact")
     spec = SinkSpec(name="li_small", field_names=["l_returnflag"],
                     max_records_per_file=2000, cluster_by_key=False)
@@ -5549,8 +5559,16 @@ def q_ops_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynamic_partitioner_spark.operators.partitioned_write import (
         audit_partition_files)
     apply_engine_confs(spark)
+    # explicit-count repartition: keyed-only repartition(F.col(pk))
+    # is AQE-coalescible, and with ~5 tiny key partitions AQE merged
+    # the whole tiny-cap file write into ONE task (r17 measured the
+    # write job at 70-80% of this family's wall from that alone).
+    # The explicit count is AQE-exempt; every key still lands WHOLE
+    # in one task (hash on the key only), so the per-key layout
+    # contract is untouched — the keys just write in parallel.
     df = (_table(spark, sf_dir, "orders")
-          .repartition(F.col("o_orderpriority")))
+          .repartition(spark.sparkContext.defaultParallelism,
+                       F.col("o_orderpriority")))
     out = _out("ops_file_audit")
     spec = SinkSpec(name="ord_sized", field_names=["o_orderpriority"],
                     max_records_per_file=1000, cluster_by_key=False)
@@ -5602,8 +5620,11 @@ def q_ops_metadata_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed rows == table rows (audit_total_ok), observed file count
     >= ceil(n/100) (audit_files_ok)."""
     apply_engine_confs(spark)
+    # explicit-count repartition — AQE-exempt, keys whole per task;
+    # see ops_file_audit (r17: keyed-only form coalesced to 1 task)
     df = (_table(spark, sf_dir, "customer")
-          .repartition(F.col("c_mktsegment")))
+          .repartition(spark.sparkContext.defaultParallelism,
+                       F.col("c_mktsegment")))
     out = _out("ops_meta_files")
     spec = SinkSpec(name="cust_sized", field_names=["c_mktsegment"],
                     max_records_per_file=100, cluster_by_key=False)
@@ -5870,8 +5891,12 @@ def q_ops_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     max_records_per_file=300, cluster_by_key=False)
     for attempt in (1, 2):
         out = _out("ops_compaction_plan")  # rmtree + fresh dir each try
-        write_partitioned(src.repartition(F.col("o_orderpriority")),
-                          spec, out)
+        write_partitioned(
+            # explicit count — AQE-exempt, keys whole per task; see
+            # ops_file_audit (r17: keyed-only form coalesced to 1 task)
+            src.repartition(spark.sparkContext.defaultParallelism,
+                            F.col("o_orderpriority")),
+            spec, out)
         observed = (spark.read.parquet(out)
                     .select(F.col("o_orderpriority").cast("string")
                             .alias("pk"),
@@ -6040,7 +6065,10 @@ def q_ops_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = (orders.select(
             F.trim(F.col("o_orderpriority").cast("string")).alias("pk"),
             F.floor(F.col("o_totalprice") / 1000).cast("long").alias("v"))
-          .repartition(F.col("pk")))
+          # explicit count — AQE-exempt, keys whole per task; see
+          # ops_file_audit (r17: keyed-only form coalesced to 1 task)
+          .repartition(spark.sparkContext.defaultParallelism,
+                       F.col("pk")))
     out = _out("ops_clustering_depth")
     spec = SinkSpec(name="ord_cluster_depth", field_names=["pk"],
                     max_records_per_file=300, cluster_by_key=False,
@@ -6102,7 +6130,8 @@ def q_ops_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.floor(F.col("o_totalprice") / 30000),
                 F.lit(15)).cast("long").alias("yb"))
     df = dims.withColumn("zval", zorder_key(["xb", "yb"], bits=4)) \
-             .repartition(F.col("pk"))
+             .repartition(spark.sparkContext.defaultParallelism,
+                          F.col("pk"))  # AQE-exempt; keys whole per task
     out = _out("ops_zorder_layout")
     spec = SinkSpec(name="ord_zorder", field_names=["pk"],
                     max_records_per_file=300, cluster_by_key=False,
