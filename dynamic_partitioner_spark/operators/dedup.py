@@ -359,6 +359,15 @@ def near_dup_minhash(df: DataFrame, id_col: str, text_col: str,
             f"signature length k={k}: the trailing bands would hash "
             "empty slices (shared by every doc) and silently contribute "
             "zero recall — or an all-pairs join in uncapped audit mode")
+    # NO narrow-input spread here, deliberately (r17 adjudication,
+    # re-confirming r16's "explicit width unnecessary"): the pair fold
+    # downstream is a SortMergeJoin whose (band_idx, band_hash)
+    # exchanges spread it cluster-wide by construction (pinned in
+    # tests/test_dedup.py), and a paired A/B of a corpus spread before
+    # this Arrow pipeline measured no wall change (8 alternating reps,
+    # medians within noise) — AQE races the downstream query stages
+    # concurrently, so the six 1-task upstream recomputations already
+    # overlap into one task-length wall either way.
     base = df.select(F.col(id_col).alias("_id"),
                      shingles_batched(F.col(text_col), n).alias("sh"))
     if persist:

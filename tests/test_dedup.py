@@ -963,6 +963,31 @@ def test_spread_operators_run_no_jobs_at_construction(spark):
     assert n_jobs() == before, "fuzzy construction submitted jobs"
 
 
+def test_lsh_candidate_fold_is_shuffle_spread(spark):
+    """r16 VERDICT #6 pin: lsh_candidate_pairs needs no explicit-width
+    spread because its band self-join plans as a SortMergeJoin whose
+    (band_idx, band_hash) exchanges spread the pair fold cluster-wide
+    by construction — even on a 1-partition input.  A regression to a
+    broadcast join streaming the 1-2 cached partitions would put the
+    m²/2 fold back on one core; catch it here instead of re-litigating
+    (r17 re-adjudicated with a paired A/B: adding a spread changes
+    nothing while this shape holds)."""
+    from dynamic_partitioner_spark.operators.dedup import (
+        lsh_candidate_pairs)
+
+    sigs = spark.createDataFrame(
+        [(i, [float((i * j) % 97) for j in range(32)])
+         for i in range(60)],
+        "doc_id long, sig array<double>").coalesce(1)
+    rel = lsh_candidate_pairs(sigs, "doc_id", "sig",
+                              bands=8, rows_per_band=4)
+    plan = rel._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, \
+        "band self-join degraded to a broadcast/nested-loop strategy"
+    assert "hashpartitioning(band_idx" in plan, \
+        "pair fold no longer exchanges on the band key"
+
+
 def test_spread_stream_build_side_is_forced(spark):
     """r16 ADVICE: the round-robin spread of the pair self-joins only
     helps while side 'a' STREAMS — with two identical-size broadcast
